@@ -1,13 +1,567 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.lake.{Ingest, LakePaths, Tables}
+import graft.operators._
+import graft.streaming.Alerts
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with
+  * equivalent ANSI SQL for the DuckDB oracle.
+  *
+  * Conventions for oracle parity:
+  *  - every computed/aggregated column is aliased identically in Spark and
+  *    SQL (the driver compare sorts columns by name);
+  *  - floating-point aggregates are rounded (2-4 decimals) on BOTH sides
+  *    so partial-aggregation order can't flip a hash;
+  *  - thresholds are applied to the ROUNDED value so the selected row set
+  *    is identical in both engines;
+  *  - integer-typed derived columns are cast so Spark and DuckDB agree
+  *    (DuckDB `sum(int)` is HUGEINT, `len()` is BIGINT, ...).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7 minimum slice): pricing summary in the
+    * shape of the reference's filter → groupBy → agg pipeline
+    * (`/root/reference/pyspark-2.ipynb:360,547-617`) over lineitem.
+    * Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Shared nullified-events projection for the na.* / impute operators —
+    * the driver tables have no NULLs, so NULLs are injected
+    * deterministically (mirrored exactly in the oracle SQL). */
+  private def nulledEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      when(col("value") < 2, lit(null)).otherwise(col("value")).as("value_n"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("props_n"),
+      when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")).as("user_n"))
+
+  private val nulledEventsSql =
+    """SELECT event_id,
+      |  CASE WHEN value < 2 THEN NULL ELSE value END AS value_n,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props_n,
+      |  CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_n
+      |FROM events""".stripMargin
+
+  /** Synthetic ingestion manifest (S4 stub): URLs in the reference's
+    * Inside-Airbnb layout built from document attributes. */
+  private def manifestUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(concat(
+      lit("https://insideairbnb.example.com/spain/"), col("lang"), lit("/"),
+      col("source"), lit("/2024-01-01/data/d"), col("doc_id").cast("string"),
+      lit(".csv")).as("href"))
+
+  private val manifestUrlsSql =
+    """SELECT 'https://insideairbnb.example.com/spain/' || lang || '/' || source
+      |  || '/2024-01-01/data/d' || CAST(doc_id AS VARCHAR) || '.csv' AS href
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- flagship / aggregation pipeline (S3, F1/F3, A1-A3, sorts)
+    "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+
+    // -- projections (P1-P7)
+    "q_select_project" -> ((s, d) =>
+      Relational.select(Tables(s, d, "customer"), Seq("c_custkey", "c_name", "c_acctbal"))),
+    "q_derived_column" -> ((s, d) =>
+      Relational.withDerived(
+        Tables(s, d, "part").select(col("p_partkey"), col("p_retailprice")),
+        "price_with_tax", round(col("p_retailprice") * 1.1, 2))),
+    "q_rename_drop" -> ((s, d) =>
+      Relational.rename(
+        Relational.drop(Tables(s, d, "supplier"), "s_nationkey"),
+        "s_name", "supplier_name")),
+
+    // -- filters (F1-F7)
+    "q_filter_sql" -> ((s, d) =>
+      Relational.filterSql(Tables(s, d, "orders"), "o_totalprice <= 20000")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+    "q_filter_conj" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      Relational.filterExpr(o, col("o_totalprice") <= 20000 && col("o_totalprice") >= 15000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q_filter_neg" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      Relational.filterExpr(o, !(col("o_totalprice") <= 20000))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q_filter_contains" -> ((s, d) =>
+      Relational.filterContains(Tables(s, d, "documents"), "text", "spark window")
+        .select(col("doc_id"), col("lang"))),
+    "q_filter_endswith" -> ((s, d) =>
+      Relational.filterEndsWith(Tables(s, d, "part"), "p_type", "D")
+        .select(col("p_partkey"), col("p_type"))),
+
+    // -- limits / sorts (L1-L3)
+    "q_limit_ordered" -> ((s, d) =>
+      Relational.limitOrdered(
+        Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 14)),
+
+    // -- aggregations (A1-A5, A7, distinct, rollup)
+    "q_groupby_sum" -> ((s, d) =>
+      Tables(s, d, "events").groupBy(col("event_type"))
+        .agg(round(sum(col("value")), 2).as("sum_value"))),
+    "q_groupby_avg" -> ((s, d) =>
+      Tables(s, d, "customer").groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("c_acctbal")), 4).as("avg_acctbal"))),
+    "q_groupby_count" -> ((s, d) => Aggregates.countBy(Tables(s, d, "events"), "event_type")),
+    "q_global_agg" -> ((s, d) =>
+      Tables(s, d, "lineitem").agg(round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "q_describe" -> ((s, d) => {
+      val df = Aggregates.describeNumeric(Tables(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      df.select(col("column"), col("count"), round(col("mean"), 4).as("mean"),
+        round(col("stddev"), 4).as("stddev"), col("min"), col("max"))
+    }),
+    "q_distinct_by" -> ((s, d) =>
+      Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
+    "q_approx_distinct" -> ((s, d) => // sketch path: no oracle (impl-defined)
+      Aggregates.approxDistinctBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
+    "q_rollup" -> ((s, d) =>
+      Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
+
+    // -- null handling (N1-N7, A6)
+    "q_na_drop_thresh" -> ((s, d) => Nulls.dropThresh(nulledEvents(s, d), 2)),
+    "q_na_drop_subset" -> ((s, d) => Nulls.dropSubset(nulledEvents(s, d), Seq("value_n"))),
+    "q_na_fill" -> ((s, d) =>
+      Nulls.fillString(nulledEvents(s, d).select(col("event_id"), col("props_n")), "missing")),
+    "q_impute_mean" -> ((s, d) => {
+      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
+      Nulls.impute(base, Seq("value_n"), "mean")
+        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
+    }),
+
+    // -- joins (broadcast dim, fact-fact, star, anti)
+    "q_join_dims" -> ((s, d) => Joins.customersPerRegion(s, d)),
+    "q_join_topk" -> ((s, d) => Joins.topUrgentRevenue(s, d)),
+    "q_join_suppnation" -> ((s, d) => Joins.revenuePerSupplierNation(s, d)),
+    "q_join_anti" -> ((s, d) => Joins.customersWithoutOrders(s, d)),
+
+    // -- windows
+    "q_window_topk" -> ((s, d) => Windows.topKOrdersPerPriority(s, d, 3)),
+    "q_window_running" -> ((s, d) => Windows.runningDailyRevenue(s, d)),
+
+    // -- set ops
+    "q_setops_except" -> ((s, d) => SetOps.clickedNeverPurchased(s, d)),
+    "q_setops_intersect" -> ((s, d) => SetOps.engagedBuyers(s, d)),
+
+    // -- monitoring / alerting (F8, F9, A7) + json extraction
+    "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
+    "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
+    "q_json_extract" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))),
+
+    // -- ingestion manifest (S4/S5 shape: F6+F7+L3+K3)
+    "q_ingest_manifest" -> ((s, d) =>
+      Ingest.plan(manifestUrls(s, d), "spain", ".csv", 14, "airbnb/spain")),
+
+    // -- text analysis (north star)
+    "q_token_count" -> ((s, d) =>
+      Tables(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"))),
+    "q_text_quality" -> ((s, d) => {
+      val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      Tables(s, d, "documents").select(col("doc_id") +: feats: _*)
+    }),
+    "q_lang_id" -> ((s, d) => {
+      val scores = Text.languageScores(col("text"))
+      Tables(s, d, "documents").select(col("doc_id"), col("lang"),
+        scores("en").as("s_en"), scores("fr").as("s_fr"), scores("es").as("s_es"),
+        scores("de").as("s_de"), scores("zh").as("s_zh"),
+        Text.predictedLanguage(col("text")).as("predicted"))
+    }),
+    "q_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents").select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // -- dedup (north star)
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
+    "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
+    "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
+    "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
+
+    // -- similarity search (north star)
+    "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
+    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)), // no oracle: LSH plane SQL
+    // -- multimodal (north star; codec stubbed, plumbing real)
+    "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)), // no oracle: binary agg
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB-runnable ANSI SQL per query; same parquet tables, same column
+    * aliases, same rounding, same injected NULLs. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_select_project" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "q_derived_column" ->
+      "SELECT p_partkey, p_retailprice, round(p_retailprice * 1.1, 2) AS price_with_tax FROM part",
+    "q_rename_drop" ->
+      "SELECT s_suppkey, s_name AS supplier_name, s_acctbal FROM supplier",
+
+    "q_filter_sql" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice <= 20000",
+    "q_filter_conj" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 20000 AND o_totalprice >= 15000",
+    "q_filter_neg" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice <= 20000)",
+    "q_filter_contains" ->
+      "SELECT doc_id, lang FROM documents WHERE position('spark window' IN text) > 0",
+    "q_filter_endswith" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%D'",
+
+    "q_limit_ordered" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 14",
+
+    "q_groupby_sum" ->
+      "SELECT event_type, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type",
+    "q_groupby_avg" ->
+      "SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_acctbal FROM customer GROUP BY c_mktsegment",
+    "q_groupby_count" ->
+      "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+    "q_global_agg" -> "SELECT round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
+    "q_describe" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS count,
+        |  round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS stddev,
+        |  min(l_quantity) AS min, max(l_quantity) AS max FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice), round(avg(l_extendedprice), 4),
+        |  round(stddev_samp(l_extendedprice), 4), min(l_extendedprice), max(l_extendedprice) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount), round(avg(l_discount), 4),
+        |  round(stddev_samp(l_discount), 4), min(l_discount), max(l_discount) FROM lineitem""".stripMargin,
+    "q_distinct_by" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey FROM lineitem GROUP BY l_returnflag",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS count
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_na_drop_thresh" ->
+      s"""SELECT * FROM ($nulledEventsSql)
+         |WHERE (CASE WHEN value_n IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN props_n IS NOT NULL THEN 1 ELSE 0 END)
+         |    + (CASE WHEN user_n IS NOT NULL THEN 1 ELSE 0 END) + 1 >= 2""".stripMargin,
+    "q_na_drop_subset" ->
+      s"SELECT * FROM ($nulledEventsSql) WHERE value_n IS NOT NULL",
+    "q_na_fill" ->
+      s"SELECT event_id, coalesce(props_n, 'missing') AS props_n FROM ($nulledEventsSql)",
+    "q_impute_mean" ->
+      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
+         |SELECT event_id,
+         |  round(coalesce(value_n, (SELECT avg(value_n) FROM base)), 2) AS value_imputed
+         |FROM base""".stripMargin,
+
+    "q_join_dims" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_join_topk" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_suppnation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_in_priority
+        |  FROM orders)
+        |WHERE rank_in_priority <= 3""".stripMargin,
+    "q_window_running" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
+        |    sum(l_extendedprice) AS day_revenue
+        |  FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE))
+        |SELECT l_returnflag, ship_day, round(day_revenue, 2) AS day_revenue,
+        |  round(sum(day_revenue) OVER (PARTITION BY l_returnflag ORDER BY ship_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM daily""".stripMargin,
+
+    "q_setops_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_setops_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_alert_volume" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  round(sum(value), 2) AS total_value, count(*) AS n_events
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL '5 minutes', ts)
+        |HAVING round(sum(value), 2) > 300""".stripMargin,
+    "q_alert_operation" ->
+      """SELECT user_id, count(*) AS n_matches FROM events
+        |WHERE position('error' IN lower(event_type)) > 0
+        |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_ingest_manifest" ->
+      """SELECT href,
+        |  'airbnb/spain/' || lang || '_' || source || '_d' || CAST(doc_id AS VARCHAR)
+        |    || '.csv' AS blob_path
+        |FROM (SELECT 'https://insideairbnb.example.com/spain/' || lang || '/'
+        |        || source || '/2024-01-01/data/d' || CAST(doc_id AS VARCHAR)
+        |        || '.csv' AS href, lang, source, doc_id
+        |      FROM documents)
+        |WHERE position('spain' IN href) > 0 AND href LIKE '%.csv'
+        |ORDER BY href LIMIT 14""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  round(length(text) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+        |  round(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        |  round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+        |  round(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to','it')))
+        |    / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio
+        |FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to','it'))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','de','et','un','une','est'))) AS INTEGER) AS s_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','los','las','de','y','un','una','es'))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS INTEGER) AS s_de,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS s_zh
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents))
+        |SELECT doc_id, lang, s_en, s_fr, s_es, s_de, s_zh,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |    WHEN s_es > 0 AND s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |    WHEN s_de > 0 AND s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+        |    ELSE 'und' END AS predicted
+        |FROM scored""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""".stripMargin,
+
+    "q_minhash_sig" -> minhashSigSql,
+    "q_dedup_minhash" -> minhashPairsSql,
+    "q_simhash" -> simhashSql,
+    "q_dedup_simhash" -> simhashPairsSql,
+    "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3""".stripMargin,
+
+    "q_ann_brute" -> annSql(cellRestricted = false),
+    "q_ann_ivf" -> annSql(cellRestricted = true),
+
+    "q_mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+  )
+
+  // ---- heavy oracle SQL builders (kept as defs for readability) ----
+
+  private def shinglesSql: String =
+    """SELECT doc_id, lang,
+      |  list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+      |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      |      FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  private def minhashSigSql: String = {
+    val slots = (0 until Dedup.MinhashK).map { h =>
+      s"    list_aggregate(list_transform(sh, s -> md5('$h|' || s)), 'min') AS mh_$h"
+    }.mkString(",\n")
+    s"""WITH docs AS ($shinglesSql)
+       |SELECT doc_id,
+       |$slots
+       |FROM docs WHERE len(sh) > 0""".stripMargin
+  }
+
+  private def minhashPairsSql: String = {
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
+        .map(h => s"mh_$h").mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sigs AS ($minhashSigSql),
+       |bands AS (
+       |$bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private def simhashCoreSql: String = {
+    val votes = (0 until Dedup.SimhashBits).map { j =>
+      val p = math.pow(2, j).toLong
+      s"    sum(CASE WHEN CAST(floor(hv / $p) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
+    }.mkString(",\n")
+    val sig = (0 until Dedup.SimhashBits).map { j =>
+      val p = math.pow(2, j).toLong
+      s"(CASE WHEN v_$j > 0 THEN $p ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
+       |  FROM documents),
+       |hv AS (
+       |  SELECT doc_id,
+       |    (instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 4096
+       |    + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1) * 256
+       |    + (instr('0123456789abcdef', substring(md5(token), 3, 1)) - 1) * 16
+       |    + (instr('0123456789abcdef', substring(md5(token), 4, 1)) - 1) AS hv
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |$votes
+       |  FROM hv GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  private def simhashSql: String = simhashCoreSql
+
+  private def simhashPairsSql: String = {
+    val chunkRows = (0 until 4).map { c =>
+      val p = math.pow(2, c * 4).toLong
+      s"  SELECT doc_id, simhash, $c AS chunk, CAST(floor(simhash / $p) AS BIGINT) % 16 AS chunk_val FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sigs AS ($simhashCoreSql),
+       |chunks AS (
+       |$chunkRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+  }
+
+  private def jaccardSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, list_distinct(sh) AS sh FROM ($shinglesSql)),
+       |d2 AS (
+       |  SELECT doc_id, lang, sh, len(sh) AS n_sh,
+       |    CAST(floor(len(sh) / 20) AS BIGINT) AS bucket
+       |  FROM docs WHERE len(sh) > 0),
+       |ex AS (
+       |  SELECT doc_id, lang, bucket, n_sh, unnest(sh) AS shingle FROM d2),
+       |joint AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+       |  FROM ex a JOIN ex b
+       |    ON a.shingle = b.shingle AND a.lang = b.lang
+       |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+       |FROM joint
+       |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
+
+  private def annSql(cellRestricted: Boolean): String = {
+    val cell = if (cellRestricted) " AND e.label = q.q_label" else ""
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+       |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
+       |  FROM embeddings e JOIN q ON e.vec_id != q.q_id$cell)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
 }

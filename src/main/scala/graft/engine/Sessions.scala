@@ -1,0 +1,30 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Matches the reference's session bootstrap
+  * (`/root/reference/pyspark-1.ipynb:56` `SparkSession.builder.appName(...)
+  * .getOrCreate()`) but pins the settings that matter for a deterministic,
+  * scale-ready engine: UTC session time zone, AQE on, shuffle partitions
+  * sized to the actual parallelism instead of the 200 default (on a real
+  * cluster this would be set to ~2-3x total executor cores).
+  */
+object Sessions {
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline surface
+  * (BASELINE.json north star; SURVEY.md §7.9): tokenization, n-gram
+  * shingling, quality scoring, language-ID scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * built-ins (no UDFs) so whole-stage codegen keeps the scan → project
+  * pipeline in one JIT'd loop, and the identical formula can be written in
+  * ANSI SQL for the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles ("w1 w2 w3"). Empty array when the document has
+    * fewer than n tokens (guarded: Spark's `sequence(1,0)` would count
+    * DOWN, not produce an empty range). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of regexp matches (punctuation, digits, CJK, ...). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Ratio of tokens found in a marker/stopword list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_).cast("string")): _*)))
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, public-knowledge marker words. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "in", "to", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist"),
+  )
+
+  /** Language-ID: score = stopword hits per language (CJK-character count
+    * for zh), predict the argmax with a fixed tie-break order
+    * en > fr > es > de > zh > und. */
+  def languageScores(text: Column): Map[String, Column] =
+    stopwords.map { case (lang, words) => lang -> markerHits(text, words) } +
+      ("zh" -> matchCount(text, "[\\x{4e00}-\\x{9fff}]"))
+
+  def predictedLanguage(text: Column): Column = {
+    val s = languageScores(text)
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val best = greatest(langs.map(s): _*)
+    langs.foldRight(lit("und")) { (l, alt) => when(s(l) > 0 && s(l) === best, lit(l)).otherwise(alt) }
+  }
+
+  /** Quality-scoring features: char length, token count, average token
+    * length, punctuation ratio, stopword ratio, digit ratio. A composite
+    * 0..1 score mirrors common pre-training quality filters (length in
+    * range, low symbol noise, has stopwords). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nToks  = tokenCount(text)
+    Seq(
+      "n_chars"        -> nChars,
+      "n_tokens"       -> nToks,
+      "avg_token_len"  -> round(nChars.cast("double") / nToks, 4),
+      "punct_ratio"    -> round(matchCount(text, "[.,;:!?]").cast("double") / nChars, 4),
+      "digit_ratio"    -> round(matchCount(text, "[0-9]").cast("double") / nChars, 4),
+      "stopword_ratio" -> round(markerHits(text, stopwords("en")).cast("double") / nToks, 4),
+    )
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lower-cased text.
+    * Exact-dedup key that is stable under trivial whitespace edits. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

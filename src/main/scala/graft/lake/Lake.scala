@@ -1,0 +1,103 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Lake namespace model: a container with hierarchical paths acting as
+  * tables/partitions, as in the reference's
+  * `datastorage/airbnb/spain/<region>_<city>_<file>.csv` layout
+  * (`/root/reference/ingestion-datalake.py:103-105`) and
+  * `datastorage/huggingface/<file>.parquet`
+  * (`/root/reference/ingestion-datalake-parquet.py:104`).
+  *
+  * The control plane (SAS/Key Vault/RBAC) is abstracted: a [[LakeLocator]]
+  * resolves (container, blobPath) to a physical URI. The local
+  * implementation maps onto the filesystem; a cloud implementation would
+  * map onto `abfss://...` — query code never changes.
+  */
+trait LakeLocator {
+  def uri(container: String, blobPath: String): String
+}
+
+final case class LocalLakeLocator(root: String) extends LakeLocator {
+  def uri(container: String, blobPath: String): String =
+    s"$root/$container/$blobPath"
+}
+
+/** Pure path-derivation logic from the reference ingestion pipeline
+  * (`/root/reference/ingestion-datalake.py:102-105`):
+  * filename = last URL segment; region/city = segments -5..-3 joined;
+  * blob path = `airbnb/spain/<region>_<city>_<filename>`.
+  */
+object LakePaths {
+  /** Driver-side (pure Scala) form — unit-test target. */
+  def derive(url: String, prefix: String = "airbnb/spain"): String = {
+    val parts    = url.split("/")
+    val filename = parts.last
+    val regionCity = parts.slice(parts.length - 5, parts.length - 3).mkString("_")
+    s"$prefix/${regionCity}_$filename"
+  }
+
+  /** Columnar form of the same derivation — runs distributed over a
+    * manifest DataFrame of URLs. Uses only codegen'd built-ins.
+    */
+  def deriveCol(url: Column, prefix: String): Column = {
+    val parts = split(url, "/")
+    val n     = size(parts)
+    val filename   = element_at(parts, -1)
+    val regionCity = concat_ws("_", element_at(parts, n - 4), element_at(parts, n - 3))
+    concat_ws("/", lit(prefix), concat_ws("_", regionCity, filename))
+  }
+}
+
+/** Readers mirroring the reference's read surface (SURVEY.md §2.1).
+  * The reference reads with `header=True, inferSchema=True`
+  * (`/root/reference/pyspark-1.ipynb:68,103`); `inferSchema` costs an
+  * extra full pass over the data, so the engine prefers explicit schemas
+  * and keeps inference as an opt-in.
+  */
+object Readers {
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** Writers mirroring the reference's blob sinks (SURVEY.md §2.2). The
+  * reference PUTs whole files with `overwrite` semantics
+  * (`/root/reference/ingestion-datalake.py:108-125`); the engine maps that
+  * to idempotent `mode("overwrite")` directory writes, which additionally
+  * gives atomic job commit and per-partition parallelism.
+  */
+object Writers {
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
+
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one driver test table from an sf directory.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set by all engine
+    * sessions) it arrives as a nano-epoch long and is converted here to a
+    * microsecond timestamp — the same truncation DuckDB applies. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else df
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Tables
+
+/** Joins over the star schema (SURVEY.md §2.11: the reference has no joins;
+  * these are the parity-plus extension scheduled in §7.9).
+  *
+  * Scale design: dimension tables (region/nation/customer at typical star
+  * ratios) are broadcast — no shuffle of the fact side at all. Fact-fact
+  * joins (lineitem ⋈ orders) are shuffle hash/sort-merge on the join key;
+  * with both sides pre-bucketed by orderkey in a real deployment the
+  * shuffle disappears entirely. AQE converts to broadcast at runtime when a
+  * filtered side turns out small, and splits skewed partitions.
+  */
+object Joins {
+
+  /** Broadcast dim-chain: customer ⋈ nation ⋈ region, aggregated per
+    * region. The two dims are tiny at any scale factor (25 nations / 5
+    * regions at TPC-H ratios) — broadcast keeps the 100 TB fact side
+    * shuffle-free until the final 5-group aggregation. */
+  def customersPerRegion(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val nation   = Tables(spark, dir, "nation")
+    val region   = Tables(spark, dir, "region")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+  }
+
+  /** Fact-fact join in the shape of TPC-H Q3: revenue per order among
+    * BUILDING-segment customers, top 10. customer is broadcast; lineitem ⋈
+    * orders shuffles on orderkey (bucketing would remove it). The filters
+    * sit directly over the scans so Parquet gets them pushed down. */
+  def topUrgentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val orders   = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val revenue = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    revenue.orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+  }
+
+  /** Multi-dim star join in the shape of TPC-H Q5: revenue per supplier
+    * nation. supplier/nation broadcast; single shuffle for the group-by. */
+  def revenuePerSupplierNation(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation   = Tables(spark, dir, "nation")
+    lineitem
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Semi/anti join: customers with at least one order vs. none.
+    * left_semi/left_anti move no payload columns from the probe side. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders   = Tables(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+}
+
+/** Window functions — parity-plus (absent from the reference, SURVEY.md
+  * §2.11). Partitioned windows scale: each partition key's frame is local
+  * to one task after the hash exchange; no global sort is required unless
+  * the window is unpartitioned (which the engine avoids).
+  */
+object Windows {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Top-k per group via row_number — the distributed replacement for a
+    * driver-side "first N" (reference `ingestion-datalake.py:96`). */
+  def topKOrdersPerPriority(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rank_in_priority", row_number().over(w))
+      .filter(col("rank_in_priority") <= k)
+      .select(col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  /** Running daily revenue per returnflag: cumulative sum over an ordered
+    * window within each partition key. */
+  def runningDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables(spark, dir, "lineitem")
+    val daily = lineitem
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("ship_day"))
+      .agg(sum(col("l_extendedprice")).as("day_revenue"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ship_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_revenue", round(sum(col("day_revenue")).over(w), 2))
+      .select(col("l_returnflag"), col("ship_day"),
+        round(col("day_revenue"), 2).as("day_revenue"), col("running_revenue"))
+  }
+}
+
+/** Set operations — parity-plus (absent from the reference, SURVEY.md
+  * §2.11). Implemented over the events table as user-cohort algebra.
+  */
+object SetOps {
+  private def usersOf(spark: SparkSession, dir: String, eventType: String): DataFrame =
+    Tables(spark, dir, "events").filter(col("event_type") === eventType)
+      .select(col("user_id")).distinct()
+
+  /** Users who clicked but never purchased (EXCEPT), plus counts of the
+    * union/intersect cohorts as a single summary relation. */
+  def clickedNeverPurchased(spark: SparkSession, dir: String): DataFrame =
+    usersOf(spark, dir, "click").except(usersOf(spark, dir, "purchase"))
+
+  def engagedBuyers(spark: SparkSession, dir: String): DataFrame =
+    usersOf(spark, dir, "click").intersect(usersOf(spark, dir, "purchase"))
+}

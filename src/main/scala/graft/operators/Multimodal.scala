@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.Tables
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata (BASELINE.json north star).
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch
+  * shape — is real; the codec itself is STUBBED with a deterministic fake
+  * (this container ships no image/audio libraries). Swapping
+  * [[FakeCodec]] for a real decoder keeps every plan unchanged: decode
+  * runs inside `mapPartitions`, once per executor-core batch, exactly
+  * where a JNI/FFI decode would sit.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by "decoding" a binary payload. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Deterministic fake codec: derives plausible metadata purely from the
+    * payload bytes. A real implementation would parse the container header
+    * here — same signature, same batch shape. */
+  object FakeCodec {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length.toLong
+      val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+      MediaMeta(docId, n, fmt, (n % 640).toInt + 1, (n % 480).toInt + 1, (n % 24).toInt + 1)
+    }
+
+    /** Deterministic fake frame-sample: every `stride`-th byte, capped. */
+    def sampleFrames(payload: Array[Byte], stride: Int, max: Int): Array[Byte] =
+      payload.grouped(stride).map(_.head).take(max).toArray
+  }
+
+  /** The documents table viewed as a media table: text payload cast to an
+    * opaque binary column (stands in for image/audio bytes). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), col("lang"))
+
+  /** Decode → typed metadata via mapPartitions: one iterator pass per
+    * partition, no per-row closure dispatch, columnar output schema. This
+    * is the pattern a real decode (or an Arrow-batched python worker)
+    * plugs into. */
+  def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => FakeCodec.decode(id, bytes) })
+  }
+
+  /** Metadata projection as a DataFrame (oracle-comparable: the fake codec
+    * formulas are pure byte-length arithmetic, expressible in SQL). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeMeta(spark, dir).toDF()
+  }
+
+  /** Feature-extraction stage shape: binary payload → fixed-width feature
+    * vector (here: byte histogram over 16 buckets, normalized). Real
+    * embeddings would replace the histogram; the exchange/shuffle profile
+    * is identical. */
+  def byteHistogramFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](16)
+          bytes.foreach(b => hist((b & 0xff) / 16) += 1.0)
+          val total = math.max(bytes.length, 1).toDouble
+          (id, hist.map(v => math.rint(v / total * 10000) / 10000))
+        }
+      }
+      .toDF("doc_id", "byte_hist")
+  }
+}

