@@ -143,6 +143,8 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
 
     // -- null handling (N1-N7, A6)
+    "q_na_drop_any" -> ((s, d) => Nulls.dropAny(nulledEvents(s, d))),
+    "q_na_drop_all" -> ((s, d) => Nulls.dropAll(nulledEvents(s, d))),
     "q_na_drop_thresh" -> ((s, d) => Nulls.dropThresh(nulledEvents(s, d), 2)),
     "q_na_drop_subset" -> ((s, d) => Nulls.dropSubset(nulledEvents(s, d), Seq("value_n"))),
     "q_na_fill" -> ((s, d) =>
@@ -279,6 +281,13 @@ object SparkEntry {
         |  count(*) AS count
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_na_drop_any" ->
+      s"""SELECT * FROM ($nulledEventsSql)
+         |WHERE value_n IS NOT NULL AND props_n IS NOT NULL AND user_n IS NOT NULL""".stripMargin,
+    // how="all" drops only rows where EVERY column is NULL; event_id is
+    // never NULL, so the relation is unchanged — that no-op IS the golden
+    // (same as the reference's test2.csv cell, pyspark-2.ipynb:186).
+    "q_na_drop_all" -> s"SELECT * FROM ($nulledEventsSql)",
     "q_na_drop_thresh" ->
       s"""SELECT * FROM ($nulledEventsSql)
          |WHERE (CASE WHEN value_n IS NOT NULL THEN 1 ELSE 0 END)
@@ -526,26 +535,37 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
   }
 
-  private def jaccardSql: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, lang, list_distinct(sh) AS sh FROM ($shinglesSql)),
-       |d2 AS (
-       |  SELECT doc_id, lang, sh, len(sh) AS n_sh,
-       |    CAST(floor(len(sh) / 20) AS BIGINT) AS bucket
-       |  FROM docs WHERE len(sh) > 0),
-       |ex AS (
-       |  SELECT doc_id, lang, bucket, n_sh, unnest(sh) AS shingle FROM d2),
-       |joint AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-       |  FROM ex a JOIN ex b
-       |    ON a.shingle = b.shingle AND a.lang = b.lang
-       |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+  /** Mirrors the candidates-then-verify Spark plan: MinHash-LSH candidate
+    * pairs (same CTE chain as q_dedup_minhash), exact Jaccard on those via
+    * list_intersect (distinct-element intersection, like array_intersect). */
+  private def jaccardSql: String = {
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
+        .map(h => s"mh_$h").mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sigs AS ($minhashSigSql),
+       |bands AS (
+       |$bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |docs AS (
+       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
+       |  WHERE len(sh) > 0),
+       |verified AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS inter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand
+       |  JOIN docs da ON cand.doc_a = da.doc_id
+       |  JOIN docs db ON cand.doc_b = db.doc_id)
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-       |FROM joint
+       |FROM verified
        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
+  }
 
   private def annSql(cellRestricted: Boolean): String = {
     val cell = if (cellRestricted) " AND e.label = q.q_label" else ""

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   * implementation maps onto the filesystem; a cloud implementation would
   * map onto `abfss://...` — query code never changes.
   */
-trait LakeLocator {
+trait LakeLocator extends Serializable {
   def uri(container: String, blobPath: String): String
 }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 import graft.lake.Tables
@@ -55,29 +55,44 @@ object Dedup {
       .select(col("doc_id") +: sigCols: _*)
   }
 
+  /** All ordered pairs (a, b) with a before b over a SORTED array — the
+    * within-bucket candidate expansion. Pure array arithmetic, evaluates
+    * in-stage; output size is C(|xs|, 2), bounded by bucket size. */
+  private def pairsOf(xs: Column): Column =
+    flatten(transform(sequence(lit(1), size(xs) - 1), i =>
+      transform(sequence(i + 1, size(xs)), j =>
+        struct(element_at(xs, i).as("a"), element_at(xs, j).as("b")))))
+
   /** LSH band buckets: one row per (doc, band), bucket = md5 of the band's
-    * signature slots. This is the shuffle key for candidate generation. */
+    * signature slots. This is the shuffle key for candidate generation.
+    * All `Bands` buckets come from ONE projection over the signatures
+    * (posexplode of the bucket array) — the shingle→md5-min pipeline runs
+    * exactly once per document, not once per band. */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(spark, dir)
-    val bandRows = (0 until Bands).map { b =>
+    val bucketCols = (0 until Bands).map { b =>
       val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(h => col(s"mh_$h"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", slots: _*)).as("bucket"))
+      md5(concat_ws("|", slots: _*))
     }
-    bandRows.reduce(_.unionAll(_))
+    sigs.select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .toDF("doc_id", "band", "bucket")
   }
 
   /** Candidate near-duplicate pairs: documents sharing any band bucket.
-    * Equi-join on (band, bucket) — partition-local after one shuffle. */
-  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    * Shape: ONE pass computes signatures, one shuffle groups doc_ids by
+    * (band, bucket), and pairs expand WITHIN each bucket from the sorted
+    * id array — no self-join, so the signature pipeline is never
+    * recomputed. Pair count is inherently C(bucket, 2); at 100 TB a
+    * pathological bucket (mass exact-duplication) is better served by the
+    * bucket→representative clustering form than by pair listing. */
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir)
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-  }
 
   /** SimHash bits — 16, from the first 4 hex chars of md5(token). Kept
     * small so the identical nibble arithmetic is writable in the oracle. */
@@ -115,49 +130,46 @@ object Dedup {
     * (bit_count of xor) filters. No quadratic pass anywhere. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val sigs = simhash(spark, dir)
-    val chunks = (0 until 4).map { c =>
-      sigs.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-        floor(col("simhash") / math.pow(2, c * 4).toLong).mod(16).as("chunk_val"))
-    }.reduce(_.unionAll(_))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+    // all 4 chunk values from ONE projection (posexplode), so the
+    // tokenize→vote pipeline runs once — same one-pass shape as minhash.
+    val chunkVals = (0 until 4).map { c =>
+      floor(col("simhash") / math.pow(2, c * 4).toLong).mod(16)
+    }
+    sigs.select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
+      .toDF("doc_id", "simhash", "chunk", "chunk_val")
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(pairsOf(col("members"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.simhash").as("sim_a"), col("p.b.simhash").as("sim_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity over banded candidate pairs.
-    * Candidates: same (lang, token-count bucket) — an equi-join, not a
-    * cross join; at 100 TB the band key keeps bucket sizes O(corpus/banding
-    * cardinality) and the shingle join is shuffle-partitioned by shingle.
-    * Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT 3-gram
-    * shingles, computed by exploding shingles and counting joint hits. */
+  /** Exact n-gram Jaccard similarity, computed ONLY on MinHash-LSH
+    * candidate pairs (candidates-then-verify — the standard scale shape):
+    * |candidates| is LSH-bounded, and the exact intersection is per-pair
+    * array arithmetic after two equi-joins on doc_id. Jaccard =
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|) over DISTINCT 3-gram shingles.
+    *
+    * Recall tradeoff vs. an all-pairs pass: pairs the LSH S-curve misses
+    * (Pr[candidate] = 1-(1-j^4)^4, ≈0.96 at j=0.7, ≈1.0 at j≥0.8) are not
+    * verified. A frequent-shingle exploded self-join would be exact but
+    * quadratic in a shingle's document frequency — a 100 TB scale-killer. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
     val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("bucket", floor(col("n_sh") / 20))
-
-    val exploded = docs.select(col("doc_id"), col("lang"), col("bucket"),
-      col("n_sh"), explode(col("sh")).as("shingle"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val joint = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.lang") === col("b.lang")
-          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-    joint
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

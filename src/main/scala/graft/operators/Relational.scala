@@ -106,18 +106,25 @@ object Aggregates {
     df.agg(sum(value).as(s"sum_$value"))
 
   /** A5: `describe()` re-derived as explicit count/mean/stddev/min/max so
-    * the result is a flat, oracle-comparable relation (one row per column). */
+    * the result is a flat, oracle-comparable relation (one row per column).
+    * ONE aggregation pass computes all 5 stats for every column at once
+    * (5*|cols| aggregate expressions over a single scan), then a `stack`
+    * unpivot reshapes the 1-row result — vs. one full scan per column. */
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val per = cols.map { c =>
-      df.agg(
-        lit(c).as("column"),
-        count(col(c)).as("count"),
-        avg(col(c)).as("mean"),
-        stddev_samp(col(c)).as("stddev"),
-        min(col(c)).as("min"),
-        max(col(c)).as("max"))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
     }
-    per.reduce(_.unionAll(_))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__count`, `${c}__mean`, `${c}__stddev`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (`column`, `count`, mean, stddev, min, max)")
   }
 
   def distinctCountBy(df: DataFrame, key: String, value: String): DataFrame =
