@@ -213,10 +213,10 @@ object SparkEntry {
     // -- similarity search (north star)
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
-    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)), // no oracle: LSH plane SQL
+    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
-    "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)), // no oracle: binary agg
+    "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -444,6 +444,9 @@ object SparkEntry {
 
     "q_ann_brute" -> annSql(cellRestricted = false),
     "q_ann_ivf" -> annSql(cellRestricted = true),
+    "q_ann_lsh" -> lshAnnSql,
+
+    "q_mm_hist" -> mmHistSql,
 
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -565,6 +568,56 @@ object SparkEntry {
        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
        |FROM verified
        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
+  }
+
+  /** Byte histogram over the UTF-8 payload, bucket = high nibble of each
+    * byte — which is exactly the ODD-position hex digits of hex(payload).
+    * Counts are integers, so the compare is rounding-free. */
+  private def mmHistSql: String = {
+    val hexDigits = "0123456789ABCDEF"
+    val buckets = (0 until 16).map { k =>
+      s"""  CAST(len(list_filter(range(1, CAST(n_bytes AS INTEGER) + 1),
+         |    i -> substring(hx, 2 * i - 1, 1) = '${hexDigits(k)}')) AS BIGINT) AS h$k""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents)
+       |SELECT doc_id, n_bytes,
+       |$buckets
+       |FROM h""".stripMargin
+  }
+
+  /** LSH bucket arithmetic in SQL: the same md5-nibble plane coefficients
+    * the Spark plan bakes in as literals (Similarity.planeCoefs), computed
+    * per (plane, dim) inline. */
+  private def lshAnnSql: String = {
+    def nib(p: Int, i: Int) =
+      s"(instr('0123456789abcdef', substring(md5('plane$p|' || CAST(d - 1 AS VARCHAR)), $i, 1)) - 1)"
+    val bucketExpr = (0 until Similarity.LshPlanes).map { p =>
+      val v = s"${nib(p, 1)} * 4096 + ${nib(p, 2)} * 256 + ${nib(p, 3)} * 16 + ${nib(p, 4)}"
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |      d -> CAST(embedding[d] AS DOUBLE) * (($v) / 65536.0 - 0.5))) > 0
+         |    THEN ${math.pow(2, p).toLong} ELSE 0 END)""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |  $bucketExpr AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       |  FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+       |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
+       |  FROM b e JOIN q ON e.bucket = q.q_bucket AND e.vec_id != q.q_id)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
   }
 
   private def annSql(cellRestricted: Boolean): String = {

@@ -63,22 +63,28 @@ object Multimodal {
   }
 
   /** Feature-extraction stage shape: binary payload → fixed-width feature
-    * vector (here: byte histogram over 16 buckets, normalized). Real
-    * embeddings would replace the histogram; the exchange/shuffle profile
-    * is identical. */
+    * vector (here: byte histogram over 16 buckets — bucket = the byte's
+    * high nibble). Real embeddings would replace the histogram; the
+    * exchange/shuffle profile is identical.
+    *
+    * Counts are emitted as 16 FLAT integer columns h0..h15 (not an array):
+    * integer-exact for the oracle compare, and the identical histogram is
+    * SQL-expressible — bucket k's count is the number of odd-position hex
+    * digits equal to k in hex(payload). */
   def byteHistogramFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    val raw = mediaTable(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val hist = new Array[Double](16)
-          bytes.foreach(b => hist((b & 0xff) / 16) += 1.0)
-          val total = math.max(bytes.length, 1).toDouble
-          (id, hist.map(v => math.rint(v / total * 10000) / 10000))
+          val hist = new Array[Long](16)
+          bytes.foreach(b => hist((b & 0xff) / 16) += 1L)
+          (id, bytes.length.toLong, hist)
         }
       }
-      .toDF("doc_id", "byte_hist")
+      .toDF("doc_id", "n_bytes", "hist")
+    val histCols = (0 until 16).map(k => element_at(col("hist"), k + 1).as(s"h$k"))
+    raw.select(col("doc_id") +: col("n_bytes") +: histCols: _*)
   }
 }

@@ -60,31 +60,37 @@ object Similarity {
   /** Number of LSH hyperplanes (bucket bits). */
   val LshPlanes = 8
 
+  /** Max embedding dimensionality the precomputed plane matrix covers. */
+  val LshMaxDims = 64
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * md5-derived value mapped to [-0.5, 0.5). Portable to the SQL oracle
-    * (same md5 nibble arithmetic as SimHash). */
-  private def planeCoef(plane: Int, dim: Column): Column = {
-    val h = md5(concat(lit(s"plane$plane|"), dim.cast("string")))
-    // 4 nibbles -> 16-bit value in [0, 65535], scaled to [-0.5, 0.5)
-    val v = (instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1) * 4096 +
-      (instr(lit("0123456789abcdef"), substring(h, 2, 1)) - 1) * 256 +
-      (instr(lit("0123456789abcdef"), substring(h, 3, 1)) - 1) * 16 +
-      (instr(lit("0123456789abcdef"), substring(h, 4, 1)) - 1)
-    v.cast("double") / 65536.0 - 0.5
-  }
+    * first 4 hex chars of md5("plane{p}|{d}") as a 16-bit value, scaled to
+    * [-0.5, 0.5). Identical to the md5-nibble arithmetic the SQL oracle
+    * runs — but evaluated ONCE driver-side (the matrix is a plan literal),
+    * not per row: at 100 TB, 8 planes x 64 dims of per-row md5 would
+    * dominate the scan. */
+  def planeCoefs(plane: Int): Seq[Double] =
+    (0 until LshMaxDims).map { d =>
+      Integer.parseInt(md5hex(s"plane$plane|$d").substring(0, 4), 16) / 65536.0 - 0.5
+    }
 
   /** Sign-bit LSH bucket id for an embedding: bit p = [dot(v, plane_p) > 0].
-    * Expressed with higher-order functions only — evaluates in-stage. */
-  def lshBucket(emb: Column): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
+    * The plane matrix is a literal array sliced to the embedding's length;
+    * the dot is a higher-order-function fold — evaluates in-stage. */
+  def lshBucket(emb: Column): Column =
     (0 until LshPlanes).map { p =>
+      val coefs = array(planeCoefs(p).map(lit): _*)
       val dotP = aggregate(
-        zip_with(emb.cast("array<double>"),
-          transform(dims, d => planeCoef(p, d)), (x, c) => x * c),
+        zip_with(emb.cast("array<double>"), slice(coefs, lit(1), size(emb)),
+          (x, c) => x * c),
         lit(0.0), (acc, x) => acc + x)
       when(dotP > 0, math.pow(2, p).toLong).otherwise(0L)
     }.reduce(_ + _)
-  }
 
   /** LSH-bucketed ANN: candidates share the query's hyperplane-sign bucket;
     * exact cosine re-ranks within bucket. At 100 TB the bucket column is
