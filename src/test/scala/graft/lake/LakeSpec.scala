@@ -1,0 +1,68 @@
+package graft.lake
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+/** K1-K3 + S6: path derivation against the reference's URL shapes
+  * (`/root/reference/ingestion-datalake.py:102-105`), writer round-trips,
+  * secret providers. */
+class LakeSpec extends SparkSpec {
+
+  test("K3 LakePaths.derive matches the reference's layout") {
+    // url.split('/')[-5:-3] joined with '_', prefixed filename:
+    // an Inside-Airbnb-shaped URL keeps <region>_<city>_<file>.
+    val url = "https://data.example.com/spain/catalonia/barcelona/2024-09-06/data/listings.csv.gz"
+    assert(LakePaths.derive(url) == "airbnb/spain/catalonia_barcelona_listings.csv.gz")
+    val url2 = "https://host/x/andalucia/sevilla/2024-06-30/data/reviews.csv"
+    assert(LakePaths.derive(url2) == "airbnb/spain/andalucia_sevilla_reviews.csv")
+  }
+
+  test("K3 columnar deriveCol agrees with the pure-Scala derive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "https://data.example.com/spain/catalonia/barcelona/2024-09-06/data/listings.csv.gz",
+      "https://host/x/andalucia/sevilla/2024-06-30/data/reviews.csv")
+    val got = urls.toDF("href")
+      .select(LakePaths.deriveCol(col("href"), "airbnb/spain")).as[String]
+      .collect().toSeq
+    assert(got == urls.map(LakePaths.derive(_)))
+  }
+
+  test("LakeLocator resolves container + blob path under a root (and serializes)") {
+    val loc: LakeLocator = LocalLakeLocator("/tmp/lakeroot")
+    assert(loc.uri("datastorage", "airbnb/spain/f.csv") == "/tmp/lakeroot/datastorage/airbnb/spain/f.csv")
+    val out = new java.io.ObjectOutputStream(java.io.OutputStream.nullOutputStream())
+    out.writeObject(loc)   // mapPartitions closure capture must not throw
+  }
+
+  test("K1 writer round-trip: overwrite parquet is idempotent") {
+    val dir = Files.createTempDirectory("graft-writer").toString
+    val df = spark.range(10).toDF("id")
+    Writers.parquet(df, s"$dir/t")
+    Writers.parquet(df, s"$dir/t")   // overwrite, not append
+    assert(spark.read.parquet(s"$dir/t").count() == 10)
+    Writers.csv(df, s"$dir/c")
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 10)
+  }
+
+  test("S6 secret providers: env mapping, props file, chain fallback") {
+    val env = new EnvSecretProvider("kv_", Map("KV_SP_SECRET" -> "from-env"))
+    assert(env.secret("sp-secret").contains("from-env"))
+    assert(env.secret("absent").isEmpty)
+
+    val f = Files.createTempFile("secrets", ".properties")
+    Files.writeString(f, "sp-secret=from-file\nother=x\n")
+    val props = new PropsFileSecretProvider(f.toString)
+    assert(props.secret("sp-secret").contains("from-file"))
+    assert(props.names == Set("sp-secret", "other"))
+
+    // chain: first provider with a binding wins (env -> vault order,
+    // ingestion-datalake.py:26-31).
+    val chain = SecretProviders.chain(env, props, InMemorySecretProvider(Map("only" -> "mem")))
+    assert(chain.secret("sp-secret").contains("from-env"))
+    assert(chain.secret("other").contains("x"))
+    assert(chain.secret("only").contains("mem"))
+    intercept[NoSuchElementException](chain.secretOrThrow("nope"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.lake
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** S1/S2: the reference's most-used operator — CSV read with header and
+  * schema inference (`/root/reference/pyspark-1.ipynb:68,103`;
+  * `pyspark-2.ipynb:66,333,468`; `pyspark-3.ipynb:66`). Goldens are the
+  * executed notebook outputs (schema printouts + head rows). */
+class ReadersSpec extends SparkSpec {
+
+  test("S2 csvInferred: header row becomes column names, types are inferred") {
+    val df = Readers.csvInferred(spark, tutoCsv("test1.csv"))
+    // printSchema golden (pyspark-1.ipynb:92 output): Name string, ints.
+    assert(df.schema == StructType(Seq(
+      StructField("Name", StringType, nullable = true),
+      StructField("age", IntegerType, nullable = true),
+      StructField("Experience", IntegerType, nullable = true),
+      StructField("Salary", IntegerType, nullable = true))))
+    assert(df.count() == 6)
+    // head(3) golden (pyspark-1.ipynb:172 output): first row Krish/31/10.
+    val first = df.head()
+    assert(first.getString(0) == "Krish" && first.getInt(1) == 31
+      && first.getInt(2) == 10 && first.getInt(3) == 30000)
+  }
+
+  test("S2 csvInferred: doubles inferred for tips.csv") {
+    val df = Readers.csvInferred(spark, tutoCsv("tips.csv"))
+    assert(df.schema("total_bill").dataType == DoubleType)
+    assert(df.schema("sex").dataType == StringType)
+    assert(df.schema("size").dataType == IntegerType)
+    assert(df.count() == 244)
+  }
+
+  test("S1 csv with explicit schema: no inference pass, empty cells are NULL") {
+    val schema = StructType(Seq(
+      StructField("Name", StringType), StructField("age", IntegerType),
+      StructField("Experience", IntegerType), StructField("Salary", IntegerType)))
+    val df = Readers.csv(spark, tutoCsv("test2.csv"), schema)
+    assert(df.count() == 9)
+    // test2.csv rows 7-9 carry empty cells (pyspark-2.ipynb:96 output
+    // shows NULL): Mahesh row has null age+Experience.
+    val mahesh = df.filter("Name = 'Mahesh'").head()
+    assert(mahesh.isNullAt(1) && mahesh.isNullAt(2) && mahesh.getInt(3) == 40000)
+  }
+
+  test("S3 parquet scan reads the driver tables") {
+    val docs = Readers.parquet(spark, s"$sfDir/documents.parquet")
+    assert(docs.columns.contains("doc_id") && docs.count() > 0)
+  }
+}

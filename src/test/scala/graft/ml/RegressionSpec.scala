@@ -1,0 +1,44 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.lake.Readers
+
+/** M1-M4 (`/root/reference/pyspark-3.ipynb`): assembler, seeded split,
+  * LinearRegression fit, evaluate. The notebook's printed coefficients
+  * ([5000, -5000], `pyspark-3.ipynb:241-261`) come from an UNSEEDED split
+  * of 6 rows — not reproducible; the deterministic golden is the full-data
+  * least-squares solution, verified independently (numpy lstsq):
+  * coefficients [-115.8558, 1602.7301], intercept 16904.7952. */
+class RegressionSpec extends SparkSpec {
+
+  private lazy val test1 = Readers.csvInferred(spark, tutoCsv("test1.csv"))
+
+  test("M1 array-features and VectorAssembler produce aligned features") {
+    val arr = Regression.arrayFeatures(test1, Seq("age", "Experience"), "features")
+    val firstArr = arr.select("features").head().getSeq[Double](0)
+    assert(firstArr == Seq(31.0, 10.0))           // pyspark-3.ipynb:128 output
+    val vec = Regression.assembleFeatures(test1, Seq("age", "Experience"), "features")
+    val firstVec = vec.select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(firstVec.toArray.toSeq == Seq(31.0, 10.0))
+  }
+
+  test("M3 full-data fit recovers the least-squares solution") {
+    val assembled = Regression.assembleFeatures(test1, Seq("age", "Experience"), "features")
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("features").setLabelCol("Salary")
+    val model = lr.fit(assembled)
+    assert(math.abs(model.coefficients(0) - -115.8558) < 0.01)
+    assert(math.abs(model.coefficients(1) - 1602.7301) < 0.01)
+    assert(math.abs(model.intercept - 16904.7952) < 0.01)
+  }
+
+  test("M2-M4 seeded fitEvaluate is deterministic and yields finite metrics") {
+    val r1 = Regression.fitEvaluate(test1, Seq("age", "Experience"), "Salary", seed = 42L)
+    val r2 = Regression.fitEvaluate(test1, Seq("age", "Experience"), "Salary", seed = 42L)
+    assert(r1.model.coefficients == r2.model.coefficients)
+    assert(r1.mae == r2.mae && r1.mse == r2.mse)
+    assert(!r1.mae.isNaN && !r1.mse.isNaN && r1.mae >= 0 && r1.mse >= 0)
+    assert(r1.predictions.columns.contains("prediction"))  // pyspark-3.ipynb:270
+  }
+}

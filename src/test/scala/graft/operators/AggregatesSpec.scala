@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Readers
+
+/** A1-A5 against the reference's executed notebook goldens over test3.csv
+  * and test1.csv (`/root/reference/pyspark-2.ipynb:523-617`,
+  * `pyspark-1.ipynb:276-294`). */
+class AggregatesSpec extends SparkSpec {
+
+  private lazy val test3 = Readers.csvInferred(spark, tutoCsv("test3.csv"))
+  private lazy val test1 = Readers.csvInferred(spark, tutoCsv("test1.csv"))
+
+  test("A1 groupBy sum golden: {Sudhanshu:35000, Sunny:12000, Krish:19000, Mahesh:7000}") {
+    // pyspark-2.ipynb:523-543 output block.
+    val sums = test3.groupBy("Name").sum().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("Sudhanshu" -> 35000L, "Sunny" -> 12000L,
+      "Krish" -> 19000L, "Mahesh" -> 7000L))
+  }
+
+  test("A2 groupBy mean per department") {
+    // pyspark-2.ipynb:571 output: Data Science 10750, IOT 7500, Big Data 3750.
+    val means = test3.groupBy("Departments").mean().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means == Map("Data Science" -> 10750.0, "IOT" -> 7500.0,
+      "Big Data" -> 3750.0))
+  }
+
+  test("A3 groupBy count per department") {
+    // pyspark-2.ipynb:595 output: Data Science 4, IOT 2, Big Data 4.
+    val counts = Aggregates.countBy(test3, "Departments").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("Data Science" -> 4L, "IOT" -> 2L, "Big Data" -> 4L))
+  }
+
+  test("A4 global agg map form with case-insensitive column: sum 73000") {
+    // pyspark-2.ipynb:617: df.agg({'Salary':'sum'}) over column `salary`.
+    val total = test3.agg(Map("Salary" -> "sum")).head().getLong(0)
+    assert(total == 73000L)
+  }
+
+  test("A5 describe() includes string columns: count+min/max, NULL mean/stddev") {
+    // pyspark-1.ipynb:276-294 semantics on test1.csv.
+    val d = test1.describe()
+    val byStat = d.collect().map(r => r.getString(0) -> r).toMap
+    assert(byStat("count").getString(1) == "6")            // Name count
+    assert(byStat("mean").getString(1) == null)            // Name mean NULL
+    assert(byStat("min").getString(1) == "Harsha")         // lexicographic
+    assert(byStat("max").getString(1) == "Sunny")
+    assert(byStat("mean").getString(2).startsWith("26.333"))  // age mean
+    assert(byStat("mean").getString(4).toDouble == 128000.0 / 6)  // Salary
+  }
+
+  test("A5 describeNumeric single-pass matches describe() values") {
+    val d = Aggregates.describeNumeric(test1, Seq("age", "Salary"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("age").getLong(1) == 6L)
+    assert(math.abs(d("age").getDouble(2) - 158.0 / 6) < 1e-9)
+    assert(d("Salary").getDouble(4) == 15000.0 && d("Salary").getDouble(5) == 30000.0)
+  }
+
+  test("rollup/cube include grand-total rows") {
+    val r = Aggregates.rollupAgg(test3, Seq("Name", "Departments"), "salary")
+    val grand = r.filter(col("Name").isNull && col("Departments").isNull)
+    assert(grand.head().getLong(2) == 73000L)
+    val c = Aggregates.cubeAgg(test3, Seq("Name", "Departments"), "salary")
+    // cube additionally has per-Departments rows with Name NULL
+    assert(c.filter(col("Name").isNull && col("Departments") === "IOT").count() == 1)
+  }
+}

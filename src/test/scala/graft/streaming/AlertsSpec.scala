@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import scala.collection.mutable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** §2.9: the stateful streaming alert — tumbling window + watermark +
+  * foreachBatch — exercised through MemoryStream with controlled event
+  * times. Mirrors the reference's threshold alert semantics
+  * (`/root/reference/README.md:217-244`). */
+class AlertsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("volumeAlertStream fires on over-threshold windows and drops late data past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = mem.toDF().toDF("ts", "value")
+
+    val alerts = mutable.Buffer[Row]()
+    val query = Alerts.volumeAlertStream(events, 300.0,
+      (batch, _) => alerts.synchronized { alerts ++= batch.collect() })
+    try {
+      // window [00:00, 00:05): 200 + 250 = 450 > 300 -> alert
+      mem.addData((ts(0), 200.0), (ts(2), 250.0))
+      query.processAllAvailable()
+      assert(alerts.synchronized(alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(0)
+          && r.getAs[Double]("total_value") == 450.0)))
+
+      // window [01:00, 01:05): single 400 -> alert; watermark advances to
+      // max event time (01:00) - 10 min = 00:50
+      mem.addData((ts(60), 400.0))
+      query.processAllAvailable()
+      assert(alerts.synchronized(alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(60)
+          && r.getAs[Double]("total_value") == 400.0)))
+
+      // late event at 00:20 (< watermark 00:50) is DROPPED: its window
+      // [00:20, 00:25) must never alert even though 999 > threshold
+      val before = alerts.synchronized(alerts.size)
+      mem.addData((ts(20), 999.0))
+      query.processAllAvailable()
+      assert(alerts.synchronized(!alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(20))))
+
+      // an under-threshold window never alerts
+      mem.addData((ts(70), 10.0))
+      query.processAllAvailable()
+      assert(alerts.synchronized(!alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(70))))
+    } finally query.stop()
+  }
+}
