@@ -431,19 +431,10 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
-    "q_dedup_embed" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) >= 0.3""".stripMargin,
+    "q_dedup_embed" -> embedDedupSql,
 
     "q_ann_brute" -> annSql(cellRestricted = false),
-    "q_ann_ivf" -> annSql(cellRestricted = true),
+    "q_ann_ivf" -> ivfSql,
     "q_ann_lsh" -> lshAnnSql,
 
     "q_mm_hist" -> mmHistSql,
@@ -569,6 +560,55 @@ object SparkEntry {
        |FROM verified
        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
   }
+
+  /** Cosine over DOUBLE[] casts — the exact arithmetic Vectors.cosine runs. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |       * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  /** The sampled-codebook quantizer CTEs (mirrors Quantize: centroids are
+    * every CodebookStep-th vector, cell = argmax of rounded cosine with
+    * centroid-id tie-break). Yields CTEs `cent`, `qscored`, `assign`. */
+  private def quantizeCtes: String =
+    s"""cent AS (
+       |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+       |  FROM embeddings WHERE vec_id % ${Quantize.CodebookStep} = 0),
+       |qscored AS (
+       |  SELECT e.vec_id, e.embedding, c.c_id,
+       |    round(${cosSql("e.embedding", "c.c_emb")}, 4) AS aff
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
+       |    FROM qscored)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ivfSql: String =
+    s"""WITH $quantizeCtes,
+       |probe AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
+       |    FROM qscored WHERE vec_id < 10)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(${cosSql("p.q_emb", "a.embedding")}, 4) AS cosine
+       |  FROM assign a JOIN probe p ON a.cell = p.q_cell AND a.vec_id != p.q_id)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  private def embedDedupSql: String =
+    s"""WITH $quantizeCtes
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
+       |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3""".stripMargin
 
   /** Byte histogram over the UTF-8 payload, bucket = high nibble of each
     * byte — which is exactly the ODD-position hex digits of hex(payload).

@@ -175,14 +175,18 @@ object Dedup {
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold, restricted to the
-    * same coarse cell (the label column stands in for an IVF coarse
-    * quantizer — at scale, cells come from a trained k-means codebook and
-    * this same equi-join shape applies). */
+    * same coarse cell from the sampled-codebook quantizer
+    * ([[Quantize]]): cell assignment is a map-only projection, the
+    * self-join is an equi-join on cell — within-cell pair counts are
+    * bounded by cell size (~N/C), never the global cross product. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val a = emb.as("a")
-    val b = emb.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val emb   = Tables(spark, dir, "embeddings")
+    val cents = Quantize.centroidsLocal(emb)
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      Quantize.cellExpr(col("embedding"), cents).as("cell"))
+    val a = cells.as("a")
+    val b = cells.as("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -20,6 +20,54 @@ import graft.lake.Tables
   *  - LSH (random hyperplane): sign-bit bucket join; hyperplanes are
   *    derived deterministically from md5 so plans are reproducible.
   */
+/** IVF-style coarse quantizer: a deterministic sampled codebook (every
+  * `CodebookStep`-th vector — random-sample codebooks are a standard IVF
+  * initialization; Lloyd iterations would refine, not change the shape)
+  * with cell assignment as a PURE PROJECTION.
+  *
+  * The codebook is collected driver-side — it is bounded (~√N cells in a
+  * real deployment) and plays the same role as a broadcast dimension — and
+  * baked into the plan as literal arrays, so assigning 100 TB of vectors is
+  * a map-only stage: no shuffle, no row explosion, one argmax over C
+  * cosines per row. Affinities are rounded to 4 decimals with centroid-id
+  * tie-break so the argmax is reproducible in the SQL oracle.
+  */
+object Quantize {
+
+  /** Sampling stride for the deterministic codebook. */
+  val CodebookStep = 50
+
+  def codebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % CodebookStep === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+
+  /** Codebook as driver-side literals (the IVF codebook always lives with
+    * the planner/driver; float->double is exact). */
+  def centroidsLocal(emb: DataFrame): Seq[(Long, Seq[Double])] =
+    codebook(emb).collect().toSeq.map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
+    }
+
+  /** Per-centroid affinity structs, orderable: (rounded cosine, -c_id) so
+    * the natural struct max = highest affinity, smallest id on ties. */
+  private def scoredCells(emb: Column, cents: Seq[(Long, Seq[Double])]): Seq[Column] =
+    cents.map { case (cid, vec) =>
+      struct(round(Vectors.cosine(emb, typedlit(vec)), 4).as("a"),
+        lit(-cid).as("nc"))
+    }
+
+  /** Nearest-centroid cell id — one projection, evaluates in-stage. */
+  def cellExpr(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    -array_max(array(scoredCells(emb, cents): _*)).getField("nc")
+
+  /** The `nprobe` nearest cells (affinity desc, id-asc ties) as an array —
+    * the query-side multi-probe. */
+  def probeCellsExpr(emb: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(scoredCells(emb, cents): _*))), 1, nprobe),
+      s => -s.getField("nc"))
+}
+
 object Similarity {
 
   private def queriesSet(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
@@ -42,14 +90,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: probe only the query's coarse cell. Same output shape
-    * as brute force; recall trades against the number of probed cells
-    * (nprobe=1 here; more cells = union more equi-joins). */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpus = Tables(spark, dir, "embeddings")
-    val q      = queriesSet(spark, dir, nQueries)
+  /** IVF ANN with the sampled-codebook quantizer: the corpus is assigned
+    * one cell each (map-only projection, [[Quantize.cellExpr]]); each query
+    * probes its `nprobe` nearest cells. The equi-join on cell turns the
+    * cross product into a partitioned hash join over ~nprobe/C of the
+    * corpus — the scale path; recall trades against nprobe. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val emb    = Tables(spark, dir, "embeddings")
+    val cents  = Quantize.centroidsLocal(emb)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      Quantize.cellExpr(col("embedding"), cents).as("cell"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(Quantize.probeCellsExpr(col("embedding"), cents, nprobe)).as("q_cell"))
     val scored = corpus.join(broadcast(q),
-        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
     val w = Window.partitionBy(col("q_id"))

@@ -44,6 +44,49 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("IVF quantizer: one deterministic cell per vector, cells come from the codebook") {
+    import graft.lake.Tables
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = Quantize.centroidsLocal(emb)
+    assert(cents.nonEmpty && cents.map(_._1).forall(_ % Quantize.CodebookStep == 0))
+    val cells = emb.select(col("vec_id"),
+      Quantize.cellExpr(col("embedding"), cents).as("cell"))
+    assert(cells.count() == emb.count())
+    val cellIds = cells.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cellIds.subsetOf(cents.map(_._1).toSet))
+    // a centroid's own vector lands in its own cell (cosine 1 with itself)
+    val self = cells.filter(col("vec_id") % Quantize.CodebookStep === 0)
+      .filter(col("vec_id") =!= col("cell")).count()
+    assert(self == 0)
+  }
+
+  test("IVF ANN: k ranked neighbors drawn from probed cells; probe list honors nprobe") {
+    val res = Similarity.ivfTopK(spark, sfDir, 10, 5, nprobe = 2)
+    assert(res.filter(col("rank") > 5).count() == 0)
+    assert(res.filter(col("q_id") === col("vec_id")).count() == 0)
+    val perQuery = res.groupBy("q_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 5))
+    // nprobe=2 must never return FEWER candidates than nprobe=1
+    val res1 = Similarity.ivfTopK(spark, sfDir, 10, 5, nprobe = 1)
+    assert(res.count() >= res1.count())
+  }
+
+  test("IVF property: planted near-duplicates land in the same cell") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0 until 8).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val cents = base.zipWithIndex.map { case (v, i) => (i.toLong * Quantize.CodebookStep, v.toSeq) }
+    val rows = (0 until 100).map { i =>
+      val c = base(i % 8)
+      (i.toLong, c.map(v => v + 0.05 * rnd.nextGaussian()).toSeq, (i % 8).toLong * Quantize.CodebookStep)
+    }
+    val assigned = rows.toDF("id", "embedding", "expected_cell")
+      .withColumn("cell", Quantize.cellExpr(col("embedding"), cents))
+    val wrong = assigned.filter(col("cell") =!= col("expected_cell")).count()
+    assert(wrong == 0, s"$wrong of 100 perturbed vectors mis-assigned")
+  }
+
   test("LSH property: planted near-duplicates collide in the same bucket") {
     import spark.implicits._
     // base vectors + slightly perturbed copies: cosine ~0.999, so each of
