@@ -461,28 +461,40 @@ object SparkEntry {
       |WHERE len(t) >= 3""".stripMargin
 
   private def minhashSigSql: String = {
-    val slots = (0 until Dedup.MinhashK).map { h =>
-      s"    list_aggregate(list_transform(sh, s -> md5('$h|' || s)), 'min') AS mh_$h"
+    // base hash: first 7 md5 nibbles as an integer (< 2^28), then the
+    // universal-hash family (A_i * h + B_i) mod P — mirrors Dedup exactly;
+    // all products < 2^60 so DuckDB's checked BIGINT arithmetic never throws.
+    val base = (1 to 7).map { i =>
+      s"(instr('0123456789abcdef', substring(md5(s), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+    val slots = (0 until Dedup.MinhashK).map { i =>
+      s"    list_aggregate(list_transform(hashes, h -> (${Dedup.minhashA(i)} * h + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}), 'min') AS mh_$i"
     }.mkString(",\n")
-    s"""WITH docs AS ($shinglesSql)
+    s"""WITH docs AS ($shinglesSql),
+       |hs AS (
+       |  SELECT doc_id, list_transform(sh, s -> $base) AS hashes
+       |  FROM docs WHERE len(sh) > 0)
        |SELECT doc_id,
        |$slots
-       |FROM docs WHERE len(sh) > 0""".stripMargin
+       |FROM hs""".stripMargin
   }
 
-  private def minhashPairsSql: String = {
-    val bandRows = (0 until Dedup.Bands).map { b =>
+  /** Band bucket rows over the signature CTE `sigs` (shared by the pairs
+    * and Jaccard oracles). Slots are BIGINT — cast for the string concat. */
+  private def bandRowsSql: String =
+    (0 until Dedup.Bands).map { b =>
       val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
-        .map(h => s"mh_$h").mkString(" || '|' || ")
+        .map(h => s"CAST(mh_$h AS VARCHAR)").mkString(" || '|' || ")
       s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n")
+
+  private def minhashPairsSql: String =
     s"""WITH sigs AS ($minhashSigSql),
        |bands AS (
-       |$bandRows)
+       |$bandRowsSql)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
-  }
 
   private def simhashCoreSql: String = {
     val votes = (0 until Dedup.SimhashBits).map { j =>
@@ -533,14 +545,9 @@ object SparkEntry {
     * pairs (same CTE chain as q_dedup_minhash), exact Jaccard on those via
     * list_intersect (distinct-element intersection, like array_intersect). */
   private def jaccardSql: String = {
-    val bandRows = (0 until Dedup.Bands).map { b =>
-      val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
-        .map(h => s"mh_$h").mkString(" || '|' || ")
-      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
-    }.mkString("\n  UNION ALL\n")
     s"""WITH sigs AS ($minhashSigSql),
        |bands AS (
-       |$bandRows),
+       |$bandRowsSql),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

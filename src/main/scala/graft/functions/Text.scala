@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Let-binding for Column expressions: evaluate `e` ONCE and reference it
+    * as a bound lambda variable inside `f`. Higher-order functions run
+    * interpreted (no codegen, no common-subexpression elimination), so an
+    * expression referenced k times inside a lambda is re-EVALUATED k times —
+    * for `element_at(split(...), i)` inside a shingle transform that is
+    * O(tokens²) re-splits per document. Binding through a one-element array
+    * makes every reference an O(1) variable read. */
+  def let(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Whitespace tokens of the lower-cased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -21,14 +31,15 @@ object Text {
 
   /** Word n-gram shingles ("w1 w2 w3"). Empty array when the document has
     * fewer than n tokens (guarded: Spark's `sequence(1,0)` would count
-    * DOWN, not produce an empty range). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * DOWN, not produce an empty range). The token array is let-bound so
+    * each element_at is an index into an evaluated array, not a re-split. */
+  def shingles(text: Column, n: Int): Column =
+    let(tokens(text)) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Count of regexp matches (punctuation, digits, CJK, ...). */
   def matchCount(text: Column, pattern: String): Column =

@@ -37,21 +37,41 @@ object Dedup {
   val Bands    = 4
   val RowsPerBand: Int = MinhashK / Bands
 
-  /** MinHash signature per document: slot h = min over 3-gram shingles of
-    * md5(h || '|' || shingle). Using the lexicographic min of a salted md5
-    * instead of an integer universal hash keeps the formula portable to the
-    * SQL oracle while remaining a valid min-wise independent family.
-    * Documents with no shingle (fewer than 3 tokens) are excluded. */
+  /** Universal-hash family parameters: slot i applies (A_i * h + B_i) mod P
+    * to ONE base hash per shingle. P < 2^30 and h < 2^28 keep every product
+    * under 2^60 — no 64-bit overflow, so Spark and DuckDB (which THROWS on
+    * BIGINT overflow) compute identical values. */
+  val MinhashP = 1000000007L
+  def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def minhashB(i: Int): Long = (40503L * (i + 7) * (i + 7)) % MinhashP
+
+  /** Base shingle hash: first 7 hex nibbles of md5 as an integer (< 2^28).
+    * The nibble arithmetic is the portable-to-SQL trick used throughout;
+    * the md5 is let-bound so it is computed once, not once per nibble. */
+  private def baseHash(s: Column): Column =
+    Text.let(md5(s)) { h =>
+      (1 to 7).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+          lit(1L << (4 * (7 - i)))
+      }.reduce(_ + _)
+    }
+
+  /** MinHash signature per document: ONE md5 per shingle, then 16 universal
+    * hashes derived arithmetically — 16x less hashing than salting md5 per
+    * slot, same min-wise family guarantees. Documents with no shingle
+    * (fewer than 3 tokens) are excluded. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val sh   = Text.shingles(col("text"), 3)
-    val sigCols = (0 until MinhashK).map { h =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$h|"), s))))
-        .as(s"mh_$h")
+    val sigCols = (0 until MinhashK).map { i =>
+      array_min(transform(col("hashes"),
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))
+        .as(s"mh_$i")
     }
     docs
       .select(col("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), transform(col("shingles"), baseHash(_)).as("hashes"))
       .select(col("doc_id") +: sigCols: _*)
   }
 
@@ -130,23 +150,28 @@ object Dedup {
     * (bit_count of xor) filters. No quadratic pass anywhere. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val sigs = simhash(spark, dir)
-    // all 4 chunk values from ONE projection (posexplode), so the
-    // tokenize→vote pipeline runs once — same one-pass shape as minhash.
+    // All 4 chunk values from ONE projection (posexplode) over ONE lineage;
+    // the self-join below shuffles both sides by the identical (chunk,
+    // chunk_val) key, so Spark's ReusedExchange evaluates the
+    // tokenize→vote pipeline and its shuffle ONCE. A collect_list pair
+    // expansion would be wrong here: 16-bit chunks give only 16 buckets
+    // per chunk, and quadratic in-row arrays over huge buckets serialize
+    // the work — the streaming join parallelizes within buckets.
     val chunkVals = (0 until 4).map { c =>
       floor(col("simhash") / math.pow(2, c * 4).toLong).mod(16)
     }
-    sigs.select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
+    val chunks = sigs
+      .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
-      .groupBy(col("chunk"), col("chunk_val"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(pairsOf(col("members"))).as("p"))
-      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.simhash").as("sim_a"), col("p.b.simhash").as("sim_b"))
-      .distinct()
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity, computed ONLY on MinHash-LSH
