@@ -497,23 +497,21 @@ object SparkEntry {
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
 
   private def simhashCoreSql: String = {
+    val hv = (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("\n    + ")
     val votes = (0 until Dedup.SimhashBits).map { j =>
-      val p = math.pow(2, j).toLong
-      s"    sum(CASE WHEN CAST(floor(hv / $p) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
+      s"    sum(CASE WHEN CAST(floor(hv / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
     }.mkString(",\n")
     val sig = (0 until Dedup.SimhashBits).map { j =>
-      val p = math.pow(2, j).toLong
-      s"(CASE WHEN v_$j > 0 THEN $p ELSE 0 END)"
+      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
        |  FROM documents),
        |hv AS (
        |  SELECT doc_id,
-       |    (instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 4096
-       |    + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1) * 256
-       |    + (instr('0123456789abcdef', substring(md5(token), 3, 1)) - 1) * 16
-       |    + (instr('0123456789abcdef', substring(md5(token), 4, 1)) - 1) AS hv
+       |    $hv AS hv
        |  FROM toks),
        |votes AS (
        |  SELECT doc_id,
@@ -525,9 +523,9 @@ object SparkEntry {
   private def simhashSql: String = simhashCoreSql
 
   private def simhashPairsSql: String = {
-    val chunkRows = (0 until 4).map { c =>
-      val p = math.pow(2, c * 4).toLong
-      s"  SELECT doc_id, simhash, $c AS chunk, CAST(floor(simhash / $p) AS BIGINT) % 16 AS chunk_val FROM sigs"
+    val chunkRows = (0 until Dedup.SimhashChunks).map { c =>
+      val p = 1L << (c * Dedup.ChunkBits)
+      s"  SELECT doc_id, simhash, $c AS chunk, CAST(floor(simhash / $p) AS BIGINT) % ${1 << Dedup.ChunkBits} AS chunk_val FROM sigs"
     }.mkString("\n  UNION ALL\n")
     s"""WITH sigs AS ($simhashCoreSql),
        |chunks AS (

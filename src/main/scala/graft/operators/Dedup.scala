@@ -114,31 +114,36 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
 
-  /** SimHash bits — 16, from the first 4 hex chars of md5(token). Kept
-    * small so the identical nibble arithmetic is writable in the oracle. */
-  val SimhashBits = 16
+  /** SimHash layout: 32 bits from the first 8 hex chars of md5(token),
+    * banded as 4 chunks of 8 bits. 16 bits saturates beyond ~1k documents
+    * (birthday collisions make unrelated docs "near"); 32 bits keeps the
+    * Hamming-3 ball meaningful while each 8-bit chunk still gives 256
+    * bucket values for the candidate equi-join. */
+  val SimhashBits   = 32
+  val SimhashChunks = 4
+  val ChunkBits: Int = SimhashBits / SimhashChunks
 
-  /** 16-bit SimHash per document: each distinct token votes +1/-1 on each
-    * bit of its md5-derived 16-bit value; the sign of the summed votes is
-    * the fingerprint bit. One explode + one groupBy — both map-side
-    * combinable. */
+  /** 32-bit SimHash per document: each distinct token votes +1/-1 on each
+    * bit of its md5-derived value; the sign of the summed votes is the
+    * fingerprint bit. One explode + one groupBy — both map-side
+    * combinable. The md5 is let-bound: one evaluation per token. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val hexVal = {
-      // nibble value via position in the hex alphabet (portable to SQL)
-      def nib(i: Int) = expr(
-        s"instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1")
-      nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    val hexVal = Text.let(md5(col("token"))) { h =>
+      (1 to 8).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+          lit(1L << (4 * (8 - i)))
+      }.reduce(_ + _)
     }
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
       .withColumn("hv", hexVal)
     val bitVotes = (0 until SimhashBits).map { j =>
-      sum(when(floor(col("hv") / math.pow(2, j).toLong) % 2 === 1, 1).otherwise(-1)).as(s"v_$j")
+      sum(when(floor(col("hv") / (1L << j)) % 2 === 1, 1).otherwise(-1)).as(s"v_$j")
     }
     val votes = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
     val sig = (0 until SimhashBits)
-      .map(j => when(col(s"v_$j") > 0, math.pow(2, j).toLong).otherwise(0L))
+      .map(j => when(col(s"v_$j") > 0, 1L << j).otherwise(0L))
       .reduce(_ + _)
     votes.select(col("doc_id"), sig.as("simhash"))
   }
@@ -157,8 +162,8 @@ object Dedup {
     // expansion would be wrong here: 16-bit chunks give only 16 buckets
     // per chunk, and quadratic in-row arrays over huge buckets serialize
     // the work — the streaming join parallelizes within buckets.
-    val chunkVals = (0 until 4).map { c =>
-      floor(col("simhash") / math.pow(2, c * 4).toLong).mod(16)
+    val chunkVals = (0 until SimhashChunks).map { c =>
+      floor(col("simhash") / (1L << (c * ChunkBits))).mod(1 << ChunkBits)
     }
     val chunks = sigs
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
@@ -207,13 +212,17 @@ object Dedup {
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb   = Tables(spark, dir, "embeddings")
     val cents = Quantize.centroidsLocal(emb)
+    // norm materialized once per VECTOR (not once per pair — the pair count
+    // is ~N²/C, the vector count is N).
     val cells = emb.select(col("vec_id"), col("embedding"),
-      Quantize.cellExpr(col("embedding"), cents).as("cell"))
+      Quantize.cellExpr(col("embedding"), cents).as("cell"),
+      Vectors.norm(col("embedding")).as("nrm"))
     val a = cells.as("a")
     val b = cells.as("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4).as("cosine"))
+        round(Vectors.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -49,42 +49,57 @@ object Quantize {
     }
 
   /** Per-centroid affinity structs, orderable: (rounded cosine, -c_id) so
-    * the natural struct max = highest affinity, smallest id on ties. */
-  private def scoredCells(emb: Column, cents: Seq[(Long, Seq[Double])]): Seq[Column] =
-    cents.map { case (cid, vec) =>
-      struct(round(Vectors.cosine(emb, typedlit(vec)), 4).as("a"),
-        lit(-cid).as("nc"))
+    * the natural struct max = highest affinity, smallest id on ties.
+    * The embedding's norm is let-bound (computed once, not once per
+    * centroid) and centroid norms are Scala-side constants — same
+    * sequential-fold doubles the SQL oracle computes at runtime. */
+  private def scoredCellsArr(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.Text.let(Vectors.norm(emb)) { n =>
+      array(cents.map { case (cid, vec) =>
+        val normC = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(round(Vectors.dot(emb, typedlit(vec)) / (n * lit(normC)), 4).as("a"),
+          lit(-cid).as("nc"))
+      }: _*)
     }
 
   /** Nearest-centroid cell id — one projection, evaluates in-stage. */
   def cellExpr(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    -array_max(array(scoredCells(emb, cents): _*)).getField("nc")
+    -array_max(scoredCellsArr(emb, cents)).getField("nc")
 
   /** The `nprobe` nearest cells (affinity desc, id-asc ties) as an array —
     * the query-side multi-probe. */
   def probeCellsExpr(emb: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     transform(
-      slice(reverse(array_sort(array(scoredCells(emb, cents): _*))), 1, nprobe),
+      slice(reverse(array_sort(scoredCellsArr(emb, cents))), 1, nprobe),
       s => -s.getField("nc"))
 }
 
 object Similarity {
 
+  /** Corpus with its norm materialized once per vector — every tier pays
+    * one norm per VECTOR instead of one per scored pair. */
+  private def corpusWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      Vectors.norm(col("embedding")).as("nrm"))
+
   private def queriesSet(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
-    Tables(spark, dir, "embeddings").filter(col("vec_id") < nQueries)
+    corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"))
+        col("nrm").as("q_nrm"))
+
+  private def pairCosine: Column =
+    round(Vectors.dot(col("q_emb"), col("embedding"))
+      / (col("q_nrm") * col("nrm")), 4)
 
   /** Exact top-k cosine neighbors for each of the first `nQueries` vectors.
     * The query side is broadcast; the corpus side streams through a single
     * stage (scan -> cosine -> per-query top-k). Ranking uses row_number
     * with vec_id tie-break for determinism. */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpus = Tables(spark, dir, "embeddings")
+    val corpus = corpusWithNorm(spark, dir)
     val q      = queriesSet(spark, dir, nQueries)
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -99,15 +114,15 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     val emb    = Tables(spark, dir, "embeddings")
     val cents  = Quantize.centroidsLocal(emb)
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      Quantize.cellExpr(col("embedding"), cents).as("cell"))
-    val q = emb.filter(col("vec_id") < nQueries)
+    val corpus = corpusWithNorm(spark, dir)
+      .withColumn("cell", Quantize.cellExpr(col("embedding"), cents))
+    val q = corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
         explode(Quantize.probeCellsExpr(col("embedding"), cents, nprobe)).as("q_cell"))
     val scored = corpus.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -153,14 +168,13 @@ object Similarity {
     * precomputed and the corpus bucketed/partitioned by it, so a query
     * probe touches one partition. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpus = Tables(spark, dir, "embeddings")
+    val corpus = corpusWithNorm(spark, dir)
       .withColumn("bucket", lshBucket(col("embedding")))
     val q = queriesSet(spark, dir, nQueries)
       .withColumn("q_bucket", lshBucket(col("q_emb")))
     val scored = corpus.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

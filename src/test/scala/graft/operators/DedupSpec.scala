@@ -41,9 +41,10 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.simhashNearDupPairs(spark, sfDir, 3)
     assert(got.filter(col("hamming") > 3).count() == 0)
     val sigs = Dedup.simhash(spark, sfDir)
-    val chunks = (0 until 4).map { c =>
+    val chunks = (0 until Dedup.SimhashChunks).map { c =>
       sigs.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-        floor(col("simhash") / math.pow(2, c * 4).toLong).mod(16).as("chunk_val"))
+        floor(col("simhash") / (1L << (c * Dedup.ChunkBits)))
+          .mod(1 << Dedup.ChunkBits).as("chunk_val"))
     }.reduce(_.unionAll(_))
     val expected = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
