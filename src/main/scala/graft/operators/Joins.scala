@@ -82,12 +82,26 @@ object Windows {
   import org.apache.spark.sql.expressions.Window
 
   /** Top-k per group via row_number — the distributed replacement for a
-    * driver-side "first N" (reference `ingestion-datalake.py:96`). */
-  def topKOrdersPerPriority(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    * driver-side "first N" (reference `ingestion-datalake.py:96`).
+    *
+    * Two-phase for scale: o_orderpriority has only 5 values, so a single
+    * partitioned window would sort 5 giant partitions on 5 tasks at 100 TB.
+    * Phase 1 takes the top-k within each (priority, salt) bucket — every
+    * global top-k row is necessarily in its bucket's top-k — shrinking the
+    * input of the exact phase-2 window to k * salts * priorities rows. */
+  def topKOrdersPerPriority(spark: SparkSession, dir: String, k: Int,
+      salts: Int = 32): DataFrame = {
     val orders = Tables(spark, dir, "orders")
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders
+    val order  = Seq(col("o_totalprice").desc, col("o_orderkey"))
+    val wPartial = Window.partitionBy(col("o_orderpriority"), col("salt"))
+      .orderBy(order: _*)
+    val survivors = orders
+      .withColumn("salt", pmod(col("o_orderkey"), lit(salts)))
+      .withColumn("r", row_number().over(wPartial))
+      .filter(col("r") <= k)
+      .drop("salt", "r")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(order: _*)
+    survivors
       .withColumn("rank_in_priority", row_number().over(w))
       .filter(col("rank_in_priority") <= k)
       .select(col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.Tables
+import graft.operators._
+
+/** Plan-shape regression tests: the optimizations the engine's 100 TB
+  * design depends on must be visible in the physical plan — a correct
+  * result from the wrong plan is a scale bug waiting for data. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("projection pruning reaches the parquet scan (ReadSchema carries only needed columns)") {
+    val p = plan(Relational.select(Tables(spark, sfDir, "customer"),
+      Seq("c_custkey", "c_name", "c_acctbal")))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_mktsegment"), s"unneeded column scanned:\n$p")
+  }
+
+  test("filter pushdown reaches the parquet scan (PushedFilters non-empty)") {
+    val df = Relational.filterSql(Tables(spark, sfDir, "orders"), "o_totalprice <= 20000")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), LessThanOrEqual(o_totalprice,20000.0)]")
+      || p.contains("LessThanOrEqual(o_totalprice"), s"filter not pushed:\n$p")
+  }
+
+  test("dimension joins broadcast the small side (BroadcastHashJoin, no sort-merge)") {
+    val p = plan(Joins.customersPerRegion(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to sort-merge:\n$p")
+  }
+
+  test("global ordered limit plans as TakeOrderedAndProject, not a total sort") {
+    val p = plan(Relational.limitOrdered(
+      Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 14))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("group-by aggregations are partial+final (map-side combine present)") {
+    val p = plan(Tables(spark, sfDir, "events").groupBy(col("event_type"))
+      .agg(sum(col("value")).as("s")))
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("two-phase top-k window: partial phase partitions by (priority, salt)") {
+    val p = plan(Windows.topKOrdersPerPriority(spark, sfDir, 3))
+    assert(p.contains("salt"), s"salted partial top-k missing:\n$p")
+    // result must equal the single-window formulation
+    val single = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, sfDir, "orders")
+        .withColumn("rank_in_priority", row_number().over(w))
+        .filter(col("rank_in_priority") <= 3)
+        .select(col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"),
+          col("o_totalprice"))
+    }
+    val two = Windows.topKOrdersPerPriority(spark, sfDir, 3)
+    assert(two.except(single).count() == 0 && single.except(two).count() == 0)
+  }
+
+  test("minhash candidate generation contains no join (one-pass bucket expansion)") {
+    val p = plan(Dedup.minhashCandidatePairs(spark, sfDir))
+    assert(!p.contains("Join"), s"pair generation should be join-free:\n$p")
+  }
+
+  test("IVF cell assignment is a pure projection (no exchange before the cell column)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = Quantize.centroidsLocal(emb)
+    val p = plan(emb.select(col("vec_id"),
+      Quantize.cellExpr(col("embedding"), cents).as("cell")))
+    assert(!p.contains("Exchange"), s"cell assignment should not shuffle:\n$p")
+    assert(!p.contains("Join"), s"cell assignment should not join:\n$p")
+  }
+
+  test("brute-force ANN broadcasts queries; corpus is never shuffled before scoring") {
+    val p = plan(Similarity.bruteForceTopK(spark, sfDir, 10, 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
