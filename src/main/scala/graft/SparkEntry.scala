@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 import graft.lake.{Ingest, LakePaths, Tables}
 import graft.operators._
-import graft.streaming.Alerts
+import graft.streaming.{Alerts, Sessions}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with
@@ -169,9 +169,15 @@ object SparkEntry {
     "q_setops_except" -> ((s, d) => SetOps.clickedNeverPurchased(s, d)),
     "q_setops_intersect" -> ((s, d) => SetOps.engagedBuyers(s, d)),
 
-    // -- monitoring / alerting (F8, F9, A7) + json extraction
+    // -- monitoring / alerting (F8, F9, A7) + sessionization + json extraction
     "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
     "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
+    "q_sessions" -> ((s, d) =>
+      Sessions.sessionsBatch(s, d, 30).select(
+        col("user_id"), col("session_id").cast("int").as("session_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), col("total_value"))),
     "q_json_extract" -> ((s, d) =>
       Tables(s, d, "events")
         .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int"))
@@ -186,6 +192,10 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens"))),
+    "q_token_count_bpe" -> ((s, d) =>
+      Tables(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens_ws"),
+        Text.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
     "q_text_quality" -> ((s, d) => {
       val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       Tables(s, d, "documents").select(col("doc_id") +: feats: _*)
@@ -217,6 +227,7 @@ object SparkEntry {
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
+    "q_mm_frames" -> ((s, d) => Multimodal.frameSampleFeatures(s, d)),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -365,6 +376,25 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_matches FROM events
         |WHERE position('error' IN lower(event_type)) > 0
         |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
+    "q_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM ev),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM f),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_type,
         |  round(avg(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
@@ -386,6 +416,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+    "q_token_count_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS INTEGER) AS n_tokens_bpe
+         |FROM documents""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
@@ -438,6 +473,22 @@ object SparkEntry {
     "q_ann_lsh" -> lshAnnSql,
 
     "q_mm_hist" -> mmHistSql,
+    // frame sample: byte at 0-based position 16*i is the hex-digit pair at
+    // (32*i+1, 32*i+2); count = min(ceil(n/16), 8) — mirrors
+    // FakeCodec.sampleFrames(stride=16, max=8).
+    "q_mm_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(least(ceil(n / 16.0), 8) AS BIGINT)),
+        |      i -> (instr('0123456789ABCDEF', substring(hx, 32 * i + 1, 1)) - 1) * 16
+        |         + (instr('0123456789ABCDEF', substring(hx, 32 * i + 2, 1)) - 1)) AS fb
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fb) AS INTEGER) AS n_sampled,
+        |  CAST(list_sum(fb) AS BIGINT) AS checksum
+        |FROM s""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -45,6 +45,17 @@ object Text {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** BPE-ish subword-boundary tokenization: letter runs, digit runs, and
+    * single non-alphanumeric symbols each count as a token — the shape a
+    * byte-pair tokenizer's pre-split uses, and a closer proxy for LLM
+    * token budgeting than whitespace words. Pure regex, portable to SQL. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Ratio of tokens found in a marker/stopword list. */
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit(_).cast("string")): _*)))

@@ -62,6 +62,25 @@ object Multimodal {
     decodeMeta(spark, dir).toDF()
   }
 
+  /** Frame-sampling stage shape: every `stride`-th byte (capped at `max`)
+    * stands in for keyframe extraction. The sampled frames stay binary;
+    * the query-facing projection emits their count and a checksum so the
+    * result is oracle-comparable while the byte plumbing is exercised. */
+  def frameSampleFeatures(spark: SparkSession, dir: String,
+      stride: Int = 16, max: Int = 8): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val frames = FakeCodec.sampleFrames(bytes, stride, max)
+          (id, frames.length, frames.map(b => (b & 0xff).toLong).sum)
+        }
+      }
+      .toDF("doc_id", "n_sampled", "checksum")
+  }
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the
