@@ -17,6 +17,7 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

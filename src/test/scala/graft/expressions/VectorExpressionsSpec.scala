@@ -1,0 +1,63 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Vectors
+
+/** The native DotProduct expression must agree bit-for-bit with the
+  * higher-order-function formulation (which the SQL oracles mirror),
+  * including null semantics. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("graft_dot == HOF fold on random vectors, bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", Vectors.dot(col("a"), col("b")))
+      .withColumn("hof", Vectors.dotHof(col("a"), col("b")))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(col("native").isNull).count() == 0)
+  }
+
+  test("null semantics: null array, null element, length mismatch -> null (like zip_with)") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),      // 11.0
+      (2L, Seq(1.0, 2.0), Seq(3.0)),            // mismatch -> null
+      (3L, null, Seq(3.0, 4.0)),                // null array -> null
+    ).toDF("id", "a", "b")
+      .withColumn("native", Vectors.dot(col("a"), col("b")))
+      .withColumn("hof", Vectors.dotHof(col("a"), col("b")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDouble(3) == 11.0 && rows(0).getDouble(4) == 11.0)
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
+    // null ELEMENT -> null, both formulations
+    val e = Seq((1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .withColumn("native", Vectors.dot(col("a"), col("b")))
+      .withColumn("hof", Vectors.dotHof(col("a"), col("b")))
+      .head()
+    assert(e.isNullAt(3) && e.isNullAt(4))
+  }
+
+  test("the expression is registered for plain SQL too") {
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(10.0d, 20.0d)) AS d").head()
+    assert(r.getDouble(0) == 50.0)
+  }
+
+  test("whole-stage codegen survives the native expression (no fallback)") {
+    // a real parquet scan (a local relation would be folded at plan time)
+    val df = graft.lake.Tables(spark, sfDir, "embeddings")
+      .select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+    assert(df.collect().forall(_.getDouble(0) >= 0.0))
+    // the '*(n)' prefix marks a WholeStageCodegen stage: the projection
+    // containing graft_dot must be INSIDE one, not ejected to interpreted
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"),
+      s"graft_dot not inside a codegen stage:\n$plan")
+  }
+}
