@@ -154,6 +154,11 @@ object SparkEntry {
       Nulls.impute(base, Seq("value_n"), "mean")
         .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
     }),
+    "q_impute_median" -> ((s, d) => {
+      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
+      Nulls.impute(base, Seq("value_n"), "median")
+        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
+    }),
 
     // -- joins (broadcast dim, fact-fact, star, anti)
     "q_join_dims" -> ((s, d) => Joins.customersPerRegion(s, d)),
@@ -312,6 +317,13 @@ object SparkEntry {
       s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
          |SELECT event_id,
          |  round(coalesce(value_n, (SELECT avg(value_n) FROM base)), 2) AS value_imputed
+         |FROM base""".stripMargin,
+    // exact interpolated median: Spark percentile(c, 0.5) == DuckDB
+    // quantile_cont(c, 0.5)
+    "q_impute_median" ->
+      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
+         |SELECT event_id,
+         |  round(coalesce(value_n, (SELECT quantile_cont(value_n, 0.5) FROM base)), 2) AS value_imputed
          |FROM base""".stripMargin,
 
     "q_join_dims" ->

@@ -18,6 +18,11 @@ object Sessions {
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      // per-JVM temp warehouse: the in-memory catalog dies with the JVM,
+      // so a persistent location would orphan managed-table dirs and fail
+      // the next saveAsTable with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir", sys.props.getOrElse("graft.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

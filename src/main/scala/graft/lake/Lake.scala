@@ -84,6 +84,17 @@ object Writers {
     df.write.mode("overwrite").option("header", "true").csv(path)
 }
 
+/** Bucketed table layout — the 100 TB answer to the fact⋈fact shuffle:
+  * when both sides are written bucketed (and sorted) by the join key with
+  * the same bucket count, the join plans with NO Exchange — each task
+  * reads one co-located bucket pair. The shuffle is paid once at write
+  * time and amortized over every subsequent join. */
+object Bucketing {
+  def bucketize(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+}
+
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
