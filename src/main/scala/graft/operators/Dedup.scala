@@ -165,9 +165,14 @@ object Dedup {
     val chunkVals = (0 until SimhashChunks).map { c =>
       floor(col("simhash") / (1L << (c * ChunkBits))).mod(1 << ChunkBits)
     }
+    // shuffle_hash hint: AQE would otherwise broadcast one side, which
+    // evaluates the signature pipeline twice (and is impossible at corpus
+    // scale anyway); with both sides shuffled by the identical key over
+    // the identical child plan, ReusedExchange computes the pipeline once.
     val chunks = sigs
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
+      .hint("shuffle_hash")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
           && col("a.doc_id") < col("b.doc_id"))
@@ -194,9 +199,20 @@ object Dedup {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // long format: each pair contributes (pair, side, doc_id) rows so the
+    // shingle table is joined (and its pipeline evaluated) ONCE, not once
+    // per side; the pair's two shingle sets reassemble in one aggregation.
+    val sides = cand.select(
+        col("doc_a"), col("doc_b"),
+        explode(array(
+          struct(lit("a").as("side"), col("doc_a").as("doc_id")),
+          struct(lit("b").as("side"), col("doc_b").as("doc_id")))).as("s"))
+      .select(col("doc_a"), col("doc_b"), col("s.side"), col("s.doc_id"))
+    sides.join(docs, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(when(col("side") === "a", col("sh"))).as("sh_a"),
+        min(when(col("side") === "b", col("sh"))).as("sh_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
