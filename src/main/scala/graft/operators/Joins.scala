@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.lake.Tables
 
@@ -61,6 +61,22 @@ object Joins {
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
+  }
+
+  /** Skew-resistant equi-join for when one join key is pathologically hot
+    * and the other side is too large to broadcast: each probe row scatters
+    * to one of `salts` sub-keys (via `saltSource`, which must vary WITHIN
+    * a key — e.g. a hash of other columns — or the hot key still lands on
+    * one task), and the build side replicates `salts` times. A hot key's
+    * rows then spread over `salts` tasks instead of one. AQE's skew-join
+    * splitting handles moderate skew automatically; explicit salting is
+    * for the extreme tail (one key = significant corpus fraction). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, salts: Int, saltSource: Column): DataFrame = {
+    val sp = probe.withColumn("__salt", pmod(saltSource, lit(salts)))
+    val sb = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    sp.join(sb, sp(probeKey) === sb(buildKey) && sp("__salt") === sb("__salt"))
+      .drop("__salt")
   }
 
   /** Semi/anti join: customers with at least one order vs. none.
