@@ -141,6 +141,20 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
+    "q_cube" -> ((s, d) =>
+      Tables(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
+    "q_percentiles" -> ((s, d) =>
+      Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))),
+    "q_describe_str" -> ((s, d) =>
+      Tables(s, d, "customer").agg(
+        count(col("c_mktsegment")).as("count"),
+        countDistinct(col("c_mktsegment")).as("distinct"),
+        min(col("c_mktsegment")).as("min"),
+        max(col("c_mktsegment")).as("max"))),
 
     // -- null handling (N1-N7, A6)
     "q_na_drop_any" -> ((s, d) => Nulls.dropAny(nulledEvents(s, d))),
@@ -176,7 +190,17 @@ object SparkEntry {
 
     // -- monitoring / alerting (F8, F9, A7) + sessionization + json extraction
     "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
+    "q_alert_sliding" -> ((s, d) => Alerts.slidingVolumeAlertBatch(s, d, 600.0)),
     "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
+    "q_json_struct" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          round(avg(col("k")), 4).as("avg_k"))),
     "q_sessions" -> ((s, d) =>
       Sessions.sessionsBatch(s, d, 30).select(
         col("user_id"), col("session_id").cast("int").as("session_id"),
@@ -297,6 +321,22 @@ object SparkEntry {
         |  count(*) AS count
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS count
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_describe_str" ->
+      """SELECT count(c_mktsegment) AS count,
+        |  count(DISTINCT c_mktsegment) AS "distinct",
+        |  min(c_mktsegment) AS min, max(c_mktsegment) AS max
+        |FROM customer""".stripMargin,
+
     "q_na_drop_any" ->
       s"""SELECT * FROM ($nulledEventsSql)
          |WHERE value_n IS NOT NULL AND props_n IS NOT NULL AND user_n IS NOT NULL""".stripMargin,
@@ -384,6 +424,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY time_bucket(INTERVAL '5 minutes', ts)
         |HAVING round(sum(value), 2) > 300""".stripMargin,
+    // sliding window (10 min length, 5 min slide): each event belongs to
+    // exactly two 5-min-aligned window starts — its bucket and bucket-5min.
+    "q_alert_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events)
+        |SELECT window_start, round(sum(value), 2) AS total_value, count(*) AS n_events
+        |FROM w GROUP BY window_start
+        |HAVING round(sum(value), 2) > 600""".stripMargin,
+    "q_json_struct" ->
+      """SELECT event_type,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_alert_operation" ->
       """SELECT user_id, count(*) AS n_matches FROM events
         |WHERE position('error' IN lower(event_type)) > 0

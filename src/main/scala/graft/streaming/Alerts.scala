@@ -26,6 +26,16 @@ object Alerts {
       .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
       .filter(col("total_value") > threshold)
 
+  /** Sliding-window variant (window length 10 min, slide 5 min): each
+    * event lands in length/slide = 2 overlapping windows. Same shuffle
+    * profile as the tumbling form — the explode happens map-side. */
+  def slidingVolumeAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+        .getField("start").as("window_start"))
+      .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
+      .filter(col("total_value") > threshold)
+
   /** Batch form of the operation-match alert (KQL `contains` is
     * case-insensitive — hence lower()): matching error events per user with
     * the rule's >= 1 row threshold. */
