@@ -134,6 +134,12 @@ object SparkEntry {
       df.select(col("column"), col("count"), round(col("mean"), 4).as("mean"),
         round(col("stddev"), 4).as("stddev"), col("min"), col("max"))
     }),
+    "q_pivot" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy((col("user_id") % 100).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(round(sum(col("value")), 2))
+        .na.fill(0.0)),
     "q_distinct_by" -> ((s, d) =>
       Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
     "q_approx_distinct" -> ((s, d) => // sketch path: no oracle (impl-defined)
@@ -316,6 +322,14 @@ object SparkEntry {
         |  round(stddev_samp(l_discount), 4), min(l_discount), max(l_discount) FROM lineitem""".stripMargin,
     "q_distinct_by" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey FROM lineitem GROUP BY l_returnflag",
+    "q_pivot" ->
+      """SELECT user_id % 100 AS user_bucket,
+        |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0) AS click,
+        |  coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0) AS view,
+        |  coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0) AS purchase,
+        |  coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0) AS error,
+        |  coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0) AS signup
+        |FROM events GROUP BY user_id % 100""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS count
