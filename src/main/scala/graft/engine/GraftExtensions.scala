@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    // declarative HOF dot products upgrade to the native expression
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

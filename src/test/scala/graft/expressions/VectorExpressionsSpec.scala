@@ -44,6 +44,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.isNullAt(3) && e.isNullAt(4))
   }
 
+  test("optimizer rewrites the HOF dot idiom to the native expression") {
+    val df = graft.lake.Tables(spark, sfDir, "embeddings")
+      .select(Vectors.dotHof(col("embedding"), col("embedding")).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"HOF idiom not rewritten:\n${df.queryExecution.optimizedPlan}")
+    // and an aggregate over it still computes correctly
+    assert(df.agg(min(col("d"))).head().getDouble(0) >= 0.0)
+  }
+
+  test("rewrite guard: a non-dot fold is left alone") {
+    val df = graft.lake.Tables(spark, sfDir, "embeddings")
+      .select(aggregate(zip_with(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"), (x, y) => x + y),
+        lit(0.0), (acc, v) => acc + v).as("s"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    df.collect()  // still evaluates
+  }
+
   test("the expression is registered for plain SQL too") {
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(10.0d, 20.0d)) AS d").head()
     assert(r.getDouble(0) == 50.0)
