@@ -46,6 +46,23 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 10)
   }
 
+  test("K1 partitioned write produces hive-style directories and prunes on read") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    Writers.parquet(df, s"$dir/ev", partitionBy = Seq("event_type"))
+    val parts = new java.io.File(s"$dir/ev").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.exists(_.startsWith("event_type=")), s"no partition dirs: $parts")
+    // partition pruning: the filtered read touches only one directory
+    val one = spark.read.parquet(s"$dir/ev").filter(col("event_type") === "click")
+    assert(one.count() == df.filter(col("event_type") === "click").count())
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not applied:\n$scan")
+  }
+
   test("S6 secret providers: env mapping, props file, chain fallback") {
     val env = new EnvSecretProvider("kv_", Map("KV_SP_SECRET" -> "from-env"))
     assert(env.secret("sp-secret").contains("from-env"))
