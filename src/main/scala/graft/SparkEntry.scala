@@ -534,14 +534,14 @@ object SparkEntry {
         |    ELSE 'und' END AS predicted
         |FROM scored""".stripMargin,
     "q_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents
-        |GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""".stripMargin,
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
 
     "q_minhash_sig" -> minhashSigSql,
     "q_dedup_minhash" -> minhashPairsSql,

@@ -101,7 +101,10 @@ object Text {
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lower-cased text.
-    * Exact-dedup key that is stable under trivial whitespace edits. */
+    * Exact-dedup key that is stable under trivial whitespace edits.
+    * Collapse runs FIRST, then trim: `trim` only strips the space
+    * character, so trimming before collapsing would leave a trailing
+    * space behind a trailing tab (found by the ScalaCheck property). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 }
