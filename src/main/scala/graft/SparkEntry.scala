@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 import graft.lake.{Ingest, LakePaths, Tables}
 import graft.operators._
-import graft.streaming.{Alerts, Sessions}
+import graft.streaming.{Alerts, Funnel, Sessions}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with
@@ -207,6 +207,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           round(avg(col("k")), 4).as("avg_k"))),
+    "q_funnel" -> ((s, d) => Funnel.clickToPurchase(s, d, 30)),
     "q_sessions" -> ((s, d) =>
       Sessions.sessionsBatch(s, d, 30).select(
         col("user_id"), col("session_id").cast("int").as("session_id"),
@@ -458,6 +459,15 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_matches FROM events
         |WHERE position('error' IN lower(event_type)) > 0
         |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
+    "q_funnel" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
+        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
     "q_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
