@@ -154,7 +154,13 @@ object Dedup {
     * equi-join on (chunk index, chunk value), then the exact Hamming test
     * (bit_count of xor) filters. No quadratic pass anywhere. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val sigs = simhash(spark, dir)
+    // Persist the signature table: the self-join reads it twice and
+    // Spark's exchange reuse does not deduplicate the two (canonically
+    // identical) sides. Block-level locking makes concurrent stage
+    // materialization compute each partition once. The table is tiny —
+    // (doc_id, 32-bit sig) per document — and at corpus scale it would be
+    // written out as its own artifact anyway.
+    val sigs = simhash(spark, dir).persist()
     // All 4 chunk values from ONE projection (posexplode) over ONE lineage;
     // the self-join below shuffles both sides by the identical (chunk,
     // chunk_val) key, so Spark's ReusedExchange evaluates the
