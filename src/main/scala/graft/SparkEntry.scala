@@ -185,6 +185,14 @@ object SparkEntry {
     "q_join_topk" -> ((s, d) => Joins.topUrgentRevenue(s, d)),
     "q_join_suppnation" -> ((s, d) => Joins.revenuePerSupplierNation(s, d)),
     "q_join_anti" -> ((s, d) => Joins.customersWithoutOrders(s, d)),
+    "q_join_semi" -> ((s, d) => Joins.customersWithOrders(s, d)),
+    // the SQL front-end (spark.sql over registered views) with a scalar
+    // subquery — same Catalyst pipeline, different entry point
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+              |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)""".stripMargin)
+    }),
 
     // -- windows
     "q_window_topk" -> ((s, d) => Windows.topKOrdersPerPriority(s, d, 3)),
@@ -406,6 +414,12 @@ object SparkEntry {
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
 
     "q_window_topk" ->
       """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice FROM (

@@ -87,6 +87,13 @@ object Joins {
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
+
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders   = Tables(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
 }
 
 /** Window functions — parity-plus (absent from the reference, SURVEY.md
