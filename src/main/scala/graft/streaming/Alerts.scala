@@ -46,6 +46,20 @@ object Alerts {
       .agg(count(lit(1)).as("n_matches"))
       .filter(col("n_matches") >= 1)
 
+  /** Streaming form of the operation-match alert: stateless filter →
+    * per-user counts in update mode (the KQL rule's >= 1 row threshold
+    * fires on first match). */
+  def operationAlertStream(events: DataFrame, needle: String,
+      onAlert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .filter(lower(col("event_type")).contains(needle))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) => onAlert(batch, id) }
+      .start()
+
   /** Streaming form of the volume alert. Watermark bounds state: windows
     * older than the watermark are finalized and dropped, so state size is
     * O(active windows), independent of stream length. `foreachBatch` is

@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"cell assignment should not join:\n$p")
   }
 
+  test("interval join keys on the user equi-column — the time range is a filter, not a cross product") {
+    val p = plan(graft.streaming.Funnel.clickToPurchase(spark, sfDir, 30))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a product:\n$p")
+    assert(p.contains("user_id"), s"equi-key missing from join:\n$p")
+  }
+
   test("brute-force ANN broadcasts queries; corpus is never shuffled before scoring") {
     val p = plan(Similarity.bruteForceTopK(spark, sfDir, 10, 5))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

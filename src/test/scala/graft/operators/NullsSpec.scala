@@ -61,6 +61,21 @@ class NullsSpec extends SparkSpec {
     assert(krish.getInt(0) == 31 && krish.getInt(1) == 10 && krish.getInt(2) == 30000)
   }
 
+  test("N7 cross-check: engine-native mean imputation matches spark.ml Imputer") {
+    import org.apache.spark.ml.feature.Imputer
+    val cols = Array("age", "Experience", "Salary")
+    // ml.Imputer requires double inputs; cast, then compare against our
+    // native impute on the same casted frame.
+    val dbl = cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
+    val ml = new Imputer().setInputCols(cols)
+      .setOutputCols(cols.map(c => s"${c}_imputed")).setStrategy("mean")
+      .fit(dbl).transform(dbl)
+    val native = Nulls.impute(dbl, cols.toSeq, "mean")
+    val mlRows = ml.select("Name", "age_imputed", "Experience_imputed", "Salary_imputed")
+    val natRows = native.select("Name", "age_imputed", "Experience_imputed", "Salary_imputed")
+    assert(mlRows.except(natRows).count() == 0 && natRows.except(mlRows).count() == 0)
+  }
+
   test("A6 median and mode strategies") {
     val med = Nulls.impute(df, Seq("age"), "median")
     // ages 21,23,24,29,30,31,34,36 -> exact percentile(0.5) = 29.5 -> int 29

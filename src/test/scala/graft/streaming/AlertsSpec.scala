@@ -15,6 +15,23 @@ class AlertsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("operationAlertStream fires per matching user with running counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "event_type")
+    val alerts = mutable.Buffer[Row]()
+    val q = Alerts.operationAlertStream(events, "error",
+      (batch, _) => alerts.synchronized { alerts ++= batch.collect() })
+    try {
+      mem.addData((1L, "Error"), (1L, "ERROR_fatal"), (2L, "click"))
+      q.processAllAvailable()
+      val byUser = alerts.synchronized(alerts.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(byUser.get(1L).contains(2L))   // case-insensitive contains, both rows
+      assert(!byUser.contains(2L))          // non-matching user never alerts
+    } finally q.stop()
+  }
+
   test("volumeAlertStream fires on over-threshold windows and drops late data past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
