@@ -201,6 +201,39 @@ object SparkEntry {
     // -- set ops
     "q_setops_except" -> ((s, d) => SetOps.clickedNeverPurchased(s, d)),
     "q_setops_intersect" -> ((s, d) => SetOps.engagedBuyers(s, d)),
+    "q_setops_union" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .union(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .distinct()
+    }),
+
+    // -- window lag + date parts + scalar string functions
+    "q_window_lag" -> ((s, d) => {
+      val daily = Tables(s, d, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("day_revenue"))
+      // partitioned by year so the window never needs a single global
+      // sort partition (lag resets at year boundaries by design)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(year(col("ship_day"))).orderBy(col("ship_day"))
+      daily
+        .withColumn("prev_revenue", lag(col("day_revenue"), 1).over(w))
+        .withColumn("delta", round(col("day_revenue") - coalesce(col("prev_revenue"), lit(0.0)), 2))
+    }),
+    "q_date_parts" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+    "q_string_fns" -> ((s, d) =>
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "[#0-9]+", "*").as("name_masked"))),
 
     // -- monitoring / alerting (F8, F9, A7) + sessionization + json extraction
     "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
@@ -446,6 +479,34 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_setops_union" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q_window_lag" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |    round(sum(l_extendedprice), 2) AS day_revenue
+        |  FROM lineitem GROUP BY CAST(l_shipdate AS DATE))
+        |SELECT ship_day, day_revenue,
+        |  lag(day_revenue, 1) OVER (PARTITION BY date_part('year', ship_day)
+        |    ORDER BY ship_day) AS prev_revenue,
+        |  round(day_revenue - coalesce(lag(day_revenue, 1) OVER (
+        |    PARTITION BY date_part('year', ship_day) ORDER BY ship_day), 0), 2) AS delta
+        |FROM daily""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_string_fns" ->
+      """SELECT c_custkey,
+        |  upper(substring(c_name, 1, 8)) AS name_prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  regexp_replace(c_name, '[#0-9]+', '*', 'g') AS name_masked
+        |FROM customer""".stripMargin,
 
     "q_alert_volume" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
