@@ -179,6 +179,11 @@ object SparkEntry {
       Nulls.impute(base, Seq("value_n"), "median")
         .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
     }),
+    "q_impute_mode" -> ((s, d) => {
+      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
+      Nulls.impute(base, Seq("value_n"), "mode")
+        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
+    }),
 
     // -- joins (broadcast dim, fact-fact, star, anti)
     "q_join_dims" -> ((s, d) => Joins.customersPerRegion(s, d)),
@@ -421,6 +426,15 @@ object SparkEntry {
          |SELECT event_id,
          |  round(coalesce(value_n, (SELECT quantile_cont(value_n, 0.5) FROM base)), 2) AS value_imputed
          |FROM base""".stripMargin,
+    // mode with the deterministic tie-break Spark's mode(col, true) uses:
+    // highest frequency, LOWEST value on ties.
+    "q_impute_mode" ->
+      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
+         |SELECT event_id,
+         |  round(coalesce(value_n,
+         |    (SELECT value_n FROM base WHERE value_n IS NOT NULL
+         |     GROUP BY value_n ORDER BY count(*) DESC, value_n LIMIT 1)), 2) AS value_imputed
+         |FROM base""".stripMargin,
 
     "q_join_dims" ->
       """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
@@ -509,11 +523,18 @@ object SparkEntry {
         |FROM customer""".stripMargin,
 
     "q_alert_volume" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-        |  round(sum(value), 2) AS total_value, count(*) AS n_events
-        |FROM events
-        |GROUP BY time_bucket(INTERVAL '5 minutes', ts)
-        |HAVING round(sum(value), 2) > 300""".stripMargin,
+      """SELECT window_start, total_value, n_events,
+        |  CAST(CASE WHEN total_value > 1200.0 THEN 0
+        |            WHEN total_value > 900.0 THEN 1
+        |            WHEN total_value > 600.0 THEN 2
+        |            WHEN total_value > 450.0 THEN 3
+        |            ELSE 4 END AS INTEGER) AS severity
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |    round(sum(value), 2) AS total_value, count(*) AS n_events
+        |  FROM events
+        |  GROUP BY time_bucket(INTERVAL '5 minutes', ts)
+        |  HAVING round(sum(value), 2) > 300)""".stripMargin,
     // sliding window (10 min length, 5 min slide): each event belongs to
     // exactly two 5-min-aligned window starts — its bucket and bucket-5min.
     "q_alert_sliding" ->

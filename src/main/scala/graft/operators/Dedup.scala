@@ -159,7 +159,10 @@ object Dedup {
     // identical) sides. Block-level locking makes concurrent stage
     // materialization compute each partition once. The table is tiny —
     // (doc_id, 32-bit sig) per document — and at corpus scale it would be
-    // written out as its own artifact anyway.
+    // written out as its own artifact anyway. CACHE LIFECYCLE: the cache
+    // must outlive the returned (lazy) DataFrame's execution, so the
+    // CALLER owns release — `spark.catalog.clearCache()` (or unpersist on
+    // this plan) after the action; Bench/Verify clear between queries.
     val sigs = simhash(spark, dir).persist()
     // All 4 chunk values from ONE projection (posexplode) over ONE lineage;
     // the self-join below shuffles both sides by the identical (chunk,

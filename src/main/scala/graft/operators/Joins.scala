@@ -73,7 +73,10 @@ object Joins {
     * for the extreme tail (one key = significant corpus fraction). */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, salts: Int, saltSource: Column): DataFrame = {
-    val sp = probe.withColumn("__salt", pmod(saltSource, lit(salts)))
+    // NULL-safe: a NULL saltSource would otherwise yield a NULL salt that
+    // matches no replicated build salt, silently dropping probe rows whose
+    // join KEY is valid. Salt 0 keeps them (skew-spread just degrades).
+    val sp = probe.withColumn("__salt", coalesce(pmod(saltSource, lit(salts)), lit(0)))
     val sb = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     sp.join(sb, sp(probeKey) === sb(buildKey) && sp("__salt") === sb("__salt"))
       .drop("__salt")

@@ -73,7 +73,10 @@ object Nulls {
     val statExpr: String => Column = strategy match {
       case "mean"   => c => avg(col(c))
       case "median" => c => expr(s"percentile($c, 0.5)")
-      case "mode"   => c => mode(col(c))
+      // deterministic=true: lowest value wins frequency ties, so the
+      // imputed value is reproducible (and oracle-expressible as
+      // ORDER BY count DESC, value LIMIT 1).
+      case "mode"   => c => expr(s"mode($c, true)")
       case s        => throw new IllegalArgumentException(s"unknown strategy $s")
     }
     val stats = df.agg(statExpr(cols.head).as(s"__${cols.head}"),
@@ -93,17 +96,8 @@ object Nulls {
   * per (group, partition), not the data.
   */
 object Aggregates {
-  def sumBy(df: DataFrame, key: String, value: String): DataFrame =
-    df.groupBy(key).agg(sum(value).as(s"sum_$value"))
-
-  def avgBy(df: DataFrame, key: String, value: String): DataFrame =
-    df.groupBy(key).agg(avg(value).as(s"avg_$value"))
-
   def countBy(df: DataFrame, key: String): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("count"))
-
-  def globalSum(df: DataFrame, value: String): DataFrame =
-    df.agg(sum(value).as(s"sum_$value"))
 
   /** A5: `describe()` re-derived as explicit count/mean/stddev/min/max so
     * the result is a flat, oracle-comparable relation (one row per column).

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.lake.Tables
 
@@ -17,14 +17,28 @@ import graft.lake.Tables
   */
 object Alerts {
 
+  /** Azure-style severity band (0 = critical .. 4 = verbose, mirroring the
+    * reference's "Sévérité 0-4" rule scale,
+    * `/root/reference/README.md:217-244`), derived from how far the
+    * (ROUNDED — oracle-parity) measure overshoots the rule threshold. */
+  def severity(total: Column, threshold: Double): Column =
+    when(total > 4 * threshold, 0)
+      .when(total > 3 * threshold, 1)
+      .when(total > 2 * threshold, 2)
+      .when(total > 1.5 * threshold, 3)
+      .otherwise(4)
+      .cast("int")
+
   /** Batch form of the volume alert: 5-minute tumbling windows where the
-    * summed value exceeds `threshold`. The window start is projected as a
-    * flat timestamp so the result is an ordinary relation. */
+    * summed value exceeds `threshold`, graded with the rule's severity
+    * band. The window start is projected as a flat timestamp so the result
+    * is an ordinary relation. */
   def volumeAlertBatch(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     Tables(spark, dir, "events")
       .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"))
       .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
       .filter(col("total_value") > threshold)
+      .withColumn("severity", severity(col("total_value"), threshold))
 
   /** Sliding-window variant (window length 10 min, slide 5 min): each
     * event lands in length/slide = 2 overlapping windows. Same shuffle
@@ -48,7 +62,14 @@ object Alerts {
 
   /** Streaming form of the operation-match alert: stateless filter →
     * per-user counts in update mode (the KQL rule's >= 1 row threshold
-    * fires on first match). */
+    * fires on first match).
+    *
+    * STATE CAVEAT: the running count is keyed by user_id with no watermark,
+    * so state is O(distinct users that ever matched) for the life of the
+    * query — matching the KQL rule's all-time semantics. For an unbounded
+    * keyspace at 100 TB/day, prefer the windowed [[volumeAlertStream]]
+    * shape (watermark finalizes and DROPS old windows) or roll the count
+    * into a window column here so state stays O(active windows × users). */
   def operationAlertStream(events: DataFrame, needle: String,
       onAlert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     events
@@ -72,7 +93,8 @@ object Alerts {
       .groupBy(window(col("ts"), "5 minutes"))
       .agg(sum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
       .filter(col("total_value") > threshold)
-      .select(col("window.start").as("window_start"), col("total_value"), col("n_events"))
+      .select(col("window.start").as("window_start"), col("total_value"), col("n_events"),
+        severity(col("total_value"), threshold).as("severity"))
     alerts.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) => onAlert(batch, id) }

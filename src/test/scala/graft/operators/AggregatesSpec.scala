@@ -61,6 +61,19 @@ class AggregatesSpec extends SparkSpec {
     assert(d("Salary").getDouble(4) == 15000.0 && d("Salary").getDouble(5) == 30000.0)
   }
 
+  test("approx_count_distinct is within 3*rsd of the exact per-group count") {
+    val li = graft.lake.Tables(spark, sfDir, "lineitem")
+    val exact = Aggregates.distinctCountBy(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Aggregates.approxDistinctBy(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1L, (3 * 0.05 * ex).toLong),
+        s"group $k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("rollup/cube include grand-total rows") {
     val r = Aggregates.rollupAgg(test3, Seq("Name", "Departments"), "salary")
     val grand = r.filter(col("Name").isNull && col("Departments").isNull)

@@ -44,6 +44,14 @@ class NullsSpec extends SparkSpec {
     assert(filled.filter(col("Salary").isNull).count() == 1)
   }
 
+  test("N6 type-matched fill: numeric fill touches ONLY numeric columns") {
+    val filled = Nulls.fillNumeric(df, 0.0)
+    assert(filled.filter(col("age").isNull).count() == 0)
+    assert(filled.filter(col("Experience").isNull).count() == 0)
+    assert(filled.filter(col("Salary").isNull).count() == 0)
+    assert(filled.filter(col("Name").isNull).count() == 2) // strings untouched
+  }
+
   test("N7/A6 mean imputation reproduces the notebook goldens 28/5/25750") {
     // pyspark-2.ipynb:298-318 output: age_imputed 28, Experience_imputed 5,
     // Salary_imputed 25750 (int-typed columns truncate the mean).

@@ -32,6 +32,18 @@ class AlertsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("severity bands the threshold overshoot on the 0-4 Azure scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sevs = Seq(1500.0, 1000.0, 700.0, 500.0, 350.0).toDF("total")
+      .select(Alerts.severity(col("total"), 300.0).as("sev"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sevs == Seq(0, 1, 2, 3, 4))
+    // batch volume alert carries the banded severity column
+    val batch = Alerts.volumeAlertBatch(spark, sfDir, 300.0)
+    assert(batch.columns.contains("severity"))
+  }
+
   test("volumeAlertStream fires on over-threshold windows and drops late data past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -47,7 +59,8 @@ class AlertsSpec extends SparkSpec {
       query.processAllAvailable()
       assert(alerts.synchronized(alerts.exists(r =>
         r.getAs[Timestamp]("window_start") == ts(0)
-          && r.getAs[Double]("total_value") == 450.0)))
+          && r.getAs[Double]("total_value") == 450.0
+          && r.getAs[Int]("severity") == 4)))   // 450 !> 1.5x300 -> verbose band
 
       // window [01:00, 01:05): single 400 -> alert; watermark advances to
       // max event time (01:00) - 10 min = 00:50
