@@ -297,6 +297,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
+    "q_dedup_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
@@ -651,6 +652,7 @@ object SparkEntry {
 
     "q_minhash_sig" -> minhashSigSql,
     "q_dedup_minhash" -> minhashPairsSql,
+    "q_dedup_cluster" -> minhashClusterSql,
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
@@ -727,13 +729,42 @@ object SparkEntry {
       s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n")
 
+  /** The capped within-bucket pair expansion (mirrors
+    * Dedup.minhashCandidatePairsOf): full C(n,2) for buckets up to
+    * MaxBucket, min-id star pairs beyond. Yields CTEs `grouped` and a
+    * final SELECT-able `cand` (doc_a, doc_b). */
+  private def cappedPairCtes: String =
+    s"""grouped AS (
+       |  SELECT band, bucket, list_sort(list(doc_id)) AS ids
+       |  FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+       |expanded AS (
+       |  SELECT unnest(CASE WHEN len(ids) <= ${Dedup.MaxBucket}
+       |    THEN flatten(list_transform(range(1, len(ids)), i ->
+       |           list_transform(range(i + 1, len(ids) + 1), j -> {'a': ids[i], 'b': ids[j]})))
+       |    ELSE list_transform(ids[2:], x -> {'a': ids[1], 'b': x})
+       |  END) AS p FROM grouped),
+       |cand AS (
+       |  SELECT DISTINCT p.a AS doc_a, p.b AS doc_b FROM expanded)""".stripMargin
+
   private def minhashPairsSql: String =
     s"""WITH sigs AS ($minhashSigSql),
        |bands AS (
-       |$bandRowsSql)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+       |$bandRowsSql),
+       |$cappedPairCtes
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
+
+  /** One min-propagation step over band buckets (mirrors
+    * Dedup.minhashClustersOf): per-bucket min doc_id, then the min of
+    * those over each document's buckets. */
+  private def minhashClusterSql: String =
+    s"""WITH sigs AS ($minhashSigSql),
+       |bands AS (
+       |$bandRowsSql),
+       |reps AS (
+       |  SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket)
+       |SELECT b.doc_id, min(r.rep) AS cluster_id
+       |FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+       |GROUP BY b.doc_id""".stripMargin
 
   private def simhashCoreSql: String = {
     val hv = (1 to 8).map { i =>
@@ -785,10 +816,7 @@ object SparkEntry {
     s"""WITH sigs AS ($minhashSigSql),
        |bands AS (
        |$bandRowsSql),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |$cappedPairCtes,
        |docs AS (
        |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
        |  WHERE len(sh) > 0),
@@ -836,7 +864,7 @@ object SparkEntry {
        |    SELECT vec_id, embedding, c_id,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
        |    FROM qscored WHERE vec_id < 10)
-       |  WHERE rn <= 2),
+       |  WHERE rn <= ${Similarity.IvfNprobe}),
        |scored AS (
        |  SELECT p.q_id, a.vec_id,
        |    round(${cosSql("p.q_emb", "a.embedding")}, 4) AS cosine
@@ -847,11 +875,19 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
 
+  /** Multi-cell assignment (each vector in its EmbedAssignCells nearest
+    * cells) with pair dedup — mirrors Dedup.embeddingNearDupPairs. */
   private def embedDedupSql: String =
-    s"""WITH $quantizeCtes
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    s"""WITH $quantizeCtes,
+       |massign AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT vec_id, embedding, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
+       |    FROM qscored)
+       |  WHERE rn <= ${Dedup.EmbedAssignCells})
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
-       |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |FROM massign a JOIN massign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3""".stripMargin
 
   /** Byte histogram over the UTF-8 payload, bucket = high nibble of each
@@ -872,31 +908,39 @@ object SparkEntry {
        |FROM h""".stripMargin
   }
 
-  /** LSH bucket arithmetic in SQL: the same md5-nibble plane coefficients
-    * the Spark plan bakes in as literals (Similarity.planeCoefs), computed
-    * per (plane, dim) inline. */
+  /** Multi-table multi-probe LSH in SQL (mirrors Similarity.lshTopK): the
+    * SAME md5-derived plane coefficients the Spark plan bakes in as
+    * literals, here as exact decimal array literals (each value is
+    * k/65536 - 0.5 — a finite decimal that round-trips bit-identically
+    * into a double), one bucket expression per table, and the query side
+    * exploded over every Hamming-ball XOR mask. */
   private def lshAnnSql: String = {
-    def nib(p: Int, i: Int) =
-      s"(instr('0123456789abcdef', substring(md5('plane$p|' || CAST(d - 1 AS VARCHAR)), $i, 1)) - 1)"
-    val bucketExpr = (0 until Similarity.LshPlanes).map { p =>
-      val v = s"${nib(p, 1)} * 4096 + ${nib(p, 2)} * 256 + ${nib(p, 3)} * 16 + ${nib(p, 4)}"
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |      d -> CAST(embedding[d] AS DOUBLE) * (($v) / 65536.0 - 0.5))) > 0
-         |    THEN ${math.pow(2, p).toLong} ELSE 0 END)""".stripMargin
-    }.mkString("\n  + ")
+    def coefArr(plane: Int): String =
+      Similarity.planeCoefs(plane)
+        .map(v => new java.math.BigDecimal(v).toPlainString)
+        .mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String =
+      (0 until Similarity.LshPlanes).map { p =>
+        s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+           |      CAST(${coefArr(t * Similarity.LshPlanes + p)} AS DOUBLE[])) > 0
+           |    THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString("\n  + ")
+    val tableRows = (0 until Similarity.LshTables).map { t =>
+      s"""  SELECT vec_id, embedding, $t AS tbl,
+         |  ${bucketExpr(t)} AS bucket FROM embeddings""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val probeList = Similarity.probeMasks
+      .map(m => s"xor(bucket, $m)").mkString(", ")
     s"""WITH b AS (
-       |  SELECT vec_id, embedding,
-       |  $bucketExpr AS bucket
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       |$tableRows),
+       |p AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, tbl AS q_tbl,
+       |    unnest([$probeList]) AS probe
        |  FROM b WHERE vec_id < 10),
        |scored AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-       |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
-       |  FROM b e JOIN q ON e.bucket = q.q_bucket AND e.vec_id != q.q_id)
+       |  SELECT DISTINCT p.q_id, e.vec_id,
+       |    round(${cosSql("p.q_emb", "e.embedding")}, 4) AS cosine
+       |  FROM b e JOIN p ON e.tbl = p.q_tbl AND e.bucket = p.probe AND e.vec_id != p.q_id)
        |SELECT q_id, vec_id, cosine, rank FROM (
        |  SELECT q_id, vec_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank

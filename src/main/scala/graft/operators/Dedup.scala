@@ -60,9 +60,14 @@ object Dedup {
     * hashes derived arithmetically — 16x less hashing than salting md5 per
     * slot, same min-wise family guarantees. Documents with no shingle
     * (fewer than 3 tokens) are excluded. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val sh   = Text.shingles(col("text"), 3)
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables(spark, dir, "documents"))
+
+  /** [[minhashSignatures]] over an explicit (doc_id, text) relation —
+    * the DataFrame-first form every table-path entry point delegates to
+    * (and what specs use to plant pathological corpora). */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
+    val sh = Text.shingles(col("text"), 3)
     val sigCols = (0 until MinhashK).map { i =>
       array_min(transform(col("hashes"),
         h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))
@@ -88,8 +93,11 @@ object Dedup {
     * All `Bands` buckets come from ONE projection over the signatures
     * (posexplode of the bucket array) — the shingle→md5-min pipeline runs
     * exactly once per document, not once per band. */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(Tables(spark, dir, "documents"))
+
+  def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesOf(docs)
     val bucketCols = (0 until Bands).map { b =>
       val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(h => col(s"mh_$h"))
       md5(concat_ws("|", slots: _*))
@@ -98,21 +106,61 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /** Bucket-population cap: buckets up to this size expand to all C(n,2)
+    * pairs; larger buckets (mass duplication) switch to the linear
+    * representative (star) form. 64 ids -> at most 2016 pairs per bucket
+    * row — bounded regardless of how degenerate the corpus is. */
+  val MaxBucket = 64
+
+  /** Star pairs for an oversized SORTED bucket: every member pairs with the
+    * bucket's min-id representative — O(n) rows instead of O(n²). The
+    * transitive "all copies are mutual duplicates" information is preserved
+    * through the representative (the cluster form [[minhashClusters]] is
+    * the first-class way to consume it). */
+  private def starPairsOf(xs: Column): Column =
+    transform(slice(xs, lit(2), size(xs) - 1), x =>
+      struct(element_at(xs, 1).as("a"), x.as("b")))
+
   /** Candidate near-duplicate pairs: documents sharing any band bucket.
     * Shape: ONE pass computes signatures, one shuffle groups doc_ids by
     * (band, bucket), and pairs expand WITHIN each bucket from the sorted
     * id array — no self-join, so the signature pipeline is never
-    * recomputed. Pair count is inherently C(bucket, 2); at 100 TB a
-    * pathological bucket (mass exact-duplication) is better served by the
-    * bucket→representative clustering form than by pair listing. */
+    * recomputed. Pair expansion is C(bucket, 2) ONLY up to `maxBucket`;
+    * beyond it (a planted 10⁴-copy document would otherwise put ~5·10⁷
+    * pairs in a single row/task) the bucket emits min-id star pairs —
+    * linear in the bucket, so no single-task blowup at 100 TB. */
   def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
-    minhashBands(spark, dir)
+    minhashCandidatePairsOf(Tables(spark, dir, "documents"))
+
+  def minhashCandidatePairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    minhashBandsOf(docs)
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(when(size(col("ids")) <= maxBucket, pairsOf(col("ids")))
+        .otherwise(starPairsOf(col("ids")))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+
+  /** Cluster form of MinHash dedup — the scale-native output shape for
+    * mass duplication: each document maps to ONE representative (the
+    * smallest doc_id over every (band, bucket) population it belongs to).
+    * One shuffle for the per-bucket min (window, no sort needed), one
+    * map-side-combined min per doc_id. Row count is N, never C(n,2) —
+    * a downstream "keep one per cluster" filter is `cluster_id = doc_id`.
+    * (One min-propagation step, not full connected components: documents
+    * joined only through a chain of buckets keep distinct representatives;
+    * iterating to a fixpoint would add a loop of the same shuffle.) */
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame =
+    minhashClustersOf(Tables(spark, dir, "documents"))
+
+  def minhashClustersOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    minhashBandsOf(docs)
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(min(col("rep")).as("cluster_id"))
+  }
 
   /** SimHash layout: 32 bits from the first 8 hex chars of md5(token),
     * banded as 4 chunks of 8 bits. 16 bits saturates beyond ~1k documents
@@ -229,19 +277,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Embedding near-dup: pairs with cosine >= threshold, restricted to the
-    * same coarse cell from the sampled-codebook quantizer
-    * ([[Quantize]]): cell assignment is a map-only projection, the
-    * self-join is an equi-join on cell — within-cell pair counts are
-    * bounded by cell size (~N/C), never the global cross product. */
+  /** Cells each vector is assigned to in the embedding near-dup join. A
+    * single-cell assignment misses near-dups that straddle a cell boundary
+    * (measured pair recall 0.21 at C=N/2 on sf0.01); assigning each vector
+    * to its 4 nearest cells lifts recall to 0.79 while the join stays an
+    * equi-join with a 4x (constant) row expansion. */
+  val EmbedAssignCells = 4
+
+  /** Embedding near-dup: pairs with cosine >= threshold, restricted to a
+    * shared coarse cell from the broadcast sampled-codebook quantizer
+    * ([[Quantize]]): cell assignment is a map-only projection over the
+    * broadcast codebook (no driver collect, no plan literals — C can be
+    * ~√N), each vector lands in its [[EmbedAssignCells]] nearest cells,
+    * and the self-join is an equi-join on cell — within-cell pair counts
+    * are bounded by cell size (~N·A/C), never the global cross product.
+    * Pairs sharing several cells are deduplicated AFTER the (cheap)
+    * threshold filter. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val emb   = Tables(spark, dir, "embeddings")
-    val cents = Quantize.centroidsLocal(emb)
+    val emb = Tables(spark, dir, "embeddings")
     // norm materialized once per VECTOR (not once per pair — the pair count
-    // is ~N²/C, the vector count is N).
-    val cells = emb.select(col("vec_id"), col("embedding"),
-      Quantize.cellExpr(col("embedding"), cents).as("cell"),
-      Vectors.norm(col("embedding")).as("nrm"))
+    // is ~N²·A²/C, the vector count is N·A).
+    val cells = Quantize.withCodebook(emb, emb)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"),
+        explode(Quantize.probeCellsExpr(col("embedding"), col("cents"),
+          EmbedAssignCells)).as("cell"))
     val a = cells.as("a")
     val b = cells.as("b")
     a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -249,5 +309,6 @@ object Dedup {
         round(Vectors.dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }

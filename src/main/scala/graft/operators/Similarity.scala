@@ -13,62 +13,82 @@ import graft.lake.Tables
   *  - brute force: exact, O(|Q| * N); right answer when |Q| is small and
   *    the corpus fits a broadcast-probe pattern (queries broadcast, corpus
   *    streamed — the 100 TB side is never shuffled).
-  *  - IVF-style cell-restricted: probe only the query's coarse cell
-  *    (the label column stands in for a k-means codebook assignment) —
-  *    the equi-join on cell turns the cross product into a partitioned
-  *    hash join. This is the scale path.
-  *  - LSH (random hyperplane): sign-bit bucket join; hyperplanes are
-  *    derived deterministically from md5 so plans are reproducible.
+  *  - IVF-style cell-restricted: probe only the query's nearest coarse
+  *    cells — the equi-join on cell turns the cross product into a
+  *    partitioned hash join. This is the scale path.
+  *  - LSH (random hyperplane, multi-table multi-probe): sign-bit bucket
+  *    join; hyperplanes are derived deterministically from md5 so plans
+  *    are reproducible.
   */
 /** IVF-style coarse quantizer: a deterministic sampled codebook (every
   * `CodebookStep`-th vector — random-sample codebooks are a standard IVF
   * initialization; Lloyd iterations would refine, not change the shape)
-  * with cell assignment as a PURE PROJECTION.
+  * with cell assignment as a broadcast-codebook projection.
   *
-  * The codebook is collected driver-side — it is bounded (~√N cells in a
-  * real deployment) and plays the same role as a broadcast dimension — and
-  * baked into the plan as literal arrays, so assigning 100 TB of vectors is
-  * a map-only stage: no shuffle, no row explosion, one argmax over C
-  * cosines per row. Affinities are rounded to 4 decimals with centroid-id
-  * tie-break so the argmax is reproducible in the SQL oracle.
+  * The codebook is aggregated into ONE array-of-structs row and attached to
+  * the corpus with a broadcast join — the centroid values live in the
+  * broadcast payload at RUNTIME, never in the plan. That keeps the plan
+  * (expression tree, codegen, task binaries) O(1) in the codebook size C,
+  * so C can grow toward the ~√N cells a real IVF deployment uses; the
+  * earlier driver-`collect()` + `typedlit` formulation grew the plan
+  * linearly with C and capped out around C ≈ 100. Assignment is still one
+  * argmax over C cosines per row with NO shuffle of the corpus (the build
+  * side is a single row). Affinities are rounded to 4 decimals with
+  * centroid-id tie-break so the argmax is reproducible in the SQL oracle.
   */
 object Quantize {
 
-  /** Sampling stride for the deterministic codebook. */
-  val CodebookStep = 50
+  /** Sampling stride for the deterministic codebook. C = N/step: small
+    * enough to broadcast, large enough (hundreds at the verify SF) to prove
+    * the plan does not grow with it. */
+  val CodebookStep = 2
 
   def codebook(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % CodebookStep === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
-  /** Codebook as driver-side literals (the IVF codebook always lives with
-    * the planner/driver; float->double is exact). */
-  def centroidsLocal(emb: DataFrame): Seq[(Long, Seq[Double])] =
-    codebook(emb).collect().toSeq.map { r =>
-      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
-    }
+  /** The whole codebook as ONE row holding a sorted array of
+    * (c_id, c_emb, c_nrm) structs — the broadcast build side. Norms are
+    * computed here, once per centroid, not once per (row, centroid). */
+  def codebookRow(emb: DataFrame): DataFrame = codebookRowOf(codebook(emb))
+
+  /** [[codebookRow]] over an explicit (c_id, c_emb) centroid relation. */
+  def codebookRowOf(cent: DataFrame): DataFrame =
+    cent
+      .select(struct(
+        col("c_id"),
+        col("c_emb").cast("array<double>").as("c_emb"),
+        Vectors.norm(col("c_emb")).as("c_nrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+
+  /** Attach the broadcast single-row codebook to every row of `df` as a
+    * `cents` column. A 1-row build side makes the BroadcastNestedLoopJoin
+    * a free map-side attach: the probe side streams, nothing shuffles. */
+  def withCodebook(df: DataFrame, emb: DataFrame): DataFrame =
+    df.crossJoin(broadcast(codebookRow(emb)))
 
   /** Per-centroid affinity structs, orderable: (rounded cosine, -c_id) so
     * the natural struct max = highest affinity, smallest id on ties.
     * The embedding's norm is let-bound (computed once, not once per
-    * centroid) and centroid norms are Scala-side constants — same
-    * sequential-fold doubles the SQL oracle computes at runtime. */
-  private def scoredCellsArr(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    * centroid); centroid norms ride in the broadcast structs. */
+  private def scoredCellsArr(emb: Column, cents: Column): Column =
     graft.functions.Text.let(Vectors.norm(emb)) { n =>
-      array(cents.map { case (cid, vec) =>
-        val normC = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
-        struct(round(Vectors.dot(emb, typedlit(vec)) / (n * lit(normC)), 4).as("a"),
-          lit(-cid).as("nc"))
-      }: _*)
+      transform(cents, c =>
+        struct(
+          round(Vectors.dot(emb, c.getField("c_emb"))
+            / (n * c.getField("c_nrm")), 4).as("a"),
+          (-c.getField("c_id")).as("nc")))
     }
 
-  /** Nearest-centroid cell id — one projection, evaluates in-stage. */
-  def cellExpr(emb: Column, cents: Seq[(Long, Seq[Double])]): Column =
+  /** Nearest-centroid cell id — one projection over the broadcast
+    * codebook column, evaluates in-stage. */
+  def cellExpr(emb: Column, cents: Column): Column =
     -array_max(scoredCellsArr(emb, cents)).getField("nc")
 
   /** The `nprobe` nearest cells (affinity desc, id-asc ties) as an array —
-    * the query-side multi-probe. */
-  def probeCellsExpr(emb: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    * the query-side multi-probe, and (exploded) the multi-cell assignment
+    * the embedding near-dup join uses. */
+  def probeCellsExpr(emb: Column, cents: Column, nprobe: Int): Column =
     transform(
       slice(reverse(array_sort(scoredCellsArr(emb, cents))), 1, nprobe),
       s => -s.getField("nc"))
@@ -91,6 +111,12 @@ object Similarity {
     round(Vectors.dot(col("q_emb"), col("embedding"))
       / (col("q_nrm") * col("nrm")), 4)
 
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors for each of the first `nQueries` vectors.
     * The query side is broadcast; the corpus side streams through a single
     * stage (scan -> cosine -> per-query top-k). Ranking uses row_number
@@ -100,36 +126,46 @@ object Similarity {
     val q      = queriesSet(spark, dir, nQueries)
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topK(scored, k)
   }
 
-  /** IVF ANN with the sampled-codebook quantizer: the corpus is assigned
-    * one cell each (map-only projection, [[Quantize.cellExpr]]); each query
-    * probes its `nprobe` nearest cells. The equi-join on cell turns the
-    * cross product into a partitioned hash join over ~nprobe/C of the
-    * corpus — the scale path; recall trades against nprobe. */
+  /** Default number of cells each IVF query probes. With a ~√N codebook
+    * the cells are small; probing several keeps recall useful while the
+    * scanned fraction stays ~nprobe/C. */
+  val IvfNprobe = 8
+
+  /** IVF ANN with the broadcast sampled-codebook quantizer: the corpus is
+    * assigned one cell each (map-only projection over the broadcast
+    * codebook, [[Quantize.cellExpr]]); each query probes its `nprobe`
+    * nearest cells. The equi-join on cell turns the cross product into a
+    * partitioned hash join over ~nprobe/C of the corpus — the scale path;
+    * recall trades against nprobe. */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = IvfNprobe): DataFrame = {
     val emb    = Tables(spark, dir, "embeddings")
-    val cents  = Quantize.centroidsLocal(emb)
-    val corpus = corpusWithNorm(spark, dir)
-      .withColumn("cell", Quantize.cellExpr(col("embedding"), cents))
-    val q = corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries)
+    val corpus = Quantize.withCodebook(corpusWithNorm(spark, dir), emb)
+      .withColumn("cell", Quantize.cellExpr(col("embedding"), col("cents")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val q = Quantize.withCodebook(
+        corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries), emb)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        explode(Quantize.probeCellsExpr(col("embedding"), cents, nprobe)).as("q_cell"))
+        explode(Quantize.probeCellsExpr(col("embedding"), col("cents"), nprobe)).as("q_cell"))
     val scored = corpus.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topK(scored, k)
   }
 
-  /** Number of LSH hyperplanes (bucket bits). */
+  /** Number of LSH hyperplanes per table (bucket bits). */
   val LshPlanes = 8
+
+  /** Number of independent LSH tables (each with its own plane set). */
+  val LshTables = 8
+
+  /** Query-side multi-probe radius: all buckets within this Hamming
+    * distance of the query's bucket are probed, per table. */
+  val LshProbeRadius = 2
 
   /** Max embedding dimensionality the precomputed plane matrix covers. */
   val LshMaxDims = 64
@@ -141,42 +177,67 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
     * first 4 hex chars of md5("plane{p}|{d}") as a 16-bit value, scaled to
-    * [-0.5, 0.5). Identical to the md5-nibble arithmetic the SQL oracle
-    * runs — but evaluated ONCE driver-side (the matrix is a plan literal),
-    * not per row: at 100 TB, 8 planes x 64 dims of per-row md5 would
-    * dominate the scan. */
+    * [-0.5, 0.5). Table t owns plane ids t*LshPlanes .. t*LshPlanes+7.
+    * Evaluated ONCE driver-side (the matrix is a plan literal), not per
+    * row: at 100 TB, per-row md5 plane derivation would dominate the scan.
+    * Every value is k/65536 - 0.5 (k a 16-bit int) — exactly representable
+    * as a double, so the literal round-trips bit-identically through the
+    * SQL oracle's decimal literals. */
   def planeCoefs(plane: Int): Seq[Double] =
     (0 until LshMaxDims).map { d =>
       Integer.parseInt(md5hex(s"plane$plane|$d").substring(0, 4), 16) / 65536.0 - 0.5
     }
 
-  /** Sign-bit LSH bucket id for an embedding: bit p = [dot(v, plane_p) > 0].
+  /** Sign-bit LSH bucket id in table `table`: bit p = [dot(v, plane_p) > 0].
     * The plane matrix is a literal array sliced to the embedding's length;
-    * the dot is a higher-order-function fold — evaluates in-stage. */
-  def lshBucket(emb: Column): Column =
+    * the dot routes to the native codegen'd graft_dot. */
+  def lshBucket(emb: Column, table: Int = 0): Column =
     (0 until LshPlanes).map { p =>
-      val coefs = array(planeCoefs(p).map(lit): _*)
-      val dotP = aggregate(
-        zip_with(emb.cast("array<double>"), slice(coefs, lit(1), size(emb)),
-          (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP > 0, math.pow(2, p).toLong).otherwise(0L)
+      val coefs = array(planeCoefs(table * LshPlanes + p).map(lit): _*)
+      when(Vectors.dot(emb, slice(coefs, lit(1), size(emb))) > 0,
+        1L << p).otherwise(0L)
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates share the query's hyperplane-sign bucket;
-    * exact cosine re-ranks within bucket. At 100 TB the bucket column is
-    * precomputed and the corpus bucketed/partitioned by it, so a query
-    * probe touches one partition. */
+  /** XOR masks for the Hamming ball of radius [[LshProbeRadius]] around a
+    * bucket: identity + all 1-bit and 2-bit flips (1 + 8 + 28 = 37 probes
+    * per table at the defaults). */
+  def probeMasks: Seq[Long] =
+    0L +: (1 to LshProbeRadius).flatMap(r =>
+      (0 until LshPlanes).combinations(r).map(_.map(1L << _).sum).toSeq)
+
+  /** LSH-bucketed ANN, multi-table + multi-probe: the corpus is indexed in
+    * [[LshTables]] independent sign-bit tables (one (table, bucket) row per
+    * vector per table — the standard L-table LSH layout; at 100 TB these
+    * are precomputed bucket indexes); each query probes the full
+    * Hamming-<=[[LshProbeRadius]] ball around its bucket in every table.
+    * Candidates found by several tables/probes are deduplicated BEFORE
+    * ranking (distinct on the scored row) so row_number never double-counts
+    * a neighbor. The corpus side never shuffles — the probe set is
+    * broadcast; only the candidate rows (3 narrow columns) shuffle for the
+    * distinct + per-query ranking.
+    *
+    * Recall is governed by (tables, radius): a single 8-plane table probed
+    * exactly finds bucket-mates only (measured recall ~0 vs brute force on
+    * the near-orthogonal test vectors); 8 tables probed to radius 2 reach
+    * recall 1.0 on sf0.01 (SimilaritySpec asserts >= 0.9). The probe count
+    * is L * 37 tiny broadcast rows per query — independent of N. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val corpus = corpusWithNorm(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding")))
-    val q = queriesSet(spark, dir, nQueries)
-      .withColumn("q_bucket", lshBucket(col("q_emb")))
+    def withBuckets(df: DataFrame, emb: Column, out: Seq[String]): DataFrame =
+      df.select(df.columns.map(col) :+
+        posexplode(array((0 until LshTables).map(t => lshBucket(emb, t)): _*)): _*)
+        .toDF(df.columns ++ out: _*)
+    val corpus = withBuckets(corpusWithNorm(spark, dir), col("embedding"),
+      Seq("tbl", "bucket"))
+    val q = withBuckets(queriesSet(spark, dir, nQueries), col("q_emb"),
+      Seq("q_tbl", "q_bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("q_tbl"),
+        explode(array(probeMasks.map(m =>
+          col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
     val scored = corpus.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        col("tbl") === col("q_tbl") && col("bucket") === col("probe")
+          && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .distinct()
+    topK(scored, k)
   }
 }

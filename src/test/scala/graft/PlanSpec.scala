@@ -70,13 +70,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pair generation should be join-free:\n$p")
   }
 
-  test("IVF cell assignment is a pure projection (no exchange before the cell column)") {
+  test("IVF cell assignment: broadcast codebook, no corpus shuffle, no plan literals") {
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = Quantize.centroidsLocal(emb)
-    val p = plan(emb.select(col("vec_id"),
-      Quantize.cellExpr(col("embedding"), cents).as("cell")))
-    assert(!p.contains("Exchange"), s"cell assignment should not shuffle:\n$p")
-    assert(!p.contains("Join"), s"cell assignment should not join:\n$p")
+    val df = Quantize.withCodebook(emb, emb).select(col("vec_id"),
+      Quantize.cellExpr(col("embedding"), col("cents")).as("cell"))
+    val p = plan(df)
+    // the 1-row codebook is attached by broadcast; the corpus side streams
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebook not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"cell assignment should not shuffle the corpus:\n$p")
+    // centroids must ride in the broadcast payload, never the plan: no
+    // array-of-struct literal anywhere (would grow the plan with C)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val structLits = df.queryExecution.analyzed.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case l @ Literal(_, ArrayType(_: StructType, _)) => l })
+    assert(structLits.isEmpty, s"literal centroid array baked into the plan")
   }
 
   test("interval join keys on the user equi-column — the time range is a filter, not a cross product") {

@@ -66,6 +66,38 @@ class DedupSpec extends SparkSpec {
     assert(all.except(got).count() == 0)   // banding loses NOTHING within distance 3
   }
 
+  test("hot-bucket cap: a planted 1000-copy document expands linearly, not quadratically") {
+    import spark.implicits._
+    // 1000 identical documents + a few distinct ones: every band bucket of
+    // the copies holds all 1000 ids. Uncapped that is C(1000,2) = 499500
+    // pairs materialized from a single row; capped it must be the 999
+    // min-id star pairs.
+    val docs = ((0 until 1000).map(i => (i.toLong, "the same exact duplicated text body repeated"))
+      ++ Seq((2000L, "a completely different document about spark plans"),
+             (2001L, "yet another unrelated piece of text entirely")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairsOf(docs).collect()
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "star pairs must anchor on the min doc_id")
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 1000L).toSet)
+    // below the cap the expansion is the full pair set (unchanged semantics)
+    val small = Dedup.minhashCandidatePairsOf(docs.filter(col("doc_id") < 4))
+    assert(small.count() == 6)  // C(4,2)
+  }
+
+  test("cluster form: every copy maps to the min-id representative; distinct docs to themselves") {
+    import spark.implicits._
+    val docs = ((0 until 50).map(i => (i.toLong, "the same exact duplicated text body repeated"))
+      ++ Seq((100L, "a completely different document about spark plans")))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.minhashClustersOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 50).forall(i => clusters(i.toLong) == 0L))
+    assert(clusters(100L) == 100L)
+    // cluster output is one row per (shingled) document
+    assert(clusters.size == 51)
+  }
+
   test("jaccard verify stage: scores bounded, pairs are a subset of LSH candidates") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir, 0.5)
     assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
