@@ -26,7 +26,6 @@ object Bench {
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    var failed = List.empty[String]
     // Two timed runs per query, report the min: first-touch effects (page
     // cache, codegen compile, broadcast build) land on run 1 and can't
     // masquerade as a plan regression. Caches are cleared between queries
@@ -42,14 +41,19 @@ object Bench {
           None
         } finally spark.catalog.clearCache()
       }
-      if (times.isEmpty) failed ::= name
-      name -> times.sorted.headOption.getOrElse(-1.0)
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Failed queries are OMITTED from the per-query map (no -1 sentinel to
+    // special-case); a query that failed one of its two runs is listed in
+    // partial_failures — its surviving time is reported but flagged.
+    val failed  = results.collect { case (n, ts) if ts.isEmpty => n }.sorted
+    val partial = results.collect { case (n, ts) if ts.size == 1 => n }.sorted
+    val ok = results.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val total = ok.map(_._2).sum
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

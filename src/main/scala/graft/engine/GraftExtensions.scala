@@ -3,26 +3,44 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, LshBuckets, TopCells}
 
 /** Engine extensions, installed via `spark.sql.extensions`: registers the
   * native vector expressions as SQL functions so both the Column API
   * (`call_function("graft_dot", ...)`) and plain SQL can reach them. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def checkArity(name: String, expected: Int, actual: Int): Unit =
+    if (actual != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> actual.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
-        if (children.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`graft_dot`",
-              "expectedNum" -> "2",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+        checkArity("graft_dot", 2, children.length)
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_top_cells", 5, children.length)
+        TopCells(children(0), children(1), children(2), children(3), children(4))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_lsh_buckets", 4, children.length)
+        LshBuckets(children(0), children(1), children(2), children(3))
       }))
     // declarative HOF dot products upgrade to the native expression
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

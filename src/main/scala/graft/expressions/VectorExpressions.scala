@@ -1,10 +1,12 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -75,4 +77,238 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+private object VectorExprUtil {
+  /** Spark's `round(x, 4)` for doubles, exactly (RoundBase semantics):
+    * NaN/Infinity pass through; otherwise decimal HALF_UP at scale 4 on
+    * the Double.toString-based BigDecimal — bit-identical to the
+    * `round(..., 4)` the SQL oracles compute. Fast path: away from a
+    * decimal .00005 tie (the shortest-string value sits within ~1e-13 of
+    * v·10⁴, far under the 1e-9 guard band) plain floor(x·10⁴ + 0.5)/10⁴
+    * lands on the identical double, so BigDecimal only runs for the rare
+    * near-tie values. */
+  def round4(v: Double): Double =
+    if (v.isNaN || v.isInfinity) v
+    else {
+      val scaled = v * 10000.0
+      val frac = scaled - math.floor(scaled)
+      if (math.abs(frac - 0.5) > 1e-9) math.floor(scaled + 0.5) / 10000.0
+      else java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+  /** Spark SQL double ordering (SQLOrderingUtil): -0.0 == 0.0, NaN largest. */
+  def cmpDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+}
+
+/** Top-k nearest centroids of the broadcast codebook for one embedding:
+  * `graft_top_cells(emb, flat, nrms, ids, k)` returns the `k` centroid ids
+  * ordered by (round(cosine, 4) DESC, id ASC) — the IVF cell assignment
+  * (k=1) and query multi-probe (k=nprobe) in ONE tight loop.
+  *
+  * `flat` is the row-major concatenation of the C centroid embeddings
+  * (C × d doubles), `nrms` their precomputed norms, `ids` their ids —
+  * three flat arrays from the single-row broadcast codebook, so the whole
+  * argmax is O(C·d) primitive multiply-adds per row with zero per-centroid
+  * object churn. The equivalent declarative formulation (a `transform`
+  * building C structs + `array_sort`) is semantically identical but runs
+  * interpreted per element — ~20x slower at C=1000 (measured; HOFs get no
+  * codegen). Per-row work is O(C·d), so CodegenFallback's row-at-a-time
+  * dispatch overhead is immaterial — codegen would inline this same loop.
+  *
+  * Semantics mirrored in the SQL oracle: affinity = round(dot/(|e||c|), 4)
+  * with Spark's HALF_UP double rounding, ties broken by smaller id, doubles
+  * ordered with -0.0 == 0.0 and NaN largest (SQLOrderingUtil). Null input
+  * or a shape mismatch (|flat| != C·d, d = 0) -> null. */
+case class TopCells(emb: Expression, flat: Expression, nrms: Expression,
+    ids: Expression, k: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(emb, flat, nrms, ids, k)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dArr(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    }
+    val ok = dArr(emb.dataType) && dArr(flat.dataType) && dArr(nrms.dataType) &&
+      (ids.dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+      k.dataType == IntegerType && k.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>, array<double>, " +
+        s"array<bigint>, foldable int), got ${children.map(_.dataType.simpleString)}")
+  }
+
+  @transient private lazy val kVal: Int = k.eval(null).asInstanceOf[Int]
+
+  /** The whole top-k loop, callable by-reference from generated code (the
+    * CodegenFallback route would instead COPY the input row — including the
+    * entire flat codebook — once per corpus row). Returns null on shape
+    * mismatch. */
+  def compute(e: ArrayData, f: ArrayData, nr: ArrayData, id: ArrayData): ArrayData = {
+    val d = e.numElements()
+    val c = id.numElements()
+    if (d == 0 || c == 0 || f.numElements() != c * d || nr.numElements() != c) return null
+    var j = 0
+    var ss = 0.0
+    while (j < d) { val x = e.getDouble(j); ss += x * x; j += 1 }
+    val normE = math.sqrt(ss)
+    val n = math.min(kVal, c)
+    val topAff = new Array[Double](n)
+    val topId  = new Array[Long](n)
+    var filled = 0
+    var ci = 0
+    while (ci < c) {
+      var dot = 0.0
+      val base = ci * d
+      j = 0
+      while (j < d) { dot += e.getDouble(j) * f.getDouble(base + j); j += 1 }
+      val aff = VectorExprUtil.round4(dot / (normE * nr.getDouble(ci)))
+      val cid = id.getLong(ci)
+      // insertion position: ordered by (aff desc, id asc)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = VectorExprUtil.cmpDouble(aff, topAff(pos - 1))
+        cmp > 0 || (cmp == 0 && cid < topId(pos - 1))
+      }) pos -= 1
+      if (pos < n) {
+        val last = math.min(filled, n - 1)
+        var m = last
+        while (m > pos) { topAff(m) = topAff(m - 1); topId(m) = topId(m - 1); m -= 1 }
+        topAff(pos) = aff
+        topId(pos) = cid
+        if (filled < n) filled += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val eAny = emb.eval(input)
+    val fAny = flat.eval(input)
+    val nAny = nrms.eval(input)
+    val iAny = ids.eval(input)
+    if (eAny == null || fAny == null || nAny == null || iAny == null) null
+    else compute(eAny.asInstanceOf[ArrayData], fAny.asInstanceOf[ArrayData],
+      nAny.asInstanceOf[ArrayData], iAny.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eGen = emb.genCode(ctx)
+    val fGen = flat.genCode(ctx)
+    val nGen = nrms.genCode(ctx)
+    val iGen = ids.genCode(ctx)
+    val self = ctx.addReferenceObj("topCellsExpr", this, classOf[TopCells].getName)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        |${eGen.code}
+        |${fGen.code}
+        |${nGen.code}
+        |${iGen.code}
+        |boolean ${ev.isNull} = true;
+        |$ad ${ev.value} = null;
+        |if (!${eGen.isNull} && !${fGen.isNull} && !${nGen.isNull} && !${iGen.isNull}) {
+        |  ${ev.value} = $self.compute(${eGen.value}, ${fGen.value}, ${nGen.value}, ${iGen.value});
+        |  ${ev.isNull} = ${ev.value} == null;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopCells =
+    copy(emb = c(0), flat = c(1), nrms = c(2), ids = c(3), k = c(4))
+}
+
+/** All [[graft.operators.Similarity.LshTables]] sign-bit LSH buckets of one
+  * embedding in one pass: `graft_lsh_buckets(emb, planes, planesPerTable,
+  * maxDims)` returns array<long> with one bucket per table; bit p of table
+  * t is [dot(emb, plane_{t·pp+p}) > 0].
+  *
+  * `planes` is ONE flat literal (tables × planesPerTable × maxDims doubles,
+  * row-major, stride maxDims) — replacing the 4096-node literal forest the
+  * per-plane Column formulation produced, which blew codegen out of
+  * whole-stage and evaluated interpreted. The dot uses the first
+  * min(d, maxDims) dims — identical to the sliced-coefficient fold the SQL
+  * oracle runs. A null embedding -> null; a null element makes every
+  * plane's dot null, which the old `when(dot > 0, ...)` formulation turned
+  * into bit 0 — mirrored here as all-zero buckets. */
+case class LshBuckets(emb: Expression, planes: Expression,
+    planesPerTable: Expression, maxDims: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(emb, planes, planesPerTable, maxDims)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dArr(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    }
+    val ok = dArr(emb.dataType) && dArr(planes.dataType) && planes.foldable &&
+      planesPerTable.dataType == IntegerType && planesPerTable.foldable &&
+      maxDims.dataType == IntegerType && maxDims.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, foldable array<double>, " +
+        s"foldable int, foldable int), got ${children.map(_.dataType.simpleString)}")
+  }
+
+  @transient private lazy val pp: Int = planesPerTable.eval(null).asInstanceOf[Int]
+  @transient private lazy val md: Int = maxDims.eval(null).asInstanceOf[Int]
+  @transient private lazy val planeArr: Array[Double] =
+    planes.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  /** All-table bucket loop, callable by-reference from generated code. */
+  def compute(e: ArrayData): ArrayData = {
+    val d = e.numElements()
+    val nTables = planeArr.length / md / pp
+    val out = new Array[Long](nTables)
+    val n = math.min(d, md)
+    var j = 0
+    while (j < d) { if (e.isNullAt(j)) return new GenericArrayData(out); j += 1 }
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < pp) {
+        val base = (t * pp + p) * md
+        var dot = 0.0
+        j = 0
+        while (j < n) { dot += e.getDouble(j) * planeArr(base + j); j += 1 }
+        if (dot > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val eAny = emb.eval(input)
+    if (eAny == null) null else compute(eAny.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val eGen = emb.genCode(ctx)
+    val self = ctx.addReferenceObj("lshBucketsExpr", this, classOf[LshBuckets].getName)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        |${eGen.code}
+        |boolean ${ev.isNull} = ${eGen.isNull};
+        |$ad ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $self.compute(${eGen.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LshBuckets =
+    copy(emb = c(0), planes = c(1), planesPerTable = c(2), maxDims = c(3))
 }

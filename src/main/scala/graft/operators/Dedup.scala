@@ -202,16 +202,13 @@ object Dedup {
     * equi-join on (chunk index, chunk value), then the exact Hamming test
     * (bit_count of xor) filters. No quadratic pass anywhere. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    // Persist the signature table: the self-join reads it twice and
-    // Spark's exchange reuse does not deduplicate the two (canonically
-    // identical) sides. Block-level locking makes concurrent stage
-    // materialization compute each partition once. The table is tiny —
-    // (doc_id, 32-bit sig) per document — and at corpus scale it would be
-    // written out as its own artifact anyway. CACHE LIFECYCLE: the cache
-    // must outlive the returned (lazy) DataFrame's execution, so the
-    // CALLER owns release — `spark.catalog.clearCache()` (or unpersist on
-    // this plan) after the action; Bench/Verify clear between queries.
-    val sigs = simhash(spark, dir).persist()
+    // NO cache: the self-join's two sides shuffle the IDENTICAL child plan
+    // by the identical (chunk, chunk_val) key, so exchange reuse (AQE
+    // stage dedup / ReusedExchange) materializes the tokenize→vote→sign
+    // pipeline and its shuffle exactly once — verified by DedupSpec's
+    // ReusedExchange assertion. That removes the round-3 footgun where the
+    // returned lazy plan depended on a persist() nobody owned releasing.
+    val sigs = simhash(spark, dir)
     // All 4 chunk values from ONE projection (posexplode) over ONE lineage;
     // the self-join below shuffles both sides by the identical (chunk,
     // chunk_val) key, so Spark's ReusedExchange evaluates the

@@ -47,9 +47,11 @@ object Quantize {
     emb.filter(col("vec_id") % CodebookStep === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
-  /** The whole codebook as ONE row holding a sorted array of
-    * (c_id, c_emb, c_nrm) structs — the broadcast build side. Norms are
-    * computed here, once per centroid, not once per (row, centroid). */
+  /** The whole codebook as ONE row holding a `cents` struct of three flat
+    * arrays — ids (sorted), the row-major concatenation of the centroid
+    * embeddings, and their precomputed norms — the broadcast build side in
+    * the exact shape [[graft.expressions.TopCells]] consumes (primitive
+    * arrays, no per-centroid structs to unwrap per row). */
   def codebookRow(emb: DataFrame): DataFrame = codebookRowOf(codebook(emb))
 
   /** [[codebookRow]] over an explicit (c_id, c_emb) centroid relation. */
@@ -59,7 +61,11 @@ object Quantize {
         col("c_id"),
         col("c_emb").cast("array<double>").as("c_emb"),
         Vectors.norm(col("c_emb")).as("c_nrm")).as("c"))
-      .agg(array_sort(collect_list(col("c"))).as("cents"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+      .select(struct(
+        transform(col("cs"), c => c.getField("c_id")).as("ids"),
+        flatten(transform(col("cs"), c => c.getField("c_emb"))).as("flat"),
+        transform(col("cs"), c => c.getField("c_nrm")).as("nrms")).as("cents"))
 
   /** Attach the broadcast single-row codebook to every row of `df` as a
     * `cents` column. A 1-row build side makes the BroadcastNestedLoopJoin
@@ -67,31 +73,19 @@ object Quantize {
   def withCodebook(df: DataFrame, emb: DataFrame): DataFrame =
     df.crossJoin(broadcast(codebookRow(emb)))
 
-  /** Per-centroid affinity structs, orderable: (rounded cosine, -c_id) so
-    * the natural struct max = highest affinity, smallest id on ties.
-    * The embedding's norm is let-bound (computed once, not once per
-    * centroid); centroid norms ride in the broadcast structs. */
-  private def scoredCellsArr(emb: Column, cents: Column): Column =
-    graft.functions.Text.let(Vectors.norm(emb)) { n =>
-      transform(cents, c =>
-        struct(
-          round(Vectors.dot(emb, c.getField("c_emb"))
-            / (n * c.getField("c_nrm")), 4).as("a"),
-          (-c.getField("c_id")).as("nc")))
-    }
-
-  /** Nearest-centroid cell id — one projection over the broadcast
-    * codebook column, evaluates in-stage. */
+  /** Nearest-centroid cell id — one native-expression projection over the
+    * broadcast codebook column, evaluates in-stage. */
   def cellExpr(emb: Column, cents: Column): Column =
-    -array_max(scoredCellsArr(emb, cents)).getField("nc")
+    element_at(probeCellsExpr(emb, cents, 1), 1)
 
-  /** The `nprobe` nearest cells (affinity desc, id-asc ties) as an array —
-    * the query-side multi-probe, and (exploded) the multi-cell assignment
-    * the embedding near-dup join uses. */
+  /** The `nprobe` nearest cells (rounded-affinity desc, id-asc ties) as an
+    * array — the query-side multi-probe, and (exploded) the multi-cell
+    * assignment the embedding near-dup join uses. One O(C·d) primitive
+    * loop per row ([[graft.expressions.TopCells]]). */
   def probeCellsExpr(emb: Column, cents: Column, nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(scoredCellsArr(emb, cents))), 1, nprobe),
-      s => -s.getField("nc"))
+    call_function("graft_top_cells", emb.cast("array<double>"),
+      cents.getField("flat"), cents.getField("nrms"), cents.getField("ids"),
+      lit(nprobe))
 }
 
 object Similarity {
@@ -188,15 +182,21 @@ object Similarity {
       Integer.parseInt(md5hex(s"plane$plane|$d").substring(0, 4), 16) / 65536.0 - 0.5
     }
 
-  /** Sign-bit LSH bucket id in table `table`: bit p = [dot(v, plane_p) > 0].
-    * The plane matrix is a literal array sliced to the embedding's length;
-    * the dot routes to the native codegen'd graft_dot. */
+  /** All [[LshTables]] sign-bit bucket ids of an embedding as ONE array
+    * column: bit p of table t = [dot(v, plane_{t·8+p}) > 0]. The full
+    * plane matrix is a SINGLE flat literal consumed by the native
+    * [[graft.expressions.LshBuckets]] loop — the per-plane Column
+    * formulation (64 dot expressions × 64-element literal arrays) blew the
+    * plan up to thousands of nodes and fell out of codegen. */
+  def lshBucketsExpr(emb: Column): Column =
+    call_function("graft_lsh_buckets", emb.cast("array<double>"),
+      typedlit[Seq[Double]]((0 until LshTables * LshPlanes).flatMap(planeCoefs).toList),
+      lit(LshPlanes), lit(LshMaxDims))
+
+  /** Single-table bucket id (table 0 by default) — the planted-collision
+    * property tests use this directly. */
   def lshBucket(emb: Column, table: Int = 0): Column =
-    (0 until LshPlanes).map { p =>
-      val coefs = array(planeCoefs(table * LshPlanes + p).map(lit): _*)
-      when(Vectors.dot(emb, slice(coefs, lit(1), size(emb))) > 0,
-        1L << p).otherwise(0L)
-    }.reduce(_ + _)
+    element_at(lshBucketsExpr(emb), table + 1)
 
   /** XOR masks for the Hamming ball of radius [[LshProbeRadius]] around a
     * bucket: identity + all 1-bit and 2-bit flips (1 + 8 + 28 = 37 probes
@@ -223,8 +223,7 @@ object Similarity {
     * is L * 37 tiny broadcast rows per query — independent of N. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
     def withBuckets(df: DataFrame, emb: Column, out: Seq[String]): DataFrame =
-      df.select(df.columns.map(col) :+
-        posexplode(array((0 until LshTables).map(t => lshBucket(emb, t)): _*)): _*)
+      df.select(df.columns.map(col) :+ posexplode(lshBucketsExpr(emb)): _*)
         .toDF(df.columns ++ out: _*)
     val corpus = withBuckets(corpusWithNorm(spark, dir), col("embedding"),
       Seq("tbl", "bucket"))

@@ -85,13 +85,15 @@ object Alerts {
     * older than the watermark are finalized and dropped, so state size is
     * O(active windows), independent of stream length. `foreachBatch` is
     * the action sink (the reference sends mail/SMS; we hand each alert
-    * micro-batch to a callback). */
+    * micro-batch to a callback). The measure is rounded exactly like the
+    * batch form, so batch and streaming shapes of the same rule agree at
+    * severity band boundaries. */
   def volumeAlertStream(events: DataFrame, threshold: Double,
       onAlert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val alerts = events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"))
-      .agg(sum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+      .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
       .filter(col("total_value") > threshold)
       .select(col("window.start").as("window_start"), col("total_value"), col("n_events"),
         severity(col("total_value"), threshold).as("severity"))
@@ -100,4 +102,26 @@ object Alerts {
       .foreachBatch { (batch: DataFrame, id: Long) => onAlert(batch, id) }
       .start()
   }
+
+  /** Bounded-state form of the operation-match alert: matched counts keyed
+    * by (tumbling window, user) with a watermark, so state is
+    * O(active windows × users seen in them) — windows behind the watermark
+    * are finalized and DROPPED, unlike [[operationAlertStream]]'s all-time
+    * running counts (whose state grows with every user that ever matched).
+    * This is the shape to run against an unbounded keyspace at 100 TB/day;
+    * the rule's >= 1 threshold still fires on a user's first match within
+    * the window. */
+  def operationAlertStreamWindowed(events: DataFrame, needle: String,
+      windowLen: String = "5 minutes", delay: String = "10 minutes")(
+      onAlert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withWatermark("ts", delay)
+      .filter(lower(col("event_type")).contains(needle))
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_matches"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) => onAlert(batch, id) }
+      .start()
 }

@@ -62,6 +62,49 @@ class VectorExpressionsSpec extends SparkSpec {
     df.collect()  // still evaluates
   }
 
+  test("graft_top_cells == the declarative struct-sort argmax, bit-for-bit on real embeddings") {
+    import graft.functions.Text
+    import graft.operators.Quantize
+    val emb = graft.lake.Tables(spark, sfDir, "embeddings")
+    // the declarative reference: per-centroid (round4 cosine, -id) structs,
+    // sorted desc, top-8 — exactly what the SQL oracle computes
+    val centsStruct = Quantize.codebook(emb)
+      .select(struct(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"),
+        Vectors.norm(col("c_emb")).as("c_nrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents_s"))
+    val hofProbe = transform(slice(reverse(array_sort(
+      Text.let(Vectors.norm(col("embedding"))) { n =>
+        transform(col("cents_s"), c => struct(
+          round(Vectors.dot(col("embedding"), c.getField("c_emb"))
+            / (n * c.getField("c_nrm")), 4).as("a"),
+          (-c.getField("c_id")).as("nc")))
+      })), 1, 8), s => -s.getField("nc"))
+    val df = Quantize.withCodebook(emb.crossJoin(broadcast(centsStruct)), emb)
+      .select(col("vec_id"),
+        Quantize.probeCellsExpr(col("embedding"), col("cents"), 8).as("native"),
+        hofProbe.as("declarative"))
+    assert(df.count() == emb.count())
+    val diff = df.filter(not(col("native") === col("declarative"))).count()
+    assert(diff == 0, s"$diff of ${emb.count()} probe lists differ")
+  }
+
+  test("graft_lsh_buckets == the per-plane when/dot formulation, all tables") {
+    import graft.operators.Similarity
+    val emb = graft.lake.Tables(spark, sfDir, "embeddings")
+    val declared = (0 until Similarity.LshTables).map { t =>
+      (0 until Similarity.LshPlanes).map { p =>
+        val coefs = array(Similarity.planeCoefs(t * Similarity.LshPlanes + p).map(lit): _*)
+        when(Vectors.dot(col("embedding"), slice(coefs, lit(1), size(col("embedding")))) > 0,
+          1L << p).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val df = emb.select(col("vec_id"),
+      Similarity.lshBucketsExpr(col("embedding")).as("native"),
+      array(declared: _*).as("declarative"))
+    val diff = df.filter(not(col("native") === col("declarative"))).count()
+    assert(diff == 0, s"$diff of ${emb.count()} bucket arrays differ")
+  }
+
   test("the expression is registered for plain SQL too") {
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(10.0d, 20.0d)) AS d").head()
     assert(r.getDouble(0) == 50.0)

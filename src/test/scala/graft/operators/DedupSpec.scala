@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.functions.Text
 import graft.lake.Tables
 
 /** North-star dedup operators over the sf0.001 driver tables. The pair
@@ -56,6 +57,17 @@ class DedupSpec extends SparkSpec {
     assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
   }
 
+  test("simhash pairs: signature pipeline computed ONCE via exchange reuse, no cache left behind") {
+    val df = Dedup.simhashNearDupPairs(spark, sfDir, 3)
+    df.collect()   // run THIS dataset's QueryExecution so AQE finalizes it
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"self-join sides did not reuse the signature exchange:\n${executed.take(3000)}")
+    // the operator owns no cache: nothing persisted after the action
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "simhashNearDupPairs left persisted blocks behind")
+  }
+
   test("pigeonhole completeness: every pair within Hamming 3 shares a chunk (is found)") {
     val sigs = Dedup.simhash(spark, sfDir)
     val all = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -103,6 +115,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
     val cand = Dedup.minhashCandidatePairs(spark, sfDir)
     assert(pairs.select("doc_a", "doc_b").except(cand).count() == 0)
+  }
+
+  test("recall telemetry: MinHash-LSH candidates cover >= 0.9 of true pairs at jaccard >= 0.7") {
+    // The S-curve Pr[candidate] = 1-(1-j^4)^4 gives ~0.67 at exactly
+    // j=0.7, ~0.88 at 0.8, >0.99 at 0.9 — so the measured operating point
+    // only clears 0.9 when the true-pair population sits well above the
+    // threshold, which is what near-duplicate corpora look like: planted
+    // one-token-dropped copies have j ~ (S-1)/S ~ 0.97+. This spec pins
+    // that operating point with numbers instead of citing the curve.
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val dups = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val corpus = docs.unionByName(dups)
+    // exact all-pairs Jaccard over distinct 3-gram shingles — viable at
+    // test N only; this is the oracle the LSH path approximates
+    val sh = corpus
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truePairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("inter")
+        / (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("j") >= 0.7)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.size >= 50, s"expected >= 50 planted true pairs, got ${truePairs.size}")
+    val cand = Dedup.minhashCandidatePairsOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truePairs.count(cand)
+    assert(hit >= 0.9 * truePairs.size,
+      s"MinHash-LSH recall $hit/${truePairs.size} below 0.9 at j >= 0.7")
   }
 
   test("embedding near-dup pairs stay within cosine bounds and cell restriction") {

@@ -32,6 +32,40 @@ class AlertsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("operationAlertStreamWindowed fires per (window, user) and EXPIRES state behind the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "event_type", "ts")
+    val alerts = mutable.Buffer[Row]()
+    val q = Alerts.operationAlertStreamWindowed(events, "error") {
+      (batch, _) => alerts.synchronized { alerts ++= batch.collect() }
+    }
+    try {
+      // window [00:00, 00:05): user 1 matches twice, user 2 never
+      mem.addData((1L, "Error", ts(0)), (1L, "ERROR_fatal", ts(2)), (2L, "click", ts(1)))
+      q.processAllAvailable()
+      assert(alerts.synchronized(alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(0) && r.getLong(1) == 1L && r.getLong(2) == 2L)))
+      assert(alerts.synchronized(!alerts.exists(_.getLong(1) == 2L)))
+
+      // two later windows advance the watermark to 01:50
+      mem.addData((2L, "error_a", ts(60)))
+      q.processAllAvailable()
+      mem.addData((3L, "error_b", ts(120)))
+      q.processAllAvailable()
+
+      // a batch running at watermark 01:50 must have dropped the state of
+      // windows [00:00,00:05) and [01:00,01:05) — only [02:00,02:05)
+      // survives. (Unbounded operationAlertStream would hold all 3 users.)
+      mem.addData((4L, "error_late", ts(20)))   // behind watermark: dropped
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators(0)
+      assert(st.numRowsTotal == 1, s"expected 1 live (window,user) state row, got ${st.numRowsTotal}")
+      assert(alerts.synchronized(!alerts.exists(_.getLong(1) == 4L)), "late event must not alert")
+    } finally q.stop()
+  }
+
   test("severity bands the threshold overshoot on the 0-4 Azure scale") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
