@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, LshBuckets, TopCells}
+import graft.expressions.{DotProduct, LshBuckets, Md5Prefix, MinhashSig, TopCells}
 
 /** Engine extensions, installed via `spark.sql.extensions`: registers the
   * native vector expressions as SQL functions so both the Column API
@@ -41,6 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         checkArity("graft_lsh_buckets", 4, children.length)
         LshBuckets(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5_prefix"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_md5_prefix", 2, children.length)
+        Md5Prefix(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_minhash", 4, children.length)
+        MinhashSig(children(0), children(1), children(2), children(3))
       }))
     // declarative HOF dot products upgrade to the native expression
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

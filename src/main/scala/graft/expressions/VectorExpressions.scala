@@ -223,6 +223,161 @@ case class TopCells(emb: Expression, flat: Expression, nrms: Expression,
     copy(emb = c(0), flat = c(1), nrms = c(2), ids = c(3), k = c(4))
 }
 
+private[expressions] object HashUtil {
+  /** Per-thread MessageDigest — expression instances are shared across
+    * tasks by codegen references, and MessageDigest is stateful. */
+  private val md5 = ThreadLocal.withInitial(() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** The first `nibbles` hex digits of md5(bytes) as a long — identical to
+    * the `instr('0123456789abcdef', substring(md5(s), i, 1)) - 1` digit
+    * arithmetic the declarative formulation (and the SQL oracle) runs,
+    * without materializing the hex string. */
+  def md5Prefix(bytes: Array[Byte], nibbles: Int): Long = {
+    val digest = md5.get()
+    digest.reset()
+    val h = digest.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = h(i >> 1) & 0xFF
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
+/** `graft_md5_prefix(s, nibbles)`: the first `nibbles` hex digits of
+  * md5(s) as a bigint — the base hash of the MinHash family and the
+  * SimHash token value. Semantically identical to the declarative
+  * md5 → substring → instr digit arithmetic (what the SQL oracles run),
+  * but one native call instead of an interpreted let-bound HOF per row:
+  * the md5 hex string is never materialized and the per-nibble
+  * `substring`/`instr` expression tree disappears. */
+case class Md5Prefix(child: Expression, nibbles: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = nibbles
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType &&
+      nibbles.dataType == IntegerType && nibbles.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable int), got " +
+        s"${children.map(_.dataType.simpleString)}")
+
+  @transient private lazy val n: Int = nibbles.eval(null).asInstanceOf[Int]
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    HashUtil.md5Prefix(s.getBytes, n)
+
+  override def nullSafeEval(s: Any, k: Any): Any =
+    compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5PrefixExpr", this, classOf[Md5Prefix].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) => s"${ev.value} = $self.compute($s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5Prefix =
+    copy(child = newLeft, nibbles = newRight)
+}
+
+/** `graft_minhash(shingles, a, b, p)`: the full MinHash signature of a
+  * shingle array in ONE loop — per shingle one md5 (7-nibble base hash),
+  * then every universal-hash slot `(a_i*h + b_i) mod p` folded into its
+  * running min. Output: array<long> of length k = |a|.
+  *
+  * Replaces `transform(shingles, baseHash)` + k × `array_min(transform(
+  * hashes, ...))` — 17 interpreted HOF passes per document (HOFs get no
+  * codegen) — with one native call that the SQL oracle's
+  * `list_aggregate(list_transform(...), 'min')` formulation mirrors
+  * value-for-value. Null array -> null; null shingle elements are
+  * skipped (Spark's transform would propagate null into array_min, which
+  * ignores nulls — same outcome). Empty array -> null (callers filter
+  * size > 0 first). */
+case class MinhashSig(shingles: Expression, aCoefs: Expression,
+    bCoefs: Expression, p: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(shingles, aCoefs, bCoefs, p)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (shingles.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && (aCoefs.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }) && aCoefs.foldable && (bCoefs.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }) && bCoefs.foldable && p.dataType == LongType && p.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable array<bigint> x2, " +
+        s"foldable bigint), got ${children.map(_.dataType.simpleString)}")
+  }
+
+  @transient private lazy val aArr: Array[Long] =
+    aCoefs.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val bArr: Array[Long] =
+    bCoefs.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val pVal: Long = p.eval(null).asInstanceOf[Long]
+
+  def compute(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
+    val k = aArr.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        val h = HashUtil.md5Prefix(sh.getUTF8String(i).getBytes, 7)
+        var s = 0
+        while (s < k) {
+          val v = (aArr(s) * h + bArr(s)) % pVal
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val shAny = shingles.eval(input)
+    if (shAny == null) null else compute(shAny.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shGen = shingles.genCode(ctx)
+    val self = ctx.addReferenceObj("minhashExpr", this, classOf[MinhashSig].getName)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        |${shGen.code}
+        |boolean ${ev.isNull} = true;
+        |$ad ${ev.value} = null;
+        |if (!${shGen.isNull}) {
+        |  ${ev.value} = $self.compute(${shGen.value});
+        |  ${ev.isNull} = ${ev.value} == null;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinhashSig =
+    copy(shingles = c(0), aCoefs = c(1), bCoefs = c(2), p = c(3))
+}
+
 /** All [[graft.operators.Similarity.LshTables]] sign-bit LSH buckets of one
   * embedding in one pass: `graft_lsh_buckets(emb, planes, planesPerTable,
   * maxDims)` returns array<long> with one bucket per table; bit p of table

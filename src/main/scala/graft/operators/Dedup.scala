@@ -45,21 +45,13 @@ object Dedup {
   def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
   def minhashB(i: Int): Long = (40503L * (i + 7) * (i + 7)) % MinhashP
 
-  /** Base shingle hash: first 7 hex nibbles of md5 as an integer (< 2^28).
-    * The nibble arithmetic is the portable-to-SQL trick used throughout;
-    * the md5 is let-bound so it is computed once, not once per nibble. */
-  private def baseHash(s: Column): Column =
-    Text.let(md5(s)) { h =>
-      (1 to 7).map { i =>
-        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
-          lit(1L << (4 * (7 - i)))
-      }.reduce(_ + _)
-    }
-
-  /** MinHash signature per document: ONE md5 per shingle, then 16 universal
-    * hashes derived arithmetically — 16x less hashing than salting md5 per
-    * slot, same min-wise family guarantees. Documents with no shingle
-    * (fewer than 3 tokens) are excluded. */
+  /** MinHash signature per document: ONE md5 per shingle (7-nibble base
+    * hash), then 16 universal hashes derived arithmetically — 16x less
+    * hashing than salting md5 per slot, same min-wise family guarantees —
+    * all inside ONE native loop ([[graft.expressions.MinhashSig]]; the
+    * equivalent `transform` + k×`array_min(transform(...))` formulation
+    * the SQL oracle runs is 17 interpreted HOF passes per document).
+    * Documents with no shingle (fewer than 3 tokens) are excluded. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(Tables(spark, dir, "documents"))
 
@@ -68,15 +60,15 @@ object Dedup {
     * (and what specs use to plant pathological corpora). */
   def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val sh = Text.shingles(col("text"), 3)
-    val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("hashes"),
-        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinhashP)))
-        .as(s"mh_$i")
-    }
+    val sig = call_function("graft_minhash", col("shingles"),
+      typedlit[Seq[Long]]((0 until MinhashK).map(minhashA).toList),
+      typedlit[Seq[Long]]((0 until MinhashK).map(minhashB).toList),
+      lit(MinhashP))
+    val sigCols = (0 until MinhashK).map(i => element_at(col("mh"), i + 1).as(s"mh_$i"))
     docs
       .select(col("doc_id"), sh.as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), transform(col("shingles"), baseHash(_)).as("hashes"))
+      .select(col("doc_id"), sig.as("mh"))
       .select(col("doc_id") +: sigCols: _*)
   }
 
@@ -174,20 +166,19 @@ object Dedup {
   /** 32-bit SimHash per document: each distinct token votes +1/-1 on each
     * bit of its md5-derived value; the sign of the summed votes is the
     * fingerprint bit. One explode + one groupBy — both map-side
-    * combinable. The md5 is let-bound: one evaluation per token. */
+    * combinable. The token value is one native
+    * [[graft.expressions.Md5Prefix]] call (the let-bound hex-digit
+    * formulation ran an interpreted single-element HOF per token row). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val hexVal = Text.let(md5(col("token"))) { h =>
-      (1 to 8).map { i =>
-        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
-          lit(1L << (4 * (8 - i)))
-      }.reduce(_ + _)
-    }
+    val hexVal = call_function("graft_md5_prefix", col("token"), lit(8))
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
       .withColumn("hv", hexVal)
+    // (hv >> j) & 1 — value-identical to the oracle's floor(hv/2^j) % 2
+    // for the non-negative 32-bit hv, without the double division
     val bitVotes = (0 until SimhashBits).map { j =>
-      sum(when(floor(col("hv") / (1L << j)) % 2 === 1, 1).otherwise(-1)).as(s"v_$j")
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j")
     }
     val votes = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
     val sig = (0 until SimhashBits)
@@ -217,7 +208,7 @@ object Dedup {
     // per chunk, and quadratic in-row arrays over huge buckets serialize
     // the work — the streaming join parallelizes within buckets.
     val chunkVals = (0 until SimhashChunks).map { c =>
-      floor(col("simhash") / (1L << (c * ChunkBits))).mod(1 << ChunkBits)
+      shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
     }
     // shuffle_hash hint: AQE would otherwise broadcast one side, which
     // evaluates the signature pipeline twice (and is impossible at corpus
@@ -227,15 +218,26 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
       .hint("shuffle_hash")
+    // A pair within maxDist shares up to SimhashChunks chunks and would be
+    // emitted once per shared chunk; instead of a distinct() over the
+    // multi-million-row join output, keep only the row whose matched chunk
+    // is the pair's FIRST shared chunk — dedup at the source, one cheap
+    // filter, no extra shuffle.
+    val firstShared = coalesce((0 until SimhashChunks).map { c =>
+      when(shiftright(col("sim_a"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
+        === shiftright(col("sim_b"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1),
+        lit(c))
+    }: _*)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.chunk").as("chunk"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
+      .filter(col("chunk") === firstShared)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity, computed ONLY on MinHash-LSH

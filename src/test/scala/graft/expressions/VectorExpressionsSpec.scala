@@ -105,6 +105,47 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0, s"$diff of ${emb.count()} bucket arrays differ")
   }
 
+  test("graft_md5_prefix == the declarative md5 hex-digit arithmetic") {
+    import graft.functions.Text
+    val toks = graft.lake.Tables(spark, sfDir, "documents")
+      .select(explode(array_distinct(Text.tokens(col("text")))).as("token"))
+    def declarative(n: Int) = Text.let(md5(col("token"))) { h =>
+      (1 to n).map { i =>
+        (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long") *
+          lit(1L << (4 * (n - i)))
+      }.reduce(_ + _)
+    }
+    for (n <- Seq(7, 8)) {
+      val df = toks.select(
+        call_function("graft_md5_prefix", col("token"), lit(n)).as("native"),
+        declarative(n).as("decl"))
+      assert(df.filter(col("native") =!= col("decl")).count() == 0, s"mismatch at n=$n")
+    }
+  }
+
+  test("graft_minhash == the declarative transform/array_min universal-hash formulation") {
+    import graft.functions.Text
+    import graft.operators.Dedup
+    val base = graft.lake.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val declSlots = {
+      val hashes = transform(col("shingles"),
+        s => call_function("graft_md5_prefix", s, lit(7)))
+      (0 until Dedup.MinhashK).map { i =>
+        array_min(transform(hashes,
+          h => (lit(Dedup.minhashA(i)) * h + lit(Dedup.minhashB(i))) % lit(Dedup.MinhashP)))
+      }
+    }
+    val df = base.select(
+      call_function("graft_minhash", col("shingles"),
+        typedlit[Seq[Long]]((0 until Dedup.MinhashK).map(Dedup.minhashA).toList),
+        typedlit[Seq[Long]]((0 until Dedup.MinhashK).map(Dedup.minhashB).toList),
+        lit(Dedup.MinhashP)).as("native"),
+      array(declSlots: _*).as("decl"))
+    assert(df.filter(not(col("native") === col("decl"))).count() == 0)
+  }
+
   test("the expression is registered for plain SQL too") {
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(10.0d, 20.0d)) AS d").head()
     assert(r.getDouble(0) == 50.0)
