@@ -298,6 +298,7 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
+    "q_dedup_cc" -> ((s, d) => Dedup.minhashConnectedComponents(s, d, 3)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
@@ -653,6 +654,7 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSigSql,
     "q_dedup_minhash" -> minhashPairsSql,
     "q_dedup_cluster" -> minhashClusterSql,
+    "q_dedup_cc" -> minhashCcSql(3),
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
@@ -807,6 +809,28 @@ object SparkEntry {
        |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+  }
+
+  /** Min-label propagation unrolled `iterations` times over the band
+    * buckets (mirrors Dedup.minhashConnectedComponentsOf exactly: both
+    * sides run the same fixed iteration count). */
+  private def minhashCcSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""b$i AS (
+         |  SELECT b.band, b.bucket, min(l.label) AS bl
+         |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.doc_id
+         |  GROUP BY b.band, b.bucket),
+         |l$i AS (
+         |  SELECT b.doc_id, min(x.bl) AS label
+         |  FROM bands b JOIN b$i x ON b.band = x.band AND b.bucket = x.bucket
+         |  GROUP BY b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS ($minhashSigSql),
+       |bands AS (
+       |$bandRowsSql),
+       |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
+       |$steps
+       |SELECT doc_id, label AS cluster_id FROM l$iterations""".stripMargin
   }
 
   /** Mirrors the candidates-then-verify Spark plan: MinHash-LSH candidate

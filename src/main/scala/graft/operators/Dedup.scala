@@ -154,6 +154,39 @@ object Dedup {
       .agg(min(col("rep")).as("cluster_id"))
   }
 
+  /** Connected components over the LSH bucket graph by iterative min-label
+    * propagation: every document starts labeled with its own id; each
+    * iteration pushes the min label into every (band, bucket) population
+    * and back out to its members. `iterations` >= the bucket-graph
+    * diameter yields true components (duplicate classes joined through
+    * CHAINS of buckets collapse to one representative — the single
+    * min-propagation step of [[minhashClusters]] cannot see past one hop).
+    * Each iteration is two hash aggregations over the band table — the
+    * standard large-graph label-propagation shape, no driver state.
+    *
+    * The band table is `localCheckpoint`ed once: iterative plans otherwise
+    * re-evaluate the whole shingle→md5 pipeline 2·iterations+1 times (at
+    * corpus scale the band/signature table is a materialized artifact
+    * between stages anyway). */
+  def minhashConnectedComponents(spark: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame =
+    minhashConnectedComponentsOf(Tables(spark, dir, "documents"), iterations)
+
+  def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame = {
+    val bands = minhashBandsOf(docs).localCheckpoint()
+    var labels = bands.select(col("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to iterations) {
+      val bucketMin = bands.join(labels, "doc_id")
+        .groupBy(col("band"), col("bucket"))
+        .agg(min(col("label")).as("bl"))
+      labels = bands.join(bucketMin, Seq("band", "bucket"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bl")).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash layout: 32 bits from the first 8 hex chars of md5(token),
     * banded as 4 chunks of 8 bits. 16 bits saturates beyond ~1k documents
     * (birthday collisions make unrelated docs "near"); 32 bits keeps the

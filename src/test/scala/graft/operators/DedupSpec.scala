@@ -117,6 +117,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.select("doc_a", "doc_b").except(cand).count() == 0)
   }
 
+  test("connected components: converged labels == driver union-find over the candidate graph") {
+    val docs = Tables(spark, sfDir, "documents")
+    // ground truth: union-find over the (uncapped connectivity-preserving)
+    // candidate pairs, components labeled by their min doc_id
+    val edges = Dedup.minhashCandidatePairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Dedup.minhashBandsOf(docs).select("doc_id").distinct()
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n -> find(n)).toMap
+    // 8 iterations >> the bucket-graph diameter at this SF -> converged
+    val got = Dedup.minhashConnectedComponentsOf(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "converged CC labels differ from union-find components")
+    // one propagation step == the minhashClusters shape
+    val one = Dedup.minhashConnectedComponentsOf(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Dedup.minhashClustersOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == clusters)
+  }
+
   test("recall telemetry: MinHash-LSH candidates cover >= 0.9 of true pairs at jaccard >= 0.7") {
     // The S-curve Pr[candidate] = 1-(1-j^4)^4 gives ~0.67 at exactly
     // j=0.7, ~0.88 at 0.8, >0.99 at 0.9 — so the measured operating point
