@@ -254,6 +254,20 @@ object SparkEntry {
         .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           round(avg(col("k")), 4).as("avg_k"))),
     "q_funnel" -> ((s, d) => Funnel.clickToPurchase(s, d, 30)),
+    // as-of join: each purchase matched to the user's most recent click
+    // at-or-before it — union + running-last, no join node (PlanSpec)
+    "q_asof" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id").as("click_id"), unix_millis(col("ts")).as("click_ms"))
+      Joins.asofJoin(purchases, clicks, "user_id", "ms",
+        Seq("purchase_id", "purchase_value"), Seq("click_id", "click_ms"))
+        .withColumnRenamed("ms", "purchase_ms")
+    }),
     "q_sessions" -> ((s, d) =>
       Sessions.sessionsBatch(s, d, 30).select(
         col("user_id"), col("session_id").cast("int").as("session_id"),
@@ -566,6 +580,26 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
         |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
+    "q_asof" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
+        |    event_id AS purchase_id, value AS purchase_value,
+        |    CAST(NULL AS BIGINT) AS asof_click_id, CAST(NULL AS BIGINT) AS asof_click_ms
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 0, NULL, NULL, event_id, epoch_ms(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT k, t, side, purchase_id, purchase_value,
+        |    last_value(asof_click_id IGNORE NULLS) OVER w AS asof_click_id,
+        |    last_value(asof_click_ms IGNORE NULLS) OVER w AS asof_click_ms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY k ORDER BY t, side, asof_click_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS user_id, t AS purchase_ms, purchase_id, purchase_value,
+        |  asof_click_id, asof_click_ms
+        |FROM c WHERE side = 1 AND asof_click_id IS NOT NULL""".stripMargin,
+
     "q_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),

@@ -82,6 +82,48 @@ object Joins {
       .drop("__salt")
   }
 
+  /** As-of join — the time-series join Spark lacks as a built-in: for
+    * every `left` row, the single most recent `right` row with the same
+    * key and right time <= left time (ties at equal time INCLUDED, right
+    * rows among themselves tie-broken by `rightPayload.head`, which must
+    * be unique within (key, time) for determinism).
+    *
+    * Shape: UNION the two sides (right rows sort BEFORE left rows at the
+    * same time via the side flag) and carry every right payload forward
+    * with one running `last(_, ignoreNulls)` window — ONE shuffle by key,
+    * NO join node. The naive formulation is a range join (O(|L|·|R|) per
+    * key — a 100 TB scale-killer); this is the linear union-scan shape
+    * time-series stores use. Left rows with no preceding match are
+    * dropped (inner as-of). Output: key, time, leftPayload columns, and
+    * each right payload column prefixed `asof_`. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      leftPayload: Seq[String], rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightTypes = rightPayload.map(c => c -> right.schema(c).dataType)
+    val leftTypes  = leftPayload.map(c => c -> left.schema(c).dataType)
+    val lNorm = left.select(
+      Seq(col(key).as("asof_k"), col(time).as("asof_t"), lit(1).as("asof_side")) ++
+        leftPayload.map(col) ++
+        rightTypes.map { case (c, dt) => lit(null).cast(dt).as(s"asof_$c") }: _*)
+    val rNorm = right.select(
+      Seq(col(key).as("asof_k"), col(time).as("asof_t"), lit(0).as("asof_side")) ++
+        leftTypes.map { case (c, dt) => lit(null).cast(dt).as(c) } ++
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(col("asof_k"))
+      .orderBy(col("asof_t"), col("asof_side"), col(s"asof_${rightPayload.head}"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .select(
+        (Seq("asof_k", "asof_t", "asof_side") ++ leftPayload).map(col) ++
+          rightPayload.map(c =>
+            last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("asof_side") === 1 && col(s"asof_${rightPayload.head}").isNotNull)
+      .select((Seq("asof_k", "asof_t") ++ leftPayload ++
+        rightPayload.map("asof_" + _)).map(col): _*)
+      .withColumnRenamed("asof_k", key)
+      .withColumnRenamed("asof_t", time)
+  }
+
   /** Semi/anti join: customers with at least one order vs. none.
     * left_semi/left_anti move no payload columns from the probe side. */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
