@@ -144,6 +144,8 @@ object SparkEntry {
       Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
     "q_approx_distinct" -> ((s, d) => // sketch path: no oracle (impl-defined)
       Aggregates.approxDistinctBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
+    "q_approx_quantiles" -> ((s, d) => // sketch path: no oracle (impl-defined)
+      Aggregates.approxQuantilesBy(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity")),
     "q_rollup" -> ((s, d) =>
       Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
@@ -306,6 +308,16 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
+    // repetition metrics — the boilerplate/spam signal quality filters cut on
+    "q_text_repetition" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum("n").as("n_tokens_total"),
+          count(lit(1)).as("n_distinct_tokens"),
+          round(count(lit(1)) / sum("n"), 4).as("distinct_ratio"),
+          round(max("n") / sum("n"), 4).as("top_token_share"))),
 
     // -- dedup (north star)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -678,6 +690,16 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens_total,
+        |  count(*) AS n_distinct_tokens,
+        |  round(count(*) / CAST(sum(n) AS DOUBLE), 4) AS distinct_ratio,
+        |  round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_token_share
+        |FROM tf GROUP BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,

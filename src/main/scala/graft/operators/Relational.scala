@@ -130,6 +130,19 @@ object Aggregates {
   def approxDistinctBy(df: DataFrame, key: String, value: String, rsd: Double = 0.05): DataFrame =
     df.groupBy(key).agg(approx_count_distinct(col(value), rsd).as(s"approx_distinct_$value"))
 
+  /** Quantile sketch (Greenwald-Khanna `approx_percentile`): the scale
+    * path beside the exact `percentile` quartiles — mergeable partial
+    * sketches, one pass, bounded memory, vs the exact form's per-group
+    * value buffer. Not oracle-comparable (implementation-defined); the
+    * accuracy parameter bounds rank error to 1/accuracy, unit-asserted
+    * against the exact quartiles. */
+  def approxQuantilesBy(df: DataFrame, key: String, value: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(key).agg(
+      expr(s"approx_percentile($value, array(0.25, 0.5, 0.75), $accuracy)").as("q"))
+      .select(col(key), element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"), element_at(col("q"), 3).as("p75"))
+
   def rollupAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.rollup(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
 

@@ -74,6 +74,31 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile quartiles land within rank-error of the exact quartiles") {
+    // GK sketch at accuracy a bounds RANK error by n/a; translate to a
+    // value tolerance by checking the approx quartile's true rank.
+    val li = graft.lake.Tables(spark, sfDir, "lineitem")
+    val n = li.count().toDouble
+    val rankTol = n / 10000 + 1
+    val approx = Aggregates.approxQuantilesBy(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val values = li.groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    approx.foreach { case (k, qs) =>
+      val v = values(k)
+      Seq(0.25, 0.5, 0.75).zip(qs).foreach { case (p, q) =>
+        // with ties the value occupies a rank INTERVAL; it must overlap
+        // the target rank +- tolerance
+        val rankLo = v.count(_ < q) + 1
+        val rankHi = v.count(_ <= q)
+        val target = p * v.size
+        assert(rankLo <= target + rankTol && rankHi >= target - rankTol,
+          s"group $k p$p: approx $q occupies ranks [$rankLo,$rankHi], target $target")
+      }
+    }
+  }
+
   test("rollup/cube include grand-total rows") {
     val r = Aggregates.rollupAgg(test3, Seq("Name", "Departments"), "salary")
     val grand = r.filter(col("Name").isNull && col("Departments").isNull)
