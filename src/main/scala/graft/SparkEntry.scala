@@ -334,6 +334,36 @@ object SparkEntry {
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
+    // one distributed Lloyd update of the codebook: per-cell elementwise
+    // mean in LONG format (cell, dim, mean, n) — the training step that
+    // refines the sampled codebook into real k-means centroids. The
+    // repartition by cell is load-bearing: it materializes the O(C·d)
+    // argmax ONCE per vector at the exchange; without the barrier
+    // Catalyst collapses the cell projection into the post-explode
+    // aggregation and re-evaluates it per exploded row (64x). The same
+    // exchange already clusters by a prefix of the group keys, so the
+    // aggregation needs no second shuffle.
+    "q_codebook_refine" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Quantize.withCodebook(emb, emb)
+        .select(Quantize.cellExpr(col("embedding"), col("cents")).as("cell"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .repartition(col("cell"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .toDF("cell", "dim", "x")
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n"))
+    }),
+    // deterministic hash split for train/valid/test — reproducible across
+    // runs and engines (md5 of the id, not a sampled RNG)
+    "q_train_split" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          (call_function("graft_md5_prefix", col("doc_id").cast("string"), lit(7)) % 100)
+            .as("bucket"))
+        .select(col("doc_id"), col("bucket").cast("int").as("bucket"),
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "valid")
+            .otherwise("test").as("split"))),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -719,6 +749,25 @@ object SparkEntry {
     "q_ann_brute" -> annSql(cellRestricted = false),
     "q_ann_ivf" -> ivfSql,
     "q_ann_lsh" -> lshAnnSql,
+    "q_codebook_refine" ->
+      s"""WITH $quantizeCtes
+         |SELECT cell, CAST(s.dim AS INTEGER) AS dim,
+         |  round(avg(s.x), 4) + 0 AS mean_x, count(*) AS n
+         |FROM (
+         |  SELECT cell, unnest(list_transform(range(1, len(embedding) + 1),
+         |    i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+         |  FROM assign)
+         |GROUP BY cell, CAST(s.dim AS INTEGER)""".stripMargin,
+    "q_train_split" -> {
+      val h = (1 to 7).map { i =>
+        s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }.mkString(" + ")
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, CAST(($h) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin
+    },
 
     "q_mm_hist" -> mmHistSql,
     // frame sample: byte at 0-based position 16*i is the hex-digit pair at
