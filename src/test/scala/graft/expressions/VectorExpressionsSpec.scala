@@ -105,6 +105,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0, s"$diff of ${emb.count()} bucket arrays differ")
   }
 
+  test("round4 fast path == Spark's BigDecimal HALF_UP rounding on a million random doubles") {
+    // the TopCells affinity rounding takes a floor-based fast path away
+    // from decimal ties; it must be indistinguishable from the
+    // Double.toString-based BigDecimal rounding Spark's round() performs
+    def reference(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < 1000000) {
+      val v = rnd.nextDouble() * 2 - 1   // cosine range
+      assert(VectorExprUtil.round4(v) == reference(v), s"mismatch at $v")
+      i += 1
+    }
+    // adversarial: values AT and near decimal .00005 boundaries
+    for (k <- -20000 to 20000; eps <- Seq(0.0, 1e-13, -1e-13)) {
+      val v = k / 10000.0 + 0.00005 + eps
+      assert(VectorExprUtil.round4(v) == reference(v), s"boundary mismatch at $v")
+    }
+  }
+
   test("graft_md5_prefix == the declarative md5 hex-digit arithmetic") {
     import graft.functions.Text
     val toks = graft.lake.Tables(spark, sfDir, "documents")

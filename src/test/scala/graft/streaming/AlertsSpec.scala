@@ -117,6 +117,16 @@ class AlertsSpec extends SparkSpec {
       query.processAllAvailable()
       assert(alerts.synchronized(!alerts.exists(r =>
         r.getAs[Timestamp]("window_start") == ts(70))))
+
+      // severity band boundary: raw sum 450.004 rounds to 450.0, which is
+      // NOT > 1.5x300 — the stream must band it 4 exactly like the batch
+      // form (the measure is rounded BEFORE banding on both paths)
+      mem.addData((ts(75), 200.0), (ts(77), 250.004))
+      query.processAllAvailable()
+      assert(alerts.synchronized(alerts.exists(r =>
+        r.getAs[Timestamp]("window_start") == ts(75)
+          && r.getAs[Double]("total_value") == 450.0
+          && r.getAs[Int]("severity") == 4)))
     } finally query.stop()
   }
 }
