@@ -325,6 +325,21 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
     "q_dedup_cc" -> ((s, d) => Dedup.minhashConnectedComponents(s, d, 3)),
+    // the dedup pipeline's OUTPUT: one survivor per component
+    "q_dedup_survivors" -> ((s, d) =>
+      Dedup.minhashConnectedComponents(s, d, 3)
+        .filter(col("cluster_id") === col("doc_id")).select(col("doc_id"))),
+    // daily-ingest shape: docs >= 250 arriving against the < 250 corpus
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
+    // reproducible mixture sampling: per-language keep rates by hash bucket
+    "q_sample_mix" -> ((s, d) =>
+      Sampling.stratifiedByHash(Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 30, "zh" -> 60), 100)),
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
@@ -741,6 +756,28 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashPairsSql,
     "q_dedup_cluster" -> minhashClusterSql,
     "q_dedup_cc" -> minhashCcSql(3),
+    "q_dedup_survivors" ->
+      s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
+    "q_dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |    min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 250
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, fingerprint FROM inc
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM ex)""".stripMargin,
+    "q_sample_mix" -> {
+      val h = (1 to 7).map { i =>
+        s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+      }.mkString(" + ")
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, CAST(($h) % 100 AS INTEGER) AS bucket FROM documents)
+         |WHERE bucket < (CASE WHEN lang = 'en' THEN 30
+         |                     WHEN lang = 'zh' THEN 60 ELSE 100 END)""".stripMargin
+    },
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,

@@ -154,6 +154,23 @@ object Dedup {
       .agg(min(col("rep")).as("cluster_id"))
   }
 
+  /** Incremental exact dedup — the daily-ingest shape: dedup an incoming
+    * batch WITHIN itself (min-id survivor per fingerprint) and against the
+    * existing corpus (left_anti on fingerprint) without reprocessing the
+    * corpus' documents. At 100 TB the existing side is the persisted
+    * fingerprint table (one narrow column, bucketable by fingerprint so
+    * the anti-join is exchange-free on the corpus side); only the delta's
+    * text is ever hashed. */
+  def incrementalExactDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val inc = incoming
+      .withColumn("fingerprint", Text.fingerprint(col("text")))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val ex = existing.select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
+    inc.join(ex, Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
   /** Connected components over the LSH bucket graph by iterative min-label
     * propagation: every document starts labeled with its own id; each
     * iteration pushes the min label into every (band, bucket) population

@@ -149,3 +149,25 @@ object Aggregates {
   def cubeAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.cube(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
 }
+
+/** Deterministic sampling for training-data mixing: per-stratum keep
+  * rates applied by hashing the row's ID (md5 bucket 0-99), NOT by an
+  * RNG — the same row lands in the same sample on every run, on every
+  * engine, under any partitioning, so mixtures are reproducible and the
+  * SQL oracle can replay them exactly. `df.sample`/`sampleBy` trade that
+  * determinism for Bernoulli semantics (partitioning-dependent seeds).
+  * A pure map-side filter: no shuffle, composes with pushdown. */
+object Sampling {
+
+  /** Keep rows whose md5 bucket (0-99) falls under their stratum's rate
+    * (percent); strata absent from `rates` use `defaultRate`. */
+  def stratifiedByHash(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val bucket = call_function("graft_md5_prefix",
+      col(idCol).cast("string"), lit(7)) % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, r).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket.cast("int")).filter(col("bucket") < rate)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Tables
+
+/** Hash-based stratified sampling + incremental dedup: reproducibility
+  * and rate/exclusion semantics. */
+class SamplingSpec extends SparkSpec {
+
+  test("stratifiedByHash is deterministic, honors per-stratum rates, keeps default strata whole") {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    def run() = Sampling.stratifiedByHash(docs, "doc_id", "lang",
+      Map("en" -> 30), 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = run()
+    assert(a == run(), "same input must sample the same rows")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.stratifiedByHash(docs, "doc_id", "lang", Map("en" -> 30), 100)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform: en keep-rate lands near 30%
+    val enRate = kept("en").toDouble / total("en")
+    assert(enRate > 0.15 && enRate < 0.45, s"en keep rate $enRate far from 0.30")
+    // strata without a configured rate are kept whole
+    total.keys.filter(_ != "en").foreach(l => assert(kept(l) == total(l)))
+  }
+
+  test("incrementalExactDedup: excludes corpus fingerprints AND in-batch duplicates") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA   text"),   // dup of corpus doc 1 (normalized) -> dropped
+      (11L, "gamma text"),     // new -> survives
+      (12L, "gamma  TEXT"),    // in-batch dup of 11 -> folded into min-id 11
+      (13L, "delta text")      // new -> survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactDedup(existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 13L), s"got $got")
+  }
+}
