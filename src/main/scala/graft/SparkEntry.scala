@@ -335,6 +335,12 @@ object SparkEntry {
       Dedup.incrementalExactDedup(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
+    // delta near-dup candidates: incoming bands vs the corpus band table
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.incrementalMinhashCandidates(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
     // reproducible mixture sampling: per-language keep rates by hash bucket
     "q_sample_mix" -> ((s, d) =>
       Sampling.stratifiedByHash(Tables(s, d, "documents")
@@ -769,6 +775,21 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 250)
         |SELECT doc_id, fingerprint FROM inc
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM ex)""".stripMargin,
+    "q_dedup_minhash_incr" ->
+      s"""WITH sigs_i AS (${minhashSigSqlWhere("WHERE doc_id >= 250")}),
+         |bands_i AS (
+         |${bandRowsSqlFrom("sigs_i")}),
+         |sigs_e AS (${minhashSigSqlWhere("WHERE doc_id < 250")}),
+         |bands_e AS (
+         |${bandRowsSqlFrom("sigs_e")}),
+         |cross_pairs AS (
+         |  SELECT least(i.doc_id, e.doc_id) AS doc_a, greatest(i.doc_id, e.doc_id) AS doc_b
+         |  FROM bands_i i JOIN bands_e e ON i.band = e.band AND i.bucket = e.bucket),
+         |${cappedPairCtesFrom("bands_i")}
+         |SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b FROM cross_pairs
+         |  UNION ALL
+         |  SELECT doc_a, doc_b FROM cand)""".stripMargin,
     "q_sample_mix" -> {
       val h = (1 to 7).map { i =>
         s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
@@ -837,15 +858,19 @@ object SparkEntry {
 
   // ---- heavy oracle SQL builders (kept as defs for readability) ----
 
-  private def shinglesSql: String =
-    """SELECT doc_id, lang,
-      |  list_transform(range(1, len(t) - 1),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
-      |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
-      |      FROM documents)
-      |WHERE len(t) >= 3""".stripMargin
+  private def shinglesSql: String = shinglesSqlWhere("")
 
-  private def minhashSigSql: String = {
+  private def shinglesSqlWhere(where: String): String =
+    s"""SELECT doc_id, lang,
+       |  list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+       |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |      FROM documents $where)
+       |WHERE len(t) >= 3""".stripMargin
+
+  private def minhashSigSql: String = minhashSigSqlWhere("")
+
+  private def minhashSigSqlWhere(where: String): String = {
     // base hash: first 7 md5 nibbles as an integer (< 2^28), then the
     // universal-hash family (A_i * h + B_i) mod P — mirrors Dedup exactly;
     // all products < 2^60 so DuckDB's checked BIGINT arithmetic never throws.
@@ -855,7 +880,7 @@ object SparkEntry {
     val slots = (0 until Dedup.MinhashK).map { i =>
       s"    list_aggregate(list_transform(hashes, h -> (${Dedup.minhashA(i)} * h + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}), 'min') AS mh_$i"
     }.mkString(",\n")
-    s"""WITH docs AS ($shinglesSql),
+    s"""WITH docs AS (${shinglesSqlWhere(where)}),
        |hs AS (
        |  SELECT doc_id, list_transform(sh, s -> $base) AS hashes
        |  FROM docs WHERE len(sh) > 0)
@@ -866,21 +891,25 @@ object SparkEntry {
 
   /** Band bucket rows over the signature CTE `sigs` (shared by the pairs
     * and Jaccard oracles). Slots are BIGINT — cast for the string concat. */
-  private def bandRowsSql: String =
+  private def bandRowsSql: String = bandRowsSqlFrom("sigs")
+
+  private def bandRowsSqlFrom(sigsName: String): String =
     (0 until Dedup.Bands).map { b =>
       val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
         .map(h => s"CAST(mh_$h AS VARCHAR)").mkString(" || '|' || ")
-      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM sigs"
+      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM $sigsName"
     }.mkString("\n  UNION ALL\n")
 
   /** The capped within-bucket pair expansion (mirrors
     * Dedup.minhashCandidatePairsOf): full C(n,2) for buckets up to
     * MaxBucket, min-id star pairs beyond. Yields CTEs `grouped` and a
     * final SELECT-able `cand` (doc_a, doc_b). */
-  private def cappedPairCtes: String =
+  private def cappedPairCtes: String = cappedPairCtesFrom("bands")
+
+  private def cappedPairCtesFrom(bandsName: String): String =
     s"""grouped AS (
        |  SELECT band, bucket, list_sort(list(doc_id)) AS ids
-       |  FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+       |  FROM $bandsName GROUP BY band, bucket HAVING count(*) > 1),
        |expanded AS (
        |  SELECT unnest(CASE WHEN len(ids) <= ${Dedup.MaxBucket}
        |    THEN flatten(list_transform(range(1, len(ids)), i ->

@@ -171,6 +171,24 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"))
   }
 
+  /** Incremental MinHash near-dup candidates — the delta shape for the
+    * EXPENSIVE dedup tier: the incoming batch's band buckets are joined
+    * against the existing corpus' band table (at 100 TB a persisted,
+    * bucketed-by-(band,bucket) artifact — the corpus text is never
+    * re-shingled), plus the capped within-batch expansion. Output pairs
+    * are (min, max)-ordered; existing↔existing pairs were already found
+    * when those documents arrived. */
+  def incrementalMinhashCandidates(existingDocs: DataFrame,
+      incomingDocs: DataFrame): DataFrame = {
+    val exBands  = minhashBandsOf(existingDocs)
+    val incBands = minhashBandsOf(incomingDocs)
+    val cross = incBands.as("i").join(exBands.as("e"),
+        col("i.band") === col("e.band") && col("i.bucket") === col("e.bucket"))
+      .select(least(col("i.doc_id"), col("e.doc_id")).as("doc_a"),
+        greatest(col("i.doc_id"), col("e.doc_id")).as("doc_b"))
+    cross.unionByName(minhashCandidatePairsOf(incomingDocs)).distinct()
+  }
+
   /** Connected components over the LSH bucket graph by iterative min-label
     * propagation: every document starts labeled with its own id; each
     * iteration pushes the min label into every (band, bucket) population

@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.select("doc_a", "doc_b").except(cand).count() == 0)
   }
 
+  test("incremental minhash candidates: delta + corpus-only pairs decompose the full pair set") {
+    // pairs(all) = pairs(existing) ∪ [cross + within-incoming] — exact as
+    // long as no bucket crosses the star-pair cap (none at this SF)
+    val docs = Tables(spark, sfDir, "documents")
+    val ex  = docs.filter(col("doc_id") < 250)
+    val inc = docs.filter(col("doc_id") >= 250)
+    val delta = Dedup.incrementalMinhashCandidates(ex, inc)
+    val full  = Dedup.minhashCandidatePairsOf(docs)
+    val exOnly = Dedup.minhashCandidatePairsOf(ex)
+    val union = delta.unionByName(exOnly).distinct()
+    assert(union.except(full).count() == 0 && full.except(union).count() == 0)
+    // the delta never reports an existing↔existing pair
+    assert(delta.filter(col("doc_a") < 250 && col("doc_b") < 250).count() == 0)
+  }
+
   test("connected components: converged labels == driver union-find over the candidate graph") {
     val docs = Tables(spark, sfDir, "documents")
     // ground truth: union-find over the (uncapped connectivity-preserving)
