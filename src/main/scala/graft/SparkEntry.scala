@@ -341,6 +341,9 @@ object SparkEntry {
       Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
+    // the end-to-end curation pipeline: quality filter -> exact dedup ->
+    // near-dup components -> survivors -> deterministic split, one plan
+    "q_curate" -> ((s, d) => Curate.curate(s, d, 3)),
     // reproducible mixture sampling: per-language keep rates by hash bucket
     "q_sample_mix" -> ((s, d) =>
       Sampling.stratifiedByHash(Tables(s, d, "documents")
@@ -791,14 +794,12 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_a, doc_b FROM cand)""".stripMargin,
     "q_sample_mix" -> {
-      val h = (1 to 7).map { i =>
-        s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
-      }.mkString(" + ")
       s"""SELECT doc_id, lang, bucket FROM (
-         |  SELECT doc_id, lang, CAST(($h) % 100 AS INTEGER) AS bucket FROM documents)
+         |  SELECT doc_id, lang, CAST((${md5BucketSql}) % 100 AS INTEGER) AS bucket FROM documents)
          |WHERE bucket < (CASE WHEN lang = 'en' THEN 30
          |                     WHEN lang = 'zh' THEN 60 ELSE 100 END)""".stripMargin
     },
+    "q_curate" -> curateSql(3),
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
@@ -816,16 +817,12 @@ object SparkEntry {
          |    i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
          |  FROM assign)
          |GROUP BY cell, CAST(s.dim AS INTEGER)""".stripMargin,
-    "q_train_split" -> {
-      val h = (1 to 7).map { i =>
-        s"(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
-      }.mkString(" + ")
+    "q_train_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'valid'
          |       ELSE 'test' END AS split
-         |FROM (SELECT doc_id, CAST(($h) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin
-    },
+         |FROM (SELECT doc_id, CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin,
 
     "q_mm_hist" -> mmHistSql,
     // frame sample: byte at 0-based position 16*i is the hex-digit pair at
@@ -858,19 +855,22 @@ object SparkEntry {
 
   // ---- heavy oracle SQL builders (kept as defs for readability) ----
 
-  private def shinglesSql: String = shinglesSqlWhere("")
+  private def shinglesSql: String = shinglesSqlOver("documents", "")
 
-  private def shinglesSqlWhere(where: String): String =
+  private def shinglesSqlOver(rel: String, where: String): String =
     s"""SELECT doc_id, lang,
        |  list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
        |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |      FROM documents $where)
+       |      FROM $rel $where)
        |WHERE len(t) >= 3""".stripMargin
 
-  private def minhashSigSql: String = minhashSigSqlWhere("")
+  private def minhashSigSql: String = minhashSigSqlOver("documents", "")
 
-  private def minhashSigSqlWhere(where: String): String = {
+  private def minhashSigSqlWhere(where: String): String =
+    minhashSigSqlOver("documents", where)
+
+  private def minhashSigSqlOver(rel: String, where: String): String = {
     // base hash: first 7 md5 nibbles as an integer (< 2^28), then the
     // universal-hash family (A_i * h + B_i) mod P — mirrors Dedup exactly;
     // all products < 2^60 so DuckDB's checked BIGINT arithmetic never throws.
@@ -880,7 +880,7 @@ object SparkEntry {
     val slots = (0 until Dedup.MinhashK).map { i =>
       s"    list_aggregate(list_transform(hashes, h -> (${Dedup.minhashA(i)} * h + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}), 'min') AS mh_$i"
     }.mkString(",\n")
-    s"""WITH docs AS (${shinglesSqlWhere(where)}),
+    s"""WITH docs AS (${shinglesSqlOver(rel, where)}),
        |hs AS (
        |  SELECT doc_id, list_transform(sh, s -> $base) AS hashes
        |  FROM docs WHERE len(sh) > 0)
@@ -982,10 +982,46 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
   }
 
+  /** First-7-md5-nibbles of the doc id as an integer — the deterministic
+    * split/sampling bucket base (mirrors graft_md5_prefix(doc_id, 7)). */
+  private def md5BucketSql: String = md5BucketSqlOf("doc_id")
+
+  private def md5BucketSqlOf(ref: String): String =
+    (1 to 7).map { i =>
+      s"(instr('0123456789abcdef', substring(md5(CAST($ref AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+
+  /** The composed curation oracle: quality filter, fingerprint-window
+    * exact dedup, the unrolled CC chain over the kept slice, survivors,
+    * hash split — every stage the same SQL its standalone oracle runs. */
+  private def curateSql(iterations: Int): String =
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens
+       |  FROM documents
+       |  WHERE CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) >= ${Curate.MinTokens}),
+       |kept AS (
+       |  SELECT doc_id, lang, text, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY
+       |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
+       |    FROM quality)
+       |  WHERE doc_id = keep_id),
+       |${ccCtes(iterations, "kept")}
+       |SELECT doc_id, lang, n_tokens, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT k.doc_id, k.lang, k.n_tokens,
+       |    CAST((${md5BucketSqlOf("k.doc_id")}) % 100 AS INTEGER) AS bucket
+       |  FROM kept k JOIN l$iterations l ON k.doc_id = l.doc_id AND l.label = k.doc_id)""".stripMargin
+
   /** Min-label propagation unrolled `iterations` times over the band
     * buckets (mirrors Dedup.minhashConnectedComponentsOf exactly: both
-    * sides run the same fixed iteration count). */
-  private def minhashCcSql(iterations: Int): String = {
+    * sides run the same fixed iteration count). `ccCtes` yields the CTE
+    * chain (over an arbitrary source relation) so composite oracles can
+    * embed it; the converged labels live in CTE `l<iterations>`. */
+  private def ccCtes(iterations: Int, rel: String): String = {
     val steps = (1 to iterations).map { i =>
       s"""b$i AS (
          |  SELECT b.band, b.bucket, min(l.label) AS bl
@@ -996,13 +1032,16 @@ object SparkEntry {
          |  FROM bands b JOIN b$i x ON b.band = x.band AND b.bucket = x.bucket
          |  GROUP BY b.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sigs AS ($minhashSigSql),
+    s"""sigs AS (${minhashSigSqlOver(rel, "")}),
        |bands AS (
        |$bandRowsSql),
        |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
-       |$steps
-       |SELECT doc_id, label AS cluster_id FROM l$iterations""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def minhashCcSql(iterations: Int): String =
+    s"""WITH ${ccCtes(iterations, "documents")}
+       |SELECT doc_id, label AS cluster_id FROM l$iterations""".stripMargin
 
   /** Mirrors the candidates-then-verify Spark plan: MinHash-LSH candidate
     * pairs (same CTE chain as q_dedup_minhash), exact Jaccard on those via

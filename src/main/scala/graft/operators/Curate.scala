@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.lake.Tables
+
+/** The end-to-end training-data curation pipeline as ONE declarative
+  * composition — what "a user of the reference switching to this library"
+  * actually runs daily (BASELINE.json north star):
+  *
+  *   quality filter → exact dedup → near-dup components → survivors →
+  *   deterministic split
+  *
+  * Every stage is an already-oracled operator; composing them stays a
+  * single lazy plan (one scan of the corpus feeds the quality filter and
+  * the fingerprint window; the CC stage re-reads only the kept slice).
+  * Scale shape: the quality filter is map-side and reaches the scan, the
+  * exact-dedup window shuffles by fingerprint, CC is the checkpointed
+  * label-propagation of [[Dedup.minhashConnectedComponentsOf]], and the
+  * split is a map-side hash — no driver state anywhere. */
+object Curate {
+
+  val MinTokens = 5
+
+  def curate(spark: SparkSession, dir: String, ccIterations: Int = 3): DataFrame = {
+    val quality = Tables(spark, dir, "documents")
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .filter(col("n_tokens") >= MinTokens)
+    // exact dedup: min-id survivor per normalized fingerprint
+    val kept = quality
+      .withColumn("fingerprint", Text.fingerprint(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+    // near-dup components over the exact-deduped corpus; survivors are
+    // their own representative (MinTokens >= 5 guarantees shingles exist,
+    // so every kept doc has a label)
+    val cc = Dedup.minhashConnectedComponentsOf(
+      kept.select(col("doc_id"), col("text")), ccIterations)
+    kept.join(cc, "doc_id")
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (call_function("graft_md5_prefix", col("doc_id").cast("string"), lit(7)) % 100)
+          .cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+  }
+}
