@@ -270,6 +270,9 @@ object SparkEntry {
         Seq("purchase_id", "purchase_value"), Seq("click_id", "click_ms"))
         .withColumnRenamed("ms", "purchase_ms")
     }),
+    // built-in-first sessionization: native session_window aggregation
+    // (same operator works over a stream with a watermark)
+    "q_sessions_window" -> ((s, d) => Sessions.sessionsWindowed(s, d, 30)),
     "q_sessions" -> ((s, d) =>
       Sessions.sessionsBatch(s, d, 30).select(
         col("user_id"), col("session_id").cast("int").as("session_id"),
@@ -682,6 +685,26 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_id,
         |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // session_window semantics: windows [t, t+gap) merge on OVERLAP, so a
+    // gap of exactly 30 min SPLITS (>=), unlike the lag formulation's >
+    "q_sessions_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM ev),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM f),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 

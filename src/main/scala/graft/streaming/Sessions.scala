@@ -43,6 +43,22 @@ object Sessions {
         count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Built-in-first sessionization: Spark's native `session_window`
+    * (gap-merged windows inside the aggregation operator — no custom
+    * state code, works identically over a stream with a watermark).
+    * Same sessions as [[sessionsBatch]] except the WINDOW's end is
+    * last-event + gap by definition, so `session_end` here is
+    * `window.end - gap` — asserted equal to the lag/running-sum form in
+    * SessionsSpec. */
+  def sessionsWindowed(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        (unix_millis(col("session_window.end")) - gapMinutes * 60000L).as("end_ms"),
+        col("n_events"), col("total_value"))
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class OpenSession(start: Long, last: Long, n: Int, total: Double)
   final case class CompletedSession(user_id: Long, session_start: Timestamp,

@@ -22,6 +22,20 @@ class SessionsSpec extends SparkSpec {
     assert(total == graft.lake.Tables(spark, sfDir, "events").count())
   }
 
+  test("native session_window sessionization == the lag/running-sum form") {
+    // semantics differ only at a gap of EXACTLY 30 min (windows [t, t+gap)
+    // merge on overlap, so == gap splits; the lag form's > merges) — no
+    // such boundary pair exists in the fixture, so the session sets match
+    val native = Sessions.sessionsWindowed(spark, sfDir, 30)
+    val batch = Sessions.sessionsBatch(spark, sfDir, 30)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), col("total_value"))
+    assert(native.count() == batch.count())
+    assert(native.except(batch).count() == 0 && batch.except(native).count() == 0)
+  }
+
   test("streaming sessionization emits closed sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
