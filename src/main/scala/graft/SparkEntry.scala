@@ -246,6 +246,7 @@ object SparkEntry {
     "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
     "q_alert_sliding" -> ((s, d) => Alerts.slidingVolumeAlertBatch(s, d, 600.0)),
     "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
+    "q_alert_op_windowed" -> ((s, d) => Alerts.operationAlertWindowedBatch(s, d, "error")),
     "q_json_struct" -> ((s, d) =>
       Tables(s, d, "events")
         .select(col("event_type"),
@@ -640,6 +641,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_matches FROM events
         |WHERE position('error' IN lower(event_type)) > 0
         |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
+    "q_alert_op_windowed" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  user_id, count(*) AS n_matches
+        |FROM events
+        |WHERE position('error' IN lower(event_type)) > 0
+        |GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """SELECT c.user_id, c.event_id AS click_id,
         |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms,

@@ -103,6 +103,16 @@ object Alerts {
       .start()
   }
 
+  /** Batch twin of [[operationAlertStreamWindowed]] — the oracle-checkable
+    * form of the bounded per-(window, user) rule. */
+  def operationAlertWindowedBatch(spark: SparkSession, dir: String,
+      needle: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(lower(col("event_type")).contains(needle))
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+
   /** Bounded-state form of the operation-match alert: matched counts keyed
     * by (tumbling window, user) with a watermark, so state is
     * O(active windows × users seen in them) — windows behind the watermark
