@@ -125,6 +125,23 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_top_cells tie-break: identical centroids resolve by smaller id; k > C returns C") {
+    import graft.operators.Quantize
+    val v = Seq(1.0, 2.0, 3.0, 4.0)
+    val w = Seq(-4.0, 3.0, -2.0, 1.0)
+    // ids deliberately unsorted; 5 and 3 share the SAME vector (exact tie)
+    val cents = Seq((5L, v), (3L, v), (9L, w)).toDF("c_id", "c_emb")
+    val row = Quantize.codebookRowOf(cents)
+    val df = Seq((1L, v)).toDF("id", "embedding").crossJoin(broadcast(row))
+    val probes = df.select(
+      Quantize.probeCellsExpr(col("embedding"), col("cents"), 2).as("p2"),
+      Quantize.probeCellsExpr(col("embedding"), col("cents"), 10).as("p10"),
+      Quantize.cellExpr(col("embedding"), col("cents")).as("cell")).head()
+    assert(probes.getSeq[Long](0) == Seq(3L, 5L), "tie must order by smaller centroid id")
+    assert(probes.getSeq[Long](1) == Seq(3L, 5L, 9L), "k > C returns all C cells ranked")
+    assert(probes.getLong(2) == 3L)
+  }
+
   test("graft_md5_prefix == the declarative md5 hex-digit arithmetic") {
     import graft.functions.Text
     val toks = graft.lake.Tables(spark, sfDir, "documents")
