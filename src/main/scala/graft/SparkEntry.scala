@@ -386,12 +386,8 @@ object SparkEntry {
     // runs and engines (md5 of the id, not a sampled RNG)
     "q_train_split" -> ((s, d) =>
       Tables(s, d, "documents")
-        .select(col("doc_id"),
-          (call_function("graft_md5_prefix", col("doc_id").cast("string"), lit(7)) % 100)
-            .as("bucket"))
-        .select(col("doc_id"), col("bucket").cast("int").as("bucket"),
-          when(col("bucket") < 90, "train").when(col("bucket") < 95, "valid")
-            .otherwise("test").as("split"))),
+        .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .withColumn("split", Sampling.splitExpr(col("bucket")))),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -815,9 +811,17 @@ object SparkEntry {
          |sigs_e AS (${minhashSigSqlWhere("WHERE doc_id < 250")}),
          |bands_e AS (
          |${bandRowsSqlFrom("sigs_e")}),
+         |ex_grouped AS (
+         |  SELECT band, bucket, list_sort(list(doc_id)) AS ex_ids
+         |  FROM bands_e GROUP BY band, bucket),
+         |cross_exp AS (
+         |  SELECT i.doc_id AS i_id,
+         |    unnest(CASE WHEN len(g.ex_ids) <= ${Dedup.MaxBucket}
+         |      THEN g.ex_ids ELSE g.ex_ids[1:1] END) AS e_id
+         |  FROM bands_i i JOIN ex_grouped g ON i.band = g.band AND i.bucket = g.bucket),
          |cross_pairs AS (
-         |  SELECT least(i.doc_id, e.doc_id) AS doc_a, greatest(i.doc_id, e.doc_id) AS doc_b
-         |  FROM bands_i i JOIN bands_e e ON i.band = e.band AND i.bucket = e.bucket),
+         |  SELECT least(i_id, e_id) AS doc_a, greatest(i_id, e_id) AS doc_b
+         |  FROM cross_exp),
          |${cappedPairCtesFrom("bands_i")}
          |SELECT DISTINCT doc_a, doc_b FROM (
          |  SELECT doc_a, doc_b FROM cross_pairs
@@ -1183,10 +1187,14 @@ object SparkEntry {
       Similarity.planeCoefs(plane)
         .map(v => new java.math.BigDecimal(v).toPlainString)
         .mkString("[", ", ", "]")
+    // both sides sliced so the dot runs over min(d, LshMaxDims) dims —
+    // exactly the native LshBuckets loop (inert at d = 64, the fixture
+    // dim, but keeps the oracle faithful for other dimensionalities)
     def bucketExpr(t: Int): String =
       (0 until Similarity.LshPlanes).map { p =>
-        s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-           |      CAST(${coefArr(t * Similarity.LshPlanes + p)} AS DOUBLE[])) > 0
+        s"""(CASE WHEN list_dot_product(
+           |      (CAST(embedding AS DOUBLE[]))[1:${Similarity.LshMaxDims}],
+           |      (CAST(${coefArr(t * Similarity.LshPlanes + p)} AS DOUBLE[]))[1:len(embedding)]) > 0
            |    THEN ${1L << p} ELSE 0 END)""".stripMargin
       }.mkString("\n  + ")
     val tableRows = (0 until Similarity.LshTables).map { t =>

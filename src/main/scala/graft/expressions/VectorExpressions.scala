@@ -153,6 +153,10 @@ case class TopCells(emb: Expression, flat: Expression, nrms: Expression,
     val c = id.numElements()
     if (d == 0 || c == 0 || f.numElements() != c * d || nr.numElements() != c) return null
     var j = 0
+    // a null embedding element poisons every affinity in the declarative
+    // formulation — propagate null rather than silently reading 0.0
+    while (j < d) { if (e.isNullAt(j)) return null; j += 1 }
+    j = 0
     var ss = 0.0
     while (j < d) { val x = e.getDouble(j); ss += x * x; j += 1 }
     val normE = math.sqrt(ss)
@@ -337,9 +341,11 @@ case class MinhashSig(shingles: Expression, aCoefs: Expression,
     if (n == 0) return null
     val k = aArr.length
     val mins = Array.fill(k)(Long.MaxValue)
+    var contributed = false
     var i = 0
     while (i < n) {
       if (!sh.isNullAt(i)) {
+        contributed = true
         val h = HashUtil.md5Prefix(sh.getUTF8String(i).getBytes, 7)
         var s = 0
         while (s < k) {
@@ -350,6 +356,10 @@ case class MinhashSig(shingles: Expression, aCoefs: Expression,
       }
       i += 1
     }
+    // all-null shingles: the declarative array_min yields null per slot,
+    // not a MaxValue signature that would band-collide with other
+    // degenerate documents
+    if (!contributed) return null
     new GenericArrayData(mins)
   }
 

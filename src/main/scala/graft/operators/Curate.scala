@@ -43,10 +43,7 @@ object Curate {
     kept.join(cc, "doc_id")
       .filter(col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (call_function("graft_md5_prefix", col("doc_id").cast("string"), lit(7)) % 100)
-          .cast("int").as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "valid")
-          .otherwise("test"))
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", Sampling.splitExpr(col("bucket")))
   }
 }

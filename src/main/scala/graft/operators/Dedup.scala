@@ -179,14 +179,23 @@ object Dedup {
     * are (min, max)-ordered; existing↔existing pairs were already found
     * when those documents arrived. */
   def incrementalMinhashCandidates(existingDocs: DataFrame,
-      incomingDocs: DataFrame): DataFrame = {
-    val exBands  = minhashBandsOf(existingDocs)
-    val incBands = minhashBandsOf(incomingDocs)
-    val cross = incBands.as("i").join(exBands.as("e"),
-        col("i.band") === col("e.band") && col("i.bucket") === col("e.bucket"))
-      .select(least(col("i.doc_id"), col("e.doc_id")).as("doc_a"),
-        greatest(col("i.doc_id"), col("e.doc_id")).as("doc_b"))
-    cross.unionByName(minhashCandidatePairsOf(incomingDocs)).distinct()
+      incomingDocs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    // The existing side is pre-grouped per bucket so the cross expansion
+    // can apply the SAME hot-bucket cap as the batch path: an incoming
+    // member of an oversized existing bucket pairs only with that
+    // bucket's min-id representative — without it a mass-duplicated
+    // document present on both sides is |inc|·|ex| rows from one bucket.
+    val exGrouped = minhashBandsOf(existingDocs)
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ex_ids"))
+    val cross = minhashBandsOf(incomingDocs)
+      .join(exGrouped, Seq("band", "bucket"))
+      .select(col("doc_id"),
+        explode(when(size(col("ex_ids")) <= maxBucket, col("ex_ids"))
+          .otherwise(slice(col("ex_ids"), lit(1), lit(1)))).as("e_id"))
+      .select(least(col("doc_id"), col("e_id")).as("doc_a"),
+        greatest(col("doc_id"), col("e_id")).as("doc_b"))
+    cross.unionByName(minhashCandidatePairsOf(incomingDocs, maxBucket)).distinct()
   }
 
   /** Connected components over the LSH bucket graph by iterative min-label
@@ -208,18 +217,25 @@ object Dedup {
     minhashConnectedComponentsOf(Tables(spark, dir, "documents"), iterations)
 
   def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame = {
-    val bands = minhashBandsOf(docs).localCheckpoint()
-    var labels = bands.select(col("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-    for (_ <- 1 to iterations) {
-      val bucketMin = bands.join(labels, "doc_id")
-        .groupBy(col("band"), col("bucket"))
-        .agg(min(col("label")).as("bl"))
-      labels = bands.join(bucketMin, Seq("band", "bucket"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("bl")).as("label"))
-    }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // The band table is persisted for the 2·iterations re-reads, and the
+    // FINAL labels (2 narrow columns) are materialized eagerly so the
+    // band cache can be released before returning — the operator owns its
+    // cache lifecycle; only the tiny label checkpoint outlives the call
+    // (freed when the returned plan is GC'd).
+    val bands = minhashBandsOf(docs).persist()
+    try {
+      var labels = bands.select(col("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      for (_ <- 1 to iterations) {
+        val bucketMin = bands.join(labels, "doc_id")
+          .groupBy(col("band"), col("bucket"))
+          .agg(min(col("label")).as("bl"))
+        labels = bands.join(bucketMin, Seq("band", "bucket"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("bl")).as("label"))
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id")).localCheckpoint()
+    } finally bands.unpersist(false)
   }
 
   /** SimHash layout: 32 bits from the first 8 hex chars of md5(token),

@@ -159,15 +159,22 @@ object Aggregates {
   * A pure map-side filter: no shuffle, composes with pushdown. */
 object Sampling {
 
+  /** md5 bucket (0-99) of a row id — the ONE deterministic base every
+    * split/sampling surface shares (mirrored in SQL by md5BucketSqlOf). */
+  def hashBucket(idCol: Column): Column =
+    (call_function("graft_md5_prefix", idCol.cast("string"), lit(7)) % 100).cast("int")
+
+  /** The train/valid/test banding over a [[hashBucket]] column. */
+  def splitExpr(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+
   /** Keep rows whose md5 bucket (0-99) falls under their stratum's rate
     * (percent); strata absent from `rates` use `defaultRate`. */
   def stratifiedByHash(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int): DataFrame = {
-    val bucket = call_function("graft_md5_prefix",
-      col(idCol).cast("string"), lit(7)) % 100
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
       when(col(stratumCol) === stratum, r).otherwise(acc)
     }
-    df.withColumn("bucket", bucket.cast("int")).filter(col("bucket") < rate)
+    df.withColumn("bucket", hashBucket(col(idCol))).filter(col("bucket") < rate)
   }
 }

@@ -58,14 +58,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs: signature pipeline computed ONCE via exchange reuse, no cache left behind") {
+    // delta-based: other operators (CC) legitimately hold a small label
+    // checkpoint; THIS operator must not add any persisted blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = Dedup.simhashNearDupPairs(spark, sfDir, 3)
     df.collect()   // run THIS dataset's QueryExecution so AQE finalizes it
     val executed = df.queryExecution.executedPlan.toString
     assert(executed.contains("ReusedExchange"),
       s"self-join sides did not reuse the signature exchange:\n${executed.take(3000)}")
-    // the operator owns no cache: nothing persisted after the action
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "simhashNearDupPairs left persisted blocks behind")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"simhashNearDupPairs left persisted blocks behind: $added")
   }
 
   test("pigeonhole completeness: every pair within Hamming 3 shares a chunk (is found)") {
@@ -130,6 +132,28 @@ class DedupSpec extends SparkSpec {
     assert(union.except(full).count() == 0 && full.except(union).count() == 0)
     // the delta never reports an existing↔existing pair
     assert(delta.filter(col("doc_a") < 250 && col("doc_b") < 250).count() == 0)
+  }
+
+  test("incremental minhash caps the cross expansion against a hot existing bucket") {
+    import spark.implicits._
+    val dupText = "the same exact duplicated text body repeated"
+    val existing = (0 until 1000).map(i => (i.toLong, dupText)).toDF("doc_id", "text")
+    val incoming = (2000 until 2100).map(i => (i.toLong, dupText)).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashCandidates(existing, incoming).collect()
+    // uncapped the cross side alone would be 100 x 1000 pairs; capped:
+    // each incoming copy pairs only with the existing bucket's min-id
+    // representative (0), plus the 99 within-batch star pairs
+    assert(pairs.length == 199, s"expected 199 capped pairs, got ${pairs.length}")
+    val cross = pairs.filter(_.getLong(0) == 0L)
+    assert(cross.length == 100 && cross.map(_.getLong(1)).toSet == (2000L until 2100L).toSet)
+  }
+
+  test("connected components own their band cache (only the label checkpoint outlives)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Dedup.minhashConnectedComponents(spark, sfDir, 2)
+    cc.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"band cache not released: ${added.size} persisted RDDs added")
   }
 
   test("connected components: converged labels == driver union-find over the candidate graph") {
