@@ -215,6 +215,24 @@ class DedupSpec extends SparkSpec {
       s"MinHash-LSH recall $hit/${truePairs.size} below 0.9 at j >= 0.7")
   }
 
+  test("embed near-dup recall telemetry: multi-cell assignment finds >= 0.6 of true pairs") {
+    import graft.functions.Vectors
+    // exact all-pairs ground truth — viable at test N only
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), Vectors.norm(col("embedding")).as("nrm"))
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(Vectors.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupPairs(spark, sfDir, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "reported pairs must be true pairs (no false positives)")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.6, s"embed pair recall $recall (${got.size}/${exact.size}) below 0.6")
+  }
+
   test("embedding near-dup pairs stay within cosine bounds and cell restriction") {
     val pairs = Dedup.embeddingNearDupPairs(spark, sfDir, 0.3)
     assert(pairs.filter(col("cosine") < 0.3 || col("cosine") > 1.0001).count() == 0)

@@ -78,6 +78,17 @@ class SimilaritySpec extends SparkSpec {
     assert(res.count() >= res1.count())
   }
 
+  test("IVF recall telemetry: nprobe=8 recovers >= 0.5 of the exact top-k on sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.bruteForceTopK(spark, dir, 10, 5).select("q_id", "vec_id")
+    val ivf = Similarity.ivfTopK(spark, dir, 10, 5).select("q_id", "vec_id")
+    val hit = brute.intersect(ivf).count()
+    val total = brute.count()
+    // measured 0.60 at C=N/2, nprobe=8 — pinned with headroom so the
+    // assertion documents the operating point without being brittle
+    assert(hit >= 0.5 * total, s"IVF recall $hit/$total below 0.5")
+  }
+
   test("IVF property: planted near-duplicates land in the same cell") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
