@@ -345,6 +345,29 @@ object SparkEntry {
       Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
+    // sequence packing (concat-then-chunk): 100 hash-bucket packers run in
+    // parallel, each streaming its docs in id order into 2048-token
+    // chunks — chunk_id = which sequence this doc STARTS in; no global
+    // sort, no single-partition window
+    "q_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .withColumn("stream_end", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          (col("stream_end") - col("n_tokens")).as("offset"),
+          floor((col("stream_end") - col("n_tokens")) / 2048.0).cast("int").as("chunk_id"))
+    }),
+    // mixture upsampling: per-language integer repeat factors (epoch
+    // mixing) — explode is map-side, deterministic, oracle-replayable
+    "q_mix_upsample" -> ((s, d) =>
+      Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("copy", explode(sequence(lit(1),
+          when(col("lang") === "zh", 3).when(col("lang") === "fr", 2).otherwise(1))))),
     // the end-to-end curation pipeline: quality filter -> exact dedup ->
     // near-dup components -> survivors -> deterministic split, one plan
     "q_curate" -> ((s, d) => Curate.curate(s, d, 3)),
@@ -834,6 +857,24 @@ object SparkEntry {
          |                     WHEN lang = 'zh' THEN 60 ELSE 100 END)""".stripMargin
     },
     "q_curate" -> curateSql(3),
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, bucket, n_tokens,
+         |  CAST(stream_end - n_tokens AS BIGINT) AS "offset",
+         |  CAST(floor((stream_end - n_tokens) / 2048.0) AS INTEGER) AS chunk_id
+         |FROM (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+         |      CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket
+         |    FROM documents))""".stripMargin,
+    "q_mix_upsample" ->
+      """SELECT doc_id, lang,
+        |  unnest(generate_series(1, CASE WHEN lang = 'zh' THEN 3
+        |                              WHEN lang = 'fr' THEN 2 ELSE 1 END)) AS copy
+        |FROM documents""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
