@@ -1154,7 +1154,8 @@ object SparkEntry {
   private def quantizeCtes: String =
     s"""cent AS (
        |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
-       |  FROM embeddings WHERE vec_id % ${Quantize.CodebookStep} = 0),
+       |  FROM embeddings WHERE vec_id % ${Quantize.CodebookStep} = 0
+       |    AND vec_id < ${Quantize.CodebookStep.toLong * Quantize.MaxCells}),
        |qscored AS (
        |  SELECT e.vec_id, e.embedding, c.c_id,
        |    round(${cosSql("e.embedding", "c.c_emb")}, 4) AS aff

@@ -43,8 +43,15 @@ object Quantize {
     * the plan does not grow with it. */
   val CodebookStep = 2
 
+  /** Ceiling on codebook size: C = min(N/step, MaxCells) so the broadcast
+    * payload and the O(C·d) per-row assignment stay bounded as the corpus
+    * grows (a real deployment re-tunes step toward √N; the cap is the
+    * guardrail). Inert at the test SFs (N/step < 4096). */
+  val MaxCells = 4096
+
   def codebook(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % CodebookStep === 0)
+    emb.filter(col("vec_id") % CodebookStep === 0
+        && col("vec_id") < CodebookStep.toLong * MaxCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
   /** The whole codebook as ONE row holding a `cents` struct of three flat
