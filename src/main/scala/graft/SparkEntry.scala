@@ -1015,11 +1015,14 @@ object SparkEntry {
        |GROUP BY b.doc_id""".stripMargin
 
   private def simhashCoreSql: String = {
-    val hv = (1 to 8).map { i =>
-      s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    val nibbles = Dedup.SimhashBits / 4
+    val hv = (1 to nibbles).map { i =>
+      s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1) * ${1L << (4 * (nibbles - i))}"
     }.mkString("\n    + ")
+    // integer division (//): hv is up to 2^60, so float division + floor
+    // rounds above the 53-bit double mantissa and flips low-bit votes
     val votes = (0 until Dedup.SimhashBits).map { j =>
-      s"    sum(CASE WHEN CAST(floor(hv / ${1L << j}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
+      s"    sum(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
     }.mkString(",\n")
     val sig = (0 until Dedup.SimhashBits).map { j =>
       s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
@@ -1040,21 +1043,34 @@ object SparkEntry {
 
   private def simhashSql: String = simhashCoreSql
 
+  /** Mirrors Dedup.simhashNearDupPairsOf: bucket members grouped per
+    * (chunk, chunk_val), the SAME capped expansion as the MinHash oracle
+    * (full C(n,2) up to MaxBucket, min-id star pairs beyond), Hamming
+    * filter, distinct over the filtered candidates. */
   private def simhashPairsSql: String = {
     val chunkRows = (0 until Dedup.SimhashChunks).map { c =>
       val p = 1L << (c * Dedup.ChunkBits)
-      s"  SELECT doc_id, simhash, $c AS chunk, CAST(floor(simhash / $p) AS BIGINT) % ${1 << Dedup.ChunkBits} AS chunk_val FROM sigs"
+      // exact integer division (//): simhash is up to 2^60, so float
+      // division + floor would round above the 53-bit double mantissa
+      s"  SELECT doc_id, simhash, $c AS chunk, (simhash // $p) % ${1 << Dedup.ChunkBits} AS chunk_val FROM sigs"
     }.mkString("\n  UNION ALL\n")
     s"""WITH sigs AS ($simhashCoreSql),
        |chunks AS (
        |$chunkRows),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.simhash AS sim_a, b.simhash AS sim_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+       |grouped AS (
+       |  SELECT chunk, chunk_val,
+       |    list_sort(list({'doc_id': doc_id, 'simhash': simhash})) AS ms
+       |  FROM chunks GROUP BY chunk, chunk_val HAVING count(*) > 1),
+       |expanded AS (
+       |  SELECT unnest(CASE WHEN len(ms) <= ${Dedup.MaxBucket}
+       |    THEN flatten(list_transform(range(1, len(ms)), i ->
+       |           list_transform(range(i + 1, len(ms) + 1), j -> {'a': ms[i], 'b': ms[j]})))
+       |    ELSE list_transform(ms[2:], x -> {'a': ms[1], 'b': x})
+       |  END) AS p FROM grouped)
+       |SELECT DISTINCT p.a.doc_id AS doc_a, p.b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(p.a.simhash, p.b.simhash)) AS INTEGER) AS hamming
+       |FROM expanded
+       |WHERE bit_count(xor(p.a.simhash, p.b.simhash)) <= 3""".stripMargin
   }
 
   /** First-7-md5-nibbles of the doc id as an integer — the deterministic

@@ -238,29 +238,40 @@ object Dedup {
     } finally bands.unpersist(false)
   }
 
-  /** SimHash layout: 32 bits from the first 8 hex chars of md5(token),
-    * banded as 4 chunks of 8 bits. 16 bits saturates beyond ~1k documents
-    * (birthday collisions make unrelated docs "near"); 32 bits keeps the
-    * Hamming-3 ball meaningful while each 8-bit chunk still gives 256
-    * bucket values for the candidate equi-join. */
-  val SimhashBits   = 32
+  /** SimHash layout: 60 bits from the first 15 hex chars of md5(token),
+    * banded as 4 chunks of 15 bits — 32,768 bucket values per chunk, so
+    * the candidate buckets hold N/32768 documents in expectation (the
+    * earlier 4×8-bit layout put N/256 in every bucket — a quadratic
+    * per-bucket pair expansion at corpus scale — and its 32-bit
+    * fingerprint saturated around 10⁷ docs: the Hamming-3 ball is ~5.5k
+    * of 2³² points). 60 bits rather than the full 64: the fingerprint,
+    * the per-token hash and the vote→sign sum must all stay strictly
+    * below 2⁶³ so the arithmetic is portable to engines with CHECKED
+    * signed-64 overflow (the DuckDB oracle throws where Spark wraps);
+    * the Hamming-3 ball of 2⁶⁰ (~36k points) is still vanishingly
+    * sparse at any realistic corpus size. */
+  val SimhashBits   = 60
   val SimhashChunks = 4
   val ChunkBits: Int = SimhashBits / SimhashChunks
 
-  /** 32-bit SimHash per document: each distinct token votes +1/-1 on each
+  /** 60-bit SimHash per document: each distinct token votes +1/-1 on each
     * bit of its md5-derived value; the sign of the summed votes is the
     * fingerprint bit. One explode + one groupBy — both map-side
     * combinable. The token value is one native
     * [[graft.expressions.Md5Prefix]] call (the let-bound hex-digit
     * formulation ran an interpreted single-element HOF per token row). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val hexVal = call_function("graft_md5_prefix", col("token"), lit(8))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables(spark, dir, "documents"))
+
+  /** [[simhash]] over an explicit (doc_id, text) relation — what specs use
+    * to plant pathological corpora. */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val hexVal = call_function("graft_md5_prefix", col("token"), lit(SimhashBits / 4))
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text")))).as("token"))
       .withColumn("hv", hexVal)
     // (hv >> j) & 1 — value-identical to the oracle's floor(hv/2^j) % 2
-    // for the non-negative 32-bit hv, without the double division
+    // for the non-negative 60-bit hv, without the double division
     val bitVotes = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j")
     }
@@ -271,57 +282,43 @@ object Dedup {
     votes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= 3, banded for scale:
-    * the 16 bits split into 4 chunks; by pigeonhole any pair within
-    * distance 3 shares at least one exact chunk, so candidates come from an
-    * equi-join on (chunk index, chunk value), then the exact Hamming test
-    * (bit_count of xor) filters. No quadratic pass anywhere. */
-  def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    // NO cache: the self-join's two sides shuffle the IDENTICAL child plan
-    // by the identical (chunk, chunk_val) key, so exchange reuse (AQE
-    // stage dedup / ReusedExchange) materializes the tokenize→vote→sign
-    // pipeline and its shuffle exactly once — verified by DedupSpec's
-    // ReusedExchange assertion. That removes the round-3 footgun where the
-    // returned lazy plan depended on a persist() nobody owned releasing.
-    val sigs = simhash(spark, dir)
-    // All 4 chunk values from ONE projection (posexplode) over ONE lineage;
-    // the self-join below shuffles both sides by the identical (chunk,
-    // chunk_val) key, so Spark's ReusedExchange evaluates the
-    // tokenize→vote pipeline and its shuffle ONCE. A collect_list pair
-    // expansion would be wrong here: 16-bit chunks give only 16 buckets
-    // per chunk, and quadratic in-row arrays over huge buckets serialize
-    // the work — the streaming join parallelizes within buckets.
+  /** SimHash near-dup pairs with Hamming distance <= `maxDist`, banded for
+    * scale: the 60 bits split into 4 chunks; by pigeonhole any pair within
+    * distance 3 shares at least one exact chunk, so candidates come from
+    * the (chunk index, chunk value) bucket populations, then the exact
+    * Hamming test (bit_count of xor) filters. Same one-pass shape as
+    * [[minhashCandidatePairsOf]]: ONE signature pass, one shuffle groups
+    * (doc_id, simhash) members by bucket, and pairs expand WITHIN each
+    * bucket from the sorted member array — no self-join, and the same
+    * `maxBucket` guardrail: an oversized bucket (mass duplication — every
+    * copy has the identical fingerprint, so all four of its chunks
+    * collide) emits linear min-id star pairs instead of C(n,2), so no
+    * single task materializes a quadratic pair row at 100 TB. A pair
+    * sharing several chunks is emitted once per shared chunk; the final
+    * distinct runs over the Hamming-filtered (already near-dup-sized)
+    * candidate set. */
+  def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    simhashNearDupPairsOf(Tables(spark, dir, "documents"), maxDist)
+
+  def simhashNearDupPairsOf(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = simhashOf(docs)
+    // All 4 chunk values from ONE projection (posexplode) over ONE lineage
     val chunkVals = (0 until SimhashChunks).map { c =>
       shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
     }
-    // shuffle_hash hint: AQE would otherwise broadcast one side, which
-    // evaluates the signature pipeline twice (and is impossible at corpus
-    // scale anyway); with both sides shuffled by the identical key over
-    // the identical child plan, ReusedExchange computes the pipeline once.
-    val chunks = sigs
+    sigs
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
-      .hint("shuffle_hash")
-    // A pair within maxDist shares up to SimhashChunks chunks and would be
-    // emitted once per shared chunk; instead of a distinct() over the
-    // multi-million-row join output, keep only the row whose matched chunk
-    // is the pair's FIRST shared chunk — dedup at the source, one cheap
-    // filter, no extra shuffle.
-    val firstShared = coalesce((0 until SimhashChunks).map { c =>
-      when(shiftright(col("sim_a"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
-        === shiftright(col("sim_b"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1),
-        lit(c))
-    }: _*)
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.chunk").as("chunk"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(when(size(col("ms")) <= maxBucket, pairsOf(col("ms")))
+        .otherwise(starPairsOf(col("ms")))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .filter(col("chunk") === firstShared)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity, computed ONLY on MinHash-LSH

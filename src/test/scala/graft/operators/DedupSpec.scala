@@ -39,12 +39,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash near-dup pairs == the self-join formulation, all within maxDist") {
-    val got = Dedup.simhashNearDupPairs(spark, sfDir, 3)
+    // uncapped: the equivalence under test is the one-pass bucket-expansion
+    // rewrite vs the self-join; the hot-bucket cap (deliberate pair loss)
+    // has its own planted spec below
+    val docs = Tables(spark, sfDir, "documents")
+    val got = Dedup.simhashNearDupPairsOf(docs, 3, maxBucket = Int.MaxValue)
     assert(got.filter(col("hamming") > 3).count() == 0)
     val sigs = Dedup.simhash(spark, sfDir)
+    // integer div, NOT floor(x / 2^k): above 2^53 the double division the
+    // floor formulation implies is no longer exact
     val chunks = (0 until Dedup.SimhashChunks).map { c =>
       sigs.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-        floor(col("simhash") / (1L << (c * Dedup.ChunkBits)))
+        expr(s"simhash div ${1L << (c * Dedup.ChunkBits)}")
           .mod(1 << Dedup.ChunkBits).as("chunk_val"))
     }.reduce(_.unionAll(_))
     val expected = chunks.as("a").join(chunks.as("b"),
@@ -57,17 +63,37 @@ class DedupSpec extends SparkSpec {
     assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
   }
 
-  test("simhash pairs: signature pipeline computed ONCE via exchange reuse, no cache left behind") {
+  test("simhash pairs: join-free one-pass plan (in-bucket expansion), no cache left behind") {
     // delta-based: other operators (CC) legitimately hold a small label
     // checkpoint; THIS operator must not add any persisted blocks
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = Dedup.simhashNearDupPairs(spark, sfDir, 3)
     df.collect()   // run THIS dataset's QueryExecution so AQE finalizes it
     val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange"),
-      s"self-join sides did not reuse the signature exchange:\n${executed.take(3000)}")
+    assert(!executed.contains("Join"),
+      s"simhash candidates must come from in-bucket expansion, not a self-join:\n${executed.take(3000)}")
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.isEmpty, s"simhashNearDupPairs left persisted blocks behind: $added")
+  }
+
+  test("simhash hot-bucket cap: a planted 1000-copy document expands linearly, not quadratically") {
+    import spark.implicits._
+    // 1000 identical documents: every copy has the IDENTICAL 60-bit
+    // fingerprint, so all four chunk buckets hold all 1000 ids. Uncapped
+    // that is C(1000,2) = 499500 pairs materialized from each of 4 bucket
+    // rows; capped it must be the 999 min-id star pairs (deduped across
+    // the 4 chunks), all at Hamming 0.
+    val docs = ((0 until 1000).map(i => (i.toLong, "the same exact duplicated text body repeated"))
+      ++ Seq((2000L, "a completely different document about spark plans")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairsOf(docs).collect()
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "star pairs must anchor on the min doc_id")
+    assert(pairs.forall(_.getInt(2) == 0), "identical copies must be at Hamming 0")
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 1000L).toSet)
+    // below the cap the expansion is the full pair set (unchanged semantics)
+    val small = Dedup.simhashNearDupPairsOf(docs.filter(col("doc_id") < 4))
+    assert(small.count() == 6)  // C(4,2)
   }
 
   test("pigeonhole completeness: every pair within Hamming 3 shares a chunk (is found)") {
@@ -76,7 +102,8 @@ class DedupSpec extends SparkSpec {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
-    val got = Dedup.simhashNearDupPairs(spark, sfDir, 3)
+    val got = Dedup.simhashNearDupPairsOf(Tables(spark, sfDir, "documents"),
+      3, maxBucket = Int.MaxValue)
     assert(all.except(got).count() == 0)   // banding loses NOTHING within distance 3
   }
 
