@@ -345,23 +345,18 @@ object SparkEntry {
       Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
-    // sequence packing (concat-then-chunk): 100 hash-bucket packers run in
+    // sequence packing (concat-then-chunk): hash-bucket packers run in
     // parallel, each streaming its docs in id order into 2048-token
-    // chunks — chunk_id = which sequence this doc STARTS in; no global
-    // sort, no single-partition window
-    "q_pack_sequences" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
-          Sampling.hashBucket(col("doc_id")).as("bucket"))
-        .withColumn("stream_end", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("bucket"), col("n_tokens"),
-          (col("stream_end") - col("n_tokens")).as("offset"),
-          floor((col("stream_end") - col("n_tokens")) / 2048.0).cast("int").as("chunk_id"))
-    }),
+    // sequences; docs crossing a boundary are SPLIT into per-sequence
+    // spans (token_start/token_end slice the doc) — no global sort, no
+    // single-partition window, explode is map-side
+    // buckets=8 (not 100) so verify-scale per-bucket streams cross many
+    // 2048 boundaries and the oracle checks the SPLIT arithmetic, not just
+    // the one-span case; at 100 TB the caller raises buckets to match the
+    // cluster (one token stream per executor-sized slice)
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.packSpans(Tables(s, d, "documents"), "doc_id",
+        Text.tokenCount(col("text")), seqLen = 2048, buckets = 8)),
     // mixture upsampling: per-language integer repeat factors (epoch
     // mixing) — explode is map-side, deterministic, oracle-replayable
     "q_mix_upsample" -> ((s, d) =>
@@ -858,18 +853,30 @@ object SparkEntry {
     },
     "q_curate" -> curateSql(3),
     "q_pack_sequences" ->
-      s"""SELECT doc_id, bucket, n_tokens,
-         |  CAST(stream_end - n_tokens AS BIGINT) AS "offset",
-         |  CAST(floor((stream_end - n_tokens) / 2048.0) AS INTEGER) AS chunk_id
-         |FROM (
+      s"""WITH toks AS (
+         |  SELECT doc_id, n_tokens, bucket FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |      CAST(($md5BucketSql) % 8 AS INTEGER) AS bucket
+         |    FROM documents)
+         |  WHERE n_tokens > 0),
+         |streams AS (
          |  SELECT doc_id, bucket, n_tokens,
          |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
-         |      CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket
-         |    FROM documents))""".stripMargin,
+         |  FROM toks),
+         |spans AS (
+         |  SELECT doc_id, bucket, n_tokens, stream_end,
+         |    stream_end - n_tokens AS off,
+         |    unnest(generate_series(
+         |      CAST(floor((stream_end - n_tokens) / 2048) AS INTEGER),
+         |      CAST(floor((stream_end - 1) / 2048) AS INTEGER))) AS seq_id
+         |  FROM streams)
+         |SELECT doc_id, bucket, n_tokens, CAST(seq_id AS INTEGER) AS seq_id,
+         |  CAST(greatest(off, seq_id * 2048) - off AS BIGINT) AS token_start,
+         |  CAST(least(stream_end, (seq_id + 1) * 2048) - off AS BIGINT) AS token_end,
+         |  CAST(greatest(off, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_offset
+         |FROM spans""".stripMargin,
     "q_mix_upsample" ->
       """SELECT doc_id, lang,
         |  unnest(generate_series(1, CASE WHEN lang = 'zh' THEN 3

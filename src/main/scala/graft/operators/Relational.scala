@@ -159,10 +159,17 @@ object Aggregates {
   * A pure map-side filter: no shuffle, composes with pushdown. */
 object Sampling {
 
-  /** md5 bucket (0-99) of a row id — the ONE deterministic base every
-    * split/sampling surface shares (mirrored in SQL by md5BucketSqlOf). */
-  def hashBucket(idCol: Column): Column =
-    (call_function("graft_md5_prefix", idCol.cast("string"), lit(7)) % 100).cast("int")
+  /** Default bucket count: percent semantics for sampling rates and the
+    * 90/5/5 split bands. Packing callers override it to set parallelism. */
+  val DefaultBuckets = 100
+
+  /** md5 bucket (0 until `buckets`) of a row id — the ONE deterministic
+    * base every split/sampling/packing surface shares (mirrored in SQL by
+    * md5BucketSqlOf). `buckets` is the parallelism knob: at 100 TB a
+    * packer wants one bucket per ~executor-sized token stream, not a
+    * hard-coded 100. */
+  def hashBucket(idCol: Column, buckets: Int = DefaultBuckets): Column =
+    (call_function("graft_md5_prefix", idCol.cast("string"), lit(7)) % buckets).cast("int")
 
   /** The train/valid/test banding over a [[hashBucket]] column. */
   def splitExpr(bucket: Column): Column =
@@ -176,5 +183,65 @@ object Sampling {
       when(col(stratumCol) === stratum, r).otherwise(acc)
     }
     df.withColumn("bucket", hashBucket(col(idCol))).filter(col("bucket") < rate)
+  }
+}
+
+/** Sequence packing (concat-then-chunk) for LLM training batches: docs are
+  * hash-bucketed into `buckets` independent token streams, each stream is
+  * concatenated in id order and cut at every `seqLen`-token boundary. A doc
+  * crossing a boundary is SPLIT — it emits one span row per sequence it
+  * touches, so downstream `(bucket, seq_id)` groups tile to exactly
+  * `seqLen` tokens (interior sequences) and the packer can slice each doc
+  * by `[token_start, token_end)`.
+  *
+  * Scale shape: ONE shuffle (window partition by bucket), per-bucket sort,
+  * map-side explode. `buckets` is the parallelism knob — at 100 TB pick
+  * buckets ≈ total_tokens·bytes_per_token / target_partition_size so each
+  * bucket's running-sum stream fits one task; nothing is global.
+  */
+object Packing {
+
+  /** Per-doc span rows for packing `docs` into `seqLen`-token sequences.
+    *
+    * Input: `idCol` (orders the stream within a bucket) and `nTokens`
+    * (token count expression). Zero-token docs emit no span (they occupy
+    * no positions in any sequence).
+    *
+    * Output columns:
+    *   - `doc_id`, `bucket`, `n_tokens`
+    *   - `seq_id`: bucket-local sequence index this span lands in
+    *   - `token_start`/`token_end`: doc-relative token range [start, end)
+    *     of the span — slice the doc's tokens with these
+    *   - `seq_offset`: position within sequence `seq_id` where the span
+    *     begins (0-based), so a writer can place it without re-scanning
+    */
+  def packSpans(docs: DataFrame, idCol: String, nTokens: Column,
+      seqLen: Long = 2048, buckets: Int = Sampling.DefaultBuckets): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val seqL = lit(seqLen)
+    docs
+      .select(col(idCol).as("doc_id"), nTokens.cast("long").as("n_tokens"),
+        Sampling.hashBucket(col(idCol), buckets).as("bucket"))
+      // zero-token docs: no span; also guards sequence(a, b) with a > b,
+      // which Spark would expand DESCENDING rather than empty
+      .filter(col("n_tokens") > 0)
+      .withColumn("stream_end", sum(col("n_tokens")).over(w))
+      .withColumn("offset", col("stream_end") - col("n_tokens"))
+      // every seqLen-boundary sequence the doc overlaps: floor(offset/L)
+      // .. floor((stream_end-1)/L), inclusive — pure projection over the
+      // running sum, exploded map-side
+      .withColumn("seq_id",
+        explode(sequence(floor(col("offset") / seqL).cast("int"),
+          floor((col("stream_end") - 1) / seqL).cast("int"))))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"),
+        (greatest(col("offset"), col("seq_id").cast("long") * seqL) - col("offset"))
+          .as("token_start"),
+        (least(col("stream_end"), (col("seq_id").cast("long") + 1) * seqL) - col("offset"))
+          .as("token_end"),
+        (greatest(col("offset"), col("seq_id").cast("long") * seqL)
+          - col("seq_id").cast("long") * seqL).as("seq_offset"))
   }
 }
