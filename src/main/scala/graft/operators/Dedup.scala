@@ -216,6 +216,22 @@ object Dedup {
       iterations: Int = 3): DataFrame =
     minhashConnectedComponentsOf(Tables(spark, dir, "documents"), iterations)
 
+  /** CC labels as a shared artifact: memoized per (session, dir,
+    * iterations) so the pipeline's consumers (cluster listing, survivor
+    * selection) read ONE materialized label relation instead of each
+    * re-running the iterations — in production the labels are written
+    * once and joined thereafter; the memoized localCheckpoint is that
+    * artifact within a process. Inputs are immutable parquet dirs, so
+    * the memo is sound; one narrow 2-column checkpoint per dir is the
+    * retained cost. */
+  private val ccLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  def minhashCcLabels(spark: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame =
+    ccLabelCache.computeIfAbsent((spark, dir, iterations),
+      _ => minhashConnectedComponents(spark, dir, iterations))
+
   def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame = {
     // The band table is persisted for the 2·iterations re-reads, and the
     // FINAL labels (2 narrow columns) are materialized eagerly so the
