@@ -55,6 +55,17 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"sf":"$sfDir"}"""
     spark.stop()
+    // The driver's BENCH_r{N}.json keeps only a truncated tail of this
+    // line, which hides ~20% of queries from round-over-round comparison;
+    // persist the FULL map ourselves, named for the round being built
+    // (one past the last driver-written BENCH_r*.json).
+    try {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"), line + "\n")
+    } catch { case _: Throwable => () }
     println(line)
   }
 }

@@ -378,6 +378,11 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
+    // the wide banding config (8 bands x 2 rows over the SAME signatures):
+    // Pr[candidate] ≈ 0.90 at j=0.5 vs 0.23 for the default 4x4 — the
+    // documented recall/cost knob for corpora needing moderate-similarity
+    // dedup; costs more populated buckets to expand and verify
+    "q_dedup_jaccard_wide" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5, bands = 8)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
 
     // -- similarity search (north star)
@@ -889,6 +894,7 @@ object SparkEntry {
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_embed" -> embedDedupSql,
 
     "q_ann_brute" -> annSql(cellRestricted = false),
@@ -979,12 +985,15 @@ object SparkEntry {
     * and Jaccard oracles). Slots are BIGINT — cast for the string concat. */
   private def bandRowsSql: String = bandRowsSqlFrom("sigs")
 
-  private def bandRowsSqlFrom(sigsName: String): String =
-    (0 until Dedup.Bands).map { b =>
-      val slots = (b * Dedup.RowsPerBand until (b + 1) * Dedup.RowsPerBand)
+  private def bandRowsSqlFrom(sigsName: String,
+      bands: Int = Dedup.Bands): String = {
+    val rpb = Dedup.MinhashK / bands
+    (0 until bands).map { b =>
+      val slots = (b * rpb until (b + 1) * rpb)
         .map(h => s"CAST(mh_$h AS VARCHAR)").mkString(" || '|' || ")
       s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM $sigsName"
     }.mkString("\n  UNION ALL\n")
+  }
 
   /** The capped within-bucket pair expansion (mirrors
     * Dedup.minhashCandidatePairsOf): full C(n,2) for buckets up to
@@ -1148,10 +1157,12 @@ object SparkEntry {
   /** Mirrors the candidates-then-verify Spark plan: MinHash-LSH candidate
     * pairs (same CTE chain as q_dedup_minhash), exact Jaccard on those via
     * list_intersect (distinct-element intersection, like array_intersect). */
-  private def jaccardSql: String = {
+  private def jaccardSql: String = jaccardSql(Dedup.Bands)
+
+  private def jaccardSql(bands: Int): String = {
     s"""WITH sigs AS ($minhashSigSql),
        |bands AS (
-       |$bandRowsSql),
+       |${bandRowsSqlFrom("sigs", bands)}),
        |$cappedPairCtes,
        |docs AS (
        |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)

@@ -88,10 +88,16 @@ object Dedup {
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(Tables(spark, dir, "documents"))
 
-  def minhashBandsOf(docs: DataFrame): DataFrame = {
+  /** `bands` is the recall/cost knob over the SAME 16-slot signatures:
+    * Pr[candidate] = 1-(1-j^(16/bands))^bands. The default 4×4 is steep
+    * around j≈0.7; 8×2 catches j≈0.5 pairs (0.90 vs 0.23 there) at the
+    * price of more populated buckets to expand and verify. */
+  def minhashBandsOf(docs: DataFrame, bands: Int = Bands): DataFrame = {
+    require(MinhashK % bands == 0, s"bands must divide $MinhashK, got $bands")
+    val rpb = MinhashK / bands
     val sigs = minhashSignaturesOf(docs)
-    val bucketCols = (0 until Bands).map { b =>
-      val slots = (b * RowsPerBand until (b + 1) * RowsPerBand).map(h => col(s"mh_$h"))
+    val bucketCols = (0 until bands).map { b =>
+      val slots = (b * rpb until (b + 1) * rpb).map(h => col(s"mh_$h"))
       md5(concat_ws("|", slots: _*))
     }
     sigs.select(col("doc_id"), posexplode(array(bucketCols: _*)))
@@ -124,8 +130,15 @@ object Dedup {
   def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatePairsOf(Tables(spark, dir, "documents"))
 
-  def minhashCandidatePairsOf(docs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
-    minhashBandsOf(docs)
+  def minhashCandidatePairsOf(docs: DataFrame, maxBucket: Int = MaxBucket,
+      bands: Int = Bands): DataFrame =
+    candidatePairsFromBands(minhashBandsOf(docs, bands), maxBucket)
+
+  /** [[minhashCandidatePairsOf]] over an explicit (doc_id, band, bucket)
+    * band table — the form that consumes a PERSISTED band artifact (the
+    * streaming twin probes it per micro-batch) without re-shingling. */
+  def candidatePairsFromBands(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    bands
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -179,23 +192,31 @@ object Dedup {
     * are (min, max)-ordered; existing↔existing pairs were already found
     * when those documents arrived. */
   def incrementalMinhashCandidates(existingDocs: DataFrame,
-      incomingDocs: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+      incomingDocs: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    incrementalCandidatesFromBands(minhashBandsOf(existingDocs),
+      minhashBandsOf(incomingDocs), maxBucket)
+
+  /** [[incrementalMinhashCandidates]] over explicit band tables — the form
+    * the streaming twin uses: `exBands` is the persisted corpus band
+    * artifact (never re-shingled), `incBands` the delta's bands. */
+  def incrementalCandidatesFromBands(exBands: DataFrame,
+      incBands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     // The existing side is pre-grouped per bucket so the cross expansion
     // can apply the SAME hot-bucket cap as the batch path: an incoming
     // member of an oversized existing bucket pairs only with that
     // bucket's min-id representative — without it a mass-duplicated
     // document present on both sides is |inc|·|ex| rows from one bucket.
-    val exGrouped = minhashBandsOf(existingDocs)
+    val exGrouped = exBands
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ex_ids"))
-    val cross = minhashBandsOf(incomingDocs)
+    val cross = incBands
       .join(exGrouped, Seq("band", "bucket"))
       .select(col("doc_id"),
         explode(when(size(col("ex_ids")) <= maxBucket, col("ex_ids"))
           .otherwise(slice(col("ex_ids"), lit(1), lit(1)))).as("e_id"))
       .select(least(col("doc_id"), col("e_id")).as("doc_a"),
         greatest(col("doc_id"), col("e_id")).as("doc_b"))
-    cross.unionByName(minhashCandidatePairsOf(incomingDocs, maxBucket)).distinct()
+    cross.unionByName(candidatePairsFromBands(incBands, maxBucket)).distinct()
   }
 
   /** Connected components over the LSH bucket graph by iterative min-label
@@ -312,12 +333,26 @@ object Dedup {
     * single task materializes a quadratic pair row at 100 TB. A pair
     * sharing several chunks is emitted once per shared chunk; the final
     * distinct runs over the Hamming-filtered (already near-dup-sized)
-    * candidate set. */
+    * candidate set.
+    *
+    * Caveats, stated rather than silent: (1) pigeonhole completeness
+    * needs `maxDist < SimhashChunks` — the require below fails loudly on
+    * an over-range `maxDist` instead of silently dropping pairs. (2) In a
+    * CAPPED bucket with heterogeneous members, non-anchor pairs survive
+    * only if some other (under-cap) chunk bucket recovers them — the cap
+    * is lossless for the mass-duplication case it exists for (identical
+    * fingerprints collide on ALL four chunks) but narrows recall for
+    * mixed hot buckets (the deliberate-pair-loss note in DedupSpec).
+    * (3) collect_list materializes each bucket's membership as one array
+    * row before the cap applies — fine for the N/32768 expected bucket
+    * population, a known limit if one chunk value covers ~10⁸ docs. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
     simhashNearDupPairsOf(Tables(spark, dir, "documents"), maxDist)
 
   def simhashNearDupPairsOf(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = MaxBucket): DataFrame = {
+    require(maxDist < SimhashChunks,
+      s"banding is complete only for maxDist <= ${SimhashChunks - 1}; got $maxDist")
     val sigs = simhashOf(docs)
     // All 4 chunk values from ONE projection (posexplode) over ONE lineage
     val chunkVals = (0 until SimhashChunks).map { c =>
@@ -347,9 +382,14 @@ object Dedup {
     * (Pr[candidate] = 1-(1-j^4)^4, ≈0.96 at j=0.7, ≈1.0 at j≥0.8) are not
     * verified. A frequent-shingle exploded self-join would be exact but
     * quadratic in a shingle's document frequency — a 100 TB scale-killer. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val cand = minhashCandidatePairs(spark, dir)
-    val docs = Tables(spark, dir, "documents")
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double,
+      bands: Int = Bands): DataFrame =
+    ngramJaccardPairsOf(Tables(spark, dir, "documents"), threshold, bands)
+
+  def ngramJaccardPairsOf(allDocs: DataFrame, threshold: Double,
+      bands: Int = Bands): DataFrame = {
+    val cand = minhashCandidatePairsOf(allDocs, MaxBucket, bands)
+    val docs = allDocs
       .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
     // long format: each pair contributes (pair, side, doc_id) rows so the

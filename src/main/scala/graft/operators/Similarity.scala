@@ -80,6 +80,42 @@ object Quantize {
   def withCodebook(df: DataFrame, emb: DataFrame): DataFrame =
     df.crossJoin(broadcast(codebookRow(emb)))
 
+  /** [[withCodebook]] over an explicit (c_id, c_emb) centroid relation —
+    * how a REFINED codebook (or any externally-trained one) is attached. */
+  def withCodebookOf(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(broadcast(codebookRowOf(cent)))
+
+  /** `iterations` distributed Lloyd updates over the sampled codebook:
+    * assign every vector to its nearest centroid, recompute each cell's
+    * elementwise mean, repeat. Each iteration is the q_codebook_refine
+    * shape (argmax materialized once at the cell exchange — see that
+    * entry's comment on the load-bearing repartition) plus one array
+    * re-assembly agg; the centroid relation is `localCheckpoint`ed per
+    * iteration (same discipline as the CC label loop) so plans stay O(1)
+    * in the iteration count and the broadcast payload never re-derives
+    * upstream. Cells that attract no vectors drop out (standard Lloyd);
+    * ids stay the sampled seed ids for reproducibility. */
+  def refineCodebook(emb: DataFrame, iterations: Int): DataFrame = {
+    var cent = codebook(emb)
+      .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      cent = emb.crossJoin(broadcast(codebookRowOf(cent)))
+        .select(cellExpr(col("embedding"), col("cents")).as("cell"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .repartition(col("cell"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .toDF("cell", "dim", "x")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("c_id"),
+          transform(col("dm"), s => s.getField("m")).as("c_emb"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   /** Nearest-centroid cell id — one native-expression projection over the
     * broadcast codebook column, evaluates in-stage. */
   def cellExpr(emb: Column, cents: Column): Column =
@@ -142,13 +178,20 @@ object Similarity {
     * partitioned hash join over ~nprobe/C of the corpus — the scale path;
     * recall trades against nprobe. */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      nprobe: Int = IvfNprobe): DataFrame = {
-    val emb    = Tables(spark, dir, "embeddings")
-    val corpus = Quantize.withCodebook(corpusWithNorm(spark, dir), emb)
+      nprobe: Int = IvfNprobe): DataFrame =
+    ivfTopKWith(spark, dir, nQueries, k,
+      Quantize.codebook(Tables(spark, dir, "embeddings")), nprobe)
+
+  /** [[ivfTopK]] with an explicit (c_id, c_emb) centroid relation — the
+    * entry point for a [[Quantize.refineCodebook]]-trained codebook; the
+    * plan is identical (broadcast 1-row codebook on both sides). */
+  def ivfTopKWith(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      cent: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
+    val corpus = Quantize.withCodebookOf(corpusWithNorm(spark, dir), cent)
       .withColumn("cell", Quantize.cellExpr(col("embedding"), col("cents")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val q = Quantize.withCodebook(
-        corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries), emb)
+    val q = Quantize.withCodebookOf(
+        corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries), cent)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(Quantize.probeCellsExpr(col("embedding"), col("cents"), nprobe)).as("q_cell"))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import graft.operators.Dedup
+
+/** Streaming twin of [[Dedup.incrementalMinhashCandidates]] — the daily-
+  * ingest wiring for the NEAR-dup tier (the exact tier's twin is
+  * [[StreamingDedup]]): each micro-batch of incoming documents
+  *
+  *   1. computes its band table once (persisted for the batch),
+  *   2. probes the durable corpus band artifact at `bandsPath` for
+  *      cross candidates plus the capped within-batch expansion,
+  *   3. appends the found pairs to `pairsPath`, and
+  *   4. appends its own bands to `bandsPath` — so later batches see
+  *      earlier ones without any re-shingling of history.
+  *
+  * State lives in the band TABLE, not in streaming state: the corpus side
+  * is a parquet artifact bucketable by (band, bucket), so executor memory
+  * is O(micro-batch), independent of corpus size — the shape that holds
+  * when the corpus is 100 TB and a day's delta is a few TB. Each emitted
+  * pair has >= 1 member in the current batch, so batch outputs are
+  * disjoint and their union is exactly the batch-incremental result
+  * replayed over the same deltas (spec-asserted).
+  */
+object StreamingNearDup {
+
+  /** Band-table schema: (doc_id, band, bucket) as produced by
+    * [[Dedup.minhashBandsOf]]. */
+  val BandSchema: StructType = new StructType()
+    .add("doc_id", LongType).add("band", IntegerType).add("bucket", StringType)
+
+  /** Create an empty corpus band table at `bandsPath` if none exists —
+    * first deployment of a fresh corpus; thereafter the table is the
+    * accumulated history. */
+  def ensureBandTable(spark: SparkSession, bandsPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        BandSchema).write.parquet(bandsPath)
+  }
+
+  /** Start the ingest: `incoming` must carry (doc_id, text). Pairs land in
+    * `pairsPath` as (doc_a, doc_b); bands accumulate in `bandsPath`. */
+  def start(incoming: DataFrame, bandsPath: String, pairsPath: String,
+      maxBucket: Int = Dedup.MaxBucket): StreamingQuery = {
+    ensureBandTable(incoming.sparkSession, bandsPath)
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // bands computed ONCE per batch, used twice (probe + append)
+        val incBands = Dedup.minhashBandsOf(batch).persist()
+        try {
+          val exBands = spark.read.schema(BandSchema).parquet(bandsPath)
+          Dedup.incrementalCandidatesFromBands(exBands, incBands, maxBucket)
+            .write.mode("append").parquet(pairsPath)
+          incBands.write.mode("append").parquet(bandsPath)
+        } finally incBands.unpersist(false)
+        ()
+      }
+      .start()
+  }
+}

@@ -26,6 +26,37 @@ class DedupSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("wide banding (8x2): candidates and verified pairs are supersets of 4x4; catches j~0.5 planted pairs") {
+    import spark.implicits._
+    // any pair agreeing on a 4-slot band agrees on both its 2-slot halves,
+    // so on the real corpus wide candidates must contain narrow ones
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowCand = pairs(Dedup.minhashCandidatePairsOf(docs, bands = 4))
+    val wideCand = pairs(Dedup.minhashCandidatePairsOf(docs, bands = 8))
+    assert(narrowCand.subsetOf(wideCand),
+      s"missing from wide: ${(narrowCand -- wideCand).take(5)}")
+    assert(pairs(Dedup.ngramJaccardPairsOf(docs, 0.5, bands = 4))
+      .subsetOf(pairs(Dedup.ngramJaccardPairsOf(docs, 0.5, bands = 8))))
+
+    // planted corpus of 20 pairs at jaccard ~0.5 (60 shared + 30 unique
+    // tokens each): S-curve predicts ~0.21 candidate recall for 4x4 vs
+    // ~0.89 for 8x2 there — the knob's reason to exist
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)("w" + rnd.nextInt(1000000).toString).mkString(" ")
+    val planted = (0 until 20).flatMap { i =>
+      val common = words(60)
+      Seq((2 * i.toLong, common + " " + words(30)),
+        (2 * i.toLong + 1, common + " " + words(30)))
+    }.toDF("doc_id", "text")
+    val truePairs = (0 until 20).map(i => (2 * i.toLong, 2 * i.toLong + 1)).toSet
+    val narrowHit = (pairs(Dedup.ngramJaccardPairsOf(planted, 0.4, bands = 4)) & truePairs).size
+    val wideHit = (pairs(Dedup.ngramJaccardPairsOf(planted, 0.4, bands = 8)) & truePairs).size
+    assert(wideHit > narrowHit && wideHit >= 12,
+      s"wide=$wideHit narrow=$narrowHit of 20 planted j~0.5 pairs")
+  }
+
   test("minhash candidate pairs == the self-join formulation (one-pass rewrite equivalence)") {
     val got = Dedup.minhashCandidatePairs(spark, sfDir)
     val bands = Dedup.minhashBands(spark, sfDir)

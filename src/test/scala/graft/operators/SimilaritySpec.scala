@@ -89,6 +89,45 @@ class SimilaritySpec extends SparkSpec {
     assert(hit >= 0.5 * total, s"IVF recall $hit/$total below 0.5")
   }
 
+  test("refined codebook: Lloyd iterations lift IVF recall over the sampled seed") {
+    import graft.lake.Tables
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables(spark, dir, "embeddings")
+    val brute = Similarity.bruteForceTopK(spark, dir, 10, 5).select("q_id", "vec_id")
+    val total = brute.count()
+    val sampledHit = brute.intersect(
+      Similarity.ivfTopK(spark, dir, 10, 5).select("q_id", "vec_id")).count()
+    val cent = Quantize.refineCodebook(emb, 2)
+    val refinedHit = brute.intersect(
+      Similarity.ivfTopKWith(spark, dir, 10, 5, cent).select("q_id", "vec_id")).count()
+    // measured 34/50 refined vs 30/50 sampled (converged after 1 iter):
+    // centroids move to cell means, so cell boundaries align better with
+    // the true neighborhoods the probe list has to cover
+    assert(refinedHit >= sampledHit,
+      s"refined recall $refinedHit/$total below sampled $sampledHit/$total")
+    assert(refinedHit >= (0.6 * total).toLong,
+      s"refined recall $refinedHit/$total below 0.6")
+    // no cells lost at this SF — the refined book serves the same layout
+    assert(cent.count() == Quantize.codebook(emb).count())
+  }
+
+  test("refined codebook serving plan: still broadcast, no literal centroids") {
+    import graft.lake.Tables
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cent = Quantize.refineCodebook(emb, 1)
+    val df = Quantize.withCodebookOf(emb, cent).select(col("vec_id"),
+      Quantize.cellExpr(col("embedding"), col("cents")).as("cell"))
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"refined codebook not broadcast:\n$p")
+    // the refined centroids ride in the broadcast payload, never the plan
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val structLits = df.queryExecution.analyzed.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case l @ Literal(_, ArrayType(_: StructType, _)) => l })
+    assert(structLits.isEmpty, "literal centroid array baked into the plan")
+  }
+
   test("IVF property: planted near-duplicates land in the same cell") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
