@@ -110,14 +110,18 @@ object Dedup {
     * row — bounded regardless of how degenerate the corpus is. */
   val MaxBucket = 64
 
-  /** Star pairs for an oversized SORTED bucket: every member pairs with the
-    * bucket's min-id representative — O(n) rows instead of O(n²). The
-    * transitive "all copies are mutual duplicates" information is preserved
-    * through the representative (the cluster form [[minhashClusters]] is
-    * the first-class way to consume it). */
-  private def starPairsOf(xs: Column): Column =
-    transform(slice(xs, lit(2), size(xs) - 1), x =>
-      struct(element_at(xs, 1).as("a"), x.as("b")))
+  /** Per-bucket (cnt, rep) annotation — the pre-aggregation census that
+    * lets pair expansion branch BEFORE any membership array forms: a
+    * window over the bucket key buffers rows in a spillable sort, never a
+    * single multi-GB array row (a 10⁸-copy document used to become one
+    * collect_list row — task OOM before the star cap could apply). */
+  private def withBucketCensus(rows: DataFrame, keys: Seq[String],
+      repCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    rows.withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rep", min(repCol).over(w))
+  }
 
   /** Candidate near-duplicate pairs: documents sharing any band bucket.
     * Shape: ONE pass computes signatures, one shuffle groups doc_ids by
@@ -136,16 +140,28 @@ object Dedup {
 
   /** [[minhashCandidatePairsOf]] over an explicit (doc_id, band, bucket)
     * band table — the form that consumes a PERSISTED band artifact (the
-    * streaming twin probes it per micro-batch) without re-shingling. */
-  def candidatePairsFromBands(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
-    bands
+    * streaming twin probes it per micro-batch) without re-shingling.
+    *
+    * Shape: ONE shuffle on the bucket key; the window census annotates
+    * (cnt, rep) per row, then expansion branches — buckets up to
+    * `maxBucket` aggregate a BOUNDED (≤ maxBucket) member array and
+    * expand C(n,2); oversized buckets (mass duplication) emit min-id
+    * star pairs as a pure projection, so NO operator ever materializes
+    * an unbounded bucket membership. Both branches sit above the same
+    * exchange (ReuseExchange: the signature pipeline runs once). */
+  def candidatePairsFromBands(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val counted = withBucketCensus(bands, Seq("band", "bucket"), col("doc_id"))
+      .filter(col("cnt") > 1)
+    val small = counted.filter(col("cnt") <= maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(when(size(col("ids")) <= maxBucket, pairsOf(col("ids")))
-        .otherwise(starPairsOf(col("ids")))).as("p"))
+      .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .distinct()
+    val big = counted
+      .filter(col("cnt") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    small.unionByName(big).distinct()
+  }
 
   /** Cluster form of MinHash dedup — the scale-native output shape for
     * mass duplication: each document maps to ONE representative (the
@@ -201,19 +217,17 @@ object Dedup {
     * artifact (never re-shingled), `incBands` the delta's bands. */
   def incrementalCandidatesFromBands(exBands: DataFrame,
       incBands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
-    // The existing side is pre-grouped per bucket so the cross expansion
-    // can apply the SAME hot-bucket cap as the batch path: an incoming
-    // member of an oversized existing bucket pairs only with that
-    // bucket's min-id representative — without it a mass-duplicated
-    // document present on both sides is |inc|·|ex| rows from one bucket.
-    val exGrouped = exBands
-      .groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ex_ids"))
+    // The existing side is reduced per bucket BEFORE the join so the cross
+    // expansion applies the SAME hot-bucket cap as the batch path: an
+    // oversized existing bucket (mass duplication) keeps only its min-id
+    // representative row — without it a mass-duplicated document present
+    // on both sides is |inc|·|ex| rows from one bucket. The census window
+    // never materializes a membership array (spillable row buffer).
+    val exReduced = withBucketCensus(exBands, Seq("band", "bucket"), col("doc_id"))
+      .filter(col("cnt") <= maxBucket || col("doc_id") === col("rep"))
+      .select(col("band"), col("bucket"), col("doc_id").as("e_id"))
     val cross = incBands
-      .join(exGrouped, Seq("band", "bucket"))
-      .select(col("doc_id"),
-        explode(when(size(col("ex_ids")) <= maxBucket, col("ex_ids"))
-          .otherwise(slice(col("ex_ids"), lit(1), lit(1)))).as("e_id"))
+      .join(exReduced, Seq("band", "bucket"))
       .select(least(col("doc_id"), col("e_id")).as("doc_a"),
         greatest(col("doc_id"), col("e_id")).as("doc_b"))
     cross.unionByName(candidatePairsFromBands(incBands, maxBucket)).distinct()
@@ -343,9 +357,10 @@ object Dedup {
     * is lossless for the mass-duplication case it exists for (identical
     * fingerprints collide on ALL four chunks) but narrows recall for
     * mixed hot buckets (the deliberate-pair-loss note in DedupSpec).
-    * (3) collect_list materializes each bucket's membership as one array
-    * row before the cap applies — fine for the N/32768 expected bucket
-    * population, a known limit if one chunk value covers ~10⁸ docs. */
+    * Membership arrays only ever form for buckets ≤ `maxBucket`: the
+    * census window branches BEFORE aggregation, so an oversized bucket
+    * (~10⁸ identical copies) streams through a spillable sort and a
+    * projection, never one multi-GB collect_list row. */
   def simhashNearDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
     simhashNearDupPairsOf(Tables(spark, dir, "documents"), maxDist)
 
@@ -358,16 +373,25 @@ object Dedup {
     val chunkVals = (0 until SimhashChunks).map { c =>
       shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
     }
-    sigs
+    val chunks = sigs
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
+    // same census-then-branch shape as candidatePairsFromBands: bounded
+    // arrays for small buckets, array-free star projection for oversized
+    // ones (min struct == min doc_id's row — doc_id leads the struct)
+    val counted = withBucketCensus(chunks, Seq("chunk", "chunk_val"),
+      struct(col("doc_id"), col("simhash"))).filter(col("cnt") > 1)
+    val small = counted.filter(col("cnt") <= maxBucket)
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(when(size(col("ms")) <= maxBucket, pairsOf(col("ms")))
-        .otherwise(starPairsOf(col("ms")))).as("p"))
+      .select(explode(pairsOf(col("ms"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
+    val big = counted
+      .filter(col("cnt") > maxBucket && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        bit_count(col("rep.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    small.unionByName(big)
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
