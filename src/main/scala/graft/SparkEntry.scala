@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
-import graft.lake.{Ingest, LakePaths, Tables}
+import graft.lake.{Ingest, LakePaths, Readers, Tables, Writers}
 import graft.operators._
 import graft.streaming.{Alerts, Funnel, Sessions}
 
@@ -325,6 +325,40 @@ object SparkEntry {
           round(count(lit(1)) / sum("n"), 4).as("distinct_ratio"),
           round(max("n") / sum("n"), 4).as("top_token_share"))),
 
+    // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
+    // derived from doc_id) is appended to a digit-stripped text snippet,
+    // then scrubbed by the ordered PiiPatterns chain — exercises every
+    // pattern, and the SSN-before-phone ordering, byte-for-byte vs the
+    // oracle. Digit-stripping the snippet keeps the only digit runs in the
+    // row the injected ones, so both engines face identical match sites.
+    "q_pii_redact" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), concat(
+          regexp_replace(substring(col("text"), 1, 40), "[0-9]", ""),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("dirty"))
+        .select(col("doc_id"), col("dirty"),
+          Text.redactPii(col("dirty")).as("redacted"))),
+
+    // JSONL round-trip: write the corpus hand-off format, read it back with
+    // an explicit schema (JSON inference = a second full pass), aggregate.
+    // Oracle aggregates the source table directly — the round-trip must be
+    // lossless for the hashes to meet.
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "lang", "text")
+      val path = s"target/tmp/jsonl_rt_${new java.io.File(d).getName}"
+      Writers.jsonl(docs, path)
+      Readers.jsonl(s, path, docs.schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+    }),
+
     // -- dedup (north star)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -384,6 +418,20 @@ object SparkEntry {
     // dedup; costs more populated buckets to expand and verify
     "q_dedup_jaccard_wide" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5, bands = 8)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
+    // benchmark decontamination: docs 0..49 stand in for the (always-small)
+    // benchmark set, everything else is the training corpus; sharing a
+    // word 5-gram = contamination
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 5)
+    }),
+    "q_decontaminate_clean" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Decontaminate.clean(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 5)
+        .select(col("doc_id"), col("lang"))
+    }),
 
     // -- similarity search (north star)
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
@@ -808,6 +856,24 @@ object SparkEntry {
         |  round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_token_share
         |FROM tf GROUP BY doc_id""".stripMargin,
 
+    "q_pii_redact" -> piiRedactSql,
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $decontamGramsSql
+         |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
+         |  count(DISTINCT bg.bench_id) AS n_bench_docs
+         |FROM tg JOIN bg USING (g)
+         |GROUP BY tg.doc_id""".stripMargin,
+    "q_decontaminate_clean" ->
+      s"""WITH $decontamGramsSql,
+         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_copies
@@ -949,13 +1015,50 @@ object SparkEntry {
 
   private def shinglesSql: String = shinglesSqlOver("documents", "")
 
-  private def shinglesSqlOver(rel: String, where: String): String =
+  private def shinglesSqlOver(rel: String, where: String, n: Int = 3): String = {
+    val terms = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""SELECT doc_id, lang,
-       |  list_transform(range(1, len(t) - 1),
-       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+       |  list_transform(range(1, len(t) - ${n - 2}),
+       |    i -> $terms) AS sh
        |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
        |      FROM $rel $where)
-       |WHERE len(t) >= 3""".stripMargin
+       |WHERE len(t) >= $n""".stripMargin
+  }
+
+  /** Distinct (doc_id, gram) 5-gram CTEs over the train/benchmark doc-id
+    * split — shared by both decontamination oracles. */
+  private def decontamGramsSql: String =
+    s"""tr AS (${shinglesSqlOver("documents", "WHERE doc_id >= 50", 5)}),
+       |be AS (${shinglesSqlOver("documents", "WHERE doc_id < 50", 5)}),
+       |tg AS (SELECT DISTINCT doc_id, g
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
+       |bg AS (SELECT DISTINCT doc_id AS bench_id, g
+       |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
+
+  /** The PII scrub oracle folds the SAME [[Text.PiiPatterns]] list the
+    * Spark query uses — one pattern source, two engines (patterns are
+    * Java∩RE2, see Text.scala). */
+  private def piiRedactSql: String = {
+    val dirty =
+      """regexp_replace(substring(text, 1, 40), '[0-9]', '', 'g')
+        | || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ssn 123-45-'
+        | || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        | || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-'
+        | || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        | || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+        // flattened: the outer template below runs stripMargin over the
+        // INTERPOLATED text, which would eat the first '|' of a
+        // line-leading '||'
+        .stripMargin.replace("\n", "")
+    val redacted = Text.PiiPatterns.foldLeft("dirty") { case (e, (p, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    s"""SELECT doc_id, dirty,
+       |  $redacted AS redacted
+       |FROM (SELECT doc_id,
+       |  $dirty AS dirty
+       |FROM documents)""".stripMargin
+  }
 
   private def minhashSigSql: String = minhashSigSqlOver("documents", "")
 

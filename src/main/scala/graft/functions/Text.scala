@@ -45,6 +45,25 @@ object Text {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** PII scrub patterns, applied IN ORDER (SSN before the phone shape so
+    * `ddd-dd-dddd` isn't half-eaten as a phone number). The single source
+    * both engines derive from — [[redactPii]] folds them through Spark
+    * `regexp_replace` and the oracle nests DuckDB `regexp_replace(…,'g')`
+    * — so every pattern must stay in the Java∩RE2 dialect: no
+    * backreferences, no lookaround. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{2,4}" -> "<PHONE>",
+  )
+
+  /** Redact emails, SSNs, IPv4s and phone-shaped digit groups — the
+    * pre-training scrub stage. Pure codegen'd regexp_replace chain;
+    * deterministic, so the redacted corpus is reproducible. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** BPE-ish subword-boundary tokenization: letter runs, digit runs, and
     * single non-alphanumeric symbols each count as a token — the shape a
     * byte-pair tokenizer's pre-split uses, and a closer proxy for LLM

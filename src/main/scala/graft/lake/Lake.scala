@@ -66,6 +66,15 @@ object Readers {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** JSONL (newline-delimited JSON) — the interchange format LLM-pipeline
+    * tooling ships corpora in. The schema is REQUIRED: JSON schema
+    * inference is a full extra pass over the data (unaffordable at
+    * 100 TB), and an explicit schema also lets the Jackson parser skip
+    * fields outside the requested columns instead of materializing every
+    * record in full. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
 
 /** Writers mirroring the reference's blob sinks (SURVEY.md §2.2). The
@@ -82,6 +91,12 @@ object Writers {
 
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSONL sink: one JSON object per line, one file per partition — the
+    * hand-off format for downstream tokenizer/training jobs. Writes are
+    * idempotent (`overwrite`) like the other sinks. */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
 
 /** Bucketed table layout — the 100 TB answer to the fact⋈fact shuffle:

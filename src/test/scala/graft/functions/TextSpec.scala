@@ -42,6 +42,26 @@ class TextSpec extends SparkSpec {
     assert(pred("xyzzy plugh") == "und")
   }
 
+  test("redactPii scrubs email, SSN, IPv4 and phone shapes") {
+    val red = (s: String) =>
+      one(s).select(Text.redactPii(col("text"))).head().getString(0)
+    assert(red("mail a.b+c%d@sub.example.co.uk now") == "mail <EMAIL> now")
+    assert(red("ssn 123-45-6789 end") == "ssn <SSN> end")
+    assert(red("host 192.168.0.1 up") == "host <IP> up")
+    assert(red("call +1 555-867-5309 or 1.555.867.5309")
+      == "call <PHONE> or <PHONE>")
+    assert(red("two bob@x.org carl@y.net") == "two <EMAIL> <EMAIL>")
+  }
+
+  test("redactPii pattern order: SSN wins over the phone shape; clean text unchanged") {
+    val red = (s: String) =>
+      one(s).select(Text.redactPii(col("text"))).head().getString(0)
+    // an SSN must come out as <SSN>, never half-eaten by the digit-group
+    // phone shape that runs after it
+    assert(red("id 123-45-6789") == "id <SSN>")
+    assert(red("no pii here just words") == "no pii here just words")
+  }
+
   test("quality features: ratios are well-formed") {
     val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
     val r = one("Hello, world! This is 1 test.").select(feats: _*).head()

@@ -48,4 +48,31 @@ class ReadersSpec extends SparkSpec {
     val docs = Readers.parquet(spark, s"$sfDir/documents.parquet")
     assert(docs.columns.contains("doc_id") && docs.count() > 0)
   }
+
+  test("JSONL round-trip is lossless, writes one object per line, prunes on read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = Readers.parquet(spark, s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    Writers.jsonl(docs, dir)
+
+    // files are newline-delimited JSON objects
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(part.nonEmpty, "no JSONL part files written")
+    val firstLine = scala.io.Source.fromFile(part.head).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
+
+    val back = Readers.jsonl(spark, dir, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    // lossless: anti-join both ways is empty
+    assert(back.join(docs, Seq("doc_id", "lang", "text"), "left_anti").isEmpty)
+    assert(docs.join(back, Seq("doc_id", "lang", "text"), "left_anti").isEmpty)
+
+    // projection pushes into the scan: only requested fields are read
+    val pruned = back.select(col("doc_id")).queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"JSON scan did not prune to doc_id:\n$pruned")
+  }
 }
