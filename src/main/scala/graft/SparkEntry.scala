@@ -325,6 +325,16 @@ object SparkEntry {
           round(count(lit(1)) / sum("n"), 4).as("distinct_ratio"),
           round(max("n") / sum("n"), 4).as("top_token_share"))),
 
+    // doc→chunk split for embedding pipelines: 32-token windows advancing
+    // by 24 (8-token overlap); explode is map-side, chunk text derives
+    // from the let-bound token array
+    "q_chunk_docs" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(Text.chunkSpans(col("text"), 32, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.chunk_text").as("chunk_text"))
+        .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))),
+
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
     // then scrubbed by the ordered PiiPatterns chain — exercises every
@@ -434,6 +444,10 @@ object SparkEntry {
     }),
 
     // -- similarity search (north star)
+    // lexical retrieval — BM25 top-10 per query, the keyword complement
+    // to the ANN tier below
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10)),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
@@ -856,6 +870,18 @@ object SparkEntry {
         |  round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_token_share
         |FROM tf GROUP BY doc_id""".stripMargin,
 
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |           FROM documents),
+        |c AS (SELECT doc_id, t,
+        |        unnest(range(0, 1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT))) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+        |  CAST(len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INTEGER) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+
+    "q_bm25" -> bm25Sql,
     "q_pii_redact" -> piiRedactSql,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
@@ -1034,6 +1060,41 @@ object SparkEntry {
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
        |bg AS (SELECT DISTINCT doc_id AS bench_id, g
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
+
+  /** BM25 demo queries — terms drawn from the synthetic corpus vocabulary;
+    * shared by the Spark query and the oracle builder. */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark window agg",
+    1 -> "customer order value",
+    2 -> "slow hash join")
+
+  /** BM25 oracle — identical term list, identical double literals (k1, b
+    * folded in Scala so e.g. `k1 + 1` prints the same 2.2 DuckDB parses),
+    * avgdl rounded before scoring on both sides. */
+  private def bm25Sql: String = {
+    val (k1, b, k) = (1.2, 0.75, 10)
+    val qt = bm25Queries.flatMap { case (qid, q) =>
+      q.toLowerCase.trim.split("\\s+").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $qt),
+       |docs_t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |           FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, round(avg(len(t)), 4) AS avgdl FROM docs_t),
+       |toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM docs_t),
+       |tf AS (SELECT term, doc_id, dl, count(*) AS tf
+       |       FROM toks JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+       |       GROUP BY term, doc_id, dl),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * dl / avgdl))), 4) AS score
+       |  FROM tf JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats
+       |  GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+       |FROM scored QUALIFY rank <= $k""".stripMargin
+  }
 
   /** The PII scrub oracle folds the SAME [[Text.PiiPatterns]] list the
     * Spark query uses — one pattern source, two engines (patterns are

@@ -119,6 +119,25 @@ object Text {
     )
   }
 
+  /** Overlapping token-window chunks — the doc→chunk split an embedding /
+    * RAG pipeline runs before encoding (windows of `size` tokens advancing
+    * by `size - overlap`). Returns an array of (chunk_id, chunk_text)
+    * structs; explode it for one row per chunk. A doc shorter than `size`
+    * yields exactly one chunk. Pure map-side projection: chunk count and
+    * text derive from the let-bound token array, no shuffle, no UDF. */
+  def chunkSpans(text: Column, size: Int, overlap: Int): Column = {
+    val stride = size - overlap
+    require(stride > 0, s"overlap ($overlap) must be < size ($size)")
+    let(tokens(text)) { t =>
+      // chunks = 1 + ceil((n - size) / stride) for n > size, else 1
+      val extra = greatest(org.apache.spark.sql.functions.size(t) - size, lit(0))
+      val nChunks = lit(1) + floor((extra + (stride - 1)) / lit(stride)).cast("int")
+      transform(sequence(lit(0), nChunks - 1), k => struct(
+        k.as("chunk_id"),
+        concat_ws(" ", slice(t, k * stride + 1, lit(size))).as("chunk_text")))
+    }
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lower-cased text.
     * Exact-dedup key that is stable under trivial whitespace edits.
     * Collapse runs FIRST, then trim: `trim` only strips the space

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** BM25 lexical retrieval — the keyword complement to the ANN tier: given a
+  * small set of (query_id, query_text) pairs, score every document with
+  * Okapi BM25 over whitespace terms and keep the top-k per query.
+  *
+  * Scale shape: the query-term set is tiny and BROADCAST; corpus tokens are
+  * filtered to query terms map-side right after the explode, so only
+  * matched (doc, term) rows — a vanishing fraction of 100 TB — ever reach
+  * an exchange. Per-term document frequencies and the global (N, avgdl)
+  * stats row are broadcast back. Doc length is computed map-side in the
+  * same scan that explodes the tokens.
+  *
+  * Oracle parity: avgdl is rounded to 4 decimals BEFORE scoring and the
+  * final score to 4 after summing, so IEEE drift between engines cannot
+  * reorder the (score, doc_id) ranking except at exact 1e-4 boundaries.
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queryTerms = queries
+      .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+
+    // corpus side: one scan — doc length + token explode, then the
+    // broadcast semi-filter down to query terms
+    val matched = docs
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("dl"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+
+    val tf = matched.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term: one row per term
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // global stats: a single row, attached like the ANN codebook
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      round(avg(Text.tokenCount(col("text"))), 4).as("avgdl"))
+
+    val scored = tf
+      .join(broadcast(dft), "term")
+      .join(broadcast(queryTerms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("score"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -62,6 +62,21 @@ class TextSpec extends SparkSpec {
     assert(red("no pii here just words") == "no pii here just words")
   }
 
+  test("chunkSpans: overlapping windows tile the token stream; short docs yield one chunk") {
+    val spans = (s: String, size: Int, overlap: Int) =>
+      one(s).select(Text.chunkSpans(col("text"), size, overlap).as("c")).head()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getString(1)))
+    // 10 tokens, size 4, overlap 1 (stride 3): [1..4][4..7][7..10]
+    assert(spans("a b c d e f g h i j", 4, 1) == Seq(
+      (0, "a b c d"), (1, "d e f g"), (2, "g h i j")))
+    // ragged tail: 8 tokens -> last chunk is short but present
+    assert(spans("a b c d e f g h", 4, 1) == Seq(
+      (0, "a b c d"), (1, "d e f g"), (2, "g h")))
+    // doc shorter than the window: exactly one chunk
+    assert(spans("a b", 4, 1) == Seq((0, "a b")))
+  }
+
   test("quality features: ratios are well-formed") {
     val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
     val r = one("Hello, world! This is 1 test.").select(feats: _*).head()

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BM25 retrieval: scores match a from-scratch Scala computation, ranking
+  * behaves (tf monotonicity, rare-term weighting), the corpus side joins
+  * broadcast. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "cat dog fish"),        // one 'cat'
+    (2L, "cat cat dog"),         // two 'cat's, same length
+    (3L, "bird bird bird"),      // rare term, no 'cat'
+    (4L, "dog fish fowl")        // 'dog' only
+  ).toDF("doc_id", "text")
+
+  private def bm25Ref(tf: Long, df: Long, dl: Long, nDocs: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) *
+      (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+  test("scores match the textbook BM25 formula") {
+    val out = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toMap
+    val round4 = (x: Double) => math.rint(x * 1e4) / 1e4
+    // all docs are 3 tokens; avgdl = 3.0; N = 4; df(cat)=2, df(bird)=1
+    assert(out(1L) == round4(bm25Ref(1, 2, 3, 4, 3.0)))
+    assert(out(2L) == round4(bm25Ref(2, 2, 3, 4, 3.0)))
+    assert(out(3L) == round4(bm25Ref(3, 1, 3, 4, 3.0)))
+  }
+
+  test("ranking: higher tf wins; rare terms outweigh common ones; k cuts") {
+    val ranked = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    // doc 3: tf=3 of a df=1 term beats doc 2's tf=2 of a df=2 term
+    assert(ranked == Seq(3L, 2L))
+
+    // multi-query isolation: each query_id ranks independently
+    val multi = Retrieval.bm25TopK(docs,
+      Seq(0 -> "cat", 1 -> "fish"), 1).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id"))).toMap
+    assert(multi == Map(0 -> 2L, 1 -> 1L))
+  }
+
+  test("plan: query terms, document frequencies and stats all broadcast") {
+    val plan = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // no shuffled (sort-merge) join anywhere — the only exchanges are the
+    // matched-row aggregations and the final per-query window
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
