@@ -448,6 +448,10 @@ object SparkEntry {
     // to the ANN tier below
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10)),
+    // per-doc top-5 keywords by smoothed TF-IDF — map-side-combined term
+    // counts, broadcast vocabulary df, per-doc window cut
+    "q_tfidf_keywords" -> ((s, d) =>
+      Retrieval.tfidfKeywords(Tables(s, d, "documents"), 5)),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
@@ -882,6 +886,20 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "q_bm25" -> bm25Sql,
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        |  FROM tf JOIN dft USING (term) CROSS JOIN stats)
+        |SELECT doc_id, term, tf, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
     "q_pii_redact" -> piiRedactSql,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

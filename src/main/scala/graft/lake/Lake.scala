@@ -75,6 +75,13 @@ object Readers {
     * record in full. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Streaming JSONL ingest: new files landing in `path` become
+    * micro-batches — the daily-corpus-drop wiring. File-arrival tracking
+    * is exactly-once per file (source checkpoint); schema is required for
+    * the same reasons as the batch reader. */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
 }
 
 /** Writers mirroring the reference's blob sinks (SURVEY.md §2.2). The

@@ -23,6 +23,30 @@ import graft.functions.Text
   */
 object Retrieval {
 
+  /** Per-document top-m keywords by smoothed TF-IDF
+    * (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing). Unlike
+    * [[bm25TopK]] there is no query to pre-filter on, so the full
+    * token-frequency aggregation is inherent — but it map-side-combines
+    * (repeated terms in a doc collapse before the exchange), the
+    * vocabulary-sized df table is broadcast back, and the top-m cut is a
+    * per-doc window over vocabulary-bounded rows. */
+  def tfidfKeywords(docs: DataFrame, m: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= m)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession

@@ -44,6 +44,24 @@ class RetrievalSpec extends SparkSpec {
     assert(multi == Map(0 -> 2L, 1 -> 1L))
   }
 
+  test("tfidfKeywords: smoothed idf ranks distinctive terms first; m cuts") {
+    val out = Retrieval.tfidfKeywords(docs, 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("term")).toSeq)
+      .toMap
+    // doc 1 "cat dog fish": all tf=1; cat and fish (df=2) beat dog (df=3),
+    // and their score tie breaks on term order
+    assert(out(1L) == Seq("cat", "fish"))
+    // doc 3: bird tf=3 df=1 is its only (and top) term
+    assert(out(3L).head == "bird")
+    assert(out.values.forall(_.size <= 2))
+    // score matches the sklearn-smoothed formula: tf * (ln((N+1)/(df+1)) + 1)
+    val birdScore = Retrieval.tfidfKeywords(docs, 2)
+      .filter("doc_id = 3 AND term = 'bird'").head().getAs[Double]("score")
+    val round4 = (x: Double) => math.rint(x * 1e4) / 1e4
+    assert(birdScore == round4(3 * (math.log(5.0 / 2.0) + 1)))
+  }
+
   test("plan: query terms, document frequencies and stats all broadcast") {
     val plan = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 10)
       .queryExecution.executedPlan.toString
