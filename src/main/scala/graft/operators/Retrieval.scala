@@ -31,10 +31,19 @@ object Retrieval {
     * vocabulary-sized df table is broadcast back, and the top-m cut is a
     * per-doc window over vocabulary-bounded rows. */
   def tfidfKeywords(docs: DataFrame, m: Int): DataFrame = {
+    // The term-frequency table feeds BOTH the per-term document
+    // frequencies and the scoring join. Materialize it ONCE
+    // (localCheckpoint, the Dedup-CC pattern): exchange reuse cannot be
+    // relied on here — Catalyst rewrites the df-branch aggregate into a
+    // bare distinct (pruning `tf`), making the subtrees structurally
+    // different, and the corpus would be scanned + exploded twice. At
+    // cluster scale this is the persisted inverted-index artifact.
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rowcount-only scan: parquet answers count(*) from footer metadata
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
@@ -62,8 +71,12 @@ object Retrieval {
         explode(Text.tokens(col("text"))).as("term"))
       .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
 
+    // tf is tiny (query terms only) but feeds two consumers; checkpointing
+    // it keeps the df branch from re-scanning and re-exploding the whole
+    // corpus (see tfidfKeywords for why exchange reuse can't be relied on)
     val tf = matched.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // document frequency per query term: one row per term
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // global stats: a single row, attached like the ANN codebook
