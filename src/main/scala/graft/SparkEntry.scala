@@ -414,6 +414,13 @@ object SparkEntry {
     // the end-to-end curation pipeline: quality filter -> exact dedup ->
     // near-dup components -> survivors -> deterministic split, one plan
     "q_curate" -> ((s, d) => Curate.curate(s, d, 3)),
+    // per-language median gate: threshold table broadcast back, filter
+    // map-side — NOT a per-stratum window sort
+    "q_quality_gate" -> ((s, d) =>
+      Curate.gateByQuantile(
+        Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+        Text.bpeTokenCount(col("text")), "lang", 0.5)
+        .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
     // reproducible mixture sampling: per-language keep rates by hash bucket
     "q_sample_mix" -> ((s, d) =>
       Sampling.stratifiedByHash(Tables(s, d, "documents")
@@ -884,6 +891,15 @@ object SparkEntry {
         |  array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
         |  CAST(len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INTEGER) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    "q_quality_gate" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS INTEGER) AS score
+         |  FROM documents),
+         |th AS (SELECT lang, round(quantile_cont(score, 0.5), 4) AS thr
+         |       FROM s GROUP BY lang)
+         |SELECT doc_id, lang, score, thr FROM s JOIN th USING (lang)
+         |WHERE score >= thr""".stripMargin,
 
     "q_bm25" -> bm25Sql,
     "q_tfidf_keywords" ->

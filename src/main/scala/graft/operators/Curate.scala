@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
@@ -23,6 +23,23 @@ import graft.lake.Tables
 object Curate {
 
   val MinTokens = 5
+
+  /** Per-stratum quantile quality gate: keep rows whose score is at or
+    * above their stratum's q-quantile. The threshold table is one tiny
+    * row per stratum — aggregated with map-side partials, BROADCAST back,
+    * and applied as a map-side filter. Deliberately NOT a per-stratum
+    * window `percent_rank` (a stratum is billions of rows at 100 TB and a
+    * window means sorting each one); when even the exact percentile
+    * aggregate is too heavy, swap it for the mergeable GK sketch
+    * (`Relational.approxQuantilesBy`) — the join/filter shape stays. */
+  def gateByQuantile(docs: DataFrame, score: Column, strata: String,
+      q: Double): DataFrame = {
+    val scored = docs.withColumn("score", score)
+    val thresholds = scored.groupBy(col(strata))
+      .agg(round(percentile(col("score"), lit(q)), 4).as("thr"))
+    scored.join(broadcast(thresholds), strata)
+      .filter(col("score") >= col("thr"))
+  }
 
   def curate(spark: SparkSession, dir: String, ccIterations: Int = 3): DataFrame = {
     val quality = Tables(spark, dir, "documents")
