@@ -421,6 +421,9 @@ object SparkEntry {
         Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
         Text.bpeTokenCount(col("text")), "lang", 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
+    // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
+    "q_mixture_weights" -> ((s, d) =>
+      Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
     // reproducible mixture sampling: per-language keep rates by hash bucket
     "q_sample_mix" -> ((s, d) =>
       Sampling.stratifiedByHash(Tables(s, d, "documents")
@@ -980,6 +983,11 @@ object SparkEntry {
          |  SELECT doc_a, doc_b FROM cross_pairs
          |  UNION ALL
          |  SELECT doc_a, doc_b FROM cand)""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
+        |SELECT lang, n_docs, round(pow(n_docs, 0.7) / z, 6) AS weight
+        |FROM c CROSS JOIN z""".stripMargin,
     "q_sample_mix" -> {
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, CAST((${md5BucketSql}) % 100 AS INTEGER) AS bucket FROM documents)

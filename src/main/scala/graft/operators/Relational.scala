@@ -184,6 +184,20 @@ object Sampling {
     }
     df.withColumn("bucket", hashBucket(col(idCol))).filter(col("bucket") < rate)
   }
+
+  /** Temperature-scaled mixture weights, w_s ∝ n_s^alpha — the standard
+    * corpus-weighting math (alpha=1 proportional, alpha=0 uniform,
+    * alpha≈0.7 the usual multilingual-upsampling compromise). One tiny
+    * per-stratum count aggregate; the normalizer is a single broadcast
+    * row. The output drives [[stratifiedByHash]] rates / epoch factors. */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(sum(pow(col("n_docs"), alpha)).as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(stratumCol), col("n_docs"),
+        round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"))
+  }
 }
 
 /** Sequence packing (concat-then-chunk) for LLM training batches: docs are

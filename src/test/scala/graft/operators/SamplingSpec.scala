@@ -38,4 +38,19 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(11L, 13L), s"got $got")
   }
+
+  test("temperatureWeights: alpha=1 is proportional, alpha=0 uniform, weights sum to 1") {
+    import spark.implicits._
+    // 8 en, 2 fr
+    val df = ((1 to 8).map(i => (i.toLong, "en")) ++ Seq((9L, "fr"), (10L, "fr")))
+      .toDF("doc_id", "lang")
+    def weights(alpha: Double): Map[String, Double] =
+      Sampling.temperatureWeights(df, "lang", alpha).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(weights(1.0) == Map("en" -> 0.8, "fr" -> 0.2))
+    assert(weights(0.0) == Map("en" -> 0.5, "fr" -> 0.5))
+    // 0 < alpha < 1 damps the majority toward uniform, order preserved
+    val w = weights(0.7)
+    assert(w("en") < 0.8 && w("en") > w("fr") && math.abs(w.values.sum - 1.0) < 1e-6)
+  }
 }
