@@ -369,6 +369,20 @@ object SparkEntry {
           sum(length(col("text"))).as("n_chars"))
     }),
 
+    // ORC round-trip: the second columnar format; filter applied on the
+    // read-back side pushes into the ORC scan (spec-asserted)
+    "q_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select("doc_id", "source", "n_chars")
+      val path = s"target/tmp/orc_rt_${new java.io.File(d).getName}"
+      Writers.orc(docs, path)
+      Readers.orc(s, path)
+        .filter(col("n_chars") >= 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // -- dedup (north star)
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -462,6 +476,18 @@ object SparkEntry {
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
       Retrieval.tfidfKeywords(Tables(s, d, "documents"), 5)),
+    // L2 normalization surface over the embedding column: norm via the
+    // native graft_dot fold, components order-free (min/max) for exact
+    // cross-engine double parity
+    "q_embed_normalize" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val n = Vectors.norm(col("embedding"))
+      Tables(s, d, "embeddings").select(col("vec_id"),
+        round(n, 4).as("l2_norm"),
+        round(element_at(v, 1) / n, 6).as("u0"),
+        round(array_min(v) / n, 6).as("u_min"),
+        round(array_max(v) / n, 6).as("u_max"))
+    }),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
@@ -925,6 +951,11 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 100 GROUP BY source""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH $decontamGramsSql
          |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
@@ -1031,6 +1062,16 @@ object SparkEntry {
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_embed" -> embedDedupSql,
 
+    "q_embed_normalize" ->
+      """SELECT vec_id,
+        |  round(n, 4) AS l2_norm,
+        |  round(v[1] / n, 6) AS u0,
+        |  round(list_aggregate(v, 'min') / n, 6) AS u_min,
+        |  round(list_aggregate(v, 'max') / n, 6) AS u_max
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))) AS n
+        |      FROM embeddings)""".stripMargin,
     "q_ann_brute" -> annSql(cellRestricted = false),
     "q_ann_ivf" -> ivfSql,
     "q_ann_lsh" -> lshAnnSql,

@@ -76,6 +76,11 @@ object Readers {
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan — the second columnar format next to parquet; embedded
+    * schema, predicate pushdown and column pruning all apply. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Streaming JSONL ingest: new files landing in `path` become
     * micro-batches — the daily-corpus-drop wiring. File-arrival tracking
     * is exactly-once per file (source checkpoint); schema is required for
@@ -98,6 +103,9 @@ object Writers {
 
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** JSONL sink: one JSON object per line, one file per partition — the
     * hand-off format for downstream tokenizer/training jobs. Writes are

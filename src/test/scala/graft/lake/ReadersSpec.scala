@@ -49,6 +49,21 @@ class ReadersSpec extends SparkSpec {
     assert(docs.columns.contains("doc_id") && docs.count() > 0)
   }
 
+  test("ORC round-trip is lossless and predicates push into the ORC scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Readers.parquet(spark, s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars")
+    Writers.orc(docs, dir)
+    val back = Readers.orc(spark, dir).filter(col("n_chars") >= 100)
+    assert(back.count() == docs.filter(col("n_chars") >= 100).count())
+    assert(back.schema == docs.schema)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(n_chars,100)")
+      && plan.contains("Format: ORC"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("JSONL round-trip is lossless, writes one object per line, prunes on read") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
