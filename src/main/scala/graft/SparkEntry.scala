@@ -489,6 +489,8 @@ object SparkEntry {
         round(array_max(v) / n, 6).as("u_max"))
     }),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    // contrastive hard negatives: nearest neighbors with a DIFFERENT label
+    "q_ann_hardneg" -> ((s, d) => Similarity.hardNegativesTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
     "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
     // one distributed Lloyd update of the codebook: per-cell elementwise
@@ -1073,6 +1075,21 @@ object SparkEntry {
         |                              CAST(embedding AS DOUBLE[]))) AS n
         |      FROM embeddings)""".stripMargin,
     "q_ann_brute" -> annSql(cellRestricted = false),
+    "q_ann_hardneg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
+        |  FROM embeddings e JOIN q ON e.label != q.q_label)
+        |SELECT q_id, q_label, vec_id, label, cosine, rank FROM (
+        |  SELECT q_id, q_label, vec_id, label, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "q_ann_ivf" -> ivfSql,
     "q_ann_lsh" -> lshAnnSql,
     "q_codebook_refine" ->

@@ -166,6 +166,27 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives nearest the decision boundary. Same broadcast shape as
+    * [[bruteForceTopK]] with the label-mismatch predicate fused into the
+    * join condition (rows drop BEFORE the cosine is computed); the
+    * IVF/LSH-bucketed swap applies unchanged when the corpus is 100 TB. */
+  def hardNegativesTopK(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"),
+      Vectors.norm(col("embedding")).as("nrm"))
+    val q = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val scored = corpus
+      .join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        pairCosine.as("cosine"))
+    topK(scored, k)
+  }
+
   /** Default number of cells each IVF query probes. With a ~√N codebook
     * the cells are small; probing several keeps recall useful while the
     * scanned fraction stays ~nprobe/C. */

@@ -89,6 +89,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hit >= 0.5 * total, s"IVF recall $hit/$total below 0.5")
   }
 
+  test("hard negatives: k nearest per query, all with a different label") {
+    val out = Similarity.hardNegativesTopK(spark, sfDir, 5, 3).collect()
+    assert(out.forall(r => r.getAs[Int]("label") != r.getAs[Int]("q_label")))
+    val perQuery = out.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
+    assert(perQuery.nonEmpty && perQuery.values.forall(_ == 3))
+    // agrees with brute force restricted to cross-label pairs: the top
+    // hard negative scores no higher than the top overall neighbor
+    val brute = Similarity.bruteForceTopK(spark, sfDir, 5, 3).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Double]("cosine")).max).toMap
+    val hard = out.groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Double]("cosine")).max).toMap
+    assert(hard.forall { case (q, c) => c <= brute(q) })
+  }
+
   test("refined codebook: Lloyd iterations lift IVF recall over the sampled seed") {
     import graft.lake.Tables
     val dir = "/root/testdata/sf0.01"
