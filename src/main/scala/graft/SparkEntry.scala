@@ -335,6 +335,14 @@ object SparkEntry {
           col("c.chunk_text").as("chunk_text"))
         .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))),
 
+    // fixed-width histogram (binned aggregation): doc length per language
+    "q_histogram" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"),
+          floor(col("n_chars") / lit(100.0)).cast("int").as("bin"))
+        .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin") * 100)),
+
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
     // then scrubbed by the ordered PiiPatterns chain — exercises every
@@ -389,6 +397,11 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
     "q_dedup_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
     "q_dedup_cc" -> ((s, d) => Dedup.minhashCcLabels(s, d, 3)),
+    // dedup audit: component-size histogram over the SAME memoized labels
+    "q_dedup_sizes" -> ((s, d) =>
+      Dedup.minhashCcLabels(s, d, 3)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
     // the dedup pipeline's OUTPUT: one survivor per component — a filter
     // over the SAME memoized label artifact q_dedup_cc materialized, not
     // a second 3-iteration label propagation
@@ -947,6 +960,11 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_histogram" ->
+      """SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bin,
+        |  count(*) AS n,
+        |  CAST(floor(n_chars / 100.0) AS INTEGER) * 100 AS bin_lo
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_pii_redact" -> piiRedactSql,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
@@ -980,6 +998,10 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashPairsSql,
     "q_dedup_cluster" -> minhashClusterSql,
     "q_dedup_cc" -> minhashCcSql(3),
+    "q_dedup_sizes" ->
+      s"""WITH cc AS (${minhashCcSql(3)}),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_survivors" ->
       s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
     "q_dedup_incremental" ->
