@@ -480,6 +480,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // per-label prototype vectors (class centroids): same long-format
+    // two-agg shape as q_codebook_refine, straight off the scan
+    "q_embed_centroids" -> ((s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .toDF("label", "dim", "x")
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n"))),
+    // standard scaler: per-stratum (mu, sigma) broadcast back, z map-side
+    "q_standard_scale" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val stats = docs.groupBy(col("lang")).agg(
+        round(avg(col("n_chars")), 4).as("mu"),
+        round(stddev_samp(col("n_chars")), 4).as("sigma"))
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z"))
+    }),
+    // grouped Pearson correlation (co-moment partials merge map-side)
+    "q_correlation" -> ((s, d) =>
+      Tables(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(corr(col("l_discount"), col("l_extendedprice")), 4).as("corr_disc_price"),
+          count(lit(1)).as("n"))),
+
     // -- similarity search (north star)
     // lexical retrieval — BM25 top-10 per query, the keyword complement
     // to the ANN tier below
@@ -1086,6 +1112,27 @@ object SparkEntry {
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_embed" -> embedDedupSql,
 
+    "q_embed_centroids" ->
+      """SELECT label, CAST(s.dim AS INTEGER) AS dim,
+        |  round(avg(s.x), 4) + 0 AS mean_x, count(*) AS n
+        |FROM (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        |  FROM embeddings)
+        |GROUP BY label, CAST(s.dim AS INTEGER)""".stripMargin,
+    "q_standard_scale" ->
+      """WITH st AS (SELECT lang, round(avg(n_chars), 4) AS mu,
+        |              round(stddev_samp(n_chars), 4) AS sigma
+        |            FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, n_chars,
+        |  round((n_chars - mu) / sigma, 4) AS z
+        |FROM documents JOIN st USING (lang)""".stripMargin,
+    "q_correlation" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_embed_normalize" ->
       """SELECT vec_id,
         |  round(n, 4) AS l2_norm,
