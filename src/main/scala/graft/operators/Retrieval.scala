@@ -41,7 +41,7 @@ object Retrieval {
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // rowcount-only scan: parquet answers count(*) from footer metadata
     val stats = docs.agg(count(lit(1)).as("n_docs"))
@@ -76,7 +76,7 @@ object Retrieval {
     // corpus (see tfidfKeywords for why exchange reuse can't be relied on)
     val tf = matched.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // document frequency per query term: one row per term
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // global stats: a single row, attached like the ANN codebook
