@@ -57,4 +57,50 @@ class PropertiesSpec extends SparkSpec {
       fps(0) == fps(1)
     })
   }
+
+  test("chunkSpans: chunks tile the token stream exactly (overlap removed == original)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Text
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val docGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val cfgGen = for {
+      size <- Gen.chooseNum(2, 8); overlap <- Gen.chooseNum(0, size - 1)
+    } yield (size, overlap)
+    check(Prop.forAll(docGen, cfgGen) { case (words, (size, overlap)) =>
+      val chunks = Seq(words.mkString(" ")).toDF("text")
+        .select(Text.chunkSpans(col("text"), size, overlap).as("c")).head()
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getString(1))
+      val stride = size - overlap
+      // every chunk starts at k*stride and has `size` tokens (last may be
+      // shorter); dropping the first `overlap` tokens of chunks 1.. and
+      // concatenating reproduces the doc exactly
+      val rebuilt = (chunks.head +: chunks.tail.map(
+        _.split(" ").drop(overlap).mkString(" "))).filter(_.nonEmpty).mkString(" ")
+      rebuilt == words.mkString(" ")
+    }, minTests = 60)
+  }
+
+  test("redactPii is idempotent and never leaves a redactable span behind") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Text
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val pii = Gen.oneOf(
+      Gen.const("a.user@example.org"),
+      Gen.const("123-45-6789"),
+      Gen.const("10.0.3.77"),
+      Gen.const("+1 555-867-5309"))
+    val docGen = for {
+      ws <- Gen.listOfN(6, word); p1 <- pii; p2 <- pii
+    } yield (ws.take(3) ++ Seq(p1) ++ ws.drop(3) ++ Seq(p2)).mkString(" ")
+    check(Prop.forAll(docGen) { doc =>
+      val out = Seq(doc).toDF("text")
+        .select(Text.redactPii(col("text")).as("r1"),
+          Text.redactPii(Text.redactPii(col("text"))).as("r2"))
+        .head()
+      out.getString(0) == out.getString(1) &&
+        !out.getString(0).exists(_.isDigit) && !out.getString(0).contains("@")
+    }, minTests = 40)
+  }
 }
