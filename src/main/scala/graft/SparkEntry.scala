@@ -515,6 +515,9 @@ object SparkEntry {
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
       Retrieval.tfidfKeywords(Tables(s, d, "documents"), 5)),
+    // term co-occurrence + PMI over doc contexts (pairs seen >= 100 times)
+    "q_cooccurrence" -> ((s, d) =>
+      Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100)),
     // L2 normalization surface over the embedding column: norm via the
     // native graft_dot fold, components order-free (min/max) for exact
     // cross-engine double parity
@@ -986,6 +989,24 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH pres AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term
+        |  HAVING count(*) >= 100),
+        |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+        |st AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term_a, term_b, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) AS pmi
+        |FROM pairs
+        |JOIN dft da ON pairs.term_a = da.term
+        |JOIN dft db ON pairs.term_b = db.term
+        |CROSS JOIN st""".stripMargin,
     "q_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bin,
         |  count(*) AS n,

@@ -56,6 +56,34 @@ object Retrieval {
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  /** Document-level term co-occurrence with pointwise mutual information:
+    * PMI(a,b) = ln(n_ab · N / (df_a · df_b)) over distinct-terms-per-doc
+    * presence rows. The within-doc distinct is `array_distinct` — map-side,
+    * BEFORE the explode, so the presence relation carries no duplicate
+    * (doc, term) rows into the self-join. The self-join is co-partitioned
+    * on doc_id (one exchange, reused for both sides); document frequencies
+    * are broadcast back. At 100 TB you bound the pair blowup by first
+    * semi-filtering presence to a controlled vocabulary (broadcast top-V
+    * terms) — the shape below is unchanged. */
+  def cooccurrencePmi(docs: DataFrame, minPairCount: Long): DataFrame = {
+    val presence = docs.select(col("doc_id"),
+      explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val pairs = presence.as("a")
+      .join(presence.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val dft = presence.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(dft.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(dft.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(stats))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs") / (col("df_a") * col("df_b"))), 4).as("pmi"))
+  }
+
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession

@@ -62,6 +62,24 @@ class RetrievalSpec extends SparkSpec {
     assert(birdScore == round4(3 * (math.log(5.0 / 2.0) + 1)))
   }
 
+  test("cooccurrencePmi: co-occurring terms get textbook PMI, disjoint pairs absent") {
+    val corpus = Seq(
+      (1L, "alpha beta x"), (2L, "alpha beta y"),
+      (3L, "alpha beta z"), (4L, "gamma delta w")).toDF("doc_id", "text")
+    val out = Retrieval.cooccurrencePmi(corpus, 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // alpha & beta appear together in 3 of 4 docs, each with df=3:
+    // PMI = ln(3*4 / (3*3)) = ln(4/3)
+    assert(out(("alpha", "beta"))._1 == 3L)
+    assert(math.abs(out(("alpha", "beta"))._2 - math.log(4.0 / 3.0)) < 1e-3)
+    // never-co-occurring pair is absent entirely
+    assert(!out.contains(("alpha", "gamma")) && !out.contains(("gamma", "alpha")))
+    // within-doc term repeats do not inflate counts (array_distinct)
+    val rep = Retrieval.cooccurrencePmi(
+      Seq((1L, "alpha alpha beta")).toDF("doc_id", "text"), 1).collect()
+    assert(rep.length == 1 && rep.head.getLong(2) == 1L)
+  }
+
   test("plan: query terms, document frequencies and stats all broadcast") {
     val plan = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 10)
       .queryExecution.executedPlan.toString
