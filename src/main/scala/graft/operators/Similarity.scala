@@ -207,16 +207,35 @@ object Similarity {
     * entry point for a [[Quantize.refineCodebook]]-trained codebook; the
     * plan is identical (broadcast 1-row codebook on both sides). */
   def ivfTopKWith(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      cent: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
-    val corpus = Quantize.withCodebookOf(corpusWithNorm(spark, dir), cent)
+      cent: DataFrame, nprobe: Int = IvfNprobe): DataFrame =
+    ivfTopKFromAssignments(
+      cellAssignmentsOf(Tables(spark, dir, "embeddings"), cent),
+      corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries), k, cent, nprobe)
+
+  /** Cell assignment of a vector batch against a FIXED codebook — the
+    * unit of incremental IVF ingest: a daily embedding drop is assigned
+    * with the same persisted codebook and APPENDED to the assignment
+    * artifact, so the existing corpus is never re-quantized (full
+    * re-assignment happens only when the codebook itself is retrained).
+    * Map-side projection over the broadcast codebook; no shuffle. */
+  def cellAssignmentsOf(emb: DataFrame, cent: DataFrame): DataFrame =
+    Quantize.withCodebookOf(
+        emb.select(col("vec_id"), col("embedding"),
+          Vectors.norm(col("embedding")).as("nrm")), cent)
       .withColumn("cell", Quantize.cellExpr(col("embedding"), col("cents")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val q = Quantize.withCodebookOf(
-        corpusWithNorm(spark, dir).filter(col("vec_id") < nQueries), cent)
+
+  /** IVF top-k served from a prebuilt (vec_id, embedding, nrm, cell)
+    * assignment relation — at scale a persisted, partitioned-by-cell
+    * table that incremental batches append to. `queries` carries
+    * (vec_id, embedding, nrm). */
+  def ivfTopKFromAssignments(assignments: DataFrame, queries: DataFrame,
+      k: Int, cent: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
+    val q = Quantize.withCodebookOf(queries, cent)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(Quantize.probeCellsExpr(col("embedding"), col("cents"), nprobe)).as("q_cell"))
-    val scored = corpus.join(broadcast(q),
+    val scored = assignments.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
     topK(scored, k)

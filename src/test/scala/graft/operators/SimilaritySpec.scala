@@ -104,6 +104,32 @@ class SimilaritySpec extends SparkSpec {
     assert(hard.forall { case (q, c) => c <= brute(q) })
   }
 
+  test("incremental IVF ingest: delta assignments appended == full rebuild; serving identical") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.lake.Tables(spark, sfDir, "embeddings")
+    val cent = Quantize.codebook(emb.filter(col("vec_id") < 30))
+    val (corpus, delta) =
+      (emb.filter(col("vec_id") < 30), emb.filter(col("vec_id") >= 30))
+
+    // day 0 + day 1 appended vs one-shot assignment of everything
+    val appended = Similarity.cellAssignmentsOf(corpus, cent)
+      .unionByName(Similarity.cellAssignmentsOf(delta, cent))
+    val rebuilt = Similarity.cellAssignmentsOf(emb, cent)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(appended) == key(rebuilt))
+
+    // queries served from the accumulated artifact match the one-shot path
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+    val res = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(res(Similarity.ivfTopKFromAssignments(appended, queries, 3, cent))
+      == res(Similarity.ivfTopKFromAssignments(rebuilt, queries, 3, cent)))
+  }
+
   test("refined codebook: Lloyd iterations lift IVF recall over the sampled seed") {
     import graft.lake.Tables
     val dir = "/root/testdata/sf0.01"
