@@ -57,15 +57,22 @@ object Bench {
     spark.stop()
     // The driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, which hides ~20% of queries from round-over-round comparison;
-    // persist the FULL map ourselves, named for the round being built
-    // (one past the last driver-written BENCH_r*.json).
+    // persist the FULL map ourselves. The r{N} name is a best-effort guess
+    // (one past the last driver-written BENCH_r*.json — wrong if the
+    // driver already wrote this round's file), so ALSO overwrite a
+    // stable-named latest artifact that is always the newest run.
     try {
       val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
         .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"), line + "\n")
-    } catch { case _: Throwable => () }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full_latest.json"), line + "\n")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not persist full bench map: $e")
+    }
     println(line)
   }
 }

@@ -369,7 +369,9 @@ object SparkEntry {
     // lossless for the hashes to meet.
     "q_jsonl_roundtrip" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select("doc_id", "lang", "text")
-      val path = s"target/tmp/jsonl_rt_${new java.io.File(d).getName}"
+      // keyed by application id so concurrent processes on the same
+      // checkout cannot clobber each other's round-trip files
+      val path = s"target/tmp/jsonl_rt_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
       Writers.jsonl(docs, path)
       Readers.jsonl(s, path, docs.schema)
         .groupBy(col("lang"))
@@ -382,7 +384,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
         .select("doc_id", "source", "n_chars")
-      val path = s"target/tmp/orc_rt_${new java.io.File(d).getName}"
+      val path = s"target/tmp/orc_rt_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
       Writers.orc(docs, path)
       Readers.orc(s, path)
         .filter(col("n_chars") >= 100)
@@ -1002,7 +1004,7 @@ object SparkEntry {
         |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
         |st AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT term_a, term_b, n_ab,
-        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) AS pmi
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) + 0 AS pmi
         |FROM pairs
         |JOIN dft da ON pairs.term_a = da.term
         |JOIN dft db ON pairs.term_b = db.term
@@ -1146,20 +1148,20 @@ object SparkEntry {
         |              round(stddev_samp(n_chars), 4) AS sigma
         |            FROM documents GROUP BY lang)
         |SELECT doc_id, lang, n_chars,
-        |  round((n_chars - mu) / sigma, 4) AS z
+        |  round((n_chars - mu) / sigma, 4) + 0 AS z
         |FROM documents JOIN st USING (lang)""".stripMargin,
     "q_correlation" ->
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+        |  round(corr(l_discount, l_extendedprice), 4) + 0 AS corr_disc_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_embed_normalize" ->
       """SELECT vec_id,
         |  round(n, 4) AS l2_norm,
-        |  round(v[1] / n, 6) AS u0,
-        |  round(list_aggregate(v, 'min') / n, 6) AS u_min,
-        |  round(list_aggregate(v, 'max') / n, 6) AS u_max
+        |  round(v[1] / n, 6) + 0 AS u0,
+        |  round(list_aggregate(v, 'min') / n, 6) + 0 AS u_min,
+        |  round(list_aggregate(v, 'max') / n, 6) + 0 AS u_max
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                              CAST(embedding AS DOUBLE[]))) AS n

@@ -46,8 +46,10 @@ object Decontaminate {
     val contaminated = grams(train, n)
       .join(benchGrams, "gram")
       .select(col("doc_id")).distinct()
-    // the contaminated-id list is at most benchmark-sized collisions —
-    // broadcast it so the corpus-side anti-join is map-side too
-    train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // the contaminated-id list is bounded by the TRAIN side (widespread
+    // contamination is possible), so no forced broadcast here — AQE
+    // picks a broadcast anti-join when the list turns out small and a
+    // shuffled one when it doesn't
+    train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 }

@@ -258,7 +258,11 @@ object Dedup {
     * once and joined thereafter; the memoized localCheckpoint is that
     * artifact within a process. Inputs are immutable parquet dirs, so
     * the memo is sound; one narrow 2-column checkpoint per dir is the
-    * retained cost. */
+    * retained cost. Caveats that follow from memoization: rewriting a
+    * dir IN-SESSION would serve stale labels (driver runs are one-shot),
+    * and bench re-runs of the cc/sizes/survivors queries time the
+    * checkpoint read, not label propagation — the first run carries the
+    * compute. */
   private val ccLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 

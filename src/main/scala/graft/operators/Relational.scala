@@ -231,8 +231,10 @@ object Packing {
     */
   def packSpans(docs: DataFrame, idCol: String, nTokens: Column,
       seqLen: Long = 2048, buckets: Int = Sampling.DefaultBuckets): DataFrame = {
+    // the select below renames idCol to doc_id before the window runs —
+    // order by the renamed column or any idCol != "doc_id" fails analysis
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val seqL = lit(seqLen)

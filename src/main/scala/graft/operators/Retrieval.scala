@@ -66,8 +66,12 @@ object Retrieval {
     * semi-filtering presence to a controlled vocabulary (broadcast top-V
     * terms) — the shape below is unchanged. */
   def cooccurrencePmi(docs: DataFrame, minPairCount: Long): DataFrame = {
+    // presence feeds THREE consumers (both self-join sides + the df
+    // aggregate); materialize it once like the retrieval tf tables —
+    // otherwise the df branch re-scans and re-tokenizes the corpus
     val presence = docs.select(col("doc_id"),
       explode(array_distinct(Text.tokens(col("text")))).as("term"))
+      .localCheckpoint(false)
     val pairs = presence.as("a")
       .join(presence.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))

@@ -23,6 +23,15 @@ import graft.operators.Dedup
   * pair has >= 1 member in the current batch, so batch outputs are
   * disjoint and their union is exactly the batch-incremental result
   * replayed over the same deltas (spec-asserted).
+  *
+  * Delivery semantics: pass `checkpointDir` so the source tracks consumed
+  * input across restarts. Within a batch the two appends are
+  * at-least-once (foreachBatch can replay a failed batch); the self-pair
+  * filter below keeps a replayed batch from pairing docs with their own
+  * previously-appended bands, and a replay's duplicate pair/band rows are
+  * removed by the downstream `distinct` the pair consumers already run —
+  * on a lake with atomic multi-table commits (e.g. Delta, absent in this
+  * environment) both appends would instead share one transaction.
   */
 object StreamingNearDup {
 
@@ -45,21 +54,26 @@ object StreamingNearDup {
   /** Start the ingest: `incoming` must carry (doc_id, text). Pairs land in
     * `pairsPath` as (doc_a, doc_b); bands accumulate in `bandsPath`. */
   def start(incoming: DataFrame, bandsPath: String, pairsPath: String,
-      maxBucket: Int = Dedup.MaxBucket): StreamingQuery = {
+      maxBucket: Int = Dedup.MaxBucket,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     ensureBandTable(incoming.sparkSession, bandsPath)
-    incoming.writeStream
+    val writer = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.col
         // bands computed ONCE per batch, used twice (probe + append)
         val incBands = Dedup.minhashBandsOf(batch).persist()
         try {
           val exBands = spark.read.schema(BandSchema).parquet(bandsPath)
           Dedup.incrementalCandidatesFromBands(exBands, incBands, maxBucket)
+            // a REPLAYED batch finds its own bands already in the corpus
+            // table; never pair a doc with itself
+            .filter(col("doc_a") =!= col("doc_b"))
             .write.mode("append").parquet(pairsPath)
           incBands.write.mode("append").parquet(bandsPath)
         } finally incBands.unpersist(false)
         ()
       }
-      .start()
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 }

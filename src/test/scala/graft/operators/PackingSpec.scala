@@ -27,7 +27,7 @@ class PackingSpec extends SparkSpec {
       val bad = interior.filter(col("n") =!= 256).count()
       val nInterior = interior.count()
       assert(nInterior > 0, "test data must produce at least one interior sequence")
-      assert(bad == 0, s"$bad of $nInterior interior sequences don't sum to 2048")
+      assert(bad == 0, s"$bad of $nInterior interior sequences don't sum to 256 (seqLen)")
     } finally spans.unpersist()
   }
 
@@ -85,5 +85,12 @@ class PackingSpec extends SparkSpec {
     // whatever the hash layout, total coverage equals total tokens
     val covered = got.agg(sum(col("token_end") - col("token_start"))).head().getLong(0)
     assert(covered == 8, s"total covered tokens $covered != 8")
+
+    // idCol is a real parameter: a non-"doc_id" id column must work
+    val chunks = Seq((10L, 3L), (11L, 5L)).toDF("chunk_id", "n_toks")
+    val viaChunkId = Packing.packSpans(chunks, "chunk_id", col("n_toks"),
+      seqLen = 4, buckets = 3)
+    assert(viaChunkId.agg(sum(col("token_end") - col("token_start")))
+      .head().getLong(0) == 8)
   }
 }
