@@ -450,6 +450,11 @@ object SparkEntry {
         Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
         Text.bpeTokenCount(col("text")), "lang", 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
+    // deterministic exact-k sample: exactly 20 docs per language, ranked
+    // by md5(doc_id) — WindowGroupLimit keeps the rank cut partial
+    "q_sample_exact_k" -> ((s, d) =>
+      Sampling.exactKByHash(Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id", "lang", 20)),
     // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
     "q_mixture_weights" -> ((s, d) =>
       Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
@@ -1087,6 +1092,13 @@ object SparkEntry {
          |  SELECT doc_a, doc_b FROM cross_pairs
          |  UNION ALL
          |  SELECT doc_a, doc_b FROM cand)""".stripMargin,
+    "q_sample_exact_k" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20""".stripMargin,
     "q_mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)

@@ -185,6 +185,21 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(idCol))).filter(col("bucket") < rate)
   }
 
+  /** Deterministic EXACT-k sample per stratum: rank rows by the md5 of
+    * their id and keep the first k — reproducible across runs, engines
+    * and partitionings (unlike rate-based [[stratifiedByHash]], which
+    * keeps a deterministic ~fraction, this keeps an exact count). The
+    * rank window is fed through WindowGroupLimit: each task keeps only
+    * its local top-k before the per-stratum merge, so nothing sorts a
+    * whole stratum even when a stratum is most of the corpus. */
+  def exactKByHash(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Temperature-scaled mixture weights, w_s ∝ n_s^alpha — the standard
     * corpus-weighting math (alpha=1 proportional, alpha=0 uniform,
     * alpha≈0.7 the usual multilingual-upsampling compromise). One tiny

@@ -39,6 +39,23 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(11L, 13L), s"got $got")
   }
 
+  test("exactKByHash: exactly k per stratum, invariant under repartitioning, partial rank cut") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "fr" else "en"))
+      .toDF("doc_id", "lang")
+    val picked = Sampling.exactKByHash(df, "doc_id", "lang", 10)
+    val perLang = picked.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("en" -> 10L, "fr" -> 10L))
+    // physical layout must not change the selection
+    val reparted = Sampling.exactKByHash(df.repartition(7), "doc_id", "lang", 10)
+    assert(picked.select("doc_id").as[Long].collect().toSet
+      == reparted.select("doc_id").as[Long].collect().toSet)
+    // the rank cut runs as a partial (per-task) group limit before the merge
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("temperatureWeights: alpha=1 is proportional, alpha=0 uniform, weights sum to 1") {
     import spark.implicits._
     // 8 en, 2 fr
