@@ -486,6 +486,13 @@ object SparkEntry {
           docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 5)
         .select(col("doc_id"), col("lang"))
     }),
+    // sub-document dedup tier: corpus-duplicated 4-token spans (ExactSubstr
+    // recipe) — the report form is the boilerplate signal, the scrub form
+    // removes every covered token and keeps the unique remainder
+    "q_dup_span_frac" -> ((s, d) =>
+      SpanDedup.dupSpanReport(Tables(s, d, "documents"), 4)),
+    "q_span_scrub" -> ((s, d) =>
+      SpanDedup.scrub(Tables(s, d, "documents"), 4)),
 
     // per-label prototype vectors (class centroids): same long-format
     // two-agg shape as q_codebook_refine, straight off the scan
@@ -1042,6 +1049,39 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
+    "q_dup_span_frac" ->
+      s"""WITH $dupSpansSql,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(CASE WHEN prev IS NULL THEN 4
+         |             ELSE least(4, start - prev) END) AS n_dup_tokens
+         |  FROM (SELECT doc_id, start,
+         |          lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |        FROM d)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(greatest(len(toks) - 3, 0) AS INTEGER) AS n_spans,
+         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         |  round(coalesce(n_dup_tokens, 0) / CAST(len(toks) AS DOUBLE), 4)
+         |    AS dup_token_frac
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_span_scrub" ->
+      s"""WITH $dupSpansSql,
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(start + 1, start + 5)) AS pos
+         |        FROM d),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |          generate_subscripts(toks, 1) AS pos
+         |        FROM t),
+         |kept AS (SELECT tok.doc_id, tok.tok, tok.pos
+         |         FROM tok LEFT JOIN cov
+         |           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |         WHERE cov.pos IS NULL)
+         |SELECT t.doc_id,
+         |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS clean_text
+         |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+         |GROUP BY t.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS doc_id, count(*) AS n_copies
@@ -1264,6 +1304,22 @@ object SparkEntry {
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
        |bg AS (SELECT DISTINCT doc_id AS bench_id, g
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
+
+  /** Corpus-duplicated 4-token-span CTEs (ExactSubstr tier): `t` tokenizes,
+    * `h` hashes every span via 1-based list slicing, `d` keeps occurrences
+    * whose hash repeats corpus-wide (window census, like the Spark side).
+    * Shared by the q_dup_span_frac / q_span_scrub oracles. */
+  private def dupSpansSql: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |       FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |        unnest(range(0, greatest(len(toks) - 3, 0))) AS start FROM t),
+      |h AS (SELECT doc_id, start,
+      |        md5(array_to_string(toks[start + 1:start + 4], ' ')) AS h FROM s),
+      |d AS (SELECT doc_id, start
+      |      FROM (SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS cnt
+      |            FROM h)
+      |      WHERE cnt > 1)""".stripMargin
 
   /** BM25 demo queries — terms drawn from the synthetic corpus vocabulary;
     * shared by the Spark query and the oracle builder. */
