@@ -450,6 +450,14 @@ object SparkEntry {
         Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
         Text.bpeTokenCount(col("text")), "lang", 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
+    // per-source (domain) reputation vs the corpus-wide mean stopword
+    // ratio — the domain-blocklist stage; gate output is a broadcast
+    // semi join, corpus never shuffled
+    "q_source_stats" -> ((s, d) =>
+      Curate.sourceReputation(Tables(s, d, "documents"), stopwordRatio)),
+    "q_source_gate" -> ((s, d) =>
+      Curate.gateBySource(Tables(s, d, "documents"), stopwordRatio)
+        .select(col("doc_id"), col("source"), col("lang"))),
     // deterministic exact-k sample: exactly 20 docs per language, ranked
     // by md5(doc_id) — WindowGroupLimit keeps the rank cut partial
     "q_sample_exact_k" -> ((s, d) =>
@@ -988,6 +996,18 @@ object SparkEntry {
          |SELECT doc_id, lang, score, thr FROM s JOIN th USING (lang)
          |WHERE score >= thr""".stripMargin,
 
+    "q_source_stats" ->
+      s"""WITH $sourceRepSql
+         |SELECT source, n_docs, round(avg_s, 4) AS avg_score,
+         |  round(avg_s, 4) >= round(global_s, 4) AS keep
+         |FROM st, g""".stripMargin,
+    "q_source_gate" ->
+      s"""WITH $sourceRepSql,
+         |kept AS (SELECT source FROM st, g
+         |         WHERE round(avg_s, 4) >= round(global_s, 4))
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE source IN (SELECT source FROM kept)""".stripMargin,
+
     "q_bm25" -> bm25Sql,
     "q_tfidf_keywords" ->
       """WITH toks AS (
@@ -1304,6 +1324,25 @@ object SparkEntry {
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
        |bg AS (SELECT DISTINCT doc_id AS bench_id, g
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
+
+  /** Per-doc English-stopword ratio — the quality proxy the source-
+    * reputation gate averages (same formula as q_text_quality's
+    * stopword_ratio, unrounded so the per-source mean is exact). */
+  private def stopwordRatio: Column =
+    Text.markerHits(col("text"), Text.stopwords("en")).cast("double") /
+      Text.tokenCount(col("text"))
+
+  /** Source-reputation CTEs shared by the q_source_stats / q_source_gate
+    * oracles: per-doc stopword ratio, per-source stats, corpus-wide mean. */
+  private def sourceRepSql: String =
+    """q AS (SELECT doc_id, source,
+      |        len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |              t -> t IN ('the','a','of','and','is','in','to','it')))
+      |          / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS s
+      |      FROM documents),
+      |st AS (SELECT source, count(*) AS n_docs, avg(s) AS avg_s
+      |       FROM q GROUP BY source),
+      |g AS (SELECT avg(s) AS global_s FROM q)""".stripMargin
 
   /** Corpus-duplicated 4-token-span CTEs (ExactSubstr tier): `t` tokenizes,
     * `h` hashes every span via 1-based list slicing, `d` keeps occurrences

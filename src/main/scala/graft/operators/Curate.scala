@@ -41,6 +41,38 @@ object Curate {
       .filter(col("score") >= col("thr"))
   }
 
+  /** Per-source (domain) reputation: each source's doc count and mean
+    * quality score, flagged `keep` when the source's mean is at or above
+    * the corpus-wide mean — the domain-blocklist stage of web-corpus
+    * curation (a spam farm drags its whole domain under the bar).
+    *
+    * Scale shape: the per-doc score is map-side, the per-source stats are
+    * ONE map-side-combined hash agg (sources ≪ docs), and the corpus-wide
+    * mean is a single-row aggregate attached by broadcast cross join — the
+    * same normalizer shape as `Sampling.temperatureWeights`. Both means are
+    * rounded to 4 decimals BEFORE the comparison so the keep flag is
+    * reproducible across engines (sum-order ulp differences can't flip it
+    * unless the true value sits exactly on a rounding boundary). */
+  def sourceReputation(docs: DataFrame, score: Column): DataFrame = {
+    val scored = docs.select(col("source"), score.as("s"))
+    val stats  = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("s")).as("avg_s"))
+    val global = scored.agg(avg(col("s")).as("global_s"))
+    stats.crossJoin(broadcast(global))
+      .select(col("source"), col("n_docs"),
+        round(col("avg_s"), 4).as("avg_score"),
+        (round(col("avg_s"), 4) >= round(col("global_s"), 4)).as("keep"))
+  }
+
+  /** The gate output: documents from reputable sources only. The kept
+    * source list is tiny (it is a subset of the stats table) so it joins
+    * as a BROADCAST semi join — the corpus is never shuffled. */
+  def gateBySource(docs: DataFrame, score: Column): DataFrame = {
+    val kept = sourceReputation(docs, score)
+      .filter(col("keep")).select(col("source"))
+    docs.join(broadcast(kept), Seq("source"), "left_semi")
+  }
+
   def curate(spark: SparkSession, dir: String, ccIterations: Int = 3): DataFrame = {
     val quality = Tables(spark, dir, "documents")
       .withColumn("n_tokens", Text.tokenCount(col("text")))

@@ -35,4 +35,26 @@ class CurateSpec extends SparkSpec {
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("Window "), plan)
   }
+
+  test("sourceReputation / gateBySource: below-mean source dropped whole, gate is a broadcast semi join") {
+    import spark.implicits._
+    // srcA scores (1,1), srcB (0,0), srcC (1,0): corpus mean 0.5 —
+    // srcB (mean 0) falls under the bar, srcA and srcC stay
+    val docs = Seq(
+      (1L, "srcA", 1.0), (2L, "srcA", 1.0),
+      (3L, "srcB", 0.0), (4L, "srcB", 0.0),
+      (5L, "srcC", 1.0), (6L, "srcC", 0.0)).toDF("doc_id", "source", "s")
+    val rep = Curate.sourceReputation(docs, col("s")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rep == Map("srcA" -> true, "srcB" -> false, "srcC" -> true))
+    val kept = Curate.gateBySource(docs, col("s"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L, 6L))
+    // the kept-source list joins broadcast — the corpus side reaches the
+    // semi join without an exchange
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    val corpusSide = plan.split("BroadcastHashJoin", 2)(1).split("BroadcastExchange", 2)(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the source gate:\n$plan")
+  }
 }
