@@ -112,6 +112,20 @@ object Writers {
     * idempotent (`overwrite`) like the other sinks. */
   def jsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Range-sorted parquet layout: rows range-partitioned on `key` (sampled
+    * range exchange → each output file owns one contiguous, non-overlapping
+    * key interval) and sorted within each partition. Parquet stores per-file
+    * and per-row-group min/max on every column, so a later
+    * `WHERE key BETWEEN a AND b` prunes to the one or two files whose
+    * interval intersects — the zone-map layout for a 100 TB fact table's
+    * dominant filter column. One sampling pass + one exchange at write
+    * time, amortized over every subsequent range scan. */
+  def parquetRangeSorted(df: DataFrame, key: String, files: Int,
+      path: String): Unit =
+    df.repartitionByRange(files, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }
 
 /** Bucketed table layout — the 100 TB answer to the fact⋈fact shuffle:

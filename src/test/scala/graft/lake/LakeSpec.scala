@@ -63,6 +63,33 @@ class LakeSpec extends SparkSpec {
       s"partition filter not applied:\n$scan")
   }
 
+  test("K1 range-sorted layout: disjoint per-file key intervals, sorted within files") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-range").toString
+    val df = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Writers.parquetRangeSorted(df, "o_totalprice", 4, s"$dir/o")
+    // the write plan range-partitions (sampled bounds), not hash
+    val files = new java.io.File(s"$dir/o").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "expected multiple range files")
+    // per-file key intervals are non-overlapping and internally sorted —
+    // the property parquet min/max footers turn into file-level pruning
+    val ranges = files.map { f =>
+      val vals = spark.read.parquet(f)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted), s"file $f not sorted")
+      (vals.min, vals.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file intervals: $hi > $lo")
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(s"$dir/o").count() == df.count())
+  }
+
   test("S6 secret providers: env mapping, props file, chain fallback") {
     val env = new EnvSecretProvider("kv_", Map("KV_SP_SECRET" -> "from-env"))
     assert(env.secret("sp-secret").contains("from-env"))
