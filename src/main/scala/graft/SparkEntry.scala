@@ -479,6 +479,9 @@ object SparkEntry {
     // documented recall/cost knob for corpora needing moderate-similarity
     // dedup; costs more populated buckets to expand and verify
     "q_dedup_jaccard_wide" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5, bands = 8)),
+    // asymmetric containment over the same wide-band candidates: the
+    // sub/superset-duplication signal (short doc quoted inside a long one)
+    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d, 0.6, bands = 8)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
     // benchmark decontamination: docs 0..49 stand in for the (always-small)
     // benchmark set, everything else is the training corpus; sharing a
@@ -1205,6 +1208,7 @@ object SparkEntry {
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_jaccard_wide" -> jaccardSql(8),
+    "q_dedup_containment" -> containmentSql(8, 0.6),
     "q_dedup_embed" -> embedDedupSql,
 
     "q_embed_centroids" ->
@@ -1622,8 +1626,11 @@ object SparkEntry {
     * list_intersect (distinct-element intersection, like array_intersect). */
   private def jaccardSql: String = jaccardSql(Dedup.Bands)
 
-  private def jaccardSql(bands: Int): String = {
-    s"""WITH sigs AS ($minhashSigSql),
+  /** Shared CTE chain ending in `verified(doc_a, doc_b, inter, na, nb)` —
+    * the exact-intersection stats both the Jaccard and containment
+    * oracles select over. */
+  private def verifiedPairCtes(bands: Int): String =
+    s"""sigs AS ($minhashSigSql),
        |bands AS (
        |${bandRowsSqlFrom("sigs", bands)}),
        |$cappedPairCtes,
@@ -1636,12 +1643,23 @@ object SparkEntry {
        |    len(da.sh) AS na, len(db.sh) AS nb
        |  FROM cand
        |  JOIN docs da ON cand.doc_a = da.doc_id
-       |  JOIN docs db ON cand.doc_b = db.doc_id)
+       |  JOIN docs db ON cand.doc_b = db.doc_id)""".stripMargin
+
+  private def jaccardSql(bands: Int): String =
+    s"""WITH ${verifiedPairCtes(bands)}
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
        |FROM verified
        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
-  }
+
+  private def containmentSql(bands: Int, threshold: Double): String =
+    s"""WITH ${verifiedPairCtes(bands)}
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+       |FROM verified
+       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
 
   /** Cosine over DOUBLE[] casts — the exact arithmetic Vectors.cosine runs. */
   private def cosSql(a: String, b: String): String =

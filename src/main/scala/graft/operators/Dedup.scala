@@ -415,14 +415,24 @@ object Dedup {
     ngramJaccardPairsOf(Tables(spark, dir, "documents"), threshold, bands)
 
   def ngramJaccardPairsOf(allDocs: DataFrame, threshold: Double,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands): DataFrame =
+    candidateShingleSets(allDocs, bands)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** LSH candidate pairs annotated with BOTH sides' distinct 3-gram
+    * shingle sets — the shared verify input for Jaccard and containment.
+    * Long format: each pair contributes (pair, side, doc_id) rows so the
+    * shingle table is joined (and its pipeline evaluated) ONCE, not once
+    * per side; the pair's two shingle sets reassemble in one aggregation. */
+  private def candidateShingleSets(allDocs: DataFrame, bands: Int): DataFrame = {
     val cand = minhashCandidatePairsOf(allDocs, MaxBucket, bands)
     val docs = allDocs
       .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    // long format: each pair contributes (pair, side, doc_id) rows so the
-    // shingle table is joined (and its pipeline evaluated) ONCE, not once
-    // per side; the pair's two shingle sets reassemble in one aggregation.
     val sides = cand.select(
         col("doc_a"), col("doc_b"),
         explode(array(
@@ -434,12 +444,33 @@ object Dedup {
       .agg(min(when(col("side") === "a", col("sh"))).as("sh_a"),
         min(when(col("side") === "b", col("sh"))).as("sh_b"))
       .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Asymmetric containment scores over the same LSH candidates:
+    * cont_a = |A∩B|/|A| (the fraction of A's shingles that B contains) and
+    * the mirror cont_b — the sub/superset-duplication signal Jaccard
+    * under-reports (a short doc quoted whole inside a long one has low
+    * Jaccard but cont_short ≈ 1). A pair is emitted when EITHER direction
+    * clears `threshold`.
+    *
+    * Recall honesty: candidates come from Jaccard-tuned MinHash banding,
+    * and a pair's collision probability tracks its Jaccard — extreme
+    * size-ratio subsets (j = |A|/|B| → 0) are unlikely to surface as
+    * candidates at all. The wide-band config (`bands = 8`) moves the
+    * S-curve left and is the documented knob when subset dedup matters;
+    * a true containment-LSH would band over A-only sketches. */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double,
+      bands: Int = Bands): DataFrame =
+    containmentPairsOf(Tables(spark, dir, "documents"), threshold, bands)
+
+  def containmentPairsOf(allDocs: DataFrame, threshold: Double,
+      bands: Int = Bands): DataFrame =
+    candidateShingleSets(allDocs, bands)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("cont_a", round(col("inter").cast("double") / size(col("sh_a")), 4))
+      .withColumn("cont_b", round(col("inter").cast("double") / size(col("sh_b")), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
 
   /** Cells each vector is assigned to in the embedding near-dup join. A
     * single-cell assignment misses near-dups that straddle a cell boundary

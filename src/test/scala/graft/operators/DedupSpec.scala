@@ -177,6 +177,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.select("doc_a", "doc_b").except(cand).count() == 0)
   }
 
+  test("containment catches a planted subset pair that the jaccard threshold misses") {
+    import spark.implicits._
+    // doc 1 is a strict prefix of doc 2: containment(1→2) = 1.0 but
+    // jaccard = 10/14 ≈ 0.71 — under a 0.8 jaccard bar, over a 0.95
+    // containment bar. Filler docs keep the corpus non-trivial.
+    val sub  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val sup  = sub + " nu xi omicron pi"
+    val docs = (Seq((1L, sub), (2L, sup)) ++
+      (10 until 30).map(i => (i.toLong, s"filler$i words nothing shared here at all index $i"))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsOf(docs, 0.95, bands = 8).collect()
+    assert(cont.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getDouble(2) == 1.0), s"subset pair not found: ${cont.mkString(",")}")
+    // the symmetric score reports the size ratio, not 1.0
+    assert(cont.find(r => r.getLong(0) == 1L).get.getDouble(3) < 0.8)
+    val jac = Dedup.ngramJaccardPairsOf(docs, 0.8, bands = 8)
+    assert(!jac.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard at 0.8 should miss the subset pair containment catches")
+  }
+
   test("incremental minhash candidates: delta + corpus-only pairs decompose the full pair set") {
     // pairs(all) = pairs(existing) ∪ [cross + within-incoming] — exact as
     // long as no bucket crosses the star-pair cap (none at this SF)
