@@ -109,12 +109,18 @@ object Retrieval {
     val tf = matched.groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
-    // document frequency per query term: one row per term
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // global stats: a single row, attached like the ANN codebook
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       round(avg(Text.tokenCount(col("text"))), 4).as("avgdl"))
+    scoreAndRank(tf, queryTerms, stats, k, k1, b)
+  }
 
+  /** Scoring tail shared by the direct and the from-artifact paths: per-term
+    * document frequency from the (already query-filtered) tf rows, Okapi
+    * weight, per-query top-k. `stats` is one (n_docs, avgdl) row. */
+  private def scoreAndRank(tf: DataFrame, queryTerms: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dft), "term")
       .join(broadcast(queryTerms), "term")
@@ -125,11 +131,66 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("w")), 4).as("score"))
-
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
+  }
+
+  // ---- persisted inverted-index artifact (build once / ingest deltas /
+  // serve many) — the lexical twin of the IVF assignment artifact: at
+  // 100 TB the corpus is tokenized ONCE at build time, daily deltas append
+  // without touching history, and every query run reads only postings.
+
+  /** One posting per (term, doc) with the doc's length — tokenization paid
+    * once, at build time. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Text.tokenCount(col("text")).as("dl"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** ADDITIVE stats rows (n_docs, sum_dl) — each build/ingest appends one;
+    * the serve path sums them, so avgdl is always corpus-exact without
+    * ever rewriting history (`sum_dl / n_docs` over longs is the same
+    * double division `avg` performs in [[bm25TopK]]). */
+  private def statsRowOf(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(Text.tokenCount(col("text")).cast("long")).as("sum_dl"))
+
+  /** Write the index artifact for `docs` at `dir` (postings + stats). */
+  def buildIndex(docs: DataFrame, dir: String): Unit = {
+    postingsOf(docs).write.mode("overwrite").parquet(s"$dir/postings")
+    statsRowOf(docs).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Append a delta batch: only the DELTA is tokenized; existing postings
+    * and stats files are untouched (append, never rewrite). */
+  def ingestIndex(delta: DataFrame, dir: String): Unit = {
+    postingsOf(delta).write.mode("append").parquet(s"$dir/postings")
+    statsRowOf(delta).write.mode("append").parquet(s"$dir/stats")
+  }
+
+  /** BM25 served from the artifact — no tokenization anywhere: postings are
+    * semi-filtered to the broadcast query terms straight off the scan (at
+    * cluster scale, bucket the postings by term to prune that scan too),
+    * document frequencies count the matched postings, and the stats rows
+    * fold into one (n_docs, avgdl) broadcast row. Result is row-identical
+    * to [[bm25TopK]] over the same corpus. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val queryTerms = queries
+      .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val tf = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        round(col("sum_dl").cast("double") / col("n_docs"), 4).as("avgdl"))
+    scoreAndRank(tf, queryTerms, stats, k, k1, b)
   }
 }

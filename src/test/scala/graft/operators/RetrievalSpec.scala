@@ -80,6 +80,30 @@ class RetrievalSpec extends SparkSpec {
     assert(rep.length == 1 && rep.head.getLong(2) == 1L)
   }
 
+  test("index artifact: serve == direct, delta ingest == full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val queries = Seq(0 -> "cat bird", 1 -> "dog fish")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("score")), r.getInt(r.fieldIndex("rank")))
+    // build over the full corpus: serving the artifact is row-identical to
+    // the direct tokenizing path
+    Retrieval.buildIndex(docs, s"$dir/full")
+    val direct = Retrieval.bm25TopK(docs, queries, 10).collect().map(key).toSet
+    val served = Retrieval.bm25FromIndex(spark, s"$dir/full", queries, 10)
+      .collect().map(key).toSet
+    assert(served == direct)
+    // build docs 1-2, ingest 3-4 as a delta: identical serving results —
+    // history never re-tokenized, stats rows summed
+    Retrieval.buildIndex(docs.filter($"doc_id" <= 2), s"$dir/inc")
+    Retrieval.ingestIndex(docs.filter($"doc_id" > 2), s"$dir/inc")
+    val incr = Retrieval.bm25FromIndex(spark, s"$dir/inc", queries, 10)
+      .collect().map(key).toSet
+    assert(incr == direct)
+    // two stats rows on disk (one per batch), folded at serve time
+    assert(spark.read.parquet(s"$dir/inc/stats").count() == 2)
+  }
+
   test("plan: query terms, document frequencies and stats all broadcast") {
     val plan = Retrieval.bm25TopK(docs, Seq(0 -> "cat bird"), 10)
       .queryExecution.executedPlan.toString
