@@ -69,10 +69,17 @@ object SpanDedup {
     * the doc's duplicated spans: sorted by start, a span adds
     * `min(k, start − prev_start)` new tokens (k for the first). Docs with
     * no duplicated span report zeros. */
-  def dupSpanReport(docs: DataFrame, k: Int): DataFrame = {
+  def dupSpanReport(docs: DataFrame, k: Int): DataFrame =
+    reportFromDuplicated(docs, duplicatedSpans(docs, k), k)
+
+  /** Report tail over an explicit duplicated-(doc_id, start) relation —
+    * shared by the batch census path above and the streaming twin
+    * ([[graft.streaming.StreamingSpanDedup]]), whose duplicated set comes
+    * from probing the persisted corpus census instead. */
+  def reportFromDuplicated(docs: DataFrame, dup: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prev  = lag(col("start"), 1).over(byDoc)
-    val agg = duplicatedSpans(docs, k)
+    val agg = dup
       .withColumn("gain",
         when(prev.isNull, lit(k)).otherwise(least(lit(k), col("start") - prev)))
       .groupBy(col("doc_id"))

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.operators.SpanDedup
+
+/** Streaming twin of [[SpanDedup]] — the daily-ingest wiring for the
+  * sub-document (duplicated k-span) tier: each micro-batch of incoming
+  * documents
+  *
+  *   1. computes its span hashes once (persisted for the batch),
+  *   2. probes the durable span-CENSUS artifact at `censusPath`: a batch
+  *      span is duplicated when corpus occurrences + in-batch occurrences
+  *      exceed one,
+  *   3. appends its per-doc duplication report rows to `reportPath`, and
+  *   4. appends its own per-hash counts to the census — so later batches
+  *      see earlier ones without re-tokenizing history.
+  *
+  * The census artifact is ADDITIVE (one (span_hash, n) row per hash per
+  * batch; probes SUM matching rows), so ingest never rewrites history —
+  * the same append-only discipline as [[graft.operators.Retrieval]]'s
+  * stats rows and [[StreamingNearDup]]'s band table. Executor state is
+  * O(micro-batch); the census is a parquet table joined by hash, not
+  * streaming state.
+  *
+  * Semantics note (inherent to ANY incremental substring dedup): a span is
+  * judged against the corpus AS OF its batch — two copies arriving in
+  * different batches mark the LATER doc only, where the batch census marks
+  * both. The spec asserts the exact contract: streamed reports equal the
+  * batch report computed against the accumulated prefix corpus.
+  */
+object StreamingSpanDedup {
+
+  val CensusSchema: StructType = new StructType()
+    .add("span_hash", StringType).add("n", LongType)
+
+  /** Create an empty census at `censusPath` if none exists. */
+  def ensureCensus(spark: SparkSession, censusPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(censusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        CensusSchema).write.parquet(censusPath)
+  }
+
+  /** One batch step, also usable for batch-incremental replay: report for
+    * `batch` docs against (accumulated census + in-batch counts). Returns
+    * the report; appends the batch's census rows when `append` is set. */
+  def step(batch: DataFrame, k: Int, censusPath: String,
+      append: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val spans = SpanDedup.spanHashes(batch, k).persist()
+    try {
+      val batchCounts = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("n"))
+      val corpus = spark.read.schema(CensusSchema).parquet(censusPath)
+      // total occurrences per hash seen so far (corpus rows are additive)
+      val totals = corpus.unionByName(batchCounts)
+        .groupBy(col("span_hash")).agg(sum(col("n")).as("n_total"))
+      val dup = spans.join(totals, "span_hash")
+        .filter(col("n_total") > 1)
+        .select(col("doc_id"), col("start"))
+      val report = SpanDedup.reportFromDuplicated(
+        batch, dup, k).localCheckpoint(false)
+      if (append) batchCounts.write.mode("append").parquet(censusPath)
+      report
+    } finally { spans.unpersist(false); () }
+  }
+
+  /** Start the ingest: `incoming` carries (doc_id, text); per-doc reports
+    * land in `reportPath`, census rows accumulate at `censusPath`.
+    * The report is localCheckpoint'd BEFORE the census append inside
+    * [[step]], so a replayed batch cannot see its own counts. */
+  def start(incoming: DataFrame, k: Int, censusPath: String,
+      reportPath: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    ensureCensus(incoming.sparkSession, censusPath)
+    val writer = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        step(batch, k, censusPath, append = true)
+          .write.mode("append").parquet(reportPath)
+        ()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+}
