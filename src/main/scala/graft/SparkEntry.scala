@@ -335,6 +335,43 @@ object SparkEntry {
           col("c.chunk_text").as("chunk_text"))
         .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))),
 
+    // the dataset card: per-language doc/token counts, mean quality, and
+    // exact-uniqueness rate in ONE pass — one fingerprint window + one
+    // hash agg, the summary a curation run publishes next to the corpus
+    "q_corpus_report" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+      Tables(s, d, "documents")
+        .select(col("lang"), Text.tokenCount(col("text")).as("nt"),
+          (Text.markerHits(col("text"), Text.stopwords("en")).cast("double") /
+            Text.tokenCount(col("text"))).as("sw"),
+          Text.fingerprint(col("text")).as("fingerprint"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("n_tokens"),
+          round(avg(col("nt")), 4).as("avg_tokens"),
+          round(avg(col("sw")), 4).as("avg_stopword_ratio"),
+          round(avg(when(col("cnt") === 1, 1.0).otherwise(0.0)), 4).as("uniq_rate"))
+    }),
+    // join-key skew census: per-key share and skew factor (count / mean
+    // count), top 20 — the decision input for Joins.salted. The window is
+    // global but runs over the per-key AGGREGATE (keys ≪ rows), and the
+    // rank cut stays a partial WindowGroupLimit
+    "q_skew_report" -> ((s, d) => {
+      val counts = Tables(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      counts.crossJoin(broadcast(stats))
+        .withColumn("share", round(col("n") / col("n_rows").cast("double"), 6))
+        .withColumn("skew_x",
+          round(col("n") * col("n_keys") / col("n_rows").cast("double"), 4))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("user_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("user_id"), col("n"), col("share"), col("skew_x"), col("rank"))
+    }),
+
     // fixed-width histogram (binned aggregation): doc length per language
     "q_histogram" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -1049,6 +1086,28 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(floor(n_chars / 100.0) AS INTEGER) * 100 AS bin_lo
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_corpus_report" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS nt,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |          t -> t IN ('the','a','of','and','is','in','to','it')))
+        |      / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS sw,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |c AS (SELECT lang, nt, sw, count(*) OVER (PARTITION BY fp) AS cnt FROM f)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  round(avg(nt), 4) AS avg_tokens,
+        |  round(avg(sw), 4) AS avg_stopword_ratio,
+        |  round(avg(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END), 4) AS uniq_rate
+        |FROM c GROUP BY lang""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM c)
+        |SELECT user_id, n, round(n / CAST(n_rows AS DOUBLE), 6) AS share,
+        |  round(n * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_x,
+        |  CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank
+        |FROM c, s QUALIFY rank <= 20""".stripMargin,
     "q_pii_redact" -> piiRedactSql,
     "q_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
