@@ -157,6 +157,21 @@ object SparkEntry {
         round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))),
+    // winsorization (outlier clipping) at per-stratum p01/p99: the tiny
+    // per-flag threshold table is broadcast back and the clip is map-side
+    // — the quantile-gate shape applied to value repair instead of
+    // filtering
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val thr = li.groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.01)"), 4).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("hi"))
+      li.join(broadcast(thr), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .as("clipped"))
+    }),
     "q_describe_str" -> ((s, d) =>
       Tables(s, d, "customer").agg(
         count(col("c_mktsegment")).as("count"),
@@ -593,6 +608,11 @@ object SparkEntry {
         round(array_max(v) / n, 6).as("u_max"))
     }),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    // semantic decontamination: vec_id < 50 stands in for the benchmark
+    // embeddings (mirroring q_decontaminate's doc-id split); max cosine
+    // computed map-side over the single broadcast benchmark row
+    "q_decontaminate_embed" -> ((s, d) =>
+      Similarity.embedDecontamination(s, d, 50, 0.35)),
     // contrastive hard negatives: nearest neighbors with a DIFFERENT label
     "q_ann_hardneg" -> ((s, d) => Similarity.hardNegativesTopK(s, d, 10, 5)),
     "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
@@ -709,6 +729,15 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH thr AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+        |  least(greatest(l_extendedprice, lo), hi) AS clipped
+        |FROM lineitem l JOIN thr ON l.l_returnflag = thr.l_returnflag""".stripMargin,
     "q_describe_str" ->
       """SELECT count(c_mktsegment) AS count,
         |  count(DISTINCT c_mktsegment) AS "distinct",
@@ -1302,6 +1331,18 @@ object SparkEntry {
         |                              CAST(embedding AS DOUBLE[]))) AS n
         |      FROM embeddings)""".stripMargin,
     "q_ann_brute" -> annSql(cellRestricted = false),
+    "q_decontaminate_embed" ->
+      s"""WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |            FROM embeddings WHERE vec_id >= 50),
+         |be AS (SELECT CAST(embedding AS DOUBLE[]) AS b
+         |       FROM embeddings WHERE vec_id < 50),
+         |m AS (SELECT tr.vec_id,
+         |        max(list_dot_product(e, b)
+         |          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(b, b)))) AS mc
+         |      FROM tr CROSS JOIN be GROUP BY tr.vec_id)
+         |SELECT vec_id, round(mc, 4) AS max_bench_cos,
+         |  round(mc, 4) >= 0.35 AS contaminated
+         |FROM m""".stripMargin,
     "q_ann_hardneg" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label

@@ -166,6 +166,37 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of
+    * [[Decontaminate]]'s n-gram overlap: a training vector is contaminated
+    * when its max cosine against ANY benchmark vector clears `threshold`
+    * (paraphrased eval questions share no n-grams but sit close in
+    * embedding space). The benchmark set is small by construction, so it
+    * folds into a SINGLE broadcast row of (vector, norm) structs and the
+    * per-train max is an `array_max(transform(...))` over that payload —
+    * entirely map-side: the corpus is never shuffled, never joined row-to-
+    * row, and the plan is O(1) in benchmark size (values live in the
+    * broadcast, not the plan — the [[Quantize]] codebook discipline). */
+  def embedDecontamination(spark: SparkSession, dir: String, nBench: Int,
+      threshold: Double): DataFrame =
+    embedDecontaminationOf(Tables(spark, dir, "embeddings"), nBench, threshold)
+
+  def embedDecontaminationOf(emb: DataFrame, nBench: Int,
+      threshold: Double): DataFrame = {
+    val bench = emb.filter(col("vec_id") < nBench)
+      .agg(collect_list(struct(
+        col("embedding").cast("array<double>").as("b_emb"),
+        Vectors.norm(col("embedding")).as("b_nrm"))).as("bench"))
+    emb.filter(col("vec_id") >= nBench)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        Vectors.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(array_max(transform(col("bench"), b =>
+          Vectors.dot(col("e"), b("b_emb")) / (col("nrm") * b("b_nrm")))), 4)
+          .as("max_bench_cos"))
+      .withColumn("contaminated", col("max_bench_cos") >= threshold)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors with a DIFFERENT label —
     * the negatives nearest the decision boundary. Same broadcast shape as

@@ -23,6 +23,37 @@ class SimilaritySpec extends SparkSpec {
     assert(res.filter(col("q_id") === col("vec_id")).count() == 0)  // self excluded
   }
 
+  test("semantic decontamination: exact benchmark copy flagged at 1.0; corpus side map-only") {
+    import spark.implicits._
+    // bench vec 0; train 100 is a SCALED copy (cosine exactly 1), train
+    // 101 is orthogonal (cosine 0) — paraphrase-leak detection in miniature
+    val planted = Seq(
+      (0L, Array(1.0f, 2.0f, 2.0f)),
+      (100L, Array(2.0f, 4.0f, 4.0f)),
+      (101L, Array(-2.0f, -1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val flags = Similarity.embedDecontaminationOf(planted, 50, 0.35).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(flags(100L) == (1.0, true) && flags(101L) == (0.0, false), flags)
+
+    val rep = Similarity.embedDecontamination(spark, sfDir, 50, 0.35)
+    val rows = rep.collect()
+    assert(rows.nonEmpty && rows.forall(r => {
+      val c = r.getAs[Double]("max_bench_cos"); c >= -1.0001 && c <= 1.0001
+    }))
+    // flag agrees with the threshold on the rounded score
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("contaminated") == (r.getAs[Double]("max_bench_cos") >= 0.35)))
+    // the corpus side reaches the broadcast attach without any exchange:
+    // everything after the single benchmark-row BroadcastExchange is the
+    // bench-side aggregation; the train side is scan -> project only
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    val corpusSide = plan.split("Broadcast(NestedLoop|Hash)Join").last
+      .split("BroadcastExchange", 2)(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"train corpus shuffled before the broadcast attach:\n$plan")
+  }
+
   test("planeCoefs: deterministic, bounded, non-degenerate") {
     val c1 = Similarity.planeCoefs(0)
     assert(c1 == Similarity.planeCoefs(0))
