@@ -350,6 +350,43 @@ object SparkEntry {
           col("c.chunk_text").as("chunk_text"))
         .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))),
 
+    // tokenizer-prep: top-V vocabulary by corpus frequency (deterministic
+    // count-desc/term tie-break) folded into ONE broadcast row; per-doc
+    // out-of-vocabulary rate is then a map-side array filter — the signal
+    // that drives vocab-size choice
+    "q_vocab_oov" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val vocab = docs
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+        .agg(collect_list(col("term")).as("vocab"))
+      docs.crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          Text.let(Text.tokens(col("text"))) { t =>
+            round(size(filter(t, x => !array_contains(col("vocab"), x)))
+              .cast("double") / size(t), 4)
+          }.as("oov_rate"))
+    }),
+    // inference-serving batch assembly: bucket docs by length band, fill
+    // deterministic fixed-size batches within each band, report per-batch
+    // padding waste — the dynamic-batching prep that minimizes pad tokens
+    "q_length_batches" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("len_bucket", floor(col("n_tokens") / lit(16)).cast("int"))
+        .withColumn("batch_id",
+          floor((row_number().over(w) - 1) / lit(16)).cast("int"))
+        .groupBy(col("len_bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(lit(1) - sum(col("n_tokens")) /
+            (count(lit(1)) * max(col("n_tokens"))).cast("double"), 4)
+            .as("pad_frac"))
+    }),
+
     // the dataset card: per-language doc/token counts, mean quality, and
     // exact-uniqueness rate in ONE pass — one fingerprint window + one
     // hash agg, the summary a curation run publishes next to the corpus
@@ -1115,6 +1152,38 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(floor(n_chars / 100.0) AS INTEGER) * 100 AS bin_lo
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_vocab_oov" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |vc AS (SELECT term FROM (
+        |         SELECT term, count(*) AS n,
+        |           row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        |         FROM tk GROUP BY term) WHERE rk <= 20),
+        |vl AS (SELECT list(term) AS vocab FROM vc)
+        |SELECT doc_id,
+        |  round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |          t -> NOT list_contains(vocab, t)))
+        |    / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 4)
+        |    AS oov_rate
+        |FROM documents, vl""".stripMargin,
+    "q_length_batches" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+        |    CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) / 16.0) AS INTEGER)
+        |      AS len_bucket
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, n_tokens, len_bucket,
+        |    CAST(floor((row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1)
+        |      / 16.0) AS INTEGER) AS batch_id
+        |  FROM sized)
+        |SELECT len_bucket, batch_id, count(*) AS n_docs,
+        |  max(n_tokens) AS max_tokens,
+        |  round(1 - sum(n_tokens) / CAST(count(*) * max(n_tokens) AS DOUBLE), 4)
+        |    AS pad_frac
+        |FROM seq GROUP BY len_bucket, batch_id""".stripMargin,
     "q_corpus_report" ->
       """WITH f AS (
         |  SELECT lang,
