@@ -61,8 +61,10 @@ object StreamingSpanDedup {
       val dup = spans.join(totals, "span_hash")
         .filter(col("n_total") > 1)
         .select(col("doc_id"), col("start"))
-      val report = SpanDedup.reportFromDuplicated(
-        batch, dup, k).localCheckpoint(false)
+      // EAGER checkpoint: the report must materialize BEFORE the census
+      // append below — a lazy plan re-reading censusPath after the append
+      // would double-count this batch's own spans
+      val report = SpanDedup.reportFromDuplicated(batch, dup, k).localCheckpoint()
       if (append) batchCounts.write.mode("append").parquet(censusPath)
       report
     } finally { spans.unpersist(false); () }
@@ -70,8 +72,14 @@ object StreamingSpanDedup {
 
   /** Start the ingest: `incoming` carries (doc_id, text); per-doc reports
     * land in `reportPath`, census rows accumulate at `censusPath`.
-    * The report is localCheckpoint'd BEFORE the census append inside
-    * [[step]], so a replayed batch cannot see its own counts. */
+    *
+    * Delivery semantics: with a `checkpointDir` the source tracks consumed
+    * input, but the report write and the census append are separate
+    * actions — a batch REPLAYED after a mid-batch failure finds its own
+    * counts already in the census and conservatively over-marks its docs
+    * (more spans flagged duplicated, never fewer). On a lake with atomic
+    * multi-table commits both writes would share one transaction; see
+    * [[StreamingNearDup]] for the same caveat on the band table. */
   def start(incoming: DataFrame, k: Int, censusPath: String,
       reportPath: String, checkpointDir: Option[String] = None): StreamingQuery = {
     ensureCensus(incoming.sparkSession, censusPath)
