@@ -126,6 +126,20 @@ object Writers {
     df.repartitionByRange(files, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction — the maintenance job every streaming sink
+    * needs: micro-batch appends leave thousands of KB-sized files whose
+    * per-file open/footer overhead dominates scans. Rewrites `src` as
+    * `files` right-sized files at `dst` with `coalesce` (a partition
+    * MERGE — no shuffle: Spark plans the narrow union of input splits),
+    * then the caller swaps paths atomically at the table layer. `dst`
+    * must differ from `src`: overwriting a path mid-read would delete
+    * the very files the scan is consuming. */
+  def compact(spark: SparkSession, src: String, dst: String, files: Int): Unit = {
+    require(dst != src, "compact to a NEW path, then swap at the table layer")
+    spark.read.parquet(src).coalesce(files)
+      .write.mode("overwrite").parquet(dst)
+  }
 }
 
 /** Bucketed table layout — the 100 TB answer to the fact⋈fact shuffle:

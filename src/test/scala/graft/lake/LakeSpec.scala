@@ -90,6 +90,32 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/o").count() == df.count())
   }
 
+  test("K1 compaction: many small appends rewrite to few files, content intact, no shuffle") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // simulate 20 micro-batch appends of one tiny file each
+    (0 until 20).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/small")
+    }
+    val countFiles = (p: String) => new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(countFiles(s"$dir/small") == 20)
+    Writers.compact(spark, s"$dir/small", s"$dir/big", 2)
+    assert(countFiles(s"$dir/big") <= 2)
+    // nothing lost, nothing duplicated
+    val got = spark.read.parquet(s"$dir/big").select(col("id")).collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == (0L until 200L).toSeq)
+    // coalesce merges partitions without an exchange
+    val plan = spark.read.parquet(s"$dir/small").coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Writers.compact(spark, s"$dir/small", s"$dir/small", 2)
+    }
+  }
+
   test("S6 secret providers: env mapping, props file, chain fallback") {
     val env = new EnvSecretProvider("kv_", Map("KV_SP_SECRET" -> "from-env"))
     assert(env.secret("sp-secret").contains("from-env"))
