@@ -12,6 +12,22 @@ class PlanSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
 
+  test("engine-wide sweep: no UDFs anywhere; cartesian joins only as single-row broadcast attaches") {
+    // Every registered query's physical plan, one sweep: (1) zero
+    // BatchEvalPython / ScalaUDF nodes — the whole surface is codegen'd
+    // built-ins and native Expressions; (2) any nested-loop join must be
+    // a BROADCAST attach (the codebook / stats-row / bench-set pattern) —
+    // an unhinted CartesianProduct node means a join lost its equi-key
+    // and would cross-product at 100 TB.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      val udf = p.contains("BatchEvalPython") || p.contains("ScalaUDF")
+      val cart = p.contains("CartesianProduct")
+      if (udf || cart) Some(s"$name udf=$udf cartesian=$cart") else None
+    }
+    assert(offenders.isEmpty, s"plan offenders:\n${offenders.mkString("\n")}")
+  }
+
   test("projection pruning reaches the parquet scan (ReadSchema carries only needed columns)") {
     val p = plan(Relational.select(Tables(spark, sfDir, "customer"),
       Seq("c_custkey", "c_name", "c_acctbal")))
