@@ -499,6 +499,23 @@ object SparkEntry {
     "q_dedup_survivors" -> ((s, d) =>
       Dedup.minhashCcLabels(s, d, 3)
         .filter(col("cluster_id") === col("doc_id")).select(col("doc_id"))),
+    // the dedup FUNNEL — the curation report's headline row: corpus size,
+    // exact-unique count, near-dup survivors (same memoized CC labels),
+    // and the per-tier removal rates; three 1-row aggregates attached by
+    // broadcast (never a CartesianProduct — the plan sweep checks)
+    "q_dedup_funnel" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(docs.agg(
+          countDistinct(Text.fingerprint(col("text"))).as("n_exact_unique"))))
+        .crossJoin(broadcast(Dedup.minhashCcLabels(s, d, 3).agg(
+          sum(when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_near_survivors"))))
+        .withColumn("exact_dup_rate",
+          round(lit(1) - col("n_exact_unique") / col("n_docs").cast("double"), 4))
+        .withColumn("near_dup_rate",
+          round(lit(1) - col("n_near_survivors") / col("n_docs").cast("double"), 4))
+    }),
     // daily-ingest shape: docs >= 250 arriving against the < 250 corpus
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -1278,6 +1295,17 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_survivors" ->
       s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
+    "q_dedup_funnel" ->
+      s"""WITH cc AS (${minhashCcSql(3)}),
+         |s AS (SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |     FROM documents) AS n_exact_unique,
+         |  (SELECT count(*) FROM cc WHERE cluster_id = doc_id) AS n_near_survivors)
+         |SELECT n_docs, n_exact_unique, n_near_survivors,
+         |  round(1 - n_exact_unique / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
+         |  round(1 - n_near_survivors / CAST(n_docs AS DOUBLE), 4) AS near_dup_rate
+         |FROM s""".stripMargin,
     "q_dedup_incremental" ->
       """WITH inc AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
