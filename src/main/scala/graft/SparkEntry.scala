@@ -649,6 +649,10 @@ object SparkEntry {
     // term co-occurrence + PMI over doc contexts (pairs seen >= 100 times)
     "q_cooccurrence" -> ((s, d) =>
       Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100)),
+    // the 100 TB-safe variant: presence capped to the top-50 df terms
+    // before the self-join, bounding per-doc pair blowup at C(50, 2)
+    "q_cooccurrence_topv" -> ((s, d) =>
+      Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100, Some(50))),
     // L2 normalization surface over the embedding column: norm via the
     // native graft_dot fold, components order-free (min/max) for exact
     // cross-engine double parity
@@ -1151,6 +1155,32 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
         |  FROM documents),
+        |pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term
+        |  HAVING count(*) >= 100),
+        |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+        |st AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term_a, term_b, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) + 0 AS pmi
+        |FROM pairs
+        |JOIN dft da ON pairs.term_a = da.term
+        |JOIN dft db ON pairs.term_b = db.term
+        |CROSS JOIN st""".stripMargin,
+    "q_cooccurrence_topv" ->
+      """WITH pres0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS vdf,
+        |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+        |    FROM pres0 GROUP BY term) WHERE rk <= 50),
+        |pres AS (
+        |  SELECT pres0.doc_id, pres0.term FROM pres0
+        |  JOIN vocab ON pres0.term = vocab.term),
         |pairs AS (
         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
         |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term

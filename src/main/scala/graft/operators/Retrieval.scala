@@ -62,16 +62,39 @@ object Retrieval {
     * BEFORE the explode, so the presence relation carries no duplicate
     * (doc, term) rows into the self-join. The self-join is co-partitioned
     * on doc_id (one exchange, reused for both sides); document frequencies
-    * are broadcast back. At 100 TB you bound the pair blowup by first
-    * semi-filtering presence to a controlled vocabulary (broadcast top-V
-    * terms) — the shape below is unchanged. */
-  def cooccurrencePmi(docs: DataFrame, minPairCount: Long): DataFrame = {
+    * are broadcast back.
+    *
+    * `topV` is the 100 TB guard: without it a document with d distinct
+    * terms emits C(d,2) pair rows — a 10⁴-term web page is ~5·10⁷ rows
+    * from ONE document before `minPairCount` can drop anything. With
+    * `topV = Some(v)` presence is semi-joined against the broadcast top-v
+    * terms by document frequency (ties broken by term, deterministic)
+    * BEFORE the self-join, so per-doc blowup is bounded by C(v, 2) and the
+    * self-join input by v·N. Per-term df values are unchanged by the
+    * filter (removing OTHER terms' rows cannot change df of a surviving
+    * term), so PMI for surviving pairs is identical to the uncapped run. */
+  def cooccurrencePmi(docs: DataFrame, minPairCount: Long,
+      topV: Option[Int] = None): DataFrame = {
     // presence feeds THREE consumers (both self-join sides + the df
     // aggregate); materialize it once like the retrieval tf tables —
     // otherwise the df branch re-scans and re-tokenizes the corpus
-    val presence = docs.select(col("doc_id"),
+    val presenceAll = docs.select(col("doc_id"),
       explode(array_distinct(Text.tokens(col("text")))).as("term"))
       .localCheckpoint(false)
+    val presence = topV match {
+      case None => presenceAll
+      case Some(v) =>
+        // vocabulary-sized aggregate → TakeOrderedAndProject → broadcast
+        // semi-join: the cap costs one pass over the (already
+        // checkpointed) presence rows and never shuffles the corpus side
+        val vocab = presenceAll.groupBy(col("term"))
+          .agg(count(lit(1)).as("vdf"))
+          .orderBy(col("vdf").desc, col("term")).limit(v)
+          .select(col("term"))
+        presenceAll.join(broadcast(vocab), "term")
+          .select(col("doc_id"), col("term"))
+          .localCheckpoint(false)
+    }
     val pairs = presence.as("a")
       .join(presence.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))

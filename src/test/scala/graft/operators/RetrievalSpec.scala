@@ -80,6 +80,30 @@ class RetrievalSpec extends SparkSpec {
     assert(rep.length == 1 && rep.head.getLong(2) == 1L)
   }
 
+  test("cooccurrencePmi topV: capped pairs ⊆ uncapped with identical PMI; per-doc blowup bounded") {
+    // 6 docs; 'rare1'/'rare2' co-occur but each has df=1 — below any top-2
+    // vocabulary by df — while alpha (df=5) and beta (df=4) dominate
+    val corpus = Seq(
+      (1L, "alpha beta rare1 rare2"), (2L, "alpha beta x1"),
+      (3L, "alpha beta x2"), (4L, "alpha beta x3"),
+      (5L, "alpha y1 y2"), (6L, "gamma delta w")).toDF("doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+    val full = Retrieval.cooccurrencePmi(corpus, 1).collect().map(key).toMap
+    val capped = Retrieval.cooccurrencePmi(corpus, 1, Some(2)).collect().map(key).toMap
+    // capped ⊆ uncapped, and surviving pairs carry IDENTICAL (n_ab, pmi) —
+    // the vocab filter cannot change a surviving term's df
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.foreach { case (k, v) => assert(full(k) == v) }
+    // the top-2 vocabulary by df is {alpha, beta}: exactly one pair survives
+    assert(capped.keySet == Set(("alpha", "beta")))
+    // the low-df pair present in the full run is gone from the capped one
+    assert(full.contains(("rare1", "rare2")) && !capped.contains(("rare1", "rare2")))
+    // per-doc pair blowup bound: with v = 2 no document can contribute more
+    // than C(2,2) = 1 pair, so total n_ab mass ≤ n_docs
+    assert(capped.values.map(_._1).sum <= 6L)
+  }
+
   test("index artifact: serve == direct, delta ingest == full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
     val queries = Seq(0 -> "cat bird", 1 -> "dog fish")
