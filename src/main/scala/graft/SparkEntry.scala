@@ -142,10 +142,14 @@ object SparkEntry {
         .na.fill(0.0)),
     "q_distinct_by" -> ((s, d) =>
       Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
-    "q_approx_distinct" -> ((s, d) => // sketch path: no oracle (impl-defined)
-      Aggregates.approxDistinctBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
-    "q_approx_quantiles" -> ((s, d) => // sketch path: no oracle (impl-defined)
-      Aggregates.approxQuantilesBy(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity")),
+    // sketch paths, oracled as bound checks: the sketch value is
+    // impl-defined, but the HLL error bound / GK rank guarantee are
+    // engine-checkable booleans the DuckDB side asserts TRUE from the
+    // exact computation alone
+    "q_approx_distinct" -> ((s, d) =>
+      Aggregates.approxDistinctCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
+    "q_approx_quantiles" -> ((s, d) =>
+      Aggregates.approxQuantilesCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity")),
     "q_rollup" -> ((s, d) =>
       Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
@@ -764,6 +768,18 @@ object SparkEntry {
         |  round(stddev_samp(l_discount), 4), min(l_discount), max(l_discount) FROM lineitem""".stripMargin,
     "q_distinct_by" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey FROM lineitem GROUP BY l_returnflag",
+    // the oracle computes the EXACT side and asserts the sketch's error
+    // bound holds; Spark's sketch feeds only the boolean (see
+    // Aggregates.approxDistinctCheck / approxQuantilesCheck)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 100 AS user_bucket,
         |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0) AS click,

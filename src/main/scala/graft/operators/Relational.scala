@@ -143,6 +143,54 @@ object Aggregates {
       .select(col(key), element_at(col("q"), 1).as("p25"),
         element_at(col("q"), 2).as("p50"), element_at(col("q"), 3).as("p75"))
 
+  /** Oracle-comparable twin of [[approxDistinctBy]]: one pass computes BOTH
+    * the exact per-group distinct count and the HLL++ estimate, emitting the
+    * exact count plus a boolean asserting the sketch landed within `bound`
+    * of it. The sketch value itself is implementation-defined and never
+    * leaves the query; the boolean is deterministic (HLL++ registers are
+    * max-merged, so the estimate is insertion-order- and
+    * partitioning-independent) and an external oracle can assert it TRUE
+    * from the exact side alone. rsd=0.05 ⇒ observed error well under the
+    * 5% bound on uniform keys; `bound` widens it if a dataset sits at the
+    * tail of the sketch's error distribution. */
+  def approxDistinctCheck(df: DataFrame, key: String, value: String,
+      rsd: Double = 0.05, bound: Double = 0.05): DataFrame =
+    df.groupBy(key).agg(
+        countDistinct(col(value)).as("exact_distinct"),
+        approx_count_distinct(col(value), rsd).as("appx"))
+      .select(col(key), col("exact_distinct"),
+        (abs(col("appx") - col("exact_distinct")) <=
+          col("exact_distinct") * bound).as("within_rsd"))
+
+  /** Oracle-comparable twin of [[approxQuantilesBy]]: re-joins the sketch
+    * quantiles to the rows and checks the GK rank guarantee — the returned
+    * value's rank interval [lt+1, le] must intersect the target rank window
+    * p·n ± n/accuracy (±1 row of floor/ceil slack). The booleans hold for
+    * ANY valid GK output, so they are stable even though the sketch value
+    * itself may vary with partial-merge order. The 3-row quantile relation
+    * is broadcast; both passes are map-side until the per-group fold. */
+  def approxQuantilesCheck(df: DataFrame, key: String, value: String,
+      accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val q = approxQuantilesBy(df, key, value, accuracy)
+    def rankOk(p: Double, leC: Column, ltC: Column) =
+      (leC >= (lit(p) - lit(eps)) * col("n") - 1) &&
+        (ltC + 1 <= (lit(p) + lit(eps)) * col("n") + 1)
+    df.join(broadcast(q), Seq(key))
+      .groupBy(key).agg(
+        count(lit(1)).as("n"),
+        sum(when(col(value) <= col("p25"), 1L).otherwise(0L)).as("le25"),
+        sum(when(col(value) < col("p25"), 1L).otherwise(0L)).as("lt25"),
+        sum(when(col(value) <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col(value) < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col(value) <= col("p75"), 1L).otherwise(0L)).as("le75"),
+        sum(when(col(value) < col("p75"), 1L).otherwise(0L)).as("lt75"))
+      .select(col(key), col("n"),
+        rankOk(0.25, col("le25"), col("lt25")).as("p25_ok"),
+        rankOk(0.50, col("le50"), col("lt50")).as("p50_ok"),
+        rankOk(0.75, col("le75"), col("lt75")).as("p75_ok"))
+  }
+
   def rollupAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.rollup(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
 

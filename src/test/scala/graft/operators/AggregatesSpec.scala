@@ -74,6 +74,24 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("bound-check twins: exact side matches, all guarantee booleans hold") {
+    val li = graft.lake.Tables(spark, sfDir, "lineitem")
+    val dc = Aggregates.approxDistinctCheck(li, "l_returnflag", "l_partkey").collect()
+    val exact = Aggregates.distinctCountBy(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dc.length == exact.size)
+    dc.foreach { r =>
+      assert(r.getAs[Long]("exact_distinct") == exact(r.getString(0)))
+      assert(r.getAs[Boolean]("within_rsd"), r.toString)
+    }
+    val qc = Aggregates.approxQuantilesCheck(li, "l_returnflag", "l_quantity").collect()
+    assert(qc.nonEmpty)
+    qc.foreach { r =>
+      assert(r.getAs[Boolean]("p25_ok") && r.getAs[Boolean]("p50_ok")
+        && r.getAs[Boolean]("p75_ok"), r.toString)
+    }
+  }
+
   test("approx_percentile quartiles land within rank-error of the exact quartiles") {
     // GK sketch at accuracy a bounds RANK error by n/a; translate to a
     // value tolerance by checking the approx quartile's true rank.
