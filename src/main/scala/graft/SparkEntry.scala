@@ -705,6 +705,15 @@ object SparkEntry {
       Tables(s, d, "documents")
         .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
         .withColumn("split", Sampling.splitExpr(col("bucket")))),
+    // the ML tier's oracle row (M1-M3): closed-form two-feature OLS on the
+    // deterministic md5 train band (whole orders land together — a grouped
+    // split, like splitting by document). The iterative LinearRegression
+    // path is spec'd against this same solution in RegressionSpec.
+    "q_lr_coeffs" -> ((s, d) =>
+      graft.ml.Regression.closedFormCoeffs(
+        Tables(s, d, "lineitem")
+          .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
+        "l_quantity", "l_discount", "l_extendedprice")),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1518,6 +1527,28 @@ object SparkEntry {
          |       WHEN bucket < 95 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin,
+    "q_lr_coeffs" ->
+      s"""WITH train AS (
+         |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         |         CAST(l_discount AS DOUBLE) AS x2,
+         |         CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem
+         |  WHERE CAST((${md5BucketSqlOf("l_orderkey")}) % 100 AS INTEGER) < 90
+         |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |m AS (
+         |  SELECT covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+         |         covar_pop(x1, x2) AS c12,
+         |         var_pop(x1) AS v1, var_pop(x2) AS v2,
+         |         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM train)
+         |SELECT n,
+         |  round((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b1,
+         |  round((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b2,
+         |  round(my - (c1y*v2 - c2y*c12) / (v1*v2 - c12*c12) * m1
+         |           - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * m2, 4) + 0 AS b0
+         |FROM m""".stripMargin,
 
     "q_mm_hist" -> mmHistSql,
     // frame sample: byte at 0-based position 16*i is the hex-digit pair at

@@ -30,6 +30,38 @@ object Regression {
   final case class FitResult(model: LinearRegressionModel, predictions: DataFrame,
       mae: Double, mse: Double)
 
+  /** Closed-form OLS for TWO features + intercept via the 2×2 normal
+    * equations — the oracle-comparable twin of [[fitEvaluate]]'s iterative
+    * `LinearRegression` (M3). On centered data the system reduces to plain
+    * covariance arithmetic (the sample-size factors cancel in the ratios):
+    *
+    *   b1 = (c1y·v2 − c2y·c12) / (v1·v2 − c12²)
+    *   b2 = (c2y·v1 − c1y·c12) / (v1·v2 − c12²)
+    *   b0 = ȳ − b1·x̄1 − b2·x̄2
+    *
+    * One aggregation row over codegen'd `covar_pop`/`var_pop`/`avg` — a
+    * single map-side-combined pass at any scale, no feature matrix
+    * materialized. Coefficients rounded to 4 for cross-engine parity. */
+  def closedFormCoeffs(df: DataFrame, x1: String, x2: String,
+      labelCol: String): DataFrame = {
+    val d = df.na.drop(Seq(x1, x2, labelCol)).select(
+      col(x1).cast("double").as("x1"), col(x2).cast("double").as("x2"),
+      col(labelCol).cast("double").as("y"))
+    val det = col("v1") * col("v2") - col("c12") * col("c12")
+    val b1 = (col("c1y") * col("v2") - col("c2y") * col("c12")) / det
+    val b2 = (col("c2y") * col("v1") - col("c1y") * col("c12")) / det
+    d.agg(
+        covar_pop(col("x1"), col("y")).as("c1y"),
+        covar_pop(col("x2"), col("y")).as("c2y"),
+        covar_pop(col("x1"), col("x2")).as("c12"),
+        var_pop(col("x1")).as("v1"), var_pop(col("x2")).as("v2"),
+        avg(col("x1")).as("m1"), avg(col("x2")).as("m2"),
+        avg(col("y")).as("my"), count(lit(1)).as("n"))
+      .select(col("n"),
+        round(b1, 4).as("b1"), round(b2, 4).as("b2"),
+        round(col("my") - b1 * col("m1") - b2 * col("m2"), 4).as("b0"))
+  }
+
   /** M2-M4: seeded split, fit, predict, evaluate. */
   def fitEvaluate(df: DataFrame, featureCols: Seq[String], labelCol: String,
       seed: Long = 42L): FitResult = {

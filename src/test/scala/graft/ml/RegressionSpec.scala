@@ -33,6 +33,20 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(model.intercept - 16904.7952) < 0.01)
   }
 
+  test("closed-form normal-equation coefficients match the iterative fit") {
+    val cf = Regression.closedFormCoeffs(test1, "age", "Experience", "Salary").head()
+    // same independently-verified lstsq golden as the M3 fit above
+    assert(math.abs(cf.getAs[Double]("b1") - -115.8558) < 1e-3, cf.toString)
+    assert(math.abs(cf.getAs[Double]("b2") - 1602.7301) < 1e-3, cf.toString)
+    assert(math.abs(cf.getAs[Double]("b0") - 16904.7952) < 1e-3, cf.toString)
+    assert(cf.getAs[Long]("n") == test1.na.drop(Seq("age", "Experience", "Salary")).count())
+    // single aggregation row, no shuffle beyond the final fold: the plan
+    // holds one partial+final HashAggregate pair and no join
+    val plan = Regression.closedFormCoeffs(test1, "age", "Experience", "Salary")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("M2-M4 seeded fitEvaluate is deterministic and yields finite metrics") {
     val r1 = Regression.fitEvaluate(test1, Seq("age", "Experience"), "Salary", seed = 42L)
     val r2 = Regression.fitEvaluate(test1, Seq("age", "Experience"), "Salary", seed = 42L)
