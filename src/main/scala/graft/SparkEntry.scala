@@ -592,6 +592,10 @@ object SparkEntry {
     // asymmetric containment over the same wide-band candidates: the
     // sub/superset-duplication signal (short doc quoted inside a long one)
     "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d, 0.6, bands = 8)),
+    // containment-LSH: candidates banded over the SHORTER side's bottom-k
+    // shingle sketch — catches the extreme size-ratio subsets (j → 0) the
+    // Jaccard-tuned banding above provably misses
+    "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentLshPairs(s, d, 0.6)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
     // benchmark decontamination: docs 0..49 stand in for the (always-small)
     // benchmark set, everything else is the training corpus; sharing a
@@ -1449,6 +1453,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_containment" -> containmentSql(8, 0.6),
+    "q_dedup_containment_lsh" ->
+      containmentLshSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf),
     "q_dedup_embed" -> embedDedupSql,
 
     "q_embed_centroids" ->
@@ -1925,6 +1931,45 @@ object SparkEntry {
        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
        |FROM verified
        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
+
+  /** Mirrors Dedup.containmentLshPairs: bottom-k (by first-7-md5-nibbles,
+    * shingle) probe sketch per document, df-capped inverted shingle index,
+    * equi-join candidates, exact-intersection verify. */
+  private def containmentLshSql(threshold: Double, bottomK: Int, maxDf: Int): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
+       |  WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |pr AS (
+       |  SELECT doc_id AS probe_id, shingle FROM (
+       |    SELECT doc_id, shingle,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY ${md5BucketSqlOf("shingle")}, shingle) AS rk
+       |    FROM ex)
+       |  WHERE rk <= $bottomK),
+       |idx AS (
+       |  SELECT doc_id AS index_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS cnt
+       |    FROM ex)
+       |  WHERE cnt <= $maxDf),
+       |cand AS (
+       |  SELECT DISTINCT least(probe_id, index_id) AS doc_a,
+       |    greatest(probe_id, index_id) AS doc_b
+       |  FROM pr JOIN idx USING (shingle)
+       |  WHERE probe_id != index_id),
+       |verified AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS inter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand
+       |  JOIN docs da ON cand.doc_a = da.doc_id
+       |  JOIN docs db ON cand.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+       |FROM verified
+       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
 
   private def containmentSql(bands: Int, threshold: Double): String =
     s"""WITH ${verifiedPairCtes(bands)}

@@ -423,16 +423,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** The distinct-3-gram shingle-set relation every verify path joins. */
+  private def shingleSetsOf(allDocs: DataFrame): DataFrame =
+    allDocs
+      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   /** LSH candidate pairs annotated with BOTH sides' distinct 3-gram
-    * shingle sets — the shared verify input for Jaccard and containment.
+    * shingle sets — the shared verify input for Jaccard and containment. */
+  private def candidateShingleSets(allDocs: DataFrame, bands: Int): DataFrame =
+    attachShingleSets(minhashCandidatePairsOf(allDocs, MaxBucket, bands),
+      shingleSetsOf(allDocs))
+
+  /** Annotate (doc_a, doc_b) candidates with both sides' shingle sets.
     * Long format: each pair contributes (pair, side, doc_id) rows so the
     * shingle table is joined (and its pipeline evaluated) ONCE, not once
     * per side; the pair's two shingle sets reassemble in one aggregation. */
-  private def candidateShingleSets(allDocs: DataFrame, bands: Int): DataFrame = {
-    val cand = minhashCandidatePairsOf(allDocs, MaxBucket, bands)
-    val docs = allDocs
-      .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
+  private def attachShingleSets(cand: DataFrame, docs: DataFrame): DataFrame = {
     val sides = cand.select(
         col("doc_a"), col("doc_b"),
         explode(array(
@@ -465,12 +472,73 @@ object Dedup {
 
   def containmentPairsOf(allDocs: DataFrame, threshold: Double,
       bands: Int = Bands): DataFrame =
-    candidateShingleSets(allDocs, bands)
+    containmentVerify(candidateShingleSets(allDocs, bands), threshold)
+
+  private def containmentVerify(withSets: DataFrame, threshold: Double): DataFrame =
+    withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("cont_a", round(col("inter").cast("double") / size(col("sh_a")), 4))
       .withColumn("cont_b", round(col("inter").cast("double") / size(col("sh_b")), 4))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+
+  /** Bottom-k sketch size and index document-frequency cap for
+    * [[containmentLshPairs]]. */
+  val ContainBottomK = 8
+  val ContainMaxDf   = 64
+
+  /** Containment-LSH: candidates banded over the SHORTER side's sketch,
+    * closing [[containmentPairs]]'s documented recall gap for extreme
+    * size-ratio subsets (Jaccard → 0, so Jaccard-tuned MinHash banding
+    * almost never surfaces them).
+    *
+    * Candidate scheme (bottom-k sketch / prefix-filter family): every
+    * document probes with the `bottomK` shingles that hash LOWEST (a
+    * deterministic random sample of ITS OWN set — the A-only sketch);
+    * the index side is the full inverted (shingle → doc) relation with a
+    * document-frequency cap. If cont(A→B) = 1 every probe of A hits B, and
+    * candidates degrade gracefully as containment falls (each probe hits
+    * with probability ≈ cont(A→B)) — INDEPENDENT of |B|/|A|, which is the
+    * whole point. Verification is the same exact-intersection join as the
+    * Jaccard tier.
+    *
+    * Scale shape: probes are k rows per doc (map-side `slice(array_sort)`,
+    * no shuffle); the index is one explode with a window census; the
+    * candidate join is an equi-join on shingle whose fan-out is bounded by
+    * `maxDf` per probe row — ≤ k·maxDf candidate rows per document, linear
+    * in corpus size. Recall caveat: shingles in more than `maxDf` documents
+    * are dropped from the INDEX side (boilerplate carries no containment
+    * signal); a probe set drawn entirely from such hot shingles would go
+    * uncandidated — bottom-k hashing makes that vanishingly unlikely for
+    * docs with more than a few distinct shingles. */
+  def containmentLshPairs(spark: SparkSession, dir: String, threshold: Double,
+      bottomK: Int = ContainBottomK, maxDf: Int = ContainMaxDf): DataFrame =
+    containmentLshPairsOf(Tables(spark, dir, "documents"), threshold, bottomK, maxDf)
+
+  def containmentLshPairsOf(allDocs: DataFrame, threshold: Double,
+      bottomK: Int = ContainBottomK, maxDf: Int = ContainMaxDf): DataFrame = {
+    // three consumers (probes, index, verify) — materialize once, like the
+    // retrieval tf tables
+    val docs = shingleSetsOf(allDocs).localCheckpoint(false)
+    // bottom-k by (md5-prefix, shingle): pure array arithmetic in-stage
+    val keyed = transform(col("sh"), s =>
+      struct(call_function("graft_md5_prefix", s, lit(7)).as("h"), s.as("s")))
+    val probes = docs
+      .select(col("doc_id").as("probe_id"),
+        explode(slice(array_sort(keyed), 1, bottomK)).as("ps"))
+      .select(col("probe_id"), col("ps.s").as("shingle"))
+    val census = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val index = docs
+      .select(col("doc_id").as("index_id"), explode(col("sh")).as("shingle"))
+      .withColumn("cnt", count(lit(1)).over(census))
+      .filter(col("cnt") <= maxDf)
+    val cand = probes.join(index, "shingle")
+      .filter(col("probe_id") =!= col("index_id"))
+      .select(least(col("probe_id"), col("index_id")).as("doc_a"),
+        greatest(col("probe_id"), col("index_id")).as("doc_b"))
+      .distinct()
+    containmentVerify(attachShingleSets(cand, docs), threshold)
+  }
 
   /** Cells each vector is assigned to in the embedding near-dup join. A
     * single-cell assignment misses near-dups that straddle a cell boundary

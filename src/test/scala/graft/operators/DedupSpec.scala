@@ -197,6 +197,33 @@ class DedupSpec extends SparkSpec {
       "jaccard at 0.8 should miss the subset pair containment catches")
   }
 
+  test("containment-LSH catches an extreme size-ratio subset the jaccard banding misses") {
+    import spark.implicits._
+    // a 50-token doc embedded VERBATIM in a 5000-token doc: containment
+    // 1.0 but jaccard ≈ 48/4998 ≈ 0.01 — the Jaccard-tuned MinHash
+    // banding (Pr ≈ 1-(1-j²)^8 ≈ 4e-4 even at 8×2) never surfaces it;
+    // the bottom-k probe sketch guarantees it (every probe of the small
+    // side hits the host)
+    val subTokens = (0 until 50).map(i => s"sub$i")
+    val sub  = subTokens.mkString(" ")
+    val host = ((0 until 2500).map(i => s"pre$i") ++ subTokens ++
+      (0 until 2450).map(i => s"post$i")).mkString(" ")
+    val docs = (Seq((1L, sub), (2L, host)) ++
+      (10 until 30).map(i => (i.toLong, s"filler$i words nothing shared here at all index $i"))
+    ).toDF("doc_id", "text")
+    val viaJaccardBanding = Dedup.containmentPairsOf(docs, 0.95, bands = 8).collect()
+    assert(!viaJaccardBanding.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard-banded candidates should (by the S-curve) miss the j≈0.01 subset pair")
+    val viaContainLsh = Dedup.containmentLshPairsOf(docs, 0.95).collect()
+    val hit = viaContainLsh.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(hit.isDefined, s"containment-LSH missed the planted subset: ${viaContainLsh.mkString(",")}")
+    assert(hit.get.getDouble(2) == 1.0)            // cont(A→B): all of A inside B
+    assert(hit.get.getDouble(3) < 0.05)            // mirror direction: tiny
+    // every emitted pair clears the threshold in at least one direction
+    viaContainLsh.foreach(r =>
+      assert(math.max(r.getDouble(2), r.getDouble(3)) >= 0.95, r.toString))
+  }
+
   test("incremental minhash candidates: delta + corpus-only pairs decompose the full pair set") {
     // pairs(all) = pairs(existing) ∪ [cross + within-incoming] — exact as
     // long as no bucket crosses the star-pair cap (none at this SF)
