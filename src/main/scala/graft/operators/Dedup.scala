@@ -369,17 +369,29 @@ object Dedup {
     simhashNearDupPairsOf(Tables(spark, dir, "documents"), maxDist)
 
   def simhashNearDupPairsOf(docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    require(maxDist < SimhashChunks,
-      s"banding is complete only for maxDist <= ${SimhashChunks - 1}; got $maxDist")
-    val sigs = simhashOf(docs)
-    // All 4 chunk values from ONE projection (posexplode) over ONE lineage
+      maxBucket: Int = MaxBucket): DataFrame =
+    simhashPairsFromChunks(simhashChunksOf(docs), maxDist, maxBucket)
+
+  /** The (doc_id, simhash, chunk, chunk_val) table the banded pair search
+    * shuffles on — all 4 chunk values from ONE projection (posexplode)
+    * over ONE signature lineage. This is also the PERSISTED artifact shape
+    * of the streaming twin ([[graft.streaming.StreamingSimhash]]): history
+    * keeps its chunk rows, so ingest never re-tokenizes old documents. */
+  def simhashChunksOf(docs: DataFrame): DataFrame = {
     val chunkVals = (0 until SimhashChunks).map { c =>
       shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
     }
-    val chunks = sigs
+    simhashOf(docs)
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
+  }
+
+  /** [[simhashNearDupPairsOf]] over an explicit chunk table — the form
+    * that consumes the persisted artifact without re-hashing. */
+  def simhashPairsFromChunks(chunks: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    require(maxDist < SimhashChunks,
+      s"banding is complete only for maxDist <= ${SimhashChunks - 1}; got $maxDist")
     // same census-then-branch shape as candidatePairsFromBands: bounded
     // arrays for small buckets, array-free star projection for oversized
     // ones (min struct == min doc_id's row — doc_id leads the struct)
@@ -397,6 +409,34 @@ object Dedup {
         bit_count(col("rep.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
     small.unionByName(big)
       .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Incremental SimHash near-dup pairs over explicit chunk tables — the
+    * delta shape mirroring [[incrementalCandidatesFromBands]]: the incoming
+    * batch's chunks probe the persisted corpus chunk artifact (history is
+    * never re-hashed), plus the capped within-batch expansion. The existing
+    * side applies the SAME hot-bucket cap before the join (an oversized
+    * existing bucket keeps only its min-(doc_id, simhash) representative
+    * row), so a mass-duplicated fingerprint present on both sides expands
+    * linearly in the delta, never |inc|·|ex|. Every emitted pair has >= 1
+    * member in the delta; existing↔existing pairs were found when those
+    * documents arrived. */
+  def incrementalSimhashFromChunks(exChunks: DataFrame, incChunks: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
+    require(maxDist < SimhashChunks,
+      s"banding is complete only for maxDist <= ${SimhashChunks - 1}; got $maxDist")
+    val exReduced = withBucketCensus(exChunks, Seq("chunk", "chunk_val"),
+        struct(col("doc_id"), col("simhash")))
+      .filter(col("cnt") <= maxBucket || col("doc_id") === col("rep.doc_id"))
+      .select(col("chunk"), col("chunk_val"),
+        col("doc_id").as("e_id"), col("simhash").as("e_simhash"))
+    val cross = incChunks.join(exReduced, Seq("chunk", "chunk_val"))
+      .select(least(col("doc_id"), col("e_id")).as("doc_a"),
+        greatest(col("doc_id"), col("e_id")).as("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("e_simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    cross.unionByName(simhashPairsFromChunks(incChunks, maxDist, maxBucket))
       .distinct()
   }
 
