@@ -409,24 +409,10 @@ object SparkEntry {
           round(avg(col("sw")), 4).as("avg_stopword_ratio"),
           round(avg(when(col("cnt") === 1, 1.0).otherwise(0.0)), 4).as("uniq_rate"))
     }),
-    // join-key skew census: per-key share and skew factor (count / mean
-    // count), top 20 — the decision input for Joins.salted. The window is
-    // global but runs over the per-key AGGREGATE (keys ≪ rows), and the
-    // rank cut stays a partial WindowGroupLimit
-    "q_skew_report" -> ((s, d) => {
-      val counts = Tables(s, d, "events")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
-      counts.crossJoin(broadcast(stats))
-        .withColumn("share", round(col("n") / col("n_rows").cast("double"), 6))
-        .withColumn("skew_x",
-          round(col("n") * col("n_keys") / col("n_rows").cast("double"), 4))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("user_id"))))
-        .filter(col("rank") <= 20)
-        .select(col("user_id"), col("n"), col("share"), col("skew_x"), col("rank"))
-    }),
+    // join-key skew census — the decision input Joins.saltFor turns into
+    // a salt factor for Joins.saltedJoin
+    "q_skew_report" -> ((s, d) =>
+      Joins.skewCensus(Tables(s, d, "events"), "user_id", 20)),
 
     // fixed-width histogram (binned aggregation): doc length per language
     "q_histogram" -> ((s, d) =>

@@ -82,6 +82,42 @@ object Joins {
       .drop("__salt")
   }
 
+  /** Join-key skew census: per-key share and skew factor (count / mean
+    * count), top `topK` — the decision input for [[saltFor]]. The window
+    * is global but runs over the per-key AGGREGATE (keys ≪ rows), and
+    * the rank cut stays a partial WindowGroupLimit. */
+  def skewCensus(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share", round(col("n") / col("n_rows").cast("double"), 6))
+      .withColumn("skew_x",
+        round(col("n") * col("n_keys") / col("n_rows").cast("double"), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col(key))))
+      .filter(col("rank") <= topK)
+      .select(col(key), col("n"), col("share"), col("skew_x"), col("rank"))
+  }
+
+  /** Choose a salt factor from a skew census (the `q_skew_report` shape:
+    * a `skew_x` column holding each key's count / mean key count). Rule:
+    * no salting (1) while the worst skew factor stays under `threshold` —
+    * AQE's skew-join splitting owns the moderate range — else the ceiling
+    * of the worst factor, capped at `maxSalts` (build-side replication
+    * is `salts`×, so the cap bounds that cost). The census is a tiny
+    * per-key aggregate (top-k keys), so reading its one-row max is
+    * planning-time configuration like an AQE statistic, not a data-path
+    * collect. */
+  def saltFor(skewReport: DataFrame, threshold: Double = 2.0,
+      maxSalts: Int = 32): Int =
+    Option(skewReport.agg(max(col("skew_x"))).head().get(0))
+      .map(_.asInstanceOf[Double]) match {
+      case Some(worst) if worst > threshold =>
+        math.min(maxSalts, math.ceil(worst).toInt)
+      case _ => 1
+    }
+
   /** As-of join — the time-series join Spark lacks as a built-in: for
     * every `left` row, the single most recent `right` row with the same
     * key and right time <= left time (ties at equal time INCLUDED, right

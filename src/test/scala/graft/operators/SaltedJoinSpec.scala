@@ -26,6 +26,32 @@ class SaltedJoinSpec extends SparkSpec {
     assert(p.contains("__salt"), s"salt not in join:\n$p")
   }
 
+  test("saltFor wires the skew census to the salt factor; result == plain join") {
+    import spark.implicits._
+    // hot-key fixture: key 1 carries 900 of 1000 rows over 101 keys —
+    // skew_x(key 1) = 900 * 101 / 1000 ≈ 90.9 → ceil capped at 32
+    val hot = ((0 until 900).map(i => (1L, i)) ++
+      (0 until 100).map(i => (i + 2L, i))).toDF("k", "payload")
+    val censusHot = Joins.skewCensus(hot, "k")
+    val salts = Joins.saltFor(censusHot)
+    assert(salts > 1, s"hot-key census must select salting, got $salts")
+    assert(salts == 32, s"ceil(90.9) caps at maxSalts=32, got $salts")
+
+    // the auto-selected factor yields results identical to the plain join
+    val dim = (1L to 101L).map(k => (k, s"dim$k")).toDF("dk", "label")
+    val salted = Joins.saltedJoin(hot, dim, "k", "dk", salts,
+      saltSource = hash(col("payload")))
+    val plain = hot.join(dim, col("k") === col("dk"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+
+    // uniform keys: census stays under the threshold, no salting
+    val uniform = (0 until 1000).map(i => (i.toLong % 100, i)).toDF("k", "payload")
+    assert(Joins.saltFor(Joins.skewCensus(uniform, "k")) == 1)
+    // empty census (no rows at all) also declines to salt
+    assert(Joins.saltFor(Joins.skewCensus(uniform.filter(col("k") < 0), "k")) == 1)
+  }
+
   test("salting spreads a hot key across buckets") {
     import spark.implicits._
     // pathological skew: one key carries 10k rows
