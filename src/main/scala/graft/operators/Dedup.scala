@@ -271,6 +271,15 @@ object Dedup {
     ccLabelCache.computeIfAbsent((spark, dir, iterations),
       _ => minhashConnectedComponents(spark, dir, iterations))
 
+  /** Drop all memoized CC labels. The memo assumes input dirs are
+    * immutable for the life of the session (true for the one-shot driver
+    * and for production runs over immutable snapshots); a long-lived
+    * session that rewrites a dir — or a test planting two corpora at one
+    * path — calls this between writes. Size is bounded by the number of
+    * distinct (session, dir, iterations) triples seen, each holding a
+    * 2-column localCheckpoint. */
+  def clearCcCache(): Unit = ccLabelCache.clear()
+
   def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame = {
     // The band table is persisted for the 2·iterations re-reads, and the
     // FINAL labels (2 narrow columns) are materialized eagerly so the

@@ -261,6 +261,23 @@ class DedupSpec extends SparkSpec {
     assert(added.size <= 1, s"band cache not released: ${added.size} persisted RDDs added")
   }
 
+  test("clearCcCache: memoized labels are served until cleared, fresh after") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-memo").toString
+    def writeCorpus(ids: Seq[Long]): Unit = ids
+      .map(i => (i, s"dup dup dup shared text $i exact same body"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeCorpus(Seq(1L, 2L))
+    val first = Dedup.minhashCcLabels(spark, dir, 2).count()
+    // rewriting the dir IN-SESSION violates the memo's immutability
+    // assumption: the cached labels (not the new corpus) are served
+    writeCorpus(Seq(1L, 2L, 3L, 4L))
+    assert(Dedup.minhashCcLabels(spark, dir, 2).count() == first)
+    Dedup.clearCcCache()
+    assert(Dedup.minhashCcLabels(spark, dir, 2).count() == 4)
+  }
+
   test("connected components: converged labels == driver union-find over the candidate graph") {
     val docs = Tables(spark, sfDir, "documents")
     // ground truth: union-find over the (uncapped connectivity-preserving)
