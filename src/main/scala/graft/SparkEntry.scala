@@ -1440,7 +1440,8 @@ object SparkEntry {
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_containment" -> containmentSql(8, 0.6),
     "q_dedup_containment_lsh" ->
-      containmentLshSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf),
+      containmentLshSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
+        Dedup.ContainMinHits),
     "q_dedup_embed" -> embedDedupSql,
 
     "q_embed_centroids" ->
@@ -1921,7 +1922,8 @@ object SparkEntry {
   /** Mirrors Dedup.containmentLshPairs: bottom-k (by first-7-md5-nibbles,
     * shingle) probe sketch per document, df-capped inverted shingle index,
     * equi-join candidates, exact-intersection verify. */
-  private def containmentLshSql(threshold: Double, bottomK: Int, maxDf: Int): String =
+  private def containmentLshSql(threshold: Double, bottomK: Int, maxDf: Int,
+      minHits: Int): String =
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
        |  WHERE len(sh) > 0),
@@ -1939,10 +1941,12 @@ object SparkEntry {
        |    FROM ex)
        |  WHERE cnt <= $maxDf),
        |cand AS (
-       |  SELECT DISTINCT least(probe_id, index_id) AS doc_a,
+       |  SELECT least(probe_id, index_id) AS doc_a,
        |    greatest(probe_id, index_id) AS doc_b
        |  FROM pr JOIN idx USING (shingle)
-       |  WHERE probe_id != index_id),
+       |  WHERE probe_id != index_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minHits),
        |verified AS (
        |  SELECT cand.doc_a, cand.doc_b,
        |    len(list_intersect(da.sh, db.sh)) AS inter,
