@@ -87,6 +87,25 @@ object Readers {
     * the same reasons as the batch reader. */
   def jsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Raw media ingest for the multimodal tier: Spark's `binaryFile`
+    * source reads a directory of image/audio/video files as
+    * (path, modificationTime, length, content BINARY) rows — the step
+    * that turns a drop-zone of media files into the opaque-binary
+    * column shape [[graft.operators.Multimodal]] processes. `glob`
+    * prunes by extension at LISTING time (`pathGlobFilter` — non-matching
+    * files are never opened), and the `length <= maxBytes` filter is
+    * PUSHED DOWN by the binaryFile source (file metadata, checked before
+    * any content is read): `spark.sql.files.maxPartitionBytes` cannot
+    * split a binary row, so one multi-GB file would be one task and one
+    * executor-memory-sized row — oversized media belongs in a chunked
+    * side-channel, not this reader. */
+  def binaryFiles(spark: SparkSession, path: String, glob: String,
+      maxBytes: Long = 256L << 20): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxBytes)
 }
 
 /** Writers mirroring the reference's blob sinks (SURVEY.md §2.2). The

@@ -90,4 +90,29 @@ class ReadersSpec extends SparkSpec {
     assert(pruned.contains("ReadSchema: struct<doc_id:bigint>"),
       s"JSON scan did not prune to doc_id:\n$pruned")
   }
+
+  test("binaryFiles: glob prunes at listing, size cap pushes down, bytes survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), bytes)
+    put("a.jpg", Array[Byte](-1, -40, 1, 2, 3))      // JPEG-ish magic FF D8
+    put("b.jpg", Array[Byte](-1, -40, 9, 8))
+    put("notes.txt", "not media".getBytes)           // glob-excluded
+    put("huge.jpg", Array.fill[Byte](4096)(7))       // over the size cap
+
+    val media = Readers.binaryFiles(spark, dir, "*.jpg", maxBytes = 1024)
+    val rows = media.collect().map(r =>
+      (new java.io.File(r.getAs[String]("path").stripPrefix("file:")).getName,
+        r.getAs[Array[Byte]]("content"))).toMap
+    assert(rows.keySet == Set("a.jpg", "b.jpg"), rows.keySet.toString)
+    assert(rows("a.jpg").toSeq == Seq[Byte](-1, -40, 1, 2, 3))
+    assert(media.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+
+    // the size cap reaches the source as a pushed filter — oversized
+    // files are excluded from file metadata, never opened
+    val plan = media.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("length"),
+      s"length filter not pushed into the binaryFile scan:\n$plan")
+  }
 }
