@@ -472,7 +472,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-  /** The distinct-3-gram shingle-set relation every verify path joins. */
+  /** The distinct-3-gram shingle-set relation every verify path joins —
+    * public as [[shingleSetRelation]] for the streaming containment twin,
+    * which derives the postings artifact from the same pass. */
+  def shingleSetRelation(allDocs: DataFrame): DataFrame = shingleSetsOf(allDocs)
+
   private def shingleSetsOf(allDocs: DataFrame): DataFrame =
     allDocs
       .select(col("doc_id"), array_distinct(Text.shingles(col("text"), 3)).as("sh"))
@@ -583,12 +587,8 @@ object Dedup {
     // retrieval tf tables
     val docs = shingleSetsOf(allDocs).localCheckpoint(false)
     // bottom-k by (md5-prefix, shingle): pure array arithmetic in-stage
-    val keyed = transform(col("sh"), s =>
-      struct(call_function("graft_md5_prefix", s, lit(7)).as("h"), s.as("s")))
-    val probes = docs
-      .select(col("doc_id").as("probe_id"),
-        explode(slice(array_sort(keyed), 1, bottomK)).as("ps"))
-      .select(col("probe_id"), col("ps.s").as("shingle"))
+    val probes = containmentProbesOf(docs, bottomK)
+      .withColumnRenamed("doc_id", "probe_id")
     val census = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val index = docs
       .select(col("doc_id").as("index_id"), explode(col("sh")).as("shingle"))
@@ -602,6 +602,91 @@ object Dedup {
       .filter(col("hits") >= minHits)
       .select(col("doc_a"), col("doc_b"))
     containmentVerify(attachShingleSets(cand, docs), threshold)
+  }
+
+  /** Bottom-k probe sketch per document over a shingle-set relation
+    * (doc_id, sh) — shared by the batch and incremental containment-LSH
+    * paths (public alias: [[containmentProbeRelation]], the persisted
+    * probe artifact of the streaming twin). Pure array arithmetic, no
+    * shuffle. */
+  def containmentProbeRelation(sets: DataFrame,
+      bottomK: Int = ContainBottomK): DataFrame =
+    containmentProbesOf(sets, bottomK)
+
+  private def containmentProbesOf(sets: DataFrame, bottomK: Int): DataFrame = {
+    val keyed = transform(col("sh"), s =>
+      struct(call_function("graft_md5_prefix", s, lit(7)).as("h"), s.as("s")))
+    sets.select(col("doc_id"),
+        explode(slice(array_sort(keyed), 1, bottomK)).as("ps"))
+      .select(col("doc_id"), col("ps.s").as("shingle"))
+  }
+
+  /** Incremental containment-LSH — the delta shape for the subset tier,
+    * mirroring [[incrementalCandidatesFromBands]] but with the asymmetric
+    * twist the tier requires: candidates must come from the SMALLER side's
+    * probes, and either side of a pair may be the smaller one, so the
+    * delta's probes hit the corpus postings AND the corpus' (persisted,
+    * tiny — k rows/doc) probes hit the delta's postings. History is never
+    * re-shingled: `exPostings` and `exProbes` are durable artifacts, and
+    * the document-frequency cap reads `exDfStats` — ADDITIVE (shingle, n)
+    * rows like the BM25 stats artifact, summed with the delta's counts so
+    * the cap always reflects the CURRENT corpus. Verify rebuilds only the
+    * candidate documents' shingle sets: the delta's from its checkpoint,
+    * historical ones by semi-joining postings to the candidate ids
+    * (`array_intersect` is order-free, so the rebuilt sets need no
+    * canonical order). At 100 TB the postings artifact is bucketed by
+    * shingle, making the probe joins exchange-free on the corpus side —
+    * the same layout note as the BM25 postings. */
+  def incrementalContainmentPairs(exPostings: DataFrame, exProbes: DataFrame,
+      exDfStats: DataFrame, incDocs: DataFrame, threshold: Double,
+      bottomK: Int = ContainBottomK, maxDf: Int = ContainMaxDf,
+      minHits: Int = ContainMinHits): DataFrame =
+    incrementalContainmentFromSets(exPostings, exProbes, exDfStats,
+      shingleSetsOf(incDocs).localCheckpoint(false), threshold, bottomK,
+      maxDf, minHits)
+
+  /** [[incrementalContainmentPairs]] over a precomputed (materialized)
+    * delta shingle-set relation — the form the streaming twin uses so the
+    * batch's shingles are computed once and shared with the artifact
+    * appends. */
+  def incrementalContainmentFromSets(exPostings: DataFrame, exProbes: DataFrame,
+      exDfStats: DataFrame, incSets: DataFrame, threshold: Double,
+      bottomK: Int = ContainBottomK, maxDf: Int = ContainMaxDf,
+      minHits: Int = ContainMinHits): DataFrame = {
+    val incPostings = incSets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val incProbes = containmentProbesOf(incSets, bottomK)
+    // current-corpus df = persisted additive stats + the delta's counts;
+    // vocabulary-sized, never O(corpus)
+    val okShingles = exDfStats
+      .unionByName(incPostings.groupBy(col("shingle")).agg(count(lit(1)).as("n")))
+      .groupBy(col("shingle")).agg(sum(col("n")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val exIdx  = exPostings.join(okShingles, "shingle")
+      .select(col("shingle"), col("doc_id").as("index_id"))
+    val incIdx = incPostings.join(okShingles, "shingle")
+      .select(col("shingle"), col("doc_id").as("index_id"))
+    // every join leg has >= 1 delta member; ex<->ex pairs were found when
+    // those documents arrived
+    val hits = incProbes.withColumnRenamed("doc_id", "probe_id").join(exIdx, "shingle")
+      .unionByName(exProbes.withColumnRenamed("doc_id", "probe_id").join(incIdx, "shingle"))
+      .unionByName(incProbes.withColumnRenamed("doc_id", "probe_id").join(incIdx, "shingle"))
+    val cand = hits
+      .filter(col("probe_id") =!= col("index_id"))
+      .groupBy(least(col("probe_id"), col("index_id")).as("doc_a"),
+        greatest(col("probe_id"), col("index_id")).as("doc_b"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("doc_a"), col("doc_b"))
+    // candidate docs' sets: delta side from the checkpoint, historical
+    // side rebuilt from postings for JUST the candidate ids
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val exSetsNeeded = exPostings.join(candIds, "doc_id")
+      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
+    containmentVerify(
+      attachShingleSets(cand, incSets.unionByName(exSetsNeeded)), threshold)
   }
 
   /** Cells each vector is assigned to in the embedding near-dup join. A
