@@ -647,6 +647,10 @@ object SparkEntry {
     // before the self-join, bounding per-doc pair blowup at C(50, 2)
     "q_cooccurrence_topv" -> ((s, d) =>
       Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100, Some(50))),
+    // skip-gram context windows: join-free map-side pair emission, the
+    // embedding-training counterpart of the document-level form
+    "q_cooccurrence_skipgram" -> ((s, d) =>
+      Retrieval.windowCooccurrence(Tables(s, d, "documents"), 3, 50)),
     // L2 normalization surface over the embedding column: norm via the
     // native graft_dot fold, components order-free (min/max) for exact
     // cross-engine double parity
@@ -1209,6 +1213,17 @@ object SparkEntry {
         |JOIN dft da ON pairs.term_a = da.term
         |JOIN dft db ON pairs.term_b = db.term
         |CROSS JOIN st""".stripMargin,
+    "q_cooccurrence_skipgram" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+        |  FROM tk WHERE len(t) >= 2)
+        |SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
     "q_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bin,
         |  count(*) AS n,

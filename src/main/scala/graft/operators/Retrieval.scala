@@ -111,6 +111,34 @@ object Retrieval {
         round(log(col("n_ab").cast("double") * col("n_docs") / (col("df_a") * col("df_b"))), 4).as("pmi"))
   }
 
+  /** Context-window (skip-gram) co-occurrence: unordered token pairs
+    * within `window` positions of each other, the embedding-training
+    * counterpart of document-level [[cooccurrencePmi]]. Where the
+    * document-level form needs a doc_id self-join, this one needs NO join
+    * at all: every document emits its pairs from one traversal of its own
+    * token array (position i pairs with i+1..i+window) — a map-side
+    * projection whose output is ≤ window·tokens rows, then a single
+    * map-side-combinable count aggregate. The per-doc blowup is bounded
+    * by the window, not the vocabulary, so no top-V cap is needed.
+    * Pairs are normalized (least, greatest); a token repeated within a
+    * window pairs with itself, as in word2vec context counting. */
+  def windowCooccurrence(docs: DataFrame, window: Int,
+      minPairCount: Long): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val pairsExpr = flatten(transform(
+      sequence(lit(1), size(col("t")) - 1), i =>
+        transform(sequence(i + 1, least(i + window, size(col("t")))), j =>
+          struct(
+            least(element_at(col("t"), i), element_at(col("t"), j)).as("a"),
+            greatest(element_at(col("t"), i), element_at(col("t"), j)).as("b")))))
+    docs.select(Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)   // sequence(1, 0) would run DESCENDING
+      .select(explode(pairsExpr).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+  }
+
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession

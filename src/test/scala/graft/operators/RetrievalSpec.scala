@@ -80,6 +80,26 @@ class RetrievalSpec extends SparkSpec {
     assert(rep.length == 1 && rep.head.getLong(2) == 1L)
   }
 
+  test("windowCooccurrence: hand-counted skip-gram pairs, window bound, degenerate docs") {
+    val corpus = Seq(
+      (1L, "a b c a"),            // window-3 pairs: ab ac aa bc ab ac
+      (2L, "solo"),               // single token: no pairs
+      (3L, "")                    // empty: no pairs
+    ).toDF("doc_id", "text")
+    val out = Retrieval.windowCooccurrence(corpus, 3, 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 2L,
+      ("a", "a") -> 1L, ("b", "c") -> 1L), out.toString)
+    // window 1 = adjacent bigrams only
+    val w1 = Retrieval.windowCooccurrence(corpus, 1, 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(w1 == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("a", "c") -> 1L), w1.toString)
+    // join-free: the plan is scan -> explode -> aggregate, no join node
+    val plan = Retrieval.windowCooccurrence(corpus, 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("cooccurrencePmi topV: capped pairs ⊆ uncapped with identical PMI; per-doc blowup bounded") {
     // 6 docs; 'rare1'/'rare2' co-occur but each has df=1 — below any top-2
     // vocabulary by df — while alpha (df=5) and beta (df=4) dominate
