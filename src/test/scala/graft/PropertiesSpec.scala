@@ -81,6 +81,24 @@ class PropertiesSpec extends SparkSpec {
     }, minTests = 60)
   }
 
+  test("windowCooccurrence: total pair mass == sum over docs of min(w, n-i)") {
+    import spark.implicits._
+    val tokGen  = Gen.choose(0, 5).map(i => s"t$i")
+    val docGen  = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val dataGen = Gen.listOfN(8, docGen)
+    check(Prop.forAll(dataGen, Gen.choose(1, 4)) { (docsToks, w) =>
+      val df = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.{coalesce, lit, sum}
+      val mass = graft.operators.Retrieval.windowCooccurrence(df, w, 1)
+        .agg(coalesce(sum("n_ab"), lit(0L))).head().getLong(0)
+      val expected = docsToks.map(_.length).filter(_ >= 2)
+        .map(n => (1 until n).map(i => math.min(w, n - i)).sum.toLong).sum
+      mass == expected
+    }, minTests = 20)
+  }
+
   test("redactPii is idempotent and never leaves a redactable span behind") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
