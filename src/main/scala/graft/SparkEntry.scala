@@ -518,6 +518,19 @@ object SparkEntry {
       Dedup.incrementalMinhashCandidates(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
+    // incremental containment over the artifact relations (postings +
+    // bottom-k probes + additive df rows), built here from the corpus
+    // half of the same doc-id split — the delta probes the corpus AND the
+    // corpus' probes replay against the delta
+    "q_dedup_containment_incr" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val sets = Dedup.shingleSetRelation(docs.filter(col("doc_id") < 250))
+      val postings = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      Dedup.incrementalContainmentPairs(
+        postings, Dedup.containmentProbeRelation(sets),
+        postings.groupBy(col("shingle")).agg(count(lit(1)).as("n")),
+        docs.filter(col("doc_id") >= 250), 0.6)
+    }),
     // sequence packing (concat-then-chunk): hash-bucket packers run in
     // parallel, each streaming its docs in id order into 2048-token
     // sequences; docs crossing a boundary are SPLIT into per-sequence
@@ -1457,6 +1470,9 @@ object SparkEntry {
     "q_dedup_containment_lsh" ->
       containmentLshSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
         Dedup.ContainMinHits),
+    "q_dedup_containment_incr" ->
+      containmentIncrSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
+        Dedup.ContainMinHits, 250),
     "q_dedup_embed" -> embedDedupSql,
 
     "q_embed_centroids" ->
@@ -1960,6 +1976,52 @@ object SparkEntry {
        |    greatest(probe_id, index_id) AS doc_b
        |  FROM pr JOIN idx USING (shingle)
        |  WHERE probe_id != index_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minHits),
+       |verified AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    len(list_intersect(da.sh, db.sh)) AS inter,
+       |    len(da.sh) AS na, len(db.sh) AS nb
+       |  FROM cand
+       |  JOIN docs da ON cand.doc_a = da.doc_id
+       |  JOIN docs db ON cand.doc_b = db.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
+       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
+       |FROM verified
+       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
+       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
+
+  /** Mirrors Dedup.incrementalContainmentPairs over the doc_id split at
+    * `splitId`: same probes/index/df-cap as the batch form, but hits keep
+    * only legs with >= 1 delta member (probe or index above the split) —
+    * existing↔existing pairs were found when those documents arrived. */
+  private def containmentIncrSql(threshold: Double, bottomK: Int, maxDf: Int,
+      minHits: Int, splitId: Long): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
+       |  WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+       |oks AS (
+       |  SELECT shingle FROM (
+       |    SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
+       |  WHERE df <= $maxDf),
+       |pr AS (
+       |  SELECT doc_id AS probe_id, shingle FROM (
+       |    SELECT doc_id, shingle,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY ${md5BucketSqlOf("shingle")}, shingle) AS rk
+       |    FROM ex)
+       |  WHERE rk <= $bottomK),
+       |idx AS (
+       |  SELECT ex.doc_id AS index_id, ex.shingle
+       |  FROM ex JOIN oks USING (shingle)),
+       |cand AS (
+       |  SELECT least(probe_id, index_id) AS doc_a,
+       |    greatest(probe_id, index_id) AS doc_b
+       |  FROM pr JOIN idx USING (shingle)
+       |  WHERE probe_id != index_id
+       |    AND (probe_id >= $splitId OR index_id >= $splitId)
        |  GROUP BY 1, 2
        |  HAVING count(*) >= $minHits),
        |verified AS (
