@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, LshBuckets, Md5Prefix, MinhashSig, TopCells}
+import graft.expressions.{DotProduct, LshBuckets, Md5Prefix, MinhashSig, SkipgramPairs, TopCells}
 
 /** Engine extensions, installed via `spark.sql.extensions`: registers the
   * native vector expressions as SQL functions so both the Column API
@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         checkArity("graft_minhash", 4, children.length)
         MinhashSig(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_skipgram"),
+      new ExpressionInfo(classOf[SkipgramPairs].getName, "graft_skipgram"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_skipgram", 2, children.length)
+        SkipgramPairs(children(0), children(1))
       }))
     // declarative HOF dot products upgrade to the native expression
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

@@ -477,3 +477,100 @@ case class LshBuckets(emb: Expression, planes: Expression,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): LshBuckets =
     copy(emb = c(0), planes = c(1), planesPerTable = c(2), maxDims = c(3))
 }
+
+/** `graft_skipgram(tokens, window)`: all unordered context-window token
+  * pairs of one document in a single pass — position i pairs with
+  * positions i+1..i+window, each pair normalized to (min, max) string
+  * order. Output: array<struct<a:string, b:string>>.
+  *
+  * Semantically identical to the declarative formulation
+  * `flatten(transform(sequence(1, n-1), i -> transform(sequence(i+1,
+  * least(i+window, n)), j -> struct(least(t[i], t[j]), greatest(...)))))`
+  * — which runs as interpreted HOFs (no codegen) and allocates a nested
+  * array per position before flattening. This expression emits the final
+  * flat array in one loop inside whole-stage codegen; the SQL oracle's
+  * `list_transform`/`flatten` formulation mirrors it value-for-value.
+  * Null array → null; null token elements are skipped as pair members
+  * (the built-in tokenizer never produces them); fewer than 2 tokens →
+  * empty array. */
+case class SkipgramPairs(tokens: Expression, window: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = window
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_skipgram"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (tokens.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && window.dataType == IntegerType && window.foldable
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable int), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  @transient private lazy val w: Int = {
+    val v = window.eval(null).asInstanceOf[Int]
+    require(v >= 1, s"$prettyName window must be >= 1, got $v")
+    v
+  }
+
+  def compute(ts: ArrayData): ArrayData = {
+    val n = ts.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n - 1) {
+      if (!ts.isNullAt(i)) {
+        val ti = ts.getUTF8String(i)
+        val hi = math.min(i + w, n - 1)
+        var j = i + 1
+        while (j <= hi) {
+          if (!ts.isNullAt(j)) {
+            val tj = ts.getUTF8String(j)
+            val (a, b) = if (ti.compareTo(tj) <= 0) (ti, tj) else (tj, ti)
+            // UTF8String from ArrayData may share buffers; clone for the row
+            out += InternalRow(a.clone(), b.clone())
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val tAny = tokens.eval(input)
+    if (tAny == null) null else compute(tAny.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = tokens.genCode(ctx)
+    val self = ctx.addReferenceObj("skipgramExpr", this, classOf[SkipgramPairs].getName)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        |${tGen.code}
+        |boolean ${ev.isNull} = ${tGen.isNull};
+        |$ad ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $self.compute(${tGen.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SkipgramPairs =
+    copy(tokens = newLeft, window = newRight)
+}

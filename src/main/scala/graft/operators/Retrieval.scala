@@ -121,19 +121,18 @@ object Retrieval {
     * map-side-combinable count aggregate. The per-doc blowup is bounded
     * by the window, not the vocabulary, so no top-V cap is needed.
     * Pairs are normalized (least, greatest); a token repeated within a
-    * window pairs with itself, as in word2vec context counting. */
+    * window pairs with itself, as in word2vec context counting.
+    *
+    * The pair emission is the native codegen'd
+    * [[graft.expressions.SkipgramPairs]] — the declarative
+    * `flatten(transform(sequence, i -> transform(sequence, j -> ...)))`
+    * formulation runs as interpreted HOFs and allocates a nested array
+    * per position (bit-parity-asserted in VectorExpressionsSpec). */
   def windowCooccurrence(docs: DataFrame, window: Int,
       minPairCount: Long): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val pairsExpr = flatten(transform(
-      sequence(lit(1), size(col("t")) - 1), i =>
-        transform(sequence(i + 1, least(i + window, size(col("t")))), j =>
-          struct(
-            least(element_at(col("t"), i), element_at(col("t"), j)).as("a"),
-            greatest(element_at(col("t"), i), element_at(col("t"), j)).as("b")))))
     docs.select(Text.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)   // sequence(1, 0) would run DESCENDING
-      .select(explode(pairsExpr).as("p"))
+      .select(explode(call_function("graft_skipgram", col("t"), lit(window))).as("p"))
       .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)

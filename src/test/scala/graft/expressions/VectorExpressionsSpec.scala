@@ -183,6 +183,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.filter(not(col("native") === col("decl"))).count() == 0)
   }
 
+  test("graft_skipgram == the declarative nested-transform formulation on real docs") {
+    import graft.functions.Text
+    val w = 3
+    val base = graft.lake.Tables(spark, sfDir, "documents")
+      .select(Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val decl = flatten(transform(
+      sequence(lit(1), size(col("t")) - 1), i =>
+        transform(sequence(i + 1, least(i + w, size(col("t")))), j =>
+          struct(
+            least(element_at(col("t"), i), element_at(col("t"), j)).as("a"),
+            greatest(element_at(col("t"), i), element_at(col("t"), j)).as("b")))))
+    val df = base.select(
+      call_function("graft_skipgram", col("t"), lit(w)).as("native"),
+      decl.as("decl"))
+    assert(df.filter(not(col("native") === col("decl"))).count() == 0)
+    // sub-2-token inputs yield an EMPTY array (the declarative form needs
+    // a guard against Spark's descending sequence(1, 0))
+    val edge = spark.sql(
+      "SELECT graft_skipgram(array('only'), 3) AS p, graft_skipgram(CAST(NULL AS ARRAY<STRING>), 3) AS np")
+      .head()
+    assert(edge.getSeq[Any](0).isEmpty && edge.isNullAt(1))
+  }
+
   test("the expression is registered for plain SQL too") {
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(10.0d, 20.0d)) AS d").head()
     assert(r.getDouble(0) == 50.0)
