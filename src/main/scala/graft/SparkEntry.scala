@@ -575,6 +575,12 @@ object SparkEntry {
     // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
     "q_mixture_weights" -> ((s, d) =>
       Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
+    // greedy best-docs-first fill to a 2000-token budget per language:
+    // census/boundary plan — only ONE quality band per stratum is sorted,
+    // everything else is classified map-side off a broadcast census
+    "q_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSelect(Tables(s, d, "documents"), "doc_id", "lang",
+        round(stopwordRatio, 4), Text.bpeTokenCount(col("text")), 2000)),
     // reproducible mixture sampling: per-language keep rates by hash bucket
     "q_sample_mix" -> ((s, d) =>
       Sampling.stratifiedByHash(Tables(s, d, "documents")
@@ -1425,6 +1431,20 @@ object SparkEntry {
         |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
         |SELECT lang, n_docs, round(pow(n_docs, 0.7) / z, 6) AS weight
         |FROM c CROSS JOIN z""".stripMargin,
+    // the oracle replays the SEMANTICS (one inclusive-cumsum window over
+    // everything); the Spark side's census/boundary plan must select the
+    // identical row set
+    "q_token_budget" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |    round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN ('the','a','of','and','is','in','to','it')))
+         |      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 4) AS quality,
+         |    CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+         |        ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM s)
+         |SELECT doc_id, lang, quality, n_tokens FROM r WHERE cum <= 2000""".stripMargin,
     "q_sample_mix" -> {
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, CAST((${md5BucketSql}) % 100 AS INTEGER) AS bucket FROM documents)

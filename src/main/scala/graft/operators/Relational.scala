@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reference relational surface (SURVEY.md §2.3-2.5): projections, derived
@@ -260,6 +261,54 @@ object Sampling {
     counts.crossJoin(broadcast(z))
       .select(col(stratumCol), col("n_docs"),
         round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"))
+  }
+
+  /** Greedy token-budget fill per stratum: rank rows by (`quality` DESC,
+    * id ASC) and keep the prefix whose inclusive running token sum stays
+    * ≤ `budget` — the "best docs until the token budget is spent" stage
+    * every mixture recipe ends with.
+    *
+    * The naive plan is a per-stratum global sort (a full shuffle + sort of
+    * the corpus just to find one cut point). This implementation is
+    * EXACTLY equivalent but sorts only the boundary band:
+    *
+    *  1. census: token mass per (stratum, quality) — a mergeable
+    *     map-side-combined aggregate; its size is bounded by the number of
+    *     DISTINCT quality values (quality is rounded, so ~10⁴ at 4
+    *     decimals), not by corpus rows;
+    *  2. a running sum over the tiny census (window over censuses, not
+    *     docs) classifies each quality value: `cum_incl ≤ budget` → the
+    *     whole band is kept map-side with no sort; `cum_excl > budget` →
+    *     dropped map-side; the (at most one per stratum) BOUNDARY band in
+    *     between is the only place the exact id-order prefix matters;
+    *  3. only boundary-band rows — one quality value per stratum — are
+    *     sorted (window by id with the census's `cum_excl` as the starting
+    *     offset).
+    *
+    *  Zero-token rows fall out naturally: a boundary band with
+    *  `cum_excl = budget` keeps exactly its leading zero-token rows, the
+    *  same rows the naive inclusive-cumsum window keeps. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, stratumCol: String,
+      quality: Column, nTokens: Column, budget: Long): DataFrame = {
+    val rows = df.select(col(idCol), col(stratumCol),
+      quality.as("quality"), nTokens.cast("long").as("n_tokens"))
+    val census = rows.groupBy(col(stratumCol), col("quality"))
+      .agg(sum(col("n_tokens")).as("q_mass"))
+      .withColumn("cum_incl", sum(col("q_mass")).over(Window
+        .partitionBy(col(stratumCol)).orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_excl", col("cum_incl") - col("q_mass"))
+      .filter(col("cum_excl") <= budget) // dropped bands never join back
+      .select(col(stratumCol), col("quality"), col("cum_incl"), col("cum_excl"))
+    val joined = rows.join(broadcast(census), Seq(stratumCol, "quality"))
+    val whole = joined.filter(col("cum_incl") <= budget)
+    val boundary = joined.filter(col("cum_incl") > budget)
+      .withColumn("cum", col("cum_excl") + sum(col("n_tokens")).over(Window
+        .partitionBy(col(stratumCol), col("quality")).orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+    (whole unionByName boundary.drop("cum"))
+      .select(col(idCol), col(stratumCol), col("quality"), col("n_tokens"))
   }
 }
 

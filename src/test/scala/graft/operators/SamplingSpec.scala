@@ -56,6 +56,34 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("tokenBudgetSelect ≡ naive inclusive-cumsum window, incl. zero-token and tie edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // strata exercising every census branch: whole bands kept, a boundary
+    // band with in-band id-order cut, quality ties, zero-token rows, and a
+    // stratum whose boundary lands EXACTLY on cum_excl == budget (only
+    // leading zero-token rows of the band survive)
+    val df = Seq(
+      (1L, "en", 0.9, 30L), (2L, "en", 0.9, 30L),   // tie band, kept whole
+      (3L, "en", 0.5, 30L), (4L, "en", 0.5, 0L),    // boundary: 3 fits, 4 trails a fit
+      (5L, "en", 0.5, 40L), (6L, "en", 0.1, 1L),    // 5 overflows, 6 dropped band
+      (7L, "fr", 0.8, 100L),                        // exact fill
+      (8L, "fr", 0.3, 0L), (9L, "fr", 0.3, 5L),     // cum_excl == budget: zero-token 8 survives
+      (10L, "zh", 0.7, 300L)                        // first row overflows alone
+    ).toDF("doc_id", "lang", "quality", "n_toks")
+    val budget = 100L
+    val got = Sampling.tokenBudgetSelect(df, "doc_id", "lang",
+      col("quality"), col("n_toks"), budget)
+      .select("doc_id").as[Long].collect().toSet
+    val naive = df.withColumn("cum", sum(col("n_toks")).over(Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(naive == Set(1L, 2L, 3L, 4L, 7L, 8L), s"fixture drifted: $naive")
+    assert(got == naive, s"got $got, want $naive")
+  }
+
   test("temperatureWeights: alpha=1 is proportional, alpha=0 uniform, weights sum to 1") {
     import spark.implicits._
     // 8 en, 2 fr
