@@ -330,6 +330,14 @@ object SparkEntry {
         scores("de").as("s_de"), scores("zh").as("s_zh"),
         Text.predictedLanguage(col("text")).as("predicted"))
     }),
+    // char-trigram LM perplexity (the CCNet-style quality filter): model
+    // trained on the en slice, every doc scored against it — the off-
+    // domain tail surfaces as high ppl. Charset-bounded model broadcast;
+    // scoring is map-side explode + broadcast join, O(docs) exchange
+    "q_lm_score" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      CharLm.perplexityAgainst(docs, docs.filter(col("lang") === "en"))
+    }),
     "q_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1127,6 +1135,26 @@ object SparkEntry {
         |    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
         |    ELSE 'und' END AS predicted
         |FROM scored""".stripMargin,
+    // add-α trigram LM replayed end-to-end: counts, smoothing constants,
+    // unseen-gram mass, per-doc mean NLL; ppl exponentiates the ROUNDED
+    // nll on both sides so sum-order drift can't amplify through exp
+    "q_lm_score" ->
+      """WITH tr AS (SELECT lower(text) AS t FROM documents WHERE lang = 'en'),
+        |tg0 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tr),
+        |c AS (SELECT substr(t, CAST(i AS INT), 3) AS gram, count(*) AS cnt
+        |      FROM tg0 GROUP BY 1),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+        |m AS (SELECT gram, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM c, st),
+        |u AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS logp_unseen FROM st),
+        |dg0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+        |dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM dg0),
+        |s AS (SELECT doc_id, count(*) AS n_grams,
+        |        round(-avg(coalesce(m.logp, u.logp_unseen)), 4) AS avg_nll
+        |      FROM dg LEFT JOIN m USING (gram) CROSS JOIN u GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, avg_nll,
+        |  round(exp(avg_nll), 4) AS ppl
+        |FROM s""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
