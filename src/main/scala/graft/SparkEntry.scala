@@ -150,6 +150,16 @@ object SparkEntry {
       Aggregates.approxDistinctCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
     "q_approx_quantiles" -> ((s, d) =>
       Aggregates.approxQuantilesCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity")),
+    // persisted DataSketches artifacts: finest-grain sketch rows built
+    // once, ROLLED UP by merging — the serve path never rescans the base
+    // table; same bound-check oracle shape as the q_approx_* twins
+    "q_hll_rollup" -> ((s, d) =>
+      Sketches.hllServeCheck(Tables(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_partkey")),
+    "q_kll_rollup" -> ((s, d) =>
+      Sketches.kllServeCheck(Tables(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_quantity",
+        Seq(0.25, 0.5, 0.75))),
     "q_rollup" -> ((s, d) =>
       Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
@@ -807,6 +817,15 @@ object SparkEntry {
         |  TRUE AS within_rsd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_kll_rollup" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,

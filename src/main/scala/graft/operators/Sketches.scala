@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persisted mergeable-sketch artifacts (Apache DataSketches via the
+  * built-in `hll_*` / `kll_*` functions): the build / ingest / serve
+  * pattern the BM25-postings and IVF tiers use, applied to cardinality
+  * and quantile statistics.
+  *
+  * Why an artifact and not a query: at 100 TB, "distinct users per day"
+  * or "p99 latency per service" gets asked hundreds of times against the
+  * same immutable history. A sketch table holds ONE small binary row per
+  * finest-grained cell; every later question — any coarser rollup, any
+  * new day of data — is answered by MERGING sketches (register-wise max
+  * for HLL, compactor merge for KLL), never by rescanning the corpus.
+  * Both sketch families are associative and commutative, so partial
+  * aggregation, AQE re-partitioning, and incremental appends all yield
+  * the same merged state.
+  *
+  * Scale shape: build is one map-side-combined aggregate (sketches merge
+  * in the partial-agg step, so the exchange carries one ~KB sketch per
+  * cell per task, not rows); ingest appends the DELTA's cell sketches and
+  * re-merges — history is never rescanned; serve groups the artifact's
+  * tiny rows. Exact `countDistinct` at the same grain would shuffle every
+  * distinct (cell, value) pair — O(corpus) — and cannot be incrementally
+  * refreshed at all.
+  */
+object Sketches {
+
+  /** lgConfigK for HLL sketches: 2¹² registers ≈ 1.6% relative standard
+    * error at ~4 KB per sketch. */
+  val HllLgK = 12
+
+  /** k for KLL doubles sketches: normalized rank error ≈ 0.2% at 99%
+    * confidence — far inside the 1% the serve-check asserts. */
+  val KllK = 2048
+
+  // ------------------------------------------------------- HLL distinct
+
+  /** Build the distinct-count artifact: one HLL sketch of `value` per
+    * finest-grained `cells` combination. */
+  def hllBuild(df: DataFrame, cells: Seq[String], value: String,
+      lgK: Int = HllLgK): DataFrame =
+    df.groupBy(cells.map(col): _*)
+      .agg(hll_sketch_agg(col(value), lgK).as("sketch"))
+
+  /** Fold a delta corpus into the artifact — sketch the DELTA only, union
+    * per cell. Register-wise max-merge: append ≡ rebuild, exactly. */
+  def hllIngest(artifact: DataFrame, delta: DataFrame, cells: Seq[String],
+      value: String, lgK: Int = HllLgK): DataFrame =
+    artifact.unionByName(hllBuild(delta, cells, value, lgK))
+      .groupBy(cells.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Serve distinct-count estimates at any rollup of the artifact's cells
+    * — merges sketch rows, never touches the base table. */
+  def hllServe(artifact: DataFrame, dims: Seq[String]): DataFrame =
+    artifact.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .cast("long").as("approx_distinct"))
+
+  /** Oracle-comparable serve: build at `cells`, roll up to `dims`, and emit
+    * the EXACT distinct count plus a boolean asserting the merged-sketch
+    * estimate landed within `bound` of it. The estimate itself is
+    * implementation-defined and never leaves the query; the boolean is
+    * deterministic (register max-merge is order- and partitioning-
+    * independent) so an external oracle asserts it TRUE from the exact
+    * side alone. */
+  def hllServeCheck(df: DataFrame, cells: Seq[String], dims: Seq[String],
+      value: String, bound: Double = 0.05): DataFrame =
+    hllServe(hllBuild(df, cells, value), dims)
+      .join(df.groupBy(dims.map(col): _*)
+          .agg(countDistinct(col(value)).as("exact_distinct")),
+        dims)
+      .select(dims.map(col) :+ col("exact_distinct") :+
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * bound).as("within_bound"): _*)
+
+  // ------------------------------------------------------ KLL quantiles
+
+  /** Build the quantile artifact: one KLL doubles sketch of `value` per
+    * `cells` combination. */
+  def kllBuild(df: DataFrame, cells: Seq[String], value: String,
+      k: Int = KllK): DataFrame =
+    df.groupBy(cells.map(col): _*)
+      .agg(kll_sketch_agg_double(col(value).cast("double"), k).as("sketch"))
+
+  /** Fold a delta corpus into the quantile artifact (compactor merge
+    * preserves the rank-error guarantee across appends). */
+  def kllIngest(artifact: DataFrame, delta: DataFrame, cells: Seq[String],
+      value: String, k: Int = KllK): DataFrame =
+    artifact.unionByName(kllBuild(delta, cells, value, k))
+      .groupBy(cells.map(col): _*)
+      .agg(kll_merge_agg_double(col("sketch")).as("sketch"))
+
+  /** Serve quantiles at any rollup of the artifact's cells. Output one
+    * column per requested probability (`p25`-style names). */
+  def kllServe(artifact: DataFrame, dims: Seq[String],
+      probs: Seq[Double]): DataFrame = {
+    val merged = artifact.groupBy(dims.map(col): _*)
+      .agg(kll_merge_agg_double(col("sketch")).as("sk"))
+    merged.select(dims.map(col) ++ probs.map(p =>
+      kll_sketch_get_quantile_double(col("sk"), lit(p)).as(nameOf(p))): _*)
+  }
+
+  private def nameOf(p: Double): String = s"p${math.round(p * 100)}"
+
+  /** Oracle-comparable serve: quantiles from merged sketches, validated by
+    * re-joining the rows and checking each returned value's TRUE rank sits
+    * within `eps` of its target — the KLL guarantee (k = 2048 bounds rank
+    * error to ~0.2%, asserted at 1%). Booleans hold for any valid sketch
+    * output, so compaction randomness cannot flip them. */
+  def kllServeCheck(df: DataFrame, cells: Seq[String], dims: Seq[String],
+      value: String, probs: Seq[Double], eps: Double = 0.01): DataFrame = {
+    val q = kllServe(kllBuild(df, cells, value), dims, probs)
+    val counters = probs.flatMap { p =>
+      val v = col(value).cast("double")
+      Seq(
+        sum(when(v <= col(nameOf(p)), 1L).otherwise(0L)).as(s"le_${nameOf(p)}"),
+        sum(when(v < col(nameOf(p)), 1L).otherwise(0L)).as(s"lt_${nameOf(p)}"))
+    }
+    def rankOk(p: Double): Column =
+      ((col(s"le_${nameOf(p)}") >= (lit(p) - eps) * col("n") - 1) &&
+        (col(s"lt_${nameOf(p)}") + 1 <= (lit(p) + eps) * col("n") + 1))
+        .as(s"${nameOf(p)}_ok")
+    df.join(broadcast(q), dims)
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"), counters: _*)
+      .select(dims.map(col) ++ Seq(col("n")) ++ probs.map(rankOk): _*)
+  }
+}
