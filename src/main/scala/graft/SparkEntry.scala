@@ -288,6 +288,10 @@ object SparkEntry {
         .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           round(avg(col("k")), 4).as("avg_k"))),
     "q_funnel" -> ((s, d) => Funnel.clickToPurchase(s, d, 30)),
+    // fuzzy self-join: near-identical part names (levenshtein 1..2) via
+    // segment-pigeonhole candidates over DISTINCT values — no cross join
+    "q_fuzzy_pairs" -> ((s, d) =>
+      FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
     // as-of join: each purchase matched to the user's most recent click
     // at-or-before it — union + running-last, no join node (PlanSpec)
     "q_asof" -> ((s, d) => {
@@ -1039,6 +1043,15 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
         |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
+    // the oracle pays the quadratic cross join the Spark side exists to
+    // avoid — over DISTINCT names it is 64², checkable
+    "q_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT least(a.p_name, b.p_name) AS value_a,
+        |  greatest(a.p_name, b.p_name) AS value_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "q_asof" ->
       """WITH u AS (
         |  SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,

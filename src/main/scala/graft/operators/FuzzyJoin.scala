@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join (record linkage / fuzzy key dedup): all pairs
+  * of values whose Levenshtein distance is in [1, k], WITHOUT the O(n²)
+  * cross join — the segment-pigeonhole scheme of the PassJoin family
+  * (Li, Deng, Feng; VLDB 2011-12 line of work).
+  *
+  * Pigeonhole: split the SHORTER string of a pair into k+1 contiguous
+  * segments. ≤ k edits cannot touch all k+1 of them, so at least one
+  * segment survives VERBATIM in the longer string, displaced by at most
+  * k positions. Candidates therefore come from an equi-join: every value
+  * INDEXES its k+1 segments; every value PROBES with the substrings that
+  * could equal segment i of a partner of length l ∈ [len−k, len] at
+  * displacement δ ∈ [−k, k] — (k+1)²·(2k+1) probe rows per value, a
+  * CONSTANT. The join key (segment_idx, partner_len, text) carries the
+  * length filter for free.
+  *
+  * Scale shape: the search runs over DISTINCT values (the first map-side
+  * aggregate — fuzzy joins on key-ish columns collapse massively), probe
+  * generation is pure per-row array arithmetic deduplicated BEFORE the
+  * explode, candidates equi-join and dedup by pair, and only candidate
+  * pairs pay a `levenshtein` verify. Nothing is quadratic except inside
+  * a single join bucket — and buckets are capped: an index segment shared
+  * by more than `maxBucket` values is dropped (window census, the
+  * SimHash-tier pattern). The cap is the knob for adversarial data
+  * (values sharing a long constant prefix, e.g. 'Customer#0…', drive
+  * their prefix buckets toward all-pairs); a capped bucket loses a pair
+  * only if EVERY surviving segment of its shorter side is also capped.
+  */
+object FuzzyJoin {
+
+  /** Index-bucket census cap (values per (segment_idx, len, text) key). */
+  val MaxSegBucket = 256
+
+  /** Even-partition segment [start, start+len) of a length-`l` string,
+    * 0-based segment `i` of `k`+1: the first (k+1−l%(k+1)) segments get
+    * ⌊l/(k+1)⌋ chars, the rest one more. Pure closed-form arithmetic. */
+  private def segStart(l: Column, i: Int, k: Int): Column = {
+    val parts = k + 1
+    val base = floor(l / parts).cast("int")
+    val nShort = (lit(parts) - l % parts).cast("int")
+    when(lit(i) < nShort, base * i).otherwise(base * i + (lit(i) - nShort))
+  }
+
+  private def segLen(l: Column, i: Int, k: Int): Column = {
+    val parts = k + 1
+    val base = floor(l / parts).cast("int")
+    val nShort = (lit(parts) - l % parts).cast("int")
+    when(lit(i) < nShort, base).otherwise(base + 1)
+  }
+
+  /** All (value_a, value_b, dist) with value_a < value_b and
+    * 1 ≤ levenshtein ≤ k over the DISTINCT values of `strCol` (identical
+    * values are the exact-dedup tier's job). */
+  def editDistancePairs(df: DataFrame, strCol: String, k: Int,
+      maxBucket: Int = MaxSegBucket): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vals = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+      .distinct()
+    val l = length(col("s"))
+
+    // index: the k+1 segments of s, as the shorter-or-equal side
+    val segs = (0 to k).map { i =>
+      struct(lit(i).as("i"), l.as("pl"),
+        col("s").substr(segStart(l, i, k) + 1, segLen(l, i, k)).as("t"))
+    }
+    val census = Window.partitionBy(col("i"), col("pl"), col("t"))
+    val index = vals
+      .select(col("s").as("s_short"), explode(array(segs: _*)).as("g"))
+      .select(col("s_short"), col("g.i"), col("g.pl"), col("g.t"))
+      .withColumn("cnt", count(lit(1)).over(census))
+      .filter(col("cnt") <= maxBucket)
+      .drop("cnt")
+
+    // probe: substrings that could be segment i of a partner of length
+    // pl ∈ [len−k, len] displaced by δ ∈ [−k, k] — built per row, deduped
+    // map-side (array_distinct) BEFORE the explode
+    val combos = for {
+      i <- 0 to k
+      dl <- 0 to k
+      d <- -k to k
+    } yield {
+      val pl = l - dl
+      val st = segStart(pl, i, k) + d
+      val le = segLen(pl, i, k)
+      when(pl >= lit(0) && st >= 0 && st + le <= l,
+        struct(lit(i).as("i"), pl.as("pl"),
+          col("s").substr(st + 1, le).as("t")))
+    }
+    val probes = vals
+      .select(col("s").as("s_long"),
+        explode(array_distinct(filter(array(combos: _*), _.isNotNull))).as("g"))
+      .select(col("s_long"), col("g.i"), col("g.pl"), col("g.t"))
+
+    probes.join(index, Seq("i", "pl", "t"))
+      .filter(col("s_short") =!= col("s_long"))
+      .select(least(col("s_short"), col("s_long")).as("value_a"),
+        greatest(col("s_short"), col("s_long")).as("value_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
+      .filter(col("dist") <= k)
+  }
+}
