@@ -344,6 +344,11 @@ object SparkEntry {
         scores("de").as("s_de"), scores("zh").as("s_zh"),
         Text.predictedLanguage(col("text")).as("predicted"))
     }),
+    // BPE tokenizer training, first-iteration view: adjacent char-pair
+    // census weighted by word-type frequency — the argmax row is merge #1;
+    // the full learn loop is unit-goldened (not SQL-expressible)
+    "q_bpe_pairs" -> ((s, d) =>
+      Bpe.charPairCensus(Tables(s, d, "documents"), 20)),
     // char-trigram LM perplexity (the CCNet-style quality filter): model
     // trained on the en slice, every doc scored against it — the off-
     // domain tail surfaces as high ppl. Charset-bounded model broadcast;
@@ -1167,6 +1172,14 @@ object SparkEntry {
         |    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
         |    ELSE 'und' END AS predicted
         |FROM scored""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS word
+         |           FROM documents),
+         |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, n
+         |      FROM (SELECT word, n, unnest(range(1, len(word))) AS i FROM wc))
+         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY pair HAVING sum(n) >= 20""".stripMargin,
     // add-α trigram LM replayed end-to-end: counts, smoothing constants,
     // unseen-gram mass, per-doc mean NLL; ppl exponentiates the ROUNDED
     // nll on both sides so sum-order drift can't amplify through exp
