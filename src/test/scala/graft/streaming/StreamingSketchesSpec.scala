@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Tables
+import graft.operators.Sketches
+
+/** Streaming HLL artifact: streamed micro-batch appends serve the same
+  * estimates as a one-shot batch build, replays are idempotent, and
+  * compaction changes row count but not estimates. */
+class StreamingSketchesSpec extends SparkSpec {
+
+  private val cells = Seq("l_returnflag", "l_linestatus")
+
+  private def estimates(path: String): Map[(String, String), Long] =
+    Sketches.hllServe(spark.read.parquet(path), cells).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("streamed appends ≡ batch build; replayed batch is a no-op; compact preserves") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("hll").toString + "/sk"
+
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+    val rows = li.as[(String, String, Long)].collect().toIndexedSeq
+    val (day1, day2) = rows.splitAt(rows.length / 2)
+
+    val mem = MemoryStream[(String, String, Long)]
+    val q = StreamingSketches.start(
+      mem.toDF().toDF("l_returnflag", "l_linestatus", "l_partkey"),
+      cells, "l_partkey", sketchPath = path)
+    try {
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day2: _*)
+      q.processAllAvailable()
+      val streamed = estimates(path)
+      // one-shot batch build over everything
+      val full = Sketches.hllServe(
+        Sketches.hllBuild(li, cells, "l_partkey"), cells).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == full, s"streamed $streamed vs batch $full")
+
+      // replay day2 (at-least-once): register max-merge makes it a no-op
+      mem.addData(day2: _*)
+      q.processAllAvailable()
+      assert(estimates(path) == full, "replayed batch must not move estimates")
+    } finally q.stop()
+
+    // compact: fewer rows, same estimates
+    val before = spark.read.parquet(path).count()
+    StreamingSketches.compact(spark, path, cells)
+    val after = spark.read.parquet(path).count()
+    assert(after < before && estimates(path).nonEmpty)
+    val full = Sketches.hllServe(
+      Sketches.hllBuild(li, cells, "l_partkey"), cells).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(estimates(path) == full)
+  }
+}
