@@ -357,6 +357,12 @@ object SparkEntry {
       val docs = Tables(s, d, "documents")
       CharLm.perplexityAgainst(docs, docs.filter(col("lang") === "en"))
     }),
+    // keep docs at-or-below their language's median NLL — per-lang
+    // thresholds broadcast back, filter map-side
+    "q_lm_gate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      CharLm.gate(docs, docs.filter(col("lang") === "en"), "lang")
+    }),
     "q_fingerprint" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
@@ -1184,22 +1190,20 @@ object SparkEntry {
     // unseen-gram mass, per-doc mean NLL; ppl exponentiates the ROUNDED
     // nll on both sides so sum-order drift can't amplify through exp
     "q_lm_score" ->
-      """WITH tr AS (SELECT lower(text) AS t FROM documents WHERE lang = 'en'),
-        |tg0 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tr),
-        |c AS (SELECT substr(t, CAST(i AS INT), 3) AS gram, count(*) AS cnt
-        |      FROM tg0 GROUP BY 1),
-        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
-        |m AS (SELECT gram, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM c, st),
-        |u AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS logp_unseen FROM st),
-        |dg0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-        |        FROM (SELECT doc_id, lower(text) AS t FROM documents)),
-        |dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM dg0),
-        |s AS (SELECT doc_id, count(*) AS n_grams,
-        |        round(-avg(coalesce(m.logp, u.logp_unseen)), 4) AS avg_nll
-        |      FROM dg LEFT JOIN m USING (gram) CROSS JOIN u GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, avg_nll,
-        |  round(exp(avg_nll), 4) AS ppl
-        |FROM s""".stripMargin,
+      s"""WITH $lmScoreSql
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, avg_nll,
+         |  round(exp(avg_nll), 4) AS ppl
+         |FROM s""".stripMargin,
+    // the CCNet gate stage: keep docs at-or-below their language's median
+    // NLL under the reference LM — threshold on the ROUNDED score
+    "q_lm_gate" ->
+      s"""WITH $lmScoreSql,
+         |sl AS (SELECT s.doc_id, d.lang, s.avg_nll
+         |       FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |th AS (SELECT lang, round(quantile_cont(avg_nll, 0.5), 4) AS thr
+         |       FROM sl GROUP BY lang)
+         |SELECT doc_id, lang, avg_nll, thr FROM sl JOIN th USING (lang)
+         |WHERE avg_nll <= thr""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
@@ -1719,6 +1723,24 @@ object SparkEntry {
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
        |bg AS (SELECT DISTINCT doc_id AS bench_id, g
        |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
+
+  /** Char-trigram LM scoring CTEs shared by the q_lm_score / q_lm_gate
+    * oracles: en-trained counts, add-0.5 smoothing, unseen mass, per-doc
+    * mean NLL rounded to 4 (the `s` relation). */
+  private def lmScoreSql: String =
+    """tr AS (SELECT lower(text) AS t FROM documents WHERE lang = 'en'),
+      |tg0 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tr),
+      |c AS (SELECT substr(t, CAST(i AS INT), 3) AS gram, count(*) AS cnt
+      |      FROM tg0 GROUP BY 1),
+      |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
+      |m AS (SELECT gram, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM c, st),
+      |u AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS logp_unseen FROM st),
+      |dg0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |        FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+      |dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM dg0),
+      |s AS (SELECT doc_id, count(*) AS n_grams,
+      |        round(-avg(coalesce(m.logp, u.logp_unseen)), 4) AS avg_nll
+      |      FROM dg LEFT JOIN m USING (gram) CROSS JOIN u GROUP BY doc_id)""".stripMargin
 
   /** Per-doc English-stopword ratio — the quality proxy the source-
     * reputation gate averages (same formula as q_text_quality's

@@ -90,4 +90,21 @@ object CharLm {
   def perplexityAgainst(docs: DataFrame, reference: DataFrame,
       alpha: Double = 0.5): DataFrame =
     scoreDocs(docs, trigramCounts(reference), alpha)
+
+  /** The gate stage: keep documents whose NLL under the reference LM is
+    * at-or-below their stratum's `q`-quantile — per-stratum thresholds
+    * broadcast back, filter map-side (the gateByQuantile shape; swap the
+    * exact `percentile` for approx_percentile's mergeable GK sketch when
+    * strata are corpus-sized). Threshold compares ROUNDED values so both
+    * engines select the identical row set. */
+  def gate(docs: DataFrame, reference: DataFrame, stratumCol: String,
+      q: Double = 0.5, alpha: Double = 0.5): DataFrame = {
+    val scored = scoreDocs(docs, trigramCounts(reference), alpha)
+      .join(docs.select(col("doc_id"), col(stratumCol)), "doc_id")
+    val thr = scored.groupBy(col(stratumCol))
+      .agg(round(expr(s"percentile(avg_nll, $q)"), 4).as("thr"))
+    scored.join(broadcast(thr), stratumCol)
+      .filter(col("avg_nll") <= col("thr"))
+      .select(col("doc_id"), col(stratumCol), col("avg_nll"), col("thr"))
+  }
 }
