@@ -292,6 +292,18 @@ object SparkEntry {
     // segment-pigeonhole candidates over DISTINCT values — no cross join
     "q_fuzzy_pairs" -> ((s, d) =>
       FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
+    // bloom-pruned join: lineitem rows for high-balance suppliers — the
+    // dim-key Bloom filter drops non-matching fact rows BEFORE the
+    // exchange; result is exactly the plain join (false positives die in
+    // the join), so the oracle is the plain SQL join
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables(s, d, "supplier").filter(col("s_acctbal") > 7500)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Joins.bloomPrunedJoin(Tables(s, d, "lineitem"), dim, "l_suppkey")
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
     // as-of join: each purchase matched to the user's most recent click
     // at-or-before it — union + running-last, no join node (PlanSpec)
     "q_asof" -> ((s, d) => {
@@ -1054,6 +1066,12 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
         |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_suppkey, s_name, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 7500
+        |GROUP BY l_suppkey, s_name""".stripMargin,
     // the oracle pays the quadratic cross join the Spark side exists to
     // avoid — over DISTINCT names it is 64², checkable
     "q_fuzzy_pairs" ->

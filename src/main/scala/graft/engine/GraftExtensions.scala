@@ -56,6 +56,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_minhash", 4, children.length)
         MinhashSig(children(0), children(1), children(2), children(3))
       }))
+    // Spark's internal runtime-filter Bloom expressions, surfaced as
+    // callable functions for the explicit bloom-pruned join (Spark only
+    // auto-injects them under its own runtime-filtering rule)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_bloom_agg", 3, children.length)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_might_contain", 2, children.length)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_skipgram"),
       new ExpressionInfo(classOf[SkipgramPairs].getName, "graft_skipgram"),

@@ -118,6 +118,38 @@ object Joins {
       case _ => 1
     }
 
+  /** Bloom-pruned equi-join — the pre-shuffle filter for the regime
+    * BETWEEN broadcast and plain shuffle join: the dim side is too big to
+    * broadcast as a hash relation (10⁷-10⁸ keys), but the fact side's
+    * matching fraction is small, so most fact rows shuffle only to be
+    * dropped by the join. A Bloom filter of the dim keys is a few MB at
+    * 1% false positives regardless of row width; testing it MAP-SIDE on
+    * the fact side before the exchange removes ~all non-matching rows
+    * from the shuffle. The join afterwards is unchanged — Bloom false
+    * positives are eliminated there, so the result is EXACTLY the plain
+    * join (spec-asserted), making this a transparent swap-in.
+    *
+    * Spark's own runtime filtering injects this shape only under its
+    * rule's cost heuristics; this surfaces it as an explicit operator via
+    * the same internal expressions (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, registered as graft functions). The
+    * one-value collect of the filter bytes is planning-time
+    * configuration — the same driver-side materialization Spark's
+    * injected scalar subquery performs.
+    *
+    * `expectedItems`/`numBits` size the filter: ~8 bits/key ≈ 2% fpp,
+    * 10 bits ≈ 1%. Defaults fit 10⁶ dim keys in 1.25 MB. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedItems: Long = 1000000L, numBits: Long = 10000000L): DataFrame = {
+    val bf = dim.agg(call_function("graft_bloom_agg",
+      col(key), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned =
+      if (bf == null) fact.filter(lit(false)) // empty dim side
+      else fact.filter(call_function("graft_might_contain", lit(bf), col(key)))
+    pruned.join(dim, key)
+  }
+
   /** As-of join — the time-series join Spark lacks as a built-in: for
     * every `left` row, the single most recent `right` row with the same
     * key and right time <= left time (ties at equal time INCLUDED, right
