@@ -772,6 +772,19 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
         "l_quantity", "l_discount", "l_extendedprice")),
+    // -- Naive Bayes text classifier (closed-form distributed fit): the
+    // smoothed labels×vocabulary model from the md5 train band, and the
+    // argmax language prediction for every document (OOV terms skipped)
+    "q_nb_model" -> ((s, d) =>
+      graft.ml.NaiveBayes.model(
+        Tables(s, d, "documents").filter(Sampling.hashBucket(col("doc_id")) < 90),
+        "lang", "text")),
+    "q_nb_predict" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.ml.NaiveBayes.trainPredict(
+        docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
+        "lang", "doc_id", "text")
+    }),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1689,6 +1702,39 @@ object SparkEntry {
          |           - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * m2, 4) + 0 AS b0
          |FROM m""".stripMargin,
 
+    "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
+    "q_nb_predict" ->
+      s"""$nbModelCte,
+         |priors AS (
+         |  SELECT label, round(ln(CAST(n_docs_l AS DOUBLE) / n_docs), 6) AS log_prior
+         |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs_l
+         |        FROM train GROUP BY 1)
+         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM train)),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term),
+         |scored AS (
+         |  -- integer micro-unit sum: logp is rounded to 6 decimals, so the
+         |  -- long arithmetic is exact and order-independent (mirrors
+         |  -- ml.NaiveBayes.predict)
+         |  SELECT tf.doc_id, m.label,
+         |    CAST(sum(tf.tf * CAST(round(m.logp * 1000000) AS BIGINT)) AS BIGINT) AS ll_micro
+         |  FROM tf JOIN model m ON tf.term = m.term
+         |  GROUP BY tf.doc_id, m.label),
+         |ranked AS (
+         |  SELECT s.doc_id, s.label,
+         |    s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) AS score_micro,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
+         |        s.label) AS rnk
+         |  FROM scored s JOIN priors p USING (label))
+         |SELECT doc_id, label AS pred_label,
+         |  score_micro / 1000000.0 AS score
+         |FROM ranked WHERE rnk = 1""".stripMargin,
+
     "q_mm_hist" -> mmHistSql,
     // frame sample: byte at 0-based position 16*i is the hex-digit pair at
     // (32*i+1, 32*i+2); count = min(ceil(n/16), 8) — mirrors
@@ -1994,6 +2040,29 @@ object SparkEntry {
   /** First-7-md5-nibbles of the doc id as an integer — the deterministic
     * split/sampling bucket base (mirrors graft_md5_prefix(doc_id, 7)). */
   private def md5BucketSql: String = md5BucketSqlOf("doc_id")
+
+  /** Shared Naive Bayes oracle CTE chain: md5 train band → (label, term)
+    * counts → dense add-one-smoothed model (mirrors `ml.NaiveBayes.model`,
+    * same 6-decimal rounding at the model boundary). */
+  private def nbModelCte: String =
+    s"""WITH train AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 90),
+       |counts AS (
+       |  SELECT label, term, CAST(count(*) AS BIGINT) AS n_lt FROM (
+       |    SELECT lang AS label,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |    FROM train)
+       |  GROUP BY label, term),
+       |totals AS (
+       |  SELECT label, CAST(sum(n_lt) AS BIGINT) AS n_l FROM counts GROUP BY label),
+       |vocab AS (SELECT DISTINCT term FROM counts),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+       |model AS (
+       |  SELECT t.label, vo.term,
+       |    round(ln((COALESCE(c.n_lt, 0) + 1) / CAST(t.n_l + vs.v AS DOUBLE)), 6) AS logp
+       |  FROM totals t CROSS JOIN vocab vo CROSS JOIN vs
+       |  LEFT JOIN counts c ON c.label = t.label AND c.term = vo.term)""".stripMargin
 
   private def md5BucketSqlOf(ref: String): String =
     (1 to 7).map { i =>
