@@ -160,6 +160,16 @@ object SparkEntry {
       Sketches.kllServeCheck(Tables(s, d, "lineitem"),
         Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_quantity",
         Seq(0.25, 0.5, 0.75))),
+    // theta set algebra: part-key overlap between the two shipdate halves
+    // — intersection/difference estimated from two single-row sketches,
+    // neither corpus slice joined or shuffled (see Sketches.thetaOverlapCheck)
+    "q_theta_overlap" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val pivot = lit("1998-06-01").cast("timestamp")
+      Sketches.thetaOverlapCheck(
+        li.filter(col("l_shipdate") < pivot),
+        li.filter(col("l_shipdate") >= pivot), "l_partkey")
+    }),
     "q_rollup" -> ((s, d) =>
       Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
@@ -869,6 +879,17 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_theta_overlap" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+        |           WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'),
+        |b AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (v)) AS BIGINT) AS exact_overlap,
+        |  CAST((SELECT count(*) FROM a ANTI JOIN b USING (v)) AS BIGINT) AS exact_only_a,
+        |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_overlap, TRUE AS ok_only_a""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 100 AS user_bucket,
         |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0) AS click,

@@ -86,6 +86,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_skipgram", 2, children.length)
         SkipgramPairs(children(0), children(1))
       }))
+    // theta-sketch set-operation family (intersection/difference — the ops
+    // HLL can't do); same TypedImperativeAggregate tier as Spark's own
+    // DataSketches aggregates
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[graft.expressions.ThetaSketchAgg].getName, "graft_theta_agg"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_theta_agg", 2, children.length)
+        graft.expressions.ThetaSketchAgg(children(0), children(1))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_union_agg"),
+      new ExpressionInfo(classOf[graft.expressions.ThetaUnionAgg].getName, "graft_theta_union_agg"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_theta_union_agg", 1, children.length)
+        graft.expressions.ThetaUnionAgg(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[graft.expressions.ThetaEstimate].getName, "graft_theta_estimate"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_theta_estimate", 1, children.length)
+        graft.expressions.ThetaEstimate(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(classOf[graft.expressions.ThetaIntersect].getName, "graft_theta_intersect"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_theta_intersect", 2, children.length)
+        graft.expressions.ThetaIntersect(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_diff"),
+      new ExpressionInfo(classOf[graft.expressions.ThetaDiff].getName, "graft_theta_diff"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_theta_diff", 2, children.length)
+        graft.expressions.ThetaDiff(children(0), children(1))
+      }))
     // declarative HOF dot products upgrade to the native expression
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

@@ -106,6 +106,75 @@ object Sketches {
 
   private def nameOf(p: Double): String = s"p${math.round(p * 100)}"
 
+  // --------------------------------------------------- theta set algebra
+
+  /** lgK for theta sketches: 2¹² nominal entries ≈ 1.6% RSE; exact below
+    * ~4096 distinct items (sampling never engages). */
+  val ThetaLgK = 12
+
+  private def thetaAgg(value: String, lgK: Int) =
+    call_function("graft_theta_agg", col(value), lit(lgK))
+
+  /** Build the set-algebra artifact: one theta sketch of `value` per
+    * finest-grained `cells` combination. Unlike the HLL artifact, these
+    * rows also support INTERSECTION and DIFFERENCE at serve time. */
+  def thetaBuild(df: DataFrame, cells: Seq[String], value: String,
+      lgK: Int = ThetaLgK): DataFrame =
+    df.groupBy(cells.map(col): _*)
+      .agg(thetaAgg(value, lgK).as("sketch"))
+
+  /** Fold a delta corpus into the theta artifact — sketch the DELTA only,
+    * union per cell (associative + commutative: append ≡ rebuild). */
+  def thetaIngest(artifact: DataFrame, delta: DataFrame, cells: Seq[String],
+      value: String, lgK: Int = ThetaLgK): DataFrame =
+    artifact.unionByName(thetaBuild(delta, cells, value, lgK))
+      .groupBy(cells.map(col): _*)
+      .agg(call_function("graft_theta_union_agg", col("sketch")).as("sketch"))
+
+  /** Serve distinct-count estimates at any rollup of the artifact cells. */
+  def thetaServe(artifact: DataFrame, dims: Seq[String]): DataFrame =
+    artifact.groupBy(dims.map(col): _*)
+      .agg(round(call_function("graft_theta_estimate",
+        call_function("graft_theta_union_agg", col("sketch"))))
+        .cast("long").as("approx_distinct"))
+
+  /** Oracle-comparable set-algebra check between two corpus slices: sketch
+    * each side into ONE row (map-side-combined — neither slice is shuffled
+    * or joined), intersect/difference the two sketches, and emit the EXACT
+    * distinct counts plus booleans asserting each estimate landed within
+    * `bound` of its exact value. The exact side (distinct + joins) exists
+    * only for verification — the production path is the sketch algebra,
+    * whose cost is two scans and four ~KB rows. Below ~2^lgK distinct
+    * items per side the sketches are exact, so the booleans are
+    * deterministic, not probabilistic. */
+  def thetaOverlapCheck(a: DataFrame, b: DataFrame, value: String,
+      bound: Double = 0.05, lgK: Int = ThetaLgK): DataFrame = {
+    val da = a.select(col(value).as("v")).distinct()
+    val db = b.select(col(value).as("v")).distinct()
+    val exacts = da.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(db.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(da.join(db, "v").agg(count(lit(1)).as("exact_overlap")))
+      .crossJoin(da.join(db, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("exact_only_a")))
+    val sketches = a.agg(thetaAgg(value, lgK).as("sk_a"))
+      .crossJoin(b.agg(thetaAgg(value, lgK).as("sk_b")))
+      .select(
+        call_function("graft_theta_estimate", col("sk_a")).as("est_a"),
+        call_function("graft_theta_estimate", col("sk_b")).as("est_b"),
+        call_function("graft_theta_estimate",
+          call_function("graft_theta_intersect", col("sk_a"), col("sk_b")))
+          .as("est_overlap"),
+        call_function("graft_theta_estimate",
+          call_function("graft_theta_diff", col("sk_a"), col("sk_b")))
+          .as("est_only_a"))
+    def ok(est: String, exact: String) =
+      (abs(col(est) - col(exact)) <= col(exact) * bound).as(s"ok${exact.stripPrefix("exact")}")
+    exacts.crossJoin(sketches).select(
+      col("exact_a"), col("exact_b"), col("exact_overlap"), col("exact_only_a"),
+      ok("est_a", "exact_a"), ok("est_b", "exact_b"),
+      ok("est_overlap", "exact_overlap"), ok("est_only_a", "exact_only_a"))
+  }
+
   /** Oracle-comparable serve: quantiles from merged sketches, validated by
     * re-joining the rows and checking each returned value's TRUE rank sits
     * within `eps` of its target — the KLL guarantee (k = 2048 bounds rank
