@@ -160,6 +160,14 @@ object SparkEntry {
       Sketches.kllServeCheck(Tables(s, d, "lineitem"),
         Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_quantity",
         Seq(0.25, 0.5, 0.75))),
+    // heavy hitters: tokens at >= 1% of the corpus token stream from one
+    // bounded-memory frequent-items sketch (exact below eviction; the
+    // oracle computes the same census exactly)
+    "q_heavy_hitters" -> ((s, d) =>
+      Sketches.freqServeCheck(
+        Tables(s, d, "documents")
+          .select(explode(graft.functions.Text.tokens(col("text"))).as("item")),
+        "item", bp = 100)),
     // theta set algebra: part-key overlap between the two shipdate halves
     // — intersection/difference estimated from two single-row sketches,
     // neither corpus slice joined or shuffled (see Sketches.thetaOverlapCheck)
@@ -879,6 +887,14 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM toks),
+        |c AS (SELECT item, CAST(count(*) AS BIGINT) AS est FROM toks GROUP BY item)
+        |SELECT c.item, c.est FROM c CROSS JOIN n
+        |WHERE c.est >= (100 * n.n_stream + 9999) // 10000""".stripMargin,
     "q_theta_overlap" ->
       """WITH a AS (SELECT DISTINCT l_partkey AS v FROM lineitem
         |           WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'),

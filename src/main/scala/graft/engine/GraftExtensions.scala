@@ -125,6 +125,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_theta_diff", 2, children.length)
         graft.expressions.ThetaDiff(children(0), children(1))
       }))
+    // heavy-hitters (frequent-items) sketch family — same tier
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_agg"),
+      new ExpressionInfo(classOf[graft.expressions.FreqSketchAgg].getName, "graft_freq_agg"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_freq_agg", 2, children.length)
+        graft.expressions.FreqSketchAgg(children(0), children(1))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_merge_agg"),
+      new ExpressionInfo(classOf[graft.expressions.FreqMergeAgg].getName, "graft_freq_merge_agg"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_freq_merge_agg", 2, children.length)
+        graft.expressions.FreqMergeAgg(children(0), children(1))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[graft.expressions.FreqItems].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        checkArity("graft_freq_items", 2, children.length)
+        graft.expressions.FreqItems(children(0), children(1))
+      }))
     // declarative HOF dot products upgrade to the native expression
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

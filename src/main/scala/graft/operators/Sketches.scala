@@ -175,6 +175,54 @@ object Sketches {
       ok("est_overlap", "exact_overlap"), ok("est_only_a", "exact_only_a"))
   }
 
+  // ---------------------------------------------------- heavy hitters
+
+  /** maxMapSize for frequent-items sketches: ε ≈ 3.5/1024 ≈ 0.34% of the
+    * stream length; ~32 KB per sketch. */
+  val FreqMaxMapSize = 1024
+
+  /** Build the heavy-hitters artifact: one frequent-items sketch of
+    * `item` per `cells` combination — the bounded-memory census of
+    * dominant tokens / domains / join keys. */
+  def freqBuild(df: DataFrame, cells: Seq[String], item: String,
+      maxMapSize: Int = FreqMaxMapSize): DataFrame =
+    df.groupBy(cells.map(col): _*)
+      .agg(call_function("graft_freq_agg", col(item), lit(maxMapSize))
+        .as("sketch"))
+
+  /** Fold a delta corpus into the artifact — sketch the DELTA only, merge
+    * per cell. Misra-Gries merges keep the error bound additive in ε·N.
+    * The merge map size must match the build's (see FreqMergeAgg). */
+  def freqIngest(artifact: DataFrame, delta: DataFrame, cells: Seq[String],
+      item: String, maxMapSize: Int = FreqMaxMapSize): DataFrame =
+    artifact.unionByName(freqBuild(delta, cells, item, maxMapSize))
+      .groupBy(cells.map(col): _*)
+      .agg(call_function("graft_freq_merge_agg", col("sketch"),
+        lit(maxMapSize)).as("sketch"))
+
+  /** Serve the reported heavy hitters of the merged artifact at `bp` basis
+    * points of the stream: one row per (cells-rollup, reported item). */
+  def freqServe(artifact: DataFrame, dims: Seq[String], bp: Int,
+      maxMapSize: Int = FreqMaxMapSize): DataFrame =
+    artifact.groupBy(dims.map(col): _*)
+      .agg(call_function("graft_freq_merge_agg", col("sketch"),
+        lit(maxMapSize)).as("sk"))
+      .select(dims.map(col) :+
+        explode(call_function("graft_freq_items", col("sk"), lit(bp))).as("r"): _*)
+      .select(dims.map(col) ++ Seq(col("r.item").as("item"),
+        col("r.est").as("est"), col("r.lb").as("lb"), col("r.ub").as("ub")): _*)
+
+  /** Oracle-comparable heavy-hitters query: sketch the `item` stream, keep
+    * items at ≥ `bp` basis points. In the no-eviction regime (distinct
+    * items < ~0.75·maxMapSize) the sketch is exact, so (item, est) rows
+    * equal the exact census both engines compute — the eviction regime's
+    * weaker bound guarantees are spec'd in ThetaSpec/FreqSpec instead. */
+  def freqServeCheck(df: DataFrame, item: String, bp: Int,
+      maxMapSize: Int = FreqMaxMapSize): DataFrame =
+    df.agg(call_function("graft_freq_agg", col(item), lit(maxMapSize)).as("sk"))
+      .select(explode(call_function("graft_freq_items", col("sk"), lit(bp))).as("r"))
+      .select(col("r.item").as("item"), col("r.est").as("est"))
+
   /** Oracle-comparable serve: quantiles from merged sketches, validated by
     * re-joining the rows and checking each returned value's TRUE rank sits
     * within `eps` of its target — the KLL guarantee (k = 2048 bounds rank
