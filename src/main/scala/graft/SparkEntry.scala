@@ -803,6 +803,33 @@ object SparkEntry {
         docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
         "lang", "doc_id", "text")
     }),
+    // -- hashing-trick featurization (no vocabulary, pure map-side);
+    // flattened to f0..f31 scalar columns for the oracle compare (the
+    // minhash-signature convention)
+    "q_feature_hash" -> ((s, d) =>
+      graft.ml.Features.hashedTokenCounts(
+        Tables(s, d, "documents"), "doc_id", "text", dim = 32)
+        .select(col("id") +: (0 until 32).map(i =>
+          element_at(col("features"), i + 1).as(s"f$i")): _*)),
+    // -- distribution drift between two deterministic corpus halves:
+    // per-bin PSI contributions over the n_chars distribution
+    "q_drift_psi" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      Drift.psiReport(
+        docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50),
+        col("n_chars"), binWidth = 100.0)
+    }),
+    // -- k-anonymity: quasi-identifier census + cell suppression
+    "q_k_anon" -> ((s, d) =>
+      Privacy.kAnonymityCensus(Tables(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), k = 10)),
+    "q_k_anon_suppress" -> ((s, d) =>
+      Privacy.kAnonymize(
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+            col("c_acctbal")),
+        Seq("c_mktsegment", "c_nationkey"), k = 10)),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1739,6 +1766,58 @@ object SparkEntry {
          |           - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * m2, 4) + 0 AS b0
          |FROM m""".stripMargin,
 
+    "q_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |slots AS (
+         |  SELECT id, CAST((${md5BucketSqlOf("term")}) % 32 AS INTEGER) AS slot
+         |  FROM toks)
+         |SELECT id,
+         |${(0 until 32).map(i =>
+              s"  CAST(sum(CASE WHEN slot = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+             .mkString(",\n")}
+         |FROM slots GROUP BY id""".stripMargin,
+    "q_drift_psi" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_base
+         |  FROM documents
+         |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 50 GROUP BY 1),
+         |c AS (
+         |  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_cur
+         |  FROM documents
+         |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) >= 50 GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(b.bin, c.bin) AS bin,
+         |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+         |  FROM b FULL OUTER JOIN c ON b.bin = c.bin),
+         |t AS (
+         |  SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+         |    CAST(sum(n_cur) AS BIGINT) AS t_cur,
+         |    CAST(count(*) AS BIGINT) AS n_bins FROM j),
+         |p AS (
+         |  SELECT bin, n_base, n_cur,
+         |    round((n_base + 1) / CAST(t_base + n_bins AS DOUBLE), 6) AS p_base,
+         |    round((n_cur + 1) / CAST(t_cur + n_bins AS DOUBLE), 6) AS p_cur
+         |  FROM j CROSS JOIN t)
+         |SELECT bin, n_base, n_cur, p_base, p_cur,
+         |  round((p_base - p_cur) * ln(p_base / p_cur), 4) AS contrib
+         |FROM p""".stripMargin,
+    "q_k_anon" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < 10 AS at_risk
+        |FROM customer GROUP BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_k_anon_suppress" ->
+      """SELECT c_custkey,
+        |  CASE WHEN cnt >= 10 THEN c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN cnt >= 10 THEN c_nationkey END AS c_nationkey,
+        |  c_acctbal
+        |FROM (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
+        |        count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS cnt
+        |      FROM customer)""".stripMargin,
     "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
     "q_nb_predict" ->
       s"""$nbModelCte,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two corpus snapshots — the
+  * data-quality gate a continuously-ingesting training pipeline runs
+  * before a new crawl batch is allowed into the mix: has the length /
+  * quality / score distribution shifted against the reference corpus?
+  *
+  * Population Stability Index over fixed-width bins:
+  * `PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)` with add-one smoothing over
+  * the union of observed bins (so a bin present on only one side
+  * contributes a finite penalty instead of ∞). Conventional read:
+  * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
+  *
+  * Scale shape: each snapshot collapses to its bin census in ONE
+  * map-side-combined aggregate (bins ≤ hundreds, rows ≤ 100 TB); the
+  * join/smoothing/log arithmetic runs on the two bin tables, never the
+  * corpora. Nothing here is sampled — the censuses are exact. */
+object Drift {
+
+  /** Per-bin drift report between `base` and `current` over `metric`
+    * binned at `binWidth`: (bin, n_base, n_cur, p_base, p_cur, contrib)
+    * with smoothed shares; `contrib` sums to the PSI. Shares and
+    * contributions are rounded (6/4) for cross-engine parity. */
+  def psiReport(base: DataFrame, current: DataFrame, metric: Column,
+      binWidth: Double): DataFrame = {
+    def census(df: DataFrame, n: String) =
+      df.select(floor(metric / binWidth).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val b = census(base, "n_base")
+    val c = census(current, "n_cur")
+    // union of observed bins; each side's total and bin count attach as a
+    // single broadcast row so shares are computed map-side
+    val joined = b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("n_bins"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(((col("n_base") + 1) / (col("t_base") + col("n_bins")))
+          .as("p"), 6).as("p_base"),
+        round(((col("n_cur") + 1) / (col("t_cur") + col("n_bins")))
+          .as("q"), 6).as("p_cur"))
+      .withColumn("contrib",
+        round((col("p_base") - col("p_cur")) * log(col("p_base") / col("p_cur")), 4))
+  }
+
+  /** The single-row PSI summary: total index + the worst bin's share move,
+    * computed from the [[psiReport]] rows (bin-table sized). */
+  def psiSummary(report: DataFrame): DataFrame =
+    report.agg(
+      round(sum(col("contrib")), 4).as("psi"),
+      round(max(abs(col("p_base") - col("p_cur"))), 6).as("max_share_move"),
+      count(lit(1)).as("n_bins"))
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PSI drift report and k-anonymity census/suppression. */
+class DriftPrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("psi is zero when the snapshots are identical") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rep = Drift.psiReport(docs, docs, col("n_chars"), 100.0)
+    assert(rep.filter(col("contrib") =!= 0.0).count() == 0)
+    assert(Drift.psiSummary(rep).head().getDouble(0) == 0.0)
+  }
+
+  test("a planted distribution shift drives psi above the action threshold") {
+    val base = spark.range(0, 1000).select((col("id") % 10 * 100).as("v"))
+    val shifted = spark.range(0, 1000).select((col("id") % 10 * 100 + 500).as("v"))
+    val psi = Drift.psiSummary(
+      Drift.psiReport(base, shifted, col("v"), 100.0)).head().getDouble(0)
+    assert(psi > 0.25, s"psi $psi") // disjoint mass on half the bins
+  }
+
+  test("one-sided bins get the smoothed finite penalty, not infinity") {
+    val base = Seq(100L, 110L, 120L).toDF("v")      // bin 1 only
+    val cur = Seq(100L, 350L).toDF("v")             // bins 1 and 3
+    val rows = Drift.psiReport(base, cur, col("v"), 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(rows.keySet == Set(1L, 3L))
+    assert(!rows.values.exists(_.isInfinite))
+    assert(rows(3L) > 0) // present only in `cur` → positive contribution
+  }
+
+  test("k-anonymity census flags exactly the under-k groups") {
+    val df = Seq.fill(12)(("A", 1)).toDF("seg", "nat")
+      .unionByName(Seq.fill(3)(("B", 2)).toDF("seg", "nat"))
+    val rows = Privacy.kAnonymityCensus(df, Seq("seg", "nat"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(rows == Set(("A", 12L, false), ("B", 3L, true)))
+  }
+
+  test("suppression masks QI cells of at-risk rows only, keeps the rest") {
+    val df = (1 to 12).map(i => (i, "A", 1, i * 10.0))
+      .toDF("id", "seg", "nat", "bal")
+      .unionByName(Seq((99, "B", 2, 5.0)).toDF("id", "seg", "nat", "bal"))
+    val out = Privacy.kAnonymize(df, Seq("seg", "nat"), k = 10).cache()
+    assert(out.count() == 13)
+    val risky = out.filter(col("id") === 99).head()
+    assert(risky.isNullAt(1) && risky.isNullAt(2)) // seg + nat suppressed
+    assert(risky.getDouble(3) == 5.0)              // non-QI column intact
+    assert(out.filter(col("id") =!= 99 &&
+      (col("seg").isNull || col("nat").isNull)).count() == 0)
+  }
+
+  test("suppressed relation keeps k-anonymity: every surviving QI group >= k") {
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val out = Privacy.kAnonymize(customers, Seq("c_mktsegment", "c_nationkey"), k = 5)
+    val sizes = out.filter(col("c_mktsegment").isNotNull)
+      .groupBy(col("c_mktsegment"), col("c_nationkey")).count()
+    assert(sizes.filter(col("count") < 5).count() == 0)
+  }
+}
