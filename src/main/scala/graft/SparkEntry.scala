@@ -830,6 +830,13 @@ object SparkEntry {
           .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
             col("c_acctbal")),
         Seq("c_mktsegment", "c_nationkey"), k = 10)),
+    // -- z-order (Morton) values over two integral dims: the 2-D zone-map
+    // layout key (lake.ZOrder.writeZOrdered range-partitions on it)
+    "q_zorder" -> ((s, d) =>
+      graft.lake.ZOrder.withZValue(
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", bits = 8)),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1818,6 +1825,21 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
         |        count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS cnt
         |      FROM customer)""".stripMargin,
+    "q_zorder" ->
+      s"""WITH s AS (
+         |  SELECT min(l_partkey) AS min_a, max(l_partkey) AS max_a,
+         |         min(l_suppkey) AS min_b, max(l_suppkey) AS max_b
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |    (l_partkey - min_a) * 256 // (max_a - min_a + 1) AS qa,
+         |    (l_suppkey - min_b) * 256 // (max_b - min_b + 1) AS qb
+         |  FROM lineitem CROSS JOIN s)
+         |SELECT l_orderkey, l_partkey, l_suppkey,
+         |  CAST(${(0 until 8).map(i =>
+              s"(((qa >> $i) & 1) << ${2 * i}) + (((qb >> $i) & 1) << ${2 * i + 1})")
+             .mkString(" + ")} AS BIGINT) AS zvalue
+         |FROM q""".stripMargin,
     "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
     "q_nb_predict" ->
       s"""$nbModelCte,

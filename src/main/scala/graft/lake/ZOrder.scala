@@ -1,0 +1,69 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout — the TWO-dimensional zone-map
+  * complement to [[Writers.parquetRangeSorted]]: interleaving the bits of
+  * two quantized dimensions makes rows that are close in (A, B) space
+  * close on the curve, so each output file's parquet min/max footer spans
+  * a small RECTANGLE of the key space instead of a full-width stripe. A
+  * single-dimension sort prunes range scans on that one column only —
+  * every file still spans the full range of the other; the z-layout
+  * prunes selective filters on EITHER dimension (at ~√ the efficiency of
+  * a dedicated sort, the standard trade). Same cost model as the range
+  * layout: one stats row + one range exchange at write time, amortized
+  * over every later scan.
+  *
+  * All arithmetic is integer-exact (quantization uses long division, the
+  * interleave is shift/mask on disjoint bits), so z-values are
+  * reproducible across engines and the SQL oracle replays them. */
+object ZOrder {
+
+  /** Morton interleave of two pre-quantized dims in [0, 2^bits): bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Disjoint bits — the
+    * OR is written as `+` so both engines stay in plain long arithmetic. */
+  def interleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Quantize a long column to [0, 2^bits) rank space against broadcast
+    * corpus min/max: `(x − min) · 2^bits ÷ (max − min + 1)` in exact long
+    * arithmetic — `div` is Spark's IntegralDivide (the Column `/` would be
+    * DOUBLE division), mirrored by DuckDB's `//`. */
+  def quantize(x: Column, minCol: Column, maxCol: Column, bits: Int): Column =
+    call_function("div",
+      (x.cast("long") - minCol) * (1L << bits), maxCol - minCol + 1L)
+
+  /** Append `zvalue` for integral dims `(dimA, dimB)`: one min/max stats
+    * row (map-side agg, broadcast back) + a map-side projection. */
+  def withZValue(df: DataFrame, dimA: String, dimB: String,
+      bits: Int): DataFrame = {
+    val stats = df.agg(
+      min(col(dimA).cast("long")).as("_min_a"),
+      max(col(dimA).cast("long")).as("_max_a"),
+      min(col(dimB).cast("long")).as("_min_b"),
+      max(col(dimB).cast("long")).as("_max_b"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zvalue", interleave(
+        quantize(col(dimA), col("_min_a"), col("_max_a"), bits),
+        quantize(col(dimB), col("_min_b"), col("_max_b"), bits), bits))
+      .drop("_min_a", "_max_a", "_min_b", "_max_b")
+  }
+
+  /** Write `df` z-ordered on `(dimA, dimB)`: range-partition + sort on the
+    * z-value so every file owns one contiguous curve segment (a bounded
+    * rectangle of (A, B) space in its min/max footers). The helper column
+    * is dropped before writing — pruning works off the DIMS' own footers. */
+  def writeZOrdered(df: DataFrame, dimA: String, dimB: String, bits: Int,
+      files: Int, path: String): Unit =
+    withZValue(df, dimA, dimB, bits)
+      .repartitionByRange(files, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+      .write.mode("overwrite").parquet(path)
+}
