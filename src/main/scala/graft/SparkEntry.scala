@@ -484,6 +484,26 @@ object SparkEntry {
           floor(col("n_chars") / lit(100.0)).cast("int").as("bin"))
         .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
         .withColumn("bin_lo", col("bin") * 100)),
+    // equi-DEPTH histogram: 5 ~equal-count buckets cut at exact quintile
+    // boundaries (rounded to 4, broadcast); assignment is a map-side
+    // indicator sum — the heavy-tail-proof twin of q_histogram
+    "q_histogram_equidepth" -> ((s, d) =>
+      Aggregates.equidepthHistogram(
+        Tables(s, d, "lineitem").select(col("l_extendedprice")),
+        "l_extendedprice", 5)),
+    // gap-filled hourly resample: buckets with no traffic appear as
+    // explicit zero rows (grid from the per-type [min,max] span; the raw
+    // events are aggregated exactly once)
+    "q_resample_gapfill" -> ((s, d) =>
+      TimeSeries.resampleGapfill(Tables(s, d, "events"))),
+    // pure range join (no equi key), bucketized: hot-hour intervals
+    // (self-calibrating p90 census threshold) exploded to hour buckets and
+    // BROADCAST; events keyed by their single bucket map-side — the
+    // inequality join becomes an equi-join + filter, corpus never shuffled
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
+    }),
 
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
@@ -635,6 +655,15 @@ object SparkEntry {
     "q_sample_exact_k" -> ((s, d) =>
       Sampling.exactKByHash(Tables(s, d, "documents")
         .select(col("doc_id"), col("lang")), "doc_id", "lang", 20)),
+    // deterministic WEIGHTED sampling without replacement (A-Res): key =
+    // md5-uniform^(1/n_chars), top-20 keys per language — longer docs
+    // claim proportionally more slots, replayable on any engine
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedKByHash(Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", col("n_chars"), 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("wkey"), 6).as("wkey"), col("sample_rank"))),
     // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
     "q_mixture_weights" -> ((s, d) =>
       Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
@@ -733,6 +762,12 @@ object SparkEntry {
     // embedding-training counterpart of the document-level form
     "q_cooccurrence_skipgram" -> ((s, d) =>
       Retrieval.windowCooccurrence(Tables(s, d, "documents"), 3, 50)),
+    // TextRank: damped PageRank over the skip-gram term graph, 3
+    // checkpointed iterations over the vocabulary-bounded edge relation;
+    // per-generation scores rounded to 6 so engines iterate on identical
+    // inputs — top-20 graph-central corpus keywords
+    "q_textrank" -> ((s, d) =>
+      Retrieval.textrank(Tables(s, d, "documents"), 3, 50)),
     // L2 normalization surface over the embedding column: norm via the
     // native graft_dot fold, components order-free (min/max) for exact
     // cross-engine double parity
@@ -1422,11 +1457,89 @@ object SparkEntry {
         |  FROM tk WHERE len(t) >= 2)
         |SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
+    // TextRank: the SAME skip-gram edge CTE, then three unrolled damped
+    // power-iteration steps — each generation re-rounded to 6, mirroring
+    // the Spark side's per-iteration rounding, so float drift can't compound
+    "q_textrank" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pp AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |e AS (
+        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
+        |sym AS (
+        |  SELECT term_a AS src, term_b AS dst, n_ab AS w FROM e
+        |  UNION ALL
+        |  SELECT term_b AS src, term_a AS dst, n_ab AS w FROM e
+        |  WHERE term_a <> term_b),
+        |deg AS (SELECT src, sum(w) AS wdeg FROM sym GROUP BY src),
+        |tr AS (
+        |  SELECT s.src, s.dst, CAST(s.w AS DOUBLE) / d.wdeg AS p
+        |  FROM sym s JOIN deg d ON s.src = d.src),
+        |s0 AS (SELECT src AS term, 1.0 AS score FROM deg),
+        |s1 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
+        |       FROM tr JOIN s0 ON s0.term = tr.src GROUP BY dst),
+        |s2 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
+        |       FROM tr JOIN s1 ON s1.term = tr.src GROUP BY dst),
+        |s3 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
+        |       FROM tr JOIN s2 ON s2.term = tr.src GROUP BY dst)
+        |SELECT term, score FROM s3 ORDER BY score DESC, term LIMIT 20""".stripMargin,
     "q_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bin,
         |  count(*) AS n,
         |  CAST(floor(n_chars / 100.0) AS INTEGER) * 100 AS bin_lo
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_histogram_equidepth" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.2), 4) AS b1,
+        |         round(quantile_cont(l_extendedprice, 0.4), 4) AS b2,
+        |         round(quantile_cont(l_extendedprice, 0.6), 4) AS b3,
+        |         round(quantile_cont(l_extendedprice, 0.8), 4) AS b4
+        |  FROM lineitem)
+        |SELECT CAST((l_extendedprice >= b1) AS INTEGER)
+        |     + CAST((l_extendedprice >= b2) AS INTEGER)
+        |     + CAST((l_extendedprice >= b3) AS INTEGER)
+        |     + CAST((l_extendedprice >= b4) AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 4) AS lo,
+        |  round(max(l_extendedprice), 4) AS hi
+        |FROM lineitem, b
+        |GROUP BY 1""".stripMargin,
+    "q_resample_gapfill" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |    count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL '1 hour')) AS bucket_start
+        |  FROM counts GROUP BY event_type)
+        |SELECT g.event_type, g.bucket_start,
+        |  COALESCE(c.n_events, 0) AS n_events,
+        |  COALESCE(c.total_value, 0.0) AS total_value
+        |FROM grid g LEFT JOIN counts c
+        |  ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hot_hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT round(quantile_cont(n, 0.9), 4) AS thr FROM c),
+        |iv AS (
+        |  SELECT event_type AS hot_type, hot_hour,
+        |         hot_hour - INTERVAL '1 hour' AS iv_start,
+        |         hot_hour + INTERVAL '2 hours' AS iv_end
+        |  FROM c, t WHERE n >= thr)
+        |SELECT iv.hot_type, iv.hot_hour, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM iv JOIN events e ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
+        |GROUP BY 1, 2""".stripMargin,
     "q_vocab_oov" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1605,6 +1718,19 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    pow(((${md5BucketSqlOf("doc_id")}) + 0.5) / 268435456.0,
+         |        1.0 / n_chars) AS wkey
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_chars, wkey,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY wkey DESC, doc_id) AS INTEGER) AS sample_rank
+         |  FROM keyed)
+         |SELECT doc_id, lang, n_chars, round(wkey, 6) AS wkey, sample_rank
+         |FROM r WHERE sample_rank <= 20""".stripMargin,
     "q_mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)

@@ -192,6 +192,33 @@ object Aggregates {
         rankOk(0.75, col("le75"), col("lt75")).as("p75_ok"))
   }
 
+  /** Equi-DEPTH histogram: `nBuckets` buckets holding ~equal row counts,
+    * cut at the exact (1/n .. (n−1)/n) percentiles — the data-profiling
+    * twin of the fixed-width `q_histogram` binning (equal-width bins are
+    * useless on heavy-tailed value columns; equal-depth bins are how
+    * engines build range statistics). Two passes: the boundary row is a
+    * single exact-percentile aggregate, ROUNDED to 4 (the winsorize
+    * convention — both engines cut at the identical boundary) and
+    * broadcast; bucket assignment is then a map-side indicator sum, and
+    * the final per-bucket fold is map-side-combinable. At 100 TB swap the
+    * exact percentile for the mergeable GK sketch ([[approxQuantilesBy]])
+    * — same plan shape, the boundaries just become approximate. */
+  def equidepthHistogram(df: DataFrame, value: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bnds = df.agg(percentile(col(value), array(ps.map(lit): _*)).as("braw"))
+      .select(transform(col("braw"), x => round(x, 4)).as("b"))
+    val bucket = ps.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col(value) >= element_at(col("b"), i + 1), 1).otherwise(0)
+    }
+    df.join(broadcast(bnds))
+      .select(bucket.as("bucket"), col(value))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(value)), 4).as("lo"),
+        round(max(col(value)), 4).as("hi"))
+  }
+
   def rollupAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     df.rollup(keys.map(col): _*).agg(sum(value).as(s"sum_$value"), count(lit(1)).as("count"))
 
@@ -246,6 +273,30 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis A-Res): every row draws its "uniform" u from the md5 of its
+    * id — not an RNG — takes key = u^(1/w), and the top-k keys per stratum
+    * win. Heavier rows claim proportionally more of the k slots (P(row in
+    * sample) follows its weight share), yet the draw is bit-reproducible
+    * across runs, engines and partitionings, so a training mixture sampled
+    * by document quality/length can be replayed exactly. The rank filter
+    * plans as WindowGroupLimit (partial per-task top-k before the
+    * per-stratum merge), the same two-phase shape as [[exactKByHash]] —
+    * no stratum is ever globally sorted. */
+  def weightedKByHash(df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, k: Int): DataFrame = {
+    // u in (0,1): the first 7 md5 nibbles as an integer, centered on the
+    // 2^28 lattice — the engine-wide deterministic uniform (hashBucket's
+    // base, mirrored in SQL by md5BucketSqlOf)
+    val u = (call_function("graft_md5_prefix", col(idCol).cast("string"), lit(7))
+      .cast("double") + 0.5) / (1L << 28).toDouble
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("wkey").desc, col(idCol))
+    df.withColumn("wkey", pow(u, lit(1.0) / weight))
+      .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
 

@@ -138,6 +138,50 @@ object Retrieval {
       .filter(col("n_ab") >= minPairCount)
   }
 
+  /** TextRank keyword extraction: weighted PageRank over the
+    * [[windowCooccurrence]] term graph (Mihalcea & Tarau 2004). Terms are
+    * nodes, co-occurrence counts are edge weights, and after `iterations`
+    * damped power steps the top-`topK` scores are the corpus keywords —
+    * the graph-centrality upgrade of [[tfidfKeywords]] (a term matters if
+    * it co-occurs with terms that matter, not merely if it is frequent).
+    *
+    * Scale shape: the graph is VOCABULARY-bounded — after the one
+    * corpus-wide pair pass (windowCooccurrence, map-side emission, no
+    * join) every relation here is O(edges ≥ minPairCount), orders smaller
+    * than the corpus. Each iteration is one co-partitioned join + one
+    * map-side-combinable sum; the transition relation is checkpointed once
+    * and each score generation is checkpointed so lineage (and plan size)
+    * stays O(1) in the iteration count — the Dedup-CC iteration pattern.
+    *
+    * Determinism: transition probabilities are exact integer ratios and
+    * every generation's scores are ROUNDED to 6 before the next step, so
+    * both engines iterate on identical inputs and cross-engine float drift
+    * cannot compound across iterations. */
+  def textrank(docs: DataFrame, window: Int, minPairCount: Long,
+      damping: Double = 0.85, iterations: Int = 3, topK: Int = 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = windowCooccurrence(docs, window, minPairCount)
+    // undirected: each edge contributes both directions (self-loops from
+    // within-window repeats stay single — a=b emits one row)
+    val sym = e.select(col("term_a").as("src"), col("term_b").as("dst"), col("n_ab").as("w"))
+      .unionByName(e.filter(col("term_a") =!= col("term_b"))
+        .select(col("term_b").as("src"), col("term_a").as("dst"), col("n_ab").as("w")))
+    val deg = sym.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val trans = sym.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wdeg")).as("p"))
+      .localCheckpoint(false)
+    var scores = deg.select(col("src").as("term"), lit(1.0).as("score"))
+    (1 to iterations).foreach { _ =>
+      scores = trans.join(scores.withColumnRenamed("term", "src"), "src")
+        .groupBy(col("dst").as("term"))
+        .agg(round(lit(1 - damping) + lit(damping) * sum(col("p") * col("score")), 6)
+          .as("score"))
+        .localCheckpoint(false)
+    }
+    scores.orderBy(col("score").desc, col("term")).limit(topK)
+  }
+
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession

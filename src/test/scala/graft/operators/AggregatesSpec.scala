@@ -125,4 +125,23 @@ class AggregatesSpec extends SparkSpec {
     // cube additionally has per-Departments rows with Name NULL
     assert(c.filter(col("Name").isNull && col("Departments") === "IOT").count() == 1)
   }
+
+  test("equidepthHistogram: ~equal bucket depths, ordered non-overlapping ranges, mass conserved") {
+    import spark.implicits._
+    val n = 1000
+    // heavy-tailed values: equal-WIDTH bins would put ~everything in bin 0
+    val df = (1 to n).map(i => math.pow(i.toDouble, 3)).toDF("v")
+    val h = Aggregates.equidepthHistogram(df, "v", 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(h.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(h.map(_._2).sum == n, "every row lands in exactly one bucket")
+    // exact-percentile cuts on distinct values: depths within ±1 of n/5
+    h.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 5) <= 1, s"bucket $b depth $cnt far from ${n / 5}") }
+    // ranges are ordered and non-overlapping
+    h.sliding(2).foreach { case Array((_, _, _, hi0), (_, _, lo1, _)) =>
+      assert(hi0 <= lo1, s"bucket ranges overlap: $hi0 > $lo1")
+    case _ => () }
+  }
 }

@@ -156,4 +156,27 @@ class RetrievalSpec extends SparkSpec {
     // matched-row aggregations and the final per-query window
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("textrank: graph-central hub outranks equally-frequent satellites; scores bounded; deterministic") {
+    import spark.implicits._
+    // "hub" co-occurs with every satellite; satellites only see the hub
+    // and their own repeats — same raw frequency, different centrality
+    val sats = Seq("aa", "bb", "cc", "dd")
+    val corpus = (1 to 30).flatMap { _ =>
+      sats.map(s => s"hub $s hub $s")
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val ranked = Retrieval.textrank(corpus, window = 2, minPairCount = 2,
+      iterations = 3, topK = 5).collect()
+    assert(ranked.head.getString(0) == "hub",
+      s"expected hub first, got ${ranked.map(_.getString(0)).mkString(",")}")
+    val hubScore = ranked.head.getDouble(1)
+    ranked.tail.foreach(r => assert(r.getDouble(1) < hubScore))
+    // damped PageRank scores stay >= (1 - d)
+    ranked.foreach(r => assert(r.getDouble(1) >= 0.15))
+    // layout must not change the result (rounded per iteration)
+    val again = Retrieval.textrank(corpus.repartition(7), window = 2,
+      minPairCount = 2, iterations = 3, topK = 5).collect()
+    assert(ranked.map(r => (r.getString(0), r.getDouble(1))).toSeq
+      == again.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
 }

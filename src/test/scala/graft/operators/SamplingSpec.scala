@@ -98,4 +98,25 @@ class SamplingSpec extends SparkSpec {
     val w = weights(0.7)
     assert(w("en") < 0.8 && w("en") > w("fr") && math.abs(w.values.sum - 1.0) < 1e-6)
   }
+
+  test("weightedKByHash: exact k per stratum, weight-proportional selection, layout-invariant, partial rank cut") {
+    import spark.implicits._
+    // 50 heavy (w=1000) + 150 light (w=1) rows in one stratum: with k=30,
+    // A-Res keys u^(1/w) concentrate near 1 for heavy rows, so the sample
+    // must be dominated by them (expected light picks ≈ 30·150/(50·1000+150)
+    // ≪ 1 per draw batch; allow a generous margin)
+    val df = (1L to 200L).map(i => (i, "en", if (i <= 50) 1000.0 else 1.0))
+      .toDF("doc_id", "lang", "w")
+    val picked = Sampling.weightedKByHash(df, "doc_id", "lang", col("w"), 30)
+    assert(picked.count() == 30)
+    val heavy = picked.filter(col("doc_id") <= 50).count()
+    assert(heavy >= 25, s"heavy rows won only $heavy of 30 slots")
+    // deterministic under physical layout changes
+    val reparted = Sampling.weightedKByHash(df.repartition(7), "doc_id", "lang", col("w"), 30)
+    assert(picked.select("doc_id").as[Long].collect().toSet
+      == reparted.select("doc_id").as[Long].collect().toSet)
+    // the per-stratum rank cut stays a partial (per-task) group limit
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

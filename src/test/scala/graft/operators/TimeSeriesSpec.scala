@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Tables
+
+/** Gap-filled resampling and the bucketized pure-range join: zero-fill
+  * semantics, equivalence to the naive inequality join, and the
+  * no-corpus-shuffle plan shape. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("resampleGapfill: silent buckets become explicit zero rows; traffic is conserved") {
+    import spark.implicits._
+    // type "a": events at hours 0 and 3 -> hours 1, 2 must appear as zeros;
+    // type "b": single hour -> exactly one row, no padding outside its span
+    val ev = Seq(
+      ("a", "2024-01-01 00:10:00", 5.0),
+      ("a", "2024-01-01 00:40:00", 7.0),
+      ("a", "2024-01-01 03:05:00", 1.0),
+      ("b", "2024-01-01 02:30:00", 2.0)
+    ).toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.resampleGapfill(ev)
+      .orderBy("event_type", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01 00:00:00.0", 2L, 12.0),
+      ("a", "2024-01-01 01:00:00.0", 0L, 0.0),
+      ("a", "2024-01-01 02:00:00.0", 0L, 0.0),
+      ("a", "2024-01-01 03:00:00.0", 1L, 1.0),
+      ("b", "2024-01-01 02:00:00.0", 1L, 2.0)), got.mkString("; "))
+    // on the real table: zero rows exist (a month of hours has gaps at
+    // sf0.001) and the filled counts sum back to the raw event count
+    val filled = TimeSeries.resampleGapfill(Tables(spark, sfDir, "events"))
+    assert(filled.filter(col("n_events") === 0).count() > 0, "expected gap rows")
+    val total = filled.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables(spark, sfDir, "events").count())
+  }
+
+  test("rangeJoinBucketed ≡ naive inequality join; intervals honor the census threshold") {
+    val ev = Tables(spark, sfDir, "events")
+    val iv = TimeSeries.hotIntervals(ev)
+    assert(iv.count() > 0, "p90 census threshold must select some intervals")
+    val bucketed = TimeSeries.rangeJoinBucketed(iv, ev)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    // ground truth: the unbucketized inequality join (fine at fixture scale)
+    val naive = iv.join(ev, ev("ts") >= iv("iv_start") && ev("ts") < iv("iv_end"))
+      .groupBy(col("hot_type"), col("hot_hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bucketed == naive)
+  }
+
+  test("rangeJoinBucketed plan: the range join itself is an equi-join on bucket with the interval side broadcast") {
+    val ev = Tables(spark, sfDir, "events")
+    val plan = TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
+      .queryExecution.executedPlan.toString
+    // the inequality join must have become a broadcast HASH join keyed on
+    // the hour bucket, carrying the ts range as a residual condition —
+    // NOT a nested-loop over (events × intervals)
+    assert(plan.contains("BroadcastHashJoin [bucket"), plan)
+    assert(plan.contains("(ts"), plan) // residual range condition attached
+    // the only nested-loop allowed is hotIntervals' single-row percentile
+    // threshold attach (the engine-wide single-row-broadcast pattern)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlj <= 1, s"$nlj nested-loop joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
