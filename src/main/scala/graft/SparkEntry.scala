@@ -310,6 +310,13 @@ object SparkEntry {
     // segment-pigeonhole candidates over DISTINCT values — no cross join
     "q_fuzzy_pairs" -> ((s, d) =>
       FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
+    // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin): ALL
+    // shingle-set pairs with Jaccard >= 0.5, lossless — the completeness
+    // guarantee the MinHash-LSH tier trades away; candidates key on each
+    // set's RAREST shingles. Oracle is the INDEPENDENT brute-force
+    // formulation (losslessness spec-proven vs brute force in-repo)
+    "q_setsim_exact" -> ((s, d) =>
+      FuzzyJoin.setSimilarityPairs(Tables(s, d, "documents"), 0.5)),
     // bloom-pruned join: lineitem rows for high-balance suppliers — the
     // dim-key Bloom filter drops non-matching fact rows BEFORE the
     // exchange; result is exactly the plain join (false positives die in
@@ -504,6 +511,27 @@ object SparkEntry {
       val ev = Tables(s, d, "events")
       TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
     }),
+    // LOCF backfill: error events report no value (nulled deterministically
+    // here); each user's gap carries the last non-null forward — one
+    // running last(ignoreNulls) window, the sessionization plan shape
+    "q_locf" -> ((s, d) => {
+      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      TimeSeries.locf(ev, "user_id", "ts", "event_id", "v")
+        .select(col("event_id"), col("user_id"),
+          round(col("filled"), 2).as("v_filled"))
+    }),
+    // weekly cohort retention matrix: first-event week × active week,
+    // distinct users — two user_id-co-partitioned aggregates + one
+    // (cohorts × weeks)-bounded fold
+    "q_cohort_retention" -> ((s, d) =>
+      TimeSeries.cohortRetention(Tables(s, d, "events"))),
+    // trailing 24 h z-score anomaly flags over the GAP-FILLED series (zero
+    // rows keep the frame honest); μ/σ/z rounded before every compare
+    "q_anomaly_zscore" -> ((s, d) =>
+      TimeSeries.anomalyZscore(Tables(s, d, "events"))),
 
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
@@ -872,6 +900,44 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
         "l_partkey", "l_suppkey", bits = 8)),
+    // SCD2 dimension merge: a deterministic update batch (changed /
+    // unchanged / brand-new keys) against the customer snapshot — changed
+    // keys close + reopen, unchanged pass through, new keys open; one
+    // full-outer equi-join, null-safe struct compare map-side
+    "q_scd2" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+      val attrs = Seq("c_name", "c_mktsegment", "c_acctbal")
+      val current = cust.select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"),
+        lit("2024-01-01").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val updates = cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            (col("c_acctbal") + 100).as("c_acctbal"))
+        .unionByName(cust
+          .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+      Evolve.scd2Merge(current, updates, "c_custkey", attrs,
+        lit("2024-06-01").cast("timestamp"))
+    }),
+    // snapshot diff (write-audit-publish): row-level added / removed /
+    // changed / same between two deterministic snapshots of customer
+    "q_snapshot_diff" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+      val attrs = Seq("c_name", "c_mktsegment", "c_acctbal")
+      val after = cust.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+            col("c_mktsegment"), col("c_acctbal")))
+      Evolve.snapshotDiff(cust, after, "c_custkey", attrs)
+    }),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1200,6 +1266,20 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // deliberately the BRUTE-FORCE formulation (no prefix filter): the
+    // Spark side's prefix-filtered candidates must reproduce the full
+    // threshold join exactly — the losslessness claim IS the compare
+    "q_setsim_exact" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(sh) AS s FROM ($shinglesSql)
+         |  WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+         |    AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
     "q_asof" ->
       """WITH u AS (
         |  SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
@@ -1540,6 +1620,59 @@ object SparkEntry {
         |  round(sum(e.value), 2) AS total_value
         |FROM iv JOIN events e ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
         |GROUP BY 1, 2""".stripMargin,
+    "q_locf" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+        |FROM e""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
+        |firsts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
+        |SELECT f.cohort_week, w.week, count(DISTINCT w.user_id) AS n_users,
+        |  CAST((epoch(w.week) - epoch(f.cohort_week)) / 604800 AS INTEGER)
+        |    AS week_offset
+        |FROM (SELECT DISTINCT user_id, week FROM weeks) w
+        |JOIN firsts f ON w.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // the gap-filled series CTEs are q_resample_gapfill's, then one
+    // trailing-24 window; mu/sigma/z rounded exactly like the Spark side
+    "q_anomaly_zscore" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |    count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL '1 hour')) AS bucket_start
+        |  FROM counts GROUP BY event_type),
+        |filled AS (
+        |  SELECT g.event_type, g.bucket_start,
+        |    COALESCE(c.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
+        |win AS (
+        |  SELECT event_type, bucket_start, n_events,
+        |    count(n_events) OVER w AS n_window,
+        |    round(avg(n_events) OVER w, 4) AS mu,
+        |    round(stddev_pop(n_events) OVER w, 4) AS sigma
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket_start, n_events,
+        |  CASE WHEN sigma > 0
+        |    THEN round((n_events - mu) / sigma, 4) END AS z,
+        |  CASE WHEN sigma > 0
+        |    THEN abs(round((n_events - mu) / sigma, 4)) >= 3.0
+        |    ELSE n_events <> mu END AS is_anomaly
+        |FROM win WHERE n_window = 24""".stripMargin,
     "q_vocab_oov" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1951,6 +2084,56 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
         |        count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS cnt
         |      FROM customer)""".stripMargin,
+    "q_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey AS k, c_name, c_mktsegment, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k, c_name, c_mktsegment,
+        |    c_acctbal + 100 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, 'NEWSEG', 0.0
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT cur.k AS lk, upd.k AS uk,
+        |    cur.c_name AS ln, cur.c_mktsegment AS ls, cur.c_acctbal AS lb,
+        |    upd.c_name AS un, upd.c_mktsegment AS us, upd.c_acctbal AS ub,
+        |    (cur.c_name IS NOT DISTINCT FROM upd.c_name
+        |      AND cur.c_mktsegment IS NOT DISTINCT FROM upd.c_mktsegment
+        |      AND cur.c_acctbal IS NOT DISTINCT FROM upd.c_acctbal) AS same
+        |  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+        |SELECT lk AS c_custkey, ln AS c_name, ls AS c_mktsegment,
+        |  lb AS c_acctbal, TIMESTAMP '2024-01-01' AS valid_from,
+        |  CAST(NULL AS TIMESTAMP) AS valid_to
+        |FROM j WHERE uk IS NULL OR (lk IS NOT NULL AND same)
+        |UNION ALL
+        |SELECT lk, ln, ls, lb, TIMESTAMP '2024-01-01',
+        |  TIMESTAMP '2024-06-01'
+        |FROM j WHERE lk IS NOT NULL AND uk IS NOT NULL AND NOT same
+        |UNION ALL
+        |SELECT COALESCE(lk, uk), un, us, ub, TIMESTAMP '2024-06-01',
+        |  CAST(NULL AS TIMESTAMP)
+        |FROM j WHERE uk IS NOT NULL AND (lk IS NULL OR NOT same)""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH aft AS (
+        |  SELECT c_custkey AS k, c_name, c_mktsegment,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT COALESCE(b.c_custkey, a.k) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN a.k IS NULL THEN 'removed'
+        |       WHEN b.c_name IS NOT DISTINCT FROM a.c_name
+        |         AND b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment
+        |         AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM customer b FULL OUTER JOIN aft a ON b.c_custkey = a.k""".stripMargin,
     "q_zorder" ->
       s"""WITH s AS (
          |  SELECT min(l_partkey) AS min_a, max(l_partkey) AS max_a,

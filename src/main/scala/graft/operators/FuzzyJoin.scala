@@ -104,4 +104,55 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
       .filter(col("dist") <= k)
   }
+
+  /** EXACT set-similarity self-join — ALL pairs with Jaccard ≥ `threshold`
+    * over distinct 3-gram shingle sets — via PREFIX FILTERING (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    * The lossless complement of the MinHash-LSH dedup tier: LSH trades
+    * recall for speed; this tier guarantees completeness and still never
+    * forms the O(n²) cross join.
+    *
+    * Prefix filter (lossless): order every set by ascending global
+    * document frequency (ties by shingle) and keep each set's first
+    * |x| − ⌈t·|x|⌉ + 1 shingles. If J(x,y) ≥ t then |x∩y| ≥ t·|x∪y| ≥
+    * t·|x|; were NO shared shingle inside x's prefix, all shared shingles
+    * would fit in the remaining ⌈t·|x|⌉ − 1 < t·|x| tail slots —
+    * contradiction. Symmetrically for y, so the globally-smallest shared
+    * shingle lies in BOTH prefixes and the prefix equi-join emits every
+    * qualifying pair.
+    *
+    * Scale shape: the candidate join keys on PREFIX shingles only, and
+    * prefixes hold each set's RAREST shingles by construction, so join
+    * buckets concentrate at df ≈ 1 — the frequency ordering is itself the
+    * skew defence (mass-duplicated documents still pool in one bucket;
+    * under mass duplication run the exact-dedup tier first, or add the
+    * banding tiers' census cap). Only candidates pay the exact
+    * `array_intersect` verify, joined against the ONCE-materialized set
+    * relation. The per-doc prefix rank is a window over doc_id — each
+    * document's own shingles, never a corpus-wide sort. */
+  def setSimilarityPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sets = Dedup.shingleSetRelation(docs).localCheckpoint(false)
+    val post = sets.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("shingle"))
+    val dft = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val pref = post.join(dft, "shingle")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      .select(col("shingle"), col("doc_id"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series surfaces over the events stream: gap-filled resampling and
@@ -65,6 +66,75 @@ object TimeSeries {
       .select(col(typeCol).as("hot_type"), col("hot_hour"),
         (col("hot_hour") - expr("interval 1 hour")).as("iv_start"),
         (col("hot_hour") + expr("interval 2 hours")).as("iv_end"))
+  }
+
+  /** Last-observation-carried-forward (LOCF): per `key`, ordered by
+    * (`time`, `tie`), every null in `value` is replaced by the most recent
+    * non-null — the canonical sensor/metric backfill (an instrument that
+    * reports only on change needs LOCF before any rate or join-asof math).
+    * One running `last(ignoreNulls)` window: a single shuffle on `key`,
+    * per-key in-partition sort, no self-join, no explode — the
+    * sessionization plan shape. Rows before a key's first observation
+    * stay null (LOCF has nothing to carry). */
+  def locf(df: DataFrame, key: String, time: String, tie: String,
+      value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("filled", last(col(value), ignoreNulls = true).over(w))
+  }
+
+  /** Weekly cohort retention: each user's cohort is the week of their
+    * first event; count distinct users of cohort c still active in week w
+    * — the (cohort_week, week, n_users) matrix product analytics reads as
+    * "of January's signups, how many came back in March". Two aggregates
+    * co-partitioned on user_id (first-week + distinct active weeks) and
+    * one (cohorts × weeks)-bounded final fold — each corpus-wide step is
+    * map-side-combinable, nothing is quadratic. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val weeks = events.select(col("user_id"), wk.as("week"))
+    val firsts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.distinct().join(firsts, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("week_offset",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+          / 604800L).cast("int"))
+  }
+
+  /** Trailing-window z-score anomaly flags over the GAP-FILLED hourly
+    * series: for each (type, hour), z = (count − μ)/σ against the previous
+    * `lookback` hours, flagged when |z| ≥ `zThresh`. Gap filling first is
+    * the correctness point — without explicit zero rows the trailing
+    * window would skip silent hours and both μ and the frame width would
+    * be wrong. Only COMPLETE windows score (n_window = lookback) and
+    * zero-variance windows are excluded (z undefined).
+    *
+    * A zero-variance window is NOT dropped: a constant history with a
+    * deviating current value (the first burst after total silence — σ = 0,
+    * x ≠ μ) is the most anomalous case of all, so it flags with z = null
+    * (the magnitude is undefined, the fact isn't).
+    *
+    * Determinism: μ and σ are ROUNDED to 4 before the division and z is
+    * rounded before the threshold compare, so the flag is identical across
+    * engines regardless of windowed-aggregation accumulation order. Scale:
+    * the window runs over the (types × hours)-bounded filled series, not
+    * the raw events — one corpus pass total. */
+  def anomalyZscore(events: DataFrame, lookback: Int = 24,
+      zThresh: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
+      .rowsBetween(-lookback, -1)
+    resampleGapfill(events)
+      .withColumn("n_window", count(col("n_events")).over(w))
+      .withColumn("mu", round(avg(col("n_events")).over(w), 4))
+      .withColumn("sigma", round(stddev_pop(col("n_events")).over(w), 4))
+      .filter(col("n_window") === lookback)
+      .withColumn("z", when(col("sigma") > 0,
+        round((col("n_events") - col("mu")) / col("sigma"), 4)))
+      .select(col("event_type"), col("bucket_start"), col("n_events"), col("z"),
+        when(col("sigma") > 0, abs(col("z")) >= zThresh)
+          .otherwise(col("n_events") =!= col("mu")).as("is_anomaly"))
   }
 
   /** Pure range join — NO equi key: every event whose ts falls inside an

@@ -58,4 +58,38 @@ class FuzzyJoinSpec extends SparkSpec {
     // verify still exact on whatever survives
     capped.foreach { case (a, b, d) => assert(full.contains((a, b, d))) }
   }
+
+  test("setSimilarityPairs: LOSSLESS vs brute-force threshold join on the real table") {
+    import spark.implicits._
+    import graft.lake.Tables
+    import graft.functions.Text
+    val docs = Tables(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val got = FuzzyJoin.setSimilarityPairs(docs, 0.5).collect().map(key).toSet
+    // brute force: the full cross product, no prefix filter
+    val sets = Dedup.shingleSetRelation(docs)
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+      .withColumn("j",
+        col("inter") / (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("j"), 4))
+      .collect().map(key).toSet
+    assert(got == brute, s"prefix-filtered ${got.size} != brute ${brute.size}")
+    assert(got.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("setSimilarityPairs: planted near-identical pair found at its exact Jaccard; prefix join prunes") {
+    import spark.implicits._
+    // docs 1/2 share all but one shingle; doc 3 disjoint
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = FuzzyJoin.setSimilarityPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 6 shingles per doc, 5 shared -> J = 5/7 ≈ 0.7143; (1,3)/(2,3) disjoint
+    assert(got.toSeq == Seq((1L, 2L, 0.7143)), got.mkString(","))
+  }
 }

@@ -51,6 +51,68 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("locf: nulls carry the last observation forward per key; leading nulls stay null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(20.0)),
+      (2L, 1, None), (2L, 2, Some(5.0)), (2L, 3, None)
+    ).toDF("k", "seq", "v")
+    val got = TimeSeries.locf(df, "k", "seq", "seq", "v")
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 1, Some(10.0)), (1L, 2, Some(10.0)), (1L, 3, Some(10.0)), (1L, 4, Some(20.0)),
+      (2L, 1, None), (2L, 2, Some(5.0)), (2L, 3, Some(5.0))), got.mkString(","))
+  }
+
+  test("cohortRetention: users counted in their first-event week's cohort, offsets in weeks") {
+    import spark.implicits._
+    // u1 joins week of Jan 1 (Mon), active again 2 weeks later;
+    // u2 joins the NEXT week — two distinct cohorts
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-15 10:00:00"),
+      (1L, "2024-01-15 11:00:00"), // same week twice -> counted once
+      (2L, "2024-01-08 10:00:00")
+    ).toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    val got = TimeSeries.cohortRetention(ev)
+      .orderBy("cohort_week", "week").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        r.getTimestamp(1).toString.take(10), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", "2024-01-01", 1L, 0),
+      ("2024-01-01", "2024-01-15", 1L, 2),
+      ("2024-01-08", "2024-01-08", 1L, 0)), got.mkString(","))
+  }
+
+  test("anomalyZscore: planted spike after a quiet stretch is flagged BECAUSE zero rows are in the frame") {
+    import spark.implicits._
+    // one event/hour for 30 hours, silence for 30 hours, then a 40-event
+    // burst: the trailing-24h window before the burst is mostly zeros, so
+    // z is huge — but ONLY if the silent hours exist as explicit rows
+    val rows =
+      (0 until 30).map(h =>
+        ("a", f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:30:00", 1.0)) ++
+      (0 until 40).map(_ => ("a", "2024-01-03 12:30:00", 1.0))
+    val ev = rows.toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val flagged = TimeSeries.anomalyZscore(ev)
+      .filter(col("is_anomaly")).collect()
+    val burst = flagged.filter(_.getTimestamp(1).toString.startsWith("2024-01-03 12:00"))
+    assert(burst.nonEmpty, s"burst hour not flagged: ${flagged.mkString(";")}")
+    // the burst's trailing day is ALL zeros: σ = 0 branch — flagged with
+    // z undefined (null), not silently dropped
+    assert(burst.head.isNullAt(3), burst.head.toString)
+    // the first silent hours after the active stretch flag as NEGATIVE
+    // z-score anomalies (traffic died), σ > 0 branch
+    assert(flagged.exists(r => !r.isNullAt(3) && r.getDouble(3) < -3),
+      flagged.mkString(";"))
+    // quiet hours deep in the silence (all-zero window, x = μ) are normal
+    val quiet = TimeSeries.anomalyZscore(ev)
+      .filter(!col("is_anomaly") && col("n_events") === 0)
+    assert(quiet.count() > 0)
+  }
+
   test("rangeJoinBucketed plan: the range join itself is an equi-join on bucket with the interval side broadcast") {
     val ev = Tables(spark, sfDir, "events")
     val plan = TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
