@@ -30,8 +30,10 @@ object Evolve {
     * Closed history rows are NOT read or rewritten — at 100 TB the closed
     * partition is untouched and this merge runs over live rows only
     * (partition `current` by valid_to nullness). One outer equi-join on
-    * `key`; change detection is a map-side struct compare (null-safe `<=>`
-    * per attribute). */
+    * `key`, ONE pass over the joined rows: each row emits its output
+    * version rows (pass-through / close / open) through a conditional-
+    * array explode — map-side, no re-scan, no materialization of the
+    * joined dimension. Change detection is a null-safe struct compare. */
   def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
       attrs: Seq[String], asOf: Column): DataFrame = {
     val live = current.filter(col("valid_to").isNull)
@@ -41,23 +43,27 @@ object Evolve {
     val joined = live
       .withColumn("l_attrs", struct(attrs.map(col): _*))
       .join(u, col(key) === col("u_key"), "full_outer")
-      .localCheckpoint(false) // three consumers below — join runs ONCE
-    val changed = col("u_key").isNotNull && col(key).isNotNull &&
-      !(col("l_attrs") <=> col("u_attrs"))
-    // surviving live rows: unmatched keys + unchanged matches
-    val kept = joined.filter(col("u_key").isNull ||
-        (col(key).isNotNull && (col("l_attrs") <=> col("u_attrs"))))
-      .select(current.columns.map(col): _*)
-    // matched-and-changed live rows close
-    val nowClosed = joined.filter(changed)
-      .select((current.columns.filterNot(_ == "valid_to").map(col) :+
-        asOf.as("valid_to")): _*)
-    // changed + brand-new keys open a fresh version
-    val opened = joined.filter(changed || col(key).isNull)
-      .select((Seq(coalesce(col(key), col("u_key")).as(key)) ++
-        attrs.map(a => col("u_attrs").getField(a).as(a)) ++
-        Seq(asOf.as("valid_from"), lit(null).cast("timestamp").as("valid_to"))): _*)
-    closed.unionByName(kept).unionByName(nowClosed).unionByName(opened)
+    val matched = col("u_key").isNotNull && col(key).isNotNull
+    val changed = matched && !(col("l_attrs") <=> col("u_attrs"))
+    def version(k: Column, a: String => Column, from: Column,
+        to: Column): Column =
+      struct((Seq(k.as(key)) ++ attrs.map(c => a(c).as(c)) ++
+        Seq(from.as("valid_from"), to.cast("timestamp").as("valid_to"))): _*)
+    val nullTs = lit(null).cast("timestamp")
+    val emitted = array(
+      // surviving live row: unmatched key, or unchanged match
+      when(col("u_key").isNull || (matched && !changed),
+        version(col(key), col(_), col("valid_from"), col("valid_to"))),
+      // matched-and-changed live row closes
+      when(changed, version(col(key), col(_), col("valid_from"), asOf)),
+      // changed + brand-new keys open a fresh version
+      when(changed || col(key).isNull,
+        version(coalesce(col(key), col("u_key")),
+          a => col("u_attrs").getField(a), asOf, nullTs)))
+    val merged = joined
+      .select(explode(filter(emitted, _.isNotNull)).as("r"))
+      .select(col("r.*"))
+    closed.unionByName(merged.select(current.columns.map(col): _*))
   }
 
   /** Snapshot diff: row-level change report between two snapshots of the
