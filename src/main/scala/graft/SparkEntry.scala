@@ -924,6 +924,25 @@ object SparkEntry {
       Evolve.scd2Merge(current, updates, "c_custkey", attrs,
         lit("2024-06-01").cast("timestamp"))
     }),
+    // data-quality rule report: five declarative checks over lineitem in
+    // ONE map-side-combinable scan (null predicate = violation)
+    "q_dq_report" -> ((s, d) =>
+      Audit.ruleReport(Tables(s, d, "lineitem"), Seq(
+        "quantity_in_range" -> col("l_quantity").between(1, 50),
+        "discount_in_range" -> col("l_discount").between(0, 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "shipdate_present" -> col("l_shipdate").isNotNull,
+        "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
+    // referential-integrity audit vs a deterministically LOSSY dimension
+    // (every third customer dropped): orphaned orders per status — the
+    // anti join broadcasts the dim key set
+    "q_dq_orphans" -> ((s, d) =>
+      Audit.referentialOrphans(Tables(s, d, "orders"),
+          Tables(s, d, "customer").filter(col("c_custkey") % 3 =!= 0),
+          "o_custkey", "c_custkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("o_custkey")).as("n_orphan_keys"))),
     // snapshot diff (write-audit-publish): row-level added / removed /
     // changed / same between two deterministic snapshots of customer
     "q_snapshot_diff" -> ((s, d) => {
@@ -2117,6 +2136,36 @@ object SparkEntry {
         |SELECT COALESCE(lk, uk), un, us, ub, TIMESTAMP '2024-06-01',
         |  CAST(NULL AS TIMESTAMP)
         |FROM j WHERE uk IS NOT NULL AND (lk IS NULL OR NOT same)""".stripMargin,
+    "q_dq_report" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_quantity,
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_discount,
+        |    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_ship,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v_flag
+        |  FROM lineitem)
+        |SELECT r.rule, r.n_violations, a.n_rows,
+        |  round(r.n_violations / CAST(a.n_rows AS DOUBLE), 6) AS violation_rate
+        |FROM a, (
+        |  SELECT 'quantity_in_range' AS rule, v_quantity AS n_violations FROM a
+        |  UNION ALL SELECT 'discount_in_range', v_discount FROM a
+        |  UNION ALL SELECT 'price_positive', v_price FROM a
+        |  UNION ALL SELECT 'shipdate_present', v_ship FROM a
+        |  UNION ALL SELECT 'flag_known', v_flag FROM a) r""".stripMargin,
+    "q_dq_orphans" ->
+      """SELECT o_orderstatus, count(*) AS n_orphans,
+        |  count(DISTINCT o_custkey) AS n_orphan_keys
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_snapshot_diff" ->
       """WITH aft AS (
         |  SELECT c_custkey AS k, c_name, c_mktsegment,

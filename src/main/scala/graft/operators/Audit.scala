@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit: declarative rule checks over a table (the
+  * great-expectations/dbt-test surface) — the gate a training-data or
+  * warehouse load runs between write and publish, next to
+  * [[Evolve.snapshotDiff]] in the write-audit-publish loop.
+  *
+  * Design: ALL rules evaluate in ONE map-side-combinable aggregation pass
+  * (each rule is a Column predicate folded into a conditional sum), so
+  * auditing 20 rules costs one table scan, not 20. A NULL predicate
+  * result counts as a violation — a rule that cannot evaluate has failed,
+  * the SQL-three-valued-logic trap callers otherwise hit one incident at
+  * a time. */
+object Audit {
+
+  /** Per-rule violation counts + rates. `rules` maps rule name → predicate
+    * that must hold for every row. One aggregate row, exploded to one row
+    * per rule (rule, n_violations, n_rows, violation_rate). */
+  def ruleReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggd = df.agg(count(lit(1)).as("n_rows"),
+      rules.map { case (name, p) =>
+        sum(when(p, 0L).otherwise(1L)).as(name) }: _*)
+    aggd.select(col("n_rows"), explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(name).as("n_violations")) }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+        col("n_rows"),
+        round(col("r.n_violations") / col("n_rows"), 6).as("violation_rate"))
+  }
+
+  /** Referential-integrity audit: fact rows whose key has no partner in
+    * the dimension (left anti join — broadcastable whenever the dim key
+    * set fits, which is the normal case for a 100 TB fact table). */
+  def referentialOrphans(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String): DataFrame =
+    fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_anti")
+}

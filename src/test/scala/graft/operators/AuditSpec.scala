@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Data-quality audit: planted violations counted exactly, NULL predicate
+  * results fail the rule, and the whole report is one scan. */
+class AuditSpec extends SparkSpec {
+
+  test("ruleReport: planted violations counted; NULL predicate counts as violation; one scan, no join") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(-5.0), "ok"),   // violates positive
+      (3L, None, "ok"),         // NULL -> positive rule cannot evaluate -> violation
+      (4L, Some(3.0), "bad")    // violates status_known
+    ).toDF("id", "amount", "status")
+    val got = Audit.ruleReport(df, Seq(
+      "amount_positive" -> (col("amount") > 0),
+      "status_known" -> col("status").isin("ok"),
+      "id_present" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("amount_positive") == ((2L, 4L, 0.5)), got.toString)
+    assert(got("status_known") == ((1L, 4L, 0.25)))
+    assert(got("id_present") == ((0L, 4L, 0.0)))
+    // all rules fold into ONE aggregation pass — no join, no second scan
+    val plan = Audit.ruleReport(df, Seq("p" -> (col("amount") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("referentialOrphans: exactly the fact rows without a dim partner") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c2"))
+      .toDF("fk", "payload")
+    val dim = Seq(1L, 9L).toDF("dk")
+    val got = Audit.referentialOrphans(fact, dim, "fk", "dk")
+      .select("fk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L, 3L))
+  }
+}
