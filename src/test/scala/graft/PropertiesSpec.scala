@@ -121,4 +121,51 @@ class PropertiesSpec extends SparkSpec {
         !out.getString(0).exists(_.isDigit) && !out.getString(0).contains("@")
     }, minTests = 40)
   }
+
+  test("scd2Merge: empty batch is identity; any batch preserves one-live-row-per-key and never shrinks history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Evolve
+    val attrs = Seq("v")
+    val dimGen = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 3)))
+      .map(_.distinctBy(_._1)) // key-unique live set
+    val updGen = Gen.listOfN(4, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 3)))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAll(dimGen, updGen) { (dim, upd) =>
+      val current = dim.toDF("k", "v")
+        .select(col("k"), col("v"),
+          lit("2024-01-01").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val asOf = lit("2024-06-01").cast("timestamp")
+      // empty batch -> identity
+      val empty = Evolve.scd2Merge(current,
+        Seq.empty[(Long, Int)].toDF("k", "v"), "k", attrs, asOf)
+      val idOk = empty.collect().map(_.toString).sorted.toSeq ==
+        current.collect().map(_.toString).sorted.toSeq
+      // any key-unique batch -> exactly one live row per key, row count
+      // only grows (versions append, never vanish)
+      val merged = Evolve.scd2Merge(current, upd.toDF("k", "v"), "k", attrs, asOf)
+      val liveDups = merged.filter(col("valid_to").isNull)
+        .groupBy("k").count().filter(col("count") > 1).count()
+      idOk && liveDups == 0 && merged.count() >= current.count()
+    }, minTests = 15)
+  }
+
+  test("snapshotDiff(x, x) is all 'same'; statuses partition the key space") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Evolve
+    val snapGen = Gen.listOfN(10, Gen.zip(Gen.choose(1L, 12L), Gen.choose(0, 2)))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAll(snapGen, snapGen) { (b, a) =>
+      val bd = b.toDF("k", "v"); val ad = a.toDF("k", "v")
+      val self = Evolve.snapshotDiff(bd, bd, "k", Seq("v"))
+        .filter(col("status") =!= "same").count() == 0
+      val d = Evolve.snapshotDiff(bd, ad, "k", Seq("v"))
+      // one verdict per key, and the verdict set covers every key once
+      val keys = (b.map(_._1) ++ a.map(_._1)).distinct.size
+      self && d.count() == keys &&
+        d.select("k").distinct().count() == keys
+    }, minTests = 15)
+  }
 }
