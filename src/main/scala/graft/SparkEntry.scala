@@ -532,6 +532,15 @@ object SparkEntry {
     // rows keep the frame honest); μ/σ/z rounded before every compare
     "q_anomaly_zscore" -> ((s, d) =>
       TimeSeries.anomalyZscore(Tables(s, d, "events"))),
+    // P(next event type | current) per-user lead window + types²-bounded
+    // fold — the next-action census behind funnel design
+    "q_markov_transitions" -> ((s, d) =>
+      TimeSeries.markovTransitions(Tables(s, d, "events"))),
+    // triangle census over the skip-gram term graph, degree-ordered
+    // orientation (out-degree bounded O(√m) — hub-proof wedge counts)
+    "q_triangles" -> ((s, d) =>
+      Graph.triangles(Retrieval.windowCooccurrence(
+        Tables(s, d, "documents"), 3, 50))),
 
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
@@ -1692,6 +1701,49 @@ object SparkEntry {
         |    THEN abs(round((n_events - mu) / sigma, 4)) >= 3.0
         |    ELSE n_events <> mu END AS is_anomaly
         |FROM win WHERE n_window = 24""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type, lead(event_type, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4)
+        |    AS p
+        |FROM c""".stripMargin,
+    // same skip-gram edge CTE as q_cooccurrence_skipgram, then the
+    // degree-ordered orientation mirrored with row-value comparisons
+    "q_triangles" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pp AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |e AS (
+        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
+        |sym AS (
+        |  SELECT term_a AS u, term_b AS v FROM e
+        |  UNION ALL
+        |  SELECT term_b AS u, term_a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+        |o AS (
+        |  SELECT s.u, s.v, dv.d AS dv
+        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+        |  WHERE (du.d, s.u) < (dv.d, s.v)),
+        |w AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM o e1 JOIN o e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v))
+        |SELECT least(a, b, c) AS term_a,
+        |  list_sort([a, b, c])[2] AS term_b,
+        |  greatest(a, b, c) AS term_c
+        |FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin,
     "q_vocab_oov" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -137,6 +137,25 @@ object TimeSeries {
           .otherwise(col("n_events") =!= col("mu")).as("is_anomaly"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current) from every consecutive pair in each
+    * user's time-ordered stream — the "what do users do after X" census
+    * behind funnel design and next-action models. One `lead` window per
+    * user (the sessionization shuffle shape), then a (types²)-bounded
+    * count fold; the row normalizer is a window over that tiny relation.
+    * Probabilities are exact long/long divisions rounded to 4. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n") / sum(col("n")).over(
+        Window.partitionBy(col("event_type"))), 4))
+  }
+
   /** Pure range join — NO equi key: every event whose ts falls inside an
     * interval's [iv_start, iv_end), aggregated per interval. Naively this
     * is an inequality join (a cartesian product that Spark would plan as

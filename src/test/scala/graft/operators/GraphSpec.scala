@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.lake.Tables
+
+/** Degree-oriented triangle enumeration: parity with brute force, each
+  * triangle exactly once, and the hub-proof orientation property. */
+class GraphSpec extends SparkSpec {
+
+  private def bruteTriangles(edges: Set[(String, String)]): Set[(String, String, String)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def linked(x: String, y: String) =
+      edges.contains((x, y)) || edges.contains((y, x))
+    (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      if linked(nodes(i), nodes(j)) && linked(nodes(j), nodes(k)) &&
+        linked(nodes(i), nodes(k))
+    } yield (nodes(i), nodes(j), nodes(k))).toSet
+  }
+
+  test("triangles ≡ brute force on a fixture with a hub (K4 + pendant + hub star)") {
+    import spark.implicits._
+    // K4 on a-d (4 triangles), hub h adjacent to everything (closes more),
+    // pendant p adjacent only to a (no triangle through p-h-a? h-p edge
+    // absent, so none)
+    val edges = Set(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+      ("a", "p"))
+    val df = edges.toSeq.toDF("term_a", "term_b")
+    val got = Graph.triangles(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // exactly once each: no duplicate rows
+    assert(got.length == got.toSet.size, "duplicate triangles")
+    assert(got.toSet == bruteTriangles(edges), s"got ${got.toSet}")
+    // K4 alone has 4; hub closes 6 more (one per K4 edge + none via p)
+    assert(got.length == 10)
+  }
+
+  test("triangles ≡ brute force on the real skip-gram term graph") {
+    val edges = Retrieval.windowCooccurrence(
+      Tables(spark, sfDir, "documents"), 3, 50)
+    val edgeSet = edges.select("term_a", "term_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }.toSet
+    val got = Graph.triangles(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == bruteTriangles(edgeSet), s"${got.size} vs brute ${bruteTriangles(edgeSet).size}")
+    assert(got.nonEmpty)
+  }
+}

@@ -113,6 +113,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(quiet.count() > 0)
   }
 
+  test("markovTransitions: exact pair counts from per-user order; rows normalize to 1 per source type") {
+    import spark.implicits._
+    // u1: A->B->A ; u2: A->B ; pairs: A->B ×2, B->A ×1 — and the cross-user
+    // boundary (u1's last A, u2's first A) must NOT pair
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "A"), (2L, 1L, "2024-01-01 01:00:00", "B"),
+      (3L, 1L, "2024-01-01 02:00:00", "A"), (4L, 2L, "2024-01-01 00:30:00", "A"),
+      (5L, 2L, "2024-01-01 01:30:00", "B")
+    ).toDF("event_id", "user_id", "tss", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val got = TimeSeries.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(("A", "B") -> ((2L, 1.0)), ("B", "A") -> ((1L, 1.0))), got.toString)
+    // real table: outgoing probabilities sum to 1 per source type
+    val sums = TimeSeries.markovTransitions(Tables(spark, sfDir, "events"))
+      .groupBy("event_type").agg(round(sum("p"), 2).as("total")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) <= 0.01, r.toString))
+  }
+
   test("rangeJoinBucketed plan: the range join itself is an equi-join on bucket with the interval side broadcast") {
     val ev = Tables(spark, sfDir, "events")
     val plan = TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
