@@ -692,6 +692,12 @@ object SparkEntry {
     "q_sample_exact_k" -> ((s, d) =>
       Sampling.exactKByHash(Tables(s, d, "documents")
         .select(col("doc_id"), col("lang")), "doc_id", "lang", 20)),
+    // deterministic global shuffle rank (epoch training order): dense
+    // 0..N-1 md5 permutation WITHOUT a global sort — order-preserving md5
+    // bands + broadcast prefix offsets + per-band local ranks
+    "q_shuffle_rank" -> ((s, d) =>
+      Sampling.shuffleRank(Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang")), "doc_id")),
     // deterministic WEIGHTED sampling without replacement (A-Res): key =
     // md5-uniform^(1/n_chars), top-20 keys per language — longer docs
     // claim proportionally more slots, replayable on any engine
@@ -1922,6 +1928,14 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 20""".stripMargin,
+    // the oracle IS the naive global sort — the banded plan must
+    // reproduce it exactly
+    "q_shuffle_rank" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
     "q_sample_weighted" ->
       s"""WITH keyed AS (
          |  SELECT doc_id, lang, n_chars,

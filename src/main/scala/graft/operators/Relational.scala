@@ -300,6 +300,44 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic global SHUFFLE RANK — the training-order permutation
+    * (shuffle-before-training) as a dense 0..N−1 rank over the md5 of each
+    * row id, WITHOUT a global sort: rows land in `buckets` hash bands (the
+    * md5 prefix, so band order IS shuffle order), a buckets-sized census
+    * turns per-band counts into broadcast prefix OFFSETS, and each band
+    * ranks locally — rank = offset(band) + local rank. The distributed
+    * zipWithIndex pattern: no single-partition window, no total sort;
+    * the only corpus-wide exchange hashes on the band key, and band
+    * windows are corpus/buckets-sized. (`monotonically_increasing_id`
+    * gives non-contiguous, layout-dependent ids — useless for epoch
+    * addressing; this rank is dense and bit-reproducible.)
+    *
+    * The band is the HIGH `bandBits` bits of the 28-bit md5 prefix — an
+    * order-preserving cut of the md5 space (hex is lexicographic), so
+    * concatenating bands in band order IS the global md5 order; a `%`
+    * band would interleave and break the rank. */
+  def shuffleRank(df: DataFrame, idCol: String,
+      bandBits: Int = 12): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 28, s"bandBits in [1,28], got $bandBits")
+    val md5c = md5(col(idCol).cast("string"))
+    val band = shiftright(
+      call_function("graft_md5_prefix", col(idCol).cast("string"), lit(7)),
+      28 - bandBits).cast("int")
+    val banded = df.withColumn("band", band)
+    val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("band"), col("offset"))
+    val local = Window.partitionBy(col("band")).orderBy(md5c, col(idCol))
+    banded
+      .withColumn("local_rank", row_number().over(local))
+      .join(broadcast(offsets), "band")
+      .withColumn("shuffle_rank", col("offset") + col("local_rank") - 1)
+      .drop("band", "local_rank", "offset")
+  }
+
   /** Temperature-scaled mixture weights, w_s ∝ n_s^alpha — the standard
     * corpus-weighting math (alpha=1 proportional, alpha=0 uniform,
     * alpha≈0.7 the usual multilingual-upsampling compromise). One tiny

@@ -119,4 +119,29 @@ class SamplingSpec extends SparkSpec {
     val plan = picked.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("shuffleRank: dense 0..N-1, equals the naive global-sort rank, layout-invariant") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"p$i")).toDF("doc_id", "payload")
+    val got = Sampling.shuffleRank(df, "doc_id", bandBits = 4)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    // dense permutation
+    assert(got.values.toSeq.sorted == (0L until 500L).toSeq)
+    // ≡ one global window over (md5, id) — the plan shuffleRank avoids
+    val naive = df
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))) - 1)
+      .select("doc_id", "r").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // physical layout must not change a single rank
+    val reparted = Sampling.shuffleRank(df.repartition(7), "doc_id", bandBits = 4)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(got == reparted)
+    // the corpus-wide rank window partitions by band (hash exchange), so
+    // no partition ever holds more than ~N/bands rows; the only
+    // SinglePartition exchange is the tiny band-census cumsum
+    val plan = Sampling.shuffleRank(df, "doc_id", bandBits = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(band"), plan)
+  }
 }
