@@ -958,6 +958,26 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orphans"),
           countDistinct(col("o_custkey")).as("n_orphan_keys"))),
+    // point-in-time SCD2 resolution: orders resolve the customer VERSION
+    // valid at their order date (v1 before 1996-01-01 for %5 keys whose
+    // balance then changed, v2 after) — equi-join on key, range residual
+    "q_scd2_lookup" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+      val v1 = cust.select(col("c_custkey"), col("c_acctbal"),
+        lit("1994-01-01").cast("timestamp").as("valid_from"),
+        when(col("c_custkey") % 5 === 0, lit("1996-01-01").cast("timestamp"))
+          .otherwise(lit(null).cast("timestamp")).as("valid_to"))
+      val v2 = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+          lit("1996-01-01").cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val fact = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate").cast("timestamp").as("odate"))
+      Evolve.scd2Lookup(fact, v1.unionByName(v2), "c_custkey", "odate")
+        .select(col("o_orderkey"), col("c_custkey"), col("odate"),
+          col("c_acctbal"), col("valid_from"))
+    }),
     // snapshot diff (write-audit-publish): row-level added / removed /
     // changed / same between two deterministic snapshots of customer
     "q_snapshot_diff" -> ((s, d) => {
@@ -2232,6 +2252,24 @@ object SparkEntry {
         |  SELECT 1 FROM customer c
         |  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    TIMESTAMP '1994-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '1996-01-01' END
+        |      AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100, TIMESTAMP '1996-01-01',
+        |    CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        |  CAST(o.o_orderdate AS TIMESTAMP) AS odate,
+        |  v.c_acctbal, v.valid_from
+        |FROM orders o LEFT JOIN v
+        |  ON o.o_custkey = v.c_custkey
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= v.valid_from
+        |  AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < v.valid_to)""".stripMargin,
     "q_snapshot_diff" ->
       """WITH aft AS (
         |  SELECT c_custkey AS k, c_name, c_mktsegment,

@@ -66,6 +66,28 @@ object Evolve {
     closed.unionByName(merged.select(current.columns.map(col): _*))
   }
 
+  /** Point-in-time (as-of) SCD2 resolution: each fact row joins the
+    * dimension VERSION that was valid at the fact's event time — the
+    * temporal fact→dimension join SCD2 exists to serve. A fact dated
+    * before the key's first version (or an unknown key) resolves to null
+    * attributes (left join), never to a later version.
+    *
+    * Scale shape: this is an EQUI-join on the key — the validity range is
+    * a residual condition, not a join dimension — with build-side fanout
+    * bounded by versions-per-key (small by construction: dimensions
+    * change slowly). Since versions partition each key's timeline,
+    * exactly one version matches; no dedup pass, no window, no range
+    * bucketing needed. Broadcastable whenever the dimension fits. */
+  def scd2Lookup(fact: DataFrame, dim: DataFrame, key: String,
+      timeCol: String): DataFrame = {
+    val d = dim.withColumnRenamed(key, "dim_key")
+    fact.join(d,
+      fact(key) === d("dim_key") && fact(timeCol) >= d("valid_from") &&
+        (d("valid_to").isNull || fact(timeCol) < d("valid_to")),
+      "left")
+      .drop("dim_key")
+  }
+
   /** Snapshot diff: row-level change report between two snapshots of the
     * same keyed table — `added` / `removed` / `changed` / `same` per key,
     * the audit step of write-audit-publish. One full-outer equi-join,

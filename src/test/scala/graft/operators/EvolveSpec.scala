@@ -49,6 +49,32 @@ class EvolveSpec extends SparkSpec {
     assert(live.isEmpty, "a key has two live rows")
   }
 
+  test("scd2Lookup: facts resolve the version valid at their time; pre-history and unknown keys resolve null; exactly one match") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "v1", "2024-01-01", Some("2024-06-01")),
+      (1L, "v2", "2024-06-01", None),
+      (2L, "only", "2024-03-01", None)
+    ).toDF("k", "ver", "vf", "vt")
+      .select(col("k"), col("ver"), col("vf").cast("timestamp").as("valid_from"),
+        col("vt").cast("timestamp").as("valid_to"))
+    val fact = Seq(
+      (10L, 1L, "2024-02-15"),  // inside v1
+      (11L, 1L, "2024-06-01"),  // boundary: valid_from inclusive -> v2
+      (12L, 1L, "2024-09-01"),  // inside v2 (open)
+      (13L, 1L, "2023-01-01"),  // before any version -> null
+      (14L, 2L, "2024-04-01"),  // key 2's only version
+      (15L, 9L, "2024-04-01")   // unknown key -> null
+    ).toDF("fid", "k", "ft")
+      .select(col("fid"), col("k"), col("ft").cast("timestamp").as("ft"))
+    val got = Evolve.scd2Lookup(fact, dim, "k", "ft")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(10L -> Some("v1"), 11L -> Some("v2"), 12L -> Some("v2"),
+      13L -> None, 14L -> Some("only"), 15L -> None), got.toString)
+    // versions partition time: the join never duplicates a fact row
+    assert(Evolve.scd2Lookup(fact, dim, "k", "ft").count() == fact.count())
+  }
+
   test("snapshotDiff: every status classified; null attrs compare null-safe") {
     import spark.implicits._
     val before = Seq((1L, "a", "X"), (2L, "b", "Y"), (3L, null, "Z"))
