@@ -27,9 +27,15 @@ object TimeSeries {
     * The dense grid is generated from the per-type [min, max] span — a
     * types-sized relation exploded to the grid size — and LEFT-joins the
     * counts; the corpus is never touched again. At 100 TB of events the
-    * grid for a year of hours is ~9k rows per type: trivially joinable. */
+    * grid for a year of hours is ~9k rows per type: trivially joinable.
+    *
+    * Poison guard: ONE corrupted far-future timestamp would make
+    * `sequence(lo, hi)` materialize a multi-billion-element array in a
+    * single row (an executor OOM that looks like a shuffle problem), so a
+    * span wider than `maxBuckets` fails loudly at the grid step instead
+    * — bad data should name itself, not kill the job sideways. */
   def resampleGapfill(events: DataFrame, typeCol: String = "event_type",
-      bucket: String = "1 hour"): DataFrame = {
+      bucket: String = "1 hour", maxBuckets: Int = 1000000): DataFrame = {
     val counts = events
       .groupBy(col(typeCol),
         window(col("ts"), bucket).getField("start").as("bucket_start"))
@@ -37,6 +43,13 @@ object TimeSeries {
         round(sum(col("value")), 2).as("total_value"))
     val grid = counts.groupBy(col(typeCol))
       .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
+      .withColumn("hi", when(
+        col("hi").cast("long") - col("lo").cast("long") >
+          lit(maxBuckets.toLong) *
+            expr(s"CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $bucket AS LONG)"),
+        raise_error(concat(lit(s"resampleGapfill: [lo, hi] span for type '"),
+          col(typeCol), lit(s"' exceeds $maxBuckets buckets — poisoned timestamp?"))))
+        .otherwise(col("hi")))
       .select(col(typeCol),
         explode(sequence(col("lo"), col("hi"), expr(s"interval $bucket")))
           .as("bucket_start"))

@@ -51,6 +51,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("resampleGapfill: a poisoned far-future timestamp fails loudly at the grid step, not as an executor OOM") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "2024-01-01 00:10:00", 1.0),
+      ("a", "2999-01-01 00:10:00", 1.0) // ~8.5M hour buckets away
+    ).toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val e = intercept[Exception] {
+      TimeSeries.resampleGapfill(ev, maxBuckets = 100000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("poisoned timestamp")), e.toString)
+    // a span just under the cap still resamples fine
+    assert(TimeSeries.resampleGapfill(ev, maxBuckets = 10000000).count() > 0)
+  }
+
   test("locf: nulls carry the last observation forward per key; leading nulls stay null") {
     import spark.implicits._
     val df = Seq(
