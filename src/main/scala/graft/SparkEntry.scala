@@ -814,6 +814,11 @@ object SparkEntry {
     // L2 normalization surface over the embedding column: norm via the
     // native graft_dot fold, components order-free (min/max) for exact
     // cross-engine double parity
+    // int8 scalar quantization (4x storage before ANN): per-dim corpus
+    // ranges folded to ONE broadcast row, coding map-side; floor(x+0.5)
+    // for cross-engine tie determinism
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables(s, d, "embeddings"))),
     "q_embed_normalize" -> ((s, d) => {
       val v = col("embedding").cast("array<double>")
       val n = Vectors.norm(col("embedding"))
@@ -2059,6 +2064,19 @@ object SparkEntry {
         |  round(corr(l_discount, l_extendedprice), 4) + 0 AS corr_disc_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // same fixed parenthesization and floor(x+0.5) as the Spark side;
+    // Spark dims are 0-based posexplode, DuckDB subscripts 1-based -> i-1
+    "q_embed_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS xv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |s AS (SELECT dim, min(xv) AS lo, max(xv) AS hi FROM x GROUP BY dim)
+        |SELECT x.vec_id, x.dim,
+        |  CASE WHEN s.hi = s.lo THEN 0
+        |       ELSE CAST(floor((x.xv - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+        |         AS INTEGER) END AS code
+        |FROM x JOIN s ON x.dim = s.dim""".stripMargin,
     "q_embed_normalize" ->
       """SELECT vec_id,
         |  round(n, 4) AS l2_norm,

@@ -360,4 +360,33 @@ object Similarity {
       .distinct()
     topK(scored, k)
   }
+
+  /** Scalar (per-dimension) int8 quantization of the embedding column —
+    * the 4× storage compression step before an ANN index is built: code =
+    * ⌊(x − lo_d)/(hi_d − lo_d)·255 + 0.5⌋ against per-dimension corpus
+    * [lo, hi] ranges. Constant dimensions (hi = lo) code to 0.
+    *
+    * Scale shape: the range pass is one posexplode + a DIMS-bounded
+    * aggregate folded into a single broadcast row of two arrays (the
+    * codebook-attach pattern); coding is then a map-side indexed
+    * `transform` — the corpus is read twice and never shuffled.
+    * Determinism: widening float→double is exact, the code arithmetic is
+    * written with one fixed parenthesization, and `floor(… + 0.5)` ties
+    * identically on both engines (unlike HALF_EVEN-vs-away `round`). */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val stats = emb.select(posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo")))).as("l"),
+        array_sort(collect_list(struct(col("dim"), col("hi")))).as("h"))
+      .select(transform(col("l"), s => s.getField("lo")).as("los"),
+        transform(col("h"), s => s.getField("hi")).as("his"))
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), posexplode(transform(v, (x, i) => {
+        val lo = element_at(col("los"), i + 1)
+        val hi = element_at(col("his"), i + 1)
+        when(hi === lo, lit(0))
+          .otherwise(floor((x - lo) / (hi - lo) * 255 + 0.5).cast("int"))
+      })).as(Seq("dim", "code")))
+  }
 }

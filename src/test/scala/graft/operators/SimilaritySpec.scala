@@ -238,4 +238,26 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("nb") === 1).count()
     assert(collided >= 50, s"only $collided of 100 planted near-dup pairs collided")
   }
+
+  test("quantizeInt8: codes span [0,255] with per-dim extremes at the ends; reconstruction within a half step") {
+    import spark.implicits._
+    val emb = graft.lake.Tables(spark, sfDir, "embeddings")
+    val codes = Similarity.quantizeInt8(emb)
+    val range = codes.agg(min("code"), max("code")).head()
+    assert(range.getInt(0) == 0 && range.getInt(1) == 255, range.toString)
+    // per dimension: some vector hits 0 (the min) and some hits 255 (max)
+    val perDim = codes.groupBy("dim")
+      .agg(min("code").as("mn"), max("code").as("mx"))
+      .filter(col("mn") =!= 0 || col("mx") =!= 255)
+    assert(perDim.isEmpty, "a dimension's extremes did not map to 0/255")
+    // dequantized values stay within half a quantization step of the input
+    val v = col("embedding").cast("array<double>")
+    val truth = emb.select(col("vec_id"), posexplode(v).as(Seq("dim", "x")))
+    val stats = truth.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+    val bad = codes.join(truth, Seq("vec_id", "dim")).join(stats, "dim")
+      .withColumn("step", (col("hi") - col("lo")) / 255)
+      .withColumn("deq", col("lo") + col("code") * col("step"))
+      .filter(abs(col("deq") - col("x")) > col("step") * 0.5 + 1e-9)
+    assert(bad.isEmpty, s"${bad.count()} codes reconstruct outside half a step")
+  }
 }
