@@ -829,6 +829,9 @@ object SparkEntry {
         round(array_max(v) / n, 6).as("u_max"))
     }),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    // ADC search over the int8 codes: original queries vs map-side
+    // dequantized corpus — same single unshuffled corpus stage as brute
+    "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d, 10, 5)),
     // semantic decontamination: vec_id < 50 stands in for the benchmark
     // embeddings (mirroring q_decontaminate's doc-id split); max cosine
     // computed map-side over the single broadcast benchmark row
@@ -2088,6 +2091,33 @@ object SparkEntry {
         |                              CAST(embedding AS DOUBLE[]))) AS n
         |      FROM embeddings)""".stripMargin,
     "q_ann_brute" -> annSql(cellRestricted = false),
+    "q_ann_quantized" ->
+      """WITH x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS xv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |s AS (SELECT dim, min(xv) AS lo, max(xv) AS hi FROM x GROUP BY dim),
+        |dq AS (
+        |  SELECT vec_id, list(
+        |    CASE WHEN s.hi = s.lo THEN s.lo
+        |         ELSE s.lo + floor((x.xv - s.lo) / (s.hi - s.lo) * 255 + 0.5)
+        |           * (s.hi - s.lo) / 255 END ORDER BY x.dim) AS e
+        |  FROM x JOIN s ON x.dim = s.dim GROUP BY vec_id),
+        |q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, d.vec_id,
+        |    round(list_dot_product(q.qe, d.e)
+        |      / (sqrt(list_dot_product(q.qe, q.qe))
+        |       * sqrt(list_dot_product(d.e, d.e))), 4) AS cosine
+        |  FROM dq d JOIN q ON d.vec_id != q.q_id)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        |  SELECT q_id, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     "q_decontaminate_embed" ->
       s"""WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |            FROM embeddings WHERE vec_id >= 50),

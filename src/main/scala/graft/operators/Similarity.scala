@@ -361,6 +361,40 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Brute-force top-k over the int8-QUANTIZED corpus (asymmetric
+    * distance: original query vectors score against dequantized corpus
+    * codes — the ADC setup of product-quantization search). The plan is
+    * [[bruteForceTopK]] with one extra map-side transform: the per-dim
+    * range row broadcasts, each corpus vector dequantizes in-stage, and
+    * the corpus still streams through a single unshuffled stage. At 8
+    * bits/dim the ranking is near-lossless (recall spec-asserted); the
+    * point at 100 TB is the index READS 4× less. */
+  def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val stats = Tables(spark, dir, "embeddings")
+      .select(posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("lo")))).as("l"),
+        array_sort(collect_list(struct(col("dim"), col("hi")))).as("h"))
+      .select(transform(col("l"), s => s.getField("lo")).as("los"),
+        transform(col("h"), s => s.getField("hi")).as("his"))
+    val deq = Tables(spark, dir, "embeddings")
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), transform(v, (x, i) => {
+        val lo = element_at(col("los"), i + 1)
+        val hi = element_at(col("his"), i + 1)
+        when(hi === lo, lo).otherwise(
+          lo + floor((x - lo) / (hi - lo) * 255 + 0.5) * (hi - lo) / 255)
+      }).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
+    val q = queriesSet(spark, dir, nQueries)
+    val scored = deq.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pairCosine.as("cosine"))
+    topK(scored, k)
+  }
+
   /** Scalar (per-dimension) int8 quantization of the embedding column —
     * the 4× storage compression step before an ANN index is built: code =
     * ⌊(x − lo_d)/(hi_d − lo_d)·255 + 0.5⌋ against per-dimension corpus

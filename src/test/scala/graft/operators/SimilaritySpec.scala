@@ -260,4 +260,13 @@ class SimilaritySpec extends SparkSpec {
       .filter(abs(col("deq") - col("x")) > col("step") * 0.5 + 1e-9)
     assert(bad.isEmpty, s"${bad.count()} codes reconstruct outside half a step")
   }
+
+  test("quantizedTopK: ADC search recall >= 0.9 vs exact brute force at 8 bits/dim") {
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(spark, sfDir, 10, 5))
+    val quant = hits(Similarity.quantizedTopK(spark, sfDir, 10, 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ADC recall $recall")
+  }
 }
