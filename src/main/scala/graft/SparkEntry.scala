@@ -536,6 +536,22 @@ object SparkEntry {
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
       TimeSeries.markovTransitions(Tables(s, d, "events"))),
+    // duration-weighted per-user mean: each value holds until the user's
+    // next event — the correct mean for irregular sampling
+    "q_time_weighted_avg" -> ((s, d) =>
+      TimeSeries.timeWeightedAvg(Tables(s, d, "events"),
+        "user_id", "ts", "event_id", "value")),
+    // linear interpolation of the error-nulled values between each user's
+    // neighboring observations (the locf fixture, upgraded)
+    "q_interpolate" -> ((s, d) => {
+      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      TimeSeries.interpolateLinear(ev, "user_id", "ts", "event_id", "v")
+        .select(col("event_id"), col("user_id"),
+          round(col("interp"), 4).as("v_interp"))
+    }),
     // triangle census over the skip-gram term graph, degree-ordered
     // orientation (out-degree bounded O(√m) — hub-proof wedge counts)
     "q_triangles" -> ((s, d) =>
@@ -1735,6 +1751,42 @@ object SparkEntry {
         |    THEN abs(round((n_events - mu) / sigma, 4)) >= 3.0
         |    ELSE n_events <> mu END AS is_anomaly
         |FROM win WHERE n_window = 24""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    epoch(lead(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch(ts) AS dur
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * dur) / sum(dur), 4) AS twa,
+        |  count(*) AS n_intervals
+        |FROM d WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id, user_id, ts, v,
+        |    last_value(v IGNORE NULLS) OVER back AS v0,
+        |    last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+        |      OVER back AS t0,
+        |    first_value(v IGNORE NULLS) OVER fwd AS v1,
+        |    first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+        |      OVER fwd AS t1
+        |  FROM e
+        |  WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 <> t0
+        |      THEN v0 + (v1 - v0) * (epoch(ts) - t0) / (t1 - t0)
+        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0
+        |    END, 4) AS v_interp
+        |FROM a""".stripMargin,
     "q_markov_transitions" ->
       """WITH seq AS (
         |  SELECT event_type, lead(event_type, 1) OVER (

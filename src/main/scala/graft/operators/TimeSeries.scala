@@ -150,6 +150,53 @@ object TimeSeries {
           .otherwise(col("n_events") =!= col("mu")).as("is_anomaly"))
   }
 
+  /** TIME-WEIGHTED average per key — the correct mean for irregularly
+    * sampled series (a sensor that reports hourly when stable and
+    * per-second in a storm would otherwise let the storm dominate a plain
+    * average): each observation holds until the next one, so it weighs by
+    * its holding duration; the last observation has no duration and drops
+    * out. One `lead` window per key + one map-side-combinable fold —
+    * the sessionization shuffle shape, nothing quadratic. */
+  def timeWeightedAvg(df: DataFrame, key: String, time: String, tie: String,
+      value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tie))
+    df.withColumn("dur",
+        lead(col(time), 1).over(w).cast("double") - col(time).cast("double"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col(key))
+      .agg(round(sum(col(value) * col("dur")) / sum(col("dur")), 4).as("twa"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** LINEAR interpolation of nulls between observations — the upgrade of
+    * [[locf]] when the quantity drifts rather than steps: a null at time t
+    * between observations (t0, v0) and (t1, v1) fills with
+    * v0 + (v1 − v0)·(t − t0)/(t1 − t0). Nulls before the first or after
+    * the last observation stay null (nothing to anchor to; chain with
+    * [[locf]] for the tail). TWO windows per key (running last-non-null
+    * backward, running first-non-null forward) — still one shuffle on the
+    * key: both windows share the same partitioning, Catalyst plans one
+    * exchange. Exact double arithmetic, identical on any engine. */
+  def interpolateLinear(df: DataFrame, key: String, time: String, tie: String,
+      value: String): DataFrame = {
+    val back = Window.partitionBy(col(key)).orderBy(col(time), col(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key)).orderBy(col(time), col(tie))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col(time).cast("double")
+    val anchored = df
+      .withColumn("v0", last(col(value), ignoreNulls = true).over(back))
+      .withColumn("t0", last(when(col(value).isNotNull, t), ignoreNulls = true).over(back))
+      .withColumn("v1", first(col(value), ignoreNulls = true).over(fwd))
+      .withColumn("t1", first(when(col(value).isNotNull, t), ignoreNulls = true).over(fwd))
+    anchored.withColumn("interp",
+      when(col(value).isNotNull, col(value).cast("double"))
+        .when(col("v0").isNotNull && col("v1").isNotNull && col("t1") =!= col("t0"),
+          col("v0") + (col("v1") - col("v0")) * (t - col("t0")) / (col("t1") - col("t0")))
+        .when(col("v0").isNotNull && col("v1").isNotNull, col("v0").cast("double")))
+      .drop("v0", "t0", "v1", "t1")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next event type | current) from every consecutive pair in each
     * user's time-ordered stream — the "what do users do after X" census

@@ -82,6 +82,38 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1, None), (2L, 2, Some(5.0)), (2L, 3, Some(5.0))), got.mkString(","))
   }
 
+  test("timeWeightedAvg: durations weigh the mean; the last observation drops") {
+    import spark.implicits._
+    // value 10 held 1s, value 20 held 3s, final value 99 holds nothing
+    val df = Seq((1L, 0, 10.0), (1L, 1, 20.0), (1L, 4, 99.0),
+      (2L, 0, 5.0)) // single observation -> no interval -> no row
+      .toDF("k", "t", "v")
+      .select(col("k"), col("t").cast("timestamp").as("ts"), col("v"))
+    val got = TimeSeries.timeWeightedAvg(df, "k", "ts", "ts", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 17.5, 2L)), got.mkString(","))
+  }
+
+  test("interpolateLinear: nulls fill on the line between anchors; unanchored edges stay null; one exchange") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1L, None), // before first observation -> stays null
+      (2, 1L, Some(10.0)), (3, 1L, None), (4, 1L, None), (5, 1L, Some(40.0)),
+      (6, 1L, None)  // after last observation -> stays null
+    ).toDF("t", "k", "v")
+      .select(col("t").cast("timestamp").as("ts"), col("k"), col("v"))
+    val got = TimeSeries.interpolateLinear(df, "k", "ts", "ts", "v")
+      .orderBy("ts").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(got.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), None), got.mkString(","))
+    // backward + forward windows share the key partitioning: ONE exchange
+    val plan = TimeSeries.interpolateLinear(df, "k", "ts", "ts", "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n$plan")
+  }
+
   test("cohortRetention: users counted in their first-event week's cohort, offsets in weeks") {
     import spark.implicits._
     // u1 joins week of Jan 1 (Mon), active again 2 weeks later;
