@@ -142,6 +142,37 @@ object SparkEntry {
         .na.fill(0.0)),
     "q_distinct_by" -> ((s, d) =>
       Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
+    // unpivot (melt): the wide->long inverse of q_pivot, pure map-side
+    "q_unpivot" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")),
+    // explicit GROUPING SETS with grouping_id disambiguation (a NULL key
+    // value vs a rolled-up level are different facts)
+    "q_grouping_sets" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().cast("int").as("gid"))),
+    // argmax/argmin aggregates: the value of one column at another's
+    // extreme — max_by/min_by made deterministic under price ties by
+    // fusing the unique orderkey into an EXACT bigint ordering key
+    // (cents·1e8 + key stays under 2^53; struct ordering isn't portable)
+    "q_argmax" -> ((s, d) => {
+      val ord = round(col("o_totalprice") * 100).cast("long") *
+        lit(100000000L) + col("o_orderkey")
+      Tables(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), ord).as("max_price_order"),
+          min_by(col("o_orderkey"), ord).as("min_price_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
     // sketch paths, oracled as bound checks: the sketch value is
     // impl-defined, but the HLL error bound / GK rank guarantee are
     // engine-checkable booleans the DuckDB side asserts TRUE from the
@@ -1127,6 +1158,28 @@ object SparkEntry {
         |  coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0) AS error,
         |  coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0) AS signup
         |FROM events GROUP BY user_id % 100""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM
+        |  (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |   FROM lineitem)
+        |UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    "q_argmax" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+        |      + o_orderkey AS ord
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  arg_max(o_orderkey, ord) AS max_price_order,
+        |  arg_min(o_orderkey, ord) AS min_price_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM o GROUP BY o_orderpriority""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS count
