@@ -914,6 +914,45 @@ object SparkEntry {
       Tables(s, d, "documents")
         .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
         .withColumn("split", Sampling.splitExpr(col("bucket")))),
+    // split-leakage audit: how many normalized-text fingerprints appear
+    // in 1 / 2 / 3 hash splits — exact-duplicate leakage across
+    // train/valid/test, the in-corpus twin of benchmark decontamination
+    // (any n_splits > 1 row is a leak). Census form so the audit is a
+    // non-trivial row set even on a leak-free corpus. Two hash aggs over
+    // (fingerprint, split) pairs; nothing quadratic.
+    "q_split_leakage" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(graft.functions.Text.fingerprint(col("text")).as("fp"),
+          Sampling.splitExpr(Sampling.hashBucket(col("doc_id"))).as("split"))
+        .distinct()
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("split")).cast("int").as("n_splits"))
+        .groupBy(col("n_splits"))
+        .agg(count(lit(1)).as("n_fingerprints"))),
+    // top event-type PATHS per session (first 8 events — paths are
+    // unbounded at scale, the prefix cap keeps the census bounded):
+    // session ids via the lag/running-sum shape, path assembled from the
+    // per-session sorted struct array, then a paths-bounded count fold
+    "q_session_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapMs = 30 * 60000L
+      val sess = Tables(s, d, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_s", when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(concat_ws("->", slice(transform(
+          array_sort(collect_list(struct(unix_millis(col("ts")).as("ms"),
+            col("event_id").as("eid"), col("event_type").as("et")))),
+          e => e.getField("et")), 1, 8)).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 3)
+    }),
     // the ML tier's oracle row (M1-M3): closed-form two-feature OLS on the
     // deterministic md5 train band (whole orders land together — a grouped
     // split, like splitting by document). The iterative LinearRegression
@@ -1555,6 +1594,41 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH fs AS (
+         |  SELECT DISTINCT
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    CASE WHEN CAST(($md5BucketSql) % 100 AS INTEGER) < 90 THEN 'train'
+         |         WHEN CAST(($md5BucketSql) % 100 AS INTEGER) < 95 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |per_fp AS (
+         |  SELECT fp, CAST(count(DISTINCT split) AS INTEGER) AS n_splits
+         |  FROM fs GROUP BY fp)
+         |SELECT n_splits, count(*) AS n_fingerprints
+         |FROM per_fp GROUP BY n_splits""".stripMargin,
+    "q_session_paths" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL
+        |      OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM w),
+        |sess AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 8), '->') AS path
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path HAVING count(*) >= 3""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
