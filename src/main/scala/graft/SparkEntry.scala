@@ -992,6 +992,14 @@ object SparkEntry {
         docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50),
         col("n_chars"), binWidth = 100.0)
     }),
+    // categorical (vocabulary) drift between the same snapshot halves:
+    // per-term Jensen-Shannon contributions over top-20 terms + ¤other
+    "q_drift_vocab" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      Drift.vocabDrift(
+        docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50), 20)
+    }),
     // -- k-anonymity: quasi-identifier census + cell suppression
     "q_k_anon" -> ((s, d) =>
       Privacy.kAnonymityCensus(Tables(s, d, "customer"),
@@ -2403,6 +2411,43 @@ object SparkEntry {
          |  FROM j CROSS JOIN t)
          |SELECT bin, n_base, n_cur, p_base, p_cur,
          |  round((p_base - p_cur) * ln(p_base / p_cur), 4) AS contrib
+         |FROM p""".stripMargin,
+    "q_drift_vocab" ->
+      s"""WITH bt AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 50),
+         |ct AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE CAST(($md5BucketSql) % 100 AS INTEGER) >= 50),
+         |j AS (
+         |  SELECT COALESCE(b.term, c.term) AS term,
+         |    COALESCE(b.n, 0) AS n_base, COALESCE(c.n, 0) AS n_cur
+         |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY 1) b
+         |  FULL OUTER JOIN
+         |    (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY 1) c
+         |  ON b.term = c.term),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY n_base + n_cur DESC, term) AS rk
+         |  FROM j),
+         |buckets AS (
+         |  SELECT term, n_base, n_cur FROM ranked WHERE rk <= 20
+         |  UNION ALL
+         |  SELECT '¤other', CAST(COALESCE(sum(n_base), 0) AS BIGINT),
+         |    CAST(COALESCE(sum(n_cur), 0) AS BIGINT)
+         |  FROM ranked WHERE rk > 20),
+         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+         |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM buckets),
+         |p AS (
+         |  SELECT term, n_base, n_cur,
+         |    round(n_base / CAST(t_base AS DOUBLE), 6) AS p_base,
+         |    round(n_cur / CAST(t_cur AS DOUBLE), 6) AS p_cur
+         |  FROM buckets CROSS JOIN t)
+         |SELECT term, n_base, n_cur, p_base, p_cur,
+         |  round(CASE WHEN p_base > 0
+         |      THEN p_base * ln(p_base / ((p_base + p_cur) / 2)) * 0.5 ELSE 0 END
+         |    + CASE WHEN p_cur > 0
+         |      THEN p_cur * ln(p_cur / ((p_base + p_cur) / 2)) * 0.5 ELSE 0 END, 6)
+         |    AS js_contrib
          |FROM p""".stripMargin,
     "q_k_anon" ->
       """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -56,4 +56,49 @@ object Drift {
       round(sum(col("contrib")), 4).as("psi"),
       round(max(abs(col("p_base") - col("p_cur"))), 6).as("max_share_move"),
       count(lit(1)).as("n_bins"))
+
+  /** CATEGORICAL drift — the vocabulary twin of the numeric [[psiReport]]:
+    * per-term Jensen-Shannon contributions between two snapshots' token
+    * distributions, restricted to the top-`topV` terms by combined count
+    * with everything else folded into one `¤other` bucket (so both
+    * distributions sum to 1 over an identical, bounded support and a
+    * vocabulary explosion on either side cannot explode the report).
+    * JS = Σ ½·p·ln(p/m) + ½·q·ln(q/m), m = (p+q)/2 — symmetric, finite
+    * even when a term is absent on one side (0·ln0 = 0 by convention).
+    *
+    * Scale shape: each snapshot collapses to its term census in one
+    * map-side-combined aggregate; the top-V cut and all divergence
+    * arithmetic run on vocabulary-bounded relations. Shares round to 6
+    * and contributions to 6 for cross-engine parity. */
+  def vocabDrift(base: DataFrame, current: DataFrame, topV: Int): DataFrame = {
+    import graft.functions.Text
+    def census(df: DataFrame, n: String) =
+      df.select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(n))
+    val joined = census(base, "n_base")
+      .join(census(current, "n_cur"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint(false) // feeds the top-V cut AND the other-fold
+    val top = joined
+      .orderBy((col("n_base") + col("n_cur")).desc, col("term")).limit(topV)
+    val other = joined.join(top.select(col("term")), Seq("term"), "left_anti")
+      .agg(coalesce(sum(col("n_base")), lit(0L)).as("n_base"),
+        coalesce(sum(col("n_cur")), lit(0L)).as("n_cur"))
+      .select(lit("¤other").as("term"), col("n_base"), col("n_cur"))
+    val buckets = top.unionByName(other)
+    val totals = buckets.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"))
+    def side(p: Column, m: Column) =
+      when(p > 0, p * log(p / m) * 0.5).otherwise(0.0)
+    buckets.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_base"), col("n_cur"),
+        round(col("n_base") / col("t_base"), 6).as("p_base"),
+        round(col("n_cur") / col("t_cur"), 6).as("p_cur"))
+      .withColumn("m", (col("p_base") + col("p_cur")) / 2)
+      .withColumn("js_contrib",
+        round(side(col("p_base"), col("m")) + side(col("p_cur"), col("m")), 6))
+      .drop("m")
+  }
 }

@@ -33,6 +33,25 @@ class DriftPrivacySpec extends SparkSpec {
     assert(rows(3L) > 0) // present only in `cur` → positive contribution
   }
 
+  test("vocabDrift: identical snapshots diverge zero; a planted term shift dominates; JS bounded by ln 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1 to 50).map(i => (i.toLong, "alpha beta gamma")).toDF("doc_id", "text")
+    val same = Drift.vocabDrift(base, base, 10)
+    assert(same.agg(sum(abs(col("js_contrib")))).head().getDouble(0) == 0.0)
+    // current swaps gamma for ZETA in half the docs: zeta/gamma dominate
+    val cur = (1 to 50).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta zeta" else "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val drift = Drift.vocabDrift(base, cur, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val top = drift.maxBy(_._2)
+    assert(Set("zeta", "gamma").contains(top._1), drift.toString)
+    assert(drift("alpha") == 0.0 && drift("beta") == 0.0)
+    val js = drift.values.sum
+    assert(js > 0 && js <= math.log(2) + 1e-9, s"JS $js out of bounds")
+  }
+
   test("k-anonymity census flags exactly the under-k groups") {
     val df = Seq.fill(12)(("A", 1)).toDF("seg", "nat")
       .unionByName(Seq.fill(3)(("B", 2)).toDF("seg", "nat"))
