@@ -656,6 +656,21 @@ object SparkEntry {
     "q_dedup_survivors" -> ((s, d) =>
       Dedup.minhashCcLabels(s, d, 3)
         .filter(col("cluster_id") === col("doc_id")).select(col("doc_id"))),
+    // quality-aware survivor selection: keep the LONGEST member of each
+    // near-dup cluster (min-id keeps an arbitrary copy; curation pipelines
+    // keep the best one) — max_by over the memoized CC labels with the
+    // doc_id fused into an exact bigint key so length ties break low-id
+    "q_dedup_survivors_best" -> ((s, d) => {
+      val ord = col("n_chars").cast("long") * lit(10000000L) +
+        (lit(9999999L) - col("doc_id"))
+      Dedup.minhashCcLabels(s, d, 3)
+        .join(Tables(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"), ord).as("survivor_id"),
+          max(col("n_chars")).as("survivor_chars"),
+          count(lit(1)).as("cluster_size"))
+    }),
     // the dedup FUNNEL — the curation report's headline row: corpus size,
     // exact-unique count, near-dup survivors (same memoized CC labels),
     // and the per-tier removal rates; three 1-row aggregates attached by
@@ -2091,6 +2106,18 @@ object SparkEntry {
          |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_survivors" ->
       s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
+    "q_dedup_survivors_best" ->
+      s"""WITH cc AS (${minhashCcSql(3)}),
+         |m AS (
+         |  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
+         |    CAST(d.n_chars AS BIGINT) * 10000000 + (9999999 - cc.doc_id)
+         |      AS ord
+         |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+         |SELECT cluster_id,
+         |  arg_max(doc_id, ord) AS survivor_id,
+         |  max(n_chars) AS survivor_chars,
+         |  count(*) AS cluster_size
+         |FROM m GROUP BY cluster_id""".stripMargin,
     "q_dedup_funnel" ->
       s"""WITH cc AS (${minhashCcSql(3)}),
          |s AS (SELECT
