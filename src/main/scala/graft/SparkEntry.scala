@@ -1112,6 +1112,7 @@ object SparkEntry {
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
+    "q_mm_resize" -> ((s, d) => Multimodal.resizeFeatures(s, d)),
     "q_mm_frames" -> ((s, d) => Multimodal.frameSampleFeatures(s, d)),
   )
 
@@ -2635,6 +2636,23 @@ object SparkEntry {
          |FROM ranked WHERE rnk = 1""".stripMargin,
 
     "q_mm_hist" -> mmHistSql,
+    // ASCII corpus (verified): byte == char code, so ascii(substr(..)) in
+    // the oracle mirrors the codec's byte reads exactly
+    "q_mm_resize" -> {
+      val cols = (0 until 16).map(k =>
+        s"max(CASE WHEN chunk = $k THEN v END) AS t$k").mkString(",\n         |  ")
+      s"""WITH b AS (
+         |  SELECT doc_id, (CAST(i - 1 AS BIGINT) * 16) // length(text) AS chunk,
+         |    ascii(substr(text, i, 1)) AS code
+         |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+         |  WHERE length(text) >= 16),
+         |c AS (
+         |  SELECT doc_id, chunk, round(avg(code), 4) AS v
+         |  FROM b GROUP BY doc_id, chunk)
+         |SELECT doc_id,
+         |  $cols
+         |FROM c GROUP BY doc_id""".stripMargin
+    },
     // frame sample: byte at 0-based position 16*i is the hex-digit pair at
     // (32*i+1, 32*i+2); count = min(ceil(n/16), 8) — mirrors
     // FakeCodec.sampleFrames(stride=16, max=8).

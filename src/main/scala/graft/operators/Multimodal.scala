@@ -81,6 +81,40 @@ object Multimodal {
       .toDF("doc_id", "n_sampled", "checksum")
   }
 
+  /** Resize stage shape: the payload downsampled to a fixed `cells`-cell
+    * grid of byte averages — the 1-D stand-in for image resizing (cell k
+    * averages the bytes i with ⌊i·cells/n⌋ = k, the box-filter downsample
+    * a real resize kernel generalizes). Payloads shorter than the grid are
+    * dropped (a real pipeline routes them to a pad/upscale path). Same
+    * mapPartitions batch shape as the decode; output is a fixed-width
+    * array projected to flat columns. Cell means are rounded HALF_UP to 4
+    * in the codec (matching SQL `round`) for oracle parity. */
+  def resizeFeatures(spark: SparkSession, dir: String,
+      cells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val raw = mediaTable(spark, dir)
+      .filter(length(col("payload")) >= cells)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val sums = new Array[Long](cells)
+          val cnts = new Array[Long](cells)
+          var i = 0
+          while (i < n) {
+            val k = (i.toLong * cells / n).toInt
+            sums(k) += bytes(i) & 0xff; cnts(k) += 1; i += 1
+          }
+          (id, (0 until cells).map(k => BigDecimal(sums(k).toDouble / cnts(k))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+        }
+      }
+      .toDF("doc_id", "grid")
+    val gridCols = (0 until cells).map(k => element_at(col("grid"), k + 1).as(s"t$k"))
+    raw.select(col("doc_id") +: gridCols: _*)
+  }
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the

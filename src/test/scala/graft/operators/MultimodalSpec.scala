@@ -36,4 +36,30 @@ class MultimodalSpec extends SparkSpec {
       (0 until 16).map(k => col(s"h$k")).reduce(_ + _) =!= col("n_bytes"))
     assert(mismatch.count() == 0)
   }
+
+  test("resize grid: box-filter means per cell; cell values bounded by byte range") {
+    val r = Multimodal.resizeFeatures(spark, sfDir)
+    assert(r.columns.toSeq == "doc_id" +: (0 until 16).map(k => s"t$k"))
+    assert(r.count() > 0)
+    // every cell mean is a valid byte average (and non-null: payloads
+    // shorter than the grid were filtered out)
+    (0 until 16).foreach { k =>
+      val bad = r.filter(col(s"t$k").isNull ||
+        col(s"t$k") < 0 || col(s"t$k") > 255)
+      assert(bad.count() == 0, s"cell t$k out of range")
+    }
+    // spot check: the exact codec arithmetic on one real payload
+    import spark.implicits._
+    val doc = graft.lake.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].head()
+    val bytes = doc._2.getBytes("UTF-8")
+    val n = bytes.length
+    val expected0 = {
+      val cell = bytes.zipWithIndex.filter { case (_, i) => i.toLong * 16 / n == 0 }
+      val m = cell.map(_._1 & 0xff).sum.toDouble / cell.length
+      BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = r.filter(col("doc_id") === doc._1).select("t0").head().getDouble(0)
+    assert(got == expected0, s"t0 $got != $expected0")
+  }
 }
