@@ -563,6 +563,10 @@ object SparkEntry {
     // rows keep the frame honest); μ/σ/z rounded before every compare
     "q_anomaly_zscore" -> ((s, d) =>
       TimeSeries.anomalyZscore(Tables(s, d, "events"))),
+    // heartbeat-lost report: contiguous >= 2 h zero-traffic runs per type
+    // (islands-and-gaps over the gap-filled series)
+    "q_silence_report" -> ((s, d) =>
+      TimeSeries.silenceReport(Tables(s, d, "events"))),
     // P(next event type | current) per-user lead window + types²-bounded
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
@@ -1902,6 +1906,40 @@ object SparkEntry {
         |    THEN abs(round((n_events - mu) / sigma, 4)) >= 3.0
         |    ELSE n_events <> mu END AS is_anomaly
         |FROM win WHERE n_window = 24""".stripMargin,
+    "q_silence_report" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL '1 hour')) AS bucket_start
+        |  FROM counts GROUP BY event_type),
+        |filled AS (
+        |  SELECT g.event_type, g.bucket_start,
+        |    COALESCE(c.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
+        |flagged AS (
+        |  SELECT event_type, bucket_start,
+        |    CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS is_zero
+        |  FROM filled),
+        |edged AS (
+        |  SELECT *, CASE WHEN lag(is_zero) OVER w IS NULL
+        |      OR lag(is_zero) OVER w <> is_zero THEN 1 ELSE 0 END AS edge
+        |  FROM flagged
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)),
+        |runs AS (
+        |  SELECT *, sum(edge) OVER (PARTITION BY event_type
+        |    ORDER BY bucket_start
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM edged)
+        |SELECT event_type, min(bucket_start) AS silence_start,
+        |  max(bucket_start) + INTERVAL '1 hour' AS silence_end,
+        |  count(*) AS n_buckets
+        |FROM runs WHERE is_zero = 1
+        |GROUP BY event_type, run_id HAVING count(*) >= 2""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH d AS (
         |  SELECT user_id, value,

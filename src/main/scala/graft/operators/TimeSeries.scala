@@ -150,6 +150,33 @@ object TimeSeries {
           .otherwise(col("n_events") =!= col("mu")).as("is_anomaly"))
   }
 
+  /** Silence report — contiguous zero-traffic runs of at least
+    * `minRunBuckets` buckets per type: the "heartbeat lost" alert the
+    * volume alert cannot express (it fires on data; silence IS the
+    * absence of data, which only the gap-filled series makes visible).
+    * The islands-and-gaps pattern: an edge flag wherever the zero/nonzero
+    * state flips (lag), a running edge count labels each run, zero runs
+    * aggregate to (start, end, length). All windows run over the
+    * (types × buckets)-bounded filled series — one corpus pass total. */
+  def silenceReport(events: DataFrame, minRunBuckets: Int = 2,
+      typeCol: String = "event_type", bucket: String = "1 hour"): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_start"))
+    resampleGapfill(events, typeCol, bucket)
+      .withColumn("is_zero", (col("n_events") === 0).cast("int"))
+      .withColumn("edge", when(lag(col("is_zero"), 1).over(w).isNull ||
+        lag(col("is_zero"), 1).over(w) =!= col("is_zero"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("edge")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("is_zero") === 1)
+      .groupBy(col(typeCol), col("run_id"))
+      .agg(min(col("bucket_start")).as("silence_start"),
+        (max(col("bucket_start")) + expr(s"interval $bucket")).as("silence_end"),
+        count(lit(1)).as("n_buckets"))
+      .filter(col("n_buckets") >= minRunBuckets)
+      .select(col(typeCol), col("silence_start"), col("silence_end"),
+        col("n_buckets"))
+  }
+
   /** TIME-WEIGHTED average per key — the correct mean for irregularly
     * sampled series (a sensor that reports hourly when stable and
     * per-second in a storm would otherwise let the storm dominate a plain

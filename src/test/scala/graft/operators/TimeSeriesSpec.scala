@@ -82,6 +82,20 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1, None), (2L, 2, Some(5.0)), (2L, 3, Some(5.0))), got.mkString(","))
   }
 
+  test("silenceReport: contiguous zero runs detected with exact bounds; short blips and active hours excluded") {
+    import spark.implicits._
+    // type a: active 0-1, silent 2-4 (3h run), active 5, silent 6 (1h blip
+    // below min), active 7
+    val ev = Seq(0, 1, 5, 7).map(h => ("a", f"2024-01-01 0$h%d:15:00", 1.0))
+      .toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.silenceReport(ev, minRunBuckets = 2)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(13),
+        r.getTimestamp(2).toString.take(13), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "2024-01-01 02", "2024-01-01 05", 3L)),
+      got.mkString(","))
+  }
+
   test("timeWeightedAvg: durations weigh the mean; the last observation drops") {
     import spark.implicits._
     // value 10 held 1s, value 20 held 3s, final value 99 holds nothing
