@@ -567,6 +567,14 @@ object SparkEntry {
     // (islands-and-gaps over the gap-filled series)
     "q_silence_report" -> ((s, d) =>
       TimeSeries.silenceReport(Tables(s, d, "events"))),
+    // trend / hour-of-day seasonal / residual split of the hourly series
+    // (integer-exact: every output is one division of integer terms)
+    "q_seasonal_decompose" -> ((s, d) =>
+      TimeSeries.seasonalDecompose(Tables(s, d, "events"))),
+    // level-shift detector: argmax |CUSUM| per type on the integer-scaled
+    // statistic — the rate change the per-bucket z-score cannot see
+    "q_changepoint_cusum" -> ((s, d) =>
+      TimeSeries.changepointCusum(Tables(s, d, "events"))),
     // P(next event type | current) per-user lead window + types²-bounded
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
@@ -856,6 +864,11 @@ object SparkEntry {
     // to the ANN tier below
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10)),
+    // exact phrase occurrences via positional postings: term-filtered
+    // (doc, start) relations equi-joined — the multi-word query BM25's
+    // bag-of-words cannot answer
+    "q_phrase_search" -> ((s, d) =>
+      Retrieval.phraseSearch(Tables(s, d, "documents"), Seq("data", "row"))),
     // per-doc top-5 keywords by smoothed TF-IDF — map-side-combined term
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
@@ -1113,6 +1126,17 @@ object SparkEntry {
             col("c_mktsegment"), col("c_acctbal")))
       Evolve.snapshotDiff(cust, after, "c_custkey", attrs)
     }),
+    // GDPR erasure cascade census: tombstoned customers (%97 stand-in for
+    // the request batch) → orders by custkey → lineitem by orderkey relay;
+    // broadcast key sets, one conditional-count pass per table
+    "q_forget" -> ((s, d) =>
+      Evolve.forgetCensus(Tables(s, d, "customer"), Tables(s, d, "orders"),
+        Tables(s, d, "lineitem"), col("c_custkey") % 97 === 0)),
+    // pre-flight join blowup estimate for the lineitem self-join on
+    // partkey: Σ ca·cb + the worst key's share, WITHOUT running the join
+    "q_join_cardinality" -> ((s, d) =>
+      Audit.joinCardinality(Tables(s, d, "lineitem"),
+        Tables(s, d, "lineitem"), "l_partkey", "l_partkey")),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -1701,6 +1725,17 @@ object SparkEntry {
          |WHERE source IN (SELECT source FROM kept)""".stripMargin,
 
     "q_bm25" -> bm25Sql,
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS p
+        |  FROM toks)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |WHERE a.w = 'data' AND b.w = 'row'
+        |GROUP BY a.doc_id""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1940,6 +1975,76 @@ object SparkEntry {
         |  count(*) AS n_buckets
         |FROM runs WHERE is_zero = 1
         |GROUP BY event_type, run_id HAVING count(*) >= 2""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL '1 hour')) AS bucket_start
+        |  FROM counts GROUP BY event_type),
+        |filled AS (
+        |  SELECT g.event_type, g.bucket_start,
+        |    CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
+        |trended AS (
+        |  SELECT *, CASE WHEN count(*) OVER w = 25
+        |      THEN CAST(sum(n_events) OVER w AS BIGINT) END AS trend_num,
+        |    CAST(extract(hour FROM bucket_start) AS INTEGER) AS hod
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |detr AS (
+        |  SELECT *, 25 * n_events - trend_num AS detr_num FROM trended),
+        |seasonal AS (
+        |  SELECT event_type, hod, CAST(sum(detr_num) AS BIGINT) AS s_num,
+        |    CAST(count(*) AS BIGINT) AS s_cnt
+        |  FROM detr WHERE trend_num IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.event_type, d.bucket_start, d.n_events,
+        |  round(CAST(d.trend_num AS DOUBLE) / 25.0, 4) AS trend,
+        |  round(CAST(s.s_num AS DOUBLE) / (25.0 * s.s_cnt), 4) AS seasonal,
+        |  round(CAST(d.detr_num * s.s_cnt - s.s_num AS DOUBLE)
+        |    / (25.0 * s.s_cnt), 4) AS residual
+        |FROM detr d LEFT JOIN seasonal s
+        |  ON d.event_type = s.event_type AND d.hod = s.hod""".stripMargin,
+    "q_changepoint_cusum" ->
+      """WITH counts AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      INTERVAL '1 hour')) AS bucket_start
+        |  FROM counts GROUP BY event_type),
+        |filled AS (
+        |  SELECT g.event_type, g.bucket_start,
+        |    CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
+        |k AS (
+        |  SELECT event_type, bucket_start,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start) AS BIGINT) AS t_idx,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM filled),
+        |scored AS (
+        |  SELECT *, n_buckets * cum - t_idx * total AS k_num,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_buckets * cum - t_idx * total) DESC,
+        |        bucket_start) AS rk
+        |  FROM k)
+        |SELECT event_type, bucket_start AS cp_bucket,
+        |  round(CAST(abs(k_num) AS DOUBLE) / n_buckets, 4) AS cusum_abs,
+        |  n_buckets
+        |FROM scored WHERE rk = 1""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH d AS (
         |  SELECT user_id, value,
@@ -2625,6 +2730,45 @@ object SparkEntry {
         |         AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal THEN 'same'
         |       ELSE 'changed' END AS status
         |FROM customer b FULL OUTER JOIN aft a ON b.c_custkey = a.k""".stripMargin,
+    "q_forget" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+        |SELECT 'customer' AS tbl,
+        |  CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT)
+        |    AS n_purged,
+        |  CAST(count(*) FILTER (WHERE c_custkey % 97 <> 0) AS BIGINT)
+        |    AS n_kept
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+        |    AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb))
+        |    AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST(count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |    AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
+        |    AS BIGINT)
+        |FROM lineitem""".stripMargin,
+    "q_join_cardinality" ->
+      """WITH la AS (
+        |  SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |ra AS (
+        |  SELECT l_partkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(ca * cb) AS BIGINT) AS max_key_pairs
+        |  FROM la JOIN ra USING (k))
+        |SELECT est_rows, n_keys, max_key_pairs,
+        |  round(CAST(max_key_pairs AS DOUBLE) / est_rows, 6) AS top_key_share
+        |FROM j""".stripMargin,
     "q_zorder" ->
       s"""WITH s AS (
          |  SELECT min(l_partkey) AS min_a, max(l_partkey) AS max_a,

@@ -31,6 +31,31 @@ object Audit {
         round(col("r.n_violations") / col("n_rows"), 6).as("violation_rate"))
   }
 
+  /** Pre-flight join-cardinality estimate: the EXACT output size of
+    * `left ⋈ right` on an equi-key, computed from per-key counts WITHOUT
+    * running the join — |A ⋈ B| = Σ_k ca(k)·cb(k). The 100 TB planning
+    * tool: a join that would explode (hot key, unexpected many-to-many)
+    * names its blowup and its worst key from two map-side-combinable
+    * aggregations plus a join of two key-count relations, each no larger
+    * than the key cardinality.
+    *
+    * Output (one row): est_rows, n_keys (keys present on BOTH sides),
+    * max_key_pairs (the worst key's contribution), top_key_share
+    * (max/est — ≈1 means one key IS the join; salt it). All-integer until
+    * the single final division, so the numbers are engine-exact. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+    val ra = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+    la.join(ra, Seq("k"))
+      .agg(sum(col("ca") * col("cb")).as("est_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("ca") * col("cb")).as("max_key_pairs"))
+      .select(col("est_rows"), col("n_keys"), col("max_key_pairs"),
+        round(col("max_key_pairs") / col("est_rows").cast("double"), 6)
+          .as("top_key_share"))
+  }
+
   /** Referential-integrity audit: fact rows whose key has no partner in
     * the dimension (left anti join — broadcastable whenever the dim key
     * set fits, which is the normal case for a 100 TB fact table). */

@@ -104,4 +104,37 @@ object Evolve {
           .when(col("b_attrs") <=> col("a_attrs"), "same")
           .otherwise("changed").as("status"))
   }
+
+  /** Right-to-be-forgotten propagation census: given a tombstone predicate
+    * over the customer dimension, report how many rows each downstream
+    * table loses when the deletion cascades customer → orders (by
+    * custkey) → lineitem (by orderkey). The audit half of a GDPR erasure
+    * job: run BEFORE the rewrite to size it, and after as the
+    * verification that the cascade reached every table.
+    *
+    * Scale shape: the tombstone key set is a filtered dimension —
+    * broadcast to both fact joins, so each fact table is ONE map-side
+    * pass (left join against the broadcast set + conditional count); the
+    * order-key relay set is likewise a filtered projection of orders. At
+    * 100 TB, if a tombstone batch ever outgrew broadcast, the same plan
+    * degrades gracefully to shuffle semi-joins — the COUNTS stay one
+    * aggregation per table either way; AQE picks the join strategy. */
+  def forgetCensus(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, tombstoned: Column): DataFrame = {
+    val tomb = customer.filter(tombstoned)
+      .select(col("c_custkey").as("tomb_key"))
+    def census(tbl: String, df: DataFrame, key: String,
+        keys: DataFrame): DataFrame =
+      df.join(broadcast(keys), col(key) === col("tomb_key"), "left")
+        .agg(sum(when(col("tomb_key").isNotNull, 1L).otherwise(0L))
+            .as("n_purged"),
+          sum(when(col("tomb_key").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .select(lit(tbl).as("tbl"), col("n_purged"), col("n_kept"))
+    val purgedOrderKeys = orders
+      .join(broadcast(tomb), col("o_custkey") === col("tomb_key"), "left_semi")
+      .select(col("o_orderkey").as("tomb_key"))
+    census("customer", customer, "c_custkey", tomb)
+      .union(census("orders", orders, "o_custkey", tomb))
+      .union(census("lineitem", lineitem, "l_orderkey", purgedOrderKeys))
+  }
 }

@@ -237,6 +237,33 @@ object Retrieval {
   // 100 TB the corpus is tokenized ONCE at build time, daily deltas append
   // without touching history, and every query run reads only postings.
 
+  /** Exact PHRASE search via positional postings: docs where the phrase's
+    * tokens appear consecutively, with the occurrence count — the
+    * "multi-word query" BM25's bag-of-words scoring cannot answer.
+    *
+    * Plan: ONE corpus pass posexplodes (token, position); each phrase
+    * term's postings are that relation filtered to the term (the filter
+    * sits directly on the generator output — map-side, before any
+    * exchange), normalized to the phrase START position (pos − i), and
+    * equi-joined on (doc, start): k-term phrases are k−1 hash joins
+    * between term-sized relations, never a scan of the corpus per term.
+    * A persisted deployment writes the posexploded relation bucketed by
+    * term (the positional twin of [[buildIndex]]) and each query reads
+    * only its terms' buckets. Repeated terms ("batch batch") work: the
+    * normalized starts of the i-th copy intersect only where copies are
+    * truly adjacent. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least two tokens")
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "w")))
+    phrase.zipWithIndex.map { case (term, i) =>
+      toks.filter(col("w") === term)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** One posting per (term, doc) with the doc's length — tokenization paid
     * once, at build time. */
   private def postingsOf(docs: DataFrame): DataFrame =

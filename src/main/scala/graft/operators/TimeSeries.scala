@@ -177,6 +177,76 @@ object TimeSeries {
         col("n_buckets"))
   }
 
+  /** Classical seasonal decomposition of the hourly series: trend =
+    * centered `2·halfWindow+1`-bucket moving average (defined only where
+    * the window is FULL — edge buckets get null, not a shrunk average),
+    * seasonal = per-(type, hour-of-day) mean of the detrended values,
+    * residual = observed − trend − seasonal. The what-is-normal baseline
+    * behind the z-score anomaly tier: a nightly dip is seasonality, not an
+    * incident.
+    *
+    * Cross-engine determinism: every intermediate stays INTEGER (window
+    * SUM of counts, `span·n − trend_num`, the seasonal numerator/count)
+    * and each output is ONE exact-integer division rounded once — no
+    * accumulated double drift for the oracle to disagree with.
+    *
+    * Scale shape: one corpus pass (the resample agg); every window runs
+    * over the (types × buckets)-bounded filled series; the seasonal
+    * census is (types × period) rows, broadcast back. */
+  def seasonalDecompose(events: DataFrame, typeCol: String = "event_type",
+      bucket: String = "1 hour", halfWindow: Int = 12): DataFrame = {
+    val span = 2 * halfWindow + 1
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket_start"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val trended = resampleGapfill(events, typeCol, bucket)
+      .withColumn("trend_num",
+        when(count(lit(1)).over(w) === span, sum(col("n_events")).over(w)))
+      .withColumn("hod", hour(col("bucket_start")))
+      .withColumn("detr_num",
+        lit(span.toLong) * col("n_events") - col("trend_num"))
+    val seasonal = trended.filter(col("trend_num").isNotNull)
+      .groupBy(col(typeCol), col("hod"))
+      .agg(sum(col("detr_num")).as("s_num"), count(lit(1)).as("s_cnt"))
+    trended.join(broadcast(seasonal), Seq(typeCol, "hod"), "left")
+      .select(col(typeCol), col("bucket_start"), col("n_events"),
+        round(col("trend_num") / lit(span.toDouble), 4).as("trend"),
+        round(col("s_num") / (lit(span.toDouble) * col("s_cnt")), 4)
+          .as("seasonal"),
+        round((col("detr_num") * col("s_cnt") - col("s_num")) /
+          (lit(span.toDouble) * col("s_cnt")), 4).as("residual"))
+  }
+
+  /** CUSUM changepoint per type: the bucket where the cumulative
+    * deviation from the series mean peaks — the level-shift detector
+    * (deploy changed the traffic rate) that the per-bucket z-score
+    * cannot see because every post-shift bucket is individually normal.
+    *
+    * The statistic is integer-scaled: K_t = n_buckets·cumsum_t −
+    * t·total is exact integer arithmetic (argmax |K_t| ≡ argmax |CUSUM_t|
+    * since CUSUM_t = K_t / n_buckets), so the argmax and its tie-break
+    * (earliest bucket) are engine-exact; the reported magnitude is one
+    * final division. All windows run over the bounded filled series. */
+  def changepointCusum(events: DataFrame, typeCol: String = "event_type",
+      bucket: String = "1 hour"): DataFrame = {
+    val wOrd = Window.partitionBy(col(typeCol)).orderBy(col("bucket_start"))
+    val wAll = Window.partitionBy(col(typeCol))
+    val k = resampleGapfill(events, typeCol, bucket)
+      .withColumn("t_idx", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_buckets", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .withColumn("k_num",
+        col("n_buckets") * col("cum") - col("t_idx") * col("total"))
+    k.withColumn("rk", row_number().over(Window.partitionBy(col(typeCol))
+        .orderBy(abs(col("k_num")).desc, col("bucket_start"))))
+      .filter(col("rk") === 1)
+      .select(col(typeCol), col("bucket_start").as("cp_bucket"),
+        round(abs(col("k_num")) / col("n_buckets").cast("double"), 4)
+          .as("cusum_abs"),
+        col("n_buckets"))
+  }
+
   /** TIME-WEIGHTED average per key — the correct mean for irregularly
     * sampled series (a sensor that reports hourly when stable and
     * per-second in a storm would otherwise let the storm dominate a plain

@@ -39,4 +39,16 @@ class AuditSpec extends SparkSpec {
       .select("fk").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(2L, 3L, 3L))
   }
+
+  test("joinCardinality: estimate equals the executed join's count; worst key named without running it") {
+    import spark.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")
+    val right = Seq(1L, 1L, 2L, 4L).toDF("rk")
+    val got = Audit.joinCardinality(left, right, "lk", "rk").collect()(0)
+    val real = left.join(right, col("lk") === col("rk")).count()
+    // key 1: 3·2 = 6, key 2: 1·1 = 1; key 3/4 one-sided
+    assert(got.getLong(0) == real && real == 7L, got.toString)
+    assert(got.getLong(1) == 2L && got.getLong(2) == 6L)
+    assert(got.getDouble(3) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
+  }
 }

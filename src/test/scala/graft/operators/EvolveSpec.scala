@@ -89,4 +89,20 @@ class EvolveSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(gotRm(4L) == "removed")
   }
+
+  test("forgetCensus: the cascade counts reach orders via custkey and lineitem via the orderkey relay") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(10L, 11L, 11L, 12L, 13L, 13L).toDF("l_orderkey")
+    val got = Evolve.forgetCensus(customer, orders, lineitem,
+        col("c_custkey") === 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // customer 2 → orders 11, 12 → lineitems 11, 11, 12
+    assert(got("customer") == ((1L, 2L)), got.toString)
+    assert(got("orders") == ((2L, 2L)))
+    assert(got("lineitem") == ((3L, 3L)))
+  }
 }

@@ -179,4 +179,21 @@ class RetrievalSpec extends SparkSpec {
     assert(ranked.map(r => (r.getString(0), r.getDouble(1))).toSeq
       == again.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
+
+  test("phraseSearch: consecutive-only matches, multiple occurrences counted, repeated-term phrases exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "x data row y data row"),   // two occurrences
+      (2, "data x row"),              // not adjacent → no match
+      (3, "row data"),                // wrong order → no match
+      (4, "b b b a"),                 // "b b" overlaps: positions 0,1
+      (5, "b a b")                    // repeated term NOT adjacent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, Seq("data", "row"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 2L), got.toString)
+    val rep = Retrieval.phraseSearch(docs, Seq("b", "b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rep == Map(4 -> 2L), rep.toString)
+  }
 }

@@ -96,6 +96,37 @@ class TimeSeriesSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("seasonalDecompose: exact integer-ratio trend/seasonal; residual zero on a pure periodic series; edges null") {
+    import spark.implicits._
+    // period-2 series 2,4,2,4,2,4 with halfWindow=1: trend is the 3-bucket
+    // mean, seasonal absorbs the full alternation, residual is exactly 0
+    val ev = Seq((0, 2), (1, 4), (2, 2), (3, 4), (4, 2), (5, 4)).flatMap {
+      case (h, n) => Seq.fill(n)(("a", f"2024-01-01 0$h%d:30:00", 1.0))
+    }.toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.seasonalDecompose(ev, halfWindow = 1)
+      .collect().map(r => (r.getTimestamp(1).toString.take(13), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).sortBy(_._1)
+    assert(got(0) == ("2024-01-01 00", 2L, None, None, None), got(0))
+    assert(got(1) == ("2024-01-01 01", 4L, Some(2.6667), Some(1.3333), Some(0.0)), got(1))
+    assert(got(2) == ("2024-01-01 02", 2L, Some(3.3333), Some(-1.3333), Some(0.0)), got(2))
+    assert(got(5) == ("2024-01-01 05", 4L, None, None, None), got(5))
+  }
+
+  test("changepointCusum: argmax |CUSUM| lands on the level-shift boundary with the exact magnitude") {
+    import spark.implicits._
+    // rate 1/h for 3 hours then 5/h for 3 hours: CUSUM peaks at hour 2
+    // (the last pre-shift bucket), |K|=36, cusum = 36/6 = 6.0
+    val ev = Seq((0, 1), (1, 1), (2, 1), (3, 5), (4, 5), (5, 5)).flatMap {
+      case (h, n) => Seq.fill(n)(("a", f"2024-01-01 0$h%d:10:00", 1.0))
+    }.toDF("event_type", "tss", "value")
+      .select(col("event_type"), col("tss").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.changepointCusum(ev)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(13),
+        r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
+  }
+
   test("timeWeightedAvg: durations weigh the mean; the last observation drops") {
     import spark.implicits._
     // value 10 held 1s, value 20 held 3s, final value 99 holds nothing
