@@ -946,6 +946,16 @@ object SparkEntry {
       Tables(s, d, "documents")
         .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
         .withColumn("split", Sampling.splitExpr(col("bucket")))),
+    // k-fold CV assignment census: fold = md5(id) mod 5, per-fold size +
+    // mean doc length (one map-side column add + one agg; folds are a
+    // function of the id, stable across layout/engine/rerun)
+    "q_kfold" -> ((s, d) =>
+      Sampling.kfoldAssign(Tables(s, d, "documents"), "doc_id", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          round(sum(col("n_chars")) / count(lit(1)).cast("double"), 4)
+            .as("avg_chars"))),
     // split-leakage audit: how many normalized-text fingerprints appear
     // in 1 / 2 / 3 hash splits — exact-duplicate leakage across
     // train/valid/test, the in-corpus twin of benchmark decontamination
@@ -1049,6 +1059,13 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
         "l_partkey", "l_suppkey", bits = 8)),
+    // zone-map effectiveness census: 32 orderkey-band "files", footer
+    // min/max of shipdate vs a 1994 range scan → pruned / full / partial
+    // zone classes with row masses — the is-this-layout-worth-it report
+    "q_zonemap_prune" -> ((s, d) =>
+      graft.lake.ZOrder.zoneMapReport(Tables(s, d, "lineitem"),
+        "l_orderkey", col("l_shipdate").cast("string"),
+        lit("1994-01-01"), lit("1994-12-31"))),
     // SCD2 dimension merge: a deterministic update batch (changed /
     // unchanged / brand-new keys) against the customer snapshot — changed
     // keys close + reopen, unchanged pass through, new keys open; one
@@ -1137,6 +1154,32 @@ object SparkEntry {
     "q_join_cardinality" -> ((s, d) =>
       Audit.joinCardinality(Tables(s, d, "lineitem"),
         Tables(s, d, "lineitem"), "l_partkey", "l_partkey")),
+    // MERGE upsert: deterministic change batch (updates %7, deletes %13,
+    // inserts %11 shifted keys) applied to customer — zero full-table
+    // shuffle: both legs run against broadcast batch-bounded key sets
+    "q_merge_upsert" -> ((s, d) => {
+      val cust = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val batch = cust
+        .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"), lit(false).as("deleted"), col("c_name"),
+          col("c_mktsegment"), (col("c_acctbal") + 50).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey"), lit(true).as("deleted"), col("c_name"),
+            col("c_mktsegment"), col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 2000000).as("c_custkey"),
+            lit(false).as("deleted"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal")))
+      Evolve.mergeUpsert(cust, batch, "c_custkey")
+    }),
+    // anti-entropy fingerprint: 64 (bucket, count, XOR-of-row-hash) rows
+    // — two replicas compare by exchanging 64 rows, not the table
+    "q_table_checksum" -> ((s, d) =>
+      Audit.tableChecksum(Tables(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -2520,6 +2563,14 @@ object SparkEntry {
          |       WHEN bucket < 95 THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin,
+    "q_kfold" ->
+      s"""SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+         |FROM (SELECT CAST((${md5BucketSqlOf("doc_id")}) % 5 AS INTEGER)
+         |        AS fold, n_chars
+         |      FROM documents)
+         |GROUP BY fold""".stripMargin,
     "q_lr_coeffs" ->
       s"""WITH train AS (
          |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
@@ -2756,6 +2807,40 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
         |    AS BIGINT)
         |FROM lineitem""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+        |src AS (
+        |  SELECT c_custkey, FALSE AS deleted, c_name, c_mktsegment,
+        |    c_acctbal + 50 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, TRUE, c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, FALSE, c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+        |       ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+        |       ELSE t.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+        |       ELSE t.c_acctbal END AS c_acctbal
+        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |WHERE s.c_custkey IS NULL OR NOT s.deleted""".stripMargin,
+    "q_table_checksum" ->
+      s"""WITH h AS (
+         |  SELECT ${md5PrefixSqlOf(
+               "concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
+               "CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), " +
+               "CAST(l_linenumber AS VARCHAR), CAST(l_returnflag AS VARCHAR), " +
+               "CAST(l_linestatus AS VARCHAR))", 13)} AS h
+         |  FROM lineitem)
+         |SELECT CAST(h % 64 AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(h) AS BIGINT) AS checksum
+         |FROM h GROUP BY 1""".stripMargin,
     "q_join_cardinality" ->
       """WITH la AS (
         |  SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
@@ -2784,6 +2869,27 @@ object SparkEntry {
               s"(((qa >> $i) & 1) << ${2 * i}) + (((qb >> $i) & 1) << ${2 * i + 1})")
              .mkString(" + ")} AS BIGINT) AS zvalue
          |FROM q""".stripMargin,
+    "q_zonemap_prune" ->
+      """WITH s AS (
+        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS min_k,
+        |    CAST(max(l_orderkey) AS BIGINT) AS max_k
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT (CAST(l_orderkey AS BIGINT) - min_k) * 32
+        |      // (max_k - min_k + 1) AS zone,
+        |    CAST(l_shipdate AS VARCHAR) AS sdt
+        |  FROM lineitem CROSS JOIN s),
+        |agg AS (
+        |  SELECT zone, count(*) AS zn, min(sdt) AS zmin, max(sdt) AS zmax
+        |  FROM z GROUP BY 1)
+        |SELECT CASE WHEN zmax < '1994-01-01' OR zmin > '1994-12-31'
+        |         THEN 'pruned'
+        |       WHEN zmin >= '1994-01-01' AND zmax <= '1994-12-31'
+        |         THEN 'full'
+        |       ELSE 'partial' END AS zone_class,
+        |  CAST(count(*) AS BIGINT) AS n_zones,
+        |  CAST(sum(zn) AS BIGINT) AS n_rows
+        |FROM agg GROUP BY 1""".stripMargin,
     "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
     "q_nb_predict" ->
       s"""$nbModelCte,
@@ -3166,6 +3272,14 @@ object SparkEntry {
   private def md5BucketSqlOf(ref: String): String =
     (1 to 7).map { i =>
       s"(instr('0123456789abcdef', substring(md5(CAST($ref AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+
+  /** General-width twin of md5BucketSqlOf: first `nibbles` hex digits of
+    * md5(`ref`) as a bigint, over an already-VARCHAR ref expression —
+    * mirrors `graft_md5_prefix(ref, nibbles)`. */
+  private def md5PrefixSqlOf(ref: String, nibbles: Int): String =
+    (1 to nibbles).map { i =>
+      s"(instr('0123456789abcdef', substring(md5($ref), $i, 1)) - 1) * ${1L << (4 * (nibbles - i))}"
     }.mkString(" + ")
 
   /** The composed curation oracle: quality filter, fingerprint-window

@@ -59,6 +59,37 @@ object ZOrder {
     * z-value so every file owns one contiguous curve segment (a bounded
     * rectangle of (A, B) space in its min/max footers). The helper column
     * is dropped before writing — pruning works off the DIMS' own footers. */
+  /** Zone-map effectiveness report: partition rows into `zones`
+    * equal-width bands of `layoutKey` (the stand-ins for files written in
+    * that layout), collect each band's min/max of `statsCol` (the parquet
+    * footer stats a scan planner reads), and classify every zone against
+    * the range predicate [lo, hi]: `pruned` (footer range misses —
+    * the file is never opened), `full` (footer range inside — rows
+    * qualify without evaluating the predicate), `partial` (must read and
+    * filter). Answers "is this layout worth it?" with ONE aggregation
+    * over the table plus a zones-sized census — the decision input for
+    * [[writeZOrdered]] / range-sort before anyone rewrites 100 TB.
+    * Quantization reuses [[quantize]]'s exact long arithmetic. */
+  def zoneMapReport(df: DataFrame, layoutKey: String, statsCol: Column,
+      lo: Column, hi: Column, zones: Int = 32): DataFrame = {
+    val stats = df.agg(min(col(layoutKey)).cast("long").as("min_k"),
+      max(col(layoutKey)).cast("long").as("max_k"))
+    val bits = (31 - Integer.numberOfLeadingZeros(zones)).max(0)
+    require((1 << bits) == zones, s"zones must be a power of two, got $zones")
+    val zoned = df.crossJoin(broadcast(stats))
+      .select(quantize(col(layoutKey), col("min_k"), col("max_k"), bits)
+        .as("zone"), statsCol.as("s"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"), min(col("s")).as("zmin"),
+        max(col("s")).as("zmax"))
+    zoned.select(
+        when(col("zmax") < lo || col("zmin") > hi, "pruned")
+          .when(col("zmin") >= lo && col("zmax") <= hi, "full")
+          .otherwise("partial").as("zone_class"), col("n_rows"))
+      .groupBy(col("zone_class"))
+      .agg(count(lit(1)).as("n_zones"), sum(col("n_rows")).as("n_rows"))
+  }
+
   def writeZOrdered(df: DataFrame, dimA: String, dimB: String, bits: Int,
       files: Int, path: String): Unit =
     withZValue(df, dimA, dimB, bits)

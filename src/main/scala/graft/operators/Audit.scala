@@ -31,6 +31,24 @@ object Audit {
         round(col("r.n_violations") / col("n_rows"), 6).as("violation_rate"))
   }
 
+  /** Order-independent table fingerprint: per-bucket (row count, XOR of a
+    * 52-bit row hash) over md5(key columns) — two replicas of a table
+    * compare by exchanging `buckets` tiny rows instead of 100 TB of data,
+    * and a mismatch names the bucket to re-sync (the anti-entropy /
+    * backup-verification primitive). XOR is the aggregator because it is
+    * commutative, associative, self-inverse, and CANNOT overflow — the
+    * checksum is layout- and order-independent by construction.
+    * One map-side-combinable aggregation; output is `buckets` rows. */
+  def tableChecksum(df: DataFrame, keyCols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val h = call_function("graft_md5_prefix",
+      concat_ws("|", keyCols.map(c => col(c).cast("string")): _*), lit(13))
+    df.select((h % buckets).cast("int").as("bucket"), h.as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+  }
+
   /** Pre-flight join-cardinality estimate: the EXACT output size of
     * `left ⋈ right` on an equi-key, computed from per-key counts WITHOUT
     * running the join — |A ⋈ B| = Σ_k ca(k)·cb(k). The 100 TB planning

@@ -105,6 +105,40 @@ object Evolve {
           .otherwise("changed").as("status"))
   }
 
+  /** MERGE upsert: apply a change batch (`source` = key + attrs + a
+    * boolean `deletedCol`) to a snapshot — matched & deleted rows drop,
+    * matched & live rows take the source attributes, unmatched source
+    * rows insert, untouched target rows pass through. The next-snapshot
+    * batch form of MERGE INTO (write-audit-publish; SCD2 is the
+    * versioned sibling, this is the overwrite-in-place one).
+    *
+    * Scale shape: NO full-table shuffle anywhere. Leg 1 (pass-through /
+    * update / delete) is the target LEFT-joined against the BROADCAST
+    * batch — map-side. Leg 2 (inserts) needs "source keys absent from
+    * the target", whose direct anti-join would shuffle the target; instead
+    * the matched keys are first extracted as target SEMI broadcast(batch)
+    * — map-side, output bounded by the batch size — and broadcast back
+    * for the source-side anti join. At 100 TB add partition pruning on
+    * the batch's key range so leg 1 rewrites only affected partitions. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String,
+      deletedCol: String = "deleted"): DataFrame = {
+    val attrs = target.columns.filterNot(_ == key).toSeq
+    val srcK = source.select(col(key).as("src_key"),
+      col(deletedCol).as("src_del"), struct(attrs.map(col): _*).as("src_attrs"))
+    val updated = target.join(broadcast(srcK),
+        col(key) === col("src_key"), "left")
+      .filter(col("src_key").isNull || !col("src_del"))
+      .select(col(key) +: attrs.map(a =>
+        when(col("src_key").isNotNull, col("src_attrs").getField(a))
+          .otherwise(col(a)).as(a)): _*)
+    val matchedKeys = target.join(broadcast(srcK.select(col("src_key"))),
+      col(key) === col("src_key"), "left_semi").select(col(key))
+    val inserts = source.filter(!col(deletedCol))
+      .join(broadcast(matchedKeys), Seq(key), "left_anti")
+      .select((key +: attrs).map(col): _*)
+    updated.unionByName(inserts)
+  }
+
   /** Right-to-be-forgotten propagation census: given a tombstone predicate
     * over the customer dimension, report how many rows each downstream
     * table loses when the deletion cascades customer → orders (by

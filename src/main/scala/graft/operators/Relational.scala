@@ -251,6 +251,15 @@ object Sampling {
   def splitExpr(bucket: Column): Column =
     when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
 
+  /** K-fold cross-validation assignment: fold = md5(id) mod k — the same
+    * deterministic base as the split bands, so folds are stable across
+    * engines, reruns, and data layout (a row's fold is a function of its
+    * id, never of partition order). Map-side column add; no shuffle. */
+  def kfoldAssign(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("fold",
+      (call_function("graft_md5_prefix", col(idCol).cast("string"), lit(7))
+        % k).cast("int"))
+
   /** Keep rows whose md5 bucket (0-99) falls under their stratum's rate
     * (percent); strata absent from `rates` use `defaultRate`. */
   def stratifiedByHash(df: DataFrame, idCol: String, stratumCol: String,

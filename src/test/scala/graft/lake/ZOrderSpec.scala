@@ -63,6 +63,26 @@ class ZOrderSpec extends SparkSpec {
     assert(zSpansA.count { case (lo, hi) => lo < 8 && hi >= 0 } <= zSpansA.length / 2)
   }
 
+  test("zoneMapReport: pruned / full / partial zone classes carry exact zone and row masses") {
+    import spark.implicits._
+    // 64 keys → 32 zones of 2 rows; date bands make each class predictable
+    val rows = (0 until 64).map { k =>
+      val sdt =
+        if (k < 20) "1993-06-01"                       // zones 0-9: before lo
+        else if (k < 40) "1994-06-15"                  // zones 10-19: inside
+        else if (k < 60) { if (k % 2 == 0) "1994-06-15" else "1995-01-01" }
+        else "1995-02-02"                              // zones 30-31: after hi
+      (k.toLong, sdt)
+    }
+    val df = rows.toDF("k", "sdt")
+    val got = ZOrder.zoneMapReport(df, "k", col("sdt"),
+        lit("1994-01-01"), lit("1994-12-31"), zones = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("pruned" -> ((12L, 24L)), "full" -> ((10L, 20L)),
+      "partial" -> ((10L, 20L))), got.toString)
+  }
+
   test("zvalue column is dropped from the written files") {
     val grid = spark.range(0, 100)
       .select((col("id") / 10).as("a"), (col("id") % 10).as("b"))

@@ -40,6 +40,25 @@ class AuditSpec extends SparkSpec {
     assert(got == Seq(2L, 3L, 3L))
   }
 
+  test("tableChecksum: layout-independent; a one-row change surfaces in the bucket census") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val base = Audit.tableChecksum(df, Seq("id", "v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val shuffled = Audit.tableChecksum(df.repartition(9), Seq("id", "v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(base == shuffled, "checksum must not depend on layout")
+    // corrupt one row: at most the 2 touched buckets change, never zero
+    val corrupt = df.withColumn("v",
+      when(col("id") === 250L, "CORRUPT").otherwise(col("v")))
+    val diff = Audit.tableChecksum(corrupt, Seq("id", "v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val changed = (base.keySet ++ diff.keySet)
+      .filter(b => base.get(b) != diff.get(b))
+    assert(changed.nonEmpty && changed.size <= 2, changed.toString)
+    assert(base.values.map(_._1).sum == diff.values.map(_._1).sum)
+  }
+
   test("joinCardinality: estimate equals the executed join's count; worst key named without running it") {
     import spark.implicits._
     val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")

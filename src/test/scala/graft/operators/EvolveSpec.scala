@@ -90,6 +90,20 @@ class EvolveSpec extends SparkSpec {
     assert(gotRm(4L) == "removed")
   }
 
+  test("mergeUpsert: update/delete/insert/pass-through exact; both legs broadcast (no sort-merge join)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v")
+    val batch = Seq((2L, false, "B2"), (3L, true, "c"), (9L, false, "i"),
+      (7L, true, "ghost")) // a deleted row for an absent key is a no-op
+      .toDF("k", "deleted", "v")
+    val got = Evolve.mergeUpsert(target, batch, "k")
+    assert(got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "B2", 4L -> "d", 5L -> "e", 9L -> "i"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("forgetCensus: the cascade counts reach orders via custkey and lineitem via the orderkey relay") {
     import spark.implicits._
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")

@@ -144,4 +144,16 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(band"), plan)
   }
+
+  test("kfoldAssign: folds are id-determined (layout-invariant), bounded, and all occupied") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"doc$i").toDF("id")
+    val a = Sampling.kfoldAssign(df, "id", 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = Sampling.kfoldAssign(df.repartition(7), "id", 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    assert(a.values.toSet.size == 5, "1000 ids should hit every fold")
+  }
 }
