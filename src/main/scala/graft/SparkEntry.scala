@@ -575,6 +575,10 @@ object SparkEntry {
     // statistic — the rate change the per-bucket z-score cannot see
     "q_changepoint_cusum" -> ((s, d) =>
       TimeSeries.changepointCusum(Tables(s, d, "events"))),
+    // DAU / trailing-7d-WAU stickiness: sliding distinct via map-side
+    // contribution explode + one distinct per target day (no per-day scan)
+    "q_dau_wau" -> ((s, d) =>
+      TimeSeries.dauWauStickiness(Tables(s, d, "events"))),
     // P(next event type | current) per-user lead window + types²-bounded
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
@@ -869,6 +873,13 @@ object SparkEntry {
     // bag-of-words cannot answer
     "q_phrase_search" -> ((s, d) =>
       Retrieval.phraseSearch(Tables(s, d, "documents"), Seq("data", "row"))),
+    // hybrid retrieval: BM25 top-10 ⊕ cosine top-10 fused by reciprocal
+    // rank fusion (c=60) — rank-space fusion needs no score calibration;
+    // queries 0-2 exist in both spaces because vec_id ≡ doc_id
+    "q_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(
+        Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10),
+        Similarity.bruteForceTopK(s, d, 3, 10))),
     // per-doc top-5 keywords by smoothed TF-IDF — map-side-combined term
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
@@ -1016,6 +1027,25 @@ object SparkEntry {
       graft.ml.NaiveBayes.trainPredict(
         docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
         "lang", "doc_id", "text")
+    }),
+    // confusion-matrix census over the NB language predictions: per
+    // (true, predicted) counts + row share — the label-noise report
+    // (off-diagonal mass = mislabeled or genuinely ambiguous docs);
+    // predictions and truth join on id, totals broadcast back
+    "q_nb_confusion" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val j = graft.ml.NaiveBayes.trainPredict(
+          docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
+          "lang", "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang").as("true_label")),
+          "doc_id")
+      val tot = j.groupBy(col("true_label")).agg(count(lit(1)).as("n_true"))
+      j.groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(tot), "true_label")
+        .select(col("true_label"), col("pred_label"), col("n_docs"),
+          round(col("n_docs") / col("n_true").cast("double"), 6)
+            .as("row_share"))
     }),
     // -- hashing-trick featurization (no vocabulary, pure map-side);
     // flattened to f0..f31 scalar columns for the oracle compare (the
@@ -1779,6 +1809,23 @@ object SparkEntry {
         |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
         |WHERE a.w = 'data' AND b.w = 'row'
         |GROUP BY a.doc_id""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
+         |sem AS (SELECT * FROM (${annSql(cellRestricted = false, 3, 10)})),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, s.q_id) AS query_id,
+         |    COALESCE(l.doc_id, s.vec_id) AS doc_id,
+         |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank),
+         |        CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank),
+         |        CAST(0 AS DOUBLE)), 6) AS rrf,
+         |    l.rank AS lex_rank, s.rank AS sem_rank
+         |  FROM lex l FULL OUTER JOIN sem s
+         |    ON l.query_id = s.q_id AND l.doc_id = s.vec_id)
+         |SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
+         |FROM fused""".stripMargin,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -2088,6 +2135,20 @@ object SparkEntry {
         |  round(CAST(abs(k_num) AS DOUBLE) / n_buckets, 4) AS cusum_abs,
         |  n_buckets
         |FROM scored WHERE rk = 1""".stripMargin,
+    "q_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS x)),
+        |wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM contrib GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH d AS (
         |  SELECT user_id, value,
@@ -2893,35 +2954,25 @@ object SparkEntry {
     "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
     "q_nb_predict" ->
       s"""$nbModelCte,
-         |priors AS (
-         |  SELECT label, round(ln(CAST(n_docs_l AS DOUBLE) / n_docs), 6) AS log_prior
-         |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs_l
-         |        FROM train GROUP BY 1)
-         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM train)),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id,
-         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         |    FROM documents)
-         |  GROUP BY doc_id, term),
-         |scored AS (
-         |  -- integer micro-unit sum: logp is rounded to 6 decimals, so the
-         |  -- long arithmetic is exact and order-independent (mirrors
-         |  -- ml.NaiveBayes.predict)
-         |  SELECT tf.doc_id, m.label,
-         |    CAST(sum(tf.tf * CAST(round(m.logp * 1000000) AS BIGINT)) AS BIGINT) AS ll_micro
-         |  FROM tf JOIN model m ON tf.term = m.term
-         |  GROUP BY tf.doc_id, m.label),
-         |ranked AS (
-         |  SELECT s.doc_id, s.label,
-         |    s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) AS score_micro,
-         |    row_number() OVER (PARTITION BY s.doc_id
-         |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
-         |        s.label) AS rnk
-         |  FROM scored s JOIN priors p USING (label))
+         |$nbPredictCtes
          |SELECT doc_id, label AS pred_label,
          |  score_micro / 1000000.0 AS score
          |FROM ranked WHERE rnk = 1""".stripMargin,
+    "q_nb_confusion" ->
+      s"""$nbModelCte,
+         |$nbPredictCtes,
+         |pred AS (
+         |  SELECT doc_id, label AS pred_label FROM ranked WHERE rnk = 1),
+         |j AS (
+         |  SELECT d.lang AS true_label, p.pred_label
+         |  FROM pred p JOIN documents d USING (doc_id)),
+         |tot AS (
+         |  SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM j GROUP BY 1)
+         |SELECT j.true_label, j.pred_label, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) / t.n_true, 6) AS row_share
+         |FROM j JOIN tot t ON j.true_label = t.true_label
+         |GROUP BY j.true_label, j.pred_label, t.n_true""".stripMargin,
 
     "q_mm_hist" -> mmHistSql,
     // ASCII corpus (verified): byte == char code, so ascii(substr(..)) in
@@ -3269,6 +3320,37 @@ object SparkEntry {
        |  FROM totals t CROSS JOIN vocab vo CROSS JOIN vs
        |  LEFT JOIN counts c ON c.label = t.label AND c.term = vo.term)""".stripMargin
 
+  /** The NB inference CTE chain (priors → tf → scored → ranked), shared
+    * by the predict and confusion-census oracles; appended after
+    * [[nbModelCte]]. */
+  private def nbPredictCtes: String =
+    """priors AS (
+      |  SELECT label, round(ln(CAST(n_docs_l AS DOUBLE) / n_docs), 6) AS log_prior
+      |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs_l
+      |        FROM train GROUP BY 1)
+      |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM train)),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |scored AS (
+      |  -- integer micro-unit sum: logp is rounded to 6 decimals, so the
+      |  -- long arithmetic is exact and order-independent (mirrors
+      |  -- ml.NaiveBayes.predict)
+      |  SELECT tf.doc_id, m.label,
+      |    CAST(sum(tf.tf * CAST(round(m.logp * 1000000) AS BIGINT)) AS BIGINT) AS ll_micro
+      |  FROM tf JOIN model m ON tf.term = m.term
+      |  GROUP BY tf.doc_id, m.label),
+      |ranked AS (
+      |  SELECT s.doc_id, s.label,
+      |    s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) AS score_micro,
+      |    row_number() OVER (PARTITION BY s.doc_id
+      |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
+      |        s.label) AS rnk
+      |  FROM scored s JOIN priors p USING (label))""".stripMargin
+
   private def md5BucketSqlOf(ref: String): String =
     (1 to 7).map { i =>
       s"(instr('0123456789abcdef', substring(md5(CAST($ref AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
@@ -3582,11 +3664,12 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
-  private def annSql(cellRestricted: Boolean): String = {
+  private def annSql(cellRestricted: Boolean, nQueries: Int = 10,
+      k: Int = 5): String = {
     val cell = if (cellRestricted) " AND e.label = q.q_label" else ""
     s"""WITH q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-       |  FROM embeddings WHERE vec_id < 10),
+       |  FROM embeddings WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.q_id, e.vec_id,
        |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -3597,6 +3680,6 @@ object SparkEntry {
        |  SELECT q_id, vec_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored)
-       |WHERE rank <= 5""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
 }

@@ -232,6 +232,37 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Hybrid retrieval fusion by Reciprocal Rank Fusion: rrf(d) =
+    * Σ_lists 1/(c + rank_list(d)) over a lexical (BM25) and a semantic
+    * (ANN cosine) ranking — the standard way to combine keyword and
+    * embedding retrieval WITHOUT calibrating their incomparable score
+    * scales (ranks are scale-free; c=60 is the published default).
+    * Candidates found by only one list still score (the other term is 0).
+    *
+    * `lexical` is a (query_id, doc_id, rank) ranking ([[bm25TopK]]);
+    * `semantic` is (q_id, vec_id, rank) ([[Similarity.bruteForceTopK]] or
+    * any ANN variant — fusion is agnostic to how the ranking was made).
+    * Both inputs are per-query top-k relations — queries × k rows — so
+    * the fusion join and re-rank cost nothing against the retrieval
+    * itself; the rrf score is rounded BEFORE ranking so the fused order
+    * (tie-break doc_id) is engine-exact. */
+  def hybridRrf(lexical: DataFrame, semantic: DataFrame,
+      c: Int = 60): DataFrame = {
+    val lex = lexical.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val sem = semantic.select(col("q_id").as("query_id"),
+      col("vec_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("sem_rank")), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
   // ---- persisted inverted-index artifact (build once / ingest deltas /
   // serve many) — the lexical twin of the IVF assignment artifact: at
   // 100 TB the corpus is tokenized ONCE at build time, daily deltas append

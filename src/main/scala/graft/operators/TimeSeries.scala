@@ -247,6 +247,32 @@ object TimeSeries {
         col("n_buckets"))
   }
 
+  /** DAU / trailing-WAU stickiness per day — the engagement ratio
+    * (distinct users today ÷ distinct users in the trailing `window`
+    * days). Sliding DISTINCT counts cannot reuse a sum-style sliding
+    * window (distinct doesn't subtract), and re-scanning the corpus per
+    * day is quadratic; instead each (user, day) activity row is exploded
+    * map-side to the `window` target days it contributes to, and ONE
+    * distinct + count per target day finishes the job. Cost: two
+    * map-side-combinable distinct aggregations over ≤ window·|user-days|
+    * rows — no per-day scan, layout-free, exact. (The approximate path
+    * at extreme cardinalities is the HLL rollup tier; this is the exact
+    * one.) */
+  def dauWauStickiness(events: DataFrame, window: Int = 7): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("x"), col("day"))
+      .select(col("user_id"), expr("date_add(day, x)").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+  }
+
   /** TIME-WEIGHTED average per key — the correct mean for irregularly
     * sampled series (a sensor that reports hourly when stable and
     * per-second in a storm would otherwise let the storm dominate a plain

@@ -180,6 +180,20 @@ class RetrievalSpec extends SparkSpec {
       == again.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("hybridRrf: both-list docs sum reciprocal ranks; single-list docs still score; fused order deterministic") {
+    import spark.implicits._
+    val lex = Seq((1, 10, 1), (1, 20, 2)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1, 20, 1), (1, 30, 2)).toDF("q_id", "vec_id", "rank")
+    val got = Retrieval.hybridRrf(lex, sem)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getInt(5)))
+    // doc 20 is in both lists: 1/61 + 1/62; docs 10/30 single-list
+    assert(got.toSeq == Seq(
+      (20, math.rint((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6, 1),
+      (10, math.rint(1.0 / 61 * 1e6) / 1e6, 2),
+      (30, math.rint(1.0 / 62 * 1e6) / 1e6, 3)), got.mkString(","))
+  }
+
   test("phraseSearch: consecutive-only matches, multiple occurrences counted, repeated-term phrases exact") {
     import spark.implicits._
     val docs = Seq(

@@ -127,6 +127,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
   }
 
+  test("dauWauStickiness: trailing-window distinct users via contribution explode, exact") {
+    import spark.implicits._
+    // u1 active day1; u2 active day1+day2. window=2:
+    // day1: dau=2, wau({day0,day1})=2 → 1.0; day2: dau=1, wau=2 → 0.5
+    val ev = Seq(("u1", "2024-01-01 10:00:00"), ("u2", "2024-01-01 11:00:00"),
+      ("u2", "2024-01-02 09:00:00"))
+      .toDF("user_id", "tss")
+      .select(col("user_id"), col("tss").cast("timestamp").as("ts"))
+    val got = TimeSeries.dauWauStickiness(ev, window = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5)), got.mkString(","))
+  }
+
   test("timeWeightedAvg: durations weigh the mean; the last observation drops") {
     import spark.implicits._
     // value 10 held 1s, value 20 held 3s, final value 99 holds nothing
