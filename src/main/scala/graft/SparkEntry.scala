@@ -1210,6 +1210,16 @@ object SparkEntry {
       Audit.tableChecksum(Tables(s, d, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus"))),
+    // Gini concentration of orders-per-customer — exact, via the value
+    // census (tie-invariance collapses the global rank; the only sort is
+    // census-sized)
+    "q_gini_orders" -> ((s, d) =>
+      Audit.giniByKeyCount(Tables(s, d, "orders"), "o_custkey")),
+    // source-level overlap matrix: pairwise Jaccard between per-source
+    // distinct shingle sets — which FEEDS mirror each other (sparse:
+    // zero-overlap pairs are absent by construction)
+    "q_source_overlap" -> ((s, d) =>
+      FuzzyJoin.groupOverlap(Tables(s, d, "documents"), "source")),
     // -- multimodal (north star; codec stubbed, plumbing real)
     "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
@@ -2930,6 +2940,37 @@ object SparkEntry {
               s"(((qa >> $i) & 1) << ${2 * i}) + (((qb >> $i) & 1) << ${2 * i + 1})")
              .mkString(" + ")} AS BIGINT) AS zvalue
          |FROM q""".stripMargin,
+    "q_gini_orders" ->
+      """WITH perkey AS (
+        |  SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |    AS BIGINT) AS i
+        |  FROM perkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / (count(*) * sum(x)), 6) AS gini
+        |FROM r""".stripMargin,
+    "q_source_overlap" ->
+      """WITH gs AS (
+        |  SELECT DISTINCT source AS g, sh FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |    FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 3)),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM gs GROUP BY 1),
+        |inter AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT i.g_a, i.g_b, i.n_inter, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |  round(CAST(i.n_inter AS DOUBLE)
+        |    / (ta.n_sh + tb.n_sh - i.n_inter), 6) AS jaccard
+        |FROM inter i JOIN tot ta ON i.g_a = ta.g
+        |  JOIN tot tb ON i.g_b = tb.g""".stripMargin,
     "q_zonemap_prune" ->
       """WITH s AS (
         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS min_k,

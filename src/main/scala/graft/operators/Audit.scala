@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality audit: declarative rule checks over a table (the
@@ -29,6 +30,37 @@ object Audit {
       .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
         col("n_rows"),
         round(col("r.n_violations") / col("n_rows"), 6).as("violation_rate"))
+  }
+
+  /** Gini concentration of per-key activity counts — "do 1% of the keys
+    * own 90% of the rows?", the skew-risk summary behind salting and
+    * quota decisions. 0 = perfectly even, → 1 = one key owns everything.
+    *
+    * Computed WITHOUT a global row ranking: ranking 10^9 keys to feed
+    * Σ i·x_i is the naive plan and it funnels everything into one sorted
+    * partition. But x_i here is a COUNT with a small value domain, and
+    * Gini is invariant to tie order, so the per-key relation collapses to
+    * a (value → #keys) census first; a tied run of `cnt` keys starting
+    * after `offset` smaller keys contributes x·(cnt·offset +
+    * cnt·(cnt+1)/2) exactly. The only ordered window runs over the
+    * census (≤ distinct count values — dozens), and every term stays
+    * integer until the single final division. */
+  def giniByKeyCount(df: DataFrame, keyCol: String): DataFrame = {
+    val census = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("offset", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("x") * (col("cnt") * col("offset") +
+          call_function("div", col("cnt") * (col("cnt") + lit(1L)), lit(2L))))
+          .as("sum_ix"),
+        sum(col("x") * col("cnt")).as("sum_x"),
+        sum(col("cnt")).as("n"))
+      .select(col("n").as("n_keys"), col("sum_x").as("total"),
+        round((lit(2L) * col("sum_ix") - (col("n") + 1) * col("sum_x")) /
+          (col("n") * col("sum_x")).cast("double"), 6).as("gini"))
   }
 
   /** Order-independent table fingerprint: per-bucket (row count, XOR of a

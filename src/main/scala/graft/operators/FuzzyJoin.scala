@@ -155,4 +155,39 @@ object FuzzyJoin {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** GROUP-level overlap matrix: exact pairwise Jaccard between the
+    * distinct-shingle sets of each group (source/domain/snapshot) — the
+    * which-sources-mirror-each-other report that decides whether two
+    * feeds are worth ingesting separately. Doc-level near-dup answers
+    * "is this pair a copy"; this answers "is this whole FEED a copy".
+    *
+    * Plan: one corpus pass explodes (group, shingle) and dedups it (the
+    * relation is bounded by Σ per-group vocabularies, not token count);
+    * the self-equi-join on shingle emits pairs only for CO-OCCURRING
+    * shingles, so output is the sparse overlap census (zero-overlap pairs
+    * don't appear — absence IS the report for them). Per-shingle blowup
+    * is ≤ C(|groups|, 2) — groups are feeds, a small set by nature.
+    * Totals are a groups-sized relation, broadcast back; Jaccard =
+    * inter / (a + b − inter) is one exact-integer division. */
+  def groupOverlap(docs: DataFrame, groupCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val gs = docs.select(col(groupCol).as("g"),
+        explode(graft.functions.Text.shingles(col("text"), shingleN)).as("sh"))
+      .distinct()
+    val totals = gs.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
+    val inter = gs.select(col("g").as("g_a"), col("sh"))
+      .join(gs.select(col("g").as("g_b"), col("sh")), "sh")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(totals.select(col("g").as("g_a"),
+        col("n_sh").as("n_a"))), "g_a")
+      .join(broadcast(totals.select(col("g").as("g_b"),
+        col("n_sh").as("n_b"))), "g_b")
+      .select(col("g_a"), col("g_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("n_inter") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

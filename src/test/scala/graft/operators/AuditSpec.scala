@@ -59,6 +59,22 @@ class AuditSpec extends SparkSpec {
     assert(base.values.map(_._1).sum == diff.values.map(_._1).sum)
   }
 
+  test("giniByKeyCount: census formula matches hand-computed Gini; uniform is 0") {
+    import spark.implicits._
+    // counts (1, 1, 2): sorted ranks give Σi·x = 9 → G = (18-16)/12
+    val df = Seq("a", "b", "c", "c").toDF("k")
+    val got = Audit.giniByKeyCount(df, "k").collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2))
+      == ((3L, 4L, math.rint(2.0 / 12 * 1e6) / 1e6)), got.toString)
+    val uniform = Audit.giniByKeyCount(Seq("a", "b", "c").toDF("k"), "k")
+      .collect()(0)
+    assert(uniform.getDouble(2) == 0.0)
+    // counts (1, 9): G = (2·19 − 3·10) / (2·10) = 0.4
+    val skewed = Audit.giniByKeyCount(
+      (Seq("a") ++ Seq.fill(9)("b")).toDF("k"), "k").collect()(0)
+    assert(skewed.getDouble(2) == 0.4, skewed.toString)
+  }
+
   test("joinCardinality: estimate equals the executed join's count; worst key named without running it") {
     import spark.implicits._
     val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")

@@ -92,4 +92,19 @@ class FuzzyJoinSpec extends SparkSpec {
     // 6 shingles per doc, 5 shared -> J = 5/7 ≈ 0.7143; (1,3)/(2,3) disjoint
     assert(got.toSeq == Seq((1L, 2L, 0.7143)), got.mkString(","))
   }
+
+  test("groupOverlap: pairwise set Jaccard between group shingle vocabularies; zero-overlap pairs absent; repeats deduped") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d"),       // {a b c, b c d}
+      ("B", "a b c x"),       // {a b c, b c x}
+      ("C", "z z z z"),       // {z z z} — repeated shingle dedups to one
+      ("C", "z z z")          // same shingle again, same group
+    ).toDF("source", "text")
+    val got = FuzzyJoin.groupOverlap(docs, "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("A", "B", 1L, 2L, 2L,
+      math.rint(1.0 / 3 * 1e6) / 1e6)), got.mkString(","))
+  }
 }
