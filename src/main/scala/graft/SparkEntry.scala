@@ -579,6 +579,14 @@ object SparkEntry {
     // contribution explode + one distinct per target day (no per-day scan)
     "q_dau_wau" -> ((s, d) =>
       TimeSeries.dauWauStickiness(Tables(s, d, "events"))),
+    // last-touch attribution: purchases claim the latest same-user click
+    // within 24 h via ONE ignore-nulls running window (no probe join)
+    "q_attribution" -> ((s, d) =>
+      TimeSeries.attributionLastTouch(Tables(s, d, "events"))),
+    // interval-union active time: 5-min activity holds merged by the
+    // islands pattern — exact covered seconds per user
+    "q_active_time" -> ((s, d) =>
+      TimeSeries.activeTime(Tables(s, d, "events"))),
     // P(next event type | current) per-user lead window + types²-bounded
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
@@ -2159,6 +2167,46 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |t AS (
+        |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM e)
+        |SELECT event_id, user_id, ts AS conv_ts,
+        |  CASE WHEN last_touch >= ts - INTERVAL 24 HOUR
+        |    THEN last_touch END AS touch_ts,
+        |  COALESCE(last_touch >= ts - INTERVAL 24 HOUR, FALSE) AS attributed
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
+    "q_active_time" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(sec + 300) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM pts),
+        |e AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end
+        |    THEN 1 ELSE 0 END AS edge
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, sum(edge) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM e),
+        |cov AS (
+        |  SELECT user_id, island, max(sec) + 300 - min(sec) AS covered
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered) AS BIGINT) AS active_seconds
+        |FROM cov GROUP BY 1""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH d AS (
         |  SELECT user_id, value,

@@ -247,6 +247,63 @@ object TimeSeries {
         col("n_buckets"))
   }
 
+  /** LAST-TOUCH conversion attribution: each conversion event claims the
+    * most recent preceding touch event by the same user within the
+    * attribution window — the "which click gets credit for this
+    * purchase" join, expressed as ONE ignore-nulls running window instead
+    * of a per-conversion lookup join (the as-of pattern specialized to
+    * same-relation event streams).
+    *
+    * Scale shape: the type filter cuts the corpus to touches+conversions
+    * AT THE SCAN (pushed predicate), and the single per-user ordered
+    * window does the rest — no self-join, no per-conversion probe. The
+    * window cutoff is applied AFTER the carry so an expired touch yields
+    * (null, attributed=false) rather than silently claiming an older
+    * touch. */
+  def attributionLastTouch(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click", window: String = "24 hours"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoff = col("ts") - expr(s"interval $window")
+    events.filter(col("event_type").isin(convType, touchType))
+      .withColumn("touch_ts",
+        when(col("event_type") === touchType, col("ts")))
+      .withColumn("last_touch", last(col("touch_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts").as("conv_ts"),
+        when(col("last_touch") >= cutoff, col("last_touch")).as("touch_ts"),
+        (col("last_touch").isNotNull && col("last_touch") >= cutoff)
+          .as("attributed"))
+  }
+
+  /** Interval-UNION active time per user: each event holds a
+    * [t, t+holdSeconds) activity interval; overlapping/touching intervals
+    * merge, and the report is (islands, total covered seconds) — the
+    * "how long was this user actually active" metric a plain
+    * count·holdSeconds overstates wherever events overlap. Classic
+    * islands-and-gaps: a running max of interval ends (one ordered
+    * window) marks island starts; island coverage is max(end) − min(start)
+    * in exact epoch-second longs. One window + two aggregations, all
+    * per-user partitioned. */
+  def activeTime(events: DataFrame, holdSeconds: Int = 300): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("prev_max_end", max(col("sec") + holdSeconds).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("edge", when(col("prev_max_end").isNull ||
+        col("sec") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("edge")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("sec")) + holdSeconds - min(col("sec"))).as("covered"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("covered")).as("active_seconds"))
+  }
+
   /** DAU / trailing-WAU stickiness per day — the engagement ratio
     * (distinct users today ÷ distinct users in the trailing `window`
     * days). Sliding DISTINCT counts cannot reuse a sum-style sliding

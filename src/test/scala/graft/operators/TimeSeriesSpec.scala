@@ -127,6 +127,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
   }
 
+  test("attributionLastTouch: latest in-window touch claims the conversion; expired and missing touches yield false") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u1", "2024-01-02 10:00:00", "click"),
+      (2L, "u1", "2024-01-02 11:00:00", "click"),    // the LAST touch
+      (3L, "u1", "2024-01-02 12:00:00", "purchase"), // attributed to #2
+      (4L, "u2", "2024-01-01 00:00:00", "click"),
+      (5L, "u2", "2024-01-03 12:00:00", "purchase"), // click expired (>24h)
+      (6L, "u3", "2024-01-02 12:00:00", "purchase"), // no touch at all
+      (7L, "u1", "2024-01-02 13:00:00", "view")      // non-touch type ignored
+    ).toDF("event_id", "user_id", "tss", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val got = TimeSeries.attributionLastTouch(ev)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(3)).map(_.toString.take(19)), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (3L, Some("2024-01-02 11:00:00"), true),
+      (5L, None, false),
+      (6L, None, false)), got.mkString(","))
+  }
+
+  test("activeTime: overlapping holds merge, touching holds merge, gaps split islands; coverage exact") {
+    import spark.implicits._
+    // u1: events at t=0, 100 (overlap), 300+100=400? — holds of 300s:
+    // [0,300) ∪ [100,400) merge → [0,400); event at 1000 → [1000,1300)
+    val ev = Seq((1L, "u1", 0L), (2L, "u1", 100L), (3L, "u1", 1000L),
+      (4L, "u2", 50L))
+      .toDF("event_id", "user_id", "sec0")
+      .select(col("event_id"), col("user_id"),
+        col("sec0").cast("timestamp").as("ts"))
+    val got = TimeSeries.activeTime(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(("u1", 2L, 700L), ("u2", 1L, 300L)),
+      got.mkString(","))
+  }
+
   test("dauWauStickiness: trailing-window distinct users via contribution explode, exact") {
     import spark.implicits._
     // u1 active day1; u2 active day1+day2. window=2:
