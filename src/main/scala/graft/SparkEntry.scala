@@ -892,6 +892,18 @@ object SparkEntry {
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
       Retrieval.tfidfKeywords(Tables(s, d, "documents"), 5)),
+    // per-doc 5-gram novelty (fraction of grams in no other doc) — df via
+    // window census over the gram, no join back
+    "q_ngram_novelty" -> ((s, d) =>
+      Retrieval.ngramNovelty(Tables(s, d, "documents"))),
+    // market-basket association rules: a-priori pruned, in-basket pair
+    // expansion (no self-join), lift from one broadcast scalar row
+    "q_assoc_rules" -> ((s, d) =>
+      Affinity.associationRules(Tables(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", 3)),
+    // RFM quintile segmentation — ledger folds map-side to the customer
+    // dim; deterministic ntile tie-break by (metric, custkey)
+    "q_rfm" -> ((s, d) => Affinity.rfm(Tables(s, d, "orders"))),
     // term co-occurrence + PMI over doc contexts (pairs seen >= 100 times)
     "q_cooccurrence" -> ((s, d) =>
       Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100)),
@@ -1137,6 +1149,14 @@ object SparkEntry {
         "price_positive" -> (col("l_extendedprice") > 0),
         "shipdate_present" -> col("l_shipdate").isNotNull,
         "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
+    // robust outliers: per-priority MAD census, stats broadcast between
+    // the two exact-percentile passes, thresholds on ROUNDED stats
+    "q_mad_outliers" -> ((s, d) =>
+      Audit.madOutliers(Tables(s, d, "orders"),
+        "o_orderpriority", "o_totalprice")),
+    // Benford first-digit screen over order totals — one scan, 9 rows out
+    "q_benford" -> ((s, d) =>
+      Audit.benfordReport(Tables(s, d, "orders"), "o_totalprice")),
     // referential-integrity audit vs a deterministically LOSSY dimension
     // (every third customer dropped): orphaned orders per status — the
     // anti join broadcasts the dim key set
@@ -1858,6 +1878,65 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |             t[i+3] || ' ' || t[i+4])) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 5)),
+        |c AS (SELECT sh, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        |FROM g JOIN c USING (sh)
+        |GROUP BY 1""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |f AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS supp FROM b
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |bf AS (SELECT basket, item, supp FROM b JOIN f USING (item)),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+        |pr AS (
+        |  SELECT x.item AS item_a, y.item AS item_b,
+        |    x.supp AS supp_a, y.supp AS supp_b,
+        |    CAST(count(*) AS BIGINT) AS pair_supp
+        |  FROM bf x JOIN bf y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, pair_supp, supp_a, supp_b,
+        |  round(CAST(pair_supp AS DOUBLE) / supp_a, 6) AS conf_ab,
+        |  round(CAST(pair_supp AS DOUBLE) / supp_b, 6) AS conf_ba,
+        |  round(CAST(pair_supp AS DOUBLE) * n_baskets / (supp_a * supp_b), 6)
+        |    AS lift
+        |FROM pr CROSS JOIN nb""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_order) AS anchor FROM per),
+        |s AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, anchor) AS INT) AS recency_days,
+        |    frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY date_diff('day', last_order, anchor) DESC,
+        |      o_custkey) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+        |  FROM per CROSS JOIN a)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+        |       ELSE 'core' END AS segment
+        |FROM s""".stripMargin,
     "q_cooccurrence" ->
       """WITH pres AS (
         |  SELECT doc_id,
@@ -2857,6 +2936,47 @@ object SparkEntry {
         |  UNION ALL SELECT 'price_positive', v_price FROM a
         |  UNION ALL SELECT 'shipdate_present', v_ship FROM a
         |  UNION ALL SELECT 'flag_known', v_flag FROM a) r""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, round(median(o_totalprice), 4) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT o.o_orderpriority,
+        |    round(median(abs(o.o_totalprice - m.med)), 4) AS mad
+        |  FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1),
+        |st AS (
+        |  SELECT o_orderpriority, med, mad,
+        |    round(3.0 * 1.4826 * mad, 4) AS thresh
+        |  FROM med JOIN mad USING (o_orderpriority))
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  st.med, st.mad, st.thresh,
+        |  CAST(sum(CASE WHEN round(abs(o.o_totalprice - st.med), 4) > st.thresh
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN round(abs(o.o_totalprice - st.med), 4)
+        |      > st.thresh THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS outlier_rate
+        |FROM orders o JOIN st USING (o_orderpriority)
+        |GROUP BY 1, 3, 4, 5""".stripMargin,
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT abs(o_totalprice) AS x FROM orders WHERE abs(o_totalprice) > 0),
+        |d AS (
+        |  SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS d10
+        |  FROM v),
+        |g AS (
+        |  SELECT CASE WHEN d10 >= 10 THEN 1 WHEN d10 < 1 THEN 1
+        |              ELSE d10 END AS digit
+        |  FROM d),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM g GROUP BY 1),
+        |t AS (
+        |  SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM c),
+        |e AS (
+        |  SELECT digit, n_obs, n,
+        |    n * log10(1.0 + 1.0 / digit) AS exp_raw
+        |  FROM t)
+        |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
+        |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
+        |FROM e""".stripMargin,
     "q_dq_orphans" ->
       """SELECT o_orderstatus, count(*) AS n_orphans,
         |  count(DISTINCT o_custkey) AS n_orphan_keys

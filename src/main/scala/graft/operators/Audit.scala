@@ -113,4 +113,64 @@ object Audit {
       dimKey: String): DataFrame =
     fact.join(dim.select(col(dimKey).as(factKey)).distinct(),
       Seq(factKey), "left_anti")
+
+  /** Robust per-group outlier census via MAD (median absolute deviation):
+    * a value is an outlier when |x − median| > k·1.4826·MAD (1.4826
+    * rescales MAD to σ under normality) — the census that survives the
+    * very outliers a mean/stddev rule is corrupted by.
+    *
+    * Shape: two exact-percentile passes (median, then median of absolute
+    * deviations) with the per-group stats BROADCAST back between passes —
+    * the group-key relation is tiny; the table is the 100 TB side and is
+    * only ever scanned, never shuffled on row identity. Exact
+    * `percentile` buffers each group's values in one task (the winsorize
+    * tradeoff, chosen for oracle parity); when groups outgrow a task,
+    * swap to the mergeable GK sketch ([[Relational.approxQuantilesBy]]).
+    * Stats are ROUNDED before the threshold comparison so both engines
+    * agree at the boundary (the verify-recipe rule). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val mad = df.join(broadcast(med), groupCol)
+      .groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 4).as("mad"))
+    val stats = med.join(mad, groupCol)
+      .withColumn("thresh", round(lit(k) * 1.4826 * col("mad"), 4))
+    df.join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        first(col("thresh")).as("thresh"),
+        sum(when(round(abs(col(valueCol) - col("med")), 4) > col("thresh"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  /** Benford first-significant-digit census + per-digit χ² decomposition
+    * — the "were these numbers typed in by hand?" fraud/quality screen.
+    * One scan, one 9-group aggregate; everything after the digit
+    * extraction operates on 9 rows.
+    *
+    * The leading digit comes from floor(x / 10^floor(log10 x)). The
+    * floor(log10) edge (log10(1000) can evaluate fractionally under 3,
+    * yielding a "digit" of 10) is clamped to 1 — deterministically THE
+    * SAME in both engines, because the arithmetic is identical IEEE ops
+    * on identical doubles. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val x = abs(col(valueCol))
+    val d10 = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val digit = when(d10 >= 10, 1).when(d10 < 1, 1).otherwise(d10)
+    df.filter(x > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+      .withColumn("exp_raw",
+        col("n") * log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n_obs"), col("n"),
+        round(col("exp_raw"), 4).as("expected"),
+        round((col("n_obs") - col("exp_raw")) * (col("n_obs") - col("exp_raw"))
+          / col("exp_raw"), 6).as("chi2_part"))
+  }
 }

@@ -75,7 +75,7 @@ object Dedup {
   /** All ordered pairs (a, b) with a before b over a SORTED array — the
     * within-bucket candidate expansion. Pure array arithmetic, evaluates
     * in-stage; output size is C(|xs|, 2), bounded by bucket size. */
-  private def pairsOf(xs: Column): Column =
+  private[operators] def pairsOf(xs: Column): Column =
     flatten(transform(sequence(lit(1), size(xs) - 1), i =>
       transform(sequence(i + 1, size(xs)), j =>
         struct(element_at(xs, i).as("a"), element_at(xs, j).as("b")))))

@@ -345,4 +345,24 @@ object Retrieval {
         round(col("sum_dl").cast("double") / col("n_docs"), 4).as("avgdl"))
     scoreAndRank(tf, queryTerms, stats, k, k1, b)
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams found in NO other document — the memorization /
+    * boilerplate screen of a curation pass (novelty → 0 means the doc is
+    * assembled from corpus-common phrasing; → 1 means it contributes
+    * genuinely unseen n-grams, the complement of the span-dedup tier).
+    *
+    * Shape: per-doc distinct grams explode once; document frequency is a
+    * WINDOW CENSUS over the gram (the groupBy-then-join-back collapsed to
+    * one shuffle, the SpanDedup pattern), and the df=1 fraction folds per
+    * document in the second and last shuffle. Documents with fewer than
+    * `n` tokens have no grams and are absent (novelty undefined). */
+  def ngramNovelty(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(col("text"), n))).as("gram"))
+    grams.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
+  }
 }

@@ -86,4 +86,36 @@ class AuditSpec extends SparkSpec {
     assert(got.getLong(1) == 2L && got.getLong(2) == 6L)
     assert(got.getDouble(3) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
   }
+
+  test("madOutliers: planted spike flagged, clean group flags nothing, stats exact") {
+    import spark.implicits._
+    // group g: median 11, MAD 2 -> thresh 3*1.4826*2 = 8.8956; only the
+    // 100 spike (dev 89) is out, 13 is within (dev 2). group h: near-
+    // constant -> MAD 0, thresh 0, any deviation flags — 5.0 only.
+    val df = Seq(
+      ("g", 9.0), ("g", 10.0), ("g", 11.0), ("g", 13.0), ("g", 100.0),
+      ("h", 5.0), ("h", 7.0), ("h", 7.0), ("h", 7.0), ("h", 7.0)
+    ).toDF("grp", "v")
+    val got = Audit.madOutliers(df, "grp", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("g") == ((5L, 11.0, 2.0, 1L, 0.2)), got.toString)
+    assert(got("h") == ((5L, 7.0, 0.0, 1L, 0.2)), got.toString)
+  }
+
+  test("benfordReport: digit census exact, expected sums to n, chi2 parts nonnegative") {
+    import spark.implicits._
+    // leading digits planted: 1 x4, 2 x3, 9 x1, and a power-of-ten edge
+    val df = Seq(1.5, 12.0, 150.0, 1999.0, 2.0, 25.0, 0.29, 90.0, 1000.0)
+      .toDF("v")
+    val got = Audit.benfordReport(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 5, 2 -> 3, 9 -> 1), got.toString)
+    val rows = Audit.benfordReport(df, "v").collect()
+    assert(rows.forall(_.getLong(2) == 9L))
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+    // expected count of digit 1 = 9 * log10(2)
+    val e1 = rows.find(_.getInt(0) == 1).get.getDouble(3)
+    assert(math.abs(e1 - 9 * math.log10(2.0)) < 1e-3, e1.toString)
+  }
 }

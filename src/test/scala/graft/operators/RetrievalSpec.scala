@@ -210,4 +210,20 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rep == Map(4 -> 2L), rep.toString)
   }
+
+  test("ngramNovelty: shared grams score 0, unique grams score 1, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b c d e x y"),   // grams: "a b c d e"(shared), "b c d e x", "c d e x y"
+      (2, "a b c d e"),       // one gram, shared with doc 1 -> novelty 0
+      (3, "p q r s t"),       // one gram, unique -> novelty 1
+      (4, "too short")        // < 5 tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.ngramNovelty(docs, 5)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1, 2, 3), got.toString)
+    assert(got(1) == ((3L, 0.666667)), got.toString)
+    assert(got(2) == ((1L, 0.0)))
+    assert(got(3) == ((1L, 1.0)))
+  }
 }
