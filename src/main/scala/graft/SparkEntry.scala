@@ -579,6 +579,10 @@ object SparkEntry {
     // contribution explode + one distinct per target day (no per-day scan)
     "q_dau_wau" -> ((s, d) =>
       TimeSeries.dauWauStickiness(Tables(s, d, "events"))),
+    // signup->purchase latency: integer-second deltas, engine-exact
+    // one-row summary (percentiles over longs + integer-ratio mean)
+    "q_funnel_time" -> ((s, d) =>
+      TimeSeries.funnelTimeToConvert(Tables(s, d, "events"))),
     // last-touch attribution: purchases claim the latest same-user click
     // within 24 h via ONE ignore-nulls running window (no probe join)
     "q_attribution" -> ((s, d) =>
@@ -1157,6 +1161,20 @@ object SparkEntry {
     // Benford first-digit screen over order totals — one scan, 9 rows out
     "q_benford" -> ((s, d) =>
       Audit.benfordReport(Tables(s, d, "orders"), "o_totalprice")),
+    // chi-square independence: contingency cells + marginal window sums
+    // over the CELL relation, double-cast before the marginal product
+    "q_chi2_indep" -> ((s, d) =>
+      Audit.chiSquareIndependence(Tables(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+    // column entropy/top-share profile — all columns in ONE stacked scan
+    "q_entropy_profile" -> ((s, d) =>
+      Audit.entropyProfile(Tables(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))),
+    // calibration by score decile — order-statistic ranges + integer
+    // event rates, deterministic ntile tie-break
+    "q_calibration" -> ((s, d) =>
+      Audit.calibrationByDecile(Tables(s, d, "orders"), "o_orderkey",
+        "o_totalprice", col("o_orderstatus") === "F")),
     // referential-integrity audit vs a deterministically LOSSY dimension
     // (every third customer dropped): orphaned orders per status — the
     // anti join broadcasts the dim key set
@@ -2246,6 +2264,26 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    "q_funnel_time" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS start_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, s.start_ts, min(e.ts) AS conv_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.start_ts
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT CAST(floor(epoch(conv_ts)) AS BIGINT)
+        |    - CAST(floor(epoch(start_ts)) AS BIGINT) AS delta_sec
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(delta_sec, 0.25), 4) AS p25,
+        |  round(quantile_cont(delta_sec, 0.5), 4) AS p50,
+        |  round(quantile_cont(delta_sec, 0.75), 4) AS p75,
+        |  round(quantile_cont(delta_sec, 0.9), 4) AS p90,
+        |  round(CAST(sum(delta_sec) AS DOUBLE) / count(*), 4) AS avg_sec
+        |FROM d""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts, event_type FROM events
@@ -2977,6 +3015,65 @@ object SparkEntry {
         |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
         |FROM e""".stripMargin,
+    "q_chi2_indep" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cell_n
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.l_returnflag, b.l_linestatus
+        |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
+        |  CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b),
+        |cells AS (
+        |  SELECT g.l_returnflag, g.l_linestatus,
+        |    COALESCE(c.cell_n, 0) AS n_obs
+        |  FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
+        |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
+        |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |e AS (
+        |  SELECT l_returnflag, l_linestatus, n_obs,
+        |    CAST(row_tot AS DOUBLE) * col_tot / n AS exp_raw
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, n_obs,
+        |  round(exp_raw, 4) AS expected,
+        |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
+        |FROM e""".stripMargin,
+    "q_entropy_profile" ->
+      """WITH s AS (
+        |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem),
+        |c AS (
+        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s GROUP BY 1, 2),
+        |t AS (
+        |  SELECT col_name, value, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(-sum((cnt / CAST(total AS DOUBLE)) *
+        |    ln(cnt / CAST(total AS DOUBLE))) / ln(2.0), 6) AS entropy_bits,
+        |  round(max(cnt) / CAST(max(total) AS DOUBLE), 6) AS top_share
+        |FROM t GROUP BY 1""".stripMargin,
+    "q_calibration" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 4) AS score,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+        |  FROM orders),
+        |b AS (
+        |  SELECT *, CAST(ntile(10) OVER (ORDER BY score, k) AS INT) AS decile
+        |  FROM s)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  min(score) AS min_score, max(score) AS max_score,
+        |  CAST(sum(event) AS BIGINT) AS n_events,
+        |  round(CAST(sum(event) AS DOUBLE) / count(*), 6) AS event_rate
+        |FROM b GROUP BY 1""".stripMargin,
     "q_dq_orphans" ->
       """SELECT o_orderstatus, count(*) AS n_orphans,
         |  count(DISTINCT o_custkey) AS n_orphan_keys

@@ -148,6 +148,81 @@ object Audit {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** χ² independence census between two categorical columns: the
+    * contingency table with per-cell expected counts (row·col/n) and χ²
+    * contributions — "are returns independent of line status?" as one
+    * map-side-combinable cell aggregation; the marginals are window sums
+    * over the CELL relation (|A|·|B| rows, not the table). Marginal
+    * products go through DOUBLE before multiplying so 10¹²-row tables
+    * cannot overflow the long product. */
+  def chiSquareIndependence(df: DataFrame, colA: String,
+      colB: String): DataFrame = {
+    // the FULL |A|x|B| grid, so empty cells contribute (0-exp)^2/exp —
+    // omitting them understates the statistic exactly where dependence
+    // is strongest. Both distinct relations are value-domain-sized; the
+    // cross is broadcast.
+    val counts = df.groupBy(col(colA), col(colB)).agg(count(lit(1)).as("cell_n"))
+    val grid = df.select(col(colA)).distinct()
+      .crossJoin(broadcast(df.select(col(colB)).distinct()))
+    val cells = grid.join(counts, Seq(colA, colB), "left")
+      .withColumn("n_obs", coalesce(col("cell_n"), lit(0L)))
+      .withColumn("row_tot", sum(col("n_obs")).over(Window.partitionBy(col(colA))))
+      .withColumn("col_tot", sum(col("n_obs")).over(Window.partitionBy(col(colB))))
+      .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+      .withColumn("exp_raw",
+        col("row_tot").cast("double") * col("col_tot") / col("n"))
+    cells.select(col(colA), col(colB), col("n_obs"),
+      round(col("exp_raw"), 4).as("expected"),
+      round((col("n_obs") - col("exp_raw")) * (col("n_obs") - col("exp_raw"))
+        / col("exp_raw"), 6).as("chi2_part"))
+  }
+
+  /** Column-entropy profile: per categorical column, distinct-value
+    * count, Shannon entropy in bits, and the top value's share — the
+    * "is this column a constant / an id / a balanced enum?" profiling
+    * census. All requested columns stack into ONE scan (explode of a
+    * column→value map, the ruleReport philosophy); the per-value census
+    * is map-side combinable and everything after it operates on value
+    * cardinality, not rows. The entropy sum divides by ln 2 AFTER
+    * summing so both engines share one rounding path. */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val stacked = df.select(explode(map(
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+      .as(Seq("col_name", "value")))
+    val census = stacked.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy(col("col_name"))))
+    census.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        round(-sum((col("cnt") / col("total")) *
+          log(col("cnt") / col("total"))) / log(lit(2.0)), 6).as("entropy_bits"),
+        round(max(col("cnt")) / max(col("total")).cast("double"), 6)
+          .as("top_share"))
+  }
+
+  /** Score-calibration census: rows decile-bucketed by `scoreCol`, with
+    * per-decile size, score RANGE (min/max — order statistics, chosen
+    * over a float mean so the artifact is engine-exact) and observed
+    * event rate — the reliability-diagram table behind "does the score
+    * mean what it claims?". Exact ntile sorts the scored relation in one
+    * partition (the RFM tradeoff: oracle-exact bucket boundaries;
+    * swap to approx-quantile edges at dimension scale); ties break by
+    * (rounded score, key) so boundaries are deterministic. */
+  def calibrationByDecile(df: DataFrame, keyCol: String, scoreCol: String,
+      event: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(keyCol).as("k"), round(col(scoreCol), 4).as("score"),
+        when(event, 1L).otherwise(0L).as("event"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score"), col("k"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"),
+        sum(col("event")).as("n_events"))
+      .withColumn("event_rate",
+        round(col("n_events").cast("double") / col("n"), 6))
+
   /** Benford first-significant-digit census + per-digit χ² decomposition
     * — the "were these numbers typed in by hand?" fraud/quality screen.
     * One scan, one 9-group aggregate; everything after the digit

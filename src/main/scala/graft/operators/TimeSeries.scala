@@ -247,6 +247,38 @@ object TimeSeries {
         col("n_buckets"))
   }
 
+  /** Time-to-convert distribution: each user's FIRST `fromType` event to
+    * their first `toType` event at-or-after it, summarized as converter
+    * count + delta-seconds percentiles and mean — the latency half of the
+    * funnel census (q_funnel counts WHO converts; this measures HOW FAST).
+    *
+    * Shape: both event classes cut at the scan (pushed type predicate),
+    * fold per-user map-side, and join once on user_id (both sides already
+    * keyed by it). Deltas are integer seconds; the mean is an exact
+    * integer-sum ratio and the percentiles interpolate over longs, so the
+    * one-row summary is engine-exact. The global percentile buffers the
+    * CONVERTER deltas (user-dimension-sized) in one task — the winsorize
+    * tradeoff; swap to the GK sketch when converters outgrow a task. */
+  def funnelTimeToConvert(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val starts = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("start_ts"))
+    events.filter(col("event_type") === toType)
+      .join(starts, "user_id")
+      .filter(col("ts") >= col("start_ts"))
+      .groupBy(col("user_id"), col("start_ts"))
+      .agg(min(col("ts")).as("conv_ts"))
+      .withColumn("delta_sec",
+        col("conv_ts").cast("long") - col("start_ts").cast("long"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_sec, 0.25)"), 4).as("p25"),
+        round(expr("percentile(delta_sec, 0.5)"), 4).as("p50"),
+        round(expr("percentile(delta_sec, 0.75)"), 4).as("p75"),
+        round(expr("percentile(delta_sec, 0.9)"), 4).as("p90"),
+        round(sum(col("delta_sec")).cast("double") / count(lit(1)), 4)
+          .as("avg_sec"))
+  }
+
   /** LAST-TOUCH conversion attribution: each conversion event claims the
     * most recent preceding touch event by the same user within the
     * attribution window — the "which click gets credit for this

@@ -103,6 +103,53 @@ class AuditSpec extends SparkSpec {
     assert(got("h") == ((5L, 7.0, 0.0, 1L, 0.2)), got.toString)
   }
 
+  test("chiSquareIndependence: independent table has zero chi2; marginals exact") {
+    import spark.implicits._
+    // perfectly independent 2x2: counts = row*col/n exactly
+    val ind = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))
+    val got = Audit.chiSquareIndependence(ind.toDF("u", "v"), "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 4)
+    assert(got.values.forall(c => c._1 == 4L && c._2 == 4.0 && c._3 == 0.0),
+      got.toString)
+    // dependent corner: all mass on the diagonal
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+    val chi2 = Audit.chiSquareIndependence(dep.toDF("u", "v"), "u", "v")
+      .agg(sum(col("chi2_part"))).collect()(0).getDouble(0)
+    assert(chi2 == 4.0, chi2.toString) // n * (1*1-0*0)^2... exact for 2x2 diagonal
+  }
+
+  test("entropyProfile: constant column 0 bits, balanced binary 1 bit, top_share exact") {
+    import spark.implicits._
+    val df = Seq(("c", "h", 1), ("c", "t", 2), ("c", "h", 3), ("c", "t", 4))
+      .toDF("const_col", "coin", "id")
+    val got = Audit.entropyProfile(df, Seq("const_col", "coin", "id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("const_col") == ((1L, 0.0, 1.0)), got.toString)
+    assert(got("coin") == ((2L, 1.0, 0.5)))
+    assert(got("id") == ((4L, 2.0, 0.25)))
+  }
+
+  test("calibrationByDecile: deterministic buckets, exact event rates, ranges ordered") {
+    import spark.implicits._
+    // 20 rows, score = id, event = score > 10 — top deciles all-event
+    val df = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("k", "s")
+    val got = Audit.calibrationByDecile(df, "k", "s", col("s") > 10.0)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 10 && got.values.forall(_._1 == 2L), got.toString)
+    assert(got(1) == ((2L, 1.0, 2.0, 0L, 0.0)))
+    assert(got(6) == ((2L, 11.0, 12.0, 2L, 1.0)))
+    assert(got(10) == ((2L, 19.0, 20.0, 2L, 1.0)))
+    // decile ranges are non-overlapping and ordered
+    val ordered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.sliding(2).forall {
+      case Seq(a, b) => a._3 <= b._2; case _ => true })
+  }
+
   test("benfordReport: digit census exact, expected sums to n, chi2 parts nonnegative") {
     import spark.implicits._
     // leading digits planted: 1 x4, 2 x3, 9 x1, and a power-of-ten edge

@@ -127,6 +127,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
   }
 
+  test("funnelTimeToConvert: first-from to first-at-or-after-to deltas; pre-start conversions ignored") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u1", "2024-01-01 00:00:00", "signup"),
+      (2L, "u1", "2024-01-01 00:01:40", "purchase"), // +100 s (first)
+      (3L, "u1", "2024-01-01 01:00:00", "purchase"), // later, ignored
+      (4L, "u2", "2024-01-01 00:00:00", "purchase"), // BEFORE signup
+      (5L, "u2", "2024-01-01 00:10:00", "signup"),
+      (6L, "u2", "2024-01-01 00:15:00", "purchase"), // +300 s
+      (7L, "u3", "2024-01-01 00:00:00", "signup")    // never converts
+    ).toDF("event_id", "user_id", "tss", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val r = TimeSeries.funnelTimeToConvert(ev).collect()(0)
+    // deltas {100, 300}: p25=150, p50=200, p75=250, p90=280, mean=200
+    assert(r.getLong(0) == 2L, r.toString)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5)) == ((150.0, 200.0, 250.0, 280.0, 200.0)), r.toString)
+  }
+
   test("attributionLastTouch: latest in-window touch claims the conversion; expired and missing touches yield false") {
     import spark.implicits._
     val ev = Seq(
