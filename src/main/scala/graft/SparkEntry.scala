@@ -583,6 +583,18 @@ object SparkEntry {
     // one-row summary (percentiles over longs + integer-ratio mean)
     "q_funnel_time" -> ((s, d) =>
       TimeSeries.funnelTimeToConvert(Tables(s, d, "events"))),
+    // finite-horizon EWMA in ONE ordered window — exact-decimal weights,
+    // left-associated sum, head renormalization
+    "q_ewma" -> ((s, d) =>
+      TimeSeries.ewmaSmooth(Tables(s, d, "events"))),
+    // trending parts by exponentially decayed demand — anchor folded to
+    // one broadcast row, rank window over the item census only
+    "q_trending_parts" -> ((s, d) =>
+      TimeSeries.decayedDemand(Tables(s, d, "lineitem"))),
+    // Theil-Sen robust daily trend — pair expansion over the DAILY
+    // census, never the ledger
+    "q_theil_sen" -> ((s, d) =>
+      TimeSeries.theilSenDailyTrend(Tables(s, d, "events"))),
     // last-touch attribution: purchases claim the latest same-user click
     // within 24 h via ONE ignore-nulls running window (no probe join)
     "q_attribution" -> ((s, d) =>
@@ -2264,6 +2276,55 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, wau.wau,
         |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
         |FROM dau JOIN wau USING (day)""".stripMargin,
+    "q_ewma" -> {
+      val ws = (1 to 8).map(j => BigDecimal("0.7").pow(j))
+      val lags = (1 to 8).map(j => s"lag(value, $j) OVER w AS x$j")
+        .mkString(", ")
+      val num = ws.zipWithIndex.map { case (w, i) =>
+        s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE x${i + 1} * $w END"
+      }.mkString(" + ")
+      val den = ws.zipWithIndex.map { case (w, i) =>
+        s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE $w END"
+      }.mkString(" + ")
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, value, $lags
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, value,
+         |  round((value * 1.0 + $num) / (1.0 + $den), 6) AS ewma
+         |FROM l""".stripMargin
+    },
+    "q_trending_parts" ->
+      """WITH a AS (SELECT max(l_shipdate) AS anchor FROM lineitem),
+        |s AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs,
+        |    round(sum(pow(2.0,
+        |      -date_diff('day', l_shipdate, anchor) / 180.0)), 4) AS decayed
+        |  FROM lineitem CROSS JOIN a GROUP BY 1)
+        |SELECT l_partkey, n_obs, decayed,
+        |  CAST(row_number() OVER (ORDER BY decayed DESC, l_partkey) AS INT)
+        |    AS rank
+        |FROM s QUALIFY rank <= 100""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS day0 FROM daily),
+        |ind AS (
+        |  SELECT CAST(date_diff('day', day0, day) AS INT) AS d, cnt
+        |  FROM daily CROSS JOIN d0),
+        |sl AS (
+        |  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM ind a JOIN ind b ON a.d < b.d),
+        |sr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(quantile_cont(slope, 0.5), 6) AS slope
+        |  FROM sl),
+        |res AS (
+        |  SELECT n_pairs, slope, cnt - slope * d AS resid
+        |  FROM ind CROSS JOIN sr)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope,
+        |  round(quantile_cont(resid, 0.5), 6) AS intercept
+        |FROM res GROUP BY 2, 3""".stripMargin,
     "q_funnel_time" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS start_ts FROM events

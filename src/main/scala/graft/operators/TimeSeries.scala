@@ -247,6 +247,88 @@ object TimeSeries {
         col("n_buckets"))
   }
 
+  /** Finite-horizon EWMA smoothing per user: each event's value blended
+    * with its `k` predecessors under weights decay^j — the trend line a
+    * dashboard draws over a noisy per-user metric. The textbook EWMA is a
+    * recursion (unbounded horizon) that no engine computes distributed;
+    * truncating at k bounds the state to k lags, puts the whole compute
+    * in ONE ordered window (all lags share the frame — one sort, no
+    * join), and loses only decay^(k+1) of the mass (~4% at 0.7^9).
+    *
+    * Cross-engine determinism, by construction: weights are EXACT decimal
+    * strings (0.7^j expanded via BigDecimal, parsed once by each engine —
+    * no runtime pow in the plan), and the weighted sum is a left-
+    * associated chain both engines evaluate in the same IEEE order. Lags
+    * past the series start drop out of numerator AND denominator, so the
+    * head of each series renormalizes instead of biasing toward zero. */
+  def ewmaSmooth(events: DataFrame, k: Int = 8,
+      decay: String = "0.7"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val weights = (0 to k).map(j => BigDecimal(decay).pow(j))
+    val lags = (0 to k).map(j =>
+      if (j == 0) col("value") else lag(col("value"), j).over(w))
+    val num = weights.zip(lags).map { case (wj, xj) =>
+      if (wj == weights.head) xj * lit(1.0)
+      else when(xj.isNull, lit(0.0)).otherwise(xj * lit(wj.toDouble))
+    }.reduceLeft(_ + _)
+    val den = weights.zip(lags).map { case (wj, xj) =>
+      if (wj == weights.head) lit(1.0)
+      else when(xj.isNull, lit(0.0)).otherwise(lit(wj.toDouble))
+    }.reduceLeft(_ + _)
+    events.select(col("user_id"), col("event_id"), col("value"),
+      round(num / den, 6).as("ewma"))
+  }
+
+  /** Exponentially time-decayed demand per item: each observation
+    * contributes 2^(−age/halfLife), so the census ranks items by RECENT
+    * activity instead of all-time volume — the trending report. The
+    * anchor is the ledger's own max date (reproducible, no wall clock),
+    * folded to ONE broadcast scalar row; the decayed sum is one
+    * map-side-combinable aggregation over the scan, and only the item
+    * census (not the ledger) pays the top-`limit` rank window. */
+  def decayedDemand(lineitem: DataFrame, halfLifeDays: Int = 180,
+      limit: Int = 100): DataFrame = {
+    val anchor = lineitem.agg(max(col("l_shipdate")).as("anchor"))
+    val scored = lineitem.crossJoin(broadcast(anchor))
+      .withColumn("w", pow(lit(2.0),
+        -datediff(col("anchor"), col("l_shipdate")) / lit(halfLifeDays.toDouble)))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_obs"), round(sum(col("w")), 4).as("decayed"))
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("decayed").desc, col("l_partkey"))))
+      .filter(col("rank") <= limit)
+  }
+
+  /** Theil–Sen robust trend over the daily event-count series: slope =
+    * median of all pairwise slopes, intercept = median residual at day 0
+    * — the trend estimate one outlier day cannot move (OLS, by contrast,
+    * chases it). The pair expansion is over the DAILY CENSUS (the ledger
+    * folds to ≤ a few thousand day rows first — that is the 100 TB side),
+    * so C(days,2) is bounded arithmetic on a tiny relation, joined with
+    * itself once. Slopes are integer-ratio doubles; the intercept is
+    * computed against the ROUNDED slope so both engines agree. */
+  def theilSenDailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val indexed = daily.crossJoin(broadcast(
+        daily.agg(min(col("day")).as("day0"))))
+      .select(datediff(col("day"), col("day0")).as("d"), col("cnt"))
+    val slopes = indexed.as("a").join(broadcast(indexed.as("b")),
+        col("a.d") < col("b.d"))
+      .select(((col("b.cnt") - col("a.cnt")).cast("double") /
+        (col("b.d") - col("a.d"))).as("slope"))
+    val slopeRow = slopes.agg(count(lit(1)).as("n_pairs"),
+      round(expr("percentile(slope, 0.5)"), 6).as("slope"))
+    indexed.crossJoin(broadcast(slopeRow))
+      .select(col("n_pairs"), col("slope"),
+        (col("cnt") - col("slope") * col("d")).as("resid"))
+      .groupBy(col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(resid, 0.5)"), 6).as("intercept"))
+      .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
   /** Time-to-convert distribution: each user's FIRST `fromType` event to
     * their first `toType` event at-or-after it, summarized as converter
     * count + delta-seconds percentiles and mean — the latency half of the

@@ -127,6 +127,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
   }
 
+  test("ewmaSmooth: head renormalizes over available lags; weights exact decimals") {
+    import spark.implicits._
+    val ev = Seq((1L, "u1", "2024-01-01 00:00:00", 1.0),
+      (2L, "u1", "2024-01-01 00:01:00", 2.0),
+      (3L, "u1", "2024-01-01 00:02:00", 3.0),
+      (4L, "u2", "2024-01-01 00:00:00", 5.0))
+      .toDF("event_id", "user_id", "tss", "value")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.ewmaSmooth(ev)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // e1 = 1; e2 = (2 + 0.7)/(1.7); e3 = (3 + 1.4 + 0.49)/2.19
+    assert(got == Map(1L -> 1.0, 2L -> 1.588235, 3L -> 2.232877,
+      4L -> 5.0), got.toString)
+  }
+
+  test("decayedDemand: halflife decay exact at power-of-two ages; rank by decayed score") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, "2024-12-31"), (1L, "2024-07-04"), // ages 0, 180 -> 1 + 0.5
+      (2L, "2024-01-06")                      // age 360 -> 0.25
+    ).toDF("l_partkey", "sd")
+      .select(col("l_partkey"), col("sd").cast("timestamp").as("l_shipdate"))
+    val got = TimeSeries.decayedDemand(li, 180, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(_._4)
+    assert(got.toSeq == Seq((1L, 2L, 1.5, 1), (2L, 1L, 0.25, 2)),
+      got.mkString(","))
+  }
+
+  test("theilSenDailyTrend: one outlier day cannot move the slope; intercept from rounded slope") {
+    import spark.implicits._
+    // daily counts 10,12,14,16,100 on days 0..4: median pairwise slope
+    // stays 2.0 (6 of 10 pairs), residual median 10
+    val counts = Seq(10, 12, 14, 16, 100)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (d * 1000L + i, f"2024-02-0${d + 1} 08:00:00"))
+    }
+    val ev = rows.toDF("event_id", "tss")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"))
+    val r = TimeSeries.theilSenDailyTrend(ev).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((5L, 10L, 2.0, 10.0)), r.toString)
+  }
+
   test("funnelTimeToConvert: first-from to first-at-or-after-to deltas; pre-start conversions ignored") {
     import spark.implicits._
     val ev = Seq(
