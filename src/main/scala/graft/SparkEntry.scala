@@ -1283,6 +1283,10 @@ object SparkEntry {
     "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
     "q_mm_resize" -> ((s, d) => Multimodal.resizeFeatures(s, d)),
     "q_mm_frames" -> ((s, d) => Multimodal.frameSampleFeatures(s, d)),
+    // 1-D dHash fingerprint — exact integer cell-mean comparisons
+    "q_mm_phash" -> ((s, d) => Multimodal.dhashSignature(s, d)),
+    // multimodal near-dup pairs: dHash through the SimHash chunk banding
+    "q_mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2733,6 +2737,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
+    "q_mm_phash" ->
+      s"""WITH sigs AS ($phashCoreSql)
+         |SELECT doc_id, simhash AS phash FROM sigs""".stripMargin,
+    "q_mm_phash_pairs" -> bandedHammingPairsSql(phashCoreSql),
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_containment" -> containmentSql(8, 0.6),
@@ -3634,14 +3642,19 @@ object SparkEntry {
     * (chunk, chunk_val), the SAME capped expansion as the MinHash oracle
     * (full C(n,2) up to MaxBucket, min-id star pairs beyond), Hamming
     * filter, distinct over the filtered candidates. */
-  private def simhashPairsSql: String = {
+  private def simhashPairsSql: String = bandedHammingPairsSql(simhashCoreSql)
+
+  /** The banded Hamming-pair SQL over ANY (doc_id, simhash) core CTE —
+    * shared by the token-SimHash and multimodal-dHash tiers, mirroring
+    * Dedup.simhashPairsFromChunks chunk for chunk. */
+  private def bandedHammingPairsSql(coreSql: String): String = {
     val chunkRows = (0 until Dedup.SimhashChunks).map { c =>
       val p = 1L << (c * Dedup.ChunkBits)
       // exact integer division (//): simhash is up to 2^60, so float
       // division + floor would round above the 53-bit double mantissa
       s"  SELECT doc_id, simhash, $c AS chunk, (simhash // $p) % ${1 << Dedup.ChunkBits} AS chunk_val FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH sigs AS ($simhashCoreSql),
+    s"""WITH sigs AS ($coreSql),
        |chunks AS (
        |$chunkRows),
        |grouped AS (
@@ -3659,6 +3672,31 @@ object SparkEntry {
        |FROM expanded
        |WHERE bit_count(xor(p.a.simhash, p.b.simhash)) <= 3""".stripMargin
   }
+
+  /** The dHash core: 61 box-filter cells over the payload bytes (ascii
+    * codes — the documents' text is ASCII, matching the binary cast), bit
+    * j = cell j mean > cell j+1 mean via EXACT cross-multiplied integer
+    * sums. Mirrors Multimodal.dhashSignature; column named simhash so the
+    * shared banded-pairs SQL applies unchanged. */
+  private def phashCoreSql: String =
+    """WITH pb AS (
+      |  SELECT doc_id, (CAST(i - 1 AS BIGINT) * 61) // length(text) AS cell,
+      |    ascii(substr(text, i, 1)) AS code
+      |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+      |  WHERE length(text) >= 61),
+      |pc AS (
+      |  SELECT doc_id, cell, CAST(sum(code) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM pb GROUP BY 1, 2),
+      |pbits AS (
+      |  SELECT x.doc_id, x.cell AS j,
+      |    CASE WHEN x.s * y.n > y.s * x.n THEN 1 ELSE 0 END AS bit
+      |  FROM pc x JOIN pc y ON x.doc_id = y.doc_id AND y.cell = x.cell + 1
+      |  WHERE x.cell < 60)
+      |SELECT doc_id,
+      |  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT)
+      |    AS simhash
+      |FROM pbits GROUP BY doc_id""".stripMargin
 
   /** First-7-md5-nibbles of the doc id as an integer — the deterministic
     * split/sampling bucket base (mirrors graft_md5_prefix(doc_id, 7)). */

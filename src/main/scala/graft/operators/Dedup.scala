@@ -386,11 +386,19 @@ object Dedup {
     * over ONE signature lineage. This is also the PERSISTED artifact shape
     * of the streaming twin ([[graft.streaming.StreamingSimhash]]): history
     * keeps its chunk rows, so ingest never re-tokenizes old documents. */
-  def simhashChunksOf(docs: DataFrame): DataFrame = {
+  def simhashChunksOf(docs: DataFrame): DataFrame =
+    chunksOfSignatures(simhashOf(docs))
+
+  /** The chunk projection over an EXPLICIT (doc_id, simhash) signature
+    * relation — shared by the token-SimHash tier and any other ≤60-bit
+    * Hamming-banded fingerprint (e.g. the multimodal dHash tier): the
+    * banding machinery only needs the signature bits, not where they
+    * came from. */
+  def chunksOfSignatures(sigs: DataFrame): DataFrame = {
     val chunkVals = (0 until SimhashChunks).map { c =>
       shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1 << ChunkBits) - 1)
     }
-    simhashOf(docs)
+    sigs
       .select(col("doc_id"), col("simhash"), posexplode(array(chunkVals: _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
   }

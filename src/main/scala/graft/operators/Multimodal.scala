@@ -115,6 +115,68 @@ object Multimodal {
     raw.select(col("doc_id") +: gridCols: _*)
   }
 
+  /** Perceptual (difference) hash over the payload: the byte stream
+    * box-filters to `cells` cell averages (the [[resizeFeatures]] grid)
+    * and bit j records whether cell j's mean exceeds cell j+1's — the
+    * 1-D dHash, the standard near-dup fingerprint for images (a real
+    * image codec would feed a 2-D luma grid into the SAME bit rule).
+    * 61 cells → 60 bits, so the fingerprint drops straight into the
+    * SimHash tier's Hamming banding.
+    *
+    * The comparison is EXACT integer arithmetic — cell means compare via
+    * cross-multiplied byte sums (sum_a·n_b > sum_b·n_a), no doubles, so
+    * the signature is bit-identical in any engine. Payloads shorter than
+    * the grid are dropped (the resize contract). */
+  def dhashSignature(spark: SparkSession, dir: String,
+      cells: Int = 61): DataFrame =
+    dhashSignatureOf(mediaTable(spark, dir), cells)
+
+  /** [[dhashSignature]] over an explicit (doc_id, payload) relation —
+    * what specs use to plant near-identical payloads. */
+  def dhashSignatureOf(media: DataFrame, cells: Int = 61): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(cells - 1 <= 60, s"dHash bits = cells-1 must fit 60; got $cells")
+    media
+      .filter(length(col("payload")) >= cells)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val sums = new Array[Long](cells)
+          val cnts = new Array[Long](cells)
+          var i = 0
+          while (i < n) {
+            val k = (i.toLong * cells / n).toInt
+            sums(k) += bytes(i) & 0xff; cnts(k) += 1; i += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < cells - 1) {
+            if (sums(j) * cnts(j + 1) > sums(j + 1) * cnts(j)) sig |= 1L << j
+            j += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Multimodal near-dup pairs: dHash fingerprints through the SimHash
+    * tier's chunk banding ([[Dedup.simhashPairsFromChunks]]) — pigeonhole
+    * completeness for Hamming ≤ 3 and the same hot-bucket star cap, so a
+    * mass-duplicated payload expands linearly, never quadratically. */
+  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    phashPairsOf(mediaTable(spark, dir), maxDist, maxBucket)
+
+  def phashPairsOf(media: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame =
+    Dedup.simhashPairsFromChunks(
+      Dedup.chunksOfSignatures(
+        dhashSignatureOf(media).withColumnRenamed("phash", "simhash")),
+      maxDist, maxBucket)
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the

@@ -62,4 +62,50 @@ class MultimodalSpec extends SparkSpec {
     val got = r.filter(col("doc_id") === doc._1).select("t0").head().getDouble(0)
     assert(got == expected0, s"t0 $got != $expected0")
   }
+
+  test("dhashSignature: bit-parity with a brute-force recompute; short payloads dropped") {
+    import spark.implicits._
+    val payload = (0 until 200).map(i => ((i * 37 + 11) % 251).toByte).toArray
+    val media = Seq((1L, payload), (2L, Array.fill(10)(7.toByte)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.dhashSignatureOf(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L), got.toString) // doc 2 shorter than grid
+    // brute force: 61 box-filter cells, bit j = mean(j) > mean(j+1)
+    val cells = 61
+    val sums = new Array[Long](cells); val cnts = new Array[Long](cells)
+    payload.zipWithIndex.foreach { case (b, i) =>
+      val k = (i.toLong * cells / payload.length).toInt
+      sums(k) += b & 0xff; cnts(k) += 1
+    }
+    val expect = (0 until 60).map { j =>
+      if (sums(j).toDouble / cnts(j) > sums(j + 1).toDouble / cnts(j + 1))
+        1L << j else 0L
+    }.sum
+    assert(got(1L) == expect, s"${got(1L)} != $expect")
+    assert(got(1L) > 0L, "fixture must set some bits")
+  }
+
+  test("phashPairs: planted near-identical payloads found, distant payloads not paired") {
+    import spark.implicits._
+    val base = (0 until 400).map(i => ((i * 53 + 29) % 241).toByte).toArray
+    // near-dup: flip a handful of bytes inside ONE cell region — at most
+    // a couple of dHash bits move
+    val near = base.clone(); (0 until 3).foreach(i => near(i) = 0.toByte)
+    // far: reversed payload — cell profile scrambled
+    val far = base.reverse
+    val media = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashPairsOf(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"near pair missing: $pairs")
+    assert(pairs.forall(p => !(p._2 == 3L || p._1 == 3L)),
+      s"far payload must not pair: $pairs")
+    assert(pairs.forall(_._3 <= 3))
+    // identical payloads collapse at distance 0
+    val dup = Seq((1L, base), (2L, base.clone())).toDF("doc_id", "payload")
+    val d0 = Multimodal.phashPairsOf(dup).collect()
+    assert(d0.length == 1 && d0(0).getInt(2) == 0, d0.mkString(","))
+  }
 }
