@@ -607,6 +607,12 @@ object SparkEntry {
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
       TimeSeries.markovTransitions(Tables(s, d, "events"))),
+    // general PageRank (dangling mass redistributed) over the event-type
+    // transition graph — composes the Markov census into the graph tier
+    "q_pagerank" -> ((s, d) => Graph.pageRank(
+      TimeSeries.markovTransitions(Tables(s, d, "events"))
+        .select(col("event_type").as("src"), col("next_type").as("dst"),
+          col("n").as("w")))),
     // duration-weighted per-user mean: each value holds until the user's
     // next event — the correct mean for irregular sampling
     "q_time_weighted_avg" -> ((s, d) =>
@@ -2437,6 +2443,44 @@ object SparkEntry {
         |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4)
         |    AS p
         |FROM c""".stripMargin,
+    // Markov edge CTE + unrolled PageRank iterations (round-6 per
+    // iteration, dangling mass via NOT IN outw, 1-0.85 left unfolded so
+    // both engines subtract at runtime)
+    "q_pagerank" -> {
+      val base =
+        """WITH seq AS (
+          |  SELECT event_type, lead(event_type, 1) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events),
+          |e AS (
+          |  SELECT event_type AS src, next_type AS dst,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+          |trans AS (
+          |  SELECT src, dst, CAST(w AS DOUBLE) / wout AS p
+          |  FROM e JOIN outw USING (src)),
+          |s0 AS (SELECT node, 1.0 AS score FROM nodes)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s"""d$i AS (
+           |  SELECT coalesce(sum(score), 0.0) AS dmass FROM s${i - 1}
+           |  WHERE node NOT IN (SELECT src FROM outw)),
+           |c$i AS (
+           |  SELECT t.dst AS node, sum(t.p * s.score) AS c
+           |  FROM trans t JOIN s${i - 1} s ON t.src = s.node GROUP BY 1),
+           |s$i AS (
+           |  SELECT n.node,
+           |    round((1 - 0.85) + 0.85 * (coalesce(c.c, 0.0)
+           |      + d.dmass / nn.n_nodes), 6) AS score
+           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
+           |  CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$iters\nSELECT node, score FROM s3"
+    },
     // same skip-gram edge CTE as q_cooccurrence_skipgram, then the
     // degree-ordered orientation mirrored with row-value comparisons
     "q_triangles" ->

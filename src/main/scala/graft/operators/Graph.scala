@@ -10,6 +10,51 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Weighted PageRank over an explicit DIRECTED edge relation
+    * (src, dst, w) — the general-graph complement to
+    * [[Retrieval.textrank]] (which builds its own co-occurrence graph and
+    * has no dangling nodes by construction). Scores use the sum-N
+    * convention (init 1.0, teleport 1−d), and DANGLING mass — score
+    * sitting on nodes with no out-edges — redistributes uniformly each
+    * iteration, so total mass is conserved on any graph shape.
+    *
+    * Scale shape: the transition relation is weight-normalized ONCE and
+    * checkpointed (the plan stays O(1) in iteration count — the CC/Lloyd
+    * pattern); each iteration is one equi-join + one map-side-combinable
+    * aggregate on dst, plus a one-row dangling aggregate and the
+    * broadcast node count. Scores round to 6 per iteration so float
+    * drift cannot compound across engines (the TextRank rule). */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wout")).as("p"))
+      .localCheckpoint(false)
+    var scores = nodes.select(col("node"), lit(1.0).as("score"))
+    (1 to iterations).foreach { _ =>
+      val dang = scores
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("dmass"))
+      val contrib = trans.join(scores.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("score")).as("c"))
+      scores = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(nRow))
+        .select(col("node"),
+          round(lit(1 - damping) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dmass") / col("n_nodes")), 6).as("score"))
+        .localCheckpoint(false)
+    }
+    scores
+  }
+
   /** Triangle enumeration by DEGREE-ORDERED ORIENTATION (the canonical
     * distributed scheme: Cohen's MapReduce triangle counting / Suri &
     * Vassilvitskii WWW'11): orient every undirected edge from its

@@ -49,4 +49,23 @@ class GraphSpec extends SparkSpec {
     assert(got == bruteTriangles(edgeSet), s"${got.size} vs brute ${bruteTriangles(edgeSet).size}")
     assert(got.nonEmpty)
   }
+
+  test("pageRank: one iteration hand-computed with a dangling sink; mass conserved") {
+    import spark.implicits._
+    // A -> B, A -> C, B -> A; C is a dangling sink (its mass spreads
+    // uniformly). init 1.0 each, damping 0.85:
+    //   dmass = 1 (C); contrib: A<-1.0, B<-0.5, C<-0.5
+    //   s(X) = 0.15 + 0.85*(c + 1/3)
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    val one = Graph.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one == Map("A" -> 1.283333, "B" -> 0.858333, "C" -> 0.858333),
+      one.toString)
+    // after more iterations the mass still sums to ~n (teleport +
+    // redistribution conserve it; only round-6 noise remains)
+    val three = Graph.pageRank(edges, iterations = 3)
+      .collect().map(_.getDouble(1)).sum
+    assert(math.abs(three - 3.0) < 1e-4, three.toString)
+  }
 }
