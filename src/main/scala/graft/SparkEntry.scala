@@ -1193,6 +1193,21 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       Audit.calibrationByDecile(Tables(s, d, "orders"), "o_orderkey",
         "o_totalprice", col("o_orderstatus") === "F")),
+    // metric stability: md5-bucket pseudo-replicas, subtract-mean-first
+    // variance on rounded replica means
+    "q_metric_stability" -> ((s, d) =>
+      Audit.metricStability(Tables(s, d, "orders"), "o_orderkey",
+        "o_totalprice")),
+    // curriculum shards: equal-token-budget easy->hard cuts, all-integer
+    // boundaries; census per shard
+    "q_curriculum" -> ((s, d) =>
+      Sampling.curriculumShards(Tables(s, d, "documents"),
+        graft.functions.Text.tokenCount(col("text")), 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          min(col("difficulty")).as("d_min"),
+          max(col("difficulty")).as("d_max"))),
     // referential-integrity audit vs a deterministically LOSSY dimension
     // (every third customer dropped): orphaned orders per status — the
     // anti join broadcasts the dim key set
@@ -3128,6 +3143,43 @@ object SparkEntry {
         |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
         |FROM e""".stripMargin,
+    "q_metric_stability" ->
+      s"""WITH b AS (
+         |  SELECT CAST((${md5BucketSqlOf("o_orderkey")}) % 32 AS INTEGER)
+         |      AS bucket,
+         |    o_totalprice AS v
+         |  FROM orders),
+         |m AS (SELECT bucket, round(avg(v), 4) AS m FROM b GROUP BY 1),
+         |g AS (SELECT round(avg(m), 4) AS mu FROM m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |  max(mu) AS mean_of_means,
+         |  round(sqrt(sum((m - mu) * (m - mu)) / (count(*) - 1)), 4)
+         |    AS sd_means,
+         |  round(round(sqrt(sum((m - mu) * (m - mu)) / (count(*) - 1)), 4)
+         |    / sqrt(CAST(count(*) AS DOUBLE)), 4) AS se_mean
+         |FROM m CROSS JOIN g""".stripMargin,
+    "q_curriculum" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS difficulty,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM b),
+        |c AS (
+        |  SELECT doc_id, difficulty, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY difficulty, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, difficulty, n_tokens,
+        |    CAST(least((cum * 8) // total, 7) AS INTEGER) AS shard
+        |  FROM c CROSS JOIN t)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(min(difficulty) AS INTEGER) AS d_min,
+        |  CAST(max(difficulty) AS INTEGER) AS d_max
+        |FROM s GROUP BY 1""".stripMargin,
     "q_chi2_indep" ->
       """WITH counts AS (
         |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cell_n

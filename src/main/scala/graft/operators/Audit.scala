@@ -223,6 +223,35 @@ object Audit {
       .withColumn("event_rate",
         round(col("n_events").cast("double") / col("n"), 6))
 
+  /** Metric stability by deterministic subsampling: rows hash into
+    * `buckets` disjoint pseudo-replicas (the md5 base every sampling
+    * surface shares — layout-independent), each replica computes the
+    * metric, and the report is the spread of the replica estimates —
+    * "how many digits of this dashboard number are real?" without
+    * bootstrap RNG. sd_means estimates the SUBSAMPLE spread; se_mean =
+    * sd/√B is the usual standard-error read.
+    *
+    * Determinism: bucket means round to 4 before the spread (sub-round
+    * float-sum noise cannot leak), and the variance is the
+    * subtract-mean-first form — no catastrophic cancellation, identical
+    * expression both engines. One scan; everything after the per-bucket
+    * aggregate operates on B rows. */
+  def metricStability(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int = 32): DataFrame = {
+    val b = df.select(
+        Sampling.hashBucket(col(idCol), buckets).as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col("bucket")).agg(round(avg(col("v")), 4).as("m"))
+    val mu = b.agg(round(avg(col("m")), 4).as("mu"))
+    b.crossJoin(broadcast(mu))
+      .agg(count(lit(1)).as("n_buckets"),
+        first(col("mu")).as("mean_of_means"),
+        round(sqrt(sum((col("m") - col("mu")) * (col("m") - col("mu"))) /
+          (count(lit(1)) - 1)), 4).as("sd_means"))
+      .withColumn("se_mean",
+        round(col("sd_means") / sqrt(col("n_buckets").cast("double")), 4))
+  }
+
   /** Benford first-significant-digit census + per-digit χ² decomposition
     * — the "were these numbers typed in by hand?" fraud/quality screen.
     * One scan, one 9-group aggregate; everything after the digit

@@ -260,6 +260,32 @@ object Sampling {
       (call_function("graft_md5_prefix", col(idCol).cast("string"), lit(7))
         % k).cast("int"))
 
+  /** Curriculum sharding: the corpus ordered by (difficulty, id) and cut
+    * into `shards` contiguous shards of ~equal TOKEN budget — the
+    * easy-to-hard schedule a curriculum-training run consumes shard by
+    * shard. The cut point is the running token count BEFORE each doc
+    * (all-integer: shard = cum·S // total, clamped), so shard boundaries
+    * are engine-exact and a doc's shard never depends on layout.
+    *
+    * The global ordered cumsum is a single-partition window by
+    * definition — kept exact here (the RFM/ntile tradeoff); at dimension
+    * scale swap to repartitionByRange(difficulty) + per-range offsets
+    * from a tiny range-totals broadcast. */
+  def curriculumShards(docs: DataFrame, difficulty: Column,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val base = docs.select(col("doc_id"), difficulty.as("difficulty"),
+      graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+    val w = Window.orderBy(col("difficulty"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = base.agg(sum(col("n_tokens")).as("total"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("difficulty"), col("n_tokens"),
+        least(call_function("div", col("cum") * shards, col("total")),
+          lit((shards - 1).toLong)).cast("int").as("shard"))
+  }
+
   /** Keep rows whose md5 bucket (0-99) falls under their stratum's rate
     * (percent); strata absent from `rates` use `defaultRate`. */
   def stratifiedByHash(df: DataFrame, idCol: String, stratumCol: String,

@@ -150,6 +150,21 @@ class AuditSpec extends SparkSpec {
       case Seq(a, b) => a._3 <= b._2; case _ => true })
   }
 
+  test("metricStability: constant metric has zero spread; report is layout-independent") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, 10.0)).toDF("id", "v")
+    val r = Audit.metricStability(df, "id", "v", 16).collect()(0)
+    assert(r.getLong(0) == 16L, r.toString)       // every bucket hit
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.0, r.toString)
+    // layout independence: md5 buckets don't care about partitioning
+    val varied = (1 to 500).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val a = Audit.metricStability(varied, "id", "v").collect()(0)
+    val b = Audit.metricStability(varied.repartition(7), "id", "v").collect()(0)
+    assert(a == b, s"$a vs $b")
+    assert(a.getDouble(2) > 0.0)
+  }
+
   test("benfordReport: digit census exact, expected sums to n, chi2 parts nonnegative") {
     import spark.implicits._
     // leading digits planted: 1 x4, 2 x3, 9 x1, and a power-of-ten edge

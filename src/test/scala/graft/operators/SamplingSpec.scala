@@ -156,4 +156,21 @@ class SamplingSpec extends SparkSpec {
     assert(a.values.forall(f => f >= 0 && f < 5))
     assert(a.values.toSet.size == 5, "1000 ids should hit every fold")
   }
+
+  test("curriculumShards: integer token-budget cuts, easy docs first, zero-token tail clamped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d e f")
+    ).toDF("doc_id", "text") // tokens 1,2,3,6 -> total 12, 3 shards of 4
+    val got = Sampling.curriculumShards(docs,
+      graft.functions.Text.tokenCount(col("text")), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // cum-before: 0,1,3,6 -> (cum*3)//12 = 0,0,0,1
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1), got.toString)
+    // shard is monotone in the (difficulty, id) order
+    val rows = Sampling.curriculumShards(docs,
+      graft.functions.Text.tokenCount(col("text")), 3)
+      .orderBy("difficulty", "doc_id").collect().map(_.getInt(3))
+    assert(rows.toSeq == rows.toSeq.sorted)
+  }
 }
