@@ -634,6 +634,15 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       Graph.triangles(Retrieval.windowCooccurrence(
         Tables(s, d, "documents"), 3, 50))),
+    // general min-label-propagation CC over the SAME term graph — labels
+    // monotone, 4 iterations >= diameter at this density
+    "q_graph_cc" -> ((s, d) =>
+      Graph.connectedComponents(Retrieval.windowCooccurrence(
+        Tables(s, d, "documents"), 3, 50))),
+    // degree -> node-count census over the term graph
+    "q_degree_dist" -> ((s, d) =>
+      Graph.degreeDistribution(Retrieval.windowCooccurrence(
+        Tables(s, d, "documents"), 3, 50))),
 
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
@@ -2458,6 +2467,28 @@ object SparkEntry {
         |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4)
         |    AS p
         |FROM c""".stripMargin,
+    // skip-gram term-graph CC: unrolled min-label propagation (exact
+    // string mins — no float anywhere)
+    "q_graph_cc" -> {
+      val iters = (1 to 4).map { i =>
+        s"""n$i AS (
+           |  SELECT s.v AS node, min(l.label) AS nl
+           |  FROM sym s JOIN l${i - 1} l ON s.u = l.node GROUP BY 1),
+           |l$i AS (
+           |  SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
+           |  FROM l${i - 1} l LEFT JOIN n$i n USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""$termGraphCtes,
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |$iters
+         |SELECT node, label FROM l4""".stripMargin
+    },
+    "q_degree_dist" ->
+      s"""$termGraphCtes,
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
+         |        FROM sym GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY 1""".stripMargin,
     // Markov edge CTE + unrolled PageRank iterations (round-6 per
     // iteration, dangling mass via NOT IN outw, 1-0.85 left unfolded so
     // both engines subtract at runtime)
@@ -3851,6 +3882,27 @@ object SparkEntry {
       |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
       |        s.label) AS rnk
       |  FROM scored s JOIN priors p USING (label))""".stripMargin
+
+  /** The skip-gram term graph (window 3, pair count >= 50) as CTEs ending
+    * in `sym` (both directions, self-loops dropped) — the edge relation
+    * behind q_triangles/q_graph_cc/q_degree_dist. Mirrors
+    * Retrieval.windowCooccurrence + Graph.symmetric. */
+  private def termGraphCtes: String =
+    """WITH tk AS (
+      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |pp AS (
+      |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+      |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+      |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+      |  FROM tk WHERE len(t) >= 2),
+      |e AS (
+      |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+      |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
+      |sym AS (
+      |  SELECT term_a AS u, term_b AS v FROM e WHERE term_a <> term_b
+      |  UNION ALL
+      |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a <> term_b)""".stripMargin
 
   private def md5BucketSqlOf(ref: String): String =
     (1 to 7).map { i =>

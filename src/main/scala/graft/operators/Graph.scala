@@ -55,6 +55,52 @@ object Graph {
     scores
   }
 
+  /** Connected components by MIN-LABEL PROPAGATION over an explicit
+    * undirected edge relation (term_a, term_b) — the general-graph form
+    * of the dedup tier's band-bucket CC ([[Dedup]]): every node starts
+    * labeled with itself; each iteration every node takes the min of its
+    * own and its neighbors' labels (one equi-join + one min-aggregate +
+    * one left join back — all shuffle on node). Labels are monotone
+    * non-increasing, so `iterations` ≥ the largest component's diameter
+    * converges exactly; each iteration checkpoints so the plan stays
+    * O(1) in iteration count. Self-loops are dropped (no-ops); isolated
+    * nodes never appear in an edge relation and are absent by
+    * definition. */
+  def connectedComponents(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = symmetric(edges).localCheckpoint(false)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val nbr = sym
+        .join(labels.withColumnRenamed("node", "u")
+          .withColumnRenamed("label", "nl"), "u")
+        .groupBy(col("v").as("node")).agg(min(col("nl")).as("nl"))
+      labels = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Degree-distribution census: degree → node count — the first profiling
+    * read on any graph (hub spotting, power-law eyeballing, and the input
+    * to the triangle orientation's O(√m) bound). Two map-side-combinable
+    * aggregations; nothing touches the node or edge payload. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    symmetric(edges)
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Both directions of an undirected (term_a, term_b) edge list,
+    * self-loops dropped. */
+  private def symmetric(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("term_a") =!= col("term_b"))
+    e.select(col("term_a").as("u"), col("term_b").as("v"))
+      .unionByName(e.select(col("term_b").as("u"), col("term_a").as("v")))
+  }
+
   /** Triangle enumeration by DEGREE-ORDERED ORIENTATION (the canonical
     * distributed scheme: Cohen's MapReduce triangle counting / Suri &
     * Vassilvitskii WWW'11): orient every undirected edge from its

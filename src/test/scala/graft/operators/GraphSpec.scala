@@ -50,6 +50,33 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("connectedComponents: chain + pair converge to min labels; self-loops dropped") {
+    import spark.implicits._
+    // components: {a,b,c,d} (chain, diameter 3), {x,y}; self-loop z-z
+    // contributes no node (self-loops are no-op edges)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("z", "z"))
+      .toDF("term_a", "term_b")
+    val got = Graph.connectedComponents(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"), got.toString)
+    // under-iterating a long chain leaves the far end unconverged;
+    // labels are still monotone valid partial states
+    val one = Graph.connectedComponents(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one("d") == "c" && one("b") == "a", one.toString)
+  }
+
+  test("degreeDistribution: hub and leaves counted, self-loops dropped") {
+    import spark.implicits._
+    // star: h-1..h-4 (h degree 4, leaves degree 1) + self-loop
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"),
+      ("h", "h")).toDF("term_a", "term_b")
+    val got = Graph.degreeDistribution(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 4L -> 1L), got.toString)
+  }
+
   test("pageRank: one iteration hand-computed with a dangling sink; mass conserved") {
     import spark.implicits._
     // A -> B, A -> C, B -> A; C is a dangling sink (its mass spreads
