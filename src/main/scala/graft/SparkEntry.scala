@@ -294,6 +294,26 @@ object SparkEntry {
     }),
 
     // -- window lag + date parts + scalar string functions
+    // rank-family parity: percent_rank/cume_dist are tie-invariant (no
+    // tie-break needed); nth_value/dense_rank get the full deterministic
+    // (price, key) order
+    "q_window_stats" -> ((s, d) => {
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      val full = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          round(percent_rank().over(byPrice), 6).as("pct_rank"),
+          round(cume_dist().over(byPrice), 6).as("cume"),
+          dense_rank().over(byPrice).as("drank"),
+          nth_value(col("o_orderkey"), 2).over(
+            full.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+            .as("second_cheapest"))
+    }),
     "q_window_lag" -> ((s, d) => {
       val daily = Tables(s, d, "lineitem")
         .groupBy(to_date(col("l_shipdate")).as("ship_day"))
@@ -3174,6 +3194,17 @@ object SparkEntry {
         |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
         |FROM e""".stripMargin,
+    "q_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(percent_rank() OVER bp, 6) AS pct_rank,
+        |  round(cume_dist() OVER bp, 6) AS cume,
+        |  CAST(dense_rank() OVER bp AS INT) AS drank,
+        |  nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_cheapest
+        |FROM orders
+        |WINDOW bp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin,
     "q_metric_stability" ->
       s"""WITH b AS (
          |  SELECT CAST((${md5BucketSqlOf("o_orderkey")}) % 32 AS INTEGER)
