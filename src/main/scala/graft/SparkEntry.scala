@@ -1086,6 +1086,17 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
         "l_quantity", "l_discount", "l_extendedprice")),
+    // logistic regression by 3 full-batch GD steps — coefficient row
+    // carried as a broadcast (never collected), round-6 per step
+    "q_logreg" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val base = o.crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("mx"))))
+        .select(col("o_totalprice").as("price"),
+          datediff(col("mx"), col("o_orderdate")).cast("double").as("age"),
+          col("o_orderstatus"))
+      graft.ml.Logistic.fitGd(base, Seq("price", "age"),
+        col("o_orderstatus") === "F")
+    }),
     // -- Naive Bayes text classifier (closed-form distributed fit): the
     // smoothed labels×vocabulary model from the md5 train band, and the
     // argmax language prediction for every document (OOV terms skipped)
@@ -2986,6 +2997,49 @@ object SparkEntry {
          |        AS fold, n_chars
          |      FROM documents)
          |GROUP BY fold""".stripMargin,
+    // 3 unrolled GD steps, identical margin/err expressions per step,
+    // round-6 gradients and weights (mirrors ml.Logistic.fitGd)
+    "q_logreg" -> {
+      def margin(wi: String) =
+        s"$wi.w0 + zp * $wi.w_price + za * $wi.w_age"
+      val steps = (1 to 3).map { i =>
+        val prev = s"wr${i - 1}"
+        s"""g$i AS (
+           |  SELECT
+           |    round(avg(1.0 / (1.0 + exp(-(${margin(prev)}))) - y), 6) AS g0,
+           |    round(avg((1.0 / (1.0 + exp(-(${margin(prev)}))) - y) * zp), 6)
+           |      AS gp,
+           |    round(avg((1.0 / (1.0 + exp(-(${margin(prev)}))) - y) * za), 6)
+           |      AS ga
+           |  FROM z CROSS JOIN $prev),
+           |wr$i AS (
+           |  SELECT round(w0 - 1.0 * g0, 6) AS w0,
+           |    round(w_price - 1.0 * gp, 6) AS w_price,
+           |    round(w_age - 1.0 * ga, 6) AS w_age
+           |  FROM wr${i - 1} CROSS JOIN g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+         |b AS (
+         |  SELECT o_totalprice AS price,
+         |    CAST(date_diff('day', o_orderdate, mx) AS DOUBLE) AS age,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM orders CROSS JOIN mx),
+         |m AS (
+         |  SELECT round(avg(price), 4) AS mu_p, round(stddev_pop(price), 4) AS sd_p,
+         |    round(avg(age), 4) AS mu_a, round(stddev_pop(age), 4) AS sd_a
+         |  FROM b),
+         |z AS (
+         |  SELECT y, (price - mu_p) / sd_p AS zp, (age - mu_a) / sd_a AS za
+         |  FROM b CROSS JOIN m),
+         |wr0 AS (SELECT 0.0 AS w0, 0.0 AS w_price, 0.0 AS w_age),
+         |$steps,
+         |l AS (
+         |  SELECT round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+         |  FROM (SELECT y, 1.0 / (1.0 + exp(-(${margin("wr3")}))) AS p
+         |        FROM z CROSS JOIN wr3))
+         |SELECT wr3.w0, wr3.w_price, wr3.w_age, l.log_loss
+         |FROM wr3 CROSS JOIN l""".stripMargin
+    },
     "q_lr_coeffs" ->
       s"""WITH train AS (
          |  SELECT CAST(l_quantity AS DOUBLE) AS x1,

@@ -1,0 +1,75 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic regression by batch gradient descent — the
+  * iterative-optimizer complement to [[Regression.closedFormCoeffs]]
+  * (normal equations) and [[NaiveBayes]] (counting): binary
+  * cross-entropy loss, full-batch gradient, fixed step size.
+  *
+  * Scale shape: each iteration is ONE map-side-combinable aggregation
+  * over the (standardized) feature relation — the gradient is an average
+  * of per-row (σ(w·x) − y)·x terms, exactly the shape partial
+  * aggregation distributes. The coefficient vector is a ONE-ROW
+  * DataFrame carried between iterations as a broadcast (the Lloyd/
+  * codebook-refine pattern — never collected), checkpointed each step so
+  * the plan stays O(1) in iteration count.
+  *
+  * Cross-engine determinism: features standardize against ROUNDED
+  * moments, coefficients round to 6 after EVERY step (drift cannot
+  * compound — the TextRank rule), and gradients are n-divided averages,
+  * so float-sum noise stays orders below the rounding grid. */
+object Logistic {
+
+  /** Standardize `cols` in one pass against round-4 moments: the
+    * [[graft.operators.Curate]] scaler shape, inlined so the model and
+    * its oracle share one definition. */
+  def standardized(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(round(avg(col(c)), 4).as(s"mu_$c"),
+      round(stddev_pop(col(c)), 4).as(s"sd_$c")))
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val z = cols.map(c =>
+      ((col(c) - col(s"mu_$c")) / col(s"sd_$c")).as(s"z_$c"))
+    df.crossJoin(broadcast(moments))
+      .select(df.columns.map(col).toSeq ++ z: _*)
+  }
+
+  /** Fit (w0, w_<feature>...) by `iterations` GD steps at rate `lr` from
+    * w = 0 over standardized features; `label` must be 0/1. Returns ONE
+    * row: the final coefficients plus the training log-loss at those
+    * weights, all rounded 6. */
+  def fitGd(df: DataFrame, featureCols: Seq[String], label: Column,
+      iterations: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(featureCols.nonEmpty && iterations >= 1)
+    val names = "w0" +: featureCols.map(c => s"w_$c")
+    val z = standardized(df.withColumn("y", label.cast("double")), featureCols)
+      .select(col("y") +: featureCols.map(c => col(s"z_$c")): _*)
+      .localCheckpoint(false)
+
+    def marginOf(): Column = featureCols
+      .map(c => col(s"z_$c") * col(s"w_$c"))
+      .foldLeft(col("w0"): Column)(_ + _)
+
+    var w = z.sparkSession.range(1)
+      .select(names.map(n => lit(0.0).as(n)): _*)
+    (1 to iterations).foreach { _ =>
+      val err = lit(1.0) / (lit(1.0) + exp(-marginOf())) - col("y")
+      val gradAggs = round(avg(err), 6).as("g0") +:
+        featureCols.map(c => round(avg(err * col(s"z_$c")), 6).as(s"g_$c"))
+      val grads = z.crossJoin(broadcast(w))
+        .agg(gradAggs.head, gradAggs.tail: _*)
+      val gNames = "g0" +: featureCols.map(c => s"g_$c")
+      w = w.crossJoin(broadcast(grads))
+        .select(names.zip(gNames).map { case (wn, gn) =>
+          round(col(wn) - lit(lr) * col(gn), 6).as(wn) }: _*)
+        .localCheckpoint(false)
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-marginOf()))
+    z.crossJoin(broadcast(w))
+      .agg(names.map(n => first(col(n)).as(n)).head,
+        names.map(n => first(col(n)).as(n)).tail :+
+          round(-avg(col("y") * log(p) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - p)), 6).as("log_loss"): _*)
+  }
+}
