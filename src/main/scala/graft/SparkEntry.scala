@@ -1086,6 +1086,11 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
         "l_quantity", "l_discount", "l_extendedprice")),
+    // exact tie-corrected ROC-AUC — integer U statistic, the ordered
+    // window runs over DISTINCT scores only
+    "q_auc" -> ((s, d) =>
+      graft.ml.Logistic.auc(Tables(s, d, "orders"),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
     // logistic regression by 3 full-batch GD steps — coefficient row
     // carried as a broadcast (never collected), round-6 per step
     "q_logreg" -> ((s, d) => {
@@ -2997,6 +3002,24 @@ object SparkEntry {
          |        AS fold, n_chars
          |      FROM documents)
          |GROUP BY fold""".stripMargin,
+    "q_auc" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neg
+        |  FROM orders GROUP BY 1),
+        |cb AS (
+        |  SELECT *, CAST(coalesce(sum(n_neg) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS neg_below
+        |  FROM c)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  round(sum(n_pos * (CAST(neg_below AS DOUBLE) + n_neg * 0.5))
+        |    / (sum(n_pos) * sum(n_neg)), 6) AS auc
+        |FROM cb""".stripMargin,
     // 3 unrolled GD steps, identical margin/err expressions per step,
     // round-6 gradients and weights (mirrors ml.Logistic.fitGd)
     "q_logreg" -> {

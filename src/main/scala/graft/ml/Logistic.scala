@@ -72,4 +72,29 @@ object Logistic {
           round(-avg(col("y") * log(p) +
             (lit(1.0) - col("y")) * log(lit(1.0) - p)), 6).as("log_loss"): _*)
   }
+
+  /** Exact ROC-AUC of a score against a 0/1 label — the tie-corrected
+    * Mann–Whitney U, NOT a sampled curve: collapse to the per-score
+    * census (score, n_pos, n_neg), run one ordered window for the
+    * cumulative negatives below each score, and fold
+    * U = Σ n_pos·(neg_below + neg_tied/2). Everything is integer (the
+    * /2 lands on exact halves) until the single final division, so the
+    * statistic is engine-exact at any scale; the only ordered window
+    * runs over DISTINCT scores, not rows. */
+  def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val census = df
+      .select(score.as("s"), label.cast("int").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    census
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos") * (col("neg_below").cast("double") +
+          col("n_neg") * lit(0.5))).as("u"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
 }

@@ -23,6 +23,25 @@ class LogisticSpec extends SparkSpec {
     assert(math.abs(w0) < 0.2, s"balanced classes keep intercept small: $w0")
   }
 
+  test("auc: perfect / inverted / tied scores give 1, 0, 0.5; tie correction exact") {
+    import spark.implicits._
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))
+      .toDF("s", "y")
+    assert(Logistic.auc(perfect, col("s"), col("y") === 1)
+      .collect()(0).getDouble(2) == 1.0)
+    assert(Logistic.auc(perfect, -col("s"), col("y") === 1)
+      .collect()(0).getDouble(2) == 0.0)
+    val allTied = Seq((5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)).toDF("s", "y")
+    assert(Logistic.auc(allTied, col("s"), col("y") === 1)
+      .collect()(0).getDouble(2) == 0.5)
+    // hand case: scores 1(neg), 2(pos+neg tie), 3(pos):
+    // U = 1*(1 + 0.5) + 1*(2 + 0) = 3.5 over n_pos*n_neg = 4 -> 0.875
+    val mixed = Seq((1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1)).toDF("s", "y")
+    val r = Logistic.auc(mixed, col("s"), col("y") === 1).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 2L, 0.875)),
+      r.toString)
+  }
+
   test("fitGd: deterministic across partitioning (rounded gradients cannot drift)") {
     import spark.implicits._
     val df = (1 to 500).map(i =>
