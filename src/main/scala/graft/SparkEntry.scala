@@ -1091,6 +1091,11 @@ object SparkEntry {
     "q_auc" -> ((s, d) =>
       graft.ml.Logistic.auc(Tables(s, d, "orders"),
         col("o_totalprice"), col("o_orderstatus") === "F")),
+    // exact PR curve from the same census — running tp/fp down the score
+    // order, integer-ratio precision/recall
+    "q_pr_curve" -> ((s, d) =>
+      graft.ml.Logistic.prCurve(Tables(s, d, "orders"),
+        col("o_totalprice"), col("o_orderstatus") === "F")),
     // logistic regression by 3 full-batch GD steps — coefficient row
     // carried as a broadcast (never collected), round-6 per step
     "q_logreg" -> ((s, d) => {
@@ -3002,6 +3007,24 @@ object SparkEntry {
          |        AS fold, n_chars
          |      FROM documents)
          |GROUP BY fold""".stripMargin,
+    "q_pr_curve" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_neg
+        |  FROM orders GROUP BY 1)
+        |SELECT s AS threshold,
+        |  CAST(sum(n_pos) OVER w AS BIGINT) AS tp,
+        |  CAST(sum(n_neg) OVER w AS BIGINT) AS fp,
+        |  round(CAST(sum(n_pos) OVER w AS DOUBLE)
+        |    / (sum(n_pos) OVER w + sum(n_neg) OVER w), 6) AS precision,
+        |  round(CAST(sum(n_pos) OVER w AS DOUBLE)
+        |    / (sum(n_pos) OVER ()), 6) AS recall
+        |FROM c
+        |WINDOW w AS (ORDER BY s DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_auc" ->
       """WITH c AS (
         |  SELECT o_totalprice AS s,

@@ -97,4 +97,28 @@ object Logistic {
       .select(col("n_pos"), col("n_neg"),
         round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
   }
+
+  /** Full precision/recall curve from the same per-score census as
+    * [[auc]]: at every DISTINCT score s (as threshold, predict positive
+    * when score ≥ s), tp/fp are running sums down the score order and
+    * precision/recall are integer ratios — the exact curve, no sampling,
+    * no per-row work after the census. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val census = df
+      .select(score.as("s"), label.cast("int").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
+    val desc = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    census
+      .withColumn("tp", sum(col("n_pos")).over(desc))
+      .withColumn("fp", sum(col("n_neg")).over(desc))
+      .withColumn("total_pos", sum(col("n_pos")).over(all))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("total_pos"), 6).as("recall"))
+  }
 }

@@ -42,6 +42,19 @@ class LogisticSpec extends SparkSpec {
       r.toString)
   }
 
+  test("prCurve: running tp/fp down the score order, exact ratios at every threshold") {
+    import spark.implicits._
+    // scores desc: 4(pos), 3(neg), 2(pos), 1(neg)
+    val df = Seq((4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)).toDF("s", "y")
+    val got = Logistic.prCurve(df, col("s"), col("y") === 1)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(4.0) == ((1L, 0L, 1.0, 0.5)), got.toString)
+    assert(got(3.0) == ((1L, 1L, 0.5, 0.5)))
+    assert(got(2.0) == ((2L, 1L, 0.666667, 1.0)))
+    assert(got(1.0) == ((2L, 2L, 0.5, 1.0)))
+  }
+
   test("fitGd: deterministic across partitioning (rounded gradients cannot drift)") {
     import spark.implicits._
     val df = (1 to 500).map(i =>
