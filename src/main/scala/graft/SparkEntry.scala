@@ -898,6 +898,20 @@ object SparkEntry {
 
     // per-label prototype vectors (class centroids): same long-format
     // two-agg shape as q_codebook_refine, straight off the scan
+    // label-centroid cosine matrix — geometry folds map-side to
+    // labels×dims before any pairing
+    "q_centroid_sim" -> ((s, d) =>
+      Similarity.centroidSimilarity(Tables(s, d, "embeddings"))),
+    // shape census: explicit two-pass central moments (builtin
+    // skew/kurt bias variants disagree across engines)
+    "q_moments" -> ((s, d) =>
+      Audit.groupedMoments(Tables(s, d, "orders"),
+        "o_orderpriority", "o_totalprice")),
+    // per-part price trend: closed-form OLS in ONE aggregation, exact
+    // integer denominator
+    "q_group_trend" -> ((s, d) =>
+      TimeSeries.groupedTrend(Tables(s, d, "lineitem"),
+        "l_partkey", "l_shipdate", "l_extendedprice")),
     "q_embed_centroids" -> ((s, d) =>
       Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding").cast("array<double>")))
@@ -2883,6 +2897,66 @@ object SparkEntry {
         Dedup.ContainMinHits, 250),
     "q_dedup_embed" -> embedDedupSql,
 
+    "q_centroid_sim" ->
+      """WITH cent AS (
+        |  SELECT label, CAST(s.dim AS INTEGER) AS dim, round(avg(s.x), 4) AS m
+        |  FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        |    FROM embeddings)
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+        |FROM dots
+        |JOIN norms na ON dots.label_a = na.label
+        |JOIN norms nb ON dots.label_b = nb.label""".stripMargin,
+    "q_moments" ->
+      """WITH mu AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(o_totalprice), 4) AS mean
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT o.o_orderpriority, mu.n, mu.mean,
+        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)) AS m2,
+        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)
+        |      * (o.o_totalprice - mu.mean)) AS m3,
+        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)
+        |      * (o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)) AS m4
+        |  FROM orders o JOIN mu USING (o_orderpriority)
+        |  GROUP BY 1, 2, 3)
+        |SELECT o_orderpriority, n, mean,
+        |  round(sqrt(m2), 4) AS sd,
+        |  round(m3 / pow(m2, 1.5), 4) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+        |FROM c""".stripMargin,
+    "q_group_trend" ->
+      """WITH d0 AS (SELECT min(l_shipdate) AS d0 FROM lineitem),
+        |b AS (
+        |  SELECT l_partkey,
+        |    CAST(date_diff('day', d0, l_shipdate) AS BIGINT) AS x,
+        |    l_extendedprice AS y
+        |  FROM lineitem CROSS JOIN d0),
+        |a AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(y) AS sy, sum(x * y) AS sxy
+        |  FROM b GROUP BY 1
+        |  HAVING CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+        |    - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) > 0),
+        |s AS (
+        |  SELECT l_partkey, n,
+        |    round((n * sxy - sx * sy)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |    sy, sx
+        |  FROM a)
+        |SELECT l_partkey, n, slope,
+        |  round((sy - slope * sx) / n, 4) AS intercept
+        |FROM s""".stripMargin,
     "q_embed_centroids" ->
       """SELECT label, CAST(s.dim AS INTEGER) AS dim,
         |  round(avg(s.x), 4) + 0 AS mean_x, count(*) AS n

@@ -223,6 +223,29 @@ object Audit {
       .withColumn("event_rate",
         round(col("n_events").cast("double") / col("n"), 6))
 
+  /** Per-group distribution moments: mean, sd, skewness and excess
+    * kurtosis — the shape census `describe` omits. Built from explicit
+    * TWO-PASS central moments (pass 1 the rounded mean, pass 2 the
+    * centered powers with the mean broadcast back) rather than the
+    * engines' builtin skewness/kurtosis, whose bias-correction variants
+    * disagree; the explicit formula is identical arithmetic in both. */
+  def groupedMoments(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val mu = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), round(avg(v), 4).as("mean"))
+    val dev = v - col("mean")
+    df.join(broadcast(mu), groupCol)
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+        avg(dev * dev).as("m2"), avg(dev * dev * dev).as("m3"),
+        avg(dev * dev * dev * dev).as("m4"))
+      .select(col(groupCol), col("n"), col("mean"),
+        round(sqrt(col("m2")), 4).as("sd"),
+        round(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3.0, 4).as("kurtosis"))
+  }
+
   /** Metric stability by deterministic subsampling: rows hash into
     * `buckets` disjoint pseudo-replicas (the md5 base every sampling
     * surface shares — layout-independent), each replica computes the

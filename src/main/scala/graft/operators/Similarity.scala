@@ -423,4 +423,33 @@ object Similarity {
           .otherwise(floor((x - lo) / (hi - lo) * 255 + 0.5).cast("int"))
       })).as(Seq("dim", "code")))
   }
+
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS —
+    * "which sources/classes sit close in embedding space", the label-level
+    * read on the corpus geometry (cluster drift, near-duplicate sources).
+    * The 100 TB side folds in the first map-side-combinable centroid
+    * aggregation; everything after runs on the labels×dims relation.
+    * Centroids round to 4 (the q_embed_centroids artifact), and `+ 0`
+    * normalizes any −0.0 cosine so both engines hash identically. */
+  def centroidSimilarity(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "dim", "x")
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 4).as("m"))
+    val norms = cent.groupBy(col("label"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+      .join(norms.select(col("label").as("label_a"), col("nrm").as("na")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        (round(col("dot") / (col("na") * col("nb")), 6) + lit(0.0))
+          .as("cosine"))
+  }
 }

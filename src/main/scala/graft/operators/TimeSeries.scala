@@ -329,6 +329,33 @@ object TimeSeries {
       .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
   }
 
+  /** Per-key OLS trend: closed-form slope/intercept of value-over-time
+    * for EVERY key in one map-side-combinable aggregation — "is this
+    * part's price drifting" across millions of keys at once, no window,
+    * no iteration. x is integer days from the global min date (one
+    * broadcast scalar), so the denominator n·Σx²−(Σx)² is EXACT integer
+    * arithmetic; only the y-sums are floats, and the intercept derives
+    * from the ROUNDED slope. Keys need ≥ 2 distinct days (others drop —
+    * slope undefined). */
+  def groupedTrend(df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val d0 = df.agg(min(col(dateCol)).as("d0"))
+    df.crossJoin(broadcast(d0))
+      .select(col(keyCol), datediff(col(dateCol), col("d0")).cast("long").as("x"),
+        col(valueCol).as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("slope", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+      .select(col(keyCol), col("n"), col("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
   /** Time-to-convert distribution: each user's FIRST `fromType` event to
     * their first `toType` event at-or-after it, summarized as converter
     * count + delta-seconds percentiles and mean — the latency half of the

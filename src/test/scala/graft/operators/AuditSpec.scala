@@ -150,6 +150,18 @@ class AuditSpec extends SparkSpec {
       case Seq(a, b) => a._3 <= b._2; case _ => true })
   }
 
+  test("groupedMoments: symmetric data has zero skew, uniform-ish kurtosis negative, exact mean/sd") {
+    import spark.implicits._
+    // g: symmetric {1,2,3,4,5} -> mean 3, m2 = 2, skew 0, kurt 1.7-3
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g", _)).toDF("grp", "v")
+    val r = Audit.groupedMoments(df, "grp", "v").collect()(0)
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 3.0, r.toString)
+    assert(r.getDouble(3) == BigDecimal(math.sqrt(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == 0.0, s"symmetric skew: $r")
+    assert(r.getDouble(5) == -1.3, s"uniform-5 excess kurtosis: $r")
+  }
+
   test("metricStability: constant metric has zero spread; report is layout-independent") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, 10.0)).toDF("id", "v")

@@ -269,4 +269,18 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"ADC recall $recall")
   }
+
+  test("centroidSimilarity: aligned labels cosine 1, orthogonal labels cosine 0") {
+    import spark.implicits._
+    // labels 0/1 both along e1 (0 scaled 2x), label 2 along e2
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0),
+      (3L, Seq(4.0f, 0.0f), 1),
+      (4L, Seq(0.0f, 2.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidSimilarity(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 1) -> 1.0, (0, 2) -> 0.0, (1, 2) -> 0.0),
+      got.toString)
+  }
 }

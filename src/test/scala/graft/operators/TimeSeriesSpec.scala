@@ -127,6 +127,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "2024-01-01 02", 6.0, 6L)), got.mkString(","))
   }
 
+  test("groupedTrend: exact line recovered per key; single-day keys dropped") {
+    import spark.implicits._
+    // k1: y = 2x + 5 on days 0..3 (exact); k2: one day only -> dropped
+    val rows = (0 to 3).map(x => ("k1", f"2024-01-${x + 1}%02d", 2.0 * x + 5)) :+
+      (("k2", "2024-01-01", 9.0))
+    val df = rows.toDF("k", "ds", "y")
+      .select(col("k"), col("ds").cast("timestamp").as("d"), col("y"))
+    val got = TimeSeries.groupedTrend(df, "k", "d", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map("k1" -> ((4L, 2.0, 5.0))), got.toString)
+  }
+
   test("ewmaSmooth: head renormalizes over available lags; weights exact decimals") {
     import spark.implicits._
     val ev = Seq((1L, "u1", "2024-01-01 00:00:00", 1.0),
