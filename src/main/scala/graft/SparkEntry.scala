@@ -479,6 +479,34 @@ object SparkEntry {
     // count-desc/term tie-break) folded into ONE broadcast row; per-doc
     // out-of-vocabulary rate is then a map-side array filter — the signal
     // that drives vocab-size choice
+    // tokenizer design read: cumulative corpus coverage of the df-ranked
+    // vocabulary — windows run over the VOCAB, never the corpus
+    "q_vocab_coverage" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))
+      Tables(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("rank"), col("term"), col("n"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+    }),
+    // boilerplate screen: normalized 40-char prefixes shared by >= 2 docs
+    // — the strip-the-header census
+    "q_boilerplate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      docs.select(substring(trim(lower(col("text"))), 1, 40).as("prefix"))
+        .groupBy(col("prefix")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .crossJoin(broadcast(total))
+        .select(col("prefix"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+    }),
     "q_vocab_oov" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val vocab = docs
@@ -2613,8 +2641,29 @@ object SparkEntry {
         |  list_sort([a, b, c])[2] AS term_b,
         |  greatest(a, b, c) AS term_c
         |FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1)
+        |SELECT CAST(row_number() OVER rk AS INT) AS rank, term, n,
+        |  round(CAST(sum(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / sum(n) OVER (), 6) AS coverage
+        |FROM c
+        |WINDOW rk AS (ORDER BY n DESC, term)""".stripMargin,
+    "q_boilerplate" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |p AS (
+        |  SELECT substr(trim(lower(text)), 1, 40) AS prefix,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT prefix, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
+        |FROM p CROSS JOIN t""".stripMargin,
     "q_vocab_oov" ->
-      """WITH tk AS (
+"""WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
         |  FROM documents),
         |vc AS (SELECT term FROM (
