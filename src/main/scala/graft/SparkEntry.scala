@@ -651,6 +651,16 @@ object SparkEntry {
     // islands pattern — exact covered seconds per user
     "q_active_time" -> ((s, d) =>
       TimeSeries.activeTime(Tables(s, d, "events"))),
+    // daily latency-style percentile series — the p50/p95/p99 dashboard
+    // row; exact per-day percentiles (days bound the buffer), GK swap
+    // documented in winsorize for corpus-sized groups
+    "q_daily_percentiles" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))),
     // P(next event type | current) per-user lead window + types²-bounded
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
@@ -2442,6 +2452,12 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope,
         |  round(quantile_cont(resid, 0.5), 6) AS intercept
         |FROM res GROUP BY 2, 3""".stripMargin,
+    "q_daily_percentiles" ->
+      """SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
     "q_funnel_time" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS start_ts FROM events

@@ -168,4 +168,23 @@ class PropertiesSpec extends SparkSpec {
         d.select("k").distinct().count() == keys
     }, minTests = 15)
   }
+
+  test("auc: census formulation equals brute-force pair counting for all inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Gen.listOfN(20, Gen.zip(Gen.choose(0, 5), Gen.oneOf(0, 1)))
+      .suchThat(l => l.exists(_._2 == 1) && l.exists(_._2 == 0))
+    check(Prop.forAll(rows) { data =>
+      val df = data.map { case (s, y) => (s.toDouble, y) }.toDF("s", "y")
+      val got = graft.ml.Logistic.auc(df, col("s"), col("y") === 1)
+        .collect()(0).getDouble(2)
+      val pos = data.filter(_._2 == 1).map(_._1)
+      val neg = data.filter(_._2 == 0).map(_._1)
+      val u = (for { p <- pos; n <- neg } yield
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val brute = BigDecimal(u / (pos.size.toLong * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == brute
+    }, minTests = 20)
+  }
 }
