@@ -647,6 +647,10 @@ object SparkEntry {
     // within 24 h via ONE ignore-nulls running window (no probe join)
     "q_attribution" -> ((s, d) =>
       TimeSeries.attributionLastTouch(Tables(s, d, "events"))),
+    // linear multi-touch attribution — equi-join on user, range residual;
+    // credit 1/n is exact per conversion
+    "q_attribution_linear" -> ((s, d) =>
+      TimeSeries.attributionLinear(Tables(s, d, "events"))),
     // interval-union active time: 5-min activity holds merged by the
     // islands pattern — exact covered seconds per user
     "q_active_time" -> ((s, d) =>
@@ -2493,6 +2497,26 @@ object SparkEntry {
         |    THEN last_touch END AS touch_ts,
         |  COALESCE(last_touch >= ts - INTERVAL 24 HOUR, FALSE) AS attributed
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id AS touch_event_id, ts AS touch_ts
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, event_id AS conv_event_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.user_id, c.conv_event_id, t.touch_event_id
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.touch_ts <= c.conv_ts
+        |    AND t.touch_ts > c.conv_ts - INTERVAL 24 HOUR),
+        |cr AS (
+        |  SELECT user_id, touch_event_id,
+        |    1.0 / (count(*) OVER (PARTITION BY conv_event_id)) AS credit
+        |  FROM m)
+        |SELECT user_id, touch_event_id,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  round(sum(credit), 6) AS credit
+        |FROM cr GROUP BY 1, 2""".stripMargin,
     "q_active_time" ->
       """WITH pts AS (
         |  SELECT user_id, event_id,

@@ -418,6 +418,38 @@ object TimeSeries {
           .as("attributed"))
   }
 
+  /** LINEAR multi-touch attribution: every conversion splits one unit of
+    * credit equally across ALL its same-user touches inside the
+    * attribution window (the fairness complement to
+    * [[attributionLastTouch]]); the report is per-touch credit — which
+    * clicks actually drive conversions, not just which click was last.
+    *
+    * Shape: touches and conversions are two pushed-predicate slices of
+    * the same scan, joined on user_id (an EQUI join — the range is a
+    * residual predicate, never a join dimension), so fanout is bounded by
+    * touches-per-user-per-window. Credit 1/n is an exact integer ratio
+    * per conversion; per-touch credit sums round at the report edge. */
+  def attributionLinear(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click", window: String = "24 hours"): DataFrame = {
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_event_id"),
+        col("ts").as("touch_ts"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_event_id"),
+        col("ts").as("conv_ts"))
+    val matched = convs.join(touches, "user_id")
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr(s"interval $window"))
+    val credit = matched
+      .withColumn("n_touches", count(lit(1)).over(
+        Window.partitionBy(col("conv_event_id"))))
+      .select(col("user_id"), col("touch_event_id"),
+        (lit(1.0) / col("n_touches")).as("credit"))
+    credit.groupBy(col("user_id"), col("touch_event_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("credit")), 6).as("credit"))
+  }
+
   /** Interval-UNION active time per user: each event holds a
     * [t, t+holdSeconds) activity interval; overlapping/touching intervals
     * merge, and the report is (islands, total covered seconds) — the

@@ -228,6 +228,24 @@ class TimeSeriesSpec extends SparkSpec {
       (6L, None, false)), got.mkString(","))
   }
 
+  test("attributionLinear: credit splits equally across in-window touches and sums per touch") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "u1", "2024-01-02 10:00:00", "click"),
+      (2L, "u1", "2024-01-02 11:00:00", "click"),
+      (3L, "u1", "2024-01-02 12:00:00", "purchase"), // 0.5 to each click
+      (4L, "u1", "2024-01-02 13:00:00", "purchase"), // 0.5 to each click
+      (5L, "u2", "2024-01-01 00:00:00", "click"),
+      (6L, "u2", "2024-01-03 12:00:00", "purchase")  // expired -> no credit
+    ).toDF("event_id", "user_id", "tss", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("tss").cast("timestamp").as("ts"), col("event_type"))
+    val got = TimeSeries.attributionLinear(ev)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 1.0)), 2L -> ((2L, 1.0))), got.toString)
+  }
+
   test("activeTime: overlapping holds merge, touching holds merge, gaps split islands; coverage exact") {
     import spark.implicits._
     // u1: events at t=0, 100 (overlap), 300+100=400? — holds of 300s:
