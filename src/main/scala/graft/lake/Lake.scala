@@ -146,6 +146,21 @@ object Writers {
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
 
+  /** Idempotent partition BACKFILL: rewrite ONLY the partitions present
+    * in `df`, leaving every other partition's files untouched — the
+    * reprocess-one-day move on a date-partitioned 100 TB table. Plain
+    * `mode("overwrite")` would truncate the whole table; DYNAMIC
+    * partition-overwrite commits per touched partition, so a backfill is
+    * (a) bounded by the data it carries and (b) safely re-runnable — the
+    * same input always converges to the same partition contents. */
+  def backfillPartitions(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "backfill needs partition columns")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
+  }
+
   /** Small-file compaction — the maintenance job every streaming sink
     * needs: micro-batch appends leave thousands of KB-sized files whose
     * per-file open/footer overhead dominates scans. Rewrites `src` as

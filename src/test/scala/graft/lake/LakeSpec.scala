@@ -63,6 +63,34 @@ class LakeSpec extends SparkSpec {
       s"partition filter not applied:\n$scan")
   }
 
+  test("K1 dynamic backfill rewrites only the touched partition; others keep their files") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-backfill").toString
+    val df = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    Writers.parquet(df, s"$dir/ev", partitionBy = Seq("event_type"))
+    def files(p: String) = new java.io.File(s"$dir/ev/event_type=$p")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val clickBefore = files("click")
+    val viewBefore = files("view")
+    // backfill ONLY the view partition with doubled values
+    val patch = df.filter(col("event_type") === "view")
+      .withColumn("value", col("value") * 2)
+    Writers.backfillPartitions(patch, s"$dir/ev", Seq("event_type"))
+    assert(files("click") == clickBefore, "untouched partition must keep its files")
+    assert(files("view") != viewBefore, "backfilled partition must be rewritten")
+    val after = spark.read.parquet(s"$dir/ev")
+    assert(after.filter(col("event_type") === "view").agg(sum(col("value")))
+      .head.getDouble(0) ==
+      df.filter(col("event_type") === "view")
+        .agg(sum(col("value") * 2)).head.getDouble(0))
+    assert(after.count() == df.count(), "row count preserved across backfill")
+    // idempotence: re-running the same backfill converges
+    Writers.backfillPartitions(patch, s"$dir/ev", Seq("event_type"))
+    assert(spark.read.parquet(s"$dir/ev").count() == df.count())
+  }
+
   test("K1 range-sorted layout: disjoint per-file key intervals, sorted within files") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-range").toString
