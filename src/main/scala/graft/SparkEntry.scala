@@ -1224,6 +1224,10 @@ object SparkEntry {
     "q_k_anon" -> ((s, d) =>
       Privacy.kAnonymityCensus(Tables(s, d, "customer"),
         Seq("c_mktsegment", "c_nationkey"), k = 10)),
+    // l-diversity: uniform-group leak census over the same QI tuple
+    "q_l_diversity" -> ((s, d) =>
+      Privacy.lDiversityCensus(Tables(s, d, "customer"),
+        Seq("c_mktsegment"), "c_nationkey", minL = 5)),
     "q_k_anon_suppress" -> ((s, d) =>
       Privacy.kAnonymize(
         Tables(s, d, "customer")
@@ -3353,6 +3357,15 @@ object SparkEntry {
       """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n,
         |  count(*) < 10 AS at_risk
         |FROM customer GROUP BY c_mktsegment, c_nationkey""".stripMargin,
+    "q_l_diversity" ->
+      """WITH sub AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS nv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, CAST(sum(nv) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS l,
+        |  round(CAST(max(nv) AS DOUBLE) / sum(nv), 6) AS top_share,
+        |  count(*) < 5 AS at_risk
+        |FROM sub GROUP BY 1""".stripMargin,
     "q_k_anon_suppress" ->
       """SELECT c_custkey,
         |  CASE WHEN cnt >= 10 THEN c_mktsegment END AS c_mktsegment,

@@ -24,6 +24,26 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", col("n") < k)
 
+  /** l-diversity census: k-anonymity's blind spot is a UNIFORM group — 50
+    * people sharing one quasi-identifier tuple AND one sensitive value
+    * leak that value to anyone who can place a person in the group. Per
+    * QI group: population n, distinct sensitive values l, the top value's
+    * share, and `at_risk = l < minL`. Same one-aggregate shape as the
+    * k census (the top-share needs a (QI, value) sub-census first — both
+    * map-side combinable, both bounded by value cross products). */
+  def lDiversityCensus(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, minL: Int): DataFrame = {
+    val sub = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("nv"))
+    sub.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("nv")).as("n"),
+        count(lit(1)).as("l"),
+        max(col("nv")).as("top_n"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("l"),
+        round(col("top_n").cast("double") / col("n"), 6).as("top_share"),
+        (col("l") < minL).as("at_risk")): _*)
+  }
+
   /** Suppression: rows whose QI group holds fewer than `k` members get
     * every QI column nulled (cell suppression — the simplest
     * generalization step); all other columns pass through. The group size

@@ -81,4 +81,17 @@ class DriftPrivacySpec extends SparkSpec {
       .groupBy(col("c_mktsegment"), col("c_nationkey")).count()
     assert(sizes.filter(col("count") < 5).count() == 0)
   }
+
+  test("lDiversityCensus: uniform group flagged even when k-large; diverse group passes") {
+    import spark.implicits._
+    // group A: 4 people, ALL sensitive=x (k-anonymous at 4, l=1 leak);
+    // group B: 3 people, 3 distinct values
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "z")).toDF("qi", "sens")
+    val got = Privacy.lDiversityCensus(df, Seq("qi"), "sens", minL = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("A") == ((4L, 1L, 1.0, true)), got.toString)
+    assert(got("B") == ((3L, 3L, 0.333333, false)), got.toString)
+  }
 }
