@@ -944,6 +944,10 @@ object SparkEntry {
     // labels×dims before any pairing
     "q_centroid_sim" -> ((s, d) =>
       Similarity.centroidSimilarity(Tables(s, d, "embeddings"))),
+    // per-label medoid (exemplar nearest the centroid) — corpus shuffled
+    // once on label, deterministic (rounded cosine, vec_id) winner
+    "q_label_medoid" -> ((s, d) =>
+      Similarity.labelMedoids(Tables(s, d, "embeddings"))),
     // shape census: explicit two-pass central moments (builtin
     // skew/kurt bias variants disagree across engines)
     "q_moments" -> ((s, d) =>
@@ -3008,6 +3012,26 @@ object SparkEntry {
         |FROM dots
         |JOIN norms na ON dots.label_a = na.label
         |JOIN norms nb ON dots.label_b = nb.label""".stripMargin,
+    "q_label_medoid" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, CAST(s.dim AS INTEGER) AS dim,
+        |    CAST(s.x AS DOUBLE) AS x
+        |  FROM (
+        |    SELECT vec_id, label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        |    FROM embeddings)),
+        |cent AS (SELECT label, dim, round(avg(x), 4) AS m FROM x GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT vec_id, x.label,
+        |    round(sum(x.x * c.m)
+        |      / (sqrt(sum(x.x * x.x)) * sqrt(sum(c.m * c.m))), 6)
+        |      AS cos_to_centroid
+        |  FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
+        |  GROUP BY 1, 2)
+        |SELECT label, vec_id, cos_to_centroid
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY label
+        |  ORDER BY cos_to_centroid DESC, vec_id) = 1""".stripMargin,
     "q_moments" ->
       """WITH mu AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -424,6 +424,33 @@ object Similarity {
       })).as(Seq("dim", "code")))
   }
 
+  /** Per-label MEDOID: the corpus vector closest (by cosine) to its
+    * label's centroid — the exemplar a cluster-pruning or labeling pass
+    * keeps per group. The centroid relation is labels×dims (tiny,
+    * equi-joined back on label after a broadcast-sized reshape); each
+    * vector computes ONE dot/norm pair map-side and a per-label min
+    * window picks the winner on (rounded distance, vec_id) — fully
+    * deterministic, corpus shuffled once on label. */
+  def labelMedoids(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "dim", "x")
+    val cent = x.groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 4).as("m"))
+    val scored = x.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("m")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("nx"),
+        sqrt(sum(col("m") * col("m"))).as("nm"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (col("nx") * col("nm")), 6).as("cos_to_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_to_centroid").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("vec_id"), col("cos_to_centroid"))
+  }
+
   /** Pairwise cosine similarity between per-label embedding CENTROIDS —
     * "which sources/classes sit close in embedding space", the label-level
     * read on the corpus geometry (cluster drift, near-duplicate sources).

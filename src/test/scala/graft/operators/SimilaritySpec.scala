@@ -270,6 +270,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"ADC recall $recall")
   }
 
+  test("labelMedoids: the vector nearest its label centroid wins; ties break by vec_id") {
+    import spark.implicits._
+    // label 0: centroid (2, 0.5); cos(v1=(1,0)) = 0.9701 < cos(v2=(3,1))
+    // = 0.9971 -> v2 is the exemplar. label 1 is a singleton.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 1.0f), 0),
+      (3L, Seq(0.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelMedoids(emb)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 2L, 1 -> 3L), got.toString)
+    // exact tie (duplicate vectors): smaller vec_id wins
+    val tied = Seq((7L, Seq(1.0f, 0.0f), 0), (5L, Seq(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelMedoids(tied).collect()(0).getLong(1) == 5L)
+  }
+
   test("centroidSimilarity: aligned labels cosine 1, orthogonal labels cosine 0") {
     import spark.implicits._
     // labels 0/1 both along e1 (0 scaled 2x), label 2 along e2
