@@ -117,4 +117,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  test("last-touch attribution runs in ONE exchange (no probe join, no second shuffle)") {
+    val p = TimeSeries.attributionLastTouch(Tables(spark, sfDir, "events"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected a single user_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution must not join:\n$p")
+  }
+
+  test("association rules broadcast the frequent-item relation; baskets expand without a self-join") {
+    val p = plan(Affinity.associationRules(
+      Tables(spark, sfDir, "lineitem"), "l_orderkey", "l_partkey", 3))
+    assert(p.contains("BroadcastHashJoin"), s"frequent items not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair expansion must not need a sort-merge self-join:\n$p")
+  }
+
+  test("decayed trending ranks only the item census; the anchor is a broadcast attach") {
+    val p = plan(TimeSeries.decayedDemand(Tables(spark, sfDir, "lineitem")))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"anchor row not broadcast:\n$p")
+    // the rank window sorts AFTER the per-item aggregate, never the ledger
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"rank window missing:\n$p")
+  }
 }
