@@ -1307,6 +1307,13 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       Audit.calibrationByDecile(Tables(s, d, "orders"), "o_orderkey",
         "o_totalprice", col("o_orderstatus") === "F")),
+    // binning-free drift: exact two-sample KS over integer-ratio ECDFs,
+    // the only sort over DISTINCT values
+    "q_ks_drift" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      Drift.ksStatistic(o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"), "o_totalprice")
+    }),
     // metric stability: md5-bucket pseudo-replicas, subtract-mean-first
     // variance on rounded replica means
     "q_metric_stability" -> ((s, d) =>
@@ -3494,6 +3501,28 @@ object SparkEntry {
         |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
         |FROM e""".stripMargin,
+    "q_ks_drift" ->
+      """WITH u AS (
+        |  SELECT o_totalprice AS v, 1 AS ia, 0 AS ib FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_totalprice, 0, 1 FROM orders WHERE o_orderstatus = 'O'),
+        |c AS (
+        |  SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+        |    CAST(sum(ib) AS BIGINT) AS nb
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(sum(na) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS cb,
+        |    CAST(sum(na) OVER () AS BIGINT) AS ta,
+        |    CAST(sum(nb) OVER () AS BIGINT) AS tb
+        |  FROM c
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT max(ta) AS n_a, max(tb) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+        |    AS ks
+        |FROM r""".stripMargin,
     "q_window_stats" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  round(percent_rank() OVER bp, 6) AS pct_rank,

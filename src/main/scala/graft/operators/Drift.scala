@@ -101,4 +101,30 @@ object Drift {
         round(side(col("p_base"), col("m")) + side(col("p_cur"), col("m")), 6))
       .drop("m")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the binning-free drift
+    * test (PSI/JS depend on a bin width; KS is the sup-distance between
+    * the two EXACT empirical CDFs, sensitive to any shape change). The
+    * sup over a step function is attained at an observed value, so:
+    * per-value two-sided census (map-side combined), ONE ordered window
+    * for both running sums, max |F_a − F_b| over integer-ratio ECDFs —
+    * engine-exact. The only sort is over DISTINCT values. */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val census = a.select(col(valueCol).as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(
+        b.select(col(valueCol).as("v"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    census
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("ta", sum(col("na")).over(all))
+      .withColumn("tb", sum(col("nb")).over(all))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        round(max(abs(col("ca").cast("double") / col("ta") -
+          col("cb").cast("double") / col("tb"))), 6).as("ks"))
+  }
 }

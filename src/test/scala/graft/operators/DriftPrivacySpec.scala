@@ -94,4 +94,18 @@ class DriftPrivacySpec extends SparkSpec {
     assert(got("A") == ((4L, 1L, 1.0, true)), got.toString)
     assert(got("B") == ((3L, 3L, 0.333333, false)), got.toString)
   }
+
+  test("ksStatistic: identical samples give 0, disjoint ranges give 1, hand case exact") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    assert(Drift.ksStatistic(a, a, "v").collect()(0).getDouble(2) == 0.0)
+    val b = Seq(10.0, 11.0).toDF("v")
+    val dis = Drift.ksStatistic(a, b, "v").collect()(0)
+    assert((dis.getLong(0), dis.getLong(1), dis.getDouble(2)) == ((3L, 2L, 1.0)))
+    // a = {1,2}, b = {2,4}: ECDFs at 1: 0.5 vs 0 -> 0.5; at 2: 1 vs 0.5
+    // -> 0.5; at 4: 1 vs 1 -> 0. KS = 0.5
+    val h = Drift.ksStatistic(Seq(1.0, 2.0).toDF("v"),
+      Seq(2.0, 4.0).toDF("v"), "v").collect()(0)
+    assert(h.getDouble(2) == 0.5, h.toString)
+  }
 }
