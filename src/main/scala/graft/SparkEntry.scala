@@ -1298,6 +1298,11 @@ object SparkEntry {
     "q_chi2_indep" -> ((s, d) =>
       Audit.chiSquareIndependence(Tables(s, d, "lineitem"),
         "l_returnflag", "l_linestatus")),
+    // per-cell mutual information — observed cells only (0 ln 0 = 0),
+    // marginals as window sums over the cell relation
+    "q_mutual_info" -> ((s, d) =>
+      Audit.mutualInformation(Tables(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")),
     // column entropy/top-share profile — all columns in ONE stacked scan
     "q_entropy_profile" -> ((s, d) =>
       Audit.entropyProfile(Tables(s, d, "lineitem"),
@@ -3597,6 +3602,23 @@ object SparkEntry {
         |  round(exp_raw, 4) AS expected,
         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
         |FROM e""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS row_tot,
+        |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT)
+        |      AS col_tot,
+        |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
+        |  FROM cells)
+        |SELECT l_returnflag, l_linestatus, n_obs,
+        |  round((n_obs / CAST(n AS DOUBLE)) *
+        |    ln((CAST(n_obs AS DOUBLE) * n)
+        |      / (CAST(row_tot AS DOUBLE) * col_tot)), 6) AS mi_contrib
+        |FROM m""".stripMargin,
     "q_entropy_profile" ->
       """WITH s AS (
         |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value

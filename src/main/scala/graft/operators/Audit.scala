@@ -177,6 +177,26 @@ object Audit {
         / col("exp_raw"), 6).as("chi2_part"))
   }
 
+  /** Mutual information between two categorical columns, decomposed per
+    * cell: MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) — the feature-relevance
+    * read χ² doesn't give (χ² asks "dependent at all?", MI measures HOW
+    * MANY NATS the columns share). Empty cells contribute exactly 0
+    * (lim p→0 of p·ln p), so unlike [[chiSquareIndependence]] no grid is
+    * needed — one observed-cell census + marginal window sums. Products
+    * go through DOUBLE before multiplying (the 10¹²-row overflow rule).
+    * Sum `mi_contrib` for the total; every term is a single ln on an
+    * integer-derived ratio, identical in both engines. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame =
+    df.groupBy(col(colA), col(colB)).agg(count(lit(1)).as("n_obs"))
+      .withColumn("row_tot", sum(col("n_obs")).over(Window.partitionBy(col(colA))))
+      .withColumn("col_tot", sum(col("n_obs")).over(Window.partitionBy(col(colB))))
+      .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+      .select(col(colA), col(colB), col("n_obs"),
+        round((col("n_obs") / col("n").cast("double")) *
+          log((col("n_obs").cast("double") * col("n")) /
+            (col("row_tot").cast("double") * col("col_tot"))), 6)
+          .as("mi_contrib"))
+
   /** Column-entropy profile: per categorical column, distinct-value
     * count, Shannon entropy in bits, and the top value's share — the
     * "is this column a constant / an id / a balanced enum?" profiling

@@ -192,4 +192,18 @@ class AuditSpec extends SparkSpec {
     val e1 = rows.find(_.getInt(0) == 1).get.getDouble(3)
     assert(math.abs(e1 - 9 * math.log10(2.0)) < 1e-3, e1.toString)
   }
+
+  test("mutualInformation: independent columns share 0 nats; diagonal shares H = ln 2") {
+    import spark.implicits._
+    val ind = (Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))).toDF("u", "v")
+    val miInd = Audit.mutualInformation(ind, "u", "v")
+      .agg(sum(col("mi_contrib"))).collect()(0).getDouble(0)
+    assert(miInd == 0.0, miInd.toString)
+    // perfect diagonal dependence on a balanced binary pair: MI = ln 2
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "v")
+    val miDep = Audit.mutualInformation(dep, "u", "v")
+      .agg(sum(col("mi_contrib"))).collect()(0).getDouble(0)
+    assert(math.abs(miDep - math.log(2.0)) < 1e-5, miDep.toString)
+  }
 }
