@@ -1146,6 +1146,11 @@ object SparkEntry {
         Tables(s, d, "lineitem")
           .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
         "l_quantity", "l_discount", "l_extendedprice")),
+    // k-fold CV regression in TWO passes: additive centered sums, each
+    // fold trained on complement sums (total - fold), no per-fold rescan
+    "q_cv_coeffs" -> ((s, d) =>
+      graft.ml.Regression.cvCoeffs(Tables(s, d, "lineitem"),
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice")),
     // exact tie-corrected ROC-AUC — integer U statistic, the ordered
     // window runs over DISTINCT scores only
     "q_auc" -> ((s, d) =>
@@ -3210,6 +3215,55 @@ object SparkEntry {
          |        AS fold, n_chars
          |      FROM documents)
          |GROUP BY fold""".stripMargin,
+    "q_cv_coeffs" -> {
+      def cm(t: String, f: String, ta: String, fa: String,
+          tb: String, fb: String) =
+        s"($t - $f) / np - (($ta - $fa) / np) * (($tb - $fb) / np)"
+      val v1 = cm("t11", "s11", "t1", "s1", "t1", "s1")
+      val v2 = cm("t22", "s22", "t2", "s2", "t2", "s2")
+      val c12 = cm("t12", "s12", "t1", "s1", "t2", "s2")
+      val c1y = cm("t1y", "s1y", "t1", "s1", "ty", "sy")
+      val c2y = cm("t2y", "s2y", "t2", "s2", "ty", "sy")
+      val det = s"(($v1) * ($v2) - ($c12) * ($c12))"
+      val b1 = s"((($c1y) * ($v2) - ($c2y) * ($c12)) / $det)"
+      val b2 = s"((($c2y) * ($v1) - ($c1y) * ($c12)) / $det)"
+      val b0 = s"((ty - sy) / np - $b1 * ((t1 - s1) / np) - $b2 * ((t2 - s2) / np))"
+      s"""WITH d0 AS (
+         |  SELECT l_orderkey AS id, CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2,
+         |    CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |g AS (
+         |  SELECT round(avg(x1), 4) AS gm1, round(avg(x2), 4) AS gm2,
+         |    round(avg(y), 4) AS gmy
+         |  FROM d0),
+         |cc AS (
+         |  SELECT CAST((${md5BucketSqlOf("id")}) % 5 AS INTEGER) AS fold,
+         |    x1 - gm1 AS a, x2 - gm2 AS b, y - gmy AS z
+         |  FROM d0 CROSS JOIN g),
+         |per AS (
+         |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         |    sum(a) AS s1, sum(b) AS s2, sum(z) AS sy,
+         |    sum(a * a) AS s11, sum(b * b) AS s22, sum(a * b) AS s12,
+         |    sum(a * z) AS s1y, sum(b * z) AS s2y
+         |  FROM cc GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS t1,
+         |    sum(s2) AS t2, sum(sy) AS ty, sum(s11) AS t11,
+         |    sum(s22) AS t22, sum(s12) AS t12, sum(s1y) AS t1y,
+         |    sum(s2y) AS t2y
+         |  FROM per),
+         |j AS (
+         |  SELECT per.*, tot.*, g.*, CAST(tn - n AS DOUBLE) AS np
+         |  FROM per CROSS JOIN tot CROSS JOIN g)
+         |SELECT fold, tn - n AS n_train,
+         |  round($b1, 4) AS b1,
+         |  round($b2, 4) AS b2,
+         |  round($b0 + gmy - $b1 * gm1 - $b2 * gm2, 4) AS b0
+         |FROM j""".stripMargin
+    },
     "q_pr_curve" ->
       """WITH c AS (
         |  SELECT o_totalprice AS s,

@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ML surface from the reference's third notebook
@@ -60,6 +60,58 @@ object Regression {
       .select(col("n"),
         round(b1, 4).as("b1"), round(b2, 4).as("b2"),
         round(col("my") - b1 * col("m1") - b2 * col("m2"), 4).as("b0"))
+  }
+
+  /** K-fold cross-validated [[closedFormCoeffs]] WITHOUT k training
+    * scans: per-fold raw sums of GLOBALLY-CENTERED features are additive,
+    * so each fold's train-side statistics are just total − fold
+    * (complement sums), and all k models come out of TWO passes over the
+    * data (one tiny means pre-agg + one sums aggregate) + arithmetic on
+    * the k-row relation. Centering by the (rounded) global means keeps
+    * the moment arithmetic cancellation-free — fold means of centered
+    * values sit near 0, so covariance terms never subtract two large
+    * nearly-equal numbers. Folds assign by md5(id) — the engine-wide
+    * deterministic base. Output: one row per held-out fold with the
+    * complement-trained coefficients. */
+  def cvCoeffs(df: DataFrame, idCol: String, x1: String, x2: String,
+      labelCol: String, k: Int = 5): DataFrame = {
+    val d0 = df.na.drop(Seq(x1, x2, labelCol)).select(
+      col(idCol).as("id"), col(x1).cast("double").as("x1"),
+      col(x2).cast("double").as("x2"), col(labelCol).cast("double").as("y"))
+    val g = d0.agg(round(avg(col("x1")), 4).as("gm1"),
+      round(avg(col("x2")), 4).as("gm2"), round(avg(col("y")), 4).as("gmy"))
+    val c = graft.operators.Sampling.kfoldAssign(d0, "id", k)
+      .crossJoin(broadcast(g))
+      .select(col("fold"), (col("x1") - col("gm1")).as("a"),
+        (col("x2") - col("gm2")).as("b"), (col("y") - col("gmy")).as("z"))
+    val per = c.groupBy(col("fold")).agg(count(lit(1)).as("n"),
+      sum(col("a")).as("s1"), sum(col("b")).as("s2"), sum(col("z")).as("sy"),
+      sum(col("a") * col("a")).as("s11"), sum(col("b") * col("b")).as("s22"),
+      sum(col("a") * col("b")).as("s12"), sum(col("a") * col("z")).as("s1y"),
+      sum(col("b") * col("z")).as("s2y"))
+    val tot = per.agg(sum(col("n")).as("tn"), sum(col("s1")).as("t1"),
+      sum(col("s2")).as("t2"), sum(col("sy")).as("ty"),
+      sum(col("s11")).as("t11"), sum(col("s22")).as("t22"),
+      sum(col("s12")).as("t12"), sum(col("s1y")).as("t1y"),
+      sum(col("s2y")).as("t2y"))
+    val np = (col("tn") - col("n")).cast("double")
+    def cm(tot: Column, f: Column, totA: Column, fA: Column,
+        totB: Column, fB: Column): Column =
+      (tot - f) / np - ((totA - fA) / np) * ((totB - fB) / np)
+    val v1 = cm(col("t11"), col("s11"), col("t1"), col("s1"), col("t1"), col("s1"))
+    val v2 = cm(col("t22"), col("s22"), col("t2"), col("s2"), col("t2"), col("s2"))
+    val c12 = cm(col("t12"), col("s12"), col("t1"), col("s1"), col("t2"), col("s2"))
+    val c1y = cm(col("t1y"), col("s1y"), col("t1"), col("s1"), col("ty"), col("sy"))
+    val c2y = cm(col("t2y"), col("s2y"), col("t2"), col("s2"), col("ty"), col("sy"))
+    val det = v1 * v2 - c12 * c12
+    val b1 = (c1y * v2 - c2y * c12) / det
+    val b2 = (c2y * v1 - c1y * c12) / det
+    val b0c = (col("ty") - col("sy")) / np - b1 * ((col("t1") - col("s1")) / np) -
+      b2 * ((col("t2") - col("s2")) / np)
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(g))
+      .select(col("fold"), (col("tn") - col("n")).as("n_train"),
+        round(b1, 4).as("b1"), round(b2, 4).as("b2"),
+        round(b0c + col("gmy") - b1 * col("gm1") - b2 * col("gm2"), 4).as("b0"))
   }
 
   /** M2-M4: seeded split, fit, predict, evaluate. */

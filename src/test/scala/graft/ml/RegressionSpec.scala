@@ -55,4 +55,26 @@ class RegressionSpec extends SparkSpec {
     assert(!r1.mae.isNaN && !r1.mse.isNaN && r1.mae >= 0 && r1.mse >= 0)
     assert(r1.predictions.columns.contains("prediction"))  // pyspark-3.ipynb:270
   }
+
+  test("cvCoeffs: complement-sum coefficients match a direct fit on each fold's complement") {
+    import org.apache.spark.sql.functions._
+    val li = graft.lake.Tables(spark, sfDir, "lineitem")
+    val cv = Regression.cvCoeffs(li, "l_orderkey",
+      "l_quantity", "l_discount", "l_extendedprice")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(cv.size == 5, cv.keySet.toString)
+    cv.foreach { case (fold, (nTrain, b1, b2, b0)) =>
+      val direct = Regression.closedFormCoeffs(
+        graft.operators.Sampling.kfoldAssign(li, "l_orderkey", 5)
+          .filter(col("fold") =!= fold),
+        "l_quantity", "l_discount", "l_extendedprice").collect()(0)
+      assert(direct.getLong(0) == nTrain, s"fold $fold n")
+      // two numerically different formulations of the same normal
+      // equations — agree to ~the rounding grid
+      assert(math.abs(direct.getDouble(1) - b1) < 5e-4, s"fold $fold b1")
+      assert(math.abs(direct.getDouble(2) - b2) < 5e-4, s"fold $fold b2")
+      assert(math.abs(direct.getDouble(3) - b0) < 5e-3, s"fold $fold b0")
+    }
+  }
 }
