@@ -1303,6 +1303,10 @@ object SparkEntry {
     "q_chi2_indep" -> ((s, d) =>
       Audit.chiSquareIndependence(Tables(s, d, "lineitem"),
         "l_returnflag", "l_linestatus")),
+    // one-row effect size: Cramér's V from the chi2 cell relation
+    "q_cramers_v" -> ((s, d) =>
+      Audit.cramersV(Tables(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")),
     // per-cell mutual information — observed cells only (0 ln 0 = 0),
     // marginals as window sums over the cell relation
     "q_mutual_info" -> ((s, d) =>
@@ -3631,31 +3635,28 @@ object SparkEntry {
         |  CAST(max(difficulty) AS INTEGER) AS d_max
         |FROM s GROUP BY 1""".stripMargin,
     "q_chi2_indep" ->
-      """WITH counts AS (
-        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cell_n
-        |  FROM lineitem GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT a.l_returnflag, b.l_linestatus
-        |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
-        |  CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b),
-        |cells AS (
-        |  SELECT g.l_returnflag, g.l_linestatus,
-        |    COALESCE(c.cell_n, 0) AS n_obs
-        |  FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)),
-        |m AS (
-        |  SELECT *,
-        |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
-        |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
-        |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
-        |  FROM cells),
-        |e AS (
-        |  SELECT l_returnflag, l_linestatus, n_obs,
-        |    CAST(row_tot AS DOUBLE) * col_tot / n AS exp_raw
-        |  FROM m)
-        |SELECT l_returnflag, l_linestatus, n_obs,
-        |  round(exp_raw, 4) AS expected,
-        |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
-        |FROM e""".stripMargin,
+      s"""$chi2CellsSql
+         |SELECT l_returnflag, l_linestatus, n_obs,
+         |  round(exp_raw, 4) AS expected,
+         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
+         |FROM e""".stripMargin,
+    "q_cramers_v" ->
+      s"""$chi2CellsSql,
+         |parts AS (
+         |  SELECT l_returnflag, l_linestatus, n_obs,
+         |    round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6)
+         |      AS chi2_part
+         |  FROM e),
+         |sm AS (
+         |  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+         |    round(sum(chi2_part), 6) AS chi2,
+         |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r,
+         |    CAST(count(DISTINCT l_linestatus) AS BIGINT) AS c
+         |  FROM parts)
+         |SELECT n, chi2,
+         |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
+         |    AS cramers_v
+         |FROM sm""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs
@@ -4318,6 +4319,32 @@ object SparkEntry {
       |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
       |        s.label) AS rnk
       |  FROM scored s JOIN priors p USING (label))""".stripMargin
+
+  /** The χ² cell chain (full A×B grid, marginal window sums, raw expected
+    * counts) as CTEs ending in `e` — shared by the per-cell report and
+    * the Cramér's V summary. Mirrors Audit.chiSquareIndependence. */
+  private def chi2CellsSql: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cell_n
+      |  FROM lineitem GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT a.l_returnflag, b.l_linestatus
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
+      |  CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b),
+      |cells AS (
+      |  SELECT g.l_returnflag, g.l_linestatus,
+      |    COALESCE(c.cell_n, 0) AS n_obs
+      |  FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)),
+      |m AS (
+      |  SELECT *,
+      |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
+      |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
+      |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |e AS (
+      |  SELECT l_returnflag, l_linestatus, n_obs,
+      |    CAST(row_tot AS DOUBLE) * col_tot / n AS exp_raw
+      |  FROM m)""".stripMargin
 
   /** The skip-gram term graph (window 3, pair count >= 50) as CTEs ending
     * in `sym` (both directions, self-loops dropped) — the edge relation

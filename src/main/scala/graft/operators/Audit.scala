@@ -177,6 +177,22 @@ object Audit {
         / col("exp_raw"), 6).as("chi2_part"))
   }
 
+  /** One-row χ² summary with Cramér's V — the EFFECT SIZE the raw χ²
+    * statistic hides (χ² grows with n; V = sqrt(χ²/(n·(min(r,c)−1))) is
+    * the 0..1 association strength comparable across table sizes).
+    * Composes [[chiSquareIndependence]]'s cell relation; everything here
+    * runs on |A|·|B| rows. */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame =
+    chiSquareIndependence(df, colA, colB)
+      .agg(sum(col("n_obs")).as("n"),
+        round(sum(col("chi2_part")), 6).as("chi2"),
+        count_distinct(col(colA)).as("r"),
+        count_distinct(col(colB)).as("c"))
+      .select(col("n"), col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * (least(col("r"), col("c")) - 1)).cast("double")), 6)
+          .as("cramers_v"))
+
   /** Mutual information between two categorical columns, decomposed per
     * cell: MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) — the feature-relevance
     * read χ² doesn't give (χ² asks "dependent at all?", MI measures HOW

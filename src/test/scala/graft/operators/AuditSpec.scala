@@ -206,4 +206,15 @@ class AuditSpec extends SparkSpec {
       .agg(sum(col("mi_contrib"))).collect()(0).getDouble(0)
     assert(math.abs(miDep - math.log(2.0)) < 1e-5, miDep.toString)
   }
+
+  test("cramersV: perfect diagonal association gives V = 1; independence gives 0") {
+    import spark.implicits._
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("u", "v")
+    val r = Audit.cramersV(dep, "u", "v").collect()(0)
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) == ((4L, 4.0, 1.0)),
+      r.toString)
+    val ind = (Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("a", "y")) ++
+      Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))).toDF("u", "v")
+    assert(Audit.cramersV(ind, "u", "v").collect()(0).getDouble(2) == 0.0)
+  }
 }
