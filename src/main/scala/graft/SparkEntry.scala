@@ -903,6 +903,31 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
     "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
+    // tier-agreement census: which near-dup pairs do the exact (star
+    // form), Jaccard-verified MinHash and SimHash tiers each find — the
+    // tuning read for picking a dedup strategy; all three pair sets are
+    // LSH/banded (never all-pairs) and the flags come from three
+    // fanout-free left joins over the distinct pair union
+    "q_dedup_agreement" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val ex = Tables(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .withColumn("rep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      val mh = Dedup.ngramJaccardPairs(s, d, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val sh = Dedup.simhashNearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      ex.unionByName(mh).unionByName(sh).distinct()
+        .join(ex.withColumn("fe", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .join(mh.withColumn("fm", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .join(sh.withColumn("fs", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("fe").isNotNull.as("in_exact"),
+          col("fm").isNotNull.as("in_minhash"),
+          col("fs").isNotNull.as("in_simhash"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
     // the wide banding config (8 bands x 2 rows over the SAME signatures):
     // Pr[candidate] ≈ 0.90 at j=0.5 vs 0.23 for the default 4x4 — the
     // documented recall/cost knob for corpora needing moderate-similarity
@@ -3005,6 +3030,32 @@ object SparkEntry {
          |SELECT doc_id, simhash AS phash FROM sigs""".stripMargin,
     "q_mm_phash_pairs" -> bandedHammingPairsSql(phashCoreSql),
     "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_agreement" ->
+      s"""WITH ex AS (
+         |  SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a,
+         |    doc_id AS doc_b
+         |  FROM (
+         |    SELECT doc_id,
+         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |    FROM documents)
+         |  QUALIFY doc_id <> min(doc_id) OVER (PARTITION BY fp)),
+         |mh AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
+         |sh AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
+         |u AS (
+         |  SELECT doc_a, doc_b FROM ex
+         |  UNION SELECT doc_a, doc_b FROM mh
+         |  UNION SELECT doc_a, doc_b FROM sh),
+         |f AS (
+         |  SELECT (e.doc_a IS NOT NULL) AS in_exact,
+         |    (m.doc_a IS NOT NULL) AS in_minhash,
+         |    (s2.doc_a IS NOT NULL) AS in_simhash
+         |  FROM u
+         |  LEFT JOIN ex e ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
+         |  LEFT JOIN mh m ON u.doc_a = m.doc_a AND u.doc_b = m.doc_b
+         |  LEFT JOIN sh s2 ON u.doc_a = s2.doc_a AND u.doc_b = s2.doc_b)
+         |SELECT in_exact, in_minhash, in_simhash,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
     "q_dedup_jaccard_wide" -> jaccardSql(8),
     "q_dedup_containment" -> containmentSql(8, 0.6),
     "q_dedup_containment_lsh" ->
