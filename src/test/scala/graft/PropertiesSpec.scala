@@ -187,4 +187,46 @@ class PropertiesSpec extends SparkSpec {
       got == brute
     }, minTests = 20)
   }
+
+  test("ksStatistic: census formulation equals brute-force ECDF sup for all inputs") {
+    import spark.implicits._
+    val pair = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0, 8)),
+      Gen.nonEmptyListOf(Gen.choose(0, 8)))
+    check(Prop.forAll(pair) { case (la, lb) =>
+      val got = graft.operators.Drift.ksStatistic(
+        la.map(_.toDouble).toDF("v"), lb.map(_.toDouble).toDF("v"), "v")
+        .collect()(0).getDouble(2)
+      val vals = (la ++ lb).distinct.sorted
+      val brute = vals.map { t =>
+        math.abs(la.count(_ <= t).toDouble / la.size -
+          lb.count(_ <= t).toDouble / lb.size)
+      }.max
+      got == BigDecimal(brute).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }, minTests = 20)
+  }
+
+  test("associationRules: pair supports equal brute-force basket intersection counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val baskets = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 6L), Gen.choose(0, 4).map(i => s"i$i")))
+    check(Prop.forAll(baskets) { rows =>
+      val df = rows.toDF("basket", "item")
+      val got = graft.operators.Affinity
+        .associationRules(df, "basket", "item", 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val sets = rows.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val items = rows.map(_._2).distinct.sorted
+      val brute = (for {
+        a <- items; b <- items if a < b
+        supp = sets.count { case (_, s) => s(a) && s(b) }
+        if supp >= 2
+        sa = sets.count(_._2(a)); sb = sets.count(_._2(b))
+        if sa >= 2 && sb >= 2
+      } yield (a, b) -> supp.toLong).toMap
+      got == brute
+    }, minTests = 20)
+  }
 }
