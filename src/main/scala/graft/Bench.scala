@@ -39,7 +39,14 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
-        } finally spark.catalog.clearCache()
+        } finally {
+          spark.catalog.clearCache()
+          // clearCache drops only catalog-cached relations; localCheckpoint
+          // blocks (containment/CC queries) linger in the block manager
+          // until ContextCleaner GC — drop them so no query's working set
+          // taxes its successors' memory.
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       }
       name -> times
     }
