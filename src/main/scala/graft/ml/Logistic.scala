@@ -29,8 +29,15 @@ object Logistic {
     val aggs = cols.flatMap(c => Seq(round(avg(col(c)), 4).as(s"mu_$c"),
       round(stddev_pop(col(c)), 4).as(s"sd_$c")))
     val moments = df.agg(aggs.head, aggs.tail: _*)
+    // A zero (or rounding-to-zero) stddev would z-score to null and
+    // propagate silently into null gradients/coefficients downstream —
+    // bad data should name itself (the resampleGapfill convention).
     val z = cols.map(c =>
-      ((col(c) - col(s"mu_$c")) / col(s"sd_$c")).as(s"z_$c"))
+      ((col(c) - col(s"mu_$c")) /
+        when(col(s"sd_$c") > 0, col(s"sd_$c"))
+          .otherwise(raise_error(lit(
+            s"standardized: feature '$c' has (near-)zero variance — " +
+              "drop it or rescale before fitting")))).as(s"z_$c"))
     df.crossJoin(broadcast(moments))
       .select(df.columns.map(col).toSeq ++ z: _*)
   }

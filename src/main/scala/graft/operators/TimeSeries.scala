@@ -41,12 +41,26 @@ object TimeSeries {
         window(col("ts"), bucket).getField("start").as("bucket_start"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
+    gapfillTail(counts, typeCol, bucket, maxBuckets)
+  }
+
+  /** The guarded grid/zero-fill tail over a folded (typeCol, bucket_start,
+    * n_events, total_value) census — shared by [[resampleGapfill]] and the
+    * streaming twin's serve path so both carry the same poison guard.
+    * Bucket width in seconds is taken as a DIFFERENCE of two session-TZ
+    * casts, so the TZ offset cancels and the guard holds under any session
+    * time zone (the anchor sits in early January, so no DST transition
+    * falls inside any sane bucket span). */
+  private[graft] def gapfillTail(counts: DataFrame, typeCol: String,
+      bucket: String, maxBuckets: Int): DataFrame = {
+    val bucketSecs = expr(
+      s"CAST(TIMESTAMP '2000-01-03 00:00:00' + INTERVAL $bucket AS LONG)" +
+        " - CAST(TIMESTAMP '2000-01-03 00:00:00' AS LONG)")
     val grid = counts.groupBy(col(typeCol))
       .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
       .withColumn("hi", when(
         col("hi").cast("long") - col("lo").cast("long") >
-          lit(maxBuckets.toLong) *
-            expr(s"CAST(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $bucket AS LONG)"),
+          lit(maxBuckets.toLong) * bucketSecs,
         raise_error(concat(lit(s"resampleGapfill: [lo, hi] span for type '"),
           col(typeCol), lit(s"' exceeds $maxBuckets buckets — poisoned timestamp?"))))
         .otherwise(col("hi")))
@@ -267,12 +281,17 @@ object TimeSeries {
     val weights = (0 to k).map(j => BigDecimal(decay).pow(j))
     val lags = (0 to k).map(j =>
       if (j == 0) col("value") else lag(col("value"), j).over(w))
-    val num = weights.zip(lags).map { case (wj, xj) =>
-      if (wj == weights.head) xj * lit(1.0)
+    // branch on POSITION, not weight value: at decay = 1.0 every weight
+    // equals the head's, and a value comparison would route null lags
+    // (series head) into the unguarded current-row branch.
+    val num = (0 to k).map { j =>
+      val (wj, xj) = (weights(j), lags(j))
+      if (j == 0) xj * lit(1.0)
       else when(xj.isNull, lit(0.0)).otherwise(xj * lit(wj.toDouble))
     }.reduceLeft(_ + _)
-    val den = weights.zip(lags).map { case (wj, xj) =>
-      if (wj == weights.head) lit(1.0)
+    val den = (0 to k).map { j =>
+      val (wj, xj) = (weights(j), lags(j))
+      if (j == 0) lit(1.0)
       else when(xj.isNull, lit(0.0)).otherwise(lit(wj.toDouble))
     }.reduceLeft(_ + _)
     events.select(col("user_id"), col("event_id"), col("value"),

@@ -17,18 +17,22 @@ import graft.operators.TimeSeries
   * span-census pattern: history is never rescanned or rewritten, executor
   * memory is O(buckets in the micro-batch), and a bucket split across
   * many micro-batches is simply several partial rows that fold at serve
-  * time. Unlike the sketch tier a replayed batch WOULD double-count —
-  * additive rows are not idempotent — so exactly-once here comes from the
-  * checkpointed foreachBatch epoch, the same contract the span census
-  * documents. Downstream, [[TimeSeries.anomalyZscore]]'s window math runs
-  * unchanged over the served series. */
+  * time. Additive rows are not idempotent and foreachBatch is
+  * AT-LEAST-once, so each partial carries its foreachBatch `batch_id` and
+  * serve() collapses replays with a (batch_id, event_type, bucket_start)
+  * dedup before folding — the [[StreamingTrending]] delivery contract.
+  * Downstream, [[TimeSeries.anomalyZscore]]'s window math runs unchanged
+  * over the served series. */
 object StreamingResample {
 
-  /** One micro-batch's additive census partials. */
-  private def partialsOf(batch: DataFrame, bucket: String): DataFrame =
+  /** One micro-batch's additive census partials, stamped with the
+    * foreachBatch epoch so replays are collapsible at serve time. */
+  private def partialsOf(batch: DataFrame, batchId: Long,
+      bucket: String): DataFrame =
     batch.groupBy(col("event_type"),
         window(col("ts"), bucket).getField("start").as("bucket_start"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .withColumn("batch_id", lit(batchId))
 
   /** Start the ingest: append each micro-batch's partial rows to
     * `censusPath`. `incoming` must carry (event_type, ts, value). */
@@ -36,30 +40,25 @@ object StreamingResample {
       bucket: String = "1 hour",
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = incoming.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        partialsOf(batch, bucket).write.mode("append").parquet(censusPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        partialsOf(batch, batchId, bucket).write.mode("append").parquet(censusPath)
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   /** Serve the gap-filled series from the census — row-identical to
-    * [[TimeSeries.resampleGapfill]] over the full ingested history. Folds
-    * the (buckets-bounded) partials, then the same grid/zero-fill tail. */
+    * [[TimeSeries.resampleGapfill]] over the full ingested history: drops
+    * replayed partials, folds the (buckets-bounded) remainder, then runs
+    * the SAME guarded grid/zero-fill tail as the batch operator (shared
+    * code, so the poison-timestamp maxBuckets guard applies here too). */
   def serve(spark: SparkSession, censusPath: String,
-      bucket: String = "1 hour"): DataFrame = {
+      bucket: String = "1 hour", maxBuckets: Int = 1000000): DataFrame = {
     val counts = spark.read.parquet(censusPath)
+      .dropDuplicates("batch_id", "event_type", "bucket_start")
       .groupBy(col("event_type"), col("bucket_start"))
       .agg(sum(col("n")).as("n_events"),
         round(sum(col("sum_value")), 2).as("total_value"))
-    val grid = counts.groupBy(col("event_type"))
-      .agg(min(col("bucket_start")).as("lo"), max(col("bucket_start")).as("hi"))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"), expr(s"interval $bucket")))
-          .as("bucket_start"))
-    grid.join(counts, Seq("event_type", "bucket_start"), "left")
-      .select(col("event_type"), col("bucket_start"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+    TimeSeries.gapfillTail(counts, "event_type", bucket, maxBuckets)
   }
 }

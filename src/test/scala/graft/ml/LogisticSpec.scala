@@ -55,6 +55,17 @@ class LogisticSpec extends SparkSpec {
     assert(got(1.0) == ((2L, 2L, 0.5, 1.0)))
   }
 
+  test("fitGd: a zero-variance feature fails loudly, not as null coefficients") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (7.0, i % 2 == 0)).toDF("a", "y")
+    val e = intercept[Exception] {
+      Logistic.fitGd(df, Seq("a"), col("y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zero variance")), e.getMessage)
+  }
+
   test("fitGd: deterministic across partitioning (rounded gradients cannot drift)") {
     import spark.implicits._
     val df = (1 to 500).map(i =>

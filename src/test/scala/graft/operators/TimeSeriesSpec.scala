@@ -154,6 +154,14 @@ class TimeSeriesSpec extends SparkSpec {
     // e1 = 1; e2 = (2 + 0.7)/(1.7); e3 = (3 + 1.4 + 0.49)/2.19
     assert(got == Map(1L -> 1.0, 2L -> 1.588235, 3L -> 2.232877,
       4L -> 5.0), got.toString)
+
+    // decay = 1.0 degenerates every weight to the head's value — the
+    // current-row term must still be identified by POSITION, so series
+    // heads renormalize (running mean) instead of going null
+    val flat = TimeSeries.ewmaSmooth(ev, decay = "1.0")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(flat == Map(1L -> 1.0, 2L -> 1.5, 3L -> 2.0, 4L -> 5.0),
+      flat.toString)
   }
 
   test("decayedDemand: halflife decay exact at power-of-two ages; rank by decayed score") {

@@ -46,5 +46,13 @@ class StreamingResampleSpec extends SparkSpec {
     val partials = spark.read.parquet(path)
       .groupBy("event_type", "bucket_start").count().filter(col("count") > 1)
     assert(partials.count() > 0, "fixture split produced no split buckets")
+
+    // foreachBatch is at-least-once: replay batch 0's partials verbatim
+    // (same batch_id) — serve must collapse them, not double-count
+    val replay = spark.read.parquet(path).filter(col("batch_id") === 0)
+    replay.write.mode("append").parquet(path)
+    val servedAfterReplay =
+      StreamingResample.serve(spark, path).collect().map(key).toSet
+    assert(servedAfterReplay == batch, "replayed batch double-counted at serve")
   }
 }
