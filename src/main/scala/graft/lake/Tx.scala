@@ -1,0 +1,164 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal single-writer transactional table: manifest-file commits over
+  * immutable parquet data files — the "Parquet/Delta" capability the
+  * reference delegates to Databricks (BASELINE.json approach line; no
+  * Delta jars exist in this zero-egress environment, so the commit
+  * protocol is implemented directly).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_commits/v00000001.json   // one manifest per committed version
+  *   <root>/data/v1-<uuid>-<i>.parquet
+  * }}}
+  *
+  * Protocol (the Delta-log shape, single-writer):
+  *  1. WRITE: new data files land in `data/` under version-prefixed unique
+  *     names. Data files are IMMUTABLE — never rewritten, never reused
+  *     across versions; an overwrite just points the next manifest at a
+  *     fresh file set.
+  *  2. PUBLISH: the manifest (the version's complete file list) is written
+  *     to a temp name, then linked into place as `v{N}.json` with an
+  *     atomic create-if-absent (hard link, which FAILS if the target
+  *     exists — a concurrent writer racing to the same version loses
+  *     loudly instead of silently clobbering).
+  *  3. READ: resolve the highest committed version (or an explicit one for
+  *     time travel), read exactly its file list. A reader holding version
+  *     N is isolated from every later commit because N's files are
+  *     immutable and vacuum retains every file the LATEST manifest
+  *     references plus everything younger than `keepVersions`.
+  *
+  * Crash safety: a writer dying before PUBLISH leaves orphan data files
+  * and no manifest — invisible to readers, the previous snapshot stays
+  * live, and a re-run converges (next version number, fresh files);
+  * [[TxTable.vacuum]] reclaims the orphans.
+  *
+  * Scale notes: the manifest holds file NAMES only (a 100 TB table at
+  * 1 GB/file is a ~10^5-line JSON — driver-trivial, like the Delta log);
+  * data writes are full-parallel Spark jobs, only the rename/link step is
+  * driver-side metadata. Atomic create-if-absent needs a POSIX/HDFS-class
+  * store; on S3-class stores the publish step would ride a conditional
+  * PUT, same as Delta's LogStore. */
+final case class TxTable(root: String) {
+
+  private def commitDir: Path = Paths.get(root, "_commits")
+  private def dataDir: Path = Paths.get(root, "data")
+
+  private def manifestPath(v: Long): Path =
+    commitDir.resolve(f"v$v%08d.json")
+
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator.asScala.toSeq finally s.close()
+    }
+
+  /** Highest committed version, if any commit exists. */
+  def latestVersion: Option[Long] =
+    listDir(commitDir)
+      .flatMap(p => "^v(\\d{8})\\.json$".r
+        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toLong))
+      .maxOption
+
+  /** File names committed at `v` (manifest body: one data-file name per
+    * line after the header line). */
+  private[lake] def filesAt(v: Long): Seq[String] = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+    lines.drop(1)
+  }
+
+  /** Snapshot read at `version` (default: latest). The returned frame is
+    * pinned to that version's immutable file list — later commits cannot
+    * change what it reads. */
+  def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"TxTable $root has no committed version"))
+    val files = filesAt(v).map(f => dataDir.resolve(f).toString)
+    if (files.isEmpty)
+      throw new IllegalStateException(s"TxTable $root: v$v holds no data files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Commit `df` as a full replacement snapshot. Returns the version. */
+  def overwrite(df: DataFrame): Long = commit(df, carryForward = Nil)
+
+  /** Commit `df` as new files ON TOP of the latest snapshot's files (the
+    * append form: old files stay in the manifest). */
+  def append(df: DataFrame): Long =
+    commit(df, carryForward = latestVersion.map(filesAt).getOrElse(Nil))
+
+  private def commit(df: DataFrame, carryForward: Seq[String]): Long = {
+    val v = latestVersion.getOrElse(0L) + 1
+    val moved = writeData(df, v)
+    publish(v, carryForward ++ moved)
+    v
+  }
+
+  /** The WRITE step alone: land `df`'s parts in `data/` under
+    * version-prefixed unique names WITHOUT publishing a manifest —
+    * package-private so the crash test can die between WRITE and
+    * PUBLISH. Returns the landed file names. */
+  private[lake] def writeData(df: DataFrame, v: Long): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    // land the job output in a scratch dir, then move each part into
+    // data/ under a version-prefixed unique name (same-FS rename)
+    val scratch = Paths.get(root, s".tmp-write-$token")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    val parts = listDir(scratch)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val moved = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"v$v-$token-$i%05d.parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    deleteRecursively(scratch)
+    moved
+  }
+
+  /** The atomic publish step, exposed package-private so the crash test
+    * can exercise "died between WRITE and PUBLISH". */
+  private[lake] def publish(v: Long, files: Seq[String]): Unit = {
+    Files.createDirectories(commitDir)
+    val tmp = commitDir.resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val body = (s"version=$v files=${files.size}" +: files).mkString("\n")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.createLink(manifestPath(v), tmp) // atomic, fails if v exists
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"TxTable $root: concurrent commit already published v$v", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Reclaim data files no retained manifest references: keeps every file
+    * reachable from the newest `keepVersions` manifests, drops the rest
+    * (crashed-write orphans and files only older snapshots used). Returns
+    * the number of files deleted. */
+  def vacuum(keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion.getOrElse(return 0)
+    val keep = (latest - keepVersions + 1 to latest)
+      .filter(v => Files.exists(manifestPath(v))).flatMap(filesAt).toSet
+    val victims = listDir(dataDir)
+      .filter(p => !keep.contains(p.getFileName.toString))
+    victims.foreach(Files.delete)
+    // drop the manifests of vacuumed-away versions too: a time-travel read
+    // of a version whose files are gone must fail at resolve, not mid-scan
+    (1L until latest - keepVersions + 1)
+      .foreach(v => Files.deleteIfExists(manifestPath(v)))
+    victims.size
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+    }
+}
