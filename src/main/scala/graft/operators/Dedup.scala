@@ -280,13 +280,20 @@ object Dedup {
     * 2-column localCheckpoint. */
   def clearCcCache(): Unit = ccLabelCache.clear()
 
-  def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame = {
+  def minhashConnectedComponentsOf(docs: DataFrame, iterations: Int): DataFrame =
+    connectedComponentsFromBands(minhashBandsOf(docs), iterations)
+
+  /** [[minhashConnectedComponentsOf]] over an explicit (doc_id, band,
+    * bucket) relation — the form that consumes a PERSISTED band artifact
+    * (the streaming curation twin) without re-shingling history. */
+  def connectedComponentsFromBands(bandsIn: DataFrame,
+      iterations: Int): DataFrame = {
     // The band table is persisted for the 2·iterations re-reads, and the
     // FINAL labels (2 narrow columns) are materialized eagerly so the
     // band cache can be released before returning — the operator owns its
     // cache lifecycle; only the tiny label checkpoint outlives the call
     // (freed when the returned plan is GC'd).
-    val bands = minhashBandsOf(docs).persist()
+    val bands = bandsIn.persist()
     try {
       var labels = bands.select(col("doc_id")).distinct()
         .withColumn("label", col("doc_id"))

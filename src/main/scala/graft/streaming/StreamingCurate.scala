@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Text
+import graft.operators.{Curate, Dedup, Sampling}
+
+/** Streaming twin of the end-to-end [[Curate.curate]] pipeline — the
+  * composition the per-operator streaming twins exist FOR: a continuously
+  * ingested document stream served as the same curated corpus the batch
+  * pipeline produces (quality filter → exact dedup → near-dup components
+  * → survivors → deterministic split).
+  *
+  * Ingest (per micro-batch, all map-side over the batch): quality-gate,
+  * fingerprint, then append TWO narrow artifacts —
+  *   docs ledger:  (doc_id, lang, n_tokens, fingerprint, batch_id)
+  *   band artifact:(doc_id, band, bucket, batch_id)
+  * The batch's TEXT is read exactly once, at ingest; neither artifact
+  * carries it, so serving never re-reads or re-shingles history — the
+  * incremental contract every artifact twin in this package shares.
+  *
+  * Serve folds the ledgers: exact-dedup survivors are the min-id row per
+  * fingerprint over the WHOLE ledger (so survivor choice is identical to
+  * the batch pipeline no matter how documents were split across
+  * micro-batches — a first-arrival-wins ingest would diverge the moment
+  * a duplicate's smaller doc_id arrived later), then near-dup CC runs
+  * over the persisted bands of those survivors via
+  * [[Dedup.connectedComponentsFromBands]] (per-doc signatures are
+  * independent, so filtering the band artifact to survivors equals
+  * banding the survivor corpus). Delivery is the [[StreamingTrending]]
+  * contract: foreachBatch is at-least-once, partials carry `batch_id`,
+  * and serve collapses replays with a keyed dedup before folding. */
+object StreamingCurate {
+
+  private def docsPath(root: String) = s"$root/docs"
+  private def bandsPath(root: String) = s"$root/bands"
+
+  /** One micro-batch's artifact rows: the quality-gated slice of `batch`
+    * (which must carry doc_id, lang, text), fingerprinted and banded. */
+  private def ingestBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val quality = batch
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+      .filter(col("n_tokens") >= Curate.MinTokens)
+      .localCheckpoint(false) // two consumers; never re-read the stream source
+    quality
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        Text.fingerprint(col("text")).as("fingerprint"),
+        lit(batchId).as("batch_id"))
+      .write.mode("append").parquet(docsPath(root))
+    Dedup.minhashBandsOf(quality.select(col("doc_id"), col("text")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(bandsPath(root))
+  }
+
+  /** Start the ingest: `incoming` must carry (doc_id, lang, text). */
+  def start(incoming: DataFrame, root: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, root)
+        ()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The curated corpus over everything ever ingested — row-identical to
+    * [[Curate.curate]] on the same documents. */
+  def serve(spark: SparkSession, root: String,
+      ccIterations: Int = 3): DataFrame = {
+    val ledger = spark.read.parquet(docsPath(root))
+      .dropDuplicates("batch_id", "doc_id") // at-least-once replay guard
+    val survivors = ledger
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    val bands = spark.read.parquet(bandsPath(root))
+      .dropDuplicates("batch_id", "doc_id", "band")
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cc = Dedup.connectedComponentsFromBands(bands, ccIterations)
+    survivors.join(cc, "doc_id")
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", Sampling.splitExpr(col("bucket")))
+  }
+}
