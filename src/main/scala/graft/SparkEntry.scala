@@ -1,11 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.functions.{Text, Vectors}
-import graft.lake.{Ingest, LakePaths, Readers, Tables, Writers}
-import graft.operators._
-import graft.streaming.{Alerts, Funnel, Sessions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.registry._
+import graft.registry.RegistryShared.pricingSummary
+
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with
@@ -30,4723 +28,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pricingSummary(spark, "/root/testdata/sf0.001")
 
-  private def pricingSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-
-  /** Shared nullified-events projection for the na.* / impute operators —
-    * the driver tables have no NULLs, so NULLs are injected
-    * deterministically (mirrored exactly in the oracle SQL). */
-  private def nulledEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events").select(
-      col("event_id"),
-      when(col("value") < 2, lit(null)).otherwise(col("value")).as("value_n"),
-      when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("props_n"),
-      when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")).as("user_n"))
-
-  private val nulledEventsSql =
-    """SELECT event_id,
-      |  CASE WHEN value < 2 THEN NULL ELSE value END AS value_n,
-      |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props_n,
-      |  CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_n
-      |FROM events""".stripMargin
-
-  /** Synthetic ingestion manifest (S4 stub): URLs in the reference's
-    * Inside-Airbnb layout built from document attributes. */
-  private def manifestUrls(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(concat(
-      lit("https://insideairbnb.example.com/spain/"), col("lang"), lit("/"),
-      col("source"), lit("/2024-01-01/data/d"), col("doc_id").cast("string"),
-      lit(".csv")).as("href"))
-
-  private val manifestUrlsSql =
-    """SELECT 'https://insideairbnb.example.com/spain/' || lang || '/' || source
-      |  || '/2024-01-01/data/d' || CAST(doc_id AS VARCHAR) || '.csv' AS href
-      |FROM documents""".stripMargin
-
-  // ---------------------------------------------------------------- queries
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- flagship / aggregation pipeline (S3, F1/F3, A1-A3, sorts)
-    "q1_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
-
-    // -- projections (P1-P7)
-    "q_select_project" -> ((s, d) =>
-      Relational.select(Tables(s, d, "customer"), Seq("c_custkey", "c_name", "c_acctbal"))),
-    "q_derived_column" -> ((s, d) =>
-      Relational.withDerived(
-        Tables(s, d, "part").select(col("p_partkey"), col("p_retailprice")),
-        "price_with_tax", round(col("p_retailprice") * 1.1, 2))),
-    "q_rename_drop" -> ((s, d) =>
-      Relational.rename(
-        Relational.drop(Tables(s, d, "supplier"), "s_nationkey"),
-        "s_name", "supplier_name")),
-
-    // -- filters (F1-F7)
-    "q_filter_sql" -> ((s, d) =>
-      Relational.filterSql(Tables(s, d, "orders"), "o_totalprice <= 20000")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
-    "q_filter_conj" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-      Relational.filterExpr(o, col("o_totalprice") <= 20000 && col("o_totalprice") >= 15000)
-        .select(col("o_orderkey"), col("o_totalprice"))
-    }),
-    "q_filter_neg" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-      Relational.filterExpr(o, !(col("o_totalprice") <= 20000))
-        .select(col("o_orderkey"), col("o_totalprice"))
-    }),
-    "q_filter_contains" -> ((s, d) =>
-      Relational.filterContains(Tables(s, d, "documents"), "text", "spark window")
-        .select(col("doc_id"), col("lang"))),
-    "q_filter_endswith" -> ((s, d) =>
-      Relational.filterEndsWith(Tables(s, d, "part"), "p_type", "D")
-        .select(col("p_partkey"), col("p_type"))),
-
-    // -- limits / sorts (L1-L3)
-    "q_limit_ordered" -> ((s, d) =>
-      Relational.limitOrdered(
-        Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
-        Seq(col("o_totalprice").desc, col("o_orderkey")), 14)),
-
-    // -- aggregations (A1-A5, A7, distinct, rollup)
-    "q_groupby_sum" -> ((s, d) =>
-      Tables(s, d, "events").groupBy(col("event_type"))
-        .agg(round(sum(col("value")), 2).as("sum_value"))),
-    "q_groupby_avg" -> ((s, d) =>
-      Tables(s, d, "customer").groupBy(col("c_mktsegment"))
-        .agg(round(avg(col("c_acctbal")), 4).as("avg_acctbal"))),
-    "q_groupby_count" -> ((s, d) => Aggregates.countBy(Tables(s, d, "events"), "event_type")),
-    "q_global_agg" -> ((s, d) =>
-      Tables(s, d, "lineitem").agg(round(sum(col("l_quantity")), 2).as("sum_qty"))),
-    "q_describe" -> ((s, d) => {
-      val df = Aggregates.describeNumeric(Tables(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
-      df.select(col("column"), col("count"), round(col("mean"), 4).as("mean"),
-        round(col("stddev"), 4).as("stddev"), col("min"), col("max"))
-    }),
-    "q_pivot" -> ((s, d) =>
-      Tables(s, d, "events")
-        .groupBy((col("user_id") % 100).as("user_bucket"))
-        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
-        .agg(round(sum(col("value")), 2))
-        .na.fill(0.0)),
-    "q_distinct_by" -> ((s, d) =>
-      Aggregates.distinctCountBy(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
-    // unpivot (melt): the wide->long inverse of q_pivot, pure map-side
-    "q_unpivot" -> ((s, d) =>
-      Tables(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_discount"), col("l_tax"))
-        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
-          "measure", "value")),
-    // explicit GROUPING SETS with grouping_id disambiguation (a NULL key
-    // value vs a rolled-up level are different facts)
-    "q_grouping_sets" -> ((s, d) =>
-      Tables(s, d, "lineitem")
-        .groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
-            Seq(col("l_returnflag")), Seq()),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          grouping_id().cast("int").as("gid"))),
-    // argmax/argmin aggregates: the value of one column at another's
-    // extreme — max_by/min_by made deterministic under price ties by
-    // fusing the unique orderkey into an EXACT bigint ordering key
-    // (cents·1e8 + key stays under 2^53; struct ordering isn't portable)
-    "q_argmax" -> ((s, d) => {
-      val ord = round(col("o_totalprice") * 100).cast("long") *
-        lit(100000000L) + col("o_orderkey")
-      Tables(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(max_by(col("o_orderkey"), ord).as("max_price_order"),
-          min_by(col("o_orderkey"), ord).as("min_price_order"),
-          round(max(col("o_totalprice")), 2).as("max_price"))
-    }),
-    // sketch paths, oracled as bound checks: the sketch value is
-    // impl-defined, but the HLL error bound / GK rank guarantee are
-    // engine-checkable booleans the DuckDB side asserts TRUE from the
-    // exact computation alone
-    "q_approx_distinct" -> ((s, d) =>
-      Aggregates.approxDistinctCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_partkey")),
-    "q_approx_quantiles" -> ((s, d) =>
-      Aggregates.approxQuantilesCheck(Tables(s, d, "lineitem"), "l_returnflag", "l_quantity")),
-    // persisted DataSketches artifacts: finest-grain sketch rows built
-    // once, ROLLED UP by merging — the serve path never rescans the base
-    // table; same bound-check oracle shape as the q_approx_* twins
-    "q_hll_rollup" -> ((s, d) =>
-      Sketches.hllServeCheck(Tables(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_partkey")),
-    "q_kll_rollup" -> ((s, d) =>
-      Sketches.kllServeCheck(Tables(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), "l_quantity",
-        Seq(0.25, 0.5, 0.75))),
-    // heavy hitters: tokens at >= 1% of the corpus token stream from one
-    // bounded-memory frequent-items sketch (exact below eviction; the
-    // oracle computes the same census exactly)
-    "q_heavy_hitters" -> ((s, d) =>
-      Sketches.freqServeCheck(
-        Tables(s, d, "documents")
-          .select(explode(graft.functions.Text.tokens(col("text"))).as("item")),
-        "item", bp = 100)),
-    // theta set algebra: part-key overlap between the two shipdate halves
-    // — intersection/difference estimated from two single-row sketches,
-    // neither corpus slice joined or shuffled (see Sketches.thetaOverlapCheck)
-    "q_theta_overlap" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-      val pivot = lit("1998-06-01").cast("timestamp")
-      Sketches.thetaOverlapCheck(
-        li.filter(col("l_shipdate") < pivot),
-        li.filter(col("l_shipdate") >= pivot), "l_partkey")
-    }),
-    "q_rollup" -> ((s, d) =>
-      Tables(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
-    "q_cube" -> ((s, d) =>
-      Tables(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("count"))),
-    "q_percentiles" -> ((s, d) =>
-      Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))),
-    // winsorization (outlier clipping) at per-stratum p01/p99: the tiny
-    // per-flag threshold table is broadcast back and the clip is map-side
-    // — the quantile-gate shape applied to value repair instead of
-    // filtering
-    "q_winsorize" -> ((s, d) => {
-      val li = Tables(s, d, "lineitem")
-      val thr = li.groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_extendedprice, 0.01)"), 4).as("lo"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("hi"))
-      li.join(broadcast(thr), "l_returnflag")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_extendedprice"),
-          least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
-            .as("clipped"))
-    }),
-    "q_describe_str" -> ((s, d) =>
-      Tables(s, d, "customer").agg(
-        count(col("c_mktsegment")).as("count"),
-        countDistinct(col("c_mktsegment")).as("distinct"),
-        min(col("c_mktsegment")).as("min"),
-        max(col("c_mktsegment")).as("max"))),
-
-    // -- null handling (N1-N7, A6)
-    "q_na_drop_any" -> ((s, d) => Nulls.dropAny(nulledEvents(s, d))),
-    "q_na_drop_all" -> ((s, d) => Nulls.dropAll(nulledEvents(s, d))),
-    "q_na_drop_thresh" -> ((s, d) => Nulls.dropThresh(nulledEvents(s, d), 2)),
-    "q_na_drop_subset" -> ((s, d) => Nulls.dropSubset(nulledEvents(s, d), Seq("value_n"))),
-    "q_na_fill" -> ((s, d) =>
-      Nulls.fillString(nulledEvents(s, d).select(col("event_id"), col("props_n")), "missing")),
-    "q_impute_mean" -> ((s, d) => {
-      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
-      Nulls.impute(base, Seq("value_n"), "mean")
-        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
-    }),
-    "q_impute_median" -> ((s, d) => {
-      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
-      Nulls.impute(base, Seq("value_n"), "median")
-        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
-    }),
-    "q_impute_mode" -> ((s, d) => {
-      val base = nulledEvents(s, d).select(col("event_id"), col("value_n"))
-      Nulls.impute(base, Seq("value_n"), "mode")
-        .select(col("event_id"), round(col("value_n_imputed"), 2).as("value_imputed"))
-    }),
-
-    // -- joins (broadcast dim, fact-fact, star, anti)
-    "q_join_dims" -> ((s, d) => Joins.customersPerRegion(s, d)),
-    "q_join_topk" -> ((s, d) => Joins.topUrgentRevenue(s, d)),
-    "q_join_suppnation" -> ((s, d) => Joins.revenuePerSupplierNation(s, d)),
-    "q_join_anti" -> ((s, d) => Joins.customersWithoutOrders(s, d)),
-    "q_join_semi" -> ((s, d) => Joins.customersWithOrders(s, d)),
-    // the SQL front-end (spark.sql over registered views) with a scalar
-    // subquery — same Catalyst pipeline, different entry point
-    "q_sql_scalar_subquery" -> ((s, d) => {
-      Tables(s, d, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
-              |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)""".stripMargin)
-    }),
-
-    // -- windows
-    "q_window_topk" -> ((s, d) => Windows.topKOrdersPerPriority(s, d, 3)),
-    "q_window_running" -> ((s, d) => Windows.runningDailyRevenue(s, d)),
-
-    // -- set ops
-    "q_setops_except" -> ((s, d) => SetOps.clickedNeverPurchased(s, d)),
-    "q_setops_intersect" -> ((s, d) => SetOps.engagedBuyers(s, d)),
-    "q_setops_union" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      ev.filter(col("event_type") === "click").select(col("user_id"))
-        .union(ev.filter(col("event_type") === "purchase").select(col("user_id")))
-        .distinct()
-    }),
-
-    // -- window lag + date parts + scalar string functions
-    // rank-family parity: percent_rank/cume_dist are tie-invariant (no
-    // tie-break needed); nth_value/dense_rank get the full deterministic
-    // (price, key) order
-    "q_window_stats" -> ((s, d) => {
-      val byPrice = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
-      val full = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          round(percent_rank().over(byPrice), 6).as("pct_rank"),
-          round(cume_dist().over(byPrice), 6).as("cume"),
-          dense_rank().over(byPrice).as("drank"),
-          nth_value(col("o_orderkey"), 2).over(
-            full.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.unboundedFollowing))
-            .as("second_cheapest"))
-    }),
-    "q_window_lag" -> ((s, d) => {
-      val daily = Tables(s, d, "lineitem")
-        .groupBy(to_date(col("l_shipdate")).as("ship_day"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("day_revenue"))
-      // partitioned by year so the window never needs a single global
-      // sort partition (lag resets at year boundaries by design)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(year(col("ship_day"))).orderBy(col("ship_day"))
-      daily
-        .withColumn("prev_revenue", lag(col("day_revenue"), 1).over(w))
-        .withColumn("delta", round(col("day_revenue") - coalesce(col("prev_revenue"), lit(0.0)), 2))
-    }),
-    "q_date_parts" -> ((s, d) =>
-      Tables(s, d, "orders")
-        .groupBy(year(col("o_orderdate")).as("o_year"),
-          month(col("o_orderdate")).as("o_month"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
-          count(lit(1)).as("n_orders"))),
-    "q_string_fns" -> ((s, d) =>
-      Tables(s, d, "customer").select(
-        col("c_custkey"),
-        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
-        length(col("c_name")).as("name_len"),
-        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
-        regexp_replace(col("c_name"), "[#0-9]+", "*").as("name_masked"))),
-
-    // -- monitoring / alerting (F8, F9, A7) + sessionization + json extraction
-    "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
-    "q_alert_sliding" -> ((s, d) => Alerts.slidingVolumeAlertBatch(s, d, 600.0)),
-    "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
-    "q_alert_op_windowed" -> ((s, d) => Alerts.operationAlertWindowedBatch(s, d, "error")),
-    // get_json_object, not from_json: for single-key extraction the plans
-    // are shape-identical but JsonToStructs is CodegenFallback (interpreted
-    // per row) while GetJsonObject stays in whole-stage codegen — measured
-    // 0.51 s vs 0.57 s min-of-3 at sf0.1, identical results
-    "q_json_struct" -> ((s, d) =>
-      Tables(s, d, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .groupBy(col("event_type"))
-        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-          round(avg(col("k")), 4).as("avg_k"))),
-    "q_funnel" -> ((s, d) => Funnel.clickToPurchase(s, d, 30)),
-    // fuzzy self-join: near-identical part names (levenshtein 1..2) via
-    // segment-pigeonhole candidates over DISTINCT values — no cross join
-    "q_fuzzy_pairs" -> ((s, d) =>
-      FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
-    // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin): ALL
-    // shingle-set pairs with Jaccard >= 0.5, lossless — the completeness
-    // guarantee the MinHash-LSH tier trades away; candidates key on each
-    // set's RAREST shingles. Oracle is the INDEPENDENT brute-force
-    // formulation (losslessness spec-proven vs brute force in-repo)
-    "q_setsim_exact" -> ((s, d) =>
-      FuzzyJoin.setSimilarityPairs(Tables(s, d, "documents"), 0.5)),
-    // bloom-pruned join: lineitem rows for high-balance suppliers — the
-    // dim-key Bloom filter drops non-matching fact rows BEFORE the
-    // exchange; result is exactly the plain join (false positives die in
-    // the join), so the oracle is the plain SQL join
-    "q_bloom_join" -> ((s, d) => {
-      val dim = Tables(s, d, "supplier").filter(col("s_acctbal") > 7500)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-      Joins.bloomPrunedJoin(Tables(s, d, "lineitem"), dim, "l_suppkey")
-        .groupBy(col("l_suppkey"), col("s_name"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-          count(lit(1)).as("n_rows"))
-    }),
-    // as-of join: each purchase matched to the user's most recent click
-    // at-or-before it — union + running-last, no join node (PlanSpec)
-    "q_asof" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
-          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
-          col("event_id").as("click_id"), unix_millis(col("ts")).as("click_ms"))
-      Joins.asofJoin(purchases, clicks, "user_id", "ms",
-        Seq("purchase_id", "purchase_value"), Seq("click_id", "click_ms"))
-        .withColumnRenamed("ms", "purchase_ms")
-    }),
-    // built-in-first sessionization: native session_window aggregation
-    // (same operator works over a stream with a watermark)
-    "q_sessions_window" -> ((s, d) => Sessions.sessionsWindowed(s, d, 30)),
-    "q_sessions" -> ((s, d) =>
-      Sessions.sessionsBatch(s, d, 30).select(
-        col("user_id"), col("session_id").cast("int").as("session_id"),
-        unix_millis(col("session_start")).as("start_ms"),
-        unix_millis(col("session_end")).as("end_ms"),
-        col("n_events"), col("total_value"))),
-    "q_json_extract" -> ((s, d) =>
-      Tables(s, d, "events")
-        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int"))
-        .groupBy(col("event_type"))
-        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))),
-
-    // -- ingestion manifest (S4/S5 shape: F6+F7+L3+K3)
-    "q_ingest_manifest" -> ((s, d) =>
-      Ingest.plan(manifestUrls(s, d), "spain", ".csv", 14, "airbnb/spain")),
-
-    // -- text analysis (north star)
-    "q_token_count" -> ((s, d) =>
-      Tables(s, d, "documents").select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"))),
-    "q_token_count_bpe" -> ((s, d) =>
-      Tables(s, d, "documents").select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens_ws"),
-        Text.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
-    "q_text_quality" -> ((s, d) => {
-      val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
-      Tables(s, d, "documents").select(col("doc_id") +: feats: _*)
-    }),
-    "q_lang_id" -> ((s, d) => {
-      val scores = Text.languageScores(col("text"))
-      Tables(s, d, "documents").select(col("doc_id"), col("lang"),
-        scores("en").as("s_en"), scores("fr").as("s_fr"), scores("es").as("s_es"),
-        scores("de").as("s_de"), scores("zh").as("s_zh"),
-        Text.predictedLanguage(col("text")).as("predicted"))
-    }),
-    // BPE tokenizer training, first-iteration view: adjacent char-pair
-    // census weighted by word-type frequency — the argmax row is merge #1;
-    // the full learn loop is unit-goldened (not SQL-expressible)
-    "q_bpe_pairs" -> ((s, d) =>
-      Bpe.charPairCensus(Tables(s, d, "documents"), 20)),
-    // char-trigram LM perplexity (the CCNet-style quality filter): model
-    // trained on the en slice, every doc scored against it — the off-
-    // domain tail surfaces as high ppl. Charset-bounded model broadcast;
-    // scoring is map-side explode + broadcast join, O(docs) exchange
-    "q_lm_score" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      CharLm.perplexityAgainst(docs, docs.filter(col("lang") === "en"))
-    }),
-    // keep docs at-or-below their language's median NLL — per-lang
-    // thresholds broadcast back, filter map-side
-    "q_lm_gate" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      CharLm.gate(docs, docs.filter(col("lang") === "en"), "lang")
-    }),
-    "q_fingerprint" -> ((s, d) =>
-      Tables(s, d, "documents").select(col("doc_id"),
-        Text.fingerprint(col("text")).as("fingerprint"))),
-    // repetition metrics — the boilerplate/spam signal quality filters cut on
-    "q_text_repetition" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"))
-        .agg(sum("n").as("n_tokens_total"),
-          count(lit(1)).as("n_distinct_tokens"),
-          round(count(lit(1)) / sum("n"), 4).as("distinct_ratio"),
-          round(max("n") / sum("n"), 4).as("top_token_share"))),
-
-    // doc→chunk split for embedding pipelines: 32-token windows advancing
-    // by 24 (8-token overlap); explode is map-side, chunk text derives
-    // from the let-bound token array
-    "q_chunk_docs" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), explode(Text.chunkSpans(col("text"), 32, 8)).as("c"))
-        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-          col("c.chunk_text").as("chunk_text"))
-        .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))),
-
-    // tokenizer-prep: top-V vocabulary by corpus frequency (deterministic
-    // count-desc/term tie-break) folded into ONE broadcast row; per-doc
-    // out-of-vocabulary rate is then a map-side array filter — the signal
-    // that drives vocab-size choice
-    // tokenizer design read: cumulative corpus coverage of the df-ranked
-    // vocabulary — windows run over the VOCAB, never the corpus
-    "q_vocab_coverage" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("term"))
-      Tables(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum", sum(col("n")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .withColumn("total", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("rank"), col("term"), col("n"),
-          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
-    }),
-    // boilerplate screen: normalized 40-char prefixes shared by >= 2 docs
-    // — the strip-the-header census
-    "q_boilerplate" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val total = docs.agg(count(lit(1)).as("n_total"))
-      docs.select(substring(trim(lower(col("text"))), 1, 40).as("prefix"))
-        .groupBy(col("prefix")).agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= 2)
-        .crossJoin(broadcast(total))
-        .select(col("prefix"), col("n_docs"),
-          round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
-    }),
-    "q_vocab_oov" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val vocab = docs
-        .select(explode(Text.tokens(col("text"))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("term")).limit(20)
-        .agg(collect_list(col("term")).as("vocab"))
-      docs.crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          Text.let(Text.tokens(col("text"))) { t =>
-            round(size(filter(t, x => !array_contains(col("vocab"), x)))
-              .cast("double") / size(t), 4)
-          }.as("oov_rate"))
-    }),
-    // inference-serving batch assembly: bucket docs by length band, fill
-    // deterministic fixed-size batches within each band, report per-batch
-    // padding waste — the dynamic-batching prep that minimizes pad tokens
-    "q_length_batches" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("len_bucket")).orderBy(col("doc_id"))
-      Tables(s, d, "documents")
-        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("len_bucket", floor(col("n_tokens") / lit(16)).cast("int"))
-        .withColumn("batch_id",
-          floor((row_number().over(w) - 1) / lit(16)).cast("int"))
-        .groupBy(col("len_bucket"), col("batch_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          max(col("n_tokens")).as("max_tokens"),
-          round(lit(1) - sum(col("n_tokens")) /
-            (count(lit(1)) * max(col("n_tokens"))).cast("double"), 4)
-            .as("pad_frac"))
-    }),
-
-    // the dataset card: per-language doc/token counts, mean quality, and
-    // exact-uniqueness rate in ONE pass — one fingerprint window + one
-    // hash agg, the summary a curation run publishes next to the corpus
-    "q_corpus_report" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
-      Tables(s, d, "documents")
-        .select(col("lang"), Text.tokenCount(col("text")).as("nt"),
-          (Text.markerHits(col("text"), Text.stopwords("en")).cast("double") /
-            Text.tokenCount(col("text"))).as("sw"),
-          Text.fingerprint(col("text")).as("fingerprint"))
-        .withColumn("cnt", count(lit(1)).over(w))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt").cast("long")).as("n_tokens"),
-          round(avg(col("nt")), 4).as("avg_tokens"),
-          round(avg(col("sw")), 4).as("avg_stopword_ratio"),
-          round(avg(when(col("cnt") === 1, 1.0).otherwise(0.0)), 4).as("uniq_rate"))
-    }),
-    // join-key skew census — the decision input Joins.saltFor turns into
-    // a salt factor for Joins.saltedJoin
-    "q_skew_report" -> ((s, d) =>
-      Joins.skewCensus(Tables(s, d, "events"), "user_id", 20)),
-
-    // fixed-width histogram (binned aggregation): doc length per language
-    "q_histogram" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("lang"),
-          floor(col("n_chars") / lit(100.0)).cast("int").as("bin"))
-        .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
-        .withColumn("bin_lo", col("bin") * 100)),
-    // equi-DEPTH histogram: 5 ~equal-count buckets cut at exact quintile
-    // boundaries (rounded to 4, broadcast); assignment is a map-side
-    // indicator sum — the heavy-tail-proof twin of q_histogram
-    "q_histogram_equidepth" -> ((s, d) =>
-      Aggregates.equidepthHistogram(
-        Tables(s, d, "lineitem").select(col("l_extendedprice")),
-        "l_extendedprice", 5)),
-    // gap-filled hourly resample: buckets with no traffic appear as
-    // explicit zero rows (grid from the per-type [min,max] span; the raw
-    // events are aggregated exactly once)
-    "q_resample_gapfill" -> ((s, d) =>
-      TimeSeries.resampleGapfill(Tables(s, d, "events"))),
-    // pure range join (no equi key), bucketized: hot-hour intervals
-    // (self-calibrating p90 census threshold) exploded to hour buckets and
-    // BROADCAST; events keyed by their single bucket map-side — the
-    // inequality join becomes an equi-join + filter, corpus never shuffled
-    "q_range_join" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      TimeSeries.rangeJoinBucketed(TimeSeries.hotIntervals(ev), ev)
-    }),
-    // LOCF backfill: error events report no value (nulled deterministically
-    // here); each user's gap carries the last non-null forward — one
-    // running last(ignoreNulls) window, the sessionization plan shape
-    "q_locf" -> ((s, d) => {
-      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
-        col("ts"),
-        when(col("event_type") === "error", lit(null).cast("double"))
-          .otherwise(col("value")).as("v"))
-      TimeSeries.locf(ev, "user_id", "ts", "event_id", "v")
-        .select(col("event_id"), col("user_id"),
-          round(col("filled"), 2).as("v_filled"))
-    }),
-    // weekly cohort retention matrix: first-event week × active week,
-    // distinct users — two user_id-co-partitioned aggregates + one
-    // (cohorts × weeks)-bounded fold
-    "q_cohort_retention" -> ((s, d) =>
-      TimeSeries.cohortRetention(Tables(s, d, "events"))),
-    // trailing 24 h z-score anomaly flags over the GAP-FILLED series (zero
-    // rows keep the frame honest); μ/σ/z rounded before every compare
-    "q_anomaly_zscore" -> ((s, d) =>
-      TimeSeries.anomalyZscore(Tables(s, d, "events"))),
-    // heartbeat-lost report: contiguous >= 2 h zero-traffic runs per type
-    // (islands-and-gaps over the gap-filled series)
-    "q_silence_report" -> ((s, d) =>
-      TimeSeries.silenceReport(Tables(s, d, "events"))),
-    // trend / hour-of-day seasonal / residual split of the hourly series
-    // (integer-exact: every output is one division of integer terms)
-    "q_seasonal_decompose" -> ((s, d) =>
-      TimeSeries.seasonalDecompose(Tables(s, d, "events"))),
-    // level-shift detector: argmax |CUSUM| per type on the integer-scaled
-    // statistic — the rate change the per-bucket z-score cannot see
-    "q_changepoint_cusum" -> ((s, d) =>
-      TimeSeries.changepointCusum(Tables(s, d, "events"))),
-    // DAU / trailing-7d-WAU stickiness: sliding distinct via map-side
-    // contribution explode + one distinct per target day (no per-day scan)
-    "q_dau_wau" -> ((s, d) =>
-      TimeSeries.dauWauStickiness(Tables(s, d, "events"))),
-    // signup->purchase latency: integer-second deltas, engine-exact
-    // one-row summary (percentiles over longs + integer-ratio mean)
-    "q_funnel_time" -> ((s, d) =>
-      TimeSeries.funnelTimeToConvert(Tables(s, d, "events"))),
-    // finite-horizon EWMA in ONE ordered window — exact-decimal weights,
-    // left-associated sum, head renormalization
-    "q_ewma" -> ((s, d) =>
-      TimeSeries.ewmaSmooth(Tables(s, d, "events"))),
-    // trending parts by exponentially decayed demand — anchor folded to
-    // one broadcast row, rank window over the item census only
-    "q_trending_parts" -> ((s, d) =>
-      TimeSeries.decayedDemand(Tables(s, d, "lineitem"))),
-    // Theil-Sen robust daily trend — pair expansion over the DAILY
-    // census, never the ledger
-    "q_theil_sen" -> ((s, d) =>
-      TimeSeries.theilSenDailyTrend(Tables(s, d, "events"))),
-    // last-touch attribution: purchases claim the latest same-user click
-    // within 24 h via ONE ignore-nulls running window (no probe join)
-    "q_attribution" -> ((s, d) =>
-      TimeSeries.attributionLastTouch(Tables(s, d, "events"))),
-    // linear multi-touch attribution — equi-join on user, range residual;
-    // credit 1/n is exact per conversion
-    "q_attribution_linear" -> ((s, d) =>
-      TimeSeries.attributionLinear(Tables(s, d, "events"))),
-    // interval-union active time: 5-min activity holds merged by the
-    // islands pattern — exact covered seconds per user
-    "q_active_time" -> ((s, d) =>
-      TimeSeries.activeTime(Tables(s, d, "events"))),
-    // daily latency-style percentile series — the p50/p95/p99 dashboard
-    // row; exact per-day percentiles (days bound the buffer), GK swap
-    // documented in winsorize for corpus-sized groups
-    "q_daily_percentiles" -> ((s, d) =>
-      Tables(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.95)"), 4).as("p95"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))),
-    // P(next event type | current) per-user lead window + types²-bounded
-    // fold — the next-action census behind funnel design
-    "q_markov_transitions" -> ((s, d) =>
-      TimeSeries.markovTransitions(Tables(s, d, "events"))),
-    // general PageRank (dangling mass redistributed) over the event-type
-    // transition graph — composes the Markov census into the graph tier
-    "q_pagerank" -> ((s, d) => Graph.pageRank(
-      TimeSeries.markovTransitions(Tables(s, d, "events"))
-        .select(col("event_type").as("src"), col("next_type").as("dst"),
-          col("n").as("w")))),
-    // duration-weighted per-user mean: each value holds until the user's
-    // next event — the correct mean for irregular sampling
-    "q_time_weighted_avg" -> ((s, d) =>
-      TimeSeries.timeWeightedAvg(Tables(s, d, "events"),
-        "user_id", "ts", "event_id", "value")),
-    // linear interpolation of the error-nulled values between each user's
-    // neighboring observations (the locf fixture, upgraded)
-    "q_interpolate" -> ((s, d) => {
-      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
-        col("ts"),
-        when(col("event_type") === "error", lit(null).cast("double"))
-          .otherwise(col("value")).as("v"))
-      TimeSeries.interpolateLinear(ev, "user_id", "ts", "event_id", "v")
-        .select(col("event_id"), col("user_id"),
-          round(col("interp"), 4).as("v_interp"))
-    }),
-    // triangle census over the skip-gram term graph, degree-ordered
-    // orientation (out-degree bounded O(√m) — hub-proof wedge counts)
-    "q_triangles" -> ((s, d) =>
-      Graph.triangles(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // general min-label-propagation CC over the SAME term graph — labels
-    // monotone, 4 iterations >= diameter at this density
-    "q_graph_cc" -> ((s, d) =>
-      Graph.connectedComponents(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // degree -> node-count census over the term graph
-    "q_degree_dist" -> ((s, d) =>
-      Graph.degreeDistribution(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-
-    // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
-    // derived from doc_id) is appended to a digit-stripped text snippet,
-    // then scrubbed by the ordered PiiPatterns chain — exercises every
-    // pattern, and the SSN-before-phone ordering, byte-for-byte vs the
-    // oracle. Digit-stripping the snippet keeps the only digit runs in the
-    // row the injected ones, so both engines face identical match sites.
-    "q_pii_redact" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), concat(
-          regexp_replace(substring(col("text"), 1, 40), "[0-9]", ""),
-          lit(" reach user"), col("doc_id").cast("string"),
-          lit("@mail.example.com ssn 123-45-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
-          lit(".7 call +1 555-"),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("dirty"))
-        .select(col("doc_id"), col("dirty"),
-          Text.redactPii(col("dirty")).as("redacted"))),
-
-    // JSONL round-trip: write the corpus hand-off format, read it back with
-    // an explicit schema (JSON inference = a second full pass), aggregate.
-    // Oracle aggregates the source table directly — the round-trip must be
-    // lossless for the hashes to meet.
-    "q_jsonl_roundtrip" -> ((s, d) => {
-      val docs = Tables(s, d, "documents").select("doc_id", "lang", "text")
-      // keyed by application id so concurrent processes on the same
-      // checkout cannot clobber each other's round-trip files
-      val path = s"target/tmp/jsonl_rt_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
-      Writers.jsonl(docs, path)
-      Readers.jsonl(s, path, docs.schema)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).as("n_chars"))
-    }),
-
-    // ORC round-trip: the second columnar format; filter applied on the
-    // read-back side pushes into the ORC scan (spec-asserted)
-    "q_orc_roundtrip" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .select("doc_id", "source", "n_chars")
-      val path = s"target/tmp/orc_rt_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
-      Writers.orc(docs, path)
-      Readers.orc(s, path)
-        .filter(col("n_chars") >= 100)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"))
-    }),
-
-    // -- dedup (north star)
-    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
-    "q_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
-    "q_dedup_minhash" -> ((s, d) => Dedup.minhashCandidatePairs(s, d)),
-    "q_dedup_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
-    "q_dedup_cc" -> ((s, d) => Dedup.minhashCcLabels(s, d, 3)),
-    // dedup audit: component-size histogram over the SAME memoized labels
-    "q_dedup_sizes" -> ((s, d) =>
-      Dedup.minhashCcLabels(s, d, 3)
-        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
-    // the dedup pipeline's OUTPUT: one survivor per component — a filter
-    // over the SAME memoized label artifact q_dedup_cc materialized, not
-    // a second 3-iteration label propagation
-    "q_dedup_survivors" -> ((s, d) =>
-      Dedup.minhashCcLabels(s, d, 3)
-        .filter(col("cluster_id") === col("doc_id")).select(col("doc_id"))),
-    // quality-aware survivor selection: keep the LONGEST member of each
-    // near-dup cluster (min-id keeps an arbitrary copy; curation pipelines
-    // keep the best one) — max_by over the memoized CC labels with the
-    // doc_id fused into an exact bigint key so length ties break low-id
-    "q_dedup_survivors_best" -> ((s, d) => {
-      val ord = col("n_chars").cast("long") * lit(10000000L) +
-        (lit(9999999L) - col("doc_id"))
-      Dedup.minhashCcLabels(s, d, 3)
-        .join(Tables(s, d, "documents").select(col("doc_id"), col("n_chars")),
-          "doc_id")
-        .groupBy(col("cluster_id"))
-        .agg(max_by(col("doc_id"), ord).as("survivor_id"),
-          max(col("n_chars")).as("survivor_chars"),
-          count(lit(1)).as("cluster_size"))
-    }),
-    // the dedup FUNNEL — the curation report's headline row: corpus size,
-    // exact-unique count, near-dup survivors (same memoized CC labels),
-    // and the per-tier removal rates; three 1-row aggregates attached by
-    // broadcast (never a CartesianProduct — the plan sweep checks)
-    "q_dedup_funnel" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(docs.agg(
-          countDistinct(Text.fingerprint(col("text"))).as("n_exact_unique"))))
-        .crossJoin(broadcast(Dedup.minhashCcLabels(s, d, 3).agg(
-          sum(when(col("cluster_id") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_near_survivors"))))
-        .withColumn("exact_dup_rate",
-          round(lit(1) - col("n_exact_unique") / col("n_docs").cast("double"), 4))
-        .withColumn("near_dup_rate",
-          round(lit(1) - col("n_near_survivors") / col("n_docs").cast("double"), 4))
-    }),
-    // daily-ingest shape: docs >= 250 arriving against the < 250 corpus
-    "q_dedup_incremental" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      Dedup.incrementalExactDedup(
-        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-    }),
-    // delta near-dup candidates: incoming bands vs the corpus band table
-    "q_dedup_minhash_incr" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      Dedup.incrementalMinhashCandidates(
-        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-    }),
-    // incremental containment over the artifact relations (postings +
-    // bottom-k probes + additive df rows), built here from the corpus
-    // half of the same doc-id split — the delta probes the corpus AND the
-    // corpus' probes replay against the delta
-    "q_dedup_containment_incr" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val sets = Dedup.shingleSetRelation(docs.filter(col("doc_id") < 250))
-      val postings = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      Dedup.incrementalContainmentPairs(
-        postings, Dedup.containmentProbeRelation(sets),
-        postings.groupBy(col("shingle")).agg(count(lit(1)).as("n")),
-        docs.filter(col("doc_id") >= 250), 0.6)
-    }),
-    // sequence packing (concat-then-chunk): hash-bucket packers run in
-    // parallel, each streaming its docs in id order into 2048-token
-    // sequences; docs crossing a boundary are SPLIT into per-sequence
-    // spans (token_start/token_end slice the doc) — no global sort, no
-    // single-partition window, explode is map-side
-    // buckets=8 (not 100) so verify-scale per-bucket streams cross many
-    // 2048 boundaries and the oracle checks the SPLIT arithmetic, not just
-    // the one-span case; at 100 TB the caller raises buckets to match the
-    // cluster (one token stream per executor-sized slice)
-    "q_pack_sequences" -> ((s, d) =>
-      Packing.packSpans(Tables(s, d, "documents"), "doc_id",
-        Text.tokenCount(col("text")), seqLen = 2048, buckets = 8)),
-    // mixture upsampling: per-language integer repeat factors (epoch
-    // mixing) — explode is map-side, deterministic, oracle-replayable
-    "q_mix_upsample" -> ((s, d) =>
-      Tables(s, d, "documents").select(col("doc_id"), col("lang"))
-        .withColumn("copy", explode(sequence(lit(1),
-          when(col("lang") === "zh", 3).when(col("lang") === "fr", 2).otherwise(1))))),
-    // the end-to-end curation pipeline: quality filter -> exact dedup ->
-    // near-dup components -> survivors -> deterministic split, one plan
-    "q_curate" -> ((s, d) => Curate.curate(s, d, 3)),
-    // per-language median gate: threshold table broadcast back, filter
-    // map-side — NOT a per-stratum window sort
-    "q_quality_gate" -> ((s, d) =>
-      Curate.gateByQuantile(
-        Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
-        Text.bpeTokenCount(col("text")), "lang", 0.5)
-        .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
-    // per-source (domain) reputation vs the corpus-wide mean stopword
-    // ratio — the domain-blocklist stage; gate output is a broadcast
-    // semi join, corpus never shuffled
-    "q_source_stats" -> ((s, d) =>
-      Curate.sourceReputation(Tables(s, d, "documents"), stopwordRatio)),
-    "q_source_gate" -> ((s, d) =>
-      Curate.gateBySource(Tables(s, d, "documents"), stopwordRatio)
-        .select(col("doc_id"), col("source"), col("lang"))),
-    // deterministic exact-k sample: exactly 20 docs per language, ranked
-    // by md5(doc_id) — WindowGroupLimit keeps the rank cut partial
-    "q_sample_exact_k" -> ((s, d) =>
-      Sampling.exactKByHash(Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang")), "doc_id", "lang", 20)),
-    // deterministic global shuffle rank (epoch training order): dense
-    // 0..N-1 md5 permutation WITHOUT a global sort — order-preserving md5
-    // bands + broadcast prefix offsets + per-band local ranks
-    "q_shuffle_rank" -> ((s, d) =>
-      Sampling.shuffleRank(Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang")), "doc_id")),
-    // deterministic WEIGHTED sampling without replacement (A-Res): key =
-    // md5-uniform^(1/n_chars), top-20 keys per language — longer docs
-    // claim proportionally more slots, replayable on any engine
-    "q_sample_weighted" -> ((s, d) =>
-      Sampling.weightedKByHash(Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars")),
-        "doc_id", "lang", col("n_chars"), 20)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(col("wkey"), 6).as("wkey"), col("sample_rank"))),
-    // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
-    "q_mixture_weights" -> ((s, d) =>
-      Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
-    // greedy best-docs-first fill to a 2000-token budget per language:
-    // census/boundary plan — only ONE quality band per stratum is sorted,
-    // everything else is classified map-side off a broadcast census
-    "q_token_budget" -> ((s, d) =>
-      Sampling.tokenBudgetSelect(Tables(s, d, "documents"), "doc_id", "lang",
-        round(stopwordRatio, 4), Text.bpeTokenCount(col("text")), 2000)),
-    // reproducible mixture sampling: per-language keep rates by hash bucket
-    "q_sample_mix" -> ((s, d) =>
-      Sampling.stratifiedByHash(Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang")),
-        "doc_id", "lang", Map("en" -> 30, "zh" -> 60), 100)),
-    "q_simhash" -> ((s, d) => Dedup.simhash(s, d)),
-    "q_dedup_simhash" -> ((s, d) => Dedup.simhashNearDupPairs(s, d, 3)),
-    "q_dedup_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5)),
-    // tier-agreement census: which near-dup pairs do the exact (star
-    // form), Jaccard-verified MinHash and SimHash tiers each find — the
-    // tuning read for picking a dedup strategy; all three pair sets are
-    // LSH/banded (never all-pairs) and the flags come from three
-    // fanout-free left joins over the distinct pair union
-    "q_dedup_agreement" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-      val ex = Tables(s, d, "documents")
-        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-        .withColumn("rep", min(col("doc_id")).over(w))
-        .filter(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-      val mh = Dedup.ngramJaccardPairs(s, d, 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val sh = Dedup.simhashNearDupPairs(s, d)
-        .select(col("doc_a"), col("doc_b"))
-      ex.unionByName(mh).unionByName(sh).distinct()
-        .join(ex.withColumn("fe", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .join(mh.withColumn("fm", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .join(sh.withColumn("fs", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .groupBy(col("fe").isNotNull.as("in_exact"),
-          col("fm").isNotNull.as("in_minhash"),
-          col("fs").isNotNull.as("in_simhash"))
-        .agg(count(lit(1)).as("n_pairs"))
-    }),
-    // the wide banding config (8 bands x 2 rows over the SAME signatures):
-    // Pr[candidate] ≈ 0.90 at j=0.5 vs 0.23 for the default 4x4 — the
-    // documented recall/cost knob for corpora needing moderate-similarity
-    // dedup; costs more populated buckets to expand and verify
-    "q_dedup_jaccard_wide" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, 0.5, bands = 8)),
-    // asymmetric containment over the same wide-band candidates: the
-    // sub/superset-duplication signal (short doc quoted inside a long one)
-    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d, 0.6, bands = 8)),
-    // containment-LSH: candidates banded over the SHORTER side's bottom-k
-    // shingle sketch — catches the extreme size-ratio subsets (j → 0) the
-    // Jaccard-tuned banding above provably misses
-    "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentLshPairs(s, d, 0.6)),
-    "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
-    // benchmark decontamination: docs 0..49 stand in for the (always-small)
-    // benchmark set, everything else is the training corpus; sharing a
-    // word 5-gram = contamination
-    "q_decontaminate" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      Decontaminate.contaminationReport(
-        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 5)
-    }),
-    "q_decontaminate_clean" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      Decontaminate.clean(
-          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 5)
-        .select(col("doc_id"), col("lang"))
-    }),
-    // sub-document dedup tier: corpus-duplicated 4-token spans (ExactSubstr
-    // recipe) — the report form is the boilerplate signal, the scrub form
-    // removes every covered token and keeps the unique remainder
-    "q_dup_span_frac" -> ((s, d) =>
-      SpanDedup.dupSpanReport(Tables(s, d, "documents"), 4)),
-    "q_span_scrub" -> ((s, d) =>
-      SpanDedup.scrub(Tables(s, d, "documents"), 4)),
-
-    // per-label prototype vectors (class centroids): same long-format
-    // two-agg shape as q_codebook_refine, straight off the scan
-    // label-centroid cosine matrix — geometry folds map-side to
-    // labels×dims before any pairing
-    "q_centroid_sim" -> ((s, d) =>
-      Similarity.centroidSimilarity(Tables(s, d, "embeddings"))),
-    // per-label medoid (exemplar nearest the centroid) — corpus shuffled
-    // once on label, deterministic (rounded cosine, vec_id) winner
-    "q_label_medoid" -> ((s, d) =>
-      Similarity.labelMedoids(Tables(s, d, "embeddings"))),
-    // shape census: explicit two-pass central moments (builtin
-    // skew/kurt bias variants disagree across engines)
-    "q_moments" -> ((s, d) =>
-      Audit.groupedMoments(Tables(s, d, "orders"),
-        "o_orderpriority", "o_totalprice")),
-    // per-part price trend: closed-form OLS in ONE aggregation, exact
-    // integer denominator
-    "q_group_trend" -> ((s, d) =>
-      TimeSeries.groupedTrend(Tables(s, d, "lineitem"),
-        "l_partkey", "l_shipdate", "l_extendedprice")),
-    "q_embed_centroids" -> ((s, d) =>
-      Tables(s, d, "embeddings")
-        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
-        .toDF("label", "dim", "x")
-        .groupBy(col("label"), col("dim"))
-        .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n"))),
-    // standard scaler: per-stratum (mu, sigma) broadcast back, z map-side
-    "q_standard_scale" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val stats = docs.groupBy(col("lang")).agg(
-        round(avg(col("n_chars")), 4).as("mu"),
-        round(stddev_samp(col("n_chars")), 4).as("sigma"))
-      docs.join(broadcast(stats), "lang")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z"))
-    }),
-    // grouped Pearson correlation (co-moment partials merge map-side)
-    "q_correlation" -> ((s, d) =>
-      Tables(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(corr(col("l_discount"), col("l_extendedprice")), 4).as("corr_disc_price"),
-          count(lit(1)).as("n"))),
-
-    // -- similarity search (north star)
-    // lexical retrieval — BM25 top-10 per query, the keyword complement
-    // to the ANN tier below
-    "q_bm25" -> ((s, d) =>
-      Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10)),
-    // exact phrase occurrences via positional postings: term-filtered
-    // (doc, start) relations equi-joined — the multi-word query BM25's
-    // bag-of-words cannot answer
-    "q_phrase_search" -> ((s, d) =>
-      Retrieval.phraseSearch(Tables(s, d, "documents"), Seq("data", "row"))),
-    // hybrid retrieval: BM25 top-10 ⊕ cosine top-10 fused by reciprocal
-    // rank fusion (c=60) — rank-space fusion needs no score calibration;
-    // queries 0-2 exist in both spaces because vec_id ≡ doc_id
-    "q_hybrid_rrf" -> ((s, d) =>
-      Retrieval.hybridRrf(
-        Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10),
-        Similarity.bruteForceTopK(s, d, 3, 10))),
-    // per-doc top-5 keywords by smoothed TF-IDF — map-side-combined term
-    // counts, broadcast vocabulary df, per-doc window cut
-    "q_tfidf_keywords" -> ((s, d) =>
-      Retrieval.tfidfKeywords(Tables(s, d, "documents"), 5)),
-    // per-doc 5-gram novelty (fraction of grams in no other doc) — df via
-    // window census over the gram, no join back
-    "q_ngram_novelty" -> ((s, d) =>
-      Retrieval.ngramNovelty(Tables(s, d, "documents"))),
-    // market-basket association rules: a-priori pruned, in-basket pair
-    // expansion (no self-join), lift from one broadcast scalar row
-    "q_assoc_rules" -> ((s, d) =>
-      Affinity.associationRules(Tables(s, d, "lineitem"),
-        "l_orderkey", "l_partkey", 3)),
-    // RFM quintile segmentation — ledger folds map-side to the customer
-    // dim; deterministic ntile tie-break by (metric, custkey)
-    "q_rfm" -> ((s, d) => Affinity.rfm(Tables(s, d, "orders"))),
-    // term co-occurrence + PMI over doc contexts (pairs seen >= 100 times)
-    "q_cooccurrence" -> ((s, d) =>
-      Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100)),
-    // the 100 TB-safe variant: presence capped to the top-50 df terms
-    // before the self-join, bounding per-doc pair blowup at C(50, 2)
-    "q_cooccurrence_topv" -> ((s, d) =>
-      Retrieval.cooccurrencePmi(Tables(s, d, "documents"), 100, Some(50))),
-    // skip-gram context windows: join-free map-side pair emission, the
-    // embedding-training counterpart of the document-level form
-    "q_cooccurrence_skipgram" -> ((s, d) =>
-      Retrieval.windowCooccurrence(Tables(s, d, "documents"), 3, 50)),
-    // TextRank: damped PageRank over the skip-gram term graph, 3
-    // checkpointed iterations over the vocabulary-bounded edge relation;
-    // per-generation scores rounded to 6 so engines iterate on identical
-    // inputs — top-20 graph-central corpus keywords
-    "q_textrank" -> ((s, d) =>
-      Retrieval.textrank(Tables(s, d, "documents"), 3, 50)),
-    // L2 normalization surface over the embedding column: norm via the
-    // native graft_dot fold, components order-free (min/max) for exact
-    // cross-engine double parity
-    // int8 scalar quantization (4x storage before ANN): per-dim corpus
-    // ranges folded to ONE broadcast row, coding map-side; floor(x+0.5)
-    // for cross-engine tie determinism
-    "q_embed_quantize" -> ((s, d) =>
-      Similarity.quantizeInt8(Tables(s, d, "embeddings"))),
-    "q_embed_normalize" -> ((s, d) => {
-      val v = col("embedding").cast("array<double>")
-      val n = Vectors.norm(col("embedding"))
-      Tables(s, d, "embeddings").select(col("vec_id"),
-        round(n, 4).as("l2_norm"),
-        round(element_at(v, 1) / n, 6).as("u0"),
-        round(array_min(v) / n, 6).as("u_min"),
-        round(array_max(v) / n, 6).as("u_max"))
-    }),
-    "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
-    // ADC search over the int8 codes: original queries vs map-side
-    // dequantized corpus — same single unshuffled corpus stage as brute
-    "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d, 10, 5)),
-    // semantic decontamination: vec_id < 50 stands in for the benchmark
-    // embeddings (mirroring q_decontaminate's doc-id split); max cosine
-    // computed map-side over the single broadcast benchmark row
-    "q_decontaminate_embed" -> ((s, d) =>
-      Similarity.embedDecontamination(s, d, 50, 0.35)),
-    // contrastive hard negatives: nearest neighbors with a DIFFERENT label
-    "q_ann_hardneg" -> ((s, d) => Similarity.hardNegativesTopK(s, d, 10, 5)),
-    "q_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d, 10, 5)),
-    "q_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d, 10, 5)),
-    // one distributed Lloyd update of the codebook: per-cell elementwise
-    // mean in LONG format (cell, dim, mean, n) — the training step that
-    // refines the sampled codebook into real k-means centroids. The
-    // repartition by cell is load-bearing: it materializes the O(C·d)
-    // argmax ONCE per vector at the exchange; without the barrier
-    // Catalyst collapses the cell projection into the post-explode
-    // aggregation and re-evaluates it per exploded row (64x). The same
-    // exchange already clusters by a prefix of the group keys, so the
-    // aggregation needs no second shuffle.
-    "q_codebook_refine" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      Quantize.withCodebook(emb, emb)
-        .select(Quantize.cellExpr(col("embedding"), col("cents")).as("cell"),
-          col("embedding").cast("array<double>").as("embedding"))
-        .repartition(col("cell"))
-        .select(col("cell"), posexplode(col("embedding")))
-        .toDF("cell", "dim", "x")
-        .groupBy(col("cell"), col("dim"))
-        .agg(round(avg(col("x")), 4).as("mean_x"), count(lit(1)).as("n"))
-    }),
-    // deterministic hash split for train/valid/test — reproducible across
-    // runs and engines (md5 of the id, not a sampled RNG)
-    "q_train_split" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"))
-        .withColumn("split", Sampling.splitExpr(col("bucket")))),
-    // k-fold CV assignment census: fold = md5(id) mod 5, per-fold size +
-    // mean doc length (one map-side column add + one agg; folds are a
-    // function of the id, stable across layout/engine/rerun)
-    "q_kfold" -> ((s, d) =>
-      Sampling.kfoldAssign(Tables(s, d, "documents"), "doc_id", 5)
-        .groupBy(col("fold"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("sum_chars"),
-          round(sum(col("n_chars")) / count(lit(1)).cast("double"), 4)
-            .as("avg_chars"))),
-    // split-leakage audit: how many normalized-text fingerprints appear
-    // in 1 / 2 / 3 hash splits — exact-duplicate leakage across
-    // train/valid/test, the in-corpus twin of benchmark decontamination
-    // (any n_splits > 1 row is a leak). Census form so the audit is a
-    // non-trivial row set even on a leak-free corpus. Two hash aggs over
-    // (fingerprint, split) pairs; nothing quadratic.
-    "q_split_leakage" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .select(graft.functions.Text.fingerprint(col("text")).as("fp"),
-          Sampling.splitExpr(Sampling.hashBucket(col("doc_id"))).as("split"))
-        .distinct()
-        .groupBy(col("fp"))
-        .agg(countDistinct(col("split")).cast("int").as("n_splits"))
-        .groupBy(col("n_splits"))
-        .agg(count(lit(1)).as("n_fingerprints"))),
-    // top event-type PATHS per session (first 8 events — paths are
-    // unbounded at scale, the prefix cap keeps the census bounded):
-    // session ids via the lag/running-sum shape, path assembled from the
-    // per-session sorted struct array, then a paths-bounded count fold
-    "q_session_paths" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gapMs = 30 * 60000L
-      val sess = Tables(s, d, "events")
-        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
-        .withColumn("new_s", when(col("prev_ms").isNull ||
-          unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
-        .withColumn("session_id", sum(col("new_s"))
-          .over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-      sess.groupBy(col("user_id"), col("session_id"))
-        .agg(concat_ws("->", slice(transform(
-          array_sort(collect_list(struct(unix_millis(col("ts")).as("ms"),
-            col("event_id").as("eid"), col("event_type").as("et")))),
-          e => e.getField("et")), 1, 8)).as("path"))
-        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
-        .filter(col("n_sessions") >= 3)
-    }),
-    // the ML tier's oracle row (M1-M3): closed-form two-feature OLS on the
-    // deterministic md5 train band (whole orders land together — a grouped
-    // split, like splitting by document). The iterative LinearRegression
-    // path is spec'd against this same solution in RegressionSpec.
-    "q_lr_coeffs" -> ((s, d) =>
-      graft.ml.Regression.closedFormCoeffs(
-        Tables(s, d, "lineitem")
-          .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
-        "l_quantity", "l_discount", "l_extendedprice")),
-    // k-fold CV regression in TWO passes: additive centered sums, each
-    // fold trained on complement sums (total - fold), no per-fold rescan
-    "q_cv_coeffs" -> ((s, d) =>
-      graft.ml.Regression.cvCoeffs(Tables(s, d, "lineitem"),
-        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice")),
-    // exact tie-corrected ROC-AUC — integer U statistic, the ordered
-    // window runs over DISTINCT scores only
-    "q_auc" -> ((s, d) =>
-      graft.ml.Logistic.auc(Tables(s, d, "orders"),
-        col("o_totalprice"), col("o_orderstatus") === "F")),
-    // exact PR curve from the same census — running tp/fp down the score
-    // order, integer-ratio precision/recall
-    "q_pr_curve" -> ((s, d) =>
-      graft.ml.Logistic.prCurve(Tables(s, d, "orders"),
-        col("o_totalprice"), col("o_orderstatus") === "F")),
-    // logistic regression by 3 full-batch GD steps — coefficient row
-    // carried as a broadcast (never collected), round-6 per step
-    "q_logreg" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-      val base = o.crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("mx"))))
-        .select(col("o_totalprice").as("price"),
-          datediff(col("mx"), col("o_orderdate")).cast("double").as("age"),
-          col("o_orderstatus"))
-      graft.ml.Logistic.fitGd(base, Seq("price", "age"),
-        col("o_orderstatus") === "F")
-    }),
-    // -- Naive Bayes text classifier (closed-form distributed fit): the
-    // smoothed labels×vocabulary model from the md5 train band, and the
-    // argmax language prediction for every document (OOV terms skipped)
-    "q_nb_model" -> ((s, d) =>
-      graft.ml.NaiveBayes.model(
-        Tables(s, d, "documents").filter(Sampling.hashBucket(col("doc_id")) < 90),
-        "lang", "text")),
-    "q_nb_predict" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      graft.ml.NaiveBayes.trainPredict(
-        docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
-        "lang", "doc_id", "text")
-    }),
-    // confusion-matrix census over the NB language predictions: per
-    // (true, predicted) counts + row share — the label-noise report
-    // (off-diagonal mass = mislabeled or genuinely ambiguous docs);
-    // predictions and truth join on id, totals broadcast back
-    "q_nb_confusion" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val j = graft.ml.NaiveBayes.trainPredict(
-          docs.filter(Sampling.hashBucket(col("doc_id")) < 90), docs,
-          "lang", "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("lang").as("true_label")),
-          "doc_id")
-      val tot = j.groupBy(col("true_label")).agg(count(lit(1)).as("n_true"))
-      j.groupBy(col("true_label"), col("pred_label"))
-        .agg(count(lit(1)).as("n_docs"))
-        .join(broadcast(tot), "true_label")
-        .select(col("true_label"), col("pred_label"), col("n_docs"),
-          round(col("n_docs") / col("n_true").cast("double"), 6)
-            .as("row_share"))
-    }),
-    // -- hashing-trick featurization (no vocabulary, pure map-side);
-    // flattened to f0..f31 scalar columns for the oracle compare (the
-    // minhash-signature convention)
-    "q_feature_hash" -> ((s, d) =>
-      graft.ml.Features.hashedTokenCounts(
-        Tables(s, d, "documents"), "doc_id", "text", dim = 32)
-        .select(col("id") +: (0 until 32).map(i =>
-          element_at(col("features"), i + 1).as(s"f$i")): _*)),
-    // -- distribution drift between two deterministic corpus halves:
-    // per-bin PSI contributions over the n_chars distribution
-    "q_drift_psi" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
-      Drift.psiReport(
-        docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50),
-        col("n_chars"), binWidth = 100.0)
-    }),
-    // categorical (vocabulary) drift between the same snapshot halves:
-    // per-term Jensen-Shannon contributions over top-20 terms + ¤other
-    "q_drift_vocab" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
-      Drift.vocabDrift(
-        docs.filter(col("bucket") < 50), docs.filter(col("bucket") >= 50), 20)
-    }),
-    // -- k-anonymity: quasi-identifier census + cell suppression
-    "q_k_anon" -> ((s, d) =>
-      Privacy.kAnonymityCensus(Tables(s, d, "customer"),
-        Seq("c_mktsegment", "c_nationkey"), k = 10)),
-    // l-diversity: uniform-group leak census over the same QI tuple
-    "q_l_diversity" -> ((s, d) =>
-      Privacy.lDiversityCensus(Tables(s, d, "customer"),
-        Seq("c_mktsegment"), "c_nationkey", minL = 5)),
-    "q_k_anon_suppress" -> ((s, d) =>
-      Privacy.kAnonymize(
-        Tables(s, d, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
-            col("c_acctbal")),
-        Seq("c_mktsegment", "c_nationkey"), k = 10)),
-    // -- z-order (Morton) values over two integral dims: the 2-D zone-map
-    // layout key (lake.ZOrder.writeZOrdered range-partitions on it)
-    "q_zorder" -> ((s, d) =>
-      graft.lake.ZOrder.withZValue(
-        Tables(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
-        "l_partkey", "l_suppkey", bits = 8)),
-    // zone-map effectiveness census: 32 orderkey-band "files", footer
-    // min/max of shipdate vs a 1994 range scan → pruned / full / partial
-    // zone classes with row masses — the is-this-layout-worth-it report
-    "q_zonemap_prune" -> ((s, d) =>
-      graft.lake.ZOrder.zoneMapReport(Tables(s, d, "lineitem"),
-        "l_orderkey", col("l_shipdate").cast("string"),
-        lit("1994-01-01"), lit("1994-12-31"))),
-    // SCD2 dimension merge: a deterministic update batch (changed /
-    // unchanged / brand-new keys) against the customer snapshot — changed
-    // keys close + reopen, unchanged pass through, new keys open; one
-    // full-outer equi-join, null-safe struct compare map-side
-    "q_scd2" -> ((s, d) => {
-      val cust = Tables(s, d, "customer")
-      val attrs = Seq("c_name", "c_mktsegment", "c_acctbal")
-      val current = cust.select(col("c_custkey"), col("c_name"),
-        col("c_mktsegment"), col("c_acctbal"),
-        lit("2024-01-01").cast("timestamp").as("valid_from"),
-        lit(null).cast("timestamp").as("valid_to"))
-      val updates = cust.filter(col("c_custkey") % 5 === 0)
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-            (col("c_acctbal") + 100).as("c_acctbal"))
-        .unionByName(cust
-          .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 5 =!= 0)
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-            col("c_acctbal")))
-        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
-            lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
-      Evolve.scd2Merge(current, updates, "c_custkey", attrs,
-        lit("2024-06-01").cast("timestamp"))
-    }),
-    // data-quality rule report: five declarative checks over lineitem in
-    // ONE map-side-combinable scan (null predicate = violation)
-    "q_dq_report" -> ((s, d) =>
-      Audit.ruleReport(Tables(s, d, "lineitem"), Seq(
-        "quantity_in_range" -> col("l_quantity").between(1, 50),
-        "discount_in_range" -> col("l_discount").between(0, 0.1),
-        "price_positive" -> (col("l_extendedprice") > 0),
-        "shipdate_present" -> col("l_shipdate").isNotNull,
-        "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
-    // robust outliers: per-priority MAD census, stats broadcast between
-    // the two exact-percentile passes, thresholds on ROUNDED stats
-    "q_mad_outliers" -> ((s, d) =>
-      Audit.madOutliers(Tables(s, d, "orders"),
-        "o_orderpriority", "o_totalprice")),
-    // Benford first-digit screen over order totals — one scan, 9 rows out
-    "q_benford" -> ((s, d) =>
-      Audit.benfordReport(Tables(s, d, "orders"), "o_totalprice")),
-    // chi-square independence: contingency cells + marginal window sums
-    // over the CELL relation, double-cast before the marginal product
-    "q_chi2_indep" -> ((s, d) =>
-      Audit.chiSquareIndependence(Tables(s, d, "lineitem"),
-        "l_returnflag", "l_linestatus")),
-    // one-row effect size: Cramér's V from the chi2 cell relation
-    "q_cramers_v" -> ((s, d) =>
-      Audit.cramersV(Tables(s, d, "lineitem"),
-        "l_returnflag", "l_linestatus")),
-    // per-cell mutual information — observed cells only (0 ln 0 = 0),
-    // marginals as window sums over the cell relation
-    "q_mutual_info" -> ((s, d) =>
-      Audit.mutualInformation(Tables(s, d, "lineitem"),
-        "l_returnflag", "l_linestatus")),
-    // column entropy/top-share profile — all columns in ONE stacked scan
-    "q_entropy_profile" -> ((s, d) =>
-      Audit.entropyProfile(Tables(s, d, "lineitem"),
-        Seq("l_returnflag", "l_linestatus", "l_linenumber"))),
-    // calibration by score decile — order-statistic ranges + integer
-    // event rates, deterministic ntile tie-break
-    "q_calibration" -> ((s, d) =>
-      Audit.calibrationByDecile(Tables(s, d, "orders"), "o_orderkey",
-        "o_totalprice", col("o_orderstatus") === "F")),
-    // binning-free drift: exact two-sample KS over integer-ratio ECDFs,
-    // the only sort over DISTINCT values
-    "q_ks_drift" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-      Drift.ksStatistic(o.filter(col("o_orderstatus") === "F"),
-        o.filter(col("o_orderstatus") === "O"), "o_totalprice")
-    }),
-    // metric stability: md5-bucket pseudo-replicas, subtract-mean-first
-    // variance on rounded replica means
-    "q_metric_stability" -> ((s, d) =>
-      Audit.metricStability(Tables(s, d, "orders"), "o_orderkey",
-        "o_totalprice")),
-    // curriculum shards: equal-token-budget easy->hard cuts, all-integer
-    // boundaries; census per shard
-    "q_curriculum" -> ((s, d) =>
-      Sampling.curriculumShards(Tables(s, d, "documents"),
-        graft.functions.Text.tokenCount(col("text")), 8)
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("sum_tokens"),
-          min(col("difficulty")).as("d_min"),
-          max(col("difficulty")).as("d_max"))),
-    // referential-integrity audit vs a deterministically LOSSY dimension
-    // (every third customer dropped): orphaned orders per status — the
-    // anti join broadcasts the dim key set
-    "q_dq_orphans" -> ((s, d) =>
-      Audit.referentialOrphans(Tables(s, d, "orders"),
-          Tables(s, d, "customer").filter(col("c_custkey") % 3 =!= 0),
-          "o_custkey", "c_custkey")
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orphans"),
-          countDistinct(col("o_custkey")).as("n_orphan_keys"))),
-    // point-in-time SCD2 resolution: orders resolve the customer VERSION
-    // valid at their order date (v1 before 1996-01-01 for %5 keys whose
-    // balance then changed, v2 after) — equi-join on key, range residual
-    "q_scd2_lookup" -> ((s, d) => {
-      val cust = Tables(s, d, "customer")
-      val v1 = cust.select(col("c_custkey"), col("c_acctbal"),
-        lit("1994-01-01").cast("timestamp").as("valid_from"),
-        when(col("c_custkey") % 5 === 0, lit("1996-01-01").cast("timestamp"))
-          .otherwise(lit(null).cast("timestamp")).as("valid_to"))
-      val v2 = cust.filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
-          lit("1996-01-01").cast("timestamp").as("valid_from"),
-          lit(null).cast("timestamp").as("valid_to"))
-      val fact = Tables(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
-          col("o_orderdate").cast("timestamp").as("odate"))
-      Evolve.scd2Lookup(fact, v1.unionByName(v2), "c_custkey", "odate")
-        .select(col("o_orderkey"), col("c_custkey"), col("odate"),
-          col("c_acctbal"), col("valid_from"))
-    }),
-    // snapshot diff (write-audit-publish): row-level added / removed /
-    // changed / same between two deterministic snapshots of customer
-    "q_snapshot_diff" -> ((s, d) => {
-      val cust = Tables(s, d, "customer")
-      val attrs = Seq("c_name", "c_mktsegment", "c_acctbal")
-      val after = cust.filter(col("c_custkey") % 13 =!= 0)
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100)
-            .otherwise(col("c_acctbal")).as("c_acctbal"))
-        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
-            col("c_mktsegment"), col("c_acctbal")))
-      Evolve.snapshotDiff(cust, after, "c_custkey", attrs)
-    }),
-    // GDPR erasure cascade census: tombstoned customers (%97 stand-in for
-    // the request batch) → orders by custkey → lineitem by orderkey relay;
-    // broadcast key sets, one conditional-count pass per table
-    "q_forget" -> ((s, d) =>
-      Evolve.forgetCensus(Tables(s, d, "customer"), Tables(s, d, "orders"),
-        Tables(s, d, "lineitem"), col("c_custkey") % 97 === 0)),
-    // pre-flight join blowup estimate for the lineitem self-join on
-    // partkey: Σ ca·cb + the worst key's share, WITHOUT running the join
-    "q_join_cardinality" -> ((s, d) =>
-      Audit.joinCardinality(Tables(s, d, "lineitem"),
-        Tables(s, d, "lineitem"), "l_partkey", "l_partkey")),
-    // MERGE upsert: deterministic change batch (updates %7, deletes %13,
-    // inserts %11 shifted keys) applied to customer — zero full-table
-    // shuffle: both legs run against broadcast batch-bounded key sets
-    "q_merge_upsert" -> ((s, d) => {
-      val cust = Tables(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-          col("c_acctbal"))
-      val batch = cust
-        .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 13 =!= 0)
-        .select(col("c_custkey"), lit(false).as("deleted"), col("c_name"),
-          col("c_mktsegment"), (col("c_acctbal") + 50).as("c_acctbal"))
-        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
-          .select(col("c_custkey"), lit(true).as("deleted"), col("c_name"),
-            col("c_mktsegment"), col("c_acctbal")))
-        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 2000000).as("c_custkey"),
-            lit(false).as("deleted"), col("c_name"), col("c_mktsegment"),
-            col("c_acctbal")))
-      Evolve.mergeUpsert(cust, batch, "c_custkey")
-    }),
-    // anti-entropy fingerprint: 64 (bucket, count, XOR-of-row-hash) rows
-    // — two replicas compare by exchanging 64 rows, not the table
-    "q_table_checksum" -> ((s, d) =>
-      Audit.tableChecksum(Tables(s, d, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus"))),
-    // Gini concentration of orders-per-customer — exact, via the value
-    // census (tie-invariance collapses the global rank; the only sort is
-    // census-sized)
-    "q_gini_orders" -> ((s, d) =>
-      Audit.giniByKeyCount(Tables(s, d, "orders"), "o_custkey")),
-    // source-level overlap matrix: pairwise Jaccard between per-source
-    // distinct shingle sets — which FEEDS mirror each other (sparse:
-    // zero-overlap pairs are absent by construction)
-    "q_source_overlap" -> ((s, d) =>
-      FuzzyJoin.groupOverlap(Tables(s, d, "documents"), "source")),
-    // -- multimodal (north star; codec stubbed, plumbing real)
-    "q_mm_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
-    "q_mm_hist" -> ((s, d) => Multimodal.byteHistogramFeatures(s, d)),
-    "q_mm_resize" -> ((s, d) => Multimodal.resizeFeatures(s, d)),
-    "q_mm_frames" -> ((s, d) => Multimodal.frameSampleFeatures(s, d)),
-    // 1-D dHash fingerprint — exact integer cell-mean comparisons
-    "q_mm_phash" -> ((s, d) => Multimodal.dhashSignature(s, d)),
-    // multimodal near-dup pairs: dHash through the SimHash chunk banding
-    "q_mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
-  )
-
-  // ------------------------------------------------------------ oracle SQL
+  /** Union of the per-family registry slices (see graft.registry.*). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalRegistry.queries ++
+    MonitoringRegistry.queries ++
+    TextAnalysisRegistry.queries ++
+    DedupRegistry.queries ++
+    SimilarityRegistry.queries ++
+    MiscRegistry.queries ++
+    MultimodalRegistry.queries
 
   /** DuckDB-runnable ANSI SQL per query; same parquet tables, same column
     * aliases, same rounding, same injected NULLs. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q_select_project" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
-    "q_derived_column" ->
-      "SELECT p_partkey, p_retailprice, round(p_retailprice * 1.1, 2) AS price_with_tax FROM part",
-    "q_rename_drop" ->
-      "SELECT s_suppkey, s_name AS supplier_name, s_acctbal FROM supplier",
-
-    "q_filter_sql" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice <= 20000",
-    "q_filter_conj" ->
-      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 20000 AND o_totalprice >= 15000",
-    "q_filter_neg" ->
-      "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice <= 20000)",
-    "q_filter_contains" ->
-      "SELECT doc_id, lang FROM documents WHERE position('spark window' IN text) > 0",
-    "q_filter_endswith" ->
-      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%D'",
-
-    "q_limit_ordered" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 14",
-
-    "q_groupby_sum" ->
-      "SELECT event_type, round(sum(value), 2) AS sum_value FROM events GROUP BY event_type",
-    "q_groupby_avg" ->
-      "SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_acctbal FROM customer GROUP BY c_mktsegment",
-    "q_groupby_count" ->
-      "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
-    "q_global_agg" -> "SELECT round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
-    "q_describe" ->
-      """SELECT 'l_quantity' AS "column", count(l_quantity) AS count,
-        |  round(avg(l_quantity), 4) AS mean, round(stddev_samp(l_quantity), 4) AS stddev,
-        |  min(l_quantity) AS min, max(l_quantity) AS max FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice', count(l_extendedprice), round(avg(l_extendedprice), 4),
-        |  round(stddev_samp(l_extendedprice), 4), min(l_extendedprice), max(l_extendedprice) FROM lineitem
-        |UNION ALL
-        |SELECT 'l_discount', count(l_discount), round(avg(l_discount), 4),
-        |  round(stddev_samp(l_discount), 4), min(l_discount), max(l_discount) FROM lineitem""".stripMargin,
-    "q_distinct_by" ->
-      "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey FROM lineitem GROUP BY l_returnflag",
-    // the oracle computes the EXACT side and asserts the sketch's error
-    // bound holds; Spark's sketch feeds only the boolean (see
-    // Aggregates.approxDistinctCheck / approxQuantilesCheck)
-    "q_approx_distinct" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
-        |  TRUE AS within_rsd
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_approx_quantiles" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_hll_rollup" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
-        |  TRUE AS within_bound
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_kll_rollup" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
-        |  FROM documents),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM toks),
-        |c AS (SELECT item, CAST(count(*) AS BIGINT) AS est FROM toks GROUP BY item)
-        |SELECT c.item, c.est FROM c CROSS JOIN n
-        |WHERE c.est >= (100 * n.n_stream + 9999) // 10000""".stripMargin,
-    "q_theta_overlap" ->
-      """WITH a AS (SELECT DISTINCT l_partkey AS v FROM lineitem
-        |           WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'),
-        |b AS (SELECT DISTINCT l_partkey AS v FROM lineitem
-        |      WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
-        |SELECT
-        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
-        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
-        |  CAST((SELECT count(*) FROM a JOIN b USING (v)) AS BIGINT) AS exact_overlap,
-        |  CAST((SELECT count(*) FROM a ANTI JOIN b USING (v)) AS BIGINT) AS exact_only_a,
-        |  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_overlap, TRUE AS ok_only_a""".stripMargin,
-    "q_pivot" ->
-      """SELECT user_id % 100 AS user_bucket,
-        |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0) AS click,
-        |  coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0) AS view,
-        |  coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0) AS purchase,
-        |  coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0) AS error,
-        |  coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0) AS signup
-        |FROM events GROUP BY user_id % 100""".stripMargin,
-    "q_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, measure, value FROM
-        |  (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
-        |   FROM lineitem)
-        |UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))""".stripMargin,
-    "q_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-        |  (l_returnflag), ())""".stripMargin,
-    "q_argmax" ->
-      """WITH o AS (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
-        |      + o_orderkey AS ord
-        |  FROM orders)
-        |SELECT o_orderpriority,
-        |  arg_max(o_orderkey, ord) AS max_price_order,
-        |  arg_min(o_orderkey, ord) AS min_price_order,
-        |  round(max(o_totalprice), 2) AS max_price
-        |FROM o GROUP BY o_orderpriority""".stripMargin,
-    "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |  count(*) AS count
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-
-    "q_cube" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |  count(*) AS count
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
-    "q_percentiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_winsorize" ->
-      """WITH thr AS (
-        |  SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.01), 4) AS lo,
-        |    round(quantile_cont(l_extendedprice, 0.99), 4) AS hi
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
-        |  least(greatest(l_extendedprice, lo), hi) AS clipped
-        |FROM lineitem l JOIN thr ON l.l_returnflag = thr.l_returnflag""".stripMargin,
-    "q_describe_str" ->
-      """SELECT count(c_mktsegment) AS count,
-        |  count(DISTINCT c_mktsegment) AS "distinct",
-        |  min(c_mktsegment) AS min, max(c_mktsegment) AS max
-        |FROM customer""".stripMargin,
-
-    "q_na_drop_any" ->
-      s"""SELECT * FROM ($nulledEventsSql)
-         |WHERE value_n IS NOT NULL AND props_n IS NOT NULL AND user_n IS NOT NULL""".stripMargin,
-    // how="all" drops only rows where EVERY column is NULL; event_id is
-    // never NULL, so the relation is unchanged — that no-op IS the golden
-    // (same as the reference's test2.csv cell, pyspark-2.ipynb:186).
-    "q_na_drop_all" -> s"SELECT * FROM ($nulledEventsSql)",
-    "q_na_drop_thresh" ->
-      s"""SELECT * FROM ($nulledEventsSql)
-         |WHERE (CASE WHEN value_n IS NOT NULL THEN 1 ELSE 0 END)
-         |    + (CASE WHEN props_n IS NOT NULL THEN 1 ELSE 0 END)
-         |    + (CASE WHEN user_n IS NOT NULL THEN 1 ELSE 0 END) + 1 >= 2""".stripMargin,
-    "q_na_drop_subset" ->
-      s"SELECT * FROM ($nulledEventsSql) WHERE value_n IS NOT NULL",
-    "q_na_fill" ->
-      s"SELECT event_id, coalesce(props_n, 'missing') AS props_n FROM ($nulledEventsSql)",
-    "q_impute_mean" ->
-      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
-         |SELECT event_id,
-         |  round(coalesce(value_n, (SELECT avg(value_n) FROM base)), 2) AS value_imputed
-         |FROM base""".stripMargin,
-    // exact interpolated median: Spark percentile(c, 0.5) == DuckDB
-    // quantile_cont(c, 0.5)
-    "q_impute_median" ->
-      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
-         |SELECT event_id,
-         |  round(coalesce(value_n, (SELECT quantile_cont(value_n, 0.5) FROM base)), 2) AS value_imputed
-         |FROM base""".stripMargin,
-    // mode with the deterministic tie-break Spark's mode(col, true) uses:
-    // highest frequency, LOWEST value on ties.
-    "q_impute_mode" ->
-      s"""WITH base AS (SELECT event_id, value_n FROM ($nulledEventsSql))
-         |SELECT event_id,
-         |  round(coalesce(value_n,
-         |    (SELECT value_n FROM base WHERE value_n IS NOT NULL
-         |     GROUP BY value_n ORDER BY count(*) DESC, value_n LIMIT 1)), 2) AS value_imputed
-         |FROM base""".stripMargin,
-
-    "q_join_dims" ->
-      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin,
-    "q_join_topk" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q_join_suppnation" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
-    "q_join_anti" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-    "q_join_semi" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-    "q_sql_scalar_subquery" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
-
-    "q_window_topk" ->
-      """SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_in_priority
-        |  FROM orders)
-        |WHERE rank_in_priority <= 3""".stripMargin,
-    "q_window_running" ->
-      """WITH daily AS (
-        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
-        |    sum(l_extendedprice) AS day_revenue
-        |  FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE))
-        |SELECT l_returnflag, ship_day, round(day_revenue, 2) AS day_revenue,
-        |  round(sum(day_revenue) OVER (PARTITION BY l_returnflag ORDER BY ship_day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
-        |FROM daily""".stripMargin,
-
-    "q_setops_except" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-        |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
-    "q_setops_intersect" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-        |INTERSECT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
-    "q_setops_union" ->
-      """SELECT DISTINCT user_id FROM (
-        |  SELECT user_id FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
-    "q_window_lag" ->
-      """WITH daily AS (
-        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
-        |    round(sum(l_extendedprice), 2) AS day_revenue
-        |  FROM lineitem GROUP BY CAST(l_shipdate AS DATE))
-        |SELECT ship_day, day_revenue,
-        |  lag(day_revenue, 1) OVER (PARTITION BY date_part('year', ship_day)
-        |    ORDER BY ship_day) AS prev_revenue,
-        |  round(day_revenue - coalesce(lag(day_revenue, 1) OVER (
-        |    PARTITION BY date_part('year', ship_day) ORDER BY ship_day), 0), 2) AS delta
-        |FROM daily""".stripMargin,
-    "q_date_parts" ->
-      """SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(date_part('month', o_orderdate) AS INTEGER) AS o_month,
-        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
-        |FROM orders GROUP BY 1, 2""".stripMargin,
-    "q_string_fns" ->
-      """SELECT c_custkey,
-        |  upper(substring(c_name, 1, 8)) AS name_prefix,
-        |  CAST(length(c_name) AS INTEGER) AS name_len,
-        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
-        |  regexp_replace(c_name, '[#0-9]+', '*', 'g') AS name_masked
-        |FROM customer""".stripMargin,
-
-    "q_alert_volume" ->
-      """SELECT window_start, total_value, n_events,
-        |  CAST(CASE WHEN total_value > 1200.0 THEN 0
-        |            WHEN total_value > 900.0 THEN 1
-        |            WHEN total_value > 600.0 THEN 2
-        |            WHEN total_value > 450.0 THEN 3
-        |            ELSE 4 END AS INTEGER) AS severity
-        |FROM (
-        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-        |    round(sum(value), 2) AS total_value, count(*) AS n_events
-        |  FROM events
-        |  GROUP BY time_bucket(INTERVAL '5 minutes', ts)
-        |  HAVING round(sum(value), 2) > 300)""".stripMargin,
-    // sliding window (10 min length, 5 min slide): each event belongs to
-    // exactly two 5-min-aligned window starts — its bucket and bucket-5min.
-    "q_alert_sliding" ->
-      """WITH w AS (
-        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
-        |  UNION ALL
-        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events)
-        |SELECT window_start, round(sum(value), 2) AS total_value, count(*) AS n_events
-        |FROM w GROUP BY window_start
-        |HAVING round(sum(value), 2) > 600""".stripMargin,
-    "q_json_struct" ->
-      """SELECT event_type,
-        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin,
-    "q_alert_operation" ->
-      """SELECT user_id, count(*) AS n_matches FROM events
-        |WHERE position('error' IN lower(event_type)) > 0
-        |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
-    "q_alert_op_windowed" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-        |  user_id, count(*) AS n_matches
-        |FROM events
-        |WHERE position('error' IN lower(event_type)) > 0
-        |GROUP BY 1, 2""".stripMargin,
-    "q_funnel" ->
-      """SELECT c.user_id, c.event_id AS click_id,
-        |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms,
-        |  p.value AS purchase_value
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id
-        |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
-        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
-    "q_bloom_join" ->
-      """SELECT l_suppkey, s_name, round(sum(l_quantity), 2) AS sum_qty,
-        |  count(*) AS n_rows
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_acctbal > 7500
-        |GROUP BY l_suppkey, s_name""".stripMargin,
-    // the oracle pays the quadratic cross join the Spark side exists to
-    // avoid — over DISTINCT names it is 64², checkable
-    "q_fuzzy_pairs" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
-        |SELECT least(a.p_name, b.p_name) AS value_a,
-        |  greatest(a.p_name, b.p_name) AS value_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM n a JOIN n b ON a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
-    // deliberately the BRUTE-FORCE formulation (no prefix filter): the
-    // Spark side's prefix-filtered candidates must reproduce the full
-    // threshold join exactly — the losslessness claim IS the compare
-    "q_setsim_exact" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, list_distinct(sh) AS s FROM ($shinglesSql)
-         |  WHERE len(sh) > 0)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
-         |    AS jaccard
-         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
-    "q_asof" ->
-      """WITH u AS (
-        |  SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
-        |    event_id AS purchase_id, value AS purchase_value,
-        |    CAST(NULL AS BIGINT) AS asof_click_id, CAST(NULL AS BIGINT) AS asof_click_ms
-        |  FROM events WHERE event_type = 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, epoch_ms(ts), 0, NULL, NULL, event_id, epoch_ms(ts)
-        |  FROM events WHERE event_type = 'click'),
-        |c AS (
-        |  SELECT k, t, side, purchase_id, purchase_value,
-        |    last_value(asof_click_id IGNORE NULLS) OVER w AS asof_click_id,
-        |    last_value(asof_click_ms IGNORE NULLS) OVER w AS asof_click_ms
-        |  FROM u
-        |  WINDOW w AS (PARTITION BY k ORDER BY t, side, asof_click_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT k AS user_id, t AS purchase_ms, purchase_id, purchase_value,
-        |  asof_click_id, asof_click_ms
-        |FROM c WHERE side = 1 AND asof_click_id IS NOT NULL""".stripMargin,
-
-    "q_sessions" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
-        |f AS (
-        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-        |  FROM ev),
-        |g AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM f),
-        |s AS (
-        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
-        |  FROM g)
-        |SELECT user_id, session_id,
-        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
-
-    // session_window semantics: windows [t, t+gap) merge on OVERLAP, so a
-    // gap of exactly 30 min SPLITS (>=), unlike the lag formulation's >
-    "q_sessions_window" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
-        |f AS (
-        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-        |  FROM ev),
-        |g AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM f),
-        |s AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM g)
-        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
-
-    "q_json_extract" ->
-      """SELECT event_type,
-        |  round(avg(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
-        |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q_ingest_manifest" ->
-      """SELECT href,
-        |  'airbnb/spain/' || lang || '_' || source || '_d' || CAST(doc_id AS VARCHAR)
-        |    || '.csv' AS blob_path
-        |FROM (SELECT 'https://insideairbnb.example.com/spain/' || lang || '/'
-        |        || source || '/2024-01-01/data/d' || CAST(doc_id AS VARCHAR)
-        |        || '.csv' AS href, lang, source, doc_id
-        |      FROM documents)
-        |WHERE position('spain' IN href) > 0 AND href LIKE '%.csv'
-        |ORDER BY href LIMIT 14""".stripMargin,
-
-    "q_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
-        |FROM documents""".stripMargin,
-    "q_token_count_bpe" ->
-      s"""SELECT doc_id,
-         |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens_ws,
-         |  CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS INTEGER) AS n_tokens_bpe
-         |FROM documents""".stripMargin,
-    "q_text_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  round(length(text) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
-        |  round(len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-        |  round(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
-        |  round(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to','it')))
-        |    / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio
-        |FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
-        |      FROM documents)""".stripMargin,
-    "q_lang_id" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is','in','to','it'))) AS INTEGER) AS s_en,
-        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','de','et','un','une','est'))) AS INTEGER) AS s_fr,
-        |    CAST(len(list_filter(toks, t -> t IN ('el','los','las','de','y','un','una','es'))) AS INTEGER) AS s_es,
-        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS INTEGER) AS s_de,
-        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS s_zh
-        |  FROM (SELECT doc_id, lang, text,
-        |          string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents))
-        |SELECT doc_id, lang, s_en, s_fr, s_es, s_de, s_zh,
-        |  CASE
-        |    WHEN s_en > 0 AND s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
-        |    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
-        |    WHEN s_es > 0 AND s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
-        |    WHEN s_de > 0 AND s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
-        |    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
-        |    ELSE 'und' END AS predicted
-        |FROM scored""".stripMargin,
-    "q_bpe_pairs" ->
-      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS word
-         |           FROM documents),
-         |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
-         |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, n
-         |      FROM (SELECT word, n, unnest(range(1, len(word))) AS i FROM wc))
-         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs
-         |FROM p GROUP BY pair HAVING sum(n) >= 20""".stripMargin,
-    // add-α trigram LM replayed end-to-end: counts, smoothing constants,
-    // unseen-gram mass, per-doc mean NLL; ppl exponentiates the ROUNDED
-    // nll on both sides so sum-order drift can't amplify through exp
-    "q_lm_score" ->
-      s"""WITH $lmScoreSql
-         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, avg_nll,
-         |  round(exp(avg_nll), 4) AS ppl
-         |FROM s""".stripMargin,
-    // the CCNet gate stage: keep docs at-or-below their language's median
-    // NLL under the reference LM — threshold on the ROUNDED score
-    "q_lm_gate" ->
-      s"""WITH $lmScoreSql,
-         |sl AS (SELECT s.doc_id, d.lang, s.avg_nll
-         |       FROM s JOIN documents d ON s.doc_id = d.doc_id),
-         |th AS (SELECT lang, round(quantile_cont(avg_nll, 0.5), 4) AS thr
-         |       FROM sl GROUP BY lang)
-         |SELECT doc_id, lang, avg_nll, thr FROM sl JOIN th USING (lang)
-         |WHERE avg_nll <= thr""".stripMargin,
-    "q_fingerprint" ->
-      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents""".stripMargin,
-    "q_split_leakage" ->
-      s"""WITH fs AS (
-         |  SELECT DISTINCT
-         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-         |    CASE WHEN CAST(($md5BucketSql) % 100 AS INTEGER) < 90 THEN 'train'
-         |         WHEN CAST(($md5BucketSql) % 100 AS INTEGER) < 95 THEN 'valid'
-         |         ELSE 'test' END AS split
-         |  FROM documents),
-         |per_fp AS (
-         |  SELECT fp, CAST(count(DISTINCT split) AS INTEGER) AS n_splits
-         |  FROM fs GROUP BY fp)
-         |SELECT n_splits, count(*) AS n_fingerprints
-         |FROM per_fp GROUP BY n_splits""".stripMargin,
-    "q_session_paths" ->
-      """WITH w AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_ms
-        |  FROM events),
-        |f AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL
-        |      OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s
-        |  FROM w),
-        |sess AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM f),
-        |paths AS (
-        |  SELECT user_id, session_id,
-        |    array_to_string(list_slice(
-        |      list(event_type ORDER BY ts, event_id), 1, 8), '->') AS path
-        |  FROM sess GROUP BY user_id, session_id)
-        |SELECT path, count(*) AS n_sessions
-        |FROM paths GROUP BY path HAVING count(*) >= 3""".stripMargin,
-    "q_text_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token)
-        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens_total,
-        |  count(*) AS n_distinct_tokens,
-        |  round(count(*) / CAST(sum(n) AS DOUBLE), 4) AS distinct_ratio,
-        |  round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_token_share
-        |FROM tf GROUP BY doc_id""".stripMargin,
-
-    "q_chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |           FROM documents),
-        |c AS (SELECT doc_id, t,
-        |        unnest(range(0, 1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INT))) AS chunk_id
-        |      FROM t)
-        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
-        |  array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
-        |  CAST(len(t[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INTEGER) AS n_chunk_tokens
-        |FROM c""".stripMargin,
-
-    "q_quality_gate" ->
-      s"""WITH s AS (SELECT doc_id, lang,
-         |  CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS INTEGER) AS score
-         |  FROM documents),
-         |th AS (SELECT lang, round(quantile_cont(score, 0.5), 4) AS thr
-         |       FROM s GROUP BY lang)
-         |SELECT doc_id, lang, score, thr FROM s JOIN th USING (lang)
-         |WHERE score >= thr""".stripMargin,
-
-    "q_source_stats" ->
-      s"""WITH $sourceRepSql
-         |SELECT source, n_docs, round(avg_s, 4) AS avg_score,
-         |  round(avg_s, 4) >= round(global_s, 4) AS keep
-         |FROM st, g""".stripMargin,
-    "q_source_gate" ->
-      s"""WITH $sourceRepSql,
-         |kept AS (SELECT source FROM st, g
-         |         WHERE round(avg_s, 4) >= round(global_s, 4))
-         |SELECT doc_id, source, lang FROM documents
-         |WHERE source IN (SELECT source FROM kept)""".stripMargin,
-
-    "q_bm25" -> bm25Sql,
-    "q_phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS arr
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS p
-        |  FROM toks)
-        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-        |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-        |WHERE a.w = 'data' AND b.w = 'row'
-        |GROUP BY a.doc_id""".stripMargin,
-    "q_hybrid_rrf" ->
-      s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
-         |sem AS (SELECT * FROM (${annSql(cellRestricted = false, 3, 10)})),
-         |fused AS (
-         |  SELECT COALESCE(l.query_id, s.q_id) AS query_id,
-         |    COALESCE(l.doc_id, s.vec_id) AS doc_id,
-         |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank),
-         |        CAST(0 AS DOUBLE))
-         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank),
-         |        CAST(0 AS DOUBLE)), 6) AS rrf,
-         |    l.rank AS lex_rank, s.rank AS sem_rank
-         |  FROM lex l FULL OUTER JOIN sem s
-         |    ON l.query_id = s.q_id AND l.doc_id = s.vec_id)
-         |SELECT query_id, doc_id, rrf, lex_rank, sem_rank,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
-         |FROM fused""".stripMargin,
-    "q_tfidf_keywords" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |stats AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT doc_id, term, tf,
-        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
-        |  FROM tf JOIN dft USING (term) CROSS JOIN stats)
-        |SELECT doc_id, term, tf, score,
-        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
-        |FROM scored QUALIFY rank <= 5""".stripMargin,
-    "q_ngram_novelty" ->
-      """WITH g AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(range(1, len(t) - 3),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-        |             t[i+3] || ' ' || t[i+4])) AS sh
-        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |          FROM documents)
-        |    WHERE len(t) >= 5)),
-        |c AS (SELECT sh, count(*) AS df FROM g GROUP BY 1)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
-        |FROM g JOIN c USING (sh)
-        |GROUP BY 1""".stripMargin,
-    "q_assoc_rules" ->
-      """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
-        |f AS (
-        |  SELECT item, CAST(count(*) AS BIGINT) AS supp FROM b
-        |  GROUP BY 1 HAVING count(*) >= 3),
-        |bf AS (SELECT basket, item, supp FROM b JOIN f USING (item)),
-        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
-        |pr AS (
-        |  SELECT x.item AS item_a, y.item AS item_b,
-        |    x.supp AS supp_a, y.supp AS supp_b,
-        |    CAST(count(*) AS BIGINT) AS pair_supp
-        |  FROM bf x JOIN bf y ON x.basket = y.basket AND x.item < y.item
-        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
-        |SELECT item_a, item_b, pair_supp, supp_a, supp_b,
-        |  round(CAST(pair_supp AS DOUBLE) / supp_a, 6) AS conf_ab,
-        |  round(CAST(pair_supp AS DOUBLE) / supp_b, 6) AS conf_ba,
-        |  round(CAST(pair_supp AS DOUBLE) * n_baskets / (supp_a * supp_b), 6)
-        |    AS lift
-        |FROM pr CROSS JOIN nb""".stripMargin,
-    "q_rfm" ->
-      """WITH per AS (
-        |  SELECT o_custkey, max(o_orderdate) AS last_order,
-        |    CAST(count(*) AS BIGINT) AS frequency,
-        |    round(sum(o_totalprice), 2) AS monetary
-        |  FROM orders GROUP BY 1),
-        |a AS (SELECT max(last_order) AS anchor FROM per),
-        |s AS (
-        |  SELECT o_custkey,
-        |    CAST(date_diff('day', last_order, anchor) AS INT) AS recency_days,
-        |    frequency, monetary,
-        |    CAST(ntile(5) OVER (ORDER BY date_diff('day', last_order, anchor) DESC,
-        |      o_custkey) AS INT) AS r_score,
-        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
-        |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
-        |  FROM per CROSS JOIN a)
-        |SELECT o_custkey, recency_days, frequency, monetary,
-        |  r_score, f_score, m_score,
-        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
-        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
-        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
-        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
-        |       ELSE 'core' END AS segment
-        |FROM s""".stripMargin,
-    "q_cooccurrence" ->
-      """WITH pres AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
-        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
-        |  GROUP BY a.term, b.term
-        |  HAVING count(*) >= 100),
-        |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
-        |st AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT term_a, term_b, n_ab,
-        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) + 0 AS pmi
-        |FROM pairs
-        |JOIN dft da ON pairs.term_a = da.term
-        |JOIN dft db ON pairs.term_b = db.term
-        |CROSS JOIN st""".stripMargin,
-    "q_cooccurrence_topv" ->
-      """WITH pres0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
-        |  FROM documents),
-        |vocab AS (
-        |  SELECT term FROM (
-        |    SELECT term, count(*) AS vdf,
-        |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
-        |    FROM pres0 GROUP BY term) WHERE rk <= 50),
-        |pres AS (
-        |  SELECT pres0.doc_id, pres0.term FROM pres0
-        |  JOIN vocab ON pres0.term = vocab.term),
-        |pairs AS (
-        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
-        |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
-        |  GROUP BY a.term, b.term
-        |  HAVING count(*) >= 100),
-        |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
-        |st AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT term_a, term_b, n_ab,
-        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (da.df * db.df)), 4) + 0 AS pmi
-        |FROM pairs
-        |JOIN dft da ON pairs.term_a = da.term
-        |JOIN dft db ON pairs.term_b = db.term
-        |CROSS JOIN st""".stripMargin,
-    "q_cooccurrence_skipgram" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |p AS (
-        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-        |  FROM tk WHERE len(t) >= 2)
-        |SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-        |FROM p GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
-    // TextRank: the SAME skip-gram edge CTE, then three unrolled damped
-    // power-iteration steps — each generation re-rounded to 6, mirroring
-    // the Spark side's per-iteration rounding, so float drift can't compound
-    "q_textrank" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |pp AS (
-        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-        |  FROM tk WHERE len(t) >= 2),
-        |e AS (
-        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-        |sym AS (
-        |  SELECT term_a AS src, term_b AS dst, n_ab AS w FROM e
-        |  UNION ALL
-        |  SELECT term_b AS src, term_a AS dst, n_ab AS w FROM e
-        |  WHERE term_a <> term_b),
-        |deg AS (SELECT src, sum(w) AS wdeg FROM sym GROUP BY src),
-        |tr AS (
-        |  SELECT s.src, s.dst, CAST(s.w AS DOUBLE) / d.wdeg AS p
-        |  FROM sym s JOIN deg d ON s.src = d.src),
-        |s0 AS (SELECT src AS term, 1.0 AS score FROM deg),
-        |s1 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
-        |       FROM tr JOIN s0 ON s0.term = tr.src GROUP BY dst),
-        |s2 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
-        |       FROM tr JOIN s1 ON s1.term = tr.src GROUP BY dst),
-        |s3 AS (SELECT dst AS term, round(0.15 + 0.85 * sum(p * score), 6) AS score
-        |       FROM tr JOIN s2 ON s2.term = tr.src GROUP BY dst)
-        |SELECT term, score FROM s3 ORDER BY score DESC, term LIMIT 20""".stripMargin,
-    "q_histogram" ->
-      """SELECT lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bin,
-        |  count(*) AS n,
-        |  CAST(floor(n_chars / 100.0) AS INTEGER) * 100 AS bin_lo
-        |FROM documents GROUP BY 1, 2""".stripMargin,
-    "q_histogram_equidepth" ->
-      """WITH b AS (
-        |  SELECT round(quantile_cont(l_extendedprice, 0.2), 4) AS b1,
-        |         round(quantile_cont(l_extendedprice, 0.4), 4) AS b2,
-        |         round(quantile_cont(l_extendedprice, 0.6), 4) AS b3,
-        |         round(quantile_cont(l_extendedprice, 0.8), 4) AS b4
-        |  FROM lineitem)
-        |SELECT CAST((l_extendedprice >= b1) AS INTEGER)
-        |     + CAST((l_extendedprice >= b2) AS INTEGER)
-        |     + CAST((l_extendedprice >= b3) AS INTEGER)
-        |     + CAST((l_extendedprice >= b4) AS INTEGER) AS bucket,
-        |  count(*) AS n,
-        |  round(min(l_extendedprice), 4) AS lo,
-        |  round(max(l_extendedprice), 4) AS hi
-        |FROM lineitem, b
-        |GROUP BY 1""".stripMargin,
-    "q_resample_gapfill" ->
-      """WITH counts AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |    count(*) AS n_events, round(sum(value), 2) AS total_value
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(min(bucket_start), max(bucket_start),
-        |      INTERVAL '1 hour')) AS bucket_start
-        |  FROM counts GROUP BY event_type)
-        |SELECT g.event_type, g.bucket_start,
-        |  COALESCE(c.n_events, 0) AS n_events,
-        |  COALESCE(c.total_value, 0.0) AS total_value
-        |FROM grid g LEFT JOIN counts c
-        |  ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start""".stripMargin,
-    "q_range_join" ->
-      """WITH c AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hot_hour,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT round(quantile_cont(n, 0.9), 4) AS thr FROM c),
-        |iv AS (
-        |  SELECT event_type AS hot_type, hot_hour,
-        |         hot_hour - INTERVAL '1 hour' AS iv_start,
-        |         hot_hour + INTERVAL '2 hours' AS iv_end
-        |  FROM c, t WHERE n >= thr)
-        |SELECT iv.hot_type, iv.hot_hour, count(*) AS n_events,
-        |  round(sum(e.value), 2) AS total_value
-        |FROM iv JOIN events e ON e.ts >= iv.iv_start AND e.ts < iv.iv_end
-        |GROUP BY 1, 2""".stripMargin,
-    "q_locf" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-        |  FROM events)
-        |SELECT event_id, user_id,
-        |  round(last_value(v IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
-        |FROM e""".stripMargin,
-    "q_cohort_retention" ->
-      """WITH weeks AS (
-        |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
-        |firsts AS (
-        |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id)
-        |SELECT f.cohort_week, w.week, count(DISTINCT w.user_id) AS n_users,
-        |  CAST((epoch(w.week) - epoch(f.cohort_week)) / 604800 AS INTEGER)
-        |    AS week_offset
-        |FROM (SELECT DISTINCT user_id, week FROM weeks) w
-        |JOIN firsts f ON w.user_id = f.user_id
-        |GROUP BY 1, 2""".stripMargin,
-    // the gap-filled series CTEs are q_resample_gapfill's, then one
-    // trailing-24 window; mu/sigma/z rounded exactly like the Spark side
-    "q_anomaly_zscore" ->
-      """WITH counts AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |    count(*) AS n_events, round(sum(value), 2) AS total_value
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(min(bucket_start), max(bucket_start),
-        |      INTERVAL '1 hour')) AS bucket_start
-        |  FROM counts GROUP BY event_type),
-        |filled AS (
-        |  SELECT g.event_type, g.bucket_start,
-        |    COALESCE(c.n_events, 0) AS n_events
-        |  FROM grid g LEFT JOIN counts c
-        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
-        |win AS (
-        |  SELECT event_type, bucket_start, n_events,
-        |    count(n_events) OVER w AS n_window,
-        |    round(avg(n_events) OVER w, 4) AS mu,
-        |    round(stddev_pop(n_events) OVER w, 4) AS sigma
-        |  FROM filled
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
-        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, bucket_start, n_events,
-        |  CASE WHEN sigma > 0
-        |    THEN round((n_events - mu) / sigma, 4) END AS z,
-        |  CASE WHEN sigma > 0
-        |    THEN abs(round((n_events - mu) / sigma, 4)) >= 3.0
-        |    ELSE n_events <> mu END AS is_anomaly
-        |FROM win WHERE n_window = 24""".stripMargin,
-    "q_silence_report" ->
-      """WITH counts AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(min(bucket_start), max(bucket_start),
-        |      INTERVAL '1 hour')) AS bucket_start
-        |  FROM counts GROUP BY event_type),
-        |filled AS (
-        |  SELECT g.event_type, g.bucket_start,
-        |    COALESCE(c.n_events, 0) AS n_events
-        |  FROM grid g LEFT JOIN counts c
-        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
-        |flagged AS (
-        |  SELECT event_type, bucket_start,
-        |    CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS is_zero
-        |  FROM filled),
-        |edged AS (
-        |  SELECT *, CASE WHEN lag(is_zero) OVER w IS NULL
-        |      OR lag(is_zero) OVER w <> is_zero THEN 1 ELSE 0 END AS edge
-        |  FROM flagged
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)),
-        |runs AS (
-        |  SELECT *, sum(edge) OVER (PARTITION BY event_type
-        |    ORDER BY bucket_start
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-        |  FROM edged)
-        |SELECT event_type, min(bucket_start) AS silence_start,
-        |  max(bucket_start) + INTERVAL '1 hour' AS silence_end,
-        |  count(*) AS n_buckets
-        |FROM runs WHERE is_zero = 1
-        |GROUP BY event_type, run_id HAVING count(*) >= 2""".stripMargin,
-    "q_seasonal_decompose" ->
-      """WITH counts AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(min(bucket_start), max(bucket_start),
-        |      INTERVAL '1 hour')) AS bucket_start
-        |  FROM counts GROUP BY event_type),
-        |filled AS (
-        |  SELECT g.event_type, g.bucket_start,
-        |    CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
-        |  FROM grid g LEFT JOIN counts c
-        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
-        |trended AS (
-        |  SELECT *, CASE WHEN count(*) OVER w = 25
-        |      THEN CAST(sum(n_events) OVER w AS BIGINT) END AS trend_num,
-        |    CAST(extract(hour FROM bucket_start) AS INTEGER) AS hod
-        |  FROM filled
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
-        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |detr AS (
-        |  SELECT *, 25 * n_events - trend_num AS detr_num FROM trended),
-        |seasonal AS (
-        |  SELECT event_type, hod, CAST(sum(detr_num) AS BIGINT) AS s_num,
-        |    CAST(count(*) AS BIGINT) AS s_cnt
-        |  FROM detr WHERE trend_num IS NOT NULL GROUP BY 1, 2)
-        |SELECT d.event_type, d.bucket_start, d.n_events,
-        |  round(CAST(d.trend_num AS DOUBLE) / 25.0, 4) AS trend,
-        |  round(CAST(s.s_num AS DOUBLE) / (25.0 * s.s_cnt), 4) AS seasonal,
-        |  round(CAST(d.detr_num * s.s_cnt - s.s_num AS DOUBLE)
-        |    / (25.0 * s.s_cnt), 4) AS residual
-        |FROM detr d LEFT JOIN seasonal s
-        |  ON d.event_type = s.event_type AND d.hod = s.hod""".stripMargin,
-    "q_changepoint_cusum" ->
-      """WITH counts AS (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT event_type,
-        |    unnest(generate_series(min(bucket_start), max(bucket_start),
-        |      INTERVAL '1 hour')) AS bucket_start
-        |  FROM counts GROUP BY event_type),
-        |filled AS (
-        |  SELECT g.event_type, g.bucket_start,
-        |    CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
-        |  FROM grid g LEFT JOIN counts c
-        |    ON g.event_type = c.event_type AND g.bucket_start = c.bucket_start),
-        |k AS (
-        |  SELECT event_type, bucket_start,
-        |    CAST(row_number() OVER (PARTITION BY event_type
-        |      ORDER BY bucket_start) AS BIGINT) AS t_idx,
-        |    CAST(sum(n_events) OVER (PARTITION BY event_type
-        |      ORDER BY bucket_start
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets,
-        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
-        |  FROM filled),
-        |scored AS (
-        |  SELECT *, n_buckets * cum - t_idx * total AS k_num,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY abs(n_buckets * cum - t_idx * total) DESC,
-        |        bucket_start) AS rk
-        |  FROM k)
-        |SELECT event_type, bucket_start AS cp_bucket,
-        |  round(CAST(abs(k_num) AS DOUBLE) / n_buckets, 4) AS cusum_abs,
-        |  n_buckets
-        |FROM scored WHERE rk = 1""".stripMargin,
-    "q_dau_wau" ->
-      """WITH ud AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |dau AS (
-        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
-        |contrib AS (
-        |  SELECT DISTINCT user_id, day + CAST(x AS INTEGER) AS day
-        |  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS x)),
-        |wau AS (
-        |  SELECT day, CAST(count(*) AS BIGINT) AS wau
-        |  FROM contrib GROUP BY 1)
-        |SELECT dau.day, dau.dau, wau.wau,
-        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
-        |FROM dau JOIN wau USING (day)""".stripMargin,
-    "q_ewma" -> {
-      val ws = (1 to 8).map(j => BigDecimal("0.7").pow(j))
-      val lags = (1 to 8).map(j => s"lag(value, $j) OVER w AS x$j")
-        .mkString(", ")
-      val num = ws.zipWithIndex.map { case (w, i) =>
-        s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE x${i + 1} * $w END"
-      }.mkString(" + ")
-      val den = ws.zipWithIndex.map { case (w, i) =>
-        s"CASE WHEN x${i + 1} IS NULL THEN 0.0 ELSE $w END"
-      }.mkString(" + ")
-      s"""WITH l AS (
-         |  SELECT user_id, event_id, value, $lags
-         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, event_id, value,
-         |  round((value * 1.0 + $num) / (1.0 + $den), 6) AS ewma
-         |FROM l""".stripMargin
-    },
-    "q_trending_parts" ->
-      """WITH a AS (SELECT max(l_shipdate) AS anchor FROM lineitem),
-        |s AS (
-        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_obs,
-        |    round(sum(pow(2.0,
-        |      -date_diff('day', l_shipdate, anchor) / 180.0)), 4) AS decayed
-        |  FROM lineitem CROSS JOIN a GROUP BY 1)
-        |SELECT l_partkey, n_obs, decayed,
-        |  CAST(row_number() OVER (ORDER BY decayed DESC, l_partkey) AS INT)
-        |    AS rank
-        |FROM s QUALIFY rank <= 100""".stripMargin,
-    "q_theil_sen" ->
-      """WITH daily AS (
-        |  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1),
-        |d0 AS (SELECT min(day) AS day0 FROM daily),
-        |ind AS (
-        |  SELECT CAST(date_diff('day', day0, day) AS INT) AS d, cnt
-        |  FROM daily CROSS JOIN d0),
-        |sl AS (
-        |  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / (b.d - a.d) AS slope
-        |  FROM ind a JOIN ind b ON a.d < b.d),
-        |sr AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |    round(quantile_cont(slope, 0.5), 6) AS slope
-        |  FROM sl),
-        |res AS (
-        |  SELECT n_pairs, slope, cnt - slope * d AS resid
-        |  FROM ind CROSS JOIN sr)
-        |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope,
-        |  round(quantile_cont(resid, 0.5), 6) AS intercept
-        |FROM res GROUP BY 2, 3""".stripMargin,
-    "q_daily_percentiles" ->
-      """SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.95), 4) AS p95,
-        |  round(quantile_cont(value, 0.99), 4) AS p99
-        |FROM events GROUP BY 1""".stripMargin,
-    "q_funnel_time" ->
-      """WITH s AS (
-        |  SELECT user_id, min(ts) AS start_ts FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |c AS (
-        |  SELECT e.user_id, s.start_ts, min(e.ts) AS conv_ts
-        |  FROM events e JOIN s USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s.start_ts
-        |  GROUP BY 1, 2),
-        |d AS (
-        |  SELECT CAST(floor(epoch(conv_ts)) AS BIGINT)
-        |    - CAST(floor(epoch(start_ts)) AS BIGINT) AS delta_sec
-        |  FROM c)
-        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
-        |  round(quantile_cont(delta_sec, 0.25), 4) AS p25,
-        |  round(quantile_cont(delta_sec, 0.5), 4) AS p50,
-        |  round(quantile_cont(delta_sec, 0.75), 4) AS p75,
-        |  round(quantile_cont(delta_sec, 0.9), 4) AS p90,
-        |  round(CAST(sum(delta_sec) AS DOUBLE) / count(*), 4) AS avg_sec
-        |FROM d""".stripMargin,
-    "q_attribution" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, ts, event_type FROM events
-        |  WHERE event_type IN ('purchase', 'click')),
-        |t AS (
-        |  SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END
-        |      IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
-        |  FROM e)
-        |SELECT event_id, user_id, ts AS conv_ts,
-        |  CASE WHEN last_touch >= ts - INTERVAL 24 HOUR
-        |    THEN last_touch END AS touch_ts,
-        |  COALESCE(last_touch >= ts - INTERVAL 24 HOUR, FALSE) AS attributed
-        |FROM t WHERE event_type = 'purchase'""".stripMargin,
-    "q_attribution_linear" ->
-      """WITH t AS (
-        |  SELECT user_id, event_id AS touch_event_id, ts AS touch_ts
-        |  FROM events WHERE event_type = 'click'),
-        |c AS (
-        |  SELECT user_id, event_id AS conv_event_id, ts AS conv_ts
-        |  FROM events WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT c.user_id, c.conv_event_id, t.touch_event_id
-        |  FROM c JOIN t ON c.user_id = t.user_id
-        |  WHERE t.touch_ts <= c.conv_ts
-        |    AND t.touch_ts > c.conv_ts - INTERVAL 24 HOUR),
-        |cr AS (
-        |  SELECT user_id, touch_event_id,
-        |    1.0 / (count(*) OVER (PARTITION BY conv_event_id)) AS credit
-        |  FROM m)
-        |SELECT user_id, touch_event_id,
-        |  CAST(count(*) AS BIGINT) AS n_conversions,
-        |  round(sum(credit), 6) AS credit
-        |FROM cr GROUP BY 1, 2""".stripMargin,
-    "q_active_time" ->
-      """WITH pts AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
-        |  FROM events),
-        |m AS (
-        |  SELECT *, max(sec + 300) OVER (PARTITION BY user_id
-        |    ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
-        |  FROM pts),
-        |e AS (
-        |  SELECT *, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end
-        |    THEN 1 ELSE 0 END AS edge
-        |  FROM m),
-        |isl AS (
-        |  SELECT *, sum(edge) OVER (PARTITION BY user_id
-        |    ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM e),
-        |cov AS (
-        |  SELECT user_id, island, max(sec) + 300 - min(sec) AS covered
-        |  FROM isl GROUP BY 1, 2)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
-        |  CAST(sum(covered) AS BIGINT) AS active_seconds
-        |FROM cov GROUP BY 1""".stripMargin,
-    "q_time_weighted_avg" ->
-      """WITH d AS (
-        |  SELECT user_id, value,
-        |    epoch(lead(ts, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id)) - epoch(ts) AS dur
-        |  FROM events)
-        |SELECT user_id,
-        |  round(sum(value * dur) / sum(dur), 4) AS twa,
-        |  count(*) AS n_intervals
-        |FROM d WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin,
-    "q_interpolate" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-        |  FROM events),
-        |a AS (
-        |  SELECT event_id, user_id, ts, v,
-        |    last_value(v IGNORE NULLS) OVER back AS v0,
-        |    last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
-        |      OVER back AS t0,
-        |    first_value(v IGNORE NULLS) OVER fwd AS v1,
-        |    first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
-        |      OVER fwd AS t1
-        |  FROM e
-        |  WINDOW back AS (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    fwd AS (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT event_id, user_id,
-        |  round(CASE
-        |    WHEN v IS NOT NULL THEN v
-        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 <> t0
-        |      THEN v0 + (v1 - v0) * (epoch(ts) - t0) / (t1 - t0)
-        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0
-        |    END, 4) AS v_interp
-        |FROM a""".stripMargin,
-    "q_markov_transitions" ->
-      """WITH seq AS (
-        |  SELECT event_type, lead(event_type, 1) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |  FROM events),
-        |c AS (
-        |  SELECT event_type, next_type, count(*) AS n
-        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT event_type, next_type, n,
-        |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4)
-        |    AS p
-        |FROM c""".stripMargin,
-    // skip-gram term-graph CC: unrolled min-label propagation (exact
-    // string mins — no float anywhere)
-    "q_graph_cc" -> {
-      val iters = (1 to 4).map { i =>
-        s"""n$i AS (
-           |  SELECT s.v AS node, min(l.label) AS nl
-           |  FROM sym s JOIN l${i - 1} l ON s.u = l.node GROUP BY 1),
-           |l$i AS (
-           |  SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
-           |  FROM l${i - 1} l LEFT JOIN n$i n USING (node))""".stripMargin
-      }.mkString(",\n")
-      s"""$termGraphCtes,
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
-         |$iters
-         |SELECT node, label FROM l4""".stripMargin
-    },
-    "q_degree_dist" ->
-      s"""$termGraphCtes,
-         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
-         |        FROM sym GROUP BY 1)
-         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM deg GROUP BY 1""".stripMargin,
-    // Markov edge CTE + unrolled PageRank iterations (round-6 per
-    // iteration, dangling mass via NOT IN outw, 1-0.85 left unfolded so
-    // both engines subtract at runtime)
-    "q_pagerank" -> {
-      val base =
-        """WITH seq AS (
-          |  SELECT event_type, lead(event_type, 1) OVER (
-          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-          |  FROM events),
-          |e AS (
-          |  SELECT event_type AS src, next_type AS dst,
-          |    CAST(count(*) AS BIGINT) AS w
-          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
-          |nodes AS (
-          |  SELECT DISTINCT node FROM (
-          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
-          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
-          |trans AS (
-          |  SELECT src, dst, CAST(w AS DOUBLE) / wout AS p
-          |  FROM e JOIN outw USING (src)),
-          |s0 AS (SELECT node, 1.0 AS score FROM nodes)""".stripMargin
-      val iters = (1 to 3).map { i =>
-        s"""d$i AS (
-           |  SELECT coalesce(sum(score), 0.0) AS dmass FROM s${i - 1}
-           |  WHERE node NOT IN (SELECT src FROM outw)),
-           |c$i AS (
-           |  SELECT t.dst AS node, sum(t.p * s.score) AS c
-           |  FROM trans t JOIN s${i - 1} s ON t.src = s.node GROUP BY 1),
-           |s$i AS (
-           |  SELECT n.node,
-           |    round((1 - 0.85) + 0.85 * (coalesce(c.c, 0.0)
-           |      + d.dmass / nn.n_nodes), 6) AS score
-           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
-           |  CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin
-      }.mkString(",\n")
-      s"$base,\n$iters\nSELECT node, score FROM s3"
-    },
-    // same skip-gram edge CTE as q_cooccurrence_skipgram, then the
-    // degree-ordered orientation mirrored with row-value comparisons
-    "q_triangles" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |pp AS (
-        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-        |  FROM tk WHERE len(t) >= 2),
-        |e AS (
-        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-        |sym AS (
-        |  SELECT term_a AS u, term_b AS v FROM e
-        |  UNION ALL
-        |  SELECT term_b AS u, term_a AS v FROM e),
-        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
-        |o AS (
-        |  SELECT s.u, s.v, dv.d AS dv
-        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
-        |  WHERE (du.d, s.u) < (dv.d, s.v)),
-        |w AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM o e1 JOIN o e2
-        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v))
-        |SELECT least(a, b, c) AS term_a,
-        |  list_sort([a, b, c])[2] AS term_b,
-        |  greatest(a, b, c) AS term_c
-        |FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin,
-    "q_vocab_coverage" ->
-      """WITH c AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
-        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |    FROM documents)
-        |  GROUP BY 1)
-        |SELECT CAST(row_number() OVER rk AS INT) AS rank, term, n,
-        |  round(CAST(sum(n) OVER (ORDER BY n DESC, term
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / sum(n) OVER (), 6) AS coverage
-        |FROM c
-        |WINDOW rk AS (ORDER BY n DESC, term)""".stripMargin,
-    "q_boilerplate" ->
-      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
-        |p AS (
-        |  SELECT substr(trim(lower(text)), 1, 40) AS prefix,
-        |    CAST(count(*) AS BIGINT) AS n_docs
-        |  FROM documents GROUP BY 1 HAVING count(*) >= 2)
-        |SELECT prefix, n_docs,
-        |  round(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
-        |FROM p CROSS JOIN t""".stripMargin,
-    "q_vocab_oov" ->
-"""WITH tk AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |vc AS (SELECT term FROM (
-        |         SELECT term, count(*) AS n,
-        |           row_number() OVER (ORDER BY count(*) DESC, term) AS rk
-        |         FROM tk GROUP BY term) WHERE rk <= 20),
-        |vl AS (SELECT list(term) AS vocab FROM vc)
-        |SELECT doc_id,
-        |  round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |          t -> NOT list_contains(vocab, t)))
-        |    / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 4)
-        |    AS oov_rate
-        |FROM documents, vl""".stripMargin,
-    "q_length_batches" ->
-      """WITH sized AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
-        |    CAST(floor(len(string_split_regex(trim(lower(text)), '\s+')) / 16.0) AS INTEGER)
-        |      AS len_bucket
-        |  FROM documents),
-        |seq AS (
-        |  SELECT doc_id, n_tokens, len_bucket,
-        |    CAST(floor((row_number() OVER (PARTITION BY len_bucket ORDER BY doc_id) - 1)
-        |      / 16.0) AS INTEGER) AS batch_id
-        |  FROM sized)
-        |SELECT len_bucket, batch_id, count(*) AS n_docs,
-        |  max(n_tokens) AS max_tokens,
-        |  round(1 - sum(n_tokens) / CAST(count(*) * max(n_tokens) AS DOUBLE), 4)
-        |    AS pad_frac
-        |FROM seq GROUP BY len_bucket, batch_id""".stripMargin,
-    "q_corpus_report" ->
-      """WITH f AS (
-        |  SELECT lang,
-        |    len(string_split_regex(trim(lower(text)), '\s+')) AS nt,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |          t -> t IN ('the','a','of','and','is','in','to','it')))
-        |      / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS sw,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |c AS (SELECT lang, nt, sw, count(*) OVER (PARTITION BY fp) AS cnt FROM f)
-        |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |  round(avg(nt), 4) AS avg_tokens,
-        |  round(avg(sw), 4) AS avg_stopword_ratio,
-        |  round(avg(CASE WHEN cnt = 1 THEN 1.0 ELSE 0.0 END), 4) AS uniq_rate
-        |FROM c GROUP BY lang""".stripMargin,
-    "q_skew_report" ->
-      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
-        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM c)
-        |SELECT user_id, n, round(n / CAST(n_rows AS DOUBLE), 6) AS share,
-        |  round(n * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_x,
-        |  CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank
-        |FROM c, s QUALIFY rank <= 20""".stripMargin,
-    "q_pii_redact" -> piiRedactSql,
-    "q_jsonl_roundtrip" ->
-      """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    "q_orc_roundtrip" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE n_chars >= 100 GROUP BY source""".stripMargin,
-
-    "q_decontaminate" ->
-      s"""WITH $decontamGramsSql
-         |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,
-         |  count(DISTINCT bg.bench_id) AS n_bench_docs
-         |FROM tg JOIN bg USING (g)
-         |GROUP BY tg.doc_id""".stripMargin,
-    "q_decontaminate_clean" ->
-      s"""WITH $decontamGramsSql,
-         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g))
-         |SELECT doc_id, lang FROM documents
-         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
-
-    "q_dup_span_frac" ->
-      s"""WITH $dupSpansSql,
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_dup_spans,
-         |    sum(CASE WHEN prev IS NULL THEN 4
-         |             ELSE least(4, start - prev) END) AS n_dup_tokens
-         |  FROM (SELECT doc_id, start,
-         |          lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
-         |        FROM d)
-         |  GROUP BY doc_id)
-         |SELECT t.doc_id,
-         |  CAST(greatest(len(toks) - 3, 0) AS INTEGER) AS n_spans,
-         |  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-         |  CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
-         |  round(coalesce(n_dup_tokens, 0) / CAST(len(toks) AS DOUBLE), 4)
-         |    AS dup_token_frac
-         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
-    "q_span_scrub" ->
-      s"""WITH $dupSpansSql,
-         |cov AS (SELECT DISTINCT doc_id, unnest(range(start + 1, start + 5)) AS pos
-         |        FROM d),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok,
-         |          generate_subscripts(toks, 1) AS pos
-         |        FROM t),
-         |kept AS (SELECT tok.doc_id, tok.tok, tok.pos
-         |         FROM tok LEFT JOIN cov
-         |           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-         |         WHERE cov.pos IS NULL)
-         |SELECT t.doc_id,
-         |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS clean_text
-         |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
-         |GROUP BY t.doc_id""".stripMargin,
-
-    "q_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-        |  min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents
-        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
-
-    "q_minhash_sig" -> minhashSigSql,
-    "q_dedup_minhash" -> minhashPairsSql,
-    "q_dedup_cluster" -> minhashClusterSql,
-    "q_dedup_cc" -> minhashCcSql(3),
-    "q_dedup_sizes" ->
-      s"""WITH cc AS (${minhashCcSql(3)}),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
-         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
-    "q_dedup_survivors" ->
-      s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
-    "q_dedup_survivors_best" ->
-      s"""WITH cc AS (${minhashCcSql(3)}),
-         |m AS (
-         |  SELECT cc.cluster_id, cc.doc_id, d.n_chars,
-         |    CAST(d.n_chars AS BIGINT) * 10000000 + (9999999 - cc.doc_id)
-         |      AS ord
-         |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
-         |SELECT cluster_id,
-         |  arg_max(doc_id, ord) AS survivor_id,
-         |  max(n_chars) AS survivor_chars,
-         |  count(*) AS cluster_size
-         |FROM m GROUP BY cluster_id""".stripMargin,
-    "q_dedup_funnel" ->
-      s"""WITH cc AS (${minhashCcSql(3)}),
-         |s AS (SELECT
-         |  (SELECT count(*) FROM documents) AS n_docs,
-         |  (SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
-         |     FROM documents) AS n_exact_unique,
-         |  (SELECT count(*) FROM cc WHERE cluster_id = doc_id) AS n_near_survivors)
-         |SELECT n_docs, n_exact_unique, n_near_survivors,
-         |  round(1 - n_exact_unique / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
-         |  round(1 - n_near_survivors / CAST(n_docs AS DOUBLE), 4) AS near_dup_rate
-         |FROM s""".stripMargin,
-    "q_dedup_incremental" ->
-      """WITH inc AS (
-        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-        |    min(doc_id) AS doc_id
-        |  FROM documents WHERE doc_id >= 250
-        |  GROUP BY 1),
-        |ex AS (
-        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        |  FROM documents WHERE doc_id < 250)
-        |SELECT doc_id, fingerprint FROM inc
-        |WHERE fingerprint NOT IN (SELECT fingerprint FROM ex)""".stripMargin,
-    "q_dedup_minhash_incr" ->
-      s"""WITH sigs_i AS (${minhashSigSqlWhere("WHERE doc_id >= 250")}),
-         |bands_i AS (
-         |${bandRowsSqlFrom("sigs_i")}),
-         |sigs_e AS (${minhashSigSqlWhere("WHERE doc_id < 250")}),
-         |bands_e AS (
-         |${bandRowsSqlFrom("sigs_e")}),
-         |ex_grouped AS (
-         |  SELECT band, bucket, list_sort(list(doc_id)) AS ex_ids
-         |  FROM bands_e GROUP BY band, bucket),
-         |cross_exp AS (
-         |  SELECT i.doc_id AS i_id,
-         |    unnest(CASE WHEN len(g.ex_ids) <= ${Dedup.MaxBucket}
-         |      THEN g.ex_ids ELSE g.ex_ids[1:1] END) AS e_id
-         |  FROM bands_i i JOIN ex_grouped g ON i.band = g.band AND i.bucket = g.bucket),
-         |cross_pairs AS (
-         |  SELECT least(i_id, e_id) AS doc_a, greatest(i_id, e_id) AS doc_b
-         |  FROM cross_exp),
-         |${cappedPairCtesFrom("bands_i")}
-         |SELECT DISTINCT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b FROM cross_pairs
-         |  UNION ALL
-         |  SELECT doc_a, doc_b FROM cand)""".stripMargin,
-    "q_sample_exact_k" ->
-      """SELECT doc_id, lang, sample_rank FROM (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
-        |  FROM documents)
-        |WHERE sample_rank <= 20""".stripMargin,
-    // the oracle IS the naive global sort — the banded plan must
-    // reproduce it exactly
-    "q_shuffle_rank" ->
-      """SELECT doc_id, lang,
-        |  CAST(row_number() OVER (
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
-        |    AS shuffle_rank
-        |FROM documents""".stripMargin,
-    "q_sample_weighted" ->
-      s"""WITH keyed AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    pow(((${md5BucketSqlOf("doc_id")}) + 0.5) / 268435456.0,
-         |        1.0 / n_chars) AS wkey
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, lang, n_chars, wkey,
-         |    CAST(row_number() OVER (PARTITION BY lang
-         |      ORDER BY wkey DESC, doc_id) AS INTEGER) AS sample_rank
-         |  FROM keyed)
-         |SELECT doc_id, lang, n_chars, round(wkey, 6) AS wkey, sample_rank
-         |FROM r WHERE sample_rank <= 20""".stripMargin,
-    "q_mixture_weights" ->
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-        |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
-        |SELECT lang, n_docs, round(pow(n_docs, 0.7) / z, 6) AS weight
-        |FROM c CROSS JOIN z""".stripMargin,
-    // the oracle replays the SEMANTICS (one inclusive-cumsum window over
-    // everything); the Spark side's census/boundary plan must select the
-    // identical row set
-    "q_token_budget" ->
-      s"""WITH s AS (SELECT doc_id, lang,
-         |    round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |          t -> t IN ('the','a','of','and','is','in','to','it')))
-         |      / CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE), 4) AS quality,
-         |    CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
-         |        ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-         |      FROM s)
-         |SELECT doc_id, lang, quality, n_tokens FROM r WHERE cum <= 2000""".stripMargin,
-    "q_sample_mix" -> {
-      s"""SELECT doc_id, lang, bucket FROM (
-         |  SELECT doc_id, lang, CAST((${md5BucketSql}) % 100 AS INTEGER) AS bucket FROM documents)
-         |WHERE bucket < (CASE WHEN lang = 'en' THEN 30
-         |                     WHEN lang = 'zh' THEN 60 ELSE 100 END)""".stripMargin
-    },
-    "q_curate" -> curateSql(3),
-    "q_pack_sequences" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, n_tokens, bucket FROM (
-         |    SELECT doc_id,
-         |      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
-         |      CAST(($md5BucketSql) % 8 AS INTEGER) AS bucket
-         |    FROM documents)
-         |  WHERE n_tokens > 0),
-         |streams AS (
-         |  SELECT doc_id, bucket, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_end
-         |  FROM toks),
-         |spans AS (
-         |  SELECT doc_id, bucket, n_tokens, stream_end,
-         |    stream_end - n_tokens AS off,
-         |    unnest(generate_series(
-         |      CAST(floor((stream_end - n_tokens) / 2048) AS INTEGER),
-         |      CAST(floor((stream_end - 1) / 2048) AS INTEGER))) AS seq_id
-         |  FROM streams)
-         |SELECT doc_id, bucket, n_tokens, CAST(seq_id AS INTEGER) AS seq_id,
-         |  CAST(greatest(off, seq_id * 2048) - off AS BIGINT) AS token_start,
-         |  CAST(least(stream_end, (seq_id + 1) * 2048) - off AS BIGINT) AS token_end,
-         |  CAST(greatest(off, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_offset
-         |FROM spans""".stripMargin,
-    "q_mix_upsample" ->
-      """SELECT doc_id, lang,
-        |  unnest(generate_series(1, CASE WHEN lang = 'zh' THEN 3
-        |                              WHEN lang = 'fr' THEN 2 ELSE 1 END)) AS copy
-        |FROM documents""".stripMargin,
-    "q_simhash" -> simhashSql,
-    "q_dedup_simhash" -> simhashPairsSql,
-    "q_mm_phash" ->
-      s"""WITH sigs AS ($phashCoreSql)
-         |SELECT doc_id, simhash AS phash FROM sigs""".stripMargin,
-    "q_mm_phash_pairs" -> bandedHammingPairsSql(phashCoreSql),
-    "q_dedup_jaccard" -> jaccardSql,
-    "q_dedup_agreement" ->
-      s"""WITH ex AS (
-         |  SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a,
-         |    doc_id AS doc_b
-         |  FROM (
-         |    SELECT doc_id,
-         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-         |    FROM documents)
-         |  QUALIFY doc_id <> min(doc_id) OVER (PARTITION BY fp)),
-         |mh AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
-         |sh AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
-         |u AS (
-         |  SELECT doc_a, doc_b FROM ex
-         |  UNION SELECT doc_a, doc_b FROM mh
-         |  UNION SELECT doc_a, doc_b FROM sh),
-         |f AS (
-         |  SELECT (e.doc_a IS NOT NULL) AS in_exact,
-         |    (m.doc_a IS NOT NULL) AS in_minhash,
-         |    (s2.doc_a IS NOT NULL) AS in_simhash
-         |  FROM u
-         |  LEFT JOIN ex e ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
-         |  LEFT JOIN mh m ON u.doc_a = m.doc_a AND u.doc_b = m.doc_b
-         |  LEFT JOIN sh s2 ON u.doc_a = s2.doc_a AND u.doc_b = s2.doc_b)
-         |SELECT in_exact, in_minhash, in_simhash,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM f GROUP BY 1, 2, 3""".stripMargin,
-    "q_dedup_jaccard_wide" -> jaccardSql(8),
-    "q_dedup_containment" -> containmentSql(8, 0.6),
-    "q_dedup_containment_lsh" ->
-      containmentLshSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
-        Dedup.ContainMinHits),
-    "q_dedup_containment_incr" ->
-      containmentIncrSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
-        Dedup.ContainMinHits, 250),
-    "q_dedup_embed" -> embedDedupSql,
-
-    "q_centroid_sim" ->
-      """WITH cent AS (
-        |  SELECT label, CAST(s.dim AS INTEGER) AS dim, round(avg(s.x), 4) AS m
-        |  FROM (
-        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
-        |      i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
-        |    FROM embeddings)
-        |  GROUP BY 1, 2),
-        |norms AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent GROUP BY 1),
-        |dots AS (
-        |  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
-        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
-        |  GROUP BY 1, 2)
-        |SELECT label_a, label_b,
-        |  round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
-        |FROM dots
-        |JOIN norms na ON dots.label_a = na.label
-        |JOIN norms nb ON dots.label_b = nb.label""".stripMargin,
-    "q_label_medoid" ->
-      """WITH x AS (
-        |  SELECT vec_id, label, CAST(s.dim AS INTEGER) AS dim,
-        |    CAST(s.x AS DOUBLE) AS x
-        |  FROM (
-        |    SELECT vec_id, label, unnest(list_transform(range(1, len(embedding) + 1),
-        |      i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
-        |    FROM embeddings)),
-        |cent AS (SELECT label, dim, round(avg(x), 4) AS m FROM x GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT vec_id, x.label,
-        |    round(sum(x.x * c.m)
-        |      / (sqrt(sum(x.x * x.x)) * sqrt(sum(c.m * c.m))), 6)
-        |      AS cos_to_centroid
-        |  FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
-        |  GROUP BY 1, 2)
-        |SELECT label, vec_id, cos_to_centroid
-        |FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY label
-        |  ORDER BY cos_to_centroid DESC, vec_id) = 1""".stripMargin,
-    "q_moments" ->
-      """WITH mu AS (
-        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |    round(avg(o_totalprice), 4) AS mean
-        |  FROM orders GROUP BY 1),
-        |c AS (
-        |  SELECT o.o_orderpriority, mu.n, mu.mean,
-        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)) AS m2,
-        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)
-        |      * (o.o_totalprice - mu.mean)) AS m3,
-        |    avg((o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)
-        |      * (o.o_totalprice - mu.mean) * (o.o_totalprice - mu.mean)) AS m4
-        |  FROM orders o JOIN mu USING (o_orderpriority)
-        |  GROUP BY 1, 2, 3)
-        |SELECT o_orderpriority, n, mean,
-        |  round(sqrt(m2), 4) AS sd,
-        |  round(m3 / pow(m2, 1.5), 4) AS skewness,
-        |  round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
-        |FROM c""".stripMargin,
-    "q_group_trend" ->
-      """WITH d0 AS (SELECT min(l_shipdate) AS d0 FROM lineitem),
-        |b AS (
-        |  SELECT l_partkey,
-        |    CAST(date_diff('day', d0, l_shipdate) AS BIGINT) AS x,
-        |    l_extendedprice AS y
-        |  FROM lineitem CROSS JOIN d0),
-        |a AS (
-        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    sum(y) AS sy, sum(x * y) AS sxy
-        |  FROM b GROUP BY 1
-        |  HAVING CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
-        |    - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) > 0),
-        |s AS (
-        |  SELECT l_partkey, n,
-        |    round((n * sxy - sx * sy)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-        |    sy, sx
-        |  FROM a)
-        |SELECT l_partkey, n, slope,
-        |  round((sy - slope * sx) / n, 4) AS intercept
-        |FROM s""".stripMargin,
-    "q_embed_centroids" ->
-      """SELECT label, CAST(s.dim AS INTEGER) AS dim,
-        |  round(avg(s.x), 4) + 0 AS mean_x, count(*) AS n
-        |FROM (
-        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
-        |    i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
-        |  FROM embeddings)
-        |GROUP BY label, CAST(s.dim AS INTEGER)""".stripMargin,
-    "q_standard_scale" ->
-      """WITH st AS (SELECT lang, round(avg(n_chars), 4) AS mu,
-        |              round(stddev_samp(n_chars), 4) AS sigma
-        |            FROM documents GROUP BY lang)
-        |SELECT doc_id, lang, n_chars,
-        |  round((n_chars - mu) / sigma, 4) + 0 AS z
-        |FROM documents JOIN st USING (lang)""".stripMargin,
-    "q_correlation" ->
-      """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
-        |  round(corr(l_discount, l_extendedprice), 4) + 0 AS corr_disc_price,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // same fixed parenthesization and floor(x+0.5) as the Spark side;
-    // Spark dims are 0-based posexplode, DuckDB subscripts 1-based -> i-1
-    "q_embed_quantize" ->
-      """WITH x AS (
-        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-        |    CAST(embedding[i] AS DOUBLE) AS xv
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-        |s AS (SELECT dim, min(xv) AS lo, max(xv) AS hi FROM x GROUP BY dim)
-        |SELECT x.vec_id, x.dim,
-        |  CASE WHEN s.hi = s.lo THEN 0
-        |       ELSE CAST(floor((x.xv - s.lo) / (s.hi - s.lo) * 255 + 0.5)
-        |         AS INTEGER) END AS code
-        |FROM x JOIN s ON x.dim = s.dim""".stripMargin,
-    "q_embed_normalize" ->
-      """SELECT vec_id,
-        |  round(n, 4) AS l2_norm,
-        |  round(v[1] / n, 6) + 0 AS u0,
-        |  round(list_aggregate(v, 'min') / n, 6) + 0 AS u_min,
-        |  round(list_aggregate(v, 'max') / n, 6) + 0 AS u_max
-        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                              CAST(embedding AS DOUBLE[]))) AS n
-        |      FROM embeddings)""".stripMargin,
-    "q_ann_brute" -> annSql(cellRestricted = false),
-    "q_ann_quantized" ->
-      """WITH x AS (
-        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-        |    CAST(embedding[i] AS DOUBLE) AS xv
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-        |s AS (SELECT dim, min(xv) AS lo, max(xv) AS hi FROM x GROUP BY dim),
-        |dq AS (
-        |  SELECT vec_id, list(
-        |    CASE WHEN s.hi = s.lo THEN s.lo
-        |         ELSE s.lo + floor((x.xv - s.lo) / (s.hi - s.lo) * 255 + 0.5)
-        |           * (s.hi - s.lo) / 255 END ORDER BY x.dim) AS e
-        |  FROM x JOIN s ON x.dim = s.dim GROUP BY vec_id),
-        |q AS (
-        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-        |  FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.q_id, d.vec_id,
-        |    round(list_dot_product(q.qe, d.e)
-        |      / (sqrt(list_dot_product(q.qe, q.qe))
-        |       * sqrt(list_dot_product(d.e, d.e))), 4) AS cosine
-        |  FROM dq d JOIN q ON d.vec_id != q.q_id)
-        |SELECT q_id, vec_id, cosine, rank FROM (
-        |  SELECT q_id, vec_id, cosine,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
-    "q_decontaminate_embed" ->
-      s"""WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |            FROM embeddings WHERE vec_id >= 50),
-         |be AS (SELECT CAST(embedding AS DOUBLE[]) AS b
-         |       FROM embeddings WHERE vec_id < 50),
-         |m AS (SELECT tr.vec_id,
-         |        max(list_dot_product(e, b)
-         |          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(b, b)))) AS mc
-         |      FROM tr CROSS JOIN be GROUP BY tr.vec_id)
-         |SELECT vec_id, round(mc, 4) AS max_bench_cos,
-         |  round(mc, 4) >= 0.35 AS contaminated
-         |FROM m""".stripMargin,
-    "q_ann_hardneg" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-        |  FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
-        |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-        |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-        |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
-        |  FROM embeddings e JOIN q ON e.label != q.q_label)
-        |SELECT q_id, q_label, vec_id, label, cosine, rank FROM (
-        |  SELECT q_id, q_label, vec_id, label, cosine,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin,
-    "q_ann_ivf" -> ivfSql,
-    "q_ann_lsh" -> lshAnnSql,
-    "q_codebook_refine" ->
-      s"""WITH $quantizeCtes
-         |SELECT cell, CAST(s.dim AS INTEGER) AS dim,
-         |  round(avg(s.x), 4) + 0 AS mean_x, count(*) AS n
-         |FROM (
-         |  SELECT cell, unnest(list_transform(range(1, len(embedding) + 1),
-         |    i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
-         |  FROM assign)
-         |GROUP BY cell, CAST(s.dim AS INTEGER)""".stripMargin,
-    "q_train_split" ->
-      s"""SELECT doc_id, bucket,
-         |  CASE WHEN bucket < 90 THEN 'train'
-         |       WHEN bucket < 95 THEN 'valid'
-         |       ELSE 'test' END AS split
-         |FROM (SELECT doc_id, CAST(($md5BucketSql) % 100 AS INTEGER) AS bucket FROM documents)""".stripMargin,
-    "q_kfold" ->
-      s"""SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
-         |FROM (SELECT CAST((${md5BucketSqlOf("doc_id")}) % 5 AS INTEGER)
-         |        AS fold, n_chars
-         |      FROM documents)
-         |GROUP BY fold""".stripMargin,
-    "q_cv_coeffs" -> {
-      def cm(t: String, f: String, ta: String, fa: String,
-          tb: String, fb: String) =
-        s"($t - $f) / np - (($ta - $fa) / np) * (($tb - $fb) / np)"
-      val v1 = cm("t11", "s11", "t1", "s1", "t1", "s1")
-      val v2 = cm("t22", "s22", "t2", "s2", "t2", "s2")
-      val c12 = cm("t12", "s12", "t1", "s1", "t2", "s2")
-      val c1y = cm("t1y", "s1y", "t1", "s1", "ty", "sy")
-      val c2y = cm("t2y", "s2y", "t2", "s2", "ty", "sy")
-      val det = s"(($v1) * ($v2) - ($c12) * ($c12))"
-      val b1 = s"((($c1y) * ($v2) - ($c2y) * ($c12)) / $det)"
-      val b2 = s"((($c2y) * ($v1) - ($c1y) * ($c12)) / $det)"
-      val b0 = s"((ty - sy) / np - $b1 * ((t1 - s1) / np) - $b2 * ((t2 - s2) / np))"
-      s"""WITH d0 AS (
-         |  SELECT l_orderkey AS id, CAST(l_quantity AS DOUBLE) AS x1,
-         |    CAST(l_discount AS DOUBLE) AS x2,
-         |    CAST(l_extendedprice AS DOUBLE) AS y
-         |  FROM lineitem
-         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-         |    AND l_extendedprice IS NOT NULL),
-         |g AS (
-         |  SELECT round(avg(x1), 4) AS gm1, round(avg(x2), 4) AS gm2,
-         |    round(avg(y), 4) AS gmy
-         |  FROM d0),
-         |cc AS (
-         |  SELECT CAST((${md5BucketSqlOf("id")}) % 5 AS INTEGER) AS fold,
-         |    x1 - gm1 AS a, x2 - gm2 AS b, y - gmy AS z
-         |  FROM d0 CROSS JOIN g),
-         |per AS (
-         |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
-         |    sum(a) AS s1, sum(b) AS s2, sum(z) AS sy,
-         |    sum(a * a) AS s11, sum(b * b) AS s22, sum(a * b) AS s12,
-         |    sum(a * z) AS s1y, sum(b * z) AS s2y
-         |  FROM cc GROUP BY 1),
-         |tot AS (
-         |  SELECT CAST(sum(n) AS BIGINT) AS tn, sum(s1) AS t1,
-         |    sum(s2) AS t2, sum(sy) AS ty, sum(s11) AS t11,
-         |    sum(s22) AS t22, sum(s12) AS t12, sum(s1y) AS t1y,
-         |    sum(s2y) AS t2y
-         |  FROM per),
-         |j AS (
-         |  SELECT per.*, tot.*, g.*, CAST(tn - n AS DOUBLE) AS np
-         |  FROM per CROSS JOIN tot CROSS JOIN g)
-         |SELECT fold, tn - n AS n_train,
-         |  round($b1, 4) AS b1,
-         |  round($b2, 4) AS b2,
-         |  round($b0 + gmy - $b1 * gm1 - $b2 * gm2, 4) AS b0
-         |FROM j""".stripMargin
-    },
-    "q_pr_curve" ->
-      """WITH c AS (
-        |  SELECT o_totalprice AS s,
-        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_pos,
-        |    CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_neg
-        |  FROM orders GROUP BY 1)
-        |SELECT s AS threshold,
-        |  CAST(sum(n_pos) OVER w AS BIGINT) AS tp,
-        |  CAST(sum(n_neg) OVER w AS BIGINT) AS fp,
-        |  round(CAST(sum(n_pos) OVER w AS DOUBLE)
-        |    / (sum(n_pos) OVER w + sum(n_neg) OVER w), 6) AS precision,
-        |  round(CAST(sum(n_pos) OVER w AS DOUBLE)
-        |    / (sum(n_pos) OVER ()), 6) AS recall
-        |FROM c
-        |WINDOW w AS (ORDER BY s DESC
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q_auc" ->
-      """WITH c AS (
-        |  SELECT o_totalprice AS s,
-        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_pos,
-        |    CAST(count(*) - sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_neg
-        |  FROM orders GROUP BY 1),
-        |cb AS (
-        |  SELECT *, CAST(coalesce(sum(n_neg) OVER (ORDER BY s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |    AS neg_below
-        |  FROM c)
-        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
-        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
-        |  round(sum(n_pos * (CAST(neg_below AS DOUBLE) + n_neg * 0.5))
-        |    / (sum(n_pos) * sum(n_neg)), 6) AS auc
-        |FROM cb""".stripMargin,
-    // 3 unrolled GD steps, identical margin/err expressions per step,
-    // round-6 gradients and weights (mirrors ml.Logistic.fitGd)
-    "q_logreg" -> {
-      def margin(wi: String) =
-        s"$wi.w0 + zp * $wi.w_price + za * $wi.w_age"
-      val steps = (1 to 3).map { i =>
-        val prev = s"wr${i - 1}"
-        s"""g$i AS (
-           |  SELECT
-           |    round(avg(1.0 / (1.0 + exp(-(${margin(prev)}))) - y), 6) AS g0,
-           |    round(avg((1.0 / (1.0 + exp(-(${margin(prev)}))) - y) * zp), 6)
-           |      AS gp,
-           |    round(avg((1.0 / (1.0 + exp(-(${margin(prev)}))) - y) * za), 6)
-           |      AS ga
-           |  FROM z CROSS JOIN $prev),
-           |wr$i AS (
-           |  SELECT round(w0 - 1.0 * g0, 6) AS w0,
-           |    round(w_price - 1.0 * gp, 6) AS w_price,
-           |    round(w_age - 1.0 * ga, 6) AS w_age
-           |  FROM wr${i - 1} CROSS JOIN g$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
-         |b AS (
-         |  SELECT o_totalprice AS price,
-         |    CAST(date_diff('day', o_orderdate, mx) AS DOUBLE) AS age,
-         |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
-         |  FROM orders CROSS JOIN mx),
-         |m AS (
-         |  SELECT round(avg(price), 4) AS mu_p, round(stddev_pop(price), 4) AS sd_p,
-         |    round(avg(age), 4) AS mu_a, round(stddev_pop(age), 4) AS sd_a
-         |  FROM b),
-         |z AS (
-         |  SELECT y, (price - mu_p) / sd_p AS zp, (age - mu_a) / sd_a AS za
-         |  FROM b CROSS JOIN m),
-         |wr0 AS (SELECT 0.0 AS w0, 0.0 AS w_price, 0.0 AS w_age),
-         |$steps,
-         |l AS (
-         |  SELECT round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
-         |  FROM (SELECT y, 1.0 / (1.0 + exp(-(${margin("wr3")}))) AS p
-         |        FROM z CROSS JOIN wr3))
-         |SELECT wr3.w0, wr3.w_price, wr3.w_age, l.log_loss
-         |FROM wr3 CROSS JOIN l""".stripMargin
-    },
-    "q_lr_coeffs" ->
-      s"""WITH train AS (
-         |  SELECT CAST(l_quantity AS DOUBLE) AS x1,
-         |         CAST(l_discount AS DOUBLE) AS x2,
-         |         CAST(l_extendedprice AS DOUBLE) AS y
-         |  FROM lineitem
-         |  WHERE CAST((${md5BucketSqlOf("l_orderkey")}) % 100 AS INTEGER) < 90
-         |    AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
-         |    AND l_extendedprice IS NOT NULL),
-         |m AS (
-         |  SELECT covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
-         |         covar_pop(x1, x2) AS c12,
-         |         var_pop(x1) AS v1, var_pop(x2) AS v2,
-         |         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM train)
-         |SELECT n,
-         |  round((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b1,
-         |  round((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b2,
-         |  round(my - (c1y*v2 - c2y*c12) / (v1*v2 - c12*c12) * m1
-         |           - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * m2, 4) + 0 AS b0
-         |FROM m""".stripMargin,
-
-    "q_feature_hash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS id,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         |  FROM documents),
-         |slots AS (
-         |  SELECT id, CAST((${md5BucketSqlOf("term")}) % 32 AS INTEGER) AS slot
-         |  FROM toks)
-         |SELECT id,
-         |${(0 until 32).map(i =>
-              s"  CAST(sum(CASE WHEN slot = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
-             .mkString(",\n")}
-         |FROM slots GROUP BY id""".stripMargin,
-    "q_drift_psi" ->
-      s"""WITH b AS (
-         |  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
-         |    CAST(count(*) AS BIGINT) AS n_base
-         |  FROM documents
-         |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 50 GROUP BY 1),
-         |c AS (
-         |  SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
-         |    CAST(count(*) AS BIGINT) AS n_cur
-         |  FROM documents
-         |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) >= 50 GROUP BY 1),
-         |j AS (
-         |  SELECT COALESCE(b.bin, c.bin) AS bin,
-         |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
-         |  FROM b FULL OUTER JOIN c ON b.bin = c.bin),
-         |t AS (
-         |  SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
-         |    CAST(sum(n_cur) AS BIGINT) AS t_cur,
-         |    CAST(count(*) AS BIGINT) AS n_bins FROM j),
-         |p AS (
-         |  SELECT bin, n_base, n_cur,
-         |    round((n_base + 1) / CAST(t_base + n_bins AS DOUBLE), 6) AS p_base,
-         |    round((n_cur + 1) / CAST(t_cur + n_bins AS DOUBLE), 6) AS p_cur
-         |  FROM j CROSS JOIN t)
-         |SELECT bin, n_base, n_cur, p_base, p_cur,
-         |  round((p_base - p_cur) * ln(p_base / p_cur), 4) AS contrib
-         |FROM p""".stripMargin,
-    "q_drift_vocab" ->
-      s"""WITH bt AS (
-         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         |  FROM documents WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 50),
-         |ct AS (
-         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         |  FROM documents WHERE CAST(($md5BucketSql) % 100 AS INTEGER) >= 50),
-         |j AS (
-         |  SELECT COALESCE(b.term, c.term) AS term,
-         |    COALESCE(b.n, 0) AS n_base, COALESCE(c.n, 0) AS n_cur
-         |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS n FROM bt GROUP BY 1) b
-         |  FULL OUTER JOIN
-         |    (SELECT term, CAST(count(*) AS BIGINT) AS n FROM ct GROUP BY 1) c
-         |  ON b.term = c.term),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (ORDER BY n_base + n_cur DESC, term) AS rk
-         |  FROM j),
-         |buckets AS (
-         |  SELECT term, n_base, n_cur FROM ranked WHERE rk <= 20
-         |  UNION ALL
-         |  SELECT '¤other', CAST(COALESCE(sum(n_base), 0) AS BIGINT),
-         |    CAST(COALESCE(sum(n_cur), 0) AS BIGINT)
-         |  FROM ranked WHERE rk > 20),
-         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
-         |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM buckets),
-         |p AS (
-         |  SELECT term, n_base, n_cur,
-         |    round(n_base / CAST(t_base AS DOUBLE), 6) AS p_base,
-         |    round(n_cur / CAST(t_cur AS DOUBLE), 6) AS p_cur
-         |  FROM buckets CROSS JOIN t)
-         |SELECT term, n_base, n_cur, p_base, p_cur,
-         |  round(CASE WHEN p_base > 0
-         |      THEN p_base * ln(p_base / ((p_base + p_cur) / 2)) * 0.5 ELSE 0 END
-         |    + CASE WHEN p_cur > 0
-         |      THEN p_cur * ln(p_cur / ((p_base + p_cur) / 2)) * 0.5 ELSE 0 END, 6)
-         |    AS js_contrib
-         |FROM p""".stripMargin,
-    "q_k_anon" ->
-      """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n,
-        |  count(*) < 10 AS at_risk
-        |FROM customer GROUP BY c_mktsegment, c_nationkey""".stripMargin,
-    "q_l_diversity" ->
-      """WITH sub AS (
-        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS nv
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT c_mktsegment, CAST(sum(nv) AS BIGINT) AS n,
-        |  CAST(count(*) AS BIGINT) AS l,
-        |  round(CAST(max(nv) AS DOUBLE) / sum(nv), 6) AS top_share,
-        |  count(*) < 5 AS at_risk
-        |FROM sub GROUP BY 1""".stripMargin,
-    "q_k_anon_suppress" ->
-      """SELECT c_custkey,
-        |  CASE WHEN cnt >= 10 THEN c_mktsegment END AS c_mktsegment,
-        |  CASE WHEN cnt >= 10 THEN c_nationkey END AS c_nationkey,
-        |  c_acctbal
-        |FROM (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
-        |        count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS cnt
-        |      FROM customer)""".stripMargin,
-    "q_scd2" ->
-      """WITH cur AS (
-        |  SELECT c_custkey AS k, c_name, c_mktsegment, c_acctbal FROM customer),
-        |upd AS (
-        |  SELECT c_custkey AS k, c_name, c_mktsegment,
-        |    c_acctbal + 100 AS c_acctbal
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, 'NEWSEG', 0.0
-        |  FROM customer WHERE c_custkey % 11 = 0),
-        |j AS (
-        |  SELECT cur.k AS lk, upd.k AS uk,
-        |    cur.c_name AS ln, cur.c_mktsegment AS ls, cur.c_acctbal AS lb,
-        |    upd.c_name AS un, upd.c_mktsegment AS us, upd.c_acctbal AS ub,
-        |    (cur.c_name IS NOT DISTINCT FROM upd.c_name
-        |      AND cur.c_mktsegment IS NOT DISTINCT FROM upd.c_mktsegment
-        |      AND cur.c_acctbal IS NOT DISTINCT FROM upd.c_acctbal) AS same
-        |  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
-        |SELECT lk AS c_custkey, ln AS c_name, ls AS c_mktsegment,
-        |  lb AS c_acctbal, TIMESTAMP '2024-01-01' AS valid_from,
-        |  CAST(NULL AS TIMESTAMP) AS valid_to
-        |FROM j WHERE uk IS NULL OR (lk IS NOT NULL AND same)
-        |UNION ALL
-        |SELECT lk, ln, ls, lb, TIMESTAMP '2024-01-01',
-        |  TIMESTAMP '2024-06-01'
-        |FROM j WHERE lk IS NOT NULL AND uk IS NOT NULL AND NOT same
-        |UNION ALL
-        |SELECT COALESCE(lk, uk), un, us, ub, TIMESTAMP '2024-06-01',
-        |  CAST(NULL AS TIMESTAMP)
-        |FROM j WHERE uk IS NOT NULL AND (lk IS NULL OR NOT same)""".stripMargin,
-    "q_dq_report" ->
-      """WITH a AS (
-        |  SELECT count(*) AS n_rows,
-        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v_quantity,
-        |    CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v_discount,
-        |    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v_price,
-        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v_ship,
-        |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)
-        |      AS BIGINT) AS v_flag
-        |  FROM lineitem)
-        |SELECT r.rule, r.n_violations, a.n_rows,
-        |  round(r.n_violations / CAST(a.n_rows AS DOUBLE), 6) AS violation_rate
-        |FROM a, (
-        |  SELECT 'quantity_in_range' AS rule, v_quantity AS n_violations FROM a
-        |  UNION ALL SELECT 'discount_in_range', v_discount FROM a
-        |  UNION ALL SELECT 'price_positive', v_price FROM a
-        |  UNION ALL SELECT 'shipdate_present', v_ship FROM a
-        |  UNION ALL SELECT 'flag_known', v_flag FROM a) r""".stripMargin,
-    "q_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT o_orderpriority, round(median(o_totalprice), 4) AS med
-        |  FROM orders GROUP BY 1),
-        |mad AS (
-        |  SELECT o.o_orderpriority,
-        |    round(median(abs(o.o_totalprice - m.med)), 4) AS mad
-        |  FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1),
-        |st AS (
-        |  SELECT o_orderpriority, med, mad,
-        |    round(3.0 * 1.4826 * mad, 4) AS thresh
-        |  FROM med JOIN mad USING (o_orderpriority))
-        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  st.med, st.mad, st.thresh,
-        |  CAST(sum(CASE WHEN round(abs(o.o_totalprice - st.med), 4) > st.thresh
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(CAST(sum(CASE WHEN round(abs(o.o_totalprice - st.med), 4)
-        |      > st.thresh THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-        |    AS outlier_rate
-        |FROM orders o JOIN st USING (o_orderpriority)
-        |GROUP BY 1, 3, 4, 5""".stripMargin,
-    "q_benford" ->
-      """WITH v AS (
-        |  SELECT abs(o_totalprice) AS x FROM orders WHERE abs(o_totalprice) > 0),
-        |d AS (
-        |  SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS INT) AS d10
-        |  FROM v),
-        |g AS (
-        |  SELECT CASE WHEN d10 >= 10 THEN 1 WHEN d10 < 1 THEN 1
-        |              ELSE d10 END AS digit
-        |  FROM d),
-        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM g GROUP BY 1),
-        |t AS (
-        |  SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM c),
-        |e AS (
-        |  SELECT digit, n_obs, n,
-        |    n * log10(1.0 + 1.0 / digit) AS exp_raw
-        |  FROM t)
-        |SELECT digit, n_obs, n, round(exp_raw, 4) AS expected,
-        |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
-        |FROM e""".stripMargin,
-    "q_ks_drift" ->
-      """WITH u AS (
-        |  SELECT o_totalprice AS v, 1 AS ia, 0 AS ib FROM orders
-        |  WHERE o_orderstatus = 'F'
-        |  UNION ALL
-        |  SELECT o_totalprice, 0, 1 FROM orders WHERE o_orderstatus = 'O'),
-        |c AS (
-        |  SELECT v, CAST(sum(ia) AS BIGINT) AS na,
-        |    CAST(sum(ib) AS BIGINT) AS nb
-        |  FROM u GROUP BY 1),
-        |r AS (
-        |  SELECT CAST(sum(na) OVER w AS BIGINT) AS ca,
-        |    CAST(sum(nb) OVER w AS BIGINT) AS cb,
-        |    CAST(sum(na) OVER () AS BIGINT) AS ta,
-        |    CAST(sum(nb) OVER () AS BIGINT) AS tb
-        |  FROM c
-        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW))
-        |SELECT max(ta) AS n_a, max(tb) AS n_b,
-        |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
-        |    AS ks
-        |FROM r""".stripMargin,
-    "q_window_stats" ->
-      """SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |  round(percent_rank() OVER bp, 6) AS pct_rank,
-        |  round(cume_dist() OVER bp, 6) AS cume,
-        |  CAST(dense_rank() OVER bp AS INT) AS drank,
-        |  nth_value(o_orderkey, 2) OVER (
-        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |    AS second_cheapest
-        |FROM orders
-        |WINDOW bp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin,
-    "q_metric_stability" ->
-      s"""WITH b AS (
-         |  SELECT CAST((${md5BucketSqlOf("o_orderkey")}) % 32 AS INTEGER)
-         |      AS bucket,
-         |    o_totalprice AS v
-         |  FROM orders),
-         |m AS (SELECT bucket, round(avg(v), 4) AS m FROM b GROUP BY 1),
-         |g AS (SELECT round(avg(m), 4) AS mu FROM m)
-         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
-         |  max(mu) AS mean_of_means,
-         |  round(sqrt(sum((m - mu) * (m - mu)) / (count(*) - 1)), 4)
-         |    AS sd_means,
-         |  round(round(sqrt(sum((m - mu) * (m - mu)) / (count(*) - 1)), 4)
-         |    / sqrt(CAST(count(*) AS DOUBLE)), 4) AS se_mean
-         |FROM m CROSS JOIN g""".stripMargin,
-    "q_curriculum" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(lower(text)), '\s+')) AS difficulty,
-        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
-        |  FROM documents),
-        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM b),
-        |c AS (
-        |  SELECT doc_id, difficulty, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY difficulty, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum
-        |  FROM b),
-        |s AS (
-        |  SELECT doc_id, difficulty, n_tokens,
-        |    CAST(least((cum * 8) // total, 7) AS INTEGER) AS shard
-        |  FROM c CROSS JOIN t)
-        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-        |  CAST(min(difficulty) AS INTEGER) AS d_min,
-        |  CAST(max(difficulty) AS INTEGER) AS d_max
-        |FROM s GROUP BY 1""".stripMargin,
-    "q_chi2_indep" ->
-      s"""$chi2CellsSql
-         |SELECT l_returnflag, l_linestatus, n_obs,
-         |  round(exp_raw, 4) AS expected,
-         |  round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6) AS chi2_part
-         |FROM e""".stripMargin,
-    "q_cramers_v" ->
-      s"""$chi2CellsSql,
-         |parts AS (
-         |  SELECT l_returnflag, l_linestatus, n_obs,
-         |    round((n_obs - exp_raw) * (n_obs - exp_raw) / exp_raw, 6)
-         |      AS chi2_part
-         |  FROM e),
-         |sm AS (
-         |  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
-         |    round(sum(chi2_part), 6) AS chi2,
-         |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r,
-         |    CAST(count(DISTINCT l_linestatus) AS BIGINT) AS c
-         |  FROM parts)
-         |SELECT n, chi2,
-         |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
-         |    AS cramers_v
-         |FROM sm""".stripMargin,
-    "q_mutual_info" ->
-      """WITH cells AS (
-        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs
-        |  FROM lineitem GROUP BY 1, 2),
-        |m AS (
-        |  SELECT *,
-        |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT)
-        |      AS row_tot,
-        |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT)
-        |      AS col_tot,
-        |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
-        |  FROM cells)
-        |SELECT l_returnflag, l_linestatus, n_obs,
-        |  round((n_obs / CAST(n AS DOUBLE)) *
-        |    ln((CAST(n_obs AS DOUBLE) * n)
-        |      / (CAST(row_tot AS DOUBLE) * col_tot)), 6) AS mi_contrib
-        |FROM m""".stripMargin,
-    "q_entropy_profile" ->
-      """WITH s AS (
-        |  SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem),
-        |c AS (
-        |  SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM s GROUP BY 1, 2),
-        |t AS (
-        |  SELECT col_name, value, cnt,
-        |    CAST(sum(cnt) OVER (PARTITION BY col_name) AS BIGINT) AS total
-        |  FROM c)
-        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
-        |  round(-sum((cnt / CAST(total AS DOUBLE)) *
-        |    ln(cnt / CAST(total AS DOUBLE))) / ln(2.0), 6) AS entropy_bits,
-        |  round(max(cnt) / CAST(max(total) AS DOUBLE), 6) AS top_share
-        |FROM t GROUP BY 1""".stripMargin,
-    "q_calibration" ->
-      """WITH s AS (
-        |  SELECT o_orderkey AS k, round(o_totalprice, 4) AS score,
-        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
-        |  FROM orders),
-        |b AS (
-        |  SELECT *, CAST(ntile(10) OVER (ORDER BY score, k) AS INT) AS decile
-        |  FROM s)
-        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
-        |  min(score) AS min_score, max(score) AS max_score,
-        |  CAST(sum(event) AS BIGINT) AS n_events,
-        |  round(CAST(sum(event) AS DOUBLE) / count(*), 6) AS event_rate
-        |FROM b GROUP BY 1""".stripMargin,
-    "q_dq_orphans" ->
-      """SELECT o_orderstatus, count(*) AS n_orphans,
-        |  count(DISTINCT o_custkey) AS n_orphan_keys
-        |FROM orders o
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM customer c
-        |  WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
-        |GROUP BY o_orderstatus""".stripMargin,
-    "q_scd2_lookup" ->
-      """WITH v AS (
-        |  SELECT c_custkey, c_acctbal,
-        |    TIMESTAMP '1994-01-01' AS valid_from,
-        |    CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '1996-01-01' END
-        |      AS valid_to
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, c_acctbal + 100, TIMESTAMP '1996-01-01',
-        |    CAST(NULL AS TIMESTAMP)
-        |  FROM customer WHERE c_custkey % 5 = 0)
-        |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
-        |  CAST(o.o_orderdate AS TIMESTAMP) AS odate,
-        |  v.c_acctbal, v.valid_from
-        |FROM orders o LEFT JOIN v
-        |  ON o.o_custkey = v.c_custkey
-        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= v.valid_from
-        |  AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < v.valid_to)""".stripMargin,
-    "q_snapshot_diff" ->
-      """WITH aft AS (
-        |  SELECT c_custkey AS k, c_name, c_mktsegment,
-        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
-        |         ELSE c_acctbal END AS c_acctbal
-        |  FROM customer WHERE c_custkey % 13 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey % 11 = 0)
-        |SELECT COALESCE(b.c_custkey, a.k) AS c_custkey,
-        |  CASE WHEN b.c_custkey IS NULL THEN 'added'
-        |       WHEN a.k IS NULL THEN 'removed'
-        |       WHEN b.c_name IS NOT DISTINCT FROM a.c_name
-        |         AND b.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment
-        |         AND b.c_acctbal IS NOT DISTINCT FROM a.c_acctbal THEN 'same'
-        |       ELSE 'changed' END AS status
-        |FROM customer b FULL OUTER JOIN aft a ON b.c_custkey = a.k""".stripMargin,
-    "q_forget" ->
-      """WITH tomb AS (
-        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
-        |po AS (
-        |  SELECT o_orderkey FROM orders
-        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb))
-        |SELECT 'customer' AS tbl,
-        |  CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT)
-        |    AS n_purged,
-        |  CAST(count(*) FILTER (WHERE c_custkey % 97 <> 0) AS BIGINT)
-        |    AS n_kept
-        |FROM customer
-        |UNION ALL
-        |SELECT 'orders',
-        |  CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM tomb))
-        |    AS BIGINT),
-        |  CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb))
-        |    AS BIGINT)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'lineitem',
-        |  CAST(count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM po))
-        |    AS BIGINT),
-        |  CAST(count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po))
-        |    AS BIGINT)
-        |FROM lineitem""".stripMargin,
-    "q_merge_upsert" ->
-      """WITH tgt AS (
-        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
-        |src AS (
-        |  SELECT c_custkey, FALSE AS deleted, c_name, c_mktsegment,
-        |    c_acctbal + 50 AS c_acctbal
-        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey, TRUE, c_name, c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey % 13 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 2000000, FALSE, c_name, c_mktsegment, c_acctbal
-        |  FROM customer WHERE c_custkey % 11 = 0)
-        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
-        |       ELSE t.c_name END AS c_name,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
-        |       ELSE t.c_mktsegment END AS c_mktsegment,
-        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
-        |       ELSE t.c_acctbal END AS c_acctbal
-        |FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
-        |WHERE s.c_custkey IS NULL OR NOT s.deleted""".stripMargin,
-    "q_table_checksum" ->
-      s"""WITH h AS (
-         |  SELECT ${md5PrefixSqlOf(
-               "concat_ws('|', CAST(l_orderkey AS VARCHAR), " +
-               "CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), " +
-               "CAST(l_linenumber AS VARCHAR), CAST(l_returnflag AS VARCHAR), " +
-               "CAST(l_linestatus AS VARCHAR))", 13)} AS h
-         |  FROM lineitem)
-         |SELECT CAST(h % 64 AS INTEGER) AS bucket,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(bit_xor(h) AS BIGINT) AS checksum
-         |FROM h GROUP BY 1""".stripMargin,
-    "q_join_cardinality" ->
-      """WITH la AS (
-        |  SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
-        |ra AS (
-        |  SELECT l_partkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
-        |j AS (
-        |  SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows,
-        |    CAST(count(*) AS BIGINT) AS n_keys,
-        |    CAST(max(ca * cb) AS BIGINT) AS max_key_pairs
-        |  FROM la JOIN ra USING (k))
-        |SELECT est_rows, n_keys, max_key_pairs,
-        |  round(CAST(max_key_pairs AS DOUBLE) / est_rows, 6) AS top_key_share
-        |FROM j""".stripMargin,
-    "q_zorder" ->
-      s"""WITH s AS (
-         |  SELECT min(l_partkey) AS min_a, max(l_partkey) AS max_a,
-         |         min(l_suppkey) AS min_b, max(l_suppkey) AS max_b
-         |  FROM lineitem),
-         |q AS (
-         |  SELECT l_orderkey, l_partkey, l_suppkey,
-         |    (l_partkey - min_a) * 256 // (max_a - min_a + 1) AS qa,
-         |    (l_suppkey - min_b) * 256 // (max_b - min_b + 1) AS qb
-         |  FROM lineitem CROSS JOIN s)
-         |SELECT l_orderkey, l_partkey, l_suppkey,
-         |  CAST(${(0 until 8).map(i =>
-              s"(((qa >> $i) & 1) << ${2 * i}) + (((qb >> $i) & 1) << ${2 * i + 1})")
-             .mkString(" + ")} AS BIGINT) AS zvalue
-         |FROM q""".stripMargin,
-    "q_gini_orders" ->
-      """WITH perkey AS (
-        |  SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1),
-        |r AS (
-        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
-        |    AS BIGINT) AS i
-        |  FROM perkey)
-        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        |  CAST(sum(x) AS BIGINT) AS total,
-        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-        |    / (count(*) * sum(x)), 6) AS gini
-        |FROM r""".stripMargin,
-    "q_source_overlap" ->
-      """WITH gs AS (
-        |  SELECT DISTINCT source AS g, sh FROM (
-        |    SELECT source,
-        |      unnest(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |    FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
-        |          FROM documents)
-        |    WHERE len(t) >= 3)),
-        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sh FROM gs GROUP BY 1),
-        |inter AS (
-        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_inter
-        |  FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g
-        |  GROUP BY 1, 2)
-        |SELECT i.g_a, i.g_b, i.n_inter, ta.n_sh AS n_a, tb.n_sh AS n_b,
-        |  round(CAST(i.n_inter AS DOUBLE)
-        |    / (ta.n_sh + tb.n_sh - i.n_inter), 6) AS jaccard
-        |FROM inter i JOIN tot ta ON i.g_a = ta.g
-        |  JOIN tot tb ON i.g_b = tb.g""".stripMargin,
-    "q_zonemap_prune" ->
-      """WITH s AS (
-        |  SELECT CAST(min(l_orderkey) AS BIGINT) AS min_k,
-        |    CAST(max(l_orderkey) AS BIGINT) AS max_k
-        |  FROM lineitem),
-        |z AS (
-        |  SELECT (CAST(l_orderkey AS BIGINT) - min_k) * 32
-        |      // (max_k - min_k + 1) AS zone,
-        |    CAST(l_shipdate AS VARCHAR) AS sdt
-        |  FROM lineitem CROSS JOIN s),
-        |agg AS (
-        |  SELECT zone, count(*) AS zn, min(sdt) AS zmin, max(sdt) AS zmax
-        |  FROM z GROUP BY 1)
-        |SELECT CASE WHEN zmax < '1994-01-01' OR zmin > '1994-12-31'
-        |         THEN 'pruned'
-        |       WHEN zmin >= '1994-01-01' AND zmax <= '1994-12-31'
-        |         THEN 'full'
-        |       ELSE 'partial' END AS zone_class,
-        |  CAST(count(*) AS BIGINT) AS n_zones,
-        |  CAST(sum(zn) AS BIGINT) AS n_rows
-        |FROM agg GROUP BY 1""".stripMargin,
-    "q_nb_model" -> s"$nbModelCte\nSELECT label, term, logp FROM model",
-    "q_nb_predict" ->
-      s"""$nbModelCte,
-         |$nbPredictCtes
-         |SELECT doc_id, label AS pred_label,
-         |  score_micro / 1000000.0 AS score
-         |FROM ranked WHERE rnk = 1""".stripMargin,
-    "q_nb_confusion" ->
-      s"""$nbModelCte,
-         |$nbPredictCtes,
-         |pred AS (
-         |  SELECT doc_id, label AS pred_label FROM ranked WHERE rnk = 1),
-         |j AS (
-         |  SELECT d.lang AS true_label, p.pred_label
-         |  FROM pred p JOIN documents d USING (doc_id)),
-         |tot AS (
-         |  SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
-         |  FROM j GROUP BY 1)
-         |SELECT j.true_label, j.pred_label, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(CAST(count(*) AS DOUBLE) / t.n_true, 6) AS row_share
-         |FROM j JOIN tot t ON j.true_label = t.true_label
-         |GROUP BY j.true_label, j.pred_label, t.n_true""".stripMargin,
-
-    "q_mm_hist" -> mmHistSql,
-    // ASCII corpus (verified): byte == char code, so ascii(substr(..)) in
-    // the oracle mirrors the codec's byte reads exactly
-    "q_mm_resize" -> {
-      val cols = (0 until 16).map(k =>
-        s"max(CASE WHEN chunk = $k THEN v END) AS t$k").mkString(",\n         |  ")
-      s"""WITH b AS (
-         |  SELECT doc_id, (CAST(i - 1 AS BIGINT) * 16) // length(text) AS chunk,
-         |    ascii(substr(text, i, 1)) AS code
-         |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
-         |  WHERE length(text) >= 16),
-         |c AS (
-         |  SELECT doc_id, chunk, round(avg(code), 4) AS v
-         |  FROM b GROUP BY doc_id, chunk)
-         |SELECT doc_id,
-         |  $cols
-         |FROM c GROUP BY doc_id""".stripMargin
-    },
-    // frame sample: byte at 0-based position 16*i is the hex-digit pair at
-    // (32*i+1, 32*i+2); count = min(ceil(n/16), 8) — mirrors
-    // FakeCodec.sampleFrames(stride=16, max=8).
-    "q_mm_frames" ->
-      """WITH h AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, CAST(least(ceil(n / 16.0), 8) AS BIGINT)),
-        |      i -> (instr('0123456789ABCDEF', substring(hx, 32 * i + 1, 1)) - 1) * 16
-        |         + (instr('0123456789ABCDEF', substring(hx, 32 * i + 2, 1)) - 1)) AS fb
-        |  FROM h)
-        |SELECT doc_id, CAST(len(fb) AS INTEGER) AS n_sampled,
-        |  CAST(list_sum(fb) AS BIGINT) AS checksum
-        |FROM s""".stripMargin,
-
-    "q_mm_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
-        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
-        |       ELSE 'webp' END AS format,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS n_frames
-        |FROM documents""".stripMargin,
-  )
-
-  // ---- heavy oracle SQL builders (kept as defs for readability) ----
-
-  private def shinglesSql: String = shinglesSqlOver("documents", "")
-
-  private def shinglesSqlOver(rel: String, where: String, n: Int = 3): String = {
-    val terms = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""SELECT doc_id, lang,
-       |  list_transform(range(1, len(t) - ${n - 2}),
-       |    i -> $terms) AS sh
-       |FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |      FROM $rel $where)
-       |WHERE len(t) >= $n""".stripMargin
-  }
-
-  /** Distinct (doc_id, gram) 5-gram CTEs over the train/benchmark doc-id
-    * split — shared by both decontamination oracles. */
-  private def decontamGramsSql: String =
-    s"""tr AS (${shinglesSqlOver("documents", "WHERE doc_id >= 50", 5)}),
-       |be AS (${shinglesSqlOver("documents", "WHERE doc_id < 50", 5)}),
-       |tg AS (SELECT DISTINCT doc_id, g
-       |       FROM (SELECT doc_id, unnest(sh) AS g FROM tr)),
-       |bg AS (SELECT DISTINCT doc_id AS bench_id, g
-       |       FROM (SELECT doc_id, unnest(sh) AS g FROM be))""".stripMargin
-
-  /** Char-trigram LM scoring CTEs shared by the q_lm_score / q_lm_gate
-    * oracles: en-trained counts, add-0.5 smoothing, unseen mass, per-doc
-    * mean NLL rounded to 4 (the `s` relation). */
-  private def lmScoreSql: String =
-    """tr AS (SELECT lower(text) AS t FROM documents WHERE lang = 'en'),
-      |tg0 AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM tr),
-      |c AS (SELECT substr(t, CAST(i AS INT), 3) AS gram, count(*) AS cnt
-      |      FROM tg0 GROUP BY 1),
-      |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c),
-      |m AS (SELECT gram, ln((cnt + 0.5) / (n + 0.5 * (v + 1))) AS logp FROM c, st),
-      |u AS (SELECT ln(0.5 / (n + 0.5 * (v + 1))) AS logp_unseen FROM st),
-      |dg0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
-      |        FROM (SELECT doc_id, lower(text) AS t FROM documents)),
-      |dg AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram FROM dg0),
-      |s AS (SELECT doc_id, count(*) AS n_grams,
-      |        round(-avg(coalesce(m.logp, u.logp_unseen)), 4) AS avg_nll
-      |      FROM dg LEFT JOIN m USING (gram) CROSS JOIN u GROUP BY doc_id)""".stripMargin
-
-  /** Per-doc English-stopword ratio — the quality proxy the source-
-    * reputation gate averages (same formula as q_text_quality's
-    * stopword_ratio, unrounded so the per-source mean is exact). */
-  private def stopwordRatio: Column =
-    Text.markerHits(col("text"), Text.stopwords("en")).cast("double") /
-      Text.tokenCount(col("text"))
-
-  /** Source-reputation CTEs shared by the q_source_stats / q_source_gate
-    * oracles: per-doc stopword ratio, per-source stats, corpus-wide mean. */
-  private def sourceRepSql: String =
-    """q AS (SELECT doc_id, source,
-      |        len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-      |              t -> t IN ('the','a','of','and','is','in','to','it')))
-      |          / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS s
-      |      FROM documents),
-      |st AS (SELECT source, count(*) AS n_docs, avg(s) AS avg_s
-      |       FROM q GROUP BY source),
-      |g AS (SELECT avg(s) AS global_s FROM q)""".stripMargin
-
-  /** Corpus-duplicated 4-token-span CTEs (ExactSubstr tier): `t` tokenizes,
-    * `h` hashes every span via 1-based list slicing, `d` keeps occurrences
-    * whose hash repeats corpus-wide (window census, like the Spark side).
-    * Shared by the q_dup_span_frac / q_span_scrub oracles. */
-  private def dupSpansSql: String =
-    """t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-      |       FROM documents),
-      |s AS (SELECT doc_id, toks,
-      |        unnest(range(0, greatest(len(toks) - 3, 0))) AS start FROM t),
-      |h AS (SELECT doc_id, start,
-      |        md5(array_to_string(toks[start + 1:start + 4], ' ')) AS h FROM s),
-      |d AS (SELECT doc_id, start
-      |      FROM (SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS cnt
-      |            FROM h)
-      |      WHERE cnt > 1)""".stripMargin
-
-  /** BM25 demo queries — terms drawn from the synthetic corpus vocabulary;
-    * shared by the Spark query and the oracle builder. */
-  private val bm25Queries: Seq[(Int, String)] = Seq(
-    0 -> "spark window agg",
-    1 -> "customer order value",
-    2 -> "slow hash join")
-
-  /** BM25 oracle — identical term list, identical double literals (k1, b
-    * folded in Scala so e.g. `k1 + 1` prints the same 2.2 DuckDB parses),
-    * avgdl rounded before scoring on both sides. */
-  private def bm25Sql: String = {
-    val (k1, b, k) = (1.2, 0.75, 10)
-    val qt = bm25Queries.flatMap { case (qid, q) =>
-      q.toLowerCase.trim.split("\\s+").distinct.map(t => s"($qid, '$t')")
-    }.mkString(", ")
-    s"""WITH qt(query_id, term) AS (VALUES $qt),
-       |docs_t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |           FROM documents),
-       |stats AS (SELECT count(*) AS n_docs, round(avg(len(t)), 4) AS avgdl FROM docs_t),
-       |toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM docs_t),
-       |tf AS (SELECT term, doc_id, dl, count(*) AS tf
-       |       FROM toks JOIN (SELECT DISTINCT term FROM qt) q USING (term)
-       |       GROUP BY term, doc_id, dl),
-       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |scored AS (
-       |  SELECT query_id, doc_id,
-       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-       |      * (tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * dl / avgdl))), 4) AS score
-       |  FROM tf JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats
-       |  GROUP BY query_id, doc_id)
-       |SELECT query_id, doc_id, score,
-       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
-       |FROM scored QUALIFY rank <= $k""".stripMargin
-  }
-
-  /** The PII scrub oracle folds the SAME [[Text.PiiPatterns]] list the
-    * Spark query uses — one pattern source, two engines (patterns are
-    * Java∩RE2, see Text.scala). */
-  private def piiRedactSql: String = {
-    val dirty =
-      """regexp_replace(substring(text, 1, 40), '[0-9]', '', 'g')
-        | || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ssn 123-45-'
-        | || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        | || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-'
-        | || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-        | || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
-        // flattened: the outer template below runs stripMargin over the
-        // INTERPOLATED text, which would eat the first '|' of a
-        // line-leading '||'
-        .stripMargin.replace("\n", "")
-    val redacted = Text.PiiPatterns.foldLeft("dirty") { case (e, (p, r)) =>
-      s"regexp_replace($e, '$p', '$r', 'g')"
-    }
-    s"""SELECT doc_id, dirty,
-       |  $redacted AS redacted
-       |FROM (SELECT doc_id,
-       |  $dirty AS dirty
-       |FROM documents)""".stripMargin
-  }
-
-  private def minhashSigSql: String = minhashSigSqlOver("documents", "")
-
-  private def minhashSigSqlWhere(where: String): String =
-    minhashSigSqlOver("documents", where)
-
-  private def minhashSigSqlOver(rel: String, where: String): String = {
-    // base hash: first 7 md5 nibbles as an integer (< 2^28), then the
-    // universal-hash family (A_i * h + B_i) mod P — mirrors Dedup exactly;
-    // all products < 2^60 so DuckDB's checked BIGINT arithmetic never throws.
-    val base = (1 to 7).map { i =>
-      s"(instr('0123456789abcdef', substring(md5(s), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
-    }.mkString(" + ")
-    val slots = (0 until Dedup.MinhashK).map { i =>
-      s"    list_aggregate(list_transform(hashes, h -> (${Dedup.minhashA(i)} * h + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}), 'min') AS mh_$i"
-    }.mkString(",\n")
-    s"""WITH docs AS (${shinglesSqlOver(rel, where)}),
-       |hs AS (
-       |  SELECT doc_id, list_transform(sh, s -> $base) AS hashes
-       |  FROM docs WHERE len(sh) > 0)
-       |SELECT doc_id,
-       |$slots
-       |FROM hs""".stripMargin
-  }
-
-  /** Band bucket rows over the signature CTE `sigs` (shared by the pairs
-    * and Jaccard oracles). Slots are BIGINT — cast for the string concat. */
-  private def bandRowsSql: String = bandRowsSqlFrom("sigs")
-
-  private def bandRowsSqlFrom(sigsName: String,
-      bands: Int = Dedup.Bands): String = {
-    val rpb = Dedup.MinhashK / bands
-    (0 until bands).map { b =>
-      val slots = (b * rpb until (b + 1) * rpb)
-        .map(h => s"CAST(mh_$h AS VARCHAR)").mkString(" || '|' || ")
-      s"  SELECT doc_id, $b AS band, md5($slots) AS bucket FROM $sigsName"
-    }.mkString("\n  UNION ALL\n")
-  }
-
-  /** The capped within-bucket pair expansion (mirrors
-    * Dedup.minhashCandidatePairsOf): full C(n,2) for buckets up to
-    * MaxBucket, min-id star pairs beyond. Yields CTEs `grouped` and a
-    * final SELECT-able `cand` (doc_a, doc_b). */
-  private def cappedPairCtes: String = cappedPairCtesFrom("bands")
-
-  private def cappedPairCtesFrom(bandsName: String): String =
-    s"""grouped AS (
-       |  SELECT band, bucket, list_sort(list(doc_id)) AS ids
-       |  FROM $bandsName GROUP BY band, bucket HAVING count(*) > 1),
-       |expanded AS (
-       |  SELECT unnest(CASE WHEN len(ids) <= ${Dedup.MaxBucket}
-       |    THEN flatten(list_transform(range(1, len(ids)), i ->
-       |           list_transform(range(i + 1, len(ids) + 1), j -> {'a': ids[i], 'b': ids[j]})))
-       |    ELSE list_transform(ids[2:], x -> {'a': ids[1], 'b': x})
-       |  END) AS p FROM grouped),
-       |cand AS (
-       |  SELECT DISTINCT p.a AS doc_a, p.b AS doc_b FROM expanded)""".stripMargin
-
-  private def minhashPairsSql: String =
-    s"""WITH sigs AS ($minhashSigSql),
-       |bands AS (
-       |$bandRowsSql),
-       |$cappedPairCtes
-       |SELECT doc_a, doc_b FROM cand""".stripMargin
-
-  /** One min-propagation step over band buckets (mirrors
-    * Dedup.minhashClustersOf): per-bucket min doc_id, then the min of
-    * those over each document's buckets. */
-  private def minhashClusterSql: String =
-    s"""WITH sigs AS ($minhashSigSql),
-       |bands AS (
-       |$bandRowsSql),
-       |reps AS (
-       |  SELECT band, bucket, min(doc_id) AS rep FROM bands GROUP BY band, bucket)
-       |SELECT b.doc_id, min(r.rep) AS cluster_id
-       |FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
-       |GROUP BY b.doc_id""".stripMargin
-
-  private def simhashCoreSql: String = {
-    val nibbles = Dedup.SimhashBits / 4
-    val hv = (1 to nibbles).map { i =>
-      s"(instr('0123456789abcdef', substring(md5(token), $i, 1)) - 1) * ${1L << (4 * (nibbles - i))}"
-    }.mkString("\n    + ")
-    // integer division (//): hv is up to 2^60, so float division + floor
-    // rounds above the 53-bit double mantissa and flips low-bit votes
-    val votes = (0 until Dedup.SimhashBits).map { j =>
-      s"    sum(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v_$j"
-    }.mkString(",\n")
-    val sig = (0 until Dedup.SimhashBits).map { j =>
-      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
-       |  FROM documents),
-       |hv AS (
-       |  SELECT doc_id,
-       |    $hv AS hv
-       |  FROM toks),
-       |votes AS (
-       |  SELECT doc_id,
-       |$votes
-       |  FROM hv GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
-  }
-
-  private def simhashSql: String = simhashCoreSql
-
-  /** Mirrors Dedup.simhashNearDupPairsOf: bucket members grouped per
-    * (chunk, chunk_val), the SAME capped expansion as the MinHash oracle
-    * (full C(n,2) up to MaxBucket, min-id star pairs beyond), Hamming
-    * filter, distinct over the filtered candidates. */
-  private def simhashPairsSql: String = bandedHammingPairsSql(simhashCoreSql)
-
-  /** The banded Hamming-pair SQL over ANY (doc_id, simhash) core CTE —
-    * shared by the token-SimHash and multimodal-dHash tiers, mirroring
-    * Dedup.simhashPairsFromChunks chunk for chunk. */
-  private def bandedHammingPairsSql(coreSql: String): String = {
-    val chunkRows = (0 until Dedup.SimhashChunks).map { c =>
-      val p = 1L << (c * Dedup.ChunkBits)
-      // exact integer division (//): simhash is up to 2^60, so float
-      // division + floor would round above the 53-bit double mantissa
-      s"  SELECT doc_id, simhash, $c AS chunk, (simhash // $p) % ${1 << Dedup.ChunkBits} AS chunk_val FROM sigs"
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH sigs AS ($coreSql),
-       |chunks AS (
-       |$chunkRows),
-       |grouped AS (
-       |  SELECT chunk, chunk_val,
-       |    list_sort(list({'doc_id': doc_id, 'simhash': simhash})) AS ms
-       |  FROM chunks GROUP BY chunk, chunk_val HAVING count(*) > 1),
-       |expanded AS (
-       |  SELECT unnest(CASE WHEN len(ms) <= ${Dedup.MaxBucket}
-       |    THEN flatten(list_transform(range(1, len(ms)), i ->
-       |           list_transform(range(i + 1, len(ms) + 1), j -> {'a': ms[i], 'b': ms[j]})))
-       |    ELSE list_transform(ms[2:], x -> {'a': ms[1], 'b': x})
-       |  END) AS p FROM grouped)
-       |SELECT DISTINCT p.a.doc_id AS doc_a, p.b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(p.a.simhash, p.b.simhash)) AS INTEGER) AS hamming
-       |FROM expanded
-       |WHERE bit_count(xor(p.a.simhash, p.b.simhash)) <= 3""".stripMargin
-  }
-
-  /** The dHash core: 61 box-filter cells over the payload bytes (ascii
-    * codes — the documents' text is ASCII, matching the binary cast), bit
-    * j = cell j mean > cell j+1 mean via EXACT cross-multiplied integer
-    * sums. Mirrors Multimodal.dhashSignature; column named simhash so the
-    * shared banded-pairs SQL applies unchanged. */
-  private def phashCoreSql: String =
-    """WITH pb AS (
-      |  SELECT doc_id, (CAST(i - 1 AS BIGINT) * 61) // length(text) AS cell,
-      |    ascii(substr(text, i, 1)) AS code
-      |  FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
-      |  WHERE length(text) >= 61),
-      |pc AS (
-      |  SELECT doc_id, cell, CAST(sum(code) AS BIGINT) AS s,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM pb GROUP BY 1, 2),
-      |pbits AS (
-      |  SELECT x.doc_id, x.cell AS j,
-      |    CASE WHEN x.s * y.n > y.s * x.n THEN 1 ELSE 0 END AS bit
-      |  FROM pc x JOIN pc y ON x.doc_id = y.doc_id AND y.cell = x.cell + 1
-      |  WHERE x.cell < 60)
-      |SELECT doc_id,
-      |  CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT)
-      |    AS simhash
-      |FROM pbits GROUP BY doc_id""".stripMargin
-
-  /** First-7-md5-nibbles of the doc id as an integer — the deterministic
-    * split/sampling bucket base (mirrors graft_md5_prefix(doc_id, 7)). */
-  private def md5BucketSql: String = md5BucketSqlOf("doc_id")
-
-  /** Shared Naive Bayes oracle CTE chain: md5 train band → (label, term)
-    * counts → dense add-one-smoothed model (mirrors `ml.NaiveBayes.model`,
-    * same 6-decimal rounding at the model boundary). */
-  private def nbModelCte: String =
-    s"""WITH train AS (
-       |  SELECT doc_id, lang, text FROM documents
-       |  WHERE CAST(($md5BucketSql) % 100 AS INTEGER) < 90),
-       |counts AS (
-       |  SELECT label, term, CAST(count(*) AS BIGINT) AS n_lt FROM (
-       |    SELECT lang AS label,
-       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-       |    FROM train)
-       |  GROUP BY label, term),
-       |totals AS (
-       |  SELECT label, CAST(sum(n_lt) AS BIGINT) AS n_l FROM counts GROUP BY label),
-       |vocab AS (SELECT DISTINCT term FROM counts),
-       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-       |model AS (
-       |  SELECT t.label, vo.term,
-       |    round(ln((COALESCE(c.n_lt, 0) + 1) / CAST(t.n_l + vs.v AS DOUBLE)), 6) AS logp
-       |  FROM totals t CROSS JOIN vocab vo CROSS JOIN vs
-       |  LEFT JOIN counts c ON c.label = t.label AND c.term = vo.term)""".stripMargin
-
-  /** The NB inference CTE chain (priors → tf → scored → ranked), shared
-    * by the predict and confusion-census oracles; appended after
-    * [[nbModelCte]]. */
-  private def nbPredictCtes: String =
-    """priors AS (
-      |  SELECT label, round(ln(CAST(n_docs_l AS DOUBLE) / n_docs), 6) AS log_prior
-      |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs_l
-      |        FROM train GROUP BY 1)
-      |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM train)),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-      |    SELECT doc_id,
-      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-      |    FROM documents)
-      |  GROUP BY doc_id, term),
-      |scored AS (
-      |  -- integer micro-unit sum: logp is rounded to 6 decimals, so the
-      |  -- long arithmetic is exact and order-independent (mirrors
-      |  -- ml.NaiveBayes.predict)
-      |  SELECT tf.doc_id, m.label,
-      |    CAST(sum(tf.tf * CAST(round(m.logp * 1000000) AS BIGINT)) AS BIGINT) AS ll_micro
-      |  FROM tf JOIN model m ON tf.term = m.term
-      |  GROUP BY tf.doc_id, m.label),
-      |ranked AS (
-      |  SELECT s.doc_id, s.label,
-      |    s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) AS score_micro,
-      |    row_number() OVER (PARTITION BY s.doc_id
-      |      ORDER BY s.ll_micro + CAST(round(p.log_prior * 1000000) AS BIGINT) DESC,
-      |        s.label) AS rnk
-      |  FROM scored s JOIN priors p USING (label))""".stripMargin
-
-  /** The χ² cell chain (full A×B grid, marginal window sums, raw expected
-    * counts) as CTEs ending in `e` — shared by the per-cell report and
-    * the Cramér's V summary. Mirrors Audit.chiSquareIndependence. */
-  private def chi2CellsSql: String =
-    """WITH counts AS (
-      |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cell_n
-      |  FROM lineitem GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT a.l_returnflag, b.l_linestatus
-      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) a
-      |  CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) b),
-      |cells AS (
-      |  SELECT g.l_returnflag, g.l_linestatus,
-      |    COALESCE(c.cell_n, 0) AS n_obs
-      |  FROM grid g LEFT JOIN counts c USING (l_returnflag, l_linestatus)),
-      |m AS (
-      |  SELECT *,
-      |    CAST(sum(n_obs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS row_tot,
-      |    CAST(sum(n_obs) OVER (PARTITION BY l_linestatus) AS BIGINT) AS col_tot,
-      |    CAST(sum(n_obs) OVER () AS BIGINT) AS n
-      |  FROM cells),
-      |e AS (
-      |  SELECT l_returnflag, l_linestatus, n_obs,
-      |    CAST(row_tot AS DOUBLE) * col_tot / n AS exp_raw
-      |  FROM m)""".stripMargin
-
-  /** The skip-gram term graph (window 3, pair count >= 50) as CTEs ending
-    * in `sym` (both directions, self-loops dropped) — the edge relation
-    * behind q_triangles/q_graph_cc/q_degree_dist. Mirrors
-    * Retrieval.windowCooccurrence + Graph.symmetric. */
-  private def termGraphCtes: String =
-    """WITH tk AS (
-      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents),
-      |pp AS (
-      |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-      |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-      |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-      |  FROM tk WHERE len(t) >= 2),
-      |e AS (
-      |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-      |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-      |sym AS (
-      |  SELECT term_a AS u, term_b AS v FROM e WHERE term_a <> term_b
-      |  UNION ALL
-      |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a <> term_b)""".stripMargin
-
-  private def md5BucketSqlOf(ref: String): String =
-    (1 to 7).map { i =>
-      s"(instr('0123456789abcdef', substring(md5(CAST($ref AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
-    }.mkString(" + ")
-
-  /** General-width twin of md5BucketSqlOf: first `nibbles` hex digits of
-    * md5(`ref`) as a bigint, over an already-VARCHAR ref expression —
-    * mirrors `graft_md5_prefix(ref, nibbles)`. */
-  private def md5PrefixSqlOf(ref: String, nibbles: Int): String =
-    (1 to nibbles).map { i =>
-      s"(instr('0123456789abcdef', substring(md5($ref), $i, 1)) - 1) * ${1L << (4 * (nibbles - i))}"
-    }.mkString(" + ")
-
-  /** The composed curation oracle: quality filter, fingerprint-window
-    * exact dedup, the unrolled CC chain over the kept slice, survivors,
-    * hash split — every stage the same SQL its standalone oracle runs. */
-  private def curateSql(iterations: Int): String =
-    s"""WITH quality AS (
-       |  SELECT doc_id, lang, text,
-       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens
-       |  FROM documents
-       |  WHERE CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) >= ${Curate.MinTokens}),
-       |kept AS (
-       |  SELECT doc_id, lang, text, n_tokens FROM (
-       |    SELECT *, min(doc_id) OVER (PARTITION BY
-       |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS keep_id
-       |    FROM quality)
-       |  WHERE doc_id = keep_id),
-       |${ccCtes(iterations, "kept")}
-       |SELECT doc_id, lang, n_tokens, bucket,
-       |  CASE WHEN bucket < 90 THEN 'train'
-       |       WHEN bucket < 95 THEN 'valid'
-       |       ELSE 'test' END AS split
-       |FROM (
-       |  SELECT k.doc_id, k.lang, k.n_tokens,
-       |    CAST((${md5BucketSqlOf("k.doc_id")}) % 100 AS INTEGER) AS bucket
-       |  FROM kept k JOIN l$iterations l ON k.doc_id = l.doc_id AND l.label = k.doc_id)""".stripMargin
-
-  /** Min-label propagation unrolled `iterations` times over the band
-    * buckets (mirrors Dedup.minhashConnectedComponentsOf exactly: both
-    * sides run the same fixed iteration count). `ccCtes` yields the CTE
-    * chain (over an arbitrary source relation) so composite oracles can
-    * embed it; the converged labels live in CTE `l<iterations>`. */
-  private def ccCtes(iterations: Int, rel: String): String = {
-    val steps = (1 to iterations).map { i =>
-      s"""b$i AS (
-         |  SELECT b.band, b.bucket, min(l.label) AS bl
-         |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.doc_id
-         |  GROUP BY b.band, b.bucket),
-         |l$i AS (
-         |  SELECT b.doc_id, min(x.bl) AS label
-         |  FROM bands b JOIN b$i x ON b.band = x.band AND b.bucket = x.bucket
-         |  GROUP BY b.doc_id)""".stripMargin
-    }.mkString(",\n")
-    s"""sigs AS (${minhashSigSqlOver(rel, "")}),
-       |bands AS (
-       |$bandRowsSql),
-       |l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM bands),
-       |$steps""".stripMargin
-  }
-
-  private def minhashCcSql(iterations: Int): String =
-    s"""WITH ${ccCtes(iterations, "documents")}
-       |SELECT doc_id, label AS cluster_id FROM l$iterations""".stripMargin
-
-  /** Mirrors the candidates-then-verify Spark plan: MinHash-LSH candidate
-    * pairs (same CTE chain as q_dedup_minhash), exact Jaccard on those via
-    * list_intersect (distinct-element intersection, like array_intersect). */
-  private def jaccardSql: String = jaccardSql(Dedup.Bands)
-
-  /** Shared CTE chain ending in `verified(doc_a, doc_b, inter, na, nb)` —
-    * the exact-intersection stats both the Jaccard and containment
-    * oracles select over. */
-  private def verifiedPairCtes(bands: Int): String =
-    s"""sigs AS ($minhashSigSql),
-       |bands AS (
-       |${bandRowsSqlFrom("sigs", bands)}),
-       |$cappedPairCtes,
-       |docs AS (
-       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
-       |  WHERE len(sh) > 0),
-       |verified AS (
-       |  SELECT cand.doc_a, cand.doc_b,
-       |    len(list_intersect(da.sh, db.sh)) AS inter,
-       |    len(da.sh) AS na, len(db.sh) AS nb
-       |  FROM cand
-       |  JOIN docs da ON cand.doc_a = da.doc_id
-       |  JOIN docs db ON cand.doc_b = db.doc_id)""".stripMargin
-
-  private def jaccardSql(bands: Int): String =
-    s"""WITH ${verifiedPairCtes(bands)}
-       |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-       |FROM verified
-       |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.5""".stripMargin
-
-  /** Mirrors Dedup.containmentLshPairs: bottom-k (by first-7-md5-nibbles,
-    * shingle) probe sketch per document, df-capped inverted shingle index,
-    * equi-join candidates, exact-intersection verify. */
-  private def containmentLshSql(threshold: Double, bottomK: Int, maxDf: Int,
-      minHits: Int): String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
-       |  WHERE len(sh) > 0),
-       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-       |pr AS (
-       |  SELECT doc_id AS probe_id, shingle FROM (
-       |    SELECT doc_id, shingle,
-       |      row_number() OVER (PARTITION BY doc_id
-       |        ORDER BY ${md5BucketSqlOf("shingle")}, shingle) AS rk
-       |    FROM ex)
-       |  WHERE rk <= $bottomK),
-       |idx AS (
-       |  SELECT doc_id AS index_id, shingle FROM (
-       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS cnt
-       |    FROM ex)
-       |  WHERE cnt <= $maxDf),
-       |cand AS (
-       |  SELECT least(probe_id, index_id) AS doc_a,
-       |    greatest(probe_id, index_id) AS doc_b
-       |  FROM pr JOIN idx USING (shingle)
-       |  WHERE probe_id != index_id
-       |  GROUP BY 1, 2
-       |  HAVING count(*) >= $minHits),
-       |verified AS (
-       |  SELECT cand.doc_a, cand.doc_b,
-       |    len(list_intersect(da.sh, db.sh)) AS inter,
-       |    len(da.sh) AS na, len(db.sh) AS nb
-       |  FROM cand
-       |  JOIN docs da ON cand.doc_a = da.doc_id
-       |  JOIN docs db ON cand.doc_b = db.doc_id)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
-       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
-       |FROM verified
-       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
-       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
-
-  /** Mirrors Dedup.incrementalContainmentPairs over the doc_id split at
-    * `splitId`: same probes/index/df-cap as the batch form, but hits keep
-    * only legs with >= 1 delta member (probe or index above the split) —
-    * existing↔existing pairs were found when those documents arrived. */
-  private def containmentIncrSql(threshold: Double, bottomK: Int, maxDf: Int,
-      minHits: Int, splitId: Long): String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(sh) AS sh FROM ($shinglesSql)
-       |  WHERE len(sh) > 0),
-       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-       |oks AS (
-       |  SELECT shingle FROM (
-       |    SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
-       |  WHERE df <= $maxDf),
-       |pr AS (
-       |  SELECT doc_id AS probe_id, shingle FROM (
-       |    SELECT doc_id, shingle,
-       |      row_number() OVER (PARTITION BY doc_id
-       |        ORDER BY ${md5BucketSqlOf("shingle")}, shingle) AS rk
-       |    FROM ex)
-       |  WHERE rk <= $bottomK),
-       |idx AS (
-       |  SELECT ex.doc_id AS index_id, ex.shingle
-       |  FROM ex JOIN oks USING (shingle)),
-       |cand AS (
-       |  SELECT least(probe_id, index_id) AS doc_a,
-       |    greatest(probe_id, index_id) AS doc_b
-       |  FROM pr JOIN idx USING (shingle)
-       |  WHERE probe_id != index_id
-       |    AND (probe_id >= $splitId OR index_id >= $splitId)
-       |  GROUP BY 1, 2
-       |  HAVING count(*) >= $minHits),
-       |verified AS (
-       |  SELECT cand.doc_a, cand.doc_b,
-       |    len(list_intersect(da.sh, db.sh)) AS inter,
-       |    len(da.sh) AS na, len(db.sh) AS nb
-       |  FROM cand
-       |  JOIN docs da ON cand.doc_a = da.doc_id
-       |  JOIN docs db ON cand.doc_b = db.doc_id)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
-       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
-       |FROM verified
-       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
-       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
-
-  private def containmentSql(bands: Int, threshold: Double): String =
-    s"""WITH ${verifiedPairCtes(bands)}
-       |SELECT doc_a, doc_b,
-       |  round(CAST(inter AS DOUBLE) / na, 4) AS cont_a,
-       |  round(CAST(inter AS DOUBLE) / nb, 4) AS cont_b
-       |FROM verified
-       |WHERE greatest(round(CAST(inter AS DOUBLE) / na, 4),
-       |               round(CAST(inter AS DOUBLE) / nb, 4)) >= $threshold""".stripMargin
-
-  /** Cosine over DOUBLE[] casts — the exact arithmetic Vectors.cosine runs. */
-  private def cosSql(a: String, b: String): String =
-    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
-       |      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
-       |       * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
-
-  /** The sampled-codebook quantizer CTEs (mirrors Quantize: centroids are
-    * every CodebookStep-th vector, cell = argmax of rounded cosine with
-    * centroid-id tie-break). Yields CTEs `cent`, `qscored`, `assign`. */
-  private def quantizeCtes: String =
-    s"""cent AS (
-       |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
-       |  FROM embeddings WHERE vec_id % ${Quantize.CodebookStep} = 0
-       |    AND vec_id < ${Quantize.CodebookStep.toLong * Quantize.MaxCells}),
-       |qscored AS (
-       |  SELECT e.vec_id, e.embedding, c.c_id,
-       |    round(${cosSql("e.embedding", "c.c_emb")}, 4) AS aff
-       |  FROM embeddings e CROSS JOIN cent c),
-       |assign AS (
-       |  SELECT vec_id, embedding, c_id AS cell FROM (
-       |    SELECT vec_id, embedding, c_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
-       |    FROM qscored)
-       |  WHERE rn = 1)""".stripMargin
-
-  private def ivfSql: String =
-    s"""WITH $quantizeCtes,
-       |probe AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS q_cell FROM (
-       |    SELECT vec_id, embedding, c_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
-       |    FROM qscored WHERE vec_id < 10)
-       |  WHERE rn <= ${Similarity.IvfNprobe}),
-       |scored AS (
-       |  SELECT p.q_id, a.vec_id,
-       |    round(${cosSql("p.q_emb", "a.embedding")}, 4) AS cosine
-       |  FROM assign a JOIN probe p ON a.cell = p.q_cell AND a.vec_id != p.q_id)
-       |SELECT q_id, vec_id, cosine, rank FROM (
-       |  SELECT q_id, vec_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |WHERE rank <= 5""".stripMargin
-
-  /** Multi-cell assignment (each vector in its EmbedAssignCells nearest
-    * cells) with pair dedup — mirrors Dedup.embeddingNearDupPairs. */
-  private def embedDedupSql: String =
-    s"""WITH $quantizeCtes,
-       |massign AS (
-       |  SELECT vec_id, embedding, c_id AS cell FROM (
-       |    SELECT vec_id, embedding, c_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
-       |    FROM qscored)
-       |  WHERE rn <= ${Dedup.EmbedAssignCells})
-       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cosine
-       |FROM massign a JOIN massign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3""".stripMargin
-
-  /** Byte histogram over the UTF-8 payload, bucket = high nibble of each
-    * byte — which is exactly the ODD-position hex digits of hex(payload).
-    * Counts are integers, so the compare is rounding-free. */
-  private def mmHistSql: String = {
-    val hexDigits = "0123456789ABCDEF"
-    val buckets = (0 until 16).map { k =>
-      s"""  CAST(len(list_filter(range(1, CAST(n_bytes AS INTEGER) + 1),
-         |    i -> substring(hx, 2 * i - 1, 1) = '${hexDigits(k)}')) AS BIGINT) AS h$k""".stripMargin
-    }.mkString(",\n")
-    s"""WITH h AS (
-       |  SELECT doc_id, hex(encode(text)) AS hx,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-       |  FROM documents)
-       |SELECT doc_id, n_bytes,
-       |$buckets
-       |FROM h""".stripMargin
-  }
-
-  /** Multi-table multi-probe LSH in SQL (mirrors Similarity.lshTopK): the
-    * SAME md5-derived plane coefficients the Spark plan bakes in as
-    * literals, here as exact decimal array literals (each value is
-    * k/65536 - 0.5 — a finite decimal that round-trips bit-identically
-    * into a double), one bucket expression per table, and the query side
-    * exploded over every Hamming-ball XOR mask. */
-  private def lshAnnSql: String = {
-    def coefArr(plane: Int): String =
-      Similarity.planeCoefs(plane)
-        .map(v => new java.math.BigDecimal(v).toPlainString)
-        .mkString("[", ", ", "]")
-    // both sides sliced so the dot runs over min(d, LshMaxDims) dims —
-    // exactly the native LshBuckets loop (inert at d = 64, the fixture
-    // dim, but keeps the oracle faithful for other dimensionalities)
-    def bucketExpr(t: Int): String =
-      (0 until Similarity.LshPlanes).map { p =>
-        s"""(CASE WHEN list_dot_product(
-           |      (CAST(embedding AS DOUBLE[]))[1:${Similarity.LshMaxDims}],
-           |      (CAST(${coefArr(t * Similarity.LshPlanes + p)} AS DOUBLE[]))[1:len(embedding)]) > 0
-           |    THEN ${1L << p} ELSE 0 END)""".stripMargin
-      }.mkString("\n  + ")
-    val tableRows = (0 until Similarity.LshTables).map { t =>
-      s"""  SELECT vec_id, embedding, $t AS tbl,
-         |  ${bucketExpr(t)} AS bucket FROM embeddings""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    val probeList = Similarity.probeMasks
-      .map(m => s"xor(bucket, $m)").mkString(", ")
-    s"""WITH b AS (
-       |$tableRows),
-       |p AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, tbl AS q_tbl,
-       |    unnest([$probeList]) AS probe
-       |  FROM b WHERE vec_id < 10),
-       |scored AS (
-       |  SELECT DISTINCT p.q_id, e.vec_id,
-       |    round(${cosSql("p.q_emb", "e.embedding")}, 4) AS cosine
-       |  FROM b e JOIN p ON e.tbl = p.q_tbl AND e.bucket = p.probe AND e.vec_id != p.q_id)
-       |SELECT q_id, vec_id, cosine, rank FROM (
-       |  SELECT q_id, vec_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |WHERE rank <= 5""".stripMargin
-  }
-
-  private def annSql(cellRestricted: Boolean, nQueries: Int = 10,
-      k: Int = 5): String = {
-    val cell = if (cellRestricted) " AND e.label = q.q_label" else ""
-    s"""WITH q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-       |  FROM embeddings WHERE vec_id < $nQueries),
-       |scored AS (
-       |  SELECT q.q_id, e.vec_id,
-       |    round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |      / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-       |       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 4) AS cosine
-       |  FROM embeddings e JOIN q ON e.vec_id != q.q_id$cell)
-       |SELECT q_id, vec_id, cosine, rank FROM (
-       |  SELECT q_id, vec_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |WHERE rank <= $k""".stripMargin
-  }
+  def oracleSql: Map[String, String] =
+    RelationalRegistry.oracleSql ++
+    MonitoringRegistry.oracleSql ++
+    TextAnalysisRegistry.oracleSql ++
+    DedupRegistry.oracleSql ++
+    SimilarityRegistry.oracleSql ++
+    MiscRegistry.oracleSql ++
+    MultimodalRegistry.oracleSql
 }

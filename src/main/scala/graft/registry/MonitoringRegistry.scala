@@ -1,0 +1,246 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.lake.{Ingest, LakePaths, Readers, Tables, Writers}
+import graft.operators._
+import graft.streaming.{Alerts, Funnel, Sessions}
+import RegistryShared._
+
+/** Registry slice — monitoring/alerting (KQL semantics), sessionization, JSON extraction, ingestion manifest.
+  * Split out of SparkEntry (same conventions; see SparkEntry scaladoc). */
+object MonitoringRegistry {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- monitoring / alerting (F8, F9, A7) + sessionization + json extraction
+    "q_alert_volume" -> ((s, d) => Alerts.volumeAlertBatch(s, d, 300.0)),
+    "q_alert_sliding" -> ((s, d) => Alerts.slidingVolumeAlertBatch(s, d, 600.0)),
+    "q_alert_operation" -> ((s, d) => Alerts.operationAlertBatch(s, d, "error")),
+    "q_alert_op_windowed" -> ((s, d) => Alerts.operationAlertWindowedBatch(s, d, "error")),
+    // get_json_object, not from_json: for single-key extraction the plans
+    // are shape-identical but JsonToStructs is CodegenFallback (interpreted
+    // per row) while GetJsonObject stays in whole-stage codegen — measured
+    // 0.51 s vs 0.57 s min-of-3 at sf0.1, identical results
+    "q_json_struct" -> ((s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          round(avg(col("k")), 4).as("avg_k"))),
+    "q_funnel" -> ((s, d) => Funnel.clickToPurchase(s, d, 30)),
+    // fuzzy self-join: near-identical part names (levenshtein 1..2) via
+    // segment-pigeonhole candidates over DISTINCT values — no cross join
+    "q_fuzzy_pairs" -> ((s, d) =>
+      FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
+    // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin): ALL
+    // shingle-set pairs with Jaccard >= 0.5, lossless — the completeness
+    // guarantee the MinHash-LSH tier trades away; candidates key on each
+    // set's RAREST shingles. Oracle is the INDEPENDENT brute-force
+    // formulation (losslessness spec-proven vs brute force in-repo)
+    "q_setsim_exact" -> ((s, d) =>
+      FuzzyJoin.setSimilarityPairs(Tables(s, d, "documents"), 0.5)),
+    // bloom-pruned join: lineitem rows for high-balance suppliers — the
+    // dim-key Bloom filter drops non-matching fact rows BEFORE the
+    // exchange; result is exactly the plain join (false positives die in
+    // the join), so the oracle is the plain SQL join
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables(s, d, "supplier").filter(col("s_acctbal") > 7500)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Joins.bloomPrunedJoin(Tables(s, d, "lineitem"), dim, "l_suppkey")
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // as-of join: each purchase matched to the user's most recent click
+    // at-or-before it — union + running-last, no join node (PlanSpec)
+    "q_asof" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("event_id").as("click_id"), unix_millis(col("ts")).as("click_ms"))
+      Joins.asofJoin(purchases, clicks, "user_id", "ms",
+        Seq("purchase_id", "purchase_value"), Seq("click_id", "click_ms"))
+        .withColumnRenamed("ms", "purchase_ms")
+    }),
+    // built-in-first sessionization: native session_window aggregation
+    // (same operator works over a stream with a watermark)
+    "q_sessions_window" -> ((s, d) => Sessions.sessionsWindowed(s, d, 30)),
+    "q_sessions" -> ((s, d) =>
+      Sessions.sessionsBatch(s, d, 30).select(
+        col("user_id"), col("session_id").cast("int").as("session_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), col("total_value"))),
+    "q_json_extract" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), count(lit(1)).as("n"))),
+
+    // -- ingestion manifest (S4/S5 shape: F6+F7+L3+K3)
+    "q_ingest_manifest" -> ((s, d) =>
+      Ingest.plan(manifestUrls(s, d), "spain", ".csv", 14, "airbnb/spain")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_alert_volume" ->
+      """SELECT window_start, total_value, n_events,
+        |  CAST(CASE WHEN total_value > 1200.0 THEN 0
+        |            WHEN total_value > 900.0 THEN 1
+        |            WHEN total_value > 600.0 THEN 2
+        |            WHEN total_value > 450.0 THEN 3
+        |            ELSE 4 END AS INTEGER) AS severity
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |    round(sum(value), 2) AS total_value, count(*) AS n_events
+        |  FROM events
+        |  GROUP BY time_bucket(INTERVAL '5 minutes', ts)
+        |  HAVING round(sum(value), 2) > 300)""".stripMargin,
+    // sliding window (10 min length, 5 min slide): each event belongs to
+    // exactly two 5-min-aligned window starts — its bucket and bucket-5min.
+    "q_alert_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events)
+        |SELECT window_start, round(sum(value), 2) AS total_value, count(*) AS n_events
+        |FROM w GROUP BY window_start
+        |HAVING round(sum(value), 2) > 600""".stripMargin,
+    "q_json_struct" ->
+      """SELECT event_type,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_alert_operation" ->
+      """SELECT user_id, count(*) AS n_matches FROM events
+        |WHERE position('error' IN lower(event_type)) > 0
+        |GROUP BY user_id HAVING count(*) >= 1""".stripMargin,
+    "q_alert_op_windowed" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  user_id, count(*) AS n_matches
+        |FROM events
+        |WHERE position('error' IN lower(event_type)) > 0
+        |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_ms(p.ts) > epoch_ms(c.ts)
+        |  AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 30 * 60000""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_suppkey, s_name, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 7500
+        |GROUP BY l_suppkey, s_name""".stripMargin,
+    // the oracle pays the quadratic cross join the Spark side exists to
+    // avoid — over DISTINCT names it is 64², checkable
+    "q_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT least(a.p_name, b.p_name) AS value_a,
+        |  greatest(a.p_name, b.p_name) AS value_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // deliberately the BRUTE-FORCE formulation (no prefix filter): the
+    // Spark side's prefix-filtered candidates must reproduce the full
+    // threshold join exactly — the losslessness claim IS the compare
+    "q_setsim_exact" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(sh) AS s FROM ($shinglesSql)
+         |  WHERE len(sh) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+         |    AS jaccard
+         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+    "q_asof" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS side,
+        |    event_id AS purchase_id, value AS purchase_value,
+        |    CAST(NULL AS BIGINT) AS asof_click_id, CAST(NULL AS BIGINT) AS asof_click_ms
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 0, NULL, NULL, event_id, epoch_ms(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT k, t, side, purchase_id, purchase_value,
+        |    last_value(asof_click_id IGNORE NULLS) OVER w AS asof_click_id,
+        |    last_value(asof_click_ms IGNORE NULLS) OVER w AS asof_click_ms
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY k ORDER BY t, side, asof_click_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS user_id, t AS purchase_ms, purchase_id, purchase_value,
+        |  asof_click_id, asof_click_ms
+        |FROM c WHERE side = 1 AND asof_click_id IS NOT NULL""".stripMargin,
+
+    "q_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM ev),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM f),
+        |s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // session_window semantics: windows [t, t+gap) merge on OVERLAP, so a
+    // gap of exactly 30 min SPLITS (>=), unlike the lag formulation's >
+    "q_sessions_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM ev),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM f),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_ingest_manifest" ->
+      """SELECT href,
+        |  'airbnb/spain/' || lang || '_' || source || '_d' || CAST(doc_id AS VARCHAR)
+        |    || '.csv' AS blob_path
+        |FROM (SELECT 'https://insideairbnb.example.com/spain/' || lang || '/'
+        |        || source || '/2024-01-01/data/d' || CAST(doc_id AS VARCHAR)
+        |        || '.csv' AS href, lang, source, doc_id
+        |      FROM documents)
+        |WHERE position('spain' IN href) > 0 AND href LIKE '%.csv'
+        |ORDER BY href LIMIT 14""".stripMargin,
+  )
+}
