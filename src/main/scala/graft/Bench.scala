@@ -30,7 +30,14 @@ object Bench {
     // cache, codegen compile, broadcast build) land on run 1 and can't
     // masquerade as a plan regression. Caches are cleared between queries
     // so an operator's persist() can't subsidize (or tax) its neighbors.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter (comma-separated names) for scale probes and
+    // regression re-timing; a subset run never overwrites the full-bench
+    // round artifacts below.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -44,7 +51,15 @@ object Bench {
           // clearCache drops only catalog-cached relations; localCheckpoint
           // blocks (containment/CC queries) linger in the block manager
           // until ContextCleaner GC — drop them so no query's working set
-          // taxes its successors' memory.
+          // taxes its successors' memory. The CC label memo holds a
+          // DataFrame BACKED by such blocks, so it must be invalidated in
+          // the same breath — a stale memo entry whose blocks are gone
+          // fails every consumer with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+          // (Each timed run therefore carries the full label computation:
+          // honest per-query timing, at the cost of re-running CC for each
+          // consumer query in the bench — production pipelines keep the
+          // memo for the life of the session.)
+          graft.operators.Dedup.clearCcCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       }
@@ -68,7 +83,12 @@ object Bench {
     // (one past the last driver-written BENCH_r*.json — wrong if the
     // driver already wrote this round's file), so ALSO overwrite a
     // stable-named latest artifact that is always the newest run.
-    try {
+    // Persist the round artifact only for a FULL registry run at the
+    // driver's bench scale factor — a subset probe or an sf0.001 smoke
+    // must never clobber BENCH_full_r{N}/latest (it happened: an sf0.001
+    // smoke overwrote the round's sf0.1 map, silently breaking
+    // tools/bench_diff.py's baseline).
+    try if (subset.isEmpty && sfDir.contains("sf0.1")) {
       val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
         .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
