@@ -78,6 +78,27 @@ class TxLakeSpec extends SparkSpec {
     assert(vals(t.read(spark)) == Set((1, "a")))
   }
 
+  test("changes: appends yield exact row-level inserts per commit; overwrite reports churn") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1, "a")).toDF("k", "s"))              // v1
+    t.append(Seq((2, "b")).toDF("k", "s"))                 // v2
+    t.append(Seq((3, "c")).toDF("k", "s"))                 // v3
+    val feed = t.changes(spark, 1L, 3L)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    assert(feed == Set((2, "b", "insert", 2L), (3, "c", "insert", 3L)),
+      s"append-only CDC feed wrong: $feed")
+    // an overwrite reports the outgoing snapshot as deletes, incoming as inserts
+    t.overwrite(Seq((9, "z")).toDF("k", "s"))              // v4
+    val churn = t.changes(spark, 3L, 4L)
+      .collect().map(r => (r.getInt(0), r.getAs[String]("_change_type"))).toSet
+    assert(churn == Set((9, "insert"), (1, "delete"), (2, "delete"), (3, "delete")))
+    // a same-version range is an empty feed with the CDC schema
+    val empty = t.changes(spark, 4L, 4L)
+    assert(empty.isEmpty && empty.columns.contains("_change_type"))
+  }
+
   test("MERGE/SCD2 ride the transactional table: read-modify-overwrite is crash-safe") {
     import spark.implicits._
     val t = tmpTable()
