@@ -69,6 +69,14 @@ object DedupRegistry {
       Dedup.incrementalExactDedup(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
     }),
+    // Bloom-prefiltered incremental dedup: bloom-negative delta rows never
+    // reach the corpus join; survivors with bloom_hit=1 are the false
+    // positives that paid the verify join
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Bloom.incrementalExactDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+    }),
     // delta near-dup candidates: incoming bands vs the corpus band table
     "q_dedup_minhash_incr" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -384,6 +392,35 @@ object DedupRegistry {
         |  FROM documents WHERE doc_id < 250)
         |SELECT doc_id, fingerprint FROM inc
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM ex)""".stripMargin,
+    "q_dedup_bloom" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |  FROM documents),
+         |ex AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+         |inc AS (SELECT fingerprint, min(doc_id) AS doc_id
+         |        FROM fp WHERE doc_id >= 250 GROUP BY 1),
+         |hs AS (SELECT fingerprint,
+         |         ${md5PrefixSqlOf("fingerprint", 7)} AS h1,
+         |         ${md5PrefixSqlOf("fingerprint || ':b2'", 7)} AS h2
+         |       FROM (SELECT fingerprint FROM ex UNION SELECT fingerprint FROM inc)),
+         |bpos AS (SELECT (h1 + j * h2) % 4096 AS pos
+         |         FROM hs JOIN ex USING (fingerprint)
+         |         CROSS JOIN (SELECT unnest(range(0, 3)) AS j)),
+         |bloom AS (SELECT pos // 32 AS word,
+         |            bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+         |          FROM bpos GROUP BY 1),
+         |ppos AS (SELECT i.doc_id, i.fingerprint, (h.h1 + jj.j * h.h2) % 4096 AS pos
+         |         FROM inc i JOIN hs h USING (fingerprint)
+         |         CROSS JOIN (SELECT unnest(range(0, 3)) AS j) jj),
+         |hits AS (SELECT doc_id, fingerprint,
+         |           CAST(min(CASE WHEN b.bits IS NULL THEN 0
+         |                ELSE (b.bits >> CAST(pos % 32 AS INT)) & 1 END) AS INT) AS bloom_hit
+         |         FROM ppos LEFT JOIN bloom b ON ppos.pos // 32 = b.word
+         |         GROUP BY 1, 2)
+         |SELECT doc_id, fingerprint, bloom_hit
+         |FROM hits
+         |WHERE bloom_hit = 0 OR fingerprint NOT IN (SELECT fingerprint FROM ex)""".stripMargin,
     "q_dedup_minhash_incr" ->
       s"""WITH sigs_i AS (${minhashSigSqlWhere("WHERE doc_id >= 250")}),
          |bands_i AS (
