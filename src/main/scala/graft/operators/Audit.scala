@@ -336,4 +336,55 @@ object Audit {
         round((col("n_obs") - col("exp_raw")) * (col("n_obs") - col("exp_raw"))
           / col("exp_raw"), 6).as("chi2_part"))
   }
+
+  /** Cumulative Poisson(1) CDF values F(0)..F(7): a replicate weight is
+    * the count of thresholds below the row's deterministic uniform —
+    * the inverse-CDF draw, truncated at 8 (P[w > 8] ≈ 1e-6). Literal
+    * decimal strings parse to identical doubles in both engines. */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Poisson-bootstrap percentile CI for a per-group mean — the
+    * distributed bootstrap: classical resampling-with-replacement needs
+    * a multinomial draw coordinated across the whole dataset, but its
+    * per-row counts converge to independent Poisson(1) weights, which
+    * need NO coordination — each row derives its B weights from its own
+    * id (the engine-wide md5 base, so the resample is reproducible
+    * across engines, reruns, and data layout). One map-side explode of B
+    * replicate indexes per row, one (group × B)-bucket hash agg with
+    * map-side combine, then everything after operates on group×B rows:
+    * the same shape at 60k rows and 100 TB, no per-group sort of DATA —
+    * the percentile window sorts the B replicate means only.
+    *
+    * Replicate means round to 4 before ranking (float-sum noise cannot
+    * reorder the percentile cut except at exact 1e-4 boundaries, where
+    * the replicate index breaks the tie identically in both engines). */
+  def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, replicates: Int = 200): DataFrame = {
+    val loIdx = math.ceil(0.025 * replicates).toInt
+    val hiIdx = replicates - loIdx + 1
+    val u = (call_function("graft_md5_prefix",
+        concat(col(idCol).cast("string"), lit(":"), col("b").cast("string")),
+        lit(7)).cast("double") + 0.5) / (1L << 28).toDouble
+    val w = PoissonCdf.map(t => when(u > t, 1).otherwise(0)).reduce(_ + _)
+    val means = df
+      .select(col(groupCol), col(idCol), col(valueCol).as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("w", w)
+      .groupBy(col(groupCol), col("b"))
+      .agg(round(sum(col("w") * col("v")) / sum(col("w")).cast("double"), 4)
+        .as("m"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("m"), col("b"))))
+    val base = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), round(avg(col(valueCol)), 4).as("mean_value"))
+    base.join(
+      ranked.groupBy(col(groupCol)).agg(
+        max(when(col("rn") === loIdx, col("m"))).as("ci_lo"),
+        max(when(col("rn") === hiIdx, col("m"))).as("ci_hi")),
+      Seq(groupCol))
+  }
 }

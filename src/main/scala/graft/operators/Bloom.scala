@@ -30,6 +30,13 @@ import graft.functions.Text
   * 10^9 fingerprints is ~1.2 GiB — partition the filter by fingerprint
   * prefix into executor-sized broadcast shards at that scale.
   *
+  * Relation to [[Joins.bloomPrunedJoin]]: that operator builds an
+  * in-plan, single-query runtime filter via the native `graft_bloom_agg`
+  * (opaque bytes, fastest path); THIS one materializes the filter as a
+  * plain (word, bits) RELATION — persistable alongside the corpus
+  * fingerprint table, additively maintainable, and bit-reproducible in
+  * ANSI SQL, which is what an ingest pipeline's saved artifact needs.
+  *
   * Determinism: bit positions use the engine-wide md5 base
   * (`graft_md5_prefix`, mirrored in SQL by `md5PrefixSqlOf`) with
   * Kirsch–Mitzenmacher double hashing — position_j = (h1 + j·h2) mod m,

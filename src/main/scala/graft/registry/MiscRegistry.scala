@@ -139,6 +139,12 @@ object MiscRegistry {
     // Benford first-digit screen over order totals — one scan, 9 rows out
     "q_benford" -> ((s, d) =>
       Audit.benfordReport(Tables(s, d, "orders"), "o_totalprice")),
+    // Poisson-bootstrap percentile CI of the per-type mean event value:
+    // B=200 deterministic Poisson(1) replicate weights per row (md5
+    // base), one explode + one (type x B) map-side-combined agg
+    "q_bootstrap_ci" -> ((s, d) =>
+      Audit.poissonBootstrapCI(Tables(s, d, "events"),
+        "event_id", "value", "event_type")),
     // chi-square independence: contingency cells + marginal window sums
     // over the CELL relation, double-cast before the marginal product
     "q_chi2_indep" -> ((s, d) =>
@@ -532,6 +538,46 @@ object MiscRegistry {
         |  CAST(min(difficulty) AS INTEGER) AS d_min,
         |  CAST(max(difficulty) AS INTEGER) AS d_max
         |FROM s GROUP BY 1""".stripMargin,
+    "q_bootstrap_ci" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id, value, unnest(range(0, 200)) AS b
+         |  FROM events),
+         |u AS (
+         |  SELECT event_type, b, value,
+         |    (CAST(${md5PrefixSqlOf(
+               "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 7)}
+         |      AS DOUBLE) + 0.5) / 268435456.0 AS uu
+         |  FROM r),
+         |w AS (
+         |  SELECT event_type, b, value,
+         |    CAST(uu > 0.36787944117144233 AS INT)
+         |    + CAST(uu > 0.7357588823428847 AS INT)
+         |    + CAST(uu > 0.9196986029286058 AS INT)
+         |    + CAST(uu > 0.9810118431238462 AS INT)
+         |    + CAST(uu > 0.9963401531726563 AS INT)
+         |    + CAST(uu > 0.9994058151824183 AS INT)
+         |    + CAST(uu > 0.9999167588507119 AS INT)
+         |    + CAST(uu > 0.9999897508033253 AS INT) AS wt
+         |  FROM u),
+         |m AS (
+         |  SELECT event_type, b,
+         |    round(sum(wt * value) / CAST(sum(wt) AS DOUBLE), 4) AS m
+         |  FROM w GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT event_type, b, m,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+         |  FROM m),
+         |ci AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+         |    max(CASE WHEN rn = 196 THEN m END) AS ci_hi
+         |  FROM rk GROUP BY 1),
+         |base AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    round(avg(value), 4) AS mean_value
+         |  FROM events GROUP BY 1)
+         |SELECT base.event_type, n, mean_value, ci_lo, ci_hi
+         |FROM base JOIN ci USING (event_type)""".stripMargin,
     "q_chi2_indep" ->
       s"""$chi2CellsSql
          |SELECT l_returnflag, l_linestatus, n_obs,

@@ -177,6 +177,25 @@ class AuditSpec extends SparkSpec {
     assert(a.getDouble(2) > 0.0)
   }
 
+  test("poissonBootstrapCI: CI brackets the sample mean, narrows with n, layout-independent") {
+    import spark.implicits._
+    val small = (1 to 60).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val big = (1 to 600).map(i => (i.toLong, "g", (i % 60 + 1).toDouble)).toDF("id", "g", "v")
+    def ci(df: org.apache.spark.sql.DataFrame) = {
+      val r = Audit.poissonBootstrapCI(df, "id", "v", "g").collect()(0)
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4)) // mean, lo, hi
+    }
+    val (m1, lo1, hi1) = ci(small)
+    assert(lo1 <= m1 && m1 <= hi1, s"CI [$lo1,$hi1] misses mean $m1")
+    val (m2, lo2, hi2) = ci(big)
+    assert(lo2 <= m2 && m2 <= hi2)
+    assert(hi2 - lo2 < hi1 - lo1, "10x the rows should narrow the CI")
+    // md5-derived weights don't care about physical layout
+    val a = Audit.poissonBootstrapCI(small, "id", "v", "g").collect()(0)
+    val b = Audit.poissonBootstrapCI(small.repartition(7), "id", "v", "g").collect()(0)
+    assert(a == b, s"$a vs $b")
+  }
+
   test("benfordReport: digit census exact, expected sums to n, chi2 parts nonnegative") {
     import spark.implicits._
     // leading digits planted: 1 x4, 2 x3, 9 x1, and a power-of-ten edge
