@@ -616,4 +616,53 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
   }
+
+  /** Kaplan–Meier survival curve over per-user lifetimes — the churn
+    * question ("what fraction of users are still active after t days?")
+    * answered WITH right-censoring: a user whose last event falls inside
+    * the final `censorDays` of the observation window hasn't churned,
+    * they just ran out of window, and dropping or death-counting them
+    * biases the curve (the classical survival-analysis correction).
+    *
+    * Lifetime t = days between a user's first and last event; users
+    * last-seen within `censorDays` of the global max timestamp are
+    * censored at t. At each distinct death time: n_risk = users with
+    * lifetime ≥ t (censored included), d = deaths at t, and
+    * S(t) = Π (1 − d/n_risk), computed as exp of the running sum of
+    * ln((n−d)/n) — each factor is an exact integer ratio and the running
+    * sum is a sequential ordered scan in both engines, so the curve is
+    * cross-engine deterministic; a (n−d)=0 terminal factor short-circuits
+    * to S=0 via a running min instead of reaching ln(0).
+    *
+    * Scale shape: one pass over events (per-user min/max, map-side
+    * combined), then everything operates on the DAY-census — bounded by
+    * the observation span, not the corpus; the global windows sort ≤
+    * span-days rows. */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("max_ts"))
+    val life = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("last_ts").cast("date"), col("first_ts").cast("date")).as("t"),
+        when(col("last_ts") >=
+          col("max_ts") - expr(s"INTERVAL $censorDays DAYS"), 0)
+          .otherwise(1).as("observed"))
+    val census = life.groupBy(col("t"))
+      .agg(sum(col("observed")).as("d"), count(lit(1)).as("m"))
+    val atRisk = census.withColumn("n_risk",
+      sum(col("m")).over(Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val deaths = atRisk.filter(col("d") > 0)
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deaths
+      .withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))
+      .withColumn("survival",
+        when(min(col("factor")).over(cum) === 0.0, 0.0)
+          .otherwise(round(exp(sum(log(col("factor"))).over(cum)), 4)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("survival"))
+  }
 }

@@ -139,6 +139,16 @@ object MiscRegistry {
     // Benford first-digit screen over order totals — one scan, 9 rows out
     "q_benford" -> ((s, d) =>
       Audit.benfordReport(Tables(s, d, "orders"), "o_totalprice")),
+    // WoE/IV screen: does event value predict the error type? fixed-width
+    // 50-unit bins (no global sort), add-0.5 smoothing, one 10-row agg
+    "q_woe_iv" -> ((s, d) =>
+      graft.ml.Encode.woeBins(Tables(s, d, "events"),
+        "value", col("event_type") === "error", binWidth = 50.0)),
+    // leak-free mean-target encoding table: event_type encoded by its
+    // out-of-fold mean value — complement sums, ONE (cat x fold) agg
+    "q_target_encode" -> ((s, d) =>
+      graft.ml.Encode.targetEncodeOof(Tables(s, d, "events"),
+        "event_id", "event_type", "value")),
     // Poisson-bootstrap percentile CI of the per-type mean event value:
     // B=200 deterministic Poisson(1) replicate weights per row (md5
     // base), one explode + one (type x B) map-side-combined agg
@@ -538,6 +548,38 @@ object MiscRegistry {
         |  CAST(min(difficulty) AS INTEGER) AS d_min,
         |  CAST(max(difficulty) AS INTEGER) AS d_max
         |FROM s GROUP BY 1""".stripMargin,
+    "q_woe_iv" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
+        |  FROM events),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(bad) AS BIGINT) AS n_bad
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+        |        CAST(sum(n_bad) AS BIGINT) AS tot_bad FROM c),
+        |s AS (SELECT bin, n, n_bad,
+        |        (n - n_bad + 0.5) / (tot_n - tot_bad + 5.0) AS gs,
+        |        (n_bad + 0.5) / (tot_bad + 5.0) AS bs
+        |      FROM c, t)
+        |SELECT bin, n, n_bad, round(ln(gs / bs), 4) AS woe,
+        |  round((gs - bs) * ln(gs / bs), 6) AS iv_part
+        |FROM s""".stripMargin,
+    "q_target_encode" ->
+      s"""WITH f AS (
+         |  SELECT event_type AS category,
+         |    CAST((${md5PrefixSqlOf("CAST(event_id AS VARCHAR)", 7)}) % 5 AS INT) AS fold,
+         |    value AS y
+         |  FROM events),
+         |pf AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n_f,
+         |         sum(y) AS s_f
+         |       FROM f GROUP BY 1, 2),
+         |pc AS (SELECT category, CAST(sum(n_f) AS BIGINT) AS n_c,
+         |         sum(s_f) AS s_c
+         |       FROM pf GROUP BY 1)
+         |SELECT category, fold, n_c - n_f AS n_out,
+         |  round((s_c - s_f) / CAST(n_c - n_f AS DOUBLE), 4) AS encoding
+         |FROM pf JOIN pc USING (category)""".stripMargin,
     "q_bootstrap_ci" ->
       s"""WITH r AS (
          |  SELECT event_type, event_id, value, unnest(range(0, 200)) AS b

@@ -208,6 +208,10 @@ object TextAnalysisRegistry {
     // (cohorts × weeks)-bounded fold
     "q_cohort_retention" -> ((s, d) =>
       TimeSeries.cohortRetention(Tables(s, d, "events"))),
+    // Kaplan-Meier survival over user lifetimes: right-censored at the
+    // final 7 days; exact integer risk-set ratios, running ordered sum
+    "q_kaplan_meier" -> ((s, d) =>
+      TimeSeries.kaplanMeier(Tables(s, d, "events"))),
     // trailing 24 h z-score anomaly flags over the GAP-FILLED series (zero
     // rows keep the frame honest); μ/σ/z rounded before every compare
     "q_anomaly_zscore" -> ((s, d) =>
@@ -510,6 +514,33 @@ object TextAnalysisRegistry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
         |FROM e""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+        |life AS (
+        |  SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t,
+        |    CASE WHEN max(ts) >= (SELECT max_ts FROM horizon) - INTERVAL 7 DAY
+        |         THEN 0 ELSE 1 END AS observed
+        |  FROM events GROUP BY user_id),
+        |census AS (
+        |  SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM life GROUP BY t),
+        |at_risk AS (
+        |  SELECT t, d, m,
+        |    CAST(sum(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM census),
+        |deaths AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM at_risk WHERE d > 0)
+        |SELECT t AS t_days, n_risk, d AS n_events,
+        |  CASE WHEN min(factor) OVER cum = 0 THEN 0.0
+        |       ELSE round(exp(sum(ln(factor)) OVER cum), 4) END AS survival
+        |FROM deaths
+        |WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW)""".stripMargin,
     "q_cohort_retention" ->
       """WITH weeks AS (
         |  SELECT user_id, date_trunc('week', ts) AS week FROM events),

@@ -399,4 +399,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nlj <= 1, s"$nlj nested-loop joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("kaplanMeier: hand-computed curve on a planted cohort; censoring excluded from deaths") {
+    import spark.implicits._
+    // max ts = Jan 28, censor threshold Jan 21: users last-seen on/after
+    // Jan 21 are censored, earlier last-seen users died (churned)
+    def u(id: Long, first: String, last: String) =
+      Seq((id, s"2024-01-$first 00:00:00"), (id, s"2024-01-$last 00:00:00"))
+    val events = (u(1, "01", "03") ++ u(2, "01", "05") ++ u(3, "01", "10") ++
+        u(4, "20", "28"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.kaplanMeier(events).orderBy("t_days")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // lifetimes: 2d, 4d, 9d died; 8d censored (last seen at the horizon).
+    // t=2: n=4, d=1 -> 0.75; t=4: n=3 -> x2/3 = 0.5; t=9: the censored 8d
+    // user has LEFT the risk set -> n=1, d=1 -> 0 via the zero guard
+    assert(got.toSeq == Seq((2, 4L, 1L, 0.75), (4, 3L, 1L, 0.5), (9, 1L, 1L, 0.0)),
+      got.mkString(", "))
+  }
 }
