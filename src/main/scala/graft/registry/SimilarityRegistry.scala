@@ -14,6 +14,12 @@ object SimilarityRegistry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // top principal component of the embedding corpus: one-pass
+    // long-format covariance relation, then broadcast-vector power steps
+    // rounded per iteration (plan O(1) per iteration, nothing collected)
+    "q_pca_power" -> ((s, d) =>
+      graft.ml.Pca.topComponentPower(Tables(s, d, "embeddings"))),
+
     // -- similarity search (north star)
     // lexical retrieval — BM25 top-10 per query, the keyword complement
     // to the ANN tier below
@@ -206,7 +212,34 @@ object SimilarityRegistry {
     }),
   )
 
+  /** Unrolled power-iteration CTE chain (the TextRank pattern: round per
+    * iteration so float drift cannot compound across engines). */
+  private def pcaPowerSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""u$t AS (SELECT cov.i AS i, sum(cov.c * $prev.v) AS u
+         |       FROM cov JOIN $prev ON cov.j = $prev.i GROUP BY 1),
+         |n$t AS (SELECT sqrt(sum(u * u)) AS nrm FROM u$t),
+         |v$t AS (SELECT i, round(u / (SELECT nrm FROM n$t), 6) AS v FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |idx AS (SELECT unnest(range(0, 64)) AS i),
+       |x AS (SELECT vec_id, i, emb[CAST(i + 1 AS INT)] AS xi FROM e CROSS JOIN idx),
+       |mu AS (SELECT i, round(avg(xi), 6) AS mi FROM x GROUP BY 1),
+       |xc AS (SELECT x.vec_id, x.i, x.xi - mu.mi AS xc FROM x JOIN mu USING (i)),
+       |cov AS (SELECT a.i AS i, b.i AS j,
+       |          round(sum(a.xc * b.xc) / (SELECT n FROM nn), 6) AS c
+       |        FROM xc a JOIN xc b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT i, 0.125 AS v FROM idx),
+       |$steps
+       |SELECT v$iters.i AS dim, v$iters.v AS loading,
+       |  (SELECT round(nrm, 4) FROM n$iters) AS eigenvalue
+       |FROM v$iters""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pca_power" -> pcaPowerSql(3),
     "q_split_leakage" ->
       s"""WITH fs AS (
          |  SELECT DISTINCT
