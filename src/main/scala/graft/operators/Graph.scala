@@ -143,4 +143,47 @@ object Graph {
         (array_sort(array(col("a"), col("b"), col("c"))))(1).as("term_b"),
         greatest(col("a"), col("b"), col("c")).as("term_c"))
   }
+
+  /** HITS hubs & authorities over a weighted directed edge relation —
+    * the link-analysis complement to [[pageRank]]: PageRank scores
+    * global reachability, HITS separates "points AT good pages" (hub)
+    * from "pointed at BY good hubs" (authority) — the two roles a
+    * citation/transition graph conflates into one PageRank number.
+    *
+    * Each of the fixed `iterations` alternates a = Aᵀh then h = Aa, each
+    * an equi-join + map-side-combinable sum, L2-normalized by a one-row
+    * broadcast and ROUNDED to 6 (the TextRank rule — float drift cannot
+    * compound, and the oracle unrolls identical steps). Both iterates
+    * checkpoint per round, so the plan is O(1) in the iteration count —
+    * the [[pageRank]]/Lloyd shape. */
+  def hits(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    var hub = nodes.select(col("node"), lit(1.0).as("h"))
+    var auth = nodes.select(col("node"), lit(1.0).as("a"))
+    (1 to iterations).foreach { _ =>
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("w") * col("h")).as("ar"))
+      val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("an"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("node"),
+          round(coalesce(col("ar"), lit(0.0)) / col("an"), 6).as("a"))
+        .localCheckpoint(false)
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("w") * col("a")).as("hr"))
+      val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("hn"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("node"),
+          round(coalesce(col("hr"), lit(0.0)) / col("hn"), 6).as("h"))
+        .localCheckpoint(false)
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+  }
 }

@@ -365,4 +365,40 @@ object Retrieval {
       .agg(count(lit(1)).as("n_grams"),
         round(avg(when(col("df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"))
   }
+
+  /** Zipf-law fit over the term-frequency census: OLS of ln(freq) on
+    * ln(rank) for the top-N terms — slope ≈ −1 is the natural-language
+    * signature, a flat slope flags synthetic/templated corpora and a
+    * cliff flags boilerplate mass (a one-row corpus-health probe).
+    *
+    * Scale shape: the corpus pass is the term census (map-side combined);
+    * the top-N cut is TakeOrdered (per-partition partial top-N, no global
+    * sort of the vocabulary), and the rank window + OLS run on N rows.
+    * The closed-form slope/intercept/r² derive from one aggregate over
+    * the N (ln rank, ln freq) points; intercept and r² reuse the RAW
+    * slope expression so both engines evaluate identical arithmetic. */
+  def zipfFit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val tok = docs.select(explode(Text.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val pts = top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").as("n_terms"),
+      round(slopeRaw, 4).as("slope"),
+      round((col("sy") - slopeRaw * col("sx")) / col("n"), 4).as("intercept"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
 }

@@ -276,6 +276,16 @@ object TextAnalysisRegistry {
       TimeSeries.markovTransitions(Tables(s, d, "events"))),
     // general PageRank (dangling mass redistributed) over the event-type
     // transition graph — composes the Markov census into the graph tier
+    // HITS hubs/authorities over the same event-transition graph as
+    // q_pagerank - separates the two link-analysis roles PageRank
+    // conflates; unrolled-iteration oracle, L2-normalized + rounded/step
+    "q_hits" -> ((s, d) => Graph.hits(
+      TimeSeries.markovTransitions(Tables(s, d, "events"))
+        .select(col("event_type").as("src"), col("next_type").as("dst"),
+          col("n").as("w")))),
+    // Zipf-law OLS fit over the top-1000 term census: slope ~ -1 is the
+    // natural-language signature (one-row corpus-health probe)
+    "q_zipf_fit" -> ((s, d) => Retrieval.zipfFit(Tables(s, d, "documents"))),
     "q_pagerank" -> ((s, d) => Graph.pageRank(
       TimeSeries.markovTransitions(Tables(s, d, "events"))
         .select(col("event_type").as("src"), col("next_type").as("dst"),
@@ -910,6 +920,66 @@ object TextAnalysisRegistry {
     // Markov edge CTE + unrolled PageRank iterations (round-6 per
     // iteration, dangling mass via NOT IN outw, 1-0.85 left unfolded so
     // both engines subtract at runtime)
+    "q_hits" -> {
+      val base =
+        """WITH seq AS (
+          |  SELECT event_type, lead(event_type, 1) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events),
+          |e AS (
+          |  SELECT event_type AS src, next_type AS dst,
+          |    CAST(count(*) AS DOUBLE) AS w
+          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s"""a${i}r AS (
+           |  SELECT e.dst AS node, sum(e.w * h.h) AS ar
+           |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+           |a${i}n AS (SELECT sqrt(sum(ar * ar)) AS an FROM a${i}r),
+           |a$i AS (
+           |  SELECT n.node,
+           |    round(coalesce(r.ar, 0.0) / (SELECT an FROM a${i}n), 6) AS a
+           |  FROM nodes n LEFT JOIN a${i}r r USING (node)),
+           |h${i}r AS (
+           |  SELECT e.src AS node, sum(e.w * a.a) AS hr
+           |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+           |h${i}n AS (SELECT sqrt(sum(hr * hr)) AS hn FROM h${i}r),
+           |h$i AS (
+           |  SELECT n.node,
+           |    round(coalesce(r.hr, 0.0) / (SELECT hn FROM h${i}n), 6) AS h
+           |  FROM nodes n LEFT JOIN h${i}r r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$iters\n" +
+        "SELECT a3.node, a3.a AS authority, h3.h AS hub " +
+        "FROM a3 JOIN h3 USING (node)"
+    },
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |top AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok WHERE term <> '' GROUP BY 1
+        |  ORDER BY cnt DESC, term LIMIT 1000),
+        |pts AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+        |        sum(y * y) AS syy
+        |      FROM pts)
+        |SELECT n AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx)
+        |    * (n * syy - sy * sy)), 4) AS r2
+        |FROM s""".stripMargin,
     "q_pagerank" -> {
       val base =
         """WITH seq AS (

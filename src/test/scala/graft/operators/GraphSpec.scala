@@ -95,4 +95,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getDouble(1)).sum
     assert(math.abs(three - 3.0) < 1e-4, three.toString)
   }
+
+  test("hits: on a directed star the center is the pure hub, leaves split authority") {
+    import spark.implicits._
+    // center -> each of 3 leaves: center has ALL hub mass, zero authority;
+    // leaves have equal authority 1/sqrt(3), zero hub
+    val edges = Seq(("c", "l1", 1L), ("c", "l2", 1L), ("c", "l3", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.hits(edges).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("c") == ((0.0, 1.0)), s"center: ${r("c")}")
+    val third = BigDecimal(1 / math.sqrt(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq("l1", "l2", "l3").foreach { l =>
+      assert(r(l) == ((third, 0.0)), s"$l: ${r(l)}")
+    }
+    // L2 norms of both score vectors are 1 (up to round-6 noise)
+    val (an, hn) = (r.values.map(v => v._1 * v._1).sum,
+      r.values.map(v => v._2 * v._2).sum)
+    assert(math.abs(an - 1.0) < 1e-4 && math.abs(hn - 1.0) < 1e-4, s"$an $hn")
+  }
 }

@@ -226,4 +226,18 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2) == ((1L, 0.0)))
     assert(got(3) == ((1L, 1.0)))
   }
+
+  test("zipfFit recovers the exponent of a planted power-law corpus") {
+    import spark.implicits._
+    // term t_r appears round(1000 / r) times: an exact Zipf s = 1 corpus
+    val text = (1 to 50).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%03d")
+    }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = Retrieval.zipfFit(docs, topN = 50).collect()(0)
+    assert(row.getLong(0) == 50)
+    val slope = row.getDouble(1)
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope, expected ~ -1")
+    assert(row.getDouble(3) > 0.999, s"r2 ${row.getDouble(3)}")
+  }
 }
