@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet carries isAdjustedToUTC=false timestamps; read
+      // them as session-TZ TIMESTAMP (UTC above), the same way the DuckDB
+      // oracle does, instead of TIMESTAMP_NTZ (ntz breaks unix_millis and
+      // long casts across the engine)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
