@@ -6,31 +6,73 @@ import org.apache.spark.sql.SparkSession
   * unreferenced projection — it would time a row count, not the query).
   * The one-line JSON metric is printed as the bare last stdout line for the
   * driver's parser (build.sbt routes forked stdout through unprefixed).
+  *
+  * Contention-robust protocol (round-9): two consecutive rounds lost their
+  * primary perf signal to machine noise — the round-8 driver artifact was
+  * 1.28x inflated across the board vs an identical-commit run hours
+  * earlier, and round 7 shipped a transient 8x outlier. Three defenses:
+  *
+  *  1. THREE timed runs per query, reporting the MEDIAN — first-touch
+  *     effects (page cache, codegen compile, broadcast build) land on run 1
+  *     and can't masquerade as regressions, and a single contention spike
+  *     on any one run can't either (min-of-2 let both failure modes
+  *     through: both runs inflate together under sustained load).
+  *  2. A fixed SENTINEL query (q1_pricing_summary) re-timed at every
+  *     ~20-query segment boundary. The sentinel's plan never changes
+  *     within a run, so its drift measures the MACHINE, not the code. Each
+  *     segment's contention_index = boundary-averaged sentinel time over
+  *     the run's best sentinel time; the artifact carries the full
+  *     sentinel trace and per-segment indices.
+  *  3. tools/bench_diff.py divides each query's time by its segment's
+  *     contention_index before round-over-round comparison, so a noisy box
+  *     reads as "environment-inflated" instead of "regressed".
   */
 object Bench {
+  private val SentinelName = "q1_pricing_summary"
+  private val SegmentSize = 20
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", classOf[graft.engine.GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: one pass of the flagship query exercises the scan
-    // path, codegen and JIT so the first TIMED query doesn't absorb
-    // one-time JVM startup cost (standard benchmarking practice).
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    // Two timed runs per query, report the min: first-touch effects (page
-    // cache, codegen compile, broadcast build) land on run 1 and can't
-    // masquerade as a plan regression. Caches are cleared between queries
-    // so an operator's persist() can't subsidize (or tax) its neighbors.
+    val spark = graft.engine.Sessions.local(cpus.toInt)
+
+    /** One timed full-plan execution with the standard inter-query cleanup:
+      * clearCache drops only catalog-cached relations; localCheckpoint
+      * blocks (containment/CC queries) linger in the block manager until
+      * ContextCleaner GC — drop them so no query's working set taxes its
+      * successors' memory. The CC label memo holds a DataFrame BACKED by
+      * such blocks, so it must be invalidated in the same breath — a stale
+      * memo entry whose blocks are gone fails every consumer with
+      * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. (Each timed run therefore
+      * carries the full label computation: honest per-query timing, at the
+      * cost of re-running CC for each consumer query in the bench —
+      * production pipelines keep the memo for the life of the session.)
+      */
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      } finally {
+        spark.catalog.clearCache()
+        graft.operators.Dedup.clearCcCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
+
+    // Untimed warmup: three passes of the flagship query exercise the scan
+    // path, codegen and JIT so the first TIMED measurement doesn't absorb
+    // one-time JVM startup cost (standard benchmarking practice). Three,
+    // not one: the sentinel doubles as the contention probe, and residual
+    // JIT on the first boundary probe would read as segment-0 contention.
+    val sentinelFn = SparkEntry.queries(SentinelName)
+    (1 to 3).foreach(_ => runOnce("warmup", sentinelFn))
+
     // Optional subset filter (comma-separated names) for scale probes and
     // regression re-timing; a subset run never overwrites the full-bench
     // round artifacts below.
@@ -38,45 +80,86 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        } finally {
-          spark.catalog.clearCache()
-          // clearCache drops only catalog-cached relations; localCheckpoint
-          // blocks (containment/CC queries) linger in the block manager
-          // until ContextCleaner GC — drop them so no query's working set
-          // taxes its successors' memory. The CC label memo holds a
-          // DataFrame BACKED by such blocks, so it must be invalidated in
-          // the same breath — a stale memo entry whose blocks are gone
-          // fails every consumer with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
-          // (Each timed run therefore carries the full label computation:
-          // honest per-query timing, at the cost of re-running CC for each
-          // consumer query in the bench — production pipelines keep the
-          // memo for the life of the session.)
-          graft.operators.Dedup.clearCcCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        }
-      }
-      name -> times
+    val runsPerQuery =
+      sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
+
+    val ordered = selected.toSeq.sortBy(_._1)
+    val segments = ordered.grouped(SegmentSize).toVector
+    val sentinelTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    // min-of-2 per boundary: a one-off spike (GC after a heavy neighbor)
+    // must not read as contention — sustained load inflates BOTH probes
+    // and still registers, which is the signal the index exists to carry.
+    def probeSentinel(): Unit = {
+      val probes = (1 to 2).flatMap(_ =>
+        runOnce(s"sentinel#${sentinelTimes.size}", sentinelFn))
+      if (probes.nonEmpty) sentinelTimes += probes.min
     }
+
+    val results = segments.map { seg =>
+      probeSentinel()
+      seg.map { case (name, fn) =>
+        val times = (1 to runsPerQuery).flatMap(_ => runOnce(name, fn))
+        name -> times
+      }
+    }
+    probeSentinel() // closing boundary for the final segment
+
+    // Median of the surviving runs: middle element for odd counts, mean of
+    // the two middle elements for even (a partial failure's 2-run case).
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    // Per-segment contention index: boundary-averaged sentinel time over
+    // the run's MEDIAN sentinel observation. The median, not the min: JIT
+    // and page-cache warming make early probes systematically slower than
+    // the run's quietest late-run moment even on an idle box, so a
+    // min-relative index reads every clean run as inflated. Against the
+    // median, indices fluctuate around 1.0 and a sustained excursion is
+    // the machine, not warm-up. The FIRST boundary probe is structurally
+    // cold no matter how many warmups precede it (JVM startup phase:
+    // tiered JIT still compiling, cgroup burst quota draining) — measured
+    // 2-3x the run median on an idle box — so it is excluded from the
+    // statistics and segment 0 is indexed by its closing probe alone; the
+    // raw trace still records it for transparency.
+    val steadyProbes =
+      if (sentinelTimes.size > 1) sentinelTimes.toSeq.drop(1)
+      else sentinelTimes.toSeq
+    val sentinelBase =
+      if (steadyProbes.isEmpty) Double.NaN else median(steadyProbes)
+    def segIndex(i: Int): Double =
+      if (sentinelTimes.size < 2) Double.NaN
+      else {
+        // boundary probes for segment i are #i (opening) and #i+1
+        // (closing); probe #0 is the cold one — substitute probe #1
+        def probe(j: Int): Double =
+          sentinelTimes(math.max(1, math.min(j, sentinelTimes.size - 1)))
+        (probe(i) + probe(i + 1)) / 2.0 / sentinelBase
+      }
+
+    val flat = results.flatten
     // Failed queries are OMITTED from the per-query map (no -1 sentinel to
-    // special-case); a query that failed one of its two runs is listed in
-    // partial_failures — its surviving time is reported but flagged.
-    val failed  = results.collect { case (n, ts) if ts.isEmpty => n }.sorted
-    val partial = results.collect { case (n, ts) if ts.size == 1 => n }.sorted
-    val ok = results.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    // special-case); a query that failed at least one run is listed in
+    // partial_failures — its surviving median is reported but flagged.
+    val failed  = flat.collect { case (n, ts) if ts.isEmpty => n }.sorted
+    val partial =
+      flat.collect { case (n, ts) if ts.nonEmpty && ts.size < runsPerQuery => n }.sorted
+    val ok = flat.collect { case (n, ts) if ts.nonEmpty => n -> median(ts) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"sf":"$sfDir"}"""
+    val segJson = segments.indices.map { i =>
+      val names = arr(segments(i).map(_._1))
+      val idx = segIndex(i)
+      val idxStr = if (idx.isNaN) "null" else f"$idx%.3f"
+      s"""{"queries":$names,"contention_index":$idxStr}"""
+    }.mkString("[", ",", "]")
+    val sentinelJson =
+      s"""{"name":"$SentinelName","times":${sentinelTimes.map(t => f"$t%.3f").mkString("[", ",", "]")},"baseline":${if (sentinelBase.isNaN) "null" else f"$sentinelBase%.3f"}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"median-of-$runsPerQuery","sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
     spark.stop()
     // The driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, which hides ~20% of queries from round-over-round comparison;

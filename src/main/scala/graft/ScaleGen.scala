@@ -39,15 +39,8 @@ object ScaleGen {
     val dst = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // oracle-parity reader configs live in Sessions.baseConfigs — one place
+    val spark = graft.engine.Sessions.local(cpus.toInt)
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 

@@ -12,8 +12,26 @@ import org.apache.spark.sql.SparkSession
   * cluster this would be set to ~2-3x total executor cores).
   */
 object Sessions {
-  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession
+
+  /** Oracle-parity reader configs shared by EVERY graft session (engine,
+    * Bench, Verify, ScaleGen). A session missing one of these silently
+    * diverges from the DuckDB oracle: the testdata parquet carries
+    * isAdjustedToUTC=false timestamps that must be read as session-TZ
+    * TIMESTAMP in UTC (not TIMESTAMP_NTZ — ntz breaks unix_millis and long
+    * casts across the engine), and int96/nanos columns as long. Keep this
+    * the ONLY place such configs live.
+    */
+  val baseConfigs: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.ui.enabled" -> "false")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors(),
+            extra: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName("graft")
@@ -24,17 +42,8 @@ object Sessions {
       .config("spark.sql.warehouse.dir", sys.props.getOrElse("graft.warehouse",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata parquet carries isAdjustedToUTC=false timestamps; read
-      // them as session-TZ TIMESTAMP (UTC above), the same way the DuckDB
-      // oracle does, instead of TIMESTAMP_NTZ (ntz breaks unix_millis and
-      // long casts across the engine)
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    (baseConfigs ++ extra).foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -8,23 +8,55 @@ Defaults: CURRENT = BENCH_full_latest.json, PREVIOUS = the highest-numbered
 BENCH_full_r{N}.json whose content differs from CURRENT (so running right
 after a bench, where latest == r{N}, compares against the round before).
 
-A query is flagged when it is BOTH >1.5x slower and >0.3s absolute slower
-than the previous round (the absolute floor keeps 0.2s->0.35s jitter on
-tiny queries from failing the gate). Exit 1 if any query is flagged or the
-common-set total regressed >20%.
+Contention normalization (round-9): each artifact may carry a sentinel
+trace — a fixed query (q1_pricing_summary) re-timed min-of-2 at every
+~20-query segment boundary — with per-segment ``contention_index`` values
+relative to the run's MEDIAN sentinel observation (see Bench.scala). Two
+corrections are applied before comparing:
 
-Round-7 lesson: an 8x per-query regression (q_dedup_jaccard 1.00->8.12s)
-shipped in the round artifact and only the judge's diff caught it — and it
-then turned out to be transient machine contention, invisible without a
-round-over-round diff either way. Run this after every full bench.
+ 1. WITHIN-RUN: a query's time is divided by its segment's index when the
+    index is outside the deadband [0.85, 1.20] — contention that ramps up
+    mid-run deflates back to run-median terms, while ordinary sentinel
+    jitter is NOT amplified into per-query noise.
+ 2. CROSS-RUN: the sentinel's plan never changes, so the ratio of the two
+    artifacts' sentinel baselines (medians) measures relative machine
+    speed between the runs — a UNIFORMLY loaded box (the round-8 failure
+    mode: every probe inflated together) is caught here. The current run's
+    times are divided by that ratio when it is outside [0.90, 1.11]
+    (clamped to [0.5, 3] so a broken sentinel can't nuke the comparison).
+
+Known tradeoff, accepted deliberately: a code regression in the shared
+scan path would move the sentinel too and be partially masked — but such
+a regression moves EVERY query and still shows in the raw totals, which
+are always printed alongside. Rounds 7 and 8 both lost their perf signal
+to contention misread as regression (r8: driver artifact 190.9s vs 118.2s
+for the identical commit); this guard makes that failure mode visible.
+
+A run is labeled ENVIRONMENT-INFLATED when its sentinel baseline exceeds
+the other run's by >15%, or UNSTABLE when its own sentinel spread
+(max/min) exceeds 1.6. On such runs, per-query threshold breaches are
+reported as SUSPECT (re-measure on a quiet box) instead of failing the
+gate — contention is not uniform across queries (a CPU-parallel query
+starves harder than the sentinel), so normalized outliers on a loaded box
+are unreliable.
+
+A query is flagged when it is BOTH >1.5x slower and >0.3s absolute slower
+than the previous round AFTER normalization (the absolute floor keeps
+0.2s->0.35s jitter on tiny queries from failing the gate). Exit 1 if any
+query is flagged on a clean run or the common-set total regressed >20%.
 """
 import json
+import statistics
 import sys
 from pathlib import Path
 
 RATIO = 1.5
 ABS_FLOOR = 0.3
 TOTAL_RATIO = 1.2
+ENV_INFLATED = 1.15
+DEADBAND = (0.85, 1.20)
+CROSS_DEADBAND = (0.90, 1.11)
+SPREAD_UNSTABLE = 1.6
 
 
 def load(path):
@@ -42,39 +74,107 @@ def pick_previous(current_path):
     return None
 
 
+def contention(artifact):
+    """(per-query index map, sentinel baseline, sentinel spread).
+
+    Indices inside the deadband collapse to 1.0 — only clear excursions
+    normalize. Artifacts older than the round-9 protocol carry no
+    segments: every query maps to 1.0 (raw comparison, old behavior).
+    """
+    per_query = {}
+    for seg in artifact.get("segments") or []:
+        idx = seg.get("contention_index")
+        if idx is None or idx <= 0 or DEADBAND[0] <= idx <= DEADBAND[1]:
+            idx = 1.0
+        for q in seg.get("queries", []):
+            per_query[q] = idx
+    sent = artifact.get("sentinel") or {}
+    base = sent.get("baseline")
+    # drop the first probe: it is structurally cold (JVM startup phase)
+    # and excluded from the artifact's own baseline too (see Bench.scala)
+    times = [t for t in sent.get("times", [])[1:] if t and t > 0]
+    spread = (max(times) / min(times)) if len(times) >= 2 else 1.0
+    return per_query, base, spread
+
+
 def main():
     current = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full_latest.json"
     previous = sys.argv[2] if len(sys.argv) > 2 else pick_previous(current)
     if previous is None:
         print("bench_diff: no previous round artifact found; nothing to diff")
         return 0
-    cur, prev = load(current)["queries"], load(previous)["queries"]
-    common = sorted(set(cur) & set(prev))
+    cur_art, prev_art = load(current), load(previous)
+    cur_raw, prev_raw = cur_art["queries"], prev_art["queries"]
+    cur_idx, cur_base, cur_spread = contention(cur_art)
+    prev_idx, prev_base, prev_spread = contention(prev_art)
+    common = sorted(set(cur_raw) & set(prev_raw))
     if not common:
         print(f"bench_diff: no common queries between {current} and {previous}")
         return 0
+
+    # Cross-run machine-speed ratio from the sentinel baselines (see
+    # module docstring). 1.0 when either artifact predates the protocol
+    # or the ratio is inside the cross deadband.
+    cross = 1.0
+    if cur_base and prev_base:
+        r = cur_base / prev_base
+        if not (CROSS_DEADBAND[0] <= r <= CROSS_DEADBAND[1]):
+            cross = max(0.5, min(3.0, r))
+
+    cur = {q: cur_raw[q] / cur_idx.get(q, 1.0) / cross for q in common}
+    prev = {q: prev_raw[q] / prev_idx.get(q, 1.0) for q in common}
 
     flagged = []
     for q in common:
         if cur[q] > prev[q] * RATIO and cur[q] - prev[q] > ABS_FLOOR:
             flagged.append((cur[q] / prev[q], q))
-    cur_total = sum(cur[q] for q in common)
-    prev_total = sum(prev[q] for q in common)
+    cur_total = sum(cur.values())
+    prev_total = sum(prev.values())
 
     print(f"bench_diff: {current} vs {previous} — {len(common)} common queries")
-    print(f"  common-set total: {prev_total:.1f}s -> {cur_total:.1f}s "
+    for name, base, spread, art in ((current, cur_base, cur_spread, cur_art),
+                                    (previous, prev_base, prev_spread, prev_art)):
+        proto = art.get("protocol", "min-of-2 (pre-r9)")
+        tag = " UNSTABLE" if spread > SPREAD_UNSTABLE else ""
+        print(f"  {name}: protocol={proto} sentinel_baseline={base} "
+              f"sentinel_spread={spread:.2f}{tag}")
+    if cross != 1.0:
+        tag = (" — current run ENVIRONMENT-INFLATED vs previous"
+               if cross > ENV_INFLATED else "")
+        print(f"  cross-run sentinel ratio: {cross:.3f} "
+              f"(current baseline {cur_base}s / previous {prev_base}s){tag}")
+    raw_cur_total = sum(cur_raw[q] for q in common)
+    raw_prev_total = sum(prev_raw[q] for q in common)
+    print(f"  common-set total raw: {raw_prev_total:.1f}s -> "
+          f"{raw_cur_total:.1f}s ({raw_cur_total / raw_prev_total:.2f}x)")
+    print(f"  common-set total (contention-normalized): "
+          f"{prev_total:.1f}s -> {cur_total:.1f}s "
           f"({cur_total / prev_total:.2f}x)")
     for ratio, q in sorted(flagged, reverse=True):
-        print(f"  REGRESSED {q}: {prev[q]:.2f}s -> {cur[q]:.2f}s ({ratio:.1f}x)")
+        print(f"  REGRESSED {q}: {prev[q]:.2f}s -> {cur[q]:.2f}s ({ratio:.1f}x)"
+              f" [raw {prev_raw[q]:.2f}s -> {cur_raw[q]:.2f}s]")
+
+    env_inflated = cross > ENV_INFLATED or cur_spread > SPREAD_UNSTABLE
 
     ok = True
-    if flagged:
-        print(f"FAIL: {len(flagged)} queries regressed >{RATIO}x (+>{ABS_FLOOR}s)")
+    if flagged and env_inflated:
+        print(f"SUSPECT: {len(flagged)} queries exceed thresholds, but the "
+              f"current run is environment-inflated/unstable "
+              f"(cross={cross:.2f}, spread={cur_spread:.2f}) — re-measure on "
+              f"a quiet box before treating as regressions")
+    elif flagged:
+        print(f"FAIL: {len(flagged)} queries regressed >{RATIO}x (+>{ABS_FLOOR}s)"
+              f" after contention normalization")
         ok = False
     if cur_total > prev_total * TOTAL_RATIO:
-        print(f"FAIL: common-set total regressed >{int((TOTAL_RATIO-1)*100)}%")
-        ok = False
-    if ok:
+        if env_inflated:
+            print(f"SUSPECT: normalized total regressed "
+                  f">{int((TOTAL_RATIO-1)*100)}% on an environment-inflated "
+                  f"run — re-measure on a quiet box")
+        else:
+            print(f"FAIL: common-set total regressed >{int((TOTAL_RATIO-1)*100)}%")
+            ok = False
+    if ok and not flagged:
         print("OK: no per-query or total regression")
     return 0 if ok else 1
 
