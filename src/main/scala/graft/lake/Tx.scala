@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal single-writer transactional table: manifest-file commits over
   * immutable parquet data files — the "Parquet/Delta" capability the
@@ -67,44 +68,145 @@ final case class TxTable(root: String) {
       .maxOption
 
   /** File names committed at `v` (manifest body: one data-file name per
-    * line after the header line). */
+    * line after the header line(s) — a `schema=` line is metadata, not a
+    * file). */
   private[lake] def filesAt(v: Long): Seq[String] = {
     val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
-    lines.drop(1)
+    lines.drop(1).filterNot(_.startsWith("schema="))
+  }
+
+  /** The snapshot schema recorded in `v`'s manifest header, if present
+    * (manifests written before schema tracking carry none — readers fall
+    * back to parquet footer inference). */
+  def schemaAt(v: Long): Option[StructType] = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+    lines.drop(1).find(_.startsWith("schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType])
   }
 
   /** Snapshot read at `version` (default: latest). The returned frame is
     * pinned to that version's immutable file list — later commits cannot
-    * change what it reads. */
+    * change what it reads — and to that version's OWN recorded schema:
+    * files written before a column was added are read with nulls for the
+    * missing column (merge-by-name, the `mergeSchema` semantics without
+    * ever rewriting history), and time travel to an old version sees that
+    * version's narrower schema, not today's. */
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"TxTable $root has no committed version"))
     val files = filesAt(v).map(f => dataDir.resolve(f).toString)
-    if (files.isEmpty)
-      throw new IllegalStateException(s"TxTable $root: v$v holds no data files")
-    spark.read.parquet(files: _*)
+    (schemaAt(v), files) match {
+      // an empty snapshot (e.g. a freshly-initialized accumulator table:
+      // zero rows can mean zero part files under AQE) is readable as an
+      // empty relation of the recorded schema
+      case (Some(s), Nil) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (None, Nil) =>
+        throw new IllegalStateException(s"TxTable $root: v$v holds no data files")
+      // explicit schema: the parquet reader fills columns absent from a
+      // file's footer with nulls — old files serve new columns for free
+      case (Some(s), _) => spark.read.schema(s).parquet(files: _*)
+      case (None, _)    => spark.read.parquet(files: _*)
+    }
   }
 
   /** Commit `df` as a full replacement snapshot. Returns the version. */
-  def overwrite(df: DataFrame): Long = commit(df, carryForward = Nil)
-
-  /** Commit `df` as new files ON TOP of the latest snapshot's files (the
-    * append form: old files stay in the manifest). */
-  def append(df: DataFrame): Long =
-    commit(df, carryForward = latestVersion.map(filesAt).getOrElse(Nil))
-
-  private def commit(df: DataFrame, carryForward: Seq[String]): Long = {
+  def overwrite(df: DataFrame): Long = {
     val v = latestVersion.getOrElse(0L) + 1
     val moved = writeData(df, v)
-    publish(v, carryForward ++ moved)
+    publish(v, moved, df.schema)
     v
+  }
+
+  /** Commit `df` as new files ON TOP of the latest snapshot's files (the
+    * append form: old files stay in the manifest). Fails loudly if a
+    * concurrent writer took this version — see [[appendWithRetry]] for
+    * the optimistic-concurrency form. Columns in `df` that the table has
+    * never seen are ADDED to the snapshot schema (add-column evolution);
+    * a type conflict on an existing column aborts. */
+  def append(df: DataFrame): Long = {
+    val base = latestVersion
+    val v = base.getOrElse(0L) + 1
+    val moved = writeData(df, v)
+    publish(v, base.map(filesAt).getOrElse(Nil) ++ moved, mergedSchema(base, df))
+    v
+  }
+
+  /** Append with optimistic concurrency, the Delta-LogStore shape: write
+    * data files once, then loop on the publish step — on losing the
+    * version race, re-resolve the latest version and re-validate that
+    * every intervening commit COMMUTES with a blind append (appends only
+    * ever add files; an intervening overwrite/compaction REMOVED files,
+    * which conflicts — the snapshot this append logically lands on is
+    * gone — so it aborts loudly rather than resurrecting replaced data).
+    * The data files written in step 1 are never re-written across
+    * retries; only the driver-side manifest link is retried. */
+  def appendWithRetry(df: DataFrame, maxRetries: Int = 10): Long = {
+    val base = latestVersion
+    retryPublish(base, writeData(df, base.getOrElse(0L) + 1), df.schema, maxRetries)
+  }
+
+  /** The optimistic publish loop, package-private so the race tests can
+    * inject a deterministic interleaving (a stale `base` after a
+    * concurrent overwrite/append has already landed). */
+  private[lake] def retryPublish(base: Option[Long], moved: Seq[String],
+                                 dfSchema: StructType, maxRetries: Int = 10): Long = {
+    val baseFiles = base.map(filesAt).getOrElse(Nil)
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion
+      val latestFiles = latest.map(filesAt).getOrElse(Nil)
+      val removed = baseFiles.toSet -- latestFiles.toSet
+      if (removed.nonEmpty)
+        throw new IllegalStateException(
+          s"TxTable $root: append conflicts with a concurrent overwrite — " +
+            s"base files ${removed.toSeq.sorted.take(3).mkString(", ")}… were " +
+            "replaced since this append started")
+      val v = latest.getOrElse(0L) + 1
+      try {
+        publish(v, latestFiles ++ moved, mergedSchemaOf(latest, dfSchema))
+        return v
+      } catch {
+        case e: IllegalStateException if e.getCause.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"TxTable $root: gave up after $maxRetries publish retries", e)
+        // else: loop — re-resolve latest and re-validate
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The table schema after appending `df` on top of `base`: base fields
+    * in order, then fields `df` adds (matched by name, case-sensitive —
+    * the manifest is the source of truth, not a session's resolver). A
+    * same-name field with a DIFFERENT type is a conflict: automatic type
+    * widening silently degrades every reader, so it aborts. */
+  private def mergedSchema(base: Option[Long], df: DataFrame): StructType =
+    mergedSchemaOf(base, df.schema)
+
+  private def mergedSchemaOf(base: Option[Long], incoming: StructType): StructType = {
+    val old: Seq[StructField] =
+      base.flatMap(schemaAt).map(_.fields.toSeq).getOrElse(Nil)
+    old.foreach { f =>
+      incoming.fields.find(_.name == f.name).foreach { n =>
+        if (n.dataType != f.dataType)
+          throw new IllegalStateException(
+            s"TxTable $root: column ${f.name} type conflict — table has " +
+              s"${f.dataType.simpleString}, append has ${n.dataType.simpleString}")
+      }
+    }
+    val oldNames = old.map(_.name).toSet
+    // appended rows may omit old columns (nulls) and add new ones
+    StructType(old ++ incoming.fields.filterNot(f => oldNames(f.name)))
   }
 
   /** The WRITE step alone: land `df`'s parts in `data/` under
     * version-prefixed unique names WITHOUT publishing a manifest —
     * package-private so the crash test can die between WRITE and
     * PUBLISH. Returns the landed file names. */
-  private[lake] def writeData(df: DataFrame, v: Long): Seq[String] = {
+  private[graft] def writeData(df: DataFrame, v: Long): Seq[String] = {
     Files.createDirectories(dataDir)
     val token = java.util.UUID.randomUUID.toString.take(8)
     // land the job output in a scratch dir, then move each part into
@@ -124,10 +226,21 @@ final case class TxTable(root: String) {
 
   /** The atomic publish step, exposed package-private so the crash test
     * can exercise "died between WRITE and PUBLISH". */
-  private[lake] def publish(v: Long, files: Seq[String]): Unit = {
+  private[lake] def publish(v: Long, files: Seq[String]): Unit =
+    publish(v, files, None)
+
+  private[lake] def publish(v: Long, files: Seq[String], schema: StructType): Unit =
+    publish(v, files, Some(schema))
+
+  private[lake] def publish(v: Long, files: Seq[String],
+                            schema: Option[StructType]): Unit = {
     Files.createDirectories(commitDir)
     val tmp = commitDir.resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    val body = (s"version=$v files=${files.size}" +: files).mkString("\n")
+    // schema json is a single line (StructType.json never emits newlines),
+    // recorded in the header region so filesAt can skip it by prefix
+    val header = s"version=$v files=${files.size}" +:
+      schema.map(s => s"schema=${s.json}").toSeq
+    val body = (header ++ files).mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"))
     try Files.createLink(manifestPath(v), tmp) // atomic, fails if v exists
     catch {
@@ -169,7 +282,9 @@ final case class TxTable(root: String) {
     val slices = perCommit.flatMap { case (v, added, removed) =>
       slice(v, added, "insert") ++ slice(v, removed, "delete")
     }
-    slices.reduceOption(_ unionByName _).getOrElse(
+    // allowMissingColumns: slices from before an add-column commit are
+    // narrower than later ones — the feed fills the gap with nulls
+    slices.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse(
       read(spark, Some(toVersion)).limit(0)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit(""))
         .withColumn("_commit_version", org.apache.spark.sql.functions.lit(0L)))

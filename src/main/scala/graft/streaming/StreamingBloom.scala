@@ -21,10 +21,18 @@ import graft.operators.Bloom
   *      Bloom filters over disjoint corpora IS the bitwise OR, so the
   *      filter is maintained additively, never rebuilt.
   *
-  * The filter update rides the compaction pattern ([[StreamingScd2]]):
-  * merge → localCheckpoint → overwrite, because the new filter is read
-  * from the path it replaces. State lives in the two artifacts, not in
-  * streaming state: executor memory is O(micro-batch + bits/32).
+  * Round-9 change: the filter lives in a [[graft.lake.TxTable]] and its
+  * per-batch update is an overwrite COMMIT, not a raw parquet overwrite.
+  * The raw pattern (merge → localCheckpoint → overwrite) deleted the old
+  * filter files before the new ones landed, so a crash mid-overwrite left
+  * NO filter — and a Bloom filter that vanishes silently degrades every
+  * later batch to full-table verification. With the commit protocol the
+  * old snapshot's files are immutable until the atomic manifest link
+  * flips, a crash at any point leaves the previous filter readable (the
+  * filter is conservative state: an older filter is still CORRECT, just
+  * admits more verify work), and the pre-publish localCheckpoint is
+  * retired. State lives in the two artifacts, not in streaming state:
+  * executor memory is O(micro-batch + bits/32).
   *
   * Delivery semantics: pass `checkpointDir` so consumed input survives
   * restarts. The three writes are at-least-once (foreachBatch can replay
@@ -40,20 +48,28 @@ object StreamingBloom {
   val FilterSchema: StructType =
     new StructType().add("word", IntegerType).add("bits", LongType)
 
-  /** Create empty fingerprint/filter artifacts for a fresh corpus. */
+  /** Create empty fingerprint/filter artifacts for a fresh corpus. The
+    * fingerprint table is a plain append-only parquet dir; the filter is
+    * a TxTable whose first commit is the empty relation. */
   def ensureArtifacts(spark: SparkSession, fpPath: String,
       bloomPath: String): Unit = {
-    def ensure(path: String, schema: StructType): Unit = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          .write.parquet(path)
-    }
-    ensure(fpPath, FpSchema)
-    ensure(bloomPath, FilterSchema)
+    val p = new org.apache.hadoop.fs.Path(fpPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FpSchema)
+        .write.parquet(fpPath)
+    val tx = graft.lake.TxTable(bloomPath)
+    if (tx.latestVersion.isEmpty)
+      tx.overwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FilterSchema))
+    ()
   }
+
+  /** The live filter snapshot (readers go through the table — a crashed
+    * commit attempt is invisible). */
+  def readFilter(spark: SparkSession, bloomPath: String): DataFrame =
+    graft.lake.TxTable(bloomPath).read(spark)
 
   /** Start the ingest: `incoming` carries (doc_id, text). Accepted novel
     * rows land in `outPath` as (doc_id, fingerprint, bloom_hit). */
@@ -70,7 +86,8 @@ object StreamingBloom {
           .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
           .persist()
         try {
-          val filter = spark.read.schema(FilterSchema).parquet(bloomPath)
+          val txBloom = graft.lake.TxTable(bloomPath)
+          val filter = txBloom.read(spark)
           val flagged = Bloom.probe(inc, filter, bits, k)
           val ex = spark.read.schema(FpSchema).parquet(fpPath)
           val novel = flagged.filter(col("bloom_hit") === 0).unionByName(
@@ -81,13 +98,14 @@ object StreamingBloom {
           novel.write.mode("append").parquet(outPath)
           novel.select(col("fingerprint")).write.mode("append").parquet(fpPath)
           // additive filter maintenance: OR the accepted rows' bits into
-          // the persisted filter (merge -> materialize -> overwrite)
-          val merged = filter
+          // the persisted filter as an overwrite COMMIT — the plan reads
+          // the live snapshot's immutable files while the new ones land,
+          // so no pre-publish checkpoint is needed and a crash leaves the
+          // previous (still-correct, merely older) filter live
+          txBloom.overwrite(filter
             .unionByName(Bloom.build(novel.select(col("fingerprint")), bits, k))
             .groupBy(col("word"))
-            .agg(expr("bit_or(bits)").as("bits"))
-            .localCheckpoint(true) // reads bloomPath; materialize first
-          merged.write.mode("overwrite").parquet(bloomPath)
+            .agg(expr("bit_or(bits)").as("bits")))
         } finally inc.unpersist(false)
         ()
       }

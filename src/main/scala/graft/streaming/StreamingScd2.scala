@@ -3,14 +3,26 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.lake.TxTable
 import graft.operators.Evolve
 
 /** Streaming twin of [[Evolve.scd2Merge]] — continuous CDC ingest into a
   * versioned dimension: each micro-batch of updates merges against the
-  * persisted dimension snapshot and publishes the next snapshot (read →
-  * merge → localCheckpoint → overwrite, the compaction pattern; the
-  * checkpoint materializes the result BEFORE the overwrite touches the
-  * files being read).
+  * persisted dimension snapshot and publishes the next snapshot through a
+  * [[TxTable]] commit (read snapshot → merge → overwrite-commit).
+  *
+  * Round-9 change: the publish step rides the transactional table instead
+  * of a raw parquet overwrite. A raw overwrite deletes the old files
+  * before the new ones land, so a crash mid-overwrite TORCHES the
+  * dimension — the exact failure TxTable was built to remove. With the
+  * commit protocol, new data files land under fresh names while the old
+  * snapshot's files stay untouched; only the atomic manifest link flips
+  * the table, so a crash at ANY point leaves the previous snapshot
+  * readable and the replayed batch re-merges into a fresh commit. This
+  * also retires the pre-publish `localCheckpoint` the raw pattern needed
+  * (the merge plan may read the live snapshot's files while the new files
+  * are written — they are never mutated), and makes every historical
+  * dimension snapshot time-travelable for free.
   *
   * Replay safety comes from the merge SEMANTICS, not from bookkeeping:
   * re-merging an already-applied batch finds every update row equal to
@@ -29,9 +41,16 @@ import graft.operators.Evolve
 object StreamingScd2 {
 
   /** Publish the seed snapshot (rows already in SCD2 shape: attrs +
-    * valid_from / valid_to). */
-  def init(seed: DataFrame, dimPath: String): Unit =
-    seed.write.mode("overwrite").parquet(dimPath)
+    * valid_from / valid_to) as the table's first committed version. */
+  def init(seed: DataFrame, dimPath: String): Unit = {
+    TxTable(dimPath).overwrite(seed)
+    ()
+  }
+
+  /** The current dimension snapshot (readers go through the table, not
+    * the raw files — half-written commit attempts are invisible). */
+  def readDim(spark: SparkSession, dimPath: String): DataFrame =
+    TxTable(dimPath).read(spark)
 
   /** Start the ingest. `asOfOf` stamps each micro-batch's effective time
     * (deterministic per batchId — wall-clock stamps would break replay). */
@@ -41,11 +60,9 @@ object StreamingScd2 {
     val spark = updates.sparkSession
     val writer = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val current = spark.read.parquet(dimPath)
-        val merged = Evolve
-          .scd2Merge(current, batch, key, attrs, asOfOf(batchId))
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(dimPath)
+        val tx = TxTable(dimPath)
+        tx.overwrite(
+          Evolve.scd2Merge(tx.read(spark), batch, key, attrs, asOfOf(batchId)))
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()

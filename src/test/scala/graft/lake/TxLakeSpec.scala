@@ -99,6 +99,82 @@ class TxLakeSpec extends SparkSpec {
     assert(empty.isEmpty && empty.columns.contains("_change_type"))
   }
 
+  test("appendWithRetry: two concurrent appenders both succeed with sequential versions") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1, "base")).toDF("k", "s"))
+    // genuinely concurrent: both threads resolve the same base version,
+    // race the publish link, and the loser retries on top of the winner
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq("a1" -> 10, "a2" -> 20).map { case (s, k) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val df = Seq((k, s)).toDF("k", "s")
+            barrier.await()
+            t.appendWithRetry(df)
+          }
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet == Set(2L, 3L), s"expected v2+v3, got $versions")
+    } finally pool.shutdown()
+    assert(vals(t.read(spark)) == Set((1, "base"), (10, "a1"), (20, "a2")),
+      "a racing append lost rows")
+  }
+
+  test("appendWithRetry: deterministic version race retries; append racing an overwrite aborts") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1, "base")).toDF("k", "s"))                  // v1
+    // appender lands its data files while pinned to base v1 ...
+    val moved = t.writeData(Seq((2, "mine")).toDF("k", "s"), v = 2L)
+    val schema = t.read(spark).schema
+    // ... then a concurrent APPEND wins v2 first: blind appends commute,
+    // so the retry publishes v3 carrying both
+    t.append(Seq((3, "theirs")).toDF("k", "s"))                   // v2
+    val v = t.retryPublish(base = Some(1L), moved = moved, dfSchema = schema)
+    assert(v == 3L)
+    assert(vals(t.read(spark)) == Set((1, "base"), (2, "mine"), (3, "theirs")))
+    // an intervening OVERWRITE removed the base files — the append's
+    // logical base is gone, so the retry must abort loudly
+    val moved2 = t.writeData(Seq((4, "late")).toDF("k", "s"), v = 4L)
+    t.overwrite(Seq((9, "replaced")).toDF("k", "s"))              // v4
+    val e = intercept[IllegalStateException] {
+      t.retryPublish(base = Some(3L), moved = moved2, dfSchema = schema)
+    }
+    assert(e.getMessage.contains("concurrent overwrite"))
+    assert(vals(t.read(spark)) == Set((9, "replaced")), "aborted append leaked")
+  }
+
+  test("schema evolution: add-column append; old snapshots keep their own schema") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1, "a")).toDF("k", "s"))                     // v1: (k, s)
+    t.append(Seq((2, "b", 0.5)).toDF("k", "s", "score"))          // v2: (k, s, score)
+    // latest snapshot: merged schema, nulls for the old file's missing column
+    val latest = t.read(spark)
+    assert(latest.columns.toSeq == Seq("k", "s", "score"))
+    val rows = latest.collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1, "a", None), (2, "b", Some(0.5))))
+    // time travel returns each version's OWN schema, not today's
+    assert(t.read(spark, Some(1L)).columns.toSeq == Seq("k", "s"))
+    assert(t.schemaAt(1L).map(_.fieldNames.toSeq).contains(Seq("k", "s")))
+    // appends may omit old columns: nulls, not failure
+    t.append(Seq((3, 0.9)).toDF("k", "score"))                    // v3
+    val v3 = t.read(spark).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(v3 == Set((1, Some("a")), (2, Some("b")), (3, None)))
+    // a type conflict on an existing column aborts instead of widening
+    val conflict = intercept[IllegalStateException] {
+      t.append(Seq((4, 7)).toDF("k", "score")) // score int vs double
+    }
+    assert(conflict.getMessage.contains("type conflict"))
+  }
+
   test("MERGE/SCD2 ride the transactional table: read-modify-overwrite is crash-safe") {
     import spark.implicits._
     val t = tmpTable()

@@ -29,11 +29,12 @@ class StreamingBloomSpec extends SparkSpec {
     val delta1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
     val delta2 = docs.filter(col("doc_id") >= 400)
 
-    // day 0: persisted fingerprint table + its Bloom filter
+    // day 0: persisted fingerprint table + its Bloom filter (the filter
+    // is a TxTable — its updates are commits, not raw overwrites)
     val corpusFps = corpus.select(Text.fingerprint(col("text")).as("fingerprint"))
       .distinct()
     corpusFps.write.parquet(fpPath)
-    Bloom.build(corpusFps).write.parquet(bloomPath)
+    graft.lake.TxTable(bloomPath).overwrite(Bloom.build(corpusFps))
 
     val mem = MemoryStream[(Long, String)]
     val q = StreamingBloom.start(
@@ -59,10 +60,37 @@ class StreamingBloomSpec extends SparkSpec {
     assert(tableFps == allFps)
 
     // additive OR maintenance == from-scratch rebuild, bit for bit
-    val maintained = spark.read.parquet(bloomPath)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-    val rebuilt = Bloom.build(spark.read.parquet(fpPath))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    def filterBits(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val maintained = filterBits(StreamingBloom.readFilter(spark, bloomPath))
+    val rebuilt = filterBits(Bloom.build(spark.read.parquet(fpPath)))
     assert(maintained == rebuilt, "maintained filter diverged from rebuild")
+
+    // CRASH SAFETY (why the filter update is a TxTable commit): a writer
+    // dying between the merged-filter WRITE and its publish leaves the
+    // previous filter snapshot live — an older filter is conservative
+    // (admits more verify work) but never wrong — and a replayed batch
+    // converges: its rows all probe bloom-positive, the fp anti-join
+    // drops them, and the filter OR is idempotent
+    val tx = graft.lake.TxTable(bloomPath)
+    val vBefore = tx.latestVersion.get
+    tx.writeData(Bloom.build(spark.read.parquet(fpPath)), v = vBefore + 1)
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(filterBits(StreamingBloom.readFilter(spark, bloomPath)) == maintained,
+      "crashed publish torched the filter")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingBloom.start(
+      mem2.toDF().toDF("doc_id", "text"), fpPath, bloomPath, outPath)
+    try {
+      mem2.addData(delta2.as[(Long, String)].collect().toIndexedSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // artifacts unchanged up to outPath replay dupes (removed by distinct)
+    assert(rowSet(spark.read.parquet(outPath).distinct()) == streamed,
+      "replayed batch double-counted the output")
+    assert(spark.read.parquet(fpPath).collect().map(_.getString(0)).toSet == allFps,
+      "replayed batch double-counted the fingerprint table")
+    assert(filterBits(StreamingBloom.readFilter(spark, bloomPath)) == rebuilt,
+      "replayed batch corrupted the filter")
   }
 }

@@ -43,7 +43,7 @@ class StreamingScd2Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getTimestamp(3).toString.take(10),
         Option(r.getTimestamp(4)).map(_.toString.take(10)))).toSet
-    val streamed = snap(spark.read.parquet(path))
+    val streamed = snap(StreamingScd2.readDim(spark, path))
 
     // ground truth: the same merges applied as plain batch calls
     val after0 = Evolve.scd2Merge(seed, b0.toDF("k", "name", "seg"),
@@ -56,8 +56,32 @@ class StreamingScd2Spec extends SparkSpec {
 
     // replaying batch b1 (at-least-once): every update equals the live
     // version -> pass-through, snapshot unchanged
-    val replayed = Evolve.scd2Merge(spark.read.parquet(path),
+    val replayed = Evolve.scd2Merge(StreamingScd2.readDim(spark, path),
       b1.toDF("k", "name", "seg"), "k", attrs, asOf(7))
     assert(snap(replayed) == streamed, "replay must be a no-op")
+
+    // CRASH SAFETY (the reason the publish rides TxTable): a writer dying
+    // between merge and publish — data files landed, manifest not linked —
+    // leaves the previous snapshot readable, and replaying the batch
+    // through the stream converges to the correct next snapshot
+    val tx = graft.lake.TxTable(path)
+    val vBefore = tx.latestVersion.get
+    val b2 = Seq((2L, "b2", "Y"))
+    val crashedMerge = Evolve.scd2Merge(StreamingScd2.readDim(spark, path),
+      b2.toDF("k", "name", "seg"), "k", attrs, asOf(2))
+    tx.writeData(crashedMerge, v = vBefore + 1) // died before publish
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(snap(StreamingScd2.readDim(spark, path)) == streamed,
+      "crashed publish torched or mutated the dimension")
+    // replay of the same logical batch (at-least-once delivery) — a fresh
+    // stream, so its first micro-batch has batchId 0 and stamps asOf(0)
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamingScd2.start(mem2.toDF().toDF("k", "name", "seg"),
+      path, "k", attrs, asOf)
+    try { mem2.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    val afterReplay = Evolve.scd2Merge(after1, b2.toDF("k", "name", "seg"),
+      "k", attrs, asOf(0))
+    assert(snap(StreamingScd2.readDim(spark, path)) == snap(afterReplay),
+      "replay after crash did not converge")
   }
 }
