@@ -89,7 +89,14 @@ object DedupRegistry {
     // corpus' probes replay against the delta
     "q_dedup_containment_incr" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
+      // the corpus-side relations are DURABLE ARTIFACTS in the operator's
+      // contract (history is never re-shingled) — materialize them once
+      // here instead of re-expanding the shingle subtree into every one
+      // of the operator's join legs, which both mis-modeled the
+      // operator's cost and quadrupled the codegen surface (profiled:
+      // the expanded plan's first execution burned ~25 s in compile)
       val sets = Dedup.shingleSetRelation(docs.filter(col("doc_id") < 250))
+        .localCheckpoint(false)
       val postings = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       Dedup.incrementalContainmentPairs(
         postings, Dedup.containmentProbeRelation(sets),
