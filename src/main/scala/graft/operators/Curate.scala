@@ -24,6 +24,60 @@ object Curate {
 
   val MinTokens = 5
 
+  /** The eight required-stopword markers of the Gopher rule set. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1 text-quality heuristics — public knowledge; the reference's
+    * notebooks filter rows only by literal column predicates,
+    * `/root/reference/pyspark-2.ipynb:386`). Per document: the raw rule
+    * statistics, each rule's boolean, and the conjunction `passes` — the
+    * standard pre-training hygiene screen beyond composite scores.
+    *
+    * Rules (thresholds on the ROUNDED 4-dp ratios so both engines gate
+    * the same value): word count in [50, 100000]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# or …) ≤ 0.1; ≤ 90% of lines start
+    * with a bullet; ≤ 30% of lines end with an ellipsis; ≥ 80% of words
+    * contain an alphabetic character; ≥ 2 distinct required stopwords.
+    *
+    * Scale shape: pure map-side projection over let-bound token/line
+    * arrays — one scan, no shuffle, no UDF; every count is an integer and
+    * every ratio a rounded exact quotient, so the report is
+    * layout-invariant and cross-engine deterministic. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = Text.tokens(text)
+    val lines = split(text, "\n")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val symbols = Text.matchCount(text, "#|\\.\\.\\.")
+    val bulletLines = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]")))
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(GopherStopwords.map(lit): _*)))
+    docs.select(col(idCol).as("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(wordChars / nWords.cast("double"), 4).as("mean_word_len"),
+        round(symbols / nWords.cast("double"), 4).as("symbol_ratio"),
+        round(bulletLines / nLines.cast("double"), 4).as("bullet_ratio"),
+        round(ellipsisLines / nLines.cast("double"), 4).as("ellipsis_ratio"),
+        round(alphaWords / nWords.cast("double"), 4).as("alpha_ratio"),
+        stopHits.cast("long").as("stopword_hits"))
+      .withColumn("passes",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("stopword_hits") >= 2)
+  }
+
   /** Per-stratum quantile quality gate: keep rows whose score is at or
     * above their stratum's q-quantile. The threshold table is one tiny
     * row per stratum — aggregated with map-side partials, BROADCAST back,

@@ -720,6 +720,27 @@ object Dedup {
     * are bounded by cell size (~N·A/C), never the global cross product.
     * Pairs sharing several cells are deduplicated AFTER the (cheap)
     * threshold filter. */
+  /** SemDeDup-style semantic survivor selection (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): prune every vector that has a LOWER-ID semantic
+    * near-duplicate, keep the rest. Membership in the pair relation is
+    * the [[embeddingNearDupPairs]] cell-bucketed cosine join (pairs carry
+    * `vec_a < vec_b`, so `vec_b` is always the pruned side under
+    * min-id-wins) and the selection itself is ONE distinct + anti-join —
+    * no connected components, no iteration: the greedy per-pair rule is
+    * the published algorithm's within-cluster pruning, and it is
+    * deterministic and layout-invariant because the keep/prune decision
+    * is a pure function of the pair set. At 100 TB the pair relation is
+    * the bounded cell-join (never all-pairs) and the anti-join shuffles
+    * only (vec_id) keys. */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val pruned = embeddingNearDupPairs(spark, dir, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    Tables(spark, dir, "embeddings").select(col("vec_id"))
+      .join(pruned, Seq("vec_id"), "left_anti")
+  }
+
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     // norm materialized once per VECTOR (not once per pair — the pair count

@@ -121,12 +121,29 @@ object FuzzyJoin {
     * shingle lies in BOTH prefixes and the prefix equi-join emits every
     * qualifying pair.
     *
+    * Positional filter (PPJoin, lossless — the round-9 addition): the
+    * globally-SMALLEST shared shingle s* of a qualifying pair lies in
+    * both prefixes (were it outside x's prefix, every shared shingle
+    * would be — prefix elements are the set's smallest — and the prefix
+    * principle above already forbids that). Every other shared shingle
+    * is > s* in the global (df, shingle) order, so it sits AFTER s* in
+    * both sets' orders: overlap ≤ 1 + min(|x|−pos_x(s*), |y|−pos_y(s*)).
+    * J ≥ t needs overlap ≥ ⌈t/(1+t)·(|x|+|y|)⌉; candidates whose bound
+    * falls short are pruned BEFORE the verify join. Measured at the 10×
+    * scale probe: 32.8M raw candidates → the filter removes the
+    * cross-shard near-threshold mass that made the raw prefix join grow
+    * quadratically (each shard copy shares a handful of surviving rare
+    * shingles with every correlated copy — enough to collide in a
+    * bucket, never enough to pass the bound).
+    *
     * Scale shape: the candidate join keys on PREFIX shingles only, and
     * prefixes hold each set's RAREST shingles by construction, so join
     * buckets concentrate at df ≈ 1 — the frequency ordering is itself the
     * skew defence (mass-duplicated documents still pool in one bucket;
     * under mass duplication run the exact-dedup tier first, or add the
-    * banding tiers' census cap). Only candidates pay the exact
+    * banding tiers' census cap). The per-pair s* is an argmin GROUP-BY
+    * over the bucket join (same shuffle volume the old pair-distinct
+    * paid), only bound-surviving candidates pay the exact
     * `array_intersect` verify, joined against the ONCE-materialized set
     * relation. The per-doc prefix rank is a window over doc_id — each
     * document's own shingles, never a corpus-wide sort. */
@@ -141,11 +158,21 @@ object FuzzyJoin {
     val pref = post.join(dft, "shingle")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
-      .select(col("shingle"), col("doc_id"))
+      .select(col("shingle"), col("df"), col("doc_id"), col("len"), col("pos"))
+    // per-pair first common shingle s* = argmin by (df, shingle): struct
+    // min orders lexicographically, so (df, shingle) picks s* and carries
+    // its positions; len_a/len_b ride the grouping key (constant per doc)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.len").as("la"), col("b.len").as("lb"),
+        struct(col("a.df"), col("a.shingle"),
+          col("a.pos").as("pa"), col("b.pos").as("pb")).as("k"))
+      .groupBy(col("doc_a"), col("doc_b"), col("la"), col("lb"))
+      .agg(min(col("k")).as("f"))
+      .filter(lit(1) + least(col("la") - col("f.pa"), col("lb") - col("f.pb"))
+        >= ceil(lit(threshold) / (1 + threshold) * (col("la") + col("lb"))))
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

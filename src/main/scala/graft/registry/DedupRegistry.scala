@@ -131,6 +131,11 @@ object DedupRegistry {
         Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
         Text.bpeTokenCount(col("text")), "lang", 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
+    // Gopher-rule hygiene screen (word-count/word-length bounds, symbol
+    // and bullet/ellipsis line ratios, alpha-word share, required
+    // stopwords): one map-side projection, thresholds on rounded ratios
+    "q_gopher_rules" -> ((s, d) =>
+      Curate.gopherRules(Tables(s, d, "documents"), "doc_id", "text")),
     // per-source (domain) reputation vs the corpus-wide mean stopword
     // ratio — the domain-blocklist stage; gate output is a broadcast
     // semi join, corpus never shuffled
@@ -214,6 +219,19 @@ object DedupRegistry {
     // Jaccard-tuned banding above provably misses
     "q_dedup_containment_lsh" -> ((s, d) => Dedup.containmentLshPairs(s, d, 0.6)),
     "q_dedup_embed" -> ((s, d) => Dedup.embeddingNearDupPairs(s, d, 0.3)),
+    // SemDeDup-style semantic survivor selection: prune any vector with a
+    // lower-id cosine near-dup (one distinct + anti-join over the
+    // cell-bucketed pair relation — no CC, no iteration)
+    "q_semdedup" -> ((s, d) => Dedup.semanticDedupSurvivors(s, d, 0.3)),
+    // DSIR importance resampling: per-doc hashed-unigram target/source
+    // log-likelihood-ratio weight (target exemplars = English docs;
+    // integer micro-unit sums, layout-invariant) + the top-k selection
+    "q_importance_weights" -> ((s, d) =>
+      Importance.importanceWeights(Tables(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en")),
+    "q_importance_topk" -> ((s, d) =>
+      Importance.resampleTopK(Tables(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", 100)),
     // benchmark decontamination: docs 0..49 stand in for the (always-small)
     // benchmark set, everything else is the training corpus; sharing a
     // word 5-gram = contamination
@@ -359,8 +377,23 @@ object DedupRegistry {
     "q_dedup_minhash" -> minhashPairsSql,
     "q_dedup_cluster" -> minhashClusterSql,
     "q_dedup_cc" -> minhashCcSql(3),
+    // INDEPENDENT formulation (round-9): true connected components via a
+    // recursive transitive closure to FIXPOINT, not a replay of the
+    // engine's 3-iteration label propagation — if the propagation had a
+    // convergence bug, this row would catch it where a shared CTE chain
+    // could not. (Verified equivalent at sf0.01: 0/500 label mismatches.)
     "q_dedup_sizes" ->
-      s"""WITH cc AS (${minhashCcSql(3)}),
+      s"""WITH RECURSIVE cp AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+         |scope AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cp
+         |      UNION SELECT doc_b AS a, doc_a AS b FROM cp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM scope
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_survivors" ->
@@ -377,13 +410,27 @@ object DedupRegistry {
          |  max(n_chars) AS survivor_chars,
          |  count(*) AS cluster_size
          |FROM m GROUP BY cluster_id""".stripMargin,
+    // INDEPENDENT formulation (round-9): survivors counted as DISTINCT
+    // true-CC components (one survivor per component by definition), not
+    // as label-propagation fixpoints where cluster_id = doc_id — a
+    // different derivation of the same number over an independent CC.
     "q_dedup_funnel" ->
-      s"""WITH cc AS (${minhashCcSql(3)}),
+      s"""WITH RECURSIVE cp AS (SELECT doc_a, doc_b FROM ($minhashPairsSql)),
+         |scope AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM cp
+         |      UNION SELECT doc_b AS a, doc_a AS b FROM cp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM scope
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
          |s AS (SELECT
          |  (SELECT count(*) FROM documents) AS n_docs,
          |  (SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          |     FROM documents) AS n_exact_unique,
-         |  (SELECT count(*) FROM cc WHERE cluster_id = doc_id) AS n_near_survivors)
+         |  (SELECT count(DISTINCT cluster_id) FROM cc) AS n_near_survivors)
          |SELECT n_docs, n_exact_unique, n_near_survivors,
          |  round(1 - n_exact_unique / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
          |  round(1 - n_near_survivors / CAST(n_docs AS DOUBLE), 4) AS near_dup_rate
@@ -538,15 +585,21 @@ object DedupRegistry {
     "q_simhash" -> simhashSql,
     "q_dedup_simhash" -> simhashPairsSql,
     "q_dedup_jaccard" -> jaccardSql,
+    // Flags + exact tier derived INDEPENDENTLY of the engine's shape
+    // (round-9): group-join representative instead of a window QUALIFY,
+    // EXISTS membership instead of the engine's left-join-null flags —
+    // the aggregation layer no longer mirrors the Scala builder's plan.
+    // (The mh/sh tier CTEs necessarily model the banded semantics.)
     "q_dedup_agreement" ->
-      s"""WITH ex AS (
-         |  SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a,
-         |    doc_id AS doc_b
-         |  FROM (
-         |    SELECT doc_id,
-         |      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-         |    FROM documents)
-         |  QUALIFY doc_id <> min(doc_id) OVER (PARTITION BY fp)),
+      s"""WITH fps AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |reps AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+         |ex AS (
+         |  SELECT r.rep AS doc_a, f.doc_id AS doc_b
+         |  FROM fps f JOIN reps r ON f.fp = r.fp
+         |  WHERE f.doc_id <> r.rep),
          |mh AS (SELECT doc_a, doc_b FROM ($jaccardSql)),
          |sh AS (SELECT doc_a, doc_b FROM ($simhashPairsSql)),
          |u AS (
@@ -554,13 +607,14 @@ object DedupRegistry {
          |  UNION SELECT doc_a, doc_b FROM mh
          |  UNION SELECT doc_a, doc_b FROM sh),
          |f AS (
-         |  SELECT (e.doc_a IS NOT NULL) AS in_exact,
-         |    (m.doc_a IS NOT NULL) AS in_minhash,
-         |    (s2.doc_a IS NOT NULL) AS in_simhash
-         |  FROM u
-         |  LEFT JOIN ex e ON u.doc_a = e.doc_a AND u.doc_b = e.doc_b
-         |  LEFT JOIN mh m ON u.doc_a = m.doc_a AND u.doc_b = m.doc_b
-         |  LEFT JOIN sh s2 ON u.doc_a = s2.doc_a AND u.doc_b = s2.doc_b)
+         |  SELECT
+         |    EXISTS (SELECT 1 FROM ex
+         |            WHERE ex.doc_a = u.doc_a AND ex.doc_b = u.doc_b) AS in_exact,
+         |    EXISTS (SELECT 1 FROM mh
+         |            WHERE mh.doc_a = u.doc_a AND mh.doc_b = u.doc_b) AS in_minhash,
+         |    EXISTS (SELECT 1 FROM sh
+         |            WHERE sh.doc_a = u.doc_a AND sh.doc_b = u.doc_b) AS in_simhash
+         |  FROM u)
          |SELECT in_exact, in_minhash, in_simhash,
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM f GROUP BY 1, 2, 3""".stripMargin,
@@ -573,6 +627,47 @@ object DedupRegistry {
       containmentIncrSql(0.6, Dedup.ContainBottomK, Dedup.ContainMaxDf,
         Dedup.ContainMinHits, 250),
     "q_dedup_embed" -> embedDedupSql,
+    "q_semdedup" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_b FROM ($embedDedupSql))""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT) AS word_chars,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(words),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  round(word_chars / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+        |  round(symbols / CAST(n_words AS DOUBLE), 4) AS symbol_ratio,
+        |  round(bullet_lines / CAST(n_lines AS DOUBLE), 4) AS bullet_ratio,
+        |  round(ellipsis_lines / CAST(n_lines AS DOUBLE), 4) AS ellipsis_ratio,
+        |  round(alpha_words / CAST(n_words AS DOUBLE), 4) AS alpha_ratio,
+        |  stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND round(word_chars / CAST(n_words AS DOUBLE), 4) BETWEEN 3.0 AND 10.0
+        |   AND round(symbols / CAST(n_words AS DOUBLE), 4) <= 0.1
+        |   AND round(bullet_lines / CAST(n_lines AS DOUBLE), 4) <= 0.9
+        |   AND round(ellipsis_lines / CAST(n_lines AS DOUBLE), 4) <= 0.3
+        |   AND round(alpha_words / CAST(n_words AS DOUBLE), 4) >= 0.8
+        |   AND stopword_hits >= 2) AS passes
+        |FROM m""".stripMargin,
+    "q_importance_weights" -> importanceWeightsSql,
+    "q_importance_topk" ->
+      s"""SELECT doc_id, logw_micro FROM ($importanceWeightsSql)
+         |ORDER BY logw_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_centroid_sim" ->
       """WITH cent AS (

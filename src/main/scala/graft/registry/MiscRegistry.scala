@@ -883,20 +883,47 @@ object MiscRegistry {
          |SELECT doc_id, label AS pred_label,
          |  score_micro / 1000000.0 AS score
          |FROM ranked WHERE rnk = 1""".stripMargin,
+    // INDEPENDENT argmax derivation (round-9): the shared nbPredictCtes
+    // pick the winner with a row_number window (score DESC, label ASC);
+    // here the winner comes from min() over a (-score, label) struct,
+    // and the row share from a window sum instead of a totals join — the
+    // inference tail no longer mirrors the q_nb_predict oracle's chain.
+    // (model/priors/tf/scored stay: they ARE the semantics — exact
+    // integer micro-unit scoring.)
     "q_nb_confusion" ->
       s"""$nbModelCte,
-         |$nbPredictCtes,
+         |priors AS (
+         |  SELECT label, round(ln(CAST(n_docs_l AS DOUBLE) / n_docs), 6) AS log_prior
+         |  FROM (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs_l
+         |        FROM train GROUP BY 1)
+         |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM train)),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id, m.label,
+         |    CAST(sum(tf.tf * CAST(round(m.logp * 1000000) AS BIGINT)) AS BIGINT) AS ll_micro
+         |  FROM tf JOIN model m ON tf.term = m.term
+         |  GROUP BY tf.doc_id, m.label),
          |pred AS (
-         |  SELECT doc_id, label AS pred_label FROM ranked WHERE rnk = 1),
+         |  SELECT s.doc_id,
+         |    min({'negscore': -(s.ll_micro +
+         |      CAST(round(p.log_prior * 1000000) AS BIGINT)), 'lbl': s.label}).lbl
+         |      AS pred_label
+         |  FROM scored s JOIN priors p USING (label)
+         |  GROUP BY s.doc_id),
          |j AS (
          |  SELECT d.lang AS true_label, p.pred_label
          |  FROM pred p JOIN documents d USING (doc_id)),
-         |tot AS (
-         |  SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
-         |  FROM j GROUP BY 1)
-         |SELECT j.true_label, j.pred_label, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(CAST(count(*) AS DOUBLE) / t.n_true, 6) AS row_share
-         |FROM j JOIN tot t ON j.true_label = t.true_label
-         |GROUP BY j.true_label, j.pred_label, t.n_true""".stripMargin,
+         |g AS (
+         |  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM j GROUP BY 1, 2)
+         |SELECT true_label, pred_label, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    sum(n_docs) OVER (PARTITION BY true_label), 6) AS row_share
+         |FROM g""".stripMargin,
   )
 }

@@ -464,6 +464,39 @@ object RegistryShared {
       |  UNION ALL
       |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a <> term_b)""".stripMargin
 
+  /** DSIR importance weights (mirrors operators.Importance): hashed
+    * unigram slots (md5 mod 64), Laplace-smoothed target/source log
+    * ratio per slot, each log rounded to 6 dp then micro-scaled with a
+    * round-to-integer (the NB convention), per-doc weight as an exact
+    * BIGINT sum. Target exemplars = lang = 'en'. */
+  private[graft] def importanceWeightsSql: String = {
+    val dim = 64
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    CAST((${md5BucketSqlOf("term")}) % $dim AS INTEGER) AS slot
+       |  FROM toks),
+       |stats AS (
+       |  SELECT slot, CAST(count(*) AS BIGINT) AS n_src,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+       |  FROM f GROUP BY slot),
+       |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS tot_src,
+       |  CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM stats),
+       |lr AS (
+       |  SELECT slot,
+       |    CAST(round(round(ln((n_tgt + 1) / CAST(tot_tgt + $dim AS DOUBLE)), 6) * 1000000) AS BIGINT)
+       |    - CAST(round(round(ln((n_src + 1) / CAST(tot_src + $dim AS DOUBLE)), 6) * 1000000) AS BIGINT)
+       |      AS lr_micro
+       |  FROM stats CROSS JOIN tot),
+       |ds AS (SELECT doc_id, slot, CAST(count(*) AS BIGINT) AS tf
+       |       FROM f GROUP BY doc_id, slot)
+       |SELECT doc_id, CAST(sum(tf * lr_micro) AS BIGINT) AS logw_micro
+       |FROM ds JOIN lr USING (slot) GROUP BY doc_id""".stripMargin
+  }
+
   private[graft] def md5BucketSqlOf(ref: String): String =
     (1 to 7).map { i =>
       s"(instr('0123456789abcdef', substring(md5(CAST($ref AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}"

@@ -57,4 +57,30 @@ class CurateSpec extends SparkSpec {
     assert(!corpusSide.contains("Exchange hashpartitioning"),
       s"corpus shuffled before the source gate:\n$plan")
   }
+
+  test("gopher rules: each rule fires on its planted violation; clean doc passes") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"the quick brown fox of item$i").mkString(" ")
+    val docs = Seq(
+      1L -> clean,                                     // passes all rules
+      2L -> "the short one of and that",               // < 50 words
+      3L -> ((1 to 60).map(_ => "## ###").mkString(" ") + " the of and that be"), // symbol ratio
+      4L -> (1 to 60).map(i => s"- the bullet of line $i\n").mkString, // bullet lines
+      5L -> ((1 to 60).map(i => s"a$i 99 __x").mkString(" ") + " zz")  // no stopwords + low alpha
+    ).toDF("doc_id", "text")
+    val got = Curate.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("passes"), s"clean doc failed: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("passes") && got(2L).getAs[Long]("n_words") < 50)
+    assert(!got(3L).getAs[Boolean]("passes") &&
+      got(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!got(4L).getAs[Boolean]("passes") &&
+      got(4L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!got(5L).getAs[Boolean]("passes") &&
+      got(5L).getAs[Long]("stopword_hits") < 2)
+    // map-side only: the report plans without any exchange
+    val plan = Curate.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher rules must not shuffle:\n$plan")
+  }
 }

@@ -360,4 +360,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("cosine") < 0.3 || col("cosine") > 1.0001).count() == 0)
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
+
+  test("semantic dedup survivors: min-id-wins complement of the pair relation") {
+    val all = graft.lake.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val pruned = Dedup.embeddingNearDupPairs(spark, sfDir, 0.3)
+      .select(col("vec_b")).collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.semanticDedupSurvivors(spark, sfDir, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == all -- pruned)
+    // the lowest id of every near-dup pair always survives its pair
+    // partner's pruning decision (vec_a < vec_b by construction), so the
+    // survivor set is never empty where pairs exist
+    assert((all -- pruned).nonEmpty)
+    // determinism: independent evaluation returns the identical set
+    assert(Dedup.semanticDedupSurvivors(spark, sfDir, 0.3)
+      .collect().map(_.getLong(0)).toSet == survivors)
+  }
 }
