@@ -131,6 +131,16 @@ object DedupRegistry {
         Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
         Text.bpeTokenCount(col("text")), "lang", 0.5)
         .select(col("doc_id"), col("lang"), col("score"), col("thr"))),
+    // leakage-safe split: the deterministic train/valid/test banding
+    // keyed on the near-dup CLUSTER representative, not the doc — near
+    // duplicates land on the SAME side by construction, closing the
+    // eval-contamination hole a doc-keyed split leaves open; rides the
+    // memoized CC labels, split is a map-side hash of the label
+    "q_leakage_safe_split" -> ((s, d) =>
+      Dedup.minhashCcLabels(s, d, 3)
+        .select(col("doc_id"), col("cluster_id"),
+          Sampling.splitExpr(Sampling.hashBucket(col("cluster_id")))
+            .as("split"))),
     // Gopher-rule hygiene screen (word-count/word-length bounds, symbol
     // and bullet/ellipsis line ratios, alpha-word share, required
     // stopwords): one map-side projection, thresholds on rounded ratios
@@ -630,6 +640,14 @@ object DedupRegistry {
     "q_semdedup" ->
       s"""SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_b FROM ($embedDedupSql))""".stripMargin,
+    "q_leakage_safe_split" ->
+      s"""WITH cc AS (${minhashCcSql(3)})
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  CAST((${md5BucketSqlOf("cluster_id")}) % 100 AS INTEGER) AS b
+         |  FROM cc)""".stripMargin,
     "q_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,

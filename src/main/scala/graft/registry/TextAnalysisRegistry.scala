@@ -22,6 +22,21 @@ object TextAnalysisRegistry {
       Tables(s, d, "documents").select(col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens_ws"),
         Text.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
+    // tokenizer fertility per language — the token-budget planning read
+    // (chars per BPE token = compression ratio, BPE tokens per word =
+    // fertility): one map-side projection + one lang-sized agg, exact
+    // integer sums divided once
+    "q_token_fertility" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("nc"),
+          Text.bpeTokenCount(col("text")).cast("long").as("nb"),
+          Text.tokenCount(col("text")).cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("nc")) / sum(col("nb")).cast("double"), 4)
+            .as("chars_per_token"),
+          round(sum(col("nb")) / sum(col("nw")).cast("double"), 4)
+            .as("tokens_per_word"))),
     "q_text_quality" -> ((s, d) => {
       val feats = Text.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
       Tables(s, d, "documents").select(col("doc_id") +: feats: _*)
@@ -383,6 +398,16 @@ object TextAnalysisRegistry {
          |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens_ws,
          |  CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS INTEGER) AS n_tokens_bpe
          |FROM documents""".stripMargin,
+    "q_token_fertility" ->
+      s"""WITH m AS (
+         |  SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS BIGINT) AS nb,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS nw
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(nc) AS BIGINT) / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE), 4) AS chars_per_token,
+         |  round(CAST(sum(nb) AS BIGINT) / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE), 4) AS tokens_per_word
+         |FROM m GROUP BY lang""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,

@@ -377,4 +377,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.semanticDedupSurvivors(spark, sfDir, 0.3)
       .collect().map(_.getLong(0)).toSet == survivors)
   }
+
+  test("leakage-safe split: a near-dup cluster never straddles the split bands") {
+    val rows = Dedup.minhashCcLabels(spark, sfDir, 3)
+      .select(col("doc_id"), col("cluster_id"),
+        Sampling.splitExpr(Sampling.hashBucket(col("cluster_id"))).as("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of a cluster carries its representative's split
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.forall(_._2.size == 1),
+      s"clusters straddling splits: ${byCluster.filter(_._2.size > 1).take(3)}")
+    // the banding is the standard 90/5/5 over cluster ids — all three
+    // bands exist at this corpus size and the assignment is a pure
+    // function of cluster_id (layout-invariant by construction)
+    assert(rows.map(_._3).toSet == Set("train", "valid", "test"))
+  }
 }
