@@ -741,6 +741,42 @@ object Dedup {
       .join(pruned, Seq("vec_id"), "left_anti")
   }
 
+  /** Incremental SemDeDup — the delta shape for the semantic tier,
+    * mirroring [[incrementalExactDedup]]'s arrival-order contract: a
+    * DELTA vector is pruned when it has a cosine near-dup in the
+    * already-accepted CORPUS (the corpus arrived first, so it wins
+    * regardless of id) or among LOWER-ID delta vectors (the in-batch
+    * min-id-wins rule of [[semanticDedupSurvivors]]). Returns the delta
+    * survivors.
+    *
+    * The quantizer is built from the CORPUS side only — it is the
+    * persisted codebook artifact of a real ingest (new data is assigned
+    * with the existing quantizer; re-fitting per batch would shift every
+    * historical cell). Both sides assign to their [[EmbedAssignCells]]
+    * nearest cells via the broadcast one-row codebook, the join is an
+    * equi-join on cell, and history is never re-paired: every candidate
+    * pair has its pruned side in the delta. */
+  def incrementalSemanticSurvivors(corpus: DataFrame, delta: DataFrame,
+      threshold: Double): DataFrame = {
+    val cb = Quantize.codebookRow(corpus)
+    def cells(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("embedding"),
+          Vectors.norm(col("embedding")).as("nrm"),
+          explode(Quantize.probeCellsExpr(col("embedding"), col("cents"),
+            EmbedAssignCells)).as("cell"))
+    val c = cells(corpus).withColumn("is_corpus", lit(true))
+    val d = cells(delta).withColumn("is_corpus", lit(false))
+    val pruned = c.unionByName(d).as("a").join(d.as("b"),
+        col("a.cell") === col("b.cell") &&
+          (col("a.is_corpus") || col("a.vec_id") < col("b.vec_id")) &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .filter(round(Vectors.dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")), 4) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    delta.select(col("vec_id")).join(pruned, Seq("vec_id"), "left_anti")
+  }
+
   def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     // norm materialized once per VECTOR (not once per pair — the pair count

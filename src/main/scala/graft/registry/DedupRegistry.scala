@@ -233,6 +233,14 @@ object DedupRegistry {
     // lower-id cosine near-dup (one distinct + anti-join over the
     // cell-bucketed pair relation — no CC, no iteration)
     "q_semdedup" -> ((s, d) => Dedup.semanticDedupSurvivors(s, d, 0.3)),
+    // incremental SemDeDup: delta vectors vs the persisted corpus
+    // quantizer — corpus neighbors prune regardless of id (arrival-order
+    // wins), in-batch pairs prune min-id-wins; history never re-paired
+    "q_semdedup_incr" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Dedup.incrementalSemanticSurvivors(
+        emb.filter(col("vec_id") < 100), emb.filter(col("vec_id") >= 100), 0.3)
+    }),
     // DSIR importance resampling: per-doc hashed-unigram target/source
     // log-likelihood-ratio weight (target exemplars = English docs;
     // integer micro-unit sums, layout-invariant) + the top-k selection
@@ -648,6 +656,31 @@ object DedupRegistry {
          |FROM (SELECT doc_id, cluster_id,
          |  CAST((${md5BucketSqlOf("cluster_id")}) % 100 AS INTEGER) AS b
          |  FROM cc)""".stripMargin,
+    // corpus ids all precede delta ids in this fixture, so the operator's
+    // (corpus-any OR lower-id-delta) rule collapses to a.vec_id < b.vec_id
+    "q_semdedup_incr" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings
+         |  WHERE vec_id < 100 AND vec_id % ${Quantize.CodebookStep} = 0
+         |    AND vec_id < ${Quantize.CodebookStep.toLong * Quantize.MaxCells}),
+         |qscored AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    round(${cosSql("e.embedding", "c.c_emb")}, 4) AS aff
+         |  FROM embeddings e CROSS JOIN cent c),
+         |massign AS (
+         |  SELECT vec_id, embedding, c_id AS cell FROM (
+         |    SELECT vec_id, embedding, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, c_id) AS rn
+         |    FROM qscored)
+         |  WHERE rn <= ${Dedup.EmbedAssignCells}),
+         |pruned AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM massign a JOIN massign b ON a.cell = b.cell
+         |  WHERE b.vec_id >= 100 AND a.vec_id < b.vec_id
+         |    AND round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id >= 100 AND vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
     "q_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -378,6 +378,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == survivors)
   }
 
+  test("incremental semantic dedup: corpus wins regardless of id; in-batch min-id wins") {
+    import spark.implicits._
+    def v(x: Double*) = x.map(_.toFloat).toArray
+    val corpus = Seq(
+      (0L, v(1, 0, 0, 0)), // centroid seed (vec_id % 2 == 0)
+      (2L, v(0, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, v(1, 0.01, 0, 0)),    // near-dup of corpus 0 -> pruned
+      (101L, v(0, 0, 1, 0)),       // novel direction -> survives
+      (102L, v(0, 0, 0.99, 0.05)), // near-dup of lower-id 101 -> pruned
+      (103L, v(0, 0, 0, 1))        // novel -> survives
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.incrementalSemanticSurvivors(corpus, delta, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(101L, 103L), s"got $got")
+    // the corpus itself is never re-scored: survivors are delta-only
+    assert(got.forall(_ >= 100L))
+  }
+
   test("leakage-safe split: a near-dup cluster never straddles the split bands") {
     val rows = Dedup.minhashCcLabels(spark, sfDir, 3)
       .select(col("doc_id"), col("cluster_id"),
