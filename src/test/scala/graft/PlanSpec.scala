@@ -142,4 +142,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"),
       s"rank window missing:\n$p")
   }
+
+  test("importance weights: the dim-row ratio table attaches by broadcast") {
+    val p = plan(Importance.importanceWeights(
+      Tables(spark, sfDir, "documents"), "doc_id", "text", col("lang") === "en"))
+    // the per-doc weight sum joins (doc, slot) counts to the 64-row ratio
+    // table — a sort-merge here would shuffle the corpus postings by slot
+    assert(p.contains("BroadcastHashJoin"), s"ratio table not broadcast:\n$p")
+  }
 }
