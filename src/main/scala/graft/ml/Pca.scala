@@ -41,6 +41,10 @@ object Pca {
       .agg(sum(col("xc") * col("xcj")).as("s"))
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"), round(col("s") / col("n"), 6).as("c"))
+      // anchor the d²-row covariance ONCE (the HITS/pageRank rule): every
+      // power step re-reads this checkpoint instead of re-nesting the
+      // corpus self-join, so the plan really is O(1) in `iterations`
+      .localCheckpoint(false)
     var v = mu.select(col("i"), lit(0.125).as("v")) // 1/sqrt(64): unit start
     var lastNorm = nRow.select(lit(0.0).as("nrm"))
     for (_ <- 1 to iterations) {
@@ -50,6 +54,8 @@ object Pca {
       lastNorm = u.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
       v = u.crossJoin(broadcast(lastNorm))
         .select(col("i"), round(col("u") / col("nrm"), 6).as("v"))
+        // re-anchor the d-row iterate per step, like HITS' hub/auth
+        .localCheckpoint(false)
     }
     v.crossJoin(broadcast(lastNorm.select(round(col("nrm"), 4).as("eigenvalue"))))
       .select(col("i").as("dim"), col("v").as("loading"), col("eigenvalue"))

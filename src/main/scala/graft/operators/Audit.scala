@@ -242,22 +242,56 @@ object Audit {
     * per-decile size, score RANGE (min/max — order statistics, chosen
     * over a float mean so the artifact is engine-exact) and observed
     * event rate — the reliability-diagram table behind "does the score
-    * mean what it claims?". Exact ntile sorts the scored relation in one
-    * partition (the RFM tradeoff: oracle-exact bucket boundaries;
-    * swap to approx-quantile edges at dimension scale); ties break by
-    * (rounded score, key) so boundaries are deterministic. */
+    * mean what it claims?". Ties break by (rounded score, key) so
+    * boundaries are deterministic.
+    *
+    * NO global ntile window: the global rank decomposes over
+    * [[graft.operators.Sampling.withRangeBand]] score bands — per-band
+    * row counts roll up in a tiny census whose running sum broadcasts
+    * back as each band's rank OFFSET, the corpus-side row_number window
+    * is partitioned by band, and the standard-SQL ntile allocation
+    * (first N mod 10 deciles take one extra row) is replayed from the
+    * rank in exact integer arithmetic — bit-identical to
+    * `ntile(10) OVER (ORDER BY score, k)` with the scored relation never
+    * funneling through one sort task. */
   def calibrationByDecile(df: DataFrame, keyCol: String, scoreCol: String,
-      event: org.apache.spark.sql.Column): DataFrame =
-    df.select(col(keyCol).as("k"), round(col(scoreCol), 4).as("score"),
-        when(event, 1L).otherwise(0L).as("event"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("score"), col("k"))))
+      event: org.apache.spark.sql.Column, bands: Int = 64): DataFrame = {
+    val scored = df.select(col(keyCol).as("k"),
+      round(col(scoreCol), 4).as("score"),
+      when(event, 1L).otherwise(0L).as("event"))
+    val banded = Sampling.withRangeBand(scored, col("score"), bands)
+    val bandW = Window.orderBy(col("band"))
+    val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("band_n"))
+      .select(col("band"),
+        coalesce(sum(col("band_n")).over(
+          bandW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("band_offset"),
+        sum(col("band_n")).over(bandW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n_total"))
+    val local = Window.partitionBy(col("band")).orderBy(col("score"), col("k"))
+    // ntile(10) replay from the global rank: q = N div 10 rows per decile,
+    // the first s = N mod 10 deciles take q+1 (the SQL-standard
+    // allocation). ceil division in integers; the otherwise-branch divisor
+    // is guarded (it is unreachable when q = 0 since then rank <= N = s).
+    val q = call_function("div", col("n_total"), lit(10L))
+    val s = col("n_total") % 10L
+    val decile = when(col("rank") <= s * (q + 1L),
+        call_function("div", col("rank") + q, q + 1L))
+      .otherwise(s + call_function("div",
+        col("rank") - s * (q + 1L) + greatest(q, lit(1L)) - 1L,
+        greatest(q, lit(1L))))
+    banded
+      .withColumn("local_rank", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "band")
+      .withColumn("rank", col("band_offset") + col("local_rank"))
+      .withColumn("decile", decile.cast("int"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"),
         sum(col("event")).as("n_events"))
       .withColumn("event_rate",
         round(col("n_events").cast("double") / col("n"), 6))
+  }
 
   /** Per-group distribution moments: mean, sd, skewness and excess
     * kurtosis — the shape census `describe` omits. Built from explicit

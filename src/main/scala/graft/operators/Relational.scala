@@ -260,6 +260,32 @@ object Sampling {
       (call_function("graft_md5_prefix", col(idCol).cast("string"), lit(7))
         % k).cast("int"))
 
+  /** Order-preserving RANGE BANDS over a numeric column — the
+    * decomposition that turns any corpus-global ordered window into
+    * per-band windows plus a tiny broadcast of band offsets (the
+    * [[shuffleRank]] shape, generalized from md5 bands to value bands).
+    *
+    * The (1/n .. (n−1)/n) approx-percentile edges of `v` are computed in
+    * one mergeable-sketch aggregate and broadcast as a single row; a
+    * row's band counts the edges at or below its value. Every row with
+    * the SAME value lands in the SAME band and bands ascend with `v`, so
+    * concatenating bands in band order reproduces any (v, tiebreak)
+    * global sort exactly. Edge placement only sets PARALLELISM: skewed
+    * data folds bands together and empty bands are fine — correctness
+    * never depends on where the cuts fall. */
+  def withRangeBand(df: DataFrame, v: Column, nBands: Int): DataFrame = {
+    require(nBands >= 2, s"nBands must be >= 2, got $nBands")
+    val ps = (1 until nBands).map(_.toDouble / nBands)
+    val edges = df.agg(
+      approx_percentile(v.cast("double"), array(ps.map(lit): _*), lit(10000))
+        .as("band_edges"))
+    val band = ps.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(v.cast("double") >= element_at(col("band_edges"), i + 1), 1)
+        .otherwise(0)
+    }
+    df.join(broadcast(edges)).withColumn("band", band).drop("band_edges")
+  }
+
   /** Curriculum sharding: the corpus ordered by (difficulty, id) and cut
     * into `shards` contiguous shards of ~equal TOKEN budget — the
     * easy-to-hard schedule a curriculum-training run consumes shard by
@@ -267,20 +293,37 @@ object Sampling {
     * (all-integer: shard = cum·S // total, clamped), so shard boundaries
     * are engine-exact and a doc's shard never depends on layout.
     *
-    * The global ordered cumsum is a single-partition window by
-    * definition — kept exact here (the RFM/ntile tradeoff); at dimension
-    * scale swap to repartitionByRange(difficulty) + per-range offsets
-    * from a tiny range-totals broadcast. */
+    * NO global window: the global exclusive cumsum decomposes over
+    * [[withRangeBand]] difficulty bands — per-band token masses roll up
+    * in a band-count-sized census whose running sum broadcasts back as
+    * each band's starting OFFSET, and the corpus-side window is
+    * partitioned by band (ties on difficulty share a band, so in-band
+    * (difficulty, doc_id) order concatenated in band order IS the global
+    * order). cum = offset(band) + local exclusive cumsum, bit-identical
+    * to the single-partition formulation; the only partition-less
+    * windows run over the tiny post-aggregate census. */
   def curriculumShards(docs: DataFrame, difficulty: Column,
-      shards: Int): DataFrame = {
+      shards: Int, bands: Int = 64): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val base = docs.select(col("doc_id"), difficulty.as("difficulty"),
       graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
-    val w = Window.orderBy(col("difficulty"), col("doc_id"))
+    val banded = withRangeBand(base, col("difficulty"), bands)
+    val bandW = Window.orderBy(col("band"))
+    val offsets = banded.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("band_mass"))
+      .select(col("band"),
+        coalesce(sum(col("band_mass")).over(
+          bandW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("band_offset"),
+        sum(col("band_mass")).over(bandW.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("total"))
+    val local = Window.partitionBy(col("band"))
+      .orderBy(col("difficulty"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = base.agg(sum(col("n_tokens")).as("total"))
-    base.crossJoin(broadcast(tot))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    banded
+      .withColumn("local_cum", coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .join(broadcast(offsets), "band")
+      .withColumn("cum", col("band_offset") + col("local_cum"))
       .select(col("doc_id"), col("difficulty"), col("n_tokens"),
         least(call_function("div", col("cum") * shards, col("total")),
           lit((shards - 1).toLong)).cast("int").as("shard"))

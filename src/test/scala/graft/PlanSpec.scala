@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     assert(two.except(single).count() == 0 && single.except(two).count() == 0)
   }
 
+  test("q_curriculum / q_calibration: no partition-less Window over a corpus-sized relation") {
+    // Both operators decompose their global ordered window over range
+    // bands (Sampling.withRangeBand): any remaining partition-less
+    // Window may only run over a post-Aggregate census (band-count-sized),
+    // never directly over the scanned corpus.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("q_curriculum", "q_calibration")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          w.simpleString(80)
+      }
+      assert(offenders.isEmpty,
+        s"$name: global window over a non-aggregated relation:\n${offenders.mkString("\n")}")
+    }
+  }
+
   test("minhash candidate generation contains no join (one-pass bucket expansion)") {
     val p = plan(Dedup.minhashCandidatePairs(spark, sfDir))
     assert(!p.contains("Join"), s"pair generation should be join-free:\n$p")

@@ -31,4 +31,17 @@ class PcaSpec extends SparkSpec {
     assert(comp.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
       b.map(r => (r.getInt(0), r.getDouble(1))).toSeq)
   }
+
+  test("plan size is O(1) in the iteration count (covariance + iterate anchored)") {
+    import spark.implicits._
+    val data = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 13 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    def planNodes(iters: Int): Int =
+      Pca.topComponentPower(data, iters)
+        .queryExecution.optimizedPlan.map(_ => 1).size
+    val (n3, n6) = (planNodes(3), planNodes(6))
+    assert(n3 == n6,
+      s"plan grows with iterations: $n3 nodes at 3 iters vs $n6 at 6")
+  }
 }

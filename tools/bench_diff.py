@@ -44,6 +44,16 @@ A query is flagged when it is BOTH >1.5x slower and >0.3s absolute slower
 than the previous round AFTER normalization (the absolute floor keeps
 0.2s->0.35s jitter on tiny queries from failing the gate). Exit 1 if any
 query is flagged on a clean run or the common-set total regressed >20%.
+
+Per-segment threshold scaling (round-10): the 1.5x ratio threshold for a
+query is additionally scaled by its segment's RAW contention index when
+that index exceeds 1.0 — a query timed while the sentinel ran 1.15x slow
+must clear 1.5*1.15 = 1.73x to flag (contention is not uniform across
+queries, so residual inflation inside the deadband still biases the
+ratio). Each flag line is annotated with its segment's index, and a flag
+whose segment sentinel itself regressed >SEGMENT_SUSPECT (1.3x) is
+reported as SUSPECT for that query alone, never a FAIL — the sentinel
+already proves the box was loaded right then.
 """
 import json
 import statistics
@@ -57,6 +67,7 @@ ENV_INFLATED = 1.15
 DEADBAND = (0.85, 1.20)
 CROSS_DEADBAND = (0.90, 1.11)
 SPREAD_UNSTABLE = 1.6
+SEGMENT_SUSPECT = 1.3
 
 
 def load(path):
@@ -75,26 +86,30 @@ def pick_previous(current_path):
 
 
 def contention(artifact):
-    """(per-query index map, sentinel baseline, sentinel spread).
+    """(per-query index map, raw index map, sentinel baseline, spread).
 
     Indices inside the deadband collapse to 1.0 — only clear excursions
-    normalize. Artifacts older than the round-9 protocol carry no
+    normalize. The RAW (un-deadbanded) index is kept separately: it
+    scales per-query flag thresholds and drives per-query SUSPECT
+    suppression. Artifacts older than the round-9 protocol carry no
     segments: every query maps to 1.0 (raw comparison, old behavior).
     """
-    per_query = {}
+    per_query, per_query_raw = {}, {}
     for seg in artifact.get("segments") or []:
-        idx = seg.get("contention_index")
-        if idx is None or idx <= 0 or DEADBAND[0] <= idx <= DEADBAND[1]:
-            idx = 1.0
+        raw = seg.get("contention_index")
+        if raw is None or raw <= 0:
+            raw = 1.0
+        idx = 1.0 if DEADBAND[0] <= raw <= DEADBAND[1] else raw
         for q in seg.get("queries", []):
             per_query[q] = idx
+            per_query_raw[q] = raw
     sent = artifact.get("sentinel") or {}
     base = sent.get("baseline")
     # drop the first probe: it is structurally cold (JVM startup phase)
     # and excluded from the artifact's own baseline too (see Bench.scala)
     times = [t for t in sent.get("times", [])[1:] if t and t > 0]
     spread = (max(times) / min(times)) if len(times) >= 2 else 1.0
-    return per_query, base, spread
+    return per_query, per_query_raw, base, spread
 
 
 def main():
@@ -105,8 +120,8 @@ def main():
         return 0
     cur_art, prev_art = load(current), load(previous)
     cur_raw, prev_raw = cur_art["queries"], prev_art["queries"]
-    cur_idx, cur_base, cur_spread = contention(cur_art)
-    prev_idx, prev_base, prev_spread = contention(prev_art)
+    cur_idx, cur_seg, cur_base, cur_spread = contention(cur_art)
+    prev_idx, _, prev_base, prev_spread = contention(prev_art)
     common = sorted(set(cur_raw) & set(prev_raw))
     if not common:
         print(f"bench_diff: no common queries between {current} and {previous}")
@@ -124,10 +139,17 @@ def main():
     cur = {q: cur_raw[q] / cur_idx.get(q, 1.0) / cross for q in common}
     prev = {q: prev_raw[q] / prev_idx.get(q, 1.0) for q in common}
 
-    flagged = []
+    flagged, seg_suspect = [], []
     for q in common:
-        if cur[q] > prev[q] * RATIO and cur[q] - prev[q] > ABS_FLOOR:
-            flagged.append((cur[q] / prev[q], q))
+        seg = cur_seg.get(q, 1.0)
+        # threshold widens with the segment's raw sentinel index — a
+        # query timed on a visibly loaded segment must clear more
+        if cur[q] > prev[q] * RATIO * max(1.0, seg) \
+                and cur[q] - prev[q] > ABS_FLOOR:
+            if seg > SEGMENT_SUSPECT:
+                seg_suspect.append((cur[q] / prev[q], q, seg))
+            else:
+                flagged.append((cur[q] / prev[q], q, seg))
     cur_total = sum(cur.values())
     prev_total = sum(prev.values())
 
@@ -150,9 +172,14 @@ def main():
     print(f"  common-set total (contention-normalized): "
           f"{prev_total:.1f}s -> {cur_total:.1f}s "
           f"({cur_total / prev_total:.2f}x)")
-    for ratio, q in sorted(flagged, reverse=True):
+    for ratio, q, seg in sorted(flagged, reverse=True):
         print(f"  REGRESSED {q}: {prev[q]:.2f}s -> {cur[q]:.2f}s ({ratio:.1f}x)"
-              f" [raw {prev_raw[q]:.2f}s -> {cur_raw[q]:.2f}s]")
+              f" [raw {prev_raw[q]:.2f}s -> {cur_raw[q]:.2f}s,"
+              f" segment contention {seg:.2f}]")
+    for ratio, q, seg in sorted(seg_suspect, reverse=True):
+        print(f"  SUSPECT {q}: {prev[q]:.2f}s -> {cur[q]:.2f}s ({ratio:.1f}x)"
+              f" — its segment's sentinel regressed {seg:.2f}x"
+              f" (> {SEGMENT_SUSPECT}); re-measure, not a gate failure")
 
     env_inflated = cross > ENV_INFLATED or cur_spread > SPREAD_UNSTABLE
 
