@@ -92,7 +92,10 @@ object Bench {
     def probeSentinel(): Unit = {
       val probes = (1 to 2).flatMap(_ =>
         runOnce(s"sentinel#${sentinelTimes.size}", sentinelFn))
-      if (probes.nonEmpty) sentinelTimes += probes.min
+      // a fully-failed boundary still occupies its slot (NaN, serialized
+      // null): dropping it would shift every later boundary's index and
+      // silently pair segments with the wrong probes
+      sentinelTimes += (if (probes.nonEmpty) probes.min else Double.NaN)
     }
 
     val results = segments.map { seg =>
@@ -125,18 +128,20 @@ object Bench {
     // statistics and segment 0 is indexed by its closing probe alone; the
     // raw trace still records it for transparency.
     val steadyProbes =
-      if (sentinelTimes.size > 1) sentinelTimes.toSeq.drop(1)
-      else sentinelTimes.toSeq
+      (if (sentinelTimes.size > 1) sentinelTimes.toSeq.drop(1)
+       else sentinelTimes.toSeq).filterNot(_.isNaN)
     val sentinelBase =
       if (steadyProbes.isEmpty) Double.NaN else median(steadyProbes)
     def segIndex(i: Int): Double =
-      if (sentinelTimes.size < 2) Double.NaN
+      if (sentinelTimes.size < 2 || sentinelBase.isNaN) Double.NaN
       else {
         // boundary probes for segment i are #i (opening) and #i+1
         // (closing); probe #0 is the cold one — substitute probe #1
         def probe(j: Int): Double =
           sentinelTimes(math.max(1, math.min(j, sentinelTimes.size - 1)))
-        (probe(i) + probe(i + 1)) / 2.0 / sentinelBase
+        // a NaN (failed) boundary indexes from its surviving partner alone
+        val good = Seq(probe(i), probe(i + 1)).filterNot(_.isNaN)
+        if (good.isEmpty) Double.NaN else good.sum / good.size / sentinelBase
       }
 
     val flat = results.flatten
@@ -151,15 +156,32 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // locale-independent fixed-point: f"$t%.3f" follows the default
+    // locale and a comma-decimal locale would emit invalid JSON
+    def f3(x: Double): String =
+      if (x.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val segJson = segments.indices.map { i =>
       val names = arr(segments(i).map(_._1))
-      val idx = segIndex(i)
-      val idxStr = if (idx.isNaN) "null" else f"$idx%.3f"
-      s"""{"queries":$names,"contention_index":$idxStr}"""
+      s"""{"queries":$names,"contention_index":${f3(segIndex(i))}}"""
     }.mkString("[", ",", "]")
     val sentinelJson =
-      s"""{"name":"$SentinelName","times":${sentinelTimes.map(t => f"$t%.3f").mkString("[", ",", "]")},"baseline":${if (sentinelBase.isNaN) "null" else f"$sentinelBase%.3f"}}"""
+      s"""{"name":"$SentinelName","times":${sentinelTimes.map(f3).mkString("[", ",", "]")},"baseline":${f3(sentinelBase)}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"median-of-$runsPerQuery","sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
+    // Compact final stdout line: the driver keeps only a ~2000-char tail,
+    // which has truncated the full per-query map four rounds running
+    // ("parsed": null). The map lives in the artifact files; stdout gets
+    // the headline numbers plus the 10 slowest queries (shape-compatible
+    // "queries" object, ~. 400 chars) and a pointer to the full map.
+    val worstIdx =
+      segments.indices.map(segIndex).filterNot(_.isNaN).maxOption
+    val isRoundRun = subset.isEmpty && sfDir.contains("sf0.1")
+    val mapPath =
+      if (isRoundRun) "BENCH_full_latest.json" else "/tmp/bench_last_full.json"
+    val top10 = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"queries":$top10,"queries_note":"10 slowest of ${ok.size}; full map in $mapPath","failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"median-of-$runsPerQuery","sentinel_baseline":${f3(sentinelBase)},"max_contention_index":${worstIdx.map(f3).getOrElse("null")},"sf":"$sfDir"}"""
     spark.stop()
     // The driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, which hides ~20% of queries from round-over-round comparison;
@@ -172,7 +194,7 @@ object Bench {
     // must never clobber BENCH_full_r{N}/latest (it happened: an sf0.001
     // smoke overwrote the round's sf0.1 map, silently breaking
     // tools/bench_diff.py's baseline).
-    try if (subset.isEmpty && sfDir.contains("sf0.1")) {
+    try if (isRoundRun) {
       val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName))
         .map(_.group(1).toInt).maxOption.getOrElse(0) + 1
@@ -180,10 +202,16 @@ object Bench {
         java.nio.file.Paths.get(f"BENCH_full_r$round%02d.json"), line + "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full_latest.json"), line + "\n")
+    } else {
+      // subset probes / non-round scale runs: stdout is compact now, so
+      // the full map must land SOMEWHERE — a /tmp scratch the round
+      // artifacts can never be clobbered by
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(mapPath), line + "\n")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] could not persist full bench map: $e")
     }
-    println(line)
+    println(compact)
   }
 }

@@ -33,8 +33,14 @@ object ProfileX {
     val s0 = time(sentinel)
     val ts = (1 to runs).map(_ => time(fn))
     val s1 = time(sentinel)
-    def fmt(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(f"""{"query":"$name","runs":${fmt(ts)},"sentinel_before":$s0%.3f,"sentinel_after":$s1%.3f,"sf":"$sfDir"}""")
+    // Locale.ROOT: the default-locale f"" interpolator would emit
+    // comma-decimal (invalid JSON) under e.g. a de_DE JVM locale
+    def f2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def f3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def fmt(xs: Seq[Double]) = xs.map(f2).mkString("[", ",", "]")
+    println(s"""{"query":"$name","runs":${fmt(ts)},"sentinel_before":${f3(s0)},"sentinel_after":${f3(s1)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -186,9 +186,29 @@ final case class TxTable(root: String) {
   private def mergedSchema(base: Option[Long], df: DataFrame): StructType =
     mergedSchemaOf(base, df.schema)
 
+  /** Footer-inferred schema of a LEGACY snapshot (a manifest written
+    * before schema tracking records no `schema=` line). Zero recorded
+    * columns is NOT zero actual columns: merging an append against an
+    * empty base would record only the incoming schema, and read() would
+    * then apply that explicit schema to the carried-forward legacy files,
+    * silently nulling every column the append omitted. */
+  private def inferredSchemaAt(v: Long): StructType =
+    SparkSession.getActiveSession match {
+      case Some(spark) =>
+        spark.read.parquet(
+          filesAt(v).map(f => dataDir.resolve(f).toString): _*).schema
+      case None =>
+        throw new IllegalStateException(
+          s"TxTable $root: v$v predates schema tracking and no active " +
+            "SparkSession is available to infer its footer schema — " +
+            "refusing to record an append schema that would shadow it")
+    }
+
   private def mergedSchemaOf(base: Option[Long], incoming: StructType): StructType = {
     val old: Seq[StructField] =
-      base.flatMap(schemaAt).map(_.fields.toSeq).getOrElse(Nil)
+      base.map(v => schemaAt(v).getOrElse(
+          if (filesAt(v).isEmpty) StructType(Nil) else inferredSchemaAt(v)))
+        .map(_.fields.toSeq).getOrElse(Nil)
     old.foreach { f =>
       incoming.fields.find(_.name == f.name).foreach { n =>
         if (n.dataType != f.dataType)

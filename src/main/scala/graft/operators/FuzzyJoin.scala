@@ -134,7 +134,12 @@ object FuzzyJoin {
     * cross-shard near-threshold mass that made the raw prefix join grow
     * quadratically (each shard copy shares a handful of surviving rare
     * shingles with every correlated copy — enough to collide in a
-    * bucket, never enough to pass the bound).
+    * bucket, never enough to pass the bound). Round-10 tightening: the
+    * PPJoin+ LENGTH filter (min(|x|,|y|) ≥ t·max(|x|,|y|)) and the
+    * positional bound itself ride the candidate JOIN condition row-wise —
+    * the bound at the first common shingle is the loosest of a pair's
+    * rows, so row-wise pruning drops exactly the pairs the grouped filter
+    * would and the near-threshold mass dies before the group-by exchange.
     *
     * Scale shape: the candidate join keys on PREFIX shingles only, and
     * prefixes hold each set's RAREST shingles by construction, so join
@@ -162,16 +167,35 @@ object FuzzyJoin {
     // per-pair first common shingle s* = argmin by (df, shingle): struct
     // min orders lexicographically, so (df, shingle) picks s* and carries
     // its positions; len_a/len_b ride the grouping key (constant per doc)
+    // Positional bound, integer-safe: overlap >= t/(1+t)*(la+lb) compared
+    // as bound*(1+t) >= t*(la+lb) − eps — the float `ceil` form could push
+    // an exactly-integer requirement up by one ULP and prune a pair at
+    // J = t exactly (the lossless claim would quietly break at threshold
+    // boundaries).
+    def posBoundOk(la: Column, lb: Column, pa: Column, pb: Column): Column =
+      (lit(1.0) + least(la - pa, lb - pb)) * (1 + threshold) >=
+        lit(threshold) * (la + lb) - lit(1e-9)
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          // LENGTH filter (PPJoin+): J >= t forces min(|x|,|y|) >= t·max —
+          // prunes cross-length candidates before they reach the shuffle
+          && least(col("a.len"), col("b.len")).cast("double") >=
+             lit(threshold) * greatest(col("a.len"), col("b.len")) - lit(1e-9)
+          // per-ROW positional prune: the bound at the pair's first common
+          // shingle s* is the LOOSEST (every later shared shingle sits
+          // deeper in both orders), so if s* fails this predicate every
+          // row of the pair fails and the pair drops entirely — and if s*
+          // survives, the argmin below is unchanged. Lossless, and the
+          // near-threshold candidate mass dies before the group-by
+          // exchange instead of after it.
+          && posBoundOk(col("a.len"), col("b.len"), col("a.pos"), col("b.pos")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.len").as("la"), col("b.len").as("lb"),
         struct(col("a.df"), col("a.shingle"),
           col("a.pos").as("pa"), col("b.pos").as("pb")).as("k"))
       .groupBy(col("doc_a"), col("doc_b"), col("la"), col("lb"))
       .agg(min(col("k")).as("f"))
-      .filter(lit(1) + least(col("la") - col("f.pa"), col("lb") - col("f.pb"))
-        >= ceil(lit(threshold) / (1 + threshold) * (col("la") + col("lb"))))
+      .filter(posBoundOk(col("la"), col("lb"), col("f.pa"), col("f.pb")))
       .select(col("doc_a"), col("doc_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

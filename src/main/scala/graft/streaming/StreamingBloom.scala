@@ -76,7 +76,8 @@ object StreamingBloom {
   def start(incoming: DataFrame, fpPath: String, bloomPath: String,
       outPath: String, bits: Int = Bloom.DefaultBits,
       k: Int = Bloom.DefaultHashes,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      keepVersions: Int = 8): StreamingQuery = {
     ensureArtifacts(incoming.sparkSession, fpPath, bloomPath)
     val writer = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -106,6 +107,9 @@ object StreamingBloom {
             .unionByName(Bloom.build(novel.select(col("fingerprint")), bits, k))
             .groupBy(col("word"))
             .agg(expr("bit_or(bits)").as("bits")))
+          // every overwrite retains the prior snapshot's files: bound the
+          // few-KB-per-version growth for a long-running stream
+          txBloom.vacuum(keepVersions)
         } finally inc.unpersist(false)
         ()
       }

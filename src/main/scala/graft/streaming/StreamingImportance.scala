@@ -46,11 +46,17 @@ object StreamingImportance {
       .agg(count(lit(1)).as("tf"))
       .withColumn("batch_id", lit(batchId))
 
+  /** The accumulated postings artifact (a [[graft.lake.TxTable]] since
+    * round 10 — a crashed append leaves orphan files no manifest
+    * references, never a torn part-file in the serve scan). */
+  def readPostings(spark: SparkSession, postingsPath: String): DataFrame =
+    graft.lake.TxTable(postingsPath).read(spark)
+
   /** Serve the weights for every ingested document — the exact batch
     * algebra over the deduped postings relation. */
   def serve(spark: SparkSession, postingsPath: String,
       dim: Int = 64): DataFrame = {
-    val postings = spark.read.parquet(postingsPath)
+    val postings = readPostings(spark, postingsPath)
       .dropDuplicates("batch_id", "doc_id", "slot")
     val stats = postings.groupBy(col("slot"))
       .agg(sum(col("tf")).as("n_src"),
@@ -76,8 +82,8 @@ object StreamingImportance {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = incoming.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batchPostings(batch, batchId, isTarget, dim)
-          .write.mode("append").parquet(postingsPath)
+        graft.lake.TxTable(postingsPath)
+          .appendWithRetry(batchPostings(batch, batchId, isTarget, dim))
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()

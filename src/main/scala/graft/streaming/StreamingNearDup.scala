@@ -32,7 +32,16 @@ import graft.operators.Dedup
   * removed by the downstream `distinct` the pair consumers already run —
   * on a lake with atomic multi-table commits (e.g. Delta, absent in this
   * environment) both appends would instead share one transaction.
-  */
+  *
+  * Round-10 change: the band TABLE (the durable corpus artifact) is a
+  * [[TxTable]] and each batch's band rows land via `appendWithRetry` —
+  * data files first, then one atomic manifest link. A raw parquet append
+  * that crashes mid-job can leave a torn part-file that fails EVERY later
+  * probe scan; under the commit protocol a crash between write and
+  * publish leaves orphan files no manifest references — the table stays
+  * readable and the replayed batch re-appends cleanly. `pairsPath` stays
+  * a plain append sink: it is an OUTPUT, deduped by consumers, not state
+  * the stream itself re-reads. */
 object StreamingNearDup {
 
   /** Band-table schema: (doc_id, band, bucket) as produced by
@@ -42,14 +51,20 @@ object StreamingNearDup {
 
   /** Create an empty corpus band table at `bandsPath` if none exists —
     * first deployment of a fresh corpus; thereafter the table is the
-    * accumulated history. */
+    * accumulated history (a [[graft.lake.TxTable]]: version 1 is the
+    * empty relation with the band schema recorded). */
   def ensureBandTable(spark: SparkSession, bandsPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(bandsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        BandSchema).write.parquet(bandsPath)
+    val tx = graft.lake.TxTable(bandsPath)
+    if (tx.latestVersion.isEmpty)
+      tx.overwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandSchema))
+    ()
   }
+
+  /** The accumulated corpus band table (readers go through the table —
+    * a crashed append attempt is invisible). */
+  def readBands(spark: SparkSession, bandsPath: String): DataFrame =
+    graft.lake.TxTable(bandsPath).read(spark)
 
   /** Start the ingest: `incoming` must carry (doc_id, text). Pairs land in
     * `pairsPath` as (doc_a, doc_b); bands accumulate in `bandsPath`. */
@@ -64,13 +79,13 @@ object StreamingNearDup {
         // bands computed ONCE per batch, used twice (probe + append)
         val incBands = Dedup.minhashBandsOf(batch).persist()
         try {
-          val exBands = spark.read.schema(BandSchema).parquet(bandsPath)
+          val exBands = readBands(spark, bandsPath)
           Dedup.incrementalCandidatesFromBands(exBands, incBands, maxBucket)
             // a REPLAYED batch finds its own bands already in the corpus
             // table; never pair a doc with itself
             .filter(col("doc_a") =!= col("doc_b"))
             .write.mode("append").parquet(pairsPath)
-          incBands.write.mode("append").parquet(bandsPath)
+          graft.lake.TxTable(bandsPath).appendWithRetry(incBands)
         } finally incBands.unpersist(false)
         ()
       }

@@ -53,16 +53,24 @@ object StreamingScd2 {
     TxTable(dimPath).read(spark)
 
   /** Start the ingest. `asOfOf` stamps each micro-batch's effective time
-    * (deterministic per batchId — wall-clock stamps would break replay). */
+    * (deterministic per batchId — wall-clock stamps would break replay).
+    *
+    * `keepVersions` bounds retained history: every overwrite commit keeps
+    * the previous snapshot's files on disk, so a long-running stream
+    * would otherwise grow storage by one full dimension copy per batch —
+    * each batch vacuums down to the newest `keepVersions` snapshots
+    * (time travel reaches exactly that window). */
   def start(updates: DataFrame, dimPath: String, key: String,
       attrs: Seq[String], asOfOf: Long => Column,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      keepVersions: Int = 8): StreamingQuery = {
     val spark = updates.sparkSession
     val writer = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val tx = TxTable(dimPath)
         tx.overwrite(
           Evolve.scd2Merge(tx.read(spark), batch, key, attrs, asOfOf(batchId)))
+        tx.vacuum(keepVersions)
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()

@@ -16,39 +16,52 @@ import graft.operators.Sketches
   *
   * Replay safety for free: HLL union is register-wise max — IDEMPOTENT —
   * so a replayed micro-batch (foreachBatch is at-least-once) appends
-  * sketch rows that merge to the exact same state. No self-pair guard, no
-  * dedup pass, no transactional append needed; estimates are identical
-  * whether a batch landed once or five times (spec-asserted). This is the
-  * property that makes sketches, not raw counts, the right streaming
-  * accumulator: a replayed COUNT row would double-count.
+  * sketch rows that merge to the exact same state. No self-pair guard and
+  * no dedup pass; estimates are identical whether a batch landed once or
+  * five times (spec-asserted). This is the property that makes sketches,
+  * not raw counts, the right streaming accumulator: a replayed COUNT row
+  * would double-count. (Round-10: the append itself still rides a
+  * [[graft.lake.TxTable]] commit — idempotent MERGE semantics don't help
+  * against a torn part-file from a crash mid-write; the manifest link
+  * does.)
   *
   * Executor memory is O(cells in the micro-batch); history is never
   * rescanned. */
 object StreamingSketches {
 
-  /** Start the ingest: append each micro-batch's (cells..., sketch) rows
-    * to `sketchPath`. `incoming` must carry `cells` and `value`. */
+  /** The accumulated sketch artifact (a [[graft.lake.TxTable]] since
+    * round 10 — readers go through the table, so a crashed append or a
+    * compaction in flight is invisible). */
+  def readSketches(spark: SparkSession, sketchPath: String): DataFrame =
+    graft.lake.TxTable(sketchPath).read(spark)
+
+  /** Start the ingest: commit each micro-batch's (cells..., sketch) rows
+    * onto `sketchPath` via `appendWithRetry`. `incoming` must carry
+    * `cells` and `value`. A first batch on a fresh path creates v1. */
   def start(incoming: DataFrame, cells: Seq[String], value: String,
       sketchPath: String, lgK: Int = Sketches.HllLgK,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = incoming.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sketches.hllBuild(batch, cells, value, lgK)
-          .write.mode("append").parquet(sketchPath)
+        graft.lake.TxTable(sketchPath)
+          .appendWithRetry(Sketches.hllBuild(batch, cells, value, lgK))
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
-  /** Rewrite the artifact at one row per cell (union-merge, overwrite).
-    * Correctness never requires it; run it when the appended row count
-    * is worth reclaiming. */
+  /** Rewrite the artifact at one row per cell (union-merge, one
+    * overwrite COMMIT). Correctness never requires it; run it when the
+    * appended row count is worth reclaiming. Under the commit protocol
+    * the merge plan reads the live snapshot's immutable files while the
+    * merged files land, so no pre-overwrite checkpoint is needed and a
+    * crash mid-compaction leaves the uncompacted snapshot live. */
   def compact(spark: SparkSession, sketchPath: String,
       cells: Seq[String]): Unit = {
-    val merged = spark.read.parquet(sketchPath)
+    val tx = graft.lake.TxTable(sketchPath)
+    tx.overwrite(tx.read(spark)
       .groupBy(cells.map(col): _*)
-      .agg(org.apache.spark.sql.functions.hll_union_agg(col("sketch")).as("sketch"))
-      .localCheckpoint(true) // materialize before overwriting the source
-    merged.write.mode("overwrite").parquet(sketchPath)
+      .agg(org.apache.spark.sql.functions.hll_union_agg(col("sketch")).as("sketch")))
+    ()
   }
 }

@@ -35,14 +35,22 @@ object StreamingSpanDedup {
   val CensusSchema: StructType = new StructType()
     .add("span_hash", StringType).add("n", LongType)
 
-  /** Create an empty census at `censusPath` if none exists. */
+  /** Create an empty census at `censusPath` if none exists (a
+    * [[graft.lake.TxTable]] — round-10: census appends ride manifest
+    * commits, so a crash mid-append leaves orphan files no manifest
+    * references instead of a torn part-file that fails every probe). */
   def ensureCensus(spark: SparkSession, censusPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(censusPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        CensusSchema).write.parquet(censusPath)
+    val tx = graft.lake.TxTable(censusPath)
+    if (tx.latestVersion.isEmpty)
+      tx.overwrite(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CensusSchema))
+    ()
   }
+
+  /** The accumulated span census (readers go through the table — a
+    * crashed append attempt is invisible). */
+  def readCensus(spark: SparkSession, censusPath: String): DataFrame =
+    graft.lake.TxTable(censusPath).read(spark)
 
   /** One batch step, also usable for batch-incremental replay: report for
     * `batch` docs against (accumulated census + in-batch counts). Returns
@@ -54,7 +62,7 @@ object StreamingSpanDedup {
     val spans = SpanDedup.spanHashes(batch, k).persist()
     try {
       val batchCounts = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("n"))
-      val corpus = spark.read.schema(CensusSchema).parquet(censusPath)
+      val corpus = readCensus(spark, censusPath)
       // total occurrences per hash seen so far (corpus rows are additive)
       val totals = corpus.unionByName(batchCounts)
         .groupBy(col("span_hash")).agg(sum(col("n")).as("n_total"))
@@ -62,10 +70,11 @@ object StreamingSpanDedup {
         .filter(col("n_total") > 1)
         .select(col("doc_id"), col("start"))
       // EAGER checkpoint: the report must materialize BEFORE the census
-      // append below — a lazy plan re-reading censusPath after the append
-      // would double-count this batch's own spans
+      // append below. (The snapshot read above is pinned to immutable
+      // files, but the report consumer may collect() after this method
+      // appended — keep the materialization barrier.)
       val report = SpanDedup.reportFromDuplicated(batch, dup, k).localCheckpoint()
-      if (append) batchCounts.write.mode("append").parquet(censusPath)
+      if (append) graft.lake.TxTable(censusPath).appendWithRetry(batchCounts)
       report
     } finally { spans.unpersist(false); () }
   }

@@ -175,6 +175,31 @@ class TxLakeSpec extends SparkSpec {
     assert(conflict.getMessage.contains("type conflict"))
   }
 
+  test("append onto a LEGACY (schema-less) manifest infers the base schema from footers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    // simulate a pre-schema-tracking table: data files + a manifest with
+    // no schema= line (the package-private no-schema publish form)
+    val moved = t.writeData(Seq((1, "a"), (2, "b")).toDF("k", "s"), v = 1L)
+    t.publish(1L, moved)
+    assert(t.schemaAt(1L).isEmpty, "fixture must be schema-less")
+    // an append that OMITS column s must not shadow it: the recorded
+    // merged schema has to carry the footer-inferred (k, s) base
+    t.append(Seq(3).toDF("k"))
+    val latest = t.read(spark)
+    assert(latest.columns.toSeq == Seq("k", "s"),
+      s"legacy column dropped: ${latest.columns.toSeq}")
+    val rows = latest.collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1, Some("a")), (2, Some("b")), (3, None)))
+    // and a type conflict against the INFERRED base still aborts
+    val conflict = intercept[IllegalStateException] {
+      t.append(Seq((4, 1.5)).toDF("k", "s").select(col("k"), col("s")))
+    }
+    assert(conflict.getMessage.contains("type conflict"))
+  }
+
   test("MERGE/SCD2 ride the transactional table: read-modify-overwrite is crash-safe") {
     import spark.implicits._
     val t = tmpTable()

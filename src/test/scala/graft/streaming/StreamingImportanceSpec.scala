@@ -46,12 +46,27 @@ class StreamingImportanceSpec extends SparkSpec {
     // at-least-once: replay half2 as a fresh stream (its batch re-lands
     // under a new batch_id... so simulate the true replay: same batchId)
     // — re-appending the SAME batch partial must collapse in the dedup
-    StreamingImportance.batchPostings(
+    val replayRows = StreamingImportance.batchPostings(
         half2.select(col("doc_id"), col("text"),
           (col("lang") === "en").as("is_t")),
         batchId = 1L, isTarget = col("is_t"), dim = 64)
-      .write.mode("append").parquet(path)
+      .localCheckpoint(true)
+    graft.lake.TxTable(path).appendWithRetry(replayRows)
     assert(weightSet(StreamingImportance.serve(spark, path)) == batch,
       "replayed batch double-counted the postings")
+
+    // CRASH SAFETY: postings files landing without their manifest link
+    // never reach the serve scan — weights hold — and the replayed
+    // append commits on top, collapsing in the (batch_id, doc_id, slot)
+    // dedup as usual
+    val tx = graft.lake.TxTable(path)
+    val vBefore = tx.latestVersion.get
+    tx.writeData(replayRows, v = vBefore + 1) // died before publish
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(weightSet(StreamingImportance.serve(spark, path)) == batch,
+      "crashed append leaked postings into the serve path")
+    tx.appendWithRetry(replayRows)
+    assert(weightSet(StreamingImportance.serve(spark, path)) == batch,
+      "replay after crash double-counted")
   }
 }

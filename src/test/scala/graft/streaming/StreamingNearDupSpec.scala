@@ -27,8 +27,8 @@ class StreamingNearDupSpec extends SparkSpec {
     val delta1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
     val delta2 = docs.filter(col("doc_id") >= 400)
 
-    // day 0: the corpus band table is a persisted artifact
-    Dedup.minhashBandsOf(corpus).write.parquet(bandsPath)
+    // day 0: the corpus band table is a persisted artifact (v1 commit)
+    graft.lake.TxTable(bandsPath).overwrite(Dedup.minhashBandsOf(corpus))
 
     val mem = MemoryStream[(Long, String)]
     val q = StreamingNearDup.start(
@@ -52,17 +52,34 @@ class StreamingNearDupSpec extends SparkSpec {
 
     // the band artifact now covers the whole corpus — identical to
     // banding all documents in one batch
-    val bandSet = spark.read.parquet(bandsPath)
+    val bandSet = StreamingNearDup.readBands(spark, bandsPath)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val fullSet = Dedup.minhashBandsOf(docs)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(bandSet == fullSet, "accumulated band table must equal full-corpus bands")
+
+    // CRASH SAFETY (the reason the append rides TxTable): a writer dying
+    // between write and publish — data files landed, manifest not
+    // linked — leaves the band table readable at the previous version,
+    // and the replayed append lands cleanly on top
+    val tx = graft.lake.TxTable(bandsPath)
+    val vBefore = tx.latestVersion.get
+    val extra = Dedup.minhashBandsOf(
+      Seq((9999L, "crash probe text for the band table")).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    tx.writeData(extra, v = vBefore + 1) // died before publish
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(StreamingNearDup.readBands(spark, bandsPath).count() == fullSet.size,
+      "crashed append leaked rows into the band table")
+    tx.appendWithRetry(extra) // the replay
+    assert(StreamingNearDup.readBands(spark, bandsPath).count() ==
+      fullSet.size + extra.count(), "replayed append did not land")
   }
 
   test("ensureBandTable: fresh path gets an empty readable band table") {
     val tmp = java.nio.file.Files.createTempDirectory("neardup0").toString
     StreamingNearDup.ensureBandTable(spark, s"$tmp/bands")
-    val df = spark.read.parquet(s"$tmp/bands")
+    val df = StreamingNearDup.readBands(spark, s"$tmp/bands")
     assert(df.schema == StreamingNearDup.BandSchema && df.count() == 0)
   }
 }

@@ -14,7 +14,8 @@ class StreamingSketchesSpec extends SparkSpec {
   private val cells = Seq("l_returnflag", "l_linestatus")
 
   private def estimates(path: String): Map[(String, String), Long] =
-    Sketches.hllServe(spark.read.parquet(path), cells).collect()
+    Sketches.hllServe(StreamingSketches.readSketches(spark, path), cells)
+      .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
   test("streamed appends ≡ batch build; replayed batch is a no-op; compact preserves") {
@@ -50,13 +51,27 @@ class StreamingSketchesSpec extends SparkSpec {
     } finally q.stop()
 
     // compact: fewer rows, same estimates
-    val before = spark.read.parquet(path).count()
+    val before = StreamingSketches.readSketches(spark, path).count()
     StreamingSketches.compact(spark, path, cells)
-    val after = spark.read.parquet(path).count()
+    val after = StreamingSketches.readSketches(spark, path).count()
     assert(after < before && estimates(path).nonEmpty)
     val full = Sketches.hllServe(
       Sketches.hllBuild(li, cells, "l_partkey"), cells).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(estimates(path) == full)
+
+    // CRASH SAFETY: sketch files landing without their manifest link are
+    // invisible to the serve path — estimates hold at the committed
+    // snapshot — and the replayed append commits cleanly on top (then
+    // merges idempotently, so estimates still don't move)
+    val tx = graft.lake.TxTable(path)
+    val vBefore = tx.latestVersion.get
+    val extra = Sketches.hllBuild(li.limit(50), cells, "l_partkey")
+      .localCheckpoint(true)
+    tx.writeData(extra, v = vBefore + 1) // died before publish
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(estimates(path) == full, "crashed append moved the estimates")
+    tx.appendWithRetry(extra) // the replay: a subset re-sketch is a no-op
+    assert(estimates(path) == full, "replayed subset sketch moved the estimates")
   }
 }

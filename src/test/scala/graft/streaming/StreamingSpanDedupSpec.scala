@@ -59,13 +59,31 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(streamed.values.exists(_._1 > 0), "expected duplicated spans")
 
     // accumulated census == one-shot census over the full corpus
-    val acc = spark.read.parquet(censusPath)
+    val acc = StreamingSpanDedup.readCensus(spark, censusPath)
       .groupBy("span_hash").agg(sum("n").as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val full = SpanDedup.spanHashes(docs, K)
       .groupBy("span_hash").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(acc == full, "accumulated census must equal full-corpus counts")
+
+    // CRASH SAFETY: census data files landing without their manifest link
+    // are invisible — probes keep seeing the pre-crash counts, and the
+    // replayed append commits on top
+    val tx = graft.lake.TxTable(censusPath)
+    val vBefore = tx.latestVersion.get
+    val nBefore = StreamingSpanDedup.readCensus(spark, censusPath).count()
+    val extra = SpanDedup.spanHashes(
+        Seq((9999L, "crash probe span text here")).toDF("doc_id", "text"), K)
+      .groupBy("span_hash").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    tx.writeData(extra, v = vBefore + 1) // died before publish
+    assert(tx.latestVersion.contains(vBefore), "crashed write changed the version")
+    assert(StreamingSpanDedup.readCensus(spark, censusPath).count() == nBefore,
+      "crashed append leaked rows into the census")
+    tx.appendWithRetry(extra)
+    assert(StreamingSpanDedup.readCensus(spark, censusPath).count() ==
+      nBefore + extra.count(), "replayed append did not land")
   }
 
   test("a later-batch copy is marked against the earlier one (as-of semantics)") {
