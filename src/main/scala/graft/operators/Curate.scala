@@ -140,9 +140,15 @@ object Curate {
       .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
     // near-dup components over the exact-deduped corpus; survivors are
     // their own representative (MinTokens >= 5 guarantees shingles exist,
-    // so every kept doc has a label)
-    val cc = Dedup.minhashConnectedComponentsOf(
-      kept.select(col("doc_id"), col("text")), ccIterations)
+    // so every kept doc has a label). ccIterations <= 0 selects the
+    // FIXPOINT-CERTIFIED form (iterate to zero label changes — the
+    // production setting; a fixed k is the oracle-replay surface)
+    val cc =
+      if (ccIterations <= 0)
+        Dedup.minhashConnectedComponentsCertifiedOf(
+          kept.select(col("doc_id"), col("text")))
+      else Dedup.minhashConnectedComponentsOf(
+        kept.select(col("doc_id"), col("text")), ccIterations)
     kept.join(cc, "doc_id")
       .filter(col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),

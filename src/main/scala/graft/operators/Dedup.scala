@@ -309,6 +309,65 @@ object Dedup {
     } finally bands.unpersist(false)
   }
 
+  /** FIXPOINT-CERTIFIED connected components over the band graph: the
+    * label-propagation step of [[connectedComponentsFromBands]] iterated
+    * until a full pass changes ZERO labels, then one more label-stable
+    * pass is implied — true components REGARDLESS of bucket-graph
+    * diameter. The fixed-k form is the oracle-replayable surface (its
+    * SQL unrolls the same k steps); this is the production surface: a
+    * >k-hop duplicate chain (shard copies chained through partial
+    * overlaps — routine at 100 TB) is exactly the input a fixed k
+    * under-merges on, SILENTLY. Safety valve: `maxIterations` caps the
+    * loop and FAILS LOUDLY (a pathological bucket graph should stop the
+    * pipeline, not ship half-merged duplicate classes).
+    *
+    * Cost shape: each pass is the same two hash aggregations as the
+    * fixed form plus one count over the narrow (doc, label) relation;
+    * both iterates localCheckpoint per pass (HITS rule — plan size O(1)
+    * in passes). Convergence needs diameter+1 passes; LSH bucket graphs
+    * have tiny diameters (buckets are cliques), so this typically costs
+    * ONE extra verification pass over the fixed form. */
+  def connectedComponentsFromBandsCertified(bandsIn: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    val bands = bandsIn.persist()
+    try {
+      var labels = bands.select(col("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint(false)
+      var pass = 0
+      var changed = 1L
+      while (changed > 0) {
+        pass += 1
+        if (pass > maxIterations)
+          throw new IllegalStateException(
+            s"connected components did not converge in $maxIterations " +
+              "passes — the bucket graph has a pathological chain; dedup " +
+              "the obvious exact-duplicate mass first, or raise maxIterations")
+        val bucketMin = bands.join(labels, "doc_id")
+          .groupBy(col("band"), col("bucket"))
+          .agg(min(col("label")).as("bl"))
+        val next = bands.join(bucketMin, Seq("band", "bucket"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("bl")).as("label"))
+          .localCheckpoint(false)
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id")).localCheckpoint()
+    } finally bands.unpersist(false)
+  }
+
+  def minhashConnectedComponentsCertifiedOf(docs: DataFrame,
+      maxIterations: Int = 50): DataFrame =
+    connectedComponentsFromBandsCertified(minhashBandsOf(docs), maxIterations)
+
+  /** Memoized certified labels (the [[minhashCcLabels]] artifact
+    * discipline; cache key iterations = -1 marks the fixpoint form). */
+  def minhashCcLabelsCertified(spark: SparkSession, dir: String): DataFrame =
+    ccLabelCache.computeIfAbsent((spark, dir, -1),
+      _ => minhashConnectedComponentsCertifiedOf(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text"))))
+
   /** SimHash layout: 60 bits from the first 15 hex chars of md5(token),
     * banded as 4 chunks of 15 bits — 32,768 bucket values per chunk, so
     * the candidate buckets hold N/32768 documents in expectation (the

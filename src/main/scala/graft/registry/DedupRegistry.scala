@@ -25,11 +25,15 @@ object DedupRegistry {
       Dedup.minhashCcLabels(s, d, 3)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
-    // the dedup pipeline's OUTPUT: one survivor per component — a filter
-    // over the SAME memoized label artifact q_dedup_cc materialized, not
-    // a second 3-iteration label propagation
+    // the dedup pipeline's OUTPUT: one survivor per component — served
+    // from the FIXPOINT-CERTIFIED label artifact (round-10): the fixed-3
+    // form stays as q_dedup_cc's oracle-replay surface, but the pipeline
+    // output must hold for ANY bucket-graph diameter. The oracle's 3-step
+    // unroll matches because the test corpus converges within 3 passes —
+    // on a corpus where it didn't, fixed-3 would silently under-merge and
+    // THIS row would honestly go red
     "q_dedup_survivors" -> ((s, d) =>
-      Dedup.minhashCcLabels(s, d, 3)
+      Dedup.minhashCcLabelsCertified(s, d)
         .filter(col("cluster_id") === col("doc_id")).select(col("doc_id"))),
     // quality-aware survivor selection: keep the LONGEST member of each
     // near-dup cluster (min-id keeps an arbitrary copy; curation pipelines
@@ -123,7 +127,7 @@ object DedupRegistry {
           when(col("lang") === "zh", 3).when(col("lang") === "fr", 2).otherwise(1))))),
     // the end-to-end curation pipeline: quality filter -> exact dedup ->
     // near-dup components -> survivors -> deterministic split, one plan
-    "q_curate" -> ((s, d) => Curate.curate(s, d, 3)),
+    "q_curate" -> ((s, d) => Curate.curate(s, d, ccIterations = 0)),
     // per-language median gate: threshold table broadcast back, filter
     // map-side — NOT a per-stratum window sort
     "q_quality_gate" -> ((s, d) =>

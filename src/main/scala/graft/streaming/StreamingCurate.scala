@@ -82,7 +82,11 @@ object StreamingCurate {
       .dropDuplicates("batch_id", "doc_id", "band")
       .select(col("doc_id"), col("band"), col("bucket"))
       .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val cc = Dedup.connectedComponentsFromBands(bands, ccIterations)
+    // ccIterations <= 0: the fixpoint-certified form (same convention as
+    // Curate.curate, so streamed serve stays row-identical to batch)
+    val cc =
+      if (ccIterations <= 0) Dedup.connectedComponentsFromBandsCertified(bands)
+      else Dedup.connectedComponentsFromBands(bands, ccIterations)
     survivors.join(cc, "doc_id")
       .filter(col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),

@@ -305,6 +305,31 @@ class DedupSpec extends SparkSpec {
     assert(one == clusters)
   }
 
+  test("fixpoint-certified CC closes a 5-hop duplicate chain the fixed-3 form under-merges") {
+    import spark.implicits._
+    // Bucket graph = a PATH of 6 docs: doc i and i+1 share exactly bucket
+    // i (the shard-copies-chained-through-partial-overlaps shape). Min-
+    // label propagation moves the min one hop per pass, so 3 passes leave
+    // the tail labeled by a mid-chain id — the silent under-merge the
+    // certified form exists to catch.
+    val bands = (1 to 5).flatMap(i =>
+        Seq((i.toLong, 0, s"chain-$i"), ((i + 1).toLong, 0, s"chain-$i")))
+      .toDF("doc_id", "band", "bucket")
+    val fixed3 = Dedup.connectedComponentsFromBands(bands, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed3.values.toSet.size > 1,
+      "fixture must be deep enough that 3 passes under-merge")
+    val certified = Dedup.connectedComponentsFromBandsCertified(bands)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(certified == (1L to 6L).map(_ -> 1L).toMap,
+      s"certified labels wrong: $certified")
+    // the safety valve fails loudly instead of shipping half-merged labels
+    val boom = intercept[IllegalStateException] {
+      Dedup.connectedComponentsFromBandsCertified(bands, maxIterations = 2)
+    }
+    assert(boom.getMessage.contains("did not converge"))
+  }
+
   test("recall telemetry: MinHash-LSH candidates cover >= 0.9 of true pairs at jaccard >= 0.7") {
     // The S-curve Pr[candidate] = 1-(1-j^4)^4 gives ~0.67 at exactly
     // j=0.7, ~0.88 at 0.8, >0.99 at 0.9 — so the measured operating point
