@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
+import graft.lake.Tables
 
 /** Byte-pair-encoding merge learning — training the tokenizer itself on
   * the corpus, the step upstream of every token-count column in this
@@ -94,6 +95,23 @@ object Bpe {
     }
     merges.result().toDF("rank", "left", "right", "merged", "n_pairs")
   }
+
+  /** Trained merge pairs as a shared artifact: memoized per (session,
+    * dir, numMerges) — the [[Dedup.minhashCcLabels]] discipline — so the
+    * segment/fertility consumers learn the tokenizer ONCE per corpus
+    * instead of each re-running the control-plane loop. The memo holds a
+    * tiny driver-side Seq (tokenizers are small by construction); inputs
+    * are immutable parquet dirs, so the memo is sound for the one-shot
+    * driver and production runs. */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(String, String)]]()
+
+  def trainedMergePairs(spark: SparkSession, dir: String,
+      numMerges: Int): Seq[(String, String)] =
+    mergeCache.computeIfAbsent((spark, dir, numMerges), _ =>
+      learnMerges(wordCounts(Tables(spark, dir, "documents")), numMerges)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** Tokenize with a LEARNED merge list: fold the merges in rank order
     * over each word's character array — the serve path, pure map-side

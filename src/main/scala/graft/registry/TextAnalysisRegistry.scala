@@ -12,6 +12,14 @@ import RegistryShared._
   * Split out of SparkEntry (same conventions; see SparkEntry scaladoc). */
 object TextAnalysisRegistry {
 
+  /** Merge count for the oracled BPE apply path — small so the oracle's
+    * unrolled CTE chain stays readable, large enough that multi-char
+    * symbols feed later merges (merge 6 fuses 'm'+'er' at this SF). */
+  private val BpeOracleMerges = 6
+
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    Bpe.trainedMergePairs(s, d, BpeOracleMerges)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- text analysis (north star)
@@ -53,6 +61,36 @@ object TextAnalysisRegistry {
     // the full learn loop is unit-goldened (not SQL-expressible)
     "q_bpe_pairs" -> ((s, d) =>
       Bpe.charPairCensus(Tables(s, d, "documents"), 20)),
+    // BPE APPLY at scale (round-10): learn BpeOracleMerges merges on the
+    // word-type table (driver-side control plane, Lloyd shape), then
+    // segment every document with the trained merge list — pure map-side
+    // column arithmetic. The oracle replays the ENTIRE learn+apply loop
+    // as an unrolled greedy-merge CTE chain (bpeUnrollSql), so the
+    // trained tokenizer itself is cross-engine-certified, not just its
+    // first-round census
+    "q_bpe_segment" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val segs = Bpe.segment(col("text"), trainedMerges(s, d))
+      docs.select(col("doc_id"),
+        size(flatten(segs)).cast("long").as("n_tokens_trained"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_words"))
+    }),
+    // tokenizer fertility from REAL trained segments (q_token_fertility
+    // is the cheap regex-proxy screen; this is the true planning number)
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val segs = Bpe.segment(col("text"), trainedMerges(s, d))
+      docs.select(col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          size(flatten(segs)).cast("long").as("nb"),
+          Text.tokenCount(col("text")).cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("nc")) / sum(col("nb")).cast("double"), 4)
+            .as("chars_per_token"),
+          round(sum(col("nb")) / sum(col("nw")).cast("double"), 4)
+            .as("tokens_per_word"))
+    }),
     // char-trigram LM perplexity (the CCNet-style quality filter): model
     // trained on the en slice, every doc scored against it — the off-
     // domain tail surfaces as high ppl. Charset-bounded model broadcast;
@@ -387,7 +425,80 @@ object TextAnalysisRegistry {
     }),
   )
 
+  /** Unrolled greedy BPE learn+apply loop as DuckDB CTEs — an INDEPENDENT
+    * formulation of [[Bpe.learnMerges]]+[[Bpe.segment]] (the Spark side
+    * is a driver-side argmax loop over HOF folds; this is pure windowed
+    * SQL), so the trained tokenizer is cross-engine-certified end to end.
+    *
+    * Per round k: `c_k` adjacent-pair census (overlaps counted, weighted
+    * by word frequency), `m_k` the (freq desc, pair asc) argmax — the
+    * learned merge — then greedy LEFT-TO-RIGHT NON-OVERLAPPING apply via
+    * run parity: a position is fused iff it starts a candidate pair at an
+    * ODD offset within its maximal run of consecutive candidates
+    * (consecutive candidates only arise when left = right, where greedy
+    * fuses alternate positions); the following position is then consumed
+    * (`lag_fused`). MATERIALIZED pins each round to one evaluation — the
+    * default inlining re-evaluates the chain per reference and goes
+    * exponential in rounds. Validity bound: the word-type cap (100000,
+    * matching [[Bpe.wordCounts]]) must not bind at oracle SF, else capped
+    * types would drop from the APPLY join (vocab here: 31 types). */
+  private def bpeUnrollSql(m: Int): String = {
+    val rounds = (1 to m).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(n) AS BIGINT) AS np
+         |  FROM $prev, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r FROM c$k ORDER BY np DESC, l, r LIMIT 1),
+         |p$k AS (
+         |  SELECT word, n, i, syms[i] AS s,
+         |    (i < len(syms) AND syms[i] = (SELECT l FROM m$k)
+         |       AND syms[i+1] = (SELECT r FROM m$k)) AS cand
+         |  FROM $prev, unnest(range(1, len(syms) + 1)) AS t(i)),
+         |q$k AS (
+         |  SELECT *, CASE WHEN cand THEN i - coalesce(max(CASE WHEN NOT cand THEN i END)
+         |      OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING), 0) END AS run_off
+         |  FROM p$k),
+         |g$k AS (
+         |  SELECT word, n, i,
+         |    CASE WHEN fused THEN s || lead_s ELSE s END AS sym, lag_fused
+         |  FROM (SELECT word, n, i, s, fused,
+         |          lead(s) OVER (PARTITION BY word ORDER BY i) AS lead_s,
+         |          coalesce(lag(fused) OVER (PARTITION BY word ORDER BY i), false) AS lag_fused
+         |        FROM (SELECT word, n, i, s,
+         |                coalesce(cand AND run_off % 2 = 1, false) AS fused FROM q$k))),
+         |r$k AS MATERIALIZED (
+         |  SELECT word, n, list(sym ORDER BY i) AS syms
+         |  FROM g$k WHERE NOT lag_fused GROUP BY word, n)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 100000),
+       |r0 AS MATERIALIZED (SELECT word, n, string_split(word, '') AS syms FROM wc),
+       |$rounds,
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '${Text.BpePattern}')) AS word FROM documents),
+       |seg AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS nt,
+       |               CAST(count(*) AS BIGINT) AS nwords
+       |        FROM dw JOIN r$m USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_bpe_segment" ->
+      s"""WITH ${bpeUnrollSql(BpeOracleMerges)}
+         |SELECT doc_id,
+         |  CAST(coalesce(seg.nt, 0) AS BIGINT) AS n_tokens_trained,
+         |  CAST(coalesce(seg.nwords, 0) AS BIGINT) AS n_words
+         |FROM documents LEFT JOIN seg USING (doc_id)""".stripMargin,
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeUnrollSql(BpeOracleMerges)},
+         |j AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nc,
+         |        CAST(coalesce(seg.nt, 0) AS BIGINT) AS nb,
+         |        CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS nw
+         |      FROM documents d LEFT JOIN seg USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(nc) AS BIGINT) / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE), 4) AS chars_per_token,
+         |  round(CAST(sum(nb) AS BIGINT) / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE), 4) AS tokens_per_word
+         |FROM j GROUP BY lang""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
