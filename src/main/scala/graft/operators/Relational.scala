@@ -430,6 +430,74 @@ object Sampling {
         round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"))
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a total token budget across strata as
+    * UNIFORMLY as possible while capping every stratum at `epochCap`
+    * epochs of its own corpus — the head language ends budget-limited,
+    * tail languages epoch-capped, nobody over-repeats. The principled
+    * upgrade of [[temperatureWeights]] (temperature sampling still
+    * over-repeats the smallest tails at any alpha).
+    *
+    * The paper's sequential loop is a waterfill, and waterfills have a
+    * closed form over the sorted census: ascending by capacity
+    * c_s = epochCap·n_s, capping is MONOTONE (if the stratum at rank r
+    * keeps its full capacity, so does every smaller one), so the first
+    * rank r* whose capacity covers the equal share of the budget left by
+    * the capped prefix — c_r·(m−r+1) ≥ B − Σ_{s<r} c_s — is the
+    * waterline: alloc = c_s below it, (B − Σ_{s<r*} c_s)/(m−r*+1) at and
+    * above it. One window pass over the strata CENSUS (strata are
+    * languages/domains — a tiny post-aggregate relation; the corpus
+    * itself only ever feeds the map-side-combined token count) replaces
+    * the whole iteration. If total capacity ≤ B no waterline exists and
+    * every stratum is capped (the leftover budget is the caller's signal
+    * to raise `epochCap`).
+    *
+    * The budget is `budgetFrac` of total corpus tokens, floored to a
+    * long; capacities are integer-token products (epochCap in quarters —
+    * see require) so every comparison is exact and the only divisions
+    * are the rounded outputs. */
+  def unimaxAllocation(df: DataFrame, stratumCol: String, nTokens: Column,
+      budgetFrac: Double, epochCap: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac in (0,1], got $budgetFrac")
+    require(epochCap > 0 && (epochCap * 4) == math.rint(epochCap * 4),
+      s"epochCap must be a multiple of 0.25 for exact integer capacities, got $epochCap")
+    val census = df.groupBy(col(stratumCol))
+      .agg(sum(nTokens).cast("long").as("n_tokens"))
+      // capacity in QUARTER tokens — exact longs, no float compare drift
+      .withColumn("cap_q",
+        col("n_tokens") * lit(math.rint(epochCap * 4).toLong))
+    val w = Window.orderBy(col("cap_q"), col(stratumCol))
+    val full = Window.orderBy(col("cap_q"), col(stratumCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = census
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cap_prefix_q", coalesce(sum(col("cap_q")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(full))
+      .withColumn("budget_q",
+        floor(sum(col("n_tokens")).over(full) * lit(budgetFrac)) * 4)
+    // waterline: first rank whose capacity covers the remaining equal
+    // share; the min-aggregate row is ALWAYS one row — rstar NULL when
+    // total capacity ≤ budget (no waterline; everybody capped)
+    val uncapped =
+      col("cap_q") * (col("m") - col("rk") + 1) >= col("budget_q") - col("cap_prefix_q")
+    val waterline = ranked.filter(uncapped)
+      .agg(min(col("rk")).as("rstar"),
+        min_by(col("cap_prefix_q"), col("rk")).as("wl_prefix_q"))
+    val share =
+      (col("budget_q") - col("wl_prefix_q")).cast("double") / (col("m") - col("rstar") + 1)
+    val isCapped = col("rstar").isNull || col("rk") < col("rstar")
+    val allocQ = when(isCapped, col("cap_q").cast("double")).otherwise(share)
+    ranked.crossJoin(broadcast(waterline))
+      .select(col(stratumCol), col("n_tokens"),
+        round(col("cap_q") / 4.0, 2).as("capacity"),
+        round(allocQ / 4.0, 2).as("allocation"),
+        round(allocQ / 4.0 / col("n_tokens"), 6).as("epochs"),
+        isCapped.as("capped"))
+  }
+
   /** Greedy token-budget fill per stratum: rank rows by (`quality` DESC,
     * id ASC) and keep the prefix whose inclusive running token sum stays
     * ≤ `budget` — the "best docs until the token budget is spent" stage

@@ -479,4 +479,53 @@ object Similarity {
         (round(col("dot") / (col("na") * col("nb")), 6) + lit(0.0))
           .as("cosine"))
   }
+
+  /** Sign random projection (Achlioptas 2003's database-friendly
+    * Johnson–Lindenstrauss transform): y_j = Σ_i s(j,i)·x_i / √p with
+    * s ∈ {−1,+1} — the cheap dimensionality-reduction stage before
+    * ANN/clustering when d is large (pairwise distances and cosines are
+    * preserved within the JL bound; no training, unlike
+    * [[Quantize.refineCodebook]]'s codebook, and no per-dim ranges,
+    * unlike [[quantizeInt8]]).
+    *
+    * Determinism and scale shape: the signs derive from md5("rp:j:i")
+    * parity — no RNG, identical in SQL — and the p×d sign matrix is
+    * folded into ONE broadcast row built from a `range` relation, so the
+    * plan is O(1) in p·d and the corpus pass is entirely map-side
+    * (nothing shuffles, nothing collects). Components accumulate in
+    * exact INTEGER MICRO units (the DSIR ledger discipline:
+    * round(x·10⁶) longs sum exactly in any order, so the result is
+    * independent of summation order in BOTH engines) and divide by 10⁶√p
+    * only at the output — unrounded, because identical longs over an
+    * identical constant are already bit-identical IEEE. */
+  def randomProjection(emb: DataFrame, outDims: Int,
+      inDims: Int = 64): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    val spark = emb.sparkSession
+    val sgns = spark.range(outDims.toLong * inDims)
+      .select(struct(col("id"),
+        (lit(1L) - lit(2L) * (call_function("graft_md5_prefix",
+          concat(lit("rp:"), (col("id") / inDims).cast("long"), lit(":"),
+            col("id") % inDims), lit(1)) % 2)).as("s")).as("r"))
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .select(transform(col("rs"), r => r.getField("s")).as("sgns"))
+    val scale = 1e6 * math.sqrt(outDims.toDouble)
+    emb
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6, 0).cast("long")).as("xm"))
+      .crossJoin(broadcast(sgns))
+      // NO rounding: the micro sum is an exact long in both engines and
+      // long / constant is bit-identical IEEE — a round() here would
+      // reintroduce engine drift on representational .5 ties (Spark
+      // rounds the double's DECIMAL string, DuckDB its binary value)
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(outDims - 1)), j =>
+          aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L),
+            (acc, i) => acc +
+              element_at(col("sgns"), (j * inDims + i + 1).cast("int")) *
+              element_at(col("xm"), (i + 1).cast("int")))
+            .cast("double") / lit(scale))))
+      .toDF("vec_id", "dim", "y")
+  }
 }

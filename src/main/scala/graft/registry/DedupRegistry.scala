@@ -181,6 +181,12 @@ object DedupRegistry {
     // temperature-scaled mixture weights (alpha=0.7): per-language w ∝ n^a
     "q_mixture_weights" -> ((s, d) =>
       Sampling.temperatureWeights(Tables(s, d, "documents"), "lang", 0.7)),
+    // UniMax waterfill: 40% of corpus tokens spread as uniformly as the
+    // 0.5-epoch cap allows — closed-form waterline over the language
+    // census (the head language ends budget-limited, tails epoch-capped)
+    "q_unimax" -> ((s, d) =>
+      Sampling.unimaxAllocation(Tables(s, d, "documents"), "lang",
+        Text.tokenCount(col("text")), 0.4, 0.5)),
     // greedy best-docs-first fill to a 2000-token budget per language:
     // census/boundary plan — only ONE quality band per stratum is sorted,
     // everything else is classified map-side off a broadcast census
@@ -553,6 +559,39 @@ object DedupRegistry {
         |z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM c)
         |SELECT lang, n_docs, round(pow(n_docs, 0.7) / z, 6) AS weight
         |FROM c CROSS JOIN z""".stripMargin,
+    // waterfill replay: capacities in exact quarter-token BIGINTs
+    // (epochCap=0.5 -> x2), budget_q = floor(0.4*total)*4, the first
+    // rank whose capacity covers the remaining equal share is the
+    // waterline; min_by carries its capped-prefix mass
+    "q_unimax" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, n_tokens, n_tokens * 2 AS cap_q,
+        |    CAST(row_number() OVER (ORDER BY n_tokens * 2, lang) AS INTEGER)
+        |      AS rk,
+        |    CAST(coalesce(sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cap_prefix_q,
+        |    count(*) OVER () AS m,
+        |    CAST(floor(sum(n_tokens) OVER () * 0.4) AS BIGINT) * 4 AS budget_q
+        |  FROM c),
+        |wl AS (
+        |  SELECT min(rk) AS rstar, min_by(cap_prefix_q, rk) AS wl_prefix_q
+        |  FROM r WHERE cap_q * (m - rk + 1) >= budget_q - cap_prefix_q)
+        |SELECT lang, n_tokens,
+        |  round(cap_q / 4.0, 2) AS capacity,
+        |  round(CASE WHEN rstar IS NULL OR rk < rstar THEN CAST(cap_q AS DOUBLE)
+        |        ELSE CAST(budget_q - wl_prefix_q AS DOUBLE) / (m - rstar + 1)
+        |        END / 4.0, 2) AS allocation,
+        |  round(CASE WHEN rstar IS NULL OR rk < rstar THEN CAST(cap_q AS DOUBLE)
+        |        ELSE CAST(budget_q - wl_prefix_q AS DOUBLE) / (m - rstar + 1)
+        |        END / 4.0 / n_tokens, 6) AS epochs,
+        |  (rstar IS NULL OR rk < rstar) AS capped
+        |FROM r CROSS JOIN wl""".stripMargin,
     // the oracle replays the SEMANTICS (one inclusive-cumsum window over
     // everything); the Spark side's census/boundary plan must select the
     // identical row set

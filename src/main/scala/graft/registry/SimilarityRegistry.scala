@@ -88,6 +88,17 @@ object SimilarityRegistry {
         round(array_max(v) / n, 6).as("u_max"))
     }),
     "q_ann_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d, 10, 5)),
+    // greedy k-center (farthest-point-first) diversity selection: the
+    // coverage complement of the dedup tiers — 8 selection rounds, each
+    // one broadcast-selected-set map-side pass + a top-1, trace
+    // engine-exact via round-6 distances and vec_id tie-breaks
+    "q_kcenter" -> ((s, d) =>
+      Coreset.kCenterGreedy(Tables(s, d, "embeddings"), 8)),
+    // sign random projection (JL transform) 64 -> 16 dims: md5-parity
+    // sign matrix folded into one broadcast row, integer-micro exact
+    // component sums — the cheap pre-ANN dimensionality reduction
+    "q_rand_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables(s, d, "embeddings"), 16)),
     // ADC search over the int8 codes: original queries vs map-side
     // dequantized corpus — same single unshuffled corpus stage as brute
     "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d, 10, 5)),
@@ -238,8 +249,61 @@ object SimilarityRegistry {
        |FROM v$iters""".stripMargin
   }
 
+  /** Unrolled greedy k-center trace: per round, min-distance census over
+    * the not-yet-selected corpus (1 − max cosine vs the selected set,
+    * rounded to 6 like the Spark side), then the (md DESC, vec_id) top-1
+    * joins the selection — an independent formulation (self-join + NOT
+    * IN vs broadcast-row array fold). */
+  private def kcenterSql(k: Int): String = {
+    // MATERIALIZED is load-bearing (the BPE-oracle discipline): sel{t}
+    // references sel{t-1} three times, so default CTE inlining expands
+    // the chain 3^k-fold and the oracle runs for minutes instead of ms
+    val steps = (1 to k - 1).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT v.vec_id AS vec_id,
+         |    round(1 - max(list_dot_product(v.e, s.e) / (v.n * s.n)), 6) AS md
+         |  FROM v JOIN v s ON s.vec_id IN (SELECT vec_id FROM sel${t - 1})
+         |  WHERE v.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY v.vec_id),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1}
+         |  UNION ALL
+         |  SELECT CAST($t AS INTEGER) AS sel_order, vec_id, md AS min_dist
+         |  FROM (SELECT vec_id, md FROM d$t ORDER BY md DESC, vec_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings),
+       |sel0 AS MATERIALIZED (
+       |  SELECT CAST(0 AS INTEGER) AS sel_order, vec_id,
+       |    CAST(NULL AS DOUBLE) AS min_dist
+       |  FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)),
+       |$steps
+       |SELECT sel_order, vec_id, min_dist FROM sel${k - 1}""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pca_power" -> pcaPowerSql(3),
+    "q_kcenter" -> kcenterSql(8),
+    // row-major md5-parity sign matrix ⊗ integer-micro components —
+    // exact BIGINT sums in any order, one division at the rounded output
+    "q_rand_projection" ->
+      s"""WITH xm AS (
+         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |      AS xm
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         |s AS (
+         |  SELECT j, i,
+         |    1 - 2 * ((${md5PrefixSqlOf("'rp:' || j || ':' || i", 1)}) % 2)
+         |      AS sgn
+         |  FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i))
+         |SELECT vec_id, CAST(s.j AS INTEGER) AS dim,
+         |  CAST(sum(s.sgn * xm.xm) AS DOUBLE) / (1000000 * sqrt(16.0)) AS y
+         |FROM xm JOIN s ON xm.i = s.i
+         |GROUP BY 1, 2""".stripMargin,
     "q_split_leakage" ->
       s"""WITH fs AS (
          |  SELECT DISTINCT

@@ -173,4 +173,49 @@ class SamplingSpec extends SparkSpec {
       .orderBy("difficulty", "doc_id").collect().map(_.getInt(3))
     assert(rows.toSeq == rows.toSeq.sorted)
   }
+
+  test("unimaxAllocation: hand-computed waterfill — head budget-limited, tails epoch-capped") {
+    import spark.implicits._
+    // per-stratum tokens: a=10, b=20, c=100 (one doc each, n words);
+    // epochCap=1 -> capacities 10,20,100; budgetFrac=0.5 -> B=65.
+    // ascending: a(10): 10*3=30 < 65 -> capped; b(20): 20*2=40 < 55 ->
+    // capped; c: 100 >= 35 -> waterline. alloc: a=10, b=20, c=35.
+    val docs = Seq(
+      ("a", Seq.fill(10)("w").mkString(" ")),
+      ("b", Seq.fill(20)("w").mkString(" ")),
+      ("c", Seq.fill(100)("w").mkString(" "))
+    ).toDF("lang", "text")
+    val got = Sampling.unimaxAllocation(docs, "lang",
+      graft.functions.Text.tokenCount(col("text")), 0.5, 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      "a" -> ((10.0, 1.0, true)),
+      "b" -> ((20.0, 1.0, true)),
+      "c" -> ((35.0, 0.35, false))), got.toString)
+    // allocations exhaust the budget exactly when a waterline exists
+    assert(got.values.map(_._1).sum == 65.0)
+  }
+
+  test("unimaxAllocation edges: all-capped when budget exceeds capacity; uniform when cap never binds") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", Seq.fill(10)("w").mkString(" ")),
+      ("b", Seq.fill(30)("w").mkString(" "))
+    ).toDF("lang", "text")
+    // epochCap 0.25 -> capacities 2.5, 7.5; budget 0.9*40=36 > 10 total:
+    // no waterline, everyone capped at epochCap epochs
+    val capped = Sampling.unimaxAllocation(docs, "lang",
+      graft.functions.Text.tokenCount(col("text")), 0.9, 0.25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(capped == Map(
+      "a" -> ((2.5, 0.25, true)), "b" -> ((7.5, 0.25, true))), capped.toString)
+    // epochCap 100 -> nobody caps: budget splits UNIFORMLY (the UniMax
+    // point: tails do not get over-repeated relative head share)
+    val uni = Sampling.unimaxAllocation(docs, "lang",
+      graft.functions.Text.tokenCount(col("text")), 0.5, 100.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(uni == Map("a" -> 10.0, "b" -> 10.0), uni.toString)
+  }
 }

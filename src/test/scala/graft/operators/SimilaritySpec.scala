@@ -300,4 +300,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map((0, 1) -> 1.0, (0, 2) -> 0.0, (1, 2) -> 0.0),
       got.toString)
   }
+
+  test("randomProjection: shape, layout invariance, JL energy preservation, linearity") {
+    val emb = graft.lake.Tables(spark, sfDir, "embeddings")
+    val p = 16
+    val proj = Similarity.randomProjection(emb, p)
+    val n = emb.count()
+    assert(proj.count() == n * p, "p components per vector")
+    // deterministic signs -> identical output on any partitioning
+    val a = proj.collect().map(_.toSeq).toSet
+    val b = Similarity.randomProjection(emb.repartition(9), p)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "projection must not depend on layout")
+    // E[||y||^2] = ||x||^2 for sign projections: the corpus-mean energy
+    // ratio concentrates near 1 (JL distance preservation in aggregate)
+    val ratio = proj.groupBy(col("vec_id"))
+      .agg(sum(col("y") * col("y")).as("e_out"))
+      .join(emb.select(col("vec_id"),
+        graft.functions.Vectors.dot(col("embedding"), col("embedding"))
+          .as("e_in")), "vec_id")
+      .agg(avg(col("e_out") / col("e_in"))).head().getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"mean energy ratio $ratio far from 1")
+    // linearity: projecting 2x doubles every component (up to the 1e-6
+    // micro quantization of the input components)
+    import spark.implicits._
+    val one = Seq((7L, Seq(0.5f, -0.25f, 0.125f, 1.0f))).toDF("vec_id", "embedding")
+    val two = Seq((7L, Seq(1.0f, -0.5f, 0.25f, 2.0f))).toDF("vec_id", "embedding")
+    val y1 = Similarity.randomProjection(one, 4, 4).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val y2 = Similarity.randomProjection(two, 4, 4).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    y1.foreach { case (d, v) => assert(math.abs(y2(d) - 2 * v) < 1e-5,
+      s"dim $d: ${y2(d)} vs ${2 * v}") }
+  }
 }
