@@ -32,6 +32,35 @@ object Audit {
         round(col("r.n_violations") / col("n_rows"), 6).as("violation_rate"))
   }
 
+  /** Functional-dependency profiling census — "does `det → dep` actually
+    * hold in the data?", the schema-inference / DQ-contract question
+    * (Papenbrock et al. VLDB'15 frame FD discovery this way; this is the
+    * verification side over a declared candidate list). Per candidate FD
+    * the report carries the g3 error (Kivinen & Mannila 1995): the
+    * MINIMUM number of rows to delete for the FD to hold exactly —
+    * Σ over det-groups of (group size − its most common dep value's
+    * count) — plus how many det groups witness a violation.
+    *
+    * Scale shape: one (det, dep) census then a det rollup, both
+    * map-side-combinable hash aggregates bounded by value cross
+    * products; the final fold is a one-row reduce. No window, no join,
+    * no sort; all counts exact BIGINTs. */
+  def fdCheck(df: DataFrame, fdName: String, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    val sub = df.groupBy((detCols :+ depCol).map(col): _*)
+      .agg(count(lit(1)).as("nv"))
+    sub.groupBy(detCols.map(col): _*)
+      .agg(sum(col("nv")).as("n"), max(col("nv")).as("top_nv"),
+        count(lit(1)).as("n_dep"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(col("n") - col("top_nv")).as("g3_violations"),
+        sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("violating_groups"))
+      .select(lit(fdName).as("fd"), col("n_rows"), col("n_groups"),
+        col("violating_groups"), col("g3_violations"),
+        (col("g3_violations") === 0L).as("holds"))
+  }
+
   /** Gini concentration of per-key activity counts — "do 1% of the keys
     * own 90% of the rows?", the skew-risk summary behind salting and
     * quota decisions. 0 = perfectly even, → 1 = one key owns everything.

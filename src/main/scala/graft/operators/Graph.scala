@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over edge relations (the term co-occurrence
@@ -142,6 +142,125 @@ object Graph {
         // the middle corner: neither min nor max
         (array_sort(array(col("a"), col("b"), col("c"))))(1).as("term_b"),
         greatest(col("a"), col("b"), col("c")).as("term_c"))
+  }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002 form over full
+    * degrees): the Pearson correlation of the endpoint degrees across the
+    * symmetric edge relation — positive = hubs attach to hubs (social
+    * shape), negative = hubs attach to leaves (star/infrastructure
+    * shape), the one-number read on whether degree-targeted
+    * interventions (hub dedup, hub caching) help or hurt.
+    *
+    * r = (M·Σjk − Σj·Σk) / √((M·Σj² − (Σj)²)(M·Σk² − (Σk)²)) with all
+    * five sums EXACT BIGINTs over the directed (both-directions) edge
+    * list — degree census + one equi-join to tag each edge end + one
+    * map-side-combinable fold; the single √/division happens on the
+    * one-row output. By u↔v symmetry Σj = Σk, so the output also serves
+    * as a self-check. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = symmetric(edges)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val tagged = sym
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+    // per-edge sums stay BIGINT-exact; the one-row products of sums
+    // (m·Σjk, (Σj)²) clear 2^63 on big graphs — DECIMAL(38,0) headroom
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    tagged.agg(count(lit(1)).as("m"),
+        sum(col("du")).as("sj"), sum(col("du") * col("du")).as("sj2"),
+        sum(col("du") * col("dv")).as("sjk"))
+      .withColumn("den",
+        (dec(col("m")) * dec(col("sj2")) - dec(col("sj")) * dec(col("sj")))
+          .cast("double"))
+      .select(col("m"),
+        // a REGULAR graph (all degrees equal) has zero degree variance:
+        // the coefficient is genuinely undefined -> null, not an error
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (dec(col("m")) * dec(col("sjk")) - dec(col("sj")) * dec(col("sj")))
+              .cast("double") / col("den"), 6))
+          .as("assortativity"))
+  }
+
+  /** k-core decomposition by iterative peeling: repeatedly remove nodes
+    * of degree < k until none remain — the densest-region extraction
+    * behind community seeding and spam-farm detection (a k-core survives
+    * any node's removal with degree ≥ k−1; a star or chain of any size
+    * peels away entirely for k ≥ 2).
+    *
+    * Each pass is a degree census + a semi-join of the edge relation
+    * against surviving nodes (shuffle on node, never corpus-sized work),
+    * localCheckpointed so the plan stays O(1) in pass count. Peeling is
+    * monotone (removals only lower degrees), so `passes` ≥ the longest
+    * peel chain converges exactly; the oracled form runs a FIXED pass
+    * count (engine-exact replay), [[kCoreCertified]] iterates to a
+    * verified fixpoint. Output: surviving nodes with their in-core
+    * degree. */
+  def kCore(edges: DataFrame, k: Int, passes: Int = 4): DataFrame = {
+    require(k >= 1 && passes >= 1, s"k=$k passes=$passes")
+    var sym = symmetric(edges).localCheckpoint(false)
+    (1 to passes).foreach { _ =>
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      sym = sym.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("v")).localCheckpoint(false)
+    }
+    sym.groupBy(col("u").as("term")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** [[kCore]] iterated to a CERTIFIED fixpoint: peel until a pass
+    * removes zero nodes, fail LOUDLY at `maxPasses` rather than ship a
+    * half-peeled core (the fixpoint-CC discipline). The surviving census
+    * is by construction the true k-core. */
+  def kCoreCertified(edges: DataFrame, k: Int, maxPasses: Int = 30): DataFrame = {
+    var sym = symmetric(edges).localCheckpoint(false)
+    var prev = -1L
+    var pass = 0
+    while (pass < maxPasses) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u")).localCheckpoint(false)
+      val n = keep.count()
+      if (n == prev) return sym.groupBy(col("u").as("term"))
+        .agg(count(lit(1)).as("core_degree"))
+      prev = n
+      sym = sym.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("v")).localCheckpoint(false)
+      pass += 1
+    }
+    throw new IllegalStateException(
+      s"k-core failed to converge in $maxPasses passes (k=$k) — " +
+        "raise maxPasses; do NOT ship a half-peeled core")
+  }
+
+  /** Local clustering coefficient per node — "are my neighbours
+    * neighbours of each other?", the cohesion read that separates a hub
+    * in a clique-y community (high lcc) from a pure star centre
+    * (lcc ≈ 0). lcc(u) = 2·tri(u) / (deg(u)·(deg(u)−1)) over nodes with
+    * degree ≥ 2 (undefined below — those rows drop).
+    *
+    * Rides [[triangles]]' degree-ordered orientation wholesale: per-node
+    * triangle counts come from exploding each triangle's three corners
+    * into a map-side-combinable census (wedge work stays O(m^1.5),
+    * hub-proof), degrees from the same symmetric edge census, and the
+    * two vocab-sized relations meet in one equi-join — the corpus-sized
+    * document relation is long gone by then. The coefficient is a single
+    * exact-integer ratio, rounded once. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val triPerNode = triangles(edges)
+      .select(explode(array(col("term_a"), col("term_b"), col("term_c")))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_tri"))
+    val deg = symmetric(edges)
+      .groupBy(col("u").as("term")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triPerNode, Seq("term"), "left")
+      .select(col("term"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("degree") * (col("degree") - 1L)).cast("double"), 6)
+          .as("lcc"))
   }
 
   /** HITS hubs & authorities over a weighted directed edge relation —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -261,6 +261,51 @@ object Retrieval {
       .withColumn("fused_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("rrf").desc, col("doc_id"))))
+  }
+
+  /** Ranking-quality evaluation — NDCG@k and reciprocal rank per query
+    * (Järvelin & Kekäläinen, TOIS 2002), the scorecard that closes the
+    * retrieval loop: [[bm25TopK]]/[[hybridRrf]] PRODUCE rankings, this
+    * measures them against graded relevance. DCG uses the standard
+    * exponential gain (2^rel − 1)/log2(rank + 1); IDCG re-ranks the
+    * query's graded pool by (rel desc, doc_id) so ndcg ∈ [0, 1] is
+    * comparable across queries; rr = 1/rank of the first result with
+    * rel ≥ `relThreshold` (0 when none).
+    *
+    * Determinism: gains are exact integers over a log2 of an integer —
+    * identical in both engines; dcg/idcg round to 6 BEFORE the ndcg
+    * division (sub-round partial-agg noise cannot leak), ndcg rounds the
+    * rounded ratio.
+    *
+    * Scale shape: both inputs are per-query top-k relations (queries × k
+    * rows — the corpus work already happened inside the retrieval
+    * operators); the label join, ideal re-rank window and per-query fold
+    * all run on that grid, so evaluation cost is O(queries·k) no matter
+    * the corpus size. */
+  def rankingQuality(system: DataFrame, graded: DataFrame, k: Int = 10,
+      relThreshold: Int = 2): DataFrame = {
+    val gain: Column => Column = rel => pow(lit(2.0), rel) - lit(1.0)
+    val sys = system.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .join(graded, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = sys.groupBy(col("query_id"))
+      .agg(round(sum(gain(col("rel")) /
+          log2(col("rank").cast("double") + 1.0)), 6).as("dcg"),
+        coalesce(max(when(col("rel") >= relThreshold,
+          lit(1.0) / col("rank"))), lit(0.0)).as("rr_raw"))
+    val ideal = graded
+      .withColumn("irank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irank") <= k)
+      .groupBy(col("query_id"))
+      .agg(round(sum(gain(col("rel")) /
+        log2(col("irank").cast("double") + 1.0)), 6).as("idcg"))
+    dcg.join(ideal, "query_id")
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"),
+        round(col("rr_raw"), 6).as("rr"))
   }
 
   // ---- persisted inverted-index artifact (build once / ingest deltas /

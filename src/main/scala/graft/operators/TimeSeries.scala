@@ -326,6 +326,103 @@ object TimeSeries {
     * so C(days,2) is bounded arithmetic on a tiny relation, joined with
     * itself once. Slopes are integer-ratio doubles; the intercept is
     * computed against the ROUNDED slope so both engines agree. */
+  /** Cross-correlation (lead–lag) between two event types' daily count
+    * series at calendar lags −`maxLag`..+`maxLag` — "do clicks LEAD
+    * purchases, and by how many days?": the peak lag is the actionable
+    * read [[autocorrelation]] can't give (it sees one series only).
+    * r_k = Σ_t Dx_t·Dy_{t+k} / √(ΣDx²·ΣDy²) — positive k means `typeA`
+    * leads. Both series are ZERO-FILLED over the common [min, max] day
+    * span first (a silent day is a real 0 for counts, and zero-filling
+    * keeps the two series aligned on one day index).
+    *
+    * Engine-exact by the [[autocorrelation]] discipline: integer-scaled
+    * deviations (n·cnt − T per series), DECIMAL(38,0) products/sums, the
+    * √ and division once at the output. Scale shape: the corpus
+    * collapses to two daily censuses in one filtered aggregate; the day
+    * span, lag grid and one-row denominators are all broadcast-sized. */
+  def crossCorrelation(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("et"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("et"), col("day")).agg(count(lit(1)).as("cnt"))
+    val span = daily.agg(min(col("day")).as("day0"), max(col("day")).as("day1"))
+      .select(explode(sequence(col("day0"), col("day1"),
+        expr("interval 1 day"))).as("day"))
+    def dev(et: String): DataFrame = {
+      val filled = span.join(daily.filter(col("et") === et), Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val tot = filled.agg(count(lit(1)).as("n"), sum(col("cnt")).as("t"),
+        min(col("day")).as("day0"))
+      filled.crossJoin(broadcast(tot))
+        .select(datediff(col("day"), col("day0")).as("d"),
+          (col("n") * col("cnt") - col("t")).cast("decimal(38,0)").as("dev"))
+    }
+    val (dx, dy) = (dev(typeA), dev(typeB))
+    val den = dx.agg(sum(col("dev") * col("dev")).as("sx2"))
+      .crossJoin(dy.agg(sum(col("dev") * col("dev")).as("sy2")))
+    val lags = events.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    dx.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("d") + col("lag")).as("d_next"), col("dev"))
+      .join(dy.select(col("d").as("d_next"), col("dev").as("dev_y")), "d_next")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("dev_y")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") /
+          sqrt(col("sx2").cast("double") * col("sy2").cast("double")), 6)
+          .as("ccf"))
+  }
+
+  /** Sample autocorrelation function of the daily event-count series at
+    * calendar lags 1..`maxLag` — "does today predict next week?", the
+    * seasonality/persistence read [[seasonalDecompose]]'s fixed 24h
+    * period assumes rather than measures. r_k = Σ_t D_t·D_{t+k} / Σ_t D_t²
+    * (the standard biased estimator: full-series denominator, overlapping
+    * pairs in the numerator), with lags in CALENDAR days — a missing day
+    * breaks the pair rather than silently splicing neighbours.
+    *
+    * Engine-exact: deviations are integer-scaled (the CUSUM rule) —
+    * D_t = n·cnt_t − T is exact BIGINT, products and sums run in
+    * DECIMAL(38,0) (≈10³⁸ headroom: safe to ~3·10⁹ events/day over a
+    * 10-year series), and the single division happens at the output.
+    *
+    * Scale shape: the corpus collapses to the daily census in one
+    * map-side-combinable aggregate; everything after (lag expansion,
+    * self-join on day index, denominator fold) operates on the
+    * days×lags grid — thousands of rows regardless of corpus size, with
+    * the one-row total and denominator broadcast. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = events
+      .select(date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("t_sum"),
+      min(col("day")).as("day0"))
+    val indexed = daily.crossJoin(broadcast(tot))
+      .select(datediff(col("day"), col("day0")).as("d"),
+        (col("n_days") * col("cnt") - col("t_sum"))
+          .cast("decimal(38,0)").as("dev"))
+    val den = indexed.agg(sum(col("dev") * col("dev")).as("den"),
+      count(lit(1)).as("n_days"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    indexed.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("d") + col("lag")).as("d_next"), col("dev"))
+      .join(indexed.select(col("d").as("d_next"), col("dev").as("dev_next")),
+        "d_next")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("dev_next")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+  }
+
   def theilSenDailyTrend(events: DataFrame): DataFrame = {
     val daily = events
       .select(date_trunc("day", col("ts")).as("day"))

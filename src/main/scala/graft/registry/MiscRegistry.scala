@@ -78,6 +78,12 @@ object MiscRegistry {
     "q_l_diversity" -> ((s, d) =>
       Privacy.lDiversityCensus(Tables(s, d, "customer"),
         Seq("c_mktsegment"), "c_nationkey", minL = 5)),
+    // t-closeness: ordered-EMD census between each QI group's sensitive
+    // distribution and the global one — all-integer cumsums over the
+    // (groups x m) post-aggregate grid, one division at the output
+    "q_t_closeness" -> ((s, d) =>
+      Privacy.tClosenessCensus(Tables(s, d, "customer"),
+        Seq("c_mktsegment"), "c_nationkey", t = 0.05)),
     "q_k_anon_suppress" -> ((s, d) =>
       Privacy.kAnonymize(
         Tables(s, d, "customer")
@@ -131,6 +137,16 @@ object MiscRegistry {
         "price_positive" -> (col("l_extendedprice") > 0),
         "shipdate_present" -> col("l_shipdate").isNotNull,
         "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
+    // functional-dependency profiling: g3 error (min deletions to make
+    // det -> dep hold) per declared candidate — one census + one rollup
+    // per FD, all exact counts; nation_region holds, the others measure
+    "q_fd_check" -> ((s, d) =>
+      Audit.fdCheck(Tables(s, d, "nation"), "nation_region",
+          Seq("n_nationkey"), "n_regionkey")
+        .unionByName(Audit.fdCheck(Tables(s, d, "customer"),
+          "cust_nation_segment", Seq("c_nationkey"), "c_mktsegment"))
+        .unionByName(Audit.fdCheck(Tables(s, d, "lineitem"),
+          "part_supp", Seq("l_partkey"), "l_suppkey"))),
     // robust outliers: per-priority MAD census, stats broadcast between
     // the two exact-percentile passes, thresholds on ROUNDED stats
     "q_mad_outliers" -> ((s, d) =>
@@ -385,6 +401,57 @@ object MiscRegistry {
         |  round(CAST(max(nv) AS DOUBLE) / sum(nv), 6) AS top_share,
         |  count(*) < 5 AS at_risk
         |FROM sub GROUP BY 1""".stripMargin,
+    "q_t_closeness" ->
+      """WITH sub AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS nv
+        |  FROM customer GROUP BY 1, 2),
+        |gd AS (
+        |  SELECT c_nationkey, CAST(sum(nv) AS BIGINT) AS gv
+        |  FROM sub GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(gv) AS BIGINT) AS big_n,
+        |    CAST(count(*) AS BIGINT) AS m FROM gd),
+        |grp AS (
+        |  SELECT c_mktsegment, CAST(sum(nv) AS BIGINT) AS n
+        |  FROM sub GROUP BY 1),
+        |grid AS (
+        |  SELECT g.c_mktsegment, g.n, gl.c_nationkey, t.m, t.big_n,
+        |    COALESCE(s.nv, 0) * t.big_n - gl.gv * g.n AS diff_num
+        |  FROM grp g CROSS JOIN gd gl CROSS JOIN tot t
+        |  LEFT JOIN sub s ON s.c_mktsegment = g.c_mktsegment
+        |    AND s.c_nationkey = gl.c_nationkey),
+        |cum AS (
+        |  SELECT c_mktsegment, n, m, big_n,
+        |    sum(diff_num) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_nationkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_num
+        |  FROM grid),
+        |emd AS (
+        |  SELECT c_mktsegment, n, m,
+        |    round(CAST(sum(abs(cum_num)) AS DOUBLE)
+        |      / (n * big_n * (m - 1)), 6) AS emd
+        |  FROM cum GROUP BY c_mktsegment, n, m, big_n)
+        |SELECT c_mktsegment, n, m, emd, emd > 0.05 AS at_risk
+        |FROM emd""".stripMargin,
+    "q_fd_check" -> {
+      def fd(table: String, name: String, det: String, dep: String) =
+        s"""SELECT '$name' AS fd, CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violating_groups,
+           |  CAST(sum(n - top_nv) AS BIGINT) AS g3_violations,
+           |  sum(n - top_nv) = 0 AS holds
+           |FROM (
+           |  SELECT $det, CAST(sum(nv) AS BIGINT) AS n, max(nv) AS top_nv,
+           |    count(*) AS n_dep
+           |  FROM (SELECT $det, $dep, CAST(count(*) AS BIGINT) AS nv
+           |        FROM $table GROUP BY 1, 2)
+           |  GROUP BY $det)""".stripMargin
+      Seq(fd("nation", "nation_region", "n_nationkey", "n_regionkey"),
+        fd("customer", "cust_nation_segment", "c_nationkey", "c_mktsegment"),
+        fd("lineitem", "part_supp", "l_partkey", "l_suppkey"))
+        .mkString("\nUNION ALL\n")
+    },
     "q_k_anon_suppress" ->
       """SELECT c_custkey,
         |  CASE WHEN cnt >= 10 THEN c_mktsegment END AS c_mktsegment,

@@ -37,6 +37,17 @@ object SimilarityRegistry {
       Retrieval.hybridRrf(
         Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10),
         Similarity.bruteForceTopK(s, d, 3, 10))),
+    // ranking-quality scorecard: NDCG@10 + reciprocal rank of the BM25
+    // ranking against graded labels derived from the exact cosine ranks
+    // (3/2/1 tiers) — evaluation runs on the queries x k grid only
+    "q_ndcg" -> ((s, d) => {
+      val lex = Retrieval.bm25TopK(Tables(s, d, "documents"), bm25Queries, 10)
+      val graded = Similarity.bruteForceTopK(s, d, 3, 10)
+        .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+          when(col("rank") <= 2, 3).when(col("rank") <= 5, 2)
+            .otherwise(1).as("rel"))
+      Retrieval.rankingQuality(lex, graded, k = 10, relThreshold = 2)
+    }),
     // per-doc top-5 keywords by smoothed TF-IDF — map-side-combined term
     // counts, broadcast vocabulary df, per-doc window cut
     "q_tfidf_keywords" -> ((s, d) =>
@@ -352,6 +363,36 @@ object SimilarityRegistry {
         |FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
         |WHERE a.w = 'data' AND b.w = 'row'
         |GROUP BY a.doc_id""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
+         |sem AS (SELECT * FROM (${annSql(cellRestricted = false, 3, 10)})),
+         |graded AS (
+         |  SELECT q_id AS query_id, vec_id AS doc_id,
+         |    CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END
+         |      AS rel
+         |  FROM sem),
+         |sys AS (
+         |  SELECT l.query_id, l.doc_id, l.rank, COALESCE(g.rel, 0) AS rel
+         |  FROM lex l LEFT JOIN graded g
+         |    ON l.query_id = g.query_id AND l.doc_id = g.doc_id
+         |  WHERE l.rank <= 10),
+         |dcg AS (
+         |  SELECT query_id,
+         |    round(sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)), 6) AS dcg,
+         |    COALESCE(max(CASE WHEN rel >= 2 THEN 1.0 / rank END), 0.0)
+         |      AS rr_raw
+         |  FROM sys GROUP BY query_id),
+         |ideal AS (
+         |  SELECT query_id,
+         |    round(sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)), 6) AS idcg
+         |  FROM (
+         |    SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, doc_id) AS irank
+         |    FROM graded)
+         |  WHERE irank <= 10 GROUP BY query_id)
+         |SELECT d.query_id, d.dcg, i.idcg,
+         |  round(d.dcg / i.idcg, 6) AS ndcg, round(d.rr_raw, 6) AS rr
+         |FROM dcg d JOIN ideal i ON d.query_id = i.query_id""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
          |sem AS (SELECT * FROM (${annSql(cellRestricted = false, 3, 10)})),

@@ -301,6 +301,16 @@ object TextAnalysisRegistry {
     // census, never the ledger
     "q_theil_sen" -> ((s, d) =>
       TimeSeries.theilSenDailyTrend(Tables(s, d, "events"))),
+    // sample ACF at calendar lags 1..7 over the daily census —
+    // integer-scaled deviations (CUSUM rule), DECIMAL(38,0)-exact sums,
+    // one division at the output
+    "q_acf" -> ((s, d) =>
+      TimeSeries.autocorrelation(Tables(s, d, "events"), maxLag = 7)),
+    // click->purchase lead-lag: CCF at lags -7..7 over the two
+    // zero-filled daily series — same integer-scaled discipline
+    "q_ccf" -> ((s, d) =>
+      TimeSeries.crossCorrelation(Tables(s, d, "events"),
+        "click", "purchase", maxLag = 7)),
     // last-touch attribution: purchases claim the latest same-user click
     // within 24 h via ONE ignore-nulls running window (no probe join)
     "q_attribution" -> ((s, d) =>
@@ -373,6 +383,27 @@ object TextAnalysisRegistry {
     "q_degree_dist" -> ((s, d) =>
       Graph.degreeDistribution(Retrieval.windowCooccurrence(
         Tables(s, d, "documents"), 3, 50))),
+    // local clustering coefficient per term — corner census over the
+    // oriented triangle relation joined to the degree census; exact
+    // integer ratio per node, hub-proof via the same O(m^1.5) bound
+    "q_clustering_coeff" -> ((s, d) =>
+      Graph.localClustering(Retrieval.windowCooccurrence(
+        Tables(s, d, "documents"), 3, 50))),
+    // degree assortativity of the part<->supplier bipartite graph (the
+    // synthetic term graph is COMPLETE, hence regular — assortativity is
+    // undefined there by construction): exact BIGINT edge sums,
+    // DECIMAL(38,0) one-row products, single division
+    "q_assortativity" -> ((s, d) =>
+      Graph.assortativity(Tables(s, d, "lineitem")
+        .select(concat(lit("p"), col("l_partkey")).as("term_a"),
+          concat(lit("s"), col("l_suppkey")).as("term_b"))
+        .distinct())),
+    // 3-core by 4 fixed peel passes (engine-exact replay; the certified
+    // fixpoint variant is spec-covered) — degree census + semi-join per
+    // pass, checkpointed so the plan is O(1) in passes
+    "q_kcore" -> ((s, d) =>
+      Graph.kCore(Retrieval.windowCooccurrence(
+        Tables(s, d, "documents"), 3, 50), k = 3, passes = 4)),
 
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
@@ -897,6 +928,66 @@ object TextAnalysisRegistry {
         |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope,
         |  round(quantile_cont(resid, 0.5), 6) AS intercept
         |FROM res GROUP BY 2, 3""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS t_sum, min(day) AS day0 FROM daily),
+        |ind AS (
+        |  SELECT CAST(date_diff('day', day0, day) AS INT) AS d,
+        |    CAST(n_days * cnt - t_sum AS HUGEINT) AS dev
+        |  FROM daily CROSS JOIN tot),
+        |den AS (
+        |  SELECT sum(dev * dev) AS den, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM ind),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+        |num AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(a.dev * b.dev) AS num
+        |  FROM ind a CROSS JOIN lags l JOIN ind b ON a.d + l.lag = b.d
+        |  GROUP BY l.lag)
+        |SELECT lag, den.n_days AS n_days, n_pairs,
+        |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+        |FROM num CROSS JOIN den""".stripMargin,
+    "q_ccf" ->
+      """WITH daily AS (
+        |  SELECT event_type AS et, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT min(day) AS mn, max(day) AS mx FROM daily)),
+        |fx AS (
+        |  SELECT s.day, COALESCE(d.cnt, 0) AS cnt FROM span s
+        |  LEFT JOIN daily d ON d.day = s.day AND d.et = 'click'),
+        |fy AS (
+        |  SELECT s.day, COALESCE(d.cnt, 0) AS cnt FROM span s
+        |  LEFT JOIN daily d ON d.day = s.day AND d.et = 'purchase'),
+        |tx AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS t, min(day) AS day0 FROM fx),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cnt) AS BIGINT) AS t, min(day) AS day0 FROM fy),
+        |dx AS (
+        |  SELECT CAST(date_diff('day', day0, day) AS INT) AS d,
+        |    CAST(n * cnt - t AS HUGEINT) AS dev
+        |  FROM fx CROSS JOIN tx),
+        |dy AS (
+        |  SELECT CAST(date_diff('day', day0, day) AS INT) AS d,
+        |    CAST(n * cnt - t AS HUGEINT) AS dev
+        |  FROM fy CROSS JOIN ty),
+        |den AS (
+        |  SELECT (SELECT sum(dev * dev) FROM dx) AS sx2,
+        |    (SELECT sum(dev * dev) FROM dy) AS sy2),
+        |lags AS (SELECT CAST(unnest(range(-7, 8)) AS INTEGER) AS lag)
+        |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(a.dev * b.dev) AS DOUBLE)
+        |    / sqrt(CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)), 6) AS ccf
+        |FROM dx a CROSS JOIN lags l JOIN dy b ON a.d + l.lag = b.d
+        |CROSS JOIN den
+        |GROUP BY l.lag, sx2, sy2""".stripMargin,
     "q_daily_percentiles" ->
       """SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1182,6 +1273,109 @@ object TextAnalysisRegistry {
         |  list_sort([a, b, c])[2] AS term_b,
         |  greatest(a, b, c) AS term_c
         |FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin,
+    // the part<->supplier bipartite edge set + degree tag join; exact
+    // HUGEINT sums, one division (denominator = variance form by u<->v
+    // symmetry), NULL on a regular graph
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'p' || l_partkey AS term_a,
+        |    's' || l_suppkey AS term_b
+        |  FROM lineitem),
+        |sym AS (
+        |  SELECT term_a AS u, term_b AS v FROM e
+        |  WHERE term_a != term_b
+        |  UNION ALL
+        |  SELECT term_b AS u, term_a AS v FROM e
+        |  WHERE term_a != term_b),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+        |tagged AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u),
+        |sums AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    CAST(sum(du) AS HUGEINT) AS sj,
+        |    CAST(sum(du * du) AS HUGEINT) AS sj2,
+        |    CAST(sum(du * dv) AS HUGEINT) AS sjk
+        |  FROM tagged)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  CASE WHEN m * sj2 - sj * sj = 0 THEN NULL
+        |    ELSE round(CAST(m * sjk - sj * sj AS DOUBLE)
+        |      / CAST(m * sj2 - sj * sj AS DOUBLE), 6) END AS assortativity
+        |FROM sums""".stripMargin,
+    // the same edge CTE peeled 4 times: degree census + double semi-join
+    // per pass — the engine's fixed-pass replay
+    "q_kcore" -> {
+      val peels = (1 to 4).map { i =>
+        s"""k$i AS (SELECT u FROM (
+           |  SELECT u, count(*) AS c FROM s${i - 1} GROUP BY u) WHERE c >= 3),
+           |s$i AS (
+           |  SELECT s.u, s.v FROM s${i - 1} s
+           |  JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (
+         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |pp AS (
+         |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+         |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+         |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+         |  FROM tk WHERE len(t) >= 2),
+         |e AS (
+         |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+         |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
+         |s0 AS (
+         |  SELECT term_a AS u, term_b AS v FROM e
+         |  WHERE term_a != term_b
+         |  UNION ALL
+         |  SELECT term_b AS u, term_a AS v FROM e
+         |  WHERE term_a != term_b),
+         |$peels
+         |SELECT u AS term, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM s4 GROUP BY u""".stripMargin
+    },
+    // the q_triangles pipeline + corner unnest census + degree join:
+    // lcc = 2*tri / (deg*(deg-1)) over nodes with degree >= 2
+    "q_clustering_coeff" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |pp AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
+        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
+        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
+        |  FROM tk WHERE len(t) >= 2),
+        |e AS (
+        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
+        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
+        |sym AS (
+        |  SELECT term_a AS u, term_b AS v FROM e
+        |  UNION ALL
+        |  SELECT term_b AS u, term_a AS v FROM e),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+        |o AS (
+        |  SELECT s.u, s.v, dv.d AS dv
+        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
+        |  WHERE (du.d, s.u) < (dv.d, s.v)),
+        |w AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM o e1 JOIN o e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
+        |tri AS (
+        |  SELECT a, b, c FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v),
+        |corners AS (
+        |  SELECT unnest([a, b, c]) AS term FROM tri),
+        |tpn AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM corners GROUP BY term),
+        |degc AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS d
+        |  FROM sym WHERE u != v GROUP BY u)
+        |SELECT degc.u AS term, degc.d AS degree,
+        |  COALESCE(tpn.n_tri, 0) AS n_tri,
+        |  round(2.0 * COALESCE(tpn.n_tri, 0)
+        |    / CAST(degc.d * (degc.d - 1) AS DOUBLE), 6) AS lcc
+        |FROM degc LEFT JOIN tpn ON degc.u = tpn.term
+        |WHERE degc.d >= 2""".stripMargin,
     "q_vocab_coverage" ->
       """WITH c AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (

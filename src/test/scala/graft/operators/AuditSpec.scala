@@ -236,4 +236,17 @@ class AuditSpec extends SparkSpec {
       Seq.fill(4)(("b", "x")) ++ Seq.fill(4)(("b", "y"))).toDF("u", "v")
     assert(Audit.cramersV(ind, "u", "v").collect()(0).getDouble(2) == 0.0)
   }
+
+  test("fdCheck: g3 error counts the minimum deletions; an exact FD reports holds") {
+    import spark.implicits._
+    // det=1: dep {x,x,y} -> top 2, 1 deletion; det=2: {z} clean
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z")).toDF("a", "b")
+    val r = Audit.fdCheck(df, "a_b", Seq("a"), "b").collect()(0)
+    assert(r.getString(0) == "a_b" && r.getLong(1) == 4L && r.getLong(2) == 2L, r.toString)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L && !r.getBoolean(5), r.toString)
+    // key-determined dep holds exactly
+    val clean = Seq((1, "x"), (2, "y"), (2, "y")).toDF("a", "b")
+    val c = Audit.fdCheck(clean, "a_b", Seq("a"), "b").collect()(0)
+    assert(c.getLong(4) == 0L && c.getBoolean(5), c.toString)
+  }
 }

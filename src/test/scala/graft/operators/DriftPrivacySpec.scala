@@ -108,4 +108,32 @@ class DriftPrivacySpec extends SparkSpec {
       Seq(2.0, 4.0).toDF("v"), "v").collect()(0)
     assert(h.getDouble(2) == 0.5, h.toString)
   }
+
+  test("tCloseness: a group matching the global distribution scores emd 0; fully-polarized groups score the hand-computed 0.5") {
+    import spark.implicits._
+    // groups A and B each concentrate on one of two sensitive values;
+    // global is 50/50. p-q cumsums: A -> (+1/2, 0) => emd = 0.5/(m-1)=0.5
+    val df = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("g", "v")
+    val got = Privacy.tClosenessCensus(df, Seq("g"), "v", t = 0.3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got("A") == (0.5, true) && got("B") == (0.5, true), got.toString)
+    // a group mirroring the global mix exactly scores 0
+    val mixed = Seq(("A", 1), ("A", 2), ("B", 1), ("B", 2)).toDF("g", "v")
+    val zero = Privacy.tClosenessCensus(mixed, Seq("g"), "v", t = 0.3)
+      .collect().map(r => r.getDouble(3))
+    assert(zero.forall(_ == 0.0), zero.mkString(","))
+  }
+
+  test("tCloseness: ordered EMD sees NEAR misses as closer than far ones (the l-diversity blind spot)") {
+    import spark.implicits._
+    // global over values 1..3 uniform; 'near' shifts mass 1->2 (adjacent),
+    // 'far' shifts the same mass 1->3 (two steps) => far EMD strictly larger
+    val df = Seq(
+      ("near", 2), ("near", 2), ("near", 3),
+      ("far", 3), ("far", 3), ("far", 2),
+      ("base", 1), ("base", 1), ("base", 1)).toDF("g", "v")
+    val got = Privacy.tClosenessCensus(df, Seq("g"), "v", t = 0.9)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("far") > got("near"), got.toString)
+  }
 }

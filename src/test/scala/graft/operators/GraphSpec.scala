@@ -115,4 +115,64 @@ class GraphSpec extends SparkSpec {
       r.values.map(v => v._2 * v._2).sum)
     assert(math.abs(an - 1.0) < 1e-4 && math.abs(hn - 1.0) < 1e-4, s"$an $hn")
   }
+
+  test("localClustering: clique corners score 1, a star centre scores 0, degree-1 nodes drop") {
+    import spark.implicits._
+    // triangle a-b-c plus star s with leaves l1..l3 (no leaf-leaf edges)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("s", "l1"), ("s", "l2"), ("s", "l3")).toDF("term_a", "term_b")
+    val got = Graph.localClustering(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("a", "b", "c", "s"), got.toString) // leaves degree 1 drop
+    Seq("a", "b", "c").foreach(n => assert(got(n) == (2L, 1L, 1.0), s"$n -> ${got(n)}"))
+    assert(got("s") == (3L, 0L, 0.0), got("s").toString)
+  }
+
+  test("localClustering: partial cohesion is the exact triangle/wedge ratio") {
+    import spark.implicits._
+    // 4-cycle with ONE diagonal: a-b, b-c, c-d, d-a, a-c
+    // a: deg 3, triangles {abc, acd} = 2 -> lcc = 2*2/(3*2) = 0.666667
+    // b: deg 2, 1 triangle -> 1.0; d likewise; c symmetric to a
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c"))
+      .toDF("term_a", "term_b")
+    val got = Graph.localClustering(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("a") == 0.666667 && got("c") == 0.666667, got.toString)
+    assert(got("b") == 1.0 && got("d") == 1.0, got.toString)
+  }
+
+  test("assortativity: a star is perfectly disassortative (-1), a path scores the hand-computed -0.5") {
+    import spark.implicits._
+    val star = Seq(("s", "l1"), ("s", "l2"), ("s", "l3")).toDF("term_a", "term_b")
+    assert(Graph.assortativity(star).collect()(0).getDouble(1) == -1.0)
+    // P4 a-b-c-d: m=6 sj=10 sj2=18 sjk=16 -> (96-100)/(108-100) = -0.5
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("term_a", "term_b")
+    val r = Graph.assortativity(path).collect()(0)
+    assert(r.getLong(0) == 6L && r.getDouble(1) == -0.5, r.toString)
+    // a REGULAR graph has zero degree variance: undefined -> null, no error
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("term_a", "term_b")
+    assert(Graph.assortativity(tri).collect()(0).isNullAt(1))
+  }
+
+  test("kCore: a pendant chain peels away, the clique survives with in-core degrees; certified matches and under-peeling is visible") {
+    import spark.implicits._
+    // triangle a-b-c plus chain c-d-e: 2-core = the triangle exactly
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("term_a", "term_b")
+    val core = Graph.kCore(g, k = 2, passes = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), core.toString)
+    val cert = Graph.kCoreCertified(g, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cert == core, cert.toString)
+    // a 7-node chain needs one peel per endpoint pair: 1 fixed pass
+    // under-peels (interior nodes still look degree-2), certified empties it
+    val chain = (1 to 6).map(i => (s"n$i", s"n${i + 1}")).toDF("term_a", "term_b")
+    assert(Graph.kCore(chain, k = 2, passes = 1).count() > 0)
+    assert(Graph.kCoreCertified(chain, k = 2).count() == 0)
+    // loud failure rather than a silent half-peel when the cap is too low
+    intercept[IllegalStateException] {
+      Graph.kCoreCertified(chain, k = 2, maxPasses = 1)
+    }
+  }
 }

@@ -240,4 +240,31 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(slope + 1.0) < 0.02, s"slope $slope, expected ~ -1")
     assert(row.getDouble(3) > 0.999, s"r2 ${row.getDouble(3)}")
   }
+
+  test("rankingQuality: the ideal ordering scores ndcg 1 and rr 1; a reversed ranking matches the hand-computed dcg ratio") {
+    import org.apache.spark.sql.functions.col
+    val graded = Seq((0, 10L, 3), (0, 20L, 2), (0, 30L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val ideal = Seq((0, 10L, 1), (0, 20L, 2), (0, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val perfect = Retrieval.rankingQuality(ideal, graded, k = 10).collect()(0)
+    assert(perfect.getDouble(3) == 1.0 && perfect.getDouble(4) == 1.0, perfect.toString)
+    val reversed = Seq((0, 30L, 1), (0, 20L, 2), (0, 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rankingQuality(reversed, graded, k = 10).collect()(0)
+    def dcgOf(rels: Seq[Int]): Double =
+      BigDecimal(rels.zipWithIndex.map { case (rel, i) =>
+        (math.pow(2, rel) - 1) / (math.log(i + 2) / math.log(2)) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (dcg, idcg) = (dcgOf(Seq(1, 2, 3)), dcgOf(Seq(3, 2, 1)))
+    assert(got.getDouble(1) == dcg && got.getDouble(2) == idcg, got.toString)
+    assert(got.getDouble(3) == BigDecimal(dcg / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, got.toString)
+    // first rel >= 2 result sits at rank 2 -> rr = 0.5
+    assert(got.getDouble(4) == 0.5, got.toString)
+    // a query with NO graded docs in the top-k: dcg 0, rr 0
+    val miss = Seq((0, 99L, 1)).toDF("query_id", "doc_id", "rank")
+    val m = Retrieval.rankingQuality(miss, graded, k = 10).collect()(0)
+    assert(m.getDouble(1) == 0.0 && m.getDouble(4) == 0.0, m.toString)
+  }
 }

@@ -417,4 +417,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq((2, 4L, 1L, 0.75), (4, 3L, 1L, 0.5), (9, 1L, 1L, 0.0)),
       got.mkString(", "))
   }
+
+  test("autocorrelation: an alternating daily series matches the from-scratch ACF; missing days break pairs instead of splicing") {
+    import spark.implicits._
+    // daily counts over 8 consecutive days: 3,1,3,1,... (one event row per count)
+    val counts = Seq(3, 1, 3, 1, 3, 1, 3, 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (f"2024-02-${d + 1}%02d 0$i:00:00")) }
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.autocorrelation(ev, maxLag = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    def ref(k: Int): Double = {
+      val n = counts.size; val mean = counts.sum.toDouble / n
+      val dev = counts.map(_ - mean)
+      val num = (0 until n - k).map(t => dev(t) * dev(t + k)).sum
+      BigDecimal(num / dev.map(d => d * d).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1) == (7L, ref(1)) && got(2) == (6L, ref(2)), got.toString)
+    assert(got(1)._2 < -0.8 && got(2)._2 > 0.6, got.toString) // period-2 signature
+    // drop day 3: calendar lag-1 pairs shrink to 5 (2-3 and 3-4 both break)
+    val gapped = counts.zipWithIndex.filter(_._2 != 2).flatMap { case (c, d) =>
+      (0 until c).map(i => (f"2024-02-${d + 1}%02d 0$i:00:00")) }
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val g = TimeSeries.autocorrelation(gapped, maxLag = 1).collect()(0)
+    assert(g.getLong(2) == 5L, g.toString)
+  }
+
+  test("crossCorrelation: a planted 2-day lead peaks at lag +2; zero-fill keeps the series aligned") {
+    import spark.implicits._
+    // clicks bursty on days 1..8; purchases repeat the SAME pattern 2 days later
+    val pattern = Seq(5, 1, 4, 1, 6, 1, 3, 1)
+    val clicks = pattern.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("click", f"2024-03-${d + 1}%02d 0$i:00:00")) }
+    val buys = pattern.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ("purchase", f"2024-03-${d + 3}%02d 0$i:00:00")) }
+    val ev = (clicks ++ buys).toDF("event_type", "s")
+      .select(col("event_type"), col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.crossCorrelation(ev, "click", "purchase", maxLag = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == (-4 to 4).toSet, got.keySet.toString)
+    val peak = got.maxBy(_._2._2)
+    assert(peak._1 == 2, s"peak at ${peak._1}, expected +2: $got")
+    // the zero-padded span tails dilute the coefficient below 1
+    assert(peak._2._2 > 0.7, got(2).toString)
+    // span is 10 days (day 1 .. day 10): lag +4 overlaps 6 day-pairs
+    assert(got(4)._1 == 6L, got(4).toString)
+  }
 }
