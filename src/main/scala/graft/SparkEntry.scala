@@ -36,6 +36,7 @@ object SparkEntry {
     DedupRegistry.queries ++
     SimilarityRegistry.queries ++
     MiscRegistry.queries ++
+    GraphRegistry.queries ++
     MultimodalRegistry.queries
 
   /** DuckDB-runnable ANSI SQL per query; same parquet tables, same column
@@ -47,5 +48,6 @@ object SparkEntry {
     DedupRegistry.oracleSql ++
     SimilarityRegistry.oracleSql ++
     MiscRegistry.oracleSql ++
+    GraphRegistry.oracleSql ++
     MultimodalRegistry.oracleSql
 }

@@ -25,6 +25,18 @@ object DedupRegistry {
       Dedup.minhashCcLabels(s, d, 3)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
+    // SOFT dedup: keep every doc but train-weight it 1/cluster_size —
+    // the drop-nothing alternative the hard survivor policy trades
+    // against (total weight == n_clusters, so the corpus "token budget"
+    // equals the deduped one without discarding any variant). Served
+    // from the certified labels; one window count over the bounded
+    // cluster partitioning, exact integer ratio
+    "q_dedup_weights" -> ((s, d) =>
+      Dedup.minhashCcLabelsCertified(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))),
     // the dedup pipeline's OUTPUT: one survivor per component — served
     // from the FIXPOINT-CERTIFIED label artifact (round-10): the fixed-3
     // form stays as q_dedup_cc's oracle-replay surface, but the pipeline
@@ -426,6 +438,13 @@ object DedupRegistry {
          |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_survivors" ->
       s"SELECT doc_id FROM (${minhashCcSql(3)}) WHERE cluster_id = doc_id",
+    "q_dedup_weights" ->
+      s"""WITH cc AS (${minhashCcSql(3)})
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
+         |FROM cc""".stripMargin,
     "q_dedup_survivors_best" ->
       s"""WITH cc AS (${minhashCcSql(3)}),
          |m AS (

@@ -337,22 +337,9 @@ object TextAnalysisRegistry {
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
       TimeSeries.markovTransitions(Tables(s, d, "events"))),
-    // general PageRank (dangling mass redistributed) over the event-type
-    // transition graph — composes the Markov census into the graph tier
-    // HITS hubs/authorities over the same event-transition graph as
-    // q_pagerank - separates the two link-analysis roles PageRank
-    // conflates; unrolled-iteration oracle, L2-normalized + rounded/step
-    "q_hits" -> ((s, d) => Graph.hits(
-      TimeSeries.markovTransitions(Tables(s, d, "events"))
-        .select(col("event_type").as("src"), col("next_type").as("dst"),
-          col("n").as("w")))),
     // Zipf-law OLS fit over the top-1000 term census: slope ~ -1 is the
     // natural-language signature (one-row corpus-health probe)
     "q_zipf_fit" -> ((s, d) => Retrieval.zipfFit(Tables(s, d, "documents"))),
-    "q_pagerank" -> ((s, d) => Graph.pageRank(
-      TimeSeries.markovTransitions(Tables(s, d, "events"))
-        .select(col("event_type").as("src"), col("next_type").as("dst"),
-          col("n").as("w")))),
     // duration-weighted per-user mean: each value holds until the user's
     // next event — the correct mean for irregular sampling
     "q_time_weighted_avg" -> ((s, d) =>
@@ -369,42 +356,6 @@ object TextAnalysisRegistry {
         .select(col("event_id"), col("user_id"),
           round(col("interp"), 4).as("v_interp"))
     }),
-    // triangle census over the skip-gram term graph, degree-ordered
-    // orientation (out-degree bounded O(√m) — hub-proof wedge counts)
-    "q_triangles" -> ((s, d) =>
-      Graph.triangles(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // general min-label-propagation CC over the SAME term graph — labels
-    // monotone, 4 iterations >= diameter at this density
-    "q_graph_cc" -> ((s, d) =>
-      Graph.connectedComponents(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // degree -> node-count census over the term graph
-    "q_degree_dist" -> ((s, d) =>
-      Graph.degreeDistribution(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // local clustering coefficient per term — corner census over the
-    // oriented triangle relation joined to the degree census; exact
-    // integer ratio per node, hub-proof via the same O(m^1.5) bound
-    "q_clustering_coeff" -> ((s, d) =>
-      Graph.localClustering(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50))),
-    // degree assortativity of the part<->supplier bipartite graph (the
-    // synthetic term graph is COMPLETE, hence regular — assortativity is
-    // undefined there by construction): exact BIGINT edge sums,
-    // DECIMAL(38,0) one-row products, single division
-    "q_assortativity" -> ((s, d) =>
-      Graph.assortativity(Tables(s, d, "lineitem")
-        .select(concat(lit("p"), col("l_partkey")).as("term_a"),
-          concat(lit("s"), col("l_suppkey")).as("term_b"))
-        .distinct())),
-    // 3-core by 4 fixed peel passes (engine-exact replay; the certified
-    // fixpoint variant is spec-covered) — degree census + semi-join per
-    // pass, checkpointed so the plan is O(1) in passes
-    "q_kcore" -> ((s, d) =>
-      Graph.kCore(Retrieval.windowCooccurrence(
-        Tables(s, d, "documents"), 3, 50), k = 3, passes = 4)),
-
     // PII redaction: deterministic synthetic PII (email/SSN/IPv4/phone all
     // derived from doc_id) is appended to a digit-stripped text snippet,
     // then scrubbed by the ordered PiiPatterns chain — exercises every
@@ -1122,67 +1073,6 @@ object TextAnalysisRegistry {
         |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4)
         |    AS p
         |FROM c""".stripMargin,
-    // skip-gram term-graph CC: unrolled min-label propagation (exact
-    // string mins — no float anywhere)
-    "q_graph_cc" -> {
-      val iters = (1 to 4).map { i =>
-        s"""n$i AS (
-           |  SELECT s.v AS node, min(l.label) AS nl
-           |  FROM sym s JOIN l${i - 1} l ON s.u = l.node GROUP BY 1),
-           |l$i AS (
-           |  SELECT l.node, least(l.label, coalesce(n.nl, l.label)) AS label
-           |  FROM l${i - 1} l LEFT JOIN n$i n USING (node))""".stripMargin
-      }.mkString(",\n")
-      s"""$termGraphCtes,
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
-         |$iters
-         |SELECT node, label FROM l4""".stripMargin
-    },
-    "q_degree_dist" ->
-      s"""$termGraphCtes,
-         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree
-         |        FROM sym GROUP BY 1)
-         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM deg GROUP BY 1""".stripMargin,
-    // Markov edge CTE + unrolled PageRank iterations (round-6 per
-    // iteration, dangling mass via NOT IN outw, 1-0.85 left unfolded so
-    // both engines subtract at runtime)
-    "q_hits" -> {
-      val base =
-        """WITH seq AS (
-          |  SELECT event_type, lead(event_type, 1) OVER (
-          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-          |  FROM events),
-          |e AS (
-          |  SELECT event_type AS src, next_type AS dst,
-          |    CAST(count(*) AS DOUBLE) AS w
-          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
-          |nodes AS (
-          |  SELECT DISTINCT node FROM (
-          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-          |h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin
-      val iters = (1 to 3).map { i =>
-        s"""a${i}r AS (
-           |  SELECT e.dst AS node, sum(e.w * h.h) AS ar
-           |  FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
-           |a${i}n AS (SELECT sqrt(sum(ar * ar)) AS an FROM a${i}r),
-           |a$i AS (
-           |  SELECT n.node,
-           |    round(coalesce(r.ar, 0.0) / (SELECT an FROM a${i}n), 6) AS a
-           |  FROM nodes n LEFT JOIN a${i}r r USING (node)),
-           |h${i}r AS (
-           |  SELECT e.src AS node, sum(e.w * a.a) AS hr
-           |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
-           |h${i}n AS (SELECT sqrt(sum(hr * hr)) AS hn FROM h${i}r),
-           |h$i AS (
-           |  SELECT n.node,
-           |    round(coalesce(r.hr, 0.0) / (SELECT hn FROM h${i}n), 6) AS h
-           |  FROM nodes n LEFT JOIN h${i}r r USING (node))""".stripMargin
-      }.mkString(",\n")
-      s"$base,\n$iters\n" +
-        "SELECT a3.node, a3.a AS authority, h3.h AS hub " +
-        "FROM a3 JOIN h3 USING (node)"
-    },
     "q_zipf_fit" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1207,175 +1097,6 @@ object TextAnalysisRegistry {
         |  round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx)
         |    * (n * syy - sy * sy)), 4) AS r2
         |FROM s""".stripMargin,
-    "q_pagerank" -> {
-      val base =
-        """WITH seq AS (
-          |  SELECT event_type, lead(event_type, 1) OVER (
-          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-          |  FROM events),
-          |e AS (
-          |  SELECT event_type AS src, next_type AS dst,
-          |    CAST(count(*) AS BIGINT) AS w
-          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
-          |nodes AS (
-          |  SELECT DISTINCT node FROM (
-          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
-          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
-          |trans AS (
-          |  SELECT src, dst, CAST(w AS DOUBLE) / wout AS p
-          |  FROM e JOIN outw USING (src)),
-          |s0 AS (SELECT node, 1.0 AS score FROM nodes)""".stripMargin
-      val iters = (1 to 3).map { i =>
-        s"""d$i AS (
-           |  SELECT coalesce(sum(score), 0.0) AS dmass FROM s${i - 1}
-           |  WHERE node NOT IN (SELECT src FROM outw)),
-           |c$i AS (
-           |  SELECT t.dst AS node, sum(t.p * s.score) AS c
-           |  FROM trans t JOIN s${i - 1} s ON t.src = s.node GROUP BY 1),
-           |s$i AS (
-           |  SELECT n.node,
-           |    round((1 - 0.85) + 0.85 * (coalesce(c.c, 0.0)
-           |      + d.dmass / nn.n_nodes), 6) AS score
-           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
-           |  CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin
-      }.mkString(",\n")
-      s"$base,\n$iters\nSELECT node, score FROM s3"
-    },
-    // same skip-gram edge CTE as q_cooccurrence_skipgram, then the
-    // degree-ordered orientation mirrored with row-value comparisons
-    "q_triangles" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |pp AS (
-        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-        |  FROM tk WHERE len(t) >= 2),
-        |e AS (
-        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-        |sym AS (
-        |  SELECT term_a AS u, term_b AS v FROM e
-        |  UNION ALL
-        |  SELECT term_b AS u, term_a AS v FROM e),
-        |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
-        |o AS (
-        |  SELECT s.u, s.v, dv.d AS dv
-        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
-        |  WHERE (du.d, s.u) < (dv.d, s.v)),
-        |w AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM o e1 JOIN o e2
-        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v))
-        |SELECT least(a, b, c) AS term_a,
-        |  list_sort([a, b, c])[2] AS term_b,
-        |  greatest(a, b, c) AS term_c
-        |FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v""".stripMargin,
-    // the part<->supplier bipartite edge set + degree tag join; exact
-    // HUGEINT sums, one division (denominator = variance form by u<->v
-    // symmetry), NULL on a regular graph
-    "q_assortativity" ->
-      """WITH e AS (
-        |  SELECT DISTINCT 'p' || l_partkey AS term_a,
-        |    's' || l_suppkey AS term_b
-        |  FROM lineitem),
-        |sym AS (
-        |  SELECT term_a AS u, term_b AS v FROM e
-        |  WHERE term_a != term_b
-        |  UNION ALL
-        |  SELECT term_b AS u, term_a AS v FROM e
-        |  WHERE term_a != term_b),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-        |tagged AS (
-        |  SELECT du.d AS du, dv.d AS dv
-        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u),
-        |sums AS (
-        |  SELECT CAST(count(*) AS HUGEINT) AS m,
-        |    CAST(sum(du) AS HUGEINT) AS sj,
-        |    CAST(sum(du * du) AS HUGEINT) AS sj2,
-        |    CAST(sum(du * dv) AS HUGEINT) AS sjk
-        |  FROM tagged)
-        |SELECT CAST(m AS BIGINT) AS m,
-        |  CASE WHEN m * sj2 - sj * sj = 0 THEN NULL
-        |    ELSE round(CAST(m * sjk - sj * sj AS DOUBLE)
-        |      / CAST(m * sj2 - sj * sj AS DOUBLE), 6) END AS assortativity
-        |FROM sums""".stripMargin,
-    // the same edge CTE peeled 4 times: degree census + double semi-join
-    // per pass — the engine's fixed-pass replay
-    "q_kcore" -> {
-      val peels = (1 to 4).map { i =>
-        s"""k$i AS (SELECT u FROM (
-           |  SELECT u, count(*) AS c FROM s${i - 1} GROUP BY u) WHERE c >= 3),
-           |s$i AS (
-           |  SELECT s.u, s.v FROM s${i - 1} s
-           |  JOIN k$i a ON s.u = a.u JOIN k$i b ON s.v = b.u)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tk AS (
-         |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
-         |  FROM documents),
-         |pp AS (
-         |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-         |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-         |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-         |  FROM tk WHERE len(t) >= 2),
-         |e AS (
-         |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-         |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-         |s0 AS (
-         |  SELECT term_a AS u, term_b AS v FROM e
-         |  WHERE term_a != term_b
-         |  UNION ALL
-         |  SELECT term_b AS u, term_a AS v FROM e
-         |  WHERE term_a != term_b),
-         |$peels
-         |SELECT u AS term, CAST(count(*) AS BIGINT) AS core_degree
-         |FROM s4 GROUP BY u""".stripMargin
-    },
-    // the q_triangles pipeline + corner unnest census + degree join:
-    // lcc = 2*tri / (deg*(deg-1)) over nodes with degree >= 2
-    "q_clustering_coeff" ->
-      """WITH tk AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |pp AS (
-        |  SELECT unnest(flatten(list_transform(range(1, len(t)),
-        |    i -> list_transform(range(i + 1, least(i + 3, len(t)) + 1),
-        |      j -> {'a': least(t[i], t[j]), 'b': greatest(t[i], t[j])})))) AS p
-        |  FROM tk WHERE len(t) >= 2),
-        |e AS (
-        |  SELECT p.a AS term_a, p.b AS term_b, count(*) AS n_ab
-        |  FROM pp GROUP BY 1, 2 HAVING count(*) >= 50),
-        |sym AS (
-        |  SELECT term_a AS u, term_b AS v FROM e
-        |  UNION ALL
-        |  SELECT term_b AS u, term_a AS v FROM e),
-        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
-        |o AS (
-        |  SELECT s.u, s.v, dv.d AS dv
-        |  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u
-        |  WHERE (du.d, s.u) < (dv.d, s.v)),
-        |w AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM o e1 JOIN o e2
-        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
-        |tri AS (
-        |  SELECT a, b, c FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v),
-        |corners AS (
-        |  SELECT unnest([a, b, c]) AS term FROM tri),
-        |tpn AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS n_tri
-        |  FROM corners GROUP BY term),
-        |degc AS (
-        |  SELECT u, CAST(count(*) AS BIGINT) AS d
-        |  FROM sym WHERE u != v GROUP BY u)
-        |SELECT degc.u AS term, degc.d AS degree,
-        |  COALESCE(tpn.n_tri, 0) AS n_tri,
-        |  round(2.0 * COALESCE(tpn.n_tri, 0)
-        |    / CAST(degc.d * (degc.d - 1) AS DOUBLE), 6) AS lcc
-        |FROM degc LEFT JOIN tpn ON degc.u = tpn.term
-        |WHERE degc.d >= 2""".stripMargin,
     "q_vocab_coverage" ->
       """WITH c AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (

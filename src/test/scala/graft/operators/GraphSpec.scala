@@ -174,5 +174,11 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Graph.kCoreCertified(chain, k = 2, maxPasses = 1)
     }
+    // checkpoint discipline: the plan must not nest one join per pass
+    def planNodes(passes: Int): Int =
+      Graph.kCore(g, k = 2, passes = passes)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(4) == planNodes(8),
+      s"plan grows with passes: ${planNodes(4)} vs ${planNodes(8)}")
   }
 }
