@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation-platform statistics over the events ledger — the
+  * "did the change work?" read-out a data platform owes its users once
+  * it can already randomize (deterministic hash bucketing, `Sampling`)
+  * and aggregate. Variants come from the same md5 unit-hash every
+  * sampling surface shares, so assignment is reproducible across
+  * engines, reruns and layouts.
+  *
+  * Determinism discipline (the CUSUM/ACF rule): per-user value sums are
+  * exact integer CENTS; every reported statistic is either an exact
+  * integer ratio divided ONCE at the output, or a double combination of
+  * such ratios each rounded first. DECIMAL(38,0) carries the one-row
+  * products of sums (n·Σxy − Σx·Σy clears 2⁶³ long before the sums
+  * themselves do). */
+object Experiment {
+
+  private def centsOf(value: Column): Column =
+    round(value * 100, 0).cast("long")
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * adjust each unit's post-period metric y by its PRE-period covariate
+    * x — y_cuped = y − θ·(x − x̄), θ = cov(x,y)/var(x) pooled across
+    * variants — and report per-variant means and variances of both the
+    * raw and the adjusted metric. Pre-period behaviour is independent of
+    * assignment, so the adjustment is unbiased and strips the variance
+    * share that pre-existing heterogeneity explains: the same experiment
+    * decides in a fraction of the traffic.
+    *
+    * Scale shape: the ledger folds to one row per unit in a single
+    * map-side-combinable aggregate (pre/post split by one timestamp
+    * predicate); θ and x̄ come from a ONE-ROW moment fold broadcast
+    * back; per-variant outputs aggregate the unit relation once more.
+    * Nothing corpus-sized is joined, windowed or sorted. */
+  def cupedReport(events: DataFrame, cutoff: String,
+      variants: Int = 2): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        (col("ts") < lit(cutoff).cast("timestamp")).as("pre"),
+        centsOf(col("value")).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        (Sampling.hashBucket(col("user_id")) % variants).cast("int"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    // pooled moments -> theta and x_bar, each ONE exact-integer ratio
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sx2"))
+      .select(
+        round((dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("double") /
+          (dec(col("n")) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+          .cast("double"), 6).as("theta"),
+        // cents -> value units: /100 inside the single division
+        round(col("sx").cast("double") / (col("n") * 100L), 6).as("x_bar"))
+    val byVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sx2"),
+        sum(dec(col("y")) * dec(col("y"))).as("sy2"))
+    // per-variant raw moments in value units, each rounded BEFORE the
+    // double combination below (one rounding path in both engines)
+    val n = col("n_units")
+    val meanX = round(col("sx").cast("double") / (n * 100L), 6)
+    val meanY = round(col("sy").cast("double") / (n * 100L), 6)
+    val varY = round((dec(n) * col("sy2") - dec(col("sy")) * dec(col("sy")))
+      .cast("double") / (n * n * 10000L).cast("double"), 6)
+    val varX = round((dec(n) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+      .cast("double") / (n * n * 10000L).cast("double"), 6)
+    val covXY = round((dec(n) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+      .cast("double") / (n * n * 10000L).cast("double"), 6)
+    byVariant.crossJoin(broadcast(pooled))
+      .withColumn("mean_y", meanY)
+      .withColumn("var_y", varY)
+      .withColumn("mean_cuped",
+        round(meanY - col("theta") * (meanX - col("x_bar")), 6))
+      .withColumn("var_cuped",
+        round(varY - lit(2.0) * col("theta") * covXY +
+          col("theta") * col("theta") * varX, 6))
+      .select(col("variant"), col("n_units"), col("theta"), col("mean_y"),
+        col("mean_cuped"), col("var_y"), col("var_cuped"),
+        round((lit(1.0) - col("var_cuped") / col("var_y")) * 100, 2)
+          .as("var_reduction_pct"))
+  }
+
+  /** Two-proportion z-test on a post-period conversion event — the
+    * basic A/B read-out: per-variant exposure and conversion counts,
+    * rates, absolute lift, and the pooled-variance z statistic
+    * (variant 1 minus variant 0). Conversion = at least one `convType`
+    * event of value ≥ `minValue` after the cutoff (the value floor keeps
+    * the rate non-degenerate on a corpus where every unit eventually
+    * fires every event type). All counts exact; rates and the pooled
+    * rate are single integer ratios rounded 6; z combines the ROUNDED
+    * components in one √ expression, rounded 4 — NULL (not an error)
+    * when the pooled rate is 0 or 1, where the statistic is undefined. */
+  def abTestZ(events: DataFrame, convType: String, cutoff: String,
+      minValue: Double = 0.0): DataFrame = {
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("ts") >= lit(cutoff).cast("timestamp") &&
+        col("value") >= minValue)
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    val units = events.select(col("user_id")).distinct()
+      .withColumn("variant", (Sampling.hashBucket(col("user_id")) % 2).cast("int"))
+      .join(conv, Seq("user_id"), "left")
+    val per = units.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("converted"), lit(0L))).as("c"))
+      .withColumn("p", round(col("c").cast("double") / col("n"), 6))
+    val a = per.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("c").as("c0"), col("p").as("p0"))
+    val b = per.filter(col("variant") === 1)
+      .select(col("n").as("n1"), col("c").as("c1"), col("p").as("p1"))
+    a.crossJoin(b)
+      .withColumn("p_pool",
+        round((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")), 6))
+      .select(col("n0"), col("c0"), col("p0"), col("n1"), col("c1"), col("p1"),
+        round(col("p1") - col("p0"), 6).as("lift"),
+        when(col("p_pool") === 0.0 || col("p_pool") === 1.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("p1") - col("p0")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
+  }
+}

@@ -137,6 +137,16 @@ object MiscRegistry {
         "price_positive" -> (col("l_extendedprice") > 0),
         "shipdate_present" -> col("l_shipdate").isNotNull,
         "flag_known" -> col("l_returnflag").isin("A", "N", "R")))),
+    // CUPED variance reduction: post-period metric adjusted by the
+    // pre-period covariate (theta from ONE pooled moment fold); all
+    // moments exact integer-cent ratios, rounded before combination
+    "q_cuped" -> ((s, d) =>
+      Experiment.cupedReport(Tables(s, d, "events"), "2024-01-16")),
+    // two-proportion z-test on post-period purchase conversion between
+    // the two md5-hash variants — exact counts, one-row report
+    "q_ab_test" -> ((s, d) =>
+      Experiment.abTestZ(Tables(s, d, "events"), "purchase", "2024-01-16",
+        minValue = 150.0)),
     // functional-dependency profiling: g3 error (min deletions to make
     // det -> dep hold) per declared candidate — one census + one rollup
     // per FD, all exact counts; nation_region holds, the others measure
@@ -433,6 +443,93 @@ object MiscRegistry {
         |  FROM cum GROUP BY c_mktsegment, n, m, big_n)
         |SELECT c_mktsegment, n, m, emd, emd > 0.05 AS at_risk
         |FROM emd""".stripMargin,
+    "q_cuped" -> {
+      val variant =
+        s"CAST((${md5BucketSqlOf("user_id")}) % 100 AS INTEGER) % 2"
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |pv AS (SELECT $variant AS variant, x, y FROM pu),
+         |pool AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2
+         |  FROM pv),
+         |th AS (
+         |  SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS theta,
+         |    round(CAST(sx AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS x_bar
+         |  FROM pool),
+         |bv AS (
+         |  SELECT variant, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+         |  FROM pv GROUP BY 1),
+         |calc AS (
+         |  SELECT variant, CAST(n AS BIGINT) AS n_units, theta, x_bar,
+         |    round(CAST(sx AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_x,
+         |    round(CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) AS mean_y,
+         |    round(CAST(n * sy2 - sy * sy AS DOUBLE)
+         |      / CAST(n * n * 10000 AS DOUBLE), 6) AS var_y,
+         |    round(CAST(n * sx2 - sx * sx AS DOUBLE)
+         |      / CAST(n * n * 10000 AS DOUBLE), 6) AS var_x,
+         |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * n * 10000 AS DOUBLE), 6) AS cov_xy
+         |  FROM bv CROSS JOIN th),
+         |adj AS (
+         |  SELECT variant, n_units, theta, mean_y,
+         |    round(mean_y - theta * (mean_x - x_bar), 6) AS mean_cuped,
+         |    var_y,
+         |    round(var_y - 2.0 * theta * cov_xy
+         |      + theta * theta * var_x, 6) AS var_cuped
+         |  FROM calc)
+         |SELECT variant, n_units, theta, mean_y, mean_cuped, var_y,
+         |  var_cuped,
+         |  round((1.0 - var_cuped / var_y) * 100, 2) AS var_reduction_pct
+         |FROM adj""".stripMargin
+    },
+    "q_ab_test" -> {
+      val variant =
+        s"CAST((${md5BucketSqlOf("u.user_id")}) % 100 AS INTEGER) % 2"
+      s"""WITH conv AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+         |    AND value >= 150.0),
+         |units AS (
+         |  SELECT u.user_id, $variant AS variant,
+         |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  LEFT JOIN conv c ON u.user_id = c.user_id),
+         |per AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(converted) AS BIGINT) AS c
+         |  FROM units GROUP BY 1),
+         |ab AS (
+         |  SELECT
+         |    (SELECT n FROM per WHERE variant = 0) AS n0,
+         |    (SELECT c FROM per WHERE variant = 0) AS c0,
+         |    (SELECT n FROM per WHERE variant = 1) AS n1,
+         |    (SELECT c FROM per WHERE variant = 1) AS c1),
+         |r AS (
+         |  SELECT n0, c0, round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+         |    n1, c1, round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+         |    round(CAST(c0 + c1 AS DOUBLE) / (n0 + n1), 6) AS p_pool
+         |  FROM ab)
+         |SELECT n0, c0, p0, n1, c1, p1, round(p1 - p0, 6) AS lift,
+         |  CASE WHEN p_pool = 0.0 OR p_pool = 1.0 THEN NULL
+         |    ELSE round((p1 - p0) / sqrt(p_pool * (1.0 - p_pool)
+         |      * (1.0 / n0 + 1.0 / n1)), 4) END AS z
+         |FROM r""".stripMargin
+    },
     "q_fd_check" -> {
       def fd(table: String, name: String, det: String, dep: String) =
         s"""SELECT '$name' AS fd, CAST(sum(n) AS BIGINT) AS n_rows,

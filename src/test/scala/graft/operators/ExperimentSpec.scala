@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CUPED adjustment and the two-proportion z-test: planted covariate
+  * structure is fully explained (variance to zero), guards return null
+  * instead of erroring, and assignment matches the shared hash base. */
+class ExperimentSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cupedReport: y = 2x exactly -> theta 2, adjusted variance 0, 100% reduction") {
+    // user i: pre value i at Jan 10, post value 2i at Jan 20
+    val ev = (1 to 10).flatMap { i =>
+      Seq((i.toLong, "2024-01-10 00:00:00", i.toDouble),
+        (i.toLong, "2024-01-20 00:00:00", 2.0 * i))
+    }.toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+    val rows = Experiment.cupedReport(ev, "2024-01-16").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == 2.0, s"theta ${r.getDouble(2)}")       // theta
+      // the round-6 intermediate moments leave a <=1e-5 residual
+      assert(math.abs(r.getDouble(6)) <= 1e-5, s"var_cuped ${r.getDouble(6)}")
+      assert(r.getDouble(7) >= 99.9, s"reduction ${r.getDouble(7)}")
+      // the adjustment is mean-preserving up to the covariate delta:
+      // mean_cuped = mean_y - theta*(mean_x - x_bar), finite and defined
+      assert(!r.isNullAt(4))
+    }
+  }
+
+  test("abTestZ: counts match a hand-replicated assignment; degenerate pooled rate yields null z, not an error") {
+    val ev = (1 to 20).flatMap { i =>
+      // every user exists pre-cutoff; even-valued users convert post
+      Seq((i.toLong, "signup", "2024-01-05 00:00:00", 1.0)) ++
+        (if (i % 2 == 0) Seq((i.toLong, "purchase", "2024-01-20 00:00:00", 200.0))
+         else Seq.empty)
+    }.toDF("user_id", "event_type", "s", "value")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"), col("value"))
+    val r = Experiment.abTestZ(ev, "purchase", "2024-01-16", minValue = 150.0)
+      .collect()(0)
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    assert(n0 + n1 == 20 && c0 + c1 == 10, r.toString)
+    // replicate the assignment through the same shared hash base
+    val expected = ev.select(col("user_id")).distinct()
+      .withColumn("variant", (Sampling.hashBucket(col("user_id")) % 2).cast("int"))
+      .withColumn("conv", (col("user_id") % 2 === 0).cast("long"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(expected(0) == ((n0, c0)) && expected(1) == ((n1, c1)), r.toString)
+    // every unit converts -> pooled rate 1 -> z undefined -> null
+    val all = (1 to 6).map(i =>
+      (i.toLong, "purchase", "2024-01-20 00:00:00", 200.0))
+      .toDF("user_id", "event_type", "s", "value")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"), col("value"))
+    assert(Experiment.abTestZ(all, "purchase", "2024-01-16", 150.0)
+      .collect()(0).isNullAt(7))
+  }
+}
