@@ -107,6 +107,38 @@ object Curate {
     * rounded to 4 decimals BEFORE the comparison so the keep flag is
     * reproducible across engines (sum-order ulp differences can't flip it
     * unless the true value sits exactly on a rounding boundary). */
+  /** Leave-one-source-out ablation — first-order data valuation at the
+    * source granularity: for each source, the corpus-level metric
+    * recomputed WITHOUT that source's documents, and the delta it
+    * induces. A strongly positive delta means the source was dragging
+    * the metric down (ablation candidate); the sign convention is
+    * (without − full). This is the cheap end of the Shapley spectrum —
+    * S ablations from ONE census, no retraining, no resampling.
+    *
+    * metric must be integral per doc (token counts, char counts): the
+    * per-source sums are then exact, each reported mean is a single
+    * integer ratio, and the delta subtracts the two ROUNDED means. One
+    * corpus scan; the S-row census cross-joins a one-row broadcast
+    * total. A single-source corpus leaves mean_without undefined → null
+    * (not an error). */
+  def sourceAblation(docs: DataFrame, metric: Column): DataFrame = {
+    val per = docs.select(col("source"), metric.cast("long").as("m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("sum_m"))
+    val tot = per.agg(sum(col("n_docs")).as("n_all"),
+      sum(col("sum_m")).as("sum_all"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("mean_full",
+        round(col("sum_all").cast("double") / col("n_all"), 6))
+      .withColumn("mean_without",
+        when(col("n_all") === col("n_docs"), lit(null).cast("double"))
+          .otherwise(round((col("sum_all") - col("sum_m")).cast("double")
+            / (col("n_all") - col("n_docs")), 6)))
+      .select(col("source"), col("n_docs"), col("mean_full"),
+        col("mean_without"),
+        round(col("mean_without") - col("mean_full"), 6).as("delta"))
+  }
+
   def sourceReputation(docs: DataFrame, score: Column): DataFrame = {
     val scored = docs.select(col("source"), score.as("s"))
     val stats  = scored.groupBy(col("source"))

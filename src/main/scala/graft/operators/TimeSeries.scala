@@ -130,6 +130,40 @@ object TimeSeries {
           / 604800L).cast("int"))
   }
 
+  /** Per-cohort cumulative lifetime value — the REVENUE twin of
+    * [[cohortRetention]]: users keyed by signup week (first activity),
+    * each cohort's purchase value accumulated by week offset and
+    * normalized per cohort member, the "when does a cohort pay back"
+    * curve. Weekly cents fold map-side; the running sum windows over the
+    * (cohorts × weeks)-bounded census PARTITIONED BY COHORT — never the
+    * ledger. ltv_per_user is the cumulative exact-cent sum over the
+    * cohort head-count, one division rounded 4. */
+  def cohortLtv(events: DataFrame, valueType: String = "purchase"): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val firsts = events.select(col("user_id"), wk.as("week"))
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = events.filter(col("event_type") === valueType)
+      .select(col("user_id"), wk.as("week"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .join(firsts, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(sum(col("cents")).as("wk_cents"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_cents", sum(col("wk_cents")).over(w))
+      .withColumn("week_offset",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+          / 604800L).cast("int"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("cum_cents"),
+        round(col("cum_cents").cast("double") / (col("cohort_size") * 100L), 4)
+          .as("ltv_per_user"))
+  }
+
   /** Trailing-window z-score anomaly flags over the GAP-FILLED hourly
     * series: for each (type, hour), z = (count − μ)/σ against the previous
     * `lookback` hours, flagged when |z| ≥ `zThresh`. Gap filling first is

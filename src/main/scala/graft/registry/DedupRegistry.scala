@@ -170,6 +170,12 @@ object DedupRegistry {
     "q_source_gate" -> ((s, d) =>
       Curate.gateBySource(Tables(s, d, "documents"), stopwordRatio)
         .select(col("doc_id"), col("source"), col("lang"))),
+    // leave-one-source-out ablation on mean token count: S ablations
+    // from ONE census + a one-row broadcast total — the cheap end of
+    // source-level data valuation
+    "q_source_ablation" -> ((s, d) =>
+      Curate.sourceAblation(Tables(s, d, "documents"),
+        graft.functions.Text.tokenCount(col("text")))),
     // deterministic exact-k sample: exactly 20 docs per language, ranked
     // by md5(doc_id) — WindowGroupLimit keeps the rank cut partial
     "q_sample_exact_k" -> ((s, d) =>
@@ -362,6 +368,25 @@ object DedupRegistry {
          |SELECT doc_id, source, lang FROM documents
          |WHERE source IN (SELECT source FROM kept)""".stripMargin,
 
+    "q_source_ablation" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS sum_m
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+        |    CAST(sum(sum_m) AS BIGINT) AS sum_all FROM per),
+        |m AS (
+        |  SELECT source, n_docs,
+        |    round(CAST(sum_all AS DOUBLE) / n_all, 6) AS mean_full,
+        |    CASE WHEN n_all = n_docs THEN NULL
+        |      ELSE round(CAST(sum_all - sum_m AS DOUBLE)
+        |        / (n_all - n_docs), 6) END AS mean_without
+        |  FROM per CROSS JOIN tot)
+        |SELECT source, n_docs, mean_full, mean_without,
+        |  round(mean_without - mean_full, 6) AS delta
+        |FROM m""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $decontamGramsSql
          |SELECT tg.doc_id, count(DISTINCT tg.g) AS n_shared_grams,

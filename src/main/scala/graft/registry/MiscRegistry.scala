@@ -178,8 +178,13 @@ object MiscRegistry {
     // Poisson-bootstrap percentile CI of the per-type mean event value:
     // B=200 deterministic Poisson(1) replicate weights per row (md5
     // base), one explode + one (type x B) map-side-combined agg
+    // the 200x replicate explode multiplies rows BEFORE the first
+    // exchange: spread the single small-sf scan partition across the
+    // cores first (the q_bpe_segment discipline — one text-sized
+    // shuffle buys 200M rows of parallel map-side combine)
     "q_bootstrap_ci" -> ((s, d) =>
-      Audit.poissonBootstrapCI(Tables(s, d, "events"),
+      Audit.poissonBootstrapCI(
+        Tables(s, d, "events").repartition(s.sparkContext.defaultParallelism),
         "event_id", "value", "event_type")),
     // chi-square independence: contingency cells + marginal window sums
     // over the CELL relation, double-cast before the marginal product

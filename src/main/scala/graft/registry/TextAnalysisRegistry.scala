@@ -69,7 +69,14 @@ object TextAnalysisRegistry {
     // trained tokenizer itself is cross-engine-certified, not just its
     // first-round census
     "q_bpe_segment" -> ((s, d) => {
+      // the merge fold is INTERPRETED per-row compute (HOF chain, no
+      // codegen): spread the corpus across the executor cores first —
+      // a small-sf parquet arrives as ONE scan partition, which would
+      // serialize the whole apply onto one core (the 100 TB layout has
+      // many files and never hits this; the repartition costs one
+      // text-sized exchange and models the real cluster parallelism)
       val docs = Tables(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val segs = Bpe.segment(col("text"), trainedMerges(s, d))
       docs.select(col("doc_id"),
         size(flatten(segs)).cast("long").as("n_tokens_trained"),
@@ -78,7 +85,9 @@ object TextAnalysisRegistry {
     // tokenizer fertility from REAL trained segments (q_token_fertility
     // is the cheap regex-proxy screen; this is the true planning number)
     "q_bpe_fertility" -> ((s, d) => {
+      // same CPU-bound-apply repartition as q_bpe_segment
       val docs = Tables(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val segs = Bpe.segment(col("text"), trainedMerges(s, d))
       docs.select(col("lang"),
           length(col("text")).cast("long").as("nc"),
@@ -261,6 +270,10 @@ object TextAnalysisRegistry {
     // (cohorts × weeks)-bounded fold
     "q_cohort_retention" -> ((s, d) =>
       TimeSeries.cohortRetention(Tables(s, d, "events"))),
+    // cumulative per-cohort purchase value by week offset, normalized per
+    // cohort member — running window over the cohort-partitioned census
+    "q_cohort_ltv" -> ((s, d) =>
+      TimeSeries.cohortLtv(Tables(s, d, "events"))),
     // Kaplan-Meier survival over user lifetimes: right-censored at the
     // final 7 days; exact integer risk-set ratios, running ordered sum
     "q_kaplan_meier" -> ((s, d) =>
@@ -680,6 +693,33 @@ object TextAnalysisRegistry {
         |FROM (SELECT DISTINCT user_id, week FROM weeks) w
         |JOIN firsts f ON w.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM firsts GROUP BY 1),
+        |weekly AS (
+        |  SELECT f.cohort_week, date_trunc('week', e.ts) AS week,
+        |    CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS wk_cents
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_week, week,
+        |    CAST(sum(wk_cents) OVER (PARTITION BY cohort_week ORDER BY week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM weekly)
+        |SELECT c.cohort_week,
+        |  CAST((epoch(c.week) - epoch(c.cohort_week)) / 604800 AS INTEGER)
+        |    AS week_offset,
+        |  s.cohort_size, c.cum_cents,
+        |  round(CAST(c.cum_cents AS DOUBLE) / (s.cohort_size * 100), 4)
+        |    AS ltv_per_user
+        |FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week""".stripMargin,
     // the gap-filled series CTEs are q_resample_gapfill's, then one
     // trailing-24 window; mu/sigma/z rounded exactly like the Spark side
     "q_anomaly_zscore" ->

@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     assert(two.except(single).count() == 0 && single.except(two).count() == 0)
   }
 
+  test("engine-wide sweep: every partition-less Window runs over a post-Aggregate (census-sized) relation") {
+    // The q_curriculum/q_calibration discipline, engine-wide: a Window
+    // with an empty partitionSpec funnels its input through ONE task, so
+    // it may only appear above an Aggregate (band/census-sized input) —
+    // never directly over a scanned corpus-sized relation.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val df = q(spark, sfDir)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"$name: ${w.simpleString(80)}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global windows over non-aggregated relations:\n${offenders.mkString("\n")}")
+  }
+
   test("q_curriculum / q_calibration: no partition-less Window over a corpus-sized relation") {
     // Both operators decompose their global ordered window over range
     // bands (Sampling.withRangeBand): any remaining partition-less

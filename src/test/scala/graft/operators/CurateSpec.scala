@@ -83,4 +83,22 @@ class CurateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gopher rules must not shuffle:\n$plan")
   }
+
+  test("sourceAblation: removing the heavy source moves the mean down by the exact hand-computed delta; single-source corpus yields null") {
+    import spark.implicits._
+    // source a: docs of 10 tokens x2; source b: 4 tokens x2
+    // full mean = (20+8)/4 = 7; without a = 4.0 (delta -3), without b = 10.0 (delta +3)
+    val docs = Seq(
+      ("a", "w w w w w w w w w w"), ("a", "w w w w w w w w w w"),
+      ("b", "w w w w"), ("b", "w w w w")
+    ).toDF("source", "text")
+    val got = Curate.sourceAblation(docs, graft.functions.Text.tokenCount(col("text")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((2L, 7.0, 4.0, -3.0)), got.toString)
+    assert(got("b") == ((2L, 7.0, 10.0, 3.0)), got.toString)
+    val solo = Seq(("only", "w w")).toDF("source", "text")
+    val r = Curate.sourceAblation(solo, graft.functions.Text.tokenCount(col("text"))).collect()(0)
+    assert(r.isNullAt(3) && r.isNullAt(4), r.toString)
+  }
 }

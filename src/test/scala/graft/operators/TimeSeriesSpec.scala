@@ -464,4 +464,28 @@ class TimeSeriesSpec extends SparkSpec {
     // span is 10 days (day 1 .. day 10): lag +4 overlaps 6 day-pairs
     assert(got(4)._1 == 6L, got(4).toString)
   }
+
+  test("cohortLtv: cumulative value accrues per cohort member and never decreases") {
+    import spark.implicits._
+    // cohort A (users 1,2, week of Jan 1): purchases 10.00 wk0, 20.00 wk1
+    // cohort B (user 3, week of Jan 8): purchase 5.00 wk0
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00", 0.0),
+      (2L, "signup", "2024-01-02 10:00:00", 0.0),
+      (1L, "purchase", "2024-01-03 10:00:00", 10.0),
+      (1L, "purchase", "2024-01-10 10:00:00", 20.0),
+      (3L, "signup", "2024-01-09 10:00:00", 0.0),
+      (3L, "purchase", "2024-01-09 12:00:00", 5.0)
+    ).toDF("user_id", "event_type", "s", "value")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"), col("value"))
+    val got = TimeSeries.cohortLtv(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    // cohort A: size 2; wk0 cum 10.00 -> 5.0/user; wk1 cum 30.00 -> 15.0/user
+    assert(got(("2024-01-01", 0)) == (2L, 5.0), got.toString)
+    assert(got(("2024-01-01", 1)) == (2L, 15.0), got.toString)
+    // cohort B: size 1; wk0 cum 5.00 -> 5.0/user
+    assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
+  }
 }
