@@ -450,4 +450,84 @@ object Audit {
         max(when(col("rn") === hiIdx, col("m"))).as("ci_hi")),
       Seq(groupCol))
   }
+
+  /** One-way ANOVA F-statistic of `valueCol` across `groupCol` — "does
+    * the metric's MEAN differ across segments at all?", the g-group
+    * generalization of the two-sample t (and the gate before pairwise
+    * A/B drilldowns; [[Experiment]] hosts the 2-group forms).
+    *
+    * Exactness discipline (the engine-wide integer-micro rule): values
+    * quantize to BIGINT micros, so the per-group (n, Σx, Σx²) triple is
+    * EXACT — Σx a long, Σx² a DECIMAL(38,0) (micro² clears 2^63) — in
+    * any partition order. F's micro² scale cancels:
+    * SSB = Σᵢ Sᵢ²/nᵢ − S²/N, SSW = ΣQᵢ − ΣSᵢ²/nᵢ, and the only
+    * non-exact steps are the g per-group divisions folded on the
+    * group-census-sized relation (one map-side agg + one g-row fold).
+    * Output one row: (n, g, f_stat) rounded to 4. */
+  def anovaOneWay(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val micro = round(col(valueCol).cast("double") * 1e6, 0).cast("long")
+    val per = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), micro.as("xm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ni"), sum(col("xm")).as("si"),
+        sum(dec(col("xm")) * dec(col("xm"))).as("qi"))
+    per.agg(sum(col("ni")).as("n"), count(lit(1)).as("g"),
+        sum(col("si")).as("s"),
+        sum(col("qi").cast("double")).as("q"),
+        // Sᵢ²/nᵢ: exact DECIMAL numerator, one double division per group
+        sum((dec(col("si")) * dec(col("si"))).cast("double") /
+          col("ni").cast("double")).as("a"))
+      .select(col("n"), col("g"),
+        round(((col("a") - dec(col("s")).cast("double") *
+            dec(col("s")).cast("double") / col("n").cast("double")) /
+            (col("g") - 1).cast("double")) /
+          ((col("q") - col("a")) / (col("n") - col("g")).cast("double")), 4)
+          .as("f_stat"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two samples of `valueCol` —
+    * the DISTRIBUTION-FREE two-sample location test (no normality
+    * assumption, robust to outliers; the nonparametric complement to
+    * [[Experiment]]'s z/t forms and [[Drift]]'s KS statistic).
+    *
+    * Never ranks raw rows: both samples collapse to a DISTINCT-VALUE
+    * census (n₁, n₂ per exact micro value), average ranks come from a
+    * cumulative count over that census (a window over the post-Aggregate,
+    * value-domain-sized relation — the KS/equidepth discipline), and
+    * U₁ = ΣR₁ − n₁(n₁+1)/2 stays EXACT: average ranks are half-integers,
+    * so 2·R₁ is an exact long fold. The tie-corrected normal
+    * approximation z = (U₁ − n₁n₂/2) / σ_tie uses Σ(t³−t) — exact
+    * BIGINT — and pays one sqrt on the one-row output. */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val micro = round(col(valueCol).cast("double") * 1e6, 0).cast("long")
+    val tag = (df: DataFrame, one: Int) => df.filter(col(valueCol).isNotNull)
+      .select(micro.as("v"), lit(one).as("in1"))
+    val census = tag(a, 1).unionByName(tag(b, 0))
+      .groupBy(col("v"))
+      .agg(sum(col("in1")).cast("long").as("n1v"),
+        sum(lit(1) - col("in1")).cast("long").as("n2v"))
+      .withColumn("t", col("n1v") + col("n2v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      // 2·avg_rank of value v = 2·(count below) + t + 1 — exact long
+      .withColumn("r2", lit(2) * (sum(col("t")).over(w) - col("t")) +
+        col("t") + 1)
+    ranked.agg(
+        sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+        sum(col("n1v") * col("r2")).as("sr2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("n1"), col("n2"),
+        (col("sr2").cast("double") / 2 -
+          col("n1").cast("double") * (col("n1") + 1) / 2).as("u1"),
+        col("ties"))
+      .withColumn("nn", (col("n1") + col("n2")).cast("double"))
+      .select(col("n1"), col("n2"), col("u1"),
+        round((col("u1") - col("n1").cast("double") * col("n2") / 2) /
+          sqrt(col("n1").cast("double") * col("n2") / 12.0 *
+            ((col("nn") + 1) - col("ties").cast("double") /
+              (col("nn") * (col("nn") - 1)))), 4).as("z"))
+  }
 }

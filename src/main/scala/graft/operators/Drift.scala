@@ -127,4 +127,69 @@ object Drift {
         round(max(abs(col("ca").cast("double") / col("ta") -
           col("cb").cast("double") / col("tb"))), 6).as("ks"))
   }
+
+  /** Two-sample MMD drift test on an EMBEDDING column — "has the
+    * semantic distribution of the corpus shifted?", the vector-space
+    * complement to [[psiReport]] (scalar bins) and [[ksStatistic]]
+    * (scalar ECDFs): scalar metrics can agree while the embedding cloud
+    * moves (topic rotation at constant length/quality), and this is the
+    * detector for exactly that.
+    *
+    * Kernel choice is dictated by the cross-engine exactness rule: the
+    * SIGNED-PROJECTION feature map φⱼ(x) = sign(wⱼ·x) with the md5-parity
+    * ±1 matrix of [[Similarity.randomProjection]] (seed-namespaced
+    * `mmd:`) — an unbiased estimate of the angular kernel
+    * 1 − 2·∠(x,y)/π (Charikar's SimHash collision identity, STOC 2002).
+    * Components quantize to integer micros, so every projection is an
+    * EXACT long and its sign is exact — no float sum ever crosses an
+    * engine boundary. With group sign-sums spⱼ, sqⱼ (exact longs),
+    * MMD² = Σⱼ (spⱼ·n_q − sqⱼ·n_p)² / (m·(n_p·n_q)²) — exact BIGINT
+    * numerator, ONE double division on the one-row output.
+    *
+    * Scale shape: the ±1 matrix folds into one broadcast row; the corpus
+    * pays one unshuffled map-side pass (m exact dot products per vector)
+    * into a (grp, j)-census aggregate — m·2 rows — and everything after
+    * is census-sized. Output: (n_p, n_q, mmd2) rounded to 6; under the
+    * null (same distribution) mmd2 ≈ m/(n_p·n_q)-scale noise. */
+  def signedMmd(emb: DataFrame, inP: Column, m: Int = 16,
+      inDims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val sgns = spark.range(m.toLong * inDims)
+      .select(struct(col("id"),
+        (lit(1L) - lit(2L) * (call_function("graft_md5_prefix",
+          concat(lit("mmd:"), (col("id") / inDims).cast("long"), lit(":"),
+            col("id") % inDims), lit(1)) % 2)).as("s")).as("r"))
+      .agg(array_sort(collect_list(col("r"))).as("rs"))
+      .select(transform(col("rs"), r => r.getField("s")).as("sgns"))
+    val proj = emb
+      .select(inP.as("in_p"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6, 0).cast("long")).as("xm"))
+      .crossJoin(broadcast(sgns))
+      .select(col("in_p"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val dot = aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L),
+            (acc, i) => acc +
+              element_at(col("sgns"), (j * inDims + i + 1).cast("int")) *
+              element_at(col("xm"), (i + 1).cast("int")))
+          when(dot > 0, 1L).when(dot < 0, -1L).otherwise(0L)
+        })))
+      .toDF("in_p", "j", "phi")
+    proj.groupBy(col("j"))
+      .agg(sum(when(col("in_p"), col("phi")).otherwise(lit(0L))).as("sp"),
+        sum(when(!col("in_p"), col("phi")).otherwise(lit(0L))).as("sq"),
+        sum(when(col("in_p"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("in_p"), 1L).otherwise(0L)).as("nq"))
+      // fⱼ numerator in DECIMAL end-to-end: sp·n_q ~ n² clears 2^63 long
+      // before the square ever happens
+      .withColumn("fnum",
+        dec(col("sp")) * dec(col("nq")) - dec(col("sq")) * dec(col("np")))
+      .agg(max(col("np")).as("n_p"), max(col("nq")).as("n_q"),
+        sum(col("fnum") * col("fnum")).as("num"))
+      .select(col("n_p"), col("n_q"),
+        round(col("num").cast("double") /
+          (lit(m.toDouble) * col("n_p").cast("double") * col("n_p") *
+            col("n_q") * col("n_q")), 6).as("mmd2"))
+  }
 }

@@ -234,6 +234,118 @@ object Graph {
         "raise maxPasses; do NOT ship a half-peeled core")
   }
 
+  /** Community detection by SYNCHRONOUS LABEL PROPAGATION (Raghavan et
+    * al., Phys. Rev. E 2007) over an undirected (term_a, term_b) edge
+    * relation: every node starts in its own community (label = own id);
+    * each of the fixed `iterations` every node adopts the label that is
+    * most frequent among its neighbours' current labels PLUS one
+    * self-vote (the self-vote damps the two-colouring oscillation plain
+    * synchronous LPA exhibits on bipartite regions), ties broken by the
+    * LEXICOGRAPHICALLY SMALLEST label — fully deterministic, no RNG.
+    *
+    * Scale shape: each iteration is one equi-join (edges × labels,
+    * shuffled on node), one (node, label) count aggregate — map-side
+    * combinable — and one argmax-by-struct-min aggregate (`min(struct
+    * (-count, label))`), never a window over anything corpus-sized;
+    * iterates localCheckpoint so the plan stays O(1) in the iteration
+    * count (the PageRank/CC discipline). Fixed iteration count =
+    * engine-exact replay for the oracle; LPA converges in a handful of
+    * sweeps on modular graphs (the paper's ~5-iteration observation).
+    *
+    * Output: one row per surviving community — (label, n_nodes) census,
+    * the stable summary shape (node→label maps are order-fragile across
+    * tie-structures; the census is not). */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sym = symmetric(edges).localCheckpoint(false)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(false)
+    (1 to iterations).foreach { _ =>
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "u")
+          .withColumnRenamed("label", "nl"), "u")
+        .select(col("v").as("node"), col("nl").as("label"))
+        .unionByName(labels) // self-vote
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      labels = votes.groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("label"))).as("best"))
+        .select(col("node"), col("best.label").as("label"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Multi-source BFS hop distance: the minimum number of edges from any
+    * node in `seeds` (a one-column `node` relation) to every reachable
+    * node, explored to `maxHops` — the landmark-distance feature behind
+    * graph ML features and blast-radius queries.
+    *
+    * Frontier-free formulation (simpler and oracle-replayable): iterate
+    * dist ← min(dist, min over in-neighbours dist+1) `maxHops` times —
+    * each step one equi-join + one map-side-combinable min aggregate +
+    * one outer merge, all shuffled on node, localCheckpointed (plan O(1)
+    * in hops). Monotone non-increasing, so maxHops ≥ eccentricity of the
+    * seed set converges exactly; nodes beyond `maxHops` are absent from
+    * the output (unreachable-within-budget is expressed by absence, not
+    * a sentinel). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val sym = symmetric(edges).localCheckpoint(false)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    (1 to maxHops).foreach { _ =>
+      dist = dist
+        .unionByName(
+          dist.withColumnRenamed("node", "u")
+            .join(sym, "u")
+            .select(col("v").as("node"), (col("hop") + 1).as("hop")))
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003):
+    * for every non-adjacent pair (a, b) at distance 2, score
+    * AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbours,
+    * discounted by how promiscuous each shared neighbour is. Returns the
+    * top-`k` candidate links by (rounded score desc, a, b).
+    *
+    * Scale shape: wedges a–z–b explode quadratically on hub centres (a
+    * degree-10⁶ z contributes 5·10¹¹ pairs), so z is DF-CAPPED at
+    * `maxDeg` — the dedup tier's inverted-index cap: a shared neighbour
+    * of degree > maxDeg carries 1/ln(deg) ≈ 0 signal and is dropped
+    * LOUDLY by documented contract rather than silently blowing the
+    * shuffle (same argument as stop-word df-caps; deg < 2 is dropped
+    * too since ln(1) = 0 has no defined discount). Wedge build = one
+    * self-join of the capped adjacency on z; existing edges leave via
+    * one anti-join; the global top-k window runs over the aggregated
+    * (pair-census-sized) relation, never the corpus. Scores are SUMMED
+    * RAW then rounded once to 6; the top-k ORDER uses the rounded score
+    * so cross-engine ulp drift in ln cannot flip the cutoff. */
+  def adamicAdar(edges: DataFrame, k: Int = 50, maxDeg: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = symmetric(edges).localCheckpoint(false)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val capped = sym.join(
+        deg.filter(col("d") >= 2 && col("d") <= maxDeg), "u")
+      .select(col("u").as("z"), col("v").as("n"), col("d"))
+    val wedges = capped.as("l")
+      .join(capped.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"),
+        (lit(1.0) / log(col("l.d").cast("double"))).as("w"))
+    val existing = sym.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b")).distinct()
+    val scored = wedges.join(existing, Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), round(sum(col("w")), 6).as("aa"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("aa").desc, col("a"), col("b"))))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
   /** Local clustering coefficient per node — "are my neighbours
     * neighbours of each other?", the cohesion read that separates a hub
     * in a clique-y community (high lcc) from a pure star centre

@@ -246,4 +246,47 @@ object Sketches {
       .agg(count(lit(1)).as("n"), counters: _*)
       .select(dims.map(col) ++ Seq(col("n")) ++ probs.map(rankOk): _*)
   }
+
+  // ------------------------------------------------- Count-Min frequency
+
+  /** The `d` CMS bucket ids of an item — row j's hash is the engine-wide
+    * md5 7-nibble base (seed-namespaced `cms:j:`), reduced mod `w`.
+    * Pairwise-independence per row comes from the independent md5
+    * streams, the Cormode–Muthukrishnan requirement. */
+  private def cmsBuckets(item: Column, d: Int, w: Int): Column =
+    array((0 until d).map(j =>
+      call_function("graft_md5_prefix",
+        concat(lit(s"cms:$j:"), item), lit(7)) % w): _*)
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) of item
+    * frequencies: a d×w grid of counters where item frequency is
+    * OVER-estimated by at most εN with probability 1−δ (w = ⌈e/ε⌉,
+    * d = ⌈ln 1/δ⌉) — the frequency complement to [[hllBuild]]
+    * (distinct) and [[kllBuild]] (quantiles), and like them a MERGEABLE
+    * artifact: cells are plain sums, so partial aggregation, delta
+    * ingest (`unionByName` + re-sum) and cross-shard merges are all
+    * exact by commutativity — no rescan, ever.
+    *
+    * Scale shape: one vocab-sized census first (map-side combined — the
+    * corpus collapses before any CMS work), then d rows per DISTINCT
+    * item into a (row, bucket) hash-agg of ≤ d·w cells. Integer
+    * end-to-end: no float crosses an engine or partition boundary. */
+  def cmsBuild(items: DataFrame, itemCol: String, d: Int = 3,
+      w: Int = 64): DataFrame =
+    items.groupBy(col(itemCol).as("item")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), posexplode(cmsBuckets(col("item"), d, w)))
+      .toDF("cnt", "j", "bucket")
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("total"))
+
+  /** Point-frequency estimates from a CMS artifact: for each distinct
+    * probe item, the MIN over its d row counters — ≥ the true count
+    * always (every occurrence landed in all d cells), ≤ true + εN w.h.p.
+    * The artifact (≤ d·w rows) broadcasts; probes never shuffle. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, itemCol: String,
+      d: Int = 3, w: Int = 64): DataFrame =
+    probes.select(col(itemCol).as("item")).distinct()
+      .select(col("item"), posexplode(cmsBuckets(col("item"), d, w)))
+      .toDF("item", "j", "bucket")
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy(col("item")).agg(min(col("total")).as("cms_count"))
 }

@@ -60,7 +60,48 @@ object GraphRegistry {
     "q_kcore" -> ((s, d) =>
       Graph.kCore(Retrieval.windowCooccurrence(
         Tables(s, d, "documents"), 3, 50), k = 3, passes = 4)),
+    // label-propagation communities over the part<->supplier bipartite
+    // graph — 3 fixed synchronous sweeps with self-vote + min-label
+    // tie-break (deterministic, engine-exact replay); community-size
+    // census output
+    "q_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(bipartiteEdges(s, d), iterations = 3)),
+    // multi-source BFS hop distance from every 10th supplier over the
+    // same bipartite graph — 4 min-relaxation sweeps, unreachable-within-
+    // budget nodes absent
+    "q_bfs_hops" -> ((s, d) =>
+      Graph.bfsHops(bipartiteEdges(s, d),
+        Tables(s, d, "lineitem").filter(col("l_suppkey") % 10 === 0)
+          .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct(),
+        maxHops = 4)),
+    // Adamic-Adar link prediction on the bipartite graph: top-100
+    // non-adjacent distance-2 pairs by summed 1/ln(deg) over shared
+    // neighbours, hub centres df-capped at deg 200 (documented lossy
+    // cap; the cut wedges carry ~zero AA signal)
+    "q_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(bipartiteEdges(s, d), k = 100, maxDeg = 200)),
   )
+
+  /** The part<->supplier bipartite edge relation (the q_assortativity
+    * graph): real structure at every sf, unlike the synthetic term graph
+    * which is complete. */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(concat(lit("p"), col("l_partkey")).as("term_a"),
+        concat(lit("s"), col("l_suppkey")).as("term_b"))
+      .distinct()
+
+  /** Shared oracle CTE prefix: the bipartite edge set + its symmetric
+    * closure (matches [[bipartiteEdges]] + Graph.symmetric). */
+  private val bipartiteSymSql: String =
+    """e AS (
+      |  SELECT DISTINCT 'p' || l_partkey AS term_a,
+      |    's' || l_suppkey AS term_b
+      |  FROM lineitem),
+      |sym AS (
+      |  SELECT term_a AS u, term_b AS v FROM e WHERE term_a != term_b
+      |  UNION ALL
+      |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a != term_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Markov edge CTE + unrolled PageRank iterations (round-6 per
@@ -293,5 +334,71 @@ object GraphRegistry {
          |SELECT u AS term, CAST(count(*) AS BIGINT) AS core_degree
          |FROM s4 GROUP BY u""".stripMargin
     },
+    // 3 unrolled synchronous LPA sweeps: neighbour votes + self-vote,
+    // argmax by (count DESC, label) — row_number here ≡ the engine's
+    // min(struct(-c, label)) aggregate
+    "q_label_prop" -> {
+      val sweeps = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT node, label, count(*) AS c FROM (
+           |    SELECT s.v AS node, l.label FROM sym s
+           |    JOIN l${i - 1} l ON s.u = l.node
+           |    UNION ALL SELECT node, label FROM l${i - 1})
+           |  GROUP BY node, label),
+           |l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label) AS rk FROM v$i)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bipartiteSymSql,
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |$sweeps
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM l3 GROUP BY label""".stripMargin
+    },
+    // 4 unrolled min-relaxation sweeps from the supplier seed set
+    "q_bfs_hops" -> {
+      val sweeps = (1 to 4).map { i =>
+        s"""d$i AS (
+           |  SELECT node, min(hop) AS hop FROM (
+           |    SELECT node, hop FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT s.v AS node, d.hop + 1 AS hop
+           |    FROM d${i - 1} d JOIN sym s ON d.node = s.u)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bipartiteSymSql,
+         |d0 AS (
+         |  SELECT DISTINCT 's' || l_suppkey AS node, 0 AS hop
+         |  FROM lineitem WHERE l_suppkey % 10 = 0),
+         |$sweeps
+         |SELECT node, hop FROM d4""".stripMargin
+    },
+    // wedge join on df-capped shared neighbours, NOT EXISTS anti vs the
+    // canonical edge set, rounded-score top-k (ties by pair)
+    "q_adamic_adar" ->
+      s"""WITH $bipartiteSymSql,
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+         |capped AS (
+         |  SELECT s.u AS z, s.v AS n, d.d AS d
+         |  FROM sym s JOIN deg d ON s.u = d.u
+         |  WHERE d.d >= 2 AND d.d <= 200),
+         |wedges AS (
+         |  SELECT l.n AS a, r.n AS b, 1.0 / ln(CAST(l.d AS DOUBLE)) AS w
+         |  FROM capped l JOIN capped r ON l.z = r.z AND l.n < r.n),
+         |existing AS (
+         |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM sym),
+         |scored AS (
+         |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS cn,
+         |    round(sum(w.w), 6) AS aa
+         |  FROM wedges w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM existing e WHERE e.a = w.a AND e.b = w.b)
+         |  GROUP BY w.a, w.b)
+         |SELECT a, b, cn, aa FROM (
+         |  SELECT *, row_number() OVER (ORDER BY aa DESC, a, b) AS rk
+         |  FROM scored)
+         |WHERE rk <= 100""".stripMargin,
   )
 }

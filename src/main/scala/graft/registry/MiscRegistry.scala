@@ -195,6 +195,17 @@ object MiscRegistry {
     "q_cramers_v" -> ((s, d) =>
       Audit.cramersV(Tables(s, d, "lineitem"),
         "l_returnflag", "l_linestatus")),
+    // one-way ANOVA F across event types — exact integer-micro
+    // (n, Σx, Σx²) triples per group, scale cancels in the ratio
+    "q_anova" -> ((s, d) =>
+      Audit.anovaOneWay(Tables(s, d, "events"), "value", "event_type")),
+    // tie-corrected Mann-Whitney U: view vs purchase values, average
+    // ranks from the distinct-micro census (2R₁ exact long)
+    "q_mannwhitney" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      Audit.mannWhitney(e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
     // per-cell mutual information — observed cells only (0 ln 0 = 0),
     // marginals as window sums over the cell relation
     "q_mutual_info" -> ((s, d) =>
@@ -812,6 +823,63 @@ object MiscRegistry {
          |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
          |    AS cramers_v
          |FROM sm""".stripMargin,
+    // exact HUGEINT (n, Σx, Σx²) per group; per-group Sᵢ²/nᵢ divisions
+    // on the 5-row census, one final ratio
+    "q_anova" ->
+      """WITH per AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(xm) AS BIGINT) AS si,
+        |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS qi
+        |  FROM (
+        |    SELECT event_type, CAST(round(value * 1e6, 0) AS BIGINT) AS xm
+        |    FROM events WHERE value IS NOT NULL)
+        |  GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(si) AS HUGEINT) AS s,
+        |    sum(CAST(qi AS DOUBLE)) AS q,
+        |    sum(CAST(CAST(si AS HUGEINT) * CAST(si AS HUGEINT) AS DOUBLE)
+        |      / CAST(ni AS DOUBLE)) AS a
+        |  FROM per)
+        |SELECT n, g,
+        |  round(((a - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(g - 1 AS DOUBLE))
+        |    / ((q - a) / CAST(n - g AS DOUBLE)), 4) AS f_stat
+        |FROM tot""".stripMargin,
+    // distinct-micro census + cumulative-count average ranks (2R exact),
+    // tie-corrected sigma, one sqrt on the one-row output
+    "q_mannwhitney" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2v
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT n1v, n2v, n1v + n2v AS t,
+        |    2 * (sum(n1v + n2v) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (n1v + n2v)) + (n1v + n2v) + 1 AS r2
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(sum(n1v) AS BIGINT) AS n1, CAST(sum(n2v) AS BIGINT) AS n2,
+        |    CAST(sum(n1v * r2) AS BIGINT) AS sr2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r),
+        |u AS (
+        |  SELECT n1, n2,
+        |    CAST(sr2 AS DOUBLE) / 2
+        |      - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1,
+        |    ties, CAST(n1 + n2 AS DOUBLE) AS nn
+        |  FROM s)
+        |SELECT n1, n2, u1,
+        |  round((u1 - CAST(n1 AS DOUBLE) * n2 / 2)
+        |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * ((nn + 1) - CAST(ties AS DOUBLE) / (nn * (nn - 1)))), 4) AS z
+        |FROM u""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs

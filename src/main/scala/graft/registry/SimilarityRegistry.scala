@@ -110,6 +110,11 @@ object SimilarityRegistry {
     // component sums — the cheap pre-ANN dimensionality reduction
     "q_rand_projection" -> ((s, d) =>
       Similarity.randomProjection(Tables(s, d, "embeddings"), 16)),
+    // two-sample MMD drift (angular kernel via md5-parity signed
+    // projections): even vs odd labels stand in for ref/new corpus
+    // snapshots; exact integer signs, one division on the one-row output
+    "q_mmd_drift" -> ((s, d) =>
+      Drift.signedMmd(Tables(s, d, "embeddings"), col("label") % 2 === 0)),
     // ADC search over the int8 codes: original queries vs map-side
     // dequantized corpus — same single unshuffled corpus stage as brute
     "q_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d, 10, 5)),
@@ -315,6 +320,39 @@ object SimilarityRegistry {
          |  CAST(sum(s.sgn * xm.xm) AS DOUBLE) / (1000000 * sqrt(16.0)) AS y
          |FROM xm JOIN s ON xm.i = s.i
          |GROUP BY 1, 2""".stripMargin,
+    // the q_rand_projection sign matrix under the mmd: seed; exact long
+    // dots -> exact signs -> HUGEINT f-numerators, one final division
+    "q_mmd_drift" ->
+      s"""WITH xm AS (
+         |  SELECT vec_id, (label % 2 = 0) AS in_p, CAST(i - 1 AS BIGINT) AS i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |      AS xm
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         |s AS (
+         |  SELECT j, i,
+         |    1 - 2 * ((${md5PrefixSqlOf("'mmd:' || j || ':' || i", 1)}) % 2)
+         |      AS sgn
+         |  FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)),
+         |proj AS (
+         |  SELECT xm.vec_id, xm.in_p, s.j, sum(s.sgn * xm.xm) AS dot
+         |  FROM xm JOIN s ON xm.i = s.i GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT j,
+         |    CAST(sum(CASE WHEN in_p THEN sign(dot) ELSE 0 END) AS HUGEINT)
+         |      AS sp,
+         |    CAST(sum(CASE WHEN NOT in_p THEN sign(dot) ELSE 0 END) AS HUGEINT)
+         |      AS sq,
+         |    CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS HUGEINT) AS np,
+         |    CAST(sum(CASE WHEN NOT in_p THEN 1 ELSE 0 END) AS HUGEINT) AS nq
+         |  FROM proj GROUP BY j),
+         |fin AS (
+         |  SELECT CAST(max(np) AS BIGINT) AS n_p, CAST(max(nq) AS BIGINT) AS n_q,
+         |    sum((sp * nq - sq * np) * (sp * nq - sq * np)) AS num
+         |  FROM agg)
+         |SELECT n_p, n_q,
+         |  round(CAST(num AS DOUBLE)
+         |    / (16.0 * n_p * n_p * n_q * n_q), 6) AS mmd2
+         |FROM fin""".stripMargin,
     "q_split_leakage" ->
       s"""WITH fs AS (
          |  SELECT DISTINCT

@@ -26,6 +26,22 @@ object TextAnalysisRegistry {
     "q_token_count" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens"))),
+    // Count-Min sketch build + probe vs the exact census: per-token
+    // estimate is min over d=3 md5-row counters of w=16 buckets (small w
+    // on purpose — the 31-token vocab forces real collisions so the
+    // overcount column exercises the ≥-exact guarantee, not just zeros)
+    "q_cms" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      Sketches.cmsEstimate(Sketches.cmsBuild(toks, "token", 3, 16),
+          toks, "token", 3, 16)
+        .join(exact, "item")
+        .select(col("item").as("token"), col("exact_count"),
+          col("cms_count"),
+          (col("cms_count") - col("exact_count")).as("overcount"))
+    }),
     "q_token_count_bpe" -> ((s, d) =>
       Tables(s, d, "documents").select(col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens_ws"),
@@ -499,6 +515,30 @@ object TextAnalysisRegistry {
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+    // same md5-row/bucket arithmetic as graft_md5_prefix % w — integer
+    // end-to-end, so the sketch cells and min-estimates replay exactly
+    "q_cms" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |census AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY token),
+         |probes AS (
+         |  SELECT token, cnt, j,
+         |    (${md5PrefixSqlOf("'cms:' || j || ':' || token", 7)}) % 16
+         |      AS bucket
+         |  FROM census, (SELECT unnest(range(3)) AS j)),
+         |cells AS (
+         |  SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM probes GROUP BY 1, 2),
+         |est AS (
+         |  SELECT p.token, min(c.total) AS cms_count
+         |  FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY 1)
+         |SELECT e.token, census.cnt AS exact_count, e.cms_count,
+         |  e.cms_count - census.cnt AS overcount
+         |FROM est e JOIN census ON e.token = census.token""".stripMargin,
     "q_token_count_bpe" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens_ws,

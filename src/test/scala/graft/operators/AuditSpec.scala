@@ -249,4 +249,37 @@ class AuditSpec extends SparkSpec {
     val c = Audit.fdCheck(clean, "a_b", Seq("a"), "b").collect()(0)
     assert(c.getLong(4) == 0L && c.getBoolean(5), c.toString)
   }
+
+  test("anovaOneWay matches the hand-computed F on a planted 3-group fixture") {
+    import spark.implicits._
+    // groups a{1,2,3} b{2,3,4} c{5,6,7}: means 2,3,6, grand 33/9 = 11/3;
+    // SSB = 3·((2−11/3)² + (3−11/3)² + (6−11/3)²) = 26, SSW = 2+2+2 = 6,
+    // F = (26/2)/(6/6) = 13
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0), ("c", 7.0)).toDF("g", "v")
+    val r = Audit.anovaOneWay(df, "v", "g").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L, r.toString)
+    assert(r.getDouble(2) == 13.0, r.toString)
+    // equal group means -> F = 0 exactly
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    assert(Audit.anovaOneWay(flat, "v", "g").collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("mannWhitney: tie-averaged ranks, exact U and tie-corrected z on a hand fixture") {
+    import spark.implicits._
+    // a{1,2,3,4} vs b{3,4,5,6}: pooled ranks 1,2,3.5,3.5,5.5,5.5,7,8
+    // R1 = 1+2+3.5+5.5 = 12, U1 = 12-10 = 2; ties sum (t^3-t) = 12,
+    // var = 16/12·(9 − 12/56) = 11.714286, z = −6/3.422614 = −1.753
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Audit.mannWhitney(a, b, "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L, r.toString)
+    assert(r.getDouble(2) == 2.0, r.toString)
+    assert(r.getDouble(3) == -1.753, r.toString)
+    // symmetry: swapping the samples flips U around n1*n2 and negates z
+    val s = Audit.mannWhitney(b, a, "v").collect()(0)
+    assert(s.getDouble(2) == 14.0 && s.getDouble(3) == 1.753, s.toString)
+  }
 }

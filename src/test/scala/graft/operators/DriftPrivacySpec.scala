@@ -136,4 +136,26 @@ class DriftPrivacySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(got("far") > got("near"), got.toString)
   }
+
+  test("signedMmd: zero on identical samples, maximal on antipodal clusters") {
+    val vecs = Seq(
+      Seq(1.0f, 0.5f, -0.25f, 2.0f),
+      Seq(-1.0f, 0.25f, 0.5f, -2.0f),
+      Seq(0.5f, -1.5f, 1.0f, 0.75f))
+    // both groups hold the SAME multiset -> group sign-means equal ->
+    // every f-numerator is exactly 0
+    val same = (vecs.map(v => (v, true)) ++ vecs.map(v => (v, false)))
+      .toDF("embedding", "grp")
+    val r0 = Drift.signedMmd(same, col("grp"), m = 8, inDims = 4).collect()(0)
+    assert(r0.getLong(0) == 3L && r0.getLong(1) == 3L, r0.toString)
+    assert(r0.getDouble(2) == 0.0, r0.toString)
+    // P at +e1, Q at -e1: phi flips sign on every projection ->
+    // numerator (4s·4 − (−4s)·4)² = 1024 per j, mmd2 = 8·1024/(8·256) = 4
+    val anti = (
+      Seq.fill(4)((Seq(1.0f, 0.0f, 0.0f, 0.0f), true)) ++
+      Seq.fill(4)((Seq(-1.0f, 0.0f, 0.0f, 0.0f), false)))
+      .toDF("embedding", "grp")
+    val r1 = Drift.signedMmd(anti, col("grp"), m = 8, inDims = 4).collect()(0)
+    assert(r1.getDouble(2) == 4.0, r1.toString)
+  }
 }

@@ -181,4 +181,56 @@ class GraphSpec extends SparkSpec {
     assert(planNodes(4) == planNodes(8),
       s"plan grows with passes: ${planNodes(4)} vs ${planNodes(8)}")
   }
+
+  test("labelPropagation: two cliques over a bridge resolve to two communities of min label") {
+    import spark.implicits._
+    // K3 {a,b,c} — bridge c-x — K3 {x,y,z}: the hand-traced 3-sweep run
+    // (self-vote, min-label ties) lands a,b,c -> 'a' and x,y,z -> 'x'
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")).toDF("term_a", "term_b")
+    val got = Graph.labelPropagation(g, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "x" -> 3L), got.toString)
+    // plan O(1) in iteration count (checkpoint discipline)
+    def planNodes(it: Int): Int =
+      Graph.labelPropagation(g, iterations = it)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(3) == planNodes(6),
+      s"plan grows with iterations: ${planNodes(3)} vs ${planNodes(6)}")
+  }
+
+  test("bfsHops: chain distances from a multi-source seed set; budget bounds reach") {
+    import spark.implicits._
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
+      .toDF("term_a", "term_b")
+    val seeds = Seq("a", "f").toDF("node")
+    val got = Graph.bfsHops(g, seeds, maxHops = 4).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "e" -> 4,
+      "f" -> 0, "g" -> 1), got.toString)
+    // hop budget: e is 4 hops out, absent at maxHops = 3
+    val short = Graph.bfsHops(g, seeds, maxHops = 3).collect()
+      .map(_.getString(0)).toSet
+    assert(!short.contains("e") && short.contains("d"), short.toString)
+  }
+
+  test("adamicAdar: 4-cycle diagonals score 2/ln(2); hub df-cap drops capped wedges") {
+    import spark.implicits._
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("term_a", "term_b")
+    val got = Graph.adamicAdar(square, k = 10, maxDeg = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val aa = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("a", "c", 2L, aa), ("b", "d", 2L, aa)),
+      got.mkString(","))
+    // star: centre deg 5 > maxDeg 3 and leaves deg 1 < 2 -> no wedges
+    val star = (1 to 5).map(i => ("hub", s"l$i")).toDF("term_a", "term_b")
+    assert(Graph.adamicAdar(star, k = 10, maxDeg = 3).count() == 0)
+    // uncapped, the 10 leaf pairs all score 1/ln(5)
+    val open = Graph.adamicAdar(star, k = 20, maxDeg = 10).collect()
+    assert(open.length == 10 && open.forall(r =>
+      math.abs(r.getDouble(3) - 1.0 / math.log(5.0)) < 1e-5))
+  }
 }

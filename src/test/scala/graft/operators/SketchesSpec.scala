@@ -66,4 +66,37 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(med(k) - m) <= 1.0, s"$k: sketch ${med(k)} vs exact $m")
     }
   }
+
+  test("CMS: estimates dominate exact counts, are exact at collision-free width, and the artifact merges") {
+    import spark.implicits._
+    val items = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c") ++
+      (1 to 40).map(i => s"t$i")).toDF("item")
+    val exact = items.groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // narrow sketch: 43 distinct items into 3x8 cells — collisions certain
+    val narrow = Sketches.cmsBuild(items, "item", d = 3, w = 8)
+    val est = Sketches.cmsEstimate(narrow, items, "item", d = 3, w = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: CMS ${est(k)} underestimates exact $n")
+    }
+    assert(est.exists { case (k, v) => v > exact(k) },
+      "3x8 cells over 43 items produced zero collisions — suspicious")
+    // wide sketch: no bucket shared -> estimates exact (total cells >> items)
+    val wide = Sketches.cmsBuild(items, "item", d = 3, w = 4096)
+    val wideEst = Sketches.cmsEstimate(wide, items, "item", d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wideEst == exact, "wide CMS should be collision-free here")
+    // mergeability: build(a ++ b) == re-sum(build(a) ++ build(b)) cell-wise
+    val (h1, h2) = (items.limit(40), items.exceptAll(items.limit(40)))
+    val merged = Sketches.cmsBuild(h1, "item", 3, 8)
+      .unionByName(Sketches.cmsBuild(h2, "item", 3, 8))
+      .groupBy("j", "bucket").agg(sum("total").as("total"))
+    val direct = narrow.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m2 = merged.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m2 == direct, "CMS merge is not exact")
+  }
 }
