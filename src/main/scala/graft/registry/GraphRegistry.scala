@@ -80,6 +80,12 @@ object GraphRegistry {
     // cap; the cut wedges carry ~zero AA signal)
     "q_adamic_adar" -> ((s, d) =>
       Graph.adamicAdar(bipartiteEdges(s, d), k = 100, maxDeg = 200)),
+    // Newman-Girvan modularity of the 3-sweep LPA partition — exact
+    // BIGINT edge/degree censuses factored to TWO final divisions
+    "q_modularity" -> ((s, d) => {
+      val e = bipartiteEdges(s, d)
+      Graph.modularity(e, Graph.labelPropagationLabels(e, 3))
+    }),
   )
 
   /** The part<->supplier bipartite edge relation (the q_assortativity
@@ -90,6 +96,27 @@ object GraphRegistry {
       .select(concat(lit("p"), col("l_partkey")).as("term_a"),
         concat(lit("s"), col("l_suppkey")).as("term_b"))
       .distinct()
+
+  /** Unrolled synchronous-LPA sweep CTEs `l0..l<iterations>` over an
+    * in-scope `sym` relation — shared by q_label_prop / q_modularity so
+    * the partition both oracles score is literally the same SQL. */
+  private def lpaSweepsSql(iterations: Int): String = {
+    val sweeps = (1 to iterations).map { i =>
+      s"""v$i AS (
+         |  SELECT node, label, count(*) AS c FROM (
+         |    SELECT s.v AS node, l.label FROM sym s
+         |    JOIN l${i - 1} l ON s.u = l.node
+         |    UNION ALL SELECT node, label FROM l${i - 1})
+         |  GROUP BY node, label),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, label) AS rk FROM v$i)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |$sweeps""".stripMargin
+  }
 
   /** Shared oracle CTE prefix: the bipartite edge set + its symmetric
     * closure (matches [[bipartiteEdges]] + Graph.symmetric). */
@@ -337,26 +364,36 @@ object GraphRegistry {
     // 3 unrolled synchronous LPA sweeps: neighbour votes + self-vote,
     // argmax by (count DESC, label) — row_number here ≡ the engine's
     // min(struct(-c, label)) aggregate
-    "q_label_prop" -> {
-      val sweeps = (1 to 3).map { i =>
-        s"""v$i AS (
-           |  SELECT node, label, count(*) AS c FROM (
-           |    SELECT s.v AS node, l.label FROM sym s
-           |    JOIN l${i - 1} l ON s.u = l.node
-           |    UNION ALL SELECT node, label FROM l${i - 1})
-           |  GROUP BY node, label),
-           |l$i AS (
-           |  SELECT node, label FROM (
-           |    SELECT node, label, row_number() OVER (
-           |      PARTITION BY node ORDER BY c DESC, label) AS rk FROM v$i)
-           |  WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_label_prop" ->
       s"""WITH $bipartiteSymSql,
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
-         |$sweeps
+         |${lpaSweepsSql(3)}
          |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM l3 GROUP BY label""".stripMargin
-    },
+         |FROM l3 GROUP BY label""".stripMargin,
+    // the same unrolled LPA partition scored with the factored-division
+    // modularity (Σd_c² in HUGEINT, two divisions at the one-row output)
+    "q_modularity" ->
+      s"""WITH $bipartiteSymSql,
+         |${lpaSweepsSql(3)},
+         |t AS (
+         |  SELECT lu.label AS lab, CAST(count(*) AS BIGINT) AS d_c,
+         |    CAST(sum(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS l_c
+         |  FROM sym s
+         |  JOIN l3 lu ON s.u = lu.node
+         |  JOIN l3 lv ON s.v = lv.node
+         |  GROUP BY lu.label),
+         |fin AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(d_c) AS BIGINT) AS two_m,
+         |    CAST(sum(l_c) AS BIGINT) AS l_tot,
+         |    sum(CAST(d_c AS HUGEINT) * CAST(d_c AS HUGEINT)) AS d2
+         |  FROM t)
+         |SELECT two_m // 2 AS m_edges, n_communities,
+         |  round(CAST(l_tot AS DOUBLE) / two_m
+         |    - CAST(d2 AS DOUBLE)
+         |      / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)), 6)
+         |    AS modularity
+         |FROM fin""".stripMargin,
     // 4 unrolled min-relaxation sweeps from the supplier seed set
     "q_bfs_hops" -> {
       val sweeps = (1 to 4).map { i =>

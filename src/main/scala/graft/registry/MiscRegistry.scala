@@ -206,6 +206,15 @@ object MiscRegistry {
       Audit.mannWhitney(e.filter(col("event_type") === "view"),
         e.filter(col("event_type") === "purchase"), "value")
     }),
+    // rendezvous-hash shard census at 8 shards: map-side argmax over 8
+    // md5 scores per key, balance shares on the 8-row census
+    "q_rendezvous" -> ((s, d) =>
+      Sharding.shardCensus(Tables(s, d, "documents"), col("doc_id"), 8)),
+    // HRW minimal-disruption certificate for an 8 -> 10 reshard: per
+    // (old_shard, moved) census — moved share concentrates near 2/10,
+    // vs (from-1)/from for mod-N
+    "q_reshard_moves" -> ((s, d) =>
+      Sharding.reshardMoves(Tables(s, d, "documents"), col("doc_id"), 8, 10)),
     // per-cell mutual information — observed cells only (0 ln 0 = 0),
     // marginals as window sums over the cell relation
     "q_mutual_info" -> ((s, d) =>
@@ -880,6 +889,53 @@ object MiscRegistry {
         |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
         |      * ((nn + 1) - CAST(ties AS DOUBLE) / (nn * (nn - 1)))), 4) AS z
         |FROM u""".stripMargin,
+    // per-key argmax over the 8 hrw: md5 scores (row_number DESC, ties
+    // to the lower shard id ≡ the engine's array_position-first-max)
+    "q_rendezvous" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, s,
+         |    (${md5PrefixSqlOf("'hrw:' || s || ':' || doc_id", 7)}) AS sc
+         |  FROM documents, (SELECT unnest(range(8)) AS s)),
+         |asg AS (
+         |  SELECT doc_id, CAST(s AS INTEGER) AS shard FROM (
+         |    SELECT doc_id, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY sc DESC, s) AS rk FROM a)
+         |  WHERE rk = 1),
+         |c AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_keys
+         |  FROM asg GROUP BY shard),
+         |t AS (SELECT CAST(sum(n_keys) AS BIGINT) AS total FROM c)
+         |SELECT shard, n_keys, round(CAST(n_keys AS DOUBLE) / total, 6)
+         |  AS share
+         |FROM c, t""".stripMargin,
+    // both assignments from the same score CTE shape; moved = argmax
+    // changed when shards 8 and 9 joined the draw
+    "q_reshard_moves" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, s,
+         |    (${md5PrefixSqlOf("'hrw:' || s || ':' || doc_id", 7)}) AS sc
+         |  FROM documents, (SELECT unnest(range(10)) AS s)),
+         |oldasg AS (
+         |  SELECT doc_id, CAST(s AS INTEGER) AS shard FROM (
+         |    SELECT doc_id, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY sc DESC, s) AS rk
+         |    FROM a WHERE s < 8)
+         |  WHERE rk = 1),
+         |newasg AS (
+         |  SELECT doc_id, CAST(s AS INTEGER) AS shard FROM (
+         |    SELECT doc_id, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY sc DESC, s) AS rk FROM a)
+         |  WHERE rk = 1),
+         |j AS (
+         |  SELECT o.shard AS old_shard, (n.shard != o.shard) AS moved
+         |  FROM oldasg o JOIN newasg n USING (doc_id)),
+         |c AS (
+         |  SELECT old_shard, moved, CAST(count(*) AS BIGINT) AS n_keys
+         |  FROM j GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_keys) AS BIGINT) AS total FROM c)
+         |SELECT old_shard, moved, n_keys,
+         |  round(CAST(n_keys AS DOUBLE) / total, 6) AS share
+         |FROM c, t""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_obs

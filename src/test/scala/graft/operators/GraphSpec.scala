@@ -199,6 +199,28 @@ class GraphSpec extends SparkSpec {
       s"plan grows with iterations: ${planNodes(3)} vs ${planNodes(6)}")
   }
 
+  test("modularity: bridged cliques score the hand value; one community scores 0; clean split scores 0.5") {
+    import spark.implicits._
+    val bridged = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")).toDF("term_a", "term_b")
+    val labels = Graph.labelPropagationLabels(bridged, 3)
+    val r = Graph.modularity(bridged, labels).collect()(0)
+    // |sym| = 14, internal 6+6, degree sums 7+7: 12/14 − 98/196 = 0.357143
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.357143, r.toString)
+    // everything in one community -> Q = 1 − 1 = 0 exactly
+    val one = bridged.select(col("term_a").as("node")).unionByName(
+      bridged.select(col("term_b").as("node"))).distinct()
+      .withColumn("label", lit("all"))
+    assert(Graph.modularity(bridged, one).collect()(0).getDouble(2) == 0.0)
+    // two disjoint triangles, true partition: 12/12 − 72/144 = 0.5
+    val disjoint = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("term_a", "term_b")
+    val q = Graph.modularity(disjoint,
+      Graph.labelPropagationLabels(disjoint, 3)).collect()(0)
+    assert(q.getDouble(2) == 0.5, q.toString)
+  }
+
   test("bfsHops: chain distances from a multi-source seed set; budget bounds reach") {
     import spark.implicits._
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
