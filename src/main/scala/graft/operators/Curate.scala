@@ -187,4 +187,48 @@ object Curate {
         Sampling.hashBucket(col("doc_id")).as("bucket"))
       .withColumn("split", Sampling.splitExpr(col("bucket")))
   }
+
+  /** Quantile normalization of an INTEGER metric across groups (the
+    * microarray-normalization classic, Bolstad et al. 2003, adapted to
+    * corpus sources): every value is replaced by the POOLED
+    * distribution's value at the same within-group quantile, so all
+    * groups end up with identical marginal distributions — the
+    * source-bias killer for length/quality features feeding a mixer
+    * ([[Sampling.temperatureWeights]]) or a quality gate.
+    *
+    * Determinism discipline, all-integer: within-group rank r (window
+    * PARTITIONED by group, ties by id), pooled target position
+    * idx = 1 + (r−1)(N−1) div (n_g−1) (nearest-rank-below, EXACT `div`
+    * — no float index at any N; a singleton group maps to the pooled
+    * median position), and the pooled value comes from the pooled
+    * DISTINCT-VALUE census: cum ranges [lo, hi] per value (one window
+    * over the post-Aggregate census), idx∈[lo,hi] resolved by a
+    * BROADCAST range join — census-sized, never corpus × corpus. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).as("id"), col(valueCol).cast("long").as("v"))
+    val nRow = base.agg(count(lit(1)).as("n_total"))
+    val ranked = base
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val census = base.groupBy(col("v").as("pv"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum(col("cnt")).over(Window.orderBy(col("pv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .select(col("pv"), col("lo"), col("hi"))
+    ranked.crossJoin(broadcast(nRow))
+      .withColumn("qnum", (col("r") - 1) * (col("n_total") - 1))
+      .withColumn("qden", greatest(col("n_g") - 1, lit(1L)))
+      .withColumn("idx",
+        when(col("n_g") === 1, lit(1L) + expr("(n_total - 1) div 2"))
+          .otherwise(lit(1L) + expr("qnum div qden")))
+      .join(broadcast(census),
+        col("idx") >= col("lo") && col("idx") <= col("hi"))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("v").as(valueCol), col("pv").as("qn_value"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -795,5 +795,50 @@ object TimeSeries {
           .otherwise(round(exp(sum(log(col("factor"))).over(cum)), 4)))
       .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
         col("survival"))
+  }
+
+  /** SAX symbolization (Lin, Keogh et al., DMKD 2007) of the per-type
+    * daily value series: PAA blocks of `blockDays` days (exact
+    * integer-micro block sums), per-series z-normalization, then a
+    * 4-symbol alphabet at the standard-normal quartile breakpoints
+    * ±0.6745 and 0 — the discretization behind motif mining, series
+    * indexing, and cheap anomaly grammars over metric streams.
+    *
+    * Exactness discipline: block sums are exact longs; the z-score is
+    * computed as (x·k − S) / √(k·Q − S²) — numerator exact, k·Q − S²
+    * exact DECIMAL(38,0) — so ONE sqrt and one division produce it;
+    * symbols compare breakpoints against the ROUNDED 4-dp z (both
+    * engines bucket identical values). A zero-variance series has no
+    * defined z: symbol and z go NULL rather than inventing a bucket.
+    * Everything after the daily census is (type × blocks)-sized; the
+    * day-zero anchor is a one-row broadcast. */
+  def saxSymbols(events: DataFrame, blockDays: Int = 4): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("m"))
+    val anchor = daily.agg(min(col("day")).as("day0"))
+    val paa = daily.crossJoin(broadcast(anchor))
+      .groupBy(col("event_type"),
+        (datediff(col("day").cast("date"), col("day0").cast("date"))
+          .cast("long") / blockDays).cast("long").as("bucket"))
+      .agg(sum(col("m")).as("x"))
+    val stats = paa.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("s"),
+        sum(dec(col("x")) * dec(col("x"))).as("q"))
+      .withColumn("den2", dec(col("k")) * col("q") - dec(col("s")) * dec(col("s")))
+    paa.join(stats, "event_type")
+      .withColumn("z", when(col("den2") <= 0, lit(null).cast("double"))
+        .otherwise(round(
+          (dec(col("x")) * dec(col("k")) - dec(col("s"))).cast("double") /
+            sqrt(col("den2").cast("double")), 4)))
+      .select(col("event_type"), col("bucket"), col("x").as("paa_micro"),
+        col("z"),
+        when(col("z").isNull, lit(null).cast("string"))
+          .when(col("z") < -0.6745, "a")
+          .when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6745, "c")
+          .otherwise("d").as("symbol"))
   }
 }

@@ -215,6 +215,12 @@ object MiscRegistry {
     // vs (from-1)/from for mod-N
     "q_reshard_moves" -> ((s, d) =>
       Sharding.reshardMoves(Tables(s, d, "documents"), col("doc_id"), 8, 10)),
+    // quantile normalization of doc length across sources: all-integer
+    // rank -> pooled-position mapping (exact div), broadcast range join
+    // against the pooled value census
+    "q_quantile_norm" -> ((s, d) =>
+      Curate.quantileNormalize(Tables(s, d, "documents"),
+        "source", "n_chars", "doc_id")),
     // per-cell mutual information — observed cells only (0 ln 0 = 0),
     // marginals as window sums over the cell relation
     "q_mutual_info" -> ((s, d) =>
@@ -908,6 +914,34 @@ object MiscRegistry {
          |SELECT shard, n_keys, round(CAST(n_keys AS DOUBLE) / total, 6)
          |  AS share
          |FROM c, t""".stripMargin,
+    // identical integer rank -> pooled-position arithmetic (// is exact
+    // div on both engines), BETWEEN join vs the pooled census ranges
+    "q_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT source AS grp, doc_id AS id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+        |ranked AS (
+        |  SELECT grp, id, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS n_g
+        |  FROM base),
+        |census AS (
+        |  SELECT v AS pv, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY v),
+        |c2 AS (
+        |  SELECT pv, cnt, sum(cnt) OVER (ORDER BY pv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM census),
+        |c3 AS (SELECT pv, hi - cnt + 1 AS lo, hi FROM c2),
+        |idxd AS (
+        |  SELECT grp, id, v,
+        |    CASE WHEN n_g = 1 THEN 1 + (n_total - 1) // 2
+        |      ELSE 1 + ((r - 1) * (n_total - 1)) // (n_g - 1) END AS idx
+        |  FROM ranked, nt)
+        |SELECT i.id AS doc_id, i.grp AS source, i.v AS n_chars,
+        |  c.pv AS qn_value
+        |FROM idxd i JOIN c3 c ON i.idx BETWEEN c.lo AND c.hi""".stripMargin,
     // both assignments from the same score CTE shape; moved = argmax
     // changed when shards 8 and 9 joined the draw
     "q_reshard_moves" ->

@@ -366,6 +366,10 @@ object TextAnalysisRegistry {
     // fold — the next-action census behind funnel design
     "q_markov_transitions" -> ((s, d) =>
       TimeSeries.markovTransitions(Tables(s, d, "events"))),
+    // SAX symbolization of the per-type daily value series: 4-day PAA
+    // block sums (exact micros), z via one sqrt over exact HUGEINT
+    // moments, quartile-breakpoint alphabet on the rounded z
+    "q_sax" -> ((s, d) => TimeSeries.saxSymbols(Tables(s, d, "events"), 4)),
     // Zipf-law OLS fit over the top-1000 term census: slope ~ -1 is the
     // natural-language signature (one-row corpus-health probe)
     "q_zipf_fit" -> ((s, d) => Retrieval.zipfFit(Tables(s, d, "documents"))),
@@ -1025,6 +1029,42 @@ object TextAnalysisRegistry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    // exact HUGEINT moments per series, z = (xk−S)/√(kQ−S²) with one
+    // sqrt, symbols on the ROUNDED z; zero-variance series -> NULLs
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS day0 FROM daily),
+        |paa AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', CAST(day0 AS DATE), CAST(day AS DATE))
+        |      AS BIGINT) // 4 AS bucket,
+        |    CAST(sum(m) AS BIGINT) AS x
+        |  FROM daily, a GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+        |  FROM paa GROUP BY 1),
+        |j AS (
+        |  SELECT p.event_type, p.bucket, p.x,
+        |    CAST(k AS HUGEINT) * q
+        |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS den2,
+        |    CAST(p.x AS HUGEINT) * k - s AS znum
+        |  FROM paa p JOIN stats USING (event_type)),
+        |z AS (
+        |  SELECT event_type, bucket, x AS paa_micro,
+        |    CASE WHEN den2 <= 0 THEN NULL
+        |      ELSE round(CAST(znum AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE)), 4)
+        |      END AS z
+        |  FROM j)
+        |SELECT event_type, bucket, paa_micro, z,
+        |  CASE WHEN z IS NULL THEN NULL
+        |    WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |    WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z""".stripMargin,
     "q_funnel_time" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS start_ts FROM events

@@ -101,4 +101,35 @@ class CurateSpec extends SparkSpec {
     val r = Curate.sourceAblation(solo, graft.functions.Text.tokenCount(col("text"))).collect()(0)
     assert(r.isNullAt(3) && r.isNullAt(4), r.toString)
   }
+
+  test("quantileNormalize: groups land on identical pooled marginals; singleton maps to pooled median") {
+    import spark.implicits._
+    // g1 {2,4,6}, g2 {10,20,30}: pooled sorted (2,4,6,10,20,30); each
+    // group's ranks 1..3 map to pooled positions 1, 3, 6 -> {2, 6, 30}
+    val df = Seq(("g1", 1L, 2L), ("g1", 2L, 4L), ("g1", 3L, 6L),
+      ("g2", 4L, 10L), ("g2", 5L, 20L), ("g2", 6L, 30L))
+      .toDF("src", "id", "v")
+    val got = Curate.quantileNormalize(df, "src", "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 6L, 3L -> 30L,
+      4L -> 2L, 5L -> 6L, 6L -> 30L), got.toString)
+    // post-normalization the two marginals are IDENTICAL multisets
+    val bySrc = Curate.quantileNormalize(df, "src", "v", "id").collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(3)).sorted.toSeq).toMap
+    assert(bySrc("g1") == bySrc("g2"))
+    // a singleton group maps to the pooled median position
+    val withSolo = df.unionByName(Seq(("g3", 7L, 7L)).toDF("src", "id", "v"))
+    // N = 7: idx = 1 + 3 = 4 -> pooled sorted (2,4,6,7,10,20,30)(4) = 7
+    val solo = Curate.quantileNormalize(withSolo, "src", "v", "id")
+      .filter(col("id") === 7L).collect()(0)
+    assert(solo.getLong(3) == 7L, solo.toString)
+    // ties: census ranges, deterministic rank tie-break by id
+    val ties = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("b", 3L, 5L), ("b", 4L, 9L))
+      .toDF("src", "id", "v")
+    val t = Curate.quantileNormalize(ties, "src", "v", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // N=4, census 5->[1,3], 9->[4,4]; rank1 -> idx1 = 5, rank2 -> idx4 = 9
+    assert(t == Map(1L -> 5L, 2L -> 9L, 3L -> 5L, 4L -> 9L), t.toString)
+  }
 }

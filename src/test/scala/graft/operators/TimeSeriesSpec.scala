@@ -488,4 +488,24 @@ class TimeSeriesSpec extends SparkSpec {
     // cohort B: size 1; wk0 cum 5.00 -> 5.0/user
     assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
   }
+
+  test("saxSymbols: planted two-block series scores z = ±1 (a/d); constant series goes NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // type m: block0 (days 0-3) sums 10.0, block1 (days 4-7) sums 30.0
+    // k=2, S=40e6, kQ−S² = 400e12 -> z = ∓1.0 exactly
+    val m = Seq(1.0, 2.0, 3.0, 4.0, 10.0, 12.0, 8.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("m", t(i), v) }
+    // type c: identical blocks -> zero variance -> NULL z and symbol
+    val c = (0 to 7).map(i => ("c", t(i), 5.0))
+    val df = (m ++ c).toDF("event_type", "ts", "value")
+    val got = TimeSeries.saxSymbols(df, blockDays = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(("m", 0L)) == ((10000000L, Some(-1.0), Some("a"))), got.toString)
+    assert(got(("m", 1L)) == ((30000000L, Some(1.0), Some("d"))), got.toString)
+    assert(got(("c", 0L)) == ((20000000L, None, None)), got.toString)
+    assert(got(("c", 1L)) == ((20000000L, None, None)), got.toString)
+  }
 }
