@@ -29,6 +29,16 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Character n-grams of `text` (positions 1..len−n+1), empty when the
+    * text is shorter than n (guarded against `sequence`'s descending
+    * range). Let-bound so the text expression evaluates once, not once
+    * per gram. */
+  def charNgrams(text: Column, n: Int): Column = let(text) { t =>
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
   /** Word n-gram shingles ("w1 w2 w3"). Empty array when the document has
     * fewer than n tokens (guarded: Spark's `sequence(1,0)` would count
     * DOWN, not produce an empty range). The token array is let-bound so

@@ -129,4 +129,68 @@ object Experiment {
             sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
               (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
   }
+
+  /** Two-period difference-in-differences — the quasi-experimental
+    * complement to [[abTestZ]] (randomized) for rollouts where only a
+    * cohort got the change: DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre) cancels both the level difference
+    * between cohorts and the common time trend; the parallel-trends
+    * assumption carries the causal read.
+    *
+    * Unit of analysis = per (user, period) metric total, so repeated
+    * events fold first (one map-side aggregate). The four (treat, post)
+    * cell moments land in ONE row via conditional aggregation — no
+    * pivot, no join — every n/Σ/Σ² an exact integer (cents, DECIMAL for
+    * squares); cell means/variances are single rounded ratios, the DiD
+    * estimate and its pooled standard error
+    * √(Σ var_c/n_c) combine ROUNDED components in a fixed expression
+    * (no float aggregation order anywhere), t = did/se, NULL when se is
+    * 0 (degenerate cells) rather than an invented statistic. */
+  def diffInDiff(events: DataFrame, cutoff: String,
+      treatOf: Column => Column = u => Sampling.hashBucket(u) % 2 === 1)
+      : DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val perUnit = events
+      .select(col("user_id"),
+        (col("ts") >= lit(cutoff).cast("timestamp")).as("post"),
+        centsOf(col("value")).as("cents"))
+      .groupBy(col("user_id"), col("post"))
+      .agg(sum(col("cents")).as("y"))
+      .withColumn("treat", treatOf(col("user_id")))
+    def cell(t: Boolean, p: Boolean, c: Column): Column =
+      sum(when(col("treat") === t && col("post") === p, c).otherwise(lit(0L)))
+    def cellN(t: Boolean, p: Boolean): Column =
+      sum(when(col("treat") === t && col("post") === p, 1L).otherwise(0L))
+    val cells = Seq(false -> false, false -> true, true -> false, true -> true)
+    val tag = (t: Boolean, p: Boolean) => s"${if (t) "t" else "c"}${if (p) "1" else "0"}"
+    val aggCols: Seq[Column] =
+      cells.map { case (t, p) => cellN(t, p).as(s"n_${tag(t, p)}") } ++
+      cells.map { case (t, p) => cell(t, p, col("y")).as(s"s_${tag(t, p)}") } ++
+      cells.map { case (t, p) =>
+        cell(t, p, dec(col("y")) * dec(col("y"))).as(s"q_${tag(t, p)}") }
+    val folded = perUnit.agg(aggCols.head, aggCols.tail: _*)
+    def mean(c: String): Column =
+      round(col(s"s_$c").cast("double") / (col(s"n_$c") * 100L), 6)
+    def varc(c: String): Column =
+      round((dec(col(s"n_$c")) * col(s"q_$c") -
+        dec(col(s"s_$c")) * dec(col(s"s_$c"))).cast("double") /
+        (col(s"n_$c") * col(s"n_$c") * 10000L).cast("double"), 6)
+    folded
+      .select(
+        col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+        mean("c0").as("m_c0"), mean("c1").as("m_c1"),
+        mean("t0").as("m_t0"), mean("t1").as("m_t1"),
+        varc("c0").as("v_c0"), varc("c1").as("v_c1"),
+        varc("t0").as("v_t0"), varc("t1").as("v_t1"))
+      .withColumn("did", round(
+        (col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 6))
+      .withColumn("se", round(sqrt(
+        col("v_t1") / col("n_t1") + col("v_t0") / col("n_t0") +
+        col("v_c1") / col("n_c1") + col("v_c0") / col("n_c0")), 6))
+      .select(col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+        col("m_c0"), col("m_c1"), col("m_t0"), col("m_t1"),
+        col("did"), col("se"),
+        when(col("se") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("did") / col("se"), 4)).as("t_stat"))
+  }
 }

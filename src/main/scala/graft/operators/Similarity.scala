@@ -480,6 +480,43 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Simplified (centroid) silhouette per label (Hruschka et al.'s
+    * medoid-free variant of Rousseeuw 1987): for each vector,
+    * a = distance to its OWN label centroid, b = distance to the nearest
+    * OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]; the per-label mean is
+    * the cluster-quality read (≈1 compact & separated, ≈0 overlapping,
+    * <0 likely mislabeled) — the evaluation complement to
+    * [[labelMedoids]]/[[centroidSimilarity]], at O(n·L) instead of the
+    * true silhouette's O(n²) pairwise matrix.
+    *
+    * Scale shape: centroids fold map-side to the labels×dims relation
+    * (rounded to 4 — the centroid-artifact convention) and BROADCAST
+    * back; each vector scores all L centroids in one fanout join + one
+    * (vec, label) aggregate — the corpus is never self-joined. Distances
+    * round to 4 BEFORE the min/argmax so cross-engine ulp drift cannot
+    * flip the nearest-other choice; a degenerate vector sitting exactly
+    * on both centroids (max(a,b) = 0) scores 0, not NaN. */
+  def silhouetteByLabel(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"), col("label").as("own"),
+      posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "own", "dim", "x")
+    val cent = x.groupBy(col("own").as("clabel"), col("dim"))
+      .agg(round(avg(col("x")), 4).as("m"))
+    val d = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("own"), col("clabel"))
+      .agg(round(sqrt(sum((col("x") - col("m")) * (col("x") - col("m")))), 4)
+        .as("dist"))
+    val ab = d.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("clabel") === col("own"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("own"), col("dist"))).as("b"))
+    ab.select(col("vec_id"), col("own"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise(round((col("b") - col("a")) /
+            greatest(col("a"), col("b")), 4)).as("s"))
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("s")), 4).as("silhouette"))
+  }
+
   /** Sign random projection (Achlioptas 2003's database-friendly
     * Johnson–Lindenstrauss transform): y_j = Σ_i s(j,i)·x_i / √p with
     * s ∈ {−1,+1} — the cheap dimensionality-reduction stage before

@@ -310,6 +310,10 @@ object DedupRegistry {
     // once on label, deterministic (rounded cosine, vec_id) winner
     "q_label_medoid" -> ((s, d) =>
       Similarity.labelMedoids(Tables(s, d, "embeddings"))),
+    // simplified silhouette per label: own vs nearest-other centroid
+    // distance, rounded-4 before the argmin, degenerate vectors score 0
+    "q_silhouette" -> ((s, d) =>
+      Similarity.silhouetteByLabel(Tables(s, d, "embeddings"))),
     // shape census: explicit two-pass central moments (builtin
     // skew/kurt bias variants disagree across engines)
     "q_moments" -> ((s, d) =>
@@ -845,6 +849,36 @@ object DedupRegistry {
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY label
         |  ORDER BY cos_to_centroid DESC, vec_id) = 1""".stripMargin,
+    // distances to ALL centroids per vector (labels x dims broadcast
+    // shape), a = own, b = min other, s on rounded-4 distances
+    "q_silhouette" ->
+      """WITH x AS (
+        |  SELECT vec_id, label AS own, CAST(s.dim AS INTEGER) AS dim,
+        |    CAST(s.x AS DOUBLE) AS x
+        |  FROM (
+        |    SELECT vec_id, label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'dim': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        |    FROM embeddings)),
+        |cent AS (SELECT own AS clabel, dim, round(avg(x), 4) AS m
+        |  FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT x.vec_id, x.own, c.clabel,
+        |    round(sqrt(sum((x.x - c.m) * (x.x - c.m))), 4) AS dist
+        |  FROM x JOIN cent c ON x.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, own,
+        |    max(CASE WHEN clabel = own THEN dist END) AS a,
+        |    min(CASE WHEN clabel != own THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (
+        |  SELECT vec_id, own,
+        |    CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+        |      ELSE round((b - a) / greatest(a, b), 4) END AS s
+        |  FROM ab)
+        |SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(s), 4) AS silhouette
+        |FROM s GROUP BY own""".stripMargin,
     "q_moments" ->
       """WITH mu AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -147,6 +147,11 @@ object MiscRegistry {
     "q_ab_test" -> ((s, d) =>
       Experiment.abTestZ(Tables(s, d, "events"), "purchase", "2024-01-16",
         minValue = 150.0)),
+    // two-period diff-in-diff on per-unit value totals: four exact cell
+    // moments folded into ONE row, rounded components combined in a
+    // fixed expression, NULL t on degenerate cells
+    "q_diff_in_diff" -> ((s, d) =>
+      Experiment.diffInDiff(Tables(s, d, "events"), "2024-01-16")),
     // functional-dependency profiling: g3 error (min deletions to make
     // det -> dep hold) per declared candidate — one census + one rollup
     // per FD, all exact counts; nation_region holds, the others measure
@@ -914,6 +919,47 @@ object MiscRegistry {
          |SELECT shard, n_keys, round(CAST(n_keys AS DOUBLE) / total, 6)
          |  AS share
          |FROM c, t""".stripMargin,
+    // the four (treat, post) cells via conditional aggregation, exact
+    // HUGEINT moments, ROUNDED means/variances combined in fixed order
+    "q_diff_in_diff" -> {
+      val treat = s"(CAST((${md5BucketSqlOf("user_id")}) % 100 AS INTEGER) % 2 = 1)"
+      val cells = Seq(("c0", "NOT treat AND NOT post"),
+        ("c1", "NOT treat AND post"), ("t0", "treat AND NOT post"),
+        ("t1", "treat AND post"))
+      val folds = cells.map { case (c, p) =>
+        s"""    CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS n_$c,
+           |    CAST(sum(CASE WHEN $p THEN y ELSE 0 END) AS BIGINT) AS s_$c,
+           |    sum(CASE WHEN $p THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT)
+           |      ELSE 0 END) AS q_$c""".stripMargin
+      }.mkString(",\n")
+      val calc = cells.map { case (c, _) =>
+        s"""    round(CAST(s_$c AS DOUBLE) / CAST(n_$c * 100 AS DOUBLE), 6)
+           |      AS m_$c,
+           |    round(CAST(n_$c * q_$c - CAST(s_$c AS HUGEINT) * s_$c AS DOUBLE)
+           |      / CAST(n_$c * n_$c * 10000 AS DOUBLE), 6) AS v_$c""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pu AS (
+         |  SELECT user_id, (ts >= TIMESTAMP '2024-01-16') AS post,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |tagged AS (SELECT *, $treat AS treat FROM pu),
+         |folded AS (
+         |  SELECT
+         |$folds
+         |  FROM tagged),
+         |calc AS (
+         |  SELECT n_c0, n_c1, n_t0, n_t1,
+         |$calc
+         |  FROM folded),
+         |fin AS (
+         |  SELECT *, round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did,
+         |    round(sqrt(v_t1 / n_t1 + v_t0 / n_t0
+         |      + v_c1 / n_c1 + v_c0 / n_c0), 6) AS se
+         |  FROM calc)
+         |SELECT n_c0, n_c1, n_t0, n_t1, m_c0, m_c1, m_t0, m_t1, did, se,
+         |  CASE WHEN se = 0.0 THEN NULL ELSE round(did / se, 4) END AS t_stat
+         |FROM fin""".stripMargin
+    },
     // identical integer rank -> pooled-position arithmetic (// is exact
     // div on both engines), BETWEEN join vs the pooled census ranges
     "q_quantile_norm" ->

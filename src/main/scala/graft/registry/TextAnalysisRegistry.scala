@@ -370,6 +370,19 @@ object TextAnalysisRegistry {
     // block sums (exact micros), z via one sqrt over exact HUGEINT
     // moments, quartile-breakpoint alphabet on the rounded z
     "q_sax" -> ((s, d) => TimeSeries.saxSymbols(Tables(s, d, "events"), 4)),
+    // per-doc char-trigram entropy (the compression-ratio quality proxy:
+    // boilerplate/repetitive docs score low): H = ln n − Σc·ln c / n
+    // over the per-doc gram census, one rounded output
+    "q_char_entropy" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Text.charNgrams(lower(col("text")), 3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          round(log(sum(col("c")).cast("double")) -
+            sum(col("c") * log(col("c").cast("double"))) /
+              sum(col("c")), 4).as("entropy_nats"))),
     // Zipf-law OLS fit over the top-1000 term census: slope ~ -1 is the
     // natural-language signature (one-row corpus-health probe)
     "q_zipf_fit" -> ((s, d) => Retrieval.zipfFit(Tables(s, d, "documents"))),
@@ -1029,6 +1042,20 @@ object TextAnalysisRegistry {
         |  round(quantile_cont(value, 0.95), 4) AS p95,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    // same gram positions (range is [a,b) so len−1 ≡ Spark's inclusive
+    // len−2), H folded over the per-doc census
+    "q_char_entropy" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(lower(text)) - 1),
+        |      i -> substr(lower(text), i, 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_nats
+        |FROM c GROUP BY doc_id""".stripMargin,
     // exact HUGEINT moments per series, z = (xk−S)/√(kQ−S²) with one
     // sqrt, symbols on the ROUNDED z; zero-variance series -> NULLs
     "q_sax" ->

@@ -84,4 +84,15 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Int]("n_tokens") == 6)
     assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("digit_ratio") > 0)
   }
+
+  test("charNgrams: sliding positions, short-text guard, single evaluation") {
+    def grams(s: String, n: Int): Seq[String] =
+      one(s).select(Text.charNgrams(col("text"), n).as("g"))
+        .head().getSeq[String](0)
+    assert(grams("abcde", 3) == Seq("abc", "bcd", "cde"))
+    assert(grams("abc", 3) == Seq("abc"))
+    assert(grams("ab", 3) == Seq.empty)   // no descending-sequence blowup
+    assert(grams("", 3) == Seq.empty)
+    assert(grams("aaaa", 2) == Seq("aa", "aa", "aa"))
+  }
 }

@@ -59,4 +59,30 @@ class ExperimentSpec extends SparkSpec {
     assert(Experiment.abTestZ(all, "purchase", "2024-01-16", 150.0)
       .collect()(0).isNullAt(7))
   }
+
+  test("diffInDiff: planted effect recovered net of the common trend; parallel trends -> 0") {
+    // control users 2,4; treated 1,3 (explicit assignment, not hash).
+    // pre means 15 / 35; both cohorts trend +2; treated get +5 on top.
+    def ev(post: Map[Long, Double]) = (Seq(
+      (1L, "2024-01-10 00:00:00", 30.0), (3L, "2024-01-10 00:00:00", 40.0),
+      (2L, "2024-01-10 00:00:00", 10.0), (4L, "2024-01-10 00:00:00", 20.0)) ++
+      post.toSeq.map { case (u, v) => (u, "2024-01-20 00:00:00", v) })
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("value"))
+    val treat = (u: org.apache.spark.sql.Column) => u % 2 === 1
+    val eff = Experiment.diffInDiff(
+      ev(Map(1L -> 37.0, 3L -> 47.0, 2L -> 12.0, 4L -> 22.0)),
+      "2024-01-16", treat).collect()(0)
+    // (42-35) - (17-15) = 5; all cell variances 25 (n=2 population),
+    // se = sqrt(4 * 25/2) = 7.071068, t = 0.7071
+    assert(eff.getAs[Double]("did") == 5.0, eff.toString)
+    assert(eff.getAs[Double]("se") == 7.071068, eff.toString)
+    assert(eff.getAs[Double]("t_stat") == 0.7071, eff.toString)
+    // parallel trends, no effect: did exactly 0
+    val flat = Experiment.diffInDiff(
+      ev(Map(1L -> 32.0, 3L -> 42.0, 2L -> 12.0, 4L -> 22.0)),
+      "2024-01-16", treat).collect()(0)
+    assert(flat.getAs[Double]("did") == 0.0, flat.toString)
+    assert(flat.getAs[Double]("t_stat") == 0.0, flat.toString)
+  }
 }

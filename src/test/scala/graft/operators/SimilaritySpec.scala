@@ -333,4 +333,25 @@ class SimilaritySpec extends SparkSpec {
     y1.foreach { case (d, v) => assert(math.abs(y2(d) - 2 * v) < 1e-5,
       s"dim $d: ${y2(d)} vs ${2 * v}") }
   }
+
+  test("silhouetteByLabel: separated clusters near 1, a planted stray drags its label down") {
+    import spark.implicits._
+    def emb(rows: (Long, Int, Seq[Float])*) =
+      rows.toSeq.toDF("vec_id", "label", "embedding")
+    val tight = emb(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.98f, 0.0f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.0f, 0.98f)))
+    val s = Similarity.silhouetteByLabel(tight).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(s(0)._1 == 2L && s(1)._1 == 2L)
+    assert(s(0)._2 > 0.99 && s(1)._2 > 0.99, s.toString)
+    // move vec 2 INTO cluster 1's territory: label 0's mean silhouette
+    // collapses (the stray scores negative), label 1 stays high
+    val stray = emb(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.0f, 1.0f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.0f, 0.98f)))
+    val t = Similarity.silhouetteByLabel(stray).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(t(0) < 0.3 && t(1) > 0.5, t.toString)
+  }
 }
