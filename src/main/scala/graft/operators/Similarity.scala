@@ -116,6 +116,52 @@ object Quantize {
     cent
   }
 
+  /** [[refineCodebook]] iterated to a CERTIFIED Lloyd fixpoint: run
+    * assign → recenter until a full pass reassigns ZERO vectors (the
+    * classical k-means termination, guaranteed in finitely many steps
+    * since Lloyd monotonically decreases the finite-valued objective),
+    * fail LOUDLY at `maxIterations` rather than ship a half-converged
+    * codebook — the kCoreCertified / fixpoint-CC discipline. Each pass
+    * is the q_codebook_refine exchange plus one vec-keyed join to count
+    * reassignments; everything localCheckpoints so plan size is O(1) in
+    * passes. The oracled fixed-iteration form stays the engine-exact
+    * replay; this is the production training path. */
+  def refineCodebookCertified(emb: DataFrame,
+      maxIterations: Int = 25): DataFrame = {
+    def assignOf(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(codebookRowOf(cent)))
+        .select(col("vec_id"),
+          cellExpr(col("embedding"), col("cents")).as("cell"))
+    def centroidsOf(assign: DataFrame): DataFrame =
+      emb.join(assign, "vec_id")
+        .repartition(col("cell"))
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .toDF("cell", "dim", "x")
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("c_id"),
+          transform(col("dm"), s => s.getField("m")).as("c_emb"))
+    var cent = codebook(emb)
+      .select(col("c_id"), col("c_emb").cast("array<double>").as("c_emb"))
+      .localCheckpoint()
+    var assign = assignOf(cent).localCheckpoint()
+    var it = 0
+    while (it < maxIterations) {
+      cent = centroidsOf(assign).localCheckpoint()
+      val next = assignOf(cent).localCheckpoint()
+      val changed = next
+        .join(assign.withColumnRenamed("cell", "old"), "vec_id")
+        .filter(col("cell") =!= col("old")).count()
+      assign = next
+      if (changed == 0) return cent
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"k-means failed to stabilize in $maxIterations Lloyd passes — " +
+        "raise maxIterations; do NOT ship a half-converged codebook")
+  }
+
   /** Nearest-centroid cell id — one native-expression projection over the
     * broadcast codebook column, evaluates in-stage. */
   def cellExpr(emb: Column, cents: Column): Column =

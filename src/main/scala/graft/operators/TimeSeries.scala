@@ -797,6 +797,50 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** Haar wavelet decomposition of the per-type daily value series over
+    * the first `days` (a power of two) days — the multi-resolution
+    * energy read behind series compression, trend/burst separation and
+    * wavelet-domain anomaly flags: level-l block k carries the block
+    * total (approximation) and the left-minus-right contrast (detail);
+    * a spike lights up small-scale details, a level shift the coarse
+    * ones.
+    *
+    * INTEGER end-to-end: daily totals are exact micros, missing days
+    * densify to literal 0 on the types×days grid (types-sized — never a
+    * corpus explode), and every coefficient is emitted as the UNSCALED
+    * block sum / signed contrast (the 1/2^l Haar normalization is
+    * presentation — dividing here would trade exact longs for floats).
+    * One grid-sized aggregate per level, log₂(days) levels unioned. */
+  def haarCoefficients(events: DataFrame, days: Int = 16): DataFrame = {
+    require(days >= 2 && (days & (days - 1)) == 0,
+      s"days must be a power of two >= 2, got $days")
+    val nLevels = java.lang.Integer.numberOfTrailingZeros(days)
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("m"))
+    val anchor = daily.agg(min(col("day")).as("day0"))
+    val idx = daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        datediff(col("day").cast("date"), col("day0").cast("date")).as("i"),
+        col("m"))
+      .filter(col("i") < days)
+    val grid = idx.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(days - 1))).as("i"))
+      .join(idx, Seq("event_type", "i"), "left")
+      .select(col("event_type"), col("i"), coalesce(col("m"), lit(0L)).as("m"))
+      .localCheckpoint(false)
+    (1 to nLevels).map { l =>
+      val b = 1 << l
+      grid.groupBy(col("event_type"), (col("i") / b).cast("long").as("k"))
+        .agg(sum(col("m")).as("s_sum"),
+          sum(when(col("i") % b < b / 2, col("m")).otherwise(-col("m")))
+            .as("d_sum"))
+        .select(col("event_type"), lit(l).as("level"), col("k"),
+          col("s_sum"), col("d_sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SAX symbolization (Lin, Keogh et al., DMKD 2007) of the per-type
     * daily value series: PAA blocks of `blockDays` days (exact
     * integer-micro block sums), per-series z-normalization, then a

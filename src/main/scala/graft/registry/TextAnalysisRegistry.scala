@@ -370,6 +370,11 @@ object TextAnalysisRegistry {
     // block sums (exact micros), z via one sqrt over exact HUGEINT
     // moments, quartile-breakpoint alphabet on the rounded z
     "q_sax" -> ((s, d) => TimeSeries.saxSymbols(Tables(s, d, "events"), 4)),
+    // Haar wavelet coefficients over the first 16 days per type —
+    // UNSCALED integer block sums / contrasts (micros), densified grid,
+    // one grid-sized aggregate per level
+    "q_haar" -> ((s, d) =>
+      TimeSeries.haarCoefficients(Tables(s, d, "events"), 16)),
     // per-doc char-trigram entropy (the compression-ratio quality proxy:
     // boilerplate/repetitive docs score low): H = ln n − Σc·ln c / n
     // over the per-doc gram census, one rounded output
@@ -1056,6 +1061,35 @@ object TextAnalysisRegistry {
         |  round(ln(CAST(sum(c) AS DOUBLE))
         |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_nats
         |FROM c GROUP BY doc_id""".stripMargin,
+    // densified 16-slot grid, one UNION ALL block per level with the
+    // same integer sum/contrast folds
+    "q_haar" -> {
+      val levels = (1 to 4).map { l =>
+        val b = 1 << l
+        s"""SELECT event_type, $l AS level, i // $b AS k,
+           |  CAST(sum(m) AS BIGINT) AS s_sum,
+           |  CAST(sum(CASE WHEN i % $b < ${b / 2} THEN m ELSE -m END)
+           |    AS BIGINT) AS d_sum
+           |FROM grid GROUP BY 1, 3""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day,
+         |    CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS m
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT min(day) AS day0 FROM daily),
+         |idx AS (
+         |  SELECT event_type,
+         |    CAST(date_diff('day', CAST(day0 AS DATE), CAST(day AS DATE))
+         |      AS BIGINT) AS i, m
+         |  FROM daily, a
+         |  WHERE date_diff('day', CAST(day0 AS DATE), CAST(day AS DATE)) < 16),
+         |grid AS (
+         |  SELECT t.event_type, s.i, coalesce(idx.m, 0) AS m
+         |  FROM (SELECT DISTINCT event_type FROM idx) t
+         |  CROSS JOIN (SELECT unnest(range(16)) AS i) s
+         |  LEFT JOIN idx ON idx.event_type = t.event_type AND idx.i = s.i)
+         |$levels""".stripMargin
+    },
     // exact HUGEINT moments per series, z = (xk−S)/√(kQ−S²) with one
     // sqrt, symbols on the ROUNDED z; zero-variance series -> NULLs
     "q_sax" ->

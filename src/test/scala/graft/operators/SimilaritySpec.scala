@@ -334,6 +334,30 @@ class SimilaritySpec extends SparkSpec {
       s"dim $d: ${y2(d)} vs ${2 * v}") }
   }
 
+  test("refineCodebookCertified: Lloyd stabilizes on planted clusters, matches the fixed-pass form, fails loudly at the cap") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.02f)), (2L, Seq(1.0f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.02f, 1.0f)), (5L, Seq(0.01f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.rint(x * 1e6)))
+      .sortBy(_._1).toSeq
+    val cert = Quantize.refineCodebookCertified(emb, maxIterations = 20)
+    // converged state ≡ the fixed-pass form run past convergence
+    assert(canon(cert) == canon(Quantize.refineCodebook(emb, 8)))
+    // every final centroid points into one of the two planted cones
+    cert.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(math.abs(v(0)) > 0.9 && math.abs(v(1)) < 0.1 ||
+        math.abs(v(1)) > 0.9 && math.abs(v(0)) < 0.1, v.toString)
+    }
+    // loud failure instead of a silent half-converged codebook
+    intercept[IllegalStateException] {
+      Quantize.refineCodebookCertified(emb, maxIterations = 0)
+    }
+  }
+
   test("silhouetteByLabel: separated clusters near 1, a planted stray drags its label down") {
     import spark.implicits._
     def emb(rows: (Long, Int, Seq[Float])*) =

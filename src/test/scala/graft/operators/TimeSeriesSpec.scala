@@ -489,6 +489,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
   }
 
+  test("haarCoefficients: hand-computed pyramid on 4 days; missing days densify to zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val full = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => ("m", t(i), v) }.toDF("event_type", "ts", "value")
+    val got = TimeSeries.haarCoefficients(full, days = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    // level 1: (1+2, 1-2), (3+4, 3-4); level 2: (10, (1+2)-(3+4))
+    assert(got == Map((1, 0L) -> ((3000000L, -1000000L)),
+      (1, 1L) -> ((7000000L, -1000000L)),
+      (2, 0L) -> ((10000000L, -4000000L))), got.toString)
+    // gaps: only days 0 and 3 exist -> slots 1, 2 are literal zeros
+    val gappy = Seq(("m", t(0), 1.0), ("m", t(3), 4.0))
+      .toDF("event_type", "ts", "value")
+    val g = TimeSeries.haarCoefficients(gappy, days = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(g == Map((1, 0L) -> ((1000000L, 1000000L)),
+      (1, 1L) -> ((4000000L, -4000000L)),
+      (2, 0L) -> ((5000000L, -3000000L))), g.toString)
+  }
+
   test("saxSymbols: planted two-block series scores z = ±1 (a/d); constant series goes NULL") {
     import spark.implicits._
     import java.sql.Timestamp
