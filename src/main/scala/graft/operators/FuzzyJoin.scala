@@ -105,6 +105,44 @@ object FuzzyJoin {
       .filter(col("dist") <= k)
   }
 
+  /** Edit-distance-1 self-join via FastSS DELETION NEIGHBORHOODS (Bocek,
+    * Hunt & Stiller, ETH TIK report 2007): every value indexes itself
+    * plus its |s| single-character deletions; two values are within one
+    * edit iff they share a variant (substitution at i → both delete i;
+    * indel → the shorter string IS a deletion variant of the longer).
+    * Lossless for k = 1 by the FastSS theorem.
+    *
+    * Why this exists next to [[editDistancePairs]]: PassJoin's segment
+    * buckets blow past any cap on ID-LIKE keys — every 'Customer#0…'
+    * shares the same first-half segment, so the cap drops the one
+    * segment that could match and silently loses every suffix-edit pair.
+    * Deletion variants are nearly full-length, so a bucket holds only
+    * values genuinely within one edit of each other (plus hash-free
+    * structure like '#1490'..'#1499' — ~alphabet-sized), and the census
+    * cap is a safety net for degenerate inputs (single-repeated-char
+    * strings), not a load-bearing prune. Cost: |s|+1 variant rows per
+    * DISTINCT value — linear, shuffled on the variant key. */
+  def deletionNeighborhoodPairs(df: DataFrame, strCol: String,
+      maxBucket: Int = MaxSegBucket): DataFrame = {
+    val vals = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
+      .distinct()
+    val l = length(col("s"))
+    val dels = transform(sequence(lit(1), l), i =>
+      concat(col("s").substr(lit(1), i - 1), col("s").substr(i + 1, l - i)))
+    val variants = vals
+      .select(col("s"), explode(array_distinct(
+        concat(array(col("s")), dels))).as("v"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .filter(col("cnt") <= maxBucket)
+      .drop("cnt")
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("value_a"), col("b.s").as("value_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** EXACT set-similarity self-join — ALL pairs with Jaccard ≥ `threshold`
     * over distinct 3-gram shingle sets — via PREFIX FILTERING (the
     * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).

@@ -797,6 +797,41 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** Weekly-seasonality strength per series: the share of daily-total
+    * variance explained by day-of-week means, R² = (Σ_w S_w²/n_w − S²/n)
+    * / (Q − S²/n) — the one-number "is this metric weekly-periodic?"
+    * gate before fitting seasonal models ([[seasonalDecompose]] assumes
+    * the period; this MEASURES it). R² ≈ 1 strongly weekly, ≈ 0
+    * aperiodic; a constant series has no variance to explain → NULL.
+    *
+    * Exactness: daily totals are exact micros; (n, S, Q) and the per-dow
+    * (n_w, S_w) are exact BIGINT/DECIMAL folds; the ~7-row census pays
+    * the only divisions. The day-of-week key is a grouping key ONLY
+    * (never output), so engine dow-numbering conventions don't matter. */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("m"))
+    val byDow = daily
+      .groupBy(col("event_type"), dayofweek(col("day").cast("date")).as("dw"))
+      .agg(count(lit(1)).as("nw"), sum(col("m")).as("sw"))
+    byDow.groupBy(col("event_type"))
+      .agg(sum(col("nw")).as("n"), sum(col("sw")).as("s"),
+        sum((dec(col("sw")) * dec(col("sw"))).cast("double") /
+          col("nw").cast("double")).as("a"))
+      .join(daily.groupBy(col("event_type"))
+        .agg(sum(dec(col("m")) * dec(col("m"))).as("q")), "event_type")
+      .withColumn("sst",
+        col("q").cast("double") -
+          (dec(col("s")) * dec(col("s"))).cast("double") / col("n"))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("sst") <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("a") - (dec(col("s")) * dec(col("s"))).cast("double") /
+              col("n")) / col("sst"), 4)).as("r2_weekly"))
+  }
+
   /** Haar wavelet decomposition of the per-type daily value series over
     * the first `days` (a power of two) days — the multi-resolution
     * energy read behind series compression, trend/burst separation and

@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.lake.Tables
 import graft.operators._
@@ -49,11 +49,10 @@ object GraphRegistry {
     // synthetic term graph is COMPLETE, hence regular — assortativity is
     // undefined there by construction): exact BIGINT edge sums,
     // DECIMAL(38,0) one-row products, single division
+    // numeric-encoded nodes; the assortativity value only sees degrees,
+    // so the output is representation-invariant (oracle keeps strings)
     "q_assortativity" -> ((s, d) =>
-      Graph.assortativity(Tables(s, d, "lineitem")
-        .select(concat(lit("p"), col("l_partkey")).as("term_a"),
-          concat(lit("s"), col("l_suppkey")).as("term_b"))
-        .distinct())),
+      Graph.assortativity(bipartiteEdges(s, d))),
     // 3-core by 4 fixed peel passes (engine-exact replay; the certified
     // fixpoint variant is spec-covered) — degree census + semi-join per
     // pass, checkpointed so the plan is O(1) in passes
@@ -65,21 +64,25 @@ object GraphRegistry {
     // tie-break (deterministic, engine-exact replay); community-size
     // census output
     "q_label_prop" -> ((s, d) =>
-      Graph.labelPropagation(bipartiteEdges(s, d), iterations = 3)),
+      Graph.labelPropagation(bipartiteEdges(s, d), iterations = 3)
+        .select(fmtNode(col("label")).as("label"), col("n_nodes"))),
     // multi-source BFS hop distance from every 10th supplier over the
     // same bipartite graph — 4 min-relaxation sweeps, unreachable-within-
     // budget nodes absent
     "q_bfs_hops" -> ((s, d) =>
       Graph.bfsHops(bipartiteEdges(s, d),
         Tables(s, d, "lineitem").filter(col("l_suppkey") % 10 === 0)
-          .select(concat(lit("s"), col("l_suppkey")).as("node")).distinct(),
-        maxHops = 4)),
+          .select((col("l_suppkey") * 2 + 1).as("node")).distinct(),
+        maxHops = 4)
+        .select(fmtNode(col("node")).as("node"), col("hop"))),
     // Adamic-Adar link prediction on the bipartite graph: top-100
     // non-adjacent distance-2 pairs by summed 1/ln(deg) over shared
     // neighbours, hub centres df-capped at deg 200 (documented lossy
     // cap; the cut wedges carry ~zero AA signal)
     "q_adamic_adar" -> ((s, d) =>
-      Graph.adamicAdar(bipartiteEdges(s, d), k = 100, maxDeg = 200)),
+      Graph.adamicAdar(bipartiteEdges(s, d), k = 100, maxDeg = 200)
+        .select(fmtNode(col("a")).as("a"), fmtNode(col("b")).as("b"),
+          col("cn"), col("aa"))),
     // Newman-Girvan modularity of the 3-sweep LPA partition — exact
     // BIGINT edge/degree censuses factored to TWO final divisions
     "q_modularity" -> ((s, d) => {
@@ -90,12 +93,23 @@ object GraphRegistry {
 
   /** The part<->supplier bipartite edge relation (the q_assortativity
     * graph): real structure at every sf, unlike the synthetic term graph
-    * which is complete. */
+    * which is complete. Nodes are LONG-encoded (even = 2·partkey,
+    * odd = 2·suppkey+1) — the r10 bench showed the string-keyed form
+    * paying 3-11 s per graph query at sf0.1 purely on string shuffles;
+    * numeric keys shuffle/compare 5-10× cheaper and at 100 TB the node
+    * id is hot-path payload. [[fmtNode]] renders 'p…'/'s…' at the
+    * OUTPUT only; ties inside LPA/top-k break on the numeric order and
+    * the oracles mirror the same encoding. */
   private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "lineitem")
-      .select(concat(lit("p"), col("l_partkey")).as("term_a"),
-        concat(lit("s"), col("l_suppkey")).as("term_b"))
+      .select((col("l_partkey") * 2).as("term_a"),
+        (col("l_suppkey") * 2 + 1).as("term_b"))
       .distinct()
+
+  /** Render an encoded node id for output ('p123' / 's55'). */
+  private def fmtNode(c: Column): Column =
+    when(c % 2 === 0, concat(lit("p"), (c / 2).cast("long")))
+      .otherwise(concat(lit("s"), (c / 2).cast("long")))
 
   /** Unrolled synchronous-LPA sweep CTEs `l0..l<iterations>` over an
     * in-scope `sym` relation — shared by q_label_prop / q_modularity so
@@ -119,7 +133,8 @@ object GraphRegistry {
   }
 
   /** Shared oracle CTE prefix: the bipartite edge set + its symmetric
-    * closure (matches [[bipartiteEdges]] + Graph.symmetric). */
+    * closure, STRING nodes (q_assortativity's representation-invariant
+    * oracle keeps this form). */
   private val bipartiteSymSql: String =
     """e AS (
       |  SELECT DISTINCT 'p' || l_partkey AS term_a,
@@ -129,6 +144,23 @@ object GraphRegistry {
       |  SELECT term_a AS u, term_b AS v FROM e WHERE term_a != term_b
       |  UNION ALL
       |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a != term_b)""".stripMargin
+
+  /** The LONG-encoded twin (matches [[bipartiteEdges]]): even = part,
+    * odd = supplier; ties and orderings are numeric, exactly as the
+    * engine computes them. */
+  private val bipartiteSymNumSql: String =
+    """e AS (
+      |  SELECT DISTINCT 2 * l_partkey AS term_a,
+      |    2 * l_suppkey + 1 AS term_b
+      |  FROM lineitem),
+      |sym AS (
+      |  SELECT term_a AS u, term_b AS v FROM e WHERE term_a != term_b
+      |  UNION ALL
+      |  SELECT term_b AS u, term_a AS v FROM e WHERE term_a != term_b)""".stripMargin
+
+  /** Render an encoded node id ('p123' / 's55') — [[fmtNode]]'s SQL twin. */
+  private def fmtNodeSql(x: String): String =
+    s"CASE WHEN $x % 2 = 0 THEN 'p' || ($x // 2) ELSE 's' || ($x // 2) END"
 
   def oracleSql: Map[String, String] = Map(
     // Markov edge CTE + unrolled PageRank iterations (round-6 per
@@ -365,14 +397,15 @@ object GraphRegistry {
     // argmax by (count DESC, label) — row_number here ≡ the engine's
     // min(struct(-c, label)) aggregate
     "q_label_prop" ->
-      s"""WITH $bipartiteSymSql,
+      s"""WITH $bipartiteSymNumSql,
          |${lpaSweepsSql(3)}
-         |SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+         |SELECT ${fmtNodeSql("label")} AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
          |FROM l3 GROUP BY label""".stripMargin,
     // the same unrolled LPA partition scored with the factored-division
     // modularity (Σd_c² in HUGEINT, two divisions at the one-row output)
     "q_modularity" ->
-      s"""WITH $bipartiteSymSql,
+      s"""WITH $bipartiteSymNumSql,
          |${lpaSweepsSql(3)},
          |t AS (
          |  SELECT lu.label AS lab, CAST(count(*) AS BIGINT) AS d_c,
@@ -405,17 +438,17 @@ object GraphRegistry {
            |    FROM d${i - 1} d JOIN sym s ON d.node = s.u)
            |  GROUP BY node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $bipartiteSymSql,
+      s"""WITH $bipartiteSymNumSql,
          |d0 AS (
-         |  SELECT DISTINCT 's' || l_suppkey AS node, 0 AS hop
+         |  SELECT DISTINCT 2 * l_suppkey + 1 AS node, 0 AS hop
          |  FROM lineitem WHERE l_suppkey % 10 = 0),
          |$sweeps
-         |SELECT node, hop FROM d4""".stripMargin
+         |SELECT ${fmtNodeSql("node")} AS node, hop FROM d4""".stripMargin
     },
     // wedge join on df-capped shared neighbours, NOT EXISTS anti vs the
     // canonical edge set, rounded-score top-k (ties by pair)
     "q_adamic_adar" ->
-      s"""WITH $bipartiteSymSql,
+      s"""WITH $bipartiteSymNumSql,
          |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
          |capped AS (
          |  SELECT s.u AS z, s.v AS n, d.d AS d
@@ -433,7 +466,8 @@ object GraphRegistry {
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM existing e WHERE e.a = w.a AND e.b = w.b)
          |  GROUP BY w.a, w.b)
-         |SELECT a, b, cn, aa FROM (
+         |SELECT ${fmtNodeSql("a")} AS a, ${fmtNodeSql("b")} AS b, cn, aa
+         |FROM (
          |  SELECT *, row_number() OVER (ORDER BY aa DESC, a, b) AS rk
          |  FROM scored)
          |WHERE rk <= 100""".stripMargin,

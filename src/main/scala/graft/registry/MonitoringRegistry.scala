@@ -35,6 +35,11 @@ object MonitoringRegistry {
     // segment-pigeonhole candidates over DISTINCT values — no cross join
     "q_fuzzy_pairs" -> ((s, d) =>
       FuzzyJoin.editDistancePairs(Tables(s, d, "part"), "p_name", 2)),
+    // Fellegi-Sunter record linkage over the edit-distance blocking
+    // tier: per-field log-odds with declared (m,u) priors, tiers on the
+    // rounded score — oracle is the independent brute-force block
+    "q_record_linkage" -> ((s, d) =>
+      Linkage.customerLinkage(Tables(s, d, "customer"))),
     // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin): ALL
     // shingle-set pairs with Jaccard >= 0.5, lossless — the completeness
     // guarantee the MinHash-LSH tier trades away; candidates key on each
@@ -153,6 +158,36 @@ object MonitoringRegistry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    // brute-force blocked pairs + the same constant-prior log-odds sum
+    // (ln on constants only; term order matches the engine's fold)
+    "q_record_linkage" ->
+      """WITH n AS (
+        |  SELECT c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.c_name AS name_left, b.c_name AS name_right,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist,
+        |    (a.c_nationkey = b.c_nationkey) AS nation_agree,
+        |    (a.c_mktsegment = b.c_mktsegment) AS segment_agree,
+        |    (abs(a.bal - b.bal) <= 10000) AS balance_agree
+        |  FROM n a JOIN n b ON a.c_name < b.c_name
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |s AS (
+        |  SELECT *, round(
+        |    (CASE WHEN nation_agree THEN ln(0.95 / 0.04)
+        |      ELSE ln((1 - 0.95) / (1 - 0.04)) END)
+        |    + (CASE WHEN segment_agree THEN ln(0.9 / 0.2)
+        |      ELSE ln((1 - 0.9) / (1 - 0.2)) END)
+        |    + (CASE WHEN balance_agree THEN ln(0.7 / 0.02)
+        |      ELSE ln((1 - 0.7) / (1 - 0.02)) END), 4) AS score
+        |  FROM p)
+        |SELECT name_left, name_right, dist, nation_agree, segment_agree,
+        |  balance_agree, score,
+        |  CASE WHEN score >= 4.0 THEN 'match'
+        |    WHEN score >= 0.0 THEN 'possible'
+        |    ELSE 'non_match' END AS tier
+        |FROM s""".stripMargin,
     // deliberately the BRUTE-FORCE formulation (no prefix filter): the
     // Spark side's prefix-filtered candidates must reproduce the full
     // threshold join exactly — the losslessness claim IS the compare

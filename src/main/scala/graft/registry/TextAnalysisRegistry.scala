@@ -375,6 +375,11 @@ object TextAnalysisRegistry {
     // one grid-sized aggregate per level
     "q_haar" -> ((s, d) =>
       TimeSeries.haarCoefficients(Tables(s, d, "events"), 16)),
+    // weekly-seasonality strength: variance share explained by
+    // day-of-week means — exact moments, divisions on the 7-row census,
+    // dow only ever a grouping key (engine numbering irrelevant)
+    "q_seasonality_strength" -> ((s, d) =>
+      TimeSeries.seasonalityStrength(Tables(s, d, "events"))),
     // per-doc char-trigram entropy (the compression-ratio quality proxy:
     // boilerplate/repetitive docs score low): H = ln n − Σc·ln c / n
     // over the per-doc gram census, one rounded output
@@ -1061,6 +1066,39 @@ object TextAnalysisRegistry {
         |  round(ln(CAST(sum(c) AS DOUBLE))
         |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_nats
         |FROM c GROUP BY doc_id""".stripMargin,
+    // same exact-moment R²; dayofweek numbering differs across engines
+    // but only partitions the grouping, never the output
+    "q_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |bydow AS (
+        |  SELECT event_type, dayofweek(CAST(day AS DATE)) AS dw,
+        |    CAST(count(*) AS BIGINT) AS nw, CAST(sum(m) AS BIGINT) AS sw
+        |  FROM daily GROUP BY 1, 2),
+        |agg1 AS (
+        |  SELECT event_type, CAST(sum(nw) AS BIGINT) AS n,
+        |    CAST(sum(sw) AS BIGINT) AS s,
+        |    sum(CAST(CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE)
+        |      / CAST(nw AS DOUBLE)) AS a
+        |  FROM bydow GROUP BY 1),
+        |qq AS (
+        |  SELECT event_type,
+        |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS q
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT agg1.event_type, n, s, a,
+        |    CAST(q AS DOUBLE)
+        |      - CAST(CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE) / n
+        |      AS sst
+        |  FROM agg1 JOIN qq USING (event_type))
+        |SELECT event_type, n AS n_days,
+        |  CASE WHEN sst <= 0.0 THEN NULL
+        |    ELSE round((a
+        |      - CAST(CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE) / n)
+        |      / sst, 4) END AS r2_weekly
+        |FROM j""".stripMargin,
     // densified 16-slot grid, one UNION ALL block per level with the
     // same integer sum/contrast folds
     "q_haar" -> {

@@ -107,4 +107,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(("A", "B", 1L, 2L, 2L,
       math.rint(1.0 / 3 * 1e6) / 1e6)), got.mkString(","))
   }
+
+  test("deletionNeighborhoodPairs ≡ brute force lev-1, including on the shared-prefix keys that cap PassJoin") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // ID-like shared-prefix names (the PassJoin killer) + indel shapes
+    val names = (1 to 60).map(i => f"Customer#$i%09d") ++
+      Seq("Customer#00000001", "abc", "abcd", "axc", "xyz")
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    val got = FuzzyJoin.deletionNeighborhoodPairs(names.toDF("s"), "s")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty)
+  }
 }

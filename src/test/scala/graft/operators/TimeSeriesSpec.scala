@@ -489,6 +489,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
   }
 
+  test("seasonalityStrength: perfect weekly pattern scores 1, anti-periodic scores 0, constant is NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atTime(12, 0).toString
+        .replace('T', ' ') + ":00")
+    // 14 days, value = f(day-of-week): within-dow variance 0 -> R² = 1
+    val weekly = (0 until 14).map(i => ("w", t(i), (i % 7 + 1).toDouble))
+    // value alternates with period 2: day d and d+7 have OPPOSITE
+    // parity, so every dow mean is equal -> R² = 0 exactly
+    val anti = (0 until 14).map(i => ("x", t(i), (i % 2 + 1).toDouble))
+    val const = (0 until 14).map(i => ("c", t(i), 5.0))
+    val got = TimeSeries.seasonalityStrength(
+      (weekly ++ anti ++ const).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got("w") == ((14L, Some(1.0))), got.toString)
+    assert(got("x") == ((14L, Some(0.0))), got.toString)
+    assert(got("c") == ((14L, None)), got.toString)
+  }
+
   test("haarCoefficients: hand-computed pyramid on 4 days; missing days densify to zero") {
     import spark.implicits._
     import java.sql.Timestamp
