@@ -363,7 +363,6 @@ object Graph {
     * RAW then rounded once to 6; the top-k ORDER uses the rounded score
     * so cross-engine ulp drift in ln cannot flip the cutoff. */
   def adamicAdar(edges: DataFrame, k: Int = 50, maxDeg: Long = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sym = symmetric(edges).localCheckpoint(false)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val capped = sym.join(
@@ -379,10 +378,10 @@ object Graph {
     val scored = wedges.join(existing, Seq("a", "b"), "left_anti")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"), round(sum(col("w")), 6).as("aa"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("aa").desc, col("a"), col("b"))))
-      .filter(col("rk") <= k).drop("rk")
+    // top-k as orderBy+limit -> TakeOrderedAndProject: per-partition
+    // heaps + one k-row merge, not a single-partition window sort of the
+    // (candidate-pair-sized, millions at scale) scored relation
+    scored.orderBy(col("aa").desc, col("a"), col("b")).limit(k)
   }
 
   /** Local clustering coefficient per node — "are my neighbours
