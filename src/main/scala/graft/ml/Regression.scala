@@ -128,4 +128,49 @@ object Regression {
       .evaluate(preds)
     FitResult(model, preds, metric("mae"), metric("mse"))
   }
+
+  /** SPLIT-CONFORMAL prediction interval (Vovk et al.; Lei et al., JASA
+    * 2018) around the closed-form OLS: train on the 60% hash split,
+    * take the ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration
+    * residual as the interval half-width q, and report empirical
+    * coverage of ŷ ± q on the held-out test split — the
+    * distribution-free ≥ 1−α guarantee needs ONLY exchangeability, no
+    * error model, which is why this is the production way to put
+    * honest bands on any point predictor.
+    *
+    * Determinism and scale shape: the md5-bucket split is the engine
+    * standard; predictions use the ROUNDED-4 coefficients (one-row
+    * broadcast — both engines predict from literally the same betas);
+    * residuals quantize to exact micro longs, and the order statistic
+    * comes from the distinct-residual census + ONE cumulative window
+    * over that post-Aggregate census (the MWU/KS discipline — never a
+    * corpus-sized sort or a driver-side top-k collect); coverage is an
+    * exact integer ratio. */
+  def conformalInterval(df: DataFrame, idCol: String, x1: String,
+      x2: String, labelCol: String, alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val bucket = Sampling.hashBucket(col(idCol))
+    val clean = df.na.drop(Seq(x1, x2, labelCol))
+    val coeffs = closedFormCoeffs(clean.filter(bucket < 60), x1, x2, labelCol)
+      .select(col("b0"), col("b1"), col("b2"))
+    def resid(d: DataFrame): DataFrame = d.crossJoin(broadcast(coeffs))
+      .select(round(abs(col(labelCol).cast("double") -
+        (col("b0") + col("b1") * col(x1).cast("double") +
+          col("b2") * col(x2).cast("double"))) * 1e6, 0).cast("long").as("r"))
+    val calR = resid(clean.filter(bucket >= 60 && bucket < 80))
+    val nCal = calR.agg(count(lit(1)).as("n_cal"))
+    val q = calR.groupBy(col("r")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nCal))
+      .filter(col("cum") >=
+        ceil((col("n_cal") + 1) * lit(1 - alpha)).cast("long"))
+      .agg(max(col("n_cal")).as("n_cal"), min(col("r")).as("q_micro"))
+    resid(clean.filter(bucket >= 80)).crossJoin(broadcast(q))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        round(max(col("q_micro")) / 1e6, 6).as("q_half_width"),
+        round(avg(when(col("r") <= col("q_micro"), 1.0).otherwise(0.0)), 6)
+          .as("coverage"))
+  }
 }

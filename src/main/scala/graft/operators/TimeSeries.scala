@@ -797,6 +797,62 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** Two-group log-rank test (Mantel 1966) over the same user-lifetime
+    * construction as [[kaplanMeier]]: at every distinct event time,
+    * group 1's observed deaths vs its hypergeometric expectation given
+    * the at-risk split, summed — the standard "do these survival curves
+    * differ?" statistic (KM draws the curves; this is the test).
+    * z = (O₁ − ΣE₁)/√(ΣV), V the hypergeometric variance with the
+    * (n−d)/(n−1) tie correction.
+    *
+    * Scale shape: lifetimes fold per user map-side; everything after
+    * runs on the distinct-lifetime census (two reverse-cumulative
+    * windows over the post-Aggregate census — the KM discipline); the
+    * O/E/V folds are census-sized with one sqrt on the one-row output.
+    * Integer O and at-risk counts are exact; E/V are per-time exact
+    * ratios summed as doubles and rounded 4 (the entropy-fold
+    * acceptance). */
+  def logRankTest(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val horizon = events.agg(max(col("ts")).as("max_ts"))
+    val life = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2 === 1).as("g1"),
+        datediff(col("last_ts").cast("date"), col("first_ts").cast("date"))
+          .as("t"),
+        when(col("last_ts") >=
+          col("max_ts") - expr(s"INTERVAL $censorDays DAYS"), 0)
+          .otherwise(1).as("observed"))
+    val sizes = life.agg(
+      sum(when(col("g1"), 1L).otherwise(0L)).as("n1_users"),
+      sum(when(!col("g1"), 1L).otherwise(0L)).as("n2_users"))
+    val census = life.groupBy(col("t"))
+      .agg(sum(when(col("g1"), col("observed")).otherwise(0)).cast("long")
+          .as("d1"),
+        sum(col("observed")).cast("long").as("d"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+    val rev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = census
+      .withColumn("n", sum(col("m")).over(rev))
+      .withColumn("n1", sum(col("m1")).over(rev))
+      .filter(col("d") > 0 && col("n") > 1)
+      .select(col("d1"),
+        (col("d").cast("double") * col("n1") / col("n")).as("e1"),
+        (col("d").cast("double") * col("n1") / col("n") *
+          (lit(1.0) - col("n1").cast("double") / col("n")) *
+          (col("n") - col("d")).cast("double") / (col("n") - 1)).as("v"))
+    terms.agg(sum(col("d1")).as("o1"), sum(col("e1")).as("e1r"),
+        sum(col("v")).as("vr"))
+      .crossJoin(broadcast(sizes))
+      .select(col("n1_users"), col("n2_users"), col("o1"),
+        round(col("e1r"), 4).as("e1"),
+        when(col("vr") <= 0.0, lit(null).cast("double"))
+          .otherwise(round((col("o1") - col("e1r")) / sqrt(col("vr")), 4))
+          .as("z"))
+  }
+
   /** Weekly-seasonality strength per series: the share of daily-total
     * variance explained by day-of-week means, R² = (Σ_w S_w²/n_w − S²/n)
     * / (Q − S²/n) — the one-number "is this metric weekly-periodic?"

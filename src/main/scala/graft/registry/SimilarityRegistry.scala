@@ -211,6 +211,12 @@ object SimilarityRegistry {
         Tables(s, d, "lineitem")
           .filter(Sampling.hashBucket(col("l_orderkey")) < 90),
         "l_quantity", "l_discount", "l_extendedprice")),
+    // split-conformal interval around the closed-form OLS: rounded-beta
+    // predictions, exact-micro residual census order statistic, test
+    // coverage as an exact ratio
+    "q_conformal" -> ((s, d) =>
+      graft.ml.Regression.conformalInterval(Tables(s, d, "lineitem"),
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice")),
     // k-fold CV regression in TWO passes: additive centered sums, each
     // fold trained on complement sums (total - fold), no per-fold rescan
     "q_cv_coeffs" -> ((s, d) =>
@@ -838,6 +844,56 @@ object SimilarityRegistry {
          |        FROM z CROSS JOIN wr3))
          |SELECT wr3.w0, wr3.w_price, wr3.w_age, l.log_loss
          |FROM wr3 CROSS JOIN l""".stripMargin
+    },
+    // the q_lr_coeffs moment CTE on the 60% split, ROUNDED betas reused
+    // verbatim for prediction, census-cumulative order statistic
+    "q_conformal" -> {
+      val bucket = s"CAST((${md5BucketSqlOf("l_orderkey")}) % 100 AS INTEGER)"
+      s"""WITH clean AS (
+         |  SELECT $bucket AS bucket,
+         |    CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2,
+         |    CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |m AS (
+         |  SELECT covar_pop(x1, y) AS c1y, covar_pop(x2, y) AS c2y,
+         |         covar_pop(x1, x2) AS c12,
+         |         var_pop(x1) AS v1, var_pop(x2) AS v2,
+         |         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my
+         |  FROM clean WHERE bucket < 60),
+         |b AS (
+         |  SELECT
+         |    round((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b1,
+         |    round((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12), 4) + 0 AS b2,
+         |    round(my - (c1y*v2 - c2y*c12) / (v1*v2 - c12*c12) * m1
+         |             - (c2y*v1 - c1y*c12) / (v1*v2 - c12*c12) * m2, 4) + 0
+         |      AS b0
+         |  FROM m),
+         |calr AS (
+         |  SELECT CAST(round(abs(y - (b0 + b1 * x1 + b2 * x2)) * 1e6, 0)
+         |    AS BIGINT) AS r
+         |  FROM clean, b WHERE bucket >= 60 AND bucket < 80),
+         |ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+         |census AS (
+         |  SELECT r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY r),
+         |cum AS (
+         |  SELECT r, sum(c) OVER (ORDER BY r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM census),
+         |q AS (
+         |  SELECT max(n_cal) AS n_cal, min(r) AS q_micro
+         |  FROM cum, ncal WHERE cum >= ceil((n_cal + 1) * 0.9)),
+         |testr AS (
+         |  SELECT CAST(round(abs(y - (b0 + b1 * x1 + b2 * x2)) * 1e6, 0)
+         |    AS BIGINT) AS r
+         |  FROM clean, b WHERE bucket >= 80)
+         |SELECT max(q.n_cal) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+         |  round(max(q.q_micro) / 1e6, 6) AS q_half_width,
+         |  round(avg(CASE WHEN r <= q.q_micro THEN 1.0 ELSE 0.0 END), 6)
+         |    AS coverage
+         |FROM testr, q""".stripMargin
     },
     "q_lr_coeffs" ->
       s"""WITH train AS (

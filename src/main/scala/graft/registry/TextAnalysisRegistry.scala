@@ -294,6 +294,10 @@ object TextAnalysisRegistry {
     // final 7 days; exact integer risk-set ratios, running ordered sum
     "q_kaplan_meier" -> ((s, d) =>
       TimeSeries.kaplanMeier(Tables(s, d, "events"))),
+    // two-group log-rank: O-E hypergeometric folds over the lifetime
+    // census (KM draws the curves, this tests them); odd/even user split
+    "q_logrank" -> ((s, d) =>
+      TimeSeries.logRankTest(Tables(s, d, "events"))),
     // trailing 24 h z-score anomaly flags over the GAP-FILLED series (zero
     // rows keep the frame honest); μ/σ/z rounded before every compare
     "q_anomaly_zscore" -> ((s, d) =>
@@ -722,6 +726,50 @@ object TextAnalysisRegistry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
         |FROM e""".stripMargin,
+    // the KM lifetime CTE split odd/even, reverse-cumulative at-risk
+    // windows over the census, one sqrt on the one-row output
+    "q_logrank" ->
+      """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
+        |life AS (
+        |  SELECT (user_id % 2 = 1) AS g1,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+        |      AS t,
+        |    CASE WHEN max(ts) >= (SELECT max_ts FROM horizon)
+        |      - INTERVAL 7 DAY THEN 0 ELSE 1 END AS observed
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_users,
+        |    CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2_users
+        |  FROM life),
+        |census AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN g1 THEN observed ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(observed) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM life GROUP BY t),
+        |at_risk AS (
+        |  SELECT t, d1, d, m1, m,
+        |    CAST(sum(m) OVER rev AS BIGINT) AS n,
+        |    CAST(sum(m1) OVER rev AS BIGINT) AS n1
+        |  FROM census
+        |  WINDOW rev AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |terms AS (
+        |  SELECT d1,
+        |    CAST(d AS DOUBLE) * n1 / n AS e1,
+        |    CAST(d AS DOUBLE) * n1 / n * (1.0 - CAST(n1 AS DOUBLE) / n)
+        |      * CAST(n - d AS DOUBLE) / (n - 1) AS v
+        |  FROM at_risk WHERE d > 0 AND n > 1),
+        |fold AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1) AS e1r,
+        |    sum(v) AS vr
+        |  FROM terms)
+        |SELECT n1_users, n2_users, o1, round(e1r, 4) AS e1,
+        |  CASE WHEN vr <= 0.0 THEN NULL
+        |    ELSE round((o1 - e1r) / sqrt(vr), 4) END AS z
+        |FROM fold, sizes""".stripMargin,
     "q_kaplan_meier" ->
       """WITH horizon AS (SELECT max(ts) AS max_ts FROM events),
         |life AS (

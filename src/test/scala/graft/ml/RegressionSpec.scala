@@ -77,4 +77,32 @@ class RegressionSpec extends SparkSpec {
       assert(math.abs(direct.getDouble(3) - b0) < 5e-3, s"fold $fold b0")
     }
   }
+
+  test("conformalInterval: test coverage honors the 90% guarantee; width is the calibration order statistic") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.lake.Tables(spark, sfDir, "lineitem")
+    val r = graft.ml.Regression.conformalInterval(
+      li, "l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      .collect()(0)
+    val (nCal, nTest) = (r.getLong(0), r.getLong(1))
+    val (q, cov) = (r.getDouble(2), r.getDouble(3))
+    assert(nCal > 100 && nTest > 100, r.toString)
+    assert(q > 0.0, r.toString)
+    // distribution-free guarantee: >= 1 - alpha up to finite-sample
+    // wobble on the exchangeable hash split
+    assert(cov >= 0.88 && cov <= 0.97, s"coverage $cov")
+    // the half-width is a calibration residual order statistic: widening
+    // alpha must shrink it and reduce coverage
+    val loose = graft.ml.Regression.conformalInterval(
+      li, "l_orderkey", "l_quantity", "l_discount", "l_extendedprice",
+      alpha = 0.5).collect()(0)
+    assert(loose.getDouble(2) < q, loose.toString)
+    assert(loose.getDouble(3) < cov, loose.toString)
+    // deterministic: layout must not change a single output
+    val reparted = graft.ml.Regression.conformalInterval(
+      li.repartition(11, col("l_partkey")),
+      "l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      .collect()(0)
+    assert(reparted.toSeq == r.toSeq, s"$reparted vs $r")
+  }
 }

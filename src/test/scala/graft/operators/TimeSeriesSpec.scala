@@ -489,6 +489,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
   }
 
+  test("logRankTest: hand-computed O-E fold on a planted early-death group; balanced groups score ~0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
+    // odd users (g1) die at t=2,4; even users at t=10,12; user 6 censors
+    // at t=20 (within 7d of max). Hand fold: O1=2, E1=0.4+0.25=0.65,
+    // V=0.24+0.1875=0.4275, z=1.35/sqrt(0.4275)=2.0647
+    val ev = Seq(
+      (1L, t(0)), (1L, t(2)), (3L, t(0)), (3L, t(4)),
+      (2L, t(0)), (2L, t(10)), (4L, t(0)), (4L, t(12)),
+      (6L, t(0)), (6L, t(20))).toDF("user_id", "ts")
+    val r = TimeSeries.logRankTest(ev).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)),
+      r.toString)
+    assert(r.getDouble(3) == 0.65 && r.getDouble(4) == 2.0647, r.toString)
+    // identical lifetime structure in both groups -> O = E, z = 0
+    val bal = Seq(
+      (1L, t(0)), (1L, t(3)), (2L, t(0)), (2L, t(3)),
+      (3L, t(0)), (3L, t(8)), (4L, t(0)), (4L, t(8)),
+      (5L, t(0)), (5L, t(20)), (8L, t(0)), (8L, t(20)))
+      .toDF("user_id", "ts")
+    val b = TimeSeries.logRankTest(bal).collect()(0)
+    assert(b.getDouble(4) == 0.0, b.toString)
+  }
+
   test("seasonalityStrength: perfect weekly pattern scores 1, anti-periodic scores 0, constant is NULL") {
     import spark.implicits._
     import java.sql.Timestamp
