@@ -130,6 +130,28 @@ object Experiment {
               (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail — the first thing a trustworthy
+    * experimentation system checks (Fabijan et al., KDD 2019 diagnosis
+    * taxonomy): if the unit split deviates from the designed 50/50 beyond
+    * chance, SOMETHING upstream (redirect loss, bot filtering, logging) is
+    * biased and every downstream metric read is void. One-cell χ² vs the
+    * expected half: χ² = (n₀−n₁)²/(n₀+n₁) (the 2-cell equal-split
+    * simplification), flagged at the 0.001-level critical value 10.828 —
+    * SRM checks run at tight α because they gate, not estimate. Exact
+    * integer counts, one ratio, flag on the ROUNDED statistic. */
+  def sampleRatioMismatch(events: DataFrame, variants: Int = 2): DataFrame = {
+    require(variants == 2, "SRM guardrail implemented for the A/B split")
+    val units = events.select(col("user_id")).distinct()
+      .select((Sampling.hashBucket(col("user_id")) % 2).cast("int").as("v"))
+    units.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0"), col("n1"),
+        round((col("n0") - col("n1")).cast("double") *
+          (col("n0") - col("n1")) / (col("n0") + col("n1")), 4).as("chi2"))
+      .withColumn("srm_flag", col("chi2") > 10.828)
+  }
+
   /** Two-period difference-in-differences — the quasi-experimental
     * complement to [[abTestZ]] (randomized) for rollouts where only a
     * cohort got the change: DiD = (ȳ_treat,post − ȳ_treat,pre) −

@@ -152,6 +152,10 @@ object MiscRegistry {
     // fixed expression, NULL t on degenerate cells
     "q_diff_in_diff" -> ((s, d) =>
       Experiment.diffInDiff(Tables(s, d, "events"), "2024-01-16")),
+    // SRM guardrail: distinct-unit variant census vs the designed 50/50,
+    // chi2 = (n0-n1)^2/(n0+n1), gate at the 0.001 critical value
+    "q_ab_srm" -> ((s, d) =>
+      Experiment.sampleRatioMismatch(Tables(s, d, "events"))),
     // functional-dependency profiling: g3 error (min deletions to make
     // det -> dep hold) per declared candidate — one census + one rollup
     // per FD, all exact counts; nation_region holds, the others measure
@@ -919,6 +923,24 @@ object MiscRegistry {
          |SELECT shard, n_keys, round(CAST(n_keys AS DOUBLE) / total, 6)
          |  AS share
          |FROM c, t""".stripMargin,
+    // same distinct-unit census + one-ratio chi2, flag on the rounded
+    // statistic
+    "q_ab_srm" -> {
+      val variant = s"CAST((${md5BucketSqlOf("user_id")}) % 100 AS INTEGER) % 2"
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |v AS (SELECT $variant AS v FROM u),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM v)
+         |SELECT n0, n1,
+         |  round(CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1), 4) AS chi2,
+         |  round(CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1), 4) > 10.828
+         |    AS srm_flag
+         |FROM c""".stripMargin
+    },
     // the four (treat, post) cells via conditional aggregation, exact
     // HUGEINT moments, ROUNDED means/variances combined in fixed order
     "q_diff_in_diff" -> {

@@ -60,6 +60,20 @@ class ExperimentSpec extends SparkSpec {
       .collect()(0).isNullAt(7))
   }
 
+  test("sampleRatioMismatch: healthy hash split passes, a biased funnel flags") {
+    import org.apache.spark.sql.functions.col
+    val ev = spark.range(4000).select(col("id").as("user_id"))
+    val ok = Experiment.sampleRatioMismatch(ev).collect()(0)
+    assert(ok.getLong(0) + ok.getLong(1) == 4000L, ok.toString)
+    assert(!ok.getBoolean(3), s"md5 split should not trip SRM: $ok")
+    // simulate upstream loss of one arm (the exact failure SRM exists to
+    // catch): keep only variant-0 units -> chi2 = n0, flagged
+    val biased = ev.filter(
+      graft.operators.Sampling.hashBucket(col("user_id")) % 2 === 0)
+    val bad = Experiment.sampleRatioMismatch(biased).collect()(0)
+    assert(bad.getLong(1) == 0L && bad.getBoolean(3), bad.toString)
+  }
+
   test("diffInDiff: planted effect recovered net of the common trend; parallel trends -> 0") {
     // control users 2,4; treated 1,3 (explicit assignment, not hash).
     // pre means 15 / 35; both cohorts trend +2; treated get +5 on top.
