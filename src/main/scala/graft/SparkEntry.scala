@@ -37,6 +37,7 @@ object SparkEntry {
     SimilarityRegistry.queries ++
     MiscRegistry.queries ++
     GraphRegistry.queries ++
+    SeriesRegistry.queries ++
     MultimodalRegistry.queries
 
   /** DuckDB-runnable ANSI SQL per query; same parquet tables, same column
@@ -49,5 +50,6 @@ object SparkEntry {
     SimilarityRegistry.oracleSql ++
     MiscRegistry.oracleSql ++
     GraphRegistry.oracleSql ++
+    SeriesRegistry.oracleSql ++
     MultimodalRegistry.oracleSql
 }

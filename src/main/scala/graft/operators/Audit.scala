@@ -487,6 +487,46 @@ object Audit {
           .as("f_stat"))
   }
 
+  /** Welch's unequal-variance t-test between two samples of `valueCol` —
+    * the parametric twin of [[mannWhitney]] (same two-sample question;
+    * Welch never assumes equal variances, which is why it replaced
+    * Student's t as the default). t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with the
+    * Welch–Satterthwaite df, plus Cohen's d on the pooled sd as the
+    * effect size the p-value hides.
+    *
+    * Exact integer-micro (n, Σx, Σx²) per sample — the ANOVA triple —
+    * so every moment is layout-free; t and d are scale-invariant, so
+    * the micro scale cancels and only the reported means divide back.
+    * One map-side aggregate per sample, all arithmetic on the 1-row
+    * fold. */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val micro = round(col(valueCol).cast("double") * 1e6, 0).cast("long")
+    def moments(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(valueCol).isNotNull).select(micro.as("x"))
+        .agg(count(lit(1)).as(s"n$tag"), sum(col("x")).as(s"s$tag"),
+          sum(dec(col("x")) * dec(col("x"))).as(s"q$tag"))
+    def v(tag: String): Column =
+      (dec(col(s"n$tag")) * col(s"q$tag") -
+        dec(col(s"s$tag")) * dec(col(s"s$tag"))).cast("double") /
+        (col(s"n$tag").cast("double") * (col(s"n$tag") - 1))
+    def m(tag: String): Column = col(s"s$tag").cast("double") / col(s"n$tag")
+    moments(a, "1").crossJoin(broadcast(moments(b, "2")))
+      .withColumn("v1", v("1")).withColumn("v2", v("2"))
+      .withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
+      .select(col("n1"), col("n2"),
+        round(m("1") / 1e6, 6).as("mean1"),
+        round(m("2") / 1e6, 6).as("mean2"),
+        round((m("1") - m("2")) / sqrt(col("se2")), 4).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("v1") / col("n1") * (col("v1") / col("n1")) / (col("n1") - 1) +
+           col("v2") / col("n2") * (col("v2") / col("n2")) / (col("n2") - 1)),
+          2).as("df"),
+        round((m("1") - m("2")) / sqrt(
+          ((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2")) /
+            (col("n1") + col("n2") - 2)), 4).as("cohens_d"))
+  }
+
   /** Mann–Whitney U rank-sum test between two samples of `valueCol` —
     * the DISTRIBUTION-FREE two-sample location test (no normality
     * assumption, robust to outliers; the nonparametric complement to

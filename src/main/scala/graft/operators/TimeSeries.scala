@@ -797,6 +797,40 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** Seasonal-naive forecast-skill read (the MASE denominator logic,
+    * Hyndman & Koehler 2006): per series, the mean absolute error of
+    * the lag-7 (seasonal-naive) forecast over the mean absolute error
+    * of the lag-1 (naive) forecast on the SAME days — < 1 means weekly
+    * structure is real signal a forecaster should use, ≥ 1 means
+    * yesterday already beats last-week. The honest pre-model baseline
+    * census every forecasting pipeline should publish before anyone
+    * fits anything.
+    *
+    * Exact integer micros end-to-end: daily totals, lag differences
+    * (per-type ordered windows — partitioned, never global), absolute
+    * sums; one division per series on the census-sized output, rounded
+    * 4. Both MAEs average over the SAME rows (those with a lag-7
+    * partner), so the ratio is a fair same-support comparison. */
+  def seasonalNaiveMase(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("e1", abs(col("m") - lag(col("m"), 1).over(w)))
+      .withColumn("e7", abs(col("m") - lag(col("m"), 7).over(w)))
+      .filter(col("e7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e1")).as("ae1"), sum(col("e7")).as("ae7"))
+      .select(col("event_type"), col("n_days"),
+        expr("ae1 div n_days").as("mae_naive_micro"), // exact integer div
+        expr("ae7 div n_days").as("mae_snaive_micro"),
+        when(col("ae1") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ae7").cast("double") / col("ae1"), 4))
+          .as("mase_weekly"))
+  }
+
   /** Two-group log-rank test (Mantel 1966) over the same user-lifetime
     * construction as [[kaplanMeier]]: at every distinct event time,
     * group 1's observed deaths vs its hypergeometric expectation given

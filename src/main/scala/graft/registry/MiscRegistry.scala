@@ -215,6 +215,13 @@ object MiscRegistry {
       Audit.mannWhitney(e.filter(col("event_type") === "view"),
         e.filter(col("event_type") === "purchase"), "value")
     }),
+    // Welch unequal-variance t + Cohen's d: parametric twin of
+    // q_mannwhitney on the same view/purchase split, exact micro moments
+    "q_welch_t" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      Audit.welchT(e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
     // rendezvous-hash shard census at 8 shards: map-side argmax over 8
     // md5 scores per key, balance shares on the 8-row census
     "q_rendezvous" -> ((s, d) =>
@@ -904,6 +911,41 @@ object MiscRegistry {
         |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
         |      * ((nn + 1) - CAST(ties AS DOUBLE) / (nn * (nn - 1)))), 4) AS z
         |FROM u""".stripMargin,
+    // same exact HUGEINT (n, Σx, Σx²) moments; micro scale cancels in t
+    // and d, means divide back once
+    "q_welch_t" ->
+      """WITH m1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(xm) AS BIGINT) AS s1,
+        |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS q1
+        |  FROM (SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS xm
+        |    FROM events WHERE event_type = 'view' AND value IS NOT NULL)),
+        |m2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(xm) AS BIGINT) AS s2,
+        |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS q2
+        |  FROM (SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS xm
+        |    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL)),
+        |c AS (
+        |  SELECT n1, n2, s1, s2,
+        |    CAST(CAST(n1 AS HUGEINT) * q1
+        |      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+        |    CAST(CAST(n2 AS HUGEINT) * q2
+        |      - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT) AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2,
+        |    CAST(s1 AS DOUBLE) / n1 AS mm1, CAST(s2 AS DOUBLE) / n2 AS mm2
+        |  FROM m1, m2),
+        |f AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM c)
+        |SELECT n1, n2,
+        |  round(mm1 / 1e6, 6) AS mean1, round(mm2 / 1e6, 6) AS mean2,
+        |  round((mm1 - mm2) / sqrt(se2), 4) AS t_stat,
+        |  round(se2 * se2
+        |    / (v1 / n1 * (v1 / n1) / (n1 - 1)
+        |      + v2 / n2 * (v2 / n2) / (n2 - 1)), 2) AS df,
+        |  round((mm1 - mm2) / sqrt(
+        |    ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 4) AS cohens_d
+        |FROM f""".stripMargin,
     // per-key argmax over the 8 hrw: md5 scores (row_number DESC, ties
     // to the lower shard id ≡ the engine's array_position-first-max)
     "q_rendezvous" ->

@@ -267,6 +267,23 @@ class AuditSpec extends SparkSpec {
     assert(Audit.anovaOneWay(flat, "v", "g").collect()(0).getDouble(2) == 0.0)
   }
 
+  test("welchT: hand-computed t/df/d on an unequal-variance fixture; equal samples score 0") {
+    import spark.implicits._
+    // a{1,2,3} (v=1) vs b{4,6} (v=2): se² = 4/3, t = −3/√(4/3) = −2.5981,
+    // Welch–Satterthwaite df = 1.68, pooled-sd Cohen's d = −2.5981
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(4.0, 6.0).toDF("v")
+    val r = Audit.welchT(a, b, "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)), r.toString)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0, r.toString)
+    assert(r.getDouble(4) == -2.5981, r.toString)
+    assert(r.getDouble(5) == 1.68, r.toString)
+    assert(r.getDouble(6) == -2.5981, r.toString)
+    // identical samples -> t = 0, d = 0
+    val z = Audit.welchT(a, a, "v").collect()(0)
+    assert(z.getDouble(4) == 0.0 && z.getDouble(6) == 0.0, z.toString)
+  }
+
   test("mannWhitney: tie-averaged ranks, exact U and tie-corrected z on a hand fixture") {
     import spark.implicits._
     // a{1,2,3,4} vs b{3,4,5,6}: pooled ranks 1,2,3.5,3.5,5.5,5.5,7,8

@@ -489,6 +489,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("2024-01-08", 0)) == (1L, 5.0), got.toString)
   }
 
+  test("seasonalNaiveMase: exact weekly pattern scores 0; constant series has no naive error (NULL)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 09:00:00")
+    // period-7 pattern over 14 days: lag-7 errors all zero -> mase 0;
+    // lag-1 errors = 6 + six 1s = 12 over the 7 scored days
+    val weekly = (0 until 14).map(i => ("p", t(i), (i % 7 + 1).toDouble))
+    val const = (0 until 14).map(i => ("c", t(i), 5.0))
+    val got = TimeSeries.seasonalNaiveMase(
+      (weekly ++ const).toDF("event_type", "ts", "value")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4))))).toMap
+    assert(got("p") == ((7L, 12000000L / 7L, 0L, Some(0.0))), got.toString)
+    assert(got("c") == ((7L, 0L, 0L, None)), got.toString)
+  }
+
   test("logRankTest: hand-computed O-E fold on a planted early-death group; balanced groups score ~0") {
     import spark.implicits._
     import java.sql.Timestamp
