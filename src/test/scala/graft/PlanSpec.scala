@@ -186,4 +186,36 @@ class PlanSpec extends SparkSpec {
     // table — a sort-merge here would shuffle the corpus postings by slot
     assert(p.contains("BroadcastHashJoin"), s"ratio table not broadcast:\n$p")
   }
+
+  test("adamic-adar top-k plans as TakeOrderedAndProject over the scored census") {
+    import spark.implicits._
+    val edges = Seq(("a", "z"), ("b", "z"), ("c", "z")).toDF("term_a", "term_b")
+    val p = plan(Graph.adamicAdar(edges, k = 10, maxDeg = 100))
+    // a partition-less row_number window here would single-thread the
+    // candidate-pair relation (1.2M+ rows at sf1)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("rendezvous assignment and reshard census are join-free map-side passes") {
+    val df = Tables(spark, sfDir, "documents")
+    val p = plan(Sharding.reshardMoves(df, col("doc_id"), 8, 10))
+    // both assignments evaluate per row from md5 scores — no shard
+    // table, no join of any kind, just projection + aggregate + the
+    // tiny-census share window
+    assert(!p.contains("Join"), s"HRW must not join:\n$p")
+  }
+
+  test("quantile normalization: the pooled census attaches by broadcast, never a sort-merge range join") {
+    val p = plan(Curate.quantileNormalize(
+      Tables(spark, sfDir, "documents"), "source", "n_chars", "doc_id"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"census range join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"range join fell to sort-merge:\n$p")
+  }
+
+  test("record linkage: blocking joins on the variant key, scoring attrs broadcast-join back") {
+    val p = plan(Linkage.customerLinkage(Tables(spark, sfDir, "customer")))
+    assert(!p.contains("CartesianProduct"), s"linkage went all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"verify stage missing:\n$p")
+  }
 }

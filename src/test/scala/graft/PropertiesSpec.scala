@@ -229,4 +229,33 @@ class PropertiesSpec extends SparkSpec {
       got == brute
     }, minTests = 20)
   }
+
+  test("deletionNeighborhoodPairs ≡ brute force lev≤1 on arbitrary small-alphabet strings") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // small alphabet + short lengths force dense lev-1 neighborhoods —
+    // substitutions, insertions and deletions all exercised
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus: Gen[List[String]] = Gen.listOfN(12, word)
+    check(Prop.forAll(corpus) { words =>
+      val distinct = words.distinct
+      val brute = (for {
+        a <- distinct; b <- distinct if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      val got = graft.operators.FuzzyJoin
+        .deletionNeighborhoodPairs(words.toDF("s"), "s")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      got == brute
+    }, minTests = 15)
+  }
 }
