@@ -130,6 +130,43 @@ object Experiment {
               (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z"))
   }
 
+  /** Minimum detectable effect for the two-proportion A/B at the
+    * standard 5%/80% operating point — the PRE-experiment power read
+    * ("can this traffic even see the effect we care about?"):
+    * MDE = (z_{α/2} + z_β)·√(p̄(1−p̄)(1/n₀+1/n₁)) with z constants
+    * 1.959964 and 0.841621 (fixed literals — the ln-constant
+    * acceptance), p̄ the observed baseline conversion over the SAME
+    * unit/conversion definition as [[abTestZ]]. Exact unit counts, one
+    * sqrt on the one-row output; relative MDE divides by the pooled
+    * rate (NULL when the baseline is degenerate). */
+  def minDetectableEffect(events: DataFrame, convType: String,
+      cutoff: String, minValue: Double): DataFrame = {
+    val conv = events
+      .filter(col("event_type") === convType &&
+        col("ts") >= lit(cutoff).cast("timestamp") &&
+        col("value") >= minValue)
+      .select(col("user_id")).distinct().withColumn("converted", lit(1))
+    val units = events.select(col("user_id")).distinct()
+      .join(conv, Seq("user_id"), "left")
+      .select((Sampling.hashBucket(col("user_id")) % 2).cast("int").as("v"),
+        coalesce(col("converted"), lit(0)).as("c"))
+    val zSum = 1.959964 + 0.841621
+    units.agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(col("c")).cast("long").as("conv"))
+      .withColumn("p_pool",
+        round(col("conv").cast("double") / (col("n0") + col("n1")), 6))
+      .select(col("n0"), col("n1"), col("p_pool"),
+        round(lit(zSum) * sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("mde_abs"),
+        when(col("p_pool") === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(zSum) *
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))) /
+            col("p_pool"), 6)).as("mde_rel"))
+  }
+
   /** Sample-ratio-mismatch (SRM) guardrail — the first thing a trustworthy
     * experimentation system checks (Fabijan et al., KDD 2019 diagnosis
     * taxonomy): if the unit split deviates from the designed 50/50 beyond

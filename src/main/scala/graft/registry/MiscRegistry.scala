@@ -156,6 +156,12 @@ object MiscRegistry {
     // chi2 = (n0-n1)^2/(n0+n1), gate at the 0.001 critical value
     "q_ab_srm" -> ((s, d) =>
       Experiment.sampleRatioMismatch(Tables(s, d, "events"))),
+    // pre-experiment power read: MDE at 5%/80% on the q_ab_test
+    // unit/conversion definition — exact counts, rounded pooled rate,
+    // one sqrt
+    "q_mde" -> ((s, d) =>
+      Experiment.minDetectableEffect(Tables(s, d, "events"), "purchase",
+        "2024-01-16", 150.0)),
     // functional-dependency profiling: g3 error (min deletions to make
     // det -> dep hold) per declared candidate — one census + one rollup
     // per FD, all exact counts; nation_region holds, the others measure
@@ -965,6 +971,39 @@ object MiscRegistry {
          |SELECT shard, n_keys, round(CAST(n_keys AS DOUBLE) / total, 6)
          |  AS share
          |FROM c, t""".stripMargin,
+    // same unit/conversion CTEs as q_ab_test; z-constant sum written as
+    // the identical addition so both engines fold the same double
+    "q_mde" -> {
+      val variant = s"CAST((${md5BucketSqlOf("u.user_id")}) % 100 AS INTEGER) % 2"
+      s"""WITH conv AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+         |    AND value >= 150.0),
+         |units AS (
+         |  SELECT u.user_id, $variant AS v,
+         |    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  LEFT JOIN conv c ON u.user_id = c.user_id),
+         |f AS (
+         |  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(converted) AS BIGINT) AS conv
+         |  FROM units),
+         |p AS (
+         |  SELECT n0, n1,
+         |    round(CAST(conv AS DOUBLE) / (n0 + n1), 6) AS p_pool
+         |  FROM f)
+         |SELECT n0, n1, p_pool,
+         |  round((1.959964 + 0.841621)
+         |    * sqrt(p_pool * (1.0 - p_pool) * (1.0 / n0 + 1.0 / n1)), 6)
+         |    AS mde_abs,
+         |  CASE WHEN p_pool = 0.0 THEN NULL
+         |    ELSE round((1.959964 + 0.841621)
+         |      * sqrt(p_pool * (1.0 - p_pool) * (1.0 / n0 + 1.0 / n1))
+         |      / p_pool, 6) END AS mde_rel
+         |FROM p""".stripMargin
+    },
     // same distinct-unit census + one-ratio chi2, flag on the rounded
     // statistic
     "q_ab_srm" -> {

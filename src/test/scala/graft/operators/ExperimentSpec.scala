@@ -60,6 +60,35 @@ class ExperimentSpec extends SparkSpec {
       .collect()(0).isNullAt(7))
   }
 
+  test("minDetectableEffect: shrinks with n (1/sqrt scaling), degenerate baseline goes NULL") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def evOf(users: Int) = {
+      import spark.implicits._
+      (1 to users).flatMap { u =>
+        Seq((u.toLong, "view", "2024-01-10 00:00:00", 10.0)) ++
+          (if (u % 5 == 0)
+            Seq((u.toLong, "purchase", "2024-01-20 00:00:00", 200.0))
+          else Nil)
+      }.toDF("user_id", "event_type", "s", "value")
+        .select(col("user_id"), col("event_type"),
+          col("s").cast("timestamp").as("ts"), col("value"))
+    }
+    val small = Experiment.minDetectableEffect(
+      evOf(200), "purchase", "2024-01-16", 150.0).collect()(0)
+    val big = Experiment.minDetectableEffect(
+      evOf(2000), "purchase", "2024-01-16", 150.0).collect()(0)
+    assert(small.getDouble(2) > 0.15 && small.getDouble(2) < 0.25,
+      small.toString) // ~20% baseline
+    // 10x units -> MDE shrinks ~sqrt(10)
+    val ratio = small.getDouble(3) / big.getDouble(3)
+    assert(ratio > 2.5 && ratio < 4.0, s"MDE scaling ratio $ratio")
+    // no conversions at all: absolute MDE 0-ish band, relative NULL
+    val none = Experiment.minDetectableEffect(
+      evOf(100).filter(col("event_type") =!= lit("purchase")),
+      "purchase", "2024-01-16", 150.0).collect()(0)
+    assert(none.isNullAt(4), none.toString)
+  }
+
   test("sampleRatioMismatch: healthy hash split passes, a biased funnel flags") {
     import org.apache.spark.sql.functions.col
     val ev = spark.range(4000).select(col("id").as("user_id"))
