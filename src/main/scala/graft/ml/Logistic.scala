@@ -86,18 +86,20 @@ object Logistic {
     * cumulative negatives below each score, and fold
     * U = Σ n_pos·(neg_below + neg_tied/2). Everything is integer (the
     * /2 lands on exact halves) until the single final division, so the
-    * statistic is engine-exact at any scale; the only ordered window
-    * runs over DISTINCT scores, not rows. */
+    * statistic is engine-exact at any scale. On a CONTINUOUS score the
+    * per-score census is Θ(corpus), so the cumulative negatives come
+    * from [[graft.operators.Sampling.orderedCensusCumsum]] range bands —
+    * per-band negative masses broadcast back as offsets, the census-side
+    * window is partitioned by band, bit-identical to the global window. */
   def auc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val census = df
       .select(score.as("s"), label.cast("int").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).cast("long").as("n_pos"),
         (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    census
-      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+    graft.operators.Sampling.orderedCensusCumsum(census, col("s"),
+        weights = Seq("neg" -> col("n_neg")))
+      .withColumn("neg_below", col("cum_neg"))
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
         sum(col("n_pos") * (col("neg_below").cast("double") +
           col("n_neg") * lit(0.5))).as("u"))
@@ -109,20 +111,21 @@ object Logistic {
     * [[auc]]: at every DISTINCT score s (as threshold, predict positive
     * when score ≥ s), tp/fp are running sums down the score order and
     * precision/recall are integer ratios — the exact curve, no sampling,
-    * no per-row work after the census. */
+    * no per-row work after the census. The descending inclusive running
+    * sums come from the banded ascending EXCLUSIVE prefixes of
+    * [[graft.operators.Sampling.orderedCensusCumsum]]:
+    * tp(s) = total_pos − pos_below(s) — exact long identities, never a
+    * corpus-sized single-task sort. */
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
     val census = df
       .select(score.as("s"), label.cast("int").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).cast("long").as("n_pos"),
         (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
-    val desc = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    census
-      .withColumn("tp", sum(col("n_pos")).over(desc))
-      .withColumn("fp", sum(col("n_neg")).over(desc))
-      .withColumn("total_pos", sum(col("n_pos")).over(all))
+    graft.operators.Sampling.orderedCensusCumsum(census, col("s"),
+        weights = Seq("pos" -> col("n_pos"), "neg" -> col("n_neg")))
+      .withColumn("tp", col("total_pos") - col("cum_pos"))
+      .withColumn("fp", col("total_neg") - col("cum_neg"))
       .select(col("s").as("threshold"), col("tp"), col("fp"),
         round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
           .as("precision"),

@@ -159,14 +159,18 @@ object Regression {
         (col("b0") + col("b1") * col(x1).cast("double") +
           col("b2") * col(x2).cast("double"))) * 1e6, 0).cast("long").as("r"))
     val calR = resid(clean.filter(bucket >= 60 && bucket < 80))
-    val nCal = calR.agg(count(lit(1)).as("n_cal"))
-    val q = calR.groupBy(col("r")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(nCal))
+    // the order statistic over the distinct-residual census: inclusive
+    // running count = banded exclusive prefix + the value's own mass
+    // (Sampling.orderedCensusCumsum — the residual domain is continuous,
+    // so the census is Θ(corpus) and must never cross one sort task);
+    // n_cal rides the same broadcast as the census grand total
+    val q = Sampling.orderedCensusCumsum(
+        calR.groupBy(col("r")).agg(count(lit(1)).as("c")),
+        col("r"), weights = Seq("c" -> col("c")))
+      .withColumn("cum", col("cum_c") + col("c"))
       .filter(col("cum") >=
-        ceil((col("n_cal") + 1) * lit(1 - alpha)).cast("long"))
-      .agg(max(col("n_cal")).as("n_cal"), min(col("r")).as("q_micro"))
+        ceil((col("total_c") + 1) * lit(1 - alpha)).cast("long"))
+      .agg(max(col("total_c")).as("n_cal"), min(col("r")).as("q_micro"))
     resid(clean.filter(bucket >= 80)).crossJoin(broadcast(q))
       .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
         round(max(col("q_micro")) / 1e6, 6).as("q_half_width"),

@@ -63,27 +63,30 @@ object Affinity {
     *
     * Scale shape: the 100 TB side is the per-customer aggregation — one
     * map-side-combinable pass over the ledger. Scoring then runs on the
-    * CUSTOMER DIMENSION (orders of magnitude smaller). Exact ntile is a
-    * single-partition sort by definition — kept for oracle-exact quintile
-    * boundaries; when even the dimension outgrows one sort task, swap to
-    * approx-quantile bucket edges joined broadcast. Ties order by
-    * (metric, customer id) so boundaries are deterministic, and monetary
-    * is rounded BEFORE ordering so float-sum noise cannot reorder ties
-    * across engines. */
+    * CUSTOMER DIMENSION (orders of magnitude smaller) — but a customer
+    * dimension outgrows one sort task too, so each quintile is a
+    * [[Sampling.bandedNtile]] replay: range bands + broadcast rank
+    * offsets, bit-identical to `ntile(5) OVER (ORDER BY metric, key)`
+    * (the q_calibration machinery) with no global sort anywhere. Ties
+    * order by (metric, customer id) so boundaries are deterministic, and
+    * monetary is rounded BEFORE ordering so float-sum noise cannot
+    * reorder ties across engines. */
   def rfm(orders: DataFrame): DataFrame = {
     val per = orders.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
     val anchor = per.agg(max(col("last_order")).as("anchor"))
-    per.crossJoin(broadcast(anchor))
+    val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor"), col("last_order")))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))))
+    val tie = Seq(col("o_custkey"))
+    val scored = Sampling.bandedNtile(
+      Sampling.bandedNtile(
+        Sampling.bandedNtile(base,
+          col("recency_days"), tie, 5, "r_score", desc = true),
+        col("frequency"), tie, 5, "f_score"),
+      col("monetary"), tie, 5, "m_score")
+    scored
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         when(col("r_score") >= 4 && col("f_score") >= 4, "champion")

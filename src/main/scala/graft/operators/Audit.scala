@@ -71,16 +71,17 @@ object Audit {
     * Gini is invariant to tie order, so the per-key relation collapses to
     * a (value → #keys) census first; a tied run of `cnt` keys starting
     * after `offset` smaller keys contributes x·(cnt·offset +
-    * cnt·(cnt+1)/2) exactly. The only ordered window runs over the
-    * census (≤ distinct count values — dozens), and every term stays
-    * integer until the single final division. */
+    * cnt·(cnt+1)/2) exactly. The run offsets come from
+    * [[Sampling.orderedCensusCumsum]] range bands (the distinct-count
+    * census is usually tiny but is not BOUNDED — a heavy-tailed key can
+    * spread it), and every term stays integer until the single final
+    * division. */
   def giniByKeyCount(df: DataFrame, keyCol: String): DataFrame = {
     val census = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    census
-      .withColumn("offset", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    Sampling.orderedCensusCumsum(census, col("x"),
+        weights = Seq("cnt" -> col("cnt")))
+      .withColumn("offset", col("cum_cnt"))
       .agg(
         sum(col("x") * (col("cnt") * col("offset") +
           call_function("div", col("cnt") * (col("cnt") + lit(1L)), lit(2L))))
@@ -288,32 +289,8 @@ object Audit {
     val scored = df.select(col(keyCol).as("k"),
       round(col(scoreCol), 4).as("score"),
       when(event, 1L).otherwise(0L).as("event"))
-    val banded = Sampling.withRangeBand(scored, col("score"), bands)
-    val bandW = Window.orderBy(col("band"))
-    val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("band_n"))
-      .select(col("band"),
-        coalesce(sum(col("band_n")).over(
-          bandW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("band_offset"),
-        sum(col("band_n")).over(bandW.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).as("n_total"))
-    val local = Window.partitionBy(col("band")).orderBy(col("score"), col("k"))
-    // ntile(10) replay from the global rank: q = N div 10 rows per decile,
-    // the first s = N mod 10 deciles take q+1 (the SQL-standard
-    // allocation). ceil division in integers; the otherwise-branch divisor
-    // is guarded (it is unreachable when q = 0 since then rank <= N = s).
-    val q = call_function("div", col("n_total"), lit(10L))
-    val s = col("n_total") % 10L
-    val decile = when(col("rank") <= s * (q + 1L),
-        call_function("div", col("rank") + q, q + 1L))
-      .otherwise(s + call_function("div",
-        col("rank") - s * (q + 1L) + greatest(q, lit(1L)) - 1L,
-        greatest(q, lit(1L))))
-    banded
-      .withColumn("local_rank", row_number().over(local).cast("long"))
-      .join(broadcast(offsets), "band")
-      .withColumn("rank", col("band_offset") + col("local_rank"))
-      .withColumn("decile", decile.cast("int"))
+    Sampling.bandedNtile(scored, col("score"), Seq(col("k")), 10,
+        "decile", nBands = bands)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("score")).as("min_score"), max(col("score")).as("max_score"),
@@ -534,8 +511,10 @@ object Audit {
     *
     * Never ranks raw rows: both samples collapse to a DISTINCT-VALUE
     * census (n₁, n₂ per exact micro value), average ranks come from a
-    * cumulative count over that census (a window over the post-Aggregate,
-    * value-domain-sized relation — the KS/equidepth discipline), and
+    * BANDED cumulative count over that census
+    * ([[graft.operators.Sampling.orderedCensusCumsum]] — on a continuous
+    * domain the census is Θ(corpus), so the prefix decomposes over range
+    * bands with broadcast offsets, never one sort task), and
     * U₁ = ΣR₁ − n₁(n₁+1)/2 stays EXACT: average ranks are half-integers,
     * so 2·R₁ is an exact long fold. The tie-corrected normal
     * approximation z = (U₁ − n₁n₂/2) / σ_tie uses Σ(t³−t) — exact
@@ -549,12 +528,10 @@ object Audit {
       .agg(sum(col("in1")).cast("long").as("n1v"),
         sum(lit(1) - col("in1")).cast("long").as("n2v"))
       .withColumn("t", col("n1v") + col("n2v"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = census
+    val ranked = Sampling.orderedCensusCumsum(census, col("v"),
+        weights = Seq("t" -> col("t")))
       // 2·avg_rank of value v = 2·(count below) + t + 1 — exact long
-      .withColumn("r2", lit(2) * (sum(col("t")).over(w) - col("t")) +
-        col("t") + 1)
+      .withColumn("r2", lit(2) * col("cum_t") + col("t") + 1)
     ranked.agg(
         sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
         sum(col("n1v") * col("r2")).as("sr2"),

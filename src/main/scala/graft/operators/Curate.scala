@@ -201,9 +201,10 @@ object Curate {
     * idx = 1 + (r−1)(N−1) div (n_g−1) (nearest-rank-below, EXACT `div`
     * — no float index at any N; a singleton group maps to the pooled
     * median position), and the pooled value comes from the pooled
-    * DISTINCT-VALUE census: cum ranges [lo, hi] per value (one window
-    * over the post-Aggregate census), idx∈[lo,hi] resolved by a
-    * BROADCAST range join — census-sized, never corpus × corpus. */
+    * DISTINCT-VALUE census: cum ranges [lo, hi] per value (banded
+    * prefixes via [[Sampling.orderedCensusCumsum]]), idx∈[lo,hi]
+    * resolved by a BROADCAST range join — census-sized, never
+    * corpus × corpus. */
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -214,11 +215,14 @@ object Curate {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
       .withColumn("n_g", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val census = base.groupBy(col("v").as("pv"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("hi", sum(col("cnt")).over(Window.orderBy(col("pv"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("lo", col("hi") - col("cnt") + 1)
+    // banded cum ranges over the pooled distinct-value census
+    // (Sampling.orderedCensusCumsum): the value domain is integer but
+    // not bounded, so the prefix never crosses one sort task
+    val census = Sampling.orderedCensusCumsum(
+        base.groupBy(col("v").as("pv")).agg(count(lit(1)).as("cnt")),
+        col("pv"), weights = Seq("cnt" -> col("cnt")))
+      .withColumn("lo", col("cum_cnt") + 1)
+      .withColumn("hi", col("cum_cnt") + col("cnt"))
       .select(col("pv"), col("lo"), col("hi"))
     ranked.crossJoin(broadcast(nRow))
       .withColumn("qnum", (col("r") - 1) * (col("n_total") - 1))

@@ -106,27 +106,32 @@ object Drift {
     * test (PSI/JS depend on a bin width; KS is the sup-distance between
     * the two EXACT empirical CDFs, sensitive to any shape change). The
     * sup over a step function is attained at an observed value, so:
-    * per-value two-sided census (map-side combined), ONE ordered window
-    * for both running sums, max |F_a − F_b| over integer-ratio ECDFs —
-    * engine-exact. The only sort is over DISTINCT values. */
-  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val census = a.select(col(valueCol).as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
-      .unionByName(
-        b.select(col(valueCol).as("v"), lit(0L).as("ia"), lit(1L).as("ib")))
-      .groupBy(col("v"))
-      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    census
-      .withColumn("ca", sum(col("na")).over(w))
-      .withColumn("cb", sum(col("nb")).over(w))
-      .withColumn("ta", sum(col("na")).over(all))
-      .withColumn("tb", sum(col("nb")).over(all))
-      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-        round(max(abs(col("ca").cast("double") / col("ta") -
-          col("cb").cast("double") / col("tb"))), 6).as("ks"))
-  }
+    * per-value two-sided census (map-side combined), banded running
+    * sums, max |F_a − F_b| over integer-ratio ECDFs — engine-exact. On a
+    * continuous column the census is Θ(corpus), so the running sums come
+    * from [[Sampling.orderedCensusCumsum]] range bands (broadcast band
+    * offsets + band-partitioned windows), never one corpus-sized sort
+    * task. */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    ksFromCensus(
+      a.select(col(valueCol).as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
+        .unionByName(
+          b.select(col(valueCol).as("v"), lit(0L).as("ia"), lit(1L).as("ib")))
+        .groupBy(col("v"))
+        .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb")))
+
+  /** The KS fold over an already-built per-value (v, na, nb) census —
+    * shared by [[ksStatistic]] and the streaming twin's serve step.
+    * Inclusive running counts are banded exclusive prefixes + the
+    * in-census value's own mass; totals ride the same broadcast. */
+  def ksFromCensus(census: DataFrame): DataFrame =
+    Sampling.orderedCensusCumsum(census, col("v"),
+        weights = Seq("na" -> col("na"), "nb" -> col("nb")))
+      .withColumn("ca", col("cum_na") + col("na"))
+      .withColumn("cb", col("cum_nb") + col("nb"))
+      .agg(max(col("total_na")).as("n_a"), max(col("total_nb")).as("n_b"),
+        round(max(abs(col("ca").cast("double") / col("total_na") -
+          col("cb").cast("double") / col("total_nb"))), 6).as("ks"))
 
   /** Two-sample MMD drift test on an EMBEDDING column — "has the
     * semantic distribution of the corpus shifted?", the vector-space

@@ -289,6 +289,90 @@ object Sampling {
     df.join(broadcast(edges)).withColumn("band", band).drop("band_edges")
   }
 
+  /** Banded replay of a GLOBAL ordered window over a census relation —
+    * the one shared machine behind every ordered-statistic operator
+    * (AUC / PR / KS / Mann-Whitney / conformal / ntile replays / vocab
+    * coverage). A census ordered by a CONTINUOUS value has Θ(corpus)
+    * distinct keys, so `Window.orderBy(v)` over it funnels the whole
+    * relation through ONE sort task; this helper decomposes it over
+    * [[withRangeBand]] value bands: per-band masses roll up in a
+    * ≤`nBands`-row census whose running sums broadcast back as each
+    * band's OFFSETS, and the census-side windows are PARTITIONED by
+    * band. Bands ascend with `v` and ties on `v` share a band, so
+    * offset + in-band prefix is bit-identical to the global window.
+    *
+    * Adds to `census`:
+    *   - `rank`    = global `row_number` under ORDER BY (v [DESC],
+    *     tieBreak…) — deterministic only if (v, tieBreak…) is a total
+    *     order (a distinct-`v` census needs no tieBreak);
+    *   - `n_total` = census row count;
+    *   - per weight (name, w): `cum_<name>` = EXCLUSIVE ascending
+    *     prefix sum of w in that order (inclusive = cum + w; descending
+    *     inclusive = total − cum), and `total_<name>` = grand total.
+    * All-integer when the weights are integer; the only partition-less
+    * windows run over the ≤`nBands`-row band census. */
+  def orderedCensusCumsum(census: DataFrame, v: Column,
+      tieBreak: Seq[Column] = Nil, desc: Boolean = false,
+      weights: Seq[(String, Column)] = Nil, nBands: Int = 64): DataFrame = {
+    require(!census.columns.contains("band"),
+      "census already carries a 'band' column")
+    val banded = withRangeBand(census, if (desc) -v else v, nBands)
+    val bandW = Window.orderBy(col("band"))
+    val massAggs = count(lit(1)).as("_bm_rows") +:
+      weights.map { case (n, w) => sum(w).as(s"_bm_$n") }
+    def excl(c: Column) = coalesce(
+      sum(c).over(bandW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    def tot(c: Column) = sum(c).over(
+      bandW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val offsets = banded.groupBy(col("band"))
+      .agg(massAggs.head, massAggs.tail: _*)
+      .select(col("band") +:
+        (Seq(excl(col("_bm_rows")).as("_off_rows"),
+             tot(col("_bm_rows")).as("n_total")) ++
+         weights.flatMap { case (n, _) => Seq(
+           excl(col(s"_bm_$n")).as(s"_off_$n"),
+           tot(col(s"_bm_$n")).as(s"total_$n")) }): _*)
+    val ord = (if (desc) v.desc else v.asc) +: tieBreak
+    val local = Window.partitionBy(col("band")).orderBy(ord: _*)
+    val localExcl = local.rowsBetween(Window.unboundedPreceding, -1)
+    val withSums = weights.foldLeft(
+      banded.withColumn("_lr", row_number().over(local).cast("long"))) {
+        case (d, (n, w)) =>
+          d.withColumn(s"_lc_$n", coalesce(sum(w).over(localExcl), lit(0L)))
+      }
+    weights.foldLeft(
+      withSums.join(broadcast(offsets), "band")
+        .withColumn("rank", col("_off_rows") + col("_lr"))) {
+        case (d, (n, _)) =>
+          d.withColumn(s"cum_$n", col(s"_off_$n") + col(s"_lc_$n"))
+      }
+      .drop((Seq("band", "_lr", "_off_rows") ++
+        weights.flatMap { case (n, _) => Seq(s"_lc_$n", s"_off_$n") }): _*)
+  }
+
+  /** `ntile(n) OVER (ORDER BY v [DESC], tieBreak…)` replayed from the
+    * banded global rank of [[orderedCensusCumsum]] — bit-identical to
+    * the SQL-standard allocation (q = N div n rows per tile, the first
+    * N mod n tiles take q+1) with the relation never funneling through
+    * one sort task. Adds `tileCol` (int); `(v, tieBreak…)` must be a
+    * total order so boundaries are deterministic. */
+  def bandedNtile(df: DataFrame, v: Column, tieBreak: Seq[Column], n: Int,
+      tileCol: String, desc: Boolean = false, nBands: Int = 64): DataFrame = {
+    require(n >= 1, s"ntile n must be >= 1, got $n")
+    val ranked = orderedCensusCumsum(df, v, tieBreak, desc, Nil, nBands)
+    val q = call_function("div", col("n_total"), lit(n.toLong))
+    val s = col("n_total") % n.toLong
+    // guard divisor: when q = 0 every rank satisfies rank <= s·(q+1) = N,
+    // so the otherwise-branch divisor is unreachable — greatest() keeps
+    // the expression total anyway
+    val tile = when(col("rank") <= s * (q + 1L),
+        call_function("div", col("rank") + q, q + 1L))
+      .otherwise(s + call_function("div",
+        col("rank") - s * (q + 1L) + greatest(q, lit(1L)) - 1L,
+        greatest(q, lit(1L))))
+    ranked.withColumn(tileCol, tile.cast("int")).drop("rank", "n_total")
+  }
+
   /** Curriculum sharding: the corpus ordered by (difficulty, id) and cut
     * into `shards` contiguous shards of ~equal TOKEN budget — the
     * easy-to-hard schedule a curriculum-training run consumes shard by

@@ -159,20 +159,22 @@ object TextAnalysisRegistry {
     // out-of-vocabulary rate is then a map-side array filter — the signal
     // that drives vocab-size choice
     // tokenizer design read: cumulative corpus coverage of the df-ranked
-    // vocabulary — windows run over the VOCAB, never the corpus
+    // vocabulary. A web-scale vocab (typos, URLs) is ~10⁹ terms, so the
+    // df-descending rank + running mass are BANDED
+    // (Sampling.orderedCensusCumsum on count ranges, ties on n sharing a
+    // band and breaking by term in-band) — bit-identical to the global
+    // `row_number/sum OVER (ORDER BY n DESC, term)` with the term census
+    // never funneling through one sort task
     "q_vocab_coverage" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("term"))
-      Tables(s, d, "documents")
+      val census = Tables(s, d, "documents")
         .select(explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum", sum(col("n")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .withColumn("total", sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("rank"), col("term"), col("n"),
-          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+      graft.operators.Sampling.orderedCensusCumsum(census, col("n"),
+          tieBreak = Seq(col("term")), desc = true,
+          weights = Seq("n" -> col("n")))
+        .select(col("rank").cast("int").as("rank"), col("term"), col("n"),
+          round((col("cum_n") + col("n")).cast("double") / col("total_n"), 6)
+            .as("coverage"))
     }),
     // boilerplate screen: normalized 40-char prefixes shared by >= 2 docs
     // — the strip-the-header census

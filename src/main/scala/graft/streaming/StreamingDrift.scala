@@ -28,8 +28,8 @@ object StreamingDrift {
       .withColumn("batch_id", lit(batchId))
 
   /** Fold reference census + current partials into the KS report —
-    * identical math to the batch operator (integer-ratio ECDFs, one
-    * ordered window over distinct values). */
+    * identical math to the batch operator (integer-ratio ECDFs, banded
+    * running sums over the value census — [[Drift.ksFromCensus]]). */
   def serve(spark: SparkSession, refPath: String,
       partialsPath: String): DataFrame = {
     val ref = spark.read.parquet(refPath)
@@ -38,19 +38,8 @@ object StreamingDrift {
       .dropDuplicates("batch_id", "v")
       .groupBy(col("v")).agg(sum(col("nb")).as("nb"))
       .select(col("v"), lit(0L).as("na"), col("nb"))
-    val census = ref.unionByName(cur)
-      .groupBy(col("v")).agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    census
-      .withColumn("ca", sum(col("na")).over(w))
-      .withColumn("cb", sum(col("nb")).over(w))
-      .withColumn("ta", sum(col("na")).over(all))
-      .withColumn("tb", sum(col("nb")).over(all))
-      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
-        round(max(abs(col("ca").cast("double") / col("ta") -
-          col("cb").cast("double") / col("tb"))), 6).as("ks"))
+    Drift.ksFromCensus(ref.unionByName(cur)
+      .groupBy(col("v")).agg(sum(col("na")).as("na"), sum(col("nb")).as("nb")))
   }
 
   /** Start the current-side ingest: `incoming` carries `valueCol`. */

@@ -81,22 +81,51 @@ class PlanSpec extends SparkSpec {
     assert(two.except(single).count() == 0 && single.except(two).count() == 0)
   }
 
-  test("engine-wide sweep: every partition-less Window runs over a post-Aggregate (census-sized) relation") {
-    // The q_curriculum/q_calibration discipline, engine-wide: a Window
-    // with an empty partitionSpec funnels its input through ONE task, so
-    // it may only appear above an Aggregate (band/census-sized input) —
-    // never directly over a scanned corpus-sized relation.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+  test("engine-wide sweep: every partition-less Window runs over a BOUNDED relation (banded/enumerated census, post-limit, or top-k)") {
+    // The round-11 tightening of the q_curriculum/q_calibration
+    // discipline: "post-Aggregate" alone is NOT bounded when the grouping
+    // key is a continuous value (a distinct-price census is Θ(corpus) and
+    // funnels through ONE sort task — the disease q_auc/q_ks_drift/
+    // q_mannwhitney/q_conformal/q_rfm/q_vocab_coverage were cured of this
+    // round via Sampling.orderedCensusCumsum). A partition-less Window is
+    // acceptable only under one of three BOUNDED-input proofs:
+    //  (a) the nearest Aggregate below groups ONLY by bounded-domain
+    //      keys: `band` (≤ nBands by construction), enumerated
+    //      categoricals, day-grid offsets, or shard/digit codes;
+    //  (b) a Limit sits between the Window and its source (zipf top-N);
+    //  (c) the executed plan carries WindowGroupLimit — a rank<=k filter
+    //      the optimizer pushed into per-partition partial top-k, so the
+    //      single-partition window sees ≤ partitions·k rows (skew census,
+    //      trending top-k).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    // bounded-domain grouping keys, each with its boundedness argument:
+    val boundedKeys = Set(
+      "band",                          // Sampling.withRangeBand: ≤ nBands
+      "digit",                         // Benford: 9 values
+      "shard", "old_shard", "moved",   // HRW shard codes: ≤ shard count
+      "lang",                          // language enum
+      "t",                             // day grid: ≤ observation span days
+      "l_returnflag", "l_linestatus")  // TPC-H categorical enums
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val df = q(spark, sfDir)
-      df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-          s"$name: ${w.simpleString(80)}"
-      }
+      val qe = q(spark, sfDir).queryExecution
+      lazy val hasTopK = qe.executedPlan.toString.contains("WindowGroupLimit")
+      qe.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val agg = w.child.collectFirst { case a: Aggregate => a }
+          val aggBounded = agg.exists(_.groupingExpressions.forall(
+            _.references.forall {
+              case a: Attribute => boundedKeys(a.name.toLowerCase)
+              case _ => false
+            }))
+          val limited = w.child.collectFirst { case l: GlobalLimit => l }.isDefined
+          if (aggBounded || limited || hasTopK) None
+          else Some(s"$name: keys=[${agg.map(_.groupingExpressions.map(_.sql)
+            .mkString(",")).getOrElse("<no aggregate>")}] ${w.simpleString(60)}")
+      }.flatten
     }
     assert(offenders.isEmpty,
-      s"global windows over non-aggregated relations:\n${offenders.mkString("\n")}")
+      s"partition-less windows over unbounded relations:\n${offenders.mkString("\n")}")
   }
 
   test("q_curriculum / q_calibration: no partition-less Window over a corpus-sized relation") {
