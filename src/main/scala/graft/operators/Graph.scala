@@ -344,6 +344,39 @@ object Graph {
     dist
   }
 
+  /** FRONTIER-DELTA form of [[bfsHops]] — the production path: in an
+    * unweighted graph a node's FIRST discovery sweep is its minimum hop,
+    * so each sweep expands only the nodes discovered LAST sweep (the
+    * frontier) and anti-joins the candidates against the settled set —
+    * per-sweep join volume is |frontier|·d̄, strictly shrinking once the
+    * expansion wave passes its peak, instead of [[bfsHops]]' full-dist
+    * re-materialization every sweep. The settled relation is a lazy
+    * UNION of per-sweep checkpointed frontiers (each tiny), never
+    * re-checkpointed as a whole. Early-exits when the frontier empties
+    * (the frontier count doubles as the checkpoint materializer — the
+    * kCoreCertified control-plane shape). Output is identical to
+    * [[bfsHops]] by construction (GraphSpec proves equivalence). */
+  def bfsHopsFrontier(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val sym = symmetric(edges).localCheckpoint(false)
+    var frontier = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(false)
+    var dist = frontier
+    var h = 0
+    while (h < maxHops && frontier.count() > 0) {
+      h += 1
+      frontier = frontier
+        .withColumnRenamed("node", "u").join(sym, "u")
+        .select(col("v").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(false)
+      dist = dist.unionByName(frontier)
+    }
+    dist
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003):
     * for every non-adjacent pair (a, b) at distance 2, score
     * AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbours,

@@ -67,10 +67,12 @@ object GraphRegistry {
       Graph.labelPropagation(bipartiteEdges(s, d), iterations = 3)
         .select(fmtNode(col("label")).as("label"), col("n_nodes"))),
     // multi-source BFS hop distance from every 10th supplier over the
-    // same bipartite graph — 4 min-relaxation sweeps, unreachable-within-
-    // budget nodes absent
+    // same bipartite graph — frontier-delta expansion (per-sweep volume
+    // is the newly-discovered wave, not the full dist relation; bit-
+    // identical to the fixed-sweep min-relaxation replay, GraphSpec-
+    // proven), unreachable-within-budget nodes absent
     "q_bfs_hops" -> ((s, d) =>
-      Graph.bfsHops(bipartiteEdges(s, d),
+      Graph.bfsHopsFrontier(bipartiteEdges(s, d),
         Tables(s, d, "lineitem").filter(col("l_suppkey") % 10 === 0)
           .select((col("l_suppkey") * 2 + 1).as("node")).distinct(),
         maxHops = 4)

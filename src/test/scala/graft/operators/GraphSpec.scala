@@ -236,6 +236,24 @@ class GraphSpec extends SparkSpec {
     assert(!short.contains("e") && short.contains("d"), short.toString)
   }
 
+  test("bfsHopsFrontier ≡ bfsHops on converged and budget-cut inputs; early-exits on frontier exhaustion") {
+    import spark.implicits._
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"),
+      ("b", "h"), ("h", "c")) // a diamond (b-c via h) exercises re-discovery
+      .toDF("term_a", "term_b")
+    val seeds = Seq("a", "f").toDF("node")
+    for (hops <- Seq(2, 3, 4, 8)) { // 8 > eccentricity: frontier empties early
+      val full = Graph.bfsHops(g, seeds, maxHops = hops).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val delta = Graph.bfsHopsFrontier(g, seeds, maxHops = hops).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(delta == full, s"maxHops=$hops: $delta vs $full")
+    }
+    // isolated seed (no edges touch it): present at hop 0 in both forms
+    val iso = Graph.bfsHopsFrontier(g, Seq("zz").toDF("node"), 3).collect()
+    assert(iso.map(r => r.getString(0) -> r.getInt(1)).toSeq == Seq("zz" -> 0))
+  }
+
   test("adamicAdar: 4-cycle diagonals score 2/ln(2); hub df-cap drops capped wedges") {
     import spark.implicits._
     val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
