@@ -101,6 +101,14 @@ object Bench {
     val results = segments.map { seg =>
       probeSentinel()
       seg.map { case (name, fn) =>
+        // one UNTIMED warm-up per query (round-11 protocol): every time
+        // the registry grows, bench order reshuffles and the queries
+        // that newly sit first in a plan family absorb its one-off
+        // Janino codegen + JIT on their first execution — which the
+        // round-10 diff read as 2-3 s phantom regressions on six
+        // queries even through median-of-3. The warm-up eats the
+        // first-execution cost so every TIMED run measures the plan.
+        runOnce(s"$name#warmup", fn)
         val times = (1 to runsPerQuery).flatMap(_ => runOnce(name, fn))
         name -> times
       }
@@ -167,7 +175,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val sentinelJson =
       s"""{"name":"$SentinelName","times":${sentinelTimes.map(f3).mkString("[", ",", "]")},"baseline":${f3(sentinelBase)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"median-of-$runsPerQuery","sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery","sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
     // Compact final stdout line: the driver keeps only a ~2000-char tail,
     // which has truncated the full per-query map four rounds running
     // ("parsed": null). The map lives in the artifact files; stdout gets
@@ -181,7 +189,7 @@ object Bench {
     val top10 = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"queries":$top10,"queries_note":"10 slowest of ${ok.size}; full map in $mapPath","failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"median-of-$runsPerQuery","sentinel_baseline":${f3(sentinelBase)},"max_contention_index":${worstIdx.map(f3).getOrElse("null")},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"queries":$top10,"queries_note":"10 slowest of ${ok.size}; full map in $mapPath","failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery","sentinel_baseline":${f3(sentinelBase)},"max_contention_index":${worstIdx.map(f3).getOrElse("null")},"sf":"$sfDir"}"""
     spark.stop()
     // The driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, which hides ~20% of queries from round-over-round comparison;

@@ -191,9 +191,13 @@ object Curate {
   /** Quantile normalization of an INTEGER metric across groups (the
     * microarray-normalization classic, Bolstad et al. 2003, adapted to
     * corpus sources): every value is replaced by the POOLED
-    * distribution's value at the same within-group quantile, so all
-    * groups end up with identical marginal distributions — the
-    * source-bias killer for length/quality features feeding a mixer
+    * distribution's value at the same within-group quantile — all
+    * groups are mapped onto the same pooled reference distribution.
+    * (EQUAL-size groups end up with identical marginals; UNEQUAL groups
+    * sample the pooled grid at different integer positions, so their
+    * post-normalization marginals agree in shape but not element-wise —
+    * the floor-index trade documented in CurateSpec's unequal-size
+    * case.) The source-bias killer for length/quality features feeding a mixer
     * ([[Sampling.temperatureWeights]]) or a quality gate.
     *
     * Determinism discipline, all-integer: within-group rank r (window

@@ -167,10 +167,21 @@ object Drift {
             col("id") % inDims), lit(1)) % 2)).as("s")).as("r"))
       .agg(array_sort(collect_list(col("r"))).as("rs"))
       .select(transform(col("rs"), r => r.getField("s")).as("sgns"))
+    // loud-failure guard IN the value path (a dropped helper column
+    // would be pruned and never evaluate): an embedding shorter than
+    // inDims would null its dots past the array end, the sign's
+    // otherwise(0L) would map that to phi = 0, and the vector would
+    // still count in n_p/n_q — silently diluting mmd2 toward 0. A
+    // dimension mismatch must surface, not bias the statistic.
+    val guarded = {
+      val arr = col("embedding").cast("array<double>")
+      when(size(arr) >= inDims, arr).otherwise(raise_error(concat(
+        lit(s"signedMmd: embedding size "), size(arr).cast("string"),
+        lit(s" < inDims=$inDims — dimension mismatch would bias mmd2 toward 0"))))
+    }
     val proj = emb
       .select(inP.as("in_p"),
-        transform(col("embedding").cast("array<double>"),
-          x => round(x * 1e6, 0).cast("long")).as("xm"))
+        transform(guarded, x => round(x * 1e6, 0).cast("long")).as("xm"))
       .crossJoin(broadcast(sgns))
       .select(col("in_p"), posexplode(
         transform(sequence(lit(0), lit(m - 1)), j => {

@@ -230,10 +230,17 @@ object Experiment {
     val folded = perUnit.agg(aggCols.head, aggCols.tail: _*)
     def mean(c: String): Column =
       round(col(s"s_$c").cast("double") / (col(s"n_$c") * 100L), 6)
+    // SAMPLE variance (n·(n−1) denominator — the welchT convention: the
+    // SE formula √(Σ v_c/n_c) expects sample variances, and the
+    // population form biased se low by (n−1)/n per cell). The
+    // denominator multiplies in DECIMAL(38,0): plain Long n²·10⁴ wraps
+    // silently in non-ANSI Spark once a cell passes ~3·10⁷ units, while
+    // the oracle's HUGEINT would not — a silent cross-engine divergence.
     def varc(c: String): Column =
       round((dec(col(s"n_$c")) * col(s"q_$c") -
         dec(col(s"s_$c")) * dec(col(s"s_$c"))).cast("double") /
-        (col(s"n_$c") * col(s"n_$c") * 10000L).cast("double"), 6)
+        (dec(col(s"n_$c")) * dec(col(s"n_$c") - 1L) * dec(lit(10000L)))
+          .cast("double"), 6)
     folded
       .select(
         col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),

@@ -177,6 +177,56 @@ object Multimodal {
         dhashSignatureOf(media).withColumnRenamed("phash", "simhash")),
       maxDist, maxBucket)
 
+  /** Deterministic synthetic BMP per doc id: width 4..7 (3·w mod 4 hits
+    * every row-padding case), height 3..5, channel formula
+    * base = id·7 + y·w + x, (r, g, b) = (base, base+85, base+170) mod
+    * 256. ENCODED to real BMP bytes and DECODED back by the real parser
+    * — header, bottom-up rows, padding all exercised; the pixel formula
+    * gives the oracle a closed form to check the decode against. */
+  private def syntheticBmp(id: Long): (Array[Byte], BmpCodec.Image) = {
+    val w = (4 + id % 4).toInt
+    val h = (3 + id % 3).toInt
+    val payload = BmpCodec.encode(w, h, (x, y) => {
+      val base = id * 7 + y.toLong * w + x
+      ((base % 256).toInt, ((base + 85) % 256).toInt,
+        ((base + 170) % 256).toInt)
+    })
+    (payload, BmpCodec.decode(payload))
+  }
+
+  /** REAL-codec roundtrip stats: per doc, the synthetic BMP's decoded
+    * dimensions, byte size and luma census. The oracle recomputes the
+    * luma census straight from the pixel formula — any header, stride,
+    * row-order or channel-order bug in [[BmpCodec]] shows up as a
+    * mismatch. Map-side only; no shuffle beyond the scan. */
+  def bmpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (payload, img) = syntheticBmp(id)
+        val lum = img.luma.map(_ & 0xff)
+        (id, img.width, img.height, payload.length.toLong,
+          lum.map(_.toLong).sum, lum.min, lum.max)
+      })
+      .toDF("doc_id", "width", "height", "n_bytes",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
+  /** REAL-pixel 2-D dHash ([[BmpCodec.dhash]]: 6×8 brighter-than-right-
+    * neighbour bits over the decoded luma grid) on the synthetic BMPs —
+    * the real-payload twin of [[dhashSignature]]'s 1-D byte-stream form.
+    * Cell means compare via cross-multiplied integer sums, so the oracle
+    * replays the identical bits from the pixel formula. */
+  def bmpDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, img) = syntheticBmp(id)
+        (id, BmpCodec.dhash(img))
+      })
+      .toDF("doc_id", "phash")
+  }
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the

@@ -281,12 +281,21 @@ object Sketches {
   /** Point-frequency estimates from a CMS artifact: for each distinct
     * probe item, the MIN over its d row counters — ≥ the true count
     * always (every occurrence landed in all d cells), ≤ true + εN w.h.p.
-    * The artifact (≤ d·w rows) broadcasts; probes never shuffle. */
+    * The artifact (≤ d·w rows) broadcasts; probes never shuffle.
+    *
+    * Empty-cell semantics: the grid stores only TOUCHED cells, so a
+    * probe's (j, bucket) may be absent — true CMS semantics count an
+    * absent cell as 0 (the item never hashed there, so its frequency is
+    * 0). Hence LEFT join + coalesce(total, 0): every probe appears in
+    * the output, and an unseen item estimates 0 instead of min() over
+    * only its populated cells (which would inflate, or drop the probe
+    * entirely on an inner join). */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, itemCol: String,
       d: Int = 3, w: Int = 64): DataFrame =
     probes.select(col(itemCol).as("item")).distinct()
       .select(col("item"), posexplode(cmsBuckets(col("item"), d, w)))
       .toDF("item", "j", "bucket")
-      .join(broadcast(cms), Seq("j", "bucket"))
-      .groupBy(col("item")).agg(min(col("total")).as("cms_count"))
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("total"), lit(0L))).as("cms_count"))
 }

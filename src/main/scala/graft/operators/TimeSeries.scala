@@ -806,20 +806,25 @@ object TimeSeries {
     * census every forecasting pipeline should publish before anyone
     * fits anything.
     *
-    * Exact integer micros end-to-end: daily totals, lag differences
-    * (per-type ordered windows — partitioned, never global), absolute
-    * sums; one division per series on the census-sized output, rounded
-    * 4. Both MAEs average over the SAME rows (those with a lag-7
-    * partner), so the ratio is a fair same-support comparison. */
+    * Exact integer micros end-to-end: daily totals, CALENDAR-lag
+    * differences (self-joins on day − 1 / day − 7 over the daily census
+    * — a row-lag `lag(m, 7)` would compare arbitrary offsets on series
+    * with missing days, which is NOT the weekly seasonal-naive),
+    * absolute sums; one division per series on the census-sized output,
+    * rounded 4. Both MAEs average over the SAME rows (those with BOTH a
+    * day−1 and a day−7 partner), so the ratio is a fair same-support
+    * comparison. */
   def seasonalNaiveMase(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("m"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def shifted(days: Int, as: String) = daily.select(col("event_type"),
+      (col("day") + expr(s"INTERVAL $days DAYS")).as("day"), col("m").as(as))
     daily
-      .withColumn("e1", abs(col("m") - lag(col("m"), 1).over(w)))
-      .withColumn("e7", abs(col("m") - lag(col("m"), 7).over(w)))
-      .filter(col("e7").isNotNull)
+      .join(shifted(1, "m_1"), Seq("event_type", "day"))
+      .join(shifted(7, "m_7"), Seq("event_type", "day"))
+      .withColumn("e1", abs(col("m") - col("m_1")))
+      .withColumn("e7", abs(col("m") - col("m_7")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("e1")).as("ae1"), sum(col("e7")).as("ae7"))

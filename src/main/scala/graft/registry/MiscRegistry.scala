@@ -1039,7 +1039,8 @@ object MiscRegistry {
         s"""    round(CAST(s_$c AS DOUBLE) / CAST(n_$c * 100 AS DOUBLE), 6)
            |      AS m_$c,
            |    round(CAST(n_$c * q_$c - CAST(s_$c AS HUGEINT) * s_$c AS DOUBLE)
-           |      / CAST(n_$c * n_$c * 10000 AS DOUBLE), 6) AS v_$c""".stripMargin
+           |      / CAST(CAST(n_$c AS HUGEINT) * (n_$c - 1) * 10000 AS DOUBLE), 6)
+           |      AS v_$c""".stripMargin
       }.mkString(",\n")
       s"""WITH pu AS (
          |  SELECT user_id, (ts >= TIMESTAMP '2024-01-16') AS post,

@@ -40,6 +40,14 @@ object MonitoringRegistry {
     // rounded score — oracle is the independent brute-force block
     "q_record_linkage" -> ((s, d) =>
       Linkage.customerLinkage(Tables(s, d, "customer"))),
+    // EM-fit Fellegi-Sunter (m,u,p) from the pairs themselves (Winkler
+    // 1988): pattern census (<= 2^3 rows) + 5 unrolled EM iterations,
+    // every intermediate rounded 9 dp — oracle is the same unroll as a
+    // DuckDB CTE chain over the brute-force blocked pairs
+    "q_record_linkage_em" -> ((s, d) =>
+      Linkage.emFitPriors(
+        Linkage.customerAgreementFlags(Tables(s, d, "customer")),
+        Seq("nation_agree", "segment_agree", "balance_agree"))),
     // EXACT set-similarity self-join (prefix filter, AllPairs/PPJoin): ALL
     // shingle-set pairs with Jaccard >= 0.5, lossless — the completeness
     // guarantee the MinHash-LSH tier trades away; candidates key on each
@@ -188,6 +196,62 @@ object MonitoringRegistry {
         |    WHEN score >= 0.0 THEN 'possible'
         |    ELSE 'non_match' END AS tier
         |FROM s""".stripMargin,
+    // the same fixed-iteration EM unroll as the Scala control plane:
+    // pattern census over brute-force blocked pairs, 5 iterations, each
+    // g and each updated parameter rounded 9 dp (drift cannot compound),
+    // final per-field rows rounded 6
+    "q_record_linkage_em" -> {
+      val fields = Seq("nation_agree", "segment_agree", "balance_agree")
+      val ks = fields.indices.map(_ + 1)
+      def prodOver(pref: String, par: String) = ks.map(k =>
+        s"(CASE WHEN c.g$k THEN $par.$pref$k ELSE 1 - $par.$pref$k END)")
+        .mkString(" * ")
+      val iters = (1 to 5).map { t =>
+        val prev = s"par${t - 1}"
+        val ms = ks.map(k =>
+          s"""    round(sum(n * g * CASE WHEN g$k THEN 1 ELSE 0 END)
+             |      / sum(n * g), 9) AS m$k""".stripMargin).mkString(",\n")
+        val us = ks.map(k =>
+          s"""    round(sum(n * (1 - g) * CASE WHEN g$k THEN 1 ELSE 0 END)
+             |      / ((SELECT nt FROM tot) - sum(n * g)), 9) AS u$k"""
+            .stripMargin).mkString(",\n")
+        s"""g$t AS (
+           |  SELECT c.g1, c.g2, c.g3, c.n,
+           |    round((par.p * ${prodOver("m", "par")})
+           |      / (par.p * ${prodOver("m", "par")}
+           |         + (1 - par.p) * ${prodOver("u", "par")}), 9) AS g
+           |  FROM census c, $prev par),
+           |par$t AS (
+           |  SELECT
+           |$ms,
+           |$us,
+           |    round(sum(n * g) / (SELECT nt FROM tot), 9) AS p
+           |  FROM g$t)""".stripMargin
+      }.mkString(",\n")
+      val outRows = fields.zip(ks).map { case (f, k) =>
+        s"""SELECT '$f' AS field, round(m$k, 6) AS m, round(u$k, 6) AS u,
+           |  round(p, 6) AS p,
+           |  CAST((SELECT nt FROM tot) AS BIGINT) AS n_pairs FROM par5"""
+          .stripMargin }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (
+         |  SELECT c_name, c_nationkey, c_mktsegment,
+         |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+         |  FROM customer),
+         |pairs AS (
+         |  SELECT (a.c_nationkey = b.c_nationkey) AS g1,
+         |    (a.c_mktsegment = b.c_mktsegment) AS g2,
+         |    (abs(a.bal - b.bal) <= 10000) AS g3
+         |  FROM n a JOIN n b ON a.c_name < b.c_name
+         |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         |census AS (
+         |  SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM census),
+         |par0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+         |  0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.1 AS p),
+         |$iters
+         |$outRows""".stripMargin
+    },
     // deliberately the BRUTE-FORCE formulation (no prefix filter): the
     // Spark side's prefix-filtered candidates must reproduce the full
     // threshold join exactly — the losslessness claim IS the compare

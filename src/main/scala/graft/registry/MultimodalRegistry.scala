@@ -22,9 +22,69 @@ object MultimodalRegistry {
     "q_mm_phash" -> ((s, d) => Multimodal.dhashSignature(s, d)),
     // multimodal near-dup pairs: dHash through the SimHash chunk banding
     "q_mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
+    // REAL codec roundtrip: synthetic 24-bpp BMPs (all 4 row-padding
+    // cases) encoded then decoded by the real parser; the oracle
+    // recomputes the luma census from the pixel formula — decode bugs
+    // (stride, row order, BGR order, header offsets) = hash mismatch
+    "q_mm_bmp_decode" -> ((s, d) => Multimodal.bmpRoundtrip(s, d)),
+    // REAL-pixel 2-D dHash (6x8 grid over decoded luma) — exact
+    // cross-multiplied cell comparisons, oracle replays identical bits
+    "q_mm_bmp_phash" -> ((s, d) => Multimodal.bmpDhash(s, d)),
   )
 
+  /** Shared pixel-formula CTEs for the BMP oracles: doc dims + the
+    * per-pixel luma closed form (exact integer Rec.601 on the planted
+    * (base, base+85, base+170) mod-256 channels, top-down grid). */
+  private val bmpPixelsSql: String =
+    """d AS (
+      |  SELECT doc_id, 4 + (doc_id % 4) AS w, 3 + (doc_id % 3) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, ys.y, xs.x,
+      |    (d.doc_id * 7 + ys.y * d.w + xs.x) AS base
+      |  FROM d,
+      |    (SELECT range AS y FROM range(0, 5)) ys,
+      |    (SELECT range AS x FROM range(0, 7)) xs
+      |  WHERE ys.y < d.h AND xs.x < d.w),
+      |lum AS (
+      |  SELECT doc_id, w, h, y, x,
+      |    (299 * (base % 256) + 587 * ((base + 85) % 256)
+      |     + 114 * ((base + 170) % 256)) // 1000 AS luma
+      |  FROM px)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // luma census straight from the pixel formula; n_bytes = 54 header +
+    // 4-byte-padded stride x height — the layout the encoder must write
+    // and the decoder must skip correctly
+    "q_mm_bmp_decode" ->
+      s"""WITH $bmpPixelsSql
+         |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+         |  CAST(max(h) AS INTEGER) AS height,
+         |  CAST(54 + ((max(w) * 3 + 3) // 4) * 4 * max(h) AS BIGINT)
+         |    AS n_bytes,
+         |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+         |  CAST(min(luma) AS INTEGER) AS luma_min,
+         |  CAST(max(luma) AS INTEGER) AS luma_max
+         |FROM lum GROUP BY doc_id""".stripMargin,
+    // the 6x8-cell 2-D dHash bits replayed from the same luma grid:
+    // cell (r, c) vs (r, c+1) by cross-multiplied integer sums, bit
+    // r*6+c, folded to one BIGINT signature
+    "q_mm_bmp_phash" ->
+      s"""WITH $bmpPixelsSql,
+         |cells AS (
+         |  SELECT doc_id, (y * 8) // h AS r, (x * 7) // w AS c,
+         |    CAST(sum(luma) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM lum GROUP BY 1, 2, 3),
+         |bits AS (
+         |  SELECT a.doc_id, a.r * 6 + a.c AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+         |  WHERE a.c < 6 AND a.s * b.n > b.s * a.n)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT)
+         |    AS phash
+         |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     "q_mm_phash" ->
       s"""WITH sigs AS ($phashCoreSql)
          |SELECT doc_id, simhash AS phash FROM sigs""".stripMargin,

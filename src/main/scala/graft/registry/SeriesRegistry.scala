@@ -35,30 +35,34 @@ object SeriesRegistry {
     "q_seasonality_strength" -> ((s, d) =>
       TimeSeries.seasonalityStrength(Tables(s, d, "events"))),
     // seasonal-naive vs naive forecast-skill ratio (the MASE logic) on
-    // per-type daily micros — exact lag diffs, same-support MAEs, one
-    // rounded ratio per series
+    // per-type daily micros — CALENDAR-lag diffs (day−1/day−7 self-
+    // joins, honest on sparse series), same-support MAEs, one rounded
+    // ratio per series
     "q_mase" -> ((s, d) =>
       TimeSeries.seasonalNaiveMase(Tables(s, d, "events"))),
   )
 
   def oracleSql: Map[String, String] = Map(
-    // row-lag (previous OBSERVATION) naive baselines; both MAEs over the
-    // rows with a lag-7 partner; exact // for the reported micro MAEs
+    // calendar-lag naive baselines (self-joins on day − 1 / day − 7);
+    // both MAEs over rows with BOTH partners; exact // for the micro MAEs
     "q_mase" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,
         |    CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS m
         |  FROM events GROUP BY 1, 2),
         |lagd AS (
-        |  SELECT event_type,
-        |    abs(m - lag(m, 1) OVER w) AS e1,
-        |    abs(m - lag(m, 7) OVER w) AS e7
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |  SELECT d.event_type,
+        |    abs(d.m - p1.m) AS e1,
+        |    abs(d.m - p7.m) AS e7
+        |  FROM daily d
+        |  JOIN daily p1 ON p1.event_type = d.event_type
+        |    AND p1.day = d.day - INTERVAL 1 DAY
+        |  JOIN daily p7 ON p7.event_type = d.event_type
+        |    AND p7.day = d.day - INTERVAL 7 DAY),
         |f AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
         |    CAST(sum(e1) AS BIGINT) AS ae1, CAST(sum(e7) AS BIGINT) AS ae7
-        |  FROM lagd WHERE e7 IS NOT NULL GROUP BY 1)
+        |  FROM lagd GROUP BY 1)
         |SELECT event_type, n_days,
         |  ae1 // n_days AS mae_naive_micro,
         |  ae7 // n_days AS mae_snaive_micro,

@@ -132,4 +132,23 @@ class CurateSpec extends SparkSpec {
     // N=4, census 5->[1,3], 9->[4,4]; rank1 -> idx1 = 5, rank2 -> idx4 = 9
     assert(t == Map(1L -> 5L, 2L -> 9L, 3L -> 5L, 4L -> 9L), t.toString)
   }
+
+  test("quantileNormalize: UNEQUAL group sizes map onto the pooled reference but marginals differ element-wise (documented floor-index trade)") {
+    import spark.implicits._
+    // g1 has 4 members, g2 has 2: pooled sorted (1,2,3,4,10,20), N=6.
+    // g1 ranks 1..4 -> idx 1 + (r-1)*5 div 3 = 1,2,4,6 -> {1,2,4,20}
+    // g2 ranks 1..2 -> idx 1 + (r-1)*5 div 1 = 1,6   -> {1,20}
+    val df = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g1", 3L, 3L),
+      ("g1", 4L, 4L), ("g2", 5L, 10L), ("g2", 6L, 20L))
+      .toDF("src", "id", "v")
+    val bySrc = Curate.quantileNormalize(df, "src", "v", "id").collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(3)).sorted.toSeq).toMap
+    assert(bySrc("g1") == Seq(1L, 2L, 4L, 20L), bySrc.toString)
+    assert(bySrc("g2") == Seq(1L, 20L), bySrc.toString)
+    // both groups share the pooled min/max anchors; the interiors sample
+    // the pooled grid at different positions — NOT identical marginals
+    assert(bySrc("g1").toSet != bySrc("g2").toSet)
+    assert(bySrc.values.forall(s => s.head == 1L && s.last == 20L))
+  }
 }

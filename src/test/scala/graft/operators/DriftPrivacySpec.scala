@@ -158,4 +158,21 @@ class DriftPrivacySpec extends SparkSpec {
     val r1 = Drift.signedMmd(anti, col("grp"), m = 8, inDims = 4).collect()(0)
     assert(r1.getDouble(2) == 4.0, r1.toString)
   }
+
+  test("signedMmd: an embedding shorter than inDims fails LOUDLY instead of diluting mmd2 toward 0") {
+    // a 3-dim vector under inDims = 4 used to null its dot, map to
+    // phi = 0 via otherwise(0), and still count in n_p — biasing the
+    // statistic silently; the guard must raise instead
+    val bad = Seq(
+      (Seq(1.0f, 0.0f, 0.0f, 0.0f), true),
+      (Seq(1.0f, 0.0f, 0.0f), false)) // short vector
+      .toDF("embedding", "grp")
+    val e = intercept[Exception] {
+      Drift.signedMmd(bad, col("grp"), m = 4, inDims = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("signedMmd")), e.toString)
+  }
 }

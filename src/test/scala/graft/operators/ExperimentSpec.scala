@@ -116,11 +116,11 @@ class ExperimentSpec extends SparkSpec {
     val eff = Experiment.diffInDiff(
       ev(Map(1L -> 37.0, 3L -> 47.0, 2L -> 12.0, 4L -> 22.0)),
       "2024-01-16", treat).collect()(0)
-    // (42-35) - (17-15) = 5; all cell variances 25 (n=2 population),
-    // se = sqrt(4 * 25/2) = 7.071068, t = 0.7071
+    // (42-35) - (17-15) = 5; all cell SAMPLE variances 50 (n=2, the
+    // n(n−1) welchT convention), se = sqrt(4 * 50/2) = 10, t = 0.5
     assert(eff.getAs[Double]("did") == 5.0, eff.toString)
-    assert(eff.getAs[Double]("se") == 7.071068, eff.toString)
-    assert(eff.getAs[Double]("t_stat") == 0.7071, eff.toString)
+    assert(eff.getAs[Double]("se") == 10.0, eff.toString)
+    assert(eff.getAs[Double]("t_stat") == 0.5, eff.toString)
     // parallel trends, no effect: did exactly 0
     val flat = Experiment.diffInDiff(
       ev(Map(1L -> 32.0, 3L -> 42.0, 2L -> 12.0, 4L -> 22.0)),

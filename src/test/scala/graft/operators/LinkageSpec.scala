@@ -39,4 +39,33 @@ class LinkageSpec extends SparkSpec {
     val miss = got(("Customer#000000002", "Customer#000000003"))
     assert(miss == ((false, false, false, none, "non_match")), miss.toString)
   }
+
+  test("emFitPriors recovers planted (m, u, p) from a pattern-census mixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant a two-population mixture directly as agreement flags:
+    // 100 true-match pairs agree on each field independently w.p. 0.9,
+    // 900 non-match pairs w.p. 0.1 — independent draws from a FIXED
+    // seed (EM's conditional-independence model must hold in the plant)
+    val rng = new scala.util.Random(42)
+    def planted(n: Int, rate: Double): Seq[(Boolean, Boolean, Boolean)] =
+      Seq.fill(n)((rng.nextDouble() < rate, rng.nextDouble() < rate,
+        rng.nextDouble() < rate))
+    val flags = (planted(100, 0.9) ++ planted(900, 0.1))
+      .toDF("nation_agree", "segment_agree", "balance_agree")
+    val fit = Linkage.emFitPriors(flags,
+        Seq("nation_agree", "segment_agree", "balance_agree"),
+        iterations = 20)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    fit.foreach { case (field, (m, u, p)) =>
+      assert(m > 0.75 && m <= 1.0, s"$field m=$m should recover ~0.9")
+      assert(u >= 0.0 && u < 0.25, s"$field u=$u should recover ~0.1")
+      assert(p > 0.03 && p < 0.3, s"$field p=$p should recover ~0.1")
+      assert(m > u, s"$field: EM must separate m=$m > u=$u")
+    }
+    // the fitted log-odds must separate the two planted populations:
+    // ln(m/u) strongly positive for every field
+    assert(fit.values.forall { case (m, u, _) => math.log(m / u) > 1.0 })
+  }
 }

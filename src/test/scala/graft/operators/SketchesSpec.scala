@@ -88,6 +88,15 @@ class SketchesSpec extends SparkSpec {
     val wideEst = Sketches.cmsEstimate(wide, items, "item", d = 3, w = 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wideEst == exact, "wide CMS should be collision-free here")
+    // unseen probes: an item absent from the build must estimate 0 when
+    // any of its d cells is empty (absent grid cell counts as 0 — true
+    // CMS semantics), and must APPEAR in the output (left join, never
+    // dropped). The wide grid is collision-free, so all of "zzz-unseen"'s
+    // cells are empty.
+    val unseen = Sketches.cmsEstimate(wide,
+      Seq("a", "zzz-unseen").toDF("item"), "item", d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unseen == Map("a" -> 30L, "zzz-unseen" -> 0L), unseen.toString)
     // mergeability: build(a ++ b) == re-sum(build(a) ++ build(b)) cell-wise
     val (h1, h2) = (items.limit(40), items.exceptAll(items.limit(40)))
     val merged = Sketches.cmsBuild(h1, "item", 3, 8)
