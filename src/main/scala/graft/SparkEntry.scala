@@ -38,7 +38,8 @@ object SparkEntry {
     MiscRegistry.queries ++
     GraphRegistry.queries ++
     SeriesRegistry.queries ++
-    MultimodalRegistry.queries
+    MultimodalRegistry.queries ++
+    LakeRegistry.queries
 
   /** DuckDB-runnable ANSI SQL per query; same parquet tables, same column
     * aliases, same rounding, same injected NULLs. */
@@ -51,5 +52,6 @@ object SparkEntry {
     MiscRegistry.oracleSql ++
     GraphRegistry.oracleSql ++
     SeriesRegistry.oracleSql ++
-    MultimodalRegistry.oracleSql
+    MultimodalRegistry.oracleSql ++
+    LakeRegistry.oracleSql
 }

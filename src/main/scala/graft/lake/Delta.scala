@@ -1,0 +1,377 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Delta Lake TRANSACTION-LOG interop — reads and writes the actual
+  * open `_delta_log` format (the public Delta protocol: newline-
+  * delimited JSON action files `%020d.json`, parquet checkpoints
+  * `%020d.checkpoint.parquet`, the `_last_checkpoint` pointer), so
+  * tables written here are readable by any Delta reader and vice
+  * versa — the external-interop boundary [[TxTable]] (a Delta-CLASS
+  * protocol with its own manifest format) deliberately left open.
+  *
+  * Reference surface: the reference lake
+  * (`ingestion-datalake-listings.py:60-107`) lands plain files in ADLS
+  * containers; this is the north-star upgrade — an ACID table format a
+  * 100 TB training-data lake actually needs for concurrent
+  * ingest/compact/curate.
+  *
+  * Protocol subset (all public knowledge, delta.io PROTOCOL.md):
+  *   - actions understood: `protocol`, `metaData`, `add`, `remove`,
+  *     `commitInfo` (pass-through); unknown actions and unknown FIELDS
+  *     of known actions are ignored on read, as the protocol requires.
+  *   - snapshot = latest checkpoint ≤ target version (parquet, found by
+  *     listing; `_last_checkpoint` is treated as a hint, not truth)
+  *     replayed forward with the JSON tail. Within replay the LAST
+  *     action per path wins; a `remove` tombstones the path.
+  *   - `minReaderVersion` must be 1: features gated behind reader 2/3
+  *     (column mapping, deletion vectors) change row visibility or
+  *     physical names, and silently mis-reading them would corrupt
+  *     results — LOUD FAILURE instead, per the engine discipline.
+  *   - partitioned tables: `add.partitionValues` + Hive-style paths;
+  *     reads recover partition columns from the directory layout
+  *     (`basePath`), then cast to the `schemaString` types, so
+  *     partition pruning stays a PartitionFilters push-down.
+  *
+  * Scale shape: the active-file SET is reconstructed driver-side (a
+  * HashMap keyed by path — the delta-standalone design; bounded by
+  * FILE count, not rows, and the JSON tail is bounded by the
+  * checkpoint interval). The DATA plane is one multi-path parquet
+  * scan — predicate/partition pruning intact. Checkpointing compacts
+  * the log so replay cost never grows with table age.
+  *
+  * Commit publish is the same atomic same-FS `createLink` as
+  * [[TxTable.publish]]: two racing writers of version v cannot both
+  * win, which is exactly the protocol's "mutual exclusion on the
+  * commit file" requirement (on S3-class stores this would ride a
+  * conditional PUT / DynamoDB lock, same contract).
+  */
+final case class DeltaTable(root: String) {
+  import DeltaTable._
+
+  private def logDir: Path = Paths.get(root, "_delta_log")
+  private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.json")
+  private def checkpointPath(v: Long): Path =
+    logDir.resolve(f"$v%020d.checkpoint.parquet")
+
+  private def listLog(suffix: String): Seq[(Long, Path)] =
+    if (!Files.isDirectory(logDir)) Nil
+    else Files.list(logDir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(suffix))
+      .flatMap { p =>
+        val name = p.getFileName.toString.stripSuffix(suffix)
+        if (name.length == 20 && name.forall(_.isDigit)) Some(name.toLong -> p)
+        else None
+      }.toSeq.sortBy(_._1)
+
+  /** Highest committed version, if any. */
+  def latestVersion: Option[Long] = listLog(".json").lastOption.map(_._1)
+
+  // ---- snapshot reconstruction ----------------------------------------
+
+  private final case class AddFile(path: String, partitionValues: Map[String, String])
+  private final case class Snapshot(version: Long, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[AddFile])
+
+  private def snapshotAt(version: Option[Long]): Snapshot = {
+    val latest = latestVersion.getOrElse(throw new IllegalStateException(
+      s"DeltaTable $root: no _delta_log commits"))
+    val target = version.getOrElse(latest)
+    require(target <= latest,
+      s"DeltaTable $root: version $target > latest $latest")
+
+    val cp = listLog(".checkpoint.parquet").filter(_._1 <= target).lastOption
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    var minReader = 1
+
+    cp.foreach { case (_, p) =>
+      // The checkpoint is parquet — the unbounded part of the log rides
+      // the columnar scan; only (path, partitionValues) land on the
+      // driver, one row per LIVE file.
+      val spark = SparkSession.active
+      val df = spark.read.parquet(p.toString)
+      val cols = df.schema.fieldNames.toSet
+      if (cols.contains("protocol"))
+        df.select("protocol.minReaderVersion").na.drop().collect()
+          .foreach(r => minReader = math.max(minReader, r.getInt(0)))
+      if (cols.contains("metaData"))
+        df.select("metaData.schemaString", "metaData.partitionColumns")
+          .na.drop("all").collect().foreach { r =>
+            if (!r.isNullAt(0)) schemaJson = Some(r.getString(0))
+            if (!r.isNullAt(1)) partCols = r.getSeq[String](1)
+          }
+      if (cols.contains("add"))
+        df.select("add.path", "add.partitionValues").na.drop("all").collect()
+          .foreach { r =>
+            if (!r.isNullAt(0)) {
+              val path = decodePath(r.getString(0))
+              val pv = if (r.isNullAt(1)) Map.empty[String, String]
+                       else r.getMap[String, String](1).toMap
+              active(path) = AddFile(path, pv)
+            }
+          }
+      // checkpoint `remove` rows are expired tombstones — by protocol
+      // they are NOT part of the live set; nothing to replay.
+    }
+
+    val from = cp.map(_._1 + 1).getOrElse(0L)
+    val commits = listLog(".json").filter { case (v, _) => v >= from && v <= target }
+    require(commits.map(_._1) == (from to target),
+      s"DeltaTable $root: log gap — need versions $from..$target, " +
+        s"have ${commits.map(_._1).mkString(",")}")
+
+    val mapper = new ObjectMapper
+    commits.foreach { case (_, p) =>
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val add = node.get("add")
+        val remove = node.get("remove")
+        val meta = node.get("metaData")
+        val protocol = node.get("protocol")
+        if (protocol != null && protocol.hasNonNull("minReaderVersion"))
+          minReader = math.max(minReader, protocol.get("minReaderVersion").asInt)
+        if (meta != null) {
+          if (meta.hasNonNull("schemaString"))
+            schemaJson = Some(meta.get("schemaString").asText)
+          if (meta.hasNonNull("partitionColumns"))
+            partCols = meta.get("partitionColumns").elements.asScala
+              .map(_.asText).toSeq
+        }
+        if (add != null && add.hasNonNull("path")) {
+          val path = decodePath(add.get("path").asText)
+          active(path) = AddFile(path, partitionValuesOf(add))
+        }
+        if (remove != null && remove.hasNonNull("path"))
+          active.remove(decodePath(remove.get("path").asText))
+      }
+    }
+
+    require(minReader <= 1,
+      s"DeltaTable $root: minReaderVersion $minReader requires reader " +
+        "features (column mapping / deletion vectors) this reader does not " +
+        "implement — refusing to mis-read the table")
+    val schema = schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"DeltaTable $root: no metaData action found up to v$target"))
+    Snapshot(target, schema, partCols, active.values.toSeq)
+  }
+
+  private def partitionValuesOf(add: JsonNode): Map[String, String] = {
+    val pv = add.get("partitionValues")
+    if (pv == null || pv.isNull) Map.empty
+    else pv.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+
+  /** Read the table at `version` (default: latest). Output columns are
+    * exactly `schemaString`'s, in order and type — partition columns are
+    * recovered from the Hive directory layout and cast back. */
+  def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshotAt(version)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+    // absolute paths so `basePath` and the file list qualify identically
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val paths = snap.files.map(f => Paths.get(absRoot, f.path).toString)
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val raw =
+      if (snap.partitionColumns.isEmpty)
+        spark.read.schema(dataSchema).parquet(paths: _*)
+      else
+        spark.read.option("basePath", absRoot).schema(dataSchema).parquet(paths: _*)
+    raw.select(snap.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  // ---- write side ------------------------------------------------------
+
+  /** Commit `df` as a full replacement snapshot (removes every live file
+    * of the previous version). Returns the committed version. */
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val prev = latestVersion
+    val removed = prev.map(v => snapshotAt(Some(v)).files).getOrElse(Nil)
+    commit(df, partitionBy, removed.map(_.path), "WRITE",
+      Map("mode" -> "Overwrite"))
+  }
+
+  /** Append `df`'s rows as new files. Returns the committed version. */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    commit(df, partitionBy, Nil, "WRITE", Map("mode" -> "Append"))
+
+  private def commit(df: DataFrame, partitionBy: Seq[String],
+      removePaths: Seq[String], op: String, opParams: Map[String, String]): Long = {
+    val v = latestVersion.map(_ + 1).getOrElse(0L)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val scratch = Paths.get(root, s".tmp-delta-$token")
+    val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(scratch.toString)
+
+    // move parts into the table root, keeping the Hive partition dirs
+    val moved = mutable.ArrayBuffer.empty[(String, Long, Map[String, String])]
+    def walk(dir: Path, rel: List[String], pv: Map[String, String]): Unit =
+      Files.list(dir).iterator.asScala.toSeq.sortBy(_.toString).foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p) && name.contains("=")) {
+          val Array(k, raw) = name.split("=", 2)
+          val value = java.net.URLDecoder.decode(raw, "UTF-8")
+          walk(p, name :: rel, pv + (k -> value))
+        } else if (name.endsWith(".parquet")) {
+          val unique = f"part-${moved.size}%05d-$token-v$v.snappy.parquet"
+          val relPath = (unique :: rel).reverse.mkString("/")
+          val dest = Paths.get(root, relPath)
+          Files.createDirectories(dest.getParent)
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          moved += ((relPath, Files.size(dest), pv))
+        }
+      }
+    walk(scratch, Nil, Map.empty)
+    deleteRecursively(scratch)
+
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    val actions = mutable.ArrayBuffer.empty[String]
+
+    val ci = mapper.createObjectNode
+    ci.put("timestamp", now).put("operation", op)
+    val params = ci.putObject("operationParameters")
+    opParams.foreach { case (k, x) => params.put(k, x) }
+    actions += wrap(mapper, "commitInfo", ci)
+
+    if (v == 0L) {
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", 1).put("minWriterVersion", 2)
+      actions += wrap(mapper, "protocol", proto)
+    }
+    if (v == 0L || removePaths.nonEmpty) { // metaData on create + every overwrite
+      actions += wrap(mapper, "metaData", metaNode(mapper, df, partitionBy, now))
+    }
+    removePaths.foreach { p =>
+      val rm = mapper.createObjectNode
+      rm.put("path", p).put("deletionTimestamp", now).put("dataChange", true)
+      actions += wrap(mapper, "remove", rm)
+    }
+    moved.foreach { case (path, size, pv) =>
+      val add = mapper.createObjectNode
+      add.put("path", path)
+      val pvNode = add.putObject("partitionValues")
+      pv.foreach { case (k, x) => pvNode.put(k, x) }
+      add.put("size", size).put("modificationTime", now).put("dataChange", true)
+      actions += wrap(mapper, "add", add)
+    }
+    publish(v, actions.toSeq)
+    v
+  }
+
+  private def metaNode(mapper: ObjectMapper, df: DataFrame,
+      partitionBy: Seq[String], now: Long): ObjectNode = {
+    val meta = mapper.createObjectNode
+    meta.put("id", java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", df.schema.json)
+    val pc = meta.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    meta.putObject("configuration")
+    meta.put("createdTime", now)
+    meta
+  }
+
+  private def wrap(mapper: ObjectMapper, key: String, node: ObjectNode): String = {
+    val outer = mapper.createObjectNode
+    outer.set[ObjectNode](key, node)
+    mapper.writeValueAsString(outer)
+  }
+
+  private[lake] def publish(v: Long, actions: Seq[String]): Unit = {
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp, (actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    try Files.createLink(commitPath(v), tmp) // atomic, fails if v exists
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"DeltaTable $root: concurrent commit already published v$v", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write a parquet checkpoint of the CURRENT latest snapshot plus the
+    * `_last_checkpoint` pointer, so future reads replay only the JSON
+    * tail after it. Idempotent: re-checkpointing a version replaces the
+    * derived files (checkpoints are cache, commits are truth). */
+  def checkpoint(): Long = {
+    val spark = SparkSession.active
+    val snap = snapshotAt(None)
+    val rows: Seq[Row] = {
+      val protoRow = Row(Row(1, 2), null, null)
+      val metaRow = Row(null,
+        Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
+          Row("parquet"), snap.schema.json, snap.partitionColumns,
+          System.currentTimeMillis), null)
+      val addRows = snap.files.map(f =>
+        Row(null, null, Row(f.path, f.partitionValues, 0L, 0L, true)))
+      protoRow +: metaRow +: addRows
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val scratch = Paths.get(root, s".tmp-cp-$token")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part"))
+    Files.move(part, checkpointPath(snap.version),
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(scratch)
+    val mapper = new ObjectMapper
+    val lc = mapper.createObjectNode
+    lc.put("version", snap.version).put("size", rows.size)
+    val tmp = logDir.resolve(s".tmp-lc-$token")
+    Files.write(tmp, (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
+    snap.version
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+}
+
+object DeltaTable {
+  /** Percent-decoding for add/remove paths (the protocol stores them as
+    * relative URIs). `+` is NOT a space in a URI path, so protect it
+    * from URLDecoder's form semantics. */
+  private[lake] def decodePath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
+  /** Checkpoint parquet schema — the protocol's action columns, subset
+    * we emit. Readers (ours included) select fields by name and ignore
+    * the rest. */
+  private[lake] val checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType))))))
+}

@@ -1,0 +1,85 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.{DeltaTable, Tables}
+
+/** Registry slice — open-format table interop: the Delta Lake
+  * transaction log ([[graft.lake.DeltaTable]]). Each query exercises a
+  * protocol path end-to-end (write → log replay → read → aggregate);
+  * the aggregate is over a LOSSLESS roundtrip, so the oracle is the
+  * same aggregate on the source table — any log-replay bug (missed
+  * remove, wrong partition value, checkpoint drift) surfaces as a
+  * row/hash mismatch, exactly the q_orc_roundtrip convention. */
+object LakeRegistry {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(col("doc_id"), col("source"),
+      col("lang"), col("n_chars"))
+
+  private def tmpRoot(s: SparkSession, d: String, q: String): String =
+    s"target/tmp/${q}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
+
+  private def bySource(df: DataFrame): DataFrame =
+    df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // overwrite + latest-snapshot replay: protocol/metaData/add actions,
+    // schemaString-typed read
+    "q_delta_roundtrip" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_rt"))
+      dt.overwrite(docs(s, d))
+      bySource(dt.read(s))
+    }),
+    // time travel: pin the overwrite's version, append on top, read the
+    // pinned version — appended rows must NOT appear (re-runs append
+    // more versions; the pinned snapshot is immutable)
+    "q_delta_time_travel" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_tt"))
+      val base = docs(s, d)
+      val v0 = dt.overwrite(base.filter(col("doc_id") % 3 === 0))
+      dt.append(base.filter(col("doc_id") % 3 =!= 0))
+      bySource(dt.read(s, Some(v0)))
+    }),
+    // checkpoint: compact v0..v1 into parquet, append a JSON tail, read
+    // latest — the snapshot must stitch checkpoint + tail losslessly
+    "q_delta_checkpoint" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_cp"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 3 === 0))
+      dt.append(base.filter(col("doc_id") % 3 === 1))
+      dt.checkpoint()
+      dt.append(base.filter(col("doc_id") % 3 === 2))
+      bySource(dt.read(s))
+    }),
+    // Hive-layout partitioned adds: partitionValues in the log, partition
+    // column recovered from the directory layout and pruned at scan
+    "q_delta_partitioned" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_part"))
+      dt.overwrite(docs(s, d), partitionBy = Seq("source"))
+      dt.read(s).filter(col("source").isin("src3", "src7", "src11"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+  )
+
+  private val bySourceSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_delta_roundtrip" -> s"$bySourceSql GROUP BY source",
+    "q_delta_time_travel" ->
+      s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
+    "q_delta_checkpoint" -> s"$bySourceSql GROUP BY source",
+    "q_delta_partitioned" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source IN ('src3', 'src7', 'src11')
+        |GROUP BY source, lang""".stripMargin,
+  )
+}
