@@ -227,6 +227,44 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** Synthetic PCM clip for doc `id`: n = 96 + id mod 64 mono samples at
+    * 8 kHz, sample(i) = (id·13 + i²·3 + i·11) mod 4096 − 2048 — all
+    * integer, SQL-replayable. ENCODED to real RIFF/WAVE bytes (every
+    * third doc also gets a LIST junk chunk of odd size planted BEFORE
+    * fmt/data, so the oracled path itself proves chunk skipping and
+    * even-boundary padding) and DECODED back by the real parser. */
+  private def syntheticWav(id: Long): WavCodec.Pcm = {
+    val n = (96 + id % 64).toInt
+    val samples = Array.tabulate(n) { i =>
+      ((id * 13 + i.toLong * i * 3 + i * 11) % 4096 - 2048).toShort
+    }
+    val junk = if (id % 3 == 0) Some(Array.fill(((id % 5) + 1).toInt)('A'.toByte))
+               else None
+    WavCodec.decode(WavCodec.encode(8000, 1, samples, junk))
+  }
+
+  /** Activity threshold for the frame-energy census (a VAD stand-in). */
+  private val WavActiveThreshold = 20000000L
+
+  /** REAL-codec audio roundtrip: per doc, the synthetic clip's decoded
+    * sample count, exact energy (Σs²), peak, zero crossings, active
+    * 16-sample frames, and integer duration. The oracle recomputes all
+    * of it from the sample closed form — any chunk-traversal, padding,
+    * or little-endian decode bug in [[WavCodec]] shows up as a
+    * mismatch. Map-side only; no shuffle beyond the scan. */
+  def wavRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val pcm = syntheticWav(id)
+        val f = WavCodec.features(pcm, WavActiveThreshold)
+        (id, f.nSamples, f.energy, f.peak, f.zeroCrossings,
+          f.activeFrames, f.durationDeciMs)
+      })
+      .toDF("doc_id", "n_samples", "energy", "peak", "zero_crossings",
+        "active_frames", "duration_deci_ms")
+  }
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the

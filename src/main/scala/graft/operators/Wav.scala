@@ -1,0 +1,162 @@
+package graft.operators
+
+/** Pure-JVM WAV (RIFF/WAVE, 16-bit PCM) codec — the multimodal tier's
+  * REAL audio format, the audio twin of [[BmpCodec]]: a zero-dependency
+  * parser for the one mainstream audio container that needs none, so
+  * the `mapPartitions` decode boundary exercises genuine chunk
+  * traversal, header parsing, and little-endian sample decode instead
+  * of a deterministic fake.
+  *
+  * Layout (public spec — the Microsoft/IBM RIFF WAVE format):
+  * `RIFF <size> WAVE` followed by chunks, each `<4-byte id> <le32 size>
+  * <payload>` padded to an EVEN byte boundary (the RIFF word-alignment
+  * rule real encoders obey and naive parsers trip over). The `fmt `
+  * chunk carries (audioFormat, channels, sampleRate, bitsPerSample…);
+  * `data` carries interleaved le16 two's-complement samples. Unknown
+  * chunks (`LIST`, `fact`, `cue `, …) are SKIPPED, as the spec
+  * requires of readers.
+  *
+  * Decode FAILS LOUDLY on anything it does not understand (bad magic,
+  * compressed/non-PCM audioFormat, bits ≠ 16, missing fmt/data,
+  * truncated payload) — the engine-wide loud-failure discipline; a real
+  * corpus routes failures to a counted quarantine, never silently
+  * fakes samples. */
+object WavCodec {
+
+  /** Decoded clip: interleaved 16-bit samples + the fmt-chunk facts. */
+  final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse a 16-bit PCM WAV into interleaved samples. */
+  def decode(payload: Array[Byte]): Pcm = {
+    require(payload.length >= 12,
+      s"WAV: ${payload.length} bytes < 12-byte RIFF header")
+    require(tag(payload, 0) == "RIFF", "WAV: bad magic (expected 'RIFF')")
+    require(tag(payload, 8) == "WAVE", "WAV: not a WAVE form")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, size)
+    while (off + 8 <= payload.length) {
+      val id = tag(payload, off)
+      val size = le32(payload, off + 4)
+      require(size >= 0 && off + 8 + size <= payload.length,
+        s"WAV: chunk '$id' size $size overruns payload at $off")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"WAV: fmt chunk $size bytes < 16")
+          val audioFormat = le16(payload, off + 8)
+          require(audioFormat == 1,
+            s"WAV: audioFormat $audioFormat unsupported (PCM=1 only)")
+          fmt = Some((le16(payload, off + 10), le32(payload, off + 12),
+            le16(payload, off + 22)))
+        case "data" => data = Some((off + 8, size))
+        case _      => () // LIST/fact/cue/…: skip, per spec
+      }
+      off += 8 + size + (size & 1) // RIFF chunks pad to even boundaries
+    }
+    val (channels, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("WAV: no fmt chunk"))
+    require(bits == 16, s"WAV: $bits-bit samples unsupported (16 only)")
+    require(channels >= 1, s"WAV: bad channel count $channels")
+    val (dOff, dSize) = data.getOrElse(
+      throw new IllegalArgumentException("WAV: no data chunk"))
+    require(dSize % 2 == 0, s"WAV: odd data size $dSize for 16-bit PCM")
+    val n = dSize / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = le16(payload, dOff + 2 * i).toShort
+      i += 1
+    }
+    Pcm(rate, channels, samples)
+  }
+
+  /** Fixture/spec encoder: samples → standard PCM WAV bytes. Optionally
+    * plants an unknown chunk BEFORE fmt/data so specs prove the reader
+    * skips what it does not understand (with RIFF even-padding). */
+  def encode(sampleRate: Int, channels: Int, samples: Array[Short],
+      junkChunk: Option[Array[Byte]] = None): Array[Byte] = {
+    require(channels >= 1, s"encode: bad channel count $channels")
+    val junk = junkChunk.map { j => 8 + j.length + (j.length & 1) }.getOrElse(0)
+    val dataSize = samples.length * 2
+    val riffSize = 4 + junk + 24 + 8 + dataSize
+    val out = new Array[Byte](8 + riffSize)
+    def putTag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, riffSize); putTag(8, "WAVE")
+    var off = 12
+    junkChunk.foreach { j =>
+      putTag(off, "LIST"); putLe32(off + 4, j.length)
+      System.arraycopy(j, 0, out, off + 8, j.length)
+      off += 8 + j.length + (j.length & 1)
+    }
+    putTag(off, "fmt "); putLe32(off + 4, 16)
+    putLe16(off + 8, 1) // PCM
+    putLe16(off + 10, channels)
+    putLe32(off + 12, sampleRate)
+    putLe32(off + 16, sampleRate * channels * 2) // byte rate
+    putLe16(off + 20, channels * 2)              // block align
+    putLe16(off + 22, 16)                        // bits per sample
+    off += 24
+    putTag(off, "data"); putLe32(off + 4, dataSize)
+    off += 8
+    var i = 0
+    while (i < samples.length) {
+      putLe16(off + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Integer-exact clip features — no doubles, so the DuckDB oracle
+    * replays them bit-for-bit from the sample closed form:
+    * (n, Σs², max|s|, sign flips with sign(0)=+, active 16-sample
+    * frames by energy threshold, duration in exact ms·10). */
+  final case class Features(nSamples: Int, energy: Long, peak: Int,
+      zeroCrossings: Int, activeFrames: Int, durationDeciMs: Long)
+
+  /** Frame size for the activity census (a VAD stand-in: a frame is
+    * "active" when its energy clears `threshold` — real VAD swaps the
+    * energy rule, the census shape is identical). */
+  val FrameSamples = 16
+
+  def features(pcm: Pcm, activeThreshold: Long): Features = {
+    val s = pcm.samples
+    var energy = 0L; var peak = 0; var zc = 0
+    var frameEnergy = 0L; var active = 0
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toInt
+      energy += v.toLong * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      if (i > 0 && ((s(i - 1) >= 0) != (v >= 0))) zc += 1
+      frameEnergy += v.toLong * v
+      if ((i + 1) % FrameSamples == 0 || i == s.length - 1) {
+        if (frameEnergy >= activeThreshold) active += 1
+        frameEnergy = 0L
+      }
+      i += 1
+    }
+    // duration in tenths of a millisecond: n·10000 / (rate·channels) —
+    // exact integer division both engines agree on
+    val frames = s.length.toLong / pcm.channels
+    Features(s.length, energy, peak, zc, active,
+      frames * 10000L / pcm.sampleRate)
+  }
+}

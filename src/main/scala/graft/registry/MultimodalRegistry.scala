@@ -30,6 +30,11 @@ object MultimodalRegistry {
     // REAL-pixel 2-D dHash (6x8 grid over decoded luma) — exact
     // cross-multiplied cell comparisons, oracle replays identical bits
     "q_mm_bmp_phash" -> ((s, d) => Multimodal.bmpDhash(s, d)),
+    // REAL audio codec roundtrip: synthetic 16-bit PCM encoded to
+    // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
+    // by the real parser; integer-exact energy/peak/zc/VAD features —
+    // chunk-traversal, padding, or le16 bugs = hash mismatch
+    "q_mm_wav_decode" -> ((s, d) => Multimodal.wavRoundtrip(s, d)),
   )
 
   /** Shared pixel-formula CTEs for the BMP oracles: doc dims + the
@@ -85,6 +90,38 @@ object MultimodalRegistry {
          |    AS phash
          |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // WAV features replayed from the sample closed form: v(i) =
+    // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
+    // samples; energy/zc/peak exact integers, frames of 16 by i // 16,
+    // duration = n*10000 // 8000 deci-ms at 8 kHz mono
+    "q_mm_wav_decode" ->
+      """WITH d AS (SELECT doc_id, 96 + (doc_id % 64) AS n FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, d.n, r.range AS i,
+        |    ((d.doc_id * 13 + r.range * r.range * 3 + r.range * 11) % 4096)
+        |      - 2048 AS v
+        |  FROM d, range(0, 160) r WHERE r.range < d.n),
+        |x AS (
+        |  SELECT doc_id, n, i, v,
+        |    CASE WHEN i > 0 AND
+        |      ((lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0) <> (v >= 0))
+        |      THEN 1 ELSE 0 END AS zc
+        |  FROM s),
+        |f AS (SELECT doc_id, i // 16 AS frame, sum(v * v) AS fe
+        |      FROM s GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |        count(*) FILTER (WHERE fe >= 20000000) AS active_frames
+        |      FROM f GROUP BY 1),
+        |g AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_samples,
+        |        CAST(sum(v * v) AS BIGINT) AS energy,
+        |        CAST(max(abs(v)) AS INTEGER) AS peak,
+        |        CAST(sum(zc) AS INTEGER) AS zero_crossings,
+        |        CAST((max(n) * 10000) // 8000 AS BIGINT) AS duration_deci_ms
+        |      FROM x GROUP BY 1)
+        |SELECT g.doc_id, g.n_samples, g.energy, g.peak, g.zero_crossings,
+        |  CAST(a.active_frames AS INTEGER) AS active_frames,
+        |  g.duration_deci_ms
+        |FROM g JOIN a USING (doc_id)""".stripMargin,
     "q_mm_phash" ->
       s"""WITH sigs AS ($phashCoreSql)
          |SELECT doc_id, simhash AS phash FROM sigs""".stripMargin,
