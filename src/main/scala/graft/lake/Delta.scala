@@ -78,7 +78,8 @@ final case class DeltaTable(root: String) {
 
   private final case class AddFile(path: String, partitionValues: Map[String, String])
   private final case class Snapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[AddFile])
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      txns: Map[String, Long])
 
   private def snapshotAt(version: Option[Long]): Snapshot = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -89,6 +90,7 @@ final case class DeltaTable(root: String) {
 
     val cp = listLog(".checkpoint.parquet").filter(_._1 <= target).lastOption
     val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = mutable.HashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1
@@ -118,6 +120,13 @@ final case class DeltaTable(root: String) {
                        else r.getMap[String, String](1).toMap
               active(path) = AddFile(path, pv)
             }
+          }
+      if (cols.contains("txn"))
+        df.select("txn.appId", "txn.version").na.drop("all").collect()
+          .foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1))
+              txns(r.getString(0)) = math.max(
+                txns.getOrElse(r.getString(0), Long.MinValue), r.getLong(1))
           }
       // checkpoint `remove` rows are expired tombstones — by protocol
       // they are NOT part of the live set; nothing to replay.
@@ -152,6 +161,12 @@ final case class DeltaTable(root: String) {
         }
         if (remove != null && remove.hasNonNull("path"))
           active.remove(decodePath(remove.get("path").asText))
+        val txn = node.get("txn")
+        if (txn != null && txn.hasNonNull("appId") && txn.hasNonNull("version")) {
+          val app = txn.get("appId").asText
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
+            txn.get("version").asLong)
+        }
       }
     }
 
@@ -162,8 +177,15 @@ final case class DeltaTable(root: String) {
     val schema = schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"DeltaTable $root: no metaData action found up to v$target"))
-    Snapshot(target, schema, partCols, active.values.toSeq)
+    Snapshot(target, schema, partCols, active.values.toSeq, txns.toMap)
   }
+
+  /** Highest committed `txn` version for a writer appId (the protocol's
+    * idempotent-write primitive), or None if the writer never committed
+    * (or the table is empty). */
+  def txnVersion(appId: String): Option[Long] =
+    if (latestVersion.isEmpty) None
+    else snapshotAt(None).txns.get(appId)
 
   private def partitionValuesOf(add: JsonNode): Map[String, String] = {
     val pv = add.get("partitionValues")
@@ -177,20 +199,25 @@ final case class DeltaTable(root: String) {
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshotAt(version)
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
+    readFiles(spark, snap.schema, snap.partitionColumns, snap.files.map(_.path))
+  }
+
+  private def readFiles(spark: SparkSession, schema: StructType,
+      partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (relPaths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val paths = snap.files.map(f => Paths.get(absRoot, f.path).toString)
+    val paths = relPaths.map(f => Paths.get(absRoot, f).toString)
     val dataSchema = StructType(
-      snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+      schema.filterNot(f => partitionColumns.contains(f.name)))
     val raw =
-      if (snap.partitionColumns.isEmpty)
+      if (partitionColumns.isEmpty)
         spark.read.schema(dataSchema).parquet(paths: _*)
       else
         spark.read.option("basePath", absRoot).schema(dataSchema).parquet(paths: _*)
-    raw.select(snap.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   // ---- write side ------------------------------------------------------
@@ -208,8 +235,41 @@ final case class DeltaTable(root: String) {
   def append(df: DataFrame, partitionBy: Seq[String] = Nil): Long =
     commit(df, partitionBy, Nil, "WRITE", Map("mode" -> "Append"))
 
+  /** Exactly-once append for replayable writers (the protocol's `txn`
+    * action): if `appId` has already committed a txn version ≥
+    * `version`, the write is a NO-OP (returns None) — a streaming
+    * `foreachBatch` replaying a landed micro-batch cannot double-append.
+    * The check and the commit race window is closed by the atomic
+    * publish: a racer that lands the same txn first makes THIS commit's
+    * version collide and fail loudly, never double-apply silently. */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long,
+      partitionBy: Seq[String] = Nil): Option[Long] =
+    if (txnVersion(appId).exists(_ >= version)) None
+    else Some(commit(df, partitionBy, Nil, "WRITE", Map("mode" -> "Append"),
+      txn = Some((appId, version))))
+
+  /** OPTIMIZE-style compaction: rewrite the current live file set into
+    * `numFiles` files per partition-value combination WITHOUT changing
+    * the data — removes + adds carry `dataChange=false`, so CDC
+    * consumers ([[changes]]) skip the rewrite entirely, exactly as the
+    * protocol prescribes. Small-file compaction is what keeps a 100 TB
+    * streaming-ingested table scannable: thousands of micro-batch files
+    * fold into scan-sized ones while readers stay snapshot-isolated. */
+  def compact(numFiles: Int = 1): Long = {
+    val spark = SparkSession.active
+    val snap = snapshotAt(None)
+    val current = read(spark)
+    val compacted =
+      if (snap.partitionColumns.isEmpty) current.repartition(numFiles)
+      else current.repartition(numFiles,
+        snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+    commit(compacted, snap.partitionColumns, snap.files.map(_.path),
+      "OPTIMIZE", Map.empty, dataChange = false)
+  }
+
   private def commit(df: DataFrame, partitionBy: Seq[String],
-      removePaths: Seq[String], op: String, opParams: Map[String, String]): Long = {
+      removePaths: Seq[String], op: String, opParams: Map[String, String],
+      txn: Option[(String, Long)] = None, dataChange: Boolean = true): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
@@ -252,12 +312,18 @@ final case class DeltaTable(root: String) {
       proto.put("minReaderVersion", 1).put("minWriterVersion", 2)
       actions += wrap(mapper, "protocol", proto)
     }
-    if (v == 0L || removePaths.nonEmpty) { // metaData on create + every overwrite
+    if (v == 0L || (removePaths.nonEmpty && dataChange)) {
+      // metaData on create + every overwrite (not on compaction rewrites)
       actions += wrap(mapper, "metaData", metaNode(mapper, df, partitionBy, now))
+    }
+    txn.foreach { case (appId, tv) =>
+      val tx = mapper.createObjectNode
+      tx.put("appId", appId).put("version", tv).put("lastUpdated", now)
+      actions += wrap(mapper, "txn", tx)
     }
     removePaths.foreach { p =>
       val rm = mapper.createObjectNode
-      rm.put("path", p).put("deletionTimestamp", now).put("dataChange", true)
+      rm.put("path", p).put("deletionTimestamp", now).put("dataChange", dataChange)
       actions += wrap(mapper, "remove", rm)
     }
     moved.foreach { case (path, size, pv) =>
@@ -265,7 +331,8 @@ final case class DeltaTable(root: String) {
       add.put("path", path)
       val pvNode = add.putObject("partitionValues")
       pv.foreach { case (k, x) => pvNode.put(k, x) }
-      add.put("size", size).put("modificationTime", now).put("dataChange", true)
+      add.put("size", size).put("modificationTime", now)
+        .put("dataChange", dataChange)
       actions += wrap(mapper, "add", add)
     }
     publish(v, actions.toSeq)
@@ -312,14 +379,19 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     val snap = snapshotAt(None)
     val rows: Seq[Row] = {
-      val protoRow = Row(Row(1, 2), null, null)
+      val protoRow = Row(Row(1, 2), null, null, null)
       val metaRow = Row(null,
         Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
           Row("parquet"), snap.schema.json, snap.partitionColumns,
-          System.currentTimeMillis), null)
+          System.currentTimeMillis), null, null)
       val addRows = snap.files.map(f =>
-        Row(null, null, Row(f.path, f.partitionValues, 0L, 0L, true)))
-      protoRow +: metaRow +: addRows
+        Row(null, null, Row(f.path, f.partitionValues, 0L, 0L, true), null))
+      // txn water-marks MUST ride the checkpoint: replay starts after it,
+      // so idempotent writers would forget their high-water mark otherwise
+      val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        Row(null, null, null, Row(app, tv, 0L))
+      }
+      protoRow +: metaRow +: (addRows ++ txnRows)
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), checkpointSchema)
@@ -340,6 +412,80 @@ final case class DeltaTable(root: String) {
     Files.move(tmp, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.REPLACE_EXISTING)
     snap.version
+  }
+
+  /** Change-data feed over `(fromVersion, toVersion]`: every row added
+    * or removed by commits in the range, tagged `_change_type`
+    * (`insert` | `delete`) and `_commit_version` — file-level CDC, the
+    * same contract as [[TxTable.changes]]. Actions with
+    * `dataChange=false` (compaction rewrites) are SKIPPED, per the
+    * protocol — an OPTIMIZE between two versions contributes nothing to
+    * the feed. The plan reads ONLY the changed files, so incremental
+    * consumers process deltas, never the table. */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"DeltaTable $root: changes($fromVersion, $toVersion) reversed")
+    val latest = latestVersion.getOrElse(throw new IllegalStateException(
+      s"DeltaTable $root: no _delta_log commits"))
+    require(toVersion <= latest,
+      s"DeltaTable $root: changes to v$toVersion > latest $latest")
+    val mapper = new ObjectMapper
+    val snapCache = mutable.HashMap.empty[Long, Snapshot]
+    def snapOf(v: Long) = snapCache.getOrElseUpdate(v, snapshotAt(Some(v)))
+    val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val adds = mutable.ArrayBuffer.empty[String]
+      val removes = mutable.ArrayBuffer.empty[String]
+      Files.readAllLines(commitPath(v)).asScala.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val add = node.get("add")
+        if (add != null && add.hasNonNull("path") &&
+            (!add.has("dataChange") || add.get("dataChange").asBoolean))
+          adds += decodePath(add.get("path").asText)
+        val rm = node.get("remove")
+        if (rm != null && rm.hasNonNull("path") &&
+            (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
+          removes += decodePath(rm.get("path").asText)
+      }
+      val snap = snapOf(v)
+      def slice(paths: Seq[String], kind: String) =
+        if (paths.isEmpty) None
+        else Some(readFiles(spark, snap.schema, snap.partitionColumns, paths.toSeq)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v)))
+      slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
+    }
+    slices.reduceOption(_ unionByName _).getOrElse {
+      val schema = snapOf(toVersion).schema
+        .add("_change_type", StringType).add("_commit_version", LongType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
+  /** Delete data files referenced by NONE of the newest `keepVersions`
+    * snapshots (tombstoned files past retention — the VACUUM contract).
+    * Commits stay (the log is small and checkpoint-compacted); reading a
+    * vacuumed-out old version fails at scan time on the missing file,
+    * never returns partial data silently. Returns files deleted. */
+  def vacuum(keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"vacuum keepVersions $keepVersions < 1")
+    val latest = latestVersion.getOrElse(return 0)
+    val keepFrom = math.max(0L, latest - keepVersions + 1)
+    val live = (keepFrom to latest).flatMap(v =>
+      snapshotAt(Some(v)).files.map(_.path)).toSet
+    val rootPath = Paths.get(root)
+    var deleted = 0
+    def walk(dir: Path): Unit =
+      Files.list(dir).iterator.asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p)) { if (name != "_delta_log") walk(p) }
+        else if (name.endsWith(".parquet") &&
+            !live.contains(rootPath.relativize(p).toString.replace('\\', '/'))) {
+          Files.delete(p); deleted += 1
+        }
+      }
+    walk(rootPath)
+    deleted
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -373,5 +519,9 @@ object DeltaTable {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))))
 }

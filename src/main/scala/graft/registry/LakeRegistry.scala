@@ -54,6 +54,16 @@ object LakeRegistry {
       dt.append(base.filter(col("doc_id") % 3 === 2))
       bySource(dt.read(s))
     }),
+    // OPTIMIZE-style compaction: micro-batch files fold into scan-sized
+    // ones in a dataChange=false commit — snapshot identical, CDC silent
+    "q_delta_compact" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_opt"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 2 === 0))
+      dt.append(base.filter(col("doc_id") % 2 === 1))
+      dt.compact()
+      bySource(dt.read(s))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -76,6 +86,7 @@ object LakeRegistry {
     "q_delta_time_travel" ->
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_checkpoint" -> s"$bySourceSql GROUP BY source",
+    "q_delta_compact" -> s"$bySourceSql GROUP BY source",
     "q_delta_partitioned" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.lake.DeltaTable
+
+/** Delta streaming sink: exactly-once batch delivery via the protocol's
+  * `txn` action — replays no-op, watermarks survive checkpoint
+  * compaction, compaction rewrites don't disturb either the data or the
+  * CDC feed. */
+class StreamingDeltaSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("sdelta").toString + "/t"
+
+  private def keys(dt: DeltaTable): Seq[Long] =
+    dt.read(spark).select("k").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("foreachBatch replay cannot double-append (txn idempotence)") {
+    import spark.implicits._
+    val root = tmp()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val b1 = Seq((3L, "c")).toDF("k", "s")
+    assert(StreamingDelta.deliver(root, "app", 0L, b0).contains(0L))
+    assert(StreamingDelta.deliver(root, "app", 1L, b1).contains(1L))
+    // crash-replay: the driver re-delivers batch 1 (at-least-once) — no-op
+    assert(StreamingDelta.deliver(root, "app", 1L, b1).isEmpty)
+    assert(StreamingDelta.deliver(root, "app", 0L, b0).isEmpty)
+    assert(keys(DeltaTable(root)) == Seq(1L, 2L, 3L))
+    // a DIFFERENT writer lineage is not blocked by this app's watermark
+    assert(StreamingDelta.deliver(root, "other", 0L, Seq((9L, "z")).toDF("k", "s")).isDefined)
+    assert(keys(DeltaTable(root)) == Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("txn watermark survives checkpoint compaction of the log") {
+    import spark.implicits._
+    val root = tmp()
+    StreamingDelta.deliver(root, "app", 0L, Seq((1L, "a")).toDF("k", "s"))
+    StreamingDelta.deliver(root, "app", 1L, Seq((2L, "b")).toDF("k", "s"))
+    val dt = DeltaTable(root)
+    dt.checkpoint() // replay now starts AFTER the txn-carrying commits
+    assert(dt.txnVersion("app").contains(1L))
+    assert(StreamingDelta.deliver(root, "app", 1L, Seq((2L, "b")).toDF("k", "s")).isEmpty)
+    assert(StreamingDelta.deliver(root, "app", 2L, Seq((3L, "c")).toDF("k", "s")).contains(2L))
+    assert(keys(dt) == Seq(1L, 2L, 3L))
+  }
+
+  test("end-to-end MemoryStream run delivers each batch once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = tmp()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDelta.sink(mem.toDF().toDF("k", "s"), root, "pipe")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(keys(DeltaTable(root)) == Seq(1L, 2L, 3L))
+  }
+
+  test("periodic compaction folds micro-batch files; data and CDC unchanged") {
+    import spark.implicits._
+    val root = tmp()
+    val dt = DeltaTable(root)
+    (0 until 4).foreach(i =>
+      StreamingDelta.deliver(root, "app", i.toLong,
+        Seq((i.toLong, s"v$i")).toDF("k", "s")))
+    val before = dt.read(spark).inputFiles.length
+    val cv = dt.compact()
+    assert(dt.read(spark).inputFiles.length < before)
+    assert(keys(dt) == Seq(0L, 1L, 2L, 3L))
+    // the OPTIMIZE commit is dataChange=false: CDC over it is EMPTY
+    assert(dt.changes(spark, cv - 1, cv).count() == 0L)
+    // while the append commits still feed CDC as inserts
+    val feed = dt.changes(spark, 0L, cv)
+    assert(feed.filter("_change_type = 'insert'").count() == 3L) // v1..v3 adds
+    // appends after compaction keep working, idempotence intact
+    assert(StreamingDelta.deliver(root, "app", 3L, Seq((99L, "x")).toDF("k", "s")).isEmpty)
+    assert(StreamingDelta.deliver(root, "app", 4L, Seq((4L, "v4")).toDF("k", "s")).isDefined)
+    assert(keys(dt) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("vacuum reclaims pre-compaction files; retained snapshots still read") {
+    import spark.implicits._
+    val root = tmp()
+    val dt = DeltaTable(root)
+    (0 until 3).foreach(i =>
+      StreamingDelta.deliver(root, "app", i.toLong,
+        Seq((i.toLong, s"v$i")).toDF("k", "s")))
+    dt.compact()
+    val deleted = dt.vacuum(keepVersions = 1)
+    assert(deleted >= 3) // the three micro-batch files are unreferenced now
+    assert(keys(dt) == Seq(0L, 1L, 2L))
+  }
+}
