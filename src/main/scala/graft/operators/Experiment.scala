@@ -259,4 +259,30 @@ object Experiment {
         when(col("se") === 0.0, lit(null).cast("double"))
           .otherwise(round(col("did") / col("se"), 4)).as("t_stat"))
   }
+
+  /** Cohen's kappa (Cohen 1960) — chance-corrected agreement between two
+    * categorical raters, the label-quality read for any double-annotated
+    * slice (human vs model labels, two labeling runs, weak-supervision
+    * sources). Exact-integer algebra: with per-category marginals
+    * (na_c, nb_c), kappa = (n·agree − Σ na_c·nb_c) / (n² − Σ na_c·nb_c)
+    * — numerator and denominator stay integers (DECIMAL(38,0): n² wraps
+    * Long past ~3·10⁹ rows), ONE division on the one-row output,
+    * rounded 6dp. Plan: one map-side agree count, two category censuses
+    * joined on category (bounded by label-space size, never the corpus),
+    * all folded to a single row. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val t = df.select(raterA.cast("string").as("a"),
+      raterB.cast("string").as("b"))
+    val totals = t.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val pe = t.groupBy(col("a").as("cat")).agg(count(lit(1)).as("na"))
+      .join(t.groupBy(col("b").as("cat")).agg(count(lit(1)).as("nb")), "cat")
+      .agg(coalesce(sum(col("na").cast("decimal(38,0)") * col("nb")),
+        lit(0L).cast("decimal(38,0)")).as("pe_num"))
+    val nDec = col("n").cast("decimal(38,0)")
+    broadcast(totals).crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"),
+        round((nDec * col("agree") - col("pe_num")).cast("double") /
+          (nDec * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
+  }
 }

@@ -63,4 +63,25 @@ object Sharding {
       .select(col("old_shard"), col("moved"), col("n_keys"),
         round(col("n_keys").cast("double") / col("total"), 6).as("share"))
   }
+
+  /** Content-addressed shard manifest — the reproducibility certificate
+    * for shipping a sharded dataset: per shard, the row count, byte
+    * mass, and an ORDER-INDEPENDENT content digest (bit_xor over each
+    * row's 60-bit md5 of key:payload). Two independently-produced copies
+    * of a 100 TB export agree iff every shard's (n_rows, sum_bytes,
+    * digest) triple matches — no row ordering, partitioning, or file
+    * layout can flip the answer, and a single corrupted/dropped/duped
+    * row flips the digest. One map-side pass + one n-shard aggregate;
+    * xor is associative+commutative, so partial aggregation combines
+    * map-side like any sum. */
+  def shardManifest(df: DataFrame, key: Column, payload: Column,
+      n: Int): DataFrame =
+    df.select(assign(key, n).as("shard"),
+        call_function("graft_md5_prefix",
+          concat(key.cast("string"), lit(":"), payload.cast("string")),
+          lit(15)).as("h"),
+        octet_length(payload.cast("string")).cast("long").as("bytes"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bytes")).as("sum_bytes"),
+        expr("bit_xor(h)").as("digest"))
 }

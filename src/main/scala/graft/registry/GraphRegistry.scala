@@ -25,6 +25,13 @@ object GraphRegistry {
       TimeSeries.markovTransitions(Tables(s, d, "events"))
         .select(col("event_type").as("src"), col("next_type").as("dst"),
           col("n").as("w")))),
+    // personalized PageRank seeded at 'signup': restart AND dangling
+    // mass return to the seed — relevance-to-seed, not popularity
+    "q_ppr" -> ((s, d) => Graph.personalizedPageRank(
+      TimeSeries.markovTransitions(Tables(s, d, "events"))
+        .select(col("event_type").as("src"), col("next_type").as("dst"),
+          col("n").as("w")),
+      s.range(1).select(lit("signup").as("node")))),
     // triangle census over the skip-gram term graph, degree-ordered
     // orientation (out-degree bounded O(√m) — hub-proof wedge counts)
     "q_triangles" -> ((s, d) =>
@@ -236,6 +243,50 @@ object GraphRegistry {
            |      + d.dmass / nn.n_nodes), 6) AS score
            |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
            |  CROSS JOIN d$i d CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$iters\nSELECT node, score FROM s3"
+    },
+    // same graph CTEs; restart/dangling mass to the seed row only
+    "q_ppr" -> {
+      val base =
+        """WITH seq AS (
+          |  SELECT event_type, lead(event_type, 1) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events),
+          |e AS (
+          |  SELECT event_type AS src, next_type AS dst,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |nodes AS (
+          |  SELECT DISTINCT node FROM (
+          |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          |seeds AS (SELECT node FROM nodes WHERE node = 'signup'),
+          |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+          |trans AS (
+          |  SELECT src, dst, CAST(w AS DOUBLE) / wout AS p
+          |  FROM e JOIN outw USING (src)),
+          |s0 AS (
+          |  SELECT n.node,
+          |    round(CASE WHEN sd.node IS NOT NULL
+          |      THEN 1.0 / ns.n_seeds ELSE 0.0 END, 6) AS score
+          |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+          |  CROSS JOIN ns)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s"""d$i AS (
+           |  SELECT coalesce(sum(score), 0.0) AS dmass FROM s${i - 1}
+           |  WHERE node NOT IN (SELECT src FROM outw)),
+           |c$i AS (
+           |  SELECT t.dst AS node, sum(t.p * s.score) AS c
+           |  FROM trans t JOIN s${i - 1} s ON t.src = s.node GROUP BY 1),
+           |s$i AS (
+           |  SELECT n.node,
+           |    round(0.85 * coalesce(c.c, 0.0) + CASE WHEN sd.node IS NOT NULL
+           |      THEN ((1 - 0.85) + 0.85 * d.dmass) / ns.n_seeds ELSE 0.0 END, 6)
+           |      AS score
+           |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node
+           |  LEFT JOIN seeds sd ON n.node = sd.node
+           |  CROSS JOIN d$i d CROSS JOIN ns)""".stripMargin
       }.mkString(",\n")
       s"$base,\n$iters\nSELECT node, score FROM s3"
     },

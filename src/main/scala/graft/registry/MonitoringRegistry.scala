@@ -99,6 +99,21 @@ object MonitoringRegistry {
     // -- ingestion manifest (S4/S5 shape: F6+F7+L3+K3)
     "q_ingest_manifest" -> ((s, d) =>
       Ingest.plan(manifestUrls(s, d), "spain", ".csv", 14, "airbnb/spain")),
+
+    // content-addressed shard manifest: HRW shard + order-independent
+    // bit_xor digest over each row's 60-bit md5(key:payload) — the
+    // reproducible-shipping certificate (any reorder/corruption flips it)
+    "q_shard_manifest" -> ((s, d) =>
+      Sharding.shardManifest(Tables(s, d, "documents"),
+        col("doc_id"), col("text"), 8)),
+    // Cohen's kappa between event_type and a planted second "rater"
+    // that disagrees on every user_id % 7 == 0 row — chance-corrected
+    // label agreement, exact-integer numerator/denominator
+    "q_cohen_kappa" -> ((s, d) =>
+      Experiment.cohenKappa(Tables(s, d, "events"),
+        col("event_type"),
+        when(col("user_id") % 7 === 0, lit("purchase"))
+          .otherwise(col("event_type")))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,5 +356,50 @@ object MonitoringRegistry {
         |      FROM documents)
         |WHERE position('spain' IN href) > 0 AND href LIKE '%.csv'
         |ORDER BY href LIMIT 14""".stripMargin,
+
+    // same HRW argmax as q_rendezvous, digest = bit_xor over the 60-bit
+    // md5(doc_id:text) prefix ints — order-independence means no ORDER BY
+    // is needed for the hashes to agree across engines
+    "q_shard_manifest" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text, s,
+         |    (${md5PrefixSqlOf("'hrw:' || s || ':' || doc_id", 7)}) AS sc
+         |  FROM documents, (SELECT unnest(range(8)) AS s)),
+         |asg AS (
+         |  SELECT doc_id, text, CAST(s AS INTEGER) AS shard FROM (
+         |    SELECT doc_id, text, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY sc DESC, s) AS rk FROM a)
+         |  WHERE rk = 1),
+         |h AS (
+         |  SELECT shard,
+         |    (${md5PrefixSqlOf("CAST(doc_id AS VARCHAR) || ':' || text", 15)})
+         |      AS h,
+         |    strlen(text) AS bytes -- DuckDB byte length == Spark octet_length
+         |  FROM asg)
+         |SELECT shard, count(*) AS n_rows,
+         |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(bit_xor(h) AS BIGINT) AS digest
+         |FROM h GROUP BY shard""".stripMargin,
+
+    // kappa = (n*agree - SUM na*nb) / (n^2 - SUM na*nb), all-integer
+    // until the one division (HUGEINT covers the n^2 headroom)
+    "q_cohen_kappa" ->
+      """WITH t AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN user_id % 7 = 0 THEN 'purchase' ELSE event_type END AS b
+        |  FROM events),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM t),
+        |pe AS (
+        |  SELECT coalesce(sum(na * nb), 0) AS pe_num FROM
+        |    (SELECT a AS cat, count(*) AS na FROM t GROUP BY 1) x
+        |    JOIN (SELECT b AS cat, count(*) AS nb FROM t GROUP BY 1) y
+        |    USING (cat))
+        |SELECT n, agree,
+        |  round(CAST(n * agree - pe_num AS DOUBLE)
+        |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+        |FROM tot, pe""".stripMargin,
   )
 }

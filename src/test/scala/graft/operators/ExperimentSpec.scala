@@ -128,4 +128,23 @@ class ExperimentSpec extends SparkSpec {
     assert(flat.getAs[Double]("did") == 0.0, flat.toString)
     assert(flat.getAs[Double]("t_stat") == 0.0, flat.toString)
   }
+
+  test("cohenKappa: perfect agreement 1, hand-computed 2x2 fixture, anti-correlated negative") {
+    import spark.implicits._
+    def kappa(rows: Seq[(String, String)]): (Long, Long, Double) = {
+      val r = Experiment.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // identical raters: kappa exactly 1 regardless of marginals
+    assert(kappa(Seq(("x", "x"), ("y", "y"), ("x", "x"))) == ((3L, 3L, 1.0)))
+    // classic 2x2 fixture: n=100, agree=80, na=(60,40), nb=(50,50)
+    // pe_num = 60*50 + 40*50 = 5000; kappa = (8000-5000)/(10000-5000) = 0.6
+    val fix = Seq.fill(45)(("p", "p")) ++ Seq.fill(15)(("p", "n")) ++
+      Seq.fill(5)(("n", "p")) ++ Seq.fill(35)(("n", "n"))
+    assert(kappa(fix) == ((100L, 80L, 0.6)))
+    // perfectly anti-correlated raters on a balanced binary label: -1
+    assert(kappa(Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")))
+      == ((4L, 0L, -1.0)))
+  }
 }

@@ -254,6 +254,29 @@ class GraphSpec extends SparkSpec {
     assert(iso.map(r => r.getString(0) -> r.getInt(1)).toSeq == Seq("zz" -> 0))
   }
 
+  test("personalizedPageRank: mass stays on the seed's reachable set; hand-unrolled scores; conservation") {
+    import spark.implicits._
+    // s -> a -> b (b dangling) plus an unreachable pair x -> y
+    val g = Seq(("s", "a", 1L), ("a", "b", 1L), ("x", "y", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.personalizedPageRank(g, Seq("s").toDF("node"),
+      iterations = 3).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // unreachable-from-seed nodes score EXACTLY 0 (not 1/N-ish)
+    assert(got("x") == 0.0 && got("y") == 0.0, got.toString)
+    // hand unroll (damping 0.85, dangling mass returns to the seed):
+    // it1: s=.15 a=.85 b=0; it2: s=.15 a=.1275 b=.7225
+    // it3: s=.15+.85*.7225=.764125 a=.1275 b=.108375
+    assert(got("s") == 0.764125 && got("a") == 0.1275 && got("b") == 0.108375,
+      got.toString)
+    // walk-with-restart conserves unit mass on the reachable set
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got.values.sum.toString)
+    // two seeds: restart mass splits 1/|S| each
+    val two = Graph.personalizedPageRank(g, Seq("s", "x").toDF("node"),
+      iterations = 1).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(two("s") == 0.075 && two("x") == 0.075, two.toString)
+    assert(two("a") == 0.425 && two("y") == 0.425, two.toString)
+  }
+
   test("adamicAdar: 4-cycle diagonals score 2/ln(2); hub df-cap drops capped wedges") {
     import spark.implicits._
     val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))

@@ -38,4 +38,31 @@ class ShardingSpec extends SparkSpec {
       .select(col("n")).distinct().collect().map(_.getInt(0)).toSet
     assert(landed.subsetOf(Set(8, 9)), landed.toString)
   }
+
+  test("shardManifest: layout-invariant digests; any row mutation/drop/dup flips its shard") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, s"payload-$i")).toDF("k", "p")
+    def manifest(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Long)] =
+      Sharding.shardManifest(df, col("k"), col("p"), 4).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = manifest(rows)
+    assert(base.keySet == Set(0, 1, 2, 3))
+    assert(base.values.map(_._1).sum == 200L)
+    // repartitioned + reversed copy: identical manifest (order-free xor)
+    assert(manifest(rows.orderBy(col("k").desc).repartition(7)) == base)
+    // one mutated payload: that row's shard digest flips, counts intact
+    val mutated = manifest(
+      (1 to 200).map(i => (i.toLong, if (i == 17) "oops" else s"payload-$i"))
+        .toDF("k", "p"))
+    assert(mutated != base)
+    assert(mutated.values.map(_._1).sum == 200L)
+    // a DUPLICATED row: count catches it even though xor self-cancels
+    // only on pairs of identical digests in the same shard
+    val duped = manifest(rows.unionAll(rows.filter(col("k") === 17)))
+    assert(duped.values.map(_._1).sum == 201L)
+    // a dropped row flips its shard's triple
+    val dropped = manifest(rows.filter(col("k") =!= 17))
+    assert(dropped != base)
+  }
 }
