@@ -54,6 +54,17 @@ object LakeRegistry {
       dt.append(base.filter(col("doc_id") % 3 === 2))
       bySource(dt.read(s))
     }),
+    // data skipping: range-clustered write + per-file add.stats; the
+    // read prunes files whose [min,max] envelope misses the predicate
+    // BEFORE any scan — correctness identical to the full filter
+    "q_delta_skipping" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_skip"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "n_chars"))
+      dt.readWhere(s, "doc_id", 100L, 299L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // OPTIMIZE-style compaction: micro-batch files fold into scan-sized
     // ones in a dataChange=false commit — snapshot identical, CDC silent
     "q_delta_compact" -> ((s, d) => {
@@ -87,6 +98,11 @@ object LakeRegistry {
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_checkpoint" -> s"$bySourceSql GROUP BY source",
     "q_delta_compact" -> s"$bySourceSql GROUP BY source",
+    "q_delta_skipping" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY source""".stripMargin,
     "q_delta_partitioned" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -106,6 +106,35 @@ class DeltaSpec extends SparkSpec {
     assert(vals(t.read(spark)) == Set((7L, "q")))
   }
 
+  test("data skipping: stats prune files before the scan; no-stats files conservatively kept") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 100 rows range-clustered into 5 files: k in [0,19], [20,39], ...
+    val rows = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(5, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"${0L}%020d.json")).toArray.mkString
+    assert(log.contains("\"stats\"") && log.contains("numRecords"))
+    val all = t.read(spark)
+    assert(all.inputFiles.length == 5)
+    // a 10-wide range intersects exactly ONE file's [min,max] envelope
+    val pruned = t.readWhere(spark, "k", 25L, 34L)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.length.toString)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (25L to 34L))
+    // append WITHOUT stats: skipping keeps the statless file, stays exact
+    t.append(Seq((27L, "dup27")).toDF("k", "s"))
+    val mixed = t.readWhere(spark, "k", 25L, 34L)
+    assert(mixed.inputFiles.length == 2)
+    assert(mixed.count() == 11)
+    // checkpoint carries stats: post-checkpoint reads still prune down
+    // to one ranged file + the statless appended file (always scanned)
+    t.checkpoint()
+    val post = t.readWhere(spark, "k", 85L, 99L)
+    assert(post.inputFiles.length == 2)
+    assert(post.count() == 15)
+  }
+
   test("loud failure on unsupported reader version and on log gaps") {
     import spark.implicits._
     val t = tmpTable()
