@@ -247,4 +247,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"linkage went all-pairs:\n$p")
     assert(p.contains("levenshtein"), s"verify stage missing:\n$p")
   }
+
+  test("Delta partitioned read keeps partition pruning a scan-level PartitionFilters pushdown") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("deltaplan").toString + "/t"
+    val dt = graft.lake.DeltaTable(root)
+    dt.overwrite((1 to 40).map(i => (i.toLong, s"s$i", s"c${i % 4}"))
+      .toDF("k", "s", "color"), partitionBy = Seq("color"))
+    val df = dt.read(spark).filter(col("color") === "c1")
+    val p = df.queryExecution.executedPlan.toString
+    // the filter must reach the scan's partition dimension — a
+    // post-scan Filter over all partitions re-reads the 100 TB table
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("color"), s"partition filter not pushed:\n$p")
+    // inputFiles reports the pre-prune FileIndex; the scan's own numFiles
+    // metric carries the post-prune count
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val total = dt.read(spark).inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"partition pruning did not reduce scanned files " +
+        s"(${scan.metrics("numFiles").value} of $total)")
+  }
 }
