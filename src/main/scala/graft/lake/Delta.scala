@@ -364,9 +364,34 @@ final case class DeltaTable(root: String) {
       proto.put("minReaderVersion", 1).put("minWriterVersion", 2)
       actions += wrap(mapper, "protocol", proto)
     }
-    if (v == 0L || (removePaths.nonEmpty && dataChange)) {
-      // metaData on create + every overwrite (not on compaction rewrites)
-      actions += wrap(mapper, "metaData", metaNode(mapper, df, partitionBy, now))
+    // Schema evolution, the Delta mergeSchema contract: an append whose
+    // frame adds columns records the MERGED schema in a fresh metaData
+    // action — older files then serve the new columns as nulls (the
+    // parquet reader fills absent footer columns); an append may also
+    // OMIT existing columns (its files serve them as nulls). Type
+    // conflicts fail loudly. Overwrites replace the schema outright.
+    val isOverwrite = removePaths.nonEmpty && dataChange
+    val currentSchema: Option[StructType] =
+      if (v == 0L) None else Some(snapshotAt(Some(v - 1)).schema)
+    val recordedSchema: StructType = currentSchema match {
+      case None => df.schema
+      case Some(_) if isOverwrite => df.schema
+      case Some(current) =>
+        current.foreach { f =>
+          df.schema.find(_.name == f.name).foreach { n =>
+            if (n.dataType != f.dataType) throw new IllegalStateException(
+              s"DeltaTable $root: column ${f.name} type conflict — table " +
+                s"has ${f.dataType.simpleString}, append has " +
+                s"${n.dataType.simpleString}")
+          }
+        }
+        val oldNames = current.fieldNames.toSet
+        StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
+    }
+    val schemaChanged = currentSchema.exists(_.json != recordedSchema.json)
+    if (v == 0L || isOverwrite || schemaChanged) {
+      actions += wrap(mapper, "metaData",
+        metaNode(mapper, recordedSchema, partitionBy, now))
     }
     txn.foreach { case (appId, tv) =>
       val tx = mapper.createObjectNode
@@ -393,13 +418,13 @@ final case class DeltaTable(root: String) {
     v
   }
 
-  private def metaNode(mapper: ObjectMapper, df: DataFrame,
+  private def metaNode(mapper: ObjectMapper, schema: StructType,
       partitionBy: Seq[String], now: Long): ObjectNode = {
     val meta = mapper.createObjectNode
     meta.put("id", java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
     val fmt = meta.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
-    meta.put("schemaString", df.schema.json)
+    meta.put("schemaString", schema.json)
     val pc = meta.putArray("partitionColumns")
     partitionBy.foreach(pc.add)
     meta.putObject("configuration")

@@ -54,6 +54,21 @@ object LakeRegistry {
       dt.append(base.filter(col("doc_id") % 3 === 2))
       bySource(dt.read(s))
     }),
+    // schema evolution: an append ADDS n_chars mid-table; the pre-
+    // evolution files serve it as null and the aggregate proves both
+    // populations (count vs count(col)) through the merged metaData
+    "q_delta_evolution" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_evo"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source")))
+      dt.append(base.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars")))
+      dt.read(s).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
     // data skipping: range-clustered write + per-file add.stats; the
     // read prunes files whose [min,max] envelope misses the predicate
     // BEFORE any scan — correctness identical to the full filter
@@ -98,6 +113,12 @@ object LakeRegistry {
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_checkpoint" -> s"$bySourceSql GROUP BY source",
     "q_delta_compact" -> s"$bySourceSql GROUP BY source",
+    "q_delta_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q_delta_skipping" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -135,6 +135,29 @@ class DeltaSpec extends SparkSpec {
     assert(post.count() == 15)
   }
 
+  test("schema evolution: appends merge new columns; old files serve them as null; types conflict loudly") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    // append ADDS a column: merged metaData, old rows read null
+    t.append(Seq((2L, "b", 7.5)).toDF("k", "s", "score"))
+    val full = t.read(spark)
+    assert(full.columns.toSeq == Seq("k", "s", "score"))
+    val byK = full.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byK == Map(1L -> None, 2L -> Some(7.5)))
+    // append that OMITS a column: its rows serve the omission as null
+    t.append(Seq((3L, 9.9)).toDF("k", "score"))
+    val omit = t.read(spark).filter("k = 3").collect()(0)
+    assert(omit.isNullAt(1) && omit.getDouble(2) == 9.9)
+    // time travel BEFORE the evolution keeps the 2-column schema
+    assert(t.read(spark, Some(0L)).columns.toSeq == Seq("k", "s"))
+    // type conflict is corruption, not coercion
+    val e = intercept[IllegalStateException](
+      t.append(Seq((4L, 5)).toDF("k", "score")))
+    assert(e.getMessage.contains("type conflict"))
+  }
+
   test("loud failure on unsupported reader version and on log gaps") {
     import spark.implicits._
     val t = tmpTable()
