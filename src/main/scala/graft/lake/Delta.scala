@@ -495,6 +495,58 @@ final case class DeltaTable(root: String) {
     snap.version
   }
 
+  /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
+    * model: only files whose stats envelope for `keyCol` intersects the
+    * source's [min, max] key range (plus statless files, conservatively)
+    * are REWRITTEN; every other live file is untouched — on a
+    * range-clustered 100 TB table an upsert of one day's keys rewrites
+    * one day's files, not the table. The rewrite replaces matched rows
+    * with the source's and appends unmatched source rows; the whole
+    * merge is ONE atomic commit (removes for the candidate files, adds
+    * for their rewrite + the new rows), so readers see the old or the
+    * new snapshot, never a half-merge. Source schema must match the
+    * table's (use append for evolving merges). */
+  def merge(source: DataFrame, keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val spark = source.sparkSession
+    val snap = snapshotAt(None)
+    require(source.columns.toSeq == snap.schema.fieldNames.toSeq,
+      s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
+        s"!= table ${snap.schema.fieldNames.toSeq}")
+    val keyed = source.localCheckpoint(false)
+    val Array(lo, hi) = keyed.agg(fmin(col(keyCol)), fmax(col(keyCol)))
+      .collect()(0).toSeq.toArray
+    if (lo == null) return snap.version // empty source: no-op
+    val mapper = new ObjectMapper
+    def cmp(stat: JsonNode, bound: Any): Int = bound match {
+      case n: Number if stat.isNumber =>
+        java.lang.Double.compare(stat.asDouble, n.doubleValue)
+      case _ => stat.asText.compareTo(bound.toString)
+    }
+    def candidate(f: AddFile): Boolean = f.statsJson.forall { s =>
+      val node = mapper.readTree(s)
+      def bound(kind: String): Option[JsonNode] =
+        Option(node.get(kind)).flatMap(m => Option(m.get(keyCol)))
+          .filterNot(_.isNull)
+      (bound("minValues"), bound("maxValues")) match {
+        case (Some(mn), Some(mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        case _ => true
+      }
+    }
+    val cand = snap.files.filter(candidate)
+    val existing = readFiles(spark, snap.schema, snap.partitionColumns,
+      cand.map(_.path))
+    // matched rows take the source version; unmatched keep their row.
+    // Rows in UNTOUCHED files cannot match: the key envelope proved it.
+    val rewritten = existing
+      .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(keyed)
+      .select(snap.schema.fieldNames.map(col): _*)
+    commit(rewritten, snap.partitionColumns, cand.map(_.path), "MERGE",
+      Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
+      statsFor = Seq(keyCol))
+  }
+
   /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
     * `add.stats` [min, max] envelope for `column` intersects [lo, hi]
     * are scanned (files without stats are conservatively kept, so the

@@ -31,7 +31,11 @@ object Graph {
       .unionByName(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint(false)
     val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    // materialized once: the per-iteration dangling-mass anti-join probes
+    // outw, and an unpinned plan would re-derive the full edge relation
+    // (a corpus-sized window for the event-transition graph) every sweep
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint(false)
     val trans = edges.join(outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout")).as("p"))
@@ -79,7 +83,11 @@ object Graph {
     val seedSet = nodes.join(
       seeds.select(col("node")).distinct(), Seq("node")).localCheckpoint(false)
     val sRow = seedSet.agg(count(lit(1)).as("n_seeds"))
+    // materialized once: the per-iteration dangling-mass anti-join probes
+    // outw, and an unpinned plan would re-derive the full edge relation
+    // (a corpus-sized window for the event-transition graph) every sweep
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint(false)
     val trans = edges.join(outw, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wout")).as("p"))

@@ -54,6 +54,18 @@ object LakeRegistry {
       dt.append(base.filter(col("doc_id") % 3 === 2))
       bySource(dt.read(s))
     }),
+    // file-pruned MERGE: upsert by key in one atomic commit — matched
+    // rows take the source version; only key-envelope-candidate files
+    // rewrite (spec proves the pruning; this oracles the semantics)
+    "q_delta_merge" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_mrg"))
+      val base = docs(s, d)
+      dt.overwrite(base.repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.merge(base.filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      bySource(dt.read(s))
+    }),
     // schema evolution: an append ADDS n_chars mid-table; the pre-
     // evolution files serve it as null and the aggregate proves both
     // populations (count vs count(col)) through the merged metaData
@@ -113,6 +125,12 @@ object LakeRegistry {
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_checkpoint" -> s"$bySourceSql GROUP BY source",
     "q_delta_compact" -> s"$bySourceSql GROUP BY source",
+    "q_delta_merge" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 10 = 3 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     "q_delta_evolution" ->
       """SELECT source, count(*) AS n_docs,
         |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,

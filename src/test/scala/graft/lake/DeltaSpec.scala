@@ -135,6 +135,32 @@ class DeltaSpec extends SparkSpec {
     assert(post.count() == 15)
   }
 
+  test("merge: upsert rewrites only the files whose key envelope matches; one atomic commit") {
+    import spark.implicits._
+    val t = tmpTable()
+    val rows = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(5, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    val before = t.read(spark).inputFiles.toSet
+    assert(before.size == 5)
+    // update keys 25..29: the key envelope [25, 29] hits exactly one of
+    // the five range-clustered files
+    val src = (25 until 30).map(i => (i.toLong, s"UP$i")).toDF("k", "s")
+    val v = t.merge(src, "k")
+    val after = t.read(spark)
+    // untouched files survive by identity; exactly one was rewritten
+    val shared = after.inputFiles.toSet.intersect(before)
+    assert(shared.size == 4, s"expected 4 untouched files, got ${shared.size}")
+    val got = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100)
+    assert((25 until 30).forall(i => got(i.toLong) == s"UP$i"))
+    assert(got(24L) == "r24" && got(30L) == "r30")
+    // an out-of-range insert lands via the same commit when included
+    t.merge(Seq((200L, "NEW200")).toDF("k", "s"), "k")
+    assert(t.read(spark).count() == 101)
+    assert(v >= 1L)
+  }
+
   test("schema evolution: appends merge new columns; old files serve them as null; types conflict loudly") {
     import spark.implicits._
     val t = tmpTable()
