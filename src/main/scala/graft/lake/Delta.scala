@@ -495,6 +495,149 @@ final case class DeltaTable(root: String) {
     snap.version
   }
 
+  // ---- stats-envelope pruning (shared by merge/readWhere/delete) -------
+
+  /** Stats comparison: numbers numerically, everything else lexically
+    * (the md5-free subset of Delta's typed stats). */
+  private def cmpStat(stat: JsonNode, bound: Any): Int = bound match {
+    case n: Number if stat.isNumber =>
+      java.lang.Double.compare(stat.asDouble, n.doubleValue)
+    case _ => stat.asText.compareTo(bound.toString)
+  }
+
+  private def statBounds(mapper: ObjectMapper, f: AddFile,
+      column: String): Option[(JsonNode, JsonNode)] =
+    f.statsJson.flatMap { s =>
+      val node = mapper.readTree(s)
+      def bound(kind: String): Option[JsonNode] =
+        Option(node.get(kind)).flatMap(m => Option(m.get(column)))
+          .filterNot(_.isNull)
+      bound("minValues").zip(bound("maxValues"))
+    }
+
+  /** Envelope may intersect [lo, hi] — statless files conservatively
+    * TRUE (must scan), so pruning never loses rows. */
+  private def mayIntersect(mapper: ObjectMapper, f: AddFile, column: String,
+      lo: Any, hi: Any): Boolean =
+    statBounds(mapper, f, column) match {
+      case Some((mn, mx)) => cmpStat(mx, lo) >= 0 && cmpStat(mn, hi) <= 0
+      case None => true
+    }
+
+  /** Envelope provably inside [lo, hi] — statless files conservatively
+    * FALSE (cannot prove containment without stats). */
+  private def containedIn(mapper: ObjectMapper, f: AddFile, column: String,
+      lo: Any, hi: Any): Boolean =
+    statBounds(mapper, f, column) match {
+      case Some((mn, mx)) => cmpStat(mn, lo) >= 0 && cmpStat(mx, hi) <= 0
+      case None => false
+    }
+
+  /** File-pruned DELETE of rows with `column` in [lo, hi] — the Delta
+    * DELETE cost model on the stats index, three file classes in ONE
+    * atomic commit:
+    *   - envelope MISSES the range → untouched (never opened);
+    *   - envelope provably INSIDE the range → remove-only action — no
+    *     read, no rewrite: deleting one day from a day-clustered 100 TB
+    *     table is pure metadata;
+    *   - boundary files → read, matching rows filtered out, survivors
+    *     rewritten (with fresh stats, so the skipping index stays live).
+    * Rows whose `column` is NULL never match a range predicate and are
+    * kept, per SQL semantics. Statless files are conservatively treated
+    * as boundary files — always exact, never fast-dropped. */
+  def delete(column: String, lo: Any, hi: Any): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkSession.active
+    val snap = snapshotAt(None)
+    val mapper = new ObjectMapper
+    val cand = snap.files.filter(f => mayIntersect(mapper, f, column, lo, hi))
+    if (cand.isEmpty) return snap.version
+    val (whole, partial) = cand.partition(f =>
+      containedIn(mapper, f, column, lo, hi))
+    val survivors = readFiles(spark, snap.schema, snap.partitionColumns,
+        partial.map(_.path))
+      .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
+    commit(survivors, snap.partitionColumns, cand.map(_.path), "DELETE",
+      Map("predicate" -> s"$column BETWEEN $lo AND $hi",
+        "wholeFilesDropped" -> whole.size.toString),
+      statsFor = Seq(column))
+  }
+
+  /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
+    * command): removes files added since the target snapshot and
+    * re-adds the target's files that are no longer live — pure
+    * metadata, no data rewrite. The target's files must still exist on
+    * disk (a vacuumed-out snapshot fails LOUDLY up front, never
+    * half-restores). History is preserved: the restore is itself a
+    * commit, so time travel to the intermediate versions still works,
+    * and a second restore can undo the first. Re-added files keep
+    * their stats, so data skipping survives the round trip. */
+  def restore(version: Long): Long = {
+    val target = snapshotAt(Some(version))
+    val cur = snapshotAt(None)
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = target.files.map(_.path).toSet
+    val absRoot = Paths.get(root).toAbsolutePath
+    val missing = target.files.filterNot(f => Files.exists(absRoot.resolve(f.path)))
+    require(missing.isEmpty,
+      s"DeltaTable $root: restore to v$version needs vacuumed-out files: " +
+        missing.map(_.path).mkString(", "))
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    val actions = mutable.ArrayBuffer.empty[String]
+    val ci = mapper.createObjectNode
+    ci.put("timestamp", now).put("operation", "RESTORE")
+    ci.putObject("operationParameters").put("version", version.toString)
+    actions += wrap(mapper, "commitInfo", ci)
+    if (target.schema.json != cur.schema.json ||
+        target.partitionColumns != cur.partitionColumns)
+      actions += wrap(mapper, "metaData",
+        metaNode(mapper, target.schema, target.partitionColumns, now))
+    cur.files.filterNot(f => tgtPaths(f.path)).foreach { f =>
+      val rm = mapper.createObjectNode
+      rm.put("path", f.path).put("deletionTimestamp", now).put("dataChange", true)
+      actions += wrap(mapper, "remove", rm)
+    }
+    target.files.filterNot(f => curPaths(f.path)).foreach { f =>
+      val add = mapper.createObjectNode
+      add.put("path", f.path)
+      val pvNode = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
+      add.put("size", Files.size(absRoot.resolve(f.path)))
+        .put("modificationTime", now).put("dataChange", true)
+      f.statsJson.foreach(s => add.put("stats", s))
+      actions += wrap(mapper, "add", add)
+    }
+    val v = cur.version + 1
+    publish(v, actions.toSeq)
+    v
+  }
+
+  /** OPTIMIZE ZORDER BY — rewrite the live file set along the Morton
+    * curve of `(dimA, dimB)` ([[ZOrder.withZValue]]) in a
+    * `dataChange=false` commit with fresh per-file stats on BOTH dims:
+    * each output file owns one contiguous curve segment, i.e. a bounded
+    * RECTANGLE of (A, B) space in its stats envelope, so [[readWhere]]
+    * prunes selective filters on EITHER dimension (a plain range sort
+    * prunes only its one column). Snapshot is bit-identical — CDC
+    * consumers skip the rewrite like any OPTIMIZE. */
+  def optimizeZOrder(dimA: String, dimB: String, bits: Int = 12,
+      numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSession.active
+    val snap = snapshotAt(None)
+    require(snap.partitionColumns.isEmpty,
+      s"DeltaTable $root: z-order within Hive partitions not supported — " +
+        "compact per partition instead")
+    val zordered = ZOrder.withZValue(read(spark), dimA, dimB, bits)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+    commit(zordered, Nil, snap.files.map(_.path), "OPTIMIZE",
+      Map("zOrderBy" -> s"""["$dimA","$dimB"]"""), dataChange = false,
+      statsFor = Seq(dimA, dimB))
+  }
+
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
     * model: only files whose stats envelope for `keyCol` intersects the
     * source's [min, max] key range (plus statless files, conservatively)
@@ -518,22 +661,7 @@ final case class DeltaTable(root: String) {
       .collect()(0).toSeq.toArray
     if (lo == null) return snap.version // empty source: no-op
     val mapper = new ObjectMapper
-    def cmp(stat: JsonNode, bound: Any): Int = bound match {
-      case n: Number if stat.isNumber =>
-        java.lang.Double.compare(stat.asDouble, n.doubleValue)
-      case _ => stat.asText.compareTo(bound.toString)
-    }
-    def candidate(f: AddFile): Boolean = f.statsJson.forall { s =>
-      val node = mapper.readTree(s)
-      def bound(kind: String): Option[JsonNode] =
-        Option(node.get(kind)).flatMap(m => Option(m.get(keyCol)))
-          .filterNot(_.isNull)
-      (bound("minValues"), bound("maxValues")) match {
-        case (Some(mn), Some(mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
-        case _ => true
-      }
-    }
-    val cand = snap.files.filter(candidate)
+    val cand = snap.files.filter(f => mayIntersect(mapper, f, keyCol, lo, hi))
     val existing = readFiles(spark, snap.schema, snap.partitionColumns,
       cand.map(_.path))
     // matched rows take the source version; unmatched keep their row.
@@ -561,22 +689,8 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = snapshotAt(version)
     val mapper = new ObjectMapper
-    def cmp(stat: JsonNode, bound: Any): Int = bound match {
-      case n: Number if stat.isNumber =>
-        java.lang.Double.compare(stat.asDouble, n.doubleValue)
-      case _ => stat.asText.compareTo(bound.toString)
-    }
-    def mayMatch(f: AddFile): Boolean = f.statsJson.forall { s =>
-      val node = mapper.readTree(s)
-      def bound(kind: String): Option[JsonNode] =
-        Option(node.get(kind)).flatMap(m => Option(m.get(column)))
-          .filterNot(_.isNull)
-      (bound("minValues"), bound("maxValues")) match {
-        case (Some(mn), Some(mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
-        case _ => true // no stats for this column: must scan
-      }
-    }
-    val survivors = snap.files.filter(mayMatch)
+    val survivors = snap.files.filter(f =>
+      mayIntersect(mapper, f, column, lo, hi))
     readFiles(spark, snap.schema, snap.partitionColumns,
         survivors.map(_.path))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))

@@ -102,6 +102,39 @@ object LakeRegistry {
       dt.compact()
       bySource(dt.read(s))
     }),
+    // file-pruned DELETE: whole-file drops are remove-only metadata,
+    // boundary files rewrite without the matching rows (spec proves the
+    // three file classes; this oracles the row semantics end-to-end)
+    "q_delta_delete" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_del"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.delete("doc_id", 100L, 299L)
+      bySource(dt.read(s))
+    }),
+    // RESTORE: metadata-only rollback — overwrite on top of v0, restore
+    // v0; the read must equal the ORIGINAL snapshot (re-added files,
+    // removed overwrite files), with history intact
+    "q_delta_restore" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_rst"))
+      val base = docs(s, d)
+      val v0 = dt.overwrite(base.filter(col("doc_id") % 3 === 0))
+      dt.overwrite(base.filter(col("doc_id") % 3 === 1))
+      dt.restore(v0)
+      bySource(dt.read(s))
+    }),
+    // OPTIMIZE ZORDER BY: Morton-curve rewrite with two-dim stats; the
+    // stats-pruned read then filters on the SECOND dim — pruning a
+    // doc_id range sort could never serve — and must equal the filter
+    "q_delta_zorder" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_zo"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.optimizeZOrder("doc_id", "n_chars", bits = 10, numFiles = 8)
+      dt.readWhere(s, "n_chars", 150L, 250L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -141,6 +174,15 @@ object LakeRegistry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY source""".stripMargin,
+    "q_delta_delete" ->
+      s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
+    "q_delta_restore" ->
+      s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
+    "q_delta_zorder" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 150 AND 250
         |GROUP BY source""".stripMargin,
     "q_delta_partitioned" ->
       """SELECT source, lang, count(*) AS n_docs,

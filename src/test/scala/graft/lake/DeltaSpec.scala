@@ -202,6 +202,86 @@ class DeltaSpec extends SparkSpec {
     intercept[IllegalArgumentException](t2.read(spark))
   }
 
+  test("delete: whole-file drops are remove-only; boundary files rewrite; misses untouched; nulls survive") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 5 appends of one file each with EXACT known key ranges [20b, 20b+19]
+    (0 until 5).foreach { b =>
+      t.append((b * 20 until (b + 1) * 20).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "s").coalesce(1), statsFor = Seq("k"))
+    }
+    val before = t.read(spark).inputFiles.toSet
+    assert(before.size == 5)
+    // delete [15, 39]: file [20,39] is provably inside -> remove-only;
+    // file [0,19] is a boundary -> rewritten; the other three untouched
+    val v = t.delete("k", 15L, 39L)
+    val after = t.read(spark)
+    assert(after.collect().map(_.getLong(0)).toSet ==
+      ((0L to 14L) ++ (40L to 99L)).toSet)
+    val shared = after.inputFiles.toSet.intersect(before)
+    assert(shared.size == 3, s"expected 3 untouched files, got ${shared.size}")
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(log.contains("\"wholeFilesDropped\":\"1\""))
+    assert(log.split("\"remove\"").length - 1 == 2) // whole + boundary
+    assert(log.split("\"add\"").length - 1 == 1)    // boundary rewrite only
+    // NULL keys never match a range predicate: the row survives
+    val tn = tmpTable()
+    tn.overwrite(Seq((Option.empty[Long], "keep"), (Some(5L), "gone"))
+      .toDF("k", "s"), statsFor = Seq("k"))
+    tn.delete("k", 0L, 10L)
+    assert(tn.read(spark).collect().map(_.getString(1)).toSeq == Seq("keep"))
+  }
+
+  test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
+    import spark.implicits._
+    val t = tmpTable()
+    val v0 = t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      statsFor = Seq("k"))
+    val files0 = t.read(spark).inputFiles.toSet
+    t.overwrite(Seq((9L, "z")).toDF("k", "s"))
+    val vr = t.restore(v0)
+    assert(vr == 2L)
+    assert(vals(t.read(spark)) == Set((1L, "a"), (2L, "b")))
+    // the restored snapshot serves the ORIGINAL files — no data rewrite
+    assert(t.read(spark).inputFiles.toSet == files0)
+    // history is preserved: the overwritten intermediate still reads
+    assert(vals(t.read(spark, Some(1L))) == Set((9L, "z")))
+    // stats ride the re-add: skipping still prunes post-restore
+    assert(t.readWhere(spark, "k", 1L, 1L).count() == 1)
+    // a vacuumed-out target refuses loudly instead of half-restoring
+    t.overwrite(Seq((7L, "q")).toDF("k", "s"))
+    t.vacuum(1)
+    intercept[IllegalArgumentException](t.restore(v0))
+  }
+
+  test("optimize zorder: curve rewrite prunes EITHER dim; snapshot identical; CDC silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t = tmpTable()
+    // independent 32x32 dims: b-range-sorted files span a's full width
+    val rows = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32, i.toLong))
+      .toDF("a", "b", "v")
+    t.overwrite(rows.repartitionByRange(8, col("b")), statsFor = Seq("a", "b"))
+    assert(t.readWhere(spark, "a", 3L, 4L).inputFiles.length == 8) // no pruning
+    val vz = t.optimizeZOrder("a", "b", bits = 5, numFiles = 8)
+    assert(t.read(spark).count() == 1024)
+    assert(t.read(spark).agg(fsum("v")).head.getLong(0) == (0 until 1024).map(_.toLong).sum)
+    // each file now owns a RECTANGLE of (a, b) space: both dims prune
+    val pa = t.readWhere(spark, "a", 3L, 4L)
+    val pb = t.readWhere(spark, "b", 3L, 4L)
+    assert(pa.inputFiles.length < 8 && pb.inputFiles.length < 8,
+      s"a=${pa.inputFiles.length} b=${pb.inputFiles.length}")
+    assert(pa.count() == 64 && pb.count() == 64)
+    // dataChange=false: the CDC feed over the OPTIMIZE commit is empty
+    assert(t.changes(spark, vz - 1, vz).count() == 0)
+    // Hive-partitioned tables refuse (z-order within partitions unsupported)
+    val tp = tmpTable()
+    tp.overwrite(Seq((1L, "x", "red")).toDF("k", "s", "color"),
+      partitionBy = Seq("color"))
+    intercept[IllegalArgumentException](tp.optimizeZOrder("k", "k"))
+  }
+
   test("concurrent commit of the same version loses loudly (atomic publish)") {
     import spark.implicits._
     val t = tmpTable()
