@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, get_json_object, lit, map, replace => freplace, struct, url_decode, url_encode}
 import org.apache.spark.sql.types._
 
 /** Delta Lake TRANSACTION-LOG interop — reads and writes the actual
@@ -18,9 +19,9 @@ import org.apache.spark.sql.types._
   * protocol with its own manifest format) deliberately left open.
   *
   * Reference surface: the reference lake
-  * (`ingestion-datalake-listings.py:60-107`) lands plain files in ADLS
-  * containers; this is the north-star upgrade — an ACID table format a
-  * 100 TB training-data lake actually needs for concurrent
+  * (`ingestion-datalake.py:108-125`, the blob PUT) lands plain files in
+  * ADLS containers; this is the north-star upgrade — an ACID table
+  * format a 100 TB training-data lake actually needs for concurrent
   * ingest/compact/curate.
   *
   * Protocol subset (all public knowledge, delta.io PROTOCOL.md):
@@ -39,13 +40,31 @@ import org.apache.spark.sql.types._
   *     reads recover partition columns from the directory layout
   *     (`basePath`), then cast to the `schemaString` types, so
   *     partition pruning stays a PartitionFilters push-down.
+  *   - add/remove paths are RFC-2396-style percent-encoded relative
+  *     URIs, encoded on EVERY emission (commit, restore, checkpoint)
+  *     and decoded on every replay, so a partition value Spark escapes
+  *     in directory names (`%`, `:`) round-trips, and foreign Delta
+  *     readers see the encoding the protocol prescribes.
   *
-  * Scale shape: the active-file SET is reconstructed driver-side (a
-  * HashMap keyed by path — the delta-standalone design; bounded by
-  * FILE count, not rows, and the JSON tail is bounded by the
-  * checkpoint interval). The DATA plane is one multi-path parquet
-  * scan — predicate/partition pruning intact. Checkpointing compacts
-  * the log so replay cost never grows with table age.
+  * Scale shape (the round-12 distributed metadata plane): the file
+  * census is NEVER materialized unpruned on the driver. Snapshot
+  * metadata (schema, partition columns, txn water-marks, protocol) is
+  * recovered from column-pruned sub-selects of the checkpoint parquet
+  * plus the JSON tail — both bounded by the checkpoint interval, not
+  * the table. The file census itself stays a DataFrame
+  * ([[fileCensus]]): checkpoint `add` rows ride a columnar scan, the
+  * tail's adds/removes overlay as a broadcast anti-join, and the
+  * stats-envelope comparison of [[readWhere]]/[[merge]]/[[delete]] is
+  * pushed down as a Spark filter over the census so the driver collects
+  * ONLY the surviving files — O(prune survivors), which is the ratio
+  * the skipping index exists to exploit. Full-table scans ([[read]])
+  * collect live PATHS only (no stats JSON), the minimum any multi-path
+  * scan API needs. The DATA plane is one multi-path parquet scan —
+  * predicate/partition pruning intact. Checkpointing compacts the log
+  * so replay cost never grows with table age, and the checkpoint
+  * itself is WRITTEN distributed: census rows flow from the old
+  * checkpoint scan through an executor task into the new one without
+  * ever landing on the driver.
   *
   * Commit publish is the same atomic same-FS `createLink` as
   * [[TxTable.publish]]: two racing writers of version v cannot both
@@ -74,15 +93,31 @@ final case class DeltaTable(root: String) {
   /** Highest committed version, if any. */
   def latestVersion: Option[Long] = listLog(".json").lastOption.map(_._1)
 
-  // ---- snapshot reconstruction ----------------------------------------
+  // ---- snapshot reconstruction (metadata plane) ------------------------
 
-  private final case class AddFile(path: String, partitionValues: Map[String, String],
-      statsJson: Option[String] = None)
-  private final case class Snapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[AddFile],
-      txns: Map[String, Long])
+  private[lake] final case class AddFile(path: String,
+      partitionValues: Map[String, String], size: Long,
+      modificationTime: Long, statsJson: Option[String],
+      tags: Map[String, String])
 
-  private def snapshotAt(version: Option[Long]): Snapshot = {
+  /** Tail overlay on top of the checkpoint: `adds` is the tail's final
+    * live set (last action per path wins, applied driver-side — the
+    * tail is bounded by the checkpoint interval), `masked` is every
+    * path the tail touched (its checkpoint row, if any, is stale),
+    * `tombstones` maps paths removed in the tail (and not re-added) to
+    * their deletionTimestamp — carried into the next checkpoint as
+    * protocol `remove` tombstone rows. */
+  private final case class Tail(adds: Seq[AddFile], masked: Set[String],
+      tombstones: Map[String, Long])
+
+  /** Everything about a snapshot EXCEPT the unbounded file census:
+    * schema/partitioning/txn metadata plus the (checkpoint, tail)
+    * recipe [[fileCensus]] turns into a DataFrame. */
+  private final case class LogState(version: Long, schema: StructType,
+      partitionColumns: Seq[String], txns: Map[String, Long],
+      checkpointFile: Option[Path], tail: Tail)
+
+  private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
       s"DeltaTable $root: no _delta_log commits"))
     val target = version.getOrElse(latest)
@@ -90,17 +125,15 @@ final case class DeltaTable(root: String) {
       s"DeltaTable $root: version $target > latest $latest")
 
     val cp = listLog(".checkpoint.parquet").filter(_._1 <= target).lastOption
-    val active = mutable.LinkedHashMap.empty[String, AddFile]
     val txns = mutable.HashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1
 
     cp.foreach { case (_, p) =>
-      // The checkpoint is parquet — the unbounded part of the log rides
-      // the columnar scan; only (path, partitionValues) land on the
-      // driver, one row per LIVE file.
-      val spark = SparkSession.active
+      // Column-pruned control-row reads: metaData/protocol/txn are a
+      // handful of rows; the (possibly 10^7-row) add census is NEVER
+      // collected here — it stays behind the [[fileCensus]] DataFrame.
       val df = spark.read.parquet(p.toString)
       val cols = df.schema.fieldNames.toSet
       if (cols.contains("protocol"))
@@ -112,24 +145,6 @@ final case class DeltaTable(root: String) {
             if (!r.isNullAt(0)) schemaJson = Some(r.getString(0))
             if (!r.isNullAt(1)) partCols = r.getSeq[String](1)
           }
-      if (cols.contains("add")) {
-        val addCols = df.schema("add").dataType
-          .asInstanceOf[StructType].fieldNames.toSet
-        val statsSel =
-          if (addCols.contains("stats")) df.col("add.stats")
-          else org.apache.spark.sql.functions.lit(null).cast(StringType)
-        df.select(df.col("add.path"), df.col("add.partitionValues"),
-            statsSel.as("stats")).na.drop("all").collect()
-          .foreach { r =>
-            if (!r.isNullAt(0)) {
-              val path = decodePath(r.getString(0))
-              val pv = if (r.isNullAt(1)) Map.empty[String, String]
-                       else r.getMap[String, String](1).toMap
-              val st = if (r.isNullAt(2)) None else Some(r.getString(2))
-              active(path) = AddFile(path, pv, st)
-            }
-          }
-      }
       if (cols.contains("txn"))
         df.select("txn.appId", "txn.version").na.drop("all").collect()
           .foreach { r =>
@@ -137,8 +152,6 @@ final case class DeltaTable(root: String) {
               txns(r.getString(0)) = math.max(
                 txns.getOrElse(r.getString(0), Long.MinValue), r.getLong(1))
           }
-      // checkpoint `remove` rows are expired tombstones — by protocol
-      // they are NOT part of the live set; nothing to replay.
     }
 
     val from = cp.map(_._1 + 1).getOrElse(0L)
@@ -147,6 +160,9 @@ final case class DeltaTable(root: String) {
       s"DeltaTable $root: log gap — need versions $from..$target, " +
         s"have ${commits.map(_._1).mkString(",")}")
 
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    val masked = mutable.HashSet.empty[String]
+    val tombstones = mutable.HashMap.empty[String, Long]
     val mapper = new ObjectMapper
     commits.foreach { case (_, p) =>
       Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
@@ -166,12 +182,24 @@ final case class DeltaTable(root: String) {
         }
         if (add != null && add.hasNonNull("path")) {
           val path = decodePath(add.get("path").asText)
+          def lng(k: String): Long =
+            if (add.hasNonNull(k)) add.get(k).asLong else 0L
           val st = if (add.hasNonNull("stats")) Some(add.get("stats").asText)
                    else None
-          active(path) = AddFile(path, partitionValuesOf(add), st)
+          active(path) = AddFile(path, mapOf(add, "partitionValues"),
+            lng("size"), lng("modificationTime"), st, mapOf(add, "tags"))
+          masked += path
+          tombstones.remove(path)
         }
-        if (remove != null && remove.hasNonNull("path"))
-          active.remove(decodePath(remove.get("path").asText))
+        if (remove != null && remove.hasNonNull("path")) {
+          val path = decodePath(remove.get("path").asText)
+          active.remove(path)
+          masked += path
+          tombstones(path) =
+            if (remove.hasNonNull("deletionTimestamp"))
+              remove.get("deletionTimestamp").asLong
+            else System.currentTimeMillis
+        }
         val txn = node.get("txn")
         if (txn != null && txn.hasNonNull("appId") && txn.hasNonNull("version")) {
           val app = txn.get("appId").asText
@@ -188,7 +216,8 @@ final case class DeltaTable(root: String) {
     val schema = schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"DeltaTable $root: no metaData action found up to v$target"))
-    Snapshot(target, schema, partCols, active.values.toSeq, txns.toMap)
+    LogState(target, schema, partCols, txns.toMap, cp.map(_._2),
+      Tail(active.values.toSeq, masked.toSet, tombstones.toMap))
   }
 
   /** Highest committed `txn` version for a writer appId (the protocol's
@@ -196,26 +225,152 @@ final case class DeltaTable(root: String) {
     * (or the table is empty). */
   def txnVersion(appId: String): Option[Long] =
     if (latestVersion.isEmpty) None
-    else snapshotAt(None).txns.get(appId)
+    else logState(SparkSession.active, None).txns.get(appId)
 
-  private def partitionValuesOf(add: JsonNode): Map[String, String] = {
-    val pv = add.get("partitionValues")
-    if (pv == null || pv.isNull) Map.empty
-    else pv.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  private def mapOf(node: JsonNode, field: String): Map[String, String] = {
+    val m = node.get(field)
+    if (m == null || m.isNull) Map.empty
+    else m.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
   }
+
+  // ---- the file census as a DataFrame ----------------------------------
+
+  /** The snapshot's live-file census as a DataFrame
+    * (path, partitionValues, size, modificationTime, stats, tags) —
+    * checkpoint add rows ride a columnar parquet scan (paths decoded by
+    * native SQL `url_decode`, never a UDF), the tail's touched paths are
+    * masked out via a broadcast anti-join (the tail is bounded by the
+    * checkpoint interval), and the tail's own final adds overlay on
+    * top. NOTHING here lands on the driver: callers filter first and
+    * collect survivors. */
+  private def fileCensus(spark: SparkSession, st: LogState): DataFrame = {
+    val tailDF = spark.createDataFrame(
+      st.tail.adds.map(f => Row(f.path, f.partitionValues, f.size,
+        f.modificationTime, f.statsJson.orNull, f.tags)).asJava, censusSchema)
+    st.checkpointFile match {
+      case None => tailDF
+      case Some(p) =>
+        val df = spark.read.parquet(p.toString)
+        val cpDF = df.schema.find(_.name == "add").map(_.dataType) match {
+          case Some(at: StructType) =>
+            val names = at.fieldNames.toSet
+            def fld(n: String, dt: DataType): Column =
+              if (names(n)) col(s"add.$n").cast(dt) else lit(null).cast(dt)
+            df.where(col("add").isNotNull && col("add.path").isNotNull)
+              .select(
+                sqlDecodePath(col("add.path")).as("path"),
+                coalesce(fld("partitionValues", MapType(StringType, StringType)),
+                  map().cast(MapType(StringType, StringType)))
+                  .as("partitionValues"),
+                coalesce(fld("size", LongType), lit(0L)).as("size"),
+                coalesce(fld("modificationTime", LongType), lit(0L))
+                  .as("modificationTime"),
+                fld("stats", StringType).as("stats"),
+                fld("tags", MapType(StringType, StringType)).as("tags"))
+          case _ =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], censusSchema)
+        }
+        val base =
+          if (st.tail.masked.isEmpty) cpDF
+          else cpDF.join(broadcast(spark.createDataFrame(
+            st.tail.masked.toSeq.sorted.map(Row(_)).asJava,
+            StructType(Seq(StructField("path", StringType))))),
+            Seq("path"), "left_anti")
+        base.select(censusSchema.fieldNames.map(col): _*).unionByName(tailDF)
+    }
+  }
+
+  private def rowToAdd(r: Row): AddFile = AddFile(
+    r.getString(0),
+    if (r.isNullAt(1)) Map.empty else r.getMap[String, String](1).toMap,
+    if (r.isNullAt(2)) 0L else r.getLong(2),
+    if (r.isNullAt(3)) 0L else r.getLong(3),
+    if (r.isNullAt(4)) None else Some(r.getString(4)),
+    if (r.isNullAt(5)) Map.empty else r.getMap[String, String](5).toMap)
+
+  /** Collect a (pre-filtered!) census frame to AddFiles — every caller
+    * is responsible for pruning first; the only full collects left are
+    * the whole-table maintenance verbs (compact / restore-diff /
+    * overwrite-removes), documented at their sites. */
+  private def collectAdds(census: DataFrame): Seq[AddFile] =
+    census.select(censusSchema.fieldNames.map(col): _*).collect()
+      .toSeq.map(rowToAdd)
+
+  /** Live file PATHS only — what a full-table multi-path scan minimally
+    * needs on the driver; the stats JSON never rides along. */
+  private def livePaths(spark: SparkSession, st: LogState): Seq[String] =
+    fileCensus(spark, st).select("path").collect().toSeq.map(_.getString(0))
+
+  // ---- stats-envelope pruning, pushed down as Spark filters ------------
+
+  /** Typed per-file stat bound from the `add.stats` JSON, cast to the
+    * COLUMN's own Spark type — integral types compare exactly (no
+    * double round-trip past 2^53) and strings compare in Spark's UTF-8
+    * binary order, matching how the min/max were computed. */
+  private def statBound(kind: String, column: String, dt: DataType): Column =
+    get_json_object(col("stats"), s"$$.$kind.$column").cast(dt)
+
+  private def nullCountOf(column: String): Column =
+    get_json_object(col("stats"), s"$$.nullCount.$column").cast(LongType)
+
+  private def numRecords: Column =
+    get_json_object(col("stats"), "$.numRecords").cast(LongType)
+
+  /** Envelope may intersect [lo, hi] — statless files (or bounds the
+    * stats don't carry) conservatively TRUE (must scan), so pruning
+    * never loses rows. A file whose stats PROVE the column is all-NULL
+    * (nullCount == numRecords) can never match a range predicate and is
+    * pruned — and for [[delete]] that correctly leaves it untouched,
+    * because SQL NULLs never match the predicate either. */
+  private def mayIntersectCol(column: String, dt: DataType,
+      lo: Any, hi: Any): Column = {
+    val mn = statBound("minValues", column, dt)
+    val mx = statBound("maxValues", column, dt)
+    val allNull = coalesce(
+      nullCountOf(column) === numRecords && numRecords > 0L, lit(false))
+    coalesce(mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt), lit(true)) &&
+      !allNull
+  }
+
+  /** Envelope provably inside [lo, hi] AND provably NULL-free — the
+    * remove-only fast-drop guard for [[delete]]. Requiring
+    * nullCount == 0 (not just min/max containment) is what keeps a
+    * stats-bearing file that mixes in-range values with NULLs on the
+    * rewrite path: its NULL rows must survive the delete, and min/max
+    * alone cannot see them. Files without stats (or without nullCount)
+    * are conservatively FALSE — always exact, never fast-dropped. */
+  private def containedInCol(column: String, dt: DataType,
+      lo: Any, hi: Any): Column = {
+    val mn = statBound("minValues", column, dt)
+    val mx = statBound("maxValues", column, dt)
+    coalesce(mn >= lit(lo).cast(dt) && mx <= lit(hi).cast(dt) &&
+      nullCountOf(column) === 0L, lit(false))
+  }
+
+  /** The pruned candidate set for a range predicate, collected
+    * O(survivors): the envelope comparison runs as a Spark filter over
+    * the census DataFrame (checkpoint scan + tail overlay), and only
+    * files that MAY intersect reach the driver. Package-visible so the
+    * spec can prove the driver materializes survivors, not the table. */
+  private[lake] def pruneCandidates(spark: SparkSession, column: String,
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[AddFile] = {
+    val st = logState(spark, version)
+    val dt = st.schema(column).dataType
+    collectAdds(fileCensus(spark, st).where(mayIntersectCol(column, dt, lo, hi)))
+  }
+
+  // ---- read side --------------------------------------------------------
 
   /** Read the table at `version` (default: latest). Output columns are
     * exactly `schemaString`'s, in order and type — partition columns are
     * recovered from the Hive directory layout and cast back. */
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val snap = snapshotAt(version)
-    readFiles(spark, snap.schema, snap.partitionColumns, snap.files.map(_.path))
+    val st = logState(spark, version)
+    readFiles(spark, st.schema, st.partitionColumns, livePaths(spark, st))
   }
 
   private def readFiles(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
     if (relPaths.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
@@ -231,18 +386,37 @@ final case class DeltaTable(root: String) {
     raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
+    * `add.stats` [min, max] envelope for `column` intersects [lo, hi]
+    * are scanned (files without stats are conservatively kept, so the
+    * result is always exact); the residual predicate still applies on
+    * the survivors. The envelope comparison itself runs DISTRIBUTED as
+    * a filter over the census DataFrame, so on a range-clustered
+    * 100 TB table both planes stay proportional to the prune ratio:
+    * the scan touches 1 file in 10⁴, and the driver holds 1 path in
+    * 10⁴ — never the full census. */
+  def readWhere(spark: SparkSession, column: String, lo: Any, hi: Any,
+      version: Option[Long] = None): DataFrame = {
+    val st = logState(spark, version)
+    val survivors = pruneCandidates(spark, column, lo, hi, version)
+    readFiles(spark, st.schema, st.partitionColumns, survivors.map(_.path))
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   // ---- write side ------------------------------------------------------
 
   /** Commit `df` as a full replacement snapshot (removes every live file
     * of the previous version). Returns the committed version.
-    * `statsFor` columns get per-file (numRecords, minValues, maxValues)
-    * in the protocol's `add.stats` JSON — the data-skipping index
-    * [[readWhere]] prunes by. */
+    * `statsFor` columns get per-file (numRecords, minValues, maxValues,
+    * nullCount) in the protocol's `add.stats` JSON — the data-skipping
+    * index [[readWhere]] prunes by. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
       statsFor: Seq[String] = Nil): Long = {
-    val prev = latestVersion
-    val removed = prev.map(v => snapshotAt(Some(v)).files).getOrElse(Nil)
-    commit(df, partitionBy, removed.map(_.path), "WRITE",
+    // paths-only collect of the replaced snapshot (no stats ride along)
+    val removed = latestVersion.map { v =>
+      livePaths(df.sparkSession, logState(df.sparkSession, Some(v)))
+    }.getOrElse(Nil)
+    commit(df, partitionBy, removed, "WRITE",
       Map("mode" -> "Overwrite"), statsFor = statsFor)
   }
 
@@ -269,25 +443,83 @@ final case class DeltaTable(root: String) {
     * `numFiles` files per partition-value combination WITHOUT changing
     * the data — removes + adds carry `dataChange=false`, so CDC
     * consumers ([[changes]]) skip the rewrite entirely, exactly as the
-    * protocol prescribes. Small-file compaction is what keeps a 100 TB
-    * streaming-ingested table scannable: thousands of micro-batch files
-    * fold into scan-sized ones while readers stay snapshot-isolated. */
+    * protocol prescribes. This is the WHOLE-TABLE form (one commit, one
+    * full rewrite) — right for small-to-medium tables; at the 100 TB
+    * target use [[compactIncremental]], which converges over size-capped
+    * batches without ever holding the table in one commit. */
   def compact(numFiles: Int = 1): Long = {
     val spark = SparkSession.active
-    val snap = snapshotAt(None)
-    val current = read(spark)
+    val st = logState(spark, None)
+    val paths = livePaths(spark, st)
+    val current = readFiles(spark, st.schema, st.partitionColumns, paths)
     val compacted =
-      if (snap.partitionColumns.isEmpty) current.repartition(numFiles)
-      else current.repartition(numFiles,
-        snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-    commit(compacted, snap.partitionColumns, snap.files.map(_.path),
-      "OPTIMIZE", Map.empty, dataChange = false)
+      if (st.partitionColumns.isEmpty) current.repartition(numFiles)
+      else current.repartition(numFiles, st.partitionColumns.map(col): _*)
+    commit(compacted, st.partitionColumns, paths, "OPTIMIZE", Map.empty,
+      dataChange = false)
+  }
+
+  /** ONE size-capped OPTIMIZE step — the maintenance shape that
+    * actually runs at 100 TB, where [[compact]]'s rewrite-the-world
+    * commit cannot: pick the first partition-value group holding ≥ 2
+    * files smaller than `smallBytes`, take a batch capped by
+    * `maxBatchBytes`/`maxBatchFiles` (always ≥ 2 so every commit makes
+    * progress), rewrite JUST that batch in a `dataChange=false` commit
+    * (CDC-silent, snapshot-identical), and return its version — or None
+    * when CONVERGED (no group has 2 small files left). Repeated calls
+    * strictly shrink the small-file count, so a periodic maintenance
+    * job folds a streaming-ingested table into scan-sized files a few
+    * bounded commits at a time, with readers snapshot-isolated
+    * throughout. Candidate selection is itself pruned: the census
+    * DataFrame filters `size < smallBytes` BEFORE the driver collects,
+    * so the driver holds only small files, never the table. */
+  def compactIncremental(smallBytes: Long = 128L << 20,
+      maxBatchBytes: Long = 1L << 30, maxBatchFiles: Int = Int.MaxValue,
+      statsFor: Seq[String] = Nil): Option[Long] = {
+    require(maxBatchFiles >= 2,
+      s"compactIncremental maxBatchFiles $maxBatchFiles < 2 cannot converge")
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    val small = collectAdds(
+      fileCensus(spark, st).where(col("size") < smallBytes))
+    val group = small.groupBy(_.partitionValues).values
+      .filter(_.size >= 2).minByOption(_.map(_.path).min)
+    group.map { files =>
+      val sorted = files.sortBy(_.path)
+      // soft caps: the first 2 files always ride (else no progress)
+      val capped = takeCapped(sorted, minFiles = 2, maxBatchBytes,
+        maxBatchFiles)
+      val rewritten = readFiles(spark, st.schema, st.partitionColumns,
+        capped.map(_.path)).repartition(1)
+      commit(rewritten, st.partitionColumns, capped.map(_.path), "OPTIMIZE",
+        Map("batchFiles" -> capped.size.toString, "incremental" -> "true"),
+        dataChange = false, statsFor = statsFor)
+    }
+  }
+
+  /** Ordered prefix of `sorted` capped by bytes/files, but never fewer
+    * than `minFiles` (the per-commit progress guarantee both
+    * incremental OPTIMIZE forms rely on for convergence). */
+  private def takeCapped(sorted: Seq[AddFile], minFiles: Int,
+      maxBatchBytes: Long, maxBatchFiles: Int): Seq[AddFile] = {
+    val batch = mutable.ArrayBuffer.empty[AddFile]
+    var bytes = 0L
+    val it = sorted.iterator
+    while (it.hasNext && (batch.size < minFiles ||
+        (batch.size < maxBatchFiles && bytes < maxBatchBytes))) {
+      val f = it.next()
+      if (batch.size < minFiles || bytes + f.size <= maxBatchBytes) {
+        batch += f; bytes += f.size
+      } else bytes = maxBatchBytes // byte cap hit: stop scanning
+    }
+    batch.toSeq
   }
 
   private def commit(df: DataFrame, partitionBy: Seq[String],
       removePaths: Seq[String], op: String, opParams: Map[String, String],
       txn: Option[(String, Long)] = None, dataChange: Boolean = true,
-      statsFor: Seq[String] = Nil): Long = {
+      statsFor: Seq[String] = Nil,
+      tags: Map[String, String] = Map.empty): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
@@ -319,6 +551,8 @@ final case class DeltaTable(root: String) {
     // aggregate over the JUST-WRITTEN files (O(new data), grouped by
     // input_file_name) — the write-time stats pass every Delta writer
     // performs. Keyed by the part-file NAME (unique per commit token).
+    // nullCount rides along: [[delete]]'s remove-only fast drop is only
+    // sound on files PROVEN null-free in the predicate column.
     val statsByName: Map[String, String] =
       if (statsFor.isEmpty || moved.isEmpty) Map.empty
       else {
@@ -331,19 +565,23 @@ final case class DeltaTable(root: String) {
         val reader = if (partitionBy.isEmpty) spark.read
                      else spark.read.option("basePath", absRoot)
         val aggs = fcount(flit(1)).as("_nrec") +: statsFor.flatMap(c =>
-          Seq(fmin(fcol(c)).as(s"_min_$c"), fmax(fcol(c)).as(s"_max_$c")))
+          Seq(fmin(fcol(c)).as(s"_min_$c"), fmax(fcol(c)).as(s"_max_$c"),
+            fcount(fcol(c)).as(s"_cnt_$c")))
         val m = new ObjectMapper
         reader.parquet(paths.toSeq: _*)
           .groupBy(input_file_name().as("_file"))
           .agg(aggs.head, aggs.tail: _*).collect()
           .map { r =>
             val st = m.createObjectNode
-            st.put("numRecords", r.getLong(1))
+            val nrec = r.getLong(1)
+            st.put("numRecords", nrec)
             val mins = st.putObject("minValues")
             val maxs = st.putObject("maxValues")
+            val nulls = st.putObject("nullCount")
             statsFor.zipWithIndex.foreach { case (c, i) =>
-              putScalar(mins, c, r.get(2 + 2 * i))
-              putScalar(maxs, c, r.get(3 + 2 * i))
+              putScalar(mins, c, r.get(2 + 3 * i))
+              putScalar(maxs, c, r.get(3 + 3 * i))
+              nulls.put(c, nrec - r.getLong(4 + 3 * i))
             }
             r.getString(0).split('/').last -> m.writeValueAsString(st)
           }.toMap
@@ -372,7 +610,8 @@ final case class DeltaTable(root: String) {
     // conflicts fail loudly. Overwrites replace the schema outright.
     val isOverwrite = removePaths.nonEmpty && dataChange
     val currentSchema: Option[StructType] =
-      if (v == 0L) None else Some(snapshotAt(Some(v - 1)).schema)
+      if (v == 0L) None
+      else Some(logState(df.sparkSession, Some(v - 1)).schema)
     val recordedSchema: StructType = currentSchema match {
       case None => df.schema
       case Some(_) if isOverwrite => df.schema
@@ -400,18 +639,23 @@ final case class DeltaTable(root: String) {
     }
     removePaths.foreach { p =>
       val rm = mapper.createObjectNode
-      rm.put("path", p).put("deletionTimestamp", now).put("dataChange", dataChange)
+      rm.put("path", encodePath(p)).put("deletionTimestamp", now)
+        .put("dataChange", dataChange)
       actions += wrap(mapper, "remove", rm)
     }
     moved.foreach { case (path, size, pv) =>
       val add = mapper.createObjectNode
-      add.put("path", path)
+      add.put("path", encodePath(path))
       val pvNode = add.putObject("partitionValues")
       pv.foreach { case (k, x) => pvNode.put(k, x) }
       add.put("size", size).put("modificationTime", now)
         .put("dataChange", dataChange)
       statsByName.get(path.split('/').last)
         .foreach(s => add.put("stats", s))
+      if (tags.nonEmpty) {
+        val tg = add.putObject("tags")
+        tags.foreach { case (k, x) => tg.put(k, x) }
+      }
       actions += wrap(mapper, "add", add)
     }
     publish(v, actions.toSeq)
@@ -453,132 +697,156 @@ final case class DeltaTable(root: String) {
   /** Write a parquet checkpoint of the CURRENT latest snapshot plus the
     * `_last_checkpoint` pointer, so future reads replay only the JSON
     * tail after it. Idempotent: re-checkpointing a version replaces the
-    * derived files (checkpoints are cache, commits are truth). */
-  def checkpoint(): Long = {
+    * derived files (checkpoints are cache, commits are truth).
+    *
+    * DISTRIBUTED: the add census flows from the previous checkpoint's
+    * parquet scan (plus the tail overlay) straight into the new
+    * checkpoint's writer task — one executor streams it; the driver
+    * holds only the handful of control rows (protocol, metaData, txn
+    * water-marks, and `remove` tombstones younger than
+    * `tombstoneRetentionMs`, which the protocol requires checkpoints to
+    * carry so foreign readers can vacuum safely). Real per-file size
+    * and modificationTime ride each add row — `size` is a required add
+    * field and foreign readers consume it. */
+  def checkpoint(tombstoneRetentionMs: Long = DefaultRetentionMs): Long = {
     val spark = SparkSession.active
-    val snap = snapshotAt(None)
-    val rows: Seq[Row] = {
-      val protoRow = Row(Row(1, 2), null, null, null)
-      val metaRow = Row(null,
-        Row(java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString,
-          Row("parquet"), snap.schema.json, snap.partitionColumns,
-          System.currentTimeMillis), null, null)
-      val addRows = snap.files.map(f =>
-        Row(null, null,
-          Row(f.path, f.partitionValues, 0L, 0L, true, f.statsJson.orNull),
-          null))
-      // txn water-marks MUST ride the checkpoint: replay starts after it,
-      // so idempotent writers would forget their high-water mark otherwise
-      val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
-        Row(null, null, null, Row(app, tv, 0L))
+    val st = logState(spark, None)
+    val now = System.currentTimeMillis
+    val tableId =
+      java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString
+
+    // control rows (driver-side, all small): protocol, metaData, txns,
+    // retained remove tombstones (previous checkpoint's + the tail's,
+    // last-wins by path; tail re-adds cancel — writers never reuse file
+    // names, so a tombstoned path cannot be live again)
+    val horizon = now - tombstoneRetentionMs
+    val prevTombstones: Map[String, Long] = st.checkpointFile.map { p =>
+      val df = spark.read.parquet(p.toString)
+      df.schema.find(_.name == "remove").map(_.dataType) match {
+        case Some(rt: StructType) if rt.fieldNames.contains("path") =>
+          df.where(col("remove.path").isNotNull &&
+              col("remove.deletionTimestamp") >= horizon)
+            .select(sqlDecodePath(col("remove.path")),
+              col("remove.deletionTimestamp"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        case _ => Map.empty[String, Long]
       }
-      protoRow +: metaRow +: (addRows ++ txnRows)
-    }
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+    }.getOrElse(Map.empty)
+    val liveTail = st.tail.adds.map(_.path).toSet
+    val tombstones = (prevTombstones ++ st.tail.tombstones)
+      .filter { case (p, ts) => ts >= horizon && !liveTail(p) }
+
+    def ctrlRow(proto: Row = null, meta: Row = null, txn: Row = null,
+        rm: Row = null): Row = Row(proto, meta, null, txn, rm)
+    val ctrl: Seq[Row] =
+      ctrlRow(proto = Row(1, 2)) +:
+      ctrlRow(meta = Row(tableId, Row("parquet"), st.schema.json,
+        st.partitionColumns, now)) +:
+      (st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        ctrlRow(txn = Row(app, tv, 0L))
+      } ++ tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
+        ctrlRow(rm = Row(encodePath(p), ts, true))
+      })
+    val ctrlDF = spark.createDataFrame(ctrl.asJava, checkpointSchema)
+
+    val addDF = fileCensus(spark, st).select(
+      lit(null).cast(checkpointSchema("protocol").dataType).as("protocol"),
+      lit(null).cast(checkpointSchema("metaData").dataType).as("metaData"),
+      struct(sqlEncodePath(col("path")).as("path"), col("partitionValues"),
+        col("size"), col("modificationTime"), lit(true).as("dataChange"),
+        col("stats"), col("tags")).as("add"),
+      lit(null).cast(checkpointSchema("txn").dataType).as("txn"),
+      lit(null).cast(checkpointSchema("remove").dataType).as("remove"))
+    val full = ctrlDF.unionByName(
+      addDF.select(checkpointSchema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*))
+
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-cp-$token")
-    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    full.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val part = Files.list(scratch).iterator.asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no part"))
-    Files.move(part, checkpointPath(snap.version),
+    Files.move(part, checkpointPath(st.version),
       StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(scratch)
+    // _last_checkpoint size = action-row count: census count is a
+    // columnar metadata-plane count, never a driver materialization
+    val size = fileCensus(spark, st).count() + ctrl.size
     val mapper = new ObjectMapper
     val lc = mapper.createObjectNode
-    lc.put("version", snap.version).put("size", rows.size)
+    lc.put("version", st.version).put("size", size)
     val tmp = logDir.resolve(s".tmp-lc-$token")
     Files.write(tmp, (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.REPLACE_EXISTING)
-    snap.version
+    st.version
   }
-
-  // ---- stats-envelope pruning (shared by merge/readWhere/delete) -------
-
-  /** Stats comparison: numbers numerically, everything else lexically
-    * (the md5-free subset of Delta's typed stats). */
-  private def cmpStat(stat: JsonNode, bound: Any): Int = bound match {
-    case n: Number if stat.isNumber =>
-      java.lang.Double.compare(stat.asDouble, n.doubleValue)
-    case _ => stat.asText.compareTo(bound.toString)
-  }
-
-  private def statBounds(mapper: ObjectMapper, f: AddFile,
-      column: String): Option[(JsonNode, JsonNode)] =
-    f.statsJson.flatMap { s =>
-      val node = mapper.readTree(s)
-      def bound(kind: String): Option[JsonNode] =
-        Option(node.get(kind)).flatMap(m => Option(m.get(column)))
-          .filterNot(_.isNull)
-      bound("minValues").zip(bound("maxValues"))
-    }
-
-  /** Envelope may intersect [lo, hi] — statless files conservatively
-    * TRUE (must scan), so pruning never loses rows. */
-  private def mayIntersect(mapper: ObjectMapper, f: AddFile, column: String,
-      lo: Any, hi: Any): Boolean =
-    statBounds(mapper, f, column) match {
-      case Some((mn, mx)) => cmpStat(mx, lo) >= 0 && cmpStat(mn, hi) <= 0
-      case None => true
-    }
-
-  /** Envelope provably inside [lo, hi] — statless files conservatively
-    * FALSE (cannot prove containment without stats). */
-  private def containedIn(mapper: ObjectMapper, f: AddFile, column: String,
-      lo: Any, hi: Any): Boolean =
-    statBounds(mapper, f, column) match {
-      case Some((mn, mx)) => cmpStat(mn, lo) >= 0 && cmpStat(mx, hi) <= 0
-      case None => false
-    }
 
   /** File-pruned DELETE of rows with `column` in [lo, hi] — the Delta
     * DELETE cost model on the stats index, three file classes in ONE
     * atomic commit:
     *   - envelope MISSES the range → untouched (never opened);
-    *   - envelope provably INSIDE the range → remove-only action — no
-    *     read, no rewrite: deleting one day from a day-clustered 100 TB
-    *     table is pure metadata;
-    *   - boundary files → read, matching rows filtered out, survivors
+    *   - envelope provably INSIDE the range AND provably NULL-free
+    *     (nullCount == 0) → remove-only action — no read, no rewrite:
+    *     deleting one day from a day-clustered 100 TB table is pure
+    *     metadata;
+    *   - boundary files (including any file whose stats cannot prove
+    *     null-freeness) → read, matching rows filtered out, survivors
     *     rewritten (with fresh stats, so the skipping index stays live).
     * Rows whose `column` is NULL never match a range predicate and are
-    * kept, per SQL semantics. Statless files are conservatively treated
-    * as boundary files — always exact, never fast-dropped. */
+    * kept, per SQL semantics — which is exactly why the fast drop
+    * demands nullCount == 0. Statless files are conservatively treated
+    * as boundary files. Candidate selection runs as a Spark filter over
+    * the census; the driver collects candidates only. */
   def delete(column: String, lo: Any, hi: Any): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
     val spark = SparkSession.active
-    val snap = snapshotAt(None)
-    val mapper = new ObjectMapper
-    val cand = snap.files.filter(f => mayIntersect(mapper, f, column, lo, hi))
-    if (cand.isEmpty) return snap.version
-    val (whole, partial) = cand.partition(f =>
-      containedIn(mapper, f, column, lo, hi))
-    val survivors = readFiles(spark, snap.schema, snap.partitionColumns,
+    val st = logState(spark, None)
+    val dt = st.schema(column).dataType
+    // ONE pruned collect: candidates with their whole-file-drop flag
+    val candRows = fileCensus(spark, st)
+      .where(mayIntersectCol(column, dt, lo, hi))
+      .select(censusSchema.fieldNames.map(col) :+
+        containedInCol(column, dt, lo, hi).as("_whole"): _*)
+      .collect()
+    val cand = candRows.toSeq.map(rowToAdd)
+    if (cand.isEmpty) return st.version
+    val contained = candRows.filter(_.getBoolean(6))
+      .map(_.getString(0)).toSet
+    val partial = cand.filterNot(f => contained(f.path))
+    val survivors = readFiles(spark, st.schema, st.partitionColumns,
         partial.map(_.path))
       .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
-    commit(survivors, snap.partitionColumns, cand.map(_.path), "DELETE",
+    commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
       Map("predicate" -> s"$column BETWEEN $lo AND $hi",
-        "wholeFilesDropped" -> whole.size.toString),
+        "wholeFilesDropped" -> contained.size.toString),
       statsFor = Seq(column))
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
     * command): removes files added since the target snapshot and
     * re-adds the target's files that are no longer live — pure
-    * metadata, no data rewrite. The target's files must still exist on
-    * disk (a vacuumed-out snapshot fails LOUDLY up front, never
-    * half-restores). History is preserved: the restore is itself a
-    * commit, so time travel to the intermediate versions still works,
-    * and a second restore can undo the first. Re-added files keep
-    * their stats, so data skipping survives the round trip. */
+    * metadata, no data rewrite, and both DIFF sets are computed as
+    * distributed anti-joins between the two census frames, so the
+    * driver holds O(diff), not O(table). Files being RE-ADDED must
+    * still exist on disk (a vacuumed-out snapshot fails LOUDLY up
+    * front, never half-restores); files shared with the current
+    * snapshot are live by definition. History is preserved: the
+    * restore is itself a commit, so time travel to the intermediate
+    * versions still works, and a second restore can undo the first.
+    * Re-added files keep their stats, so data skipping survives. */
   def restore(version: Long): Long = {
-    val target = snapshotAt(Some(version))
-    val cur = snapshotAt(None)
-    val curPaths = cur.files.map(_.path).toSet
-    val tgtPaths = target.files.map(_.path).toSet
+    val spark = SparkSession.active
+    val tgt = logState(spark, Some(version))
+    val cur = logState(spark, None)
+    val tgtCensus = fileCensus(spark, tgt)
+    val curCensus = fileCensus(spark, cur)
+    val removed = curCensus.join(tgtCensus.select("path"), Seq("path"),
+      "left_anti").select("path").collect().map(_.getString(0)).toSeq.sorted
+    val reAddOnly = collectAdds(tgtCensus.join(curCensus.select("path"),
+      Seq("path"), "left_anti"))
     val absRoot = Paths.get(root).toAbsolutePath
-    val missing = target.files.filterNot(f => Files.exists(absRoot.resolve(f.path)))
+    val missing = reAddOnly.filterNot(f => Files.exists(absRoot.resolve(f.path)))
     require(missing.isEmpty,
       s"DeltaTable $root: restore to v$version needs vacuumed-out files: " +
         missing.map(_.path).mkString(", "))
@@ -589,21 +857,23 @@ final case class DeltaTable(root: String) {
     ci.put("timestamp", now).put("operation", "RESTORE")
     ci.putObject("operationParameters").put("version", version.toString)
     actions += wrap(mapper, "commitInfo", ci)
-    if (target.schema.json != cur.schema.json ||
-        target.partitionColumns != cur.partitionColumns)
+    if (tgt.schema.json != cur.schema.json ||
+        tgt.partitionColumns != cur.partitionColumns)
       actions += wrap(mapper, "metaData",
-        metaNode(mapper, target.schema, target.partitionColumns, now))
-    cur.files.filterNot(f => tgtPaths(f.path)).foreach { f =>
+        metaNode(mapper, tgt.schema, tgt.partitionColumns, now))
+    removed.foreach { p =>
       val rm = mapper.createObjectNode
-      rm.put("path", f.path).put("deletionTimestamp", now).put("dataChange", true)
+      rm.put("path", encodePath(p)).put("deletionTimestamp", now)
+        .put("dataChange", true)
       actions += wrap(mapper, "remove", rm)
     }
-    target.files.filterNot(f => curPaths(f.path)).foreach { f =>
+    reAddOnly.foreach { f =>
       val add = mapper.createObjectNode
-      add.put("path", f.path)
+      add.put("path", encodePath(f.path))
       val pvNode = add.putObject("partitionValues")
       f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
-      add.put("size", Files.size(absRoot.resolve(f.path)))
+      add.put("size",
+          if (f.size > 0) f.size else Files.size(absRoot.resolve(f.path)))
         .put("modificationTime", now).put("dataChange", true)
       f.statsJson.foreach(s => add.put("stats", s))
       actions += wrap(mapper, "add", add)
@@ -620,22 +890,66 @@ final case class DeltaTable(root: String) {
     * RECTANGLE of (A, B) space in its stats envelope, so [[readWhere]]
     * prunes selective filters on EITHER dimension (a plain range sort
     * prunes only its one column). Snapshot is bit-identical — CDC
-    * consumers skip the rewrite like any OPTIMIZE. */
+    * consumers skip the rewrite like any OPTIMIZE. Whole-table form;
+    * at the 100 TB target use [[optimizeZOrderIncremental]]. */
   def optimizeZOrder(dimA: String, dimB: String, bits: Int = 12,
       numFiles: Int = 8): Long = {
-    import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    val snap = snapshotAt(None)
-    require(snap.partitionColumns.isEmpty,
+    val st = logState(spark, None)
+    require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
-    val zordered = ZOrder.withZValue(read(spark), dimA, dimB, bits)
+    val paths = livePaths(spark, st)
+    val zordered = ZOrder.withZValue(
+        readFiles(spark, st.schema, st.partitionColumns, paths),
+        dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
-    commit(zordered, Nil, snap.files.map(_.path), "OPTIMIZE",
+    commit(zordered, Nil, paths, "OPTIMIZE",
       Map("zOrderBy" -> s"""["$dimA","$dimB"]"""), dataChange = false,
-      statsFor = Seq(dimA, dimB))
+      statsFor = Seq(dimA, dimB),
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString))
+  }
+
+  /** ONE size-capped OPTIMIZE ZORDER step — the public incremental
+    * clustering design (Delta's ZCube scheme): files that have never
+    * been z-ordered carry no `ZCUBE_ID` tag; each call takes a
+    * byte/file-capped batch of untagged files, rewrites THEM along the
+    * (dimA, dimB) Morton curve in a `dataChange=false` commit whose
+    * adds are tagged with a fresh zcube id, and returns the version —
+    * or None when CONVERGED (every live file is tagged). The untagged
+    * count strictly decreases per commit, so repeated maintenance runs
+    * converge over a 100 TB table without any single rewrite-the-world
+    * commit; each zcube's files own curve rectangles, so both-dim
+    * pruning grows with coverage. Candidate selection is pushed down:
+    * the census filters `tags[ZCUBE_ID] IS NULL` before collecting. */
+  def optimizeZOrderIncremental(dimA: String, dimB: String, bits: Int = 12,
+      maxBatchBytes: Long = 1L << 30, maxBatchFiles: Int = Int.MaxValue,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    require(st.partitionColumns.isEmpty,
+      s"DeltaTable $root: z-order within Hive partitions not supported — " +
+        "compact per partition instead")
+    val untagged = collectAdds(fileCensus(spark, st)
+      .where(col("tags").isNull || col("tags").getItem(ZCubeTag).isNull))
+    if (untagged.isEmpty) return None
+    val capped = takeCapped(untagged.sortBy(_.path), minFiles = 1,
+      maxBatchBytes, math.max(1, maxBatchFiles))
+    val batchBytes = capped.map(_.size).sum
+    val numFiles = math.max(1L,
+      (batchBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val zordered = ZOrder.withZValue(
+        readFiles(spark, st.schema, Nil, capped.map(_.path)), dimA, dimB, bits)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+    Some(commit(zordered, Nil, capped.map(_.path), "OPTIMIZE",
+      Map("zOrderBy" -> s"""["$dimA","$dimB"]""",
+        "batchFiles" -> capped.size.toString, "incremental" -> "true"),
+      dataChange = false, statsFor = Seq(dimA, dimB),
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString)))
   }
 
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
@@ -643,57 +957,37 @@ final case class DeltaTable(root: String) {
     * source's [min, max] key range (plus statless files, conservatively)
     * are REWRITTEN; every other live file is untouched — on a
     * range-clustered 100 TB table an upsert of one day's keys rewrites
-    * one day's files, not the table. The rewrite replaces matched rows
-    * with the source's and appends unmatched source rows; the whole
-    * merge is ONE atomic commit (removes for the candidate files, adds
-    * for their rewrite + the new rows), so readers see the old or the
-    * new snapshot, never a half-merge. Source schema must match the
-    * table's (use append for evolving merges). */
+    * one day's files, not the table, and the candidate selection runs
+    * as a Spark filter over the census so the driver holds candidates
+    * only. The rewrite replaces matched rows with the source's and
+    * appends unmatched source rows; the whole merge is ONE atomic
+    * commit (removes for the candidate files, adds for their rewrite +
+    * the new rows), so readers see the old or the new snapshot, never a
+    * half-merge. Source schema must match the table's (use append for
+    * evolving merges). */
   def merge(source: DataFrame, keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
-    val snap = snapshotAt(None)
-    require(source.columns.toSeq == snap.schema.fieldNames.toSeq,
+    val st = logState(spark, None)
+    require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
-        s"!= table ${snap.schema.fieldNames.toSeq}")
+        s"!= table ${st.schema.fieldNames.toSeq}")
     val keyed = source.localCheckpoint(false)
     val Array(lo, hi) = keyed.agg(fmin(col(keyCol)), fmax(col(keyCol)))
       .collect()(0).toSeq.toArray
-    if (lo == null) return snap.version // empty source: no-op
-    val mapper = new ObjectMapper
-    val cand = snap.files.filter(f => mayIntersect(mapper, f, keyCol, lo, hi))
-    val existing = readFiles(spark, snap.schema, snap.partitionColumns,
+    if (lo == null) return st.version // empty source: no-op
+    val cand = pruneCandidates(spark, keyCol, lo, hi)
+    val existing = readFiles(spark, st.schema, st.partitionColumns,
       cand.map(_.path))
     // matched rows take the source version; unmatched keep their row.
     // Rows in UNTOUCHED files cannot match: the key envelope proved it.
     val rewritten = existing
       .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(keyed)
-      .select(snap.schema.fieldNames.map(col): _*)
-    commit(rewritten, snap.partitionColumns, cand.map(_.path), "MERGE",
+      .select(st.schema.fieldNames.map(col): _*)
+    commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
       Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
       statsFor = Seq(keyCol))
-  }
-
-  /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
-    * `add.stats` [min, max] envelope for `column` intersects [lo, hi]
-    * are scanned (files without stats are conservatively kept, so the
-    * result is always exact); the residual predicate still applies on
-    * the survivors. On a range-clustered 100 TB table this is the read
-    * path that touches 1 file in 10⁴ instead of the table — file-level
-    * skipping BEFORE the scan, on top of parquet's own row-group
-    * pruning after it. Numbers compare numerically, everything else
-    * lexically (the md5-free subset of Delta's typed stats). */
-  def readWhere(spark: SparkSession, column: String, lo: Any, hi: Any,
-      version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val snap = snapshotAt(version)
-    val mapper = new ObjectMapper
-    val survivors = snap.files.filter(f =>
-      mayIntersect(mapper, f, column, lo, hi))
-    readFiles(spark, snap.schema, snap.partitionColumns,
-        survivors.map(_.path))
-      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added
@@ -705,7 +999,6 @@ final case class DeltaTable(root: String) {
     * the feed. The plan reads ONLY the changed files, so incremental
     * consumers process deltas, never the table. */
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion,
       s"DeltaTable $root: changes($fromVersion, $toVersion) reversed")
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -713,8 +1006,9 @@ final case class DeltaTable(root: String) {
     require(toVersion <= latest,
       s"DeltaTable $root: changes to v$toVersion > latest $latest")
     val mapper = new ObjectMapper
-    val snapCache = mutable.HashMap.empty[Long, Snapshot]
-    def snapOf(v: Long) = snapCache.getOrElseUpdate(v, snapshotAt(Some(v)))
+    val stateCache = mutable.HashMap.empty[Long, LogState]
+    def stateOf(v: Long) =
+      stateCache.getOrElseUpdate(v, logState(spark, Some(v)))
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
       val adds = mutable.ArrayBuffer.empty[String]
       val removes = mutable.ArrayBuffer.empty[String]
@@ -729,40 +1023,52 @@ final case class DeltaTable(root: String) {
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
           removes += decodePath(rm.get("path").asText)
       }
-      val snap = snapOf(v)
+      val st = stateOf(v)
       def slice(paths: Seq[String], kind: String) =
         if (paths.isEmpty) None
-        else Some(readFiles(spark, snap.schema, snap.partitionColumns, paths.toSeq)
+        else Some(readFiles(spark, st.schema, st.partitionColumns, paths.toSeq)
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v)))
       slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
     }
     slices.reduceOption(_ unionByName _).getOrElse {
-      val schema = snapOf(toVersion).schema
+      val schema = stateOf(toVersion).schema
         .add("_change_type", StringType).add("_commit_version", LongType)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
   }
 
   /** Delete data files referenced by NONE of the newest `keepVersions`
-    * snapshots (tombstoned files past retention — the VACUUM contract).
-    * Commits stay (the log is small and checkpoint-compacted); reading a
-    * vacuumed-out old version fails at scan time on the missing file,
-    * never returns partial data silently. Returns files deleted. */
-  def vacuum(keepVersions: Int = 1): Int = {
+    * snapshots AND older than `retentionMs` (modification-time check —
+    * the protocol's tombstone-retention VACUUM contract). The age
+    * horizon is the concurrency guard: a racing in-flight commit's
+    * just-moved files are younger than any sane retention, so vacuum
+    * cannot eat a commit that hasn't published yet; `.tmp-*` scratch
+    * directories (in-flight writes, checkpoint staging) are skipped
+    * outright. Commits stay (the log is small and
+    * checkpoint-compacted); reading a vacuumed-out old version fails at
+    * scan time on the missing file, never returns partial data
+    * silently. Live sets are paths-only collects. Returns files
+    * deleted. */
+  def vacuum(keepVersions: Int = 1,
+      retentionMs: Long = DefaultRetentionMs): Int = {
     require(keepVersions >= 1, s"vacuum keepVersions $keepVersions < 1")
+    val spark = SparkSession.active
     val latest = latestVersion.getOrElse(return 0)
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val live = (keepFrom to latest).flatMap(v =>
-      snapshotAt(Some(v)).files.map(_.path)).toSet
+      livePaths(spark, logState(spark, Some(v)))).toSet
+    val horizon = System.currentTimeMillis - retentionMs
     val rootPath = Paths.get(root)
     var deleted = 0
     def walk(dir: Path): Unit =
       Files.list(dir).iterator.asScala.toSeq.foreach { p =>
         val name = p.getFileName.toString
-        if (Files.isDirectory(p)) { if (name != "_delta_log") walk(p) }
-        else if (name.endsWith(".parquet") &&
-            !live.contains(rootPath.relativize(p).toString.replace('\\', '/'))) {
+        if (Files.isDirectory(p)) {
+          if (name != "_delta_log" && !name.startsWith(".tmp-")) walk(p)
+        } else if (name.endsWith(".parquet") &&
+            !live.contains(rootPath.relativize(p).toString.replace('\\', '/')) &&
+            Files.getLastModifiedTime(p).toMillis <= horizon) {
           Files.delete(p); deleted += 1
         }
       }
@@ -777,6 +1083,13 @@ final case class DeltaTable(root: String) {
 }
 
 object DeltaTable {
+  /** Delta's default tombstone/vacuum retention (7 days). */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Add-action tag marking a file as belonging to a z-order cube (the
+    * public incremental-clustering scheme). */
+  val ZCubeTag: String = "ZCUBE_ID"
+
   /** JSON scalar for a stats value: numbers stay numbers, null stays
     * null, everything else serializes as its string form (dates,
     * timestamps, decimals — lexically comparable where it matters). */
@@ -798,9 +1111,41 @@ object DeltaTable {
   private[lake] def decodePath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
+  /** Percent-ENCODING for emitted paths — the exact inverse of
+    * [[decodePath]], so a partition value Spark escapes in directory
+    * names (`%`, `:`) round-trips through the log, and foreign Delta
+    * readers (which URI-decode add paths) resolve the same on-disk
+    * file. URLEncoder form-encodes; three fixups restore URI-path
+    * semantics: space is %20 (not `+`), `/` separates segments, and
+    * `=` stays literal (legal in a path segment, and what Hive-layout
+    * paths conventionally show). */
+  private[lake] def encodePath(p: String): String =
+    java.net.URLEncoder.encode(p, "UTF-8")
+      .replace("+", "%20").replace("%2F", "/").replace("%3D", "=")
+
+  /** [[decodePath]] as a native Spark column expression (url_decode is
+    * codegen'd SQL, not a UDF — the engine-wide no-UDF discipline). */
+  private[lake] def sqlDecodePath(c: Column): Column =
+    url_decode(freplace(c, lit("+"), lit("%2B")))
+
+  /** [[encodePath]] as a native Spark column expression. */
+  private[lake] def sqlEncodePath(c: Column): Column =
+    freplace(freplace(freplace(url_encode(c),
+      lit("+"), lit("%20")), lit("%2F"), lit("/")), lit("%3D"), lit("="))
+
+  /** The file-census frame's schema (decoded paths). */
+  private[lake] val censusSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("stats", StringType),
+    StructField("tags", MapType(StringType, StringType))))
+
   /** Checkpoint parquet schema — the protocol's action columns, subset
-    * we emit. Readers (ours included) select fields by name and ignore
-    * the rest. */
+    * we emit (incl. `remove` tombstone rows within retention and real
+    * add sizes, which foreign readers require). Readers (ours included)
+    * select fields by name and ignore the rest. */
   private[lake] val checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -817,9 +1162,14 @@ object DeltaTable {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("tags", MapType(StringType, StringType))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),
-      StructField("lastUpdated", LongType))))))
+      StructField("lastUpdated", LongType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
 }

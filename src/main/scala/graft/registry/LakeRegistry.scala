@@ -135,6 +135,54 @@ object LakeRegistry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // incremental Delta SOURCE: the sink's txn mirror — a consumer's
+    // high-water mark rides the DOWNSTREAM table, micro-batch pulls read
+    // only new commits' files, a caught-up pull no-ops; the sink must
+    // equal the transform of the full source (streamed ≡ batch).
+    // Fresh roots per run: an incremental pipeline's state is its point.
+    "q_delta_incremental" -> ((s, d) => {
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val srcRoot = tmpRoot(s, d, s"delta_isrc_$u")
+      val snkRoot = tmpRoot(s, d, s"delta_isnk_$u")
+      val src = DeltaTable(srcRoot)
+      val base = docs(s, d)
+      def pull(): Option[Long] =
+        graft.streaming.StreamingDelta.relay(s, srcRoot, snkRoot, "relay")(
+          df => df.filter(col("n_chars") >= 100))
+      src.append(base.filter(col("doc_id") % 3 === 0))
+      pull()
+      src.append(base.filter(col("doc_id") % 3 === 1))
+      src.append(base.filter(col("doc_id") % 3 === 2))
+      pull()
+      pull() // caught up: no-op, sink unchanged
+      bySource(DeltaTable(snkRoot).read(s))
+    }),
+    // incremental OPTIMIZE: size/file-capped dataChange=false batches
+    // converge over multiple commits (the 100 TB maintenance shape);
+    // the snapshot — and so the aggregate — is identical throughout
+    "q_delta_compact_incr" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_opti"))
+      dt.overwrite(docs(s, d).repartition(16), statsFor = Seq("doc_id"))
+      var guard = 0
+      while (dt.compactIncremental(smallBytes = 16L << 30,
+        maxBatchFiles = 6, statsFor = Seq("doc_id")).isDefined &&
+        guard < 32) guard += 1
+      bySource(dt.read(s))
+    }),
+    // incremental OPTIMIZE ZORDER: zcube-tagged capped batches converge
+    // (untagged count strictly decreases); two-dim stats ride each
+    // batch, so the second-dim stats-pruned read stays exact
+    "q_delta_zorder_incr" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_zoi"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      var guard = 0
+      while (dt.optimizeZOrderIncremental("doc_id", "n_chars", bits = 10,
+        maxBatchFiles = 3).isDefined && guard < 32) guard += 1
+      dt.readWhere(s, "n_chars", 150L, 250L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -180,6 +228,14 @@ object LakeRegistry {
     "q_delta_restore" ->
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_zorder" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars BETWEEN 150 AND 250
+        |GROUP BY source""".stripMargin,
+    "q_delta_incremental" ->
+      s"$bySourceSql WHERE n_chars >= 100 GROUP BY source",
+    "q_delta_compact_incr" -> s"$bySourceSql GROUP BY source",
+    "q_delta_zorder_incr" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE n_chars BETWEEN 150 AND 250

@@ -39,8 +39,11 @@ object StreamingCurate {
   private def bandsPath(root: String) = s"$root/bands"
 
   /** One micro-batch's artifact rows: the quality-gated slice of `batch`
-    * (which must carry doc_id, lang, text), fingerprinted and banded. */
-  private def ingestBatch(batch: DataFrame, batchId: Long,
+    * (which must carry doc_id, lang, text), fingerprinted and banded.
+    * Package-visible so the spec can simulate a crash BETWEEN artifact
+    * append and cursor advance (the at-least-once window
+    * [[pullFromDelta]]'s replay contract covers). */
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long,
       root: String): Unit = {
     val quality = batch
       .withColumn("n_tokens", Text.tokenCount(col("text")))
@@ -65,6 +68,41 @@ object StreamingCurate {
         ()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** Incremental ingest FROM a Delta table — the open-format source the
+    * r11 Delta sink was missing its mirror of: pull ONLY the source
+    * commits past this consumer's high-water mark into the curate
+    * artifacts, so a corpus landed via [[StreamingDelta.sink]] feeds
+    * curation without any consumer ever re-reading (or re-shingling)
+    * history. The mark is a `txn` water-mark on a tiny CURSOR Delta
+    * table under the artifact root ([[graft.lake.DeltaTable
+    * .appendIdempotent]]'s primitive, pointed at bookkeeping): artifact
+    * append happens FIRST, cursor advance second, so a crash between
+    * them replays the batch — and serve's keyed `(batch_id, doc_id)`
+    * dedup collapses the replay, the at-least-once contract every
+    * artifact twin in this package shares. The batch_id IS the source
+    * version, so a replayed pull reproduces identical artifact keys.
+    * Returns the source version consumed, or None when caught up. */
+  def pullFromDelta(spark: SparkSession, sourceRoot: String, root: String,
+      consumerId: String = "curate"): Option[Long] = {
+    import graft.lake.DeltaTable
+    val src = DeltaTable(sourceRoot)
+    val cursor = DeltaTable(s"$root/_cursor")
+    val latest = src.latestVersion.getOrElse(return None)
+    val mark =
+      if (cursor.latestVersion.isEmpty) -1L
+      else cursor.txnVersion(consumerId).getOrElse(-1L)
+    if (latest <= mark) return None
+    val fresh = src.changes(spark, mark, latest)
+      .where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    ingestBatch(fresh, batchId = latest, root)
+    import spark.implicits._
+    cursor.appendIdempotent(
+      Seq((consumerId, latest)).toDF("consumer", "source_version"),
+      consumerId, latest)
+    Some(latest)
   }
 
   /** The curated corpus over everything ever ingested — row-identical to

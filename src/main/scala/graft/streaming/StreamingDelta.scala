@@ -46,4 +46,39 @@ object StreamingDelta {
   def deliver(root: String, appId: String, batchId: Long,
       batch: DataFrame): Option[Long] =
     DeltaTable(root).appendIdempotent(batch, appId, batchId)
+
+  /** Incremental Delta SOURCE → Delta SINK relay with exactly-once
+    * END-TO-END semantics — the mirror of the sink's `txn` design: the
+    * consumer's high-water mark is the source VERSION it last folded,
+    * persisted as the txn water-mark (consumerId, sourceVersion) on the
+    * SINK table, so the mark commits ATOMICALLY with the data it
+    * covers. One call = one micro-batch: read the source's CDC feed
+    * over `(mark, latest]` (ONLY the new commits' files are opened —
+    * [[DeltaTable.changes]] never scans the table), apply `transform`,
+    * append to the sink under the txn. Returns the sink version, or
+    * None when there is nothing new OR a replay finds its mark already
+    * committed (crash between read and commit replays the batch; crash
+    * after commit no-ops — at-least-once delivery, exactly-once
+    * effect). `dataChange=false` maintenance (OPTIMIZE/ZORDER) on the
+    * source contributes nothing, per the CDC contract.
+    *
+    * `transform` sees the raw CDC frame (table columns plus
+    * `_change_type`/`_commit_version`) when `cdc=true`; by default it
+    * sees just the INSERTED rows in table schema — the append-only
+    * pipeline shape every incremental consumer in this package uses. */
+  def relay(spark: org.apache.spark.sql.SparkSession, sourceRoot: String,
+      sinkRoot: String, consumerId: String, cdc: Boolean = false)(
+      transform: DataFrame => DataFrame): Option[Long] = {
+    val src = DeltaTable(sourceRoot)
+    val snk = DeltaTable(sinkRoot)
+    val latest = src.latestVersion.getOrElse(return None)
+    val mark = snk.txnVersion(consumerId).getOrElse(-1L)
+    if (latest <= mark) return None
+    val feed = src.changes(spark, mark, latest)
+    val batch =
+      if (cdc) feed
+      else feed.where(org.apache.spark.sql.functions.col("_change_type")
+        === "insert").drop("_change_type", "_commit_version")
+    snk.appendIdempotent(transform(batch), consumerId, latest)
+  }
 }

@@ -250,9 +250,178 @@ class DeltaSpec extends SparkSpec {
     // stats ride the re-add: skipping still prunes post-restore
     assert(t.readWhere(spark, "k", 1L, 1L).count() == 1)
     // a vacuumed-out target refuses loudly instead of half-restoring
+    // (retention 0 opts OUT of the age guard — spec-only; production
+    // keeps the default 7-day horizon against in-flight commits)
     t.overwrite(Seq((7L, "q")).toDF("k", "s"))
-    t.vacuum(1)
+    t.vacuum(1, retentionMs = 0L)
     intercept[IllegalArgumentException](t.restore(v0))
+  }
+
+  test("vacuum: retention horizon keeps young files; .tmp-* scratch is never touched") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    t.overwrite(Seq((2L, "b")).toDF("k", "s")) // v0's file now dead
+    // a scratch dir with a parquet inside simulates an in-flight commit
+    val scratch = Paths.get(t.root, ".tmp-delta-race")
+    Files.createDirectories(scratch)
+    Files.write(scratch.resolve("part-inflight.parquet"), Array[Byte](1, 2))
+    // default retention: the dead file is younger than 7 days -> kept
+    assert(t.vacuum(1) == 0)
+    // zero retention: dead file reclaimed, scratch and live survive
+    assert(t.vacuum(1, retentionMs = 0L) == 1)
+    assert(Files.exists(scratch.resolve("part-inflight.parquet")))
+    assert(vals(t.read(spark)) == Set((2L, "b")))
+  }
+
+  test("pruning is pushed down: the driver collects only surviving files") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 1000 rows range-clustered into 100 files: file i owns [10i, 10i+9]
+    val rows = (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(100, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    t.checkpoint() // census now lives in checkpoint parquet, not the tail
+    assert(t.read(spark).inputFiles.length == 100)
+    // a 4-wide predicate inside one file's envelope: the driver-side
+    // candidate set is ONE AddFile out of 100 — the stat-envelope
+    // comparison ran as a Spark filter over the census DataFrame
+    val cand = t.pruneCandidates(spark, "k", 105L, 108L)
+    assert(cand.size == 1, s"driver materialized ${cand.size} files, want 1")
+    assert(t.readWhere(spark, "k", 105L, 108L).collect()
+      .map(_.getLong(0)).sorted.toSeq == (105L to 108L))
+    // an all-NULL-column file is provably unmatchable -> pruned too
+    val tn = tmpTable()
+    tn.append(Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "s").coalesce(1), statsFor = Seq("k"))
+    tn.append(Seq((Some(5L), "v")).toDF("k", "s").coalesce(1),
+      statsFor = Seq("k"))
+    assert(tn.pruneCandidates(spark, "k", 0L, 10L).size == 1)
+  }
+
+  test("delete keeps NULL rows sharing a file with in-range values (nullCount gate)") {
+    import spark.implicits._
+    val t = tmpTable()
+    // ONE stats-bearing file mixing in-range values with NULLs: min/max
+    // containment alone would fast-drop it and silently lose the NULLs
+    t.append(Seq((Some(5L), "gone"), (Option.empty[Long], "keep"),
+        (Some(7L), "gone2")).toDF("k", "s").coalesce(1), statsFor = Seq("k"))
+    val v = t.delete("k", 0L, 10L)
+    assert(t.read(spark).collect().map(_.getString(1)).toSeq == Seq("keep"))
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(log.contains("\"wholeFilesDropped\":\"0\"")) // rewrite, not drop
+    // and a provably NULL-free in-range file still fast-drops
+    val t2 = tmpTable()
+    t2.append((0 until 10).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    t2.append(Seq((50L, "far")).toDF("k", "s").coalesce(1), statsFor = Seq("k"))
+    val v2 = t2.delete("k", 0L, 10L)
+    val log2 = Files.readAllLines(
+      Paths.get(t2.root, "_delta_log", f"$v2%020d.json")).toArray.mkString
+    assert(log2.contains("\"wholeFilesDropped\":\"1\""))
+    assert(t2.read(spark).collect().map(_.getLong(0)).toSeq == Seq(50L))
+  }
+
+  test("partition values with URI-special chars round-trip through the encoded log") {
+    import spark.implicits._
+    val t = tmpTable()
+    // ':' and '%' are escaped by Spark in dir names (a%3Ab, c%25d); the
+    // log must percent-encode the on-disk '%' so decode round-trips
+    t.overwrite(Seq((1L, "a:b"), (2L, "c%d"), (3L, "e f"))
+      .toDF("k", "color"), partitionBy = Seq("color"))
+    def back() = t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back() == Set((1L, "a:b"), (2L, "c%d"), (3L, "e f")))
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"${0L}%020d.json")).toArray.mkString
+    assert(log.contains("%25"), "on-disk '%' must be %25-encoded in the log")
+    // census decode/encode in SQL is symmetric: checkpoint + read again
+    t.checkpoint()
+    assert(back() == Set((1L, "a:b"), (2L, "c%d"), (3L, "e f")))
+    // the overwrite's removes resolve the same on-disk files
+    t.overwrite(Seq((9L, "z")).toDF("k", "color"), partitionBy = Seq("color"))
+    assert(back() == Set((9L, "z")))
+    assert(t.vacuum(1, retentionMs = 0L) == 3) // dead escaped paths found
+  }
+
+  test("incremental OPTIMIZE converges over capped batches; snapshot identical; CDC silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t = tmpTable()
+    val rows = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartition(10))
+    val v0 = t.latestVersion.get
+    assert(t.read(spark).inputFiles.length == 10)
+    var commits = 0
+    while (t.compactIncremental(smallBytes = 10L << 20,
+        maxBatchBytes = Long.MaxValue / 2, maxBatchFiles = 4,
+        statsFor = Seq("k")).isDefined && commits < 20) commits += 1
+    assert(commits >= 3, s"expected multi-commit convergence, got $commits")
+    assert(t.compactIncremental(smallBytes = 10L << 20).isEmpty) // converged
+    assert(t.read(spark).inputFiles.length == 1)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      (0L until 100L).toSet)
+    // the WHOLE maintenance sequence is dataChange=false: CDC is empty
+    assert(t.changes(spark, v0, t.latestVersion.get).count() == 0)
+    // partition-scoped: each partition-value group compacts separately
+    val tp = tmpTable()
+    tp.overwrite((0 until 40).map(i => (i.toLong, if (i % 2 == 0) "red" else "blue"))
+      .toDF("k", "color").repartition(4), partitionBy = Seq("color"))
+    var n = 0
+    while (tp.compactIncremental(smallBytes = 10L << 20).isDefined && n < 20) n += 1
+    assert(n >= 2, s"one commit per partition group minimum, got $n")
+    assert(tp.read(spark).inputFiles.length == 2) // one file per color
+    assert(tp.read(spark).agg(fsum(col("k"))).head.getLong(0) ==
+      (0 until 40).map(_.toLong).sum)
+  }
+
+  test("incremental ZORDER converges over zcube batches; snapshot identical; CDC silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t = tmpTable()
+    val rows = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32, i.toLong))
+      .toDF("a", "b", "v")
+    t.overwrite(rows.repartitionByRange(8, col("b")), statsFor = Seq("a", "b"))
+    val v0 = t.latestVersion.get
+    var commits = 0
+    while (t.optimizeZOrderIncremental("a", "b", bits = 5,
+        maxBatchFiles = 3).isDefined && commits < 20) commits += 1
+    assert(commits == 3, s"8 files in batches of 3 -> 3 commits, got $commits")
+    // converged: every live file carries a zcube tag now
+    assert(t.optimizeZOrderIncremental("a", "b", bits = 5).isEmpty)
+    assert(t.read(spark).count() == 1024)
+    assert(t.read(spark).agg(fsum("v")).head.getLong(0) ==
+      (0 until 1024).map(_.toLong).sum)
+    assert(t.changes(spark, v0, t.latestVersion.get).count() == 0)
+    // two-dim stats ride the rewrite: a second-dim predicate stays exact
+    assert(t.readWhere(spark, "a", 3L, 4L).count() == 64)
+  }
+
+  test("checkpoint carries real add sizes and retained remove tombstones") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    t.overwrite(Seq((9L, "z")).toDF("k", "s")) // v1 tombstones v0's file
+    t.checkpoint()
+    val cp = spark.read.parquet(
+      Paths.get(t.root, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    import org.apache.spark.sql.functions.col
+    val sizes = cp.where(col("add.path").isNotNull)
+      .select("add.size").collect().map(_.getLong(0))
+    assert(sizes.nonEmpty && sizes.forall(_ > 0L),
+      s"checkpoint add.size must be real, got ${sizes.mkString(",")}")
+    // the v0 tombstone is within retention -> present as a remove row
+    assert(cp.where(col("remove.path").isNotNull).count() >= 1)
+    // tombstones are NOT live files: replay from checkpoint unchanged
+    assert(vals(t.read(spark)) == Set((9L, "z")))
+    // aged-out tombstones drop from the NEXT checkpoint
+    Thread.sleep(5)
+    t.checkpoint(tombstoneRetentionMs = 1L)
+    val cp2 = spark.read.parquet(
+      Paths.get(t.root, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    assert(cp2.where(col("remove.path").isNotNull).count() == 0)
+    assert(vals(t.read(spark)) == Set((9L, "z")))
   }
 
   test("optimize zorder: curve rewrite prunes EITHER dim; snapshot identical; CDC silent") {

@@ -52,4 +52,37 @@ class StreamingCurateSpec extends SparkSpec {
     val afterReplay = StreamingCurate.serve(spark, root).collect().map(key).toSet
     assert(afterReplay == batch, "replayed batch changed the served corpus")
   }
+
+  test("pullFromDelta: incremental Delta-source ingest ≡ batch curate; crash-replay collapses") {
+    import graft.lake.DeltaTable
+    val root = java.nio.file.Files.createTempDirectory("scurate-d").toString
+    val srcRoot = root + "/src"
+    val src = DeltaTable(srcRoot)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    // the corpus lands in the Delta table across two commits, duplicate
+    // clusters straddling the boundary
+    src.append(docs.filter(col("doc_id") % 2 === 0))
+    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).contains(0L))
+    src.append(docs.filter(col("doc_id") % 2 === 1))
+    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).contains(1L))
+    // caught up: no new commits -> no-op
+    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).isEmpty)
+
+    val served = StreamingCurate.serve(spark, root).collect().map(key).toSet
+    val batch = Curate.curate(spark, sfDir).collect().map(key).toSet
+    assert(served == batch, s"served ${served.size} rows != batch ${batch.size}")
+
+    // crash between artifact append and cursor advance: the artifacts
+    // for source v1 land AGAIN (same batch_id = source version); the
+    // next pull is a cursor no-op and serve collapses the replay
+    val replayed = src.changes(spark, 0L, 1L)
+      .where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    StreamingCurate.ingestBatch(replayed, batchId = 1L, root)
+    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).isEmpty)
+    val afterReplay = StreamingCurate.serve(spark, root).collect().map(key).toSet
+    assert(afterReplay == batch, "replayed pull changed the served corpus")
+  }
 }

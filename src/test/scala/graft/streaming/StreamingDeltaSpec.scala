@@ -90,8 +90,47 @@ class StreamingDeltaSpec extends SparkSpec {
       StreamingDelta.deliver(root, "app", i.toLong,
         Seq((i.toLong, s"v$i")).toDF("k", "s")))
     dt.compact()
-    val deleted = dt.vacuum(keepVersions = 1)
+    // default retention keeps just-written files (in-flight-commit guard)
+    assert(dt.vacuum(keepVersions = 1) == 0)
+    val deleted = dt.vacuum(keepVersions = 1, retentionMs = 0L)
     assert(deleted >= 3) // the three micro-batch files are unreferenced now
     assert(keys(dt) == Seq(0L, 1L, 2L))
+  }
+
+  test("relay: Delta source -> transform -> Delta sink is incremental, exactly-once, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val srcRoot = tmp()
+    val snkRoot = tmp()
+    val src = DeltaTable(srcRoot)
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("k") % 2 === 0)
+
+    src.append(Seq((0L, "a"), (1L, "b")).toDF("k", "s"))
+    // pull 1: folds source v0 only
+    assert(StreamingDelta.relay(spark, srcRoot, snkRoot, "c1")(xform)
+      .contains(0L))
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L))
+    src.append(Seq((2L, "c")).toDF("k", "s"))
+    src.append(Seq((3L, "d"), (4L, "e")).toDF("k", "s"))
+    // maintenance on the source is invisible to the feed
+    src.compact()
+    // pull 2: folds v1..v3 (the compact contributes nothing)
+    assert(StreamingDelta.relay(spark, srcRoot, snkRoot, "c1")(xform).isDefined)
+    // streamed ≡ batch: the sink equals the transform of the full source
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 2L, 4L))
+    // caught up: nothing new -> no-op, sink untouched
+    assert(StreamingDelta.relay(spark, srcRoot, snkRoot, "c1")(xform).isEmpty)
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 2L, 4L))
+    // a second consumer has its own mark and re-reads from scratch
+    val snk2 = tmp()
+    assert(StreamingDelta.relay(spark, srcRoot, snk2, "c2")(xform).isDefined)
+    assert(keys(DeltaTable(snk2)) == Seq(0L, 2L, 4L))
+    // CDC mode surfaces change metadata to the transform
+    val snk3 = tmp()
+    StreamingDelta.relay(spark, srcRoot, snk3, "c3", cdc = true)(feed =>
+      feed.where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
+    assert(keys(DeltaTable(snk3)) == Seq(0L, 1L, 2L, 3L, 4L))
   }
 }
