@@ -227,6 +227,46 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** Deterministic synthetic PNG per doc id: the SAME pixel formula as
+    * [[syntheticBmp]] (so any luma disagreement between the two real
+    * decoders is a codec bug, and the oracle closed form is shared),
+    * width 4..7, height 3..5, colorType alternating truecolor (2, RGB)
+    * and truecolor+alpha (6, RGBA) by id parity — alpha
+    * (base+40 mod 256) is planted but luma-invisible — and the scanline
+    * filter CYCLING through all five PNG filter types ((id + y) mod 5),
+    * so the oracled path itself proves every filter inverse, zlib
+    * round-trip, chunk framing and CRC. */
+  private def syntheticPng(id: Long): (Array[Byte], BmpCodec.Image) = {
+    val w = (4 + id % 4).toInt
+    val h = (3 + id % 3).toInt
+    val colorType = if (id % 2 == 0) 2 else 6
+    val payload = PngCodec.encode(w, h, colorType, (x, y) => {
+      val base = id * 7 + y.toLong * w + x
+      ((base % 256).toInt, ((base + 85) % 256).toInt,
+        ((base + 170) % 256).toInt, ((base + 40) % 256).toInt)
+    }, y => ((id + y) % 5).toInt)
+    (payload, PngCodec.decode(payload))
+  }
+
+  /** REAL-codec PNG roundtrip stats: per doc, the synthetic PNG's
+    * decoded dimensions, colorType and luma census — the PNG twin of
+    * [[bmpRoundtrip]], sharing its oracle closed form (byte size is NOT
+    * oracled: deflate output is not SQL-replayable). Any filter-inverse,
+    * zlib, chunk-walk or CRC bug in [[PngCodec]] shows up as a
+    * mismatch. Map-side only; no shuffle beyond the scan. */
+  def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, img) = syntheticPng(id)
+        val lum = img.luma.map(_ & 0xff)
+        (id, img.width, img.height, (2 + 4 * (id % 2)).toInt,
+          lum.map(_.toLong).sum, lum.min, lum.max)
+      })
+      .toDF("doc_id", "width", "height", "color_type",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
   /** Synthetic PCM clip for doc `id`: n = 96 + id mod 64 mono samples at
     * 8 kHz, sample(i) = (id·13 + i²·3 + i·11) mod 4096 − 2048 — all
     * integer, SQL-replayable. ENCODED to real RIFF/WAVE bytes (every

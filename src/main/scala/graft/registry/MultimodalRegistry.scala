@@ -30,6 +30,12 @@ object MultimodalRegistry {
     // REAL-pixel 2-D dHash (6x8 grid over decoded luma) — exact
     // cross-multiplied cell comparisons, oracle replays identical bits
     "q_mm_bmp_phash" -> ((s, d) => Multimodal.bmpDhash(s, d)),
+    // REAL PNG codec roundtrip: synthetic 8-bit RGB/RGBA PNGs (row
+    // filters cycling through ALL FIVE types, zlib + chunk CRCs) encoded
+    // then decoded by the real parser; the oracle recomputes the luma
+    // census from the shared pixel formula — any filter-inverse or
+    // inflate bug = hash mismatch
+    "q_mm_png_decode" -> ((s, d) => Multimodal.pngRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 16-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -90,6 +96,18 @@ object MultimodalRegistry {
          |    AS phash
          |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // PNG luma census from the SAME pixel closed form as the BMP oracle
+    // (alpha is luma-invisible); colorType alternates 2/6 by id parity.
+    // n_bytes deliberately absent: deflate output is not SQL-replayable
+    "q_mm_png_decode" ->
+      s"""WITH $bmpPixelsSql
+         |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+         |  CAST(max(h) AS INTEGER) AS height,
+         |  CAST(2 + 4 * (doc_id % 2) AS INTEGER) AS color_type,
+         |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+         |  CAST(min(luma) AS INTEGER) AS luma_min,
+         |  CAST(max(luma) AS INTEGER) AS luma_max
+         |FROM lum GROUP BY doc_id""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

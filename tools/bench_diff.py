@@ -112,7 +112,35 @@ def contention(artifact):
     return per_query, per_query_raw, base, spread
 
 
+def check_keys(a_path, b_path):
+    """Artifact key-set guard (round-12): exit 1 when the two artifacts
+    do not cover the same query set — the r11 failure mode was an sf1
+    scale artifact silently missing the round's 18 new queries, leaving
+    their scale exponents as unverifiable prose. Usage:
+        bench_diff.py --check-keys BENCH_sf1_full.json BENCH_full_latest.json
+    (second artifact defaults to BENCH_full_latest.json = the registry
+    as of the last full run)."""
+    a, b = load(a_path), load(b_path)
+    ka, kb = set(a["queries"]), set(b["queries"])
+    missing, extra = sorted(kb - ka), sorted(ka - kb)
+    print(f"check-keys: {a_path} ({len(ka)} queries) vs {b_path} ({len(kb)})")
+    for q in missing:
+        print(f"  MISSING from {a_path}: {q}")
+    for q in extra:
+        print(f"  EXTRA in {a_path} (not in registry artifact): {q}")
+    if missing or extra:
+        print(f"FAIL: key sets differ ({len(missing)} missing, {len(extra)} extra)"
+              f" — regenerate {a_path} for the full registry")
+        return 1
+    print("OK: key sets identical")
+    return 0
+
+
 def main():
+    if sys.argv[1:2] == ["--check-keys"]:
+        a = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_full.json"
+        b = sys.argv[3] if len(sys.argv) > 3 else "BENCH_full_latest.json"
+        return check_keys(a, b)
     current = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full_latest.json"
     previous = sys.argv[2] if len(sys.argv) > 2 else pick_previous(current)
     if previous is None:
@@ -136,7 +164,15 @@ def main():
         if not (CROSS_DEADBAND[0] <= r <= CROSS_DEADBAND[1]):
             cross = max(0.5, min(3.0, r))
 
-    cur = {q: cur_raw[q] / cur_idx.get(q, 1.0) / cross for q in common}
+    # Round-12 self-adjudication: when the current artifact carries a
+    # steady re-measure for a query (Bench re-ran apparent >2x
+    # regressions at the tail of the sweep), the ADJUDICATED time is the
+    # comparison value — a mid-segment contention phantom adjudicates
+    # itself away; a real regression reproduces in the re-run and still
+    # flags. Adjudicated values are steady-state raw (no normalization).
+    adjudicated = cur_art.get("adjudicated") or {}
+    cur = {q: (adjudicated[q] if adjudicated.get(q)
+               else cur_raw[q] / cur_idx.get(q, 1.0) / cross) for q in common}
     prev = {q: prev_raw[q] / prev_idx.get(q, 1.0) for q in common}
 
     flagged, seg_suspect = [], []
@@ -165,6 +201,9 @@ def main():
                if cross > ENV_INFLATED else "")
         print(f"  cross-run sentinel ratio: {cross:.3f} "
               f"(current baseline {cur_base}s / previous {prev_base}s){tag}")
+    for q in sorted(set(adjudicated) & set(common)):
+        print(f"  adjudicated {q}: raw {cur_raw[q]:.2f}s -> "
+              f"steady {adjudicated[q]:.2f}s")
     raw_cur_total = sum(cur_raw[q] for q in common)
     raw_prev_total = sum(prev_raw[q] for q in common)
     print(f"  common-set total raw: {raw_prev_total:.1f}s -> "
