@@ -79,6 +79,8 @@ final case class DeltaTable(root: String) {
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.json")
   private def checkpointPath(v: Long): Path =
     logDir.resolve(f"$v%020d.checkpoint.parquet")
+  private def checkpointPartPath(v: Long, part: Int, of: Int): Path =
+    logDir.resolve(f"$v%020d.checkpoint.$part%010d.$of%010d.parquet")
 
   private def listLog(suffix: String): Seq[(Long, Path)] =
     if (!Files.isDirectory(logDir)) Nil
@@ -89,6 +91,32 @@ final case class DeltaTable(root: String) {
         if (name.length == 20 && name.forall(_.isDigit)) Some(name.toLong -> p)
         else None
       }.toSeq.sortBy(_._1)
+
+  /** COMPLETE checkpoints by version, single-file
+    * (`%020d.checkpoint.parquet`) and multi-part
+    * (`%020d.checkpoint.%010d.%010d.parquet`, the protocol's form for
+    * large tables — delta-spark writes these, so reading them is part
+    * of the interop claim). A multi-part checkpoint counts only when
+    * ALL its declared parts are present — a torn upload must read as
+    * "no checkpoint here", falling back to an older one + longer tail,
+    * never a partial census. */
+  private def listCheckpoints(): Seq[(Long, Seq[Path])] = {
+    val single = listLog(".checkpoint.parquet").map { case (v, p) => v -> Seq(p) }
+    val multiRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+    val multi =
+      (if (!Files.isDirectory(logDir)) Nil
+       else Files.list(logDir).iterator.asScala.flatMap { p =>
+         p.getFileName.toString match {
+           case multiRe(v, part, of) => Some((v.toLong, part.toInt, of.toInt, p))
+           case _ => None
+         }
+       }.toSeq)
+        .groupBy { case (v, _, of, _) => (v, of) }
+        .collect { case ((v, of), parts) if parts.map(_._2).toSet == (1 to of).toSet =>
+          v -> parts.sortBy(_._2).map(_._4)
+        }.toSeq
+    (single ++ multi).sortBy { case (v, ps) => (v, ps.size) }
+  }
 
   /** Highest committed version, if any. */
   def latestVersion: Option[Long] = listLog(".json").lastOption.map(_._1)
@@ -115,7 +143,7 @@ final case class DeltaTable(root: String) {
     * recipe [[fileCensus]] turns into a DataFrame. */
   private final case class LogState(version: Long, schema: StructType,
       partitionColumns: Seq[String], txns: Map[String, Long],
-      checkpointFile: Option[Path], tail: Tail)
+      checkpointFiles: Seq[Path], tail: Tail)
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -124,17 +152,17 @@ final case class DeltaTable(root: String) {
     require(target <= latest,
       s"DeltaTable $root: version $target > latest $latest")
 
-    val cp = listLog(".checkpoint.parquet").filter(_._1 <= target).lastOption
+    val cp = listCheckpoints().filter(_._1 <= target).lastOption
     val txns = mutable.HashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1
 
-    cp.foreach { case (_, p) =>
+    cp.foreach { case (_, paths) =>
       // Column-pruned control-row reads: metaData/protocol/txn are a
       // handful of rows; the (possibly 10^7-row) add census is NEVER
       // collected here — it stays behind the [[fileCensus]] DataFrame.
-      val df = spark.read.parquet(p.toString)
+      val df = spark.read.parquet(paths.map(_.toString): _*)
       val cols = df.schema.fieldNames.toSet
       if (cols.contains("protocol"))
         df.select("protocol.minReaderVersion").na.drop().collect()
@@ -216,7 +244,8 @@ final case class DeltaTable(root: String) {
     val schema = schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"DeltaTable $root: no metaData action found up to v$target"))
-    LogState(target, schema, partCols, txns.toMap, cp.map(_._2),
+    LogState(target, schema, partCols, txns.toMap,
+      cp.map(_._2).getOrElse(Nil),
       Tail(active.values.toSeq, masked.toSet, tombstones.toMap))
   }
 
@@ -247,10 +276,10 @@ final case class DeltaTable(root: String) {
     val tailDF = spark.createDataFrame(
       st.tail.adds.map(f => Row(f.path, f.partitionValues, f.size,
         f.modificationTime, f.statsJson.orNull, f.tags)).asJava, censusSchema)
-    st.checkpointFile match {
-      case None => tailDF
-      case Some(p) =>
-        val df = spark.read.parquet(p.toString)
+    st.checkpointFiles match {
+      case Nil => tailDF
+      case cpPaths =>
+        val df = spark.read.parquet(cpPaths.map(_.toString): _*)
         val cpDF = df.schema.find(_.name == "add").map(_.dataType) match {
           case Some(at: StructType) =>
             val names = at.fieldNames.toSet
@@ -321,15 +350,27 @@ final case class DeltaTable(root: String) {
     * never loses rows. A file whose stats PROVE the column is all-NULL
     * (nullCount == numRecords) can never match a range predicate and is
     * pruned — and for [[delete]] that correctly leaves it untouched,
-    * because SQL NULLs never match the predicate either. */
-  private def mayIntersectCol(column: String, dt: DataType,
+    * because SQL NULLs never match the predicate either.
+    *
+    * PARTITION columns (r12) have no per-file stats — every row shares
+    * the `add.partitionValues` entry, so the envelope degenerates to an
+    * exact point comparison on the typed partition value: metadata
+    * partition pruning for readWhere/merge/delete on the same census
+    * filter path (unparseable/null values conservatively kept). */
+  private def mayIntersectCol(st: LogState, column: String,
       lo: Any, hi: Any): Column = {
-    val mn = statBound("minValues", column, dt)
-    val mx = statBound("maxValues", column, dt)
-    val allNull = coalesce(
-      nullCountOf(column) === numRecords && numRecords > 0L, lit(false))
-    coalesce(mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt), lit(true)) &&
-      !allNull
+    val dt = st.schema(column).dataType
+    if (st.partitionColumns.contains(column)) {
+      val v = col("partitionValues").getItem(column).cast(dt)
+      coalesce(v >= lit(lo).cast(dt) && v <= lit(hi).cast(dt), lit(true))
+    } else {
+      val mn = statBound("minValues", column, dt)
+      val mx = statBound("maxValues", column, dt)
+      val allNull = coalesce(
+        nullCountOf(column) === numRecords && numRecords > 0L, lit(false))
+      coalesce(mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt), lit(true)) &&
+        !allNull
+    }
   }
 
   /** Envelope provably inside [lo, hi] AND provably NULL-free — the
@@ -338,13 +379,22 @@ final case class DeltaTable(root: String) {
     * stats-bearing file that mixes in-range values with NULLs on the
     * rewrite path: its NULL rows must survive the delete, and min/max
     * alone cannot see them. Files without stats (or without nullCount)
-    * are conservatively FALSE — always exact, never fast-dropped. */
-  private def containedInCol(column: String, dt: DataType,
+    * are conservatively FALSE — always exact, never fast-dropped.
+    * A PARTITION column's parsed value in range IS containment proof:
+    * every row carries exactly that non-null value, so deleting a whole
+    * partition is pure metadata. */
+  private def containedInCol(st: LogState, column: String,
       lo: Any, hi: Any): Column = {
-    val mn = statBound("minValues", column, dt)
-    val mx = statBound("maxValues", column, dt)
-    coalesce(mn >= lit(lo).cast(dt) && mx <= lit(hi).cast(dt) &&
-      nullCountOf(column) === 0L, lit(false))
+    val dt = st.schema(column).dataType
+    if (st.partitionColumns.contains(column)) {
+      val v = col("partitionValues").getItem(column).cast(dt)
+      coalesce(v >= lit(lo).cast(dt) && v <= lit(hi).cast(dt), lit(false))
+    } else {
+      val mn = statBound("minValues", column, dt)
+      val mx = statBound("maxValues", column, dt)
+      coalesce(mn >= lit(lo).cast(dt) && mx <= lit(hi).cast(dt) &&
+        nullCountOf(column) === 0L, lit(false))
+    }
   }
 
   /** The pruned candidate set for a range predicate, collected
@@ -355,11 +405,44 @@ final case class DeltaTable(root: String) {
   private[lake] def pruneCandidates(spark: SparkSession, column: String,
       lo: Any, hi: Any, version: Option[Long] = None): Seq[AddFile] = {
     val st = logState(spark, version)
-    val dt = st.schema(column).dataType
-    collectAdds(fileCensus(spark, st).where(mayIntersectCol(column, dt, lo, hi)))
+    collectAdds(fileCensus(spark, st).where(mayIntersectCol(st, column, lo, hi)))
   }
 
   // ---- read side --------------------------------------------------------
+
+  /** Latest committed version whose commit timestamp is ≤ `ts` — the
+    * Delta `timestampAsOf` contract. Timestamps come from each commit's
+    * `commitInfo.timestamp` (the commit file's modification time is the
+    * protocol's own fallback for logs that omit it), adjusted to be
+    * monotonically non-decreasing exactly as Delta does (a clock-skewed
+    * commit inherits its predecessor's timestamp), so the answer is
+    * unambiguous. O(log) driver work — commit files are a bounded
+    * metadata plane. Fails loudly when `ts` predates the first commit. */
+  def versionAt(ts: Long): Long = {
+    val mapper = new ObjectMapper
+    val raw = listLog(".json").map { case (v, p) =>
+      val ci = Files.readAllLines(p).asScala.view.filter(_.nonEmpty)
+        .map(mapper.readTree).map(_.get("commitInfo"))
+        .collectFirst {
+          case n if n != null && n.hasNonNull("timestamp") =>
+            n.get("timestamp").asLong
+        }
+      v -> ci.getOrElse(Files.getLastModifiedTime(p).toMillis)
+    }
+    require(raw.nonEmpty, s"DeltaTable $root: no _delta_log commits")
+    val monotonic = raw.tail.scanLeft(raw.head) { case ((_, prev), (v, t)) =>
+      v -> math.max(prev, t)
+    }
+    val at = monotonic.takeWhile(_._2 <= ts).lastOption
+    at.map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"DeltaTable $root: timestamp $ts predates the first commit " +
+        s"(${monotonic.head._2})"))
+  }
+
+  /** [[read]] at the snapshot current as of wall-clock `ts`
+    * (timestampAsOf time travel). */
+  def readAsOf(spark: SparkSession, ts: Long): DataFrame =
+    read(spark, Some(versionAt(ts)))
 
   /** Read the table at `version` (default: latest). Output columns are
     * exactly `schemaString`'s, in order and type — partition columns are
@@ -708,7 +791,8 @@ final case class DeltaTable(root: String) {
     * carry so foreign readers can vacuum safely). Real per-file size
     * and modificationTime ride each add row — `size` is a required add
     * field and foreign readers consume it. */
-  def checkpoint(tombstoneRetentionMs: Long = DefaultRetentionMs): Long = {
+  def checkpoint(tombstoneRetentionMs: Long = DefaultRetentionMs,
+      parts: Int = 1): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
     val now = System.currentTimeMillis
@@ -720,8 +804,9 @@ final case class DeltaTable(root: String) {
     // last-wins by path; tail re-adds cancel — writers never reuse file
     // names, so a tombstoned path cannot be live again)
     val horizon = now - tombstoneRetentionMs
-    val prevTombstones: Map[String, Long] = st.checkpointFile.map { p =>
-      val df = spark.read.parquet(p.toString)
+    val prevTombstones: Map[String, Long] = (if (st.checkpointFiles.isEmpty)
+      None else Some(st.checkpointFiles)).map { paths =>
+      val df = spark.read.parquet(paths.map(_.toString): _*)
       df.schema.find(_.name == "remove").map(_.dataType) match {
         case Some(rt: StructType) if rt.fieldNames.contains("path") =>
           df.where(col("remove.path").isNotNull &&
@@ -763,12 +848,25 @@ final case class DeltaTable(root: String) {
 
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-cp-$token")
-    full.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = Files.list(scratch).iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no part"))
-    Files.move(part, checkpointPath(st.version),
-      StandardCopyOption.REPLACE_EXISTING)
+    // parts > 1: the protocol's MULTI-PART checkpoint
+    // (%020d.checkpoint.%010d.%010d.parquet) — at 10^7 add actions a
+    // single writer task is the bottleneck; N tasks write N parts in
+    // parallel and readers union them. Part COUNT follows the files
+    // Spark actually produced (empty partitions write nothing), so the
+    // name always declares exactly the parts that exist — the
+    // all-parts-present completeness check stays sound.
+    (if (parts <= 1) full.coalesce(1) else full.repartition(parts))
+      .write.mode("overwrite").parquet(scratch.toString)
+    val written = Files.list(scratch).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    require(written.nonEmpty, "checkpoint write produced no part")
+    if (parts <= 1 || written.size == 1)
+      Files.move(written.head, checkpointPath(st.version),
+        StandardCopyOption.REPLACE_EXISTING)
+    else written.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, checkpointPartPath(st.version, i + 1, written.size),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     deleteRecursively(scratch)
     // _last_checkpoint size = action-row count: census count is a
     // columnar metadata-plane count, never a driver materialization
@@ -776,6 +874,7 @@ final case class DeltaTable(root: String) {
     val mapper = new ObjectMapper
     val lc = mapper.createObjectNode
     lc.put("version", st.version).put("size", size)
+    if (parts > 1 && written.size > 1) lc.put("parts", written.size)
     val tmp = logDir.resolve(s".tmp-lc-$token")
     Files.write(tmp, (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve("_last_checkpoint"),
@@ -802,12 +901,11 @@ final case class DeltaTable(root: String) {
   def delete(column: String, lo: Any, hi: Any): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    val dt = st.schema(column).dataType
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
-      .where(mayIntersectCol(column, dt, lo, hi))
+      .where(mayIntersectCol(st, column, lo, hi))
       .select(censusSchema.fieldNames.map(col) :+
-        containedInCol(column, dt, lo, hi).as("_whole"): _*)
+        containedInCol(st, column, lo, hi).as("_whole"): _*)
       .collect()
     val cand = candRows.toSeq.map(rowToAdd)
     if (cand.isEmpty) return st.version

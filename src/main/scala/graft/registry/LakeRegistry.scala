@@ -135,6 +135,41 @@ object LakeRegistry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // multi-part checkpoint (the protocol's large-table form): control
+    // rows + adds split across %010d-of-%010d parts written by parallel
+    // tasks; replay stitches all parts + the JSON tail losslessly
+    "q_delta_checkpoint_parts" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_cpp"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 3 === 0).repartition(4))
+      dt.append(base.filter(col("doc_id") % 3 === 1))
+      dt.checkpoint(parts = 3)
+      dt.append(base.filter(col("doc_id") % 3 === 2))
+      bySource(dt.read(s))
+    }),
+    // partition-value pruning: readWhere on a PARTITION column prunes on
+    // the typed add.partitionValues entry (no per-file stats exist for
+    // it) — metadata pruning on the same census filter path
+    "q_delta_partition_prune" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_pp"))
+      dt.overwrite(docs(s, d).withColumn("bucket", col("doc_id") % 8),
+        partitionBy = Seq("bucket"))
+      dt.readWhere(s, "bucket", 2L, 4L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+    // timestampAsOf time travel: a wall-clock pin between two commits
+    // serves the earlier snapshot (commit timestamps monotonic-adjusted)
+    "q_delta_asof" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_ts"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 3 === 0))
+      Thread.sleep(5)
+      val pin = System.currentTimeMillis
+      Thread.sleep(5)
+      dt.append(base.filter(col("doc_id") % 3 =!= 0))
+      bySource(dt.readAsOf(s, pin))
+    }),
     // incremental Delta SOURCE: the sink's txn mirror — a consumer's
     // high-water mark rides the DOWNSTREAM table, micro-batch pulls read
     // only new commits' files, a caught-up pull no-ops; the sink must
@@ -234,6 +269,14 @@ object LakeRegistry {
         |GROUP BY source""".stripMargin,
     "q_delta_incremental" ->
       s"$bySourceSql WHERE n_chars >= 100 GROUP BY source",
+    "q_delta_checkpoint_parts" -> s"$bySourceSql GROUP BY source",
+    "q_delta_partition_prune" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 8 BETWEEN 2 AND 4
+        |GROUP BY source""".stripMargin,
+    "q_delta_asof" ->
+      s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_compact_incr" -> s"$bySourceSql GROUP BY source",
     "q_delta_zorder_incr" ->
       """SELECT source, count(*) AS n_docs,

@@ -1,6 +1,7 @@
 package graft.lake
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 
@@ -396,6 +397,103 @@ class DeltaSpec extends SparkSpec {
     assert(t.changes(spark, v0, t.latestVersion.get).count() == 0)
     // two-dim stats ride the rewrite: a second-dim predicate stays exact
     assert(t.readWhere(spark, "a", 3L, 4L).count() == 64)
+  }
+
+  test("multi-part checkpoint: parallel parts stitch to one snapshot; torn part-set falls back") {
+    import spark.implicits._
+    val t = tmpTable()
+    val rows = (0 until 200).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(10, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    t.checkpoint(parts = 4)
+    val names = Files.list(Paths.get(t.root, "_delta_log")).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    val partNames = names.filter(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"""))
+    assert(partNames.size >= 2, s"expected multi-part files, got $names")
+    t.append(Seq((500L, "tail")).toDF("k", "s"), statsFor = Seq("k"))
+    // replay stitches all parts + the JSON tail
+    assert(t.read(spark).count() == 201)
+    // stats ride the parts: pruning still collects survivors only
+    assert(t.pruneCandidates(spark, "k", 45L, 47L).size == 1)
+    // a TORN part-set (one part missing) must read as "no checkpoint",
+    // not a partial census: delete a part, replay falls back to pure JSON
+    Files.delete(Paths.get(t.root, "_delta_log", partNames.sorted.head))
+    assert(t.read(spark).count() == 201)
+  }
+
+  test("foreign multi-part checkpoint (delta-spark naming) is read whole") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(3))
+    t.checkpoint() // single-file form first
+    val log = Paths.get(t.root, "_delta_log")
+    val single = log.resolve(f"${0L}%020d.checkpoint.parquet")
+    // split our own checkpoint rows into TWO foreign-named parts:
+    // control rows (add.path null) in part 1, add rows in part 2 —
+    // the row distribution across parts is arbitrary per the protocol
+    import org.apache.spark.sql.functions.col
+    val cp = spark.read.parquet(single.toString)
+    val scratch = Files.createTempDirectory("cpsplit")
+    cp.where(col("add.path").isNull).coalesce(1).write.mode("overwrite")
+      .parquet(scratch.resolve("p1").toString)
+    cp.where(col("add.path").isNotNull).coalesce(1).write.mode("overwrite")
+      .parquet(scratch.resolve("p2").toString)
+    assert(cp.where(col("add.path").isNotNull).count() >= 1)
+    def partOf(dir: String): java.nio.file.Path =
+      Files.list(scratch.resolve(dir)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.delete(single)
+    Files.copy(partOf("p1"),
+      log.resolve(f"${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    Files.copy(partOf("p2"),
+      log.resolve(f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    assert(vals(t.read(spark)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("partition-value pruning: readWhere/delete on a partition column are metadata-pruned") {
+    import spark.implicits._
+    val t = tmpTable()
+    val rows = (0 until 40).map(i => (i.toLong, (i % 4).toLong)).toDF("k", "bucket")
+    t.overwrite(rows, partitionBy = Seq("bucket"))
+    assert(t.read(spark).inputFiles.length >= 4)
+    // the typed partitionValues comparison prunes to ONE partition's files
+    val cand = t.pruneCandidates(spark, "bucket", 2L, 2L)
+    assert(cand.nonEmpty && cand.forall(_.partitionValues("bucket") == "2"))
+    val pruned = t.readWhere(spark, "bucket", 2L, 2L)
+    assert(pruned.collect().map(_.getLong(0)).toSet ==
+      (0 until 40).filter(_ % 4 == 2).map(_.toLong).toSet)
+    // deleting a whole partition is pure metadata: remove-only actions
+    val v = t.delete("bucket", 3L, 3L)
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(!log.contains("\"add\""), "partition delete must not rewrite")
+    assert(t.read(spark).collect().map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("timestampAsOf: versionAt picks the last commit at-or-before ts, monotonic-adjusted") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis
+    Thread.sleep(15)
+    t.overwrite(Seq((2L, "b")).toDF("k", "s"))
+    assert(t.versionAt(mid) == 0L)
+    assert(t.versionAt(System.currentTimeMillis + 1000) == 1L)
+    assert(vals(t.readAsOf(spark, mid)) == Set((1L, "a")))
+    intercept[IllegalArgumentException](t.versionAt(0L)) // predates table
+    // a commit whose recorded timestamp runs BACKWARD inherits its
+    // predecessor's (the Delta monotonicity adjustment): the skewed v1
+    // reads as "committed at t0", NOT at its bogus early clock — so it
+    // neither claims a pre-table slot nor breaks the ordering
+    val logPath = Paths.get(t.root, "_delta_log", f"${1L}%020d.json")
+    val rewritten = new String(Files.readAllBytes(logPath), "UTF-8")
+      .replaceAll("\"timestamp\":\\d+", "\"timestamp\":1")
+    Files.write(logPath, rewritten.getBytes("UTF-8"))
+    assert(t.versionAt(mid) == 1L,
+      "skewed v1 inherits t0, so asOf(mid >= t0) serves it")
+    intercept[IllegalArgumentException](t.versionAt(2L)) // not the bogus clock
   }
 
   test("checkpoint carries real add sizes and retained remove tombstones") {
