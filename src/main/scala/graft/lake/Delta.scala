@@ -159,27 +159,32 @@ final case class DeltaTable(root: String) {
     var minReader = 1
 
     cp.foreach { case (_, paths) =>
-      // Column-pruned control-row reads: metaData/protocol/txn are a
-      // handful of rows; the (possibly 10^7-row) add census is NEVER
-      // collected here — it stays behind the [[fileCensus]] DataFrame.
+      // ONE column-pruned control-row read: metaData/protocol/txn are a
+      // handful of rows, selected together and filtered to non-null so a
+      // single Spark job (not three) fetches them; the (possibly
+      // 10^7-row) add census is NEVER collected here — it stays behind
+      // the [[fileCensus]] DataFrame.
       val df = spark.read.parquet(paths.map(_.toString): _*)
       val cols = df.schema.fieldNames.toSet
-      if (cols.contains("protocol"))
-        df.select("protocol.minReaderVersion").na.drop().collect()
-          .foreach(r => minReader = math.max(minReader, r.getInt(0)))
-      if (cols.contains("metaData"))
-        df.select("metaData.schemaString", "metaData.partitionColumns")
-          .na.drop("all").collect().foreach { r =>
-            if (!r.isNullAt(0)) schemaJson = Some(r.getString(0))
-            if (!r.isNullAt(1)) partCols = r.getSeq[String](1)
-          }
-      if (cols.contains("txn"))
-        df.select("txn.appId", "txn.version").na.drop("all").collect()
-          .foreach { r =>
-            if (!r.isNullAt(0) && !r.isNullAt(1))
-              txns(r.getString(0)) = math.max(
-                txns.getOrElse(r.getString(0), Long.MinValue), r.getLong(1))
-          }
+      def fld(path: String, dt: DataType): Column = {
+        val top = path.split('.').head
+        if (cols(top)) col(path).cast(dt) else lit(null).cast(dt)
+      }
+      val ctrl = df.select(
+        fld("protocol.minReaderVersion", IntegerType).as("_mr"),
+        fld("metaData.schemaString", StringType).as("_schema"),
+        fld("metaData.partitionColumns", ArrayType(StringType)).as("_pc"),
+        fld("txn.appId", StringType).as("_app"),
+        fld("txn.version", LongType).as("_tv"))
+        .na.drop("all").collect()
+      ctrl.foreach { r =>
+        if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
+        if (!r.isNullAt(1)) schemaJson = Some(r.getString(1))
+        if (!r.isNullAt(2)) partCols = r.getSeq[String](2)
+        if (!r.isNullAt(3) && !r.isNullAt(4))
+          txns(r.getString(3)) = math.max(
+            txns.getOrElse(r.getString(3), Long.MinValue), r.getLong(4))
+      }
     }
 
     val from = cp.map(_._1 + 1).getOrElse(0L)
@@ -855,7 +860,12 @@ final case class DeltaTable(root: String) {
     // Spark actually produced (empty partitions write nothing), so the
     // name always declares exactly the parts that exist — the
     // all-parts-present completeness check stays sound.
-    (if (parts <= 1) full.coalesce(1) else full.repartition(parts))
+    // _last_checkpoint's row count is OBSERVED on the write itself (one
+    // job, not a second census computation)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = full.observe(obs,
+      org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+    (if (parts <= 1) observed.coalesce(1) else observed.repartition(parts))
       .write.mode("overwrite").parquet(scratch.toString)
     val written = Files.list(scratch).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -868,9 +878,7 @@ final case class DeltaTable(root: String) {
         StandardCopyOption.REPLACE_EXISTING)
     }
     deleteRecursively(scratch)
-    // _last_checkpoint size = action-row count: census count is a
-    // columnar metadata-plane count, never a driver materialization
-    val size = fileCensus(spark, st).count() + ctrl.size
+    val size = obs.get("rows").asInstanceOf[Long]
     val mapper = new ObjectMapper
     val lc = mapper.createObjectNode
     lc.put("version", st.version).put("size", size)
