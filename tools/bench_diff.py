@@ -173,7 +173,14 @@ def main():
     adjudicated = cur_art.get("adjudicated") or {}
     cur = {q: (adjudicated[q] if adjudicated.get(q)
                else cur_raw[q] / cur_idx.get(q, 1.0) / cross) for q in common}
-    prev = {q: prev_raw[q] / prev_idx.get(q, 1.0) for q in common}
+    # An UNSTABLE previous artifact (r11 failure mode: sentinel spread
+    # 4.68) cannot be deflated by its own segment indexes — dividing by a
+    # contaminated 2.9x index fabricates an impossibly-fast "true" prev
+    # and flags phantom regressions on every query in that segment. Use
+    # the prev RAW values instead and downgrade breaches to SUSPECT.
+    prev_unstable = prev_spread > SPREAD_UNSTABLE
+    prev = {q: prev_raw[q] / (1.0 if prev_unstable else prev_idx.get(q, 1.0))
+            for q in common}
 
     flagged, seg_suspect = [], []
     for q in common:
@@ -220,7 +227,12 @@ def main():
               f" — its segment's sentinel regressed {seg:.2f}x"
               f" (> {SEGMENT_SUSPECT}); re-measure, not a gate failure")
 
-    env_inflated = cross > ENV_INFLATED or cur_spread > SPREAD_UNSTABLE
+    if prev_unstable:
+        print(f"  NOTE: previous artifact is UNSTABLE (spread "
+              f"{prev_spread:.2f}) — raw prev values used, breaches are "
+              f"SUSPECT not FAIL")
+    env_inflated = (cross > ENV_INFLATED or cur_spread > SPREAD_UNSTABLE
+                    or prev_unstable)
 
     ok = True
     if flagged and env_inflated:
