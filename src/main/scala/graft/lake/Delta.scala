@@ -449,6 +449,49 @@ final case class DeltaTable(root: String) {
   def readAsOf(spark: SparkSession, ts: Long): DataFrame =
     read(spark, Some(versionAt(ts)))
 
+  /** Commit history, newest first — the DESCRIBE HISTORY surface:
+    * (version, timestamp, operation, operationParameters, plus the
+    * commit's add/remove action counts, the audit numbers an operator
+    * reads first). Timestamps are monotonic-adjusted like [[versionAt]].
+    * Driver-side parse of the commit files only — O(commits), bounded
+    * metadata plane; the row set is version-count-sized, returned as a
+    * DataFrame so it composes with filters/joins like any table. */
+  def history(spark: SparkSession): DataFrame = {
+    val mapper = new ObjectMapper
+    val raw = listLog(".json").map { case (v, p) =>
+      var ts = 0L
+      var op = ""
+      var params = Map.empty[String, String]
+      var adds = 0L
+      var removes = 0L
+      Files.readAllLines(p).asScala.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val ci = node.get("commitInfo")
+        if (ci != null) {
+          if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong
+          if (ci.hasNonNull("operation")) op = ci.get("operation").asText
+          val pn = ci.get("operationParameters")
+          if (pn != null && !pn.isNull)
+            params = pn.properties.asScala
+              .map(e => e.getKey -> e.getValue.asText).toMap
+        }
+        if (node.has("add")) adds += 1
+        if (node.has("remove")) removes += 1
+      }
+      if (ts == 0L) ts = Files.getLastModifiedTime(p).toMillis
+      (v, ts, op, params, adds, removes)
+    }
+    val monotonic = raw.foldLeft(Vector.empty[(Long, Long, String,
+        Map[String, String], Long, Long)]) { (acc, r) =>
+      val adj = acc.lastOption.map(prev => math.max(prev._2, r._2))
+        .getOrElse(r._2)
+      acc :+ r.copy(_2 = adj)
+    }
+    import spark.implicits._
+    monotonic.reverse.toDF("version", "timestamp", "operation",
+      "operationParameters", "n_adds", "n_removes")
+  }
+
   /** Read the table at `version` (default: latest). Output columns are
     * exactly `schemaString`'s, in order and type — partition columns are
     * recovered from the Hive directory layout and cast back. */

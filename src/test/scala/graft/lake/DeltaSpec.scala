@@ -496,6 +496,23 @@ class DeltaSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.versionAt(2L)) // not the bogus clock
   }
 
+  test("history lists commits newest-first with operations and action counts") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    t.append(Seq((3L, "c")).toDF("k", "s"))
+    t.delete("k", 3L, 3L)
+    val h = t.history(spark).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L)) // newest first
+    assert(h.map(_.getString(2)).toSeq == Seq("DELETE", "WRITE", "WRITE"))
+    val del = h.head
+    assert(del.getMap[String, String](3)("predicate").contains("BETWEEN"))
+    assert(del.getLong(5) >= 1L) // the delete tombstoned at least a file
+    // timestamps are monotonic non-decreasing oldest->newest
+    val ts = h.map(_.getLong(1)).reverse
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("checkpoint carries real add sizes and retained remove tombstones") {
     import spark.implicits._
     val t = tmpTable()
