@@ -227,40 +227,54 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
-  /** Deterministic synthetic PNG per doc id: the SAME pixel formula as
-    * [[syntheticBmp]] (so any luma disagreement between the two real
-    * decoders is a codec bug, and the oracle closed form is shared),
-    * width 4..7, height 3..5, colorType alternating truecolor (2, RGB)
-    * and truecolor+alpha (6, RGBA) by id parity — alpha
-    * (base+40 mod 256) is planted but luma-invisible — and the scanline
-    * filter CYCLING through all five PNG filter types ((id + y) mod 5),
-    * so the oracled path itself proves every filter inverse, zlib
-    * round-trip, chunk framing and CRC. */
-  private def syntheticPng(id: Long): (Array[Byte], BmpCodec.Image) = {
+  /** 16-entry fixture palette for colorType-3 PNGs: entry j =
+    * (17j, (17j+85) mod 256, (17j+170) mod 256) — 17·15 = 255, so the
+    * red channel IS 17j exactly and the oracle luma closed form stays
+    * pure integer arithmetic on the index. */
+  private val PngPalette: Array[(Int, Int, Int)] =
+    Array.tabulate(16)(j => (j * 17, (j * 17 + 85) % 256, (j * 17 + 170) % 256))
+
+  /** Deterministic synthetic PNG per doc id: the SAME pixel base
+    * formula as [[syntheticBmp]] (base = id·7 + y·w + x), width 4..7,
+    * height 3..5, colorType CYCLING through all five 8-bit PNG classes
+    * by id mod 5 — 0 grayscale (gray = base mod 256), 2 RGB, 3 palette
+    * (index = base mod 16 into [[PngPalette]]), 4 gray+alpha, 6 RGBA —
+    * alpha (base+40 mod 256) planted but luma-invisible — and the
+    * scanline filter cycling through all five PNG filter types
+    * ((id + y) mod 5), so the oracled path itself proves every filter
+    * inverse, every colorType's pixel path (PLTE lookup included),
+    * zlib round-trip, chunk framing and CRC. */
+  private def syntheticPng(id: Long): (Array[Byte], PngCodec.Decoded) = {
     val w = (4 + id % 4).toInt
     val h = (3 + id % 3).toInt
-    val colorType = if (id % 2 == 0) 2 else 6
+    val colorType = Array(0, 2, 3, 4, 6)((id % 5).toInt)
     val payload = PngCodec.encode(w, h, colorType, (x, y) => {
       val base = id * 7 + y.toLong * w + x
-      ((base % 256).toInt, ((base + 85) % 256).toInt,
+      val r = if (colorType == 3) (base % 16).toInt else (base % 256).toInt
+      (r, ((base + 85) % 256).toInt,
         ((base + 170) % 256).toInt, ((base + 40) % 256).toInt)
-    }, y => ((id + y) % 5).toInt)
-    (payload, PngCodec.decode(payload))
+    }, y => ((id + y) % 5).toInt,
+      palette = if (colorType == 3) PngPalette else null)
+    (payload, PngCodec.decodeInfo(payload))
   }
 
   /** REAL-codec PNG roundtrip stats: per doc, the synthetic PNG's
-    * decoded dimensions, colorType and luma census — the PNG twin of
-    * [[bmpRoundtrip]], sharing its oracle closed form (byte size is NOT
-    * oracled: deflate output is not SQL-replayable). Any filter-inverse,
-    * zlib, chunk-walk or CRC bug in [[PngCodec]] shows up as a
-    * mismatch. Map-side only; no shuffle beyond the scan. */
+    * decoded dimensions, OBSERVED colorType (parsed from IHDR by the
+    * decoder — not recomputed from the fixture, so a decoder that
+    * mis-handles one colorType's bpp cannot silently satisfy the
+    * oracle) and luma census — the PNG twin of [[bmpRoundtrip]] (byte
+    * size is NOT oracled: deflate output is not SQL-replayable). Any
+    * filter-inverse, palette-lookup, zlib, chunk-walk or CRC bug in
+    * [[PngCodec]] shows up as a mismatch. Map-side only; no shuffle
+    * beyond the scan. */
   def pngRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val (_, img) = syntheticPng(id)
+        val (_, dec) = syntheticPng(id)
+        val img = dec.image
         val lum = img.luma.map(_ & 0xff)
-        (id, img.width, img.height, (2 + 4 * (id % 2)).toInt,
+        (id, img.width, img.height, dec.colorType,
           lum.map(_.toLong).sum, lum.min, lum.max)
       })
       .toDF("doc_id", "width", "height", "color_type",

@@ -8,18 +8,24 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * `java.util.zip.Inflater/Deflater` are the JDK's zlib, and the PNG
   * container (public spec, RFC 2083) is plain chunk framing on top.
   *
-  * Supported, deliberately minimal-but-real: 8-bit-depth truecolor
-  * (colorType 2, RGB) and truecolor+alpha (colorType 6, RGBA),
+  * Supported, deliberately minimal-but-real: ALL FIVE 8-bit-depth
+  * colorTypes — grayscale (0), truecolor (2, RGB), palette (3, PLTE
+  * lookup), grayscale+alpha (4) and truecolor+alpha (6, RGBA) —
   * non-interlaced, ALL FIVE scanline filters (None/Sub/Up/Average/
   * Paeth) — the part of the format that actually exercises a decoder.
-  * Chunk CRCs are VERIFIED (a bit-flipped scrape payload fails loudly,
+  * Palette PNGs are the single most common class in real web scrapes
+  * (icons, logos, screenshots), so colorType 3 is first-class: the
+  * PLTE chunk is CRC-verified, bounds-checked (≤256 entries, every
+  * index < palette size) and resolved to the same luma path. Chunk
+  * CRCs are VERIFIED (a bit-flipped scrape payload fails loudly,
   * never decodes to garbage pixels).
   *
   * Decode FAILS LOUDLY on anything else (bad signature, bad CRC,
-  * palette colorType 3, grayscale 0/4, 16-bit depth, Adam7 interlace,
-  * truncated stream) — the engine-wide loud-failure discipline; a real
-  * corpus routes failures to a counted quarantine, never silently
-  * fakes pixels. Decoded output is the SAME top-down luma grid as
+  * 16-bit depth, Adam7 interlace, missing/oversized PLTE,
+  * out-of-range palette index, truncated or preset-dictionary zlib
+  * stream) — the engine-wide loud-failure discipline; a real corpus
+  * routes failures to a counted quarantine, never silently fakes
+  * pixels. Decoded output is the SAME top-down luma grid as
   * [[BmpCodec.Image]] (integer Rec.601; alpha ignored), so the 2-D
   * dHash and every downstream near-dup tier reuse one pixel path. */
 object PngCodec {
@@ -31,23 +37,30 @@ object PngCodec {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** Bytes per pixel for a supported colorType. */
+  /** Bytes per pixel for a supported 8-bit colorType. */
   private def bppOf(colorType: Int): Int = colorType match {
-    case 2 => 3
-    case 6 => 4
-    case 3 => throw new IllegalArgumentException(
-      "PNG: palette (colorType 3) unsupported")
-    case 0 | 4 => throw new IllegalArgumentException(
-      s"PNG: grayscale colorType $colorType unsupported")
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 3 => 1 // palette index
+    case 4 => 2 // grayscale + alpha
+    case 6 => 4 // RGBA
     case other => throw new IllegalArgumentException(
       s"PNG: unknown colorType $other")
   }
+
+  /** A decoded PNG: the shared top-down luma grid plus the colorType
+    * OBSERVED in IHDR — surfaced so downstream stats report what the
+    * decoder actually parsed, never a recomputation of the fixture. */
+  final case class Decoded(image: BmpCodec.Image, colorType: Int)
 
   /** Parse a PNG into a top-down luma grid ([[BmpCodec.Image]]).
     * Verifies the signature and every chunk CRC, walks chunks to IEND,
     * inflates the concatenated IDAT stream, and inverts the per-row
     * filter. */
-  def decode(payload: Array[Byte]): BmpCodec.Image = {
+  def decode(payload: Array[Byte]): BmpCodec.Image = decodeInfo(payload).image
+
+  /** [[decode]] plus the parsed IHDR colorType. */
+  def decodeInfo(payload: Array[Byte]): Decoded = {
     require(payload.length >= 8 + 25,
       s"PNG: ${payload.length} bytes < signature + IHDR")
     require(Signature.indices.forall(i => payload(i) == Signature(i)),
@@ -56,6 +69,7 @@ object PngCodec {
     var off = 8
     var width = 0; var height = 0; var colorType = -1
     var sawIhdr = false; var sawIend = false
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       require(off + 8 <= payload.length, "PNG: truncated chunk header")
@@ -81,8 +95,16 @@ object PngCodec {
           bppOf(colorType) // validates colorType loudly
           require(interlace == 0, "PNG: Adam7 interlace unsupported")
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PNG: PLTE before IHDR")
+          require(len > 0 && len % 3 == 0 && len <= 256 * 3,
+            s"PNG: PLTE length $len not a multiple of 3 in 3..768")
+          require(palette == null, "PNG: duplicate PLTE chunk")
+          palette = java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + len)
         case "IDAT" =>
           require(sawIhdr, "PNG: IDAT before IHDR")
+          require(colorType != 3 || palette != null, "PNG: IDAT before PLTE "
+            + "(palette colorType 3 requires a PLTE chunk first)")
           idat.write(payload, off + 8, len)
         case "IEND" => sawIend = true
         case _ => () // ancillary chunks (tEXt, pHYs, ...) skipped, CRC-checked
@@ -90,6 +112,8 @@ object PngCodec {
       off += 12 + len
     }
     require(sawIhdr, "PNG: no IHDR chunk")
+    require(colorType != 3 || palette != null, "PNG: palette colorType 3 "
+      + "without a PLTE chunk")
 
     val bpp = bppOf(colorType)
     val stride = width * bpp
@@ -134,16 +158,29 @@ object PngCodec {
       var x = 0
       while (x < width) {
         val o = x * bpp
-        val r = cur(o) & 0xff
-        val g = cur(o + 1) & 0xff
-        val b = cur(o + 2) & 0xff // alpha (colorType 6) ignored for luma
-        luma(y * width + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        luma(y * width + x) = colorType match {
+          case 0 | 4 => cur(o) // gray IS the luma; alpha (4) ignored
+          case 2 | 6 => // alpha (colorType 6) ignored for luma
+            val r = cur(o) & 0xff
+            val g = cur(o + 1) & 0xff
+            val b = cur(o + 2) & 0xff
+            ((299 * r + 587 * g + 114 * b) / 1000).toByte
+          case 3 =>
+            val idx = cur(o) & 0xff
+            if (idx * 3 + 2 >= palette.length) throw new IllegalArgumentException(
+              s"PNG: palette index $idx out of range " +
+                s"(${palette.length / 3} entries) at ($x,$y)")
+            val r = palette(idx * 3) & 0xff
+            val g = palette(idx * 3 + 1) & 0xff
+            val b = palette(idx * 3 + 2) & 0xff
+            ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        }
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    BmpCodec.Image(width, height, luma)
+    Decoded(BmpCodec.Image(width, height, luma), colorType)
   }
 
   /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
@@ -162,10 +199,13 @@ object PngCodec {
     try {
       while (got < want && !inf.finished()) {
         val n = inf.inflate(out, got, want - got)
-        require(n > 0 || inf.finished() || !inf.needsInput,
-          "PNG: truncated IDAT stream")
-        if (n == 0 && inf.needsInput) throw new IllegalArgumentException(
-          "PNG: truncated IDAT stream")
+        // n == 0 while unfinished covers BOTH truncation (needsInput) and
+        // a preset-dictionary stream (needsDictionary, zlib FDICT) — the
+        // latter used to slip past a needsInput-only check and spin this
+        // loop forever on a crafted payload (chunk CRCs are
+        // attacker-computable, so CRC checks don't protect here).
+        if (n == 0 && !inf.finished()) throw new IllegalArgumentException(
+          "PNG: truncated or dictionary-requiring IDAT stream")
         got += n
       }
       require(got == want,
@@ -180,12 +220,18 @@ object PngCodec {
   /** Fixture/spec encoder: top-down (r, g, b[, a]) pixel function →
     * standard PNG bytes with a CALLER-CHOSEN filter per row
     * (`filterOf(y)` ∈ 0..4), so the oracled roundtrip exercises every
-    * filter's inverse, not just the easy None path. `colorType` 2
-    * (RGB, alpha ignored) or 6 (RGBA). */
+    * filter's inverse, not just the easy None path. All five 8-bit
+    * colorTypes: 2 (RGB, alpha ignored), 6 (RGBA), 0 (grayscale — the
+    * pixel function's `r` channel is the gray value), 4 (gray+alpha —
+    * `r` and `a`), 3 (palette — `r` is the palette INDEX; `palette`
+    * required, emitted as a PLTE chunk). */
   def encode(width: Int, height: Int, colorType: Int,
       rgba: (Int, Int) => (Int, Int, Int, Int),
-      filterOf: Int => Int = _ => 0): Array[Byte] = {
+      filterOf: Int => Int = _ => 0,
+      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
     require(width > 0 && height > 0, s"encode: bad dims ${width}x$height")
+    require(colorType != 3 || (palette != null && palette.nonEmpty
+      && palette.length <= 256), "encode: colorType 3 needs 1..256 palette entries")
     val bpp = bppOf(colorType)
     val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
@@ -197,8 +243,17 @@ object PngCodec {
       while (x < width) {
         val (r, g, b, a) = rgba(x, y)
         val o = x * bpp
-        cur(o) = r.toByte; cur(o + 1) = g.toByte; cur(o + 2) = b.toByte
-        if (bpp == 4) cur(o + 3) = a.toByte
+        colorType match {
+          case 0 => cur(o) = r.toByte // gray
+          case 4 => cur(o) = r.toByte; cur(o + 1) = a.toByte
+          case 3 =>
+            require(r >= 0 && r < palette.length,
+              s"encode: palette index $r out of range (${palette.length})")
+            cur(o) = r.toByte
+          case _ =>
+            cur(o) = r.toByte; cur(o + 1) = g.toByte; cur(o + 2) = b.toByte
+            if (bpp == 4) cur(o + 3) = a.toByte
+        }
         x += 1
       }
       val filter = filterOf(y)
@@ -242,6 +297,17 @@ object PngCodec {
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
     ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace 0
     writeChunk(out, "IHDR", ihdr)
+    if (colorType == 3) {
+      val plte = new Array[Byte](palette.length * 3)
+      var j = 0
+      while (j < palette.length) {
+        val (r, g, b) = palette(j)
+        plte(j * 3) = r.toByte; plte(j * 3 + 1) = g.toByte
+        plte(j * 3 + 2) = b.toByte
+        j += 1
+      }
+      writeChunk(out, "PLTE", plte)
+    }
     writeChunk(out, "IDAT", zout.toByteArray)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray

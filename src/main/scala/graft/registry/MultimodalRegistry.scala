@@ -30,11 +30,12 @@ object MultimodalRegistry {
     // REAL-pixel 2-D dHash (6x8 grid over decoded luma) — exact
     // cross-multiplied cell comparisons, oracle replays identical bits
     "q_mm_bmp_phash" -> ((s, d) => Multimodal.bmpDhash(s, d)),
-    // REAL PNG codec roundtrip: synthetic 8-bit RGB/RGBA PNGs (row
-    // filters cycling through ALL FIVE types, zlib + chunk CRCs) encoded
-    // then decoded by the real parser; the oracle recomputes the luma
-    // census from the shared pixel formula — any filter-inverse or
-    // inflate bug = hash mismatch
+    // REAL PNG codec roundtrip: synthetic 8-bit PNGs cycling ALL FIVE
+    // colorTypes (gray 0/4, RGB/RGBA 2/6, palette 3 with PLTE lookup)
+    // AND all five row filters, zlib + chunk CRCs, encoded then decoded
+    // by the real parser; color_type is the DECODER's parsed IHDR value
+    // and the oracle recomputes the luma census per class — any
+    // filter-inverse, palette or inflate bug = hash mismatch
     "q_mm_png_decode" -> ((s, d) => Multimodal.pngRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 16-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
@@ -96,18 +97,35 @@ object MultimodalRegistry {
          |    AS phash
          |FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
          |GROUP BY d.doc_id""".stripMargin,
-    // PNG luma census from the SAME pixel closed form as the BMP oracle
-    // (alpha is luma-invisible); colorType alternates 2/6 by id parity.
-    // n_bytes deliberately absent: deflate output is not SQL-replayable
+    // PNG luma census: colorType cycles 0/2/3/4/6 by doc_id mod 5. Luma
+    // closed form per class — gray (0/4): base mod 256; palette (3):
+    // Rec.601 on entry j = base mod 16 → (17j, (17j+85) mod 256,
+    // (17j+170) mod 256); truecolor (2/6): Rec.601 on the planted
+    // channels. color_type is compared against the DECODER'S parsed
+    // IHDR value. n_bytes deliberately absent: deflate output is not
+    // SQL-replayable
     "q_mm_png_decode" ->
-      s"""WITH $bmpPixelsSql
+      s"""WITH $bmpPixelsSql,
+         |plum AS (
+         |  SELECT doc_id, w, h,
+         |    CASE
+         |      WHEN doc_id % 5 IN (0, 3) THEN base % 256
+         |      WHEN doc_id % 5 = 2 THEN
+         |        (299 * ((base % 16) * 17)
+         |         + 587 * (((base % 16) * 17 + 85) % 256)
+         |         + 114 * (((base % 16) * 17 + 170) % 256)) // 1000
+         |      ELSE (299 * (base % 256) + 587 * ((base + 85) % 256)
+         |            + 114 * ((base + 170) % 256)) // 1000
+         |    END AS luma
+         |  FROM px)
          |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
          |  CAST(max(h) AS INTEGER) AS height,
-         |  CAST(2 + 4 * (doc_id % 2) AS INTEGER) AS color_type,
+         |  CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+         |       WHEN 3 THEN 4 ELSE 6 END AS INTEGER) AS color_type,
          |  CAST(sum(luma) AS BIGINT) AS luma_sum,
          |  CAST(min(luma) AS INTEGER) AS luma_min,
          |  CAST(max(luma) AS INTEGER) AS luma_max
-         |FROM lum GROUP BY doc_id""".stripMargin,
+         |FROM plum GROUP BY doc_id""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

@@ -3,10 +3,12 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Real-codec fidelity: [[PngCodec]] must parse genuine PNG bytes —
-  * chunk framing + CRCs, zlib IDAT, and the INVERSE of all five
-  * scanline filters — exactly, and fail loudly on anything else
-  * (palette, 16-bit, interlace, corrupt CRC, truncated IDAT). Pure
-  * JVM, no SparkSession needed. */
+  * chunk framing + CRCs, zlib IDAT, all five 8-bit colorTypes
+  * (grayscale 0/4, truecolor 2/6, palette 3 with PLTE lookup) and the
+  * INVERSE of all five scanline filters — exactly, and fail loudly on
+  * anything else (16-bit, interlace, corrupt CRC, truncated or
+  * preset-dictionary IDAT, missing PLTE, out-of-range palette index).
+  * Pure JVM, no SparkSession needed. */
 class PngSpec extends AnyFunSuite {
 
   private def gray(v: Int) = (v, v, v, 255)
@@ -37,6 +39,126 @@ class PngSpec extends AnyFunSuite {
       assert(img.luma.map(_ & 0xff).toSeq == expect,
         s"colorType=$colorType filter=$filter")
     }
+  }
+
+  test("grayscale (0) and gray+alpha (4): gray channel IS the luma, every filter") {
+    for (colorType <- Seq(0, 4); filter <- 0 to 4) {
+      val w = 6; val h = 4
+      def pix(x: Int, y: Int) =
+        ((x * 53 + y * 97) % 256, 0, 0, (x * 7 + y) % 256)
+      val bytes = PngCodec.encode(w, h, colorType, pix, _ => filter)
+      val dec = PngCodec.decodeInfo(bytes)
+      assert(dec.colorType == colorType)
+      val expect = for (y <- 0 until h; x <- 0 until w)
+        yield (x * 53 + y * 97) % 256
+      assert(dec.image.luma.map(_ & 0xff).toSeq == expect,
+        s"colorType=$colorType filter=$filter")
+    }
+  }
+
+  test("palette (3): PLTE lookup resolves to the same Rec.601 luma, every filter") {
+    val palette = Array.tabulate(16)(j =>
+      (j * 16, (j * 11 + 3) % 256, (j * 5 + 200) % 256))
+    for (filter <- 0 to 4) {
+      val w = 9; val h = 6
+      def pix(x: Int, y: Int) = ((x * 5 + y * 3) % 16, 0, 0, 0)
+      val bytes = PngCodec.encode(w, h, 3, pix, _ => filter, palette)
+      val dec = PngCodec.decodeInfo(bytes)
+      assert(dec.colorType == 3)
+      val expect = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = palette((x * 5 + y * 3) % 16)
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(dec.image.luma.map(_ & 0xff).toSeq == expect, s"filter=$filter")
+    }
+  }
+
+  test("decodeInfo surfaces the PARSED colorType for every class") {
+    val palette = Array((10, 20, 30), (200, 100, 50))
+    for (ct <- Seq(0, 2, 3, 4, 6)) {
+      val bytes = PngCodec.encode(3, 2, ct,
+        (x, y) => ((x + y) % 2, 5, 9, 77),
+        palette = if (ct == 3) palette else null)
+      assert(PngCodec.decodeInfo(bytes).colorType == ct)
+    }
+  }
+
+  test("palette loud failures: missing PLTE, out-of-range index, oversized PLTE") {
+    val palette = Array((0, 0, 0), (255, 255, 255))
+    val good = PngCodec.encode(4, 3, 3, (x, y) => ((x + y) % 2, 0, 0, 0),
+      palette = palette)
+    // excise the PLTE chunk (offset 8 sig + 25 IHDR; PLTE = 12 + 6 bytes)
+    val plteAt = 8 + 25
+    val noPlte = good.take(plteAt) ++ good.drop(plteAt + 12 + 6)
+    assert(intercept[IllegalArgumentException](PngCodec.decode(noPlte))
+      .getMessage.contains("PLTE"))
+    // the ENCODER refuses an index past its palette
+    assert(intercept[IllegalArgumentException](
+      PngCodec.encode(2, 2, 3, (x, y) => (x, 0, 0, 0),
+        palette = Array((1, 2, 3)))).getMessage.contains("out of range"))
+    // the DECODER refuses an in-stream index past the PLTE end: encode
+    // with a 3-entry palette, then shrink PLTE to 1 entry (excise 6 data
+    // bytes, rewrite length + CRC) so planted index 1 lands out of range
+    val wide = PngCodec.encode(2, 2, 3, (x, y) => (x, 0, 0, 0),
+      palette = Array((1, 2, 3), (4, 5, 6), (7, 8, 9)))
+    val shrunk = {
+      val pre = wide.take(plteAt)          // up to PLTE length field
+      val post = wide.drop(plteAt + 12 + 9) // past old PLTE chunk
+      val data = wide.slice(plteAt + 8, plteAt + 8 + 3) // first entry only
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(pre)
+      out.write(Array[Byte](0, 0, 0, 3))
+      val t = "PLTE".getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      val v = crc.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+      out.write(post)
+      out.toByteArray
+    }
+    assert(intercept[IllegalArgumentException](PngCodec.decode(shrunk))
+      .getMessage.contains("out of range"))
+    assert(PngCodec.decode(wide).width == 2) // in-range control decodes
+  }
+
+  test("preset-dictionary (FDICT) IDAT fails loudly instead of spinning") {
+    // Craft a zlib stream that REQUIRES a preset dictionary: Deflater
+    // with setDictionary emits FDICT in the zlib header; a decoder that
+    // only checks needsInput loops forever on inflate() == 0.
+    val w = 2; val h = 2
+    val raw = new Array[Byte]((w * 3 + 1) * h) // filter 0 rows, zero pixels
+    val defl = new java.util.zip.Deflater()
+    defl.setDictionary("graftdict".getBytes("US-ASCII"))
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](256)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // assemble signature + IHDR(2x2, ct 2) + IDAT(fdict stream) + IEND
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val n = data.length
+      out.write(Array((n >>> 24).toByte, (n >>> 16).toByte,
+        (n >>> 8).toByte, n.toByte))
+      val t = ctype.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      val v = crc.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val ex = intercept[IllegalArgumentException](PngCodec.decode(out.toByteArray))
+    assert(ex.getMessage.contains("dictionary")
+      || ex.getMessage.toLowerCase.contains("truncated"))
   }
 
   test("mixed per-row filters invert (the cross-row Up/Average/Paeth state chain)") {
@@ -70,7 +192,7 @@ class PngSpec extends AnyFunSuite {
     assert(rgb6.luma.toSeq == rgb2.luma.toSeq)
   }
 
-  test("loud failures: signature, CRC, palette, 16-bit, interlace, truncation") {
+  test("loud failures: signature, CRC, PLTE-less palette, 16-bit, interlace, truncation") {
     val good = PngCodec.encode(3, 3, 2, (x, y) => gray(x * 40 + y))
     // bad signature
     val badSig = good.clone(); badSig(0) = 0
@@ -80,7 +202,7 @@ class PngSpec extends AnyFunSuite {
     val badCrc = good.clone(); badCrc(8 + 8 + 8) = (badCrc(8 + 8 + 8) ^ 1).toByte
     assert(intercept[IllegalArgumentException](PngCodec.decode(badCrc))
       .getMessage.contains("CRC"))
-    // palette / grayscale colorTypes and 16-bit depth refuse BEFORE any
+    // PLTE-less palette, 16-bit depth and interlace refuse BEFORE any
     // pixel work (patch IHDR byte + fix its CRC so CRC passes)
     def patched(ihdrOff: Int, value: Byte): Array[Byte] = {
       val b = good.clone()
