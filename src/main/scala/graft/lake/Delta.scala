@@ -331,9 +331,33 @@ final case class DeltaTable(root: String) {
       .toSeq.map(rowToAdd)
 
   /** Live file PATHS only — what a full-table multi-path scan minimally
-    * needs on the driver; the stats JSON never rides along. */
+    * needs on the driver; the stats JSON never rides along (the census
+    * stays a DataFrame and only the single `path` column is collected —
+    * [[livePathsFrame]] is that projection, spec-asserted).
+    *
+    * DOCUMENTED DRIVER BOUND, O(live files) path strings: this is the
+    * standard floor for ANY full-table scan — Spark's own
+    * InMemoryFileIndex holds the identical path list on the driver
+    * before planning splits, so a bounded alternative would only move
+    * the same strings one layer down. Concretely: ~60 bytes/path means
+    * 10⁵ files ≈ 6 MB (routine), 10⁷ files ≈ 600 MB (pathological —
+    * a table that should have been compacted or partition-pruned;
+    * [[readWhere]] collects survivors only and is the prescribed
+    * 100 TB path, and [[compact]]/[[compactIncremental]] are the
+    * maintenance fix).
+    * Stats-bearing columns would multiply that by 10-100×, which is why
+    * they are projected away HERE, not downstream. */
   private def livePaths(spark: SparkSession, st: LogState): Seq[String] =
-    fileCensus(spark, st).select("path").collect().toSeq.map(_.getString(0))
+    livePathsFrame(spark, st).collect().toSeq.map(_.getString(0))
+
+  /** The exact single-column frame [[livePaths]] collects — package-
+    * visible so the spec can prove the full-scan driver payload is the
+    * path strings and NOTHING else (no stats, no partitionValues). */
+  private[lake] def livePathsFrame(spark: SparkSession): DataFrame =
+    livePathsFrame(spark, logState(spark, None))
+
+  private def livePathsFrame(spark: SparkSession, st: LogState): DataFrame =
+    fileCensus(spark, st).select("path")
 
   // ---- stats-envelope pruning, pushed down as Spark filters ------------
 
@@ -408,10 +432,18 @@ final case class DeltaTable(root: String) {
     * files that MAY intersect reach the driver. Package-visible so the
     * spec can prove the driver materializes survivors, not the table. */
   private[lake] def pruneCandidates(spark: SparkSession, column: String,
-      lo: Any, hi: Any, version: Option[Long] = None): Seq[AddFile] = {
-    val st = logState(spark, version)
+      lo: Any, hi: Any, version: Option[Long] = None): Seq[AddFile] =
+    pruneCandidatesOf(spark, logState(spark, version), column, lo, hi)
+
+  /** [[pruneCandidates]] over an ALREADY-RESOLVED snapshot — callers
+    * that also need the snapshot's schema/partitionColumns (readWhere,
+    * merge) pass their own LogState so both planes come from ONE
+    * version: resolving the log twice would let a commit landing
+    * between the two calls mix schema from one snapshot with surviving
+    * files from another (besides doubling the replay cost). */
+  private def pruneCandidatesOf(spark: SparkSession, st: LogState,
+      column: String, lo: Any, hi: Any): Seq[AddFile] =
     collectAdds(fileCensus(spark, st).where(mayIntersectCol(st, column, lo, hi)))
-  }
 
   // ---- read side --------------------------------------------------------
 
@@ -529,7 +561,8 @@ final case class DeltaTable(root: String) {
   def readWhere(spark: SparkSession, column: String, lo: Any, hi: Any,
       version: Option[Long] = None): DataFrame = {
     val st = logState(spark, version)
-    val survivors = pruneCandidates(spark, column, lo, hi, version)
+    // one snapshot for BOTH schema and census — see pruneCandidatesOf
+    val survivors = pruneCandidatesOf(spark, st, column, lo, hi)
     readFiles(spark, st.schema, st.partitionColumns, survivors.map(_.path))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
@@ -913,6 +946,19 @@ final case class DeltaTable(root: String) {
     val written = Files.list(scratch).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     require(written.nonEmpty, "checkpoint write produced no part")
+    // Idempotence means REPLACEMENT: drop every existing checkpoint file
+    // for this version first. Re-checkpointing with a different part
+    // count produces different file names, so REPLACE_EXISTING alone
+    // would leave the previous complete part set behind — listCheckpoints
+    // would then see two complete checkpoints at one version and could
+    // keep preferring the stale one, and derived files would accumulate
+    // in _delta_log forever.
+    val vPrefix = f"${st.version}%020d.checkpoint"
+    Files.list(logDir).iterator.asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(vPrefix) && n.endsWith(".parquet")
+      }.toSeq.foreach(Files.deleteIfExists(_))
     if (parts <= 1 || written.size == 1)
       Files.move(written.head, checkpointPath(st.version),
         StandardCopyOption.REPLACE_EXISTING)
@@ -1125,7 +1171,7 @@ final case class DeltaTable(root: String) {
     val Array(lo, hi) = keyed.agg(fmin(col(keyCol)), fmax(col(keyCol)))
       .collect()(0).toSeq.toArray
     if (lo == null) return st.version // empty source: no-op
-    val cand = pruneCandidates(spark, keyCol, lo, hi)
+    val cand = pruneCandidatesOf(spark, st, keyCol, lo, hi)
     val existing = readFiles(spark, st.schema, st.partitionColumns,
       cand.map(_.path))
     // matched rows take the source version; unmatched keep their row.

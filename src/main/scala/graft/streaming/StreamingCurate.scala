@@ -77,13 +77,23 @@ object StreamingCurate {
     * curation without any consumer ever re-reading (or re-shingling)
     * history. The mark is a `txn` water-mark on a tiny CURSOR Delta
     * table under the artifact root ([[graft.lake.DeltaTable
-    * .appendIdempotent]]'s primitive, pointed at bookkeeping): artifact
-    * append happens FIRST, cursor advance second, so a crash between
-    * them replays the batch — and serve's keyed `(batch_id, doc_id)`
-    * dedup collapses the replay, the at-least-once contract every
-    * artifact twin in this package shares. The batch_id IS the source
-    * version, so a replayed pull reproduces identical artifact keys.
-    * Returns the source version consumed, or None when caught up. */
+    * .appendIdempotent]]'s primitive, pointed at bookkeeping).
+    *
+    * Commits are consumed ONE SOURCE VERSION AT A TIME, with
+    * batch_id = that commit version and the cursor advanced after each:
+    * artifact append happens FIRST, cursor advance second, so a crash
+    * between them replays exactly one commit — under the SAME batch_id
+    * it used the first time, because the batch_id is the commit's own
+    * version, never the pull's end-of-range. (A range pull keyed by its
+    * endpoint broke replay: crash after ingesting (mark, v1] as
+    * batch_id=v1, let a fresh commit land, and the retry re-ingested
+    * the same rows as batch_id=v2 — serve's `(batch_id, doc_id)` dedup
+    * cannot collapse cross-batch duplicates, so the served corpus
+    * duplicated rows.) Per-commit granularity costs one job pair per
+    * source commit when catching up — the source's own write
+    * granularity, and the only unit with stable replay keys.
+    * Returns the newest source version consumed, or None when caught
+    * up. */
   def pullFromDelta(spark: SparkSession, sourceRoot: String, root: String,
       consumerId: String = "curate"): Option[Long] = {
     import graft.lake.DeltaTable
@@ -94,14 +104,18 @@ object StreamingCurate {
       if (cursor.latestVersion.isEmpty) -1L
       else cursor.txnVersion(consumerId).getOrElse(-1L)
     if (latest <= mark) return None
-    val fresh = src.changes(spark, mark, latest)
-      .where(col("_change_type") === "insert")
-      .drop("_change_type", "_commit_version")
-    ingestBatch(fresh, batchId = latest, root)
     import spark.implicits._
-    cursor.appendIdempotent(
-      Seq((consumerId, latest)).toDF("consumer", "source_version"),
-      consumerId, latest)
+    var v = mark + 1
+    while (v <= latest) {
+      val fresh = src.changes(spark, v - 1, v)
+        .where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      ingestBatch(fresh, batchId = v, root)
+      cursor.appendIdempotent(
+        Seq((consumerId, v)).toDF("consumer", "source_version"),
+        consumerId, v)
+      v += 1
+    }
     Some(latest)
   }
 

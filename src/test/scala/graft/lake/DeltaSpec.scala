@@ -421,6 +421,50 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).count() == 201)
   }
 
+  test("full-scan driver payload is path strings ONLY (no stats/partitionValues)") {
+    import spark.implicits._
+    val t = tmpTable()
+    val rows = (0 until 60).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartition(6), statsFor = Seq("k"))
+    val frame = t.livePathsFrame(spark)
+    // the documented O(files) bound is PATH STRINGS: one column, nothing
+    // stats-sized rides to the driver on a full-table scan
+    assert(frame.columns.toSeq == Seq("path"))
+    assert(frame.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.StringType)
+    val paths = frame.collect().map(_.getString(0))
+    assert(paths.length == 6 && paths.forall(_.endsWith(".parquet")))
+  }
+
+  test("re-checkpointing with a different part count REPLACES the old file set") {
+    import spark.implicits._
+    val t = tmpTable()
+    val rows = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(8, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    t.checkpoint(parts = 4)
+    def cpNames() = Files.list(Paths.get(t.root, "_delta_log")).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint") && n.endsWith(".parquet")).toSeq
+    assert(cpNames().size >= 2)
+    // shrink to a single-file checkpoint at the SAME version: the part
+    // files have different names, so a REPLACE_EXISTING move alone would
+    // leave the stale complete part set behind and listCheckpoints could
+    // keep preferring it
+    t.checkpoint(parts = 1)
+    val after = cpNames()
+    assert(after == Seq(f"${0L}%020d.checkpoint.parquet"),
+      s"stale checkpoint files survived: $after")
+    assert(t.read(spark).count() == 100)
+    // and back up to multi-part: the single file must vanish too
+    t.checkpoint(parts = 3)
+    val multi = cpNames()
+    assert(!multi.contains(f"${0L}%020d.checkpoint.parquet")
+      && multi.forall(_.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")),
+      s"single-file checkpoint survived the multi-part rewrite: $multi")
+    assert(t.read(spark).count() == 100)
+  }
+
   test("foreign multi-part checkpoint (delta-spark naming) is read whole") {
     import spark.implicits._
     val t = tmpTable()

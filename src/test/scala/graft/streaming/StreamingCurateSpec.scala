@@ -61,12 +61,26 @@ class StreamingCurateSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
 
-    // the corpus lands in the Delta table across two commits, duplicate
-    // clusters straddling the boundary
-    src.append(docs.filter(col("doc_id") % 2 === 0))
+    // the corpus lands in the Delta table across three commits, duplicate
+    // clusters straddling the boundaries
+    src.append(docs.filter(col("doc_id") % 3 === 0))
     assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).contains(0L))
-    src.append(docs.filter(col("doc_id") % 2 === 1))
-    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).contains(1L))
+    src.append(docs.filter(col("doc_id") % 3 === 1))
+
+    // crash between artifact append and cursor advance: the artifacts
+    // for source v1 land (batch_id = source version 1) but the cursor
+    // still says v0 was the last consumed
+    val crashed = src.changes(spark, 0L, 1L)
+      .where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    StreamingCurate.ingestBatch(crashed, batchId = 1L, root)
+    // ... and a NEW source commit lands BEFORE the retry — the case a
+    // range pull keyed by its endpoint got wrong (it re-ingested v1's
+    // rows under batch_id=2, which the keyed dedup cannot collapse)
+    src.append(docs.filter(col("doc_id") % 3 === 2))
+    // the retry consumes v1 (replayed under the SAME batch_id=1, so the
+    // keyed dedup collapses it) and then v2, one commit at a time
+    assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).contains(2L))
     // caught up: no new commits -> no-op
     assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).isEmpty)
 
@@ -74,13 +88,11 @@ class StreamingCurateSpec extends SparkSpec {
     val batch = Curate.curate(spark, sfDir).collect().map(key).toSet
     assert(served == batch, s"served ${served.size} rows != batch ${batch.size}")
 
-    // crash between artifact append and cursor advance: the artifacts
-    // for source v1 land AGAIN (same batch_id = source version); the
-    // next pull is a cursor no-op and serve collapses the replay
-    val replayed = src.changes(spark, 0L, 1L)
+    // a second crash-replay of v2 verbatim is also collapsed
+    val replayed = src.changes(spark, 1L, 2L)
       .where(col("_change_type") === "insert")
       .drop("_change_type", "_commit_version")
-    StreamingCurate.ingestBatch(replayed, batchId = 1L, root)
+    StreamingCurate.ingestBatch(replayed, batchId = 2L, root)
     assert(StreamingCurate.pullFromDelta(spark, srcRoot, root).isEmpty)
     val afterReplay = StreamingCurate.serve(spark, root).collect().map(key).toSet
     assert(afterReplay == batch, "replayed pull changed the served corpus")
