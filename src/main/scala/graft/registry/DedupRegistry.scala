@@ -263,11 +263,18 @@ object DedupRegistry {
     "q_semdedup" -> ((s, d) => Dedup.semanticDedupSurvivors(s, d, 0.3)),
     // incremental SemDeDup: delta vectors vs the persisted corpus
     // quantizer — corpus neighbors prune regardless of id (arrival-order
-    // wins), in-batch pairs prune min-id-wins; history never re-paired
+    // wins), in-batch pairs prune min-id-wins; history never re-paired.
+    // The corpus/delta split is PROPORTIONAL (lower half of the vec_id
+    // range), so the corpus-built codebook scales with the corpus per
+    // the operator's own contract — a fixed-size corpus fixture pinned
+    // the codebook and made the benched exponent quadratic-by-fixture
+    // (cells stopped subdividing while the delta grew); the 1-row max
+    // fold is deterministic and mirrored in the oracle CTE
     "q_semdedup_incr" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
+      val split = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1) / 2
       Dedup.incrementalSemanticSurvivors(
-        emb.filter(col("vec_id") < 100), emb.filter(col("vec_id") >= 100), 0.3)
+        emb.filter(col("vec_id") < split), emb.filter(col("vec_id") >= split), 0.3)
     }),
     // DSIR importance resampling: per-doc hashed-unigram target/source
     // log-likelihood-ratio weight (target exemplars = English docs;
@@ -747,13 +754,17 @@ object DedupRegistry {
          |FROM (SELECT doc_id, cluster_id,
          |  CAST((${md5BucketSqlOf("cluster_id")}) % 100 AS INTEGER) AS b
          |  FROM cc)""".stripMargin,
-    // corpus ids all precede delta ids in this fixture, so the operator's
-    // (corpus-any OR lower-id-delta) rule collapses to a.vec_id < b.vec_id
+    // corpus = lower HALF of the vec_id range (proportional split,
+    // mirroring the registry's 1-row max fold), so corpus ids all
+    // precede delta ids and the operator's (corpus-any OR
+    // lower-id-delta) rule collapses to a.vec_id < b.vec_id
     "q_semdedup_incr" ->
-      s"""WITH cent AS (
+      s"""WITH sp AS (SELECT (max(vec_id) + 1) // 2 AS s FROM embeddings),
+         |cent AS (
          |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
          |  FROM embeddings
-         |  WHERE vec_id < 100 AND vec_id % ${Quantize.CodebookStep} = 0
+         |  WHERE vec_id < (SELECT s FROM sp)
+         |    AND vec_id % ${Quantize.CodebookStep} = 0
          |    AND vec_id < ${Quantize.CodebookStep.toLong * Quantize.MaxCells}),
          |qscored AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
@@ -768,10 +779,11 @@ object DedupRegistry {
          |pruned AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM massign a JOIN massign b ON a.cell = b.cell
-         |  WHERE b.vec_id >= 100 AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id >= (SELECT s FROM sp) AND a.vec_id < b.vec_id
          |    AND round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3)
          |SELECT vec_id FROM embeddings
-         |WHERE vec_id >= 100 AND vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
+         |WHERE vec_id >= (SELECT s FROM sp)
+         |  AND vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
     "q_gopher_rules" ->
       """WITH w AS (
         |  SELECT doc_id,
