@@ -182,15 +182,34 @@ object FuzzyJoin {
     * Scale shape: the candidate join keys on PREFIX shingles only, and
     * prefixes hold each set's RAREST shingles by construction, so join
     * buckets concentrate at df ≈ 1 — the frequency ordering is itself the
-    * skew defence (mass-duplicated documents still pool in one bucket;
-    * under mass duplication run the exact-dedup tier first, or add the
-    * banding tiers' census cap). The per-pair s* is an argmin GROUP-BY
+    * skew defence. The per-pair s* is an argmin GROUP-BY
     * over the bucket join (same shuffle volume the old pair-distinct
     * paid), only bound-surviving candidates pay the exact
     * `array_intersect` verify, joined against the ONCE-materialized set
     * relation. The per-doc prefix rank is a window over doc_id — each
-    * document's own shingles, never a corpus-wide sort. */
-  def setSimilarityPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * document's own shingles, never a corpus-wide sort.
+    *
+    * SATURATION GUARD (the exactness tax, enforced): an EXACT join
+    * cannot df-cap its candidate buckets without breaking completeness,
+    * so when the corpus vocabulary SATURATES — mass-duplicated
+    * documents, template spam, any shape where "rare" prefix shingles
+    * stop being rare — the lossless candidate join fans out
+    * quadratically with the bucket df and no plan shape can save it.
+    * Before building the candidate join, one cheap agg over the
+    * (already materialized) prefix relation computes the EXACT raw
+    * candidate count Σ_shingle C(bucket, 2); when it exceeds
+    * `maxCandidatesPerDoc` × |docs| the operator REFUSES LOUDLY, naming
+    * the approximate tiers ([[graft.operators.Dedup.containmentLshPairs]],
+    * MinHash banding) and exact-dedup-first as the prescribed path —
+    * a 100 TB user on a pathological corpus gets the cliff as an error
+    * with measured numbers, never as a silent week-long stage. The
+    * default bound (4096 pairs/doc) is ~50× the healthy Heaps-law mass
+    * (observed 86/doc at sf0.1) and ~5× the saturating synthetic sf1
+    * fixture (792/doc) — one more decade of that saturation trips it. */
+  val MaxCandidatesPerDoc = 4096L
+
+  def setSimilarityPairs(docs: DataFrame, threshold: Double,
+      maxCandidatesPerDoc: Long = MaxCandidatesPerDoc): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sets = Dedup.shingleSetRelation(docs).localCheckpoint(false)
     val post = sets.select(col("doc_id"), size(col("sh")).as("len"),
@@ -198,10 +217,35 @@ object FuzzyJoin {
     val dft = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
+    // NOT materialized: measured at both scales, the exchange-reuse
+    // shape (the window's shuffle is shared by both self-join sides and
+    // by the census job) beats a localCheckpoint by ~15% at sf1 — the
+    // census below re-derives pref from the checkpointed `sets`, one
+    // extra small job, cheaper than forcing every consumer through a
+    // materialized copy
     val pref = post.join(dft, "shingle")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
       .select(col("shingle"), col("df"), col("doc_id"), col("len"), col("pos"))
+    // preflight df census: exact raw candidate mass of the prefix
+    // equi-join, ONE small agg job over the prefix relation
+    val censusRow = pref.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1))), lit(0L)).as("p2"),
+        coalesce(max(col("c")), lit(0L)).as("maxBucket")).head()
+    val rawPairs = censusRow.getLong(0) / 2
+    val maxBucket = censusRow.getLong(1)
+    val nDocs = sets.count()
+    if (nDocs > 0 && rawPairs > maxCandidatesPerDoc * nDocs)
+      throw new IllegalStateException(
+        s"setSimilarityPairs: prefix-df saturation — the exact join's raw " +
+        s"candidate mass is $rawPairs pairs over $nDocs docs " +
+        s"(${rawPairs / nDocs}/doc, max prefix bucket $maxBucket), above the " +
+        s"$maxCandidatesPerDoc/doc bound. The corpus vocabulary is saturated " +
+        s"(mass duplication / template spam): an exact set-similarity join " +
+        s"cannot df-cap without losing pairs. Run exact dedup first, or use " +
+        s"the approximate tiers (Dedup.containmentLshPairs, " +
+        s"Dedup.ngramJaccardPairs MinHash banding); raise maxCandidatesPerDoc " +
+        s"only if the quadratic candidate stage is truly acceptable.")
     // per-pair first common shingle s* = argmin by (df, shingle): struct
     // min orders lexicographically, so (df, shingle) picks s* and carries
     // its positions; len_a/len_b ride the grouping key (constant per doc)

@@ -93,6 +93,32 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0.7143)), got.mkString(","))
   }
 
+  test("setSimilarityPairs: saturation guard refuses a mass-duplicated corpus loudly; normal corpus unaffected") {
+    import spark.implicits._
+    // mass duplication: 60 verbatim copies of each of two templates —
+    // every prefix shingle's bucket holds 60 docs, raw candidate mass
+    // ~ prefix·C(60,2) per template, far above 10 pairs/doc
+    val spam = (0 until 120).map(i =>
+      (i.toLong, if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+                 else "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException](
+      FuzzyJoin.setSimilarityPairs(spam, 0.5, maxCandidatesPerDoc = 10L).count())
+    assert(ex.getMessage.contains("saturation")
+      && ex.getMessage.contains("containmentLshPairs"),
+      s"guard message must name the prescribed tiers: ${ex.getMessage}")
+    // the same corpus with the quadratic stage EXPLICITLY accepted still
+    // produces the exact answer (the guard gates, never alters)
+    val accepted = FuzzyJoin.setSimilarityPairs(spam, 0.5,
+      maxCandidatesPerDoc = Long.MaxValue / 1024)
+    assert(accepted.count() == 2L * 60 * 59 / 2)
+    // distinct docs under the DEFAULT bound pass untouched
+    val normal = (0 until 40).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    assert(FuzzyJoin.setSimilarityPairs(normal, 0.5).count() == 0)
+  }
+
   test("groupOverlap: pairwise set Jaccard between group shingle vocabularies; zero-overlap pairs absent; repeats deduped") {
     import spark.implicits._
     val docs = Seq(
