@@ -218,6 +218,25 @@ object LakeRegistry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // DESCRIBE HISTORY: the audit surface as a DataFrame — version,
+    // operation, mode/version parameters and per-commit add/remove
+    // action counts over a deterministic 4-commit sequence (overwrite
+    // as 4 files, append 2, OPTIMIZE to 1, RESTORE to v1). Every count
+    // is protocol-determined: the oracle is the literal expected log.
+    // Timestamps excluded — wall-clock is not oracle-replayable
+    "q_delta_history" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_hist"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 3 === 0).repartition(4))
+      dt.append(base.filter(col("doc_id") % 3 =!= 0).repartition(2))
+      dt.compact()
+      dt.restore(1L)
+      dt.history(s).select(col("version"), col("operation"),
+        element_at(col("operationParameters"), "mode").as("op_mode"),
+        element_at(col("operationParameters"), "version")
+          .as("restored_version"),
+        col("n_adds"), col("n_removes"))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -288,5 +307,17 @@ object LakeRegistry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source IN ('src3', 'src7', 'src11')
         |GROUP BY source, lang""".stripMargin,
+    // the literal protocol-determined log: 4-file overwrite, 2-file
+    // append, whole-table OPTIMIZE (1 add, 6 removes), RESTORE to v1
+    // (re-adds the 6 originals, removes the compacted file)
+    "q_delta_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), 'RESTORE', CAST(NULL AS VARCHAR), '1',
+        |   CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (2, 'OPTIMIZE', NULL, NULL, 1, 6),
+        |  (1, 'WRITE', 'Append', NULL, 2, 0),
+        |  (0, 'WRITE', 'Overwrite', NULL, 4, 0))
+        | AS t(version, operation, op_mode, restored_version,
+        |      n_adds, n_removes)""".stripMargin,
   )
 }
