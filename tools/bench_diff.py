@@ -211,6 +211,14 @@ def main():
     for q in sorted(set(adjudicated) & set(common)):
         print(f"  adjudicated {q}: raw {cur_raw[q]:.2f}s -> "
               f"steady {adjudicated[q]:.2f}s")
+    # First-class adjudicated totals (round-13): the artifact carries
+    # value_adjudicated = raw total with adjudicated substitutions, so
+    # the honest headline never has to be recomputed from the two maps.
+    for name, art in ((current, cur_art), (previous, prev_art)):
+        va = art.get("value_adjudicated")
+        if va is not None:
+            print(f"  {name}: value={float(art.get('value', 0)):.1f}s "
+                  f"value_adjudicated={float(va):.1f}s")
     raw_cur_total = sum(cur_raw[q] for q in common)
     raw_prev_total = sum(prev_raw[q] for q in common)
     print(f"  common-set total raw: {raw_prev_total:.1f}s -> "
