@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, get_json_object, lit, map, replace => freplace, struct, url_decode, url_encode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, from_json, get_json_object, lit, map, regexp_replace, replace => freplace, sort_array, struct, to_json, url_decode, url_encode}
 import org.apache.spark.sql.types._
 
 /** Delta Lake TRANSACTION-LOG interop — reads and writes the actual
@@ -126,7 +126,7 @@ final case class DeltaTable(root: String) {
   private[lake] final case class AddFile(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, statsJson: Option[String],
-      tags: Map[String, String])
+      tags: Map[String, String], dv: Option[String] = None)
 
   /** Tail overlay on top of the checkpoint: `adds` is the tail's final
     * live set (last action per path wins, applied driver-side — the
@@ -143,7 +143,14 @@ final case class DeltaTable(root: String) {
     * recipe [[fileCensus]] turns into a DataFrame. */
   private final case class LogState(version: Long, schema: StructType,
       partitionColumns: Seq[String], txns: Map[String, Long],
-      checkpointFiles: Seq[Path], tail: Tail)
+      checkpointFiles: Seq[Path], tail: Tail,
+      minReader: Int = 1, minWriter: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
+
+  /** Reader features this implementation actually honors (protocol v3):
+    * add.deletionVector descriptors are applied at every read. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -157,6 +164,9 @@ final case class DeltaTable(root: String) {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1
+    var minWriter = 2
+    val readerFeats = mutable.HashSet.empty[String]
+    val writerFeats = mutable.HashSet.empty[String]
 
     cp.foreach { case (_, paths) =>
       // ONE column-pruned control-row read: metaData/protocol/txn are a
@@ -175,7 +185,10 @@ final case class DeltaTable(root: String) {
         fld("metaData.schemaString", StringType).as("_schema"),
         fld("metaData.partitionColumns", ArrayType(StringType)).as("_pc"),
         fld("txn.appId", StringType).as("_app"),
-        fld("txn.version", LongType).as("_tv"))
+        fld("txn.version", LongType).as("_tv"),
+        fld("protocol.minWriterVersion", IntegerType).as("_mw"),
+        fld("protocol.readerFeatures", ArrayType(StringType)).as("_rf"),
+        fld("protocol.writerFeatures", ArrayType(StringType)).as("_wf"))
         .na.drop("all").collect()
       ctrl.foreach { r =>
         if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
@@ -184,6 +197,9 @@ final case class DeltaTable(root: String) {
         if (!r.isNullAt(3) && !r.isNullAt(4))
           txns(r.getString(3)) = math.max(
             txns.getOrElse(r.getString(3), Long.MinValue), r.getLong(4))
+        if (!r.isNullAt(5)) minWriter = math.max(minWriter, r.getInt(5))
+        if (!r.isNullAt(6)) readerFeats ++= r.getSeq[String](6)
+        if (!r.isNullAt(7)) writerFeats ++= r.getSeq[String](7)
       }
     }
 
@@ -204,8 +220,18 @@ final case class DeltaTable(root: String) {
         val remove = node.get("remove")
         val meta = node.get("metaData")
         val protocol = node.get("protocol")
-        if (protocol != null && protocol.hasNonNull("minReaderVersion"))
+        if (protocol != null && protocol.hasNonNull("minReaderVersion")) {
           minReader = math.max(minReader, protocol.get("minReaderVersion").asInt)
+          if (protocol.hasNonNull("minWriterVersion"))
+            minWriter = math.max(minWriter,
+              protocol.get("minWriterVersion").asInt)
+          if (protocol.hasNonNull("readerFeatures"))
+            readerFeats ++= protocol.get("readerFeatures").elements.asScala
+              .map(_.asText)
+          if (protocol.hasNonNull("writerFeatures"))
+            writerFeats ++= protocol.get("writerFeatures").elements.asScala
+              .map(_.asText)
+        }
         if (meta != null) {
           if (meta.hasNonNull("schemaString"))
             schemaJson = Some(meta.get("schemaString").asText)
@@ -219,8 +245,11 @@ final case class DeltaTable(root: String) {
             if (add.hasNonNull(k)) add.get(k).asLong else 0L
           val st = if (add.hasNonNull("stats")) Some(add.get("stats").asText)
                    else None
+          val dv = if (add.hasNonNull("deletionVector"))
+            Some(mapper.writeValueAsString(add.get("deletionVector")))
+          else None
           active(path) = AddFile(path, mapOf(add, "partitionValues"),
-            lng("size"), lng("modificationTime"), st, mapOf(add, "tags"))
+            lng("size"), lng("modificationTime"), st, mapOf(add, "tags"), dv)
           masked += path
           tombstones.remove(path)
         }
@@ -242,16 +271,24 @@ final case class DeltaTable(root: String) {
       }
     }
 
-    require(minReader <= 1,
-      s"DeltaTable $root: minReaderVersion $minReader requires reader " +
-        "features (column mapping / deletion vectors) this reader does not " +
-        "implement — refusing to mis-read the table")
+    // Reader-version gate, per the protocol's table-features contract:
+    // v1/v2 always readable; v3 readable exactly when EVERY declared
+    // readerFeature is one this implementation honors (deletionVectors);
+    // anything else (column mapping, v2 checkpoints, ...) refuses loudly
+    // rather than mis-reads.
+    val unsupported = readerFeats.toSet -- SupportedReaderFeatures
+    require(minReader <= 1 || (minReader == 3 && unsupported.isEmpty),
+      s"DeltaTable $root: minReaderVersion $minReader with reader features " +
+        s"${readerFeats.toSeq.sorted.mkString(",")} — unsupported: " +
+        s"${unsupported.toSeq.sorted.mkString(",")}; refusing to mis-read " +
+        "the table")
     val schema = schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"DeltaTable $root: no metaData action found up to v$target"))
     LogState(target, schema, partCols, txns.toMap,
       cp.map(_._2).getOrElse(Nil),
-      Tail(active.values.toSeq, masked.toSet, tombstones.toMap))
+      Tail(active.values.toSeq, masked.toSet, tombstones.toMap),
+      minReader, minWriter, readerFeats.toSet, writerFeats.toSet)
   }
 
   /** Highest committed `txn` version for a writer appId (the protocol's
@@ -280,7 +317,8 @@ final case class DeltaTable(root: String) {
   private def fileCensus(spark: SparkSession, st: LogState): DataFrame = {
     val tailDF = spark.createDataFrame(
       st.tail.adds.map(f => Row(f.path, f.partitionValues, f.size,
-        f.modificationTime, f.statsJson.orNull, f.tags)).asJava, censusSchema)
+        f.modificationTime, f.statsJson.orNull, f.tags,
+        f.dv.orNull)).asJava, censusSchema)
     st.checkpointFiles match {
       case Nil => tailDF
       case cpPaths =>
@@ -300,7 +338,10 @@ final case class DeltaTable(root: String) {
                 coalesce(fld("modificationTime", LongType), lit(0L))
                   .as("modificationTime"),
                 fld("stats", StringType).as("stats"),
-                fld("tags", MapType(StringType, StringType)).as("tags"))
+                fld("tags", MapType(StringType, StringType)).as("tags"),
+                (if (names("deletionVector"))
+                   to_json(col("add.deletionVector"))
+                 else lit(null).cast(StringType)).as("dv"))
           case _ =>
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], censusSchema)
         }
@@ -320,7 +361,8 @@ final case class DeltaTable(root: String) {
     if (r.isNullAt(2)) 0L else r.getLong(2),
     if (r.isNullAt(3)) 0L else r.getLong(3),
     if (r.isNullAt(4)) None else Some(r.getString(4)),
-    if (r.isNullAt(5)) Map.empty else r.getMap[String, String](5).toMap)
+    if (r.isNullAt(5)) Map.empty else r.getMap[String, String](5).toMap,
+    if (r.isNullAt(6)) None else Some(r.getString(6)))
 
   /** Collect a (pre-filtered!) census frame to AddFiles — every caller
     * is responsible for pruning first; the only full collects left are
@@ -329,6 +371,17 @@ final case class DeltaTable(root: String) {
   private def collectAdds(census: DataFrame): Seq[AddFile] =
     census.select(censusSchema.fieldNames.map(col): _*).collect()
       .toSeq.map(rowToAdd)
+
+  /** (path, dv descriptor) pairs for [[readFilesDv]]. */
+  private def dvPairs(files: Seq[AddFile]): Seq[(String, Option[String])] =
+    files.map(f => f.path -> f.dv)
+
+  /** path → dv descriptor map for [[commit]]'s remove emission, so a
+    * removed DV-bearing file's descriptor rides its remove action (the
+    * protocol's shape; [[changes]] needs it to read the removed rows
+    * as they logically were). */
+  private def dvMapOf(files: Seq[AddFile]): Map[String, String] =
+    files.flatMap(f => f.dv.map(f.path -> _)).toMap
 
   /** Live file PATHS only — what a full-table multi-path scan minimally
     * needs on the driver; the stats JSON never rides along (the census
@@ -348,16 +401,25 @@ final case class DeltaTable(root: String) {
     * Stats-bearing columns would multiply that by 10-100×, which is why
     * they are projected away HERE, not downstream. */
   private def livePaths(spark: SparkSession, st: LogState): Seq[String] =
-    livePathsFrame(spark, st).collect().toSeq.map(_.getString(0))
+    livePathDvs(spark, st).map(_._1)
 
-  /** The exact single-column frame [[livePaths]] collects — package-
+  /** (path, deletionVector descriptor) pairs — what a full-table scan
+    * minimally needs: the path strings plus, for the (few, boundary-
+    * delete-produced) DV-bearing files, a ~100-byte descriptor. */
+  private def livePathDvs(spark: SparkSession,
+      st: LogState): Seq[(String, Option[String])] =
+    livePathsFrame(spark, st).collect().toSeq
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+
+  /** The exact two-column frame [[livePathDvs]] collects — package-
     * visible so the spec can prove the full-scan driver payload is the
-    * path strings and NOTHING else (no stats, no partitionValues). */
+    * path strings (plus tiny DV descriptors) and NOTHING else (no
+    * stats, no partitionValues). */
   private[lake] def livePathsFrame(spark: SparkSession): DataFrame =
     livePathsFrame(spark, logState(spark, None))
 
   private def livePathsFrame(spark: SparkSession, st: LogState): DataFrame =
-    fileCensus(spark, st).select("path")
+    fileCensus(spark, st).select("path", "dv")
 
   // ---- stats-envelope pruning, pushed down as Spark filters ------------
 
@@ -529,16 +591,31 @@ final case class DeltaTable(root: String) {
     * recovered from the Hive directory layout and cast back. */
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val st = logState(spark, version)
-    readFiles(spark, st.schema, st.partitionColumns, livePaths(spark, st))
+    readFilesDv(spark, st.schema, st.partitionColumns, livePathDvs(spark, st))
   }
 
   private def readFiles(spark: SparkSession, schema: StructType,
-      partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame = {
-    if (relPaths.isEmpty)
+      partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame =
+    readFilesDv(spark, schema, partitionColumns,
+      relPaths.map(_ -> (None: Option[String])))
+
+  /** [[readFiles]] with per-file deletionVector descriptors applied:
+    * rows whose `_metadata.row_index` is in the file's DV are DROPPED
+    * via a broadcast anti-join on (file, row index). The DV row sets
+    * materialize on the driver (O(Σ cardinality) — deletion vectors are
+    * boundary-delete artifacts, purged by every OPTIMIZE/compaction
+    * rewrite, so their total cardinality stays a small fraction of the
+    * table by construction); files without a DV pay NOTHING — the
+    * anti-join is added only when at least one descriptor is present,
+    * so the DV-free fast path is byte-identical to before. */
+  private def readFilesDv(spark: SparkSession, schema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[(String, Option[String])]): DataFrame = {
+    if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val paths = relPaths.map(f => Paths.get(absRoot, f).toString)
+    val paths = files.map { case (f, _) => Paths.get(absRoot, f).toString }
     val dataSchema = StructType(
       schema.filterNot(f => partitionColumns.contains(f.name)))
     val raw =
@@ -546,7 +623,28 @@ final case class DeltaTable(root: String) {
         spark.read.schema(dataSchema).parquet(paths: _*)
       else
         spark.read.option("basePath", absRoot).schema(dataSchema).parquet(paths: _*)
-    raw.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dvFiles = files.collect { case (p, Some(json)) => (p, json) }
+    val live =
+      if (dvFiles.isEmpty) raw
+      else {
+        val dvRows = dvFiles.flatMap { case (rel, json) =>
+          val abs = Paths.get(absRoot, rel).toString
+          DeletionVectors.read(root, DeletionVectors.fromJson(json))
+            .map(ri => Row(abs, ri))
+        }
+        val dvDF = spark.createDataFrame(dvRows.asJava, StructType(Seq(
+          StructField("_dv_file", StringType), StructField("_dv_row", LongType))))
+        raw
+          // normalize "file:/..." vs "file:///..." URI forms to the bare
+          // absolute path so the join key matches the driver-built one
+          .withColumn("_g_fp",
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          .withColumn("_g_ri", col("_metadata.row_index"))
+          .join(broadcast(dvDF),
+            col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
+            "left_anti")
+      }
+    live.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
@@ -563,7 +661,7 @@ final case class DeltaTable(root: String) {
     val st = logState(spark, version)
     // one snapshot for BOTH schema and census — see pruneCandidatesOf
     val survivors = pruneCandidatesOf(spark, st, column, lo, hi)
-    readFiles(spark, st.schema, st.partitionColumns, survivors.map(_.path))
+    readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors))
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -576,12 +674,13 @@ final case class DeltaTable(root: String) {
     * index [[readWhere]] prunes by. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
       statsFor: Seq[String] = Nil): Long = {
-    // paths-only collect of the replaced snapshot (no stats ride along)
+    // (path, dv)-only collect of the replaced snapshot (no stats ride)
     val removed = latestVersion.map { v =>
-      livePaths(df.sparkSession, logState(df.sparkSession, Some(v)))
+      livePathDvs(df.sparkSession, logState(df.sparkSession, Some(v)))
     }.getOrElse(Nil)
-    commit(df, partitionBy, removed, "WRITE",
-      Map("mode" -> "Overwrite"), statsFor = statsFor)
+    commit(df, partitionBy, removed.map(_._1), "WRITE",
+      Map("mode" -> "Overwrite"), statsFor = statsFor,
+      removeDvs = removed.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
   /** Append `df`'s rows as new files. Returns the committed version. */
@@ -614,13 +713,18 @@ final case class DeltaTable(root: String) {
   def compact(numFiles: Int = 1): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    val paths = livePaths(spark, st)
-    val current = readFiles(spark, st.schema, st.partitionColumns, paths)
+    // whole-table maintenance verb: full (path, dv) collect, documented
+    val files = livePathDvs(spark, st)
+    val current = readFilesDv(spark, st.schema, st.partitionColumns, files)
     val compacted =
       if (st.partitionColumns.isEmpty) current.repartition(numFiles)
       else current.repartition(numFiles, st.partitionColumns.map(col): _*)
-    commit(compacted, st.partitionColumns, paths, "OPTIMIZE", Map.empty,
-      dataChange = false)
+    // DVs are PURGED by the physical rewrite (deleted rows are dropped
+    // for real), so the logical snapshot is unchanged: dataChange=false
+    // stays correct and the new adds carry no descriptor
+    commit(compacted, st.partitionColumns, files.map(_._1), "OPTIMIZE",
+      Map.empty, dataChange = false,
+      removeDvs = files.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
   /** ONE size-capped OPTIMIZE step — the maintenance shape that
@@ -653,11 +757,11 @@ final case class DeltaTable(root: String) {
       // soft caps: the first 2 files always ride (else no progress)
       val capped = takeCapped(sorted, minFiles = 2, maxBatchBytes,
         maxBatchFiles)
-      val rewritten = readFiles(spark, st.schema, st.partitionColumns,
-        capped.map(_.path)).repartition(1)
+      val rewritten = readFilesDv(spark, st.schema, st.partitionColumns,
+        dvPairs(capped)).repartition(1)
       commit(rewritten, st.partitionColumns, capped.map(_.path), "OPTIMIZE",
         Map("batchFiles" -> capped.size.toString, "incremental" -> "true"),
-        dataChange = false, statsFor = statsFor)
+        dataChange = false, statsFor = statsFor, removeDvs = dvMapOf(capped))
     }
   }
 
@@ -683,7 +787,8 @@ final case class DeltaTable(root: String) {
       removePaths: Seq[String], op: String, opParams: Map[String, String],
       txn: Option[(String, Long)] = None, dataChange: Boolean = true,
       statsFor: Seq[String] = Nil,
-      tags: Map[String, String] = Map.empty): Long = {
+      tags: Map[String, String] = Map.empty,
+      removeDvs: Map[String, String] = Map.empty): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
@@ -805,6 +910,9 @@ final case class DeltaTable(root: String) {
       val rm = mapper.createObjectNode
       rm.put("path", encodePath(p)).put("deletionTimestamp", now)
         .put("dataChange", dataChange)
+      removeDvs.get(p).foreach(dvJson =>
+        rm.set[ObjectNode]("deletionVector",
+          mapper.readTree(dvJson).asInstanceOf[ObjectNode]))
       actions += wrap(mapper, "remove", rm)
     }
     moved.foreach { case (path, size, pv) =>
@@ -904,8 +1012,11 @@ final case class DeltaTable(root: String) {
 
     def ctrlRow(proto: Row = null, meta: Row = null, txn: Row = null,
         rm: Row = null): Row = Row(proto, meta, null, txn, rm)
+    val protoRow = Row(st.minReader, st.minWriter,
+      if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted,
+      if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq.sorted)
     val ctrl: Seq[Row] =
-      ctrlRow(proto = Row(1, 2)) +:
+      ctrlRow(proto = protoRow) +:
       ctrlRow(meta = Row(tableId, Row("parquet"), st.schema.json,
         st.partitionColumns, now)) +:
       (st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
@@ -920,7 +1031,8 @@ final case class DeltaTable(root: String) {
       lit(null).cast(checkpointSchema("metaData").dataType).as("metaData"),
       struct(sqlEncodePath(col("path")).as("path"), col("partitionValues"),
         col("size"), col("modificationTime"), lit(true).as("dataChange"),
-        col("stats"), col("tags")).as("add"),
+        col("stats"), col("tags"),
+        from_json(col("dv"), dvStructType).as("deletionVector")).as("add"),
       lit(null).cast(checkpointSchema("txn").dataType).as("txn"),
       lit(null).cast(checkpointSchema("remove").dataType).as("remove"))
     val full = ctrlDF.unionByName(
@@ -988,14 +1100,28 @@ final case class DeltaTable(root: String) {
     *     deleting one day from a day-clustered 100 TB table is pure
     *     metadata;
     *   - boundary files (including any file whose stats cannot prove
-    *     null-freeness) → read, matching rows filtered out, survivors
-    *     rewritten (with fresh stats, so the skipping index stays live).
+    *     null-freeness) → by default a DELETION VECTOR (protocol
+    *     readerVersion 3, feature `deletionVectors`): the file's
+    *     matching ROW INDEXES are written as a Roaring bitmap and the
+    *     same path is re-added with the descriptor — a boundary delete
+    *     on a 1 GB file costs a few KB of bitmap instead of a 1 GB
+    *     rewrite, the dominant DELETE cost at 100 TB. A repeat delete
+    *     MERGES into the existing DV (set union); a DV that comes to
+    *     cover every physical row collapses to a remove-only action.
+    *     With `useDeletionVectors = false`, boundary files are read,
+    *     matching rows filtered out, survivors rewritten (with fresh
+    *     stats) — the pre-DV shape; DV'd files keep wide-bounds stats
+    *     (still-valid envelopes), which every OPTIMIZE rewrite
+    *     re-tightens as it purges the DVs.
     * Rows whose `column` is NULL never match a range predicate and are
     * kept, per SQL semantics — which is exactly why the fast drop
     * demands nullCount == 0. Statless files are conservatively treated
     * as boundary files. Candidate selection runs as a Spark filter over
-    * the census; the driver collects candidates only. */
-  def delete(column: String, lo: Any, hi: Any): Long = {
+    * the census; the driver collects candidates only, plus the matched
+    * row indexes (O(deleted boundary rows) — the quantity being
+    * deleted, not the table). */
+  def delete(column: String, lo: Any, hi: Any,
+      useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
     // ONE pruned collect: candidates with their whole-file-drop flag
@@ -1006,16 +1132,126 @@ final case class DeltaTable(root: String) {
       .collect()
     val cand = candRows.toSeq.map(rowToAdd)
     if (cand.isEmpty) return st.version
-    val contained = candRows.filter(_.getBoolean(6))
+    val wholeIdx = censusSchema.fieldNames.length
+    val contained = candRows.filter(_.getBoolean(wholeIdx))
       .map(_.getString(0)).toSet
     val partial = cand.filterNot(f => contained(f.path))
-    val survivors = readFiles(spark, st.schema, st.partitionColumns,
-        partial.map(_.path))
-      .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
-    commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
-      Map("predicate" -> s"$column BETWEEN $lo AND $hi",
-        "wholeFilesDropped" -> contained.size.toString),
-      statsFor = Seq(column))
+    val predicate = s"$column BETWEEN $lo AND $hi"
+
+    if (!useDeletionVectors) {
+      val survivors = readFilesDv(spark, st.schema, st.partitionColumns,
+          dvPairs(partial))
+        .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
+      return commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
+        Map("predicate" -> predicate,
+          "wholeFilesDropped" -> contained.size.toString),
+        statsFor = Seq(column), removeDvs = dvMapOf(cand))
+    }
+
+    // DV path: matched PHYSICAL row indexes per boundary file (existing
+    // DVs are NOT applied here — the merged DV is a set union, so
+    // re-matching an already-deleted row is harmless and saves a join)
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val matchedByAbs: Map[String, Array[Long]] =
+      if (partial.isEmpty) Map.empty
+      else {
+        val dataSchema = StructType(
+          st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+        val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
+        val reader =
+          if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
+          else spark.read.option("basePath", absRoot).schema(dataSchema)
+        val dt = st.schema(column).dataType
+        reader.parquet(paths: _*)
+          .select(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
+            col("_metadata.row_index").as("_ri"),
+            col(column).cast(dt).as("_c"))
+          .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
+          .groupBy(col("_fp"))
+          .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+          .toMap
+      }
+    val matched: Seq[(AddFile, Array[Long])] = partial.flatMap { f =>
+      matchedByAbs.get(Paths.get(absRoot, f.path).toString)
+        .filter(_.nonEmpty).map(f -> _)
+    }
+    if (matched.isEmpty && contained.isEmpty) return st.version
+
+    // merge with each file's existing DV; a DV covering every physical
+    // row collapses the file to a remove-only action
+    def numRecordsOf(f: AddFile): Option[Long] = f.statsJson.flatMap { s =>
+      val n = new ObjectMapper().readTree(s)
+      if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
+    }
+    val withMerged = matched.map { case (f, rows) =>
+      val old = f.dv.map(j =>
+        DeletionVectors.read(root, DeletionVectors.fromJson(j)))
+        .getOrElse(Array.emptyLongArray)
+      (f, (old ++ rows).distinct.sorted)
+    }
+    val (emptied, dvTargets) = withMerged.partition { case (f, merged) =>
+      numRecordsOf(f).contains(merged.length.toLong)
+    }
+    val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
+      if (dvTargets.isEmpty) Nil
+      else {
+        val (_, ds) = DeletionVectors.writeFile(root, dvTargets.map(_._2))
+        dvTargets.map(_._1).zip(ds)
+      }
+
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    val actions = mutable.ArrayBuffer.empty[String]
+    val ci = mapper.createObjectNode
+    ci.put("timestamp", now).put("operation", "DELETE")
+    ci.putObject("operationParameters")
+      .put("predicate", predicate)
+      .put("wholeFilesDropped",
+        (contained.size + emptied.size).toString)
+      .put("deletionVectorsWritten", descs.size.toString)
+    actions += wrap(mapper, "commitInfo", ci)
+    // first DV on this table upgrades the protocol to the public
+    // deletionVectors table feature (readerVersion 3 / writerVersion 7)
+    if (descs.nonEmpty && (st.minReader < 3 ||
+        !st.readerFeatures.contains("deletionVectors"))) {
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      proto.putArray("readerFeatures").add("deletionVectors")
+      proto.putArray("writerFeatures").add("deletionVectors")
+      actions += wrap(mapper, "protocol", proto)
+    }
+    def removeNode(f: AddFile): Unit = {
+      val rm = mapper.createObjectNode
+      rm.put("path", encodePath(f.path)).put("deletionTimestamp", now)
+        .put("dataChange", true)
+      f.dv.foreach(j => rm.set[ObjectNode]("deletionVector",
+        mapper.readTree(j).asInstanceOf[ObjectNode]))
+      actions += wrap(mapper, "remove", rm)
+    }
+    cand.filter(f => contained(f.path)).foreach(removeNode)
+    emptied.map(_._1).foreach(removeNode)
+    descs.foreach { case (f, _) => removeNode(f) }
+    descs.foreach { case (f, d) =>
+      val add = mapper.createObjectNode
+      add.put("path", encodePath(f.path))
+      val pvNode = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
+      add.put("size", f.size).put("modificationTime", f.modificationTime)
+        .put("dataChange", true)
+      f.statsJson.foreach(s => add.put("stats", s))
+      if (f.tags.nonEmpty) {
+        val tn = add.putObject("tags")
+        f.tags.foreach { case (k, x) => tn.put(k, x) }
+      }
+      DeletionVectors.toNode(d, add.putObject("deletionVector"))
+      actions += wrap(mapper, "add", add)
+    }
+    val v = st.version + 1
+    publish(v, actions.toSeq)
+    v
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -1036,12 +1272,28 @@ final case class DeltaTable(root: String) {
     val cur = logState(spark, None)
     val tgtCensus = fileCensus(spark, tgt)
     val curCensus = fileCensus(spark, cur)
-    val removed = curCensus.join(tgtCensus.select("path"), Seq("path"),
-      "left_anti").select("path").collect().map(_.getString(0)).toSeq.sorted
-    val reAddOnly = collectAdds(tgtCensus.join(curCensus.select("path"),
-      Seq("path"), "left_anti"))
+    // diff on (path, DELETION VECTOR) pairs, null-safe: a path live in
+    // both snapshots but with a different DV (a delete happened between
+    // them) must be remove+re-added so the DV state restores too; a
+    // plain path diff would silently keep the newer DV
+    def pairDiff(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("a").join(b.select(col("path"), col("dv")).as("b"),
+        col("a.path") === col("b.path") && (col("a.dv") <=> col("b.dv")),
+        "left_anti")
+    val removedAdds = collectAdds(pairDiff(curCensus, tgtCensus))
+      .sortBy(_.path)
+    val removed = removedAdds.map(_.path)
+    val removedDvs = dvMapOf(removedAdds)
+    val reAddOnly = collectAdds(pairDiff(tgtCensus, curCensus))
     val absRoot = Paths.get(root).toAbsolutePath
-    val missing = reAddOnly.filterNot(f => Files.exists(absRoot.resolve(f.path)))
+    def dvFileMissing(f: AddFile): Boolean = f.dv.exists { j =>
+      val d = DeletionVectors.fromJson(j)
+      d.storageType == "u" &&
+        (try { DeletionVectors.read(root, d); false }
+         catch { case _: Throwable => true })
+    }
+    val missing = reAddOnly.filter(f =>
+      !Files.exists(absRoot.resolve(f.path)) || dvFileMissing(f))
     require(missing.isEmpty,
       s"DeltaTable $root: restore to v$version needs vacuumed-out files: " +
         missing.map(_.path).mkString(", "))
@@ -1060,6 +1312,8 @@ final case class DeltaTable(root: String) {
       val rm = mapper.createObjectNode
       rm.put("path", encodePath(p)).put("deletionTimestamp", now)
         .put("dataChange", true)
+      removedDvs.get(p).foreach(j => rm.set[ObjectNode]("deletionVector",
+        mapper.readTree(j).asInstanceOf[ObjectNode]))
       actions += wrap(mapper, "remove", rm)
     }
     reAddOnly.foreach { f =>
@@ -1071,6 +1325,8 @@ final case class DeltaTable(root: String) {
           if (f.size > 0) f.size else Files.size(absRoot.resolve(f.path)))
         .put("modificationTime", now).put("dataChange", true)
       f.statsJson.foreach(s => add.put("stats", s))
+      f.dv.foreach(j => add.set[ObjectNode]("deletionVector",
+        mapper.readTree(j).asInstanceOf[ObjectNode]))
       actions += wrap(mapper, "add", add)
     }
     val v = cur.version + 1
@@ -1094,17 +1350,18 @@ final case class DeltaTable(root: String) {
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
-    val paths = livePaths(spark, st)
+    val files = livePathDvs(spark, st)
     val zordered = ZOrder.withZValue(
-        readFiles(spark, st.schema, st.partitionColumns, paths),
+        readFilesDv(spark, st.schema, st.partitionColumns, files),
         dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
-    commit(zordered, Nil, paths, "OPTIMIZE",
+    commit(zordered, Nil, files.map(_._1), "OPTIMIZE",
       Map("zOrderBy" -> s"""["$dimA","$dimB"]"""), dataChange = false,
       statsFor = Seq(dimA, dimB),
-      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString))
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
+      removeDvs = files.collect { case (p, Some(d)) => p -> d }.toMap)
   }
 
   /** ONE size-capped OPTIMIZE ZORDER step — the public incremental
@@ -1136,7 +1393,7 @@ final case class DeltaTable(root: String) {
     val numFiles = math.max(1L,
       (batchBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val zordered = ZOrder.withZValue(
-        readFiles(spark, st.schema, Nil, capped.map(_.path)), dimA, dimB, bits)
+        readFilesDv(spark, st.schema, Nil, dvPairs(capped)), dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
@@ -1144,7 +1401,8 @@ final case class DeltaTable(root: String) {
       Map("zOrderBy" -> s"""["$dimA","$dimB"]""",
         "batchFiles" -> capped.size.toString, "incremental" -> "true"),
       dataChange = false, statsFor = Seq(dimA, dimB),
-      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString)))
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
+      removeDvs = dvMapOf(capped)))
   }
 
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
@@ -1172,8 +1430,8 @@ final case class DeltaTable(root: String) {
       .collect()(0).toSeq.toArray
     if (lo == null) return st.version // empty source: no-op
     val cand = pruneCandidatesOf(spark, st, keyCol, lo, hi)
-    val existing = readFiles(spark, st.schema, st.partitionColumns,
-      cand.map(_.path))
+    val existing = readFilesDv(spark, st.schema, st.partitionColumns,
+      dvPairs(cand))
     // matched rows take the source version; unmatched keep their row.
     // Rows in UNTOUCHED files cannot match: the key envelope proved it.
     val rewritten = existing
@@ -1182,7 +1440,7 @@ final case class DeltaTable(root: String) {
       .select(st.schema.fieldNames.map(col): _*)
     commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
       Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
-      statsFor = Seq(keyCol))
+      statsFor = Seq(keyCol), removeDvs = dvMapOf(cand))
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added
@@ -1205,23 +1463,30 @@ final case class DeltaTable(root: String) {
     def stateOf(v: Long) =
       stateCache.getOrElseUpdate(v, logState(spark, Some(v)))
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val adds = mutable.ArrayBuffer.empty[String]
-      val removes = mutable.ArrayBuffer.empty[String]
+      val adds = mutable.ArrayBuffer.empty[(String, Option[String])]
+      val removes = mutable.ArrayBuffer.empty[(String, Option[String])]
+      def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+        if (n.hasNonNull("deletionVector"))
+          Some(mapper.writeValueAsString(n.get("deletionVector")))
+        else None
       Files.readAllLines(commitPath(v)).asScala.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         val add = node.get("add")
         if (add != null && add.hasNonNull("path") &&
             (!add.has("dataChange") || add.get("dataChange").asBoolean))
-          adds += decodePath(add.get("path").asText)
+          adds += decodePath(add.get("path").asText) -> dvOf(add)
         val rm = node.get("remove")
         if (rm != null && rm.hasNonNull("path") &&
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
-          removes += decodePath(rm.get("path").asText)
+          removes += decodePath(rm.get("path").asText) -> dvOf(rm)
       }
       val st = stateOf(v)
-      def slice(paths: Seq[String], kind: String) =
-        if (paths.isEmpty) None
-        else Some(readFiles(spark, st.schema, st.partitionColumns, paths.toSeq)
+      // both slices apply the action's own DV: the insert slice reads
+      // the add's LIVE rows, and a remove carrying its old DV reads the
+      // rows as they logically were before this commit
+      def slice(files: Seq[(String, Option[String])], kind: String) =
+        if (files.isEmpty) None
+        else Some(readFilesDv(spark, st.schema, st.partitionColumns, files)
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v)))
       slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
@@ -1251,8 +1516,24 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     val latest = latestVersion.getOrElse(return 0)
     val keepFrom = math.max(0L, latest - keepVersions + 1)
-    val live = (keepFrom to latest).flatMap(v =>
-      livePaths(spark, logState(spark, Some(v)))).toSet
+    val liveAdds = (keepFrom to latest).flatMap(v =>
+      livePathDvs(spark, logState(spark, Some(v))))
+    val live = liveAdds.map(_._1).toSet
+    // DELETION VECTOR files referenced by any kept snapshot's adds are
+    // live too; superseded DV files (a repeat delete re-wrote the merged
+    // bitmap into a fresh file) age out like data files
+    val liveDvFiles: Set[String] = liveAdds.flatMap(_._2).flatMap { j =>
+      val d = DeletionVectors.fromJson(j)
+      if (d.storageType == "u") {
+        val enc = d.pathOrInlineDv
+        val uuid = {
+          val bytes = DeletionVectors.unz85(enc.substring(enc.length - 20))
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          new java.util.UUID(bb.getLong, bb.getLong)
+        }
+        Some(DeletionVectors.dvPath(root, uuid).getFileName.toString)
+      } else None
+    }.toSet
     val horizon = System.currentTimeMillis - retentionMs
     val rootPath = Paths.get(root)
     var deleted = 0
@@ -1263,6 +1544,10 @@ final case class DeltaTable(root: String) {
           if (name != "_delta_log" && !name.startsWith(".tmp-")) walk(p)
         } else if (name.endsWith(".parquet") &&
             !live.contains(rootPath.relativize(p).toString.replace('\\', '/')) &&
+            Files.getLastModifiedTime(p).toMillis <= horizon) {
+          Files.delete(p); deleted += 1
+        } else if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+            !liveDvFiles.contains(name) &&
             Files.getLastModifiedTime(p).toMillis <= horizon) {
           Files.delete(p); deleted += 1
         }
@@ -1335,7 +1620,16 @@ object DeltaTable {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("stats", StringType),
-    StructField("tags", MapType(StringType, StringType))))
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("dv", StringType))) // deletionVector descriptor JSON
+
+  /** The protocol's `add.deletionVector` struct (checkpoint add field). */
+  private[lake] val dvStructType: StructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
 
   /** Checkpoint parquet schema — the protocol's action columns, subset
     * we emit (incl. `remove` tombstone rows within retention and real
@@ -1344,7 +1638,9 @@ object DeltaTable {
   private[lake] val checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -1358,7 +1654,8 @@ object DeltaTable {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
-      StructField("tags", MapType(StringType, StringType))))),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("deletionVector", dvStructType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),

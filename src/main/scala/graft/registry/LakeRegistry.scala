@@ -218,6 +218,20 @@ object LakeRegistry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // DELETION VECTORS (protocol readerVersion 3): two overlapping
+    // range deletes — the first writes Roaring-bitmap DVs for the
+    // boundary files (same paths re-added, no rewrite), the second
+    // MERGES into them; whole-envelope files stay remove-only. The read
+    // applies every descriptor, so the aggregate equals the plain
+    // NOT-BETWEEN filter
+    "q_delta_dv" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_dv"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.delete("doc_id", 100L, 149L)
+      dt.delete("doc_id", 130L, 179L)
+      bySource(dt.read(s))
+    }),
     // DESCRIBE HISTORY: the audit surface as a DataFrame — version,
     // operation, mode/version parameters and per-commit add/remove
     // action counts over a deterministic 4-commit sequence (overwrite
@@ -279,6 +293,8 @@ object LakeRegistry {
         |GROUP BY source""".stripMargin,
     "q_delta_delete" ->
       s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
+    "q_delta_dv" ->
+      s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 179 GROUP BY source",
     "q_delta_restore" ->
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_zorder" ->

@@ -189,12 +189,18 @@ class DeltaSpec extends SparkSpec {
     import spark.implicits._
     val t = tmpTable()
     t.overwrite(Seq((1L, "a")).toDF("k", "s"))
-    // bump minReaderVersion to 3 in a follow-up commit
+    // a v3 protocol declaring a reader feature we do NOT implement
+    // (column mapping) refuses loudly; deletionVectors alone is honored
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
-    assert(e.getMessage.contains("minReaderVersion"))
+    assert(e.getMessage.contains("minReaderVersion")
+      && e.getMessage.contains("columnMapping"))
+    Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+        |""".stripMargin.getBytes("UTF-8"))
+    assert(vals(t.read(spark)) == Set((1L, "a"))) // supported v3: readable
     // a gap in the chain is a corruption, not an empty diff
     val t2 = tmpTable()
     t2.overwrite(Seq((1L, "a")).toDF("k", "s"))
@@ -203,7 +209,7 @@ class DeltaSpec extends SparkSpec {
     intercept[IllegalArgumentException](t2.read(spark))
   }
 
-  test("delete: whole-file drops are remove-only; boundary files rewrite; misses untouched; nulls survive") {
+  test("delete: whole-file drops are remove-only; boundary files get DVs; misses untouched; nulls survive") {
     import spark.implicits._
     val t = tmpTable()
     // 5 appends of one file each with EXACT known key ranges [20b, 20b+19]
@@ -214,24 +220,120 @@ class DeltaSpec extends SparkSpec {
     val before = t.read(spark).inputFiles.toSet
     assert(before.size == 5)
     // delete [15, 39]: file [20,39] is provably inside -> remove-only;
-    // file [0,19] is a boundary -> rewritten; the other three untouched
+    // file [0,19] is a boundary -> DELETION VECTOR over rows 15..19, the
+    // SAME physical file stays; the other three untouched
     val v = t.delete("k", 15L, 39L)
     val after = t.read(spark)
     assert(after.collect().map(_.getLong(0)).toSet ==
       ((0L to 14L) ++ (40L to 99L)).toSet)
+    // NO rewrite: every surviving input file is an original
     val shared = after.inputFiles.toSet.intersect(before)
-    assert(shared.size == 3, s"expected 3 untouched files, got ${shared.size}")
+    assert(shared.size == 4, s"expected 4 original files, got ${shared.size}")
     val log = Files.readAllLines(
       Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
     assert(log.contains("\"wholeFilesDropped\":\"1\""))
     assert(log.split("\"remove\"").length - 1 == 2) // whole + boundary
-    assert(log.split("\"add\"").length - 1 == 1)    // boundary rewrite only
+    assert(log.split("\"add\"").length - 1 == 1)    // boundary re-add w/ DV
+    assert(log.contains("\"deletionVector\"")
+      && log.contains("\"storageType\":\"u\"")
+      && log.contains("\"cardinality\":5"))
+    // the protocol upgraded to the deletionVectors table feature
+    assert(log.contains("\"minReaderVersion\":3")
+      && log.contains("\"readerFeatures\":[\"deletionVectors\"]"))
+    // a REPEAT delete on the same file MERGES into the existing DV
+    val v2 = t.delete("k", 0L, 4L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      ((5L to 14L) ++ (40L to 99L)).toSet)
+    val log2 = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v2%020d.json")).toArray.mkString
+    assert(log2.contains("\"cardinality\":10")) // 5 old + 5 new
+    // a delete whose merged DV covers every remaining physical row
+    // collapses to remove-only ([5,39] is NOT a whole-envelope match for
+    // the [0,19] file, so this exercises the emptied-DV class, not the
+    // contained fast path)
+    val v3 = t.delete("k", 5L, 39L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      (40L to 99L).toSet)
+    val log3 = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v3%020d.json")).toArray.mkString
+    assert(!log3.contains("\"add\""),
+      s"DV covering the whole file must collapse to remove-only: $log3")
     // NULL keys never match a range predicate: the row survives
     val tn = tmpTable()
     tn.overwrite(Seq((Option.empty[Long], "keep"), (Some(5L), "gone"))
       .toDF("k", "s"), statsFor = Seq("k"))
     tn.delete("k", 0L, 10L)
     assert(tn.read(spark).collect().map(_.getString(1)).toSeq == Seq("keep"))
+    // the legacy rewrite path still works and purges rather than DVs
+    val tr = tmpTable()
+    tr.append((0 until 20).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    val vr = tr.delete("k", 15L, 25L, useDeletionVectors = false)
+    assert(tr.read(spark).collect().map(_.getLong(0)).toSet == (0L to 14L).toSet)
+    val logr = Files.readAllLines(
+      Paths.get(tr.root, "_delta_log", f"$vr%020d.json")).toArray.mkString
+    assert(!logr.contains("deletionVector"))
+  }
+
+  test("deletion vectors survive checkpoints, purge on OPTIMIZE, restore by (path,dv), vacuum stale bins") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.append((0 until 20).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    t.append((20 until 40).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    val vDel = t.delete("k", 15L, 24L) // boundary DVs on BOTH files
+    val expect = ((0L to 14L) ++ (25L to 39L)).toSet
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
+    // ONE DV file carries both bitmaps at distinct offsets
+    val bins = Files.list(Paths.get(t.root)).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin")).toSeq
+    assert(bins.size == 1, s"expected one shared DV file, got $bins")
+
+    // CHECKPOINT: the add.deletionVector struct rides the parquet census;
+    // post-checkpoint replay (checkpoint-only, no JSON tail) still drops
+    // the deleted rows, and the protocol row carries the feature lists
+    t.checkpoint()
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
+    val cp = spark.read.parquet(
+      Paths.get(t.root, "_delta_log", f"$vDel%020d.checkpoint.parquet").toString)
+    assert(cp.where(org.apache.spark.sql.functions.col(
+      "add.deletionVector.cardinality").isNotNull).count() == 2)
+    assert(cp.selectExpr("protocol.readerFeatures").na.drop().collect()
+      .map(_.getSeq[String](0)).exists(_.contains("deletionVectors")))
+
+    // readWhere applies DVs on survivors of the stats prune
+    assert(t.readWhere(spark, "k", 10L, 30L).collect()
+      .map(_.getLong(0)).toSet == ((10L to 14L) ++ (25L to 30L)).toSet)
+
+    // CDC: the delete commit's insert slice is the files' LIVE rows
+    val cdc = t.changes(spark, vDel - 1, vDel)
+    assert(cdc.where("_change_type = 'insert'").collect()
+      .map(_.getLong(0)).toSet == expect)
+
+    // OPTIMIZE purges the DVs: physical rewrite, same logical snapshot,
+    // new adds carry no descriptor
+    t.compact()
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
+    assert(t.livePathsFrame(spark).collect().forall(_.isNullAt(1)))
+
+    // RESTORE to the DV'd snapshot: the (path, dv) diff re-adds the
+    // descriptor-bearing entries and the read honors them again
+    t.restore(vDel)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
+    assert(t.livePathsFrame(spark).collect().count(!_.isNullAt(1)) == 2)
+
+    // VACUUM: the referenced DV bin survives even at zero retention;
+    // after compacting again (DVs purged) it ages out as stale
+    t.vacuum(1, retentionMs = 0L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
+    t.compact()
+    t.vacuum(1, retentionMs = 0L)
+    val binsAfter = Files.list(Paths.get(t.root)).iterator.asScala
+      .map(_.getFileName.toString).filter(_.startsWith("deletion_vector_")).toSeq
+    assert(binsAfter.isEmpty, s"stale DV bins survived vacuum: $binsAfter")
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
   }
 
   test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
@@ -421,19 +523,21 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).count() == 201)
   }
 
-  test("full-scan driver payload is path strings ONLY (no stats/partitionValues)") {
+  test("full-scan driver payload is paths + DV descriptors ONLY (no stats/partitionValues)") {
     import spark.implicits._
     val t = tmpTable()
     val rows = (0 until 60).map(i => (i.toLong, s"r$i")).toDF("k", "s")
     t.overwrite(rows.repartition(6), statsFor = Seq("k"))
     val frame = t.livePathsFrame(spark)
-    // the documented O(files) bound is PATH STRINGS: one column, nothing
-    // stats-sized rides to the driver on a full-table scan
-    assert(frame.columns.toSeq == Seq("path"))
-    assert(frame.schema.fields.head.dataType ==
-      org.apache.spark.sql.types.StringType)
-    val paths = frame.collect().map(_.getString(0))
-    assert(paths.length == 6 && paths.forall(_.endsWith(".parquet")))
+    // the documented O(files) bound is PATH STRINGS plus ~100-byte DV
+    // descriptors on boundary-delete files; nothing stats-sized rides
+    // to the driver on a full-table scan
+    assert(frame.columns.toSeq == Seq("path", "dv"))
+    assert(frame.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val got = frame.collect()
+    assert(got.length == 6 && got.forall(_.getString(0).endsWith(".parquet")))
+    assert(got.forall(_.isNullAt(1))) // no deletes yet: descriptors null
   }
 
   test("re-checkpointing with a different part count REPLACES the old file set") {
