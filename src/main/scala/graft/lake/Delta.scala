@@ -788,7 +788,8 @@ final case class DeltaTable(root: String) {
       txn: Option[(String, Long)] = None, dataChange: Boolean = true,
       statsFor: Seq[String] = Nil,
       tags: Map[String, String] = Map.empty,
-      removeDvs: Map[String, String] = Map.empty): Long = {
+      removeDvs: Map[String, String] = Map.empty,
+      dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
@@ -878,9 +879,20 @@ final case class DeltaTable(root: String) {
     // OMIT existing columns (its files serve them as nulls). Type
     // conflicts fail loudly. Overwrites replace the schema outright.
     val isOverwrite = removePaths.nonEmpty && dataChange
-    val currentSchema: Option[StructType] =
+    val currentState: Option[LogState] =
       if (v == 0L) None
-      else Some(logState(df.sparkSession, Some(v - 1)).schema)
+      else Some(logState(df.sparkSession, Some(v - 1)))
+    val currentSchema: Option[StructType] = currentState.map(_.schema)
+    // DV re-adds require the deletionVectors table feature: upgrade the
+    // protocol in the SAME commit that introduces the first descriptor
+    if (dvReAdds.nonEmpty && currentState.forall(s =>
+        s.minReader < 3 || !s.readerFeatures.contains("deletionVectors"))) {
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      proto.putArray("readerFeatures").add("deletionVectors")
+      proto.putArray("writerFeatures").add("deletionVectors")
+      actions += wrap(mapper, "protocol", proto)
+    }
     val recordedSchema: StructType = currentSchema match {
       case None => df.schema
       case Some(_) if isOverwrite => df.schema
@@ -928,6 +940,30 @@ final case class DeltaTable(root: String) {
         val tg = add.putObject("tags")
         tags.foreach { case (k, x) => tg.put(k, x) }
       }
+      actions += wrap(mapper, "add", add)
+    }
+    // DV re-adds: remove the old entry (its previous descriptor riding
+    // the remove, for CDC) then re-add the SAME path with the merged
+    // deletionVector — the file's bytes are untouched
+    dvReAdds.foreach { case (f, d) =>
+      val rm = mapper.createObjectNode
+      rm.put("path", encodePath(f.path)).put("deletionTimestamp", now)
+        .put("dataChange", dataChange)
+      f.dv.foreach(j => rm.set[ObjectNode]("deletionVector",
+        mapper.readTree(j).asInstanceOf[ObjectNode]))
+      actions += wrap(mapper, "remove", rm)
+      val add = mapper.createObjectNode
+      add.put("path", encodePath(f.path))
+      val pvNode = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
+      add.put("size", f.size).put("modificationTime", f.modificationTime)
+        .put("dataChange", dataChange)
+      f.statsJson.foreach(s => add.put("stats", s))
+      if (f.tags.nonEmpty) {
+        val tn = add.putObject("tags")
+        f.tags.foreach { case (k, x) => tn.put(k, x) }
+      }
+      DeletionVectors.toNode(d, add.putObject("deletionVector"))
       actions += wrap(mapper, "add", add)
     }
     publish(v, actions.toSeq)
@@ -1408,17 +1444,28 @@ final case class DeltaTable(root: String) {
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
     * model: only files whose stats envelope for `keyCol` intersects the
     * source's [min, max] key range (plus statless files, conservatively)
-    * are REWRITTEN; every other live file is untouched — on a
-    * range-clustered 100 TB table an upsert of one day's keys rewrites
+    * pay anything; every other live file is untouched — on a
+    * range-clustered 100 TB table an upsert of one day's keys touches
     * one day's files, not the table, and the candidate selection runs
     * as a Spark filter over the census so the driver holds candidates
-    * only. The rewrite replaces matched rows with the source's and
-    * appends unmatched source rows; the whole merge is ONE atomic
-    * commit (removes for the candidate files, adds for their rewrite +
-    * the new rows), so readers see the old or the new snapshot, never a
-    * half-merge. Source schema must match the table's (use append for
-    * evolving merges). */
-  def merge(source: DataFrame, keyCol: String): Long = {
+    * only.
+    *
+    * By default matched rows are killed with DELETION VECTORS (the
+    * protocol's metadata-sized form): candidate files are scanned once
+    * for the ROW INDEXES whose key appears in the source (a semi-join
+    * on `_metadata.row_index`), those indexes merge into each file's
+    * DV (set union with any existing descriptor), and ALL source rows
+    * append as new files — so a candidate file whose envelope matched
+    * but whose rows didn't is untouched entirely (the rewrite form
+    * paid a full rewrite for it), and a matched 1 GB file costs a
+    * few-KB bitmap. A DV covering every physical row collapses to a
+    * plain remove. With `useDeletionVectors = false`, candidates are
+    * rewritten (matched rows replaced, unmatched kept) — the pre-DV
+    * shape. Both forms are ONE atomic commit, so readers see the old
+    * or the new snapshot, never a half-merge. Source schema must match
+    * the table's (use append for evolving merges). */
+  def merge(source: DataFrame, keyCol: String,
+      useDeletionVectors: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
     val st = logState(spark, None)
@@ -1430,17 +1477,76 @@ final case class DeltaTable(root: String) {
       .collect()(0).toSeq.toArray
     if (lo == null) return st.version // empty source: no-op
     val cand = pruneCandidatesOf(spark, st, keyCol, lo, hi)
-    val existing = readFilesDv(spark, st.schema, st.partitionColumns,
-      dvPairs(cand))
-    // matched rows take the source version; unmatched keep their row.
-    // Rows in UNTOUCHED files cannot match: the key envelope proved it.
-    val rewritten = existing
-      .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(keyed)
-      .select(st.schema.fieldNames.map(col): _*)
-    commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
-      Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
-      statsFor = Seq(keyCol), removeDvs = dvMapOf(cand))
+
+    if (!useDeletionVectors) {
+      val existing = readFilesDv(spark, st.schema, st.partitionColumns,
+        dvPairs(cand))
+      // matched rows take the source version; unmatched keep their row.
+      // Rows in UNTOUCHED files cannot match: the key envelope proved it.
+      val rewritten = existing
+        .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(keyed)
+        .select(st.schema.fieldNames.map(col): _*)
+      return commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
+        Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
+        statsFor = Seq(keyCol), removeDvs = dvMapOf(cand))
+    }
+
+    // DV path: matched PHYSICAL row indexes per candidate file (existing
+    // DVs not applied — union makes re-matching a dead row harmless)
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val matchedByAbs: Map[String, Array[Long]] =
+      if (cand.isEmpty) Map.empty
+      else {
+        val dataSchema = StructType(
+          st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+        val paths = cand.map(f => Paths.get(absRoot, f.path).toString)
+        val reader =
+          if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
+          else spark.read.option("basePath", absRoot).schema(dataSchema)
+        reader.parquet(paths: _*)
+          .select(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
+            col("_metadata.row_index").as("_ri"),
+            col(keyCol).cast(st.schema(keyCol).dataType).as("_k"))
+          .join(keyed.select(col(keyCol).as("_k")).distinct(), Seq("_k"),
+            "left_semi")
+          .groupBy(col("_fp"))
+          .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+          .toMap
+      }
+    val matched: Seq[(AddFile, Array[Long])] = cand.flatMap { f =>
+      matchedByAbs.get(Paths.get(absRoot, f.path).toString)
+        .filter(_.nonEmpty).map(f -> _)
+    }
+    def numRecordsOf(f: AddFile): Option[Long] = f.statsJson.flatMap { s =>
+      val n = new ObjectMapper().readTree(s)
+      if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
+    }
+    val withMerged = matched.map { case (f, rows) =>
+      val old = f.dv.map(j =>
+        DeletionVectors.read(root, DeletionVectors.fromJson(j)))
+        .getOrElse(Array.emptyLongArray)
+      (f, (old ++ rows).distinct.sorted)
+    }
+    val (emptied, dvTargets) = withMerged.partition { case (f, merged) =>
+      numRecordsOf(f).contains(merged.length.toLong)
+    }
+    val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
+      if (dvTargets.isEmpty) Nil
+      else {
+        val (_, ds) = DeletionVectors.writeFile(root, dvTargets.map(_._2))
+        dvTargets.map(_._1).zip(ds)
+      }
+    commit(keyed.select(st.schema.fieldNames.map(col): _*),
+      st.partitionColumns, emptied.map(_._1.path), "MERGE",
+      Map("predicate" -> s"$keyCol in [${lo}, ${hi}]",
+        "matchedFiles" -> matched.size.toString,
+        "deletionVectorsWritten" -> descs.size.toString),
+      statsFor = Seq(keyCol),
+      removeDvs = dvMapOf(emptied.map(_._1)), dvReAdds = descs)
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added

@@ -136,7 +136,7 @@ class DeltaSpec extends SparkSpec {
     assert(post.count() == 15)
   }
 
-  test("merge: upsert rewrites only the files whose key envelope matches; one atomic commit") {
+  test("merge: upsert touches only key-envelope files; DV default marks matched rows, rewrite form still exact") {
     import spark.implicits._
     val t = tmpTable()
     val rows = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
@@ -145,21 +145,39 @@ class DeltaSpec extends SparkSpec {
     val before = t.read(spark).inputFiles.toSet
     assert(before.size == 5)
     // update keys 25..29: the key envelope [25, 29] hits exactly one of
-    // the five range-clustered files
+    // the five range-clustered files — DV default: that file's matched
+    // rows are bitmap-killed, its BYTES stay, source rows append
     val src = (25 until 30).map(i => (i.toLong, s"UP$i")).toDF("k", "s")
     val v = t.merge(src, "k")
     val after = t.read(spark)
-    // untouched files survive by identity; exactly one was rewritten
+    // ALL five originals survive by identity (no rewrite at all)
     val shared = after.inputFiles.toSet.intersect(before)
-    assert(shared.size == 4, s"expected 4 untouched files, got ${shared.size}")
+    assert(shared.size == 5, s"expected 5 original files, got ${shared.size}")
     val got = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.size == 100)
     assert((25 until 30).forall(i => got(i.toLong) == s"UP$i"))
     assert(got(24L) == "r24" && got(30L) == "r30")
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(log.contains("\"deletionVector\"") && log.contains("\"cardinality\":5"))
     // an out-of-range insert lands via the same commit when included
     t.merge(Seq((200L, "NEW200")).toDF("k", "s"), "k")
     assert(t.read(spark).count() == 101)
     assert(v >= 1L)
+    // a REPEAT merge on the same file MERGES DVs (union with existing)
+    t.merge(Seq((25L, "UP25b")).toDF("k", "s"), "k")
+    val got2 = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2.size == 101 && got2(25L) == "UP25b" && got2(26L) == "UP26")
+    // the REWRITE form produces the identical table
+    val tr = tmpTable()
+    tr.overwrite(rows.repartitionByRange(5, org.apache.spark.sql.functions.col("k")),
+      statsFor = Seq("k"))
+    tr.merge(src, "k", useDeletionVectors = false)
+    val gotR = tr.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotR == got, "DV merge and rewrite merge must produce identical tables")
+    // the rewrite path never writes descriptors
+    assert(!Files.readAllLines(Paths.get(tr.root, "_delta_log",
+      f"${1L}%020d.json")).toArray.mkString.contains("deletionVector"))
   }
 
   test("schema evolution: appends merge new columns; old files serve them as null; types conflict loudly") {
