@@ -216,7 +216,11 @@ object DeletionVectors {
 
   /** Resolve a descriptor to its row indexes, verifying the CRC. */
   def read(root: String, d: Descriptor): Array[Long] = d.storageType match {
-    case "i" => deserialize(unz85(d.pathOrInlineDv))
+    case "i" =>
+      val raw = unz85(d.pathOrInlineDv)
+      require(d.sizeInBytes <= raw.length && raw.length - d.sizeInBytes < 4,
+        s"DV: inline payload ${raw.length} bytes vs sizeInBytes ${d.sizeInBytes}")
+      deserialize(raw.take(d.sizeInBytes))
     case "u" | "p" =>
       val p =
         if (d.storageType == "p") Paths.get(d.pathOrInlineDv)
@@ -257,10 +261,42 @@ object DeletionVectors {
   }
 
   /** An inline ("i") descriptor for small DVs — the bitmap rides the
-    * log itself, no extra file. */
+    * log itself, no extra file. Z85 needs 4-byte alignment, so the
+    * payload is zero-padded for encoding; `sizeInBytes` records the
+    * TRUE length and the reader truncates back to it. */
   def inline(rows: Array[Long]): Descriptor = {
     val p = serialize(rows)
-    Descriptor("i", z85(p), None, p.length, rows.length.toLong)
+    val padded =
+      if (p.length % 4 == 0) p
+      else p ++ new Array[Byte](4 - p.length % 4)
+    Descriptor("i", z85(padded), None, p.length, rows.length.toLong)
+  }
+
+  /** Default ceiling for inlining a DV in the log action itself. At
+    * 100 TB the pathological DELETE shape is MILLIONS of boundary files
+    * each losing a handful of rows — one tiny `.bin` per commit batch
+    * is fine, but per-file descriptors of a few dozen bytes belong in
+    * the log/checkpoint (zero extra IO to read, nothing for vacuum to
+    * track), exactly what the protocol's "i" storageType exists for. */
+  val InlineMaxBytes = 512
+
+  /** Descriptors for a batch of per-file DVs: bitmaps at or under
+    * `inlineMax` serialized bytes go INLINE ("i"); the rest share ONE
+    * "u" file at distinct offsets. Returned in input order. */
+  def descriptorsFor(root: String, dvs: Seq[Array[Long]],
+      inlineMax: Int = InlineMaxBytes): Seq[Descriptor] = {
+    val payloads = dvs.map(serialize)
+    val fileIdx = payloads.zipWithIndex.collect {
+      case (p, i) if p.length > inlineMax => i
+    }
+    val fileDescs: Map[Int, Descriptor] =
+      if (fileIdx.isEmpty) Map.empty
+      else {
+        val (_, ds) = writeFile(root, fileIdx.map(dvs))
+        fileIdx.zip(ds).toMap
+      }
+    payloads.indices.map(i =>
+      fileDescs.getOrElse(i, inline(dvs(i))))
   }
 
   def dvPath(root: String, uuid: java.util.UUID): Path =

@@ -1233,10 +1233,10 @@ final case class DeltaTable(root: String) {
     }
     val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
       if (dvTargets.isEmpty) Nil
-      else {
-        val (_, ds) = DeletionVectors.writeFile(root, dvTargets.map(_._2))
-        dvTargets.map(_._1).zip(ds)
-      }
+      else dvTargets.map(_._1).zip(
+        // small bitmaps INLINE in the log action, the rest share one
+        // "u" file — see DeletionVectors.InlineMaxBytes
+        DeletionVectors.descriptorsFor(root, dvTargets.map(_._2)))
 
     val mapper = new ObjectMapper
     val now = System.currentTimeMillis
@@ -1536,10 +1536,10 @@ final case class DeltaTable(root: String) {
     }
     val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
       if (dvTargets.isEmpty) Nil
-      else {
-        val (_, ds) = DeletionVectors.writeFile(root, dvTargets.map(_._2))
-        dvTargets.map(_._1).zip(ds)
-      }
+      else dvTargets.map(_._1).zip(
+        // small bitmaps INLINE in the log action, the rest share one
+        // "u" file — see DeletionVectors.InlineMaxBytes
+        DeletionVectors.descriptorsFor(root, dvTargets.map(_._2)))
     commit(keyed.select(st.schema.fieldNames.map(col): _*),
       st.partitionColumns, emptied.map(_._1.path), "MERGE",
       Map("predicate" -> s"$keyCol in [${lo}, ${hi}]",

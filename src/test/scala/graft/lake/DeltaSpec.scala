@@ -253,7 +253,7 @@ class DeltaSpec extends SparkSpec {
     assert(log.split("\"remove\"").length - 1 == 2) // whole + boundary
     assert(log.split("\"add\"").length - 1 == 1)    // boundary re-add w/ DV
     assert(log.contains("\"deletionVector\"")
-      && log.contains("\"storageType\":\"u\"")
+      && log.contains("\"storageType\":\"i\"") // 5 rows: inline, no .bin
       && log.contains("\"cardinality\":5"))
     // the protocol upgraded to the deletionVectors table feature
     assert(log.contains("\"minReaderVersion\":3")
@@ -296,12 +296,14 @@ class DeltaSpec extends SparkSpec {
   test("deletion vectors survive checkpoints, purge on OPTIMIZE, restore by (path,dv), vacuum stale bins") {
     import spark.implicits._
     val t = tmpTable()
-    t.append((0 until 20).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    // 600-row files so the boundary bitmaps exceed InlineMaxBytes and
+    // the "u" file lifecycle (checkpoint/restore/vacuum) is exercised
+    t.append((0 until 600).map(i => (i.toLong, s"r$i")).toDF("k", "s")
       .coalesce(1), statsFor = Seq("k"))
-    t.append((20 until 40).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.append((600 until 1200).map(i => (i.toLong, s"r$i")).toDF("k", "s")
       .coalesce(1), statsFor = Seq("k"))
-    val vDel = t.delete("k", 15L, 24L) // boundary DVs on BOTH files
-    val expect = ((0L to 14L) ++ (25L to 39L)).toSet
+    val vDel = t.delete("k", 300L, 899L) // boundary DVs on BOTH files
+    val expect = ((0L to 299L) ++ (900L to 1199L)).toSet
     assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
     // ONE DV file carries both bitmaps at distinct offsets
     val bins = Files.list(Paths.get(t.root)).iterator.asScala
@@ -322,8 +324,8 @@ class DeltaSpec extends SparkSpec {
       .map(_.getSeq[String](0)).exists(_.contains("deletionVectors")))
 
     // readWhere applies DVs on survivors of the stats prune
-    assert(t.readWhere(spark, "k", 10L, 30L).collect()
-      .map(_.getLong(0)).toSet == ((10L to 14L) ++ (25L to 30L)).toSet)
+    assert(t.readWhere(spark, "k", 250L, 950L).collect()
+      .map(_.getLong(0)).toSet == ((250L to 299L) ++ (900L to 950L)).toSet)
 
     // CDC: the delete commit's insert slice is the files' LIVE rows
     val cdc = t.changes(spark, vDel - 1, vDel)

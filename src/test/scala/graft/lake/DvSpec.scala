@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Deletion-vector serialization fidelity: the RoaringBitmapArray
@@ -86,10 +88,39 @@ class DvSpec extends AnyFunSuite {
     assert(DeletionVectors.read(root, descs(1)).length == 5000)
   }
 
-  test("inline storage: bitmap rides the descriptor itself") {
-    val rows = Array(3L, 17L, 4096L, 70000L)
-    val d = DeletionVectors.inline(rows)
-    assert(d.storageType == "i" && d.offset.isEmpty)
-    assert(DeletionVectors.read("/nonexistent", d).toSeq == rows.toSeq)
+  test("inline storage: bitmap rides the descriptor itself, any alignment") {
+    // sweep cardinalities so the serialized length hits every mod-4
+    // residue (array containers are 2-byte units — Z85 padding must
+    // round-trip exactly via sizeInBytes truncation)
+    for (n <- 1 to 9) {
+      val rows = (0 until n).map(i => i.toLong * 7 + 3).toArray
+      val d = DeletionVectors.inline(rows)
+      assert(d.storageType == "i" && d.offset.isEmpty)
+      assert(DeletionVectors.read("/nonexistent", d).toSeq == rows.toSeq, s"n=$n")
+    }
+  }
+
+  test("descriptorsFor: small DVs inline, large ones share one file, input order kept") {
+    val root = java.nio.file.Files.createTempDirectory("dvspec2").toString
+    val small = Array(1L, 2L, 3L)
+    val big = (0L until 6000L).toArray // bitmap container: > InlineMaxBytes
+    val small2 = Array(9L)
+    val ds = DeletionVectors.descriptorsFor(root, Seq(small, big, small2))
+    assert(ds.map(_.storageType) == Seq("i", "u", "i"))
+    assert(ds.map(_.cardinality) == Seq(3L, 6000L, 1L))
+    assert(DeletionVectors.read(root, ds(0)).toSeq == small.toSeq)
+    assert(DeletionVectors.read(root, ds(1)).toSeq == big.toSeq)
+    assert(DeletionVectors.read(root, ds(2)).toSeq == small2.toSeq)
+    // exactly ONE .bin on disk (the two inline DVs wrote nothing)
+    val bins = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("deletion_vector_")).toSeq
+    assert(bins.size == 1, bins)
+    // an all-small batch writes NO file at all
+    val root2 = java.nio.file.Files.createTempDirectory("dvspec3").toString
+    val ds2 = DeletionVectors.descriptorsFor(root2, Seq(small, small2))
+    assert(ds2.forall(_.storageType == "i"))
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(root2))
+      .iterator().hasNext)
   }
 }
