@@ -232,6 +232,20 @@ object LakeRegistry {
       dt.delete("doc_id", 130L, 179L)
       bySource(dt.read(s))
     }),
+    // ROW-LEVEL change feed: a file-pruned DELETE's CDF rows are exactly
+    // the deleted rows — whole-file drops contribute their live rows,
+    // DV'd boundary files contribute their bitmap DIFF rows; a consumer
+    // syncing a downstream store reads O(changed rows), never two file
+    // images
+    "q_delta_cdf" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_cdf"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      val v = dt.delete("doc_id", 100L, 299L)
+      bySource(dt.changesRows(s, v - 1, v)
+        .filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version"))
+    }),
     // DESCRIBE HISTORY: the audit surface as a DataFrame — version,
     // operation, mode/version parameters and per-commit add/remove
     // action counts over a deterministic 4-commit sequence (overwrite
@@ -295,6 +309,9 @@ object LakeRegistry {
       s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
     "q_delta_dv" ->
       s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 179 GROUP BY source",
+    // the row-level delete feed is exactly the deleted rows
+    "q_delta_cdf" ->
+      s"$bySourceSql WHERE doc_id BETWEEN 100 AND 299 GROUP BY source",
     "q_delta_restore" ->
       s"$bySourceSql WHERE doc_id % 3 = 0 GROUP BY source",
     "q_delta_zorder" ->

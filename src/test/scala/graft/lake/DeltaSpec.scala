@@ -356,6 +356,41 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("row-level CDF: DV diffs emit exactly the changed rows; restore resurrects them as inserts") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.append((0 until 20).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    t.append((20 until 40).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    val vDel = t.delete("k", 15L, 24L) // DV on both files
+    // file-level changes(): two whole file images (40 rows); row-level:
+    // EXACTLY the 10 deleted rows
+    val cdf = t.changesRows(spark, vDel - 1, vDel).collect()
+    assert(cdf.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      (15L to 24L).map(_ -> "delete").toSet,
+      s"got ${cdf.mkString(",")}")
+    // a whole-file (contained) drop still emits its live rows as deletes
+    val vDel2 = t.delete("k", 0L, 19L) // file1 drops whole (rows 0..14 live)
+    val cdf2 = t.changesRows(spark, vDel2 - 1, vDel2).collect()
+    assert(cdf2.map(_.getLong(0)).toSet == (0L to 14L).toSet)
+    assert(cdf2.forall(_.getString(2) == "delete"))
+    // RESTORE to the pre-delete snapshot: the DV diff runs BACKWARD —
+    // resurrected rows surface as inserts, nothing fabricated
+    val vR = t.restore(vDel)
+    val cdf3 = t.changesRows(spark, vR - 1, vR).collect()
+    assert(cdf3.map(_.getLong(0)).toSet == (0L to 14L).toSet)
+    assert(cdf3.forall(_.getString(2) == "insert"))
+    // dataChange=false maintenance stays silent row-level too
+    t.compact()
+    assert(t.changesRows(spark, vR, vR + 1).isEmpty)
+    // plain appends emit their rows as inserts (descriptor-free path)
+    val vA = t.append(Seq((100L, "new")).toDF("k", "s"), statsFor = Seq("k"))
+    val cdf4 = t.changesRows(spark, vA - 1, vA).collect()
+    assert(cdf4.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq(100L -> "insert"))
+  }
+
   test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
     import spark.implicits._
     val t = tmpTable()
