@@ -32,10 +32,13 @@ import org.apache.spark.sql.types._
   *     listing; `_last_checkpoint` is treated as a hint, not truth)
   *     replayed forward with the JSON tail. Within replay the LAST
   *     action per path wins; a `remove` tombstones the path.
-  *   - `minReaderVersion` must be 1: features gated behind reader 2/3
-  *     (column mapping, deletion vectors) change row visibility or
-  *     physical names, and silently mis-reading them would corrupt
-  *     results — LOUD FAILURE instead, per the engine discipline.
+  *   - reader-version gate: v1/v2 tables always read; v3 reads exactly
+  *     when EVERY declared readerFeature is one this implementation
+  *     honors (`deletionVectors` — applied at every read). Any other
+  *     feature (column mapping id-mode, v2 checkpoints, ...) changes
+  *     row visibility or physical names, and silently mis-reading it
+  *     would corrupt results — LOUD FAILURE instead, per the engine
+  *     discipline.
   *   - partitioned tables: `add.partitionValues` + Hive-style paths;
   *     reads recover partition columns from the directory layout
   *     (`basePath`), then cast to the `schemaString` types, so
@@ -175,10 +178,19 @@ final case class DeltaTable(root: String) {
       // 10^7-row) add census is NEVER collected here — it stays behind
       // the [[fileCensus]] DataFrame.
       val df = spark.read.parquet(paths.map(_.toString): _*)
-      val cols = df.schema.fieldNames.toSet
+      // resolve the FULL dotted path against the parquet schema (walking
+      // nested StructTypes), not just the top-level column: a checkpoint
+      // written before this engine carried protocol.readerFeatures — or
+      // by a minimal foreign writer — has a narrower protocol/add struct,
+      // and col("protocol.readerFeatures") over it would throw
+      // AnalysisException instead of reading as null
       def fld(path: String, dt: DataType): Column = {
-        val top = path.split('.').head
-        if (cols(top)) col(path).cast(dt) else lit(null).cast(dt)
+        val resolved = path.split('.')
+          .foldLeft(Option(df.schema: DataType)) {
+            case (Some(s: StructType), seg) => s.find(_.name == seg).map(_.dataType)
+            case _ => None
+          }
+        if (resolved.isDefined) col(path).cast(dt) else lit(null).cast(dt)
       }
       val ctrl = df.select(
         fld("protocol.minReaderVersion", IntegerType).as("_mr"),
@@ -1094,19 +1106,22 @@ final case class DeltaTable(root: String) {
     val written = Files.list(scratch).iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     require(written.nonEmpty, "checkpoint write produced no part")
-    // Idempotence means REPLACEMENT: drop every existing checkpoint file
-    // for this version first. Re-checkpointing with a different part
-    // count produces different file names, so REPLACE_EXISTING alone
-    // would leave the previous complete part set behind — listCheckpoints
-    // would then see two complete checkpoints at one version and could
-    // keep preferring the stale one, and derived files would accumulate
-    // in _delta_log forever.
+    // Idempotence means REPLACEMENT, in crash-safe order: move the NEW
+    // parts in first (a different part count means different names; a
+    // same-name single-file move is REPLACE_EXISTING), update
+    // _last_checkpoint, and only THEN delete stale files not in the new
+    // set. Every instant of that window holds at least one COMPLETE
+    // checkpoint at this version — a foreign reader trusting the
+    // pointer never finds it dangling (delete-first had a crash window
+    // with _last_checkpoint aimed at nothing). A brief overlap of two
+    // complete sets is harmless: both describe the same snapshot, and
+    // the stale one is removed here or by the next checkpoint call.
     val vPrefix = f"${st.version}%020d.checkpoint"
-    Files.list(logDir).iterator.asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith(vPrefix) && n.endsWith(".parquet")
-      }.toSeq.foreach(Files.deleteIfExists(_))
+    val newNames: Set[String] =
+      if (parts <= 1 || written.size == 1)
+        Set(checkpointPath(st.version).getFileName.toString)
+      else written.indices.map(i => checkpointPartPath(
+        st.version, i + 1, written.size).getFileName.toString).toSet
     if (parts <= 1 || written.size == 1)
       Files.move(written.head, checkpointPath(st.version),
         StandardCopyOption.REPLACE_EXISTING)
@@ -1124,6 +1139,11 @@ final case class DeltaTable(root: String) {
     Files.write(tmp, (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.REPLACE_EXISTING)
+    Files.list(logDir).iterator.asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(vPrefix) && n.endsWith(".parquet") && !newNames(n)
+      }.toSeq.foreach(Files.deleteIfExists(_))
     st.version
   }
 

@@ -624,6 +624,50 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).count() == 100)
   }
 
+  test("checkpoint with pre-upgrade protocol/add structs (no feature lists, no DV field) still reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val t = tmpTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), statsFor = Seq("k"))
+    t.append(Seq((3L, "c")).toDF("k", "s"), statsFor = Seq("k"))
+    t.checkpoint()
+    // Rewrite the checkpoint with the NARROW pre-upgrade schema: protocol
+    // carries only {minReaderVersion, minWriterVersion} (no readerFeatures/
+    // writerFeatures) and add has no deletionVector — the shape every
+    // checkpoint written before the DV upgrade has, and what a minimal
+    // foreign writer emits. The ctrl read must resolve the missing nested
+    // fields to null, not throw AnalysisException.
+    val cpPath = Paths.get(t.root, "_delta_log",
+      f"${1L}%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(cpPath.toString)
+    val narrowed = cp.select(
+      when(col("protocol").isNotNull, struct(
+        col("protocol.minReaderVersion").as("minReaderVersion"),
+        col("protocol.minWriterVersion").as("minWriterVersion")))
+        .as("protocol"),
+      col("metaData"),
+      when(col("add").isNotNull, struct(
+        col("add.path").as("path"),
+        col("add.partitionValues").as("partitionValues"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.dataChange").as("dataChange"),
+        col("add.stats").as("stats"),
+        col("add.tags").as("tags"))).as("add"),
+      col("txn"), col("remove"))
+    val scratch = Files.createTempDirectory("cpnarrow")
+    narrowed.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, cpPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // read (checkpoint + empty tail) and a stats-pruned read both work
+    assert(vals(t.read(spark)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.readWhere(spark, "k", 2L, 3L).count() == 2)
+    // and the next write replays this narrow checkpoint without crashing
+    t.append(Seq((4L, "d")).toDF("k", "s"))
+    assert(vals(t.read(spark)).size == 4)
+  }
+
   test("foreign multi-part checkpoint (delta-spark naming) is read whole") {
     import spark.implicits._
     val t = tmpTable()
