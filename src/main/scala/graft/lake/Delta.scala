@@ -395,6 +395,103 @@ final case class DeltaTable(root: String) {
   private def dvMapOf(files: Seq[AddFile]): Map[String, String] =
     files.flatMap(f => f.dv.map(f.path -> _)).toMap
 
+  /** Per-file numRecords from the `add.stats` JSON — the emptied-DV
+    * collapse test (a DV covering every physical row becomes a plain
+    * remove) for both [[delete]] and [[merge]]. */
+  private def numRecordsOf(f: AddFile): Option[Long] = f.statsJson.flatMap { s =>
+    val n = new ObjectMapper().readTree(s)
+    if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
+  }
+
+  /** Canonical form of `_metadata.file_path` for the local file at
+    * absRoot/rel AFTER the executor-side `"^file:/+"` → `"/"`
+    * normalization: Hadoop's Path.toUri percent-encodes the raw
+    * on-disk name (space → %20, literal '%' → %25, non-ASCII → UTF-8
+    * percent form), exactly what the scan's metadata column carries —
+    * so BOTH sides of every DV row-index join derive from ONE
+    * canonicalization. A divergence here would silently no-op a
+    * DELETE/MERGE for the file, or let [[readFilesDv]]'s anti-join
+    * resurrect DV-deleted rows; [[buildDvs]] additionally refuses
+    * loudly on any key that fails to resolve. */
+  private def metaPath(absRoot: String, rel: String): String =
+    new org.apache.hadoop.fs.Path(
+      Paths.get(absRoot, rel).toString).toUri.toString
+
+  /** The exact frame the distributed DV build collects — (canonical
+    * file path, descriptor JSON or null when the merged DV covers every
+    * physical row, merged cardinality). Package-visible so the spec can
+    * prove the DV WRITE path's driver payload is ~100-byte descriptors,
+    * never row indexes: each file's matched indexes are grouped, merged
+    * with its existing DV, and SERIALIZED inside the executor task that
+    * holds them ([[DeletionVectors.descriptorsFor]] runs in
+    * mapPartitions — bitmaps over the inline ceiling land in one shared
+    * "u" file per task, written where the rows live; small ones ride
+    * the returned descriptor inline). */
+  private[lake] def dvBuildFrame(spark: SparkSession, matchedRows: DataFrame,
+      candidates: Seq[AddFile])
+      : org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import spark.implicits._
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val oldDv: Map[String, String] = candidates.flatMap(f =>
+      f.dv.map(metaPath(absRoot, f.path) -> _)).toMap
+    val numRec: Map[String, Long] = candidates.flatMap(f =>
+      numRecordsOf(f).map(metaPath(absRoot, f.path) -> _)).toMap
+    val rootStr = root
+    matchedRows
+      .groupBy(col("_fp"))
+      .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
+      .select(col("_fp").as("_1"), col("_rows").as("_2"))
+      .as[(String, Array[Long])]
+      .mapPartitions { it =>
+        // merge with the file's existing DV here (set union), so a
+        // re-matched already-dead row is harmless and the driver never
+        // sees a row index
+        val merged = it.map { case (fp, rows) =>
+          val old = oldDv.get(fp).map(j =>
+            DeletionVectors.read(rootStr, DeletionVectors.fromJson(j)))
+            .getOrElse(Array.emptyLongArray)
+          fp -> (old ++ rows).distinct.sorted
+        }.toVector
+        val (empt, targets) = merged.partition { case (fp, m) =>
+          numRec.get(fp).contains(m.length.toLong) }
+        val descs =
+          if (targets.isEmpty) Nil
+          else DeletionVectors.descriptorsFor(rootStr, targets.map(_._2))
+        (empt.map { case (fp, m) => (fp, null: String, m.length.toLong) } ++
+          targets.zip(descs).map { case ((fp, m), d) =>
+            (fp, DeletionVectors.toJson(d), m.length.toLong) }).iterator
+      }
+  }
+
+  /** Distributed DV construction shared by [[delete]] and [[merge]]:
+    * `matchedRows` is the (canonical file path `_fp`, physical row
+    * index `_ri`) frame of rows to kill; the merged bitmaps are built
+    * and serialized in executor tasks ([[dvBuildFrame]]) and the driver
+    * collects ONLY descriptors — O(touched files), never O(matched
+    * rows): a 100 TB upsert touching 10⁹ rows costs the driver its
+    * descriptor list, not 10⁹ longs. Returns (files whose merged DV
+    * covers every physical row — collapse to remove-only, descriptor
+    * re-adds). Refuses loudly if any executor-normalized key fails to
+    * resolve into the candidate set — a canonicalization miss would
+    * otherwise silently skip the file's delete. */
+  private def buildDvs(spark: SparkSession, matchedRows: DataFrame,
+      candidates: Seq[AddFile])
+      : (Seq[AddFile], Seq[(AddFile, DeletionVectors.Descriptor)]) = {
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val byKey: Map[String, AddFile] =
+      candidates.map(f => metaPath(absRoot, f.path) -> f).toMap
+    val results = dvBuildFrame(spark, matchedRows, candidates).collect()
+    val unknown = results.map(_._1).filterNot(byKey.contains)
+    require(unknown.isEmpty,
+      s"DeltaTable $root: DV path canonicalization mismatch — scanned " +
+        s"file(s) ${unknown.take(3).mkString(", ")} resolve to no " +
+        "candidate; a silent miss would no-op the delete for those rows")
+    val emptied = results.collect { case (fp, j, _) if j == null => byKey(fp) }.toSeq
+    val descs = results.collect { case (fp, j, _) if j != null =>
+      byKey(fp) -> DeletionVectors.fromJson(j) }.toSeq
+    (emptied, descs)
+  }
+
   /** Live file PATHS only — what a full-table multi-path scan minimally
     * needs on the driver; the stats JSON never rides along (the census
     * stays a DataFrame and only the single `path` column is collected —
@@ -613,11 +710,20 @@ final case class DeltaTable(root: String) {
 
   /** [[readFiles]] with per-file deletionVector descriptors applied:
     * rows whose `_metadata.row_index` is in the file's DV are DROPPED
-    * via a broadcast anti-join on (file, row index). The DV row sets
-    * materialize on the driver (O(Σ cardinality) — deletion vectors are
-    * boundary-delete artifacts, purged by every OPTIMIZE/compaction
-    * rewrite, so their total cardinality stays a small fraction of the
-    * table by construction); files without a DV pay NOTHING — the
+    * via a broadcast anti-join on (file, row index).
+    *
+    * DOCUMENTED DRIVER/BROADCAST BOUND, O(Σ live DV cardinality): the
+    * read side decodes every live descriptor's row set on the driver
+    * and broadcasts it. That sum is bounded by the maintenance
+    * invariant, not by the table: DVs are only ever CREATED by
+    * boundary deletes and merges (O(rows deleted since the last
+    * rewrite) per file), and every OPTIMIZE/compaction/zorder rewrite
+    * PURGES them (deleted rows drop physically, adds carry no
+    * descriptor — see [[compact]]). A table whose Σ cardinality
+    * approaches its row count is a table overdue for the incremental
+    * OPTIMIZE the engine ships; the WRITE side never pays this bound
+    * at all ([[buildDvs]] keeps row indexes in executor tasks and
+    * collects descriptors only). Files without a DV pay NOTHING — the
     * anti-join is added only when at least one descriptor is present,
     * so the DV-free fast path is byte-identical to before. */
   private def readFilesDv(spark: SparkSession, schema: StructType,
@@ -640,7 +746,11 @@ final case class DeltaTable(root: String) {
       if (dvFiles.isEmpty) raw
       else {
         val dvRows = dvFiles.flatMap { case (rel, json) =>
-          val abs = Paths.get(absRoot, rel).toString
+          // join key via the SAME canonicalization the scan's metadata
+          // column goes through (see metaPath) — a plain path string
+          // diverges on percent/space/non-ASCII names and would
+          // silently resurrect DV-deleted rows
+          val abs = metaPath(absRoot, rel)
           DeletionVectors.read(root, DeletionVectors.fromJson(json))
             .map(ri => Row(abs, ri))
         }
@@ -801,33 +911,39 @@ final case class DeltaTable(root: String) {
       statsFor: Seq[String] = Nil,
       tags: Map[String, String] = Map.empty,
       removeDvs: Map[String, String] = Map.empty,
-      dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil): Long = {
+      dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil,
+      writeData: Boolean = true): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
-    val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
-    writer.mode("overwrite").parquet(scratch.toString)
 
-    // move parts into the table root, keeping the Hive partition dirs
+    // move parts into the table root, keeping the Hive partition dirs.
+    // writeData=false is the metadata-only commit shape (DV deletes:
+    // removes + descriptor re-adds, no new data) — even an EMPTY frame
+    // writes a footer-only part file Spark would then dutifully add.
     val moved = mutable.ArrayBuffer.empty[(String, Long, Map[String, String])]
-    def walk(dir: Path, rel: List[String], pv: Map[String, String]): Unit =
-      Files.list(dir).iterator.asScala.toSeq.sortBy(_.toString).foreach { p =>
-        val name = p.getFileName.toString
-        if (Files.isDirectory(p) && name.contains("=")) {
-          val Array(k, raw) = name.split("=", 2)
-          val value = java.net.URLDecoder.decode(raw, "UTF-8")
-          walk(p, name :: rel, pv + (k -> value))
-        } else if (name.endsWith(".parquet")) {
-          val unique = f"part-${moved.size}%05d-$token-v$v.snappy.parquet"
-          val relPath = (unique :: rel).reverse.mkString("/")
-          val dest = Paths.get(root, relPath)
-          Files.createDirectories(dest.getParent)
-          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-          moved += ((relPath, Files.size(dest), pv))
+    if (writeData) {
+      val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
+      writer.mode("overwrite").parquet(scratch.toString)
+      def walk(dir: Path, rel: List[String], pv: Map[String, String]): Unit =
+        Files.list(dir).iterator.asScala.toSeq.sortBy(_.toString).foreach { p =>
+          val name = p.getFileName.toString
+          if (Files.isDirectory(p) && name.contains("=")) {
+            val Array(k, raw) = name.split("=", 2)
+            val value = java.net.URLDecoder.decode(raw, "UTF-8")
+            walk(p, name :: rel, pv + (k -> value))
+          } else if (name.endsWith(".parquet")) {
+            val unique = f"part-${moved.size}%05d-$token-v$v.snappy.parquet"
+            val relPath = (unique :: rel).reverse.mkString("/")
+            val dest = Paths.get(root, relPath)
+            Files.createDirectories(dest.getParent)
+            Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+            moved += ((relPath, Files.size(dest), pv))
+          }
         }
-      }
-    walk(scratch, Nil, Map.empty)
-    deleteRecursively(scratch)
+      walk(scratch, Nil, Map.empty)
+      deleteRecursively(scratch)
+    }
 
     // Per-file stats for the data-skipping index: ONE map-side-combined
     // aggregate over the JUST-WRITTEN files (O(new data), grouped by
@@ -920,8 +1036,13 @@ final case class DeltaTable(root: String) {
         val oldNames = current.fieldNames.toSet
         StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
     }
+    // a fresh metaData action rides the commit only when the schema or
+    // the partitioning actually changed (plus v0) — re-recording an
+    // identical metaData on every overwrite/remove-bearing commit is
+    // noise foreign readers must replay
     val schemaChanged = currentSchema.exists(_.json != recordedSchema.json)
-    if (v == 0L || isOverwrite || schemaChanged) {
+    val partChanged = currentState.exists(_.partitionColumns != partitionBy)
+    if (v == 0L || schemaChanged || partChanged) {
       actions += wrap(mapper, "metaData",
         metaNode(mapper, recordedSchema, partitionBy, now))
     }
@@ -1173,9 +1294,9 @@ final case class DeltaTable(root: String) {
     * kept, per SQL semantics — which is exactly why the fast drop
     * demands nullCount == 0. Statless files are conservatively treated
     * as boundary files. Candidate selection runs as a Spark filter over
-    * the census; the driver collects candidates only, plus the matched
-    * row indexes (O(deleted boundary rows) — the quantity being
-    * deleted, not the table). */
+    * the census; the driver collects candidates only, and the bitmaps
+    * are built in executor tasks ([[buildDvs]]) — the driver's DV
+    * payload is O(touched files) descriptors, never row indexes. */
   def delete(column: String, lo: Any, hi: Any,
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
@@ -1204,12 +1325,14 @@ final case class DeltaTable(root: String) {
         statsFor = Seq(column), removeDvs = dvMapOf(cand))
     }
 
-    // DV path: matched PHYSICAL row indexes per boundary file (existing
-    // DVs are NOT applied here — the merged DV is a set union, so
-    // re-matching an already-deleted row is harmless and saves a join)
+    // DV path: matched PHYSICAL row indexes per boundary file, grouped
+    // and serialized DISTRIBUTED ([[buildDvs]] — existing DVs are NOT
+    // applied to the scan: the merged DV is a set union, so re-matching
+    // an already-deleted row is harmless and saves a join)
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val matchedByAbs: Map[String, Array[Long]] =
-      if (partial.isEmpty) Map.empty
+    val (emptied, descs) =
+      if (partial.isEmpty)
+        (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
       else {
         val dataSchema = StructType(
           st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
@@ -1218,96 +1341,28 @@ final case class DeltaTable(root: String) {
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
           else spark.read.option("basePath", absRoot).schema(dataSchema)
         val dt = st.schema(column).dataType
-        reader.parquet(paths: _*)
+        val matchedRows = reader.parquet(paths: _*)
           .select(
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
             col("_metadata.row_index").as("_ri"),
             col(column).cast(dt).as("_c"))
           .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
-          .groupBy(col("_fp"))
-          .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
-          .collect()
-          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
-          .toMap
+          .select(col("_fp"), col("_ri"))
+        buildDvs(spark, matchedRows, partial)
       }
-    val matched: Seq[(AddFile, Array[Long])] = partial.flatMap { f =>
-      matchedByAbs.get(Paths.get(absRoot, f.path).toString)
-        .filter(_.nonEmpty).map(f -> _)
-    }
-    if (matched.isEmpty && contained.isEmpty) return st.version
+    if (emptied.isEmpty && descs.isEmpty && contained.isEmpty)
+      return st.version
 
-    // merge with each file's existing DV; a DV covering every physical
-    // row collapses the file to a remove-only action
-    def numRecordsOf(f: AddFile): Option[Long] = f.statsJson.flatMap { s =>
-      val n = new ObjectMapper().readTree(s)
-      if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
-    }
-    val withMerged = matched.map { case (f, rows) =>
-      val old = f.dv.map(j =>
-        DeletionVectors.read(root, DeletionVectors.fromJson(j)))
-        .getOrElse(Array.emptyLongArray)
-      (f, (old ++ rows).distinct.sorted)
-    }
-    val (emptied, dvTargets) = withMerged.partition { case (f, merged) =>
-      numRecordsOf(f).contains(merged.length.toLong)
-    }
-    val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
-      if (dvTargets.isEmpty) Nil
-      else dvTargets.map(_._1).zip(
-        // small bitmaps INLINE in the log action, the rest share one
-        // "u" file — see DeletionVectors.InlineMaxBytes
-        DeletionVectors.descriptorsFor(root, dvTargets.map(_._2)))
-
-    val mapper = new ObjectMapper
-    val now = System.currentTimeMillis
-    val actions = mutable.ArrayBuffer.empty[String]
-    val ci = mapper.createObjectNode
-    ci.put("timestamp", now).put("operation", "DELETE")
-    ci.putObject("operationParameters")
-      .put("predicate", predicate)
-      .put("wholeFilesDropped",
-        (contained.size + emptied.size).toString)
-      .put("deletionVectorsWritten", descs.size.toString)
-    actions += wrap(mapper, "commitInfo", ci)
-    // first DV on this table upgrades the protocol to the public
-    // deletionVectors table feature (readerVersion 3 / writerVersion 7)
-    if (descs.nonEmpty && (st.minReader < 3 ||
-        !st.readerFeatures.contains("deletionVectors"))) {
-      val proto = mapper.createObjectNode
-      proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
-      proto.putArray("readerFeatures").add("deletionVectors")
-      proto.putArray("writerFeatures").add("deletionVectors")
-      actions += wrap(mapper, "protocol", proto)
-    }
-    def removeNode(f: AddFile): Unit = {
-      val rm = mapper.createObjectNode
-      rm.put("path", encodePath(f.path)).put("deletionTimestamp", now)
-        .put("dataChange", true)
-      f.dv.foreach(j => rm.set[ObjectNode]("deletionVector",
-        mapper.readTree(j).asInstanceOf[ObjectNode]))
-      actions += wrap(mapper, "remove", rm)
-    }
-    cand.filter(f => contained(f.path)).foreach(removeNode)
-    emptied.map(_._1).foreach(removeNode)
-    descs.foreach { case (f, _) => removeNode(f) }
-    descs.foreach { case (f, d) =>
-      val add = mapper.createObjectNode
-      add.put("path", encodePath(f.path))
-      val pvNode = add.putObject("partitionValues")
-      f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
-      add.put("size", f.size).put("modificationTime", f.modificationTime)
-        .put("dataChange", true)
-      f.statsJson.foreach(s => add.put("stats", s))
-      if (f.tags.nonEmpty) {
-        val tn = add.putObject("tags")
-        f.tags.foreach { case (k, x) => tn.put(k, x) }
-      }
-      DeletionVectors.toNode(d, add.putObject("deletionVector"))
-      actions += wrap(mapper, "add", add)
-    }
-    val v = st.version + 1
-    publish(v, actions.toSeq)
-    v
+    // one atomic commit through the shared emission path: whole-file
+    // and emptied-DV removes (old descriptors riding for CDC), DV
+    // re-adds, and the protocol upgrade on the first descriptor
+    val wholeDrops = cand.filter(f => contained(f.path)) ++ emptied
+    commit(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st.schema),
+      st.partitionColumns, wholeDrops.map(_.path), "DELETE",
+      Map("predicate" -> predicate,
+        "wholeFilesDropped" -> wholeDrops.size.toString,
+        "deletionVectorsWritten" -> descs.size.toString),
+      removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false)
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -1474,7 +1529,9 @@ final case class DeltaTable(root: String) {
     * protocol's metadata-sized form): candidate files are scanned once
     * for the ROW INDEXES whose key appears in the source (a semi-join
     * on `_metadata.row_index`), those indexes merge into each file's
-    * DV (set union with any existing descriptor), and ALL source rows
+    * DV (set union with any existing descriptor) INSIDE the executor
+    * tasks that hold them — the driver sees ~100-byte descriptors,
+    * never the matched indexes ([[buildDvs]]) — and ALL source rows
     * append as new files — so a candidate file whose envelope matched
     * but whose rows didn't is untouched entirely (the rewrite form
     * paid a full rewrite for it), and a matched 1 GB file costs a
@@ -1513,10 +1570,14 @@ final case class DeltaTable(root: String) {
     }
 
     // DV path: matched PHYSICAL row indexes per candidate file (existing
-    // DVs not applied — union makes re-matching a dead row harmless)
+    // DVs not applied — union makes re-matching a dead row harmless),
+    // grouped and serialized DISTRIBUTED ([[buildDvs]]): the driver
+    // collects descriptors only, so a 100 TB upsert matching 10⁹ rows
+    // never materializes them driver-side
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val matchedByAbs: Map[String, Array[Long]] =
-      if (cand.isEmpty) Map.empty
+    val (emptied, descs) =
+      if (cand.isEmpty)
+        (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
       else {
         val dataSchema = StructType(
           st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
@@ -1524,49 +1585,23 @@ final case class DeltaTable(root: String) {
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
           else spark.read.option("basePath", absRoot).schema(dataSchema)
-        reader.parquet(paths: _*)
+        val matchedRows = reader.parquet(paths: _*)
           .select(
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
             col("_metadata.row_index").as("_ri"),
             col(keyCol).cast(st.schema(keyCol).dataType).as("_k"))
           .join(keyed.select(col(keyCol).as("_k")).distinct(), Seq("_k"),
             "left_semi")
-          .groupBy(col("_fp"))
-          .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
-          .collect()
-          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
-          .toMap
+          .select(col("_fp"), col("_ri"))
+        buildDvs(spark, matchedRows, cand)
       }
-    val matched: Seq[(AddFile, Array[Long])] = cand.flatMap { f =>
-      matchedByAbs.get(Paths.get(absRoot, f.path).toString)
-        .filter(_.nonEmpty).map(f -> _)
-    }
-    def numRecordsOf(f: AddFile): Option[Long] = f.statsJson.flatMap { s =>
-      val n = new ObjectMapper().readTree(s)
-      if (n.hasNonNull("numRecords")) Some(n.get("numRecords").asLong) else None
-    }
-    val withMerged = matched.map { case (f, rows) =>
-      val old = f.dv.map(j =>
-        DeletionVectors.read(root, DeletionVectors.fromJson(j)))
-        .getOrElse(Array.emptyLongArray)
-      (f, (old ++ rows).distinct.sorted)
-    }
-    val (emptied, dvTargets) = withMerged.partition { case (f, merged) =>
-      numRecordsOf(f).contains(merged.length.toLong)
-    }
-    val descs: Seq[(AddFile, DeletionVectors.Descriptor)] =
-      if (dvTargets.isEmpty) Nil
-      else dvTargets.map(_._1).zip(
-        // small bitmaps INLINE in the log action, the rest share one
-        // "u" file — see DeletionVectors.InlineMaxBytes
-        DeletionVectors.descriptorsFor(root, dvTargets.map(_._2)))
     commit(keyed.select(st.schema.fieldNames.map(col): _*),
-      st.partitionColumns, emptied.map(_._1.path), "MERGE",
+      st.partitionColumns, emptied.map(_.path), "MERGE",
       Map("predicate" -> s"$keyCol in [${lo}, ${hi}]",
-        "matchedFiles" -> matched.size.toString,
+        "matchedFiles" -> (emptied.size + descs.size).toString,
         "deletionVectorsWritten" -> descs.size.toString),
       statsFor = Seq(keyCol),
-      removeDvs = dvMapOf(emptied.map(_._1)), dvReAdds = descs)
+      removeDvs = dvMapOf(emptied), dvReAdds = descs)
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added

@@ -305,11 +305,14 @@ class DeltaSpec extends SparkSpec {
     val vDel = t.delete("k", 300L, 899L) // boundary DVs on BOTH files
     val expect = ((0L to 299L) ++ (900L to 1199L)).toSet
     assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
-    // ONE DV file carries both bitmaps at distinct offsets
+    // the over-inline-ceiling bitmaps land in shared "u" files — one per
+    // executor task that built them (the distributed build serializes
+    // where the rows live), bounded by the task count, never per-file
     val bins = Files.list(Paths.get(t.root)).iterator.asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin")).toSeq
-    assert(bins.size == 1, s"expected one shared DV file, got $bins")
+    assert(bins.nonEmpty && bins.size <= 2,
+      s"expected at most one shared DV file per build task, got $bins")
 
     // CHECKPOINT: the add.deletionVector struct rides the parquet census;
     // post-checkpoint replay (checkpoint-only, no JSON tail) still drops
@@ -356,6 +359,75 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("DV write path: driver payload is descriptors, not row indexes; many-matched merge ≡ rewrite twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    val rows = (0 until 4000).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+    t.overwrite(rows.repartitionByRange(4, col("k")), statsFor = Seq("k"))
+    // upsert 2000 keys spanning two whole files + two boundaries: the
+    // bitmaps exceed the inline ceiling, so the "u" files are written by
+    // the EXECUTOR tasks and the driver handles descriptors only
+    val src = (900 until 2900).map(i => (i.toLong, s"UP$i")).toDF("k", "s")
+    t.merge(src, "k")
+    val got = t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 4000)
+    assert(got(899L) == "r899" && got(900L) == "UP900"
+      && got(2899L) == "UP2899" && got(2900L) == "r2900")
+    // the rewrite twin is bit-identical
+    val tr = tmpTable()
+    tr.overwrite(rows.repartitionByRange(4, col("k")), statsFor = Seq("k"))
+    tr.merge(src, "k", useDeletionVectors = false)
+    assert(tr.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == got)
+    // THE DRIVER-PAYLOAD PROOF: the exact frame buildDvs collects is
+    // (canonical path, descriptor JSON, cardinality) — three SCALAR
+    // columns, no array-of-row-indexes anywhere in its schema; the
+    // matched indexes are grouped, merged and serialized inside
+    // mapPartitions and never reach the driver
+    val probe = Seq(("p", 0L)).toDF("_fp", "_ri")
+    val frame = t.dvBuildFrame(spark, probe, Nil)
+    assert(frame.schema.fields.map(_.dataType).toSeq ==
+      Seq(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType),
+      s"DV build driver payload must be scalar descriptors, got ${frame.schema}")
+    // a repeat merge unions into the executor-built DVs (old DV read
+    // back inside the task) and still matches the rewrite twin
+    val src2 = (2000 until 2100).map(i => (i.toLong, s"UQ$i")).toDF("k", "s")
+    t.merge(src2, "k")
+    tr.merge(src2, "k", useDeletionVectors = false)
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == tr.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("DV row-index join canonicalizes percent/space partition paths on both sides") {
+    import spark.implicits._
+    val t = tmpTable()
+    // partition values Spark escapes in dir names (':' → %3A literally
+    // on disk) plus a literal space and a literal '%': the scan's
+    // _metadata.file_path URI-encodes the raw names (%→%25, space→%20),
+    // and the driver-side join keys must go through the SAME
+    // canonicalization — a divergence silently no-ops the delete
+    t.overwrite(Seq((1L, "a:b"), (2L, "a:b"), (3L, "e f"), (4L, "c%d"))
+      .toDF("k", "color"), partitionBy = Seq("color"), statsFor = Seq("k"))
+    val v = t.delete("k", 2L, 3L)
+    assert(t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a:b"), (4L, "c%d")),
+      "DV delete must kill rows inside percent-encoded partition dirs")
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(log.contains("deletionVector"), "boundary file must take a DV")
+    // the read side (readFilesDv anti-join) resolves the same canonical
+    // keys: checkpoint + replay, rows stay dead
+    t.checkpoint()
+    assert(t.read(spark).count() == 2)
+    // and a DV merge through the same dirs updates, not duplicates
+    t.merge(Seq((1L, "a:b")).toDF("k", "color"), "k")
+    assert(t.read(spark).count() == 2)
+  }
+
   test("row-level CDF: DV diffs emit exactly the changed rows; restore resurrects them as inserts") {
     import spark.implicits._
     val t = tmpTable()
@@ -389,6 +461,67 @@ class DeltaSpec extends SparkSpec {
     val cdf4 = t.changesRows(spark, vA - 1, vA).collect()
     assert(cdf4.map(r => (r.getLong(0), r.getString(2))).toSeq ==
       Seq(100L -> "insert"))
+  }
+
+  test("DV composition sweep: every verb over a table ALREADY carrying DVs ≡ the rewrite-mode twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // twin tables seeded with the same merge+delete mix — `a` carries
+    // real DVs into every subsequent verb, `b` rewrites; the verbs are
+    // proven verb-by-verb elsewhere, THIS test proves the composition:
+    // verbs running on top of existing descriptors stay bit-identical
+    def mk(useDv: Boolean): DeltaTable = {
+      val t = tmpTable()
+      val rows = (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      t.overwrite(rows.repartitionByRange(5, col("k")), statsFor = Seq("k"))
+      t.merge((100 until 260).map(i => (i.toLong, s"M$i")).toDF("k", "s"),
+        "k", useDeletionVectors = useDv)
+      t.delete("k", 400L, 519L, useDeletionVectors = useDv)
+      t
+    }
+    def snap(t: DeltaTable): Set[(Long, String)] = t.read(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = mk(true)
+    val b = mk(false)
+    assert(snap(a) == snap(b))
+    assert(a.livePathsFrame(spark).collect().exists(!_.isNullAt(1)),
+      "seed mix must leave real DVs on table a")
+    // stats-pruned read over DV'd boundaries
+    def rw(t: DeltaTable) = t.readWhere(spark, "k", 150L, 450L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rw(a) == rw(b))
+    // MERGE over files already carrying DVs (unions in-executor)
+    val m2 = (180 until 450).map(i => (i.toLong, s"N$i")).toDF("k", "s")
+    a.merge(m2, "k")
+    b.merge(m2, "k", useDeletionVectors = false)
+    val after2 = snap(a)
+    assert(after2 == snap(b))
+    // DELETE over files already carrying DVs (inline→file transitions)
+    val vDel2a = a.delete("k", 50L, 129L)
+    b.delete("k", 50L, 129L, useDeletionVectors = false)
+    assert(snap(a) == snap(b))
+    // row-level CDF on the DV table: exactly the rows live-then-killed
+    val cdf = a.changesRows(spark, vDel2a - 1, vDel2a).collect()
+    assert(cdf.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      after2.filter { case (k, _) => k >= 50L && k <= 129L })
+    assert(cdf.forall(_.getString(2) == "delete"))
+    // CHECKPOINT with DVs in census, then replay
+    a.checkpoint(); b.checkpoint()
+    assert(snap(a) == snap(b))
+    // HISTORY: commit cadence identical across modes
+    assert(a.history(spark).select("version", "operation").collect().toSeq ==
+      b.history(spark).select("version", "operation").collect().toSeq)
+    // RESTORE to the seeded snapshot (v2): DV state rewinds too
+    a.restore(2L); b.restore(2L)
+    assert(snap(a) == snap(b))
+    // OPTIMIZE purges DVs; snapshot unchanged
+    a.compact(); b.compact()
+    assert(snap(a) == snap(b))
+    assert(a.livePathsFrame(spark).collect().forall(_.isNullAt(1)),
+      "OPTIMIZE must purge every descriptor")
+    // VACUUM drops dead files + stale DV bins; table still reads
+    a.vacuum(1, retentionMs = 0L); b.vacuum(1, retentionMs = 0L)
+    assert(snap(a) == snap(b))
   }
 
   test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
