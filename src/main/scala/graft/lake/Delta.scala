@@ -26,19 +26,26 @@ import org.apache.spark.sql.types._
   *
   * Protocol subset (all public knowledge, delta.io PROTOCOL.md):
   *   - actions understood: `protocol`, `metaData`, `add`, `remove`,
-  *     `commitInfo` (pass-through); unknown actions and unknown FIELDS
-  *     of known actions are ignored on read, as the protocol requires.
+  *     `commitInfo` (pass-through), `cdc` (consumed by the CDF surface
+  *     [[changes]]/[[changesRows]] — a commit carrying cdc actions has
+  *     its change set read from the `_change_data` files, superseding
+  *     the add/remove derivation, per the protocol; snapshot replay
+  *     ignores them); other unknown actions and unknown FIELDS of known
+  *     actions are ignored on read, as the protocol requires.
   *   - snapshot = latest checkpoint ≤ target version (parquet, found by
   *     listing; `_last_checkpoint` is treated as a hint, not truth)
   *     replayed forward with the JSON tail. Within replay the LAST
   *     action per path wins; a `remove` tombstones the path.
-  *   - reader-version gate: v1/v2 tables always read; v3 reads exactly
-  *     when EVERY declared readerFeature is one this implementation
-  *     honors (`deletionVectors` — applied at every read). Any other
-  *     feature (column mapping id-mode, v2 checkpoints, ...) changes
-  *     row visibility or physical names, and silently mis-reading it
-  *     would corrupt results — LOUD FAILURE instead, per the engine
-  *     discipline.
+  *   - reader-version gate: v1 always reads; v2 (legacy column-mapping
+  *     capability) and v3 read exactly when every ACTIVE capability is
+  *     one this implementation honors — `deletionVectors` (applied at
+  *     every read) and `columnMapping` in NAME mode (physical-name
+  *     indirection resolved from the schema JSON's
+  *     `delta.columnMapping.physicalName` metadata; READ-ONLY — writes
+  *     to a column-mapping table refuse). Mode `id`, v2 checkpoints and
+  *     every other feature change row visibility or physical layout,
+  *     and silently mis-reading them would corrupt results — LOUD
+  *     FAILURE instead, per the engine discipline.
   *   - partitioned tables: `add.partitionValues` + Hive-style paths;
   *     reads recover partition columns from the directory layout
   *     (`basePath`), then cast to the `schemaString` types, so
@@ -149,11 +156,29 @@ final case class DeltaTable(root: String) {
       checkpointFiles: Seq[Path], tail: Tail,
       minReader: Int = 1, minWriter: Int = 2,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty)
+      writerFeatures: Set[String] = Set.empty,
+      columnMappingMode: String = "none") {
+    /** logical → physical column names (column-mapping name mode): the
+      * `delta.columnMapping.physicalName` field metadata delta-spark
+      * records in `schemaString`. Identity for mode `none` (no
+      * metadata present). Physical names are what the parquet footers,
+      * partition dir names, `partitionValues` keys and stats JSON keys
+      * all carry. */
+    val physicalNames: Map[String, String] = schema.fields.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+      else None
+    }.toMap
+    def phys(c: String): String = physicalNames.getOrElse(c, c)
+  }
 
   /** Reader features this implementation actually honors (protocol v3):
-    * add.deletionVector descriptors are applied at every read. */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+    * add.deletionVector descriptors are applied at every read, and
+    * column mapping is resolved on read for `name` mode (physical-name
+    * indirection in the schema JSON — no row-visibility change). Mode
+    * `id` (parquet field-id resolution) stays a loud refusal, as does
+    * any WRITE to a column-mapping table. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -166,6 +191,7 @@ final case class DeltaTable(root: String) {
     val txns = mutable.HashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
+    var configuration = Map.empty[String, String]
     var minReader = 1
     var minWriter = 2
     val readerFeats = mutable.HashSet.empty[String]
@@ -200,7 +226,9 @@ final case class DeltaTable(root: String) {
         fld("txn.version", LongType).as("_tv"),
         fld("protocol.minWriterVersion", IntegerType).as("_mw"),
         fld("protocol.readerFeatures", ArrayType(StringType)).as("_rf"),
-        fld("protocol.writerFeatures", ArrayType(StringType)).as("_wf"))
+        fld("protocol.writerFeatures", ArrayType(StringType)).as("_wf"),
+        fld("metaData.configuration", MapType(StringType, StringType))
+          .as("_conf"))
         .na.drop("all").collect()
       ctrl.foreach { r =>
         if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
@@ -212,6 +240,8 @@ final case class DeltaTable(root: String) {
         if (!r.isNullAt(5)) minWriter = math.max(minWriter, r.getInt(5))
         if (!r.isNullAt(6)) readerFeats ++= r.getSeq[String](6)
         if (!r.isNullAt(7)) writerFeats ++= r.getSeq[String](7)
+        if (!r.isNullAt(8))
+          configuration = r.getMap[String, String](8).toMap
       }
     }
 
@@ -250,6 +280,7 @@ final case class DeltaTable(root: String) {
           if (meta.hasNonNull("partitionColumns"))
             partCols = meta.get("partitionColumns").elements.asScala
               .map(_.asText).toSeq
+          configuration = mapOf(meta, "configuration")
         }
         if (add != null && add.hasNonNull("path")) {
           val path = decodePath(add.get("path").asText)
@@ -283,13 +314,20 @@ final case class DeltaTable(root: String) {
       }
     }
 
-    // Reader-version gate, per the protocol's table-features contract:
-    // v1/v2 always readable; v3 readable exactly when EVERY declared
-    // readerFeature is one this implementation honors (deletionVectors);
-    // anything else (column mapping, v2 checkpoints, ...) refuses loudly
-    // rather than mis-reads.
+    // Reader gate, per the protocol's table-features contract: v1
+    // always readable; v2 (legacy column-mapping capability) and v3
+    // (explicit feature lists) readable exactly when every ACTIVE
+    // capability is one this implementation honors — deletionVectors,
+    // and columnMapping in `name` mode only (metadata-only physical-
+    // name indirection; the most common foreign-managed-runtime table).
+    // Mode `id` and any other feature (v2 checkpoints, ...) refuse
+    // loudly rather than mis-read.
+    val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name",
+      s"DeltaTable $root: delta.columnMapping.mode '$mode' unsupported " +
+        "(name-mode reads only) — refusing to mis-read the table")
     val unsupported = readerFeats.toSet -- SupportedReaderFeatures
-    require(minReader <= 1 || (minReader == 3 && unsupported.isEmpty),
+    require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
       s"DeltaTable $root: minReaderVersion $minReader with reader features " +
         s"${readerFeats.toSeq.sorted.mkString(",")} — unsupported: " +
         s"${unsupported.toSeq.sorted.mkString(",")}; refusing to mis-read " +
@@ -300,7 +338,7 @@ final case class DeltaTable(root: String) {
     LogState(target, schema, partCols, txns.toMap,
       cp.map(_._2).getOrElse(Nil),
       Tail(active.values.toSeq, masked.toSet, tombstones.toMap),
-      minReader, minWriter, readerFeats.toSet, writerFeats.toSet)
+      minReader, minWriter, readerFeats.toSet, writerFeats.toSet, mode)
   }
 
   /** Highest committed `txn` version for a writer appId (the protocol's
@@ -560,14 +598,17 @@ final case class DeltaTable(root: String) {
   private def mayIntersectCol(st: LogState, column: String,
       lo: Any, hi: Any): Column = {
     val dt = st.schema(column).dataType
+    // partitionValues keys and stats JSON keys carry the PHYSICAL name
+    // on column-mapping tables (identity otherwise)
+    val pc = st.phys(column)
     if (st.partitionColumns.contains(column)) {
-      val v = col("partitionValues").getItem(column).cast(dt)
+      val v = col("partitionValues").getItem(pc).cast(dt)
       coalesce(v >= lit(lo).cast(dt) && v <= lit(hi).cast(dt), lit(true))
     } else {
-      val mn = statBound("minValues", column, dt)
-      val mx = statBound("maxValues", column, dt)
+      val mn = statBound("minValues", pc, dt)
+      val mx = statBound("maxValues", pc, dt)
       val allNull = coalesce(
-        nullCountOf(column) === numRecords && numRecords > 0L, lit(false))
+        nullCountOf(pc) === numRecords && numRecords > 0L, lit(false))
       coalesce(mx >= lit(lo).cast(dt) && mn <= lit(hi).cast(dt), lit(true)) &&
         !allNull
     }
@@ -586,14 +627,15 @@ final case class DeltaTable(root: String) {
   private def containedInCol(st: LogState, column: String,
       lo: Any, hi: Any): Column = {
     val dt = st.schema(column).dataType
+    val pc = st.phys(column)
     if (st.partitionColumns.contains(column)) {
-      val v = col("partitionValues").getItem(column).cast(dt)
+      val v = col("partitionValues").getItem(pc).cast(dt)
       coalesce(v >= lit(lo).cast(dt) && v <= lit(hi).cast(dt), lit(false))
     } else {
-      val mn = statBound("minValues", column, dt)
-      val mx = statBound("maxValues", column, dt)
+      val mn = statBound("minValues", pc, dt)
+      val mx = statBound("maxValues", pc, dt)
       coalesce(mn >= lit(lo).cast(dt) && mx <= lit(hi).cast(dt) &&
-        nullCountOf(column) === 0L, lit(false))
+        nullCountOf(pc) === 0L, lit(false))
     }
   }
 
@@ -700,8 +742,21 @@ final case class DeltaTable(root: String) {
     * recovered from the Hive directory layout and cast back. */
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val st = logState(spark, version)
-    readFilesDv(spark, st.schema, st.partitionColumns, livePathDvs(spark, st))
+    readFilesDv(spark, st.schema, st.partitionColumns,
+      livePathDvs(spark, st), st.physicalNames)
   }
+
+  /** Writer-side gate for column-mapping tables: every physical surface
+    * a write emits (add stats keys, partitionValues keys, new file
+    * column names, metaData configuration riding checkpoints/restores)
+    * would need physical-name emission this writer does not implement —
+    * READ works (name mode), WRITES refuse loudly rather than emit a
+    * metaData/add mix foreign readers would mis-resolve. */
+  private def requireWritable(mode: String, verb: String): Unit =
+    require(mode == "none",
+      s"DeltaTable $root: $verb on a column-mapping table " +
+        s"(delta.columnMapping.mode=$mode) is not supported — this " +
+        "writer reads name-mode tables but does not emit physical names")
 
   private def readFiles(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame =
@@ -728,14 +783,20 @@ final case class DeltaTable(root: String) {
     * so the DV-free fast path is byte-identical to before. */
   private def readFilesDv(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[(String, Option[String])]): DataFrame = {
+      files: Seq[(String, Option[String])],
+      physicalNames: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
     val paths = files.map { case (f, _) => Paths.get(absRoot, f).toString }
+    // column-mapping name mode: the parquet footers (and partition dir
+    // names) carry PHYSICAL column names — scan physical, rename to the
+    // logical schema in the final select. Identity when the map is empty.
+    def phys(n: String): String = physicalNames.getOrElse(n, n)
     val dataSchema = StructType(
-      schema.filterNot(f => partitionColumns.contains(f.name)))
+      schema.filterNot(f => partitionColumns.contains(f.name))
+        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
     val raw =
       if (partitionColumns.isEmpty)
         spark.read.schema(dataSchema).parquet(paths: _*)
@@ -766,7 +827,7 @@ final case class DeltaTable(root: String) {
             col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
             "left_anti")
       }
-    live.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    live.select(schema.map(f => col(phys(f.name)).cast(f.dataType).as(f.name)): _*)
   }
 
   /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
@@ -783,7 +844,8 @@ final case class DeltaTable(root: String) {
     val st = logState(spark, version)
     // one snapshot for BOTH schema and census — see pruneCandidatesOf
     val survivors = pruneCandidatesOf(spark, st, column, lo, hi)
-    readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors))
+    readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors),
+        st.physicalNames)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -914,6 +976,13 @@ final case class DeltaTable(root: String) {
       dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil,
       writeData: Boolean = true): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
+    // resolve the current snapshot BEFORE any data lands: the
+    // column-mapping write guard and schema-conflict checks must refuse
+    // without leaving orphaned part files in the table root
+    val currentState: Option[LogState] =
+      if (v == 0L) None
+      else Some(logState(df.sparkSession, Some(v - 1)))
+    currentState.foreach(s => requireWritable(s.columnMappingMode, op))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
 
@@ -1007,9 +1076,6 @@ final case class DeltaTable(root: String) {
     // OMIT existing columns (its files serve them as nulls). Type
     // conflicts fail loudly. Overwrites replace the schema outright.
     val isOverwrite = removePaths.nonEmpty && dataChange
-    val currentState: Option[LogState] =
-      if (v == 0L) None
-      else Some(logState(df.sparkSession, Some(v - 1)))
     val currentSchema: Option[StructType] = currentState.map(_.schema)
     // DV re-adds require the deletionVectors table feature: upgrade the
     // protocol in the SAME commit that introduces the first descriptor
@@ -1153,6 +1219,10 @@ final case class DeltaTable(root: String) {
       parts: Int = 1): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    // the checkpoint's metaData control row does not carry table
+    // configuration — writing one for a column-mapping table would
+    // drop the mode and corrupt every later read
+    requireWritable(st.columnMappingMode, "CHECKPOINT")
     val now = System.currentTimeMillis
     val tableId =
       java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString
@@ -1301,6 +1371,7 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    requireWritable(st.columnMappingMode, "DELETE")
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
       .where(mayIntersectCol(st, column, lo, hi))
@@ -1381,6 +1452,8 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     val tgt = logState(spark, Some(version))
     val cur = logState(spark, None)
+    requireWritable(cur.columnMappingMode, "RESTORE")
+    requireWritable(tgt.columnMappingMode, "RESTORE")
     val tgtCensus = fileCensus(spark, tgt)
     val curCensus = fileCensus(spark, cur)
     // diff on (path, DELETION VECTOR) pairs, null-safe: a path live in
@@ -1546,6 +1619,7 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
     val st = logState(spark, None)
+    requireWritable(st.columnMappingMode, "MERGE")
     require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")
@@ -1626,6 +1700,7 @@ final case class DeltaTable(root: String) {
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
       val adds = mutable.ArrayBuffer.empty[(String, Option[String])]
       val removes = mutable.ArrayBuffer.empty[(String, Option[String])]
+      val cdcs = mutable.ArrayBuffer.empty[(String, Map[String, String])]
       def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
         if (n.hasNonNull("deletionVector"))
           Some(mapper.writeValueAsString(n.get("deletionVector")))
@@ -1640,17 +1715,31 @@ final case class DeltaTable(root: String) {
         if (rm != null && rm.hasNonNull("path") &&
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
           removes += decodePath(rm.get("path").asText) -> dvOf(rm)
+        val cdc = node.get("cdc")
+        if (cdc != null && cdc.hasNonNull("path"))
+          cdcs += decodePath(cdc.get("path").asText) -> mapOf(cdc, "partitionValues")
       }
       val st = stateOf(v)
-      // both slices apply the action's own DV: the insert slice reads
-      // the add's LIVE rows, and a remove carrying its old DV reads the
-      // rows as they logically were before this commit
-      def slice(files: Seq[(String, Option[String])], kind: String) =
-        if (files.isEmpty) None
-        else Some(readFilesDv(spark, st.schema, st.partitionColumns, files)
-          .withColumn("_change_type", lit(kind))
+      // FOREIGN CDC: when a commit carries `cdc` actions, its
+      // `_change_data` files ARE the change set per the protocol — the
+      // add/remove file-image derivation is superseded for that commit
+      // (delta-spark writes update_preimage/postimage rows there that a
+      // file diff could never recover row-level)
+      if (cdcs.nonEmpty)
+        Seq(readCdcFiles(spark, st, cdcs.toSeq)
           .withColumn("_commit_version", lit(v)))
-      slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
+      else {
+        // both slices apply the action's own DV: the insert slice reads
+        // the add's LIVE rows, and a remove carrying its old DV reads the
+        // rows as they logically were before this commit
+        def slice(files: Seq[(String, Option[String])], kind: String) =
+          if (files.isEmpty) None
+          else Some(readFilesDv(spark, st.schema, st.partitionColumns, files,
+              st.physicalNames)
+            .withColumn("_change_type", lit(kind))
+            .withColumn("_commit_version", lit(v)))
+        slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
+      }
     }
     slices.reduceOption(_ unionByName _).getOrElse {
       val schema = stateOf(toVersion).schema
@@ -1692,6 +1781,7 @@ final case class DeltaTable(root: String) {
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
       val adds = mutable.LinkedHashMap.empty[String, Option[String]]
       val removes = mutable.LinkedHashMap.empty[String, Option[String]]
+      val cdcs = mutable.ArrayBuffer.empty[(String, Map[String, String])]
       def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
         if (n.hasNonNull("deletionVector"))
           Some(mapper.writeValueAsString(n.get("deletionVector")))
@@ -1706,34 +1796,44 @@ final case class DeltaTable(root: String) {
         if (rm != null && rm.hasNonNull("path") &&
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
           removes(decodePath(rm.get("path").asText)) = dvOf(rm)
+        val cdc = node.get("cdc")
+        if (cdc != null && cdc.hasNonNull("path"))
+          cdcs += decodePath(cdc.get("path").asText) -> mapOf(cdc, "partitionValues")
       }
       val st = stateOf(v)
-      val both = adds.keySet.toSet intersect removes.keySet.toSet
-      def tag(df: DataFrame, kind: String) = df
-        .withColumn("_change_type", lit(kind))
-        .withColumn("_commit_version", lit(v))
-      val pureAdds = adds.toSeq.filterNot { case (p, _) => both(p) }
-      val pureRemoves = removes.toSeq.filterNot { case (p, _) => both(p) }
-      val full =
-        (if (pureAdds.isEmpty) Nil
-         else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
-           pureAdds), "insert"))) ++
-        (if (pureRemoves.isEmpty) Nil
-         else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
-           pureRemoves), "delete")))
-      val diffs = both.toSeq.sorted.flatMap { p =>
-        val oldRows = rowsOf(removes(p))
-        val newRows = rowsOf(adds(p))
-        val deleted = (newRows -- oldRows).toArray.sorted
-        val resurrected = (oldRows -- newRows).toArray.sorted
-        (if (deleted.isEmpty) Nil
-         else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-           p, deleted), "delete"))) ++
-        (if (resurrected.isEmpty) Nil
-         else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-           p, resurrected), "insert")))
+      // foreign CDC supersedes the derivation — the _change_data files
+      // already ARE row-level (see [[readCdcFiles]])
+      if (cdcs.nonEmpty)
+        Seq(readCdcFiles(spark, st, cdcs.toSeq)
+          .withColumn("_commit_version", lit(v)))
+      else {
+        val both = adds.keySet.toSet intersect removes.keySet.toSet
+        def tag(df: DataFrame, kind: String) = df
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+        val pureAdds = adds.toSeq.filterNot { case (p, _) => both(p) }
+        val pureRemoves = removes.toSeq.filterNot { case (p, _) => both(p) }
+        val full =
+          (if (pureAdds.isEmpty) Nil
+           else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
+             pureAdds, st.physicalNames), "insert"))) ++
+          (if (pureRemoves.isEmpty) Nil
+           else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
+             pureRemoves, st.physicalNames), "delete")))
+        val diffs = both.toSeq.sorted.flatMap { p =>
+          val oldRows = rowsOf(removes(p))
+          val newRows = rowsOf(adds(p))
+          val deleted = (newRows -- oldRows).toArray.sorted
+          val resurrected = (oldRows -- newRows).toArray.sorted
+          (if (deleted.isEmpty) Nil
+           else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
+             p, deleted, st.physicalNames), "delete"))) ++
+          (if (resurrected.isEmpty) Nil
+           else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
+             p, resurrected, st.physicalNames), "insert")))
+        }
+        full ++ diffs
       }
-      full ++ diffs
     }
     slices.reduceOption(_ unionByName _).getOrElse {
       val schema = stateOf(toVersion).schema
@@ -1742,17 +1842,55 @@ final case class DeltaTable(root: String) {
     }
   }
 
+  /** Read a commit's `_change_data` files (the protocol's `cdc` action
+    * payload): table data columns plus the STORED `_change_type`
+    * (insert | delete | update_preimage | update_postimage — the
+    * four-valued foreign CDF vocabulary is passed through verbatim).
+    * Partition columns don't ride the files; each cdc action's
+    * `partitionValues` (physical keys on column-mapping tables) attach
+    * as typed literals per action group. Used by [[changes]] and
+    * [[changesRows]]: when a commit carries cdc actions the protocol
+    * says they ARE that commit's change set — the add/remove derivation
+    * is superseded for that version. */
+  private def readCdcFiles(spark: SparkSession, st: LogState,
+      cdcs: Seq[(String, Map[String, String])]): DataFrame = {
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val dataFields = st.schema.filterNot(f =>
+      st.partitionColumns.contains(f.name))
+    val readSchema = StructType(dataFields.map(f =>
+      StructField(st.phys(f.name), f.dataType, f.nullable))
+      :+ StructField("_change_type", StringType))
+    val frames = cdcs.groupBy(_._2).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pv, files) =>
+        val paths = files.map { case (rel, _) =>
+          Paths.get(absRoot, rel).toString }
+        val raw = spark.read.schema(readSchema).parquet(paths: _*)
+        st.partitionColumns.foldLeft(raw) { (df, c) =>
+          df.withColumn(st.phys(c),
+            lit(pv.get(st.phys(c)).orNull).cast(st.schema(c).dataType))
+        }
+      }
+    frames.reduce(_ unionByName _)
+      .select((st.schema.map(f =>
+        col(st.phys(f.name)).cast(f.dataType).as(f.name))
+        :+ col("_change_type")): _*)
+  }
+
   /** Read EXACTLY the rows of one data file at the given row indexes —
     * the inverse selection of [[readFilesDv]]'s anti-join (a broadcast
     * SEMI-join on `_metadata.row_index`). O(|rows|) driver payload. */
   private def readRowsAt(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], relPath: String,
-      rows: Array[Long]): DataFrame = {
+      rows: Array[Long],
+      physicalNames: Map[String, String] = Map.empty): DataFrame = {
     if (rows.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val absRoot = Paths.get(root).toAbsolutePath.toString
+    def phys(n: String): String = physicalNames.getOrElse(n, n)
     val dataSchema = StructType(
-      schema.filterNot(f => partitionColumns.contains(f.name)))
+      schema.filterNot(f => partitionColumns.contains(f.name))
+        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
     val reader =
       if (partitionColumns.isEmpty) spark.read.schema(dataSchema)
       else spark.read.option("basePath", absRoot).schema(dataSchema)
@@ -1763,7 +1901,7 @@ final case class DeltaTable(root: String) {
     raw
       .withColumn("_g_ri", col("_metadata.row_index"))
       .join(broadcast(wanted), col("_g_ri") === col("_dv_row"), "left_semi")
-      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .select(schema.map(f => col(phys(f.name)).cast(f.dataType).as(f.name)): _*)
   }
 
   /** Delete data files referenced by NONE of the newest `keepVersions`
@@ -1809,7 +1947,11 @@ final case class DeltaTable(root: String) {
       Files.list(dir).iterator.asScala.toSeq.foreach { p =>
         val name = p.getFileName.toString
         if (Files.isDirectory(p)) {
-          if (name != "_delta_log" && !name.startsWith(".tmp-")) walk(p)
+          // _change_data files are CDC payload, not snapshot data — no
+          // snapshot references them, so the live-set check would eat a
+          // foreign table's entire change feed
+          if (name != "_delta_log" && name != "_change_data" &&
+            !name.startsWith(".tmp-")) walk(p)
         } else if (name.endsWith(".parquet") &&
             !live.contains(rootPath.relativize(p).toString.replace('\\', '/')) &&
             Files.getLastModifiedTime(p).toMillis <= horizon) {

@@ -265,6 +265,50 @@ object LakeRegistry {
           .as("restored_version"),
         col("n_adds"), col("n_removes"))
     }),
+    // COLUMN MAPPING name mode (the most common foreign-managed-runtime
+    // table shape): data files carry PHYSICAL column names, the schema
+    // JSON carries the logical→physical indirection in field metadata,
+    // protocol minReaderVersion 2 — the reader resolves physical names
+    // and serves the LOGICAL schema; the roundtrip aggregate proves it
+    "q_delta_colmap" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+      val root = tmpRoot(s, d, "delta_cm")
+      val base = docs(s, d)
+      val phys = Map("doc_id" -> "c-1", "source" -> "c-2",
+        "lang" -> "c-3", "n_chars" -> "c-4")
+      // physical-named parquet lands under the root (overwrite wipes any
+      // previous run's files AND its _delta_log — deterministic rebuild)
+      base.select(base.columns.map(c => col(c).as(phys(c))): _*)
+        .write.mode("overwrite").parquet(root)
+      val dir = Paths.get(root)
+      val parts = Files.list(dir).iterator()
+      val adds = new scala.collection.mutable.ArrayBuffer[String]
+      while (parts.hasNext) {
+        val p = parts.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          adds += s"""{"add":{"path":"$n","partitionValues":{},"size":${Files.size(p)},"modificationTime":1,"dataChange":true}}"""
+      }
+      val logical = StructType(base.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys(f.name))
+            .putLong("delta.columnMapping.id", i + 1L).build())
+      })
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schemaLit = m.writeValueAsString(logical.json)
+      val log =
+        s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+           |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+           |{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
+           |${adds.sorted.mkString("\n")}
+           |""".stripMargin
+      val logDir = dir.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), log.getBytes("UTF-8"))
+      bySource(DeltaTable(root).read(s))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -322,6 +366,8 @@ object LakeRegistry {
     "q_delta_incremental" ->
       s"$bySourceSql WHERE n_chars >= 100 GROUP BY source",
     "q_delta_checkpoint_parts" -> s"$bySourceSql GROUP BY source",
+    // lossless roundtrip through the physical-name indirection
+    "q_delta_colmap" -> s"$bySourceSql GROUP BY source",
     "q_delta_partition_prune" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

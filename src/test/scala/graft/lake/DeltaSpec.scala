@@ -107,6 +107,85 @@ class DeltaSpec extends SparkSpec {
     assert(vals(t.read(spark)) == Set((7L, "q")))
   }
 
+  test("column-mapping NAME mode: foreign table reads logical names; skipping maps keys; id-mode + writes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("deltacolmap").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    // PHYSICAL-named data files under PHYSICAL-named Hive partition dirs
+    // — exactly what delta-spark lays down for a name-mode table
+    Seq((7L, "q", "red"), (8L, "r", "red"), (9L, "z", "blue"))
+      .toDF("col-aaa", "col-bbb", "col-ppp")
+      .repartition(1).write.partitionBy("col-ppp").parquet(dir + "/data")
+    def moveParts(sub: String): Seq[String] = {
+      val base = Paths.get(dir, "data", s"col-ppp=$sub")
+      Files.createDirectories(Paths.get(dir, s"col-ppp=$sub"))
+      Files.list(base).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .zipWithIndex.map { case (p, i) =>
+          val rel = s"col-ppp=$sub/part-$sub$i.parquet"
+          Files.move(p, Paths.get(dir, rel))
+          rel
+        }
+    }
+    val reds = moveParts("red")
+    val blues = moveParts("blue")
+    // logical schema whose fields carry the physicalName metadata
+    def pf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(pf("k", LongType, "col-aaa", 1),
+      pf("s", StringType, "col-bbb", 2), pf("color", StringType, "col-ppp", 3)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(logical.json)
+    val statsRed = m.writeValueAsString(
+      """{"numRecords":2,"minValues":{"col-aaa":7},"maxValues":{"col-aaa":8},"nullCount":{"col-aaa":0}}""")
+    val statsBlue = m.writeValueAsString(
+      """{"numRecords":1,"minValues":{"col-aaa":9},"maxValues":{"col-aaa":9},"nullCount":{"col-aaa":0}}""")
+    def addLine(rel: String, pv: String, stats: String) =
+      s"""{"add":{"path":"$rel","partitionValues":{"col-ppp":"$pv"},"size":${Files.size(Paths.get(dir, rel))},"modificationTime":1,"dataChange":true,"stats":$stats}}"""
+    val v0 =
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+         |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cmx","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":["color"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}
+         |${reds.map(addLine(_, "red", statsRed)).mkString("\n")}
+         |${blues.map(addLine(_, "blue", statsBlue)).mkString("\n")}
+         |""".stripMargin
+    Files.write(log.resolve(f"${0L}%020d.json"), v0.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+    val got = t.read(spark)
+    assert(got.columns.toSeq == Seq("k", "s", "color"))
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((7L, "q", "red"), (8L, "r", "red"), (9L, "z", "blue")))
+    // data skipping: the LOGICAL predicate column maps to the PHYSICAL
+    // stats key, so pruning still collects survivors only
+    assert(t.pruneCandidates(spark, "k", 9L, 9L).size == 1)
+    assert(t.readWhere(spark, "k", 9L, 9L).collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    // partition pruning on the logical partition column name
+    assert(t.readWhere(spark, "color", "red", "red").count() == 2)
+    // WRITES refuse loudly (physical-name emission unimplemented)
+    intercept[IllegalArgumentException](
+      t.append(Seq((1L, "x", "red")).toDF("k", "s", "color")))
+    intercept[IllegalArgumentException](t.delete("k", 7L, 7L))
+    intercept[IllegalArgumentException](t.checkpoint())
+    intercept[IllegalArgumentException](
+      t.merge(Seq((7L, "y", "red")).toDF("k", "s", "color"), "k"))
+    // table untouched by the refused writes
+    assert(t.latestVersion.contains(0L) && t.read(spark).count() == 3)
+    // ID mode refuses on read
+    val rewritten = new String(
+      Files.readAllBytes(log.resolve(f"${0L}%020d.json")), "UTF-8")
+      .replace("\"delta.columnMapping.mode\":\"name\"",
+        "\"delta.columnMapping.mode\":\"id\"")
+    Files.write(log.resolve(f"${0L}%020d.json"), rewritten.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](t.read(spark))
+    assert(e.getMessage.contains("columnMapping.mode 'id'"))
+  }
+
   test("data skipping: stats prune files before the scan; no-stats files conservatively kept") {
     import spark.implicits._
     val t = tmpTable()
@@ -208,15 +287,16 @@ class DeltaSpec extends SparkSpec {
     val t = tmpTable()
     t.overwrite(Seq((1L, "a")).toDF("k", "s"))
     // a v3 protocol declaring a reader feature we do NOT implement
-    // (column mapping) refuses loudly; deletionVectors alone is honored
+    // (v2 checkpoints) refuses loudly; deletionVectors + columnMapping
+    // (the honored set) are accepted
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
     assert(e.getMessage.contains("minReaderVersion")
-      && e.getMessage.contains("columnMapping"))
+      && e.getMessage.contains("v2Checkpoint"))
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
         |""".stripMargin.getBytes("UTF-8"))
     assert(vals(t.read(spark)) == Set((1L, "a"))) // supported v3: readable
     // a gap in the chain is a corruption, not an empty diff
@@ -522,6 +602,64 @@ class DeltaSpec extends SparkSpec {
     // VACUUM drops dead files + stale DV bins; table still reads
     a.vacuum(1, retentionMs = 0L); b.vacuum(1, retentionMs = 0L)
     assert(snap(a) == snap(b))
+  }
+
+  test("foreign CDC: cdc actions supersede file diffs for their commit; replay + vacuum unaffected") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.append((0 until 10).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    val fileA = Paths.get(t.root).relativize(
+      Paths.get(new java.net.URI(t.read(spark).inputFiles.head))).toString
+    // craft a FOREIGN v1: fileA rewritten as fileB with k=5 updated, the
+    // cdc action recording the row-level update_preimage/postimage pair
+    // (which no add/remove file diff could recover)
+    def moveIn(df: org.apache.spark.sql.DataFrame, rel: String): Long = {
+      val scratch = Files.createTempDirectory("cdcscratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(t.root, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val sizeB = moveIn((0 until 10).map(i =>
+      (i.toLong, if (i == 5) "UP5" else s"r$i")).toDF("k", "s"),
+      "part-up-v1.parquet")
+    val sizeC = moveIn(Seq((5L, "r5", "update_preimage"),
+      (5L, "UP5", "update_postimage")).toDF("k", "s", "_change_type"),
+      "_change_data/cdc-0.parquet")
+    val v1 =
+      s"""{"commitInfo":{"timestamp":2,"operation":"MERGE","operationParameters":{}}}
+         |{"remove":{"path":"$fileA","deletionTimestamp":2,"dataChange":true}}
+         |{"add":{"path":"part-up-v1.parquet","partitionValues":{},"size":$sizeB,"modificationTime":2,"dataChange":true}}
+         |{"cdc":{"path":"_change_data/cdc-0.parquet","partitionValues":{},"size":$sizeC,"dataChange":false}}
+         |""".stripMargin
+    Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
+      v1.getBytes("UTF-8"))
+    // snapshot replay ignores cdc actions: the table IS the new file
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap.apply(5L) == "UP5")
+    assert(t.read(spark).count() == 10)
+    // the CDF for v1 is the cdc payload — 2 row-level rows with the
+    // foreign four-valued vocabulary, NOT 20 file-image rows
+    def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expected = Set((5L, "r5", "update_preimage", 1L),
+      (5L, "UP5", "update_postimage", 1L))
+    assert(feed(t.changes(spark, 0L, 1L)) == expected)
+    assert(feed(t.changesRows(spark, 0L, 1L)) == expected)
+    // a range spanning v0 keeps v0's add-derived inserts alongside
+    val both = t.changes(spark, -1L, 1L)
+    assert(both.where("_commit_version = 0").count() == 10)
+    assert(feed(both.where("_commit_version = 1")) == expected)
+    // vacuum never eats the change feed: _change_data is CDC payload,
+    // not snapshot data (fileA IS dead and goes)
+    t.vacuum(1, retentionMs = 0L)
+    assert(Files.exists(Paths.get(t.root, "_change_data/cdc-0.parquet")))
+    assert(feed(t.changesRows(spark, 0L, 1L)) == expected)
   }
 
   test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
