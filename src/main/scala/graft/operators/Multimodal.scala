@@ -239,11 +239,15 @@ object Multimodal {
     * height 3..5, colorType CYCLING through all five 8-bit PNG classes
     * by id mod 5 — 0 grayscale (gray = base mod 256), 2 RGB, 3 palette
     * (index = base mod 16 into [[PngPalette]]), 4 gray+alpha, 6 RGBA —
-    * alpha (base+40 mod 256) planted but luma-invisible — and the
-    * scanline filter cycling through all five PNG filter types
-    * ((id + y) mod 5), so the oracled path itself proves every filter
-    * inverse, every colorType's pixel path (PLTE lookup included),
-    * zlib round-trip, chunk framing and CRC. */
+    * alpha (base+40 mod 256) planted but luma-invisible — the scanline
+    * filter cycling through all five PNG filter types ((id + y) mod 5),
+    * and EVEN ids encoded ADAM7-INTERLACED (seven independently-
+    * filtered passes; decoded pixels are identical, so the luma oracle
+    * needs no interlace term — but a deinterlace bug in any pass
+    * scatter/filter chain breaks the census), so the oracled path
+    * itself proves every filter inverse, every colorType's pixel path
+    * (PLTE lookup included), BOTH interlace methods, zlib round-trip,
+    * chunk framing and CRC. */
   private def syntheticPng(id: Long): (Array[Byte], PngCodec.Decoded) = {
     val w = (4 + id % 4).toInt
     val h = (3 + id % 3).toInt
@@ -254,7 +258,8 @@ object Multimodal {
       (r, ((base + 85) % 256).toInt,
         ((base + 170) % 256).toInt, ((base + 40) % 256).toInt)
     }, y => ((id + y) % 5).toInt,
-      palette = if (colorType == 3) PngPalette else null)
+      palette = if (colorType == 3) PngPalette else null,
+      interlace = id % 2 == 0)
     (payload, PngCodec.decodeInfo(payload))
   }
 

@@ -10,9 +10,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * Supported, deliberately minimal-but-real: ALL FIVE 8-bit-depth
   * colorTypes — grayscale (0), truecolor (2, RGB), palette (3, PLTE
-  * lookup), grayscale+alpha (4) and truecolor+alpha (6, RGBA) —
-  * non-interlaced, ALL FIVE scanline filters (None/Sub/Up/Average/
-  * Paeth) — the part of the format that actually exercises a decoder.
+  * lookup), grayscale+alpha (4) and truecolor+alpha (6, RGBA) — in
+  * BOTH interlace methods (0 = sequential, 1 = Adam7: seven
+  * independently-filtered sub-images in one zlib stream, empty passes
+  * contributing zero bytes), ALL FIVE scanline filters (None/Sub/Up/
+  * Average/Paeth) — the part of the format that actually exercises a
+  * decoder.
   * Palette PNGs are the single most common class in real web scrapes
   * (icons, logos, screenshots), so colorType 3 is first-class: the
   * PLTE chunk is CRC-verified, bounds-checked (≤256 entries, every
@@ -21,7 +24,7 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * never decodes to garbage pixels).
   *
   * Decode FAILS LOUDLY on anything else (bad signature, bad CRC,
-  * 16-bit depth, Adam7 interlace, missing/oversized PLTE,
+  * 16-bit depth, unknown interlace methods, missing/oversized PLTE,
   * out-of-range palette index, truncated or preset-dictionary zlib
   * stream) — the engine-wide loud-failure discipline; a real corpus
   * routes failures to a counted quarantine, never silently fakes
@@ -67,7 +70,7 @@ object PngCodec {
       "PNG: bad signature")
 
     var off = 8
-    var width = 0; var height = 0; var colorType = -1
+    var width = 0; var height = 0; var colorType = -1; var interlace = 0
     var sawIhdr = false; var sawIend = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -89,11 +92,12 @@ object PngCodec {
           width = be32(payload, d); height = be32(payload, d + 4)
           val bitDepth = payload(d + 8) & 0xff
           colorType = payload(d + 9) & 0xff
-          val interlace = payload(d + 12) & 0xff
+          interlace = payload(d + 12) & 0xff
           require(width > 0 && height > 0, s"PNG: bad dims ${width}x$height")
           require(bitDepth == 8, s"PNG: bitDepth $bitDepth unsupported (8 only)")
           bppOf(colorType) // validates colorType loudly
-          require(interlace == 0, "PNG: Adam7 interlace unsupported")
+          require(interlace == 0 || interlace == 1,
+            s"PNG: unknown interlace method $interlace")
           sawIhdr = true
         case "PLTE" =>
           require(sawIhdr, "PNG: PLTE before IHDR")
@@ -116,16 +120,53 @@ object PngCodec {
       + "without a PLTE chunk")
 
     val bpp = bppOf(colorType)
-    val stride = width * bpp
-    val raw = inflateExact(idat.toByteArray, (stride + 1) * height)
+    // Adam7 (interlace 1) splits the image into SEVEN independent
+    // sub-images, each filtered like a little PNG of its own and
+    // concatenated in the one zlib stream; passes whose sub-image is
+    // empty for these dims contribute ZERO bytes (not even a filter
+    // byte). interlace 0 is the degenerate single pass at stride 1.
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7Passes
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+        if (height > y0) (height - y0 + dy - 1) / dy else 0)
+    }
+    val total = dims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
+    }.sum
+    val raw = inflateExact(idat.toByteArray, total)
 
-    // Invert the per-row filter in place: prev = reconstructed row above
     val luma = new Array[Byte](width * height)
+    var rawOff = 0
+    passes.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+      if (pw > 0 && ph > 0)
+        rawOff = defilterPass(raw, rawOff, pw, ph, bpp, colorType, palette,
+          (px, py, v) => luma((y0 + py * dy) * width + (x0 + px * dx)) = v)
+    }
+    require(rawOff == total, s"PNG: consumed $rawOff of $total raw bytes")
+    Decoded(BmpCodec.Image(width, height, luma), colorType)
+  }
+
+  /** The seven Adam7 passes as (xStart, yStart, xStep, yStep). */
+  private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Invert the per-row filter of ONE pass's scanlines (a pw×ph
+    * sub-image starting at `rawOff` in the inflated stream) and emit
+    * each pixel's luma through `put(passX, passY, luma)`. Returns the
+    * offset just past the pass. Filtering context (left/up neighbours)
+    * is PER PASS, as the spec prescribes — row 0 of every pass has an
+    * all-zero `prev`. */
+  private def defilterPass(raw: Array[Byte], rawOff: Int, pw: Int, ph: Int,
+      bpp: Int, colorType: Int, palette: Array[Byte],
+      put: (Int, Int, Byte) => Unit): Int = {
+    val stride = pw * bpp
     val cur = new Array[Byte](stride)
     val prev = new Array[Byte](stride)
     var y = 0
-    while (y < height) {
-      val rowOff = y * (stride + 1)
+    while (y < ph) {
+      val rowOff = rawOff + y * (stride + 1)
       val filter = raw(rowOff) & 0xff
       System.arraycopy(raw, rowOff + 1, cur, 0, stride)
       filter match {
@@ -156,9 +197,9 @@ object PngCodec {
           s"PNG: unknown filter type $other in row $y")
       }
       var x = 0
-      while (x < width) {
+      while (x < pw) {
         val o = x * bpp
-        luma(y * width + x) = colorType match {
+        val v: Byte = colorType match {
           case 0 | 4 => cur(o) // gray IS the luma; alpha (4) ignored
           case 2 | 6 => // alpha (colorType 6) ignored for luma
             val r = cur(o) & 0xff
@@ -175,12 +216,13 @@ object PngCodec {
             val b = palette(idx * 3 + 2) & 0xff
             ((299 * r + 587 * g + 114 * b) / 1000).toByte
         }
+        put(x, y, v)
         x += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Decoded(BmpCodec.Image(width, height, luma), colorType)
+    rawOff + (stride + 1) * ph
   }
 
   /** The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
@@ -224,60 +266,73 @@ object PngCodec {
     * colorTypes: 2 (RGB, alpha ignored), 6 (RGBA), 0 (grayscale — the
     * pixel function's `r` channel is the gray value), 4 (gray+alpha —
     * `r` and `a`), 3 (palette — `r` is the palette INDEX; `palette`
-    * required, emitted as a PLTE chunk). */
+    * required, emitted as a PLTE chunk). `interlace = true` emits the
+    * Adam7 form: seven independently-filtered sub-images concatenated
+    * in one zlib stream (`filterOf` is indexed over EMITTED scanlines
+    * in pass order). */
   def encode(width: Int, height: Int, colorType: Int,
       rgba: (Int, Int) => (Int, Int, Int, Int),
       filterOf: Int => Int = _ => 0,
-      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
+      palette: Array[(Int, Int, Int)] = null,
+      interlace: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"encode: bad dims ${width}x$height")
     require(colorType != 3 || (palette != null && palette.nonEmpty
       && palette.length <= 256), "encode: colorType 3 needs 1..256 palette entries")
     val bpp = bppOf(colorType)
-    val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
-    val prev = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val (r, g, b, a) = rgba(x, y)
-        val o = x * bpp
-        colorType match {
-          case 0 => cur(o) = r.toByte // gray
-          case 4 => cur(o) = r.toByte; cur(o + 1) = a.toByte
-          case 3 =>
-            require(r >= 0 && r < palette.length,
-              s"encode: palette index $r out of range (${palette.length})")
-            cur(o) = r.toByte
-          case _ =>
-            cur(o) = r.toByte; cur(o + 1) = g.toByte; cur(o + 2) = b.toByte
-            if (bpp == 4) cur(o + 3) = a.toByte
+    val passes = if (!interlace) Seq((0, 0, 1, 1)) else Adam7Passes
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var globalRow = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val prev = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val (r, g, b, a) = rgba(x0 + px * dx, y0 + py * dy)
+            val o = px * bpp
+            colorType match {
+              case 0 => cur(o) = r.toByte // gray
+              case 4 => cur(o) = r.toByte; cur(o + 1) = a.toByte
+              case 3 =>
+                require(r >= 0 && r < palette.length,
+                  s"encode: palette index $r out of range (${palette.length})")
+                cur(o) = r.toByte
+              case _ =>
+                cur(o) = r.toByte; cur(o + 1) = g.toByte; cur(o + 2) = b.toByte
+                if (bpp == 4) cur(o + 3) = a.toByte
+            }
+            px += 1
+          }
+          val filter = filterOf(globalRow)
+          require(filter >= 0 && filter <= 4, s"encode: bad filter $filter")
+          rawOut.write(filter)
+          var i = 0
+          while (i < stride) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val up = prev(i) & 0xff
+            val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val predicted = filter match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) >> 1
+              case 4 => paeth(left, up, upLeft)
+            }
+            rawOut.write(((cur(i) & 0xff) - predicted) & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          py += 1
+          globalRow += 1
         }
-        x += 1
       }
-      val filter = filterOf(y)
-      require(filter >= 0 && filter <= 4, s"encode: bad filter $filter")
-      val rowOff = y * (stride + 1)
-      raw(rowOff) = filter.toByte
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val up = prev(i) & 0xff
-        val upLeft = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val predicted = filter match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) >> 1
-          case 4 => paeth(left, up, upLeft)
-        }
-        raw(rowOff + 1 + i) = ((cur(i) & 0xff) - predicted).toByte
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
+    val raw = rawOut.toByteArray
 
     val deflater = new Deflater(Deflater.BEST_SPEED)
     deflater.setInput(raw); deflater.finish()
@@ -295,7 +350,8 @@ object PngCodec {
       b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
     }
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace 0
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter 0
+    ihdr(12) = if (interlace) 1 else 0
     writeChunk(out, "IHDR", ihdr)
     if (colorType == 3) {
       val plte = new Array[Byte](palette.length * 3)

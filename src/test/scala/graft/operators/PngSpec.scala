@@ -4,11 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Real-codec fidelity: [[PngCodec]] must parse genuine PNG bytes —
   * chunk framing + CRCs, zlib IDAT, all five 8-bit colorTypes
-  * (grayscale 0/4, truecolor 2/6, palette 3 with PLTE lookup) and the
-  * INVERSE of all five scanline filters — exactly, and fail loudly on
-  * anything else (16-bit, interlace, corrupt CRC, truncated or
-  * preset-dictionary IDAT, missing PLTE, out-of-range palette index).
-  * Pure JVM, no SparkSession needed. */
+  * (grayscale 0/4, truecolor 2/6, palette 3 with PLTE lookup), BOTH
+  * interlace methods (sequential + Adam7's seven independently-
+  * filtered passes) and the INVERSE of all five scanline filters —
+  * exactly, and fail loudly on anything else (16-bit, unknown
+  * interlace methods, corrupt CRC, truncated or preset-dictionary
+  * IDAT, missing PLTE, out-of-range palette index). Pure JVM, no
+  * SparkSession needed. */
 class PngSpec extends AnyFunSuite {
 
   private def gray(v: Int) = (v, v, v, 255)
@@ -219,11 +221,50 @@ class PngSpec extends AnyFunSuite {
       PngCodec.decode(patched(9, 3))).getMessage.contains("palette"))
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(patched(8, 16))).getMessage.contains("bitDepth"))
+    // Adam7 (method 1) DECODES now; an UNKNOWN method still refuses
     assert(intercept[IllegalArgumentException](
-      PngCodec.decode(patched(12, 1))).getMessage.contains("interlace"))
+      PngCodec.decode(patched(12, 2))).getMessage.contains("interlace"))
     // truncated payload
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(good.take(good.length - 6)))
+      .getMessage.toLowerCase.contains("truncated"))
+  }
+
+  test("Adam7 interlace: every colorType roundtrips, mixed filters, odd dims with empty passes") {
+    val palette = Array.tabulate(16)(j =>
+      (j * 16, (j * 11 + 3) % 256, (j * 5 + 200) % 256))
+    // dims chosen so passes are exercised unevenly: 13x7 (several short
+    // passes), 8x8 (all seven non-empty), 1x1 (ONLY pass 1 non-empty),
+    // 2x3 (passes 2,4 empty horizontally at these dims)
+    for (ct <- Seq(0, 2, 3, 4, 6); (w, h) <- Seq((13, 7), (8, 8), (1, 1), (2, 3))) {
+      def pix(x: Int, y: Int) =
+        if (ct == 3) ((x * 5 + y * 3) % 16, 0, 0, 0)
+        else ((x * 31 + y * 57) % 256, (x * 91 + y * 13) % 256,
+          (x * 7 + y * 101) % 256, (x + y * 50) % 256)
+      val pal = if (ct == 3) palette else null
+      val seq7 = PngCodec.decodeInfo(PngCodec.encode(w, h, ct, pix,
+        y => y % 5, pal, interlace = true))
+      val plain = PngCodec.decodeInfo(PngCodec.encode(w, h, ct, pix,
+        y => y % 5, pal))
+      assert(seq7.colorType == ct)
+      assert(seq7.image.luma.toSeq == plain.image.luma.toSeq,
+        s"Adam7 vs sequential mismatch: ct=$ct ${w}x$h")
+    }
+  }
+
+  test("Adam7: per-pass filter state is independent (Up/Paeth see the PASS's previous row)") {
+    // a 16x16 gradient with all-Paeth filters: any cross-pass state
+    // bleed (prev row carried between passes) corrupts reconstruction
+    val w = 16; val h = 16
+    def pix(x: Int, y: Int) = ((x * x * 3 + y * y * 7 + x * y) % 256, 0, 0, 255)
+    val bytes = PngCodec.encode(w, h, 0, pix, _ => 4, null, interlace = true)
+    val img = PngCodec.decode(bytes)
+    val expect = for (y <- 0 until h; x <- 0 until w)
+      yield (x * x * 3 + y * y * 7 + x * y) % 256
+    assert(img.luma.map(_ & 0xff).toSeq == expect)
+    // truncating the interlaced stream is still loud
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(bytes.take(bytes.length - 8)))
       .getMessage.toLowerCase.contains("truncated"))
   }
 
