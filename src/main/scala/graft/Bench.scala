@@ -219,7 +219,11 @@ object Bench {
     val adjJson = adjudicated
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"value_adjudicated":${f3(totalAdjudicated)},"unit":"sec","queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery+adjudicate","adjudicated":$adjJson,"sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
+    // cpus rides EVERY artifact: decade exponents computed from two
+    // artifacts are meaningless unless both ran at the same core count
+    // (the r13 sf0.1/sf1 pair differed 8× and confounded every
+    // cross-artifact reading)
+    val line = s"""{"metric":"total","value":$total,"value_adjudicated":${f3(totalAdjudicated)},"unit":"sec","cpus":${cpus.toInt},"queries":$qs,"failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery+adjudicate","adjudicated":$adjJson,"sentinel":$sentinelJson,"segments":$segJson,"sf":"$sfDir"}"""
     // Compact final stdout line: the driver keeps only a ~2000-char tail,
     // which has truncated the full per-query map four rounds running
     // ("parsed": null). The map lives in the artifact files; stdout gets
@@ -233,7 +237,7 @@ object Bench {
     val top10 = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f3(total)},"value_adjudicated":${f3(totalAdjudicated)},"unit":"sec","n_queries":${ok.size},"queries":$top10,"queries_note":"10 slowest of ${ok.size}; full map in $mapPath","failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery+adjudicate","adjudicated":$adjJson,"sentinel_baseline":${f3(sentinelBase)},"max_contention_index":${worstIdx.map(f3).getOrElse("null")},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f3(total)},"value_adjudicated":${f3(totalAdjudicated)},"unit":"sec","cpus":${cpus.toInt},"n_queries":${ok.size},"queries":$top10,"queries_note":"10 slowest of ${ok.size}; full map in $mapPath","failed":${arr(failed)},"partial_failures":${arr(partial)},"protocol":"warm1+median-of-$runsPerQuery+adjudicate","adjudicated":$adjJson,"sentinel_baseline":${f3(sentinelBase)},"max_contention_index":${worstIdx.map(f3).getOrElse("null")},"sf":"$sfDir"}"""
     spark.stop()
     // The driver's BENCH_r{N}.json keeps only a truncated tail of this
     // line, which hides ~20% of queries from round-over-round comparison;
