@@ -265,6 +265,48 @@ object LakeRegistry {
           .as("restored_version"),
         col("n_adds"), col("n_removes"))
     }),
+    // FOREIGN CDC consumption: a hand-written `cdc` action's
+    // _change_data files ARE the commit's change set per the protocol —
+    // the feed carries the foreign four-valued vocabulary
+    // (update_preimage/postimage) that no add/remove file diff could
+    // recover; the aggregate over the consumed feed is the oracle
+    "q_delta_cdc" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val root = tmpRoot(s, d, s"delta_cdc_$u")
+      val dt = DeltaTable(root)
+      val base = docs(s, d)
+      dt.overwrite(base) // v0: our own writer
+      val upd = base.filter(col("doc_id") % 10 === 3)
+      val feedDf = upd.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(upd.withColumn("n_chars", col("n_chars") + 1000)
+          .withColumn("_change_type", lit("update_postimage")))
+      val scratch = Files.createTempDirectory("cdcq")
+      feedDf.write.mode("overwrite").parquet(scratch.toString)
+      val cdcDir = Paths.get(root, "_change_data")
+      Files.createDirectories(cdcDir)
+      val actions = new scala.collection.mutable.ArrayBuffer[String]
+      val it = Files.list(scratch).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val rel = s"_change_data/cdc-$i.parquet"
+          Files.move(p, Paths.get(root, rel))
+          actions += s"""{"cdc":{"path":"$rel","partitionValues":{},"size":${Files.size(Paths.get(root, rel))},"dataChange":false}}"""
+          i += 1
+        }
+      }
+      // v1: a foreign-shaped commit whose change set is the cdc payload
+      val lines =
+        s"""{"commitInfo":{"timestamp":2,"operation":"UPDATE","operationParameters":{}}}""" +:
+          actions.toSeq
+      Files.write(Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      dt.changes(s, 0L, 1L)
+        .groupBy(col("source"), col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     // COLUMN MAPPING name mode (the most common foreign-managed-runtime
     // table shape): data files carry PHYSICAL column names, the schema
     // JSON carries the logical→physical indirection in field metadata,
@@ -368,6 +410,16 @@ object LakeRegistry {
     "q_delta_checkpoint_parts" -> s"$bySourceSql GROUP BY source",
     // lossless roundtrip through the physical-name indirection
     "q_delta_colmap" -> s"$bySourceSql GROUP BY source",
+    // the consumed foreign feed: pre-image rows at original n_chars,
+    // post-image rows at +1000, one pair per doc_id ≡ 3 mod 10
+    "q_delta_cdc" ->
+      """SELECT source, ct AS change_type, count(*) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN ct = 'update_postimage'
+        |    THEN 1000 ELSE 0 END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |CROSS JOIN (VALUES ('update_preimage'), ('update_postimage')) AS t(ct)
+        |WHERE doc_id % 10 = 3
+        |GROUP BY source, ct""".stripMargin,
     "q_delta_partition_prune" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
