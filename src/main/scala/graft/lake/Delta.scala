@@ -41,8 +41,9 @@ import org.apache.spark.sql.types._
   *     one this implementation honors — `deletionVectors` (applied at
   *     every read) and `columnMapping` in NAME mode (physical-name
   *     indirection resolved from the schema JSON's
-  *     `delta.columnMapping.physicalName` metadata; READ-ONLY — writes
-  *     to a column-mapping table refuse). Mode `id`, v2 checkpoints and
+  *     `delta.columnMapping.physicalName` metadata; writes refuse,
+  *     EXCEPT the metadata-only DV [[delete]] — in-place PII deletes on
+  *     foreign name-mode tables). Mode `id`, v2 checkpoints and
   *     every other feature change row visibility or physical layout,
   *     and silently mis-reading them would corrupt results — LOUD
   *     FAILURE instead, per the engine discipline.
@@ -751,7 +752,10 @@ final case class DeltaTable(root: String) {
     * column names, metaData configuration riding checkpoints/restores)
     * would need physical-name emission this writer does not implement —
     * READ works (name mode), WRITES refuse loudly rather than emit a
-    * metaData/add mix foreign readers would mis-resolve. */
+    * metaData/add mix foreign readers would mis-resolve. ONE exception:
+    * the DV [[delete]] is metadata-only and replays existing
+    * (already-physical) action payloads verbatim, so in-place row
+    * deletes on foreign name-mode tables are supported. */
   private def requireWritable(mode: String, verb: String): Unit =
     require(mode == "none",
       s"DeltaTable $root: $verb on a column-mapping table " +
@@ -974,15 +978,23 @@ final case class DeltaTable(root: String) {
       tags: Map[String, String] = Map.empty,
       removeDvs: Map[String, String] = Map.empty,
       dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil,
-      writeData: Boolean = true): Long = {
+      writeData: Boolean = true,
+      colMapSafe: Boolean = false): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     // resolve the current snapshot BEFORE any data lands: the
     // column-mapping write guard and schema-conflict checks must refuse
-    // without leaving orphaned part files in the table root
+    // without leaving orphaned part files in the table root.
+    // colMapSafe marks the ONE commit shape legal on a column-mapping
+    // table: metadata-only (no data files, no fresh stats, no metaData
+    // action) whose removes/re-adds replay EXISTING action payloads
+    // verbatim — the DV delete. Everything else still refuses.
+    require(!colMapSafe || (!writeData && statsFor.isEmpty),
+      "colMapSafe commits must be metadata-only")
     val currentState: Option[LogState] =
       if (v == 0L) None
       else Some(logState(df.sparkSession, Some(v - 1)))
-    currentState.foreach(s => requireWritable(s.columnMappingMode, op))
+    if (!colMapSafe)
+      currentState.foreach(s => requireWritable(s.columnMappingMode, op))
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
 
@@ -1078,13 +1090,27 @@ final case class DeltaTable(root: String) {
     val isOverwrite = removePaths.nonEmpty && dataChange
     val currentSchema: Option[StructType] = currentState.map(_.schema)
     // DV re-adds require the deletionVectors table feature: upgrade the
-    // protocol in the SAME commit that introduces the first descriptor
+    // protocol in the SAME commit that introduces the first descriptor.
+    // Per the protocol's table-features contract, upgrading to
+    // readerVersion 3 / writerVersion 7 must LIST every feature the
+    // legacy versions implied (a name-mode column-mapping table at
+    // (2, 5) keeps columnMapping in both lists, or foreign readers
+    // would silently stop resolving physical names), plus whatever the
+    // table already declared explicitly.
     if (dvReAdds.nonEmpty && currentState.forall(s =>
         s.minReader < 3 || !s.readerFeatures.contains("deletionVectors"))) {
+      val rf = (currentState.map(_.readerFeatures).getOrElse(Set.empty) ++
+        currentState.map(s => legacyReaderFeatures(s.minReader))
+          .getOrElse(Set.empty) + "deletionVectors").toSeq.sorted
+      val wf = (currentState.map(_.writerFeatures).getOrElse(Set.empty) ++
+        currentState.map(s => legacyWriterFeatures(s.minWriter))
+          .getOrElse(Set.empty) + "deletionVectors").toSeq.sorted
       val proto = mapper.createObjectNode
       proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
-      proto.putArray("readerFeatures").add("deletionVectors")
-      proto.putArray("writerFeatures").add("deletionVectors")
+      val rfArr = proto.putArray("readerFeatures")
+      rf.foreach(rfArr.add)
+      val wfArr = proto.putArray("writerFeatures")
+      wf.foreach(wfArr.add)
       actions += wrap(mapper, "protocol", proto)
     }
     val recordedSchema: StructType = currentSchema match {
@@ -1371,7 +1397,14 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    requireWritable(st.columnMappingMode, "DELETE")
+    // the DV form is the ONE write legal on a column-mapping table: it
+    // emits no data files, no fresh stats and no metaData — removes and
+    // same-path re-adds replay existing (already physical-keyed) action
+    // payloads, and the bitmap is name-agnostic. A 100 TB user can
+    // PII-delete rows from a foreign name-mode table IN PLACE without
+    // this writer ever emitting a physical name. The rewrite form
+    // (new data files) still refuses.
+    if (!useDeletionVectors) requireWritable(st.columnMappingMode, "DELETE")
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
       .where(mayIntersectCol(st, column, lo, hi))
@@ -1405,8 +1438,11 @@ final case class DeltaTable(root: String) {
       if (partial.isEmpty)
         (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
       else {
+        // physical column names in the scan schema and the predicate
+        // column (identity off column-mapping tables)
         val dataSchema = StructType(
-          st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+          st.schema.filterNot(f => st.partitionColumns.contains(f.name))
+            .map(f => StructField(st.phys(f.name), f.dataType, f.nullable)))
         val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
@@ -1416,7 +1452,7 @@ final case class DeltaTable(root: String) {
           .select(
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
             col("_metadata.row_index").as("_ri"),
-            col(column).cast(dt).as("_c"))
+            col(st.phys(column)).cast(dt).as("_c"))
           .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
           .select(col("_fp"), col("_ri"))
         buildDvs(spark, matchedRows, partial)
@@ -1433,7 +1469,8 @@ final case class DeltaTable(root: String) {
       Map("predicate" -> predicate,
         "wholeFilesDropped" -> wholeDrops.size.toString,
         "deletionVectorsWritten" -> descs.size.toString),
-      removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false)
+      removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false,
+      colMapSafe = true)
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -1975,6 +2012,21 @@ final case class DeltaTable(root: String) {
 object DeltaTable {
   /** Delta's default tombstone/vacuum retention (7 days). */
   val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Features a legacy minReaderVersion implies, which a protocol
+    * upgrade to table features (v3) must list explicitly. */
+  private def legacyReaderFeatures(minReader: Int): Set[String] =
+    if (minReader >= 2) Set("columnMapping") else Set.empty
+
+  /** Features a legacy minWriterVersion implies (cumulative tiers per
+    * the public protocol), listed explicitly on upgrade to v7. */
+  private def legacyWriterFeatures(minWriter: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .collect { case (v, fs) if minWriter >= v => fs }.flatten.toSet
 
   /** Add-action tag marking a file as belonging to a z-order cube (the
     * public incremental-clustering scheme). */

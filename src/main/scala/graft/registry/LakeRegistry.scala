@@ -25,6 +25,64 @@ object LakeRegistry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** Foreign-shaped COLUMN-MAPPING name-mode fixture over `documents`:
+    * physical-named parquet under a fresh root plus a hand-written
+    * protocol-v2 log whose schemaString carries the logical→physical
+    * field metadata (per-file doc_id stats keyed PHYSICAL, so the
+    * skipping index exercises the name indirection too). The overwrite
+    * wipes any previous run's files and log — deterministic rebuild. */
+  private def colmapRoot(s: SparkSession, d: String, q: String): String = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val root = tmpRoot(s, d, q)
+    val base = docs(s, d)
+    val phys = Map("doc_id" -> "c-1", "source" -> "c-2",
+      "lang" -> "c-3", "n_chars" -> "c-4")
+    base.select(base.columns.map(c => col(c).as(phys(c))): _*)
+      .repartitionByRange(8, col("c-1"))
+      .write.mode("overwrite").parquet(root)
+    val dir = Paths.get(root)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // per-file stats on the physical doc_id key, computed from the
+    // just-written files (the write-time stats pass, physical-keyed)
+    val statsByFile = s.read.parquet(root)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("n"), min(col("c-1")).as("mn"),
+        max(col("c-1")).as("mx"))
+      .collect()
+      .map(r => r.getString(0).split('/').last ->
+        s"""{"numRecords":${r.getLong(1)},"minValues":{"c-1":${r.getLong(2)}},"maxValues":{"c-1":${r.getLong(3)}},"nullCount":{"c-1":0}}""")
+      .toMap
+    val parts = Files.list(dir).iterator()
+    val adds = new scala.collection.mutable.ArrayBuffer[String]
+    while (parts.hasNext) {
+      val p = parts.next()
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet")) {
+        val st = statsByFile.get(n).map(j =>
+          s""","stats":${m.writeValueAsString(j)}""").getOrElse("")
+        adds += s"""{"add":{"path":"$n","partitionValues":{},"size":${Files.size(p)},"modificationTime":1,"dataChange":true$st}}"""
+      }
+    }
+    val logical = StructType(base.schema.fields.zipWithIndex.map {
+      case (f, i) => StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys(f.name))
+          .putLong("delta.columnMapping.id", i + 1L).build())
+    })
+    val schemaLit = m.writeValueAsString(logical.json)
+    val log =
+      s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+         |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
+         |${adds.sorted.mkString("\n")}
+         |""".stripMargin
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"${0L}%020d.json"), log.getBytes("UTF-8"))
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // overwrite + latest-snapshot replay: protocol/metaData/add actions,
     // schemaString-typed read
@@ -312,44 +370,16 @@ object LakeRegistry {
     // JSON carries the logical→physical indirection in field metadata,
     // protocol minReaderVersion 2 — the reader resolves physical names
     // and serves the LOGICAL schema; the roundtrip aggregate proves it
-    "q_delta_colmap" -> ((s, d) => {
-      import java.nio.file.{Files, Paths}
-      import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
-      val root = tmpRoot(s, d, "delta_cm")
-      val base = docs(s, d)
-      val phys = Map("doc_id" -> "c-1", "source" -> "c-2",
-        "lang" -> "c-3", "n_chars" -> "c-4")
-      // physical-named parquet lands under the root (overwrite wipes any
-      // previous run's files AND its _delta_log — deterministic rebuild)
-      base.select(base.columns.map(c => col(c).as(phys(c))): _*)
-        .write.mode("overwrite").parquet(root)
-      val dir = Paths.get(root)
-      val parts = Files.list(dir).iterator()
-      val adds = new scala.collection.mutable.ArrayBuffer[String]
-      while (parts.hasNext) {
-        val p = parts.next()
-        val n = p.getFileName.toString
-        if (n.endsWith(".parquet"))
-          adds += s"""{"add":{"path":"$n","partitionValues":{},"size":${Files.size(p)},"modificationTime":1,"dataChange":true}}"""
-      }
-      val logical = StructType(base.schema.fields.zipWithIndex.map {
-        case (f, i) => StructField(f.name, f.dataType, f.nullable,
-          new MetadataBuilder()
-            .putString("delta.columnMapping.physicalName", phys(f.name))
-            .putLong("delta.columnMapping.id", i + 1L).build())
-      })
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val schemaLit = m.writeValueAsString(logical.json)
-      val log =
-        s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
-           |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-           |{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
-           |${adds.sorted.mkString("\n")}
-           |""".stripMargin
-      val logDir = dir.resolve("_delta_log")
-      Files.createDirectories(logDir)
-      Files.write(logDir.resolve(f"${0L}%020d.json"), log.getBytes("UTF-8"))
-      bySource(DeltaTable(root).read(s))
+    "q_delta_colmap" -> ((s, d) =>
+      bySource(DeltaTable(colmapRoot(s, d, "delta_cm")).read(s))),
+    // the ONE write legal on a column-mapping table: the DV DELETE is
+    // metadata-only (bitmap + verbatim re-add of physical-keyed
+    // payloads), so rows PII-delete IN PLACE from a foreign name-mode
+    // table — the read after it equals the NOT-BETWEEN filter
+    "q_delta_colmap_dv" -> ((s, d) => {
+      val dt = DeltaTable(colmapRoot(s, d, "delta_cmdv"))
+      dt.delete("doc_id", 100L, 299L)
+      bySource(dt.read(s))
     }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
@@ -410,6 +440,9 @@ object LakeRegistry {
     "q_delta_checkpoint_parts" -> s"$bySourceSql GROUP BY source",
     // lossless roundtrip through the physical-name indirection
     "q_delta_colmap" -> s"$bySourceSql GROUP BY source",
+    // in-place DV delete on the foreign name-mode table
+    "q_delta_colmap_dv" ->
+      s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
     // the consumed foreign feed: pre-image rows at original n_chars,
     // post-image rows at +1000, one pair per doc_id ≡ 3 mod 10
     "q_delta_cdc" ->

@@ -167,10 +167,12 @@ class DeltaSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(9L))
     // partition pruning on the logical partition column name
     assert(t.readWhere(spark, "color", "red", "red").count() == 2)
-    // WRITES refuse loudly (physical-name emission unimplemented)
+    // WRITES refuse loudly (physical-name emission unimplemented) —
+    // except the DV delete, the one metadata-only form (own test)
     intercept[IllegalArgumentException](
       t.append(Seq((1L, "x", "red")).toDF("k", "s", "color")))
-    intercept[IllegalArgumentException](t.delete("k", 7L, 7L))
+    intercept[IllegalArgumentException](
+      t.delete("k", 7L, 7L, useDeletionVectors = false))
     intercept[IllegalArgumentException](t.checkpoint())
     intercept[IllegalArgumentException](
       t.merge(Seq((7L, "y", "red")).toDF("k", "s", "color"), "k"))
@@ -184,6 +186,81 @@ class DeltaSpec extends SparkSpec {
     Files.write(log.resolve(f"${0L}%020d.json"), rewritten.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
     assert(e.getMessage.contains("columnMapping.mode 'id'"))
+  }
+
+  test("column-mapping DV DELETE: in-place row kill on a foreign name-mode table, no physical-name emission") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("deltacolmapdel").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    def writeFile(rows: Seq[(Long, String)], rel: String): Long = {
+      val scratch = Files.createTempDirectory("cmdel")
+      rows.toDF("col-aaa", "col-bbb").coalesce(1).write.mode("overwrite")
+        .parquet(scratch.toString)
+      val part = Files.list(scratch).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, rel))
+      Files.size(Paths.get(dir, rel))
+    }
+    val sA = writeFile((0L to 9L).map(i => (i, s"r$i")), "fA.parquet")
+    val sB = writeFile((10L to 19L).map(i => (i, s"r$i")), "fB.parquet")
+    def pf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(pf("k", LongType, "col-aaa", 1),
+      pf("s", StringType, "col-bbb", 2)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(logical.json)
+    val stA = m.writeValueAsString(
+      """{"numRecords":10,"minValues":{"col-aaa":0},"maxValues":{"col-aaa":9},"nullCount":{"col-aaa":0}}""")
+    val stB = m.writeValueAsString(
+      """{"numRecords":10,"minValues":{"col-aaa":10},"maxValues":{"col-aaa":19},"nullCount":{"col-aaa":0}}""")
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"cmd","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}
+          |{"add":{"path":"fA.parquet","partitionValues":{},"size":$sA,"modificationTime":1,"dataChange":true,"stats":$stA}}
+          |{"add":{"path":"fB.parquet","partitionValues":{},"size":$sB,"modificationTime":1,"dataChange":true,"stats":$stB}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+    // PII-delete k ∈ [5, 12] IN PLACE: both files take DVs, no rewrite
+    val v = t.delete("k", 5L, 12L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      ((0L to 4L) ++ (13L to 19L)).toSet)
+    val logTxt = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$v%020d.json")).toArray.mkString
+    // the upgrade keeps columnMapping ACTIVE alongside deletionVectors
+    // (dropping it would make foreign readers stop resolving physical
+    // names) and lists the legacy writer-implied features
+    assert(logTxt.contains("\"minReaderVersion\":3"))
+    assert(logTxt.contains(
+      "\"readerFeatures\":[\"columnMapping\",\"deletionVectors\"]"), logTxt)
+    assert(logTxt.contains("\"invariants\"") && logTxt.contains("\"appendOnly\""))
+    // re-adds replay the original PHYSICAL-keyed payloads verbatim; the
+    // commit emits no metaData and no logical-name stats
+    assert(logTxt.contains("col-aaa") && !logTxt.contains("metaData"))
+    assert(logTxt.contains("\"deletionVector\""))
+    // row-level CDF over the colmap DV commit: exactly the killed rows
+    val cdf = t.changesRows(spark, v - 1, v).collect()
+    assert(cdf.map(r => (r.getLong(0), r.getString(2))).toSet ==
+      (5L to 12L).map(_ -> "delete").toSet)
+    // repeat delete UNIONs into fB's DV until every row is dead: the
+    // merged DV covers the file and collapses to remove-only
+    val v2 = t.delete("k", 13L, 19L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == (0L to 4L).toSet)
+    val log2 = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$v2%020d.json")).toArray.mkString
+    assert(!log2.contains("\"add\""),
+      s"emptied colmap DV file must collapse to remove-only: $log2")
+    // stats pruning still keys physical: a miss-range delete is a no-op
+    assert(t.delete("k", 100L, 200L) == v2)
+    // the data-writing forms still refuse
+    intercept[IllegalArgumentException](
+      t.delete("k", 0L, 1L, useDeletionVectors = false))
+    intercept[IllegalArgumentException](
+      t.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
   }
 
   test("data skipping: stats prune files before the scan; no-stats files conservatively kept") {
