@@ -27,6 +27,12 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // resolve parquet columns by footer field id whenever the read
+    // schema carries `parquet.field.id` metadata — the Delta
+    // column-mapping `id` mode contract (inert for every other read:
+    // graft schemas never carry field ids outside that path)
+    "spark.sql.parquet.fieldId.read.enabled" -> "true",
+    "spark.sql.parquet.fieldId.write.enabled" -> "true",
     "spark.ui.enabled" -> "false")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors(),

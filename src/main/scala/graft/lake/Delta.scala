@@ -30,23 +30,37 @@ import org.apache.spark.sql.types._
   *     [[changes]]/[[changesRows]] — a commit carrying cdc actions has
   *     its change set read from the `_change_data` files, superseding
   *     the add/remove derivation, per the protocol; snapshot replay
-  *     ignores them); other unknown actions and unknown FIELDS of known
-  *     actions are ignored on read, as the protocol requires.
+  *     ignores them — and EMITTED by [[delete]]/[[merge]] when
+  *     `delta.enableChangeDataFeed=true`, so foreign CDF consumers read
+  *     this engine's commits row-level), `sidecar` (V2 checkpoints);
+  *     other unknown actions and unknown FIELDS of known actions are
+  *     ignored on read, as the protocol requires.
   *   - snapshot = latest checkpoint ≤ target version (parquet, found by
   *     listing; `_last_checkpoint` is treated as a hint, not truth)
-  *     replayed forward with the JSON tail. Within replay the LAST
-  *     action per path wins; a `remove` tombstones the path.
+  *     replayed forward with the JSON tail — classic single-file,
+  *     multi-part, AND V2 (UUID-named manifest + `_sidecars/` files,
+  *     the `v2Checkpoint` feature) forms; torn part/sidecar sets fall
+  *     back to an older checkpoint. Within replay the LAST action per
+  *     path wins; a `remove` tombstones the path.
   *   - reader-version gate: v1 always reads; v2 (legacy column-mapping
   *     capability) and v3 read exactly when every ACTIVE capability is
   *     one this implementation honors — `deletionVectors` (applied at
-  *     every read) and `columnMapping` in NAME mode (physical-name
-  *     indirection resolved from the schema JSON's
-  *     `delta.columnMapping.physicalName` metadata; writes refuse,
-  *     EXCEPT the metadata-only DV [[delete]] — in-place PII deletes on
-  *     foreign name-mode tables). Mode `id`, v2 checkpoints and
-  *     every other feature change row visibility or physical layout,
-  *     and silently mis-reading them would corrupt results — LOUD
-  *     FAILURE instead, per the engine discipline.
+  *     every read), `columnMapping` in NAME mode (physical-name
+  *     indirection from `delta.columnMapping.physicalName` metadata,
+  *     resolved RECURSIVELY through nested types) and ID mode (parquet
+  *     field-id resolution via `parquet.field.id` read metadata), and
+  *     `v2Checkpoint`. Everything else changes row visibility or
+  *     physical layout, and silently mis-reading it would corrupt
+  *     results — LOUD FAILURE instead, per the engine discipline.
+  *   - writer-feature gate ([[DeltaTable.ImplementedWriterFeatures]]):
+  *     every commit-producing verb refuses when the table declares a
+  *     writer feature this engine does not implement, or a conditional
+  *     one made ACTIVE by config/schema (`delta.appendOnly=true` →
+  *     removes refuse; active CHECK constraints / invariants /
+  *     generated / identity columns → data writes refuse). Name-mode
+  *     column-mapping tables take appends/merges/deletes/OPTIMIZE with
+  *     PHYSICAL-name emission (files, stats keys, partitionValues);
+  *     schema evolution and id-mode data writes refuse loudly.
   *   - partitioned tables: `add.partitionValues` + Hive-style paths;
   *     reads recover partition columns from the directory layout
   *     (`basePath`), then cast to the `schemaString` types, so
@@ -103,30 +117,52 @@ final case class DeltaTable(root: String) {
         else None
       }.toSeq.sortBy(_._1)
 
-  /** COMPLETE checkpoints by version, single-file
-    * (`%020d.checkpoint.parquet`) and multi-part
-    * (`%020d.checkpoint.%010d.%010d.parquet`, the protocol's form for
-    * large tables — delta-spark writes these, so reading them is part
-    * of the interop claim). A multi-part checkpoint counts only when
+  /** One checkpoint candidate: `parts` is the file set whose union
+    * carries the control rows, and for the V2 form (`v2` true) the add
+    * census additionally lives in sidecar files the manifest parquet
+    * names — resolved (and completeness-checked) in [[logState]],
+    * since the sidecar list is inside the manifest. */
+  private final case class CpRef(version: Long, parts: Seq[Path], v2: Boolean)
+
+  /** COMPLETE checkpoints by version, in the protocol's three forms:
+    * single-file (`%020d.checkpoint.parquet`), multi-part
+    * (`%020d.checkpoint.%010d.%010d.parquet`, the classic large-table
+    * form), and V2 (`%020d.checkpoint.<uniqueStr>.parquet`, the
+    * `v2Checkpoint` table feature delta-spark 3.x writes — a UUID-named
+    * manifest whose `sidecar` actions point at add/remove files under
+    * `_delta_log/_sidecars/`). A multi-part checkpoint counts only when
     * ALL its declared parts are present — a torn upload must read as
     * "no checkpoint here", falling back to an older one + longer tail,
-    * never a partial census. */
-  private def listCheckpoints(): Seq[(Long, Seq[Path])] = {
-    val single = listLog(".checkpoint.parquet").map { case (v, p) => v -> Seq(p) }
+    * never a partial census; V2 sidecar completeness is checked at
+    * resolution time with the same fallback. */
+  private def listCheckpoints(): Seq[CpRef] = {
+    val single = listLog(".checkpoint.parquet")
+      .map { case (v, p) => CpRef(v, Seq(p), v2 = false) }
     val multiRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
-    val multi =
-      (if (!Files.isDirectory(logDir)) Nil
-       else Files.list(logDir).iterator.asScala.flatMap { p =>
-         p.getFileName.toString match {
-           case multiRe(v, part, of) => Some((v.toLong, part.toInt, of.toInt, p))
-           case _ => None
-         }
-       }.toSeq)
-        .groupBy { case (v, _, of, _) => (v, of) }
-        .collect { case ((v, of), parts) if parts.map(_._2).toSet == (1 to of).toSet =>
-          v -> parts.sortBy(_._2).map(_._4)
-        }.toSeq
-    (single ++ multi).sortBy { case (v, ps) => (v, ps.size) }
+    val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
+    val names =
+      if (!Files.isDirectory(logDir)) Nil
+      else Files.list(logDir).iterator.asScala.toSeq
+    val multi = names.flatMap { p =>
+        p.getFileName.toString match {
+          case multiRe(v, part, of) => Some((v.toLong, part.toInt, of.toInt, p))
+          case _ => None
+        }
+      }
+      .groupBy { case (v, _, of, _) => (v, of) }
+      .collect { case ((v, of), parts) if parts.map(_._2).toSet == (1 to of).toSet =>
+        CpRef(v, parts.sortBy(_._2).map(_._4), v2 = false)
+      }.toSeq
+    val v2 = names.flatMap { p =>
+      p.getFileName.toString match {
+        // the unique segment is a UUID-class string; a pure-digit segment
+        // is a (possibly torn) multi-part name, never a V2 manifest
+        case v2Re(v, uid) if !uid.forall(_.isDigit) =>
+          Some(CpRef(v.toLong, Seq(p), v2 = true))
+        case _ => None
+      }
+    }
+    (single ++ multi ++ v2).sortBy(c => (c.version, c.parts.size, c.v2))
   }
 
   /** Highest committed version, if any. */
@@ -150,36 +186,49 @@ final case class DeltaTable(root: String) {
       tombstones: Map[String, Long])
 
   /** Everything about a snapshot EXCEPT the unbounded file census:
-    * schema/partitioning/txn metadata plus the (checkpoint, tail)
-    * recipe [[fileCensus]] turns into a DataFrame. */
+    * schema/partitioning/txn metadata plus the (checkpoint + sidecars,
+    * tail) recipe [[fileCensus]] turns into a DataFrame. */
   private final case class LogState(version: Long, schema: StructType,
       partitionColumns: Seq[String], txns: Map[String, Long],
       checkpointFiles: Seq[Path], tail: Tail,
       minReader: Int = 1, minWriter: Int = 2,
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty,
-      columnMappingMode: String = "none") {
-    /** logical → physical column names (column-mapping name mode): the
-      * `delta.columnMapping.physicalName` field metadata delta-spark
-      * records in `schemaString`. Identity for mode `none` (no
-      * metadata present). Physical names are what the parquet footers,
-      * partition dir names, `partitionValues` keys and stats JSON keys
-      * all carry. */
+      columnMappingMode: String = "none",
+      configuration: Map[String, String] = Map.empty,
+      tableId: Option[String] = None,
+      sidecarFiles: Seq[Path] = Nil) {
+    /** logical → physical column names (column-mapping name and id
+      * modes): the `delta.columnMapping.physicalName` field metadata
+      * delta-spark records in `schemaString`. Identity for mode `none`
+      * (no metadata present). Physical names are what the parquet
+      * footers, partition dir names, `partitionValues` keys and stats
+      * JSON keys all carry. Nested fields resolve through
+      * [[DeltaTable.physicalField]] (the scan-schema builder); this map
+      * serves the TOP-LEVEL keys (stats, partitionValues, predicates). */
     val physicalNames: Map[String, String] = schema.fields.flatMap { f =>
       if (f.metadata.contains("delta.columnMapping.physicalName"))
         Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
       else None
     }.toMap
     def phys(c: String): String = physicalNames.getOrElse(c, c)
+    /** Change-data-feed flag: DELETE/MERGE serialize their row-level
+      * change set into `_change_data` files when set. */
+    def cdfEnabled: Boolean =
+      configuration.get("delta.enableChangeDataFeed").contains("true")
   }
 
   /** Reader features this implementation actually honors (protocol v3):
-    * add.deletionVector descriptors are applied at every read, and
-    * column mapping is resolved on read for `name` mode (physical-name
-    * indirection in the schema JSON — no row-visibility change). Mode
-    * `id` (parquet field-id resolution) stays a loud refusal, as does
-    * any WRITE to a column-mapping table. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+    * add.deletionVector descriptors are applied at every read, column
+    * mapping is resolved on read for `name` mode (physical-name
+    * indirection in the schema JSON) and `id` mode (parquet field-id
+    * resolution via the read schema's `parquet.field.id` metadata), and
+    * V2 checkpoints (UUID manifest + sidecars) are stitched into the
+    * census. Every other feature changes row visibility or physical
+    * layout, and silently mis-reading it would corrupt results — LOUD
+    * FAILURE instead, per the engine discipline. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -188,23 +237,42 @@ final case class DeltaTable(root: String) {
     require(target <= latest,
       s"DeltaTable $root: version $target > latest $latest")
 
-    val cp = listCheckpoints().filter(_._1 <= target).lastOption
+    // Newest resolvable checkpoint ≤ target: a V2 manifest resolves only
+    // when EVERY sidecar file it names exists (a torn sidecar set reads
+    // as "no checkpoint here", exactly like a torn multi-part set) —
+    // fall back to the next older candidate, then to pure JSON replay.
+    val cpCandidates = listCheckpoints().filter(_.version <= target).reverse
+    val sidecarDir = logDir.resolve("_sidecars")
+    val cp: Option[(CpRef, Seq[Path])] = cpCandidates.view.map { c =>
+      if (!c.v2) Some((c, Seq.empty[Path]))
+      else {
+        val mf = spark.read.parquet(c.parts.head.toString)
+        val sidecars: Seq[Path] =
+          if (!mf.schema.fieldNames.contains("sidecar")) Nil
+          else mf.where(col("sidecar.path").isNotNull)
+            .select(col("sidecar.path")).collect()
+            .map(r => sidecarDir.resolve(r.getString(0))).toSeq
+        if (sidecars.forall(Files.exists(_))) Some((c, sidecars)) else None
+      }
+    }.collectFirst { case Some(r) => r }
     val txns = mutable.HashMap.empty[String, Long]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var configuration = Map.empty[String, String]
+    var tableId: Option[String] = None
     var minReader = 1
     var minWriter = 2
     val readerFeats = mutable.HashSet.empty[String]
     val writerFeats = mutable.HashSet.empty[String]
 
-    cp.foreach { case (_, paths) =>
+    cp.foreach { case (ref, _) =>
       // ONE column-pruned control-row read: metaData/protocol/txn are a
       // handful of rows, selected together and filtered to non-null so a
       // single Spark job (not three) fetches them; the (possibly
       // 10^7-row) add census is NEVER collected here — it stays behind
-      // the [[fileCensus]] DataFrame.
-      val df = spark.read.parquet(paths.map(_.toString): _*)
+      // the [[fileCensus]] DataFrame. For V2 checkpoints the control
+      // rows live in the manifest; sidecars carry only add/remove.
+      val df = spark.read.parquet(ref.parts.map(_.toString): _*)
       // resolve the FULL dotted path against the parquet schema (walking
       // nested StructTypes), not just the top-level column: a checkpoint
       // written before this engine carried protocol.readerFeatures — or
@@ -229,7 +297,8 @@ final case class DeltaTable(root: String) {
         fld("protocol.readerFeatures", ArrayType(StringType)).as("_rf"),
         fld("protocol.writerFeatures", ArrayType(StringType)).as("_wf"),
         fld("metaData.configuration", MapType(StringType, StringType))
-          .as("_conf"))
+          .as("_conf"),
+        fld("metaData.id", StringType).as("_id"))
         .na.drop("all").collect()
       ctrl.foreach { r =>
         if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
@@ -243,10 +312,11 @@ final case class DeltaTable(root: String) {
         if (!r.isNullAt(7)) writerFeats ++= r.getSeq[String](7)
         if (!r.isNullAt(8))
           configuration = r.getMap[String, String](8).toMap
+        if (!r.isNullAt(9)) tableId = Some(r.getString(9))
       }
     }
 
-    val from = cp.map(_._1 + 1).getOrElse(0L)
+    val from = cp.map(_._1.version + 1).getOrElse(0L)
     val commits = listLog(".json").filter { case (v, _) => v >= from && v <= target }
     require(commits.map(_._1) == (from to target),
       s"DeltaTable $root: log gap — need versions $from..$target, " +
@@ -281,6 +351,7 @@ final case class DeltaTable(root: String) {
           if (meta.hasNonNull("partitionColumns"))
             partCols = meta.get("partitionColumns").elements.asScala
               .map(_.asText).toSeq
+          if (meta.hasNonNull("id")) tableId = Some(meta.get("id").asText)
           configuration = mapOf(meta, "configuration")
         }
         if (add != null && add.hasNonNull("path")) {
@@ -319,14 +390,14 @@ final case class DeltaTable(root: String) {
     // always readable; v2 (legacy column-mapping capability) and v3
     // (explicit feature lists) readable exactly when every ACTIVE
     // capability is one this implementation honors — deletionVectors,
-    // and columnMapping in `name` mode only (metadata-only physical-
-    // name indirection; the most common foreign-managed-runtime table).
-    // Mode `id` and any other feature (v2 checkpoints, ...) refuse
-    // loudly rather than mis-read.
+    // columnMapping (`name` mode physical-name indirection and `id`
+    // mode parquet field-id resolution), and v2Checkpoint (UUID
+    // manifest + sidecars). Any other feature/mode refuses loudly
+    // rather than mis-read.
     val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none" || mode == "name",
+    require(mode == "none" || mode == "name" || mode == "id",
       s"DeltaTable $root: delta.columnMapping.mode '$mode' unsupported " +
-        "(name-mode reads only) — refusing to mis-read the table")
+        "(name/id-mode reads only) — refusing to mis-read the table")
     val unsupported = readerFeats.toSet -- SupportedReaderFeatures
     require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
       s"DeltaTable $root: minReaderVersion $minReader with reader features " +
@@ -337,9 +408,10 @@ final case class DeltaTable(root: String) {
       .getOrElse(throw new IllegalStateException(
         s"DeltaTable $root: no metaData action found up to v$target"))
     LogState(target, schema, partCols, txns.toMap,
-      cp.map(_._2).getOrElse(Nil),
+      cp.map(_._1.parts).getOrElse(Nil),
       Tail(active.values.toSeq, masked.toSet, tombstones.toMap),
-      minReader, minWriter, readerFeats.toSet, writerFeats.toSet, mode)
+      minReader, minWriter, readerFeats.toSet, writerFeats.toSet, mode,
+      configuration, tableId, cp.map(_._2).getOrElse(Nil))
   }
 
   /** Highest committed `txn` version for a writer appId (the protocol's
@@ -373,29 +445,14 @@ final case class DeltaTable(root: String) {
     st.checkpointFiles match {
       case Nil => tailDF
       case cpPaths =>
-        val df = spark.read.parquet(cpPaths.map(_.toString): _*)
-        val cpDF = df.schema.find(_.name == "add").map(_.dataType) match {
-          case Some(at: StructType) =>
-            val names = at.fieldNames.toSet
-            def fld(n: String, dt: DataType): Column =
-              if (names(n)) col(s"add.$n").cast(dt) else lit(null).cast(dt)
-            df.where(col("add").isNotNull && col("add.path").isNotNull)
-              .select(
-                sqlDecodePath(col("add.path")).as("path"),
-                coalesce(fld("partitionValues", MapType(StringType, StringType)),
-                  map().cast(MapType(StringType, StringType)))
-                  .as("partitionValues"),
-                coalesce(fld("size", LongType), lit(0L)).as("size"),
-                coalesce(fld("modificationTime", LongType), lit(0L))
-                  .as("modificationTime"),
-                fld("stats", StringType).as("stats"),
-                fld("tags", MapType(StringType, StringType)).as("tags"),
-                (if (names("deletionVector"))
-                   to_json(col("add.deletionVector"))
-                 else lit(null).cast(StringType)).as("dv"))
-          case _ =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], censusSchema)
-        }
+        // V2 checkpoints split the census: the manifest MAY carry adds
+        // inline, and sidecar files carry the rest — two projected scans
+        // unioned (separate reads: manifest and sidecar schemas differ,
+        // and a single multi-path scan would pick one file's schema)
+        val main = checkpointAdds(spark, cpPaths)
+        val cpDF =
+          if (st.sidecarFiles.isEmpty) main
+          else main.unionByName(checkpointAdds(spark, st.sidecarFiles))
         val base =
           if (st.tail.masked.isEmpty) cpDF
           else cpDF.join(broadcast(spark.createDataFrame(
@@ -403,6 +460,35 @@ final case class DeltaTable(root: String) {
             StructType(Seq(StructField("path", StringType))))),
             Seq("path"), "left_anti")
         base.select(censusSchema.fieldNames.map(col): _*).unionByName(tailDF)
+    }
+  }
+
+  /** Columnar add-census projection over one checkpoint/sidecar file
+    * set, tolerant of narrower foreign `add` structs (absent fields
+    * read as null). */
+  private def checkpointAdds(spark: SparkSession, paths: Seq[Path]): DataFrame = {
+    val df = spark.read.parquet(paths.map(_.toString): _*)
+    df.schema.find(_.name == "add").map(_.dataType) match {
+      case Some(at: StructType) =>
+        val names = at.fieldNames.toSet
+        def fld(n: String, dt: DataType): Column =
+          if (names(n)) col(s"add.$n").cast(dt) else lit(null).cast(dt)
+        df.where(col("add").isNotNull && col("add.path").isNotNull)
+          .select(
+            sqlDecodePath(col("add.path")).as("path"),
+            coalesce(fld("partitionValues", MapType(StringType, StringType)),
+              map().cast(MapType(StringType, StringType)))
+              .as("partitionValues"),
+            coalesce(fld("size", LongType), lit(0L)).as("size"),
+            coalesce(fld("modificationTime", LongType), lit(0L))
+              .as("modificationTime"),
+            fld("stats", StringType).as("stats"),
+            fld("tags", MapType(StringType, StringType)).as("tags"),
+            (if (names("deletionVector"))
+               to_json(col("add.deletionVector"))
+             else lit(null).cast(StringType)).as("dv"))
+      case _ =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], censusSchema)
     }
   }
 
@@ -471,33 +557,40 @@ final case class DeltaTable(root: String) {
       : org.apache.spark.sql.Dataset[(String, String, Long)] = {
     import spark.implicits._
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val oldDv: Map[String, String] = candidates.flatMap(f =>
-      f.dv.map(metaPath(absRoot, f.path) -> _)).toMap
-    val numRec: Map[String, Long] = candidates.flatMap(f =>
-      numRecordsOf(f).map(metaPath(absRoot, f.path) -> _)).toMap
     val rootStr = root
+    // candidate metadata (existing descriptor + numRecords) ships as a
+    // small BROADCAST FRAME joined on the canonical path — never a
+    // task-closure Map: a pathological unpruned merge would otherwise
+    // serialize O(candidates) into EVERY task's closure (r14 nit)
+    val metaDF = spark.createDataFrame(
+      candidates.map(f => Row(metaPath(absRoot, f.path), f.dv.orNull,
+        numRecordsOf(f).map(Long.box).orNull)).asJava,
+      StructType(Seq(StructField("_fp", StringType),
+        StructField("_old_dv", StringType), StructField("_nrec", LongType))))
     matchedRows
       .groupBy(col("_fp"))
       .agg(sort_array(collect_list(col("_ri"))).as("_rows"))
-      .select(col("_fp").as("_1"), col("_rows").as("_2"))
-      .as[(String, Array[Long])]
+      .join(broadcast(metaDF), Seq("_fp"), "left")
+      .select(col("_fp").as("_1"), col("_rows").as("_2"),
+        col("_old_dv").as("_3"), col("_nrec").as("_4"))
+      .as[(String, Array[Long], Option[String], Option[Long])]
       .mapPartitions { it =>
         // merge with the file's existing DV here (set union), so a
         // re-matched already-dead row is harmless and the driver never
         // sees a row index
-        val merged = it.map { case (fp, rows) =>
-          val old = oldDv.get(fp).map(j =>
+        val merged = it.map { case (fp, rows, oldDvJson, nrec) =>
+          val old = oldDvJson.map(j =>
             DeletionVectors.read(rootStr, DeletionVectors.fromJson(j)))
             .getOrElse(Array.emptyLongArray)
-          fp -> (old ++ rows).distinct.sorted
+          (fp, (old ++ rows).distinct.sorted, nrec)
         }.toVector
-        val (empt, targets) = merged.partition { case (fp, m) =>
-          numRec.get(fp).contains(m.length.toLong) }
+        val (empt, targets) = merged.partition { case (_, m, nrec) =>
+          nrec.contains(m.length.toLong) }
         val descs =
           if (targets.isEmpty) Nil
           else DeletionVectors.descriptorsFor(rootStr, targets.map(_._2))
-        (empt.map { case (fp, m) => (fp, null: String, m.length.toLong) } ++
-          targets.zip(descs).map { case ((fp, m), d) =>
+        (empt.map { case (fp, m, _) => (fp, null: String, m.length.toLong) } ++
+          targets.zip(descs).map { case ((fp, m, _), d) =>
             (fp, DeletionVectors.toJson(d), m.length.toLong) }).iterator
       }
   }
@@ -744,28 +837,8 @@ final case class DeltaTable(root: String) {
   def read(spark: SparkSession, version: Option[Long] = None): DataFrame = {
     val st = logState(spark, version)
     readFilesDv(spark, st.schema, st.partitionColumns,
-      livePathDvs(spark, st), st.physicalNames)
+      livePathDvs(spark, st), st.columnMappingMode)
   }
-
-  /** Writer-side gate for column-mapping tables: every physical surface
-    * a write emits (add stats keys, partitionValues keys, new file
-    * column names, metaData configuration riding checkpoints/restores)
-    * would need physical-name emission this writer does not implement —
-    * READ works (name mode), WRITES refuse loudly rather than emit a
-    * metaData/add mix foreign readers would mis-resolve. ONE exception:
-    * the DV [[delete]] is metadata-only and replays existing
-    * (already-physical) action payloads verbatim, so in-place row
-    * deletes on foreign name-mode tables are supported. */
-  private def requireWritable(mode: String, verb: String): Unit =
-    require(mode == "none",
-      s"DeltaTable $root: $verb on a column-mapping table " +
-        s"(delta.columnMapping.mode=$mode) is not supported — this " +
-        "writer reads name-mode tables but does not emit physical names")
-
-  private def readFiles(spark: SparkSession, schema: StructType,
-      partitionColumns: Seq[String], relPaths: Seq[String]): DataFrame =
-    readFilesDv(spark, schema, partitionColumns,
-      relPaths.map(_ -> (None: Option[String])))
 
   /** [[readFiles]] with per-file deletionVector descriptors applied:
     * rows whose `_metadata.row_index` is in the file's DV are DROPPED
@@ -788,19 +861,29 @@ final case class DeltaTable(root: String) {
   private def readFilesDv(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[(String, Option[String])],
-      physicalNames: Map[String, String] = Map.empty): DataFrame = {
+      mode: String = "none"): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
     val paths = files.map { case (f, _) => Paths.get(absRoot, f).toString }
-    // column-mapping name mode: the parquet footers (and partition dir
-    // names) carry PHYSICAL column names — scan physical, rename to the
-    // logical schema in the final select. Identity when the map is empty.
-    def phys(n: String): String = physicalNames.getOrElse(n, n)
+    // column mapping: the parquet footers (and partition dir names)
+    // carry PHYSICAL column names at EVERY nesting level — scan with the
+    // physical schema ([[DeltaTable.physicalField]], recursive), rename
+    // back to the logical schema in the final select (nested fields
+    // rename through the positional struct cast). Mode `id` additionally
+    // rides `parquet.field.id` metadata so Spark's reader resolves
+    // columns by field id, per the protocol. Identity when no field
+    // carries column-mapping metadata.
+    def phys(n: String): String = {
+      val f = schema(n)
+      if (f.metadata.contains(DeltaTable.PhysNameKey))
+        f.metadata.getString(DeltaTable.PhysNameKey)
+      else n
+    }
     val dataSchema = StructType(
       schema.filterNot(f => partitionColumns.contains(f.name))
-        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
+        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
     val raw =
       if (partitionColumns.isEmpty)
         spark.read.schema(dataSchema).parquet(paths: _*)
@@ -831,7 +914,12 @@ final case class DeltaTable(root: String) {
             col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
             "left_anti")
       }
-    live.select(schema.map(f => col(phys(f.name)).cast(f.dataType).as(f.name)): _*)
+    // serve the DECLARED schema including field metadata (column-mapping
+    // physicalName/id ride along, as delta-spark's reads do) — rewrite
+    // verbs re-commit these frames, and the metadata is what lets commit
+    // prove "schema unchanged" and re-emit physical names
+    live.select(schema.map(f =>
+      col(phys(f.name)).cast(f.dataType).as(f.name, f.metadata)): _*)
   }
 
   /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
@@ -849,7 +937,7 @@ final case class DeltaTable(root: String) {
     // one snapshot for BOTH schema and census — see pruneCandidatesOf
     val survivors = pruneCandidatesOf(spark, st, column, lo, hi)
     readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors),
-        st.physicalNames)
+        st.columnMappingMode)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -903,7 +991,8 @@ final case class DeltaTable(root: String) {
     val st = logState(spark, None)
     // whole-table maintenance verb: full (path, dv) collect, documented
     val files = livePathDvs(spark, st)
-    val current = readFilesDv(spark, st.schema, st.partitionColumns, files)
+    val current = readFilesDv(spark, st.schema, st.partitionColumns, files,
+      st.columnMappingMode)
     val compacted =
       if (st.partitionColumns.isEmpty) current.repartition(numFiles)
       else current.repartition(numFiles, st.partitionColumns.map(col): _*)
@@ -946,7 +1035,7 @@ final case class DeltaTable(root: String) {
       val capped = takeCapped(sorted, minFiles = 2, maxBatchBytes,
         maxBatchFiles)
       val rewritten = readFilesDv(spark, st.schema, st.partitionColumns,
-        dvPairs(capped)).repartition(1)
+        dvPairs(capped), st.columnMappingMode).repartition(1)
       commit(rewritten, st.partitionColumns, capped.map(_.path), "OPTIMIZE",
         Map("batchFiles" -> capped.size.toString, "incremental" -> "true"),
         dataChange = false, statsFor = statsFor, removeDvs = dvMapOf(capped))
@@ -979,32 +1068,118 @@ final case class DeltaTable(root: String) {
       removeDvs: Map[String, String] = Map.empty,
       dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil,
       writeData: Boolean = true,
-      colMapSafe: Boolean = false): Long = {
+      colMapSafe: Boolean = false,
+      cdcData: Option[DataFrame] = None): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
-    // resolve the current snapshot BEFORE any data lands: the
-    // column-mapping write guard and schema-conflict checks must refuse
-    // without leaving orphaned part files in the table root.
-    // colMapSafe marks the ONE commit shape legal on a column-mapping
-    // table: metadata-only (no data files, no fresh stats, no metaData
-    // action) whose removes/re-adds replay EXISTING action payloads
-    // verbatim — the DV delete. Everything else still refuses.
+    // resolve the current snapshot BEFORE any data lands: every write
+    // gate and schema-conflict check must refuse without leaving
+    // orphaned part files in the table root.
+    // colMapSafe marks the commit shape that is legal on ANY
+    // column-mapping table (including id mode, which this writer cannot
+    // emit new data files for): metadata-only (no data files, no fresh
+    // stats, no metaData action) whose removes/re-adds replay EXISTING
+    // action payloads verbatim — the DV delete.
     require(!colMapSafe || (!writeData && statsFor.isEmpty),
       "colMapSafe commits must be metadata-only")
     val currentState: Option[LogState] =
       if (v == 0L) None
       else Some(logState(df.sparkSession, Some(v - 1)))
-    if (!colMapSafe)
-      currentState.foreach(s => requireWritable(s.columnMappingMode, op))
+    val mode = currentState.map(_.columnMappingMode).getOrElse("none")
+    // id-mode tables: reads resolve by parquet field id, but writing new
+    // data files would need field-id footer emission matched to the
+    // table's column ids — only the metadata-only DV delete is legal
+    require(mode != "id" || !writeData,
+      s"DeltaTable $root: $op on an id-mode column-mapping table is not " +
+        "supported (metadata-only DV deletes only)")
+
+    // ---- schema & partitioning decisions, BEFORE any data lands ------
+    // Schema evolution, the Delta mergeSchema contract: an append whose
+    // frame adds columns records the MERGED schema in a fresh metaData
+    // action — older files then serve the new columns as nulls (the
+    // parquet reader fills absent footer columns); an append may also
+    // OMIT existing columns (its files serve them as nulls). Type
+    // conflicts fail loudly. Overwrites replace the schema outright.
+    val isOverwrite = removePaths.nonEmpty && dataChange
+    val currentSchema: Option[StructType] = currentState.map(_.schema)
+    val recordedSchema: StructType = currentSchema match {
+      case None => df.schema
+      case Some(_) if isOverwrite && writeData => df.schema
+      case Some(current) =>
+        current.foreach { f =>
+          df.schema.find(_.name == f.name).foreach { n =>
+            // metadata-blind comparison: a frame built without the
+            // table's field metadata (column-mapping ids etc.) is the
+            // same type — but nested NAME or type drift still conflicts
+            if (!sameType(n.dataType, f.dataType))
+              throw new IllegalStateException(
+                s"DeltaTable $root: column ${f.name} type conflict — table " +
+                  s"has ${f.dataType.simpleString}, append has " +
+                  s"${n.dataType.simpleString}")
+          }
+        }
+        val oldNames = current.fieldNames.toSet
+        StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
+    }
+    val schemaChanged = currentSchema.exists(_.json != recordedSchema.json)
+    val partChanged = currentState.exists(_.partitionColumns != partitionBy)
+    // a NON-overwrite commit re-declaring table-wide partitioning would
+    // break directory-based partition recovery for every pre-existing
+    // file — loud failure instead of silently re-recording metaData
+    require(!partChanged || isOverwrite,
+      s"DeltaTable $root: $op with partitionBy " +
+        s"${partitionBy.mkString("[", ",", "]")} != table partitioning " +
+        s"${currentState.map(_.partitionColumns.mkString("[", ",", "]"))
+          .getOrElse("[]")} — only overwrites may re-declare partitioning")
+    // column-mapping tables: writes with the EXISTING schema emit
+    // physical names (below); schema or partitioning changes would need
+    // fresh physical-name/column-id assignment this writer does not
+    // implement — refuse loudly (covers overwrite, whose recorded schema
+    // is the frame's metadata-free one)
+    require(mode == "none" || (!schemaChanged && !partChanged),
+      s"DeltaTable $root: $op changes the schema/partitioning of a " +
+        "column-mapping table — physical-name assignment for new " +
+        "columns is not implemented")
+    val emitMeta = v == 0L || schemaChanged || partChanged
+    // structural guard (not just "happens to be false"): a colMapSafe
+    // commit emitting a metaData action would drop the table's
+    // configuration (delta.columnMapping.mode included) and corrupt
+    // every later read
+    require(!(emitMeta && colMapSafe),
+      s"DeltaTable $root: internal — colMapSafe commit must not emit " +
+        "metaData (concurrent schema change?)")
+    // the protocol's writer-feature contract, gated before data lands
+    currentState.foreach(s => requireWriterFeatures(s, op,
+      removesRows = dataChange && (removePaths.nonEmpty || dvReAdds.nonEmpty),
+      addsRows = dataChange && writeData))
+
+    // physical column names for every emitted surface on column-mapping
+    // tables: file columns (at every nesting level, via the positional
+    // struct cast), Hive partition dirs (→ partitionValues keys), and
+    // the stats JSON keys — the read side owns the inverse indirection
+    val physOf: Map[String, String] =
+      currentState.map(_.physicalNames).getOrElse(Map.empty)
+    def toPhys(c: String): String = physOf.getOrElse(c, c)
+    def toPhysFrame(frame: DataFrame, extraCols: Seq[String]): DataFrame =
+      if (physOf.isEmpty) frame
+      else frame.select(frame.columns.map { c =>
+        if (extraCols.contains(c)) col(c)
+        else col(c).cast(DeltaTable.physicalType(
+          recordedSchema(c).dataType, byId = false)).as(toPhys(c))
+      }.toSeq: _*)
+    val physPartitionBy = partitionBy.map(toPhys)
+
     val token = java.util.UUID.randomUUID.toString.take(8)
     val scratch = Paths.get(root, s".tmp-delta-$token")
 
-    // move parts into the table root, keeping the Hive partition dirs.
-    // writeData=false is the metadata-only commit shape (DV deletes:
-    // removes + descriptor re-adds, no new data) — even an EMPTY frame
-    // writes a footer-only part file Spark would then dutifully add.
-    val moved = mutable.ArrayBuffer.empty[(String, Long, Map[String, String])]
-    if (writeData) {
-      val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
+    // Stage a frame's part files into root/<sub>, keeping the Hive
+    // partition dirs — returns (relative path, size, partitionValues).
+    // Shared by the data write and the _change_data (CDC) write.
+    var staged = 0
+    def stageParts(frame: DataFrame, prefix: String,
+        sub: Option[String]): Seq[(String, Long, Map[String, String])] = {
+      val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, String])]
+      val writer = if (physPartitionBy.isEmpty) frame.write
+                   else frame.write.partitionBy(physPartitionBy: _*)
       writer.mode("overwrite").parquet(scratch.toString)
       def walk(dir: Path, rel: List[String], pv: Map[String, String]): Unit =
         Files.list(dir).iterator.asScala.toSeq.sortBy(_.toString).foreach { p =>
@@ -1014,17 +1189,28 @@ final case class DeltaTable(root: String) {
             val value = java.net.URLDecoder.decode(raw, "UTF-8")
             walk(p, name :: rel, pv + (k -> value))
           } else if (name.endsWith(".parquet")) {
-            val unique = f"part-${moved.size}%05d-$token-v$v.snappy.parquet"
-            val relPath = (unique :: rel).reverse.mkString("/")
+            val unique = f"$prefix-$staged%05d-$token-v$v.snappy.parquet"
+            staged += 1
+            val relPath =
+              (sub.toList ::: ((unique :: rel).reverse)).mkString("/")
             val dest = Paths.get(root, relPath)
             Files.createDirectories(dest.getParent)
             Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-            moved += ((relPath, Files.size(dest), pv))
+            out += ((relPath, Files.size(dest), pv))
           }
         }
       walk(scratch, Nil, Map.empty)
       deleteRecursively(scratch)
+      out.toSeq
     }
+
+    // move parts into the table root, keeping the Hive partition dirs.
+    // writeData=false is the metadata-only commit shape (DV deletes:
+    // removes + descriptor re-adds, no new data) — even an EMPTY frame
+    // writes a footer-only part file Spark would then dutifully add.
+    val moved: Seq[(String, Long, Map[String, String])] =
+      if (!writeData) Nil
+      else stageParts(toPhysFrame(df, Nil), "part", None)
 
     // Per-file stats for the data-skipping index: ONE map-side-combined
     // aggregate over the JUST-WRITTEN files (O(new data), grouped by
@@ -1041,9 +1227,13 @@ final case class DeltaTable(root: String) {
           Paths.get(absRoot, rel).toString }
         import org.apache.spark.sql.functions.{col => fcol, count => fcount,
           input_file_name, lit => flit, max => fmax, min => fmin}
+        // stats keys (and the columns read) are PHYSICAL on
+        // column-mapping tables — [[statBound]] maps predicates the
+        // same way on the read side
+        val physStatsFor = statsFor.map(toPhys)
         val reader = if (partitionBy.isEmpty) spark.read
                      else spark.read.option("basePath", absRoot)
-        val aggs = fcount(flit(1)).as("_nrec") +: statsFor.flatMap(c =>
+        val aggs = fcount(flit(1)).as("_nrec") +: physStatsFor.flatMap(c =>
           Seq(fmin(fcol(c)).as(s"_min_$c"), fmax(fcol(c)).as(s"_max_$c"),
             fcount(fcol(c)).as(s"_cnt_$c")))
         val m = new ObjectMapper
@@ -1057,7 +1247,7 @@ final case class DeltaTable(root: String) {
             val mins = st.putObject("minValues")
             val maxs = st.putObject("maxValues")
             val nulls = st.putObject("nullCount")
-            statsFor.zipWithIndex.foreach { case (c, i) =>
+            physStatsFor.zipWithIndex.foreach { case (c, i) =>
               putScalar(mins, c, r.get(2 + 3 * i))
               putScalar(maxs, c, r.get(3 + 3 * i))
               nulls.put(c, nrec - r.getLong(4 + 3 * i))
@@ -1065,6 +1255,18 @@ final case class DeltaTable(root: String) {
             r.getString(0).split('/').last -> m.writeValueAsString(st)
           }.toMap
       }
+
+    // Change-data-feed payload (the protocol's `cdc` action): the
+    // caller-computed row-level change set lands under `_change_data/`
+    // (data columns PHYSICAL on column-mapping tables + the stored
+    // `_change_type`; partition columns ride each action's
+    // partitionValues, not the files), superseding the add/remove
+    // derivation for this commit in every CDF reader — including this
+    // engine's own [[changes]]/[[changesRows]].
+    val cdcStaged: Seq[(String, Long, Map[String, String])] =
+      cdcData.map(cdf => stageParts(
+        toPhysFrame(cdf, Seq("_change_type")), "cdc", Some("_change_data")))
+        .getOrElse(Nil)
 
     val mapper = new ObjectMapper
     val now = System.currentTimeMillis
@@ -1081,14 +1283,6 @@ final case class DeltaTable(root: String) {
       proto.put("minReaderVersion", 1).put("minWriterVersion", 2)
       actions += wrap(mapper, "protocol", proto)
     }
-    // Schema evolution, the Delta mergeSchema contract: an append whose
-    // frame adds columns records the MERGED schema in a fresh metaData
-    // action — older files then serve the new columns as nulls (the
-    // parquet reader fills absent footer columns); an append may also
-    // OMIT existing columns (its files serve them as nulls). Type
-    // conflicts fail loudly. Overwrites replace the schema outright.
-    val isOverwrite = removePaths.nonEmpty && dataChange
-    val currentSchema: Option[StructType] = currentState.map(_.schema)
     // DV re-adds require the deletionVectors table feature: upgrade the
     // protocol in the SAME commit that introduces the first descriptor.
     // Per the protocol's table-features contract, upgrading to
@@ -1113,35 +1307,31 @@ final case class DeltaTable(root: String) {
       wf.foreach(wfArr.add)
       actions += wrap(mapper, "protocol", proto)
     }
-    val recordedSchema: StructType = currentSchema match {
-      case None => df.schema
-      case Some(_) if isOverwrite => df.schema
-      case Some(current) =>
-        current.foreach { f =>
-          df.schema.find(_.name == f.name).foreach { n =>
-            if (n.dataType != f.dataType) throw new IllegalStateException(
-              s"DeltaTable $root: column ${f.name} type conflict — table " +
-                s"has ${f.dataType.simpleString}, append has " +
-                s"${n.dataType.simpleString}")
-          }
-        }
-        val oldNames = current.fieldNames.toSet
-        StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
-    }
     // a fresh metaData action rides the commit only when the schema or
     // the partitioning actually changed (plus v0) — re-recording an
     // identical metaData on every overwrite/remove-bearing commit is
-    // noise foreign readers must replay
-    val schemaChanged = currentSchema.exists(_.json != recordedSchema.json)
-    val partChanged = currentState.exists(_.partitionColumns != partitionBy)
-    if (v == 0L || schemaChanged || partChanged) {
+    // noise foreign readers must replay. The table's CONFIGURATION (and
+    // id) is PRESERVED, never reset — dropping (say)
+    // delta.enableChangeDataFeed on a schema-evolving append would
+    // silently disable the feed for foreign readers.
+    if (emitMeta) {
       actions += wrap(mapper, "metaData",
-        metaNode(mapper, recordedSchema, partitionBy, now))
+        metaNode(mapper, recordedSchema, partitionBy, now,
+          currentState.map(_.configuration).getOrElse(Map.empty),
+          currentState.flatMap(_.tableId)))
     }
     txn.foreach { case (appId, tv) =>
       val tx = mapper.createObjectNode
       tx.put("appId", appId).put("version", tv).put("lastUpdated", now)
       actions += wrap(mapper, "txn", tx)
+    }
+    cdcStaged.foreach { case (path, size, pv) =>
+      val c = mapper.createObjectNode
+      c.put("path", encodePath(path))
+      val pvNode = c.putObject("partitionValues")
+      pv.foreach { case (k, x) => pvNode.put(k, x) }
+      c.put("size", size).put("dataChange", false)
+      actions += wrap(mapper, "cdc", c)
     }
     removePaths.foreach { p =>
       val rm = mapper.createObjectNode
@@ -1196,17 +1386,105 @@ final case class DeltaTable(root: String) {
   }
 
   private def metaNode(mapper: ObjectMapper, schema: StructType,
-      partitionBy: Seq[String], now: Long): ObjectNode = {
+      partitionBy: Seq[String], now: Long,
+      configuration: Map[String, String] = Map.empty,
+      tableId: Option[String] = None): ObjectNode = {
     val meta = mapper.createObjectNode
-    meta.put("id", java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
+    meta.put("id", tableId.getOrElse(
+      java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString))
     val fmt = meta.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     meta.put("schemaString", schema.json)
     val pc = meta.putArray("partitionColumns")
     partitionBy.foreach(pc.add)
-    meta.putObject("configuration")
+    val cfg = meta.putObject("configuration")
+    configuration.toSeq.sortBy(_._1).foreach { case (k, x) => cfg.put(k, x) }
     meta.put("createdTime", now)
     meta
+  }
+
+  /** The protocol's writer-feature contract ("writers must implement
+    * every active writer feature"), gated by every commit-producing
+    * verb BEFORE any data lands. Two classes: features this engine
+    * honors outright ([[DeltaTable.ImplementedWriterFeatures]]), and
+    * conditional ones legal only while DORMANT — declared by the
+    * protocol tier but not activated by table config / schema metadata.
+    * Active `appendOnly` refuses removes/rewrites; active CHECK
+    * constraints, column invariants, generated and identity columns
+    * would all need row-level enforcement this engine does not
+    * implement, so data-adding writes refuse while any is active
+    * (row-removing DV deletes cannot violate them and stay legal).
+    * Anything outside the implemented set refuses outright — silently
+    * committing to (say) a rowTracking or icebergCompat table would
+    * corrupt its write contract. */
+  private def requireWriterFeatures(st: LogState, op: String,
+      removesRows: Boolean, addsRows: Boolean): Unit = {
+    val declared: Set[String] =
+      if (st.minWriter >= 7) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter)
+    val unknown = declared -- ImplementedWriterFeatures
+    require(unknown.isEmpty,
+      s"DeltaTable $root: $op on a table declaring writer feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(",")} this engine does not " +
+        "implement — refusing to violate the table's write contract")
+    def meta(key: String): Boolean =
+      st.schema.fields.exists(_.metadata.contains(key))
+    if (removesRows)
+      require(!(declared("appendOnly") &&
+          st.configuration.get("delta.appendOnly").contains("true")),
+        s"DeltaTable $root: $op removes or rewrites rows of an " +
+          "append-only table (delta.appendOnly=true) — refusing")
+    if (addsRows) {
+      require(!(declared("checkConstraints") &&
+          st.configuration.keys.exists(_.startsWith("delta.constraints."))),
+        s"DeltaTable $root: $op writes rows into a table with active " +
+          "CHECK constraints this engine does not validate — refusing")
+      require(!(declared("invariants") && meta("delta.invariants")),
+        s"DeltaTable $root: $op writes rows into a table with active " +
+          "column invariants this engine does not validate — refusing")
+      require(!(declared("generatedColumns") &&
+          meta("delta.generationExpression")),
+        s"DeltaTable $root: $op writes rows into a table with generated " +
+          "columns this engine does not compute — refusing")
+      require(!(declared("identityColumns") &&
+          (meta("delta.identity.start") || meta("delta.identity.step") ||
+            meta("delta.identity.allowExplicitInsert"))),
+        s"DeltaTable $root: $op writes rows into a table with identity " +
+          "columns this engine does not assign — refusing")
+    }
+  }
+
+  /** SET TBLPROPERTIES — commit a metaData action with the updated
+    * configuration (schema/partitioning/id unchanged, existing keys
+    * preserved). Enabling the change data feed upgrades the protocol to
+    * the tier that declares the feature (minWriterVersion 4), per the
+    * protocol's activation rule — after which [[delete]]/[[merge]]
+    * serialize their row-level change sets as `cdc` actions. */
+  def setProperties(props: Map[String, String]): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    requireWriterFeatures(st, "SET TBLPROPERTIES",
+      removesRows = false, addsRows = false)
+    val conf = st.configuration ++ props
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    val actions = mutable.ArrayBuffer.empty[String]
+    val ci = mapper.createObjectNode
+    ci.put("timestamp", now).put("operation", "SET TBLPROPERTIES")
+    val pn = ci.putObject("operationParameters")
+    props.toSeq.sortBy(_._1).foreach { case (k, x) => pn.put(k, x) }
+    actions += wrap(mapper, "commitInfo", ci)
+    if (conf.get("delta.enableChangeDataFeed").contains("true") &&
+        st.minWriter < 4) {
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", st.minReader).put("minWriterVersion", 4)
+      actions += wrap(mapper, "protocol", proto)
+    }
+    actions += wrap(mapper, "metaData",
+      metaNode(mapper, st.schema, st.partitionColumns, now, conf, st.tableId))
+    val v = st.version + 1
+    publish(v, actions.toSeq)
+    v
   }
 
   private def wrap(mapper: ObjectMapper, key: String, node: ObjectNode): String = {
@@ -1245,13 +1523,17 @@ final case class DeltaTable(root: String) {
       parts: Int = 1): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    // the checkpoint's metaData control row does not carry table
-    // configuration — writing one for a column-mapping table would
-    // drop the mode and corrupt every later read
-    requireWritable(st.columnMappingMode, "CHECKPOINT")
+    // a checkpoint is derived state, not a data write — legal on
+    // column-mapping tables too (the control metaData row carries the
+    // table's configuration and metadata-bearing schemaString, and the
+    // add census replays verbatim physical-keyed payloads); tables
+    // declaring checkpoint-shape writer features this engine does not
+    // implement (v2Checkpoint et al.) refuse via the gate
+    requireWriterFeatures(st, "CHECKPOINT",
+      removesRows = false, addsRows = false)
     val now = System.currentTimeMillis
-    val tableId =
-      java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString
+    val tableId = st.tableId.getOrElse(
+      java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
 
     // control rows (driver-side, all small): protocol, metaData, txns,
     // retained remove tombstones (previous checkpoint's + the tail's,
@@ -1283,7 +1565,7 @@ final case class DeltaTable(root: String) {
     val ctrl: Seq[Row] =
       ctrlRow(proto = protoRow) +:
       ctrlRow(meta = Row(tableId, Row("parquet"), st.schema.json,
-        st.partitionColumns, now)) +:
+        st.partitionColumns, st.configuration, now)) +:
       (st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
         ctrlRow(txn = Row(app, tv, 0L))
       } ++ tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
@@ -1397,14 +1679,13 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    // the DV form is the ONE write legal on a column-mapping table: it
-    // emits no data files, no fresh stats and no metaData — removes and
-    // same-path re-adds replay existing (already physical-keyed) action
-    // payloads, and the bitmap is name-agnostic. A 100 TB user can
-    // PII-delete rows from a foreign name-mode table IN PLACE without
-    // this writer ever emitting a physical name. The rewrite form
-    // (new data files) still refuses.
-    if (!useDeletionVectors) requireWritable(st.columnMappingMode, "DELETE")
+    // the DV form is the one write legal on ANY column-mapping table
+    // (id mode included): it emits no data files, no fresh stats and no
+    // metaData — removes and same-path re-adds replay existing (already
+    // physical-keyed) action payloads, and the bitmap is name-agnostic.
+    // A 100 TB user can PII-delete rows from a foreign table IN PLACE.
+    // The rewrite form writes data files (physical-named on name-mode
+    // tables; id mode refuses in commit).
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
       .where(mayIntersectCol(st, column, lo, hi))
@@ -1418,15 +1699,28 @@ final case class DeltaTable(root: String) {
       .map(_.getString(0)).toSet
     val partial = cand.filterNot(f => contained(f.path))
     val predicate = s"$column BETWEEN $lo AND $hi"
+    // Change-data-feed payload (when delta.enableChangeDataFeed=true):
+    // the rows this DELETE kills are the candidates' LIVE rows (existing
+    // DVs applied) matching the predicate — evaluated lazily inside the
+    // commit, against the pre-delete files, and serialized into
+    // `_change_data` so row-level CDF consumers (foreign and [[changes]]
+    // alike) read O(deleted rows), never two file images.
+    val cdcFrame: Option[DataFrame] =
+      if (!st.cdfEnabled) None
+      else Some(readFilesDv(spark, st.schema, st.partitionColumns,
+          dvPairs(cand), st.columnMappingMode)
+        .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        .withColumn("_change_type", lit("delete")))
 
     if (!useDeletionVectors) {
       val survivors = readFilesDv(spark, st.schema, st.partitionColumns,
-          dvPairs(partial))
+          dvPairs(partial), st.columnMappingMode)
         .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
       return commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
         Map("predicate" -> predicate,
           "wholeFilesDropped" -> contained.size.toString),
-        statsFor = Seq(column), removeDvs = dvMapOf(cand))
+        statsFor = Seq(column), removeDvs = dvMapOf(cand),
+        cdcData = cdcFrame)
     }
 
     // DV path: matched PHYSICAL row indexes per boundary file, grouped
@@ -1442,7 +1736,8 @@ final case class DeltaTable(root: String) {
         // column (identity off column-mapping tables)
         val dataSchema = StructType(
           st.schema.filterNot(f => st.partitionColumns.contains(f.name))
-            .map(f => StructField(st.phys(f.name), f.dataType, f.nullable)))
+            .map(f => DeltaTable.physicalField(f,
+              byId = st.columnMappingMode == "id")))
         val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
@@ -1470,7 +1765,7 @@ final case class DeltaTable(root: String) {
         "wholeFilesDropped" -> wholeDrops.size.toString,
         "deletionVectorsWritten" -> descs.size.toString),
       removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false,
-      colMapSafe = true)
+      colMapSafe = true, cdcData = cdcFrame)
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -1489,8 +1784,6 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     val tgt = logState(spark, Some(version))
     val cur = logState(spark, None)
-    requireWritable(cur.columnMappingMode, "RESTORE")
-    requireWritable(tgt.columnMappingMode, "RESTORE")
     val tgtCensus = fileCensus(spark, tgt)
     val curCensus = fileCensus(spark, cur)
     // diff on (path, DELETION VECTOR) pairs, null-safe: a path live in
@@ -1518,6 +1811,21 @@ final case class DeltaTable(root: String) {
     require(missing.isEmpty,
       s"DeltaTable $root: restore to v$version needs vacuumed-out files: " +
         missing.map(_.path).mkString(", "))
+    // restore REMOVES files added since the target — gate on the
+    // table's write contract (an append-only table cannot be restored)
+    requireWriterFeatures(cur, "RESTORE",
+      removesRows = removed.nonEmpty, addsRows = false)
+    // the restored snapshot's metadata (schema, partitioning AND
+    // configuration) rides the commit when it differs; on a
+    // column-mapping table the action payloads replay verbatim and the
+    // schema cannot have evolved, so no metaData is ever needed there —
+    // emitting one would require physical-name re-assignment
+    val needMeta = tgt.schema.json != cur.schema.json ||
+      tgt.partitionColumns != cur.partitionColumns ||
+      tgt.configuration != cur.configuration
+    require(!needMeta || cur.columnMappingMode == "none",
+      s"DeltaTable $root: RESTORE of a column-mapping table across a " +
+        "metadata change is not supported")
     val mapper = new ObjectMapper
     val now = System.currentTimeMillis
     val actions = mutable.ArrayBuffer.empty[String]
@@ -1525,10 +1833,10 @@ final case class DeltaTable(root: String) {
     ci.put("timestamp", now).put("operation", "RESTORE")
     ci.putObject("operationParameters").put("version", version.toString)
     actions += wrap(mapper, "commitInfo", ci)
-    if (tgt.schema.json != cur.schema.json ||
-        tgt.partitionColumns != cur.partitionColumns)
+    if (needMeta)
       actions += wrap(mapper, "metaData",
-        metaNode(mapper, tgt.schema, tgt.partitionColumns, now))
+        metaNode(mapper, tgt.schema, tgt.partitionColumns, now,
+          tgt.configuration, tgt.tableId.orElse(cur.tableId)))
     removed.foreach { p =>
       val rm = mapper.createObjectNode
       rm.put("path", encodePath(p)).put("deletionTimestamp", now)
@@ -1573,7 +1881,8 @@ final case class DeltaTable(root: String) {
         "compact per partition instead")
     val files = livePathDvs(spark, st)
     val zordered = ZOrder.withZValue(
-        readFilesDv(spark, st.schema, st.partitionColumns, files),
+        readFilesDv(spark, st.schema, st.partitionColumns, files,
+          st.columnMappingMode),
         dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
@@ -1614,7 +1923,8 @@ final case class DeltaTable(root: String) {
     val numFiles = math.max(1L,
       (batchBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val zordered = ZOrder.withZValue(
-        readFilesDv(spark, st.schema, Nil, dvPairs(capped)), dimA, dimB, bits)
+        readFilesDv(spark, st.schema, Nil, dvPairs(capped),
+          st.columnMappingMode), dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
@@ -1656,7 +1966,12 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
     val st = logState(spark, None)
-    requireWritable(st.columnMappingMode, "MERGE")
+    // merge always appends the source rows as new data files — on
+    // name-mode tables they emit under physical names (commit), on
+    // id-mode tables this writer cannot produce field-id footers
+    require(st.columnMappingMode != "id",
+      s"DeltaTable $root: MERGE on an id-mode column-mapping table is " +
+        "not supported")
     require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")
@@ -1665,10 +1980,35 @@ final case class DeltaTable(root: String) {
       .collect()(0).toSeq.toArray
     if (lo == null) return st.version // empty source: no-op
     val cand = pruneCandidatesOf(spark, st, keyCol, lo, hi)
+    // Change-data-feed payload (when delta.enableChangeDataFeed=true):
+    // matched table rows emit `update_preimage`, their source versions
+    // `update_postimage`, unmatched source rows `insert` — the
+    // four-valued CDF vocabulary foreign consumers expect. Candidate
+    // files bound every scan here; evaluated lazily inside the commit
+    // against the pre-merge files.
+    val cdcFrame: Option[DataFrame] =
+      if (!st.cdfEnabled) None
+      else {
+        val cols = st.schema.fieldNames.map(col).toSeq
+        val existingLive = readFilesDv(spark, st.schema, st.partitionColumns,
+          dvPairs(cand), st.columnMappingMode)
+        val matchedKeys = existingLive.select(col(keyCol)).distinct()
+        val pre = existingLive
+          .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .select(cols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = keyed.join(matchedKeys, Seq(keyCol), "left_semi")
+          .select(cols: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = keyed.join(matchedKeys, Seq(keyCol), "left_anti")
+          .select(cols: _*)
+          .withColumn("_change_type", lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
 
     if (!useDeletionVectors) {
       val existing = readFilesDv(spark, st.schema, st.partitionColumns,
-        dvPairs(cand))
+        dvPairs(cand), st.columnMappingMode)
       // matched rows take the source version; unmatched keep their row.
       // Rows in UNTOUCHED files cannot match: the key envelope proved it.
       val rewritten = existing
@@ -1677,7 +2017,8 @@ final case class DeltaTable(root: String) {
         .select(st.schema.fieldNames.map(col): _*)
       return commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
         Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
-        statsFor = Seq(keyCol), removeDvs = dvMapOf(cand))
+        statsFor = Seq(keyCol), removeDvs = dvMapOf(cand),
+        cdcData = cdcFrame)
     }
 
     // DV path: matched PHYSICAL row indexes per candidate file (existing
@@ -1691,7 +2032,9 @@ final case class DeltaTable(root: String) {
         (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
       else {
         val dataSchema = StructType(
-          st.schema.filterNot(f => st.partitionColumns.contains(f.name)))
+          st.schema.filterNot(f => st.partitionColumns.contains(f.name))
+            .map(f => DeltaTable.physicalField(f,
+              byId = st.columnMappingMode == "id")))
         val paths = cand.map(f => Paths.get(absRoot, f.path).toString)
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
@@ -1700,7 +2043,7 @@ final case class DeltaTable(root: String) {
           .select(
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
             col("_metadata.row_index").as("_ri"),
-            col(keyCol).cast(st.schema(keyCol).dataType).as("_k"))
+            col(st.phys(keyCol)).cast(st.schema(keyCol).dataType).as("_k"))
           .join(keyed.select(col(keyCol).as("_k")).distinct(), Seq("_k"),
             "left_semi")
           .select(col("_fp"), col("_ri"))
@@ -1712,7 +2055,7 @@ final case class DeltaTable(root: String) {
         "matchedFiles" -> (emptied.size + descs.size).toString,
         "deletionVectorsWritten" -> descs.size.toString),
       statsFor = Seq(keyCol),
-      removeDvs = dvMapOf(emptied), dvReAdds = descs)
+      removeDvs = dvMapOf(emptied), dvReAdds = descs, cdcData = cdcFrame)
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added
@@ -1772,7 +2115,7 @@ final case class DeltaTable(root: String) {
         def slice(files: Seq[(String, Option[String])], kind: String) =
           if (files.isEmpty) None
           else Some(readFilesDv(spark, st.schema, st.partitionColumns, files,
-              st.physicalNames)
+              st.columnMappingMode)
             .withColumn("_change_type", lit(kind))
             .withColumn("_commit_version", lit(v)))
         slice(adds.toSeq, "insert").toSeq ++ slice(removes.toSeq, "delete")
@@ -1853,10 +2196,10 @@ final case class DeltaTable(root: String) {
         val full =
           (if (pureAdds.isEmpty) Nil
            else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
-             pureAdds, st.physicalNames), "insert"))) ++
+             pureAdds, st.columnMappingMode), "insert"))) ++
           (if (pureRemoves.isEmpty) Nil
            else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
-             pureRemoves, st.physicalNames), "delete")))
+             pureRemoves, st.columnMappingMode), "delete")))
         val diffs = both.toSeq.sorted.flatMap { p =>
           val oldRows = rowsOf(removes(p))
           val newRows = rowsOf(adds(p))
@@ -1864,10 +2207,10 @@ final case class DeltaTable(root: String) {
           val resurrected = (oldRows -- newRows).toArray.sorted
           (if (deleted.isEmpty) Nil
            else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-             p, deleted, st.physicalNames), "delete"))) ++
+             p, deleted, st.columnMappingMode), "delete"))) ++
           (if (resurrected.isEmpty) Nil
            else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-             p, resurrected, st.physicalNames), "insert")))
+             p, resurrected, st.columnMappingMode), "insert")))
         }
         full ++ diffs
       }
@@ -1895,7 +2238,7 @@ final case class DeltaTable(root: String) {
     val dataFields = st.schema.filterNot(f =>
       st.partitionColumns.contains(f.name))
     val readSchema = StructType(dataFields.map(f =>
-      StructField(st.phys(f.name), f.dataType, f.nullable))
+      DeltaTable.physicalField(f, byId = st.columnMappingMode == "id"))
       :+ StructField("_change_type", StringType))
     val frames = cdcs.groupBy(_._2).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
@@ -1910,7 +2253,7 @@ final case class DeltaTable(root: String) {
       }
     frames.reduce(_ unionByName _)
       .select((st.schema.map(f =>
-        col(st.phys(f.name)).cast(f.dataType).as(f.name))
+        col(st.phys(f.name)).cast(f.dataType).as(f.name, f.metadata))
         :+ col("_change_type")): _*)
   }
 
@@ -1920,14 +2263,19 @@ final case class DeltaTable(root: String) {
   private def readRowsAt(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], relPath: String,
       rows: Array[Long],
-      physicalNames: Map[String, String] = Map.empty): DataFrame = {
+      mode: String = "none"): DataFrame = {
     if (rows.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    def phys(n: String): String = physicalNames.getOrElse(n, n)
+    def phys(n: String): String = {
+      val f = schema(n)
+      if (f.metadata.contains(DeltaTable.PhysNameKey))
+        f.metadata.getString(DeltaTable.PhysNameKey)
+      else n
+    }
     val dataSchema = StructType(
       schema.filterNot(f => partitionColumns.contains(f.name))
-        .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
+        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
     val reader =
       if (partitionColumns.isEmpty) spark.read.schema(dataSchema)
       else spark.read.option("basePath", absRoot).schema(dataSchema)
@@ -1938,7 +2286,8 @@ final case class DeltaTable(root: String) {
     raw
       .withColumn("_g_ri", col("_metadata.row_index"))
       .join(broadcast(wanted), col("_g_ri") === col("_dv_row"), "left_semi")
-      .select(schema.map(f => col(phys(f.name)).cast(f.dataType).as(f.name)): _*)
+      .select(schema.map(f =>
+        col(phys(f.name)).cast(f.dataType).as(f.name, f.metadata)): _*)
   }
 
   /** Delete data files referenced by NONE of the newest `keepVersions`
@@ -1985,16 +2334,27 @@ final case class DeltaTable(root: String) {
         val name = p.getFileName.toString
         if (Files.isDirectory(p)) {
           // _change_data files are CDC payload, not snapshot data — no
-          // snapshot references them, so the live-set check would eat a
-          // foreign table's entire change feed
-          if (name != "_delta_log" && name != "_change_data" &&
-            !name.startsWith(".tmp-")) walk(p)
+          // snapshot references them, so the live-set check does not
+          // apply; they AGE OUT past the retention horizon instead
+          // (CDF over vacuumed history is unreadable anyway, so keeping
+          // them forever would only accumulate a dead feed)
+          if (name == "_change_data") walkCdc(p)
+          else if (name != "_delta_log" && !name.startsWith(".tmp-")) walk(p)
         } else if (name.endsWith(".parquet") &&
             !live.contains(rootPath.relativize(p).toString.replace('\\', '/')) &&
             Files.getLastModifiedTime(p).toMillis <= horizon) {
           Files.delete(p); deleted += 1
         } else if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
             !liveDvFiles.contains(name) &&
+            Files.getLastModifiedTime(p).toMillis <= horizon) {
+          Files.delete(p); deleted += 1
+        }
+      }
+    def walkCdc(dir: Path): Unit =
+      Files.list(dir).iterator.asScala.toSeq.foreach { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p)) walkCdc(p)
+        else if (name.endsWith(".parquet") &&
             Files.getLastModifiedTime(p).toMillis <= horizon) {
           Files.delete(p); deleted += 1
         }
@@ -2031,6 +2391,69 @@ object DeltaTable {
   /** Add-action tag marking a file as belonging to a z-order cube (the
     * public incremental-clustering scheme). */
   val ZCubeTag: String = "ZCUBE_ID"
+
+  /** Schema-metadata keys of the public column-mapping protocol. */
+  private[lake] val PhysNameKey = "delta.columnMapping.physicalName"
+  private[lake] val ColIdKey = "delta.columnMapping.id"
+
+  /** Writer features this engine implements or honors: appendOnly is
+    * HONORED (active delta.appendOnly=true refuses removes), the
+    * validation-class features (invariants, checkConstraints,
+    * generatedColumns, identityColumns) are legal only while dormant —
+    * [[DeltaTable.requireWriterFeatures]] refuses data writes when table
+    * config/schema metadata activates them — changeDataFeed is
+    * implemented (DELETE/MERGE serialize `cdc` actions), deletionVectors
+    * is implemented end-to-end, and columnMapping writes emit physical
+    * names (name mode; id mode allows only the metadata-only DV
+    * delete). Everything else — rowTracking, icebergCompat*,
+    * v2Checkpoint (write side), domainMetadata, clustering, ... —
+    * refuses outright. */
+  private[lake] val ImplementedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "identityColumns", "changeDataFeed", "deletionVectors", "columnMapping")
+
+  /** Physical read/write schema for one field of a column-mapping
+    * table, applied RECURSIVELY: every nesting level (struct fields,
+    * array elements, map keys/values) renames to its
+    * `delta.columnMapping.physicalName` — the names the parquet footers
+    * actually carry (a top-level-only rename would silently null every
+    * nested leaf, the round-14 advisory finding). For mode `id`,
+    * `parquet.field.id` metadata rides each field so Spark's parquet
+    * reader resolves columns by field id instead of name. */
+  private[lake] def physicalField(f: StructField, byId: Boolean): StructField = {
+    val name =
+      if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+      else f.name
+    val meta =
+      if (byId && f.metadata.contains(ColIdKey))
+        new MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(ColIdKey)).build()
+      else Metadata.empty
+    StructField(name, physicalType(f.dataType, byId), f.nullable, meta)
+  }
+
+  private[lake] def physicalType(dt: DataType, byId: Boolean): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(physicalField(_, byId)))
+      case a: ArrayType => a.copy(elementType = physicalType(a.elementType, byId))
+      case m: MapType => m.copy(keyType = physicalType(m.keyType, byId),
+        valueType = physicalType(m.valueType, byId))
+      case other => other
+    }
+
+  /** Type equality ignoring nullability and field METADATA (a caller's
+    * frame built without the table's column-mapping metadata is the
+    * same type) but NOT field names — nested renames or type drift are
+    * real append conflicts. */
+  private[lake] def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && sameType(f.dataType, g.dataType) }
+    case (x: ArrayType, y: ArrayType) => sameType(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameType(x.keyType, y.keyType) && sameType(x.valueType, y.valueType)
+    case _ => a == b
+  }
 
   /** JSON scalar for a stats value: numbers stay numbers, null stays
     * null, everything else serializes as its string form (dates,
@@ -2108,6 +2531,7 @@ object DeltaTable {
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))),
     StructField("add", StructType(Seq(
       StructField("path", StringType),

@@ -31,11 +31,14 @@ object LakeRegistry {
     * field metadata (per-file doc_id stats keyed PHYSICAL, so the
     * skipping index exercises the name indirection too). The overwrite
     * wipes any previous run's files and log — deterministic rebuild. */
-  private def colmapRoot(s: SparkSession, d: String, q: String): String = {
+  private def colmapRoot(s: SparkSession, d: String, q: String): String =
+    colmapRoot(s, d, q, docs(s, d))
+
+  private def colmapRoot(s: SparkSession, d: String, q: String,
+      base: DataFrame): String = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
     val root = tmpRoot(s, d, q)
-    val base = docs(s, d)
     val phys = Map("doc_id" -> "c-1", "source" -> "c-2",
       "lang" -> "c-3", "n_chars" -> "c-4")
     base.select(base.columns.map(c => col(c).as(phys(c))): _*)
@@ -381,6 +384,181 @@ object LakeRegistry {
       dt.delete("doc_id", 100L, 299L)
       bySource(dt.read(s))
     }),
+    // COLUMN-MAPPING APPEND (r15): new rows land as PHYSICAL-named
+    // parquet with physical-keyed stats — a foreign managed-runtime
+    // table accepts this engine's appends; the roundtrip over old+new
+    // files through the same name indirection is the oracle
+    "q_delta_colmap_append" -> ((s, d) => {
+      val base = docs(s, d)
+      val dt = DeltaTable(colmapRoot(s, d, "delta_cma",
+        base.filter(col("doc_id") % 2 === 0)))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0))
+      bySource(dt.read(s))
+    }),
+    // COLUMN-MAPPING MERGE (r15): matched rows die by DV, source rows
+    // append physical-named — the full upsert verb on a foreign
+    // name-mode table
+    "q_delta_colmap_merge" -> ((s, d) => {
+      val dt = DeltaTable(colmapRoot(s, d, "delta_cmm", docs(s, d)))
+      dt.merge(docs(s, d).filter(col("doc_id") % 10 === 3)
+        .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      bySource(dt.read(s))
+    }),
+    // COLUMN-MAPPING ID MODE read (r15): footers whose column NAMES
+    // match nothing — only the parquet field ids (↔
+    // delta.columnMapping.id) resolve them; stats stay physical-keyed
+    "q_delta_colmap_id" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+      val root = tmpRoot(s, d, "delta_cmi")
+      val base = docs(s, d)
+      // footer columns named fzz1..fzz4 carrying field ids 1..4
+      val footer = StructType(base.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(s"fzz${i + 1}", f.dataType, f.nullable,
+          new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+      })
+      s.createDataFrame(
+        base.repartitionByRange(8, col("doc_id")).rdd, footer)
+        .write.mode("overwrite").parquet(root)
+      val dir = Paths.get(root)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val adds = new scala.collection.mutable.ArrayBuffer[String]
+      val parts = Files.list(dir).iterator()
+      while (parts.hasNext) {
+        val p = parts.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          adds += s"""{"add":{"path":"$n","partitionValues":{},"size":${Files.size(p)},"modificationTime":1,"dataChange":true}}"""
+      }
+      val phys = Map("doc_id" -> "c-1", "source" -> "c-2",
+        "lang" -> "c-3", "n_chars" -> "c-4")
+      val logical = StructType(base.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys(f.name))
+            .putLong("delta.columnMapping.id", i + 1L).build())
+      })
+      val schemaLit = m.writeValueAsString(logical.json)
+      val log =
+        s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+           |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+           |{"metaData":{"id":"cmi","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
+           |${adds.sorted.mkString("\n")}
+           |""".stripMargin
+      val logDir = dir.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), log.getBytes("UTF-8"))
+      bySource(DeltaTable(root).read(s))
+    }),
+    // CDC EMISSION (r15): with delta.enableChangeDataFeed=true the DV
+    // DELETE serializes its row-level change set into _change_data +
+    // `cdc` actions; the feed consumer (this engine's own foreign-CDC
+    // path) reads EXACTLY the deleted rows back
+    "q_delta_cdc_emit" -> ((s, d) => {
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val dt = DeltaTable(tmpRoot(s, d, s"delta_cdce_$u"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+      val v = dt.delete("doc_id", 100L, 299L)
+      bySource(dt.changes(s, v - 1, v)
+        .filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version"))
+    }),
+    // V2 CHECKPOINT read (r15): the v2Checkpoint table feature — a
+    // UUID-named manifest whose sidecar files carry the add census; the
+    // fixture converts a self-written table, deletes the pre-checkpoint
+    // JSON (replay MUST stitch manifest + sidecars) and appends a
+    // foreign-shaped tail commit
+    "q_delta_checkpoint_v2" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      import scala.jdk.CollectionConverters._
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val root = tmpRoot(s, d, s"delta_v2cp_$u")
+      val dt = DeltaTable(root)
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 3 === 0))
+      dt.append(base.filter(col("doc_id") % 3 === 1))
+      val rootPath = Paths.get(root)
+      val logDir = rootPath.resolve("_delta_log")
+      val scDir = logDir.resolve("_sidecars")
+      Files.createDirectories(scDir)
+      val live = Files.list(rootPath).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.toString)
+        .map(p => (p.getFileName.toString, Files.size(p)))
+      val addType = StructType(Seq(StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))
+      def stage(df: DataFrame, dest: java.nio.file.Path): Unit = {
+        val scratch = Files.createTempDirectory("v2cpq")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch).iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // two sidecars, each holding half the add census
+      val (half1, half2) = live.splitAt(math.max(1, live.size / 2))
+      val scSchema = StructType(Seq(StructField("add", addType)))
+      def sidecar(name: String, files: Seq[(String, Long)]): Unit =
+        stage(s.createDataFrame(files.map { case (n, sz) =>
+          Row(Row(n, Map.empty[String, String], sz, 1L, true)) }.asJava,
+          scSchema), scDir.resolve(name))
+      sidecar(s"sc-$u-1.parquet", half1)
+      sidecar(s"sc-$u-2.parquet", half2)
+      val mfSchema = StructType(Seq(
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("minWriterVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType)),
+          StructField("writerFeatures", ArrayType(StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType),
+          StructField("format",
+            StructType(Seq(StructField("provider", StringType)))),
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType)),
+          StructField("createdTime", LongType)))),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType))))))
+      val mfRows = Seq(
+        Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null),
+        Row(null, Row("v2t", Row("parquet"), base.schema.json,
+          Seq.empty[String], Map.empty[String, String], 1L), null),
+        Row(null, null, Row(s"sc-$u-1.parquet", 1L, 1L)),
+        Row(null, null, Row(s"sc-$u-2.parquet", 1L, 1L)))
+      stage(s.createDataFrame(mfRows.asJava, mfSchema),
+        logDir.resolve(f"${1L}%020d.checkpoint.$u-1111-2222.parquet"))
+      // drop the pre-checkpoint JSON: the manifest+sidecars are now the
+      // ONLY source of v0/v1 state
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      // foreign-shaped tail commit appending the %3==2 slice
+      val tailScratch = Files.createTempDirectory("v2tail")
+      base.filter(col("doc_id") % 3 === 2)
+        .write.mode("overwrite").parquet(tailScratch.toString)
+      val tailAdds = new scala.collection.mutable.ArrayBuffer[String]
+      Files.list(tailScratch).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.toString).zipWithIndex.foreach { case (p, i) =>
+          val rel = s"tail-$u-$i.parquet"
+          Files.move(p, rootPath.resolve(rel))
+          tailAdds += s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(rootPath.resolve(rel))},"modificationTime":2,"dataChange":true}}"""
+        }
+      Files.write(logDir.resolve(f"${2L}%020d.json"),
+        (s"""{"commitInfo":{"timestamp":2,"operation":"WRITE","operationParameters":{}}}
+            |${tailAdds.mkString("\n")}
+            |""").stripMargin.getBytes("UTF-8"))
+      bySource(DeltaTable(root).read(s))
+    }),
     // Hive-layout partitioned adds: partitionValues in the log, partition
     // column recovered from the directory layout and pruned at scan
     "q_delta_partitioned" -> ((s, d) => {
@@ -443,6 +621,23 @@ object LakeRegistry {
     // in-place DV delete on the foreign name-mode table
     "q_delta_colmap_dv" ->
       s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
+    // physical-named append: old (fixture) + new (engine-written) files
+    // roundtrip to the full table
+    "q_delta_colmap_append" -> s"$bySourceSql GROUP BY source",
+    // physical-named merge ≡ the plain merge oracle
+    "q_delta_colmap_merge" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN doc_id % 10 = 3 THEN 1000 ELSE 0 END)
+        |    AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+    // field-id resolution serves the same logical table
+    "q_delta_colmap_id" -> s"$bySourceSql GROUP BY source",
+    // the emitted cdc payload is exactly the deleted rows
+    "q_delta_cdc_emit" ->
+      s"$bySourceSql WHERE doc_id BETWEEN 100 AND 299 GROUP BY source",
+    // manifest + sidecars + tail stitch to the full table
+    "q_delta_checkpoint_v2" -> s"$bySourceSql GROUP BY source",
     // the consumed foreign feed: pre-image rows at original n_chars,
     // post-image rows at +1000, one pair per doc_id ≡ 3 mod 10
     "q_delta_cdc" ->

@@ -107,7 +107,7 @@ class DeltaSpec extends SparkSpec {
     assert(vals(t.read(spark)) == Set((7L, "q")))
   }
 
-  test("column-mapping NAME mode: foreign table reads logical names; skipping maps keys; id-mode + writes refuse") {
+  test("column-mapping NAME mode: logical reads, physical-name writes, skipping maps keys; evolution refuses") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("deltacolmap").toString + "/t"
@@ -167,28 +167,55 @@ class DeltaSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(9L))
     // partition pruning on the logical partition column name
     assert(t.readWhere(spark, "color", "red", "red").count() == 2)
-    // WRITES refuse loudly (physical-name emission unimplemented) —
-    // except the DV delete, the one metadata-only form (own test)
+    // WRITES emit physical names (r15): an append with the table's
+    // partitioning lands a physical-named file under a physical-named
+    // Hive dir, with physical partitionValues keys and NO metaData
+    val va = t.append(Seq((10L, "w", "green")).toDF("k", "s", "color"),
+      partitionBy = Seq("color"))
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      Set(7L, 8L, 9L, 10L))
+    val addLog = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$va%020d.json")).toArray.mkString
+    assert(addLog.contains("\"col-ppp\":\"green\"") &&
+      addLog.contains("col-ppp=green/") && !addLog.contains("metaData"),
+      addLog)
+    assert(!addLog.contains("\"color\"") && !addLog.contains("\"k\""))
+    // the new file's FOOTER carries only physical names
+    val newFile = Files.list(Paths.get(dir, "col-ppp=green")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    assert(spark.read.parquet(newFile.toString).columns.toSeq ==
+      Seq("col-aaa", "col-bbb"))
+    // checkpoint preserves the configuration (mode=name) in its control
+    // row: replay FROM the checkpoint still resolves physical names
+    t.checkpoint()
+    assert(t.read(spark).columns.toSeq == Seq("k", "s", "color"))
+    assert(t.read(spark).count() == 4)
+    // merge (DV form) on the name-mode table: matched row killed by
+    // bitmap, source row appended physical-named
+    t.merge(Seq((7L, "QQ", "red")).toDF("k", "s", "color"), "k")
+    assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap.apply(7L) == "QQ")
+    // schema evolution / partitioning changes still refuse: physical
+    // names for NEW columns would need id assignment
     intercept[IllegalArgumentException](
-      t.append(Seq((1L, "x", "red")).toDF("k", "s", "color")))
+      t.append(Seq((1L, "x", "red", 9L)).toDF("k", "s", "color", "extra"),
+        partitionBy = Seq("color")))
     intercept[IllegalArgumentException](
-      t.delete("k", 7L, 7L, useDeletionVectors = false))
-    intercept[IllegalArgumentException](t.checkpoint())
+      t.append(Seq((1L, "x", "red")).toDF("k", "s", "color"))) // partitionBy mismatch
     intercept[IllegalArgumentException](
-      t.merge(Seq((7L, "y", "red")).toDF("k", "s", "color"), "k"))
-    // table untouched by the refused writes
-    assert(t.latestVersion.contains(0L) && t.read(spark).count() == 3)
-    // ID mode refuses on read
-    val rewritten = new String(
-      Files.readAllBytes(log.resolve(f"${0L}%020d.json")), "UTF-8")
-      .replace("\"delta.columnMapping.mode\":\"name\"",
-        "\"delta.columnMapping.mode\":\"id\"")
-    Files.write(log.resolve(f"${0L}%020d.json"), rewritten.getBytes("UTF-8"))
+      t.overwrite(Seq((1L, "x", "red")).toDF("k", "s", "color"),
+        partitionBy = Seq("color")))
+    // an UNKNOWN column-mapping mode refuses on read (a fresh commit
+    // past the checkpoint re-declares the mode)
+    val latest = t.latestVersion.get
+    Files.write(log.resolve(f"${latest + 1}%020d.json"),
+      (s"""{"metaData":{"id":"cmx","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":["color"],"configuration":{"delta.columnMapping.mode":"weird"},"createdTime":1}}""" + "\n")
+        .getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
-    assert(e.getMessage.contains("columnMapping.mode 'id'"))
+    assert(e.getMessage.contains("columnMapping.mode 'weird'"))
   }
 
-  test("column-mapping DV DELETE: in-place row kill on a foreign name-mode table, no physical-name emission") {
+  test("column-mapping DV DELETE kills rows in place; rewrite verbs emit physical names") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("deltacolmapdel").toString + "/t"
@@ -256,11 +283,23 @@ class DeltaSpec extends SparkSpec {
       s"emptied colmap DV file must collapse to remove-only: $log2")
     // stats pruning still keys physical: a miss-range delete is a no-op
     assert(t.delete("k", 100L, 200L) == v2)
-    // the data-writing forms still refuse
-    intercept[IllegalArgumentException](
-      t.delete("k", 0L, 1L, useDeletionVectors = false))
-    intercept[IllegalArgumentException](
-      t.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
+    // the data-writing forms emit PHYSICAL names (r15): the rewrite
+    // delete replaces fA with a physical-named survivor file and
+    // physical-keyed fresh stats; merge appends the physical-named
+    // source row — neither emits a metaData action or a logical name
+    val v3 = t.delete("k", 0L, 1L, useDeletionVectors = false)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    val log3 = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$v3%020d.json")).toArray.mkString
+    assert(log3.contains("minValues") && log3.contains("col-aaa") &&
+      !log3.contains("metaData") && !log3.contains("\"k\""), log3)
+    val v4 = t.merge(Seq((1L, "x")).toDF("k", "s"), "k")
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    val newFiles = t.read(spark).inputFiles
+    assert(newFiles.forall { f =>
+      spark.read.parquet(f).columns.toSeq == Seq("col-aaa", "col-bbb") })
+    assert(v4 == v3 + 1)
   }
 
   test("data skipping: stats prune files before the scan; no-stats files conservatively kept") {
@@ -364,14 +403,14 @@ class DeltaSpec extends SparkSpec {
     val t = tmpTable()
     t.overwrite(Seq((1L, "a")).toDF("k", "s"))
     // a v3 protocol declaring a reader feature we do NOT implement
-    // (v2 checkpoints) refuses loudly; deletionVectors + columnMapping
-    // (the honored set) are accepted
+    // (type widening) refuses loudly; deletionVectors + columnMapping +
+    // v2Checkpoint (the honored set) are accepted
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"],"writerFeatures":["deletionVectors","typeWidening"]}}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
     assert(e.getMessage.contains("minReaderVersion")
-      && e.getMessage.contains("v2Checkpoint"))
+      && e.getMessage.contains("typeWidening"))
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
         |""".stripMargin.getBytes("UTF-8"))
@@ -732,11 +771,17 @@ class DeltaSpec extends SparkSpec {
     val both = t.changes(spark, -1L, 1L)
     assert(both.where("_commit_version = 0").count() == 10)
     assert(feed(both.where("_commit_version = 1")) == expected)
-    // vacuum never eats the change feed: _change_data is CDC payload,
-    // not snapshot data (fileA IS dead and goes)
-    t.vacuum(1, retentionMs = 0L)
+    // vacuum within retention keeps the change feed: _change_data is
+    // CDC payload, not snapshot data — the live-set check never applies
+    t.vacuum(1, retentionMs = 60_000L)
     assert(Files.exists(Paths.get(t.root, "_change_data/cdc-0.parquet")))
     assert(feed(t.changesRows(spark, 0L, 1L)) == expected)
+    // past the retention horizon the feed AGES OUT (delta-spark
+    // behavior: CDF over vacuumed history is unreadable anyway), and
+    // dead data files (fileA) go with it
+    t.vacuum(1, retentionMs = 0L)
+    assert(!Files.exists(Paths.get(t.root, "_change_data/cdc-0.parquet")))
+    assert(!Files.exists(Paths.get(t.root, fileA)))
   }
 
   test("restore: metadata-only rollback re-adds old files by identity; vacuumed target fails loudly") {
@@ -1175,5 +1220,456 @@ class DeltaSpec extends SparkSpec {
       DeltaTable(t.root).publish(1L, Seq("{\"commitInfo\":{}}"))
     }
     assert(e.getMessage.contains("concurrent commit"))
+  }
+
+  // ---- round 15: writer-feature gate, V2 checkpoints, CDC emission,
+  // ---- column-mapping id-mode reads ----------------------------------
+
+  /** Hand-write a one-file foreign table whose v0 declares the given
+    * protocol/configuration/schema — the writer-feature fixtures. */
+  private def foreignTable(protocolJson: String, configJson: String,
+      schema: org.apache.spark.sql.types.StructType): DeltaTable = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("deltagate").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val scratch = Files.createTempDirectory("gatescratch")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(schema.json)
+    val stats = m.writeValueAsString(
+      """{"numRecords":2,"minValues":{"k":1},"maxValues":{"k":2},"nullCount":{"k":0}}""")
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |$protocolJson
+          |{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":$configJson,"createdTime":1}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true,"stats":$stats}}
+          |""").stripMargin.getBytes("UTF-8"))
+    DeltaTable(dir)
+  }
+
+  test("writer-feature gate: active appendOnly/constraints/generated/identity refuse; dormant tiers write; unknown features refuse everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val plain = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val legacy2 = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+    // ACTIVE appendOnly (legacy tier 2 declares it; config activates):
+    // appends land, every row-removing/rewriting verb refuses
+    val ao = foreignTable(legacy2, """{"delta.appendOnly":"true"}""", plain)
+    ao.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(ao.read(spark).count() == 3)
+    val e1 = intercept[IllegalArgumentException](ao.delete("k", 1L, 1L))
+    assert(e1.getMessage.contains("append-only"))
+    intercept[IllegalArgumentException](
+      ao.delete("k", 1L, 1L, useDeletionVectors = false))
+    intercept[IllegalArgumentException](
+      ao.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
+    intercept[IllegalArgumentException](
+      ao.overwrite(Seq((9L, "z")).toDF("k", "s")))
+    intercept[IllegalArgumentException](ao.restore(0L))
+    // OPTIMIZE is dataChange=false — legal on an append-only table
+    ao.compact()
+    assert(ao.read(spark).count() == 3)
+    // DORMANT appendOnly (declared by the tier, config false/absent)
+    val dormant = foreignTable(legacy2, """{"delta.appendOnly":"false"}""", plain)
+    dormant.delete("k", 1L, 1L)
+    assert(dormant.read(spark).count() == 1)
+
+    // ACTIVE CHECK constraints (legacy tier 3): data writes refuse, the
+    // row-REMOVING DV delete (which cannot violate a constraint) lands
+    val ck = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      """{"delta.constraints.c1":"k > 0"}""", plain)
+    val e2 = intercept[IllegalArgumentException](
+      ck.append(Seq((3L, "c")).toDF("k", "s")))
+    assert(e2.getMessage.contains("CHECK constraints"))
+    intercept[IllegalArgumentException](
+      ck.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
+    ck.delete("k", 2L, 2L)
+    assert(ck.read(spark).count() == 1)
+    // tier 3 WITHOUT constraints in config: dormant, appends land
+    val ck2 = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      """{}""", plain)
+    ck2.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(ck2.read(spark).count() == 3)
+
+    // ACTIVE generated column (tier 4: schema metadata carries the
+    // generation expression): appends refuse
+    val genSchema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType, nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", "CAST(k AS STRING)").build())))
+    val gen = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{}""", genSchema)
+    val e3 = intercept[IllegalArgumentException](
+      gen.append(Seq((3L, "3")).toDF("k", "s")))
+    assert(e3.getMessage.contains("generated"))
+    gen.delete("k", 1L, 1L) // removal stays legal
+    assert(gen.read(spark).count() == 1)
+
+    // ACTIVE identity column (tier 6)
+    val idSchema = StructType(Seq(StructField("k", LongType, nullable = true,
+      new MetadataBuilder().putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L).build()),
+      StructField("s", StringType)))
+    val ident = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+      """{}""", idSchema)
+    val e4 = intercept[IllegalArgumentException](
+      ident.append(Seq((3L, "c")).toDF("k", "s")))
+    assert(e4.getMessage.contains("identity"))
+
+    // explicit v7 feature list with a feature OUTSIDE the implemented
+    // set: EVERY commit-producing verb refuses, maintenance included
+    val rt = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","rowTracking"]}}""",
+      """{}""", plain)
+    assert(rt.read(spark).count() == 2) // reads stay fine
+    val e5 = intercept[IllegalArgumentException](
+      rt.append(Seq((3L, "c")).toDF("k", "s")))
+    assert(e5.getMessage.contains("rowTracking"))
+    intercept[IllegalArgumentException](rt.delete("k", 1L, 1L))
+    intercept[IllegalArgumentException](rt.compact())
+    intercept[IllegalArgumentException](rt.checkpoint())
+    intercept[IllegalArgumentException](
+      rt.setProperties(Map("a" -> "b")))
+    // explicit v7 list fully inside the implemented set, all dormant:
+    // writes land
+    val ok7 = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkConstraints","changeDataFeed"]}}""",
+      """{}""", plain)
+    ok7.append(Seq((3L, "c")).toDF("k", "s"))
+    ok7.delete("k", 1L, 1L)
+    assert(ok7.read(spark).count() == 2)
+
+    // our own tables keep writing: the self-written protocol (2) implies
+    // appendOnly+invariants, both dormant by construction
+    val self = tmpTable()
+    self.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    self.delete("k", 1L, 1L)
+    assert(self.read(spark).count() == 0)
+  }
+
+  test("V2 checkpoint: UUID manifest + sidecars read whole; torn sidecar set falls back; writes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("deltav2cp").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    val sidecarDir = log.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    def moveIn(df: org.apache.spark.sql.DataFrame, rel: String): Long = {
+      val scratch = Files.createTempDirectory("v2scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(dir, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = moveIn(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "f1.parquet")
+    val s2 = moveIn(Seq((3L, "c")).toDF("k", "s"), "f2.parquet")
+    val s3 = moveIn(Seq((4L, "d")).toDF("k", "s"), "f3.parquet")
+    val dataSchema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(dataSchema.json)
+    val proto =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |$proto
+          |{"metaData":{"id":"v2t","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{},"createdTime":1}}
+          |{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":2,"operation":"WRITE","operationParameters":{}}}
+          |{"add":{"path":"f2.parquet","partitionValues":{},"size":$s2,"modificationTime":2,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    // V2 checkpoint at v1: one sidecar per add, control rows (and a
+    // checkpointMetadata action, ignored by this reader) in the manifest
+    val addType = StructType(Seq(StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    def writeSidecar(name: String, path: String, size: Long): Unit = {
+      val rows = Seq(org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(path, Map.empty[String, String], size, 1L, true)))
+      val scratch = Files.createTempDirectory("v2sc")
+      spark.createDataFrame(rows.asJava, sidecarSchema).coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, sidecarDir.resolve(name))
+    }
+    writeSidecar("sc-aaaa.parquet", "f1.parquet", s1)
+    writeSidecar("sc-bbbb.parquet", "f2.parquet", s2)
+    val manifestSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType))))))
+    def R(vals: Any*) = org.apache.spark.sql.Row(vals: _*)
+    val manifestRows = Seq(
+      R(R(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null, null),
+      R(null, R("v2t", R("parquet"), dataSchema.json, Seq.empty[String],
+        Map.empty[String, String], 1L), null, null),
+      R(null, null, R("sc-aaaa.parquet", 1L, 1L), null),
+      R(null, null, R("sc-bbbb.parquet", 1L, 1L), null),
+      R(null, null, null, R(1L)))
+    val scratch = Files.createTempDirectory("v2mf")
+    spark.createDataFrame(manifestRows.asJava, manifestSchema).coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val mfPart = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(mfPart, log.resolve(
+      f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    // the JSON tail past the checkpoint
+    Files.write(log.resolve(f"${2L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":3,"operation":"WRITE","operationParameters":{}}}
+          |{"add":{"path":"f3.parquet","partitionValues":{},"size":$s3,"modificationTime":3,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+    def ks = t.read(spark).collect().map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 2L, 3L, 4L))
+    // prove the checkpoint is the census source: with v0/v1 JSON gone,
+    // replay MUST come from manifest + sidecars (+ the v2 tail)
+    val j0 = Files.readAllBytes(log.resolve(f"${0L}%020d.json"))
+    val j1 = Files.readAllBytes(log.resolve(f"${1L}%020d.json"))
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    assert(ks == Set(1L, 2L, 3L, 4L))
+    // torn sidecar set reads as "no checkpoint here": restore the JSON,
+    // remove one sidecar — pure replay fallback, same snapshot
+    Files.write(log.resolve(f"${0L}%020d.json"), j0)
+    Files.write(log.resolve(f"${1L}%020d.json"), j1)
+    Files.delete(sidecarDir.resolve("sc-bbbb.parquet"))
+    assert(ks == Set(1L, 2L, 3L, 4L))
+    // v2Checkpoint is a WRITER feature this engine does not emit:
+    // commits refuse (reads stay green)
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((9L, "z")).toDF("k", "s")))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    intercept[IllegalArgumentException](t.checkpoint())
+  }
+
+  test("CDC emission: CDF-enabled DELETE/MERGE write _change_data + cdc actions; feeds read them back exactly; OPTIMIZE stays silent") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 3 files with exact key ranges [0,9] [10,19] [20,29]
+    (0 until 3).foreach { b =>
+      t.append((b * 10 until (b + 1) * 10).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "s").coalesce(1), statsFor = Seq("k"))
+    }
+    val vProps = t.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    // the property commit upgraded the protocol to the CDF tier
+    val propsLog = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$vProps%020d.json")).toArray.mkString
+    assert(propsLog.contains("\"minWriterVersion\":4") &&
+      propsLog.contains("delta.enableChangeDataFeed"))
+    // DV DELETE [5, 14]: boundary DVs on two files — the cdc payload is
+    // EXACTLY the killed rows, and both feed surfaces consume it
+    val vDel = t.delete("k", 5L, 14L)
+    val delLog = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$vDel%020d.json")).toArray.mkString
+    assert(delLog.contains("\"cdc\""), delLog)
+    assert(Files.list(Paths.get(t.root, "_change_data")).iterator.asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")))
+    val expectDel = (5L to 14L).map(i => (i, s"r$i", "delete", vDel)).toSet
+    def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed(t.changes(spark, vDel - 1, vDel)) == expectDel)
+    assert(feed(t.changesRows(spark, vDel - 1, vDel)) == expectDel)
+    // the snapshot itself is DV-correct
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      ((0L to 4L) ++ (15L to 29L)).toSet)
+    // MERGE: k=20 updated, k=99 inserted — four-valued vocabulary
+    val vM = t.merge(Seq((20L, "UP"), (99L, "NEW")).toDF("k", "s"), "k")
+    val expectM = Set((20L, "r20", "update_preimage", vM),
+      (20L, "UP", "update_postimage", vM), (99L, "NEW", "insert", vM))
+    assert(feed(t.changes(spark, vM - 1, vM)) == expectM)
+    assert(feed(t.changesRows(spark, vM - 1, vM)) == expectM)
+    // rewrite-mode delete also feeds exact rows (not file images)
+    val vR = t.delete("k", 21L, 22L, useDeletionVectors = false)
+    assert(feed(t.changesRows(spark, vR - 1, vR)) ==
+      Set((21L, "r21", "delete", vR), (22L, "r22", "delete", vR)))
+    // OPTIMIZE on the CDF table: dataChange=false, zero cdc bytes
+    val cdcCount = Files.list(Paths.get(t.root, "_change_data"))
+      .iterator.asScala.size
+    val vO = t.compact()
+    assert(t.changes(spark, vO - 1, vO).count() == 0)
+    assert(Files.list(Paths.get(t.root, "_change_data"))
+      .iterator.asScala.size == cdcCount)
+    // tables WITHOUT the flag write zero cdc bytes (derivation feeds)
+    val plain = tmpTable()
+    plain.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      statsFor = Seq("k"))
+    plain.delete("k", 1L, 1L)
+    assert(!Files.exists(Paths.get(plain.root, "_change_data")))
+  }
+
+  test("column-mapping NAME mode resolves NESTED physical names (structs recurse; no silent nulls)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("deltacolmapnest").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    // physical footer: top-level "col-top" struct with nested physical
+    // leaf names "col-x"/"col-y", plus a scalar "col-k"
+    val physSchema = StructType(Seq(
+      StructField("col-k", LongType),
+      StructField("col-top", StructType(Seq(
+        StructField("col-x", LongType), StructField("col-y", StringType))))))
+    val rows = Seq(Row(1L, Row(10L, "a")), Row(2L, Row(20L, "b")))
+    val scratch = Files.createTempDirectory("nestscratch")
+    spark.createDataFrame(rows.asJava, physSchema).coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    // logical schema: k, top{x, y} with physicalName metadata AT EVERY
+    // LEVEL — the shape delta-spark writes for name-mode nested tables
+    def pf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      pf("k", LongType, "col-k", 1),
+      pf("top", StructType(Seq(
+        pf("x", LongType, "col-x", 3), pf("y", StringType, "col-y", 4))),
+        "col-top", 2)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(logical.json)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"cmn","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+    val got = t.read(spark)
+    assert(got.columns.toSeq == Seq("k", "top"))
+    // NESTED leaves resolve (the r14 advisory failure mode read them as
+    // silent nulls) and rename back to logical names
+    val vals = got.selectExpr("k", "top.x", "top.y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(vals == Set((1L, 10L, "a"), (2L, 20L, "b")), vals.toString)
+    // an engine-written APPEND round-trips nested physical names too
+    val nested = spark.createDataFrame(
+      Seq(Row(3L, Row(30L, "c"))).asJava,
+      StructType(Seq(StructField("k", LongType),
+        StructField("top", StructType(Seq(StructField("x", LongType),
+          StructField("y", StringType)))))))
+    t.append(nested)
+    assert(t.read(spark).selectExpr("k", "top.x", "top.y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // the appended file's FOOTER carries physical names at BOTH levels
+    val newFile = t.read(spark).inputFiles.map(f =>
+      Paths.get(new java.net.URI(f))).find(
+      _.getFileName.toString != "f0.parquet").get
+    val footer = spark.read.parquet(newFile.toString).schema
+    assert(footer.fieldNames.toSeq.sorted == Seq("col-k", "col-top"))
+    assert(footer("col-top").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("col-x", "col-y"), footer.json)
+  }
+
+  test("column-mapping ID mode: columns resolve by parquet field id; DV delete works; data writes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("deltacolmapid").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    // footers carry field ids 1/2 under names that match NEITHER the
+    // logical nor the declared physical names — only id resolution can
+    // read this table correctly
+    def fid(name: String, dt: DataType, id: Long) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    val footerSchema = StructType(Seq(fid("zz1", LongType, 1),
+      fid("zz2", StringType, 2)))
+    def writeFile(rows: Seq[(Long, String)], rel: String): Long = {
+      val scratch = Files.createTempDirectory("cmid")
+      val rdd = spark.sparkContext.parallelize(rows.map {
+        case (k, s) => org.apache.spark.sql.Row(k, s) }, 1)
+      spark.createDataFrame(rdd, footerSchema).coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(dir, rel))
+      Files.size(Paths.get(dir, rel))
+    }
+    val sA = writeFile((0L to 9L).map(i => (i, s"r$i")), "fA.parquet")
+    val sB = writeFile((10L to 19L).map(i => (i, s"r$i")), "fB.parquet")
+    def pf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(pf("k", LongType, "col-aaa", 1),
+      pf("s", StringType, "col-bbb", 2)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(logical.json)
+    val stA = m.writeValueAsString(
+      """{"numRecords":10,"minValues":{"col-aaa":0},"maxValues":{"col-aaa":9},"nullCount":{"col-aaa":0}}""")
+    val stB = m.writeValueAsString(
+      """{"numRecords":10,"minValues":{"col-aaa":10},"maxValues":{"col-aaa":19},"nullCount":{"col-aaa":0}}""")
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"cmi","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}
+          |{"add":{"path":"fA.parquet","partitionValues":{},"size":$sA,"modificationTime":1,"dataChange":true,"stats":$stA}}
+          |{"add":{"path":"fB.parquet","partitionValues":{},"size":$sB,"modificationTime":1,"dataChange":true,"stats":$stB}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+    val got = t.read(spark)
+    assert(got.columns.toSeq == Seq("k", "s"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (0L to 19L).map(i => (i, s"r$i")).toSet)
+    // skipping still keys the PHYSICAL stats names
+    assert(t.pruneCandidates(spark, "k", 15L, 15L).size == 1)
+    assert(t.readWhere(spark, "k", 15L, 15L).collect()
+      .map(_.getLong(0)).toSeq == Seq(15L))
+    // the metadata-only DV delete works — its row-index scan resolves by
+    // field id too
+    val v = t.delete("k", 5L, 12L)
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      ((0L to 4L) ++ (13L to 19L)).toSet)
+    val logTxt = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(logTxt.contains("\"deletionVector\"") &&
+      !logTxt.contains("metaData"))
+    // data-writing verbs refuse: this writer cannot emit field-id footers
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((1L, "x")).toDF("k", "s")))
+    assert(e.getMessage.contains("id-mode"))
+    intercept[IllegalArgumentException](
+      t.delete("k", 0L, 1L, useDeletionVectors = false))
+    intercept[IllegalArgumentException](
+      t.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
   }
 }
