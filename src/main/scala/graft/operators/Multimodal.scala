@@ -286,6 +286,44 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** Deterministic synthetic JPEG per doc id, through a REAL FOREIGN
+    * encoder (the JDK's ImageIO JPEG writer — bytes this codebase never
+    * produced): flat gray g = (id·37) mod 256, width 8 + id mod 17,
+    * height 8 + id mod 13 (edge MCUs in BOTH dimensions, since the JDK
+    * writer's 3-component MCU is 16×16), EVEN ids grayscale (one
+    * component), ODD ids gray-valued RGB (three components, chroma
+    * subsampled by the writer — the full YCbCr upsample/convert path),
+    * quality 1.0 (unit quantization tables). Flat blocks are DC-only
+    * and survive quality-1.0 JPEG bit-exactly, so the decode oracle is
+    * closed-form: luma ≡ g over w·h pixels. */
+  private def syntheticJpeg(id: Long): (Int, JpegCodec.Decoded) = {
+    val g = ((id * 37) % 256).toInt
+    val w = (8 + id % 17).toInt
+    val h = (8 + id % 13).toInt
+    val payload = JpegCodec.encode(w, h, gray = id % 2 == 0,
+      (_, _) => (g, g, g))
+    (g, JpegCodec.decode(payload))
+  }
+
+  /** REAL-codec JPEG roundtrip stats: per doc, the synthetic JPEG's
+    * decoded dimensions, OBSERVED component count (parsed from SOF0 by
+    * the decoder) and luma census — the JPEG twin of [[pngRoundtrip]].
+    * Any marker-walk, Huffman, dequant, IDCT, upsample or color-convert
+    * bug in [[JpegCodec]] shows up as a mismatch. Map-side only. */
+  def jpegRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, dec) = syntheticJpeg(id)
+        val img = dec.image
+        val lum = img.luma.map(_ & 0xff)
+        (id, img.width, img.height, dec.nComponents,
+          lum.map(_.toLong).sum, lum.min, lum.max)
+      })
+      .toDF("doc_id", "width", "height", "n_components",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
   /** Synthetic PCM clip for doc `id`: n = 96 + id mod 64 mono samples at
     * 8 kHz, sample(i) = (id·13 + i²·3 + i·11) mod 4096 − 2048 — all
     * integer, SQL-replayable. ENCODED to real RIFF/WAVE bytes (every

@@ -42,6 +42,12 @@ object MultimodalRegistry {
     // by the real parser; integer-exact energy/peak/zc/VAD features —
     // chunk-traversal, padding, or le16 bugs = hash mismatch
     "q_mm_wav_decode" -> ((s, d) => Multimodal.wavRoundtrip(s, d)),
+    // REAL JPEG decode of a FOREIGN encoder's bytes (the JDK ImageIO
+    // writer): flat quality-1.0 fixtures round-trip DC-exactly, so the
+    // luma census has a closed form; grayscale and subsampled-YCbCr
+    // streams alternate by id — marker walk, Huffman, dequant, IDCT,
+    // upsample or color-convert bugs = hash mismatch
+    "q_mm_jpeg_decode" -> ((s, d) => Multimodal.jpegRoundtrip(s, d)),
   )
 
   /** Shared pixel-formula CTEs for the BMP oracles: doc dims + the
@@ -206,6 +212,20 @@ object MultimodalRegistry {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin,
+    // JPEG luma census closed form: flat gray g = (id·37) mod 256 over
+    // w·h pixels (quality-1.0 DC-exact roundtrip); n_components is the
+    // DECODER's parsed SOF0 value — 1 on even ids, 3 on odd
+    "q_mm_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 13 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+        |    AS n_components,
+        |  CAST(((doc_id * 37) % 256) * (8 + doc_id % 17) * (8 + doc_id % 13)
+        |    AS BIGINT) AS luma_sum,
+        |  CAST((doc_id * 37) % 256 AS INTEGER) AS luma_min,
+        |  CAST((doc_id * 37) % 256 AS INTEGER) AS luma_max
         |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,208 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BmpCodec, JpegCodec}
+
+/** Baseline-JFIF decoder vs the JDK's OWN codec (a real foreign
+  * libjpeg-derived implementation): flat fixtures must round-trip
+  * EXACTLY at quality 1.0 (the closed-form-oracle property), gradients
+  * must agree with the JDK's decoder within IDCT rounding, restart
+  * markers must reset predictors, and the loud-fail matrix must refuse
+  * progressive/arithmetic/truncated streams by name. */
+class JpegSpec extends AnyFunSuite {
+
+  private def encodeImg(img: BufferedImage, quality: Float,
+      progressive: Boolean = false, dri: Int = 0): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val meta =
+      if (dri <= 0) null
+      else {
+        // plant a DRI marker through the writer's native metadata tree
+        val m = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), p)
+        val fmt = "javax_imageio_jpeg_image_1.0"
+        val tree = m.getAsTree(fmt)
+        val seq = {
+          val kids = tree.getChildNodes
+          (0 until kids.getLength).map(kids.item)
+            .find(_.getNodeName == "markerSequence").get
+        }
+        val driNode = new javax.imageio.metadata.IIOMetadataNode("dri")
+        driNode.setAttribute("interval", dri.toString)
+        seq.insertBefore(driNode, seq.getFirstChild)
+        m.setFromTree(fmt, tree)
+        m
+      }
+    writer.write(null, new IIOImage(img, null, meta), p)
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  private def grayImage(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, f(x, y))
+    img
+  }
+
+  private def rgbImage(w: Int, h: Int,
+      f: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def rec601(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  test("flat images round-trip EXACTLY at quality 1.0 — gray and subsampled YCbCr, edge MCUs in both dims") {
+    for (g <- Seq(0, 1, 37, 128, 200, 255); (w, h) <- Seq((8, 8), (11, 9),
+        (24, 17), (16, 16), (33, 21))) {
+      val grayDec = JpegCodec.decode(JpegCodec.encode(w, h, gray = true,
+        (_, _) => (g, g, g)))
+      assert(grayDec.nComponents == 1)
+      assert(grayDec.image.width == w && grayDec.image.height == h)
+      assert(grayDec.image.luma.forall(b => (b & 0xff) == g),
+        s"gray flat $g at ${w}x$h: got ${grayDec.image.luma.map(_ & 0xff).distinct.toSeq}")
+      val rgbDec = JpegCodec.decode(JpegCodec.encode(w, h, gray = false,
+        (_, _) => (g, g, g)))
+      assert(rgbDec.nComponents == 3)
+      assert(rgbDec.image.luma.forall(b => (b & 0xff) == g),
+        s"rgb flat $g at ${w}x$h: got ${rgbDec.image.luma.map(_ & 0xff).distinct.toSeq}")
+    }
+  }
+
+  test("grayscale gradient agrees with the JDK's own decoder within IDCT rounding") {
+    val w = 40; val h = 25
+    val img = grayImage(w, h, (x, y) => (x * 7 + y * 11) % 256)
+    val bytes = encodeImg(img, 1.0f)
+    val ours = JpegCodec.decode(bytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ours.image.width == w && ours.image.height == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = ours.image.luma(y * w + x) & 0xff
+      val b = theirs.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"max luma diff vs JDK decoder: $maxDiff")
+  }
+
+  test("color gradient (constant chroma) through the 4:2:0 path agrees with the JDK decoder") {
+    val w = 37; val h = 19
+    val img = rgbImage(w, h, (x, y) => {
+      val v = (x * 5 + y * 13) % 256; (v, v, v)
+    })
+    val bytes = encodeImg(img, 1.0f)
+    val ours = JpegCodec.decode(bytes)
+    assert(ours.nComponents == 3)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = ours.image.luma(y * w + x) & 0xff
+      val b = rec601(theirs.getRGB(x, y))
+      maxDiff = math.max(maxDiff, math.abs(a - b))
+    }
+    assert(maxDiff <= 2, s"max luma diff vs JDK decoder: $maxDiff")
+  }
+
+  test("saturated flat color through YCbCr convert agrees with the JDK decoder") {
+    for ((r, g, b) <- Seq((200, 30, 60), (10, 220, 90), (64, 64, 250))) {
+      val bytes = encodeImg(rgbImage(18, 10, (_, _) => (r, g, b)), 1.0f)
+      val ours = JpegCodec.decode(bytes)
+      val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until 10; x <- 0 until 18) {
+        val a = ours.image.luma(y * 18 + x) & 0xff
+        val bb = rec601(theirs.getRGB(x, y))
+        assert(math.abs(a - bb) <= 2, s"($r,$g,$b) at ($x,$y): $a vs $bb")
+      }
+    }
+  }
+
+  test("restart markers: DRI/RSTn streams decode with predictor resets") {
+    val w = 64; val h = 24 // several MCU rows so RSTs actually appear
+    val img = grayImage(w, h, (x, y) => (x * 3 + y * 17) % 256)
+    val bytes = encodeImg(img, 1.0f, dri = 2)
+    // the stream really carries DRI + RST markers
+    def hasMarker(m: Int): Boolean =
+      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xdd), "fixture must carry a DRI marker")
+    assert(hasMarker(0xd0) || hasMarker(0xd1), "fixture must carry RSTn")
+    val ours = JpegCodec.decode(bytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (ours.image.luma(y * w + x) & 0xff) - theirs.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max luma diff with restarts: $maxDiff")
+  }
+
+  test("lower-quality (non-unit quant tables, 16-bit-capable path) still matches the JDK decoder") {
+    val w = 32; val h = 16
+    val img = grayImage(w, h, (x, y) => (x * 9 + y * 5) % 256)
+    val bytes = encodeImg(img, 0.6f)
+    val ours = JpegCodec.decode(bytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (ours.image.luma(y * w + x) & 0xff) - theirs.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max luma diff at q=0.6: $maxDiff")
+  }
+
+  test("loud-fail matrix: progressive, arithmetic, truncation, garbage") {
+    val base = encodeImg(grayImage(16, 16, (x, y) => (x + y) % 256), 1.0f)
+    // progressive encoding refuses by name
+    val prog = encodeImg(grayImage(16, 16, (x, y) => (x + y) % 256), 1.0f,
+      progressive = true)
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e1.getMessage.contains("progressive"))
+    // arithmetic coding: flip SOF0 (0xC0) to SOF9 (0xC8)
+    val arith = base.clone()
+    val sofAt = arith.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    arith(sofAt + 1) = 0xc8.toByte
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode(arith))
+    assert(e2.getMessage.contains("arithmetic"))
+    // truncated scan
+    val e3 = intercept[IllegalArgumentException](
+      JpegCodec.decode(base.take(base.length - 10)))
+    assert(e3.getMessage.contains("truncated") || e3.getMessage.contains("marker"))
+    // garbage / missing SOI
+    val e4 = intercept[IllegalArgumentException](
+      JpegCodec.decode("not a jpeg at all".getBytes))
+    assert(e4.getMessage.contains("SOI"))
+    // 12-bit / wrong-precision refusal rides the SOF parse; synthesize by
+    // patching the precision byte (SOF0 len(2) precision(1))
+    val prec = base.clone()
+    prec(sofAt + 4) = 12.toByte
+    val e5 = intercept[IllegalArgumentException](JpegCodec.decode(prec))
+    assert(e5.getMessage.contains("precision"))
+  }
+
+  test("decoded luma grid feeds the shared dHash path") {
+    val dec = JpegCodec.decode(JpegCodec.encode(32, 24, gray = true,
+      (x, y) => { val v = (x * 11 + y * 3) % 256; (v, v, v) }))
+    val sig = BmpCodec.dhash(dec.image)
+    val dec2 = JpegCodec.decode(JpegCodec.encode(32, 24, gray = true,
+      (x, y) => { val v = (x * 11 + y * 3) % 256; (v, v, v) }))
+    assert(sig == BmpCodec.dhash(dec2.image)) // deterministic
+  }
+}
