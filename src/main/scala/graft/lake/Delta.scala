@@ -1528,20 +1528,38 @@ final case class DeltaTable(root: String) {
     // table's configuration and metadata-bearing schemaString, and the
     // add census replays verbatim physical-keyed payloads); tables
     // declaring checkpoint-shape writer features this engine does not
-    // implement (v2Checkpoint et al.) refuse via the gate
+    // implement refuse via the gate. Tables with the `v2Checkpoint`
+    // feature get the V2 form the feature REQUIRES writers to produce
+    // (UUID manifest + sidecars); everything else gets the classic form.
     requireWriterFeatures(st, "CHECKPOINT",
       removesRows = false, addsRows = false)
     val now = System.currentTimeMillis
     val tableId = st.tableId.getOrElse(
       java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
 
-    // control rows (driver-side, all small): protocol, metaData, txns,
-    // retained remove tombstones (previous checkpoint's + the tail's,
-    // last-wins by path; tail re-adds cancel — writers never reuse file
-    // names, so a tombstoned path cannot be live again)
+    // retained remove tombstones (previous checkpoint's — classic parts
+    // or V2 sidecars — plus the tail's, last-wins by path; tail re-adds
+    // cancel — writers never reuse file names, so a tombstoned path
+    // cannot be live again)
     val horizon = now - tombstoneRetentionMs
-    val prevTombstones: Map[String, Long] = (if (st.checkpointFiles.isEmpty)
-      None else Some(st.checkpointFiles)).map { paths =>
+    val prevTombstones: Map[String, Long] =
+      checkpointRemoves(spark, st.checkpointFiles, horizon) ++
+        checkpointRemoves(spark, st.sidecarFiles, horizon)
+    val liveTail = st.tail.adds.map(_.path).toSet
+    val tombstones = (prevTombstones ++ st.tail.tombstones)
+      .filter { case (p, ts) => ts >= horizon && !liveTail(p) }
+
+    if (st.readerFeatures.contains("v2Checkpoint"))
+      checkpointV2(spark, st, tableId, now, tombstones, parts)
+    else checkpointClassic(spark, st, tableId, now, tombstones, parts)
+  }
+
+  /** Retained `remove` tombstones of one checkpoint file set (classic
+    * parts carry them inline; V2 checkpoints carry them in sidecars). */
+  private def checkpointRemoves(spark: SparkSession, paths: Seq[Path],
+      horizon: Long): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else {
       val df = spark.read.parquet(paths.map(_.toString): _*)
       df.schema.find(_.name == "remove").map(_.dataType) match {
         case Some(rt: StructType) if rt.fieldNames.contains("path") =>
@@ -1552,11 +1570,20 @@ final case class DeltaTable(root: String) {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         case _ => Map.empty[String, Long]
       }
-    }.getOrElse(Map.empty)
-    val liveTail = st.tail.adds.map(_.path).toSet
-    val tombstones = (prevTombstones ++ st.tail.tombstones)
-      .filter { case (p, ts) => ts >= horizon && !liveTail(p) }
+    }
 
+  /** The add census as the protocol's `add` struct (paths re-encoded,
+    * DV descriptors re-structured) — the payload rows both checkpoint
+    * forms write, fed from the distributed census scan. */
+  private def checkpointAddStruct: Column =
+    struct(sqlEncodePath(col("path")).as("path"), col("partitionValues"),
+      col("size"), col("modificationTime"), lit(true).as("dataChange"),
+      col("stats"), col("tags"),
+      from_json(col("dv"), dvStructType).as("deletionVector")).as("add")
+
+  private def checkpointClassic(spark: SparkSession, st: LogState,
+      tableId: String, now: Long, tombstones: Map[String, Long],
+      parts: Int): Long = {
     def ctrlRow(proto: Row = null, meta: Row = null, txn: Row = null,
         rm: Row = null): Row = Row(proto, meta, null, txn, rm)
     val protoRow = Row(st.minReader, st.minWriter,
@@ -1576,10 +1603,7 @@ final case class DeltaTable(root: String) {
     val addDF = fileCensus(spark, st).select(
       lit(null).cast(checkpointSchema("protocol").dataType).as("protocol"),
       lit(null).cast(checkpointSchema("metaData").dataType).as("metaData"),
-      struct(sqlEncodePath(col("path")).as("path"), col("partitionValues"),
-        col("size"), col("modificationTime"), lit(true).as("dataChange"),
-        col("stats"), col("tags"),
-        from_json(col("dv"), dvStructType).as("deletionVector")).as("add"),
+      checkpointAddStruct,
       lit(null).cast(checkpointSchema("txn").dataType).as("txn"),
       lit(null).cast(checkpointSchema("remove").dataType).as("remove"))
     val full = ctrlDF.unionByName(
@@ -1643,6 +1667,112 @@ final case class DeltaTable(root: String) {
         val n = p.getFileName.toString
         n.startsWith(vPrefix) && n.endsWith(".parquet") && !newNames(n)
       }.toSeq.foreach(Files.deleteIfExists(_))
+    st.version
+  }
+
+  /** The V2 checkpoint form (the `v2Checkpoint` table feature): the add
+    * census + retained remove tombstones land in SIDECAR files under
+    * `_delta_log/_sidecars/` (written distributed — `parts` tasks, the
+    * census never lands on the driver), and a UUID-named MANIFEST
+    * (`%020d.checkpoint.<uuid>.parquet`) carries the control rows
+    * (protocol, metaData with configuration, txn water-marks), one
+    * `sidecar` action per sidecar file, and the `checkpointMetadata`
+    * action the feature requires. Same crash-safe replacement order as
+    * the classic form: sidecars in first, then the manifest (a fresh
+    * UUID — never overwrites), then `_last_checkpoint`, then stale
+    * same-version manifests delete and orphaned sidecars (referenced by
+    * NO remaining manifest) are swept. */
+  private def checkpointV2(spark: SparkSession, st: LogState,
+      tableId: String, now: Long, tombstones: Map[String, Long],
+      parts: Int): Long = {
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val scratch = Paths.get(root, s".tmp-cp-$token")
+    val sidecarDir = logDir.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+
+    val addDF = fileCensus(spark, st).select(
+      checkpointAddStruct,
+      lit(null).cast(sidecarSchema("remove").dataType).as("remove"))
+    val rmDF = spark.createDataFrame(
+      tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
+        Row(null, Row(encodePath(p), ts, true)) }.asJava, sidecarSchema)
+    val full = addDF.select(sidecarSchema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*).unionByName(rmDF)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = full.observe(obs,
+      org.apache.spark.sql.functions.count(lit(1)).as("rows"))
+    (if (parts <= 1) observed.coalesce(1) else observed.repartition(parts))
+      .write.mode("overwrite").parquet(scratch.toString)
+    val written = Files.list(scratch).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.toString)
+    require(written.nonEmpty, "v2 checkpoint write produced no sidecar")
+    val sidecars = written.zipWithIndex.map { case (p, i) =>
+      val name = f"$token-$i%05d-${java.util.UUID.randomUUID}.parquet"
+      val dest = sidecarDir.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      (name, Files.size(dest))
+    }
+    deleteRecursively(scratch)
+
+    // manifest: control rows + sidecar actions + checkpointMetadata
+    def mRow(proto: Row = null, meta: Row = null, txn: Row = null,
+        sc: Row = null, cm: Row = null): Row = Row(proto, meta, txn, sc, cm)
+    val protoRow = Row(st.minReader, st.minWriter,
+      if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted,
+      if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq.sorted)
+    val rows: Seq[Row] =
+      mRow(proto = protoRow) +:
+      mRow(meta = Row(tableId, Row("parquet"), st.schema.json,
+        st.partitionColumns, st.configuration, now)) +:
+      mRow(cm = Row(st.version)) +:
+      (st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        mRow(txn = Row(app, tv, 0L))
+      } ++ sidecars.map { case (name, size) =>
+        mRow(sc = Row(name, size, now))
+      })
+    val scratch2 = Paths.get(root, s".tmp-cpm-$token")
+    spark.createDataFrame(rows.asJava, v2ManifestSchema).coalesce(1)
+      .write.mode("overwrite").parquet(scratch2.toString)
+    val mfPart = Files.list(scratch2).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val manifestName =
+      f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID}.parquet"
+    Files.move(mfPart, logDir.resolve(manifestName),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(scratch2)
+
+    val size = obs.get("rows").asInstanceOf[Long] + rows.size
+    val mapper = new ObjectMapper
+    val lc = mapper.createObjectNode
+    lc.put("version", st.version).put("size", size)
+    val tmp = logDir.resolve(s".tmp-lc-$token")
+    Files.write(tmp, (mapper.writeValueAsString(lc) + "\n").getBytes("UTF-8"))
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // replacement sweep: stale same-version manifests (classic or V2
+    // names) go, then sidecars referenced by NO remaining manifest
+    val vPrefix = f"${st.version}%020d.checkpoint"
+    Files.list(logDir).iterator.asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(vPrefix) && n.endsWith(".parquet") && n != manifestName
+      }.toSeq.foreach(Files.deleteIfExists(_))
+    val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
+    val referenced: Set[String] = Files.list(logDir).iterator.asScala
+      .filter(p => p.getFileName.toString match {
+        case v2Re(_, uid) => !uid.forall(_.isDigit)
+        case _ => false
+      }).toSeq.flatMap { mf =>
+        val df = spark.read.parquet(mf.toString)
+        if (!df.schema.fieldNames.contains("sidecar")) Nil
+        else df.where(col("sidecar.path").isNotNull)
+          .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+      }.toSet
+    Files.list(sidecarDir).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !referenced(p.getFileName.toString))
+      .toSeq.foreach(Files.deleteIfExists(_))
     st.version
   }
 
@@ -2403,14 +2533,15 @@ object DeltaTable {
     * [[DeltaTable.requireWriterFeatures]] refuses data writes when table
     * config/schema metadata activates them — changeDataFeed is
     * implemented (DELETE/MERGE serialize `cdc` actions), deletionVectors
-    * is implemented end-to-end, and columnMapping writes emit physical
+    * is implemented end-to-end, columnMapping writes emit physical
     * names (name mode; id mode allows only the metadata-only DV
-    * delete). Everything else — rowTracking, icebergCompat*,
-    * v2Checkpoint (write side), domainMetadata, clustering, ... —
-    * refuses outright. */
+    * delete), and v2Checkpoint tables get the V2 checkpoint form the
+    * feature requires. Everything else — rowTracking, icebergCompat*,
+    * domainMetadata, clustering, ... — refuses outright. */
   private[lake] val ImplementedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
-    "identityColumns", "changeDataFeed", "deletionVectors", "columnMapping")
+    "identityColumns", "changeDataFeed", "deletionVectors", "columnMapping",
+    "v2Checkpoint")
 
   /** Physical read/write schema for one field of a column-mapping
     * table, applied RECURSIVELY: every nesting level (struct fields,
@@ -2550,4 +2681,22 @@ object DeltaTable {
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType))))))
+
+  /** V2 checkpoint SIDECAR file schema (the protocol: sidecars carry
+    * only add/remove file actions). */
+  private[lake] val sidecarSchema: StructType = StructType(Seq(
+    checkpointSchema("add"), checkpointSchema("remove")))
+
+  /** V2 checkpoint MANIFEST schema: control actions + `sidecar`
+    * pointers + the `checkpointMetadata` action the feature requires. */
+  private[lake] val v2ManifestSchema: StructType = StructType(Seq(
+    checkpointSchema("protocol"),
+    checkpointSchema("metaData"),
+    checkpointSchema("txn"),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))),
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType))))))
 }

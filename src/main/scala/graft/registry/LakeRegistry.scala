@@ -537,26 +537,16 @@ object LakeRegistry {
         Row(null, null, Row(s"sc-$u-2.parquet", 1L, 1L)))
       stage(s.createDataFrame(mfRows.asJava, mfSchema),
         logDir.resolve(f"${1L}%020d.checkpoint.$u-1111-2222.parquet"))
-      // drop the pre-checkpoint JSON: the manifest+sidecars are now the
-      // ONLY source of v0/v1 state
-      Files.delete(logDir.resolve(f"${0L}%020d.json"))
-      Files.delete(logDir.resolve(f"${1L}%020d.json"))
-      // foreign-shaped tail commit appending the %3==2 slice
-      val tailScratch = Files.createTempDirectory("v2tail")
-      base.filter(col("doc_id") % 3 === 2)
-        .write.mode("overwrite").parquet(tailScratch.toString)
-      val tailAdds = new scala.collection.mutable.ArrayBuffer[String]
-      Files.list(tailScratch).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        .sortBy(_.toString).zipWithIndex.foreach { case (p, i) =>
-          val rel = s"tail-$u-$i.parquet"
-          Files.move(p, rootPath.resolve(rel))
-          tailAdds += s"""{"add":{"path":"$rel","partitionValues":{},"size":${Files.size(rootPath.resolve(rel))},"modificationTime":2,"dataChange":true}}"""
-        }
-      Files.write(logDir.resolve(f"${2L}%020d.json"),
-        (s"""{"commitInfo":{"timestamp":2,"operation":"WRITE","operationParameters":{}}}
-            |${tailAdds.mkString("\n")}
-            |""").stripMargin.getBytes("UTF-8"))
+      // the WRITE side (r15): v2Checkpoint is an implemented writer
+      // feature — the engine APPENDS the %3==2 slice to the v2 table and
+      // re-checkpoints, which must produce the V2 form (UUID manifest +
+      // fresh sidecars), then the pre-checkpoint JSON drops so the
+      // engine-written manifest+sidecars are the ONLY census source
+      val dt2 = DeltaTable(root)
+      dt2.append(base.filter(col("doc_id") % 3 === 2))
+      val cpv = dt2.checkpoint()
+      (0L until cpv).foreach(v =>
+        Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
       bySource(DeltaTable(root).read(s))
     }),
     // Hive-layout partitioned adds: partitionValues in the log, partition

@@ -1468,12 +1468,43 @@ class DeltaSpec extends SparkSpec {
     Files.write(log.resolve(f"${1L}%020d.json"), j1)
     Files.delete(sidecarDir.resolve("sc-bbbb.parquet"))
     assert(ks == Set(1L, 2L, 3L, 4L))
-    // v2Checkpoint is a WRITER feature this engine does not emit:
-    // commits refuse (reads stay green)
-    val e = intercept[IllegalArgumentException](
-      t.append(Seq((9L, "z")).toDF("k", "s")))
-    assert(e.getMessage.contains("v2Checkpoint"))
-    intercept[IllegalArgumentException](t.checkpoint())
+    // v2Checkpoint is an IMPLEMENTED writer feature (r15): appends land,
+    // and checkpoint() writes the V2 form the feature requires — a UUID
+    // manifest + sidecar files, never a classic-name checkpoint
+    t.append(Seq((9L, "z")).toDF("k", "s"))
+    assert(ks == Set(1L, 2L, 3L, 4L, 9L))
+    val cpv = t.checkpoint()
+    val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
+    val manifests = Files.list(log).iterator.asScala.filter { p =>
+      p.getFileName.toString match {
+        case v2Re(v, uid) => v.toLong == cpv && !uid.forall(_.isDigit)
+        case _ => false
+      }
+    }.toSeq
+    assert(manifests.size == 1, s"expected one V2 manifest at v$cpv")
+    assert(!Files.exists(log.resolve(f"$cpv%020d.checkpoint.parquet")))
+    // the manifest carries checkpointMetadata + sidecar actions; fresh
+    // sidecars exist (the torn fixture one was swept as unreferenced)
+    val mf = spark.read.parquet(manifests.head.toString)
+    assert(mf.schema.fieldNames.contains("checkpointMetadata"))
+    val scNames = mf.where("sidecar.path IS NOT NULL")
+      .select("sidecar.path").collect().map(_.getString(0))
+    assert(scNames.nonEmpty &&
+      scNames.forall(n => Files.exists(sidecarDir.resolve(n))))
+    // the fixture's v1 manifest still exists (older checkpoints are kept
+    // for time travel), so ITS sidecar stays referenced and survives the
+    // sweep; only sidecars referenced by NO manifest are swept
+    assert(Files.exists(sidecarDir.resolve("sc-aaaa.parquet")))
+    // replay from OUR OWN v2 checkpoint: with every pre-checkpoint JSON
+    // commit gone, the manifest + sidecars are the only census source
+    (0L until cpv).foreach(v => Files.deleteIfExists(log.resolve(f"$v%020d.json")))
+    assert(ks == Set(1L, 2L, 3L, 4L, 9L))
+    // and a DV delete on the v2 table commits + feeds row-level CDF
+    val vd = t.delete("k", 2L, 3L)
+    assert(ks == Set(1L, 4L, 9L))
+    assert(t.changesRows(spark, vd - 1, vd).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ==
+      Set(2L -> "delete", 3L -> "delete"))
   }
 
   test("CDC emission: CDF-enabled DELETE/MERGE write _change_data + cdc actions; feeds read them back exactly; OPTIMIZE stays silent") {
