@@ -1,24 +1,30 @@
 package graft.operators
 
-/** Pure-JVM baseline JPEG (JFIF) decoder — the multimodal tier's third
-  * REAL image format (round-14 verdict residual: "the single most
-  * common format in real web scrapes"). Zero dependencies; the format
-  * is public (ITU-T T.81 / ISO 10918-1, JFIF 1.02).
+/** Pure-JVM JPEG (JFIF) decoder — the multimodal tier's third REAL
+  * image format (round-14 verdict residual: "the single most common
+  * format in real web scrapes"). Zero dependencies; the format is
+  * public (ITU-T T.81 / ISO 10918-1, JFIF 1.02).
   *
   * Supported, deliberately minimal-but-real: BASELINE sequential DCT
-  * (SOF0), 8-bit precision, Huffman entropy coding, grayscale (1
-  * component) and YCbCr (3 components) with ANY sampling factors up to
-  * 4 (4:4:4, 4:2:2 and 4:2:0 included), 8- and 16-bit quantization
-  * tables, restart markers (DRI/RSTn with predictor reset +
-  * byte-alignment), 0xFF00 byte unstuffing, and edge-MCU cropping for
-  * dimensions that are not multiples of the MCU size — the parts of
-  * the format a real scrape actually exercises.
+  * (SOF0), extended sequential Huffman (SOF1, identical 8-bit decode
+  * path), and PROGRESSIVE DCT (SOF2 — spectral selection + successive
+  * approximation per T.81 Annex G: interleaved DC scans, per-component
+  * AC scans with EOBRUN, DC/AC refinement passes with correction
+  * bits), 8-bit precision, grayscale (1 component) and YCbCr (3
+  * components) with ANY sampling factors up to 4 (4:4:4, 4:2:2 and
+  * 4:2:0 included), 8- and 16-bit quantization tables, restart markers
+  * (DRI/RSTn with predictor/EOBRUN reset + byte-alignment, counted in
+  * MCUs or blocks per the scan's interleave), 0xFF00 byte unstuffing,
+  * and edge-MCU cropping — the parts of the format a real scrape
+  * actually exercises. Every scan accumulates quantized coefficients
+  * into per-component block buffers; one dequant + IDCT pass
+  * reconstructs the planes.
   *
-  * Decode FAILS LOUDLY on everything else — progressive (SOF2),
-  * arithmetic coding (SOF9+), hierarchical, 12-bit precision, lossless,
-  * unknown component counts, truncated scans, invalid Huffman codes —
-  * per the engine-wide loud-failure discipline: a real corpus routes
-  * failures to a counted quarantine, never silently fakes pixels.
+  * Decode FAILS LOUDLY on everything else — arithmetic coding
+  * (SOF9+), hierarchical, lossless, 12-bit precision, unknown
+  * component counts, truncated scans, invalid Huffman codes — per the
+  * engine-wide loud-failure discipline: a real corpus routes failures
+  * to a counted quarantine, never silently fakes pixels.
   *
   * Decoded output is the SAME top-down luma grid as [[BmpCodec.Image]]
   * (integer Rec.601 on the reconstructed RGB; for grayscale JPEGs the
@@ -113,6 +119,10 @@ object JpegCodec {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+
+    /** Discard the partial byte at the end of a scan so `pos` points
+      * at the next marker. */
+    def align(): Unit = bitCnt = 0
 
     /** Byte-align and consume an expected RSTn marker. */
     def restart(expected: Int): Unit = {
@@ -221,9 +231,14 @@ object JpegCodec {
   // ---- decoder ----------------------------------------------------------
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int,
-      var dcTable: Int = 0, var acTable: Int = 0)
+      idx: Int = 0, var dcTable: Int = 0, var acTable: Int = 0)
 
-  /** Parse a baseline JPEG into the shared top-down luma grid. */
+  /** Parse a baseline OR progressive JPEG into the shared top-down
+    * luma grid: every scan accumulates quantized coefficients into
+    * per-component block buffers (baseline = one full-band scan;
+    * progressive = spectral-selection / successive-approximation scans
+    * per T.81 Annex G, EOBRUN and AC-refinement included), then one
+    * dequant + IDCT pass reconstructs the planes. */
   def decode(bytes: Array[Byte]): Decoded = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
         (bytes(1) & 0xff) != 0xd8)
@@ -233,30 +248,260 @@ object JpegCodec {
     val dcTables = new Array[Huff](4)
     val acTables = new Array[Huff](4)
     var comps: Array[Component] = null
+    var progressive = false
     var width = 0
     var height = 0
     var restartInterval = 0
+    var scansSeen = 0
+    // per-component quantized-coefficient buffers over the MCU-padded
+    // block grid (natural order within each 64-coef block), filled
+    // scan by scan
+    var coefs: Array[Array[Int]] = null
+    var hmax = 0
+    var vmax = 0
+    var mcusX = 0
+    var mcusY = 0
 
     def u16(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
 
-    var scanComps: Array[Component] = null
-    var scanStart = -1
-    while (scanStart < 0) {
-      if (pos + 1 >= bytes.length) fail("truncated before SOS")
+    /** Decode ONE entropy-coded scan starting at `start`; returns the
+      * position just past its data (at the next marker). */
+    def decodeScan(start: Int, scanComps: Array[Component],
+        ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val in = new BitReader(bytes, start)
+      val interleaved = scanComps.length > 1
+      if (!interleaved && ss > 0 && scanComps.length != 1)
+        fail("AC scan must cover exactly one component")
+      if (progressive && ss == 0 && se != 0)
+        fail("progressive DC scan with Se != 0")
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var rstIdx = 0
+      var sinceRestart = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          in.restart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+          sinceRestart = 0
+        }
+
+      /** Full-band sequential block (baseline/extended-sequential). */
+      def blockFull(c: Component, ci: Int, off: Int): Unit = {
+        val dcT = dcTables(c.dcTable)
+        val acT = acTables(c.acTable)
+        if (dcT == null || acT == null)
+          fail(s"component ${c.id} references a missing Huffman table")
+        val s = dcT.decode(in)
+        if (s > 11) fail(s"DC magnitude $s out of range")
+        preds(ci) += extend(in.bits(s), s)
+        coefs(ci)(off) = preds(ci)
+        var k = 1
+        while (k < 64) {
+          val rs = acT.decode(in)
+          val r = rs >> 4
+          val ssss = rs & 0xf
+          if (ssss == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            if (k > 63) fail("AC run past block end")
+            coefs(ci)(off + ZigZag(k)) = extend(in.bits(ssss), ssss)
+            k += 1
+          }
+        }
+      }
+
+      /** Progressive DC: first pass (diff-coded, scaled by 2^Al) or
+        * refinement (one appended bit per block). */
+      def blockDc(c: Component, ci: Int, off: Int): Unit =
+        if (ah == 0) {
+          val dcT = dcTables(c.dcTable)
+          if (dcT == null) fail(s"component ${c.id} missing DC table")
+          val s = dcT.decode(in)
+          if (s > 11) fail(s"DC magnitude $s out of range")
+          preds(ci) += extend(in.bits(s), s)
+          coefs(ci)(off) = preds(ci) << al
+        } else {
+          if (in.bit() == 1) coefs(ci)(off) |= 1 << al
+        }
+
+      /** Progressive AC first pass over [ss, se] (EOBRUN carried across
+        * blocks within the scan, per T.81 G.1.2.2). */
+      def blockAcFirst(c: Component, ci: Int, off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val acT = acTables(c.acTable)
+        if (acT == null) fail(s"component ${c.id} missing AC table")
+        var k = ss
+        var done = false
+        while (!done && k <= se) {
+          val rs = acT.decode(in)
+          val r = rs >> 4
+          val s = rs & 0xf
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += in.bits(r)
+              done = true
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) fail("AC run past band end")
+            coefs(ci)(off + ZigZag(k)) = extend(in.bits(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      /** Progressive AC refinement over [ss, se] — the T.81 G.1.2.3
+        * correction-bit walk (the libjpeg-equivalent control flow):
+        * history-nonzero coefficients take a correction bit whenever the
+        * walk passes them; zero-history positions count down the run
+        * and receive the newly-significant ±2^Al insert. */
+      def blockAcRefine(c: Component, ci: Int, off: Int): Unit = {
+        val acT = acTables(c.acTable)
+        if (acT == null) fail(s"component ${c.id} missing AC table")
+        val buf = coefs(ci)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(z: Int): Unit =
+          if (in.bit() == 1 && (buf(off + z) & p1) == 0)
+            buf(off + z) += (if (buf(off + z) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && k <= se) {
+            val rs = acT.decode(in)
+            var r = rs >> 4
+            val s = rs & 0xf
+            var insert = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r)
+                if (r > 0) eobrun += in.bits(r)
+                done = true
+              }
+              // r == 15 (ZRL): skip 16 zero-history positions below
+            } else {
+              if (s != 1) fail("AC refinement magnitude must be 1")
+              insert = if (in.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              var advanced = false
+              while (!advanced && k <= se) {
+                val z = ZigZag(k)
+                if (buf(off + z) != 0) correct(z)
+                else {
+                  if (r == 0) {
+                    if (insert != 0) buf(off + z) = insert
+                    advanced = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB run: correction bits still flow to every history-nonzero
+          // coefficient left in the band
+          while (k <= se) {
+            val z = ZigZag(k)
+            if (buf(off + z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeBlock(c: Component, ci: Int, off: Int): Unit =
+        if (!progressive) blockFull(c, ci, off)
+        else if (ss == 0) blockDc(c, ci, off)
+        else if (ah == 0) blockAcFirst(c, ci, off)
+        else blockAcRefine(c, ci, off)
+
+      if (interleaved) {
+        // MCU-ordered walk (multi-component scans; T.81: interleaved
+        // exactly when the scan covers more than one component)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            scanComps.foreach { c =>
+              val ci = c.idx
+              val bw = mcusX * c.h
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val off =
+                    ((my * c.v + by) * bw + (mx * c.h + bx)) * 64
+                  decodeBlock(c, ci, off)
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            sinceRestart += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved (single-component) scan — DC, AC, or a whole
+        // sequential single-comp frame: the component's OWN block raster
+        // (ceil(compSamples/8), NOT the MCU-padded grid), restart
+        // interval counted in blocks, per T.81
+        val c = scanComps.head
+        val ci = c.idx
+        val bw = mcusX * c.h
+        val cw = (width * c.h + hmax - 1) / hmax
+        val ch = (height * c.v + vmax - 1) / vmax
+        val bw2 = (cw + 7) / 8
+        val bh2 = (ch + 7) / 8
+        var row = 0
+        while (row < bh2) {
+          var colB = 0
+          while (colB < bw2) {
+            maybeRestart()
+            decodeBlock(c, ci, (row * bw + colB) * 64)
+            sinceRestart += 1
+            colB += 1
+          }
+          row += 1
+        }
+      }
+      in.align()
+      in.pos
+    }
+
+    var sawEoi = false
+    while (!sawEoi) {
+      if (pos + 1 >= bytes.length) fail("truncated before EOI")
       if ((bytes(pos) & 0xff) != 0xff) fail(f"expected marker at $pos")
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
-        case 0xd9 => fail("EOI before any scan")
+        case 0xd9 =>
+          if (scansSeen == 0) fail("EOI before any scan")
+          sawEoi = true
         case m if m >= 0xd0 && m <= 0xd7 => // lone RST outside scan: skip
         case 0x01 => // TEM, parameterless
-        case 0xc0 => // SOF0 baseline sequential DCT
+        case 0x00 => // stray stuffed pair left by scan padding: skip
+        case 0xff => pos -= 1 // 0xFF fill byte(s) before a marker
+        case m if m == 0xc0 || m == 0xc1 || m == 0xc2 =>
+          // SOF0 baseline / SOF1 extended sequential (identical Huffman
+          // decode path at 8-bit) / SOF2 progressive
+          progressive = m == 0xc2
           val len = u16(pos)
           val precision = bytes(pos + 2) & 0xff
           if (precision != 8) fail(s"unsupported precision $precision (8 only)")
           height = u16(pos + 3)
           width = u16(pos + 5)
-          if (width == 0 || height == 0) fail("zero dimension in SOF0")
+          if (width == 0 || height == 0) fail("zero dimension in SOF")
           val n = bytes(pos + 7) & 0xff
           if (n != 1 && n != 3)
             fail(s"unsupported component count $n (grayscale/YCbCr only)")
@@ -264,11 +509,17 @@ object JpegCodec {
             val off = pos + 8 + 3 * i
             val hv = bytes(off + 1) & 0xff
             val c = Component(bytes(off) & 0xff, hv >> 4, hv & 0xf,
-              bytes(off + 2) & 0xff)
+              bytes(off + 2) & 0xff, idx = i)
             if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)
               fail(s"bad sampling factors ${c.h}x${c.v}")
             c
           }
+          hmax = comps.map(_.h).max
+          vmax = comps.map(_.v).max
+          mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+          coefs = comps.map(c =>
+            new Array[Int]((mcusX * c.h) * (mcusY * c.v) * 64))
           pos += len
         case 0xc4 => // DHT (possibly several tables in one segment)
           val len = u16(pos)
@@ -307,11 +558,12 @@ object JpegCodec {
           restartInterval = u16(pos + 2)
           pos += u16(pos)
         case 0xda => // SOS
-          if (comps == null) fail("SOS before SOF0")
+          if (comps == null) fail("SOS before SOF")
           val len = u16(pos)
           val ns = bytes(pos + 2) & 0xff
-          if (ns != comps.length) fail("partial-scan SOS (progressive?)")
-          scanComps = Array.tabulate(ns) { i =>
+          if (!progressive && ns != comps.length)
+            fail("partial-band SOS in a sequential frame")
+          val scanComps = Array.tabulate(ns) { i =>
             val cid = bytes(pos + 3 + 2 * i) & 0xff
             val c = comps.find(_.id == cid)
               .getOrElse(fail(s"SOS names unknown component $cid"))
@@ -319,9 +571,18 @@ object JpegCodec {
             c.dcTable = tt >> 4; c.acTable = tt & 0xf
             c
           }
-          scanStart = pos + len
-        case 0xc2 => fail("progressive DCT (SOF2) unsupported — baseline only")
-        case 0xc1 => fail("extended sequential DCT (SOF1) unsupported")
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val aa = bytes(pos + 5 + 2 * ns) & 0xff
+          val (ah, al) = (aa >> 4, aa & 0xf)
+          if (ss > 63 || se > 63 || se < ss)
+            fail(s"bad spectral selection [$ss, $se]")
+          if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
+            fail("sequential scan with progressive approximation params")
+          if (progressive && ss > 0 && ns != 1)
+            fail("progressive AC scan over multiple components")
+          scansSeen += 1
+          pos = decodeScan(pos + len, scanComps, ss, se, ah, al)
         case m if m == 0xc3 || (m >= 0xc5 && m <= 0xc7) =>
           fail(f"lossless/hierarchical SOF 0x$m%02x unsupported")
         case m if m >= 0xc8 && m <= 0xcf =>
@@ -331,91 +592,52 @@ object JpegCodec {
       }
     }
 
-    // component planes, padded to whole MCUs
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // reconstruct: one dequant + IDCT pass over the accumulated
+    // coefficient buffers into MCU-padded component planes
+    comps.foreach { c =>
+      if (quant(c.tq) == null) fail(s"component ${c.id} has no DQT ${c.tq}")
+    }
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
     val planes = comps.indices.map(i =>
       new Array[Int](planeW(i) * planeH(i))).toArray
-    comps.foreach { c =>
-      if (quant(c.tq) == null) fail(s"component ${c.id} has no DQT ${c.tq}")
-    }
-
-    val in = new BitReader(bytes, scanStart)
-    val preds = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
-    var rstIdx = 0
-    var mcusSinceRestart = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
-          in.restart(rstIdx)
-          rstIdx = (rstIdx + 1) % 8
-          java.util.Arrays.fill(preds, 0)
-          mcusSinceRestart = 0
-        }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val q = quant(c.tq)
-          val dcT = dcTables(c.dcTable)
-          val acT = acTables(c.acTable)
-          if (dcT == null || acT == null)
-            fail(s"component ${c.id} references a missing Huffman table")
-          var by = 0
-          while (by < c.v) {
-            var bx = 0
-            while (bx < c.h) {
-              // one 8x8 block
-              java.util.Arrays.fill(coef, 0)
-              val s = dcT.decode(in)
-              if (s > 11) fail(s"DC magnitude $s out of range")
-              preds(ci) += extend(in.bits(s), s)
-              coef(0) = preds(ci) * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = acT.decode(in)
-                val r = rs >> 4
-                val ssss = rs & 0xf
-                if (ssss == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else k = 64 // EOB
-                } else {
-                  k += r
-                  if (k > 63) fail("AC run past block end")
-                  coef(ZigZag(k)) = extend(in.bits(ssss), ssss) * q(k)
-                  k += 1
-                }
-              }
-              idct(coef, block)
-              val ox = (mx * c.h + bx) * 8
-              val oy = (my * c.v + by) * 8
-              val pw = planeW(ci)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  planes(ci)((oy + yy) * pw + ox + xx) = block(yy * 8 + xx)
-                  xx += 1
-                }
-                yy += 1
-              }
-              bx += 1
-            }
-            by += 1
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = quant(c.tq)
+      val bw = mcusX * c.h
+      val bh = mcusY * c.v
+      val pw = planeW(ci)
+      var row = 0
+      while (row < bh) {
+        var colB = 0
+        while (colB < bw) {
+          val off = (row * bw + colB) * 64
+          var k = 0
+          while (k < 64) {
+            // quant tables are zigzag-ordered in DQT; the buffer is
+            // natural-ordered — index q by the zigzag position of k
+            coef(ZigZag(k)) = coefs(ci)(off + ZigZag(k)) * q(k)
+            k += 1
           }
-          ci += 1
+          idct(coef, block)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((row * 8 + yy) * pw + colB * 8 + xx) =
+                block(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          colB += 1
         }
-        mcusSinceRestart += 1
-        mx += 1
+        row += 1
       }
-      my += 1
+      ci += 1
     }
 
     // upsample (pixel replication) + color convert + crop to (width, height)

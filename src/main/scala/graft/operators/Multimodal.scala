@@ -293,15 +293,20 @@ object Multimodal {
     * writer's 3-component MCU is 16×16), EVEN ids grayscale (one
     * component), ODD ids gray-valued RGB (three components, chroma
     * subsampled by the writer — the full YCbCr upsample/convert path),
-    * quality 1.0 (unit quantization tables). Flat blocks are DC-only
-    * and survive quality-1.0 JPEG bit-exactly, so the decode oracle is
-    * closed-form: luma ≡ g over w·h pixels. */
+    * quality 1.0 (unit quantization tables), and every id ≡ 2 mod 3
+    * encoded PROGRESSIVE (the JDK writer's standard SOF2 scan script —
+    * spectral selection, successive approximation, DC/AC refinement
+    * passes; decoded pixels are identical, so the luma oracle needs no
+    * progressive term, but any EOBRUN/refinement bug breaks the
+    * census). Flat blocks are DC-only and survive quality-1.0 JPEG
+    * bit-exactly, so the decode oracle is closed-form: luma ≡ g over
+    * w·h pixels. */
   private def syntheticJpeg(id: Long): (Int, JpegCodec.Decoded) = {
     val g = ((id * 37) % 256).toInt
     val w = (8 + id % 17).toInt
     val h = (8 + id % 13).toInt
     val payload = JpegCodec.encode(w, h, gray = id % 2 == 0,
-      (_, _) => (g, g, g))
+      (_, _) => (g, g, g), progressive = id % 3 == 2)
     (g, JpegCodec.decode(payload))
   }
 

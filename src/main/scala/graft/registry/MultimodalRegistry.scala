@@ -45,8 +45,9 @@ object MultimodalRegistry {
     // REAL JPEG decode of a FOREIGN encoder's bytes (the JDK ImageIO
     // writer): flat quality-1.0 fixtures round-trip DC-exactly, so the
     // luma census has a closed form; grayscale and subsampled-YCbCr
-    // streams alternate by id — marker walk, Huffman, dequant, IDCT,
-    // upsample or color-convert bugs = hash mismatch
+    // streams alternate by id, and every third id is PROGRESSIVE
+    // (SOF2 multi-scan) — marker walk, Huffman, dequant, IDCT,
+    // upsample, color-convert or progressive-scan bugs = hash mismatch
     "q_mm_jpeg_decode" -> ((s, d) => Multimodal.jpegRoundtrip(s, d)),
   )
 

@@ -8,12 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{BmpCodec, JpegCodec}
 
-/** Baseline-JFIF decoder vs the JDK's OWN codec (a real foreign
-  * libjpeg-derived implementation): flat fixtures must round-trip
-  * EXACTLY at quality 1.0 (the closed-form-oracle property), gradients
-  * must agree with the JDK's decoder within IDCT rounding, restart
-  * markers must reset predictors, and the loud-fail matrix must refuse
-  * progressive/arithmetic/truncated streams by name. */
+/** JFIF decoder (baseline + progressive) vs the JDK's OWN codec (a
+  * real foreign libjpeg-derived implementation): flat fixtures must
+  * round-trip EXACTLY at quality 1.0 (the closed-form-oracle
+  * property), gradients must agree with the JDK's decoder within IDCT
+  * rounding, restart markers must reset predictors, progressive scan
+  * scripts (spectral selection + successive approximation, EOBRUN, AC
+  * refinement) must reconstruct the same pixels, and the loud-fail
+  * matrix must refuse arithmetic/truncated streams by name. */
 class JpegSpec extends AnyFunSuite {
 
   private def encodeImg(img: BufferedImage, quality: Float,
@@ -167,13 +169,8 @@ class JpegSpec extends AnyFunSuite {
     assert(maxDiff <= 2, s"max luma diff at q=0.6: $maxDiff")
   }
 
-  test("loud-fail matrix: progressive, arithmetic, truncation, garbage") {
+  test("loud-fail matrix: arithmetic, truncation, garbage, bad precision") {
     val base = encodeImg(grayImage(16, 16, (x, y) => (x + y) % 256), 1.0f)
-    // progressive encoding refuses by name
-    val prog = encodeImg(grayImage(16, 16, (x, y) => (x + y) % 256), 1.0f,
-      progressive = true)
-    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
-    assert(e1.getMessage.contains("progressive"))
     // arithmetic coding: flip SOF0 (0xC0) to SOF9 (0xC8)
     val arith = base.clone()
     val sofAt = arith.sliding(2).indexWhere(p =>
@@ -195,6 +192,77 @@ class JpegSpec extends AnyFunSuite {
     prec(sofAt + 4) = 12.toByte
     val e5 = intercept[IllegalArgumentException](JpegCodec.decode(prec))
     assert(e5.getMessage.contains("precision"))
+  }
+
+  test("PROGRESSIVE flat images round-trip EXACTLY at quality 1.0 — gray and YCbCr") {
+    for (g <- Seq(3, 77, 128, 250); (w, h) <- Seq((8, 8), (19, 11), (33, 21))) {
+      val grayDec = JpegCodec.decode(JpegCodec.encode(w, h, gray = true,
+        (_, _) => (g, g, g), progressive = true))
+      assert(grayDec.nComponents == 1)
+      assert(grayDec.image.luma.forall(b => (b & 0xff) == g),
+        s"prog gray flat $g at ${w}x$h")
+      val rgbDec = JpegCodec.decode(JpegCodec.encode(w, h, gray = false,
+        (_, _) => (g, g, g), progressive = true))
+      assert(rgbDec.nComponents == 3)
+      assert(rgbDec.image.luma.forall(b => (b & 0xff) == g),
+        s"prog rgb flat $g at ${w}x$h")
+    }
+  }
+
+  test("PROGRESSIVE gradients agree with the JDK's own decoder — gray and subsampled color") {
+    val w = 41; val h = 26
+    val gimg = grayImage(w, h, (x, y) => (x * 7 + y * 11) % 256)
+    val gbytes = encodeImg(gimg, 1.0f, progressive = true)
+    // the stream really is progressive (SOF2) with several scans
+    def count(m: Int, b: Array[Byte]): Int = b.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(count(0xc2, gbytes) == 1, "fixture must be SOF2")
+    assert(count(0xda, gbytes) > 1, "fixture must carry multiple scans")
+    val ours = JpegCodec.decode(gbytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(gbytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (ours.image.luma(y * w + x) & 0xff) - theirs.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"progressive gray max diff: $maxDiff")
+    // constant-chroma color through the progressive 4:2:0 scan script
+    val cimg = rgbImage(29, 18, (x, y) => {
+      val v = (x * 5 + y * 13) % 256; (v, v, v)
+    })
+    val cbytes = encodeImg(cimg, 1.0f, progressive = true)
+    assert(count(0xc2, cbytes) == 1)
+    val ours2 = JpegCodec.decode(cbytes)
+    assert(ours2.nComponents == 3)
+    val theirs2 = ImageIO.read(new java.io.ByteArrayInputStream(cbytes))
+    var maxDiff2 = 0
+    for (y <- 0 until 18; x <- 0 until 29)
+      maxDiff2 = math.max(maxDiff2, math.abs(
+        (ours2.image.luma(y * 29 + x) & 0xff) - rec601(theirs2.getRGB(x, y))))
+    assert(maxDiff2 <= 2, s"progressive color max diff: $maxDiff2")
+  }
+
+  test("PROGRESSIVE lower-quality stream (refinement bits doing real work) matches the JDK decoder") {
+    val w = 48; val h = 32
+    val img = grayImage(w, h, (x, y) => (x * x + 3 * y * x + y) % 256)
+    val bytes = encodeImg(img, 0.5f, progressive = true)
+    val ours = JpegCodec.decode(bytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        (ours.image.luma(y * w + x) & 0xff) - theirs.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"progressive q=0.5 max diff: $maxDiff")
+  }
+
+  test("extended sequential (SOF1) decodes through the baseline path") {
+    val base = encodeImg(grayImage(16, 16, (x, y) => (x * 3 + y) % 256), 1.0f)
+    val sofAt = base.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    val sof1 = base.clone()
+    sof1(sofAt + 1) = 0xc1.toByte
+    val a = JpegCodec.decode(base).image.luma.toSeq
+    val b = JpegCodec.decode(sof1).image.luma.toSeq
+    assert(a == b)
   }
 
   test("decoded luma grid feeds the shared dHash path") {
