@@ -1085,12 +1085,6 @@ final case class DeltaTable(root: String) {
       if (v == 0L) None
       else Some(logState(df.sparkSession, Some(v - 1)))
     val mode = currentState.map(_.columnMappingMode).getOrElse("none")
-    // id-mode tables: reads resolve by parquet field id, but writing new
-    // data files would need field-id footer emission matched to the
-    // table's column ids — only the metadata-only DV delete is legal
-    require(mode != "id" || !writeData,
-      s"DeltaTable $root: $op on an id-mode column-mapping table is not " +
-        "supported (metadata-only DV deletes only)")
 
     // ---- schema & partitioning decisions, BEFORE any data lands ------
     // Schema evolution, the Delta mergeSchema contract: an append whose
@@ -1101,7 +1095,7 @@ final case class DeltaTable(root: String) {
     // conflicts fail loudly. Overwrites replace the schema outright.
     val isOverwrite = removePaths.nonEmpty && dataChange
     val currentSchema: Option[StructType] = currentState.map(_.schema)
-    val recordedSchema: StructType = currentSchema match {
+    val mergedSchema: StructType = currentSchema match {
       case None => df.schema
       case Some(_) if isOverwrite && writeData => df.schema
       case Some(current) =>
@@ -1120,7 +1114,7 @@ final case class DeltaTable(root: String) {
         val oldNames = current.fieldNames.toSet
         StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
     }
-    val schemaChanged = currentSchema.exists(_.json != recordedSchema.json)
+    val rawSchemaChanged = currentSchema.exists(_.json != mergedSchema.json)
     val partChanged = currentState.exists(_.partitionColumns != partitionBy)
     // a NON-overwrite commit re-declaring table-wide partitioning would
     // break directory-based partition recovery for every pre-existing
@@ -1130,15 +1124,57 @@ final case class DeltaTable(root: String) {
         s"${partitionBy.mkString("[", ",", "]")} != table partitioning " +
         s"${currentState.map(_.partitionColumns.mkString("[", ",", "]"))
           .getOrElse("[]")} — only overwrites may re-declare partitioning")
-    // column-mapping tables: writes with the EXISTING schema emit
-    // physical names (below); schema or partitioning changes would need
-    // fresh physical-name/column-id assignment this writer does not
-    // implement — refuse loudly (covers overwrite, whose recorded schema
-    // is the frame's metadata-free one)
-    require(mode == "none" || (!schemaChanged && !partChanged),
-      s"DeltaTable $root: $op changes the schema/partitioning of a " +
-        "column-mapping table — physical-name assignment for new " +
-        "columns is not implemented")
+    // column-mapping SCHEMA EVOLUTION (the public protocol's assignment
+    // scheme): a purely-additive append decorates each NEW field — at
+    // every nesting level — with a fresh physical name (col-<uuid>) and
+    // the next column id, and bumps delta.columnMapping.maxColumnId in
+    // the configuration riding the fresh metaData action. Overwrites
+    // replacing the schema of a column-mapping table (and partitioning
+    // re-declarations) still refuse: they would drop the existing
+    // fields' physical identities.
+    require(mode == "none" || !(rawSchemaChanged && isOverwrite),
+      s"DeltaTable $root: $op replaces the schema of a column-mapping " +
+        "table — existing physical-name assignments would be lost")
+    var maxColId: Long = currentState.flatMap(
+      _.configuration.get("delta.columnMapping.maxColumnId"))
+      .flatMap(_.toLongOption).getOrElse(0L)
+    def assignColMap(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        maxColId += 1
+        val meta = new MetadataBuilder()
+          .putString(DeltaTable.PhysNameKey,
+            s"col-${java.util.UUID.randomUUID}")
+          .putLong(DeltaTable.ColIdKey, maxColId).build()
+        StructField(f.name, assignColMap(f.dataType), f.nullable, meta)
+      })
+      case a: ArrayType => a.copy(elementType = assignColMap(a.elementType))
+      case m: MapType => m.copy(keyType = assignColMap(m.keyType),
+        valueType = assignColMap(m.valueType))
+      case other => other
+    }
+    val recordedSchema: StructType =
+      if (mode == "none" || !rawSchemaChanged) mergedSchema
+      else {
+        val oldNames = currentSchema.get.fieldNames.toSet
+        StructType(mergedSchema.fields.map { f =>
+          if (oldNames(f.name)) f
+          else {
+            maxColId += 1
+            val meta = new MetadataBuilder()
+              .putString(DeltaTable.PhysNameKey,
+                s"col-${java.util.UUID.randomUUID}")
+              .putLong(DeltaTable.ColIdKey, maxColId).build()
+            StructField(f.name, assignColMap(f.dataType), f.nullable, meta)
+          }
+        })
+      }
+    val schemaChanged =
+      currentSchema.exists(_.json != recordedSchema.json)
+    val newConfiguration: Map[String, String] = {
+      val base = currentState.map(_.configuration).getOrElse(Map.empty)
+      if (mode == "none") base
+      else base + ("delta.columnMapping.maxColumnId" -> maxColId.toString)
+    }
     val emitMeta = v == 0L || schemaChanged || partChanged
     // structural guard (not just "happens to be false"): a colMapSafe
     // commit emitting a metaData action would drop the table's
@@ -1155,16 +1191,25 @@ final case class DeltaTable(root: String) {
     // physical column names for every emitted surface on column-mapping
     // tables: file columns (at every nesting level, via the positional
     // struct cast), Hive partition dirs (→ partitionValues keys), and
-    // the stats JSON keys — the read side owns the inverse indirection
-    val physOf: Map[String, String] =
-      currentState.map(_.physicalNames).getOrElse(Map.empty)
+    // the stats JSON keys — the read side owns the inverse indirection.
+    // Mode `id` additionally rides `parquet.field.id` metadata on the
+    // written frame so the parquet footers carry the column ids the
+    // protocol's field-id resolution reads back.
+    val physOf: Map[String, String] = recordedSchema.fields.flatMap { f =>
+      if (f.metadata.contains(DeltaTable.PhysNameKey))
+        Some(f.name -> f.metadata.getString(DeltaTable.PhysNameKey))
+      else None
+    }.toMap
     def toPhys(c: String): String = physOf.getOrElse(c, c)
     def toPhysFrame(frame: DataFrame, extraCols: Seq[String]): DataFrame =
       if (physOf.isEmpty) frame
       else frame.select(frame.columns.map { c =>
         if (extraCols.contains(c)) col(c)
-        else col(c).cast(DeltaTable.physicalType(
-          recordedSchema(c).dataType, byId = false)).as(toPhys(c))
+        else {
+          val pf = DeltaTable.physicalField(recordedSchema(c),
+            byId = mode == "id")
+          col(c).cast(pf.dataType).as(pf.name, pf.metadata)
+        }
       }.toSeq: _*)
     val physPartitionBy = partitionBy.map(toPhys)
 
@@ -1317,8 +1362,7 @@ final case class DeltaTable(root: String) {
     if (emitMeta) {
       actions += wrap(mapper, "metaData",
         metaNode(mapper, recordedSchema, partitionBy, now,
-          currentState.map(_.configuration).getOrElse(Map.empty),
-          currentState.flatMap(_.tableId)))
+          newConfiguration, currentState.flatMap(_.tableId)))
     }
     txn.foreach { case (appId, tv) =>
       val tx = mapper.createObjectNode
@@ -1809,13 +1853,12 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    // the DV form is the one write legal on ANY column-mapping table
-    // (id mode included): it emits no data files, no fresh stats and no
-    // metaData — removes and same-path re-adds replay existing (already
-    // physical-keyed) action payloads, and the bitmap is name-agnostic.
-    // A 100 TB user can PII-delete rows from a foreign table IN PLACE.
-    // The rewrite form writes data files (physical-named on name-mode
-    // tables; id mode refuses in commit).
+    // the DV form is metadata-only on ANY column-mapping table: no
+    // data files, no fresh stats, no metaData — removes and same-path
+    // re-adds replay existing (already physical-keyed) action payloads,
+    // and the bitmap is name-agnostic. A 100 TB user can PII-delete
+    // rows from a foreign table IN PLACE. The rewrite form writes data
+    // files (physical-named; field-id footers on id-mode tables).
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
       .where(mayIntersectCol(st, column, lo, hi))
@@ -2096,12 +2139,6 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
     val st = logState(spark, None)
-    // merge always appends the source rows as new data files — on
-    // name-mode tables they emit under physical names (commit), on
-    // id-mode tables this writer cannot produce field-id footers
-    require(st.columnMappingMode != "id",
-      s"DeltaTable $root: MERGE on an id-mode column-mapping table is " +
-        "not supported")
     require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")

@@ -77,7 +77,7 @@ object LakeRegistry {
     val log =
       s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
          |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
-         |{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}
+         |{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${base.schema.length}"},"createdTime":1}}
          |${adds.sorted.mkString("\n")}
          |""".stripMargin
     val logDir = dir.resolve("_delta_log")
@@ -411,7 +411,7 @@ object LakeRegistry {
       import java.nio.file.{Files, Paths}
       import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
       val root = tmpRoot(s, d, "delta_cmi")
-      val base = docs(s, d)
+      val base = docs(s, d).filter(col("doc_id") % 2 === 0)
       // footer columns named fzz1..fzz4 carrying field ids 1..4
       val footer = StructType(base.schema.fields.zipWithIndex.map {
         case (f, i) => StructField(s"fzz${i + 1}", f.dataType, f.nullable,
@@ -448,7 +448,28 @@ object LakeRegistry {
       val logDir = dir.resolve("_delta_log")
       Files.createDirectories(logDir)
       Files.write(logDir.resolve(f"${0L}%020d.json"), log.getBytes("UTF-8"))
-      bySource(DeltaTable(root).read(s))
+      // the WRITE side (r15): the engine appends the odd half — the new
+      // footers carry parquet field ids, so the same id-resolving read
+      // serves the union
+      val dt = DeltaTable(root)
+      dt.append(docs(s, d).filter(col("doc_id") % 2 =!= 0))
+      bySource(dt.read(s))
+    }),
+    // COLUMN-MAPPING SCHEMA EVOLUTION (r15): an additive append to a
+    // name-mode table assigns the new column a fresh physical name +
+    // next column id and bumps maxColumnId — old files serve the new
+    // column as null through the indirection, the q_delta_evolution
+    // contract on a foreign-shaped table
+    "q_delta_colmap_evolve" -> ((s, d) => {
+      val base = docs(s, d)
+      val dt = DeltaTable(colmapRoot(s, d, "delta_cmev",
+        base.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("lang"))))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0))
+      dt.read(s).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
     }),
     // CDC EMISSION (r15): with delta.enableChangeDataFeed=true the DV
     // DELETE serializes its row-level change set into _change_data +
@@ -621,8 +642,17 @@ object LakeRegistry {
         |    AS BIGINT) AS sum_chars,
         |  count(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
-    // field-id resolution serves the same logical table
+    // field-id resolution serves the same logical table — fixture half
+    // plus the engine-appended (field-id-footer) half
     "q_delta_colmap_id" -> s"$bySourceSql GROUP BY source",
+    // evolution on the name-mode table: odd half carries n_chars through
+    // the freshly-assigned physical column, even half serves nulls
+    "q_delta_colmap_evolve" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // the emitted cdc payload is exactly the deleted rows
     "q_delta_cdc_emit" ->
       s"$bySourceSql WHERE doc_id BETWEEN 100 AND 299 GROUP BY source",

@@ -195,11 +195,27 @@ class DeltaSpec extends SparkSpec {
     t.merge(Seq((7L, "QQ", "red")).toDF("k", "s", "color"), "k")
     assert(t.read(spark).collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap.apply(7L) == "QQ")
-    // schema evolution / partitioning changes still refuse: physical
-    // names for NEW columns would need id assignment
-    intercept[IllegalArgumentException](
-      t.append(Seq((1L, "x", "red", 9L)).toDF("k", "s", "color", "extra"),
-        partitionBy = Seq("color")))
+    // SCHEMA EVOLUTION (r15): a new column gets a fresh physical name
+    // (col-<uuid>) + the next column id, and maxColumnId bumps in the
+    // fresh metaData's configuration — the protocol's assignment scheme
+    val vE = t.append(Seq((11L, "e", "red", 9L))
+      .toDF("k", "s", "color", "extra"), partitionBy = Seq("color"))
+    val evoLog = Files.readAllLines(
+      Paths.get(dir, "_delta_log", f"$vE%020d.json")).toArray.mkString
+    // the fresh metaData PRESERVES the configuration (mode stays name)
+    // and records the bumped maxColumnId
+    assert(evoLog.contains("metaData"), evoLog)
+    assert(evoLog.contains("\"delta.columnMapping.mode\":\"name\"") &&
+      evoLog.contains("\"delta.columnMapping.maxColumnId\":\"4\""), evoLog)
+    assert(evoLog.contains("col-"), "fresh physical name assigned")
+    val evolved = t.read(spark)
+    assert(evolved.columns.toSeq == Seq("k", "s", "color", "extra"))
+    assert(evolved.where("k = 11").selectExpr("extra").collect()
+      .head.getLong(0) == 9L)
+    assert(evolved.where("k = 7").selectExpr("extra").collect()
+      .head.isNullAt(0))
+    // partitioning changes still refuse on non-overwrites; overwrites
+    // replacing the schema of a colmap table refuse outright
     intercept[IllegalArgumentException](
       t.append(Seq((1L, "x", "red")).toDF("k", "s", "color"))) // partitionBy mismatch
     intercept[IllegalArgumentException](
@@ -1694,13 +1710,28 @@ class DeltaSpec extends SparkSpec {
       Paths.get(dir, "_delta_log", f"$v%020d.json")).toArray.mkString
     assert(logTxt.contains("\"deletionVector\"") &&
       !logTxt.contains("metaData"))
-    // data-writing verbs refuse: this writer cannot emit field-id footers
-    val e = intercept[IllegalArgumentException](
-      t.append(Seq((1L, "x")).toDF("k", "s")))
-    assert(e.getMessage.contains("id-mode"))
-    intercept[IllegalArgumentException](
-      t.delete("k", 0L, 1L, useDeletionVectors = false))
-    intercept[IllegalArgumentException](
-      t.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
+    // id-mode WRITES (r15): appends land, and the new footer carries
+    // REAL parquet field ids — a probe schema keyed ONLY by id, under
+    // names that match nothing, resolves the appended values
+    t.append(Seq((100L, "x100")).toDF("k", "s"))
+    assert(t.read(spark).collect().map(_.getLong(0)).toSet ==
+      ((0L to 4L) ++ (13L to 19L) ++ Seq(100L)).toSet)
+    val newFile = t.read(spark).inputFiles.map(f =>
+      Paths.get(new java.net.URI(f))).find { f =>
+        val n = f.getFileName.toString
+        n != "fA.parquet" && n != "fB.parquet"
+      }.get
+    val probe = StructType(Seq(
+      StructField("qqq", LongType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()),
+      StructField("www", StringType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build())))
+    assert(spark.read.schema(probe).parquet(newFile.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((100L, "x100")))
+    // merge on the id-mode table: DV-kill + field-id append
+    t.merge(Seq((100L, "UP"), (200L, "NEW")).toDF("k", "s"), "k")
+    val after = t.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(100L) == "UP" && after(200L) == "NEW")
   }
 }
