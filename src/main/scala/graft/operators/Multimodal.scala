@@ -8,12 +8,16 @@ import graft.lake.Tables
 /** Multimodal columns: image/audio/video payloads as opaque `binary`
   * columns with typed metadata (BASELINE.json north star).
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * shape — is real; the codec itself is STUBBED with a deterministic fake
-  * (this container ships no image/audio libraries). Swapping
-  * [[FakeCodec]] for a real decoder keeps every plan unchanged: decode
-  * runs inside `mapPartitions`, once per executor-core batch, exactly
-  * where a JNI/FFI decode would sit.
+  * FOUR REAL pure-JVM codecs run at the `mapPartitions` boundary — BMP
+  * ([[BmpCodec]]), PNG ([[PngCodec]], all five 8-bit colorTypes + both
+  * interlace methods), JPEG ([[JpegCodec]], baseline + progressive,
+  * verified against the JDK encoder's bytes) and RIFF/WAVE PCM
+  * ([[WavCodec]]) — all decoding to ONE shared top-down luma grid (or
+  * PCM samples) so dHash and every near-dup tier reuse a single pixel
+  * path. [[FakeCodec]] remains only as the generic-container stand-in
+  * for formats outside that set (video etc.): same signature, same
+  * per-partition batch shape, so swapping in a JNI/FFI decode keeps
+  * every plan unchanged.
   */
 object Multimodal {
 

@@ -1646,6 +1646,41 @@ class DeltaSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("col-x", "col-y"), footer.json)
   }
 
+  test("CDC emission on a PARTITIONED CDF table: cdc actions carry partitionValues; files hold data columns only") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.overwrite((0 until 40).map(i => (i.toLong, s"r$i", s"p${i % 2}"))
+      .toDF("k", "s", "part"), partitionBy = Seq("part"),
+      statsFor = Seq("k"))
+    t.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val v = t.delete("k", 10L, 13L)
+    val log = Files.readAllLines(
+      Paths.get(t.root, "_delta_log", f"$v%020d.json")).toArray.mkString
+    assert(log.contains("\"cdc\""), log)
+    // each cdc action carries its Hive partition's value; the files
+    // live under _change_data with partition dirs
+    assert(log.contains("\"part\":\"p0\"") && log.contains("\"part\":\"p1\""),
+      log)
+    // the cdc FILES hold only data columns + _change_type — the
+    // partition column attaches from the action's partitionValues
+    val cdcFiles = Files.walk(Paths.get(t.root, "_change_data"))
+      .iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    assert(cdcFiles.nonEmpty)
+    assert(spark.read.parquet(cdcFiles.head.toString).columns.toSet ==
+      Set("k", "s", "_change_type"))
+    // both feed surfaces reconstruct the partition column per action
+    def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    val expected = (10L to 13L).map(i => (i, s"p${i % 2}", "delete")).toSet
+    assert(feed(t.changes(spark, v - 1, v)
+      .select("k", "s", "part", "_change_type")) == expected)
+    assert(feed(t.changesRows(spark, v - 1, v)
+      .select("k", "s", "part", "_change_type")) == expected)
+    // snapshot intact
+    assert(t.read(spark).count() == 36)
+  }
+
   test("column-mapping ID mode: columns resolve by parquet field id; DV delete works; data writes refuse") {
     import spark.implicits._
     import org.apache.spark.sql.types._
