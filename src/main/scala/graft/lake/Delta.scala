@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, from_json, get_json_object, lit, map, regexp_replace, replace => freplace, sort_array, struct, to_json, url_decode, url_encode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, concat, expr, from_json, get_json_object, lit, map, max => fmax, min => fmin, raise_error, regexp_replace, replace => freplace, sort_array, struct, to_json, url_decode, url_encode, when}
 import org.apache.spark.sql.types._
 
 /** Delta Lake TRANSACTION-LOG interop — reads and writes the actual
@@ -54,10 +54,13 @@ import org.apache.spark.sql.types._
   *     results — LOUD FAILURE instead, per the engine discipline.
   *   - writer-feature gate ([[DeltaTable.ImplementedWriterFeatures]]):
   *     every commit-producing verb refuses when the table declares a
-  *     writer feature this engine does not implement, or a conditional
-  *     one made ACTIVE by config/schema (`delta.appendOnly=true` →
-  *     removes refuse; active CHECK constraints / invariants /
-  *     generated / identity columns → data writes refuse). Name-mode
+  *     writer feature this engine does not implement
+  *     (`delta.appendOnly=true` → removes refuse); the validation-class
+  *     features are ENFORCED, not refused — active CHECK constraints /
+  *     column invariants assert per row inside the write projection,
+  *     generated columns are computed or validated, identity columns
+  *     assigned with the high-water-mark committed alongside
+  *     ([[DeltaTable.enforceRowContract]]). Name-mode
   *     column-mapping tables take appends/merges/deletes/OPTIMIZE with
   *     PHYSICAL-name emission (files, stats keys, partitionValues);
   *     schema evolution and id-mode data writes refuse loudly.
@@ -228,7 +231,11 @@ final case class DeltaTable(root: String) {
     * layout, and silently mis-reading it would corrupt results — LOUD
     * FAILURE instead, per the engine discipline. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint",
+      // TIMESTAMP_NTZ columns read natively (Spark TimestampNTZType);
+      // vacuumProtocolCheck constrains VACUUM, which gates on the
+      // writer contract before deleting anything
+      "timestampNtz", "vacuumProtocolCheck")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -765,11 +772,17 @@ final case class DeltaTable(root: String) {
   def versionAt(ts: Long): Long = {
     val mapper = new ObjectMapper
     val raw = listLog(".json").map { case (v, p) =>
+      // inCommitTimestamp (the ICT writer feature) supersedes
+      // commitInfo.timestamp when present, per the protocol — it is the
+      // authoritative commit time on enabled tables
       val ci = Files.readAllLines(p).asScala.view.filter(_.nonEmpty)
         .map(mapper.readTree).map(_.get("commitInfo"))
         .collectFirst {
-          case n if n != null && n.hasNonNull("timestamp") =>
-            n.get("timestamp").asLong
+          case n if n != null && (n.hasNonNull("inCommitTimestamp") ||
+              n.hasNonNull("timestamp")) =>
+            if (n.hasNonNull("inCommitTimestamp"))
+              n.get("inCommitTimestamp").asLong
+            else n.get("timestamp").asLong
         }
       v -> ci.getOrElse(Files.getLastModifiedTime(p).toMillis)
     }
@@ -807,7 +820,10 @@ final case class DeltaTable(root: String) {
         val node = mapper.readTree(line)
         val ci = node.get("commitInfo")
         if (ci != null) {
+          // inCommitTimestamp supersedes timestamp, as in [[versionAt]]
           if (ci.hasNonNull("timestamp")) ts = ci.get("timestamp").asLong
+          if (ci.hasNonNull("inCommitTimestamp"))
+            ts = ci.get("inCommitTimestamp").asLong
           if (ci.hasNonNull("operation")) op = ci.get("operation").asText
           val pn = ci.get("operationParameters")
           if (pn != null && !pn.isNull)
@@ -1060,7 +1076,7 @@ final case class DeltaTable(root: String) {
     batch.toSeq
   }
 
-  private def commit(df: DataFrame, partitionBy: Seq[String],
+  private def commit(df0: DataFrame, partitionBy: Seq[String],
       removePaths: Seq[String], op: String, opParams: Map[String, String],
       txn: Option[(String, Long)] = None, dataChange: Boolean = true,
       statsFor: Seq[String] = Nil,
@@ -1069,7 +1085,9 @@ final case class DeltaTable(root: String) {
       dvReAdds: Seq[(AddFile, DeletionVectors.Descriptor)] = Nil,
       writeData: Boolean = true,
       colMapSafe: Boolean = false,
-      cdcData: Option[DataFrame] = None): Long = {
+      cdcData: Option[DataFrame] = None,
+      internalRewrite: Boolean = false,
+      preexistingRows: Boolean = false): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     // resolve the current snapshot BEFORE any data lands: every write
     // gate and schema-conflict check must refuse without leaving
@@ -1083,8 +1101,24 @@ final case class DeltaTable(root: String) {
       "colMapSafe commits must be metadata-only")
     val currentState: Option[LogState] =
       if (v == 0L) None
-      else Some(logState(df.sparkSession, Some(v - 1)))
+      else Some(logState(df0.sparkSession, Some(v - 1)))
     val mode = currentState.map(_.columnMappingMode).getOrElse("none")
+
+    // writer-feature gate + row-contract enforcement, BEFORE any other
+    // schema decision: the enforced frame may ADD generated/identity
+    // columns the schema-merge logic must see (an omitted generated
+    // column must be COMPUTED into the files, never null-filled).
+    // internalRewrite commits (the rewrite-form DELETE) re-commit a
+    // SUBSET of the table's own rows — they satisfy every constraint by
+    // induction and their identity values are the table's own, so
+    // enforcement (and its explicit-insert refusal) must not run.
+    currentState.foreach(s => requireWriterFeatures(s, op,
+      removesRows = dataChange && (removePaths.nonEmpty || dvReAdds.nonEmpty)))
+    val (df, hwmUpdates) = currentState match {
+      case Some(s) if dataChange && writeData && !internalRewrite =>
+        enforceRowContract(s, df0, op, preexistingRows)
+      case _ => (df0, Map.empty[String, Long])
+    }
 
     // ---- schema & partitioning decisions, BEFORE any data lands ------
     // Schema evolution, the Delta mergeSchema contract: an append whose
@@ -1114,7 +1148,20 @@ final case class DeltaTable(root: String) {
         val oldNames = current.fieldNames.toSet
         StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
     }
-    val rawSchemaChanged = currentSchema.exists(_.json != mergedSchema.json)
+    // identity high-water-marks from enforceRowContract ride the commit
+    // in the field metadata, per the protocol — the json drift below
+    // makes the fresh metaData action emit
+    val hwmSchema: StructType =
+      if (hwmUpdates.isEmpty) mergedSchema
+      else StructType(mergedSchema.fields.map { f =>
+        hwmUpdates.get(f.name) match {
+          case Some(h) => f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(DeltaTable.IdentityHwmKey, h).build())
+          case None => f
+        }
+      })
+    val rawSchemaChanged = currentSchema.exists(_.json != hwmSchema.json)
     val partChanged = currentState.exists(_.partitionColumns != partitionBy)
     // a NON-overwrite commit re-declaring table-wide partitioning would
     // break directory-based partition recovery for every pre-existing
@@ -1153,10 +1200,10 @@ final case class DeltaTable(root: String) {
       case other => other
     }
     val recordedSchema: StructType =
-      if (mode == "none" || !rawSchemaChanged) mergedSchema
+      if (mode == "none" || !rawSchemaChanged) hwmSchema
       else {
         val oldNames = currentSchema.get.fieldNames.toSet
-        StructType(mergedSchema.fields.map { f =>
+        StructType(hwmSchema.fields.map { f =>
           if (oldNames(f.name)) f
           else {
             maxColId += 1
@@ -1183,11 +1230,6 @@ final case class DeltaTable(root: String) {
     require(!(emitMeta && colMapSafe),
       s"DeltaTable $root: internal — colMapSafe commit must not emit " +
         "metaData (concurrent schema change?)")
-    // the protocol's writer-feature contract, gated before data lands
-    currentState.foreach(s => requireWriterFeatures(s, op,
-      removesRows = dataChange && (removePaths.nonEmpty || dvReAdds.nonEmpty),
-      addsRows = dataChange && writeData))
-
     // physical column names for every emitted surface on column-mapping
     // tables: file columns (at every nesting level, via the positional
     // struct cast), Hive partition dirs (→ partitionValues keys), and
@@ -1253,9 +1295,12 @@ final case class DeltaTable(root: String) {
     // writeData=false is the metadata-only commit shape (DV deletes:
     // removes + descriptor re-adds, no new data) — even an EMPTY frame
     // writes a footer-only part file Spark would then dutifully add.
+    // a failed staging job (e.g. a row-contract raise_error) must not
+    // leave scratch files behind — the commit throws, nothing publishes
     val moved: Seq[(String, Long, Map[String, String])] =
       if (!writeData) Nil
-      else stageParts(toPhysFrame(df, Nil), "part", None)
+      else try stageParts(toPhysFrame(df, Nil), "part", None)
+      catch { case t: Throwable => deleteRecursively(scratch); throw t }
 
     // Per-file stats for the data-skipping index: ONE map-side-combined
     // aggregate over the JUST-WRITTEN files (O(new data), grouped by
@@ -1319,11 +1364,49 @@ final case class DeltaTable(root: String) {
 
     val ci = mapper.createObjectNode
     ci.put("timestamp", now).put("operation", op)
+    // in-commit timestamps (the inCommitTimestamp writer feature): an
+    // enabled table's every commit carries a MONOTONIC inCommitTimestamp
+    // that timestamp time travel prefers over commitInfo.timestamp/file
+    // mtimes — clock skew and log-file copies cannot reorder history
+    if (newConfiguration.get("delta.enableInCommitTimestamps")
+        .contains("true")) {
+      val prev = if (v == 0L) 0L else lastInCommitTimestamp(v - 1)
+      ci.put("inCommitTimestamp", math.max(now, prev + 1))
+    }
     val params = ci.putObject("operationParameters")
     opParams.foreach { case (k, x) => params.put(k, x) }
     actions += wrap(mapper, "commitInfo", ci)
 
-    if (v == 0L) {
+    // TIMESTAMP_NTZ columns require the timestampNtz table feature
+    // (reader AND writer, per the protocol): the commit that introduces
+    // one — v0 or a schema evolution — declares it, converting any
+    // legacy tier to explicit feature lists with the implied features
+    // spelled out. Tables already declaring it are left alone.
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    val ntzDeclares = hasNtz(recordedSchema) && currentState.forall(s =>
+      !(s.minReader >= 3 && s.readerFeatures.contains("timestampNtz")))
+    if (ntzDeclares) {
+      val rf = (currentState.map(_.readerFeatures).getOrElse(Set.empty) ++
+        currentState.map(s => legacyReaderFeatures(s.minReader))
+          .getOrElse(Set.empty) + "timestampNtz").toSeq.sorted
+      val wf = (currentState.map(_.writerFeatures).getOrElse(Set.empty) ++
+        currentState.map(s => legacyWriterFeatures(s.minWriter))
+          .getOrElse(Set("appendOnly", "invariants")) +
+        "timestampNtz").toSeq.sorted
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      val rfArr = proto.putArray("readerFeatures")
+      rf.foreach(rfArr.add)
+      val wfArr = proto.putArray("writerFeatures")
+      wf.foreach(wfArr.add)
+      actions += wrap(mapper, "protocol", proto)
+    } else if (v == 0L) {
       val proto = mapper.createObjectNode
       proto.put("minReaderVersion", 1).put("minWriterVersion", 2)
       actions += wrap(mapper, "protocol", proto)
@@ -1449,20 +1532,17 @@ final case class DeltaTable(root: String) {
 
   /** The protocol's writer-feature contract ("writers must implement
     * every active writer feature"), gated by every commit-producing
-    * verb BEFORE any data lands. Two classes: features this engine
-    * honors outright ([[DeltaTable.ImplementedWriterFeatures]]), and
-    * conditional ones legal only while DORMANT — declared by the
-    * protocol tier but not activated by table config / schema metadata.
-    * Active `appendOnly` refuses removes/rewrites; active CHECK
-    * constraints, column invariants, generated and identity columns
-    * would all need row-level enforcement this engine does not
-    * implement, so data-adding writes refuse while any is active
-    * (row-removing DV deletes cannot violate them and stay legal).
-    * Anything outside the implemented set refuses outright — silently
-    * committing to (say) a rowTracking or icebergCompat table would
-    * corrupt its write contract. */
+    * verb BEFORE any data lands. Features in
+    * [[DeltaTable.ImplementedWriterFeatures]] are honored outright:
+    * active `appendOnly` refuses removes/rewrites here, and the
+    * validation-class features (CHECK constraints, column invariants,
+    * generated and identity columns) are ENFORCED row-by-row on every
+    * data-adding commit by [[enforceRowContract]] — the gate itself no
+    * longer refuses them. Anything outside the implemented set refuses
+    * outright — silently committing to (say) a rowTracking or
+    * icebergCompat table would corrupt its write contract. */
   private def requireWriterFeatures(st: LogState, op: String,
-      removesRows: Boolean, addsRows: Boolean): Unit = {
+      removesRows: Boolean): Unit = {
     val declared: Set[String] =
       if (st.minWriter >= 7) st.writerFeatures
       else legacyWriterFeatures(st.minWriter)
@@ -1471,31 +1551,187 @@ final case class DeltaTable(root: String) {
       s"DeltaTable $root: $op on a table declaring writer feature(s) " +
         s"${unknown.toSeq.sorted.mkString(",")} this engine does not " +
         "implement — refusing to violate the table's write contract")
-    def meta(key: String): Boolean =
-      st.schema.fields.exists(_.metadata.contains(key))
     if (removesRows)
       require(!(declared("appendOnly") &&
           st.configuration.get("delta.appendOnly").contains("true")),
         s"DeltaTable $root: $op removes or rewrites rows of an " +
           "append-only table (delta.appendOnly=true) — refusing")
-    if (addsRows) {
-      require(!(declared("checkConstraints") &&
-          st.configuration.keys.exists(_.startsWith("delta.constraints."))),
-        s"DeltaTable $root: $op writes rows into a table with active " +
-          "CHECK constraints this engine does not validate — refusing")
-      require(!(declared("invariants") && meta("delta.invariants")),
-        s"DeltaTable $root: $op writes rows into a table with active " +
-          "column invariants this engine does not validate — refusing")
-      require(!(declared("generatedColumns") &&
-          meta("delta.generationExpression")),
-        s"DeltaTable $root: $op writes rows into a table with generated " +
-          "columns this engine does not compute — refusing")
-      require(!(declared("identityColumns") &&
-          (meta("delta.identity.start") || meta("delta.identity.step") ||
-            meta("delta.identity.allowExplicitInsert"))),
-        s"DeltaTable $root: $op writes rows into a table with identity " +
-          "columns this engine does not assign — refusing")
+  }
+
+  /** Row-level write-contract ENFORCEMENT for the validation-class
+    * writer features, applied to every data-adding commit's frame
+    * (delta-spark parity — these were refuse-when-active through r15):
+    *
+    *   - CHECK constraints (`delta.constraints.<name>` configuration)
+    *     and legacy column invariants (`delta.invariants` field
+    *     metadata, `{"expression":{"expression":"<sql>"}}`): each
+    *     predicate is compiled into the write projection itself — the
+    *     first data column is wrapped in a CaseWhen whose violation arm
+    *     is `raise_error` naming the constraint and the violating row's
+    *     JSON. ONE pass (no pre-validation scan — at 100 TB a separate
+    *     validation job would double the append's read cost), loud
+    *     failure before the commit publishes, staged part files swept
+    *     by the existing scratch cleanup. SQL CHECK semantics: a row
+    *     violates only when the expression is exactly FALSE — NULL
+    *     (unknown) passes, per the SQL standard delta-spark follows.
+    *   - Generated columns (`delta.generationExpression` field
+    *     metadata): a frame OMITTING the column gets it computed from
+    *     the expression; a frame providing it is validated per row
+    *     (provided must null-safe-equal computed — Delta's "explicit
+    *     values must match the generation expression" rule) with the
+    *     same inline raise_error shape.
+    *   - Identity columns (`delta.identity.*` field metadata): a frame
+    *     omitting the column gets values assigned DISTRIBUTED via
+    *     zipWithIndex (one count job over a localCheckpointed frame,
+    *     then per-partition offset arithmetic — no global sort, no
+    *     single-partition window): value_i = base + step·(i+1) with
+    *     base = highWaterMark (or start − step on first use), and the
+    *     commit's metaData records the new
+    *     `delta.identity.highWaterMark` = base + step·n in the field
+    *     metadata, per the protocol. GENERATED ALWAYS columns
+    *     (allowExplicitInsert absent/false) refuse explicit values;
+    *     allowExplicitInsert=true frames pass through with the
+    *     high-water-mark SYNCed over the explicit values (rounded onto
+    *     the start + k·step lattice) so later generation cannot
+    *     collide.
+    *
+    * Returns the enforced/augmented frame plus the identity columns'
+    * new high-water-marks for the metaData emission. v0 commits skip
+    * enforcement (the frame DEFINES the table; enforcement begins with
+    * the next write). */
+  private def enforceRowContract(st: LogState, df0: DataFrame, op: String,
+      preexistingRows: Boolean = false): (DataFrame, Map[String, Long]) = {
+    var df = df0
+    val hwmUpdates = mutable.Map.empty[String, Long]
+    def metaLong(m: Metadata, k: String): Option[Long] =
+      if (!m.contains(k)) None
+      else try Some(m.getLong(k))
+      catch { case _: ClassCastException => Some(m.getDouble(k).toLong) }
+
+    // ---- generated columns: compute when absent, validate when given
+    st.schema.fields.filter(_.metadata.contains(DeltaTable.GenExprKey)).foreach { f =>
+      val genSql = f.metadata.getString(DeltaTable.GenExprKey)
+      val gen = expr(genSql).cast(f.dataType)
+      // computed columns carry the table's field metadata, so even an
+      // overwrite (whose frame schema REPLACES the table's) keeps the
+      // generation expression declared
+      if (!df.columns.contains(f.name))
+        df = df.withColumn(f.name, gen.as(f.name, f.metadata))
+      else {
+        val payload = to_json(struct(df.columns.map(col).toSeq: _*))
+        df = df.withColumn(f.name,
+          when(col(f.name) <=> gen, col(f.name)).otherwise(
+            raise_error(concat(lit(s"DeltaTable $root: $op provides " +
+              s"generated column ${f.name} != its generation expression " +
+              s"($genSql) on row "), payload)).cast(f.dataType))
+            .as(f.name, df.schema(f.name).metadata))
+      }
     }
+
+    // ---- identity columns: assign or sync, HWM rides the commit -----
+    st.schema.fields.filter(f =>
+        f.metadata.contains(DeltaTable.IdentityStartKey) ||
+        f.metadata.contains(DeltaTable.IdentityStepKey)).foreach { f =>
+      val m = f.metadata
+      val start = metaLong(m, DeltaTable.IdentityStartKey).getOrElse(1L)
+      val step = metaLong(m, DeltaTable.IdentityStepKey).getOrElse(1L)
+      require(step != 0L,
+        s"DeltaTable $root: identity column ${f.name} declares step 0")
+      val hwm = metaLong(m, DeltaTable.IdentityHwmKey)
+      // round v onto the start + k·step lattice, away from start, so a
+      // synced high-water-mark is itself a valid identity value
+      def lattice(v: Long): Long = {
+        val k = math.ceil((v - start).toDouble / step).toLong
+        start + math.max(k, 0L) * step
+      }
+      if (df.columns.contains(f.name)) {
+        // preexistingRows (UPDATE postimages): the values are the
+        // table's own assignments — no explicit-insert gate, no sync
+        require(preexistingRows ||
+            (m.contains(DeltaTable.IdentityAllowKey) &&
+              m.getBoolean(DeltaTable.IdentityAllowKey)),
+          s"DeltaTable $root: $op provides explicit values for GENERATED " +
+            s"ALWAYS identity column ${f.name} " +
+            "(delta.identity.allowExplicitInsert is not true) — refusing")
+        if (!preexistingRows) {
+          // SYNC: cover the explicit values so later generation can't
+          // collide — one single-column agg job over the frame
+          val observed = df.agg(
+            (if (step > 0) fmax(col(f.name)) else fmin(col(f.name)))
+              .cast(LongType)).collect()(0)
+          if (!observed.isNullAt(0)) {
+            val o = lattice(observed.getLong(0))
+            val covered = hwm match {
+              case Some(h) => if (step > 0) math.max(h, o) else math.min(h, o)
+              case None => o
+            }
+            if (!hwm.contains(covered)) hwmUpdates += f.name -> covered
+          }
+        }
+      } else {
+        val base = hwm.getOrElse(start - step)
+        // localCheckpoint stabilizes the frame across the count job and
+        // the assignment job (a recomputed nondeterministic frame could
+        // otherwise shift rows between partitions mid-assignment)
+        val cached = df.localCheckpoint(true)
+        val n = cached.count()
+        if (n == 0)
+          df = cached.withColumn(f.name,
+            lit(null).cast(LongType).as(f.name, f.metadata))
+        else {
+          // assigned columns keep the identity declaration in the field
+          // metadata (overwrite frames REPLACE the table schema)
+          val outSchema = StructType(cached.schema.fields :+
+            StructField(f.name, LongType, nullable = false, f.metadata))
+          val assigned = cached.rdd.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (base + step * (i + 1)))
+          }
+          df = cached.sparkSession.createDataFrame(assigned, outSchema)
+          hwmUpdates += f.name -> (base + step * n)
+        }
+      }
+    }
+
+    // ---- CHECK constraints + column invariants: inline row asserts --
+    val checks: Seq[(String, String)] =
+      st.configuration.toSeq.sortBy(_._1).collect {
+        case (k, v) if k.startsWith(DeltaTable.ConstraintPrefix) =>
+          s"CHECK constraint ${k.stripPrefix(DeltaTable.ConstraintPrefix)}" -> v
+      } ++
+      st.schema.fields.flatMap { f =>
+        if (!f.metadata.contains(DeltaTable.InvariantsKey)) None
+        else Some(s"column invariant on ${f.name}" ->
+          parseInvariant(f.metadata.getString(DeltaTable.InvariantsKey)))
+      }
+    if (checks.nonEmpty && df.columns.nonEmpty) {
+      // the asserts ride a REAL output column (the first), so the
+      // optimizer can never prune them; CaseWhen arms evaluate lazily,
+      // so raise_error costs nothing on passing rows
+      val carrier = df.columns.head
+      val cf = df.schema(carrier)
+      val payload = to_json(struct(df.columns.map(col).toSeq: _*))
+      val wrapped = checks.foldLeft(col(carrier)) {
+        case (acc, (label, sql)) =>
+          when(coalesce(expr(sql).cast(BooleanType), lit(true)) === false,
+            raise_error(concat(
+              lit(s"DeltaTable $root: $op violates $label ($sql) on row "),
+              payload)).cast(cf.dataType))
+          .otherwise(acc)
+      }
+      df = df.withColumn(carrier, wrapped.as(carrier, cf.metadata))
+    }
+    (df, hwmUpdates.toMap)
+  }
+
+  /** Legacy invariant metadata: `{"expression":{"expression":"<sql>"}}`
+    * (the delta protocol's column-invariants JSON; delta-spark writes
+    * exactly this shape). */
+  private def parseInvariant(json: String): String = {
+    val node = new ObjectMapper().readTree(json)
+    val e = node.path("expression").path("expression")
+    require(e.isTextual,
+      s"DeltaTable $root: unparseable delta.invariants metadata $json")
+    e.asText
   }
 
   /** SET TBLPROPERTIES — commit a metaData action with the updated
@@ -1508,20 +1744,67 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     val st = logState(spark, None)
     requireWriterFeatures(st, "SET TBLPROPERTIES",
-      removesRows = false, addsRows = false)
+      removesRows = false)
     val conf = st.configuration ++ props
     val mapper = new ObjectMapper
     val now = System.currentTimeMillis
     val actions = mutable.ArrayBuffer.empty[String]
+    val ictOn = conf.get("delta.enableInCommitTimestamps").contains("true")
     val ci = mapper.createObjectNode
     ci.put("timestamp", now).put("operation", "SET TBLPROPERTIES")
+    // enabling in-commit timestamps makes THIS commit the first to
+    // carry one (the config is active as of this version)
+    if (ictOn)
+      ci.put("inCommitTimestamp",
+        math.max(now, lastInCommitTimestamp(st.version) + 1))
     val pn = ci.putObject("operationParameters")
     props.toSeq.sortBy(_._1).foreach { case (k, x) => pn.put(k, x) }
     actions += wrap(mapper, "commitInfo", ci)
-    if (conf.get("delta.enableChangeDataFeed").contains("true") &&
-        st.minWriter < 4) {
+    // activation upgrades the protocol to the declaring tier, per the
+    // protocol's rule: CHECK constraints → minWriter 3, CDF →
+    // minWriter 4; inCommitTimestamp exists only as an EXPLICIT v7
+    // feature, so enabling it converts a legacy tier to (minReader, 7)
+    // with the implied features spelled out. Explicit-feature tables
+    // (v7) get the missing feature NAMES added to writerFeatures.
+    val activated = mutable.ArrayBuffer.empty[(Int, String)]
+    if (conf.keys.exists(_.startsWith(DeltaTable.ConstraintPrefix)))
+      activated += 3 -> "checkConstraints"
+    if (conf.get("delta.enableChangeDataFeed").contains("true"))
+      activated += 4 -> "changeDataFeed"
+    val v7Only: Set[String] = if (ictOn) Set("inCommitTimestamp") else Set.empty
+    if (st.minWriter >= 7) {
+      val missing = (activated.map(_._2).toSet ++ v7Only) -- st.writerFeatures
+      if (missing.nonEmpty) {
+        val proto = mapper.createObjectNode
+        proto.put("minReaderVersion", st.minReader)
+          .put("minWriterVersion", 7)
+        if (st.minReader >= 3) {
+          val rfArr = proto.putArray("readerFeatures")
+          st.readerFeatures.toSeq.sorted.foreach(rfArr.add)
+        }
+        val wfArr = proto.putArray("writerFeatures")
+        (st.writerFeatures ++ missing).toSeq.sorted.foreach(wfArr.add)
+        actions += wrap(mapper, "protocol", proto)
+      }
+    } else if (v7Only.nonEmpty) {
+      val wf = legacyWriterFeatures(st.minWriter) ++
+        activated.map(_._2) ++ v7Only
       val proto = mapper.createObjectNode
-      proto.put("minReaderVersion", st.minReader).put("minWriterVersion", 4)
+      proto.put("minReaderVersion", st.minReader)
+        .put("minWriterVersion", 7)
+      if (st.minReader >= 3) {
+        val rfArr = proto.putArray("readerFeatures")
+        (st.readerFeatures ++ legacyReaderFeatures(st.minReader))
+          .toSeq.sorted.foreach(rfArr.add)
+      }
+      val wfArr = proto.putArray("writerFeatures")
+      wf.toSeq.sorted.foreach(wfArr.add)
+      actions += wrap(mapper, "protocol", proto)
+    } else if (activated.nonEmpty &&
+        activated.map(_._1).max > st.minWriter) {
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", st.minReader)
+        .put("minWriterVersion", activated.map(_._1).max)
       actions += wrap(mapper, "protocol", proto)
     }
     actions += wrap(mapper, "metaData",
@@ -1529,6 +1812,21 @@ final case class DeltaTable(root: String) {
     val v = st.version + 1
     publish(v, actions.toSeq)
     v
+  }
+
+  /** The previous commit's inCommitTimestamp (0 when it predates
+    * enablement or the commit file is gone) — one driver-side read of a
+    * single bounded metadata file, for the monotonicity guarantee. */
+  private def lastInCommitTimestamp(v: Long): Long = {
+    val p = commitPath(v)
+    if (!Files.exists(p)) return 0L
+    val mapper = new ObjectMapper
+    Files.readAllLines(p).asScala.view.filter(_.nonEmpty)
+      .map(mapper.readTree).map(_.get("commitInfo"))
+      .collectFirst {
+        case n if n != null && n.hasNonNull("inCommitTimestamp") =>
+          n.get("inCommitTimestamp").asLong
+      }.getOrElse(0L)
   }
 
   private def wrap(mapper: ObjectMapper, key: String, node: ObjectNode): String = {
@@ -1576,7 +1874,7 @@ final case class DeltaTable(root: String) {
     // feature get the V2 form the feature REQUIRES writers to produce
     // (UUID manifest + sidecars); everything else gets the classic form.
     requireWriterFeatures(st, "CHECKPOINT",
-      removesRows = false, addsRows = false)
+      removesRows = false)
     val now = System.currentTimeMillis
     val tableId = st.tableId.getOrElse(
       java.util.UUID.nameUUIDFromBytes(root.getBytes("UTF-8")).toString)
@@ -1893,7 +2191,7 @@ final case class DeltaTable(root: String) {
         Map("predicate" -> predicate,
           "wholeFilesDropped" -> contained.size.toString),
         statsFor = Seq(column), removeDvs = dvMapOf(cand),
-        cdcData = cdcFrame)
+        cdcData = cdcFrame, internalRewrite = true)
     }
 
     // DV path: matched PHYSICAL row indexes per boundary file, grouped
@@ -1939,6 +2237,119 @@ final case class DeltaTable(root: String) {
         "deletionVectorsWritten" -> descs.size.toString),
       removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false,
       colMapSafe = true, cdcData = cdcFrame)
+  }
+
+  /** UPDATE by key-range predicate, Delta's UPDATE command: rows with
+    * `column` IN [lo, hi] get the `set` assignments applied (each
+    * expression evaluated against the PRE-update row) in ONE atomic
+    * commit — matched rows are killed via deletion vectors (whole-file
+    * removes when every live row of a file matches) and their updated
+    * versions appended as new files; files whose stats envelope cannot
+    * intersect the range are never touched, so a 100 TB table updates
+    * O(matched data), not O(table). The postimage flows through the
+    * row-contract enforcement: CHECK constraints and invariants assert
+    * over the UPDATED rows, generated columns not explicitly SET are
+    * recomputed from the updated row (their expressions may reference
+    * SET columns), and identity values are PRESERVED (preexistingRows —
+    * the rows are the table's own, no explicit-insert gate, no HWM
+    * sync). CDF-enabled tables serialize the row-level
+    * update_preimage/update_postimage pair into `_change_data` in the
+    * same commit. The rewrite form (useDeletionVectors=false) rewrites
+    * the candidate files instead: survivors keep their rows, matched
+    * rows take the updated version. */
+  def update(column: String, lo: Any, hi: Any, set: Map[String, Column],
+      useDeletionVectors: Boolean = true): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    require(set.nonEmpty, s"DeltaTable $root: UPDATE with no SET assignments")
+    set.keys.foreach(k => require(st.schema.fieldNames.contains(k),
+      s"DeltaTable $root: UPDATE sets unknown column $k"))
+    st.schema.fields.filter(f =>
+        f.metadata.contains(DeltaTable.IdentityStartKey) ||
+        f.metadata.contains(DeltaTable.IdentityStepKey)).foreach(f =>
+      require(!set.contains(f.name),
+        s"DeltaTable $root: UPDATE sets identity column ${f.name} — refusing"))
+    val candRows = fileCensus(spark, st)
+      .where(mayIntersectCol(st, column, lo, hi))
+      .select(censusSchema.fieldNames.map(col) :+
+        containedInCol(st, column, lo, hi).as("_whole"): _*)
+      .collect()
+    val cand = candRows.toSeq.map(rowToAdd)
+    if (cand.isEmpty) return st.version
+    val wholeIdx = censusSchema.fieldNames.length
+    val contained = candRows.filter(_.getBoolean(wholeIdx))
+      .map(_.getString(0)).toSet
+    val partial = cand.filterNot(f => contained(f.path))
+    val predicate = s"$column BETWEEN $lo AND $hi"
+    val tableCols = st.schema.fieldNames.map(col).toSeq
+    val candLive = readFilesDv(spark, st.schema, st.partitionColumns,
+      dvPairs(cand), st.columnMappingMode)
+    val matched = candLive
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    // SET first (against the pre-update row), then recompute generated
+    // columns not explicitly set — their expressions see the SET values
+    val setApplied = set.foldLeft(matched) { case (acc, (c, e)) =>
+      acc.withColumn(c, e.cast(st.schema(c).dataType)
+        .as(c, st.schema(c).metadata))
+    }
+    val postimage = st.schema.fields
+      .filter(f => f.metadata.contains(DeltaTable.GenExprKey) &&
+        !set.contains(f.name))
+      .foldLeft(setApplied)((acc, f) => acc.withColumn(f.name,
+        expr(f.metadata.getString(DeltaTable.GenExprKey)).cast(f.dataType)
+          .as(f.name, f.metadata)))
+      .select(tableCols: _*)
+    val cdcFrame: Option[DataFrame] =
+      if (!st.cdfEnabled) None
+      else Some(matched.select(tableCols: _*)
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(postimage
+          .withColumn("_change_type", lit("update_postimage"))))
+
+    if (!useDeletionVectors) {
+      val survivors = candLive.filter(col(column).isNull ||
+        col(column) < lit(lo) || col(column) > lit(hi))
+      return commit(survivors.unionByName(postimage), st.partitionColumns,
+        cand.map(_.path), "UPDATE",
+        Map("predicate" -> predicate), statsFor = Seq(column),
+        removeDvs = dvMapOf(cand), cdcData = cdcFrame,
+        preexistingRows = true)
+    }
+
+    // DV path: matched PHYSICAL row indexes per boundary file (same
+    // machinery as DELETE — existing DVs not applied, union is
+    // idempotent), serialized DISTRIBUTED; wholly-contained files drop
+    // outright
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val (emptied, descs) =
+      if (partial.isEmpty)
+        (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
+      else {
+        val dataSchema = StructType(
+          st.schema.filterNot(f => st.partitionColumns.contains(f.name))
+            .map(f => DeltaTable.physicalField(f,
+              byId = st.columnMappingMode == "id")))
+        val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
+        val reader =
+          if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
+          else spark.read.option("basePath", absRoot).schema(dataSchema)
+        val dt = st.schema(column).dataType
+        val matchedRows = reader.parquet(paths: _*)
+          .select(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
+            col("_metadata.row_index").as("_ri"),
+            col(st.phys(column)).cast(dt).as("_c"))
+          .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
+          .select(col("_fp"), col("_ri"))
+        buildDvs(spark, matchedRows, partial)
+      }
+    val wholeDrops = cand.filter(f => contained(f.path)) ++ emptied
+    commit(postimage, st.partitionColumns, wholeDrops.map(_.path), "UPDATE",
+      Map("predicate" -> predicate,
+        "wholeFilesDropped" -> wholeDrops.size.toString,
+        "deletionVectorsWritten" -> descs.size.toString),
+      statsFor = Seq(column), removeDvs = dvMapOf(wholeDrops),
+      dvReAdds = descs, cdcData = cdcFrame, preexistingRows = true)
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -1987,7 +2398,7 @@ final case class DeltaTable(root: String) {
     // restore REMOVES files added since the target — gate on the
     // table's write contract (an append-only table cannot be restored)
     requireWriterFeatures(cur, "RESTORE",
-      removesRows = removed.nonEmpty, addsRows = false)
+      removesRows = removed.nonEmpty)
     // the restored snapshot's metadata (schema, partitioning AND
     // configuration) rides the commit when it differs; on a
     // column-mapping table the action payloads replay verbatim and the
@@ -2474,6 +2885,11 @@ final case class DeltaTable(root: String) {
     require(keepVersions >= 1, s"vacuum keepVersions $keepVersions < 1")
     val spark = SparkSession.active
     val latest = latestVersion.getOrElse(return 0)
+    // the vacuumProtocolCheck contract: VACUUM verifies the writer
+    // protocol before deleting anything — a table declaring features
+    // this engine can't honor must not have its files swept by it
+    requireWriterFeatures(logState(spark, None), "VACUUM",
+      removesRows = false)
     val keepFrom = math.max(0L, latest - keepVersions + 1)
     val liveAdds = (keepFrom to latest).flatMap(v =>
       livePathDvs(spark, logState(spark, Some(v))))
@@ -2563,12 +2979,28 @@ object DeltaTable {
   private[lake] val PhysNameKey = "delta.columnMapping.physicalName"
   private[lake] val ColIdKey = "delta.columnMapping.id"
 
+  /** Keys of the validation-class writer features this engine ENFORCES
+    * on data-adding writes ([[DeltaTable.enforceRowContract]]):
+    * configuration-level CHECK constraints, and the field-metadata keys
+    * of legacy column invariants, generated columns and identity
+    * columns — all from the public Delta protocol. */
+  private[lake] val ConstraintPrefix = "delta.constraints."
+  private[lake] val InvariantsKey = "delta.invariants"
+  private[lake] val GenExprKey = "delta.generationExpression"
+  private[lake] val IdentityStartKey = "delta.identity.start"
+  private[lake] val IdentityStepKey = "delta.identity.step"
+  private[lake] val IdentityHwmKey = "delta.identity.highWaterMark"
+  private[lake] val IdentityAllowKey = "delta.identity.allowExplicitInsert"
+
   /** Writer features this engine implements or honors: appendOnly is
     * HONORED (active delta.appendOnly=true refuses removes), the
     * validation-class features (invariants, checkConstraints,
-    * generatedColumns, identityColumns) are legal only while dormant —
-    * [[DeltaTable.requireWriterFeatures]] refuses data writes when table
-    * config/schema metadata activates them — changeDataFeed is
+    * generatedColumns, identityColumns) are ENFORCED row-by-row on
+    * every data-adding write — CHECK constraints and invariants as
+    * inline raise_error asserts in the write projection, generated
+    * columns computed-or-validated, identity columns assigned with the
+    * high-water-mark recorded in the same commit
+    * ([[DeltaTable.enforceRowContract]]) — changeDataFeed is
     * implemented (DELETE/MERGE serialize `cdc` actions), deletionVectors
     * is implemented end-to-end, columnMapping writes emit physical
     * names (name mode; id mode allows only the metadata-only DV
@@ -2578,7 +3010,12 @@ object DeltaTable {
   private[lake] val ImplementedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "identityColumns", "changeDataFeed", "deletionVectors", "columnMapping",
-    "v2Checkpoint")
+    "v2Checkpoint",
+    // timestampNtz: TIMESTAMP_NTZ columns write natively, and a commit
+    // introducing one declares the feature; inCommitTimestamp: enabled
+    // tables carry a monotonic inCommitTimestamp in every commitInfo;
+    // vacuumProtocolCheck: VACUUM gates on the writer contract first
+    "timestampNtz", "inCommitTimestamp", "vacuumProtocolCheck")
 
   /** Physical read/write schema for one field of a column-mapping
     * table, applied RECURSIVELY: every nesting level (struct fields,

@@ -579,6 +579,92 @@ object LakeRegistry {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // timestampNtz table feature (r15): the overwrite introduces a
+    // TIMESTAMP_NTZ column, declaring the reader+writer feature; the
+    // roundtrip groups ON the ntz value (proving the type survives the
+    // delta write/read), the oracle recomputes it in DuckDB — both
+    // engines build the timestamp from the same integers, no zone math
+    "q_delta_ntz" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_ntz"))
+      val base = docs(s, d).withColumn("etl_ts", expr(
+        "make_timestamp_ntz(2024, 1, CAST(1 + doc_id % 28 AS INT), " +
+          "CAST(doc_id % 24 AS INT), 0, 0)"))
+      dt.overwrite(base)
+      dt.read(s).groupBy(hour(col("etl_ts")).as("hr"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("etl_ts")).as("n_ts"))
+    }),
+    // UPDATE verb (r15): stats-pruned DV-kill of the matched rows +
+    // postimage append in ONE commit; SET expressions evaluate against
+    // the pre-update row — the oracle restates the update as CASE
+    "q_delta_update" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_upd"))
+      val base = docs(s, d)
+      dt.overwrite(base.repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.update("doc_id", 100L, 299L,
+        Map("n_chars" -> (col("n_chars") + 7), "lang" -> lit("xx")))
+      bySource(dt.read(s))
+    }),
+    // CHECK-constraint ENFORCEMENT (r15): SET TBLPROPERTIES activates
+    // two constraints (upgrading the protocol to the declaring tier 3);
+    // the append's rows all satisfy them, so the write lands through the
+    // inline per-row asserts and the roundtrip is lossless (violating
+    // writes refusing — and refusing ATOMICALLY — is spec'd in
+    // DeltaSpec's row-contract suite)
+    "q_delta_constraint" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_ckq"))
+      val base = docs(s, d)
+      dt.overwrite(base.filter(col("doc_id") % 2 === 0))
+      dt.setProperties(Map(
+        "delta.constraints.chars_nonneg" -> "n_chars >= 0",
+        "delta.constraints.id_present" -> "doc_id IS NOT NULL"))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0))
+      bySource(dt.read(s))
+    }),
+    // GENERATED-column enforcement (r15): the table declares
+    // chars_bucket = CAST(FLOOR(n_chars / 100) AS BIGINT) in field
+    // metadata; the second append OMITS the column and the engine
+    // computes it into the files — the oracle recomputes it in SQL
+    "q_delta_generated" -> ((s, d) => {
+      import org.apache.spark.sql.types.MetadataBuilder
+      val dt = DeltaTable(tmpRoot(s, d, "delta_genq"))
+      val base = docs(s, d)
+      val genMeta = new MetadataBuilder().putString(
+        "delta.generationExpression",
+        "CAST(FLOOR(n_chars / 100) AS BIGINT)").build()
+      dt.overwrite(base.filter(col("doc_id") % 2 === 0).select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        floor(col("n_chars") / 100).cast("bigint").as("chars_bucket", genMeta)))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0)) // column omitted
+      dt.read(s).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars_bucket")).as("sum_buckets"),
+          countDistinct(col("chars_bucket")).as("n_buckets"))
+    }),
+    // IDENTITY-column enforcement (r15): a fresh table declares
+    // id = START 1000 STEP 3; two appends omit the column and the
+    // engine assigns values DISTRIBUTED, continuing from the committed
+    // high-water-mark — ids form the exact arithmetic sequence
+    // 1000 + 3k over all rows, which the oracle states in closed form.
+    // Fresh root per run: identity state accumulates across appends.
+    "q_delta_identity" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, MetadataBuilder}
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val dt = DeltaTable(tmpRoot(s, d, s"delta_idq_$u"))
+      val base = docs(s, d).select(col("source"), col("lang"), col("n_chars"))
+      val idMeta = new MetadataBuilder()
+        .putLong("delta.identity.start", 1000L)
+        .putLong("delta.identity.step", 3L).build()
+      dt.overwrite(base.limit(0).select(col("*"),
+        lit(null).cast(LongType).as("row_id", idMeta)))
+      dt.append(base.filter(col("n_chars") % 2 === 0))
+      dt.append(base.filter(col("n_chars") % 2 =!= 0))
+      dt.read(s).agg(count(lit(1)).as("n_rows"),
+        min(col("row_id")).as("min_id"), max(col("row_id")).as("max_id"),
+        countDistinct(col("row_id")).as("n_ids"),
+        sum(col("row_id")).as("sum_ids"))
+    }),
   )
 
   private val bySourceSql =
@@ -698,5 +784,43 @@ object LakeRegistry {
         |  (0, 'WRITE', 'Overwrite', NULL, 4, 0))
         | AS t(version, operation, op_mode, restored_version,
         |      n_adds, n_removes)""".stripMargin,
+    // the ntz timestamp recomputed from the same integer fields
+    "q_delta_ntz" ->
+      """SELECT CAST(hour(make_timestamp(2024, 1,
+        |    CAST(1 + doc_id % 28 AS INT), CAST(doc_id % 24 AS INT),
+        |    0, 0)) AS INT) AS hr,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT make_timestamp(2024, 1,
+        |    CAST(1 + doc_id % 28 AS INT), CAST(doc_id % 24 AS INT),
+        |    0, 0)) AS n_ts
+        |FROM documents GROUP BY 1""".stripMargin,
+    // the UPDATE restated as CASE over the source table
+    "q_delta_update" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN doc_id BETWEEN 100 AND 299
+        |    THEN 7 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT CASE WHEN doc_id BETWEEN 100 AND 299
+        |    THEN 'xx' ELSE lang END) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+    // lossless roundtrip through the constraint-enforced append
+    "q_delta_constraint" -> s"$bySourceSql GROUP BY source",
+    // the oracle recomputes the generation expression in SQL (FLOOR on
+    // both sides: DuckDB's CAST rounds half-even where Spark truncates)
+    "q_delta_generated" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(FLOOR(n_chars / 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_buckets,
+        |  count(DISTINCT CAST(FLOOR(n_chars / 100) AS BIGINT)) AS n_buckets
+        |FROM documents GROUP BY source""".stripMargin,
+    // identity values form the closed-form arithmetic sequence
+    // 1000 + 3k, k = 0..n-1, independent of row-to-id permutation
+    "q_delta_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(1000 + 3*(count(*) - 1) AS BIGINT) AS max_id,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(1000*count(*) + 3*count(*)*(count(*) - 1)/2 AS BIGINT)
+        |    AS sum_ids
+        |FROM documents""".stripMargin,
   )
 }

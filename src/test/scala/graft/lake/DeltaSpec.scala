@@ -1268,7 +1268,7 @@ class DeltaSpec extends SparkSpec {
     DeltaTable(dir)
   }
 
-  test("writer-feature gate: active appendOnly/constraints/generated/identity refuse; dormant tiers write; unknown features refuse everything") {
+  test("writer-feature gate: active appendOnly refuses removes; validation features enforce; dormant tiers write; unknown features refuse everything") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val plain = StructType(Seq(StructField("k", LongType),
@@ -1297,18 +1297,21 @@ class DeltaSpec extends SparkSpec {
     dormant.delete("k", 1L, 1L)
     assert(dormant.read(spark).count() == 1)
 
-    // ACTIVE CHECK constraints (legacy tier 3): data writes refuse, the
-    // row-REMOVING DV delete (which cannot violate a constraint) lands
+    // ACTIVE CHECK constraints (legacy tier 3): ENFORCED since r15 —
+    // satisfying writes land, violating writes refuse row-by-row
+    // (full matrix in the row-contract enforcement test below)
     val ck = foreignTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       """{"delta.constraints.c1":"k > 0"}""", plain)
-    val e2 = intercept[IllegalArgumentException](
-      ck.append(Seq((3L, "c")).toDF("k", "s")))
-    assert(e2.getMessage.contains("CHECK constraints"))
-    intercept[IllegalArgumentException](
-      ck.merge(Seq((1L, "x")).toDF("k", "s"), "k"))
+    ck.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(ck.read(spark).count() == 3)
+    val e2 = intercept[Exception](
+      ck.append(Seq((0L, "z")).toDF("k", "s")))
+    assert(e2.getMessage.contains("CHECK constraint c1"))
+    assert(ck.read(spark).count() == 3) // violating append left no rows
+    ck.merge(Seq((1L, "x")).toDF("k", "s"), "k") // satisfies k > 0
     ck.delete("k", 2L, 2L)
-    assert(ck.read(spark).count() == 1)
+    assert(ck.read(spark).count() == 2)
     // tier 3 WITHOUT constraints in config: dormant, appends land
     val ck2 = foreignTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
@@ -1317,20 +1320,24 @@ class DeltaSpec extends SparkSpec {
     assert(ck2.read(spark).count() == 3)
 
     // ACTIVE generated column (tier 4: schema metadata carries the
-    // generation expression): appends refuse
+    // generation expression): ENFORCED — matching explicit values land,
+    // mismatches refuse, omission computes (matrix in the test below)
     val genSchema = StructType(Seq(StructField("k", LongType),
       StructField("s", StringType, nullable = true, new MetadataBuilder()
         .putString("delta.generationExpression", "CAST(k AS STRING)").build())))
     val gen = foreignTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
       """{}""", genSchema)
-    val e3 = intercept[IllegalArgumentException](
-      gen.append(Seq((3L, "3")).toDF("k", "s")))
-    assert(e3.getMessage.contains("generated"))
+    gen.append(Seq((3L, "3")).toDF("k", "s")) // matches CAST(k AS STRING)
+    assert(gen.read(spark).count() == 3)
+    val e3 = intercept[Exception](
+      gen.append(Seq((4L, "x")).toDF("k", "s")))
+    assert(e3.getMessage.contains("generated column s"))
     gen.delete("k", 1L, 1L) // removal stays legal
-    assert(gen.read(spark).count() == 1)
+    assert(gen.read(spark).count() == 2)
 
-    // ACTIVE identity column (tier 6)
+    // ACTIVE identity column (tier 6): GENERATED ALWAYS — explicit
+    // values refuse; omission assigns (matrix in the test below)
     val idSchema = StructType(Seq(StructField("k", LongType, nullable = true,
       new MetadataBuilder().putLong("delta.identity.start", 1L)
         .putLong("delta.identity.step", 1L).build()),
@@ -1340,7 +1347,7 @@ class DeltaSpec extends SparkSpec {
       """{}""", idSchema)
     val e4 = intercept[IllegalArgumentException](
       ident.append(Seq((3L, "c")).toDF("k", "s")))
-    assert(e4.getMessage.contains("identity"))
+    assert(e4.getMessage.contains("GENERATED ALWAYS identity column k"))
 
     // explicit v7 feature list with a feature OUTSIDE the implemented
     // set: EVERY commit-producing verb refuses, maintenance included
@@ -1371,6 +1378,322 @@ class DeltaSpec extends SparkSpec {
     self.overwrite(Seq((1L, "a")).toDF("k", "s"))
     self.delete("k", 1L, 1L)
     assert(self.read(spark).count() == 0)
+  }
+
+  /** Executor-side raise_error surfaces wrapped in SparkException
+    * layers — collect every message in the cause chain. */
+  private def chainMsg(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) {
+      sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause
+    }
+    sb.toString
+  }
+
+  test("row-contract enforcement: CHECK constraints and invariants assert per row, NULL passes, failed writes leave the table untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val plain = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val ck = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      """{"delta.constraints.kpos":"k > 0","delta.constraints.named":"s IS NOT NULL"}""",
+      plain)
+    ck.append(Seq((5L, "e")).toDF("k", "s"))
+    val v1 = ck.latestVersion.get
+    // a violating row refuses, naming the constraint and its expression;
+    // the whole batch is rejected (the satisfying row 6 must not land)
+    val e1 = intercept[Throwable](
+      ck.append(Seq((6L, "f"), (-1L, "g")).toDF("k", "s")))
+    assert(chainMsg(e1).contains("CHECK constraint kpos"))
+    assert(chainMsg(e1).contains("k > 0"))
+    assert(ck.latestVersion.get == v1)
+    assert(ck.read(spark).count() == 3)
+    // no scratch leftovers from the failed staging job
+    assert(!Files.list(Paths.get(ck.root)).iterator.asScala
+      .exists(_.getFileName.toString.startsWith(".tmp-delta-")))
+    // SQL CHECK semantics: NULL (unknown) passes — k > 0 over null k
+    ck.append(Seq[(java.lang.Long, String)]((null, "n")).toDF("k", "s"))
+    assert(ck.read(spark).where(col("k").isNull).count() == 1)
+    // the second constraint fires independently
+    val e2 = intercept[Throwable](
+      ck.append(Seq[(java.lang.Long, String)]((7L, null)).toDF("k", "s")))
+    assert(chainMsg(e2).contains("CHECK constraint named"))
+    // merge enforces too: a violating source row refuses the merge
+    val e3 = intercept[Throwable](
+      ck.merge(Seq((-2L, "m")).toDF("k", "s"), "k"))
+    assert(chainMsg(e3).contains("CHECK constraint kpos"))
+
+    // legacy column invariants (field metadata JSON) — same inline shape
+    val invSchema = StructType(Seq(StructField("k", LongType, nullable = true,
+      new MetadataBuilder().putString("delta.invariants",
+        """{"expression":{"expression":"k < 100"}}""").build()),
+      StructField("s", StringType)))
+    val inv = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{}""", invSchema)
+    inv.append(Seq((50L, "ok")).toDF("k", "s"))
+    val e4 = intercept[Throwable](inv.append(Seq((200L, "no")).toDF("k", "s")))
+    assert(chainMsg(e4).contains("column invariant on k"))
+    assert(chainMsg(e4).contains("k < 100"))
+    assert(inv.read(spark).count() == 3)
+  }
+
+  test("row-contract enforcement: generated columns compute when omitted, validate when provided, refuse on mismatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val genSchema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType, nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", "CAST(k AS STRING)").build())))
+    val gen = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{}""", genSchema)
+    // omitted → computed into the files (never null-filled)
+    gen.append(Seq(5L).toDF("k"))
+    assert(gen.read(spark).where(col("k") === 5L)
+      .select("s").as[String].head() == "5")
+    // provided and matching → lands
+    gen.append(Seq((6L, "6")).toDF("k", "s"))
+    // mismatch → refuses, naming the column and expression
+    val e1 = intercept[Throwable](gen.append(Seq((7L, "seven")).toDF("k", "s")))
+    assert(chainMsg(e1).contains("generated column s"))
+    assert(chainMsg(e1).contains("CAST(k AS STRING)"))
+    // NULL provided where the expression computes a value → mismatch
+    val e2 = intercept[Throwable](
+      gen.append(Seq[(java.lang.Long, String)]((8L, null)).toDF("k", "s")))
+    assert(chainMsg(e2).contains("generated column s"))
+    assert(gen.read(spark).count() == 4)
+    // the declaration survives an overwrite that OMITS the column
+    gen.overwrite(Seq(9L).toDF("k"))
+    assert(gen.read(spark).select("s").as[String].head() == "9")
+    val e3 = intercept[Throwable](gen.append(Seq((10L, "x")).toDF("k", "s")))
+    assert(chainMsg(e3).contains("generated column s"))
+  }
+
+  test("row-contract enforcement: identity columns assign distributed with HWM in the commit; explicit inserts sync or refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.types._
+    // GENERATED ALWAYS: start=100 step=10, seed row carries 100 with
+    // the high-water-mark declared to cover it (as a real writer would)
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 10L)
+      .putLong("delta.identity.highWaterMark", 100L).build()
+    val dt = tmpTable()
+    dt.overwrite(Seq("a").toDF("s").select(col("s"),
+      lit(100L).as("id", idMeta)))
+    dt.append(Seq("b", "c", "d").toDF("s")) // assigns 110, 120, 130
+    assert(dt.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 110L, 120L, 130L))
+    // the commit's metaData recorded the new high-water-mark
+    assert(dt.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 130L)
+    // a second append continues from it
+    dt.append(Seq("e").toDF("s"))
+    assert(dt.read(spark).select(max(col("id"))).as[Long].head() == 140L)
+    // explicit values refuse on GENERATED ALWAYS
+    val e1 = intercept[IllegalArgumentException](
+      dt.append(Seq(("f", 999L)).toDF("s", "id")))
+    assert(e1.getMessage.contains("GENERATED ALWAYS identity column id"))
+    // the rewrite-form DELETE re-commits existing rows without refusing
+    dt.delete("id", 110L, 110L, useDeletionVectors = false)
+    assert(dt.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 120L, 130L, 140L))
+
+    // negative step: start=0 step=-5, no seed values
+    val negMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 0L)
+      .putLong("delta.identity.step", -5L).build()
+    val neg = tmpTable()
+    neg.overwrite(Seq("x").toDF("s").select(col("s"),
+      lit(null).cast(LongType).as("id", negMeta)))
+    neg.append(Seq("y", "z").toDF("s")) // assigns 0, -5
+    assert(neg.read(spark).where(col("id").isNotNull)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(-5L, 0L))
+    assert(neg.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == -5L)
+
+    // GENERATED BY DEFAULT (allowExplicitInsert=true): explicit values
+    // pass and SYNC the high-water-mark so generation cannot collide
+    val byDefault = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    val dflt = tmpTable()
+    dflt.overwrite(Seq("x").toDF("s").select(col("s"),
+      lit(null).cast(LongType).as("id", byDefault)))
+    dflt.append(Seq(("e", 50L)).toDF("s", "id")) // explicit, allowed
+    assert(dflt.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 50L)
+    dflt.append(Seq("f").toDF("s")) // generated: continues past 50
+    assert(dflt.read(spark).where(col("s") === "f")
+      .select("id").as[Long].head() == 51L)
+  }
+
+  test("UPDATE: one atomic commit — DV kill + postimage append; SET sees the pre-update row; generated recompute; identity preserved; CDC pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import org.apache.spark.sql.types._
+    // plain table, DV form: matched rows die in place, postimages land
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+      .repartitionByRange(2, col("k")), statsFor = Seq("k"))
+    val v1 = dt.update("k", 2L, 3L, Map("s" -> lit("X")))
+    assert(vals(dt.read(spark)) ==
+      Set((1L, "a"), (2L, "X"), (3L, "X"), (4L, "d")))
+    assert(dt.latestVersion.get == v1) // ONE commit
+    // SET evaluates against the PRE-update row
+    dt.update("k", 4L, 4L, Map("s" -> concat(col("s"), lit("!"))))
+    assert(vals(dt.read(spark)).contains((4L, "d!")))
+    // rewrite form, same semantics
+    val dt2 = tmpTable()
+    dt2.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      statsFor = Seq("k"))
+    dt2.update("k", 2L, 2L, Map("s" -> lit("Y")), useDeletionVectors = false)
+    assert(vals(dt2.read(spark)) == Set((1L, "a"), (2L, "Y"), (3L, "c")))
+    // unknown SET column refuses
+    intercept[IllegalArgumentException](
+      dt2.update("k", 1L, 1L, Map("nope" -> lit(0))))
+
+    // generated column NOT in the SET recomputes from the updated row
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(k AS STRING)").build()
+    val gen = tmpTable()
+    gen.overwrite(Seq(1L, 2L).toDF("k").select(col("k"),
+      col("k").cast(StringType).as("s", genMeta)))
+    gen.update("k", 2L, 2L, Map("k" -> (col("k") + 100L)))
+    assert(vals(gen.read(spark)) == Set((1L, "1"), (102L, "102")))
+
+    // identity values are PRESERVED through the update; SETting the
+    // identity column itself refuses
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 10L)
+      .putLong("delta.identity.step", 10L).build()
+    val ident = tmpTable()
+    ident.overwrite(Seq("a").toDF("s").select(col("s"),
+      lit(null).cast(LongType).as("id", idMeta)))
+    ident.append(Seq("b", "c").toDF("s")) // ids 10, 20
+    ident.update("id", 10L, 10L, Map("s" -> lit("B")))
+    assert(ident.read(spark).where(col("s") === "B")
+      .select("id").as[Long].head() == 10L)
+    intercept[IllegalArgumentException](
+      ident.update("id", 10L, 10L, Map("id" -> lit(99L))))
+    // the HWM is untouched: the next generated id continues from 20
+    ident.append(Seq("d").toDF("s"))
+    assert(ident.read(spark).where(col("s") === "d")
+      .select("id").as[Long].head() == 30L)
+
+    // CHECK constraints assert over the UPDATED rows
+    val ck = tmpTable()
+    ck.overwrite(Seq((5L, "e")).toDF("k", "s"))
+    ck.setProperties(Map("delta.constraints.kpos" -> "k > 0"))
+    val e = intercept[Throwable](
+      ck.update("k", 5L, 5L, Map("k" -> lit(-1L))))
+    assert(chainMsg(e).contains("CHECK constraint kpos"))
+    assert(vals(ck.read(spark)) == Set((5L, "e")))
+
+    // CDF-enabled: the update serializes the preimage/postimage pair
+    val cdf = tmpTable()
+    cdf.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      statsFor = Seq("k"))
+    cdf.setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val vu = cdf.update("k", 2L, 2L, Map("s" -> lit("Z")))
+    val feed = cdf.changes(spark, vu - 1, vu)
+      .select("k", "s", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((2L, "b", "update_preimage"),
+      (2L, "Z", "update_postimage")))
+  }
+
+  test("timestampNtz: the commit introducing a TIMESTAMP_NTZ column declares the feature; values roundtrip; no re-declaration") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dt = tmpTable()
+    dt.overwrite(Seq(1L, 2L, 3L).toDF("k").withColumn("ts",
+      expr("make_timestamp_ntz(2024, 1, CAST(k AS INT), CAST(k AS INT), 0, 0)")))
+    val log0 = new String(Files.readAllBytes(
+      Paths.get(dt.root, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(log0.contains("\"minReaderVersion\":3"))
+    assert(log0.contains("\"minWriterVersion\":7"))
+    assert(log0.contains("timestampNtz"))
+    val back = dt.read(spark)
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(back.select(expr("hour(ts)")).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3))
+    // a second append neither re-declares nor changes the protocol
+    dt.append(Seq(4L).toDF("k").withColumn("ts",
+      expr("make_timestamp_ntz(2024, 1, 4, 4, 0, 0)")))
+    val log1 = new String(Files.readAllBytes(
+      Paths.get(dt.root, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+    assert(!log1.contains("\"protocol\""))
+    assert(dt.read(spark).count() == 4)
+    // DV delete + time travel still work on the feature-bearing table
+    dt.delete("k", 2L, 2L)
+    assert(dt.read(spark).select(expr("hour(ts)")).as[Int]
+      .collect().sorted.toSeq == Seq(1, 3, 4))
+  }
+
+  test("inCommitTimestamp: enablement upgrades to v7, every commit carries a strictly monotonic ICT, timestamp travel prefers it") {
+    import spark.implicits._
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    dt.setProperties(Map("delta.enableInCommitTimestamps" -> "true"))
+    dt.append(Seq((2L, "b")).toDF("k", "s"))
+    dt.append(Seq((3L, "c")).toDF("k", "s"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ict(v: Long): Option[Long] = Files.readAllLines(
+      Paths.get(dt.root, "_delta_log", f"$v%020d.json")).asScala
+      .filter(_.nonEmpty).map(m.readTree)
+      .flatMap(n => Option(n.get("commitInfo")))
+      .collectFirst {
+        case n if n.hasNonNull("inCommitTimestamp") =>
+          n.get("inCommitTimestamp").asLong
+      }
+    assert(ict(0L).isEmpty) // pre-enablement commit carries none
+    val Seq(i1, i2, i3) = Seq(1L, 2L, 3L).map(v => ict(v).get)
+    assert(i1 < i2 && i2 < i3) // strictly monotonic by construction
+    // the enablement commit declared the v7 feature
+    val log1 = new String(Files.readAllBytes(
+      Paths.get(dt.root, "_delta_log", f"${1L}%020d.json")), "UTF-8")
+    assert(log1.contains("inCommitTimestamp"))
+    assert(log1.contains("\"minWriterVersion\":7"))
+    // a foreign log where the ICT contradicts commitInfo.timestamp:
+    // timestamp travel prefers the ICT, per the protocol
+    val dir = Files.createTempDirectory("deltaict").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      """{"commitInfo":{"timestamp":2000,"inCommitTimestamp":9000,"operation":"WRITE"}}
+        |""".stripMargin.getBytes("UTF-8"))
+    val ft = DeltaTable(dir)
+    assert(ft.versionAt(8999L) == 0L) // 2000 would have said v1
+    assert(ft.versionAt(9000L) == 1L)
+  }
+
+  test("vacuumProtocolCheck: declared tables read and vacuum; unknown writer features refuse VACUUM") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val plain = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val rt = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{}""", plain)
+    intercept[IllegalArgumentException](rt.vacuum())
+    val vp = foreignTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["appendOnly","invariants","vacuumProtocolCheck"]}}""",
+      """{}""", plain)
+    assert(vp.read(spark).count() == 2) // reader feature honored
+    assert(vp.vacuum() == 0) // gate passes; nothing eligible
+    vp.append(Seq((3L, "c")).toDF("k", "s"))
+    assert(vp.read(spark).count() == 3)
   }
 
   test("V2 checkpoint: UUID manifest + sidecars read whole; torn sidecar set falls back; writes refuse") {
