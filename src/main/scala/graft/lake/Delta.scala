@@ -546,8 +546,18 @@ final case class DeltaTable(root: String) {
     * resurrect DV-deleted rows; [[buildDvs]] additionally refuses
     * loudly on any key that fails to resolve. */
   private def metaPath(absRoot: String, rel: String): String =
-    new org.apache.hadoop.fs.Path(
-      Paths.get(absRoot, rel).toString).toUri.toString
+    new org.apache.hadoop.fs.Path(dataPath(absRoot, rel)).toUri.toString
+
+  /** Resolve an action's (decoded) `path` against the table root:
+    * relative paths — the overwhelmingly common case — join the root;
+    * ABSOLUTE paths, which the protocol explicitly allows and shallow
+    * CLONEs ([[shallowCloneTo]]) record, resolve verbatim (file: URIs
+    * reduced to plain paths). Every scan-path construction and DV join
+    * key goes through here, so the two forms never diverge. */
+  private def dataPath(absRoot: String, p: String): String =
+    if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/")
+    else if (p.startsWith("/")) p
+    else Paths.get(absRoot, p).toString
 
   /** The exact frame the distributed DV build collects — (canonical
     * file path, descriptor JSON or null when the merged DV covers every
@@ -882,7 +892,7 @@ final case class DeltaTable(root: String) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val paths = files.map { case (f, _) => Paths.get(absRoot, f).toString }
+    val paths = files.map { case (f, _) => dataPath(absRoot, f) }
     // column mapping: the parquet footers (and partition dir names)
     // carry PHYSICAL column names at EVERY nesting level — scan with the
     // physical schema ([[DeltaTable.physicalField]], recursive), rename
@@ -2209,7 +2219,7 @@ final case class DeltaTable(root: String) {
           st.schema.filterNot(f => st.partitionColumns.contains(f.name))
             .map(f => DeltaTable.physicalField(f,
               byId = st.columnMappingMode == "id")))
-        val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
+        val paths = partial.map(f => dataPath(absRoot, f.path))
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
           else spark.read.option("basePath", absRoot).schema(dataSchema)
@@ -2237,6 +2247,67 @@ final case class DeltaTable(root: String) {
         "deletionVectorsWritten" -> descs.size.toString),
       removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false,
       colMapSafe = true, cdcData = cdcFrame)
+  }
+
+  /** Metadata-retention LOG CLEANUP (delta-spark's
+    * `delta.logRetentionDuration` behavior, exposed as an explicit
+    * maintenance verb): commit JSONs whose version is STRICTLY below
+    * the newest complete checkpoint and whose modification time is past
+    * `retentionMs` are deleted, as are older checkpoint files (all
+    * three forms); V2 sidecars go only when NO remaining manifest
+    * references them AND they are past retention. The newest checkpoint
+    * and the whole JSON tail at/above it always survive, so the latest
+    * snapshot — and every version ≥ the checkpoint — replays exactly as
+    * before; time travel BELOW the checkpoint fails loudly afterwards,
+    * the documented trade every Delta deployment makes to bound the
+    * metadata plane (a streaming table commits ~10⁵ versions/year —
+    * without cleanup the log listing itself becomes the bottleneck).
+    * Returns the number of files deleted. */
+  def cleanupExpiredLogs(retentionMs: Long = DefaultRetentionMs): Int = {
+    val spark = SparkSession.active
+    requireWriterFeatures(logState(spark, None), "LOG CLEANUP",
+      removesRows = false)
+    val cps = listCheckpoints()
+    if (cps.isEmpty) return 0
+    val cpV = cps.map(_.version).max
+    val horizon = System.currentTimeMillis - retentionMs
+    var deleted = 0
+    listLog(".json").foreach { case (v, p) =>
+      if (v < cpV && Files.getLastModifiedTime(p).toMillis <= horizon) {
+        Files.delete(p); deleted += 1
+      }
+    }
+    val cpRe = """^(\d{20})\.checkpoint(\..*)?\.parquet$""".r
+    Files.list(logDir).iterator.asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case cpRe(v, _) if v.toLong < cpV &&
+            Files.getLastModifiedTime(p).toMillis <= horizon =>
+          Files.delete(p); deleted += 1
+        case _ => ()
+      }
+    }
+    // V2 sidecars: reference-counted against every REMAINING manifest
+    // (same rule as checkpoint()'s replacement sweep) + the age gate
+    val sidecarDir = logDir.resolve("_sidecars")
+    if (Files.isDirectory(sidecarDir)) {
+      val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
+      val referenced: Set[String] = Files.list(logDir).iterator.asScala
+        .filter(p => p.getFileName.toString match {
+          case v2Re(_, uid) => !uid.forall(_.isDigit)
+          case _ => false
+        }).toSeq.flatMap { mf =>
+          val df = spark.read.parquet(mf.toString)
+          if (!df.schema.fieldNames.contains("sidecar")) Nil
+          else df.where(col("sidecar.path").isNotNull)
+            .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+        }.toSet
+      Files.list(sidecarDir).iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !referenced(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= horizon)
+        .toSeq.foreach { p => Files.delete(p); deleted += 1 }
+    }
+    deleted
   }
 
   /** UPDATE by key-range predicate, Delta's UPDATE command: rows with
@@ -2329,7 +2400,7 @@ final case class DeltaTable(root: String) {
           st.schema.filterNot(f => st.partitionColumns.contains(f.name))
             .map(f => DeltaTable.physicalField(f,
               byId = st.columnMappingMode == "id")))
-        val paths = partial.map(f => Paths.get(absRoot, f.path).toString)
+        val paths = partial.map(f => dataPath(absRoot, f.path))
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
           else spark.read.option("basePath", absRoot).schema(dataSchema)
@@ -2350,6 +2421,85 @@ final case class DeltaTable(root: String) {
         "deletionVectorsWritten" -> descs.size.toString),
       statsFor = Seq(column), removeDvs = dvMapOf(wholeDrops),
       dvReAdds = descs, cdcData = cdcFrame, preexistingRows = true)
+  }
+
+  /** Shallow CLONE, the Delta CLONE command's zero-copy form: creates a
+    * NEW independent table at `dstRoot` whose v0 log references THIS
+    * table's live data files by ABSOLUTE path (the protocol's add.path
+    * is "a relative path or an absolute path"), carrying their stats
+    * and the source's schema/configuration/protocol with a FRESH table
+    * id — metadata only, zero bytes of data copied. The v0 census
+    * STREAMS through toLocalIterator (O(1) driver memory beyond the
+    * line buffer; the log file itself is the O(live files) floor every
+    * Delta writer shares). From v0 the clone diverges freely: appends
+    * land under its root, DV deletes write bitmaps under its root
+    * against the absolute files, OPTIMIZE localizes rewritten data, and
+    * vacuum walks only the clone's root so SOURCE files are never swept
+    * — while vacuum on the SOURCE can break the clone, exactly
+    * delta-spark's documented shallow-clone caveat. Sources with live
+    * deletion vectors refuse (descriptor paths are source-root-relative
+    * — purge via OPTIMIZE first); partitioned sources refuse (partition
+    * recovery here is directory-based, which an external absolute file
+    * cannot join). */
+  def shallowCloneTo(dstRoot: String): DeltaTable = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    require(st.partitionColumns.isEmpty,
+      s"DeltaTable $root: shallow clone of a PARTITIONED table is not " +
+        "supported (directory-based partition recovery cannot span " +
+        "roots) — materialize with overwrite instead")
+    val dst = DeltaTable(dstRoot)
+    require(dst.latestVersion.isEmpty,
+      s"DeltaTable $dstRoot: shallow-clone target already has commits")
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    Files.createDirectories(dst.logDir)
+    val tmp = dst.logDir.resolve(
+      s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val w = Files.newBufferedWriter(tmp)
+    try {
+      val ci = mapper.createObjectNode
+      ci.put("timestamp", now).put("operation", "CLONE")
+      ci.putObject("operationParameters").put("source", absRoot)
+      w.write(wrap(mapper, "commitInfo", ci)); w.newLine()
+      val proto = mapper.createObjectNode
+      proto.put("minReaderVersion", st.minReader)
+        .put("minWriterVersion", st.minWriter)
+      if (st.minReader >= 3) {
+        val rfArr = proto.putArray("readerFeatures")
+        st.readerFeatures.toSeq.sorted.foreach(rfArr.add)
+      }
+      if (st.minWriter >= 7) {
+        val wfArr = proto.putArray("writerFeatures")
+        st.writerFeatures.toSeq.sorted.foreach(wfArr.add)
+      }
+      w.write(wrap(mapper, "protocol", proto)); w.newLine()
+      w.write(wrap(mapper, "metaData", metaNode(mapper, st.schema,
+        Nil, now, st.configuration,
+        Some(java.util.UUID.randomUUID.toString)))); w.newLine()
+      val it = fileCensus(spark, st).toLocalIterator()
+      while (it.hasNext) {
+        val f = rowToAdd(it.next())
+        require(f.dv.isEmpty,
+          s"DeltaTable $root: shallow clone of a table with live " +
+            s"deletion vectors (${f.path}) — purge them (OPTIMIZE) first")
+        val add = mapper.createObjectNode
+        add.put("path", encodePath(dataPath(absRoot, f.path)))
+        add.putObject("partitionValues")
+        add.put("size", f.size).put("modificationTime", f.modificationTime)
+          .put("dataChange", true)
+        f.statsJson.foreach(s => add.put("stats", s))
+        w.write(wrap(mapper, "add", add)); w.newLine()
+      }
+    } finally w.close()
+    try Files.createLink(dst.commitPath(0L), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"DeltaTable $dstRoot: concurrent commit already published v0", e)
+    } finally Files.deleteIfExists(tmp)
+    dst
   }
 
   /** RESTORE the table to `version` as a NEW commit (the Delta RESTORE
@@ -2613,7 +2763,7 @@ final case class DeltaTable(root: String) {
           st.schema.filterNot(f => st.partitionColumns.contains(f.name))
             .map(f => DeltaTable.physicalField(f,
               byId = st.columnMappingMode == "id")))
-        val paths = cand.map(f => Paths.get(absRoot, f.path).toString)
+        val paths = cand.map(f => dataPath(absRoot, f.path))
         val reader =
           if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
           else spark.read.option("basePath", absRoot).schema(dataSchema)
@@ -2857,7 +3007,7 @@ final case class DeltaTable(root: String) {
     val reader =
       if (partitionColumns.isEmpty) spark.read.schema(dataSchema)
       else spark.read.option("basePath", absRoot).schema(dataSchema)
-    val raw = reader.parquet(Paths.get(absRoot, relPath).toString)
+    val raw = reader.parquet(dataPath(absRoot, relPath))
     val wanted = spark.createDataFrame(
       rows.toSeq.map(Row(_)).asJava,
       StructType(Seq(StructField("_dv_row", LongType))))

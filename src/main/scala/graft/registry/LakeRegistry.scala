@@ -579,6 +579,19 @@ object LakeRegistry {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     }),
+    // shallow CLONE (r15): zero-copy table at a fresh root referencing
+    // the source's files by absolute path; the clone then diverges with
+    // a DV delete — the aggregate reads the CLONE (bitmaps under the
+    // clone root against absolute files), the source's log untouched
+    "q_delta_clone" -> ((s, d) => {
+      val src = DeltaTable(tmpRoot(s, d, "delta_clsrc"))
+      src.overwrite(docs(s, d).repartitionByRange(4, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val dst = src.shallowCloneTo(tmpRoot(s, d, s"delta_cldst_$u"))
+      dst.delete("doc_id", 100L, 299L)
+      bySource(dst.read(s))
+    }),
     // timestampNtz table feature (r15): the overwrite introduces a
     // TIMESTAMP_NTZ column, declaring the reader+writer feature; the
     // roundtrip groups ON the ntz value (proving the type survives the
@@ -784,6 +797,9 @@ object LakeRegistry {
         |  (0, 'WRITE', 'Overwrite', NULL, 4, 0))
         | AS t(version, operation, op_mode, restored_version,
         |      n_adds, n_removes)""".stripMargin,
+    // the clone serves the source minus the DV-deleted band
+    "q_delta_clone" ->
+      s"$bySourceSql WHERE doc_id NOT BETWEEN 100 AND 299 GROUP BY source",
     // the ntz timestamp recomputed from the same integer fields
     "q_delta_ntz" ->
       """SELECT CAST(hour(make_timestamp(2024, 1,

@@ -1696,6 +1696,80 @@ class DeltaSpec extends SparkSpec {
     assert(vp.read(spark).count() == 3)
   }
 
+  test("shallow CLONE: zero-copy v0 with absolute paths; reads equal source; clone verbs never touch source files; refusals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmpTable()
+    src.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "s").repartitionByRange(2, col("k")), statsFor = Seq("k"))
+    val dstRoot = Files.createTempDirectory("deltaclone").toString + "/t"
+    val dst = src.shallowCloneTo(dstRoot)
+    // zero bytes of data copied: the clone root holds only the log
+    assert(!Files.list(Paths.get(dstRoot)).iterator.asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")))
+    assert(vals(dst.read(spark)) == vals(src.read(spark)))
+    // the v0 add paths are absolute (they resolve into the source root)
+    val log0 = new String(Files.readAllBytes(
+      Paths.get(dstRoot, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(log0.contains(Paths.get(src.root).toAbsolutePath.toString))
+    // data skipping carried over: stats prune on the cloned stats
+    assert(vals(dst.readWhere(spark, "k", 1L, 2L)) ==
+      Set((1L, "a"), (2L, "b")))
+    // clone diverges independently: DV delete (bitmap under the CLONE
+    // root, against the absolute source file), then an append
+    dst.delete("k", 2L, 3L)
+    dst.append(Seq((9L, "z")).toDF("k", "s"))
+    assert(vals(dst.read(spark)) == Set((1L, "a"), (4L, "d"), (9L, "z")))
+    assert(vals(src.read(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))) // source untouched
+    // OPTIMIZE localizes the rewritten data; vacuum then walks only the
+    // clone root — the source's files all survive
+    dst.compact()
+    dst.vacuum(keepVersions = 1, retentionMs = 0L)
+    assert(vals(dst.read(spark)) == Set((1L, "a"), (4L, "d"), (9L, "z")))
+    assert(vals(src.read(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // refusals: non-empty target, partitioned source, DV-bearing source
+    intercept[IllegalArgumentException](src.shallowCloneTo(dstRoot))
+    val part = tmpTable()
+    part.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      partitionBy = Seq("s"))
+    intercept[IllegalArgumentException](part.shallowCloneTo(
+      Files.createTempDirectory("deltaclone2").toString + "/t"))
+    val dvSrc = tmpTable()
+    dvSrc.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1),
+      statsFor = Seq("k"))
+    dvSrc.delete("k", 1L, 1L) // leaves a live DV
+    intercept[IllegalArgumentException](dvSrc.shallowCloneTo(
+      Files.createTempDirectory("deltaclone3").toString + "/t"))
+  }
+
+  test("log cleanup: expired commits below the newest checkpoint age out; the snapshot replays unchanged; time travel below fails loudly") {
+    import spark.implicits._
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    dt.append(Seq((2L, "b")).toDF("k", "s"))
+    dt.checkpoint() // at v1
+    dt.append(Seq((3L, "c")).toDF("k", "s"))
+    // within retention nothing ages out
+    assert(dt.cleanupExpiredLogs() == 0)
+    // retention 0: v0's JSON is below the checkpoint and expired; the
+    // checkpoint-version JSON and the tail survive
+    assert(dt.cleanupExpiredLogs(0L) == 1)
+    assert(!Files.exists(Paths.get(dt.root, "_delta_log",
+      f"${0L}%020d.json")))
+    assert(Files.exists(Paths.get(dt.root, "_delta_log",
+      f"${1L}%020d.json")))
+    assert(vals(dt.read(spark)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(vals(dt.read(spark, Some(1L))) == Set((1L, "a"), (2L, "b")))
+    intercept[Exception](dt.read(spark, Some(0L)).collect()) // gone → loud
+    // a second checkpoint advances the kept version; older checkpoint
+    // files age out too
+    dt.checkpoint() // at v2
+    assert(dt.cleanupExpiredLogs(0L) >= 1) // v1 json + v1 checkpoint
+    assert(vals(dt.read(spark)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("V2 checkpoint: UUID manifest + sidecars read whole; torn sidecar set falls back; writes refuse") {
     import spark.implicits._
     import org.apache.spark.sql.types._
