@@ -1618,6 +1618,54 @@ final case class DeltaTable(root: String) {
       else try Some(m.getLong(k))
       catch { case _: ClassCastException => Some(m.getDouble(k).toLong) }
 
+    // a frame PROVIDING a declared column usually carries no field
+    // metadata — re-attach the table's, so an OVERWRITE (whose frame
+    // schema REPLACES the table's) cannot silently strip the
+    // generation expression / invariant / identity declaration and
+    // leave every later write unvalidated
+    val declKeys = Seq(DeltaTable.GenExprKey, DeltaTable.InvariantsKey,
+      DeltaTable.IdentityStartKey, DeltaTable.IdentityStepKey,
+      DeltaTable.IdentityHwmKey, DeltaTable.IdentityAllowKey)
+    st.schema.fields
+      .filter(f => declKeys.exists(f.metadata.contains))
+      .filter(f => df.columns.contains(f.name))
+      .foreach(f => df = df.withColumn(f.name,
+        col(f.name).as(f.name, f.metadata)))
+
+    // a validation expression may reference a column the frame legally
+    // OMITS (the schema-merge contract serves omitted columns as
+    // nulls): give the evaluation the same view by adding typed-null
+    // stand-ins, dropped again before anything is written
+    def refNames(sql: String): Seq[String] =
+      SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.nameParts.head
+        }
+    val validationSql: Seq[String] =
+      st.configuration.collect {
+        case (k, s) if k.startsWith(DeltaTable.ConstraintPrefix) => s
+      }.toSeq ++
+      st.schema.fields.flatMap { f =>
+        (if (f.metadata.contains(DeltaTable.GenExprKey))
+          Some(f.metadata.getString(DeltaTable.GenExprKey)) else None) ++
+        (if (f.metadata.contains(DeltaTable.InvariantsKey))
+          Some(parseInvariant(f.metadata.getString(DeltaTable.InvariantsKey)))
+        else None)
+      }
+    val lowerCols = df.columns.map(_.toLowerCase).toSet
+    val evalOnly: Seq[StructField] = validationSql.flatMap(refNames)
+      .distinct
+      .filterNot(n => lowerCols(n.toLowerCase))
+      .flatMap(n => st.schema.fields.find(_.name.equalsIgnoreCase(n)))
+      // generated/identity columns are computed/assigned by their own
+      // blocks below — a null stand-in would turn them into "provided"
+      .filterNot(f => f.metadata.contains(DeltaTable.GenExprKey) ||
+        f.metadata.contains(DeltaTable.IdentityStartKey) ||
+        f.metadata.contains(DeltaTable.IdentityStepKey))
+    evalOnly.foreach(f =>
+      df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+
     // ---- generated columns: compute when absent, validate when given
     st.schema.fields.filter(_.metadata.contains(DeltaTable.GenExprKey)).foreach { f =>
       val genSql = f.metadata.getString(DeltaTable.GenExprKey)
@@ -1649,10 +1697,16 @@ final case class DeltaTable(root: String) {
         s"DeltaTable $root: identity column ${f.name} declares step 0")
       val hwm = metaLong(m, DeltaTable.IdentityHwmKey)
       // round v onto the start + k·step lattice, away from start, so a
-      // synced high-water-mark is itself a valid identity value
+      // synced high-water-mark is itself a valid identity value —
+      // BigInt arithmetic: a Double round-trip loses precision past
+      // 2^53 and would sync a high-water-mark BELOW the observed value
       def lattice(v: Long): Long = {
-        val k = math.ceil((v - start).toDouble / step).toLong
-        start + math.max(k, 0L) * step
+        val num = BigInt(v) - BigInt(start)
+        val den = BigInt(step)
+        val q = num / den
+        val ceil = if (num % den == 0 || num.signum * den.signum < 0) q
+                   else q + 1
+        (BigInt(start) + ceil.max(BigInt(0)) * den).toLong
       }
       if (df.columns.contains(f.name)) {
         // preexistingRows (UPDATE postimages): the values are the
@@ -1730,6 +1784,9 @@ final case class DeltaTable(root: String) {
       }
       df = df.withColumn(carrier, wrapped.as(carrier, cf.metadata))
     }
+    // the null stand-ins were for EVALUATION only — the staged files
+    // keep omitting the columns, exactly as an unvalidated append would
+    if (evalOnly.nonEmpty) df = df.drop(evalOnly.map(_.name): _*)
     (df, hwmUpdates.toMap)
   }
 
@@ -2110,17 +2167,7 @@ final case class DeltaTable(root: String) {
         val n = p.getFileName.toString
         n.startsWith(vPrefix) && n.endsWith(".parquet") && n != manifestName
       }.toSeq.foreach(Files.deleteIfExists(_))
-    val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
-    val referenced: Set[String] = Files.list(logDir).iterator.asScala
-      .filter(p => p.getFileName.toString match {
-        case v2Re(_, uid) => !uid.forall(_.isDigit)
-        case _ => false
-      }).toSeq.flatMap { mf =>
-        val df = spark.read.parquet(mf.toString)
-        if (!df.schema.fieldNames.contains("sidecar")) Nil
-        else df.where(col("sidecar.path").isNotNull)
-          .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
-      }.toSet
+    val referenced = referencedSidecars(spark)
     Files.list(sidecarDir).iterator.asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         !referenced(p.getFileName.toString))
@@ -2267,7 +2314,12 @@ final case class DeltaTable(root: String) {
     val spark = SparkSession.active
     requireWriterFeatures(logState(spark, None), "LOG CLEANUP",
       removesRows = false)
-    val cps = listCheckpoints()
+    // only a VERIFIED-complete checkpoint may anchor the cleanup: a V2
+    // manifest with a missing sidecar still lists (the READ side falls
+    // back to an older checkpoint + longer JSON tail for it) — deleting
+    // that fallback below a torn manifest would brick the table
+    val cps = listCheckpoints().filter(c =>
+      !c.v2 || sidecarsOf(spark, c.parts.head).forall(Files.exists(_)))
     if (cps.isEmpty) return 0
     val cpV = cps.map(_.version).max
     val horizon = System.currentTimeMillis - retentionMs
@@ -2287,20 +2339,11 @@ final case class DeltaTable(root: String) {
       }
     }
     // V2 sidecars: reference-counted against every REMAINING manifest
-    // (same rule as checkpoint()'s replacement sweep) + the age gate
+    // (the same [[referencedSidecars]] rule checkpoint()'s replacement
+    // sweep applies) + the age gate
     val sidecarDir = logDir.resolve("_sidecars")
     if (Files.isDirectory(sidecarDir)) {
-      val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
-      val referenced: Set[String] = Files.list(logDir).iterator.asScala
-        .filter(p => p.getFileName.toString match {
-          case v2Re(_, uid) => !uid.forall(_.isDigit)
-          case _ => false
-        }).toSeq.flatMap { mf =>
-          val df = spark.read.parquet(mf.toString)
-          if (!df.schema.fieldNames.contains("sidecar")) Nil
-          else df.where(col("sidecar.path").isNotNull)
-            .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
-        }.toSet
+      val referenced = referencedSidecars(spark)
       Files.list(sidecarDir).iterator.asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet") &&
           !referenced(p.getFileName.toString) &&
@@ -2308,6 +2351,31 @@ final case class DeltaTable(root: String) {
         .toSeq.foreach { p => Files.delete(p); deleted += 1 }
     }
     deleted
+  }
+
+  /** Sidecar file names a V2 manifest declares (empty for manifests
+    * without a sidecar column). */
+  private def sidecarsOf(spark: SparkSession, manifest: Path): Seq[Path] = {
+    val df = spark.read.parquet(manifest.toString)
+    if (!df.schema.fieldNames.contains("sidecar")) Nil
+    else df.where(col("sidecar.path").isNotNull)
+      .select(col("sidecar.path")).collect()
+      .map(r => logDir.resolve("_sidecars").resolve(r.getString(0))).toSeq
+  }
+
+  /** Sidecar file names referenced by ANY remaining V2 manifest — the
+    * shared reference count both [[checkpoint]]'s replacement sweep and
+    * [[cleanupExpiredLogs]] filter deletions by (one copy, so the two
+    * sweeps can never drift apart on what "referenced" means). */
+  private def referencedSidecars(spark: SparkSession): Set[String] = {
+    val v2Re = """^(\d{20})\.checkpoint\.([^.]+)\.parquet$""".r
+    Files.list(logDir).iterator.asScala
+      .filter(p => p.getFileName.toString match {
+        case v2Re(_, uid) => !uid.forall(_.isDigit)
+        case _ => false
+      }).toSeq
+      .flatMap(mf => sidecarsOf(spark, mf).map(_.getFileName.toString))
+      .toSet
   }
 
   /** UPDATE by key-range predicate, Delta's UPDATE command: rows with
@@ -2357,12 +2425,18 @@ final case class DeltaTable(root: String) {
       dvPairs(cand), st.columnMappingMode)
     val matched = candLive
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-    // SET first (against the pre-update row), then recompute generated
-    // columns not explicitly set — their expressions see the SET values
-    val setApplied = set.foldLeft(matched) { case (acc, (c, e)) =>
-      acc.withColumn(c, e.cast(st.schema(c).dataType)
-        .as(c, st.schema(c).metadata))
-    }
+    // SET first, in ONE projection so every expression sees the
+    // PRE-update row (sequential withColumn would let later assignments
+    // read earlier ones' results — SQL UPDATE's swap semantics forbid
+    // that, and Map iteration order must never matter); generated
+    // columns recompute AFTERWARDS — their expressions see SET values
+    val setApplied = matched.select(st.schema.fieldNames.map { c =>
+      set.get(c) match {
+        case Some(e) => e.cast(st.schema(c).dataType)
+          .as(c, st.schema(c).metadata)
+        case None => col(c)
+      }
+    }.toSeq: _*)
     val postimage = st.schema.fields
       .filter(f => f.metadata.contains(DeltaTable.GenExprKey) &&
         !set.contains(f.name))
@@ -2461,6 +2535,12 @@ final case class DeltaTable(root: String) {
     try {
       val ci = mapper.createObjectNode
       ci.put("timestamp", now).put("operation", "CLONE")
+      // an ICT-enabled source's configuration rides into the clone, so
+      // the clone's v0 must carry an inCommitTimestamp too — every
+      // commit of an enabled table does, per the protocol
+      if (st.configuration.get("delta.enableInCommitTimestamps")
+          .contains("true"))
+        ci.put("inCommitTimestamp", now)
       ci.putObject("operationParameters").put("source", absRoot)
       w.write(wrap(mapper, "commitInfo", ci)); w.newLine()
       val proto = mapper.createObjectNode
@@ -2492,6 +2572,11 @@ final case class DeltaTable(root: String) {
         f.statsJson.foreach(s => add.put("stats", s))
         w.write(wrap(mapper, "add", add)); w.newLine()
       }
+    } catch {
+      // a refusal mid-stream (live-DV source) must not leave the
+      // partially-written staging file in the target's _delta_log
+      case t: Throwable =>
+        w.close(); Files.deleteIfExists(tmp); throw t
     } finally w.close()
     try Files.createLink(dst.commitPath(0L), tmp)
     catch {

@@ -1696,6 +1696,89 @@ class DeltaSpec extends SparkSpec {
     assert(vp.read(spark).count() == 3)
   }
 
+  test("row-contract hardening: declarations survive providing overwrites; omitted-column expressions see nulls; swap UPDATE; exact HWM lattice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    // an overwrite that PROVIDES the generated column must not strip
+    // the declaration — later mismatched appends still refuse
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(k AS STRING)").build()
+    val gen = tmpTable()
+    gen.overwrite(Seq(1L).toDF("k").select(col("k"),
+      col("k").cast(StringType).as("s", genMeta)))
+    gen.overwrite(Seq((2L, "2")).toDF("k", "s")) // plain frame, matching
+    val e0 = intercept[Throwable](gen.append(Seq((3L, "x")).toDF("k", "s")))
+    assert(chainMsg(e0).contains("generated column s"))
+
+    // a CHECK constraint referencing a column the frame legally OMITS
+    // evaluates against NULL (and passes per SQL semantics) instead of
+    // failing analysis; the written files still omit the column
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a", 5L)).toDF("k", "s", "opt"))
+    dt.setProperties(Map("delta.constraints.copt" ->
+      "opt IS NULL OR opt > 0"))
+    dt.append(Seq((2L, "b")).toDF("k", "s")) // no opt column
+    assert(dt.read(spark).where(col("k") === 2L)
+      .select("opt").collect()(0).isNullAt(0))
+    // and a VIOLATING provided value still refuses
+    val e1 = intercept[Throwable](
+      dt.append(Seq((3L, "c", -1L)).toDF("k", "s", "opt")))
+    assert(chainMsg(e1).contains("CHECK constraint copt"))
+
+    // UPDATE swap: both SET expressions see the PRE-update row
+    val sw = tmpTable()
+    sw.overwrite(Seq((1L, 10L, 20L)).toDF("k", "a", "b"),
+      statsFor = Seq("k"))
+    sw.update("k", 1L, 1L, Map("a" -> col("b"), "b" -> col("a")))
+    val r = sw.read(spark).select("a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (20L, 10L))
+
+    // exact HWM lattice: an explicit insert beyond 2^53 syncs the
+    // high-water-mark to the exact value (a Double trip would land low)
+    val big = (1L << 53) + 1L
+    val byDefault = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    val idt = tmpTable()
+    idt.overwrite(Seq("x").toDF("s").select(col("s"),
+      lit(null).cast(LongType).as("id", byDefault)))
+    idt.append(Seq(("e", big)).toDF("s", "id"))
+    assert(idt.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == big)
+  }
+
+  test("log cleanup: a torn V2 manifest cannot anchor the cleanup — the complete-checkpoint fallback chain survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    dt.append(Seq((2L, "b")).toDF("k", "s"))
+    dt.checkpoint() // complete classic checkpoint at v1
+    dt.append(Seq((3L, "c")).toDF("k", "s"))
+    dt.append(Seq((4L, "d")).toDF("k", "s"))
+    // hand-place a TORN v2 manifest at v3: names a sidecar that does
+    // not exist (the read side's documented fallback state)
+    val logDir = Paths.get(dt.root, "_delta_log")
+    val scratch = Files.createTempDirectory("tornmf")
+    Seq(("gone-sidecar.parquet", 1L)).toDF("path", "sizeInBytes")
+      .select(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("sizeInBytes")).as("sidecar"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, logDir.resolve(f"${3L}%020d.checkpoint.deadbeef.parquet"))
+    // cleanup must anchor at the COMPLETE v1 checkpoint: only v0's JSON
+    // ages out; v1/v2 JSONs (the torn manifest's fallback) survive
+    assert(dt.cleanupExpiredLogs(0L) == 1)
+    assert(Files.exists(logDir.resolve(f"${1L}%020d.json")))
+    assert(Files.exists(logDir.resolve(f"${2L}%020d.json")))
+    assert(vals(dt.read(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("shallow CLONE: zero-copy v0 with absolute paths; reads equal source; clone verbs never touch source files; refusals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -1740,8 +1823,23 @@ class DeltaSpec extends SparkSpec {
     dvSrc.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1),
       statsFor = Seq("k"))
     dvSrc.delete("k", 1L, 1L) // leaves a live DV
-    intercept[IllegalArgumentException](dvSrc.shallowCloneTo(
-      Files.createTempDirectory("deltaclone3").toString + "/t"))
+    val dvDst = Files.createTempDirectory("deltaclone3").toString + "/t"
+    intercept[IllegalArgumentException](dvSrc.shallowCloneTo(dvDst))
+    // the mid-stream refusal left no staging file behind
+    assert(!Files.isDirectory(Paths.get(dvDst, "_delta_log")) ||
+      !Files.list(Paths.get(dvDst, "_delta_log")).iterator.asScala
+        .exists(_.getFileName.toString.startsWith(".tmp-")))
+
+    // an ICT-enabled source's clone carries an inCommitTimestamp in its
+    // v0 commitInfo (every commit of an enabled table must)
+    val ict = tmpTable()
+    ict.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    ict.setProperties(Map("delta.enableInCommitTimestamps" -> "true"))
+    val ictDst = Files.createTempDirectory("deltaclone4").toString + "/t"
+    ict.shallowCloneTo(ictDst)
+    val cl0 = new String(Files.readAllBytes(
+      Paths.get(ictDst, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(cl0.contains("inCommitTimestamp"))
   }
 
   test("log cleanup: expired commits below the newest checkpoint age out; the snapshot replays unchanged; time travel below fails loudly") {
