@@ -1749,6 +1749,38 @@ class DeltaSpec extends SparkSpec {
       .getLong("delta.identity.highWaterMark") == big)
   }
 
+  test("row-contract enforcement: overwrites are validated too; multi-partition identity appends assign the exact dense sequence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    // a violating OVERWRITE refuses exactly like a violating append —
+    // the replaced snapshot is only replaced by rows that satisfy the
+    // contract (the overwrite frame flows through the same enforcement)
+    val ck = tmpTable()
+    ck.overwrite(Seq((5L, "e")).toDF("k", "s"))
+    ck.setProperties(Map("delta.constraints.kpos" -> "k > 0"))
+    val e = intercept[Throwable](
+      ck.overwrite(Seq((1L, "x"), (-7L, "y")).toDF("k", "s")))
+    assert(chainMsg(e).contains("CHECK constraint kpos"))
+    assert(vals(ck.read(spark)) == Set((5L, "e")))
+
+    // identity assignment over a MULTI-partition frame: values are the
+    // exact dense arithmetic sequence regardless of partitioning (the
+    // per-partition offsets cover every row exactly once)
+    val idMeta = new MetadataBuilder()
+      .putLong("delta.identity.start", 7L)
+      .putLong("delta.identity.step", 3L).build()
+    val dt = tmpTable()
+    dt.overwrite(spark.range(0).toDF("n").select(col("n").cast(StringType)
+      .as("s"), lit(null).cast(LongType).as("id", idMeta)))
+    dt.append(spark.range(100).toDF("n")
+      .select(col("n").cast(StringType).as("s")).repartition(8))
+    val got = dt.read(spark).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0 until 100).map(i => 7L + 3L * i))
+    assert(dt.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 7L + 3L * 99)
+  }
+
   test("log cleanup: a torn V2 manifest cannot anchor the cleanup — the complete-checkpoint fallback chain survives") {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -2176,7 +2208,7 @@ class DeltaSpec extends SparkSpec {
     assert(t.read(spark).count() == 36)
   }
 
-  test("column-mapping ID mode: columns resolve by parquet field id; DV delete works; data writes refuse") {
+  test("column-mapping ID mode: columns resolve by parquet field id; DV delete works; appends and merges emit field-id footers") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("deltacolmapid").toString + "/t"
