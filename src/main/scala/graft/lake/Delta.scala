@@ -1402,13 +1402,7 @@ final case class DeltaTable(root: String) {
     val ntzDeclares = hasNtz(recordedSchema) && currentState.forall(s =>
       !(s.minReader >= 3 && s.readerFeatures.contains("timestampNtz")))
     if (ntzDeclares) {
-      val rf = (currentState.map(_.readerFeatures).getOrElse(Set.empty) ++
-        currentState.map(s => legacyReaderFeatures(s.minReader))
-          .getOrElse(Set.empty) + "timestampNtz").toSeq.sorted
-      val wf = (currentState.map(_.writerFeatures).getOrElse(Set.empty) ++
-        currentState.map(s => legacyWriterFeatures(s.minWriter))
-          .getOrElse(Set("appendOnly", "invariants")) +
-        "timestampNtz").toSeq.sorted
+      val (rf, wf) = upgradeFeatureLists(currentState, "timestampNtz")
       val proto = mapper.createObjectNode
       proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
       val rfArr = proto.putArray("readerFeatures")
@@ -1431,12 +1425,7 @@ final case class DeltaTable(root: String) {
     // table already declared explicitly.
     if (dvReAdds.nonEmpty && currentState.forall(s =>
         s.minReader < 3 || !s.readerFeatures.contains("deletionVectors"))) {
-      val rf = (currentState.map(_.readerFeatures).getOrElse(Set.empty) ++
-        currentState.map(s => legacyReaderFeatures(s.minReader))
-          .getOrElse(Set.empty) + "deletionVectors").toSeq.sorted
-      val wf = (currentState.map(_.writerFeatures).getOrElse(Set.empty) ++
-        currentState.map(s => legacyWriterFeatures(s.minWriter))
-          .getOrElse(Set.empty) + "deletionVectors").toSeq.sorted
+      val (rf, wf) = upgradeFeatureLists(currentState, "deletionVectors")
       val proto = mapper.createObjectNode
       proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
       val rfArr = proto.putArray("readerFeatures")
@@ -1538,6 +1527,27 @@ final case class DeltaTable(root: String) {
     configuration.toSeq.sortBy(_._1).foreach { case (k, x) => cfg.put(k, x) }
     meta.put("createdTime", now)
     meta
+  }
+
+  /** Explicit feature lists for a protocol upgrade to (3, 7) declaring
+    * `extra`: a table ALREADY on explicit lists keeps exactly its own
+    * lists (merging the legacy-implied set there would over-declare
+    * dormant features it never had — columnMapping into readerFeatures,
+    * every legacy writer tier into writerFeatures — needlessly
+    * shrinking the set of foreign engines that accept the table, the
+    * r15 advisory); a legacy-tier table gets its implied features
+    * spelled out, per the protocol's upgrade rule. */
+  private def upgradeFeatureLists(st: Option[LogState], extra: String)
+      : (Seq[String], Seq[String]) = {
+    val rf = st.map(s =>
+      if (s.minReader >= 3) s.readerFeatures
+      else s.readerFeatures ++ legacyReaderFeatures(s.minReader))
+      .getOrElse(Set.empty[String])
+    val wf = st.map(s =>
+      if (s.minWriter >= 7) s.writerFeatures
+      else s.writerFeatures ++ legacyWriterFeatures(s.minWriter))
+      .getOrElse(legacyWriterFeatures(2))
+    ((rf + extra).toSeq.sorted, (wf + extra).toSeq.sorted)
   }
 
   /** The protocol's writer-feature contract ("writers must implement
@@ -1699,14 +1709,20 @@ final case class DeltaTable(root: String) {
       // round v onto the start + k·step lattice, away from start, so a
       // synced high-water-mark is itself a valid identity value —
       // BigInt arithmetic: a Double round-trip loses precision past
-      // 2^53 and would sync a high-water-mark BELOW the observed value
-      def lattice(v: Long): Long = {
+      // 2^53 and would sync a high-water-mark BELOW the observed value.
+      // A value strictly BEFORE start (in the step direction) needs no
+      // coverage at all: returning start here would mark START itself
+      // consumed and the declared first value would never be assigned
+      // (r15 advisory) — None keeps the HWM unset, base = start − step.
+      def lattice(v: Long): Option[Long] = {
         val num = BigInt(v) - BigInt(start)
         val den = BigInt(step)
-        val q = num / den
-        val ceil = if (num % den == 0 || num.signum * den.signum < 0) q
-                   else q + 1
-        (BigInt(start) + ceil.max(BigInt(0)) * den).toLong
+        if (num.signum * den.signum < 0) None
+        else {
+          val q = num / den
+          val ceil = if (num % den == 0) q else q + 1
+          Some((BigInt(start) + ceil * den).toLong)
+        }
       }
       if (df.columns.contains(f.name)) {
         // preexistingRows (UPDATE postimages): the values are the
@@ -1724,12 +1740,13 @@ final case class DeltaTable(root: String) {
             (if (step > 0) fmax(col(f.name)) else fmin(col(f.name)))
               .cast(LongType)).collect()(0)
           if (!observed.isNullAt(0)) {
-            val o = lattice(observed.getLong(0))
-            val covered = hwm match {
-              case Some(h) => if (step > 0) math.max(h, o) else math.min(h, o)
-              case None => o
+            lattice(observed.getLong(0)).foreach { o =>
+              val covered = hwm match {
+                case Some(h) => if (step > 0) math.max(h, o) else math.min(h, o)
+                case None => o
+              }
+              if (!hwm.contains(covered)) hwmUpdates += f.name -> covered
             }
-            if (!hwm.contains(covered)) hwmUpdates += f.name -> covered
           }
         }
       } else {
@@ -2518,6 +2535,12 @@ final case class DeltaTable(root: String) {
   def shallowCloneTo(dstRoot: String): DeltaTable = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    // CLONE is a commit-producing verb like any other: the target log
+    // copies the source protocol verbatim, so cloning a table declaring
+    // an unimplemented writer feature would write a v0 log whose add
+    // actions lack that feature's required fields — born violating its
+    // own declared write contract (r15 advisory)
+    requireWriterFeatures(st, "CLONE", removesRows = false)
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: shallow clone of a PARTITIONED table is not " +
         "supported (directory-based partition recovery cannot span " +

@@ -395,7 +395,7 @@ object TimeSeries {
     }
     val (dx, dy) = (dev(typeA), dev(typeB))
     val den = dx.agg(sum(col("dev") * col("dev")).as("sx2"))
-      .crossJoin(dy.agg(sum(col("dev") * col("dev")).as("sy2")))
+      .crossJoin(broadcast(dy.agg(sum(col("dev") * col("dev")).as("sy2"))))
     val lags = events.sparkSession.range(-maxLag, maxLag + 1)
       .select(col("id").cast("int").as("lag"))
     dx.crossJoin(broadcast(lags))

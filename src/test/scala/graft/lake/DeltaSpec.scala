@@ -1534,6 +1534,66 @@ class DeltaSpec extends SparkSpec {
       .select("id").as[Long].head() == 51L)
   }
 
+  test("r15 advisories: clone gates on writer features; explicit-list upgrades don't over-declare; below-start explicit identity leaves START assignable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    // CLONE is gated like every other commit-producing verb: a source
+    // declaring an unimplemented writer feature must not be cloned into
+    // a v0 log that copies the contract it cannot satisfy
+    val plain = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val cl = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering"]}}""",
+      """{}""", plain)
+    val e1 = intercept[IllegalArgumentException](cl.shallowCloneTo(
+      Files.createTempDirectory("clonegate").toString + "/t"))
+    assert(e1.getMessage.contains("clustering"))
+    assert(e1.getMessage.contains("CLONE"))
+
+    // a table ALREADY on explicit feature lists keeps exactly its own
+    // lists when a later commit declares timestampNtz — the legacy-
+    // implied set (columnMapping, identityColumns, ...) must not leak in
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1),
+      statsFor = Seq("k"))
+    dt.delete("k", 1L, 1L) // boundary DV → explicit (3,7) lists
+    dt.append(Seq((3L, "c")).toDF("k", "s").withColumn("t",
+      org.apache.spark.sql.functions.expr(
+        "make_timestamp_ntz(2024, 1, 1, 0, 0, 0)")))
+    val protoLine = Files.readAllLines(Paths.get(dt.root, "_delta_log",
+      f"${dt.latestVersion.get}%020d.json")).asScala
+      .find(_.contains("\"protocol\"")).get
+    assert(protoLine.contains("timestampNtz"))
+    assert(protoLine.contains("deletionVectors"))
+    assert(!protoLine.contains("columnMapping"))
+    assert(!protoLine.contains("identityColumns"))
+
+    // explicit identity values all BELOW start: the HWM stays unset, so
+    // the declared START is the first generated value (clamping the
+    // sync to start would mark it consumed and skip straight to 110)
+    val byDefault = new MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 10L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    val idt = tmpTable()
+    idt.overwrite(Seq("x").toDF("s").select(col("s"),
+      lit(null).cast(LongType).as("id", byDefault)))
+    idt.append(Seq(("e", 5L)).toDF("s", "id")) // explicit, below start
+    assert(!idt.read(spark).schema("id").metadata
+      .contains("delta.identity.highWaterMark"))
+    idt.append(Seq("f").toDF("s"))
+    assert(idt.read(spark).where(col("s") === "f")
+      .select("id").as[Long].head() == 100L)
+    // an explicit value BETWEEN lattice points still syncs upward
+    idt.append(Seq(("g", 105L)).toDF("s", "id"))
+    assert(idt.read(spark).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 110L)
+    idt.append(Seq("h").toDF("s"))
+    assert(idt.read(spark).where(col("s") === "h")
+      .select("id").as[Long].head() == 120L)
+  }
+
   test("UPDATE: one atomic commit — DV kill + postimage append; SET sees the pre-update row; generated recompute; identity preserved; CDC pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}
