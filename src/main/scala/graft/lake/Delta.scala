@@ -176,7 +176,9 @@ final case class DeltaTable(root: String) {
   private[lake] final case class AddFile(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, statsJson: Option[String],
-      tags: Map[String, String], dv: Option[String] = None)
+      tags: Map[String, String], dv: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Tail overlay on top of the checkpoint: `adds` is the tail's final
     * live set (last action per path wins, applied driver-side — the
@@ -200,7 +202,8 @@ final case class DeltaTable(root: String) {
       columnMappingMode: String = "none",
       configuration: Map[String, String] = Map.empty,
       tableId: Option[String] = None,
-      sidecarFiles: Seq[Path] = Nil) {
+      sidecarFiles: Seq[Path] = Nil,
+      domains: Map[String, String] = Map.empty) {
     /** logical → physical column names (column-mapping name and id
       * modes): the `delta.columnMapping.physicalName` field metadata
       * delta-spark records in `schemaString`. Identity for mode `none`
@@ -219,6 +222,31 @@ final case class DeltaTable(root: String) {
       * change set into `_change_data` files when set. */
     def cdfEnabled: Boolean =
       configuration.get("delta.enableChangeDataFeed").contains("true")
+    /** Declared writer features (explicit list at v7, legacy-implied
+      * below) — the set the write contract gates on. */
+    def declaredWriterFeatures: Set[String] =
+      if (minWriter >= 7) writerFeatures else legacyWriterFeatures(minWriter)
+    /** Row tracking states, per the protocol: SUPPORTED (the feature is
+      * declared — every writer must assign fresh row ids and maintain
+      * the high-water mark) vs ENABLED (delta.enableRowTracking=true —
+      * row ids must additionally be PRESERVED when rows move, which
+      * needs the materialized row-id column this engine does not
+      * write: row-moving verbs refuse on enabled tables). */
+    def rowTrackingSupported: Boolean =
+      declaredWriterFeatures.contains("rowTracking")
+    def rowTrackingEnabled: Boolean = rowTrackingSupported &&
+      configuration.get("delta.enableRowTracking").contains("true")
+    /** The protocol's `delta.rowTracking` domain high-water mark: the
+      * highest row id ever assigned (−1 before any assignment). The
+      * domain configuration is a JSON string
+      * `{"rowIdHighWaterMark": N}`. */
+    def rowIdHighWaterMark: Long =
+      domains.get(DeltaTable.RowTrackingDomain).flatMap { c =>
+        val n = new ObjectMapper().readTree(c)
+        if (n.hasNonNull("rowIdHighWaterMark"))
+          Some(n.get("rowIdHighWaterMark").asLong)
+        else None
+      }.getOrElse(-1L)
   }
 
   /** Reader features this implementation actually honors (protocol v3):
@@ -271,6 +299,10 @@ final case class DeltaTable(root: String) {
     var minWriter = 2
     val readerFeats = mutable.HashSet.empty[String]
     val writerFeats = mutable.HashSet.empty[String]
+    // live domainMetadata state (domain → configuration string): the
+    // checkpoint's domains load first, the JSON tail overlays (last
+    // action per domain wins; removed=true deletes), per the protocol
+    val domains = mutable.LinkedHashMap.empty[String, String]
 
     cp.foreach { case (ref, _) =>
       // ONE column-pruned control-row read: metaData/protocol/txn are a
@@ -305,7 +337,10 @@ final case class DeltaTable(root: String) {
         fld("protocol.writerFeatures", ArrayType(StringType)).as("_wf"),
         fld("metaData.configuration", MapType(StringType, StringType))
           .as("_conf"),
-        fld("metaData.id", StringType).as("_id"))
+        fld("metaData.id", StringType).as("_id"),
+        fld("domainMetadata.domain", StringType).as("_dom"),
+        fld("domainMetadata.configuration", StringType).as("_domConf"),
+        fld("domainMetadata.removed", BooleanType).as("_domRm"))
         .na.drop("all").collect()
       ctrl.foreach { r =>
         if (!r.isNullAt(0)) minReader = math.max(minReader, r.getInt(0))
@@ -320,6 +355,11 @@ final case class DeltaTable(root: String) {
         if (!r.isNullAt(8))
           configuration = r.getMap[String, String](8).toMap
         if (!r.isNullAt(9)) tableId = Some(r.getString(9))
+        if (!r.isNullAt(10)) {
+          if (!r.isNullAt(12) && r.getBoolean(12)) domains.remove(r.getString(10))
+          else domains(r.getString(10)) =
+            if (r.isNullAt(11)) "" else r.getString(11)
+        }
       }
     }
 
@@ -361,17 +401,29 @@ final case class DeltaTable(root: String) {
           if (meta.hasNonNull("id")) tableId = Some(meta.get("id").asText)
           configuration = mapOf(meta, "configuration")
         }
+        val dom = node.get("domainMetadata")
+        if (dom != null && dom.hasNonNull("domain")) {
+          if (dom.hasNonNull("removed") && dom.get("removed").asBoolean)
+            domains.remove(dom.get("domain").asText)
+          else domains(dom.get("domain").asText) =
+            if (dom.hasNonNull("configuration"))
+              dom.get("configuration").asText
+            else ""
+        }
         if (add != null && add.hasNonNull("path")) {
           val path = decodePath(add.get("path").asText)
           def lng(k: String): Long =
             if (add.hasNonNull(k)) add.get(k).asLong else 0L
+          def optLng(k: String): Option[Long] =
+            if (add.hasNonNull(k)) Some(add.get(k).asLong) else None
           val st = if (add.hasNonNull("stats")) Some(add.get("stats").asText)
                    else None
           val dv = if (add.hasNonNull("deletionVector"))
             Some(mapper.writeValueAsString(add.get("deletionVector")))
           else None
           active(path) = AddFile(path, mapOf(add, "partitionValues"),
-            lng("size"), lng("modificationTime"), st, mapOf(add, "tags"), dv)
+            lng("size"), lng("modificationTime"), st, mapOf(add, "tags"), dv,
+            optLng("baseRowId"), optLng("defaultRowCommitVersion"))
           masked += path
           tombstones.remove(path)
         }
@@ -418,7 +470,22 @@ final case class DeltaTable(root: String) {
       cp.map(_._1.parts).getOrElse(Nil),
       Tail(active.values.toSeq, masked.toSet, tombstones.toMap),
       minReader, minWriter, readerFeats.toSet, writerFeats.toSet, mode,
-      configuration, tableId, cp.map(_._2).getOrElse(Nil))
+      configuration, tableId, cp.map(_._2).getOrElse(Nil), domains.toMap)
+  }
+
+  /** Live domainMetadata state of the snapshot (domain → configuration
+    * JSON string) — the protocol's named metadata domains: the
+    * row-tracking high-water mark (`delta.rowTracking`), clustering
+    * state, and whatever foreign domains the table carries. O(domains)
+    * driver rows, returned as a DataFrame so it composes like any
+    * metadata surface. */
+  def domainMetadata(spark: SparkSession, version: Option[Long] = None)
+      : DataFrame = {
+    val st = logState(spark, version)
+    spark.createDataFrame(
+      st.domains.toSeq.sortBy(_._1).map { case (d, c) => Row(d, c) }.asJava,
+      StructType(Seq(StructField("domain", StringType),
+        StructField("configuration", StringType))))
   }
 
   /** Highest committed `txn` version for a writer appId (the protocol's
@@ -448,7 +515,8 @@ final case class DeltaTable(root: String) {
     val tailDF = spark.createDataFrame(
       st.tail.adds.map(f => Row(f.path, f.partitionValues, f.size,
         f.modificationTime, f.statsJson.orNull, f.tags,
-        f.dv.orNull)).asJava, censusSchema)
+        f.dv.orNull, f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull)).asJava, censusSchema)
     st.checkpointFiles match {
       case Nil => tailDF
       case cpPaths =>
@@ -493,7 +561,10 @@ final case class DeltaTable(root: String) {
             fld("tags", MapType(StringType, StringType)).as("tags"),
             (if (names("deletionVector"))
                to_json(col("add.deletionVector"))
-             else lit(null).cast(StringType)).as("dv"))
+             else lit(null).cast(StringType)).as("dv"),
+            fld("baseRowId", LongType).as("baseRowId"),
+            fld("defaultRowCommitVersion", LongType)
+              .as("defaultRowCommitVersion"))
       case _ =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], censusSchema)
     }
@@ -506,7 +577,9 @@ final case class DeltaTable(root: String) {
     if (r.isNullAt(3)) 0L else r.getLong(3),
     if (r.isNullAt(4)) None else Some(r.getString(4)),
     if (r.isNullAt(5)) Map.empty else r.getMap[String, String](5).toMap,
-    if (r.isNullAt(6)) None else Some(r.getString(6)))
+    if (r.isNullAt(6)) None else Some(r.getString(6)),
+    if (r.isNullAt(7)) None else Some(r.getLong(7)),
+    if (r.isNullAt(8)) None else Some(r.getLong(8)))
 
   /** Collect a (pre-filtered!) census frame to AddFiles — every caller
     * is responsible for pruning first; the only full collects left are
@@ -1015,6 +1088,7 @@ final case class DeltaTable(root: String) {
   def compact(numFiles: Int = 1): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    requireRowIdPreservation(st, "OPTIMIZE")
     // whole-table maintenance verb: full (path, dv) collect, documented
     val files = livePathDvs(spark, st)
     val current = readFilesDv(spark, st.schema, st.partitionColumns, files,
@@ -1051,6 +1125,7 @@ final case class DeltaTable(root: String) {
       s"compactIncremental maxBatchFiles $maxBatchFiles < 2 cannot converge")
     val spark = SparkSession.active
     val st = logState(spark, None)
+    requireRowIdPreservation(st, "OPTIMIZE")
     val small = collectAdds(
       fileCensus(spark, st).where(col("size") < smallBytes))
     val group = small.groupBy(_.partitionValues).values
@@ -1318,8 +1393,11 @@ final case class DeltaTable(root: String) {
     // performs. Keyed by the part-file NAME (unique per commit token).
     // nullCount rides along: [[delete]]'s remove-only fast drop is only
     // sound on files PROVEN null-free in the predicate column.
+    // A rowTracking table needs per-file numRecords even with no
+    // statsFor columns — the baseRowId assignment is numRecords-summed.
+    val rowTracking = currentState.exists(_.rowTrackingSupported)
     val statsByName: Map[String, String] =
-      if (statsFor.isEmpty || moved.isEmpty) Map.empty
+      if ((statsFor.isEmpty && !rowTracking) || moved.isEmpty) Map.empty
       else {
         val spark = df.sparkSession
         val absRoot = Paths.get(root).toAbsolutePath.toString
@@ -1354,6 +1432,29 @@ final case class DeltaTable(root: String) {
             }
             r.getString(0).split('/').last -> m.writeValueAsString(st)
           }.toMap
+      }
+
+    // Row tracking (the rowTracking writer feature, r16): every new data
+    // file is assigned a fresh baseRowId block — file i's rows own ids
+    // [base_i, base_i + numRecords_i) — monotonically above the table's
+    // rowIdHighWaterMark, and the commit carries the advanced mark in
+    // its delta.rowTracking domainMetadata action, per the protocol.
+    // DV re-adds below PRESERVE their original baseRowId (same physical
+    // rows, same ids); the enabled-state preservation rule for
+    // row-MOVING verbs is gated in the verbs ([[requireRowIdPreservation]]).
+    val (rowIdBase: Map[String, Long], newRowIdHwm: Option[Long]) =
+      if (!rowTracking || moved.isEmpty) (Map.empty[String, Long], None)
+      else {
+        val m = new ObjectMapper
+        var next = currentState.map(_.rowIdHighWaterMark).getOrElse(-1L) + 1
+        val base = moved.map { case (path, _, _) =>
+          // a footer-only (zero-row) part file produces no stats group
+          // in the write-time aggregate — it owns an empty id block
+          val n = statsByName.get(path.split('/').last)
+            .map(s => m.readTree(s).get("numRecords").asLong).getOrElse(0L)
+          val b = next; next += n; path -> b
+        }.toMap
+        (base, Some(next - 1))
       }
 
     // Change-data-feed payload (the protocol's `cdc` action): the
@@ -1481,7 +1582,19 @@ final case class DeltaTable(root: String) {
         val tg = add.putObject("tags")
         tags.foreach { case (k, x) => tg.put(k, x) }
       }
+      rowIdBase.get(path).foreach { b =>
+        add.put("baseRowId", b).put("defaultRowCommitVersion", v)
+      }
       actions += wrap(mapper, "add", add)
+    }
+    // the advanced row-id high-water mark rides the SAME commit as the
+    // adds it covers, per the protocol's domain-metadata shape
+    newRowIdHwm.foreach { h =>
+      val dm = mapper.createObjectNode
+      dm.put("domain", DeltaTable.RowTrackingDomain)
+        .put("configuration", s"""{"rowIdHighWaterMark":$h}""")
+        .put("removed", false)
+      actions += wrap(mapper, "domainMetadata", dm)
     }
     // DV re-adds: remove the old entry (its previous descriptor riding
     // the remove, for CDC) then re-add the SAME path with the merged
@@ -1492,6 +1605,9 @@ final case class DeltaTable(root: String) {
         .put("dataChange", dataChange)
       f.dv.foreach(j => rm.set[ObjectNode]("deletionVector",
         mapper.readTree(j).asInstanceOf[ObjectNode]))
+      f.baseRowId.foreach(b => rm.put("baseRowId", b))
+      f.defaultRowCommitVersion.foreach(c =>
+        rm.put("defaultRowCommitVersion", c))
       actions += wrap(mapper, "remove", rm)
       val add = mapper.createObjectNode
       add.put("path", encodePath(f.path))
@@ -1505,6 +1621,11 @@ final case class DeltaTable(root: String) {
         f.tags.foreach { case (k, x) => tn.put(k, x) }
       }
       DeletionVectors.toNode(d, add.putObject("deletionVector"))
+      // the same physical rows keep their row ids through a DV re-add —
+      // exactly what makes DV DELETE legal on an ENABLED table
+      f.baseRowId.foreach(b => add.put("baseRowId", b))
+      f.defaultRowCommitVersion.foreach(c =>
+        add.put("defaultRowCommitVersion", c))
       actions += wrap(mapper, "add", add)
     }
     publish(v, actions.toSeq)
@@ -1563,9 +1684,7 @@ final case class DeltaTable(root: String) {
     * icebergCompat table would corrupt its write contract. */
   private def requireWriterFeatures(st: LogState, op: String,
       removesRows: Boolean): Unit = {
-    val declared: Set[String] =
-      if (st.minWriter >= 7) st.writerFeatures
-      else legacyWriterFeatures(st.minWriter)
+    val declared: Set[String] = st.declaredWriterFeatures
     val unknown = declared -- ImplementedWriterFeatures
     require(unknown.isEmpty,
       s"DeltaTable $root: $op on a table declaring writer feature(s) " +
@@ -1577,6 +1696,22 @@ final case class DeltaTable(root: String) {
         s"DeltaTable $root: $op removes or rewrites rows of an " +
           "append-only table (delta.appendOnly=true) — refusing")
   }
+
+  /** Gate for verbs that MOVE rows between files (UPDATE/MERGE postimage
+    * appends, OPTIMIZE/compaction/zorder rewrites, the rewrite-form
+    * DELETE): legal on a rowTracking table in the SUPPORTED state (fresh
+    * row ids are assigned — the protocol does not guarantee stability
+    * there), refused when `delta.enableRowTracking=true`, where the
+    * protocol demands row ids be PRESERVED across moves via the
+    * materialized row-id column this engine does not write. DV deletes
+    * and plain appends stay legal on enabled tables: a DV re-add keeps
+    * its original baseRowId, so no row id ever changes. */
+  private def requireRowIdPreservation(st: LogState, op: String): Unit =
+    require(!st.rowTrackingEnabled,
+      s"DeltaTable $root: $op moves or rewrites rows of a table with " +
+        "delta.enableRowTracking=true — preserved row ids require the " +
+        "materialized row-id column this engine does not write; use the " +
+        "DV DELETE/append path, or clear delta.enableRowTracking")
 
   /** Row-level write-contract ENFORCEMENT for the validation-class
     * writer features, applied to every data-adding commit's frame
@@ -2005,13 +2140,15 @@ final case class DeltaTable(root: String) {
     struct(sqlEncodePath(col("path")).as("path"), col("partitionValues"),
       col("size"), col("modificationTime"), lit(true).as("dataChange"),
       col("stats"), col("tags"),
-      from_json(col("dv"), dvStructType).as("deletionVector")).as("add")
+      from_json(col("dv"), dvStructType).as("deletionVector"),
+      col("baseRowId"), col("defaultRowCommitVersion")).as("add")
 
   private def checkpointClassic(spark: SparkSession, st: LogState,
       tableId: String, now: Long, tombstones: Map[String, Long],
       parts: Int): Long = {
     def ctrlRow(proto: Row = null, meta: Row = null, txn: Row = null,
-        rm: Row = null): Row = Row(proto, meta, null, txn, rm)
+        rm: Row = null, dom: Row = null): Row =
+      Row(proto, meta, null, txn, rm, dom)
     val protoRow = Row(st.minReader, st.minWriter,
       if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted,
       if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq.sorted)
@@ -2023,6 +2160,12 @@ final case class DeltaTable(root: String) {
         ctrlRow(txn = Row(app, tv, 0L))
       } ++ tombstones.toSeq.sortBy(_._1).map { case (p, ts) =>
         ctrlRow(rm = Row(encodePath(p), ts, true))
+      } ++ st.domains.toSeq.sortBy(_._1).map { case (dm, cfg) =>
+        // live domainMetadata persists in checkpoints, per the protocol —
+        // the replay floor after log cleanup, so a foreign table's
+        // domains (clustering state, row-id high-water marks) survive
+        // engine maintenance
+        ctrlRow(dom = Row(dm, cfg, false))
       })
     val ctrlDF = spark.createDataFrame(ctrl.asJava, checkpointSchema)
 
@@ -2031,7 +2174,9 @@ final case class DeltaTable(root: String) {
       lit(null).cast(checkpointSchema("metaData").dataType).as("metaData"),
       checkpointAddStruct,
       lit(null).cast(checkpointSchema("txn").dataType).as("txn"),
-      lit(null).cast(checkpointSchema("remove").dataType).as("remove"))
+      lit(null).cast(checkpointSchema("remove").dataType).as("remove"),
+      lit(null).cast(checkpointSchema("domainMetadata").dataType)
+        .as("domainMetadata"))
     val full = ctrlDF.unionByName(
       addDF.select(checkpointSchema.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*))
@@ -2143,7 +2288,8 @@ final case class DeltaTable(root: String) {
 
     // manifest: control rows + sidecar actions + checkpointMetadata
     def mRow(proto: Row = null, meta: Row = null, txn: Row = null,
-        sc: Row = null, cm: Row = null): Row = Row(proto, meta, txn, sc, cm)
+        sc: Row = null, cm: Row = null, dom: Row = null): Row =
+      Row(proto, meta, txn, sc, cm, dom)
     val protoRow = Row(st.minReader, st.minWriter,
       if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq.sorted,
       if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq.sorted)
@@ -2156,6 +2302,8 @@ final case class DeltaTable(root: String) {
         mRow(txn = Row(app, tv, 0L))
       } ++ sidecars.map { case (name, size) =>
         mRow(sc = Row(name, size, now))
+      } ++ st.domains.toSeq.sortBy(_._1).map { case (dm, cfg) =>
+        mRow(dom = Row(dm, cfg, false))
       })
     val scratch2 = Paths.get(root, s".tmp-cpm-$token")
     spark.createDataFrame(rows.asJava, v2ManifestSchema).coalesce(1)
@@ -2258,6 +2406,9 @@ final case class DeltaTable(root: String) {
         .withColumn("_change_type", lit("delete")))
 
     if (!useDeletionVectors) {
+      // the rewrite form MOVES surviving rows into new files — refused
+      // on enabled rowTracking tables (the DV form is the legal path)
+      requireRowIdPreservation(st, "DELETE (rewrite form)")
       val survivors = readFilesDv(spark, st.schema, st.partitionColumns,
           dvPairs(partial), st.columnMappingMode)
         .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
@@ -2417,6 +2568,7 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    requireRowIdPreservation(st, "UPDATE")
     require(set.nonEmpty, s"DeltaTable $root: UPDATE with no SET assignments")
     set.keys.foreach(k => require(st.schema.fieldNames.contains(k),
       s"DeltaTable $root: UPDATE sets unknown column $k"))
@@ -2581,6 +2733,13 @@ final case class DeltaTable(root: String) {
       w.write(wrap(mapper, "metaData", metaNode(mapper, st.schema,
         Nil, now, st.configuration,
         Some(java.util.UUID.randomUUID.toString)))); w.newLine()
+      // the source's live domainMetadata (row-id high-water marks etc.)
+      // is table state the clone starts from, exactly like configuration
+      st.domains.toSeq.sortBy(_._1).foreach { case (dm, cfg) =>
+        val dn = mapper.createObjectNode
+        dn.put("domain", dm).put("configuration", cfg).put("removed", false)
+        w.write(wrap(mapper, "domainMetadata", dn)); w.newLine()
+      }
       val it = fileCensus(spark, st).toLocalIterator()
       while (it.hasNext) {
         val f = rowToAdd(it.next())
@@ -2593,6 +2752,10 @@ final case class DeltaTable(root: String) {
         add.put("size", f.size).put("modificationTime", f.modificationTime)
           .put("dataChange", true)
         f.statsJson.foreach(s => add.put("stats", s))
+        // same physical rows in the clone: row ids carry over verbatim
+        f.baseRowId.foreach(b => add.put("baseRowId", b))
+        f.defaultRowCommitVersion.foreach(c =>
+          add.put("defaultRowCommitVersion", c))
         w.write(wrap(mapper, "add", add)); w.newLine()
       }
     } catch {
@@ -2698,6 +2861,10 @@ final case class DeltaTable(root: String) {
       f.statsJson.foreach(s => add.put("stats", s))
       f.dv.foreach(j => add.set[ObjectNode]("deletionVector",
         mapper.readTree(j).asInstanceOf[ObjectNode]))
+      // restored files are the SAME physical rows: row ids ride along
+      f.baseRowId.foreach(b => add.put("baseRowId", b))
+      f.defaultRowCommitVersion.foreach(c =>
+        add.put("defaultRowCommitVersion", c))
       actions += wrap(mapper, "add", add)
     }
     val v = cur.version + 1
@@ -2721,6 +2888,7 @@ final case class DeltaTable(root: String) {
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
+    requireRowIdPreservation(st, "OPTIMIZE")
     val files = livePathDvs(spark, st)
     val zordered = ZOrder.withZValue(
         readFilesDv(spark, st.schema, st.partitionColumns, files,
@@ -2756,6 +2924,7 @@ final case class DeltaTable(root: String) {
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
+    requireRowIdPreservation(st, "OPTIMIZE")
     val untagged = collectAdds(fileCensus(spark, st)
       .where(col("tags").isNull || col("tags").getItem(ZCubeTag).isNull))
     if (untagged.isEmpty) return None
@@ -2808,6 +2977,7 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
     val st = logState(spark, None)
+    requireRowIdPreservation(st, "MERGE")
     require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")
@@ -3233,6 +3403,10 @@ object DeltaTable {
     * public incremental-clustering scheme). */
   val ZCubeTag: String = "ZCUBE_ID"
 
+  /** The row-tracking domainMetadata domain (public protocol): its
+    * configuration string carries `{"rowIdHighWaterMark": N}`. */
+  private[lake] val RowTrackingDomain = "delta.rowTracking"
+
   /** Schema-metadata keys of the public column-mapping protocol. */
   private[lake] val PhysNameKey = "delta.columnMapping.physicalName"
   private[lake] val ColIdKey = "delta.columnMapping.id"
@@ -3273,7 +3447,17 @@ object DeltaTable {
     // introducing one declares the feature; inCommitTimestamp: enabled
     // tables carry a monotonic inCommitTimestamp in every commitInfo;
     // vacuumProtocolCheck: VACUUM gates on the writer contract first
-    "timestampNtz", "inCommitTimestamp", "vacuumProtocolCheck")
+    "timestampNtz", "inCommitTimestamp", "vacuumProtocolCheck",
+    // domainMetadata: domain state is replayed into every snapshot,
+    // persisted by checkpoints, and carried into clones; rowTracking
+    // (r16): every data-adding commit assigns baseRowId /
+    // defaultRowCommitVersion and maintains the delta.rowTracking
+    // high-water-mark domain — DV re-adds preserve the original ids.
+    // Row-MOVING verbs (UPDATE/MERGE/OPTIMIZE/rewrite-DELETE) refuse
+    // when delta.enableRowTracking=true, where the protocol demands id
+    // PRESERVATION via the materialized row-id column this engine does
+    // not write.
+    "domainMetadata", "rowTracking")
 
   /** Physical read/write schema for one field of a column-mapping
     * table, applied RECURSIVELY: every nesting level (struct fields,
@@ -3369,7 +3553,9 @@ object DeltaTable {
     StructField("modificationTime", LongType),
     StructField("stats", StringType),
     StructField("tags", MapType(StringType, StringType)),
-    StructField("dv", StringType))) // deletionVector descriptor JSON
+    StructField("dv", StringType), // deletionVector descriptor JSON
+    StructField("baseRowId", LongType), // row tracking, when declared
+    StructField("defaultRowCommitVersion", LongType)))
 
   /** The protocol's `add.deletionVector` struct (checkpoint add field). */
   private[lake] val dvStructType: StructType = StructType(Seq(
@@ -3404,7 +3590,9 @@ object DeltaTable {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
       StructField("tags", MapType(StringType, StringType)),
-      StructField("deletionVector", dvStructType)))),
+      StructField("deletionVector", dvStructType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType),
@@ -3412,7 +3600,11 @@ object DeltaTable {
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** V2 checkpoint SIDECAR file schema (the protocol: sidecars carry
     * only add/remove file actions). */
@@ -3430,5 +3622,6 @@ object DeltaTable {
       StructField("sizeInBytes", LongType),
       StructField("modificationTime", LongType)))),
     StructField("checkpointMetadata", StructType(Seq(
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    checkpointSchema("domainMetadata")))
 }

@@ -678,6 +678,43 @@ object LakeRegistry {
         countDistinct(col("row_id")).as("n_ids"),
         sum(col("row_id")).as("sum_ids"))
     }),
+    // rowTracking writer feature (r16): a hand-written FOREIGN v0
+    // declares rowTracking+domainMetadata (the modern delta-spark
+    // default); the engine then appends both halves — assigning each
+    // new file a fresh baseRowId block and advancing the
+    // delta.rowTracking high-water mark — and DV-deletes a band (row
+    // ids preserved, never reused). The oracle pins BOTH planes: the
+    // live data, and the final high-water mark = total rows − 1, which
+    // holds exactly when every append assigned disjoint contiguous id
+    // blocks and the delete reused none. Fresh root per run.
+    "q_delta_rowtracking" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val root = tmpRoot(s, d, s"delta_rowtrk_$u")
+      val base = docs(s, d)
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schemaLit = m.writeValueAsString(base.schema.json)
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
+            |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","rowTracking"]}}
+            |{"metaData":{"id":"rtq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{},"createdTime":1}}
+            |""").stripMargin.getBytes("UTF-8"))
+      val dt = DeltaTable(root)
+      dt.append(base.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), statsFor = Seq("doc_id"))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0)
+        .repartitionByRange(4, col("doc_id")), statsFor = Seq("doc_id"))
+      dt.delete("doc_id", 100L, 299L)
+      val hwm = dt.domainMetadata(s)
+        .where(col("domain") === "delta.rowTracking")
+        .select(get_json_object(col("configuration"),
+          "$.rowIdHighWaterMark").cast("bigint").as("row_id_hwm"))
+      dt.read(s).agg(count(lit(1)).as("n_live"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(hwm))
+    }),
   )
 
   private val bySourceSql =
@@ -837,6 +874,16 @@ object LakeRegistry {
         |  CAST(count(*) AS BIGINT) AS n_ids,
         |  CAST(1000*count(*) + 3*count(*)*(count(*) - 1)/2 AS BIGINT)
         |    AS sum_ids
+        |FROM documents""".stripMargin,
+    // the live band after the DV delete, plus the row-id high-water
+    // mark: fresh ids 0..n−1 were assigned across both appends, the
+    // delete reuses none — hwm = total rows − 1 in closed form
+    "q_delta_rowtracking" ->
+      """SELECT CAST(count(CASE WHEN doc_id NOT BETWEEN 100 AND 299
+        |    THEN 1 END) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 100 AND 299
+        |    THEN n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) - 1 AS BIGINT) AS row_id_hwm
         |FROM documents""".stripMargin,
   )
 }

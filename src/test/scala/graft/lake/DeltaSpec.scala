@@ -1352,12 +1352,12 @@ class DeltaSpec extends SparkSpec {
     // explicit v7 feature list with a feature OUTSIDE the implemented
     // set: EVERY commit-producing verb refuses, maintenance included
     val rt = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}""",
       """{}""", plain)
     assert(rt.read(spark).count() == 2) // reads stay fine
     val e5 = intercept[IllegalArgumentException](
       rt.append(Seq((3L, "c")).toDF("k", "s")))
-    assert(e5.getMessage.contains("rowTracking"))
+    assert(e5.getMessage.contains("icebergCompatV2"))
     intercept[IllegalArgumentException](rt.delete("k", 1L, 1L))
     intercept[IllegalArgumentException](rt.compact())
     intercept[IllegalArgumentException](rt.checkpoint())
@@ -1738,13 +1738,165 @@ class DeltaSpec extends SparkSpec {
     assert(ft.versionAt(9000L) == 1L)
   }
 
+  /** A hand-written FOREIGN rowTracking table in the SUPPORTED state
+    * (feature declared; `delta.enableRowTracking` per `config`): one
+    * 2-row data file owning row ids [0, 1], high-water mark 1. */
+  private def rowTrackingTable(config: String): DeltaTable = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("deltarowtrack").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val scratch = Files.createTempDirectory("rtscratch")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val schemaLit = m.writeValueAsString(schema.json)
+    val stats = m.writeValueAsString(
+      """{"numRecords":2,"minValues":{"k":1},"maxValues":{"k":2},"nullCount":{"k":0}}""")
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","rowTracking"]}}
+          |{"metaData":{"id":"rt","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":$config,"createdTime":1}}
+          |{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":1}","removed":false}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true,"stats":$stats,"baseRowId":0,"defaultRowCommitVersion":0}}
+          |""").stripMargin.getBytes("UTF-8"))
+    DeltaTable(dir)
+  }
+
+  private def commitJson(dt: DeltaTable, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(dt.root, "_delta_log", f"$v%020d.json")), "UTF-8")
+
+  test("rowTracking writes: fresh base ids above the HWM; DV re-adds preserve ids; the mark survives checkpoint + log cleanup and rides clones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = rowTrackingTable("""{}""")
+    assert(vals(dt.read(spark)) == Set((1L, "a"), (2L, "b")))
+
+    // append: the new file's baseRowId sits just above the foreign HWM
+    // (1), defaultRowCommitVersion is THIS commit, and the advanced
+    // mark rides the same commit as a delta.rowTracking domain action
+    dt.append(Seq((3L, "c"), (4L, "d")).toDF("k", "s").coalesce(1))
+    val v1 = commitJson(dt, 1L)
+    assert(v1.contains("\"baseRowId\":2"))
+    assert(v1.contains("\"defaultRowCommitVersion\":1"))
+    assert(v1.contains("\"domain\":\"delta.rowTracking\""))
+    assert(v1.contains("rowIdHighWaterMark\\\":3") ||
+      v1.contains("rowIdHighWaterMark\":3"))
+
+    // DV DELETE: the re-added path keeps its ORIGINAL baseRowId — the
+    // physical rows (and so their ids) are untouched
+    dt.delete("k", 1L, 1L)
+    val v2 = commitJson(dt, 2L)
+    assert(v2.contains("\"baseRowId\":0"))
+    assert(v2.contains("deletionVector"))
+    assert(vals(dt.read(spark)) == Set((2L, "b"), (3L, "c"), (4L, "d")))
+
+    // UPDATE in the SUPPORTED state: the postimage file gets FRESH ids
+    // continuing the mark (stability is only promised when enabled)
+    dt.update("k", 2L, 2L, Map("s" -> lit("X")))
+    val v3 = commitJson(dt, 3L)
+    assert(v3.contains("\"baseRowId\":4"))
+    assert(vals(dt.read(spark)) == Set((2L, "X"), (3L, "c"), (4L, "d")))
+
+    // the mark persists through checkpoint + log cleanup: the next
+    // append continues from the checkpoint-carried domain, never reuses
+    dt.checkpoint()
+    dt.cleanupExpiredLogs(0L)
+    dt.append(Seq((5L, "e")).toDF("k", "s").coalesce(1))
+    val v4 = commitJson(dt, 4L)
+    assert(v4.contains("\"baseRowId\":5"))
+    assert(v4.contains("rowIdHighWaterMark\\\":5") ||
+      v4.contains("rowIdHighWaterMark\":5"))
+
+    // a multi-file append partitions the id space by numRecords
+    dt.append(Seq((6L, "f"), (7L, "g"), (8L, "h")).toDF("k", "s")
+      .repartitionByRange(2, col("k")))
+    val v5 = commitJson(dt, 5L)
+    assert(v5.contains("\"baseRowId\":6"))
+    assert(v5.contains("rowIdHighWaterMark\\\":8") ||
+      v5.contains("rowIdHighWaterMark\":8"))
+
+    // a shallow clone carries the domain state and the per-file ids
+    val dstRoot = Files.createTempDirectory("rtclone").toString + "/t"
+    val dst = dt.shallowCloneTo(dstRoot)
+    val c0 = commitJson(dst, 0L)
+    assert(c0.contains("\"domain\":\"delta.rowTracking\""))
+    assert(c0.contains("\"baseRowId\""))
+    dst.append(Seq((9L, "i")).toDF("k", "s").coalesce(1))
+    assert(commitJson(dst, 1L).contains("\"baseRowId\":9"))
+  }
+
+  test("rowTracking ENABLED: appends and DV deletes stay legal; row-moving verbs refuse naming the preservation contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dt = rowTrackingTable("""{"delta.enableRowTracking":"true"}""")
+    dt.append(Seq((3L, "c")).toDF("k", "s")) // inserts are new rows: legal
+    dt.delete("k", 1L, 1L) // DV delete preserves every surviving id
+    assert(vals(dt.read(spark)) == Set((2L, "b"), (3L, "c")))
+    val e1 = intercept[IllegalArgumentException](
+      dt.update("k", 2L, 2L, Map("s" -> lit("X"))))
+    assert(e1.getMessage.contains("enableRowTracking"))
+    intercept[IllegalArgumentException](
+      dt.merge(Seq((2L, "y")).toDF("k", "s"), "k"))
+    intercept[IllegalArgumentException](dt.compact())
+    intercept[IllegalArgumentException](
+      dt.delete("k", 2L, 2L, useDeletionVectors = false))
+    // the refusals left the table exactly as it was
+    assert(vals(dt.read(spark)) == Set((2L, "b"), (3L, "c")))
+  }
+
+  test("domainMetadata: foreign domains replay, survive OPTIMIZE + checkpoint, and removed=true tombstones them") {
+    import spark.implicits._
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // plant a foreign domain (hand-appended commit, as a foreign engine
+    // with liquid clustering would)
+    val log = Paths.get(dt.root, "_delta_log")
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"commitInfo":{"timestamp":2,"operation":"FOREIGN","operationParameters":{}}}
+         |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[\"k\"]}","removed":false}}
+         |""").stripMargin.getBytes("UTF-8"))
+    // engine maintenance: OPTIMIZE then checkpoint — the domain must
+    // survive into the checkpoint (the replay floor after log cleanup)
+    dt.compact()
+    dt.checkpoint()
+    dt.cleanupExpiredLogs(0L)
+    dt.append(Seq((3L, "c")).toDF("k", "s"))
+    // read the checkpoint parquet directly: the domain row is there
+    val cp = spark.read.parquet(
+      log.resolve(f"${2L}%020d.checkpoint.parquet").toString)
+    assert(cp.where(org.apache.spark.sql.functions
+      .col("domainMetadata.domain") === "delta.clustering").count() == 1)
+    // a removed=true action tombstones the domain out of later state
+    val v4 = dt.latestVersion.get + 1
+    Files.write(log.resolve(f"$v4%020d.json"),
+      ("""{"commitInfo":{"timestamp":9,"operation":"FOREIGN","operationParameters":{}}}
+         |{"domainMetadata":{"domain":"delta.clustering","configuration":"","removed":true}}
+         |""").stripMargin.getBytes("UTF-8"))
+    dt.checkpoint()
+    val cp2 = spark.read.parquet(
+      log.resolve(f"$v4%020d.checkpoint.parquet").toString)
+    assert(cp2.schema.fieldNames.contains("domainMetadata"))
+    assert(cp2.where(org.apache.spark.sql.functions
+      .col("domainMetadata.domain") === "delta.clustering").count() == 0)
+  }
+
   test("vacuumProtocolCheck: declared tables read and vacuum; unknown writer features refuse VACUUM") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val plain = StructType(Seq(StructField("k", LongType),
       StructField("s", StringType)))
     val rt = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       """{}""", plain)
     intercept[IllegalArgumentException](rt.vacuum())
     val vp = foreignTable(
