@@ -823,6 +823,145 @@ final case class DeltaTable(root: String) {
     }
   }
 
+  /** (mayMatch, allMatch) census envelopes for an ARBITRARY row
+    * predicate (r16), translated from the parsed expression tree:
+    * `mayMatch` OVER-approximates "some row of the file may satisfy the
+    * predicate" — files failing it are pruned, never opened; `allMatch`
+    * UNDER-approximates "every live row provably satisfies it" — the
+    * remove-only whole-file fast path. AND/OR compose envelope-wise;
+    * NOT flips by duality (may(¬x) = ¬all(x), all(¬x) = ¬may(x) —
+    * sound exactly because may over- and all under-approximate);
+    * comparisons / equality / IN / IS [NOT] NULL against literals read
+    * the typed stats envelope (partition columns compare the typed
+    * partitionValues point value, like [[mayIntersectCol]]). ANY
+    * unrecognized node — expressions over multiple columns, function
+    * calls, subqueries — degrades to (true, false): scan the file,
+    * never fast-drop it. The conservative floor keeps every predicate
+    * CORRECT; selective single-column conjuncts keep the common shapes
+    * (`lang = 'en' AND quality < 0.3`) pruned exactly like the range
+    * forms. */
+  private def predicateEnvelopes(st: LogState, predicateSql: String)
+      : (Column, Column) = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attrName(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def field(n: String): Option[StructField] =
+      st.schema.fields.find(_.name.equalsIgnoreCase(n))
+    def cmp(name: String, l: ce.Literal, op: String): (Column, Column) =
+      field(name) match {
+        case None => (lit(true), lit(false))
+        case Some(f) =>
+          // the literal rides back through its own SQL form — typed
+          // (DATE '...', 'str', 1.5) and cast to the COLUMN's type, so
+          // integral columns compare exactly and strings binary, the
+          // same discipline as statBound
+          val v = expr(l.sql).cast(f.dataType)
+          if (st.partitionColumns.contains(f.name)) {
+            val p = col("partitionValues").getItem(st.phys(f.name))
+              .cast(f.dataType)
+            val c = op match {
+              case "="  => p === v
+              case ">"  => p > v
+              case ">=" => p >= v
+              case "<"  => p < v
+              case "<=" => p <= v
+            }
+            (coalesce(c, lit(true)), coalesce(c, lit(false)))
+          } else {
+            val pc = st.phys(f.name)
+            val mn = statBound("minValues", pc, f.dataType)
+            val mx = statBound("maxValues", pc, f.dataType)
+            val nc = nullCountOf(pc)
+            val allNull = coalesce(
+              nc === numRecords && numRecords > 0L, lit(false))
+            val may = op match {
+              case "="  => mx >= v && mn <= v
+              case ">"  => mx > v
+              case ">=" => mx >= v
+              case "<"  => mn < v
+              case "<=" => mn <= v
+            }
+            val all = op match {
+              case "="  => mn === v && mx === v
+              case ">"  => mn > v
+              case ">=" => mn >= v
+              case "<"  => mx < v
+              case "<=" => mx <= v
+            }
+            (coalesce(may, lit(true)) && !allNull,
+              coalesce(all && nc === 0L, lit(false)))
+          }
+      }
+    def nullness(name: String, isNull: Boolean): (Column, Column) =
+      field(name) match {
+        case Some(f) if !st.partitionColumns.contains(f.name) =>
+          val nc = nullCountOf(st.phys(f.name))
+          val allNull = coalesce(
+            nc === numRecords && numRecords > 0L, lit(false))
+          if (isNull) (coalesce(nc > 0L, lit(true)), allNull)
+          else (!allNull, coalesce(nc === 0L, lit(false)))
+        case _ => (lit(true), lit(false))
+      }
+    def walk(e: ce.Expression): (Column, Column) = e match {
+      case ce.And(a, b) =>
+        val (m1, a1) = walk(a); val (m2, a2) = walk(b)
+        (m1 && m2, a1 && a2)
+      case ce.Or(a, b) =>
+        val (m1, a1) = walk(a); val (m2, a2) = walk(b)
+        (m1 || m2, a1 || a2)
+      case ce.Not(x) =>
+        val (m, a) = walk(x); (!a, !m)
+      case ce.EqualTo(x, l: ce.Literal) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "=")
+      case ce.EqualTo(l: ce.Literal, x) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "=")
+      case ce.GreaterThan(x, l: ce.Literal) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, ">")
+      case ce.GreaterThan(l: ce.Literal, x) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "<")
+      case ce.GreaterThanOrEqual(x, l: ce.Literal) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, ">=")
+      case ce.GreaterThanOrEqual(l: ce.Literal, x) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "<=")
+      case ce.LessThan(x, l: ce.Literal) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "<")
+      case ce.LessThan(l: ce.Literal, x) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, ">")
+      case ce.LessThanOrEqual(x, l: ce.Literal) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, "<=")
+      case ce.LessThanOrEqual(l: ce.Literal, x) if attrName(x).isDefined =>
+        cmp(attrName(x).get, l, ">=")
+      case ce.In(x, vs) if attrName(x).isDefined && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[ce.Literal]) =>
+        vs.map(v => cmp(attrName(x).get, v.asInstanceOf[ce.Literal], "="))
+          .reduce((p, q) => (p._1 || q._1, p._2 || q._2))
+      case ce.IsNull(x) if attrName(x).isDefined =>
+        nullness(attrName(x).get, isNull = true)
+      case ce.IsNotNull(x) if attrName(x).isDefined =>
+        nullness(attrName(x).get, isNull = false)
+      case _ => (lit(true), lit(false))
+    }
+    walk(SparkSession.active.sessionState.sqlParser
+      .parseExpression(predicateSql))
+  }
+
+  /** Schema columns a predicate references — the stats the rewrite
+    * forms collect on freshly-written files, so the skipping index
+    * keeps covering the columns users filter by. */
+  private def referencedColumns(st: LogState, predicateSql: String)
+      : Seq[String] =
+    SparkSession.active.sessionState.sqlParser.parseExpression(predicateSql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.distinct
+      .flatMap(n => st.schema.fields.find(_.name.equalsIgnoreCase(n)))
+      .map(_.name).toSeq
+
   /** The pruned candidate set for a range predicate, collected
     * O(survivors): the envelope comparison runs as a Spark filter over
     * the census DataFrame (checkpoint scan + tail overlay), and only
@@ -1038,6 +1177,24 @@ final case class DeltaTable(root: String) {
     readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors),
         st.columnMappingMode)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Stats-pruned read by ARBITRARY SQL predicate (r16): file pruning
+    * from [[predicateEnvelopes]] — single-column conjuncts prune like
+    * the range form, unrecognized shapes degrade to a full (still
+    * correct) scan — with the residual predicate applied on the
+    * survivors. */
+  def readWhere(spark: SparkSession, predicateSql: String): DataFrame =
+    readWhere(spark, predicateSql, None)
+
+  def readWhere(spark: SparkSession, predicateSql: String,
+      version: Option[Long]): DataFrame = {
+    val st = logState(spark, version)
+    val (may, _) = predicateEnvelopes(st, predicateSql)
+    val survivors = collectAdds(fileCensus(spark, st).where(may))
+    readFilesDv(spark, st.schema, st.partitionColumns, dvPairs(survivors),
+        st.columnMappingMode)
+      .filter(expr(predicateSql))
   }
 
   // ---- write side ------------------------------------------------------
@@ -2373,17 +2530,50 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
-    // the DV form is metadata-only on ANY column-mapping table: no
-    // data files, no fresh stats, no metaData — removes and same-path
-    // re-adds replay existing (already physical-keyed) action payloads,
-    // and the bitmap is name-agnostic. A 100 TB user can PII-delete
-    // rows from a foreign table IN PLACE. The rewrite form writes data
-    // files (physical-named; field-id footers on id-mode tables).
+    deleteCore(spark, st,
+      col(column) >= lit(lo) && col(column) <= lit(hi),
+      mayIntersectCol(st, column, lo, hi),
+      containedInCol(st, column, lo, hi),
+      s"$column BETWEEN $lo AND $hi", Seq(column), useDeletionVectors)
+  }
+
+  /** DELETE by ARBITRARY SQL predicate (r16) — the shape real users hit
+    * first (`DELETE WHERE lang = 'en' AND quality < 0.3`): the same
+    * three-class cost model as the range form, with file pruning from
+    * [[predicateEnvelopes]] — single-column conjuncts prune exactly
+    * like ranges, anything the envelope can't see degrades to "scan the
+    * file" (correct, never fast-dropped). SQL semantics throughout:
+    * rows where the predicate is NULL survive, and the whole-file fast
+    * drop fires only on files PROVABLY all-matching. The predicate is a
+    * SQL string — the same currency as the reference's filter surface
+    * and Delta's own constraint expressions — parsed once for the
+    * envelopes and compiled once into the data-plane filter. */
+  def deleteWhere(predicateSql: String,
+      useDeletionVectors: Boolean = true): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    val (may, all) = predicateEnvelopes(st, predicateSql)
+    deleteCore(spark, st, expr(predicateSql), may, all, predicateSql,
+      referencedColumns(st, predicateSql), useDeletionVectors)
+  }
+
+  /** Shared DELETE engine for the range and predicate forms: `matchCond`
+    * is the row-level predicate over LOGICAL columns; `mayEnv`/`allEnv`
+    * are its census envelopes (may-intersect prune / whole-file drop).
+    * The DV form is metadata-only on ANY column-mapping table: no data
+    * files, no fresh stats, no metaData — removes and same-path re-adds
+    * replay existing (already physical-keyed) action payloads, and the
+    * bitmap is name-agnostic. A 100 TB user can PII-delete rows from a
+    * foreign table IN PLACE. The rewrite form writes data files
+    * (physical-named; field-id footers on id-mode tables). */
+  private def deleteCore(spark: SparkSession, st: LogState,
+      matchCond: Column, mayEnv: Column, allEnv: Column,
+      predicate: String, statsCols: Seq[String],
+      useDeletionVectors: Boolean): Long = {
     // ONE pruned collect: candidates with their whole-file-drop flag
     val candRows = fileCensus(spark, st)
-      .where(mayIntersectCol(st, column, lo, hi))
-      .select(censusSchema.fieldNames.map(col) :+
-        containedInCol(st, column, lo, hi).as("_whole"): _*)
+      .where(mayEnv)
+      .select(censusSchema.fieldNames.map(col) :+ allEnv.as("_whole"): _*)
       .collect()
     val cand = candRows.toSeq.map(rowToAdd)
     if (cand.isEmpty) return st.version
@@ -2391,7 +2581,6 @@ final case class DeltaTable(root: String) {
     val contained = candRows.filter(_.getBoolean(wholeIdx))
       .map(_.getString(0)).toSet
     val partial = cand.filterNot(f => contained(f.path))
-    val predicate = s"$column BETWEEN $lo AND $hi"
     // Change-data-feed payload (when delta.enableChangeDataFeed=true):
     // the rows this DELETE kills are the candidates' LIVE rows (existing
     // DVs applied) matching the predicate — evaluated lazily inside the
@@ -2402,20 +2591,21 @@ final case class DeltaTable(root: String) {
       if (!st.cdfEnabled) None
       else Some(readFilesDv(spark, st.schema, st.partitionColumns,
           dvPairs(cand), st.columnMappingMode)
-        .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+        .filter(matchCond)
         .withColumn("_change_type", lit("delete")))
 
     if (!useDeletionVectors) {
       // the rewrite form MOVES surviving rows into new files — refused
       // on enabled rowTracking tables (the DV form is the legal path)
       requireRowIdPreservation(st, "DELETE (rewrite form)")
+      // SQL DELETE keeps rows where the predicate is FALSE or NULL
       val survivors = readFilesDv(spark, st.schema, st.partitionColumns,
           dvPairs(partial), st.columnMappingMode)
-        .filter(col(column).isNull || col(column) < lit(lo) || col(column) > lit(hi))
+        .filter(!coalesce(matchCond, lit(false)))
       return commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
         Map("predicate" -> predicate,
           "wholeFilesDropped" -> contained.size.toString),
-        statsFor = Seq(column), removeDvs = dvMapOf(cand),
+        statsFor = statsCols, removeDvs = dvMapOf(cand),
         cdcData = cdcFrame, internalRewrite = true)
     }
 
@@ -2423,31 +2613,11 @@ final case class DeltaTable(root: String) {
     // and serialized DISTRIBUTED ([[buildDvs]] — existing DVs are NOT
     // applied to the scan: the merged DV is a set union, so re-matching
     // an already-deleted row is harmless and saves a join)
-    val absRoot = Paths.get(root).toAbsolutePath.toString
     val (emptied, descs) =
       if (partial.isEmpty)
         (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
-      else {
-        // physical column names in the scan schema and the predicate
-        // column (identity off column-mapping tables)
-        val dataSchema = StructType(
-          st.schema.filterNot(f => st.partitionColumns.contains(f.name))
-            .map(f => DeltaTable.physicalField(f,
-              byId = st.columnMappingMode == "id")))
-        val paths = partial.map(f => dataPath(absRoot, f.path))
-        val reader =
-          if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
-          else spark.read.option("basePath", absRoot).schema(dataSchema)
-        val dt = st.schema(column).dataType
-        val matchedRows = reader.parquet(paths: _*)
-          .select(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
-            col("_metadata.row_index").as("_ri"),
-            col(st.phys(column)).cast(dt).as("_c"))
-          .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
-          .select(col("_fp"), col("_ri"))
-        buildDvs(spark, matchedRows, partial)
-      }
+      else buildDvs(spark,
+        matchedRowsFrame(spark, st, partial, matchCond), partial)
     if (emptied.isEmpty && descs.isEmpty && contained.isEmpty)
       return st.version
 
@@ -2462,6 +2632,33 @@ final case class DeltaTable(root: String) {
         "deletionVectorsWritten" -> descs.size.toString),
       removeDvs = dvMapOf(wholeDrops), dvReAdds = descs, writeData = false,
       colMapSafe = true, cdcData = cdcFrame)
+  }
+
+  /** (file path, row index) frame of the candidate files' rows matching
+    * `matchCond` — the DV-build input shared by DELETE and UPDATE (range
+    * and predicate forms). The scan serves the LOGICAL schema (physical
+    * names renamed back, the predicate's column pruning reaches the
+    * parquet footers through the projection) plus the metadata columns;
+    * existing DVs are NOT applied — the DV union is idempotent, so
+    * re-matching an already-dead row is harmless and saves a join. */
+  private def matchedRowsFrame(spark: SparkSession, st: LogState,
+      files: Seq[AddFile], matchCond: Column): DataFrame = {
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val dataSchema = StructType(
+      st.schema.filterNot(f => st.partitionColumns.contains(f.name))
+        .map(f => DeltaTable.physicalField(f,
+          byId = st.columnMappingMode == "id")))
+    val paths = files.map(f => dataPath(absRoot, f.path))
+    val reader =
+      if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
+      else spark.read.option("basePath", absRoot).schema(dataSchema)
+    reader.parquet(paths: _*)
+      .select((st.schema.map(f =>
+        col(st.phys(f.name)).cast(f.dataType).as(f.name)) :+
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp") :+
+        col("_metadata.row_index").as("_ri")): _*)
+      .where(matchCond)
+      .select(col("_fp"), col("_ri"))
   }
 
   /** Metadata-retention LOG CLEANUP (delta-spark's
@@ -2568,6 +2765,33 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     val spark = SparkSession.active
     val st = logState(spark, None)
+    updateCore(spark, st,
+      col(column) >= lit(lo) && col(column) <= lit(hi),
+      mayIntersectCol(st, column, lo, hi),
+      containedInCol(st, column, lo, hi),
+      s"$column BETWEEN $lo AND $hi", Seq(column), set, useDeletionVectors)
+  }
+
+  /** UPDATE by ARBITRARY SQL predicate (r16) — same envelope pruning,
+    * cost model and SQL semantics as [[deleteWhere]], same postimage
+    * pipeline (one-projection SET swap semantics, generated-column
+    * recompute, row-contract enforcement, CDF pair) as the range
+    * [[update]]. */
+  def updateWhere(predicateSql: String, set: Map[String, Column],
+      useDeletionVectors: Boolean = true): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    val (may, all) = predicateEnvelopes(st, predicateSql)
+    updateCore(spark, st, expr(predicateSql), may, all, predicateSql,
+      referencedColumns(st, predicateSql), set, useDeletionVectors)
+  }
+
+  /** Shared UPDATE engine for the range and predicate forms (see
+    * [[update]] for the cost model and enforcement contract). */
+  private def updateCore(spark: SparkSession, st: LogState,
+      matchCond: Column, mayEnv: Column, allEnv: Column,
+      predicate: String, statsCols: Seq[String], set: Map[String, Column],
+      useDeletionVectors: Boolean): Long = {
     requireRowIdPreservation(st, "UPDATE")
     require(set.nonEmpty, s"DeltaTable $root: UPDATE with no SET assignments")
     set.keys.foreach(k => require(st.schema.fieldNames.contains(k),
@@ -2578,9 +2802,8 @@ final case class DeltaTable(root: String) {
       require(!set.contains(f.name),
         s"DeltaTable $root: UPDATE sets identity column ${f.name} — refusing"))
     val candRows = fileCensus(spark, st)
-      .where(mayIntersectCol(st, column, lo, hi))
-      .select(censusSchema.fieldNames.map(col) :+
-        containedInCol(st, column, lo, hi).as("_whole"): _*)
+      .where(mayEnv)
+      .select(censusSchema.fieldNames.map(col) :+ allEnv.as("_whole"): _*)
       .collect()
     val cand = candRows.toSeq.map(rowToAdd)
     if (cand.isEmpty) return st.version
@@ -2588,12 +2811,10 @@ final case class DeltaTable(root: String) {
     val contained = candRows.filter(_.getBoolean(wholeIdx))
       .map(_.getString(0)).toSet
     val partial = cand.filterNot(f => contained(f.path))
-    val predicate = s"$column BETWEEN $lo AND $hi"
     val tableCols = st.schema.fieldNames.map(col).toSeq
     val candLive = readFilesDv(spark, st.schema, st.partitionColumns,
       dvPairs(cand), st.columnMappingMode)
-    val matched = candLive
-      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    val matched = candLive.filter(matchCond)
     // SET first, in ONE projection so every expression sees the
     // PRE-update row (sequential withColumn would let later assignments
     // read earlier ones' results — SQL UPDATE's swap semantics forbid
@@ -2621,11 +2842,11 @@ final case class DeltaTable(root: String) {
           .withColumn("_change_type", lit("update_postimage"))))
 
     if (!useDeletionVectors) {
-      val survivors = candLive.filter(col(column).isNull ||
-        col(column) < lit(lo) || col(column) > lit(hi))
+      // survivors: rows where the predicate is FALSE or NULL, per SQL
+      val survivors = candLive.filter(!coalesce(matchCond, lit(false)))
       return commit(survivors.unionByName(postimage), st.partitionColumns,
         cand.map(_.path), "UPDATE",
-        Map("predicate" -> predicate), statsFor = Seq(column),
+        Map("predicate" -> predicate), statsFor = statsCols,
         removeDvs = dvMapOf(cand), cdcData = cdcFrame,
         preexistingRows = true)
     }
@@ -2634,35 +2855,17 @@ final case class DeltaTable(root: String) {
     // machinery as DELETE — existing DVs not applied, union is
     // idempotent), serialized DISTRIBUTED; wholly-contained files drop
     // outright
-    val absRoot = Paths.get(root).toAbsolutePath.toString
     val (emptied, descs) =
       if (partial.isEmpty)
         (Seq.empty[AddFile], Seq.empty[(AddFile, DeletionVectors.Descriptor)])
-      else {
-        val dataSchema = StructType(
-          st.schema.filterNot(f => st.partitionColumns.contains(f.name))
-            .map(f => DeltaTable.physicalField(f,
-              byId = st.columnMappingMode == "id")))
-        val paths = partial.map(f => dataPath(absRoot, f.path))
-        val reader =
-          if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
-          else spark.read.option("basePath", absRoot).schema(dataSchema)
-        val dt = st.schema(column).dataType
-        val matchedRows = reader.parquet(paths: _*)
-          .select(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp"),
-            col("_metadata.row_index").as("_ri"),
-            col(st.phys(column)).cast(dt).as("_c"))
-          .where(col("_c") >= lit(lo) && col("_c") <= lit(hi))
-          .select(col("_fp"), col("_ri"))
-        buildDvs(spark, matchedRows, partial)
-      }
+      else buildDvs(spark,
+        matchedRowsFrame(spark, st, partial, matchCond), partial)
     val wholeDrops = cand.filter(f => contained(f.path)) ++ emptied
     commit(postimage, st.partitionColumns, wholeDrops.map(_.path), "UPDATE",
       Map("predicate" -> predicate,
         "wholeFilesDropped" -> wholeDrops.size.toString,
         "deletionVectorsWritten" -> descs.size.toString),
-      statsFor = Seq(column), removeDvs = dvMapOf(wholeDrops),
+      statsFor = statsCols, removeDvs = dvMapOf(wholeDrops),
       dvReAdds = descs, cdcData = cdcFrame, preexistingRows = true)
   }
 

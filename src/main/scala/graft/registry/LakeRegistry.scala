@@ -678,6 +678,27 @@ object LakeRegistry {
         countDistinct(col("row_id")).as("n_ids"),
         sum(col("row_id")).as("sum_ids"))
     }),
+    // arbitrary-predicate DELETE (r16): a two-column conjunct the range
+    // form cannot express — envelope-pruned per referenced column, DV'd
+    // at boundaries; the oracle restates the survivors with SQL null
+    // semantics (predicate FALSE or NULL keeps the row)
+    "q_delta_delete_pred" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_delpred"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "lang", "n_chars"))
+      dt.deleteWhere("lang = 'en' AND n_chars < 200")
+      bySource(dt.read(s))
+    }),
+    // arbitrary-predicate UPDATE (r16): SET applied exactly where the
+    // conjunct holds; the oracle restates it as CASE
+    "q_delta_update_pred" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_updpred"))
+      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "lang", "n_chars"))
+      dt.updateWhere("lang = 'en' AND n_chars >= 200",
+        Map("n_chars" -> (col("n_chars") + 13), "lang" -> lit("enx")))
+      bySource(dt.read(s))
+    }),
     // rowTracking writer feature (r16): a hand-written FOREIGN v0
     // declares rowTracking+domainMetadata (the modern delta-spark
     // default); the engine then appends both halves — assigning each
@@ -875,6 +896,21 @@ object LakeRegistry {
         |  CAST(1000*count(*) + 3*count(*)*(count(*) - 1)/2 AS BIGINT)
         |    AS sum_ids
         |FROM documents""".stripMargin,
+    // survivors of the conjunct delete: predicate FALSE or NULL keeps
+    // the row (restated with COALESCE so DuckDB's null handling is
+    // explicit and identical)
+    "q_delta_delete_pred" ->
+      s"""$bySourceSql
+         |WHERE NOT COALESCE(lang = 'en' AND n_chars < 200, FALSE)
+         |GROUP BY source""".stripMargin,
+    // the conjunct UPDATE restated as CASE over the source table
+    "q_delta_update_pred" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars + CASE WHEN lang = 'en' AND n_chars >= 200
+        |    THEN 13 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT CASE WHEN lang = 'en' AND n_chars >= 200
+        |    THEN 'enx' ELSE lang END) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     // the live band after the DV delete, plus the row-id high-water
     // mark: fresh ids 0..n−1 were assigned across both appends, the
     // delete reuses none — hwm = total rows − 1 in closed form

@@ -1738,6 +1738,69 @@ class DeltaSpec extends SparkSpec {
     assert(ft.versionAt(9000L) == 1L)
   }
 
+  test("predicate DELETE/UPDATE/readWhere: conjunct envelopes prune and fast-drop; NULL predicates keep rows; opaque shapes stay correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    val rows = Seq(
+      (1L, Some("en"), Some(0.9)), (2L, Some("en"), Some(0.2)),
+      (3L, Some("fr"), Some(0.1)), (4L, Some("fr"), None),
+      (5L, None, Some(0.5)))
+    val dt = tmpTable()
+    dt.overwrite(rows.toDF("k", "lang", "q").repartitionByRange(2, col("k")),
+      statsFor = Seq("k", "lang", "q"))
+
+    // conjunction over two columns: only the (en, 0.2) row dies; the
+    // row with q NULL (predicate NULL) and the NULL-lang row survive
+    dt.deleteWhere("lang = 'en' AND q < 0.3")
+    assert(ks(dt.read(spark)) == Set(1L, 3L, 4L, 5L))
+    dt.deleteWhere("lang = 'fr' AND q < 0.3") // (fr, NULL q) survives
+    assert(ks(dt.read(spark)) == Set(1L, 4L, 5L))
+
+    // predicate UPDATE: swap-semantics SET over the matched rows
+    dt.updateWhere("q >= 0.5", Map("lang" -> lit("xx")))
+    assert(dt.read(spark).where(col("lang") === "xx").count() == 2)
+    assert(ks(dt.read(spark)) == Set(1L, 4L, 5L))
+
+    // predicate reads: IN, NOT (envelope duality), IS NULL, and an
+    // envelope-opaque expression (modulo) — all exact
+    assert(ks(dt.readWhere(spark, "k IN (1, 4)")) == Set(1L, 4L))
+    assert(ks(dt.readWhere(spark, "NOT (k < 4)")) == Set(4L, 5L))
+    assert(ks(dt.readWhere(spark, "q IS NULL")) == Set(4L))
+    assert(ks(dt.readWhere(spark, "q IS NOT NULL AND lang = 'xx'")) ==
+      Set(1L, 5L))
+    assert(ks(dt.readWhere(spark, "k % 2 = 0")) == Set(4L))
+
+    // whole-file fast drop: a fresh range-clustered table, predicate
+    // provably TRUE for every row of the low file → remove-only action
+    // (no deletionVector, no rewrite); the other file never touched
+    val ft = tmpTable()
+    ft.overwrite(Seq((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b"))
+      .toDF("k", "lang").repartitionByRange(2, col("k")),
+      statsFor = Seq("k", "lang"))
+    val v = ft.deleteWhere("k <= 2")
+    val json = commitJson(ft, v)
+    assert(json.contains("\"remove\""))
+    assert(!json.contains("\"deletionVector\":"))
+    assert(json.split('\n').count(_.contains("\"remove\"")) == 1)
+    assert(ks(ft.read(spark)) == Set(10L, 11L))
+
+    // boundary predicate on a file that mixes matches: DV path
+    val v2 = ft.deleteWhere("lang = 'b' AND k >= 11")
+    assert(commitJson(ft, v2).contains("deletionVector"))
+    assert(ks(ft.read(spark)) == Set(10L))
+
+    // the envelope never fast-drops when NULLs could hide: a file whose
+    // lang column holds a NULL must not be remove-only dropped by a
+    // lang-range predicate even if min/max are inside it
+    val nt = tmpTable()
+    nt.overwrite(Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("k", "lang").coalesce(1), statsFor = Seq("k", "lang"))
+    nt.deleteWhere("lang = 'a'")
+    assert(ks(nt.read(spark)) == Set(3L))
+  }
+
   /** A hand-written FOREIGN rowTracking table in the SUPPORTED state
     * (feature declared; `delta.enableRowTracking` per `config`): one
     * 2-row data file owning row ids [0, 1], high-water mark 1. */
