@@ -214,6 +214,24 @@ object DeletionVectors {
     (descs.head.pathOrInlineDv, descs)
   }
 
+  /** The on-disk file a non-inline descriptor resolves to under `root`
+    * (None for the inline "i" form): storageType "p" is an absolute
+    * path; "u" is `<optional random prefix><20-char Z85 uuid>` naming
+    * `deletion_vector_<uuid>.bin` under root/prefix. Shared by the
+    * reader, vacuum's live-set computation, and shallow CLONE's
+    * localization so the three can never disagree on resolution. */
+  def fileFor(root: String, d: Descriptor): Option[Path] = d.storageType match {
+    case "p" => Some(Paths.get(d.pathOrInlineDv))
+    case "u" =>
+      val enc = d.pathOrInlineDv
+      require(enc.length >= 20, s"DV: pathOrInlineDv too short: $enc")
+      val uuid = uuidOf(unz85(enc.substring(enc.length - 20)))
+      val prefix = enc.substring(0, enc.length - 20)
+      Some(if (prefix.isEmpty) dvPath(root, uuid)
+        else Paths.get(root, prefix, s"deletion_vector_${uuid.toString}.bin"))
+    case _ => None
+  }
+
   /** Resolve a descriptor to its row indexes, verifying the CRC. */
   def read(root: String, d: Descriptor): Array[Long] = d.storageType match {
     case "i" =>
@@ -222,17 +240,7 @@ object DeletionVectors {
         s"DV: inline payload ${raw.length} bytes vs sizeInBytes ${d.sizeInBytes}")
       deserialize(raw.take(d.sizeInBytes))
     case "u" | "p" =>
-      val p =
-        if (d.storageType == "p") Paths.get(d.pathOrInlineDv)
-        else {
-          // "u": pathOrInlineDv = <optional random prefix><20-char Z85 uuid>
-          val enc = d.pathOrInlineDv
-          require(enc.length >= 20, s"DV: pathOrInlineDv too short: $enc")
-          val uuid = uuidOf(unz85(enc.substring(enc.length - 20)))
-          val prefix = enc.substring(0, enc.length - 20)
-          if (prefix.isEmpty) dvPath(root, uuid)
-          else Paths.get(root, prefix, s"deletion_vector_${uuid.toString}.bin")
-        }
+      val p = fileFor(root, d).get
       require(Files.exists(p), s"DV: file missing: $p")
       val all = Files.readAllBytes(p)
       require(all.nonEmpty && all(0) == 1, s"DV: bad file version in $p")

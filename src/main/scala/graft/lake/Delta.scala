@@ -589,9 +589,13 @@ final case class DeltaTable(root: String) {
     census.select(censusSchema.fieldNames.map(col): _*).collect()
       .toSeq.map(rowToAdd)
 
-  /** (path, dv descriptor) pairs for [[readFilesDv]]. */
-  private def dvPairs(files: Seq[AddFile]): Seq[(String, Option[String])] =
-    files.map(f => f.path -> f.dv)
+  /** (path, dv descriptor, partitionValues) triples for
+    * [[readFilesDv]] — the partition values ride along so absolute-path
+    * adds (shallow clones) can recover their partition columns from the
+    * actions rather than the directory layout. */
+  private def dvPairs(files: Seq[AddFile])
+      : Seq[(String, Option[String], Map[String, String])] =
+    files.map(f => (f.path, f.dv, f.partitionValues))
 
   /** path → dv descriptor map for [[commit]]'s remove emission, so a
     * removed DV-bearing file's descriptor rides its remove action (the
@@ -734,23 +738,32 @@ final case class DeltaTable(root: String) {
   private def livePaths(spark: SparkSession, st: LogState): Seq[String] =
     livePathDvs(spark, st).map(_._1)
 
-  /** (path, deletionVector descriptor) pairs — what a full-table scan
-    * minimally needs: the path strings plus, for the (few, boundary-
-    * delete-produced) DV-bearing files, a ~100-byte descriptor. */
+  /** (path, deletionVector descriptor, partitionValues) triples — what
+    * a full-table scan minimally needs: the path strings plus, for the
+    * (few, boundary-delete-produced) DV-bearing files, a ~100-byte
+    * descriptor; on PARTITIONED tables the per-file partitionValues map
+    * rides too (the same strings Spark's own InMemoryFileIndex holds
+    * per file — needed so absolute-path clone adds recover partition
+    * columns from the actions). */
   private def livePathDvs(spark: SparkSession,
-      st: LogState): Seq[(String, Option[String])] =
-    livePathsFrame(spark, st).collect().toSeq
-      .map(r => r.getString(0) -> Option(r.getString(1)))
+      st: LogState): Seq[(String, Option[String], Map[String, String])] =
+    livePathsFrame(spark, st).collect().toSeq.map { r =>
+      (r.getString(0), Option(r.getString(1)),
+        if (r.length < 3 || r.isNullAt(2)) Map.empty[String, String]
+        else r.getMap[String, String](2).toMap)
+    }
 
-  /** The exact two-column frame [[livePathDvs]] collects — package-
-    * visible so the spec can prove the full-scan driver payload is the
-    * path strings (plus tiny DV descriptors) and NOTHING else (no
-    * stats, no partitionValues). */
+  /** The exact frame [[livePathDvs]] collects — package-visible so the
+    * spec can prove the full-scan driver payload on an UNPARTITIONED
+    * table is the path strings (plus tiny DV descriptors) and NOTHING
+    * else (no stats); partitioned tables add only the partitionValues
+    * column. */
   private[lake] def livePathsFrame(spark: SparkSession): DataFrame =
     livePathsFrame(spark, logState(spark, None))
 
   private def livePathsFrame(spark: SparkSession, st: LogState): DataFrame =
-    fileCensus(spark, st).select("path", "dv")
+    if (st.partitionColumns.isEmpty) fileCensus(spark, st).select("path", "dv")
+    else fileCensus(spark, st).select("path", "dv", "partitionValues")
 
   // ---- stats-envelope pruning, pushed down as Spark filters ------------
 
@@ -1098,36 +1111,21 @@ final case class DeltaTable(root: String) {
     * so the DV-free fast path is byte-identical to before. */
   private def readFilesDv(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[(String, Option[String])],
+      files: Seq[(String, Option[String], Map[String, String])],
       mode: String = "none"): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    // absolute paths so `basePath` and the file list qualify identically
     val absRoot = Paths.get(root).toAbsolutePath.toString
-    val paths = files.map { case (f, _) => dataPath(absRoot, f) }
-    // column mapping: the parquet footers (and partition dir names)
-    // carry PHYSICAL column names at EVERY nesting level — scan with the
-    // physical schema ([[DeltaTable.physicalField]], recursive), rename
-    // back to the logical schema in the final select (nested fields
-    // rename through the positional struct cast). Mode `id` additionally
-    // rides `parquet.field.id` metadata so Spark's reader resolves
-    // columns by field id, per the protocol. Identity when no field
-    // carries column-mapping metadata.
     def phys(n: String): String = {
       val f = schema(n)
       if (f.metadata.contains(DeltaTable.PhysNameKey))
         f.metadata.getString(DeltaTable.PhysNameKey)
       else n
     }
-    val dataSchema = StructType(
-      schema.filterNot(f => partitionColumns.contains(f.name))
-        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
-    val raw =
-      if (partitionColumns.isEmpty)
-        spark.read.schema(dataSchema).parquet(paths: _*)
-      else
-        spark.read.option("basePath", absRoot).schema(dataSchema).parquet(paths: _*)
-    val dvFiles = files.collect { case (p, Some(json)) => (p, json) }
+    val dvFiles = files.collect { case (p, Some(json), _) => (p, json) }
+    // the DV-free fast path never materializes the metadata columns
+    val raw = scanFiles(spark, schema, partitionColumns, mode,
+      files.map(f => (f._1, f._3)), withMeta = dvFiles.nonEmpty)
     val live =
       if (dvFiles.isEmpty) raw
       else {
@@ -1142,15 +1140,9 @@ final case class DeltaTable(root: String) {
         }
         val dvDF = spark.createDataFrame(dvRows.asJava, StructType(Seq(
           StructField("_dv_file", StringType), StructField("_dv_row", LongType))))
-        raw
-          // normalize "file:/..." vs "file:///..." URI forms to the bare
-          // absolute path so the join key matches the driver-built one
-          .withColumn("_g_fp",
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-          .withColumn("_g_ri", col("_metadata.row_index"))
-          .join(broadcast(dvDF),
-            col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
-            "left_anti")
+        raw.join(broadcast(dvDF),
+          col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
+          "left_anti")
       }
     // serve the DECLARED schema including field metadata (column-mapping
     // physicalName/id ride along, as delta-spark's reads do) — rewrite
@@ -1158,6 +1150,79 @@ final case class DeltaTable(root: String) {
     // prove "schema unchanged" and re-emit physical names
     live.select(schema.map(f =>
       col(phys(f.name)).cast(f.dataType).as(f.name, f.metadata)): _*)
+  }
+
+  /** PHYSICAL-schema scan of a file set — the one scan builder every
+    * read path shares. Column mapping: the parquet footers (and
+    * partition dir names) carry PHYSICAL column names at EVERY nesting
+    * level — scan with the physical schema ([[DeltaTable.physicalField]],
+    * recursive); callers rename back to the logical schema. Mode `id`
+    * rides `parquet.field.id` metadata so Spark resolves columns by
+    * field id, per the protocol.
+    *
+    * Partitioned tables split two ways (r16): RELATIVE paths — the
+    * table's own files — ride ONE `basePath` scan with Hive-directory
+    * partition recovery; ABSOLUTE paths (shallow-clone adds, which the
+    * protocol allows) cannot join a foreign directory layout, so their
+    * partition columns attach as typed literals from each action's own
+    * `partitionValues` — the protocol's source of truth — grouped per
+    * distinct combination (O(partitions-touched) scan groups, bounded
+    * by the caller's prune). Both branches normalize partition columns
+    * to the declared types so the union is exact.
+    *
+    * `withMeta` materializes `_g_fp` (canonicalized file path) and
+    * `_g_ri` (row index) PER BRANCH — `_metadata` does not propagate
+    * through a union — for the DV anti-join and the matched-row scans;
+    * the common no-DV path skips them entirely. */
+  private def scanFiles(spark: SparkSession, schema: StructType,
+      partitionColumns: Seq[String], mode: String,
+      files: Seq[(String, Map[String, String])],
+      withMeta: Boolean): DataFrame = {
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    def phys(n: String): String = {
+      val f = schema(n)
+      if (f.metadata.contains(DeltaTable.PhysNameKey))
+        f.metadata.getString(DeltaTable.PhysNameKey)
+      else n
+    }
+    val dataSchema = StructType(
+      schema.filterNot(f => partitionColumns.contains(f.name))
+        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
+    def meta(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df
+        // normalize "file:/..." vs "file:///..." URI forms to the bare
+        // absolute path so join keys match the driver-built ones
+        .withColumn("_g_fp",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("_g_ri", col("_metadata.row_index"))
+    def isAbs(p: String): Boolean =
+      p.startsWith("/") || p.startsWith("file:")
+    if (partitionColumns.isEmpty)
+      meta(spark.read.schema(dataSchema)
+        .parquet(files.map(f => dataPath(absRoot, f._1)): _*))
+    else {
+      val (abs, rel) = files.partition(f => isAbs(f._1))
+      val relDF =
+        if (rel.isEmpty) Nil
+        else Seq(partitionColumns.foldLeft(
+          meta(spark.read.option("basePath", absRoot).schema(dataSchema)
+            .parquet(rel.map(f => dataPath(absRoot, f._1)): _*))) {
+          (df, c) => df.withColumn(phys(c),
+            col(phys(c)).cast(schema(c).dataType))
+        })
+      val absDF = abs.groupBy(_._2).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (pv, fs) =>
+          partitionColumns.foldLeft(
+            meta(spark.read.schema(dataSchema)
+              .parquet(fs.map(f => dataPath(absRoot, f._1)): _*))) {
+            (df, c) => df.withColumn(phys(c),
+              lit(pv.get(phys(c)).orNull).cast(schema(c).dataType))
+          }
+        }
+      (relDF ++ absDF).reduce(_ unionByName _)
+    }
   }
 
   /** Stats-pruned range read — Delta's DATA-SKIPPING: only files whose
@@ -1212,7 +1277,7 @@ final case class DeltaTable(root: String) {
     }.getOrElse(Nil)
     commit(df, partitionBy, removed.map(_._1), "WRITE",
       Map("mode" -> "Overwrite"), statsFor = statsFor,
-      removeDvs = removed.collect { case (p, Some(d)) => p -> d }.toMap)
+      removeDvs = removed.collect { case (p, Some(d), _) => p -> d }.toMap)
   }
 
   /** Append `df`'s rows as new files. Returns the committed version. */
@@ -1258,7 +1323,7 @@ final case class DeltaTable(root: String) {
     // stays correct and the new adds carry no descriptor
     commit(compacted, st.partitionColumns, files.map(_._1), "OPTIMIZE",
       Map.empty, dataChange = false,
-      removeDvs = files.collect { case (p, Some(d)) => p -> d }.toMap)
+      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap)
   }
 
   /** ONE size-capped OPTIMIZE step — the maintenance shape that
@@ -2642,24 +2707,14 @@ final case class DeltaTable(root: String) {
     * existing DVs are NOT applied — the DV union is idempotent, so
     * re-matching an already-dead row is harmless and saves a join. */
   private def matchedRowsFrame(spark: SparkSession, st: LogState,
-      files: Seq[AddFile], matchCond: Column): DataFrame = {
-    val absRoot = Paths.get(root).toAbsolutePath.toString
-    val dataSchema = StructType(
-      st.schema.filterNot(f => st.partitionColumns.contains(f.name))
-        .map(f => DeltaTable.physicalField(f,
-          byId = st.columnMappingMode == "id")))
-    val paths = files.map(f => dataPath(absRoot, f.path))
-    val reader =
-      if (st.partitionColumns.isEmpty) spark.read.schema(dataSchema)
-      else spark.read.option("basePath", absRoot).schema(dataSchema)
-    reader.parquet(paths: _*)
+      files: Seq[AddFile], matchCond: Column): DataFrame =
+    scanFiles(spark, st.schema, st.partitionColumns, st.columnMappingMode,
+        files.map(f => (f.path, f.partitionValues)), withMeta = true)
       .select((st.schema.map(f =>
         col(st.phys(f.name)).cast(f.dataType).as(f.name)) :+
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("_fp") :+
-        col("_metadata.row_index").as("_ri")): _*)
+        col("_g_fp").as("_fp") :+ col("_g_ri").as("_ri")): _*)
       .where(matchCond)
       .select(col("_fp"), col("_ri"))
-  }
 
   /** Metadata-retention LOG CLEANUP (delta-spark's
     * `delta.logRetentionDuration` behavior, exposed as an explicit
@@ -2882,11 +2937,18 @@ final case class DeltaTable(root: String) {
     * against the absolute files, OPTIMIZE localizes rewritten data, and
     * vacuum walks only the clone's root so SOURCE files are never swept
     * — while vacuum on the SOURCE can break the clone, exactly
-    * delta-spark's documented shallow-clone caveat. Sources with live
-    * deletion vectors refuse (descriptor paths are source-root-relative
-    * — purge via OPTIMIZE first); partitioned sources refuse (partition
-    * recovery here is directory-based, which an external absolute file
-    * cannot join). */
+    * delta-spark's documented shallow-clone caveat.
+    *
+    * PARTITIONED sources clone too (r16): partitionColumns ride the
+    * metaData and each add keeps its `partitionValues` verbatim — the
+    * read side recovers partition columns of absolute-path adds from
+    * the actions ([[scanFiles]]), not the directory layout. Sources
+    * with live DELETION VECTORS clone too (r16): each referenced
+    * `deletion_vector_*.bin` is LOCALIZED — copied (KB-sized bitmaps)
+    * under the clone root at the same relative location, so the
+    * verbatim descriptors resolve against the clone and vacuum on the
+    * source can never strand the clone's DVs; inline ("i") descriptors
+    * ride the log itself, absolute ("p") descriptors carry over. */
   def shallowCloneTo(dstRoot: String): DeltaTable = {
     val spark = SparkSession.active
     val st = logState(spark, None)
@@ -2896,10 +2958,6 @@ final case class DeltaTable(root: String) {
     // actions lack that feature's required fields — born violating its
     // own declared write contract (r15 advisory)
     requireWriterFeatures(st, "CLONE", removesRows = false)
-    require(st.partitionColumns.isEmpty,
-      s"DeltaTable $root: shallow clone of a PARTITIONED table is not " +
-        "supported (directory-based partition recovery cannot span " +
-        "roots) — materialize with overwrite instead")
     val dst = DeltaTable(dstRoot)
     require(dst.latestVersion.isEmpty,
       s"DeltaTable $dstRoot: shallow-clone target already has commits")
@@ -2934,7 +2992,7 @@ final case class DeltaTable(root: String) {
       }
       w.write(wrap(mapper, "protocol", proto)); w.newLine()
       w.write(wrap(mapper, "metaData", metaNode(mapper, st.schema,
-        Nil, now, st.configuration,
+        st.partitionColumns, now, st.configuration,
         Some(java.util.UUID.randomUUID.toString)))); w.newLine()
       // the source's live domainMetadata (row-id high-water marks etc.)
       // is table state the clone starts from, exactly like configuration
@@ -2943,18 +3001,34 @@ final case class DeltaTable(root: String) {
         dn.put("domain", dm).put("configuration", cfg).put("removed", false)
         w.write(wrap(mapper, "domainMetadata", dn)); w.newLine()
       }
+      val localizedDvs = mutable.HashSet.empty[String]
       val it = fileCensus(spark, st).toLocalIterator()
       while (it.hasNext) {
         val f = rowToAdd(it.next())
-        require(f.dv.isEmpty,
-          s"DeltaTable $root: shallow clone of a table with live " +
-            s"deletion vectors (${f.path}) — purge them (OPTIMIZE) first")
         val add = mapper.createObjectNode
         add.put("path", encodePath(dataPath(absRoot, f.path)))
-        add.putObject("partitionValues")
+        val pvNode = add.putObject("partitionValues")
+        f.partitionValues.foreach { case (k, x) => pvNode.put(k, x) }
         add.put("size", f.size).put("modificationTime", f.modificationTime)
           .put("dataChange", true)
         f.statsJson.foreach(s => add.put("stats", s))
+        f.dv.foreach { j =>
+          // localize the bitmap file under the CLONE root: the verbatim
+          // "u" descriptor then resolves against the clone (one copy per
+          // shared .bin — many adds may point into one file at distinct
+          // offsets); "i" rides the action, "p" is already absolute
+          val d = DeletionVectors.fromJson(j)
+          DeletionVectors.fileFor(root, d)
+            .filter(_ => d.storageType == "u").foreach { srcP =>
+            val dstP = DeletionVectors.fileFor(dstRoot, d).get
+            if (localizedDvs.add(dstP.toString)) {
+              Files.createDirectories(dstP.getParent)
+              Files.copy(srcP, dstP, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+          add.set[ObjectNode]("deletionVector",
+            mapper.readTree(j).asInstanceOf[ObjectNode])
+        }
         // same physical rows in the clone: row ids carry over verbatim
         f.baseRowId.foreach(b => add.put("baseRowId", b))
         f.defaultRowCommitVersion.foreach(c =>
@@ -2962,8 +3036,8 @@ final case class DeltaTable(root: String) {
         w.write(wrap(mapper, "add", add)); w.newLine()
       }
     } catch {
-      // a refusal mid-stream (live-DV source) must not leave the
-      // partially-written staging file in the target's _delta_log
+      // a mid-stream failure must not leave the partially-written
+      // staging file in the target's _delta_log
       case t: Throwable =>
         w.close(); Files.deleteIfExists(tmp); throw t
     } finally w.close()
@@ -3104,7 +3178,7 @@ final case class DeltaTable(root: String) {
       Map("zOrderBy" -> s"""["$dimA","$dimB"]"""), dataChange = false,
       statsFor = Seq(dimA, dimB),
       tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
-      removeDvs = files.collect { case (p, Some(d)) => p -> d }.toMap)
+      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap)
   }
 
   /** ONE size-capped OPTIMIZE ZORDER step — the public incremental
@@ -3287,8 +3361,10 @@ final case class DeltaTable(root: String) {
     def stateOf(v: Long) =
       stateCache.getOrElseUpdate(v, logState(spark, Some(v)))
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val adds = mutable.ArrayBuffer.empty[(String, Option[String])]
-      val removes = mutable.ArrayBuffer.empty[(String, Option[String])]
+      val adds =
+        mutable.ArrayBuffer.empty[(String, Option[String], Map[String, String])]
+      val removes =
+        mutable.ArrayBuffer.empty[(String, Option[String], Map[String, String])]
       val cdcs = mutable.ArrayBuffer.empty[(String, Map[String, String])]
       def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
         if (n.hasNonNull("deletionVector"))
@@ -3299,11 +3375,13 @@ final case class DeltaTable(root: String) {
         val add = node.get("add")
         if (add != null && add.hasNonNull("path") &&
             (!add.has("dataChange") || add.get("dataChange").asBoolean))
-          adds += decodePath(add.get("path").asText) -> dvOf(add)
+          adds += ((decodePath(add.get("path").asText), dvOf(add),
+            mapOf(add, "partitionValues")))
         val rm = node.get("remove")
         if (rm != null && rm.hasNonNull("path") &&
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
-          removes += decodePath(rm.get("path").asText) -> dvOf(rm)
+          removes += ((decodePath(rm.get("path").asText), dvOf(rm),
+            mapOf(rm, "partitionValues")))
         val cdc = node.get("cdc")
         if (cdc != null && cdc.hasNonNull("path"))
           cdcs += decodePath(cdc.get("path").asText) -> mapOf(cdc, "partitionValues")
@@ -3321,7 +3399,8 @@ final case class DeltaTable(root: String) {
         // both slices apply the action's own DV: the insert slice reads
         // the add's LIVE rows, and a remove carrying its old DV reads the
         // rows as they logically were before this commit
-        def slice(files: Seq[(String, Option[String])], kind: String) =
+        def slice(files: Seq[(String, Option[String], Map[String, String])],
+            kind: String) =
           if (files.isEmpty) None
           else Some(readFilesDv(spark, st.schema, st.partitionColumns, files,
               st.columnMappingMode)
@@ -3368,8 +3447,10 @@ final case class DeltaTable(root: String) {
       DeletionVectors.read(root, DeletionVectors.fromJson(j)).toSet)
       .getOrElse(Set.empty)
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
-      val adds = mutable.LinkedHashMap.empty[String, Option[String]]
-      val removes = mutable.LinkedHashMap.empty[String, Option[String]]
+      val adds = mutable.LinkedHashMap
+        .empty[String, (Option[String], Map[String, String])]
+      val removes = mutable.LinkedHashMap
+        .empty[String, (Option[String], Map[String, String])]
       val cdcs = mutable.ArrayBuffer.empty[(String, Map[String, String])]
       def dvOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
         if (n.hasNonNull("deletionVector"))
@@ -3380,11 +3461,13 @@ final case class DeltaTable(root: String) {
         val add = node.get("add")
         if (add != null && add.hasNonNull("path") &&
             (!add.has("dataChange") || add.get("dataChange").asBoolean))
-          adds(decodePath(add.get("path").asText)) = dvOf(add)
+          adds(decodePath(add.get("path").asText)) =
+            (dvOf(add), mapOf(add, "partitionValues"))
         val rm = node.get("remove")
         if (rm != null && rm.hasNonNull("path") &&
             (!rm.has("dataChange") || rm.get("dataChange").asBoolean))
-          removes(decodePath(rm.get("path").asText)) = dvOf(rm)
+          removes(decodePath(rm.get("path").asText)) =
+            (dvOf(rm), mapOf(rm, "partitionValues"))
         val cdc = node.get("cdc")
         if (cdc != null && cdc.hasNonNull("path"))
           cdcs += decodePath(cdc.get("path").asText) -> mapOf(cdc, "partitionValues")
@@ -3400,8 +3483,12 @@ final case class DeltaTable(root: String) {
         def tag(df: DataFrame, kind: String) = df
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
-        val pureAdds = adds.toSeq.filterNot { case (p, _) => both(p) }
-        val pureRemoves = removes.toSeq.filterNot { case (p, _) => both(p) }
+        def triples(m: mutable.LinkedHashMap[String,
+            (Option[String], Map[String, String])])
+            : Seq[(String, Option[String], Map[String, String])] =
+          m.toSeq.collect { case (p, (dv, pv)) if !both(p) => (p, dv, pv) }
+        val pureAdds = triples(adds)
+        val pureRemoves = triples(removes)
         val full =
           (if (pureAdds.isEmpty) Nil
            else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
@@ -3410,16 +3497,16 @@ final case class DeltaTable(root: String) {
            else Seq(tag(readFilesDv(spark, st.schema, st.partitionColumns,
              pureRemoves, st.columnMappingMode), "delete")))
         val diffs = both.toSeq.sorted.flatMap { p =>
-          val oldRows = rowsOf(removes(p))
-          val newRows = rowsOf(adds(p))
+          val oldRows = rowsOf(removes(p)._1)
+          val newRows = rowsOf(adds(p)._1)
           val deleted = (newRows -- oldRows).toArray.sorted
           val resurrected = (oldRows -- newRows).toArray.sorted
           (if (deleted.isEmpty) Nil
            else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-             p, deleted, st.columnMappingMode), "delete"))) ++
+             p, deleted, st.columnMappingMode, adds(p)._2), "delete"))) ++
           (if (resurrected.isEmpty) Nil
            else Seq(tag(readRowsAt(spark, st.schema, st.partitionColumns,
-             p, resurrected, st.columnMappingMode), "insert")))
+             p, resurrected, st.columnMappingMode, adds(p)._2), "insert")))
         }
         full ++ diffs
       }
@@ -3472,28 +3559,22 @@ final case class DeltaTable(root: String) {
   private def readRowsAt(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], relPath: String,
       rows: Array[Long],
-      mode: String = "none"): DataFrame = {
+      mode: String = "none",
+      partitionValues: Map[String, String] = Map.empty): DataFrame = {
     if (rows.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val absRoot = Paths.get(root).toAbsolutePath.toString
     def phys(n: String): String = {
       val f = schema(n)
       if (f.metadata.contains(DeltaTable.PhysNameKey))
         f.metadata.getString(DeltaTable.PhysNameKey)
       else n
     }
-    val dataSchema = StructType(
-      schema.filterNot(f => partitionColumns.contains(f.name))
-        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
-    val reader =
-      if (partitionColumns.isEmpty) spark.read.schema(dataSchema)
-      else spark.read.option("basePath", absRoot).schema(dataSchema)
-    val raw = reader.parquet(dataPath(absRoot, relPath))
+    val raw = scanFiles(spark, schema, partitionColumns, mode,
+      Seq((relPath, partitionValues)), withMeta = true)
     val wanted = spark.createDataFrame(
       rows.toSeq.map(Row(_)).asJava,
       StructType(Seq(StructField("_dv_row", LongType))))
     raw
-      .withColumn("_g_ri", col("_metadata.row_index"))
       .join(broadcast(wanted), col("_g_ri") === col("_dv_row"), "left_semi")
       .select(schema.map(f =>
         col(phys(f.name)).cast(f.dataType).as(f.name, f.metadata)): _*)
@@ -3529,16 +3610,8 @@ final case class DeltaTable(root: String) {
     // live too; superseded DV files (a repeat delete re-wrote the merged
     // bitmap into a fresh file) age out like data files
     val liveDvFiles: Set[String] = liveAdds.flatMap(_._2).flatMap { j =>
-      val d = DeletionVectors.fromJson(j)
-      if (d.storageType == "u") {
-        val enc = d.pathOrInlineDv
-        val uuid = {
-          val bytes = DeletionVectors.unz85(enc.substring(enc.length - 20))
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          new java.util.UUID(bb.getLong, bb.getLong)
-        }
-        Some(DeletionVectors.dvPath(root, uuid).getFileName.toString)
-      } else None
+      DeletionVectors.fileFor(root, DeletionVectors.fromJson(j))
+        .map(_.getFileName.toString)
     }.toSet
     val horizon = System.currentTimeMillis - retentionMs
     val rootPath = Paths.get(root)

@@ -678,6 +678,20 @@ object LakeRegistry {
         countDistinct(col("row_id")).as("n_ids"),
         sum(col("row_id")).as("sum_ids"))
     }),
+    // partitioned shallow CLONE (r16): the Hive-layout source clones
+    // zero-copy (partitionValues ride the actions; the read recovers
+    // partition columns from them, not the foreign directory layout),
+    // then diverges with a mixed partition+stats predicate DV delete —
+    // the aggregate reads the CLONE, the source's log untouched
+    "q_delta_clone_part" -> ((s, d) => {
+      val src = DeltaTable(tmpRoot(s, d, "delta_clpsrc"))
+      src.overwrite(docs(s, d), partitionBy = Seq("lang"),
+        statsFor = Seq("doc_id"))
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val dst = src.shallowCloneTo(tmpRoot(s, d, s"delta_clpdst_$u"))
+      dst.deleteWhere("lang = 'en' OR doc_id BETWEEN 100 AND 199")
+      bySource(dst.read(s))
+    }),
     // arbitrary-predicate DELETE (r16): a two-column conjunct the range
     // form cannot express — envelope-pruned per referenced column, DV'd
     // at boundaries; the oracle restates the survivors with SQL null
@@ -896,6 +910,12 @@ object LakeRegistry {
         |  CAST(1000*count(*) + 3*count(*)*(count(*) - 1)/2 AS BIGINT)
         |    AS sum_ids
         |FROM documents""".stripMargin,
+    // survivors of the partition+stats disjunct delete on the clone
+    "q_delta_clone_part" ->
+      s"""$bySourceSql
+         |WHERE NOT COALESCE(lang = 'en' OR doc_id BETWEEN 100 AND 199,
+         |  FALSE)
+         |GROUP BY source""".stripMargin,
     // survivors of the conjunct delete: predicate FALSE or NULL keeps
     // the row (restated with COALESCE so DuckDB's null handling is
     // explicit and identical)

@@ -2119,23 +2119,48 @@ class DeltaSpec extends SparkSpec {
     assert(vals(dst.read(spark)) == Set((1L, "a"), (4L, "d"), (9L, "z")))
     assert(vals(src.read(spark)) ==
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
-    // refusals: non-empty target, partitioned source, DV-bearing source
+    // a non-empty target still refuses
     intercept[IllegalArgumentException](src.shallowCloneTo(dstRoot))
+
+    // PARTITIONED source (r16): partitionColumns + per-add
+    // partitionValues ride the clone; reads recover the partition
+    // column from the ACTIONS (the absolute files live in the source's
+    // directory layout, which the clone root cannot join), and
+    // partition-pruned predicate reads still work
     val part = tmpTable()
-    part.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
-      partitionBy = Seq("s"))
-    intercept[IllegalArgumentException](part.shallowCloneTo(
-      Files.createTempDirectory("deltaclone2").toString + "/t"))
+    part.overwrite(Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("k", "s"), partitionBy = Seq("s"))
+    val pDst = DeltaTable(part.root).shallowCloneTo(
+      Files.createTempDirectory("deltaclone2").toString + "/t")
+    assert(vals(pDst.read(spark)) ==
+      Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")))
+    assert(vals(pDst.readWhere(spark, "s = 'a'")) ==
+      Set((1L, "a"), (2L, "a")))
+    // the clone then diverges: a partition-predicate DV delete + an
+    // append landing under the CLONE root in Hive layout
+    pDst.deleteWhere("s = 'b'")
+    pDst.append(Seq((9L, "a")).toDF("k", "s"), partitionBy = Seq("s"))
+    assert(vals(pDst.read(spark)) ==
+      Set((1L, "a"), (2L, "a"), (4L, "c"), (9L, "a")))
+    assert(vals(part.read(spark)) ==
+      Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))) // source untouched
+
+    // DV-BEARING source (r16): the bitmap file is LOCALIZED under the
+    // clone root — the clone reads the source's logical rows, and
+    // vacuuming the SOURCE's DVs away cannot strand the clone
     val dvSrc = tmpTable()
-    dvSrc.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1),
-      statsFor = Seq("k"))
-    dvSrc.delete("k", 1L, 1L) // leaves a live DV
-    val dvDst = Files.createTempDirectory("deltaclone3").toString + "/t"
-    intercept[IllegalArgumentException](dvSrc.shallowCloneTo(dvDst))
-    // the mid-stream refusal left no staging file behind
-    assert(!Files.isDirectory(Paths.get(dvDst, "_delta_log")) ||
-      !Files.list(Paths.get(dvDst, "_delta_log")).iterator.asScala
-        .exists(_.getFileName.toString.startsWith(".tmp-")))
+    dvSrc.overwrite((1L to 600L).map(k => (k, s"v$k")).toDF("k", "s")
+      .coalesce(1), statsFor = Seq("k"))
+    dvSrc.delete("k", 1L, 500L) // past the inline ceiling: a "u" file DV
+    val dvDstRoot = Files.createTempDirectory("deltaclone3").toString + "/t"
+    val dvDst = dvSrc.shallowCloneTo(dvDstRoot)
+    assert(dvDst.read(spark).count() == 100)
+    assert(Files.list(Paths.get(dvDstRoot)).iterator.asScala.exists(
+      _.getFileName.toString.startsWith("deletion_vector_")))
+    // a further DV delete on the clone merges under the CLONE root
+    dvDst.delete("k", 501L, 550L)
+    assert(dvDst.read(spark).count() == 50)
+    assert(dvSrc.read(spark).count() == 100) // source untouched
 
     // an ICT-enabled source's clone carries an inCommitTimestamp in its
     // v0 commitInfo (every commit of an enabled table must)
