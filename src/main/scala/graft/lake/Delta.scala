@@ -2255,6 +2255,130 @@ final case class DeltaTable(root: String) {
     v
   }
 
+  /** ALTER TABLE RENAME COLUMN (r16) — the operation column mapping
+    * EXISTS for: one metadata-only commit rewrites the LOGICAL name
+    * while the physical name (and column id) stay, so zero data files
+    * move and every existing footer, stats key and partition directory
+    * keeps resolving. Legal only on column-mapping tables (mode `name`
+    * or `id`) — on mode `none` the logical name IS the footer name, and
+    * a metadata-only rename would orphan every file (delta-spark
+    * refuses identically). Renaming a partition column updates the
+    * (logical-named) `partitionColumns` list in the same metaData
+    * action; renaming a column referenced by a CHECK constraint,
+    * column invariant or generation expression refuses — the stored
+    * SQL would silently stop resolving. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    requireWriterFeatures(st, "RENAME COLUMN", removesRows = false)
+    require(st.columnMappingMode != "none",
+      s"DeltaTable $root: RENAME COLUMN requires column mapping " +
+        "(delta.columnMapping.mode name or id) — a mode-none rename " +
+        "would orphan the physical columns; rewrite via overwrite instead")
+    require(st.schema.fieldNames.contains(oldName),
+      s"DeltaTable $root: RENAME COLUMN $oldName — no such column")
+    require(!st.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"DeltaTable $root: RENAME COLUMN to $newName — column exists")
+    requireUnreferenced(st, oldName, "RENAME COLUMN",
+      excludeSelfDecls = false)
+    val newSchema = StructType(st.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newParts = st.partitionColumns.map(c =>
+      if (c == oldName) newName else c)
+    metadataOnlyCommit(st, "RENAME COLUMN",
+      Map("oldName" -> oldName, "newName" -> newName), newSchema, newParts)
+  }
+
+  /** ALTER TABLE DROP COLUMN (r16) — metadata-only on column-mapping
+    * tables: the field leaves the logical schema, the physical column
+    * stays in the files (unreferenced, reclaimed by the next OPTIMIZE
+    * rewrite), exactly delta-spark's drop semantics. Partition columns
+    * and columns referenced by constraints / invariants / generation
+    * expressions refuse. */
+  def dropColumn(name: String): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    requireWriterFeatures(st, "DROP COLUMN", removesRows = false)
+    require(st.columnMappingMode != "none",
+      s"DeltaTable $root: DROP COLUMN requires column mapping " +
+        "(delta.columnMapping.mode name or id) — rewrite via overwrite " +
+        "instead")
+    require(st.schema.fieldNames.contains(name),
+      s"DeltaTable $root: DROP COLUMN $name — no such column")
+    require(!st.partitionColumns.contains(name),
+      s"DeltaTable $root: DROP COLUMN $name — partition column")
+    require(st.schema.length > 1,
+      s"DeltaTable $root: DROP COLUMN $name would leave an empty schema")
+    // a dropped column's OWN invariant/generation expression leaves
+    // with it; only declarations elsewhere pin it in place
+    requireUnreferenced(st, name, "DROP COLUMN", excludeSelfDecls = true)
+    val newSchema = StructType(st.schema.fields.filterNot(_.name == name))
+    metadataOnlyCommit(st, "DROP COLUMN", Map("column" -> name), newSchema,
+      st.partitionColumns)
+  }
+
+  /** Refuse schema surgery on a column some stored SQL references: the
+    * CHECK constraints in the configuration, every column invariant,
+    * and every OTHER column's generation expression. */
+  private def requireUnreferenced(st: LogState, column: String,
+      op: String, excludeSelfDecls: Boolean): Unit = {
+    def refs(sql: String): Set[String] =
+      SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.toSet
+    val stored: Seq[(String, String)] =
+      st.configuration.toSeq.collect {
+        case (k, v) if k.startsWith(DeltaTable.ConstraintPrefix) =>
+          s"CHECK constraint ${k.stripPrefix(DeltaTable.ConstraintPrefix)}" -> v
+      } ++
+      st.schema.fields.flatMap { f =>
+        // DROP: the column's own invariant/generation expression
+        // leaves with it; RENAME: its own invariant still stores the
+        // OLD name in SQL and must refuse too
+        (if ((f.name != column || !excludeSelfDecls) &&
+            f.metadata.contains(DeltaTable.InvariantsKey))
+          Some(s"invariant on ${f.name}" ->
+            parseInvariant(f.metadata.getString(DeltaTable.InvariantsKey)))
+        else None) ++
+        (if (f.name != column && f.metadata.contains(DeltaTable.GenExprKey))
+          Some(s"generation expression of ${f.name}" ->
+            f.metadata.getString(DeltaTable.GenExprKey))
+        else None)
+      }
+    stored.foreach { case (label, sql) =>
+      require(!refs(sql)(column.toLowerCase),
+        s"DeltaTable $root: $op $column — referenced by $label ($sql)")
+    }
+  }
+
+  /** One metadata-only commit: commitInfo (+ICT when enabled) and a
+    * fresh metaData action carrying `newSchema`/`newPartitionColumns`
+    * with the configuration and table id preserved — the shape RENAME/
+    * DROP COLUMN publish. */
+  private def metadataOnlyCommit(st: LogState, op: String,
+      params: Map[String, String], newSchema: StructType,
+      newPartitionColumns: Seq[String]): Long = {
+    val mapper = new ObjectMapper
+    val now = System.currentTimeMillis
+    val actions = mutable.ArrayBuffer.empty[String]
+    val ci = mapper.createObjectNode
+    ci.put("timestamp", now).put("operation", op)
+    if (st.configuration.get("delta.enableInCommitTimestamps")
+        .contains("true"))
+      ci.put("inCommitTimestamp",
+        math.max(now, lastInCommitTimestamp(st.version) + 1))
+    val pn = ci.putObject("operationParameters")
+    params.toSeq.sortBy(_._1).foreach { case (k, x) => pn.put(k, x) }
+    actions += wrap(mapper, "commitInfo", ci)
+    actions += wrap(mapper, "metaData", metaNode(mapper, newSchema,
+      newPartitionColumns, now, st.configuration, st.tableId))
+    val v = st.version + 1
+    publish(v, actions.toSeq)
+    v
+  }
+
   /** The previous commit's inCommitTimestamp (0 when it predates
     * enablement or the commit file is gone) — one driver-side read of a
     * single bounded metadata file, for the monotonicity guarantee. */

@@ -678,6 +678,21 @@ object LakeRegistry {
         countDistinct(col("row_id")).as("n_ids"),
         sum(col("row_id")).as("sum_ids"))
     }),
+    // RENAME + DROP COLUMN (r16): the verbs column mapping exists for —
+    // metadata-only commits on the foreign name-mode fixture rewrite
+    // the logical names while every physical column, stats key and
+    // data file stays byte-identical; the aggregate reads through the
+    // RENAMED column and proves the drop disturbed nothing else
+    "q_delta_rename" -> ((s, d) => {
+      val root = colmapRoot(s, d, "delta_renameq")
+      val dt = DeltaTable(root)
+      dt.renameColumn("n_chars", "char_count")
+      dt.dropColumn("doc_id")
+      dt.read(s).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("char_count")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
     // partitioned shallow CLONE (r16): the Hive-layout source clones
     // zero-copy (partitionValues ride the actions; the read recovers
     // partition columns from them, not the foreign directory layout),
@@ -910,6 +925,9 @@ object LakeRegistry {
         |  CAST(1000*count(*) + 3*count(*)*(count(*) - 1)/2 AS BIGINT)
         |    AS sum_ids
         |FROM documents""".stripMargin,
+    // rename/drop are lossless on the surviving columns: the renamed
+    // logical column serves the same physical data
+    "q_delta_rename" -> s"$bySourceSql GROUP BY source",
     // survivors of the partition+stats disjunct delete on the clone
     "q_delta_clone_part" ->
       s"""$bySourceSql

@@ -1953,6 +1953,89 @@ class DeltaSpec extends SparkSpec {
       .col("domainMetadata.domain") === "delta.clustering").count() == 0)
   }
 
+  test("RENAME/DROP COLUMN on column-mapping tables: metadata-only, physical columns stay; mode-none and referenced columns refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    // foreign-shaped name-mode fixture: physical-named data file + a
+    // logical schema carrying the physicalName/id metadata
+    val dir = Files.createTempDirectory("deltarename").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val scratch = Files.createTempDirectory("renscratch")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("col-aaa", "col-bbb", "col-ccc")
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    def pf(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(pf("k", LongType, "col-aaa", 1),
+      pf("s", StringType, "col-bbb", 2), pf("n", LongType, "col-ccc", 3)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaLit = m.writeValueAsString(logical.json)
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+          |{"metaData":{"id":"rn","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val t = DeltaTable(dir)
+
+    // RENAME: metadata-only commit, zero data movement, same physical
+    val v1 = t.renameColumn("n", "amount")
+    val renLog = commitJson(t, v1)
+    assert(!renLog.contains("\"add\"") && !renLog.contains("\"remove\""))
+    assert(renLog.contains("col-ccc")) // physical name unchanged
+    val renamed = t.read(spark)
+    assert(renamed.columns.toSeq == Seq("k", "s", "amount"))
+    assert(renamed.select("amount").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    // the engine's own renamed log is itself the delta-spark shape: a
+    // fresh reader instance resolves it from scratch
+    assert(DeltaTable(dir).read(spark).columns.toSeq ==
+      Seq("k", "s", "amount"))
+    // writes after the rename keep emitting physical names
+    t.append(Seq((3L, "c", 30L)).toDF("k", "s", "amount"))
+    assert(t.read(spark).select("amount").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 20L, 30L))
+    // stats-pruned reads on the NEW logical name work
+    assert(t.readWhere(spark, "amount = 30").count() == 1)
+
+    // DROP: metadata-only; physical column stays in the files but
+    // leaves the logical schema; time travel still serves it
+    val v3 = t.dropColumn("s")
+    assert(!commitJson(t, v3).contains("\"add\""))
+    assert(t.read(spark).columns.toSeq == Seq("k", "amount"))
+    assert(t.read(spark, Some(v1)).columns.toSeq == Seq("k", "s", "amount"))
+    // renaming INTO the dropped column's name is legal (it's gone)
+    t.renameColumn("amount", "s")
+    assert(t.read(spark).columns.toSeq == Seq("k", "s"))
+
+    // refusals: duplicate target, unknown column, partition column,
+    // mode-none tables, and constraint-referenced columns
+    intercept[IllegalArgumentException](t.renameColumn("k", "s"))
+    intercept[IllegalArgumentException](t.renameColumn("gone", "x"))
+    t.dropColumn("s") // leaves k alone — legal
+    intercept[IllegalArgumentException](t.dropColumn("k")) // empty schema
+    val plain = tmpTable()
+    plain.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    intercept[IllegalArgumentException](plain.renameColumn("s", "s2"))
+    intercept[IllegalArgumentException](plain.dropColumn("s"))
+    // a CHECK constraint pins its referenced column
+    val ck = foreignTable(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"delta.columnMapping.mode":"name","delta.constraints.kpos":"k > 0"}""",
+      StructType(Seq(pf("k", LongType, "col-aaa", 1),
+        pf("s", StringType, "col-bbb", 2))))
+    intercept[IllegalArgumentException](ck.renameColumn("k", "kk"))
+    intercept[IllegalArgumentException](ck.dropColumn("k"))
+    ck.renameColumn("s", "label") // unreferenced: legal
+    assert(ck.read(spark).columns.toSeq == Seq("k", "label"))
+  }
+
   test("vacuumProtocolCheck: declared tables read and vacuum; unknown writer features refuse VACUUM") {
     import spark.implicits._
     import org.apache.spark.sql.types._
