@@ -488,6 +488,33 @@ final case class DeltaTable(root: String) {
         StructField("configuration", StringType))))
   }
 
+  /** (version, data-changing add count, add bytes) per commit in
+    * `(fromExclusive, toInclusive]` — the bounded driver-side parse
+    * incremental consumers batch their pulls by
+    * ([[graft.streaming.StreamingDelta.relay]]'s
+    * maxFilesPerPull/maxBytesPerPull caps). O(commits in range), the
+    * backlog being drained anyway; `dataChange=false` maintenance
+    * counts nothing, matching the CDC feed it meters. */
+  def commitSizes(fromExclusive: Long,
+      toInclusive: Long): Seq[(Long, Int, Long)] = {
+    val mapper = new ObjectMapper
+    ((fromExclusive + 1) to toInclusive).map { v =>
+      var n = 0
+      var bytes = 0L
+      Files.readAllLines(commitPath(v)).asScala.filter(_.nonEmpty)
+        .foreach { line =>
+          val node = mapper.readTree(line)
+          val add = node.get("add")
+          if (add != null && add.hasNonNull("path") &&
+              (!add.has("dataChange") || add.get("dataChange").asBoolean)) {
+            n += 1
+            if (add.hasNonNull("size")) bytes += add.get("size").asLong
+          }
+        }
+      (v, n, bytes)
+    }
+  }
+
   /** Highest committed `txn` version for a writer appId (the protocol's
     * idempotent-write primitive), or None if the writer never committed
     * (or the table is empty). */

@@ -65,20 +65,50 @@ object StreamingDelta {
     * `transform` sees the raw CDC frame (table columns plus
     * `_change_type`/`_commit_version`) when `cdc=true`; by default it
     * sees just the INSERTED rows in table schema — the append-only
-    * pipeline shape every incremental consumer in this package uses. */
+    * pipeline shape every incremental consumer in this package uses.
+    *
+    * BOUNDED PULLS (r16, the maxFilesPerTrigger discipline): a consumer
+    * that has been idle for months must not fold its whole backlog into
+    * ONE micro-batch — `maxFilesPerPull`/`maxBytesPerPull` cap how many
+    * data-changing add files (and bytes) one pull consumes, extending
+    * the range commit-by-commit while the caps hold (the txn watermark
+    * is a VERSION, so batches land on commit boundaries and exactly-once
+    * composes unchanged; the first backlog commit always rides, so every
+    * pull makes progress even past-cap). An N-commit backlog drains
+    * over ⌈N/commits-per-cap⌉ pulls; each pull's watermark commits
+    * atomically with exactly the data it covers. */
   def relay(spark: org.apache.spark.sql.SparkSession, sourceRoot: String,
-      sinkRoot: String, consumerId: String, cdc: Boolean = false)(
+      sinkRoot: String, consumerId: String, cdc: Boolean = false,
+      maxFilesPerPull: Int = Int.MaxValue,
+      maxBytesPerPull: Long = Long.MaxValue)(
       transform: DataFrame => DataFrame): Option[Long] = {
     val src = DeltaTable(sourceRoot)
     val snk = DeltaTable(sinkRoot)
     val latest = src.latestVersion.getOrElse(return None)
     val mark = snk.txnVersion(consumerId).getOrElse(-1L)
     if (latest <= mark) return None
-    val feed = src.changes(spark, mark, latest)
+    // cap the pull at a commit boundary: take backlog commits in order
+    // while the file/byte budget holds (the first one unconditionally)
+    val upTo =
+      if (maxFilesPerPull == Int.MaxValue && maxBytesPerPull == Long.MaxValue)
+        latest
+      else {
+        var end = mark
+        var files = 0L
+        var bytes = 0L
+        src.commitSizes(mark, latest).foreach { case (v, n, b) =>
+          if (v == end + 1 && (end == mark ||
+              (files + n <= maxFilesPerPull && bytes + b <= maxBytesPerPull))) {
+            end = v; files += n; bytes += b
+          }
+        }
+        end
+      }
+    val feed = src.changes(spark, mark, upTo)
     val batch =
       if (cdc) feed
       else feed.where(org.apache.spark.sql.functions.col("_change_type")
         === "insert").drop("_change_type", "_commit_version")
-    snk.appendIdempotent(transform(batch), consumerId, latest)
+    snk.appendIdempotent(transform(batch), consumerId, upTo)
   }
 }

@@ -133,4 +133,49 @@ class StreamingDeltaSpec extends SparkSpec {
         .drop("_change_type", "_commit_version"))
     assert(keys(DeltaTable(snk3)) == Seq(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("relay bounded pulls: an N-commit backlog drains over ceil(N/cap) pulls, exactly-once intact") {
+    import spark.implicits._
+    val srcRoot = tmp()
+    val snkRoot = tmp()
+    val src = DeltaTable(srcRoot)
+    // 6-commit backlog, one single-file append each (a long-idle
+    // consumer's worst case)
+    (0L until 6L).foreach(k =>
+      src.append(Seq((k, s"v$k")).toDF("k", "s").coalesce(1)))
+    def pull(): Option[Long] =
+      StreamingDelta.relay(spark, srcRoot, snkRoot, "cb",
+        maxFilesPerPull = 2)(identity)
+    // pull 1 folds commits v0..v1 (2 files), watermark lands at v1
+    assert(pull().isDefined)
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 1L))
+    assert(DeltaTable(snkRoot).txnVersion("cb").contains(1L))
+    // pulls 2 and 3 drain the rest — ceil(6/2) = 3 total
+    assert(pull().isDefined)
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 1L, 2L, 3L))
+    assert(pull().isDefined)
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // caught up: no-op; nothing double-applied anywhere
+    assert(pull().isEmpty)
+    assert(keys(DeltaTable(snkRoot)) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // an OVERSIZED first commit still rides alone (progress guarantee):
+    // one 4-file commit exceeds the 2-file cap but drains in one pull
+    src.append((10L to 13L).map(k => (k, s"v$k")).toDF("k", "s")
+      .repartition(4))
+    assert(pull().isDefined)
+    assert(keys(DeltaTable(snkRoot)) ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L))
+    // byte cap: three more commits, a tiny byte budget → one commit per
+    // pull (first-always), two pulls to drain two of them
+    (20L until 22L).foreach(k =>
+      src.append(Seq((k, s"v$k")).toDF("k", "s").coalesce(1)))
+    def bytePull(): Option[Long] =
+      StreamingDelta.relay(spark, srcRoot, snkRoot, "cb",
+        maxBytesPerPull = 1L)(identity)
+    assert(bytePull().isDefined)
+    assert(keys(DeltaTable(snkRoot)).count(_ >= 20L) == 1)
+    assert(bytePull().isDefined)
+    assert(keys(DeltaTable(snkRoot)).count(_ >= 20L) == 2)
+    assert(bytePull().isEmpty)
+  }
 }
