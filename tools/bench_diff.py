@@ -76,9 +76,22 @@ def load(path):
 
 
 def pick_previous(current_path):
+    """Newest prior-round artifact, PREFERRING the builder pair.
+
+    Each round may leave two same-round artifacts: the builder's
+    committed ``BENCH_full_r{N}_builder.json`` (quiet-box, the honest
+    baseline) and the driver's post-review ``BENCH_full_r{N}.json``
+    (often contended — r14's driver map ran 295.7s vs the builder's
+    177.7s for the identical commit, flattering every later diff).
+    Within a round the builder artifact wins; rounds still order
+    newest-first."""
     cur = Path(current_path).read_text()
-    rounds = sorted(Path(".").glob("BENCH_full_r*.json"),
-                    key=lambda p: int(p.stem.split("_r")[1]), reverse=True)
+    def key(p):
+        tail = p.stem.split("_r")[1]
+        n = int(tail.split("_")[0])
+        return (n, 1 if tail.endswith("_builder") else 0)
+    rounds = sorted(Path(".").glob("BENCH_full_r*.json"), key=key,
+                    reverse=True)
     for p in rounds:
         if p.read_text() != cur:
             return str(p)
