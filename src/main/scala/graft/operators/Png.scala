@@ -8,10 +8,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * `java.util.zip.Inflater/Deflater` are the JDK's zlib, and the PNG
   * container (public spec, RFC 2083) is plain chunk framing on top.
   *
-  * Supported, deliberately minimal-but-real: ALL FIVE 8-bit-depth
-  * colorTypes — grayscale (0), truecolor (2, RGB), palette (3, PLTE
-  * lookup), grayscale+alpha (4) and truecolor+alpha (6, RGBA) — in
-  * BOTH interlace methods (0 = sequential, 1 = Adam7: seven
+  * Supported, deliberately minimal-but-real: ALL FIVE colorTypes —
+  * grayscale (0), truecolor (2, RGB), palette (3, PLTE lookup),
+  * grayscale+alpha (4) and truecolor+alpha (6, RGBA) — at bit depth 8,
+  * AND bit depth 16 for the non-palette types (r16: each sample is a
+  * big-endian 16-bit word; luma takes the HIGH byte, the spec's own
+  * 16→8 downsample, and the filter's left-neighbour distance is the
+  * full pixel byte width) — in BOTH interlace methods (0 = sequential, 1 = Adam7: seven
   * independently-filtered sub-images in one zlib stream, empty passes
   * contributing zero bytes), ALL FIVE scanline filters (None/Sub/Up/
   * Average/Paeth) — the part of the format that actually exercises a
@@ -24,7 +27,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * never decodes to garbage pixels).
   *
   * Decode FAILS LOUDLY on anything else (bad signature, bad CRC,
-  * 16-bit depth, unknown interlace methods, missing/oversized PLTE,
+  * depths 1/2/4, 16-bit palette (illegal per spec), unknown interlace
+  * methods, missing/oversized PLTE,
   * out-of-range palette index, truncated or preset-dictionary zlib
   * stream) — the engine-wide loud-failure discipline; a real corpus
   * routes failures to a counted quarantine, never silently fakes
@@ -40,8 +44,9 @@ object PngCodec {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** Bytes per pixel for a supported 8-bit colorType. */
-  private def bppOf(colorType: Int): Int = colorType match {
+  /** Samples (channels) per pixel for a supported colorType; bytes per
+    * pixel = channels × bytes-per-channel (bitDepth / 8). */
+  private def channelsOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // RGB
     case 3 => 1 // palette index
@@ -71,6 +76,7 @@ object PngCodec {
 
     var off = 8
     var width = 0; var height = 0; var colorType = -1; var interlace = 0
+    var bitDepth = 8
     var sawIhdr = false; var sawIend = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -90,12 +96,15 @@ object PngCodec {
           require(len == 13, s"PNG: IHDR length $len != 13")
           val d = off + 8
           width = be32(payload, d); height = be32(payload, d + 4)
-          val bitDepth = payload(d + 8) & 0xff
+          bitDepth = payload(d + 8) & 0xff
           colorType = payload(d + 9) & 0xff
           interlace = payload(d + 12) & 0xff
           require(width > 0 && height > 0, s"PNG: bad dims ${width}x$height")
-          require(bitDepth == 8, s"PNG: bitDepth $bitDepth unsupported (8 only)")
-          bppOf(colorType) // validates colorType loudly
+          require(bitDepth == 8 || bitDepth == 16,
+            s"PNG: bitDepth $bitDepth unsupported (8 or 16)")
+          require(bitDepth == 8 || colorType != 3,
+            "PNG: 16-bit palette images are illegal (spec: palette depth <= 8)")
+          channelsOf(colorType) // validates colorType loudly
           require(interlace == 0 || interlace == 1,
             s"PNG: unknown interlace method $interlace")
           sawIhdr = true
@@ -119,7 +128,8 @@ object PngCodec {
     require(colorType != 3 || palette != null, "PNG: palette colorType 3 "
       + "without a PLTE chunk")
 
-    val bpp = bppOf(colorType)
+    val bpc = bitDepth / 8
+    val bpp = channelsOf(colorType) * bpc
     // Adam7 (interlace 1) splits the image into SEVEN independent
     // sub-images, each filtered like a little PNG of its own and
     // concatenated in the one zlib stream; passes whose sub-image is
@@ -140,7 +150,8 @@ object PngCodec {
     var rawOff = 0
     passes.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
       if (pw > 0 && ph > 0)
-        rawOff = defilterPass(raw, rawOff, pw, ph, bpp, colorType, palette,
+        rawOff = defilterPass(raw, rawOff, pw, ph, bpp, bpc, colorType,
+          palette,
           (px, py, v) => luma((y0 + py * dy) * width + (x0 + px * dx)) = v)
     }
     require(rawOff == total, s"PNG: consumed $rawOff of $total raw bytes")
@@ -159,7 +170,7 @@ object PngCodec {
     * is PER PASS, as the spec prescribes — row 0 of every pass has an
     * all-zero `prev`. */
   private def defilterPass(raw: Array[Byte], rawOff: Int, pw: Int, ph: Int,
-      bpp: Int, colorType: Int, palette: Array[Byte],
+      bpp: Int, bpc: Int, colorType: Int, palette: Array[Byte],
       put: (Int, Int, Byte) => Unit): Int = {
     val stride = pw * bpp
     val cur = new Array[Byte](stride)
@@ -199,12 +210,15 @@ object PngCodec {
       var x = 0
       while (x < pw) {
         val o = x * bpp
+        // 16-bit samples are big-endian words; the HIGH byte at each
+        // channel offset IS the spec's 16->8 downsample (bpc = 1 makes
+        // this the identity 8-bit path)
         val v: Byte = colorType match {
           case 0 | 4 => cur(o) // gray IS the luma; alpha (4) ignored
           case 2 | 6 => // alpha (colorType 6) ignored for luma
             val r = cur(o) & 0xff
-            val g = cur(o + 1) & 0xff
-            val b = cur(o + 2) & 0xff
+            val g = cur(o + bpc) & 0xff
+            val b = cur(o + 2 * bpc) & 0xff
             ((299 * r + 587 * g + 114 * b) / 1000).toByte
           case 3 =>
             val idx = cur(o) & 0xff
@@ -274,11 +288,19 @@ object PngCodec {
       rgba: (Int, Int) => (Int, Int, Int, Int),
       filterOf: Int => Int = _ => 0,
       palette: Array[(Int, Int, Int)] = null,
-      interlace: Boolean = false): Array[Byte] = {
+      interlace: Boolean = false,
+      bitDepth: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0, s"encode: bad dims ${width}x$height")
     require(colorType != 3 || (palette != null && palette.nonEmpty
       && palette.length <= 256), "encode: colorType 3 needs 1..256 palette entries")
-    val bpp = bppOf(colorType)
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+      s"encode: bitDepth $bitDepth unsupported for colorType $colorType")
+    // 16-bit fixtures: the pixel function's 0..255 channel value lands
+    // in the HIGH byte; the LOW byte carries a position-dependent
+    // non-zero pattern, so a decoder that read the wrong byte (or the
+    // wrong stride) cannot roundtrip
+    val bpc = bitDepth / 8
+    val bpp = channelsOf(colorType) * bpc
     val passes = if (!interlace) Seq((0, 0, 1, 1)) else Adam7Passes
     val rawOut = new java.io.ByteArrayOutputStream()
     var globalRow = 0
@@ -293,18 +315,24 @@ object PngCodec {
         while (py < ph) {
           var px = 0
           while (px < pw) {
-            val (r, g, b, a) = rgba(x0 + px * dx, y0 + py * dy)
+            val ax = x0 + px * dx
+            val ay = y0 + py * dy
+            val (r, g, b, a) = rgba(ax, ay)
             val o = px * bpp
+            val low = ((ax * 7 + ay * 13) & 0xff).toByte
+            def putCh(ch: Int, v: Int): Unit =
+              if (bpc == 1) cur(o + ch) = v.toByte
+              else { cur(o + ch * 2) = v.toByte; cur(o + ch * 2 + 1) = low }
             colorType match {
-              case 0 => cur(o) = r.toByte // gray
-              case 4 => cur(o) = r.toByte; cur(o + 1) = a.toByte
+              case 0 => putCh(0, r) // gray
+              case 4 => putCh(0, r); putCh(1, a)
               case 3 =>
                 require(r >= 0 && r < palette.length,
                   s"encode: palette index $r out of range (${palette.length})")
                 cur(o) = r.toByte
               case _ =>
-                cur(o) = r.toByte; cur(o + 1) = g.toByte; cur(o + 2) = b.toByte
-                if (bpp == 4) cur(o + 3) = a.toByte
+                putCh(0, r); putCh(1, g); putCh(2, b)
+                if (channelsOf(colorType) == 4) putCh(3, a)
             }
             px += 1
           }
@@ -350,7 +378,7 @@ object PngCodec {
       b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
     }
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte // compression/filter 0
     ihdr(12) = if (interlace) 1 else 0
     writeChunk(out, "IHDR", ihdr)
     if (colorType == 3) {

@@ -219,8 +219,10 @@ class PngSpec extends AnyFunSuite {
     }
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(patched(9, 3))).getMessage.contains("palette"))
+    // sub-byte depths still refuse (16 is SUPPORTED since r16, with its
+    // own roundtrip suite below)
     assert(intercept[IllegalArgumentException](
-      PngCodec.decode(patched(8, 16))).getMessage.contains("bitDepth"))
+      PngCodec.decode(patched(8, 4))).getMessage.contains("bitDepth"))
     // Adam7 (method 1) DECODES now; an UNKNOWN method still refuses
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(patched(12, 2))).getMessage.contains("interlace"))
@@ -228,6 +230,61 @@ class PngSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       PngCodec.decode(good.take(good.length - 6)))
       .getMessage.toLowerCase.contains("truncated"))
+  }
+
+  test("16-bit depth (r16): every non-palette colorType, every filter, Adam7 too; HIGH byte is the luma; 16-bit palette refuses") {
+    // the encoder plants a position-dependent NON-ZERO low byte in every
+    // 16-bit sample — a decoder reading the wrong byte (or the wrong
+    // left-neighbour distance in the filter inverse) cannot roundtrip
+    for (ct <- Seq(0, 2, 4, 6); filter <- 0 to 4) {
+      val w = 7; val h = 5
+      def pix(x: Int, y: Int) = {
+        val base = y * w + x
+        ((base * 31) % 256, (base * 57 + 13) % 256, (base * 91 + 200) % 256,
+          (base * 17 + 40) % 256)
+      }
+      val bytes = PngCodec.encode(w, h, ct, pix, _ => filter,
+        bitDepth = 16)
+      val dec = PngCodec.decodeInfo(bytes)
+      assert(dec.colorType == ct)
+      val expect = for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b, _) = pix(x, y)
+        if (ct == 0 || ct == 4) r
+        else (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(dec.image.luma.map(_ & 0xff).toSeq == expect,
+        s"16-bit colorType=$ct filter=$filter")
+      // 16-bit == 8-bit pixels through the shared luma path
+      val eight = PngCodec.decode(PngCodec.encode(w, h, ct, pix, _ => filter))
+      assert(dec.image.luma.toSeq == eight.luma.toSeq)
+    }
+    // Adam7 at 16-bit: odd dims with empty passes, mixed filters
+    for (ct <- Seq(0, 2, 6); (w, h) <- Seq((13, 7), (1, 1), (2, 3))) {
+      def pix(x: Int, y: Int) = ((x * 31 + y * 57) % 256,
+        (x * 91 + y * 13) % 256, (x * 7 + y * 101) % 256, (x + y * 50) % 256)
+      val i7 = PngCodec.decode(PngCodec.encode(w, h, ct, pix, y => y % 5,
+        interlace = true, bitDepth = 16))
+      val plain = PngCodec.decode(PngCodec.encode(w, h, ct, pix, y => y % 5))
+      assert(i7.luma.toSeq == plain.luma.toSeq, s"16-bit Adam7 ct=$ct ${w}x$h")
+    }
+    // 16-bit palette is illegal per the spec — both sides refuse
+    intercept[IllegalArgumentException](PngCodec.encode(2, 2, 3,
+      (_, _) => (0, 0, 0, 0), palette = Array((1, 2, 3)), bitDepth = 16))
+    val good = PngCodec.encode(3, 3, 3,
+      (x, y) => ((x + y) % 2, 0, 0, 0), palette = Array((0, 0, 0), (9, 9, 9)))
+    def patched(ihdrOff: Int, value: Byte): Array[Byte] = {
+      val b = good.clone()
+      b(8 + 8 + ihdrOff) = value
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 8 + 4, 4 + 13)
+      val v = crc.getValue
+      val at = 8 + 8 + 13
+      b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
+      b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+      b
+    }
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(patched(8, 16))).getMessage.contains("palette"))
   }
 
   test("Adam7 interlace: every colorType roundtrips, mixed filters, odd dims with empty passes") {
