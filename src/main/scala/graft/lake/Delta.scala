@@ -2213,6 +2213,26 @@ final case class DeltaTable(root: String) {
     val st = logState(spark, None)
     requireWriterFeatures(st, "SET TBLPROPERTIES",
       removesRows = false)
+    // ADD CONSTRAINT validates EXISTING rows first (delta-spark's ALTER
+    // TABLE ADD CONSTRAINT contract, r16): a constraint the current
+    // data violates must refuse here, or every later write would assert
+    // a contract the table never satisfied. One filtered count per NEW
+    // constraint — the documented cost of the verb, exactly the scan
+    // delta-spark performs; SQL semantics (NULL passes) as in
+    // enforceRowContract. Re-declaring an unchanged key revalidates
+    // nothing.
+    props.toSeq.sortBy(_._1).foreach { case (k, sql) =>
+      if (k.startsWith(DeltaTable.ConstraintPrefix) &&
+          !st.configuration.get(k).contains(sql)) {
+        val violations = read(spark)
+          .filter(coalesce(expr(sql).cast(BooleanType), lit(true)) === false)
+          .count()
+        require(violations == 0L,
+          s"DeltaTable $root: ADD CONSTRAINT " +
+            s"${k.stripPrefix(DeltaTable.ConstraintPrefix)} ($sql) — " +
+            s"$violations existing row(s) violate it; refusing")
+      }
+    }
     val conf = st.configuration ++ props
     val mapper = new ObjectMapper
     val now = System.currentTimeMillis

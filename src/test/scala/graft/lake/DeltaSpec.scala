@@ -1953,6 +1953,29 @@ class DeltaSpec extends SparkSpec {
       .col("domainMetadata.domain") === "delta.clustering").count() == 0)
   }
 
+  test("ADD CONSTRAINT validates existing rows: a violated constraint refuses; satisfied and NULL-evaluating ones land") {
+    import spark.implicits._
+    val dt = tmpTable()
+    dt.overwrite(Seq((5L, "e"), (0L, "z")).toDF("k", "s"))
+    // an existing row (k=0) violates k > 0 — the ALTER refuses and the
+    // configuration stays unchanged
+    val e = intercept[IllegalArgumentException](
+      dt.setProperties(Map("delta.constraints.kpos" -> "k > 0")))
+    assert(e.getMessage.contains("ADD CONSTRAINT kpos"))
+    assert(e.getMessage.contains("1 existing row"))
+    dt.append(Seq((-3L, "w")).toDF("k", "s")) // nothing enforced yet
+    assert(dt.read(spark).count() == 3)
+    // a constraint the data satisfies lands, and is enforced from then on
+    dt.setProperties(Map("delta.constraints.knn" -> "k IS NOT NULL"))
+    val e2 = intercept[Throwable](dt.append(
+      Seq((Option.empty[Long], "n")).toDF("k", "s")))
+    assert(chainMsg(e2).contains("CHECK constraint knn"))
+    // NULL-evaluating predicates pass existing rows, per SQL CHECK
+    dt.setProperties(Map("delta.constraints.sopt" ->
+      "CASE WHEN s = 'missing' THEN NULL ELSE TRUE END"))
+    assert(dt.read(spark).count() == 3)
+  }
+
   test("RENAME/DROP COLUMN on column-mapping tables: metadata-only, physical columns stay; mode-none and referenced columns refuse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
