@@ -236,16 +236,28 @@ final case class DeltaTable(root: String) {
       declaredWriterFeatures.contains("rowTracking")
     def rowTrackingEnabled: Boolean = rowTrackingSupported &&
       configuration.get("delta.enableRowTracking").contains("true")
+    /** The protocol's MATERIALIZED row-tracking column names (enabled
+      * state): parquet columns — outside the table schema — where
+      * row-moving writers persist each row's id and last-modified
+      * commit version; on read they take precedence over the
+      * baseRowId + row-index / defaultRowCommitVersion defaults. */
+    def materializedRowIdCol: Option[String] =
+      configuration.get(DeltaTable.MatRowIdKey)
+    def materializedRowCommitVersionCol: Option[String] =
+      configuration.get(DeltaTable.MatRowCommitVersionKey)
     /** The protocol's `delta.rowTracking` domain high-water mark: the
       * highest row id ever assigned (−1 before any assignment). The
       * domain configuration is a JSON string
       * `{"rowIdHighWaterMark": N}`. */
     def rowIdHighWaterMark: Long =
       domains.get(DeltaTable.RowTrackingDomain).flatMap { c =>
-        val n = new ObjectMapper().readTree(c)
-        if (n.hasNonNull("rowIdHighWaterMark"))
-          Some(n.get("rowIdHighWaterMark").asLong)
-        else None
+        // foreign tables may carry the domain with an empty or
+        // malformed configuration (the loader maps a missing field to
+        // ""); treat anything unparsable as "mark unset" rather than
+        // NPE-ing every data-adding commit
+        scala.util.Try(new ObjectMapper().readTree(c)).toOption
+          .filter(n => n != null && n.hasNonNull("rowIdHighWaterMark"))
+          .map(_.get("rowIdHighWaterMark").asLong)
       }.getOrElse(-1L)
   }
 
@@ -772,6 +784,35 @@ final case class DeltaTable(root: String) {
     * rides too (the same strings Spark's own InMemoryFileIndex holds
     * per file — needed so absolute-path clone adds recover partition
     * columns from the actions). */
+  /** Census collect for the PRESERVING maintenance verbs (enabled
+    * rowTracking): like [[livePathDvs]] but keeping each file's
+    * baseRowId/defaultRowCommitVersion lineage — stats and tags are
+    * dropped before the collect, so the driver holds paths plus two
+    * longs per file, never the skipping index. */
+  private def liveAddsLineage(spark: SparkSession,
+      st: LogState): Seq[AddFile] =
+    fileCensus(spark, st).select(col("path"), col("partitionValues"),
+        col("dv"), col("baseRowId"), col("defaultRowCommitVersion"))
+      .collect().toSeq.map(r => AddFile(r.getString(0),
+        if (r.isNullAt(1)) Map.empty else r.getMap[String, String](1).toMap,
+        0L, 0L, None, Map.empty,
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+
+  /** Enabled-state row-tracking preamble shared by every row-moving
+    * verb: resolve (assigning if needed) the materialized column names
+    * and return them as the commit's `materializedCols`, or Nil when
+    * the table is not in the enabled state (fresh ids are then legal —
+    * the protocol only demands stability once enabled). */
+  private def preserveCols(spark: SparkSession,
+      st: LogState): (LogState, Seq[String]) =
+    if (!st.rowTrackingEnabled) (st, Nil)
+    else {
+      val (s, i, v) = ensureMaterializedRowTracking(spark, st)
+      (s, Seq(i, v))
+    }
+
   private def livePathDvs(spark: SparkSession,
       st: LogState): Seq[(String, Option[String], Map[String, String])] =
     livePathsFrame(spark, st).collect().toSeq.map { r =>
@@ -954,7 +995,30 @@ final case class DeltaTable(root: String) {
         val (m1, a1) = walk(a); val (m2, a2) = walk(b)
         (m1 || m2, a1 || a2)
       case ce.Not(x) =>
-        val (m, a) = walk(x); (!a, !m)
+        val (m, a) = walk(x)
+        // may(¬x) = ¬all(x) is sound as-is (all's cmp/nullness sides
+        // demand nullCount=0, so all(x) really means "x TRUE for every
+        // row"). But all(¬x) = ¬may(x) holds in TWO-valued logic only:
+        // may(x)=false proves no row makes x TRUE, yet a row where x
+        // evaluates NULL makes ¬x NULL — and DELETE/UPDATE must keep a
+        // NULL-predicate row, so whole-file-dropping it loses data
+        // (e.g. `NOT (q < 0.5)` over a file whose q stats clear 0.5 but
+        // which holds a NULL-q row). Restore soundness by additionally
+        // requiring every stats-backed column referenced under x to be
+        // provably null-free (nullCount=0), making x genuinely
+        // two-valued on the file. Partition columns are exempt: their
+        // value is a file-constant point and a NULL value already
+        // degrades may(x) to true at the cmp leaf, which kills ¬may.
+        val nullFree = x.collect {
+            case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+              ua.nameParts.head
+          }.distinct
+          .flatMap(field(_))
+          .filterNot(f => st.partitionColumns.contains(f.name))
+          .map(f => coalesce(nullCountOf(st.phys(f.name)) === 0L,
+            lit(false)))
+          .foldLeft(lit(true))(_ && _)
+        (!a, !m && nullFree)
       case ce.EqualTo(x, l: ce.Literal) if attrName(x).isDefined =>
         cmp(attrName(x).get, l, "=")
       case ce.EqualTo(l: ce.Literal, x) if attrName(x).isDefined =>
@@ -1118,6 +1182,30 @@ final case class DeltaTable(root: String) {
       livePathDvs(spark, st), st.columnMappingMode)
   }
 
+  /** The table's rows plus their ROW-TRACKING lineage — `_row_id` and
+    * `_row_commit_version` — per the protocol's read rule (materialized
+    * column value when the file carries one, else baseRowId + row index
+    * / defaultRowCommitVersion). The surface delta-spark exposes as the
+    * `_metadata.row_id` / `row_commit_version` metadata columns; the
+    * spec proves ids are STABLE across row-moving rewrites on enabled
+    * tables. Requires the rowTracking feature. */
+  def readWithRowLineage(spark: SparkSession): DataFrame = {
+    val st = logState(spark, None)
+    require(st.rowTrackingSupported,
+      s"DeltaTable $root: readWithRowLineage on a table without the " +
+        "rowTracking feature — row ids were never assigned")
+    // a SUPPORTED-but-never-rewritten table has no materialized columns
+    // (possibly no names either): scan under fresh non-colliding names,
+    // which read as all-null and fall back to the per-file defaults
+    val u = java.util.UUID.randomUUID.toString.take(8)
+    val matId = st.materializedRowIdCol.getOrElse(s"_g_no_mat_rid_$u")
+    val matVer = st.materializedRowCommitVersionCol
+      .getOrElse(s"_g_no_mat_rcv_$u")
+    toMaterialized(readFilesDvPreserve(spark, st,
+      liveAddsLineage(spark, st), matId, matVer),
+      "_row_id", "_row_commit_version")
+  }
+
   /** [[readFiles]] with per-file deletionVector descriptors applied:
     * rows whose `_metadata.row_index` is in the file's DV are DROPPED
     * via a broadcast anti-join on (file, row index).
@@ -1179,6 +1267,97 @@ final case class DeltaTable(root: String) {
       col(phys(f.name)).cast(f.dataType).as(f.name, f.metadata)): _*)
   }
 
+  /** [[readFilesDv]] plus per-row ROW-TRACKING LINEAGE (the enabled
+    * state's read rule, public protocol): serves the logical schema
+    * plus `_g_rid` — the row's id, the file's materialized column value
+    * when present else `baseRowId + row index` — and `_g_rcv` — the
+    * row's last-modified commit version, materialized value else the
+    * file's `defaultRowCommitVersion`. Row-moving verbs rewrite these
+    * two into the MATERIALIZED columns of the files they produce,
+    * which is exactly what makes UPDATE/MERGE/OPTIMIZE/rewrite-DELETE
+    * legal on `delta.enableRowTracking=true` tables: ids survive the
+    * move because they ride the rows, not the file layout. Files
+    * predating id assignment (no baseRowId, no materialized value)
+    * serve null lineage — their rows legally re-enter as fresh. */
+  private def readFilesDvPreserve(spark: SparkSession, st: LogState,
+      files: Seq[AddFile], matId: String, matVer: String): DataFrame = {
+    val outSchema = StructType(st.schema
+      :+ StructField("_g_rid", LongType) :+ StructField("_g_rcv", LongType))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val absRoot = Paths.get(root).toAbsolutePath.toString
+    val dvFiles = files.flatMap(f => f.dv.map(d => (f.path, d)))
+    val raw = scanFiles(spark, st.schema, st.partitionColumns,
+      st.columnMappingMode, files.map(f => (f.path, f.partitionValues)),
+      withMeta = true,
+      extraFields = Seq(StructField(matId, LongType),
+        StructField(matVer, LongType)))
+    val live =
+      if (dvFiles.isEmpty) raw
+      else {
+        val dvRows = dvFiles.flatMap { case (rel, json) =>
+          val abs = metaPath(absRoot, rel)
+          DeletionVectors.read(root, DeletionVectors.fromJson(json))
+            .map(ri => Row(abs, ri))
+        }
+        val dvDF = spark.createDataFrame(dvRows.asJava, StructType(Seq(
+          StructField("_dv_file", StringType),
+          StructField("_dv_row", LongType))))
+        raw.join(broadcast(dvDF),
+          col("_g_fp") === col("_dv_file") && col("_g_ri") === col("_dv_row"),
+          "left_anti")
+      }
+    // per-file lineage defaults ride a broadcast map on the SAME
+    // canonicalized path key the DV join uses
+    val lineage: Seq[Row] = files.map(f => Row(metaPath(absRoot, f.path),
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull))
+    val lineageDF = spark.createDataFrame(lineage.asJava, StructType(Seq(
+      StructField("_g_ln_fp", StringType),
+      StructField("_g_ln_base", LongType),
+      StructField("_g_ln_dcv", LongType))))
+    live.join(broadcast(lineageDF), col("_g_fp") === col("_g_ln_fp"), "left")
+      .select(st.schema.map(f =>
+        col(st.phys(f.name)).cast(f.dataType).as(f.name, f.metadata)) :+
+        coalesce(col(s"`$matId`"), col("_g_ln_base") + col("_g_ri"))
+          .as("_g_rid") :+
+        coalesce(col(s"`$matVer`"), col("_g_ln_dcv")).as("_g_rcv"): _*)
+  }
+
+  /** Resolve — assigning on first need — the materialized row-tracking
+    * column NAMES of an enabled table. delta-spark records them in the
+    * configuration when row tracking is enabled; a foreign log that
+    * carries the enabled flag without the names (or this engine's own
+    * planted fixtures) gets fresh protocol-shaped names in a
+    * metadata-only commit, so the assignment is durable before any
+    * row-moving rewrite relies on it. */
+  private def ensureMaterializedRowTracking(spark: SparkSession,
+      st: LogState): (LogState, String, String) =
+    (st.materializedRowIdCol, st.materializedRowCommitVersionCol) match {
+      case (Some(i), Some(v)) => (st, i, v)
+      case (i, v) =>
+        setProperties(Map(
+          DeltaTable.MatRowIdKey -> i.getOrElse(
+            s"_row-id-col-${java.util.UUID.randomUUID}"),
+          DeltaTable.MatRowCommitVersionKey -> v.getOrElse(
+            s"_row-commit-version-col-${java.util.UUID.randomUUID}")))
+        val st2 = logState(spark, None)
+        (st2, st2.materializedRowIdCol.get,
+          st2.materializedRowCommitVersionCol.get)
+    }
+
+  /** The preserving rewrite's frame contract, shared by every
+    * row-moving verb: rename the lineage columns to the table's
+    * materialized names (they ride into the parquet files, NEVER the
+    * schema) — the id as-is; the commit version as-is for rows copied
+    * WITHOUT modification (OPTIMIZE, DELETE survivors, unmatched MERGE
+    * rows), or nulled by the caller for modified rows so the read-side
+    * default (the new file's defaultRowCommitVersion = this commit)
+    * takes over. */
+  private def toMaterialized(df: DataFrame, matId: String,
+      matVer: String): DataFrame =
+    df.withColumnRenamed("_g_rid", matId).withColumnRenamed("_g_rcv", matVer)
+
   /** PHYSICAL-schema scan of a file set — the one scan builder every
     * read path shares. Column mapping: the parquet footers (and
     * partition dir names) carry PHYSICAL column names at EVERY nesting
@@ -1204,7 +1383,11 @@ final case class DeltaTable(root: String) {
   private def scanFiles(spark: SparkSession, schema: StructType,
       partitionColumns: Seq[String], mode: String,
       files: Seq[(String, Map[String, String])],
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      // parquet-only columns OUTSIDE the declared schema (the
+      // materialized row-tracking columns): appended to the read
+      // schema verbatim — files lacking them serve nulls
+      extraFields: Seq[StructField] = Nil): DataFrame = {
     val absRoot = Paths.get(root).toAbsolutePath.toString
     def phys(n: String): String = {
       val f = schema(n)
@@ -1214,7 +1397,8 @@ final case class DeltaTable(root: String) {
     }
     val dataSchema = StructType(
       schema.filterNot(f => partitionColumns.contains(f.name))
-        .map(f => DeltaTable.physicalField(f, byId = mode == "id")))
+        .map(f => DeltaTable.physicalField(f, byId = mode == "id"))
+        ++ extraFields)
     def meta(df: DataFrame): DataFrame =
       if (!withMeta) df
       else df
@@ -1238,15 +1422,38 @@ final case class DeltaTable(root: String) {
           (df, c) => df.withColumn(phys(c),
             col(phys(c)).cast(schema(c).dataType))
         })
-      val absDF = abs.groupBy(_._2).toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (pv, fs) =>
-          partitionColumns.foldLeft(
-            meta(spark.read.schema(dataSchema)
-              .parquet(fs.map(f => dataPath(absRoot, f._1)): _*))) {
-            (df, c) => df.withColumn(phys(c),
-              lit(pv.get(phys(c)).orNull).cast(schema(c).dataType))
+      val absDF =
+        if (abs.isEmpty) Nil
+        else Seq {
+          // ONE scan over every absolute-path file — a shallow clone of
+          // a 10⁴-partition source must not become a 10⁴-leaf union
+          // (10⁴ FileSourceScanExec nodes kill driver planning and
+          // codegen long before the data does). Partition values attach
+          // via a broadcast file→partitionValues map joined on the
+          // canonicalized metadata path (same [[metaPath]] key the DV
+          // anti-join rides, so the two forms never diverge); a LEFT
+          // join keeps any key-divergent row visible as NULL partitions
+          // instead of silently dropping it.
+          val scan = meta(spark.read.schema(dataSchema)
+              .parquet(abs.map(f => dataPath(absRoot, f._1)): _*))
+            .withColumn("_g_fp_abs",
+              regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          val pvSchema = StructType(
+            StructField("_g_fp_abs_k", StringType) +:
+              partitionColumns.map(c =>
+                StructField(s"_g_pv_${phys(c)}", StringType)))
+          val pvRows: Seq[Row] = abs.map { case (p, pv) =>
+            Row.fromSeq(metaPath(absRoot, p) +:
+              partitionColumns.map(c => pv.get(phys(c)).orNull))
           }
+          val pvDF = spark.createDataFrame(pvRows.asJava, pvSchema)
+          val joined = scan.join(broadcast(pvDF),
+            col("_g_fp_abs") === col("_g_fp_abs_k"), "left")
+          partitionColumns.foldLeft(joined) { (df, c) =>
+            df.withColumn(phys(c),
+              col(s"_g_pv_${phys(c)}").cast(schema(c).dataType))
+          }.drop("_g_fp_abs" +: "_g_fp_abs_k" +:
+            partitionColumns.map(c => s"_g_pv_${phys(c)}"): _*)
         }
       (relDF ++ absDF).reduce(_ unionByName _)
     }
@@ -1336,12 +1543,18 @@ final case class DeltaTable(root: String) {
     * batches without ever holding the table in one commit. */
   def compact(numFiles: Int = 1): Long = {
     val spark = SparkSession.active
-    val st = logState(spark, None)
-    requireRowIdPreservation(st, "OPTIMIZE")
+    val (st, matCols) = preserveCols(spark, logState(spark, None))
     // whole-table maintenance verb: full (path, dv) collect, documented
     val files = livePathDvs(spark, st)
-    val current = readFilesDv(spark, st.schema, st.partitionColumns, files,
-      st.columnMappingMode)
+    // enabled rowTracking: ids and commit versions of the moved rows
+    // ride the rewrite in the materialized columns — unmodified rows
+    // keep BOTH (OPTIMIZE changes nothing, per the protocol)
+    val current = matCols match {
+      case Seq(i, vv) => toMaterialized(readFilesDvPreserve(spark, st,
+        liveAddsLineage(spark, st), i, vv), i, vv)
+      case _ => readFilesDv(spark, st.schema, st.partitionColumns, files,
+        st.columnMappingMode)
+    }
     val compacted =
       if (st.partitionColumns.isEmpty) current.repartition(numFiles)
       else current.repartition(numFiles, st.partitionColumns.map(col): _*)
@@ -1350,7 +1563,8 @@ final case class DeltaTable(root: String) {
     // stays correct and the new adds carry no descriptor
     commit(compacted, st.partitionColumns, files.map(_._1), "OPTIMIZE",
       Map.empty, dataChange = false,
-      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap)
+      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap,
+      materializedCols = matCols)
   }
 
   /** ONE size-capped OPTIMIZE step — the maintenance shape that
@@ -1373,8 +1587,7 @@ final case class DeltaTable(root: String) {
     require(maxBatchFiles >= 2,
       s"compactIncremental maxBatchFiles $maxBatchFiles < 2 cannot converge")
     val spark = SparkSession.active
-    val st = logState(spark, None)
-    requireRowIdPreservation(st, "OPTIMIZE")
+    val (st, matCols) = preserveCols(spark, logState(spark, None))
     val small = collectAdds(
       fileCensus(spark, st).where(col("size") < smallBytes))
     val group = small.groupBy(_.partitionValues).values
@@ -1384,11 +1597,16 @@ final case class DeltaTable(root: String) {
       // soft caps: the first 2 files always ride (else no progress)
       val capped = takeCapped(sorted, minFiles = 2, maxBatchBytes,
         maxBatchFiles)
-      val rewritten = readFilesDv(spark, st.schema, st.partitionColumns,
-        dvPairs(capped), st.columnMappingMode).repartition(1)
+      val rewritten = (matCols match {
+        case Seq(i, vv) => toMaterialized(
+          readFilesDvPreserve(spark, st, capped, i, vv), i, vv)
+        case _ => readFilesDv(spark, st.schema, st.partitionColumns,
+          dvPairs(capped), st.columnMappingMode)
+      }).repartition(1)
       commit(rewritten, st.partitionColumns, capped.map(_.path), "OPTIMIZE",
         Map("batchFiles" -> capped.size.toString, "incremental" -> "true"),
-        dataChange = false, statsFor = statsFor, removeDvs = dvMapOf(capped))
+        dataChange = false, statsFor = statsFor, removeDvs = dvMapOf(capped),
+        materializedCols = matCols)
     }
   }
 
@@ -1421,7 +1639,12 @@ final case class DeltaTable(root: String) {
       colMapSafe: Boolean = false,
       cdcData: Option[DataFrame] = None,
       internalRewrite: Boolean = false,
-      preexistingRows: Boolean = false): Long = {
+      preexistingRows: Boolean = false,
+      // materialized row-tracking columns riding `df0` (enabled-state
+      // rewrites): written into the parquet files verbatim, EXCLUDED
+      // from every schema decision — the protocol keeps them outside
+      // the table schema
+      materializedCols: Seq[String] = Nil): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     // resolve the current snapshot BEFORE any data lands: every write
     // gate and schema-conflict check must refuse without leaving
@@ -1463,12 +1686,16 @@ final case class DeltaTable(root: String) {
     // conflicts fail loudly. Overwrites replace the schema outright.
     val isOverwrite = removePaths.nonEmpty && dataChange
     val currentSchema: Option[StructType] = currentState.map(_.schema)
+    // schema decisions see the LOGICAL frame — materialized
+    // row-tracking columns ride the files, never the schema
+    val matSet = materializedCols.toSet
+    val dfSchema = StructType(df.schema.filterNot(f => matSet(f.name)))
     val mergedSchema: StructType = currentSchema match {
-      case None => df.schema
-      case Some(_) if isOverwrite && writeData => df.schema
+      case None => dfSchema
+      case Some(_) if isOverwrite && writeData => dfSchema
       case Some(current) =>
         current.foreach { f =>
-          df.schema.find(_.name == f.name).foreach { n =>
+          dfSchema.find(_.name == f.name).foreach { n =>
             // metadata-blind comparison: a frame built without the
             // table's field metadata (column-mapping ids etc.) is the
             // same type — but nested NAME or type drift still conflicts
@@ -1480,7 +1707,7 @@ final case class DeltaTable(root: String) {
           }
         }
         val oldNames = current.fieldNames.toSet
-        StructType(current ++ df.schema.filterNot(f => oldNames(f.name)))
+        StructType(current ++ dfSchema.filterNot(f => oldNames(f.name)))
     }
     // identity high-water-marks from enforceRowContract ride the commit
     // in the field metadata, per the protocol — the json drift below
@@ -1633,7 +1860,7 @@ final case class DeltaTable(root: String) {
     // leave scratch files behind — the commit throws, nothing publishes
     val moved: Seq[(String, Long, Map[String, String])] =
       if (!writeData) Nil
-      else try stageParts(toPhysFrame(df, Nil), "part", None)
+      else try stageParts(toPhysFrame(df, materializedCols), "part", None)
       catch { case t: Throwable => deleteRecursively(scratch); throw t }
 
     // Per-file stats for the data-skipping index: ONE map-side-combined
@@ -1689,8 +1916,10 @@ final case class DeltaTable(root: String) {
     // rowIdHighWaterMark, and the commit carries the advanced mark in
     // its delta.rowTracking domainMetadata action, per the protocol.
     // DV re-adds below PRESERVE their original baseRowId (same physical
-    // rows, same ids); the enabled-state preservation rule for
-    // row-MOVING verbs is gated in the verbs ([[requireRowIdPreservation]]).
+    // rows, same ids); row-MOVING verbs on ENABLED tables additionally
+    // persist each moved row's id in the materialized row-id column
+    // ([[readFilesDvPreserve]]), which takes precedence over this block
+    // on read — fresh blocks are still assigned (ids are never reused).
     val (rowIdBase: Map[String, Long], newRowIdHwm: Option[Long]) =
       if (!rowTracking || moved.isEmpty) (Map.empty[String, Long], None)
       else {
@@ -1945,22 +2174,6 @@ final case class DeltaTable(root: String) {
         s"DeltaTable $root: $op removes or rewrites rows of an " +
           "append-only table (delta.appendOnly=true) — refusing")
   }
-
-  /** Gate for verbs that MOVE rows between files (UPDATE/MERGE postimage
-    * appends, OPTIMIZE/compaction/zorder rewrites, the rewrite-form
-    * DELETE): legal on a rowTracking table in the SUPPORTED state (fresh
-    * row ids are assigned — the protocol does not guarantee stability
-    * there), refused when `delta.enableRowTracking=true`, where the
-    * protocol demands row ids be PRESERVED across moves via the
-    * materialized row-id column this engine does not write. DV deletes
-    * and plain appends stay legal on enabled tables: a DV re-add keeps
-    * its original baseRowId, so no row id ever changes. */
-  private def requireRowIdPreservation(st: LogState, op: String): Unit =
-    require(!st.rowTrackingEnabled,
-      s"DeltaTable $root: $op moves or rewrites rows of a table with " +
-        "delta.enableRowTracking=true — preserved row ids require the " +
-        "materialized row-id column this engine does not write; use the " +
-        "DV DELETE/append path, or clear delta.enableRowTracking")
 
   /** Row-level write-contract ENFORCEMENT for the validation-class
     * writer features, applied to every data-adding commit's frame
@@ -2831,18 +3044,24 @@ final case class DeltaTable(root: String) {
         .withColumn("_change_type", lit("delete")))
 
     if (!useDeletionVectors) {
-      // the rewrite form MOVES surviving rows into new files — refused
-      // on enabled rowTracking tables (the DV form is the legal path)
-      requireRowIdPreservation(st, "DELETE (rewrite form)")
+      // the rewrite form MOVES surviving rows into new files — on
+      // enabled rowTracking tables their ids AND commit versions ride
+      // the materialized columns unchanged (survivors are copied
+      // without modification, per the protocol)
+      val (stP, matCols) = preserveCols(spark, st)
       // SQL DELETE keeps rows where the predicate is FALSE or NULL
-      val survivors = readFilesDv(spark, st.schema, st.partitionColumns,
+      val survivors = (matCols match {
+        case Seq(i, vv) => toMaterialized(
+          readFilesDvPreserve(spark, stP, partial, i, vv), i, vv)
+        case _ => readFilesDv(spark, st.schema, st.partitionColumns,
           dvPairs(partial), st.columnMappingMode)
-        .filter(!coalesce(matchCond, lit(false)))
+      }).filter(!coalesce(matchCond, lit(false)))
       return commit(survivors, st.partitionColumns, cand.map(_.path), "DELETE",
         Map("predicate" -> predicate,
           "wholeFilesDropped" -> contained.size.toString),
         statsFor = statsCols, removeDvs = dvMapOf(cand),
-        cdcData = cdcFrame, internalRewrite = true)
+        cdcData = cdcFrame, internalRewrite = true,
+        materializedCols = matCols)
     }
 
     // DV path: matched PHYSICAL row indexes per boundary file, grouped
@@ -3014,11 +3233,16 @@ final case class DeltaTable(root: String) {
 
   /** Shared UPDATE engine for the range and predicate forms (see
     * [[update]] for the cost model and enforcement contract). */
-  private def updateCore(spark: SparkSession, st: LogState,
+  private def updateCore(spark: SparkSession, st0: LogState,
       matchCond: Column, mayEnv: Column, allEnv: Column,
       predicate: String, statsCols: Seq[String], set: Map[String, Column],
       useDeletionVectors: Boolean): Long = {
-    requireRowIdPreservation(st, "UPDATE")
+    // enabled rowTracking: UPDATE moves rows (the postimage lands in
+    // new files), so each moved row's id rides the materialized column;
+    // its commit version is NULLED — the read-side default (the new
+    // file's defaultRowCommitVersion = this commit) is the protocol's
+    // "last modified at" for updated rows
+    val (st, matCols) = preserveCols(spark, st0)
     require(set.nonEmpty, s"DeltaTable $root: UPDATE with no SET assignments")
     set.keys.foreach(k => require(st.schema.fieldNames.contains(k),
       s"DeltaTable $root: UPDATE sets unknown column $k"))
@@ -3038,9 +3262,20 @@ final case class DeltaTable(root: String) {
       .map(_.getString(0)).toSet
     val partial = cand.filterNot(f => contained(f.path))
     val tableCols = st.schema.fieldNames.map(col).toSeq
-    val candLive = readFilesDv(spark, st.schema, st.partitionColumns,
-      dvPairs(cand), st.columnMappingMode)
+    val candLive = matCols match {
+      case Seq(i, vv) => readFilesDvPreserve(spark, st, cand, i, vv)
+      case _ => readFilesDv(spark, st.schema, st.partitionColumns,
+        dvPairs(cand), st.columnMappingMode)
+    }
     val matched = candLive.filter(matchCond)
+    // materialized columns of the POSTIMAGE rows: id preserved, commit
+    // version nulled (these rows are modified NOW — the new file's
+    // default is this commit's version)
+    val postMat: Seq[Column] = matCols match {
+      case Seq(i, vv) => Seq(col("_g_rid").as(i),
+        lit(null).cast(LongType).as(vv))
+      case _ => Nil
+    }
     // SET first, in ONE projection so every expression sees the
     // PRE-update row (sequential withColumn would let later assignments
     // read earlier ones' results — SQL UPDATE's swap semantics forbid
@@ -3052,14 +3287,14 @@ final case class DeltaTable(root: String) {
           .as(c, st.schema(c).metadata)
         case None => col(c)
       }
-    }.toSeq: _*)
+    }.toSeq ++ postMat: _*)
     val postimage = st.schema.fields
       .filter(f => f.metadata.contains(DeltaTable.GenExprKey) &&
         !set.contains(f.name))
       .foldLeft(setApplied)((acc, f) => acc.withColumn(f.name,
         expr(f.metadata.getString(DeltaTable.GenExprKey)).cast(f.dataType)
           .as(f.name, f.metadata)))
-      .select(tableCols: _*)
+      .select(tableCols ++ matCols.map(c => col(s"`$c`")): _*)
     val cdcFrame: Option[DataFrame] =
       if (!st.cdfEnabled) None
       else Some(matched.select(tableCols: _*)
@@ -3069,12 +3304,17 @@ final case class DeltaTable(root: String) {
 
     if (!useDeletionVectors) {
       // survivors: rows where the predicate is FALSE or NULL, per SQL
-      val survivors = candLive.filter(!coalesce(matchCond, lit(false)))
+      // — moved without modification, so id AND commit version persist
+      val survivors = (matCols match {
+        case Seq(i, vv) => toMaterialized(
+          candLive.filter(!coalesce(matchCond, lit(false))), i, vv)
+        case _ => candLive.filter(!coalesce(matchCond, lit(false)))
+      })
       return commit(survivors.unionByName(postimage), st.partitionColumns,
         cand.map(_.path), "UPDATE",
         Map("predicate" -> predicate), statsFor = statsCols,
         removeDvs = dvMapOf(cand), cdcData = cdcFrame,
-        preexistingRows = true)
+        preexistingRows = true, materializedCols = matCols)
     }
 
     // DV path: matched PHYSICAL row indexes per boundary file (same
@@ -3092,7 +3332,8 @@ final case class DeltaTable(root: String) {
         "wholeFilesDropped" -> wholeDrops.size.toString,
         "deletionVectorsWritten" -> descs.size.toString),
       statsFor = statsCols, removeDvs = dvMapOf(wholeDrops),
-      dvReAdds = descs, cdcData = cdcFrame, preexistingRows = true)
+      dvReAdds = descs, cdcData = cdcFrame, preexistingRows = true,
+      materializedCols = matCols)
   }
 
   /** Shallow CLONE, the Delta CLONE command's zero-copy form: creates a
@@ -3336,11 +3577,15 @@ final case class DeltaTable(root: String) {
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
-    requireRowIdPreservation(st, "OPTIMIZE")
-    val files = livePathDvs(spark, st)
+    val (stP, matCols) = preserveCols(spark, st)
+    val files = livePathDvs(spark, stP)
     val zordered = ZOrder.withZValue(
-        readFilesDv(spark, st.schema, st.partitionColumns, files,
-          st.columnMappingMode),
+        matCols match {
+          case Seq(i, vv) => toMaterialized(readFilesDvPreserve(spark, stP,
+            liveAddsLineage(spark, stP), i, vv), i, vv)
+          case _ => readFilesDv(spark, stP.schema, stP.partitionColumns,
+            files, stP.columnMappingMode)
+        },
         dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
@@ -3349,7 +3594,8 @@ final case class DeltaTable(root: String) {
       Map("zOrderBy" -> s"""["$dimA","$dimB"]"""), dataChange = false,
       statsFor = Seq(dimA, dimB),
       tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
-      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap)
+      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap,
+      materializedCols = matCols)
   }
 
   /** ONE size-capped OPTIMIZE ZORDER step — the public incremental
@@ -3372,8 +3618,8 @@ final case class DeltaTable(root: String) {
     require(st.partitionColumns.isEmpty,
       s"DeltaTable $root: z-order within Hive partitions not supported — " +
         "compact per partition instead")
-    requireRowIdPreservation(st, "OPTIMIZE")
-    val untagged = collectAdds(fileCensus(spark, st)
+    val (stP, matCols) = preserveCols(spark, st)
+    val untagged = collectAdds(fileCensus(spark, stP)
       .where(col("tags").isNull || col("tags").getItem(ZCubeTag).isNull))
     if (untagged.isEmpty) return None
     val capped = takeCapped(untagged.sortBy(_.path), minFiles = 1,
@@ -3382,8 +3628,12 @@ final case class DeltaTable(root: String) {
     val numFiles = math.max(1L,
       (batchBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val zordered = ZOrder.withZValue(
-        readFilesDv(spark, st.schema, Nil, dvPairs(capped),
-          st.columnMappingMode), dimA, dimB, bits)
+        matCols match {
+          case Seq(i, vv) => toMaterialized(
+            readFilesDvPreserve(spark, stP, capped, i, vv), i, vv)
+          case _ => readFilesDv(spark, stP.schema, Nil, dvPairs(capped),
+            stP.columnMappingMode)
+        }, dimA, dimB, bits)
       .repartitionByRange(numFiles, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
@@ -3392,7 +3642,8 @@ final case class DeltaTable(root: String) {
         "batchFiles" -> capped.size.toString, "incremental" -> "true"),
       dataChange = false, statsFor = Seq(dimA, dimB),
       tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
-      removeDvs = dvMapOf(capped)))
+      removeDvs = dvMapOf(capped),
+      materializedCols = matCols))
   }
 
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
@@ -3424,8 +3675,12 @@ final case class DeltaTable(root: String) {
       useDeletionVectors: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val spark = source.sparkSession
-    val st = logState(spark, None)
-    requireRowIdPreservation(st, "MERGE")
+    // enabled rowTracking: matched source rows INHERIT the id of the
+    // target row they replace (an upsert is an UPDATE of that row, so
+    // its id must survive); their commit version is nulled (modified
+    // now). Unmatched source rows are inserts — null lineage, fresh
+    // ids from the new file's baseRowId block.
+    val (st, matCols) = preserveCols(spark, logState(spark, None))
     require(source.columns.toSeq == st.schema.fieldNames.toSeq,
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")
@@ -3461,18 +3716,37 @@ final case class DeltaTable(root: String) {
       }
 
     if (!useDeletionVectors) {
-      val existing = readFilesDv(spark, st.schema, st.partitionColumns,
-        dvPairs(cand), st.columnMappingMode)
       // matched rows take the source version; unmatched keep their row.
       // Rows in UNTOUCHED files cannot match: the key envelope proved it.
-      val rewritten = existing
-        .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(keyed)
-        .select(st.schema.fieldNames.map(col): _*)
+      val rewritten = matCols match {
+        case Seq(i, vv) =>
+          val existing = readFilesDvPreserve(spark, st, cand, i, vv)
+          val srcKeys = keyed.select(col(keyCol)).distinct()
+          // unmodified target rows move with id AND version intact
+          val unmatchedTgt = toMaterialized(
+            existing.join(srcKeys, Seq(keyCol), "left_anti"), i, vv)
+          // matched source rows inherit the replaced row's id (min per
+          // key when several target rows share it — deterministic; the
+          // duplicates' ids retire with their rows), version nulled
+          val keyRid = existing.join(srcKeys, Seq(keyCol), "left_semi")
+            .groupBy(col(keyCol)).agg(fmin(col("_g_rid")).as(i))
+          val srcRows = keyed.join(keyRid, Seq(keyCol), "left")
+            .withColumn(vv, lit(null).cast(LongType))
+          unmatchedTgt.unionByName(srcRows)
+            .select(st.schema.fieldNames.map(col)
+              ++ matCols.map(c => col(s"`$c`")): _*)
+        case _ =>
+          readFilesDv(spark, st.schema, st.partitionColumns,
+              dvPairs(cand), st.columnMappingMode)
+            .join(keyed.select(col(keyCol)).distinct(), Seq(keyCol),
+              "left_anti")
+            .unionByName(keyed)
+            .select(st.schema.fieldNames.map(col): _*)
+      }
       return commit(rewritten, st.partitionColumns, cand.map(_.path), "MERGE",
         Map("predicate" -> s"$keyCol in [${lo}, ${hi}]"),
         statsFor = Seq(keyCol), removeDvs = dvMapOf(cand),
-        cdcData = cdcFrame)
+        cdcData = cdcFrame, materializedCols = matCols)
     }
 
     // DV path: matched PHYSICAL row indexes per candidate file (existing
@@ -3503,13 +3777,28 @@ final case class DeltaTable(root: String) {
           .select(col("_fp"), col("_ri"))
         buildDvs(spark, matchedRows, cand)
       }
-    commit(keyed.select(st.schema.fieldNames.map(col): _*),
+    // enabled rowTracking: the appended source rows that replace a
+    // DV-killed target row inherit its id — one preserve scan of the
+    // (pruned) candidates builds the key → id map; inserts stay null
+    // (fresh ids from the new file's block)
+    val appended = matCols match {
+      case Seq(i, vv) =>
+        val keyRid = readFilesDvPreserve(spark, st, cand, i, vv)
+          .groupBy(col(keyCol)).agg(fmin(col("_g_rid")).as(i))
+        keyed.join(keyRid, Seq(keyCol), "left")
+          .withColumn(vv, lit(null).cast(LongType))
+          .select(st.schema.fieldNames.map(col)
+            ++ matCols.map(c => col(s"`$c`")): _*)
+      case _ => keyed.select(st.schema.fieldNames.map(col): _*)
+    }
+    commit(appended,
       st.partitionColumns, emptied.map(_.path), "MERGE",
       Map("predicate" -> s"$keyCol in [${lo}, ${hi}]",
         "matchedFiles" -> (emptied.size + descs.size).toString,
         "deletionVectorsWritten" -> descs.size.toString),
       statsFor = Seq(keyCol),
-      removeDvs = dvMapOf(emptied), dvReAdds = descs, cdcData = cdcFrame)
+      removeDvs = dvMapOf(emptied), dvReAdds = descs, cdcData = cdcFrame,
+      materializedCols = matCols)
   }
 
   /** Change-data feed over `(fromVersion, toVersion]`: every row added
@@ -3854,6 +4143,15 @@ object DeltaTable {
     * configuration string carries `{"rowIdHighWaterMark": N}`. */
   private[lake] val RowTrackingDomain = "delta.rowTracking"
 
+  /** Configuration keys naming the MATERIALIZED row-tracking columns
+    * (public protocol, enabled state): parquet-only columns — never in
+    * the table schema — where row-moving writers persist each row's id
+    * and last-modified commit version so moves cannot change them. */
+  private[lake] val MatRowIdKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[lake] val MatRowCommitVersionKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
   /** Schema-metadata keys of the public column-mapping protocol. */
   private[lake] val PhysNameKey = "delta.columnMapping.physicalName"
   private[lake] val ColIdKey = "delta.columnMapping.id"
@@ -3900,10 +4198,12 @@ object DeltaTable {
     // (r16): every data-adding commit assigns baseRowId /
     // defaultRowCommitVersion and maintains the delta.rowTracking
     // high-water-mark domain — DV re-adds preserve the original ids.
-    // Row-MOVING verbs (UPDATE/MERGE/OPTIMIZE/rewrite-DELETE) refuse
-    // when delta.enableRowTracking=true, where the protocol demands id
-    // PRESERVATION via the materialized row-id column this engine does
-    // not write.
+    // Row-MOVING verbs (UPDATE/MERGE/OPTIMIZE/rewrite-DELETE, r17)
+    // are legal in the ENABLED state too: each moved row's id — and,
+    // for unmodified rows, its commit version — rides the table's
+    // MATERIALIZED row-tracking columns in the rewritten files
+    // ([[DeltaTable.readFilesDvPreserve]]), per the protocol's
+    // preservation rule.
     "domainMetadata", "rowTracking")
 
   /** Physical read/write schema for one field of a column-mapping

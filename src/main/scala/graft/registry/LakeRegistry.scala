@@ -20,6 +20,22 @@ object LakeRegistry {
   private def tmpRoot(s: SparkSession, d: String, q: String): String =
     s"target/tmp/${q}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
 
+  /** Recursively remove every prior run's `target/tmp/{prefix}*` root.
+    * The UUID-suffixed fixtures (clone destinations, foreign v0 logs)
+    * need a virgin directory per run, so they can't reuse a fixed root
+    * in-place — without this sweep repeated bench runs accumulate
+    * unbounded table copies on disk. */
+  private def wipeStale(prefix: String): Unit = {
+    val tmp = new java.io.File("target/tmp")
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    stale.foreach(rm)
+  }
+
   private def bySource(df: DataFrame): DataFrame =
     df.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
@@ -702,6 +718,7 @@ object LakeRegistry {
       val src = DeltaTable(tmpRoot(s, d, "delta_clpsrc"))
       src.overwrite(docs(s, d), partitionBy = Seq("lang"),
         statsFor = Seq("doc_id"))
+      wipeStale("delta_clpdst_")
       val u = java.util.UUID.randomUUID.toString.take(8)
       val dst = src.shallowCloneTo(tmpRoot(s, d, s"delta_clpdst_$u"))
       dst.deleteWhere("lang = 'en' OR doc_id BETWEEN 100 AND 199")
@@ -713,32 +730,54 @@ object LakeRegistry {
     // semantics (predicate FALSE or NULL keeps the row)
     "q_delta_delete_pred" -> ((s, d) => {
       val dt = DeltaTable(tmpRoot(s, d, "delta_delpred"))
-      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
-        statsFor = Seq("doc_id", "lang", "n_chars"))
+      dt.overwrite(docs(s, d)
+          .withColumn("nq", when(col("doc_id") % 7 === 0,
+            lit(null).cast("long")).otherwise(col("n_chars")))
+          .repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "lang", "n_chars", "nq"))
       dt.deleteWhere("lang = 'en' AND n_chars < 200")
+      // negated conjunct over the NULLABLE column: rows where nq is
+      // NULL evaluate the predicate NULL and MUST survive — the r17
+      // NOT-envelope fix (two-valued duality would whole-file-drop
+      // files whose non-null nq all clear 300)
+      dt.deleteWhere("lang = 'fr' AND NOT (nq < 300)")
       bySource(dt.read(s))
     }),
     // arbitrary-predicate UPDATE (r16): SET applied exactly where the
     // conjunct holds; the oracle restates it as CASE
     "q_delta_update_pred" -> ((s, d) => {
       val dt = DeltaTable(tmpRoot(s, d, "delta_updpred"))
-      dt.overwrite(docs(s, d).repartitionByRange(8, col("doc_id")),
-        statsFor = Seq("doc_id", "lang", "n_chars"))
+      dt.overwrite(docs(s, d)
+          .withColumn("nq", when(col("doc_id") % 7 === 0,
+            lit(null).cast("long")).otherwise(col("n_chars")))
+          .repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "lang", "n_chars", "nq"))
       dt.updateWhere("lang = 'en' AND n_chars >= 200",
         Map("n_chars" -> (col("n_chars") + 13), "lang" -> lit("enx")))
+      // negated conjunct over the NULLABLE column: NULL-nq rows match
+      // neither (predicate NULL) and must ride through UNMODIFIED —
+      // the r17 NOT-envelope fix (the old whole-update path silently
+      // LOST such rows)
+      dt.updateWhere("lang = 'de' AND NOT (nq < 300)",
+        Map("n_chars" -> (col("n_chars") + 7)))
       bySource(dt.read(s))
     }),
-    // rowTracking writer feature (r16): a hand-written FOREIGN v0
-    // declares rowTracking+domainMetadata (the modern delta-spark
-    // default); the engine then appends both halves — assigning each
-    // new file a fresh baseRowId block and advancing the
-    // delta.rowTracking high-water mark — and DV-deletes a band (row
-    // ids preserved, never reused). The oracle pins BOTH planes: the
-    // live data, and the final high-water mark = total rows − 1, which
-    // holds exactly when every append assigned disjoint contiguous id
-    // blocks and the delete reused none. Fresh root per run.
+    // rowTracking writer feature (r16, ENABLED-state moves r17): a
+    // hand-written FOREIGN v0 declares rowTracking+domainMetadata with
+    // delta.enableRowTracking=true (the modern delta-spark default);
+    // the engine appends both halves (fresh disjoint baseRowId blocks,
+    // advancing the delta.rowTracking high-water mark), DV-deletes a
+    // band (ids preserved in place), then MOVES rows — an UPDATE band
+    // and a whole-table OPTIMIZE — with every moved row's id riding
+    // the materialized row-id column. The oracle pins THREE planes:
+    // the live data; the final high-water mark in closed form
+    // (N−1 from the appends, + matched-update rows, + live rows from
+    // the OPTIMIZE rewrite — fresh blocks are assigned to every new
+    // file, ids never reused); and n_id_drift = 0 — the per-doc row id
+    // BEFORE the moves equals the id after them. Fresh root per run.
     "q_delta_rowtracking" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
+      wipeStale("delta_rowtrk_")
       val u = java.util.UUID.randomUUID.toString.take(8)
       val root = tmpRoot(s, d, s"delta_rowtrk_$u")
       val base = docs(s, d)
@@ -749,7 +788,7 @@ object LakeRegistry {
       Files.write(log.resolve(f"${0L}%020d.json"),
         (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
             |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","rowTracking"]}}
-            |{"metaData":{"id":"rtq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{},"createdTime":1}}
+            |{"metaData":{"id":"rtq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.enableRowTracking":"true"},"createdTime":1}}
             |""").stripMargin.getBytes("UTF-8"))
       val dt = DeltaTable(root)
       dt.append(base.filter(col("doc_id") % 2 === 0)
@@ -757,6 +796,18 @@ object LakeRegistry {
       dt.append(base.filter(col("doc_id") % 2 =!= 0)
         .repartitionByRange(4, col("doc_id")), statsFor = Seq("doc_id"))
       dt.delete("doc_id", 100L, 299L)
+      // pre-move lineage (the old files stay on disk — no vacuum — so
+      // this frame keeps reading the pre-move snapshot lazily)
+      val pre = dt.readWithRowLineage(s)
+        .select(col("doc_id"), col("_row_id").as("rid0"))
+      dt.update("doc_id", 300L, 349L,
+        Map("n_chars" -> (col("n_chars") + 5)))
+      dt.compact()
+      val post = dt.readWithRowLineage(s)
+        .select(col("doc_id"), col("_row_id").as("rid1"))
+      val drift = pre.join(post, Seq("doc_id"), "full")
+        .where(!(col("rid0") <=> col("rid1")))
+        .agg(count(lit(1)).as("n_id_drift"))
       val hwm = dt.domainMetadata(s)
         .where(col("domain") === "delta.rowTracking")
         .select(get_json_object(col("configuration"),
@@ -764,6 +815,7 @@ object LakeRegistry {
       dt.read(s).agg(count(lit(1)).as("n_live"),
           sum(col("n_chars")).as("sum_chars"))
         .crossJoin(broadcast(hwm))
+        .crossJoin(broadcast(drift))
     }),
   )
 
@@ -937,27 +989,45 @@ object LakeRegistry {
     // survivors of the conjunct delete: predicate FALSE or NULL keeps
     // the row (restated with COALESCE so DuckDB's null handling is
     // explicit and identical)
+    // two composed deletes, the second NEGATED over a nullable derived
+    // column (nq NULL on every 7th doc): predicate FALSE **or NULL**
+    // keeps the row, hence the explicit COALESCE(..., FALSE) on each
     "q_delta_delete_pred" ->
       s"""$bySourceSql
          |WHERE NOT COALESCE(lang = 'en' AND n_chars < 200, FALSE)
+         |  AND NOT COALESCE(lang = 'fr' AND NOT ((CASE
+         |    WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) < 300),
+         |    FALSE)
          |GROUP BY source""".stripMargin,
-    // the conjunct UPDATE restated as CASE over the source table
+    // the conjunct UPDATEs restated as CASE over the source table; the
+    // second SET is negated over the nullable nq column, so NULL-nq
+    // rows take neither branch (COALESCE pins DuckDB's null handling)
     "q_delta_update_pred" ->
       """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars + CASE WHEN lang = 'en' AND n_chars >= 200
-        |    THEN 13 ELSE 0 END) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars
+        |    + CASE WHEN lang = 'en' AND n_chars >= 200 THEN 13 ELSE 0 END
+        |    + CASE WHEN COALESCE(lang = 'de' AND NOT ((CASE
+        |        WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END) < 300),
+        |        FALSE) THEN 7 ELSE 0 END) AS BIGINT) AS sum_chars,
         |  count(DISTINCT CASE WHEN lang = 'en' AND n_chars >= 200
         |    THEN 'enx' ELSE lang END) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
-    // the live band after the DV delete, plus the row-id high-water
-    // mark: fresh ids 0..n−1 were assigned across both appends, the
-    // delete reuses none — hwm = total rows − 1 in closed form
+    // the live band after the DV delete (+5 on the updated 300–349
+    // band), the high-water mark in closed form — N−1 from the appends,
+    // + the update's moved rows, + the OPTIMIZE's full live rewrite
+    // (fresh blocks per new file, ids never reused) — and zero row-id
+    // drift across the moves (the enabled-state preservation contract)
     "q_delta_rowtracking" ->
       """SELECT CAST(count(CASE WHEN doc_id NOT BETWEEN 100 AND 299
         |    THEN 1 END) AS BIGINT) AS n_live,
         |  CAST(sum(CASE WHEN doc_id NOT BETWEEN 100 AND 299
-        |    THEN n_chars END) AS BIGINT) AS sum_chars,
-        |  CAST(count(*) - 1 AS BIGINT) AS row_id_hwm
+        |    THEN n_chars + CASE WHEN doc_id BETWEEN 300 AND 349
+        |      THEN 5 ELSE 0 END END) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) - 1
+        |    + count(CASE WHEN doc_id BETWEEN 300 AND 349 THEN 1 END)
+        |    + count(CASE WHEN doc_id NOT BETWEEN 100 AND 299 THEN 1 END)
+        |    AS BIGINT) AS row_id_hwm,
+        |  CAST(0 AS BIGINT) AS n_id_drift
         |FROM documents""".stripMargin,
   )
 }

@@ -93,14 +93,19 @@ object StreamingDelta {
       if (maxFilesPerPull == Int.MaxValue && maxBytesPerPull == Long.MaxValue)
         latest
       else {
+        // parse commits LAZILY, one version at a time, and stop at the
+        // first that busts the budget — draining an N-commit backlog in
+        // P capped pulls costs O(N) total commit parses, not O(N·P)
         var end = mark
         var files = 0L
         var bytes = 0L
-        src.commitSizes(mark, latest).foreach { case (v, n, b) =>
-          if (v == end + 1 && (end == mark ||
-              (files + n <= maxFilesPerPull && bytes + b <= maxBytesPerPull))) {
-            end = v; files += n; bytes += b
-          }
+        var halted = false
+        while (!halted && end < latest) {
+          val (_, n, b) = src.commitSizes(end, end + 1).head
+          if (end == mark ||
+              (files + n <= maxFilesPerPull && bytes + b <= maxBytesPerPull)) {
+            end += 1; files += n; bytes += b
+          } else halted = true
         }
         end
       }

@@ -1801,6 +1801,75 @@ class DeltaSpec extends SparkSpec {
     assert(ks(nt.read(spark)) == Set(3L))
   }
 
+  test("NOT-envelope with NULLs: negated predicates never whole-file-drop rows that evaluate NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    // ONE file whose non-null q values all exceed 0.5 plus a NULL-q
+    // row: stats read min 0.8 / max 0.9 / nullCount 1, so may(q < 0.5)
+    // is false — the two-valued duality all(NOT x) = !may(x) would
+    // whole-file fast-drop, deleting the NULL row SQL says survives
+    // (NOT(NULL) is NULL; DELETE keeps NULL-predicate rows)
+    def fresh(): DeltaTable = {
+      val t = tmpTable()
+      t.overwrite(Seq((1L, Option.empty[Double]), (2L, Some(0.9)),
+        (3L, Some(0.8))).toDF("k", "q").coalesce(1),
+        statsFor = Seq("k", "q"))
+      t
+    }
+    // the two empirically-confirmed r16 data-loss shapes
+    val d = fresh()
+    d.deleteWhere("NOT (q < 0.5)")
+    assert(ks(d.read(spark)) == Set(1L)) // NULL-q row survives
+    val u = fresh()
+    u.updateWhere("NOT (q < 0.5)", Map("q" -> lit(0.0)))
+    assert(ks(u.read(spark)) == Set(1L, 2L, 3L)) // no row vanishes
+    assert(u.read(spark).where(col("k") === 1L && col("q").isNull)
+      .count() == 1) // and the NULL row is UNMODIFIED
+    assert(u.read(spark).where(col("q") === 0.0).count() == 2)
+
+    // != parses as Not(EqualTo): same hole, same survival contract
+    val ne = tmpTable()
+    ne.overwrite(Seq((1L, Some("fr")), (2L, Some("fr")),
+      (3L, Option.empty[String])).toDF("k", "lang").coalesce(1),
+      statsFor = Seq("k", "lang"))
+    ne.deleteWhere("lang != 'en'") // min=max='fr' baits the fast drop
+    assert(ks(ne.read(spark)) == Set(3L))
+
+    // NOT over IN, OR, IS NULL — duality compositions over the same
+    // NULL-bearing file
+    val ni = fresh()
+    ni.deleteWhere("NOT (q IN (0.1, 0.2))")
+    assert(ks(ni.read(spark)) == Set(1L))
+    val no = fresh()
+    no.deleteWhere("NOT (q < 0.5 OR q > 2.0)")
+    assert(ks(no.read(spark)) == Set(1L))
+    val nn = fresh()
+    nn.deleteWhere("NOT (q IS NULL)") // two-valued: exact, kills 2,3
+    assert(ks(nn.read(spark)) == Set(1L))
+
+    // readWhere consumes the same envelopes: negation over the
+    // NULL-bearing file returns exactly the TRUE rows
+    val r = fresh()
+    assert(ks(r.readWhere(spark, "NOT (q < 0.85)")) == Set(2L))
+    assert(ks(r.readWhere(spark, "NOT (q > 0.5)")) == Set.empty[Long])
+
+    // and the fix must NOT cost pruning where it is sound: a provably
+    // null-free file still whole-file fast-drops under NOT (remove
+    // action, no deletionVector, no rewrite)
+    val pf = tmpTable()
+    pf.overwrite(Seq((1L, 0.9), (2L, 0.8), (10L, 0.1), (11L, 0.2))
+      .toDF("k", "q").repartitionByRange(2, col("k")),
+      statsFor = Seq("k", "q"))
+    val v = pf.deleteWhere("NOT (q < 0.5)")
+    val json = commitJson(pf, v)
+    assert(json.contains("\"remove\""))
+    assert(!json.contains("\"deletionVector\":"))
+    assert(json.split('\n').count(_.contains("\"remove\"")) == 1)
+    assert(ks(pf.read(spark)) == Set(10L, 11L))
+  }
+
   /** A hand-written FOREIGN rowTracking table in the SUPPORTED state
     * (feature declared; `delta.enableRowTracking` per `config`): one
     * 2-row data file owning row ids [0, 1], high-water mark 1. */
@@ -1898,23 +1967,82 @@ class DeltaSpec extends SparkSpec {
     assert(commitJson(dst, 1L).contains("\"baseRowId\":9"))
   }
 
-  test("rowTracking ENABLED: appends and DV deletes stay legal; row-moving verbs refuse naming the preservation contract") {
+  test("rowTracking ENABLED: appends and DV deletes preserve ids; the lineage read serves defaults") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.col
     val dt = rowTrackingTable("""{"delta.enableRowTracking":"true"}""")
     dt.append(Seq((3L, "c")).toDF("k", "s")) // inserts are new rows: legal
     dt.delete("k", 1L, 1L) // DV delete preserves every surviving id
     assert(vals(dt.read(spark)) == Set((2L, "b"), (3L, "c")))
-    val e1 = intercept[IllegalArgumentException](
-      dt.update("k", 2L, 2L, Map("s" -> lit("X"))))
-    assert(e1.getMessage.contains("enableRowTracking"))
-    intercept[IllegalArgumentException](
-      dt.merge(Seq((2L, "y")).toDF("k", "s"), "k"))
-    intercept[IllegalArgumentException](dt.compact())
-    intercept[IllegalArgumentException](
-      dt.delete("k", 2L, 2L, useDeletionVectors = false))
-    // the refusals left the table exactly as it was
-    assert(vals(dt.read(spark)) == Set((2L, "b"), (3L, "c")))
+    // lineage via the per-file DEFAULTS (no materialized columns yet):
+    // the foreign file's baseRowId=0 serves k=2 id 1; the append's
+    // fresh block starts above the foreign HWM (1) at id 2
+    val l = dt.readWithRowLineage(spark)
+      .select(col("k"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(l == Map(2L -> ((1L, 0L)), 3L -> ((2L, 1L))))
+  }
+
+  test("rowTracking ENABLED: UPDATE/OPTIMIZE/MERGE/rewrite-DELETE preserve row ids via the materialized columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def lineage(dt: DeltaTable): Map[Long, (Long, Long)] =
+      dt.readWithRowLineage(spark)
+        .select(col("k"), col("_row_id"), col("_row_commit_version"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+
+    val dt = rowTrackingTable("""{"delta.enableRowTracking":"true"}""")
+    dt.append(Seq((3L, "c")).toDF("k", "s")) // v1
+    val l0 = lineage(dt)
+    assert(l0 == Map(1L -> ((0L, 0L)), 2L -> ((1L, 0L)), 3L -> ((2L, 1L))))
+
+    // UPDATE moves the k=2 row into a new file: its id is STABLE, its
+    // commit version becomes the UPDATE's commit; untouched rows keep
+    // both. (The first row-moving verb also durably assigns the
+    // materialized column names into the configuration.)
+    dt.update("k", 2L, 2L, Map("s" -> lit("X")))
+    val vUpd = dt.latestVersion.get
+    val l1 = lineage(dt)
+    assert(l1(2L) == ((1L, vUpd)))
+    assert(l1(1L) == l0(1L) && l1(3L) == l0(3L))
+    assert(vals(dt.read(spark)) == Set((1L, "a"), (2L, "X"), (3L, "c")))
+    // the rewritten file physically carries a materialized row-id
+    // column (protocol-shaped name), OUTSIDE the table schema
+    val newest = Files.list(Paths.get(dt.root)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.maxBy(p => Files.getLastModifiedTime(p).toMillis)
+    assert(spark.read.parquet(newest.toString).schema.fieldNames
+      .exists(_.startsWith("_row-id-col-")))
+    assert(!dt.read(spark).schema.fieldNames
+      .exists(_.startsWith("_row-id-col-")))
+
+    // OPTIMIZE moves EVERY row without modification: ids AND commit
+    // versions all stable across the full rewrite
+    val before = lineage(dt)
+    dt.compact()
+    assert(lineage(dt) == before)
+
+    // MERGE: the matched key inherits the id of the row it replaces
+    // (an upsert IS an update of that row); the insert gets a fresh id
+    dt.merge(Seq((3L, "cc"), (9L, "i")).toDF("k", "s"), "k")
+    val vMrg = dt.latestVersion.get
+    val l2 = lineage(dt)
+    assert(l2(3L)._1 == before(3L)._1) // inherited across the merge
+    assert(l2(3L)._2 == vMrg)
+    assert(l2(1L) == before(1L) && l2(2L) == before(2L))
+    assert(l2(9L)._1 > l2(3L)._1) // fresh, above every preserved id
+    assert(vals(dt.read(spark)) ==
+      Set((1L, "a"), (2L, "X"), (3L, "cc"), (9L, "i")))
+
+    // rewrite-form DELETE: survivors move with id + version intact
+    dt.delete("k", 1L, 1L, useDeletionVectors = false)
+    val l3 = lineage(dt)
+    assert(!l3.contains(1L))
+    assert(l3(2L) == l2(2L) && l3(3L) == l2(3L) && l3(9L) == l2(9L))
+    // ids stay globally distinct through every move
+    assert(l3.values.map(_._1).toSeq.distinct.size == l3.size)
   }
 
   test("domainMetadata: foreign domains replay, survive OPTIMIZE + checkpoint, and removed=true tombstones them") {
@@ -2278,6 +2406,45 @@ class DeltaSpec extends SparkSpec {
     val cl0 = new String(Files.readAllBytes(
       Paths.get(ictDst, "_delta_log", f"${0L}%020d.json")), "UTF-8")
     assert(cl0.contains("inCommitTimestamp"))
+  }
+
+  test("clone read: O(1) scan nodes regardless of source partition count (broadcast partitionValues join, not per-partition union)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def scans(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Scan parquet"))
+    // 24 distinct partition values: the per-combination literal-attach
+    // design would plan 24 parquet scan leaves in a left-deep union —
+    // driver planning and codegen blow up at 10⁴ partitions long
+    // before the data does. The broadcast file→partitionValues join
+    // plans exactly ONE scan over every absolute-path add.
+    val src = tmpTable()
+    src.overwrite((1L to 240L).map(k => (k, s"p${k % 24}"))
+      .toDF("k", "s"), partitionBy = Seq("s"), statsFor = Seq("k"))
+    val dst = DeltaTable(src.root).shallowCloneTo(
+      Files.createTempDirectory("deltacloneplan").toString + "/t")
+    val df = dst.read(spark)
+    assert(scans(df) == 1)
+    // and the attached partition values are still exact, per action
+    assert(df.count() == 240)
+    assert(df.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      (0 until 24).map(i => s"p$i" -> 10L).toMap)
+    assert(vals(df.where(col("s") === "p3").select(col("k"), col("s"))) ==
+      (1L to 240L).filter(_ % 24 == 3).map(k => (k, "p3")).toSet)
+    // divergence appends RELATIVE files: one extra scan branch total,
+    // still O(1) — never O(partitions)
+    dst.append(Seq((500L, "p3"), (501L, "p9")).toDF("k", "s"),
+      partitionBy = Seq("s"))
+    val df2 = dst.read(spark)
+    assert(scans(df2) <= 2)
+    assert(df2.count() == 242)
+    // DV delete against the cloned absolute files composes with the
+    // single-scan plan (the DV anti-join rides the same _g_fp key)
+    dst.deleteWhere("s = 'p7'")
+    assert(dst.read(spark).count() == 232)
+    assert(dst.read(spark).where(col("s") === "p7").count() == 0)
   }
 
   test("log cleanup: expired commits below the newest checkpoint age out; the snapshot replays unchanged; time travel below fails loudly") {
