@@ -926,22 +926,54 @@ final case class DeltaTable(root: String) {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     def attrName(e: ce.Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        Some(a.nameParts.head)
+      // multi-part names (nested struct fields, r17) ride the DOTTED
+      // path — [[resolve]] walks the schema level by level and the
+      // stats JSON paths nest the same way ($.minValues.meta.lang),
+      // exactly the protocol's nested-stats shape
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
-    def field(n: String): Option[StructField] =
-      st.schema.fields.find(_.name.equalsIgnoreCase(n))
+    // resolve a (possibly dotted) attribute to its LEAF field and the
+    // stats-JSON key path — each level mapped to its PHYSICAL name on
+    // column-mapping tables. Parts that would break a JSON path
+    // (quotes, dots inside one name, brackets) degrade to None → the
+    // conservative (true, false) envelope, scan-never-fast-drop.
+    def resolve(n: String): Option[(String, StructField)] = {
+      val parts = n.split('.')
+      def jsonSafe(s: String): Boolean =
+        s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
+      def walk(fields: Seq[StructField], ps: List[String],
+          acc: List[String]): Option[(String, StructField)] = ps match {
+        case Nil => None
+        case p :: rest =>
+          fields.find(_.name.equalsIgnoreCase(p)).flatMap { f =>
+            val phys =
+              if (f.metadata.contains(DeltaTable.PhysNameKey))
+                f.metadata.getString(DeltaTable.PhysNameKey)
+              else f.name
+            if (!jsonSafe(phys)) None
+            else rest match {
+              case Nil => Some(((phys :: acc).reverse.mkString("."), f))
+              case _ => f.dataType match {
+                case s: StructType => walk(s.fields.toSeq, rest, phys :: acc)
+                case _ => None
+              }
+            }
+          }
+      }
+      walk(st.schema.fields.toSeq, parts.toList, Nil)
+    }
+    def field(n: String): Option[StructField] = resolve(n).map(_._2)
     def cmp(name: String, l: ce.Literal, op: String): (Column, Column) =
-      field(name) match {
+      resolve(name) match {
         case None => (lit(true), lit(false))
-        case Some(f) =>
+        case Some((statsPath, f)) =>
           // the literal rides back through its own SQL form — typed
           // (DATE '...', 'str', 1.5) and cast to the COLUMN's type, so
           // integral columns compare exactly and strings binary, the
           // same discipline as statBound
           val v = expr(l.sql).cast(f.dataType)
-          if (st.partitionColumns.contains(f.name)) {
+          if (!name.contains('.') && st.partitionColumns.contains(f.name)) {
             val p = col("partitionValues").getItem(st.phys(f.name))
               .cast(f.dataType)
             val c = op match {
@@ -953,7 +985,7 @@ final case class DeltaTable(root: String) {
             }
             (coalesce(c, lit(true)), coalesce(c, lit(false)))
           } else {
-            val pc = st.phys(f.name)
+            val pc = statsPath
             val mn = statBound("minValues", pc, f.dataType)
             val mx = statBound("maxValues", pc, f.dataType)
             val nc = nullCountOf(pc)
@@ -978,9 +1010,10 @@ final case class DeltaTable(root: String) {
           }
       }
     def nullness(name: String, isNull: Boolean): (Column, Column) =
-      field(name) match {
-        case Some(f) if !st.partitionColumns.contains(f.name) =>
-          val nc = nullCountOf(st.phys(f.name))
+      resolve(name) match {
+        case Some((statsPath, f))
+            if name.contains('.') || !st.partitionColumns.contains(f.name) =>
+          val nc = nullCountOf(statsPath)
           val allNull = coalesce(
             nc === numRecords && numRecords > 0L, lit(false))
           if (isNull) (coalesce(nc > 0L, lit(true)), allNull)
@@ -1010,13 +1043,13 @@ final case class DeltaTable(root: String) {
         // value is a file-constant point and a NULL value already
         // degrades may(x) to true at the cmp leaf, which kills ¬may.
         val nullFree = x.collect {
-            case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
-              ua.nameParts.head
+            case ua: UnresolvedAttribute => ua.nameParts.mkString(".")
           }.distinct
-          .flatMap(field(_))
-          .filterNot(f => st.partitionColumns.contains(f.name))
-          .map(f => coalesce(nullCountOf(st.phys(f.name)) === 0L,
-            lit(false)))
+          .flatMap(n => resolve(n).map(n -> _))
+          .filterNot { case (n, (_, f)) =>
+            !n.contains('.') && st.partitionColumns.contains(f.name) }
+          .map { case (_, (statsPath, _)) =>
+            coalesce(nullCountOf(statsPath) === 0L, lit(false)) }
           .foldLeft(lit(true))(_ && _)
         (!a, !m && nullFree)
       case ce.EqualTo(x, l: ce.Literal) if attrName(x).isDefined =>
@@ -1061,10 +1094,31 @@ final case class DeltaTable(root: String) {
     SparkSession.active.sessionState.sqlParser.parseExpression(predicateSql)
       .collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
+          // nested references keep the dotted path — the write-time
+          // stats pass nests the JSON keys the same way (protocol
+          // shape), so rewrites keep covering nested predicates too
+          a.nameParts.mkString(".")
       }.distinct
-      .flatMap(n => st.schema.fields.find(_.name.equalsIgnoreCase(n)))
-      .map(_.name).toSeq
+      .flatMap { n =>
+        // resolve each (possibly dotted) reference to its case-correct
+        // logical path; unresolvable references (functions over
+        // aliases, array steps) just drop out of the stats set
+        def walk(fields: Seq[StructField],
+            ps: List[String]): Option[List[String]] = ps match {
+          case Nil => None
+          case p :: rest =>
+            fields.find(_.name.equalsIgnoreCase(p)).flatMap { f =>
+              if (rest.isEmpty) Some(f.name :: Nil)
+              else f.dataType match {
+                case s: StructType =>
+                  walk(s.fields.toSeq, rest).map(f.name :: _)
+                case _ => None
+              }
+            }
+        }
+        walk(st.schema.fields.toSeq, n.split('.').toList)
+          .map(_.mkString("."))
+      }.toSeq
 
   /** The pruned candidate set for a range predicate, collected
     * O(survivors): the envelope comparison runs as a Spark filter over
@@ -1883,8 +1937,33 @@ final case class DeltaTable(root: String) {
           input_file_name, lit => flit, max => fmax, min => fmin}
         // stats keys (and the columns read) are PHYSICAL on
         // column-mapping tables — [[statBound]] maps predicates the
-        // same way on the read side
-        val physStatsFor = statsFor.map(toPhys)
+        // same way on the read side. Dotted paths (nested struct
+        // fields, r17) map EVERY level to its physical name and nest
+        // the JSON keys below, the protocol's nested-stats shape.
+        def toPhysPath(c: String): String =
+          if (!c.contains('.')) toPhys(c)
+          else {
+            def walkP(fields: Seq[StructField],
+                ps: List[String]): Option[List[String]] = ps match {
+              case Nil => None
+              case p :: rest =>
+                fields.find(_.name.equalsIgnoreCase(p)).flatMap { f =>
+                  val phys =
+                    if (f.metadata.contains(DeltaTable.PhysNameKey))
+                      f.metadata.getString(DeltaTable.PhysNameKey)
+                    else f.name
+                  if (rest.isEmpty) Some(phys :: Nil)
+                  else f.dataType match {
+                    case s: StructType =>
+                      walkP(s.fields.toSeq, rest).map(phys :: _)
+                    case _ => None
+                  }
+                }
+            }
+            walkP(recordedSchema.fields.toSeq, c.split('.').toList)
+              .map(_.mkString(".")).getOrElse(c)
+          }
+        val physStatsFor = statsFor.map(toPhysPath)
         val reader = if (partitionBy.isEmpty) spark.read
                      else spark.read.option("basePath", absRoot)
         val aggs = fcount(flit(1)).as("_nrec") +: physStatsFor.flatMap(c =>
@@ -1901,10 +1980,21 @@ final case class DeltaTable(root: String) {
             val mins = st.putObject("minValues")
             val maxs = st.putObject("maxValues")
             val nulls = st.putObject("nullCount")
+            // dotted paths nest: {"meta":{"lang":...}} — what foreign
+            // readers (and this engine's statBound JSON paths) expect
+            def nodeAt(rootN: ObjectNode, parts: Seq[String]): ObjectNode =
+              parts.foldLeft(rootN)((nd, p) =>
+                if (nd.has(p) && nd.get(p).isObject)
+                  nd.get(p).asInstanceOf[ObjectNode]
+                else nd.putObject(p))
             physStatsFor.zipWithIndex.foreach { case (c, i) =>
-              putScalar(mins, c, r.get(2 + 3 * i))
-              putScalar(maxs, c, r.get(3 + 3 * i))
-              nulls.put(c, nrec - r.getLong(4 + 3 * i))
+              val parts = c.split('.').toSeq
+              putScalar(nodeAt(mins, parts.dropRight(1)), parts.last,
+                r.get(2 + 3 * i))
+              putScalar(nodeAt(maxs, parts.dropRight(1)), parts.last,
+                r.get(3 + 3 * i))
+              nodeAt(nulls, parts.dropRight(1)).put(parts.last,
+                nrec - r.getLong(4 + 3 * i))
             }
             r.getString(0).split('/').last -> m.writeValueAsString(st)
           }.toMap
@@ -2163,7 +2253,19 @@ final case class DeltaTable(root: String) {
   private def requireWriterFeatures(st: LogState, op: String,
       removesRows: Boolean): Unit = {
     val declared: Set[String] = st.declaredWriterFeatures
-    val unknown = declared -- ImplementedWriterFeatures
+    // liquid clustering (r17): the feature's write contract is "keep
+    // the delta.clustering domain intact and don't reorganize files
+    // you don't own" — the engine preserves every domain across
+    // commits/checkpoints/clones (r16), so appends, DV kills, predicate
+    // verbs and metadata verbs are LEGAL on clustered foreign tables.
+    // OPTIMIZE must recluster by the declared columns, which this
+    // engine does not implement — refused by name below.
+    require(!(declared("clustering") && op == "OPTIMIZE"),
+      s"DeltaTable $root: OPTIMIZE on a table declaring the clustering " +
+        "writer feature — a rewrite must recluster by the table's " +
+        "clustering columns, which this engine does not implement; " +
+        "appends and DV DELETE/UPDATE/MERGE stay legal")
+    val unknown = declared -- ImplementedWriterFeatures - "clustering"
     require(unknown.isEmpty,
       s"DeltaTable $root: $op on a table declaring writer feature(s) " +
         s"${unknown.toSeq.sorted.mkString(",")} this engine does not " +
@@ -4182,8 +4284,10 @@ object DeltaTable {
     * is implemented end-to-end, columnMapping writes emit physical
     * names (name mode; id mode allows only the metadata-only DV
     * delete), and v2Checkpoint tables get the V2 checkpoint form the
-    * feature requires. Everything else — rowTracking, icebergCompat*,
-    * domainMetadata, clustering, ... — refuses outright. */
+    * feature requires. `clustering` is TOLERATED conditionally (domain
+    * preserved; every verb but the reclustering OPTIMIZE — see
+    * [[DeltaTable.requireWriterFeatures]]). Everything else —
+    * icebergCompat*, ... — refuses outright. */
   private[lake] val ImplementedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "identityColumns", "changeDataFeed", "deletionVectors", "columnMapping",

@@ -86,6 +86,151 @@ object JpegCodec {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"JPEG: $msg")
 
+  // ---- EXIF orientation (r17) ------------------------------------------
+
+  /** FIXTURE side (like [[encode]]): splice a minimal, spec-exact Exif
+    * APP1 — TIFF header in either byte order, one-IFD0 orientation
+    * entry — right after SOI, producing the rotated-phone-photo shape
+    * real scrapes carry. The decoder under test never sees bytes it
+    * wrote: the image stream stays the foreign encoder's. */
+  def spliceExifOrientation(jpeg: Array[Byte], orientation: Int,
+      bigEndian: Boolean): Array[Byte] = {
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+      else { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+      else { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val bom = if (bigEndian) 'M' else 'I'
+    tiff.write(bom); tiff.write(bom)
+    w16(42); w32(8) // magic + IFD0 offset
+    w16(1) // one directory entry
+    w16(0x0112); w16(3); w32(1) // orientation, SHORT, count 1
+    w16(orientation); w16(0) // value in the 4-byte field, padded
+    w32(0) // no next IFD
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.toByteArray
+    val len = payload.length + 2
+    (jpeg.take(2) ++ Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+      ++ jpeg.drop(2))
+  }
+
+  /** EXIF orientation from the APP1 "Exif\0\0" segment, per the public
+    * TIFF 6.0 / EXIF 2.3 layout: TIFF header (II or MM byte order, magic
+    * 42, IFD0 offset), IFD0 entry walk, tag 0x0112 (SHORT, count 1),
+    * value 1–8. Returns 1 (normal) when no Exif APP1 exists or IFD0
+    * carries no orientation tag — the overwhelming web-scrape default;
+    * an Exif segment that IS present but structurally broken (bad byte
+    * order, magic, truncated IFD, out-of-range value) fails loudly per
+    * the engine discipline — phone-camera scrapes are full of rotated
+    * photos, and silently serving an unrotated grid would poison every
+    * downstream perceptual hash. Non-Exif APP1s (XMP) are skipped. */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    def u16be(at: Int): Int = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+    var pos = 2 // past SOI (decode() validates the signature)
+    while (pos + 4 <= bytes.length && (bytes(pos) & 0xff) == 0xff) {
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else if (marker == 0xda || marker == 0xd9) return 1 // scan/EOI: no Exif
+      else {
+        val len = u16be(pos + 2)
+        val seg = pos + 4
+        if (marker == 0xe1 && len >= 8 + 6 &&
+            seg + 6 <= bytes.length &&
+            bytes(seg) == 'E' && bytes(seg + 1) == 'x' &&
+            bytes(seg + 2) == 'i' && bytes(seg + 3) == 'f' &&
+            bytes(seg + 4) == 0 && bytes(seg + 5) == 0) {
+          val tiff = seg + 6
+          val end = pos + 2 + len
+          def need(at: Int, n: Int): Unit =
+            if (at + n > end || at + n > bytes.length)
+              fail("Exif APP1 truncated")
+          need(tiff, 8)
+          val b0 = bytes(tiff) & 0xff
+          val b1 = bytes(tiff + 1) & 0xff
+          val le =
+            if (b0 == 'I' && b1 == 'I') true
+            else if (b0 == 'M' && b1 == 'M') false
+            else fail(f"Exif TIFF byte order 0x$b0%02x$b1%02x")
+          def u16(at: Int): Int = {
+            need(at, 2)
+            if (le) (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+            else ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+          }
+          def u32(at: Int): Long = {
+            need(at, 4)
+            if (le) (u16(at) | (u16(at + 2).toLong << 16)) & 0xffffffffL
+            else ((u16(at).toLong << 16) | u16(at + 2)) & 0xffffffffL
+          }
+          if (u16(tiff + 2) != 42) fail("Exif TIFF magic != 42")
+          val ifd0 = tiff + u32(tiff + 4).toInt
+          val n = u16(ifd0)
+          var i = 0
+          while (i < n) {
+            val e = ifd0 + 2 + 12 * i
+            if (u16(e) == 0x0112) {
+              if (u16(e + 2) != 3 || u32(e + 4) != 1L)
+                fail("Exif orientation tag malformed (type/count)")
+              // SHORT count 1: the value sits in the first two bytes of
+              // the 4-byte value field, in the TIFF byte order
+              val o = u16(e + 8)
+              if (o < 1 || o > 8) fail(s"Exif orientation $o out of [1, 8]")
+              return o
+            }
+            i += 1
+          }
+          return 1 // Exif present, no orientation tag: normal
+        }
+        pos += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Apply an EXIF orientation to a decoded top-down luma grid — the
+    * inverse transform that renders the stored pixels upright (the
+    * same mapping every EXIF-aware viewer applies): 1 identity,
+    * 2 flip-H, 3 rotate 180°, 4 flip-V, 5 transpose, 6 rotate 90° CW,
+    * 7 transverse, 8 rotate 270° CW. Orientations 5–8 swap the
+    * dimensions. */
+  def applyOrientation(img: BmpCodec.Image, o: Int): BmpCodec.Image = {
+    if (o == 1) return img
+    val (w, h) = (img.width, img.height)
+    val (ow, oh) = if (o >= 5) (h, w) else (w, h)
+    val out = new Array[Byte](ow * oh)
+    var yd = 0
+    while (yd < oh) {
+      var xd = 0
+      while (xd < ow) {
+        val (xs, ys) = o match {
+          case 2 => (w - 1 - xd, yd)
+          case 3 => (w - 1 - xd, h - 1 - yd)
+          case 4 => (xd, h - 1 - yd)
+          case 5 => (yd, xd)
+          case 6 => (yd, h - 1 - xd)
+          case 7 => (w - 1 - yd, h - 1 - xd)
+          case 8 => (w - 1 - yd, xd)
+          case _ => fail(s"orientation $o out of [1, 8]")
+        }
+        out(yd * ow + xd) = img.luma(ys * w + xs)
+        xd += 1
+      }
+      yd += 1
+    }
+    BmpCodec.Image(ow, oh, out)
+  }
+
+  /** [[decode]] plus the EXIF orientation applied to the luma grid —
+    * what a perceptual-hash pipeline over a real phone-photo scrape
+    * must use (the stored pixels are routinely rotated; the APP1 says
+    * how to display them). */
+  def decodeOriented(bytes: Array[Byte]): Decoded = {
+    val d = decode(bytes)
+    d.copy(image = applyOrientation(d.image, exifOrientation(bytes)))
+  }
+
   // ---- bit reader over the entropy-coded segment ----------------------
 
   /** MSB-first bit reader with 0xFF00 unstuffing; RSTn markers are

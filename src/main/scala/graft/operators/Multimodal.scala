@@ -333,6 +333,37 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** EXIF-ROTATED JPEG roundtrip (r17): per doc, a 16×24 grid of six
+    * flat 8×8 blocks v_k = (id·37 + 40k) mod 256 (DC-exact at quality
+    * 1.0 through the foreign JDK encoder), with orientation
+    * 1 + id mod 8 spliced as a REAL Exif APP1 TIFF — little-endian on
+    * even ids, big-endian on odd — decoded through
+    * [[JpegCodec.decodeOriented]]. The oriented dimensions, the two
+    * corner pixels and the (rotation-invariant) luma sum each have a
+    * closed form, and together they separate all 8 orientations — any
+    * APP1-walk, TIFF-endianness or rotation-mapping bug is a hash
+    * mismatch. Map-side only. */
+  def jpegExifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val o = (1 + id % 8).toInt
+        val raw = JpegCodec.encode(16, 24, gray = true,
+          (x, y) => {
+            val v = ((id * 37 + 40 * ((y / 8) * 2 + x / 8)) % 256).toInt
+            (v, v, v)
+          })
+        val dec = JpegCodec.decodeOriented(
+          JpegCodec.spliceExifOrientation(raw, o, bigEndian = id % 2 == 1))
+        val img = dec.image
+        val lum = img.luma.map(_ & 0xff)
+        (id, o, img.width, img.height, lum.map(_.toLong).sum,
+          lum.head, lum.last)
+      })
+      .toDF("doc_id", "orientation", "width", "height", "luma_sum",
+        "tl", "br")
+  }
+
   /** Synthetic PCM clip for doc `id`: n = 96 + id mod 64 mono samples at
     * 8 kHz, sample(i) = (id·13 + i²·3 + i·11) mod 4096 − 2048 — all
     * integer, SQL-replayable. ENCODED to real RIFF/WAVE bytes (every

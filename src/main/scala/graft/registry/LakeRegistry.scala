@@ -762,6 +762,55 @@ object LakeRegistry {
         Map("n_chars" -> (col("n_chars") + 7)))
       bySource(dt.read(s))
     }),
+    // NESTED-column envelopes (r17): the documents ride inside a
+    // struct; the predicate DELETE prunes on the nested stats
+    // ($.minValues.meta.lang — the protocol's nested shape, which the
+    // write-time stats pass now emits) and composes a negation over
+    // the nested numeric field
+    "q_delta_nested_pred" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_nested"))
+      dt.overwrite(docs(s, d)
+          .select(col("doc_id"), col("source"),
+            struct(col("lang"), col("n_chars")).as("meta"))
+          .repartitionByRange(8, col("doc_id")),
+        statsFor = Seq("doc_id", "meta.lang", "meta.n_chars"))
+      dt.deleteWhere("meta.lang = 'en' AND NOT (meta.n_chars >= 200)")
+      dt.read(s).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("meta.n_chars")).as("sum_chars"),
+          countDistinct(col("meta.lang")).as("n_langs"))
+    }),
+    // clustered foreign table (r17): a hand-written v0 declares the
+    // `clustering` writer feature + the delta.clustering domain (what
+    // delta-spark CLUSTER BY tables carry by default). The engine
+    // appends and predicate-deletes — legal because the feature's
+    // write contract is DOMAIN PRESERVATION, not reclustering (the
+    // reclustering OPTIMIZE is the one verb that refuses) — and the
+    // output pins both the surviving data and the intact domain.
+    "q_delta_clustered" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      wipeStale("delta_clustered_")
+      val root = tmpRoot(s, d, "delta_clustered")
+      val base = docs(s, d)
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val schemaLit = m.writeValueAsString(base.schema.json)
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
+            |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}
+            |{"metaData":{"id":"clq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{},"createdTime":1}}
+            |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"doc_id\\"]]}","removed":false}}
+            |""").stripMargin.getBytes("UTF-8"))
+      val dt = DeltaTable(root)
+      dt.append(base.repartitionByRange(4, col("doc_id")),
+        statsFor = Seq("doc_id", "lang", "n_chars"))
+      dt.deleteWhere("lang = 'en' AND n_chars < 250")
+      val dom = dt.domainMetadata(s)
+        .where(col("domain") === "delta.clustering")
+        .select(count(lit(1)).as("n_cluster_domains"))
+      bySource(dt.read(s)).crossJoin(broadcast(dom))
+    }),
     // rowTracking writer feature (r16, ENABLED-state moves r17): a
     // hand-written FOREIGN v0 declares rowTracking+domainMetadata with
     // delta.enableRowTracking=true (the modern delta-spark default);
@@ -1012,6 +1061,23 @@ object LakeRegistry {
         |  count(DISTINCT CASE WHEN lang = 'en' AND n_chars >= 200
         |    THEN 'enx' ELSE lang END) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+    // survivors of the nested-predicate delete (predicate FALSE or
+    // NULL keeps the row; n_chars is never NULL so the negation is
+    // two-valued here)
+    "q_delta_nested_pred" ->
+      s"""$bySourceSql
+         |WHERE NOT COALESCE(lang = 'en' AND NOT (n_chars >= 200), FALSE)
+         |GROUP BY source""".stripMargin,
+    // survivors of the predicate delete on the clustered table, plus
+    // the intact delta.clustering domain (always exactly 1)
+    "q_delta_clustered" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(1 AS BIGINT) AS n_cluster_domains
+         |FROM documents
+         |WHERE NOT COALESCE(lang = 'en' AND n_chars < 250, FALSE)
+         |GROUP BY source""".stripMargin,
     // the live band after the DV delete (+5 on the updated 300–349
     // band), the high-water mark in closed form — N−1 from the appends,
     // + the update's moved rows, + the OPTIMIZE's full live rewrite

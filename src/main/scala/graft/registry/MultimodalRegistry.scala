@@ -49,6 +49,11 @@ object MultimodalRegistry {
     // (SOF2 multi-scan) — marker walk, Huffman, dequant, IDCT,
     // upsample, color-convert or progressive-scan bugs = hash mismatch
     "q_mm_jpeg_decode" -> ((s, d) => Multimodal.jpegRoundtrip(s, d)),
+    // EXIF orientation (r17): a real Exif APP1 (both TIFF byte orders)
+    // spliced onto foreign-encoded JPEGs; decodeOriented rotates the
+    // luma grid — oriented dims, corner pixels and the invariant luma
+    // sum separate all 8 orientations in closed form
+    "q_mm_jpeg_exif" -> ((s, d) => Multimodal.jpegExifRoundtrip(s, d)),
   )
 
   /** Shared pixel-formula CTEs for the BMP oracles: doc dims + the
@@ -228,5 +233,30 @@ object MultimodalRegistry {
         |  CAST((doc_id * 37) % 256 AS INTEGER) AS luma_min,
         |  CAST((doc_id * 37) % 256 AS INTEGER) AS luma_max
         |FROM documents""".stripMargin,
+    // EXIF closed form: m = doc_id % 8 selects orientation m+1; dims
+    // swap for 5–8; block values v_k = (doc_id·37 + 40k) mod 256 — the
+    // displayed top-left/bottom-right corners per the EXIF mapping:
+    //   o1/o5 → (v0, v5), o2/o8 → (v1, v4), o3/o7 → (v5, v0),
+    //   o4/o6 → (v4, v1) — the dims split each pair
+    "q_mm_jpeg_exif" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id % 8 AS m,
+        |    (doc_id * 37) % 256 AS v0,
+        |    (doc_id * 37 + 40) % 256 AS v1,
+        |    (doc_id * 37 + 160) % 256 AS v4,
+        |    (doc_id * 37 + 200) % 256 AS v5,
+        |    (doc_id * 37 + 80) % 256 AS v2,
+        |    (doc_id * 37 + 120) % 256 AS v3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(m + 1 AS INTEGER) AS orientation,
+        |  CAST(CASE WHEN m >= 4 THEN 24 ELSE 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN m >= 4 THEN 16 ELSE 24 END AS INTEGER) AS height,
+        |  CAST(64 * (v0 + v1 + v2 + v3 + v4 + v5) AS BIGINT) AS luma_sum,
+        |  CAST(CASE WHEN m IN (0, 4) THEN v0 WHEN m IN (1, 7) THEN v1
+        |    WHEN m IN (3, 5) THEN v4 ELSE v5 END AS INTEGER) AS tl,
+        |  CAST(CASE WHEN m IN (0, 4) THEN v5 WHEN m IN (1, 7) THEN v4
+        |    WHEN m IN (3, 5) THEN v1 ELSE v0 END AS INTEGER) AS br
+        |FROM v""".stripMargin,
   )
 }

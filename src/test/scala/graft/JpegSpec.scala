@@ -273,4 +273,65 @@ class JpegSpec extends AnyFunSuite {
       (x, y) => { val v = (x * 11 + y * 3) % 256; (v, v, v) }))
     assert(sig == BmpCodec.dhash(dec2.image)) // deterministic
   }
+
+  test("EXIF orientation: APP1 parses in both byte orders; all 8 rotations map pixels exactly; defaults and refusals") {
+    // a 2×3 asymmetric grid makes every orientation's output distinct:
+    // closed-form reference computed by the SAME displayed←stored
+    // mapping every EXIF-aware viewer implements
+    val w = 16; val h = 24
+    def v(x: Int, y: Int): Int = ((y / 8) * 2 + x / 8) * 40 + 7
+    val raw = JpegCodec.encode(w, h, gray = true,
+      (x, y) => { val g = v(x, y); (g, g, g) })
+    assert(JpegCodec.exifOrientation(raw) == 1) // no APP1 at all
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val bytes = JpegCodec.spliceExifOrientation(raw, o, be)
+      assert(JpegCodec.exifOrientation(bytes) == o)
+      val img = JpegCodec.decodeOriented(bytes).image
+      val (ow, oh) = if (o >= 5) (h, w) else (w, h)
+      assert(img.width == ow && img.height == oh)
+      var yd = 0
+      while (yd < oh) {
+        var xd = 0
+        while (xd < ow) {
+          val (xs, ys) = o match {
+            case 1 => (xd, yd)
+            case 2 => (w - 1 - xd, yd)
+            case 3 => (w - 1 - xd, h - 1 - yd)
+            case 4 => (xd, h - 1 - yd)
+            case 5 => (yd, xd)
+            case 6 => (yd, h - 1 - xd)
+            case 7 => (w - 1 - yd, h - 1 - xd)
+            case 8 => (w - 1 - yd, xd)
+          }
+          assert((img.luma(yd * ow + xd) & 0xff) == v(xs, ys),
+            s"o=$o be=$be at ($xd,$yd)")
+          xd += 1
+        }
+        yd += 1
+      }
+    }
+    // a non-Exif APP1 (XMP) is skipped, not parsed as TIFF
+    val xmp = {
+      val payload = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII") ++
+        Array[Byte](0) ++ "<x:xmpmeta/>".getBytes("US-ASCII")
+      val len = payload.length + 2
+      raw.take(2) ++ Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload ++
+        raw.drop(2)
+    }
+    assert(JpegCodec.exifOrientation(xmp) == 1)
+    // structurally broken Exif fails LOUDLY: bad byte-order mark,
+    // out-of-range orientation value
+    val spliced = JpegCodec.spliceExifOrientation(raw, 6, bigEndian = false)
+    val badBom = spliced.clone()
+    // SOI(2) + FFE1(2) + len(2) + "Exif\0\0"(6) → TIFF BOM at 12
+    badBom(12) = 'X'.toByte
+    val e1 = intercept[IllegalArgumentException](
+      JpegCodec.exifOrientation(badBom))
+    assert(e1.getMessage.contains("byte order"))
+    val bad9 = JpegCodec.spliceExifOrientation(raw, 9, bigEndian = true)
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.exifOrientation(bad9))
+    assert(e2.getMessage.contains("out of [1, 8]"))
+  }
 }

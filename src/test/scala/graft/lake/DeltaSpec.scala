@@ -1543,12 +1543,14 @@ class DeltaSpec extends SparkSpec {
     // a v0 log that copies the contract it cannot satisfy
     val plain = StructType(Seq(StructField("k", LongType),
       StructField("s", StringType)))
+    // (clustering is TOLERATED since r17 — the gate example must be a
+    // feature the engine genuinely cannot write)
     val cl = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["clustering"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       """{}""", plain)
     val e1 = intercept[IllegalArgumentException](cl.shallowCloneTo(
       Files.createTempDirectory("clonegate").toString + "/t"))
-    assert(e1.getMessage.contains("clustering"))
+    assert(e1.getMessage.contains("icebergCompatV2"))
     assert(e1.getMessage.contains("CLONE"))
 
     // a table ALREADY on explicit feature lists keeps exactly its own
@@ -2043,6 +2045,89 @@ class DeltaSpec extends SparkSpec {
     assert(l3(2L) == l2(2L) && l3(3L) == l2(3L) && l3(9L) == l2(9L))
     // ids stay globally distinct through every move
     assert(l3.values.map(_._1).toSeq.distinct.size == l3.size)
+  }
+
+  test("nested-column envelopes: dotted predicates prune, fast-drop and stay NULL-safe; written stats nest protocol-shaped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val dt = tmpTable()
+    val df = Seq(
+      (1L, "a", Some(0.1)), (2L, "a", Some(0.2)),
+      (10L, "b", Some(0.8)), (11L, "b", Option.empty[Double]))
+      .toDF("k", "lang", "q")
+      .select(col("k"), struct(col("lang"), col("q")).as("meta"))
+    dt.overwrite(df.repartitionByRange(2, col("k")),
+      statsFor = Seq("k", "meta.lang", "meta.q"))
+    def ks(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("k").collect().map(_.getLong(0)).toSet
+    // the write-time stats pass NESTS dotted keys — the protocol's
+    // shape, and what the read-side JSON paths expect
+    val j0 = commitJson(dt, 0L)
+    assert(j0.contains("\\\"meta\\\":{\\\"lang\\\"")) // stats ride escaped
+    // nested equality PRUNES to the one matching file
+    val pr = dt.readWhere(spark, "meta.lang = 'a'")
+    assert(pr.inputFiles.length == 1)
+    assert(ks(pr) == Set(1L, 2L))
+    // case-insensitive resolution, exactly like top-level columns
+    assert(ks(dt.readWhere(spark, "META.LANG = 'b'")) == Set(10L, 11L))
+    // nested range composes with a top-level conjunct; the NULL-q row
+    // never matches a range predicate
+    assert(ks(dt.readWhere(spark, "meta.q >= 0.5 AND k >= 10")) ==
+      Set(10L))
+    // whole-file fast drop via the nested envelope (null-free file):
+    // remove-only, no DV, the other file untouched
+    val v = dt.deleteWhere("meta.lang = 'a'")
+    val json = commitJson(dt, v)
+    assert(json.contains("\"remove\""))
+    assert(!json.contains("\"deletionVector\":"))
+    assert(ks(dt.read(spark)) == Set(10L, 11L))
+    // NOT over a nested NULLABLE field: the NULL-q row evaluates the
+    // predicate NULL and must survive (the r17 NOT-envelope rule
+    // applies to nested nullCounts too)
+    dt.deleteWhere("NOT (meta.q < 0.5)")
+    assert(ks(dt.read(spark)) == Set(11L))
+  }
+
+  test("clustering write tolerance: appends and DV verbs stay legal with the domain preserved; reclustering OPTIMIZE refuses by name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = tmpTable()
+    dt.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartitionByRange(2, col("k")), statsFor = Seq("k"))
+    // a foreign engine clusters the table: protocol upgrade declaring
+    // the clustering writer feature + the delta.clustering domain
+    val log = Paths.get(dt.root, "_delta_log")
+    Files.write(log.resolve(f"${1L}%020d.json"),
+      ("""{"commitInfo":{"timestamp":2,"operation":"CLUSTER BY","operationParameters":{}}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}
+         |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"k\"]]}","removed":false}}
+         |""").stripMargin.getBytes("UTF-8"))
+    // the write contract is "preserve the domain, don't reorganize
+    // files you don't own": appends, DV kills and predicate verbs are
+    // legal, and the clustering domain survives every commit
+    dt.append(Seq((9L, "z")).toDF("k", "s"))
+    dt.delete("k", 2L, 2L)
+    dt.updateWhere("k = 3", Map("s" -> lit("X")))
+    dt.merge(Seq((9L, "zz"), (11L, "n")).toDF("k", "s"), "k")
+    assert(vals(dt.read(spark)) ==
+      Set((1L, "a"), (3L, "X"), (9L, "zz"), (11L, "n")))
+    val doms = dt.domainMetadata(spark)
+      .where(col("domain") === "delta.clustering").collect()
+    assert(doms.length == 1)
+    assert(doms(0).getString(1).contains("clusteringColumns"))
+    // checkpoint keeps the domain as the replay floor
+    dt.checkpoint()
+    assert(dt.domainMetadata(spark)
+      .where(col("domain") === "delta.clustering").count() == 1)
+    // the RECLUSTERING rewrite is the one verb the engine cannot honor
+    // — refused naming the feature; the table is untouched
+    val e = intercept[IllegalArgumentException](dt.compact())
+    assert(e.getMessage.contains("clustering"))
+    intercept[IllegalArgumentException](dt.optimizeZOrder("k", "k"))
+    intercept[IllegalArgumentException](dt.compactIncremental(
+      smallBytes = Long.MaxValue))
+    assert(vals(dt.read(spark)) ==
+      Set((1L, "a"), (3L, "X"), (9L, "zz"), (11L, "n")))
   }
 
   test("domainMetadata: foreign domains replay, survive OPTIMIZE + checkpoint, and removed=true tombstones them") {
