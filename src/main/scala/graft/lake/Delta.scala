@@ -275,7 +275,16 @@ final case class DeltaTable(root: String) {
       // TIMESTAMP_NTZ columns read natively (Spark TimestampNTZType);
       // vacuumProtocolCheck constrains VACUUM, which gates on the
       // writer contract before deleting anything
-      "timestampNtz", "vacuumProtocolCheck")
+      "timestampNtz", "vacuumProtocolCheck",
+      // typeWidening (r17): old files keep their NARROW physical type
+      // and every read serves the current (widened) schema — exactly
+      // what this engine's scans already do: the declared schema is
+      // the explicit read schema, and Spark's parquet reader promotes
+      // int8/16/32→long, int→double, float→double in the vectorized
+      // path (an unpromotable pair fails the scan LOUDLY, never
+      // silently). Stats envelopes cast per the declared type, so
+      // skipping stays exact across the widening boundary.
+      "typeWidening", "typeWideningPreview")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -4308,7 +4317,15 @@ object DeltaTable {
     // MATERIALIZED row-tracking columns in the rewritten files
     // ([[DeltaTable.readFilesDvPreserve]]), per the protocol's
     // preservation rule.
-    "domainMetadata", "rowTracking")
+    "domainMetadata", "rowTracking",
+    // typeWidening (r17, reader+writer feature): the WRITE contract is
+    // "record delta.typeChanges when widening a type and keep serving
+    // both generations of files" — this engine never alters types
+    // (no widening ALTER is offered), appends carry the current
+    // (widened) schema, and the schemaString — typeChanges field
+    // metadata included — replays verbatim through commits and
+    // checkpoints, so the recorded history is preserved untouched
+    "typeWidening", "typeWideningPreview")
 
   /** Physical read/write schema for one field of a column-mapping
     * table, applied RECURSIVELY: every nesting level (struct fields,

@@ -290,6 +290,41 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** SUB-BYTE PNG roundtrip (r17): per doc, a 1/2/4-bit (by id mod 3)
+    * grayscale (even ids) or palette (odd ids) PNG — the B/W-scan and
+    * small-icon classes of a real scrape — with cycling filters and
+    * Adam7 on half the ids; samples s(x,y) = (id·3 + y·w + x) mod 2^d,
+    * gray scaled ×255/(2^d−1) per the spec, palette entry j =
+    * (17j, 17j+85, 17j+170) mod 256 through Rec.601 — closed form all
+    * the way. Any bit-unpacking, ceil-stride, filter-distance or
+    * per-pass packing bug is a hash mismatch. Map-side only. */
+  def pngSubByteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val d = Array(1, 2, 4)((id % 3).toInt)
+        val maxV = (1 << d) - 1
+        val ct = if (id % 2 == 0) 0 else 3
+        val w = (5 + id % 6).toInt
+        val h = (4 + id % 3).toInt
+        val pal = (0 to maxV).map(j =>
+          ((17 * j) % 256, (17 * j + 85) % 256, (17 * j + 170) % 256))
+          .toArray
+        val bytes = PngCodec.encode(w, h, ct,
+          (x, y) => (((id * 3 + y.toLong * w + x) % (maxV + 1)).toInt,
+            0, 0, 0),
+          y => ((id + y) % 5).toInt,
+          palette = if (ct == 3) pal else null,
+          interlace = id % 4 < 2, bitDepth = d)
+        val dec = PngCodec.decodeInfo(bytes)
+        val lum = dec.image.luma.map(_ & 0xff)
+        (id, d, dec.colorType, dec.image.width, dec.image.height,
+          lum.map(_.toLong).sum, lum.min, lum.max)
+      })
+      .toDF("doc_id", "bit_depth", "color_type", "width", "height",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
   /** Deterministic synthetic JPEG per doc id, through a REAL FOREIGN
     * encoder (the JDK's ImageIO JPEG writer — bytes this codebase never
     * produced): flat gray g = (id·37) mod 256, width 8 + id mod 17,

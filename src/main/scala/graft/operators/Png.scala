@@ -14,7 +14,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * AND bit depth 16 for the non-palette types (r16: each sample is a
   * big-endian 16-bit word; luma takes the HIGH byte, the spec's own
   * 16→8 downsample, and the filter's left-neighbour distance is the
-  * full pixel byte width) — in BOTH interlace methods (0 = sequential, 1 = Adam7: seven
+  * full pixel byte width), AND the SUB-BYTE depths 1/2/4 for
+  * grayscale and palette (r17: samples packed MSB-first within each
+  * scanline byte, ceil byte stride, 1-byte filter distance, grayscale
+  * samples scaled ×255/(2^d−1) per the spec — 1-bit B/W and 4-bit
+  * palette icons are a real slice of any web scrape) — in BOTH
+  * interlace methods (0 = sequential, 1 = Adam7: seven
   * independently-filtered sub-images in one zlib stream, empty passes
   * contributing zero bytes), ALL FIVE scanline filters (None/Sub/Up/
   * Average/Paeth) — the part of the format that actually exercises a
@@ -27,8 +32,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * never decodes to garbage pixels).
   *
   * Decode FAILS LOUDLY on anything else (bad signature, bad CRC,
-  * depths 1/2/4, 16-bit palette (illegal per spec), unknown interlace
-  * methods, missing/oversized PLTE,
+  * spec-illegal depth/colorType pairs (sub-byte multi-channel, 16-bit
+  * palette), unknown interlace methods, missing/oversized PLTE,
   * out-of-range palette index, truncated or preset-dictionary zlib
   * stream) — the engine-wide loud-failure discipline; a real corpus
   * routes failures to a counted quarantine, never silently fakes
@@ -100,11 +105,19 @@ object PngCodec {
           colorType = payload(d + 9) & 0xff
           interlace = payload(d + 12) & 0xff
           require(width > 0 && height > 0, s"PNG: bad dims ${width}x$height")
-          require(bitDepth == 8 || bitDepth == 16,
-            s"PNG: bitDepth $bitDepth unsupported (8 or 16)")
-          require(bitDepth == 8 || colorType != 3,
-            "PNG: 16-bit palette images are illegal (spec: palette depth <= 8)")
           channelsOf(colorType) // validates colorType loudly
+          // legal depth sets per RFC 2083 §4.1.1: grayscale (0) allows
+          // 1/2/4/8/16, palette (3) 1/2/4/8, the multi-channel types
+          // (2/4/6) 8/16 only — SUB-BYTE depths (r17) pack samples
+          // MSB-first within scanline bytes
+          val okDepths: Set[Int] = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case _ => Set(8, 16)
+          }
+          require(okDepths(bitDepth),
+            s"PNG: bitDepth $bitDepth illegal for colorType $colorType " +
+              s"(spec allows ${okDepths.toSeq.sorted.mkString("/")})")
           require(interlace == 0 || interlace == 1,
             s"PNG: unknown interlace method $interlace")
           sawIhdr = true
@@ -128,8 +141,10 @@ object PngCodec {
     require(colorType != 3 || palette != null, "PNG: palette colorType 3 "
       + "without a PLTE chunk")
 
-    val bpc = bitDepth / 8
-    val bpp = channelsOf(colorType) * bpc
+    // bits per pixel drives both the scanline byte stride (ceil) and
+    // the filter distance (floor, min 1) — the spec's two roles
+    val bitsPP = channelsOf(colorType) * bitDepth
+    def rowBytes(pw: Int): Int = (pw * bitsPP + 7) / 8
     // Adam7 (interlace 1) splits the image into SEVEN independent
     // sub-images, each filtered like a little PNG of its own and
     // concatenated in the one zlib stream; passes whose sub-image is
@@ -142,7 +157,7 @@ object PngCodec {
         if (height > y0) (height - y0 + dy - 1) / dy else 0)
     }
     val total = dims.map { case (pw, ph) =>
-      if (pw == 0 || ph == 0) 0 else (pw * bpp + 1) * ph
+      if (pw == 0 || ph == 0) 0 else (rowBytes(pw) + 1) * ph
     }.sum
     val raw = inflateExact(idat.toByteArray, total)
 
@@ -150,7 +165,7 @@ object PngCodec {
     var rawOff = 0
     passes.zip(dims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
       if (pw > 0 && ph > 0)
-        rawOff = defilterPass(raw, rawOff, pw, ph, bpp, bpc, colorType,
+        rawOff = defilterPass(raw, rawOff, pw, ph, bitDepth, colorType,
           palette,
           (px, py, v) => luma((y0 + py * dy) * width + (x0 + px * dx)) = v)
     }
@@ -170,9 +185,14 @@ object PngCodec {
     * is PER PASS, as the spec prescribes — row 0 of every pass has an
     * all-zero `prev`. */
   private def defilterPass(raw: Array[Byte], rawOff: Int, pw: Int, ph: Int,
-      bpp: Int, bpc: Int, colorType: Int, palette: Array[Byte],
+      bitDepth: Int, colorType: Int, palette: Array[Byte],
       put: (Int, Int, Byte) => Unit): Int = {
-    val stride = pw * bpp
+    val bitsPP = channelsOf(colorType) * bitDepth
+    val stride = (pw * bitsPP + 7) / 8
+    // the spec's filter distance: bytes per complete pixel, floor, min
+    // 1 — sub-byte rows filter byte-to-previous-byte
+    val bpp = math.max(1, bitsPP / 8)
+    val bpc = math.max(1, bitDepth / 8)
     val cur = new Array[Byte](stride)
     val prev = new Array[Byte](stride)
     var y = 0
@@ -207,29 +227,45 @@ object PngCodec {
         case other => throw new IllegalArgumentException(
           s"PNG: unknown filter type $other in row $y")
       }
+      def lumaOfPalette(idx: Int, x: Int, y: Int): Byte = {
+        if (idx * 3 + 2 >= palette.length) throw new IllegalArgumentException(
+          s"PNG: palette index $idx out of range " +
+            s"(${palette.length / 3} entries) at ($x,$y)")
+        val r = palette(idx * 3) & 0xff
+        val g = palette(idx * 3 + 1) & 0xff
+        val b = palette(idx * 3 + 2) & 0xff
+        ((299 * r + 587 * g + 114 * b) / 1000).toByte
+      }
       var x = 0
       while (x < pw) {
-        val o = x * bpp
-        // 16-bit samples are big-endian words; the HIGH byte at each
-        // channel offset IS the spec's 16->8 downsample (bpc = 1 makes
-        // this the identity 8-bit path)
-        val v: Byte = colorType match {
-          case 0 | 4 => cur(o) // gray IS the luma; alpha (4) ignored
-          case 2 | 6 => // alpha (colorType 6) ignored for luma
-            val r = cur(o) & 0xff
-            val g = cur(o + bpc) & 0xff
-            val b = cur(o + 2 * bpc) & 0xff
-            ((299 * r + 587 * g + 114 * b) / 1000).toByte
-          case 3 =>
-            val idx = cur(o) & 0xff
-            if (idx * 3 + 2 >= palette.length) throw new IllegalArgumentException(
-              s"PNG: palette index $idx out of range " +
-                s"(${palette.length / 3} entries) at ($x,$y)")
-            val r = palette(idx * 3) & 0xff
-            val g = palette(idx * 3 + 1) & 0xff
-            val b = palette(idx * 3 + 2) & 0xff
-            ((299 * r + 587 * g + 114 * b) / 1000).toByte
-        }
+        val v: Byte =
+          if (bitDepth < 8) {
+            // SUB-BYTE samples (r17): packed MSB-first within each
+            // scanline byte, one channel only (colorTypes 0 and 3 —
+            // the spec allows no others below 8 bits)
+            val bitOff = x * bitDepth
+            val maxV = (1 << bitDepth) - 1
+            val s = ((cur(bitOff >> 3) & 0xff) >>
+              (8 - bitDepth - (bitOff & 7))) & maxV
+            colorType match {
+              case 0 => ((s * 255) / maxV).toByte // sample scaling, spec §2.7
+              case 3 => lumaOfPalette(s, x, y)
+            }
+          } else {
+            val o = x * bpp
+            // 16-bit samples are big-endian words; the HIGH byte at each
+            // channel offset IS the spec's 16->8 downsample (bpc = 1 makes
+            // this the identity 8-bit path)
+            colorType match {
+              case 0 | 4 => cur(o) // gray IS the luma; alpha (4) ignored
+              case 2 | 6 => // alpha (colorType 6) ignored for luma
+                val r = cur(o) & 0xff
+                val g = cur(o + bpc) & 0xff
+                val b = cur(o + 2 * bpc) & 0xff
+                ((299 * r + 587 * g + 114 * b) / 1000).toByte
+              case 3 => lumaOfPalette(cur(o) & 0xff, x, y)
+            }
+          }
         put(x, y, v)
         x += 1
       }
@@ -293,14 +329,19 @@ object PngCodec {
     require(width > 0 && height > 0, s"encode: bad dims ${width}x$height")
     require(colorType != 3 || (palette != null && palette.nonEmpty
       && palette.length <= 256), "encode: colorType 3 needs 1..256 palette entries")
-    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+    require((colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => Set(8, 16)
+    })(bitDepth),
       s"encode: bitDepth $bitDepth unsupported for colorType $colorType")
     // 16-bit fixtures: the pixel function's 0..255 channel value lands
     // in the HIGH byte; the LOW byte carries a position-dependent
     // non-zero pattern, so a decoder that read the wrong byte (or the
-    // wrong stride) cannot roundtrip
-    val bpc = bitDepth / 8
-    val bpp = channelsOf(colorType) * bpc
+    // wrong stride) cannot roundtrip. Sub-byte depths floor to a
+    // 1-byte filter distance, per the spec.
+    val bpc = math.max(1, bitDepth / 8)
+    val bpp = math.max(1, channelsOf(colorType) * bitDepth / 8)
     val passes = if (!interlace) Seq((0, 0, 1, 1)) else Adam7Passes
     val rawOut = new java.io.ByteArrayOutputStream()
     var globalRow = 0
@@ -308,31 +349,47 @@ object PngCodec {
       val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
       val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride =
+          if (bitDepth < 8) (pw * bitDepth + 7) / 8 else pw * bpp
         val prev = new Array[Byte](stride)
         val cur = new Array[Byte](stride)
         var py = 0
         while (py < ph) {
+          java.util.Arrays.fill(cur, 0.toByte) // sub-byte rows OR bits in
           var px = 0
           while (px < pw) {
             val ax = x0 + px * dx
             val ay = y0 + py * dy
             val (r, g, b, a) = rgba(ax, ay)
-            val o = px * bpp
-            val low = ((ax * 7 + ay * 13) & 0xff).toByte
-            def putCh(ch: Int, v: Int): Unit =
-              if (bpc == 1) cur(o + ch) = v.toByte
-              else { cur(o + ch * 2) = v.toByte; cur(o + ch * 2 + 1) = low }
-            colorType match {
-              case 0 => putCh(0, r) // gray
-              case 4 => putCh(0, r); putCh(1, a)
-              case 3 =>
-                require(r >= 0 && r < palette.length,
-                  s"encode: palette index $r out of range (${palette.length})")
-                cur(o) = r.toByte
-              case _ =>
-                putCh(0, r); putCh(1, g); putCh(2, b)
-                if (channelsOf(colorType) == 4) putCh(3, a)
+            if (bitDepth < 8) {
+              // SUB-BYTE fixtures: the pixel function's first channel
+              // IS the raw sample (gray level for colorType 0, palette
+              // index for 3) in [0, 2^d − 1], packed MSB-first
+              val maxV = (1 << bitDepth) - 1
+              require(r >= 0 && r <= maxV,
+                s"encode: sub-byte sample $r out of [0, $maxV]")
+              if (colorType == 3) require(r < palette.length,
+                s"encode: palette index $r out of range (${palette.length})")
+              val bitOff = px * bitDepth
+              cur(bitOff >> 3) = (cur(bitOff >> 3) |
+                (r << (8 - bitDepth - (bitOff & 7)))).toByte
+            } else {
+              val o = px * bpp
+              val low = ((ax * 7 + ay * 13) & 0xff).toByte
+              def putCh(ch: Int, v: Int): Unit =
+                if (bpc == 1) cur(o + ch) = v.toByte
+                else { cur(o + ch * 2) = v.toByte; cur(o + ch * 2 + 1) = low }
+              colorType match {
+                case 0 => putCh(0, r) // gray
+                case 4 => putCh(0, r); putCh(1, a)
+                case 3 =>
+                  require(r >= 0 && r < palette.length,
+                    s"encode: palette index $r out of range (${palette.length})")
+                  cur(o) = r.toByte
+                case _ =>
+                  putCh(0, r); putCh(1, g); putCh(2, b)
+                  if (channelsOf(colorType) == 4) putCh(3, a)
+              }
             }
             px += 1
           }

@@ -762,6 +762,51 @@ object LakeRegistry {
         Map("n_chars" -> (col("n_chars") + 7)))
       bySource(dt.read(s))
     }),
+    // typeWidening (r17): a FOREIGN table whose columns were WIDENED
+    // (int32 files under a long/double schema with the protocol's
+    // delta.typeChanges history) — the scan serves the declared types
+    // from the narrow files (Spark parquet promotion), an engine
+    // append adds wide-typed files, and the aggregate spans BOTH file
+    // generations
+    "q_delta_widened" -> ((s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      wipeStale("delta_tw_")
+      val root = tmpRoot(s, d, "delta_tw")
+      val narrow = docs(s, d).select(
+        col("doc_id").cast("int").as("doc_id"),
+        col("n_chars").cast("int").as("n_chars"))
+      val scratch = root + ".scratch"
+      narrow.coalesce(1).write.mode("overwrite").parquet(scratch)
+      Files.createDirectories(Paths.get(root))
+      val part = Files.list(Paths.get(scratch)).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(root, "f0.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        }
+      }
+      require(moved, "typeWidening fixture: no part file staged")
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val schemaLit =
+        """{\"type\":\"struct\",\"fields\":[{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\",\"tableVersion\":1}]}},{\"name\":\"n_chars\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\",\"tableVersion\":1}]}}]}"""
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+            |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}
+            |{"metaData":{"id":"twq","format":{"provider":"parquet","options":{}},"schemaString":"$schemaLit","partitionColumns":[],"configuration":{},"createdTime":1}}
+            |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(root, "f0.parquet"))},"modificationTime":1,"dataChange":true}}
+            |""").stripMargin.getBytes("UTF-8"))
+      val dt = DeltaTable(root)
+      dt.append(docs(s, d).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        (col("n_chars") * 2).cast("long").as("n_chars")))
+      dt.read(s).agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
     // NESTED-column envelopes (r17): the documents ride inside a
     // struct; the predicate DELETE prunes on the nested stats
     // ($.minValues.meta.lang — the protocol's nested shape, which the
@@ -1061,6 +1106,13 @@ object LakeRegistry {
         |  count(DISTINCT CASE WHEN lang = 'en' AND n_chars >= 200
         |    THEN 'enx' ELSE lang END) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+    // both generations of the widened table: the narrow originals plus
+    // the engine's wide append (ids +100000, chars ×2)
+    "q_delta_widened" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  CAST(2 * sum(doc_id) + 100000 * count(*) AS BIGINT) AS sum_id,
+        |  CAST(3 * sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     // survivors of the nested-predicate delete (predicate FALSE or
     // NULL keeps the row; n_chars is never NULL so the negation is
     // two-valued here)

@@ -37,6 +37,10 @@ object MultimodalRegistry {
     // and the oracle recomputes the luma census per class — any
     // filter-inverse, palette or inflate bug = hash mismatch
     "q_mm_png_decode" -> ((s, d) => Multimodal.pngRoundtrip(s, d)),
+    // SUB-BYTE PNGs (r17): 1/2/4-bit gray + palette, cycling filters,
+    // Adam7 on half the ids — bit unpacking, ceil stride and the
+    // 1-byte filter distance all closed-form oracled
+    "q_mm_png_subbyte" -> ((s, d) => Multimodal.pngSubByteRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 16-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -138,6 +142,38 @@ object MultimodalRegistry {
          |  CAST(min(luma) AS INTEGER) AS luma_min,
          |  CAST(max(luma) AS INTEGER) AS luma_max
          |FROM plum GROUP BY doc_id""".stripMargin,
+    // sub-byte PNG closed form: depth 1/2/4 by id mod 3 (maxV = 2^d−1),
+    // sample s = (id·3 + y·w + x) mod (maxV+1); gray (even ids) scales
+    // ×255/maxV (integer-exact: 255 ≡ 0 mod maxV for d ∈ {1,2,4});
+    // palette (odd ids) looks up entry s = (17s, 17s+85, 17s+170)
+    // through Rec.601
+    "q_mm_png_subbyte" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS bd,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 15 END AS mv,
+        |    5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.bd, d.mv, d.w, d.h, ys.range AS y, xs.range AS x,
+        |    (d.doc_id * 3 + ys.range * d.w + xs.range) % (d.mv + 1) AS s
+        |  FROM d, range(0, 6) ys, range(0, 10) xs
+        |  WHERE ys.range < d.h AND xs.range < d.w),
+        |lum AS (
+        |  SELECT doc_id, bd, w, h,
+        |    CASE WHEN doc_id % 2 = 0 THEN (s * 255) // mv
+        |      ELSE (299 * ((17 * s) % 256) + 587 * ((17 * s + 85) % 256)
+        |            + 114 * ((17 * s + 170) % 256)) // 1000
+        |    END AS luma
+        |  FROM px)
+        |SELECT doc_id, CAST(max(bd) AS INTEGER) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 3 END AS INTEGER)
+        |    AS color_type,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max
+        |FROM lum GROUP BY doc_id""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

@@ -419,14 +419,14 @@ class DeltaSpec extends SparkSpec {
     val t = tmpTable()
     t.overwrite(Seq((1L, "a")).toDF("k", "s"))
     // a v3 protocol declaring a reader feature we do NOT implement
-    // (type widening) refuses loudly; deletionVectors + columnMapping +
-    // v2Checkpoint (the honored set) are accepted
+    // (variantType; typeWidening reads are honored since r17) refuses
+    // loudly; the honored set is accepted
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"],"writerFeatures":["deletionVectors","typeWidening"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","variantType"],"writerFeatures":["deletionVectors","variantType"]}}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
     assert(e.getMessage.contains("minReaderVersion")
-      && e.getMessage.contains("typeWidening"))
+      && e.getMessage.contains("variantType"))
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
         |""".stripMargin.getBytes("UTF-8"))
@@ -2045,6 +2045,54 @@ class DeltaSpec extends SparkSpec {
     assert(l3(2L) == l2(2L) && l3(3L) == l2(3L) && l3(9L) == l2(9L))
     // ids stay globally distinct through every move
     assert(l3.values.map(_._1).toSeq.distinct.size == l3.size)
+  }
+
+  test("typeWidening: narrow-typed old files serve the widened schema; skipping, appends and DV deletes compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a FOREIGN table whose column types were WIDENED after v0: the
+    // old file is physically int32/float, the declared schema is
+    // long/double with the protocol's delta.typeChanges history
+    val dir = Files.createTempDirectory("deltatw").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val scratch = Files.createTempDirectory("twscratch")
+    Seq((1, 1.5f), (2, 2.5f), (3, 3.5f)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    val schemaLit =
+      """{\"type\":\"struct\",\"fields\":[
+        |{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"integer\",\"toType\":\"long\",\"tableVersion\":1}]}},
+        |{\"name\":\"v\",\"type\":\"double\",\"nullable\":true,\"metadata\":{\"delta.typeChanges\":[{\"fromType\":\"float\",\"toType\":\"double\",\"tableVersion\":1}]}}
+        |]}""".stripMargin.replace("\n", "")
+    val stats = """{\"numRecords\":3,\"minValues\":{\"k\":1},\"maxValues\":{\"k\":3},\"nullCount\":{\"k\":0}}"""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}
+          |{"metaData":{"id":"tw","format":{"provider":"parquet","options":{}},"schemaString":"$schemaLit","partitionColumns":[],"configuration":{},"createdTime":1}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true,"stats":"$stats"}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val dt = DeltaTable(dir)
+    // the scan serves the DECLARED (widened) types from the narrow file
+    val r = dt.read(spark)
+    assert(r.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(r.collect().map(x => (x.getLong(0), x.getDouble(1))).toSet ==
+      Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // stats skipping casts per the declared type across the boundary
+    assert(dt.readWhere(spark, "k", 2L, 3L).count() == 2)
+    // appends with the widened schema are legal; both file generations
+    // serve together, and the typeChanges history survives the commit
+    dt.append(Seq((9L, 9.5)).toDF("k", "v"))
+    assert(dt.read(spark).count() == 4)
+    val st2 = dt.read(spark).schema
+    assert(st2("k").metadata.json.contains("delta.typeChanges"))
+    // DV delete composes (metadata plane is type-agnostic)
+    dt.delete("k", 2L, 2L)
+    assert(dt.read(spark).select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 9L))
   }
 
   test("nested-column envelopes: dotted predicates prune, fast-drop and stay NULL-safe; written stats nest protocol-shaped") {

@@ -284,7 +284,8 @@ class PngSpec extends AnyFunSuite {
       b
     }
     assert(intercept[IllegalArgumentException](
-      PngCodec.decode(patched(8, 16))).getMessage.contains("palette"))
+      PngCodec.decode(patched(8, 16)))
+      .getMessage.contains("illegal for colorType 3"))
   }
 
   test("Adam7 interlace: every colorType roundtrips, mixed filters, odd dims with empty passes") {
@@ -346,5 +347,73 @@ class PngSpec extends AnyFunSuite {
     bad(ins + 8) = (bad(ins + 8) ^ 1).toByte
     assert(intercept[IllegalArgumentException](PngCodec.decode(bad))
       .getMessage.contains("CRC"))
+  }
+
+  test("sub-byte depths (r17): 1/2/4-bit gray and palette roundtrip every filter at odd widths; the JDK's own reader agrees; illegal pairs refuse") {
+    for (d <- Seq(1, 2, 4); ct <- Seq(0, 3); filter <- 0 to 4) {
+      val w = 13; val h = 5 // odd width: a partial trailing scanline byte
+      val maxV = (1 << d) - 1
+      val pal = (0 to maxV)
+        .map(i => (i * 255 / maxV, (i * 40) % 256, (i * 90 + 3) % 256))
+        .toArray
+      def sample(x: Int, y: Int) = (x * 3 + y * 7) % (maxV + 1)
+      val bytes = PngCodec.encode(w, h, ct,
+        (x, y) => (sample(x, y), 0, 0, 0), _ => filter,
+        palette = if (ct == 3) pal else null, bitDepth = d)
+      val dec = PngCodec.decodeInfo(bytes)
+      assert(dec.colorType == ct)
+      val expect = for (y <- 0 until h; x <- 0 until w) yield {
+        val s = sample(x, y)
+        if (ct == 0) s * 255 / maxV // spec sample scaling
+        else { val (r, g, b) = pal(s); (299 * r + 587 * g + 114 * b) / 1000 }
+      }
+      assert(dec.image.luma.map(_ & 0xff).toSeq == expect,
+        s"d=$d ct=$ct filter=$filter")
+      // FOREIGN interop: the JDK's ImageIO PNG reader (libpng-class
+      // implementation this codebase never wrote) sees the same pixels
+      // through the same packing — encoder and decoder can't share a
+      // bit-order bug without the foreign reader disagreeing
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val foreign = for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        (299 * r + 587 * g + 114 * b) / 1000
+      }
+      assert(foreign == expect, s"foreign d=$d ct=$ct filter=$filter")
+    }
+    // Adam7: per-pass sub-byte packing restarts at every pass scanline
+    for (d <- Seq(1, 2, 4)) {
+      val w = 9; val h = 6; val maxV = (1 << d) - 1
+      def sample(x: Int, y: Int) = (x + y) % (maxV + 1)
+      val bytes = PngCodec.encode(w, h, 0, (x, y) => (sample(x, y), 0, 0, 0),
+        y => y % 5, interlace = true, bitDepth = d)
+      val luma = PngCodec.decode(bytes).luma.map(_ & 0xff).toSeq
+      val expect =
+        for (y <- 0 until h; x <- 0 until w) yield sample(x, y) * 255 / maxV
+      assert(luma == expect, s"adam7 d=$d")
+    }
+    // spec-illegal pairs refuse on BOTH sides: sub-byte multi-channel
+    for (ct <- Seq(2, 4, 6)) {
+      assert(intercept[IllegalArgumentException](PngCodec.encode(4, 4, ct,
+        (_, _) => (0, 0, 0, 0), bitDepth = 4))
+        .getMessage.contains("unsupported"))
+    }
+    val good8 = PngCodec.encode(3, 3, 2, (x, y) => gray(x * 40 + y))
+    def patchDepth(b0: Array[Byte], value: Byte): Array[Byte] = {
+      val b = b0.clone()
+      b(8 + 8 + 8) = value
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 8 + 4, 4 + 13)
+      val v = crc.getValue
+      val at = 8 + 8 + 13
+      b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
+      b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+      b
+    }
+    assert(intercept[IllegalArgumentException](
+      PngCodec.decode(patchDepth(good8, 2))) // 2-bit RGB: illegal
+      .getMessage.contains("illegal for colorType"))
   }
 }
