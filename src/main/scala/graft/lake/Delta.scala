@@ -284,7 +284,13 @@ final case class DeltaTable(root: String) {
       // path (an unpromotable pair fails the scan LOUDLY, never
       // silently). Stats envelopes cast per the declared type, so
       // skipping stays exact across the widening boundary.
-      "typeWidening", "typeWideningPreview")
+      "typeWidening", "typeWideningPreview",
+      // variantType (r17): VARIANT columns are stored in parquet as
+      // the open binary-encoded struct<metadata, value> pair, which is
+      // exactly what Spark's own VariantType parquet path reads and
+      // writes — the schemaString's "variant" entries parse natively,
+      // the scan serves VariantType, and variant_get works downstream
+      "variantType", "variantType-preview")
 
   private def logState(spark: SparkSession, version: Option[Long]): LogState = {
     val latest = latestVersion.getOrElse(throw new IllegalStateException(
@@ -4325,7 +4331,12 @@ object DeltaTable {
     // (widened) schema, and the schemaString — typeChanges field
     // metadata included — replays verbatim through commits and
     // checkpoints, so the recorded history is preserved untouched
-    "typeWidening", "typeWideningPreview")
+    "typeWidening", "typeWideningPreview",
+    // variantType (r17, reader+writer): appends write VARIANT columns
+    // through Spark's parquet path — the standard binary-encoded
+    // layout every variant reader consumes; stats are never collected
+    // on variant columns (no ordering), so the write contract holds
+    "variantType", "variantType-preview")
 
   /** Physical read/write schema for one field of a column-mapping
     * table, applied RECURSIVELY: every nesting level (struct fields,

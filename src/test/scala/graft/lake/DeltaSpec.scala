@@ -419,14 +419,14 @@ class DeltaSpec extends SparkSpec {
     val t = tmpTable()
     t.overwrite(Seq((1L, "a")).toDF("k", "s"))
     // a v3 protocol declaring a reader feature we do NOT implement
-    // (variantType; typeWidening reads are honored since r17) refuses
-    // loudly; the honored set is accepted
+    // (collations; typeWidening and variantType reads are honored
+    // since r17) refuses loudly; the honored set is accepted
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","variantType"],"writerFeatures":["deletionVectors","variantType"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","collations"],"writerFeatures":["deletionVectors","collations"]}}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](t.read(spark))
     assert(e.getMessage.contains("minReaderVersion")
-      && e.getMessage.contains("variantType"))
+      && e.getMessage.contains("collations"))
     Files.write(Paths.get(t.root, "_delta_log", f"${1L}%020d.json"),
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","deletionVectors"],"writerFeatures":["columnMapping","deletionVectors"]}}
         |""".stripMargin.getBytes("UTF-8"))
@@ -2093,6 +2093,51 @@ class DeltaSpec extends SparkSpec {
     dt.delete("k", 2L, 2L)
     assert(dt.read(spark).select("k").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 9L))
+  }
+
+  test("variantType: VARIANT columns read from a foreign log, append through the engine, and DV deletes compose") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // a FOREIGN table with a VARIANT column: the file is Spark's own
+    // variant parquet layout (binary-encoded metadata/value pair — the
+    // same physical shape delta-spark writes), the log declares the
+    // readerWriter feature
+    val dir = Files.createTempDirectory("deltavar").toString + "/t"
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    val scratch = Files.createTempDirectory("varscratch")
+    spark.range(3).select(col("id").as("k"),
+        expr("""parse_json(concat('{"a":', cast(id as string), '}'))""")
+          .as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(dir, "f0.parquet"))
+    val schemaLit =
+      """{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},{\"name\":\"v\",\"type\":\"variant\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.write(log.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
+          |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}
+          |{"metaData":{"id":"var","format":{"provider":"parquet","options":{}},"schemaString":"$schemaLit","partitionColumns":[],"configuration":{},"createdTime":1}}
+          |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val dt = DeltaTable(dir)
+    def as(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("k"),
+          expr("variant_get(v, '$.a', 'long')").as("a"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dt.read(spark).schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    assert(as(dt.read(spark)) == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+    // engine append of more variant rows (standard layout via the
+    // shared write path), then a DV delete — both legal on the feature
+    dt.append(spark.range(9, 11).select(col("id").as("k"),
+      expr("""parse_json(concat('{"a":', cast(id * 10 as string), '}'))""")
+        .as("v")), statsFor = Seq("k"))
+    assert(as(dt.read(spark)) ==
+      Set((0L, 0L), (1L, 1L), (2L, 2L), (9L, 90L), (10L, 100L)))
+    dt.delete("k", 1L, 2L)
+    assert(as(dt.read(spark)) == Set((0L, 0L), (9L, 90L), (10L, 100L)))
   }
 
   test("nested-column envelopes: dotted predicates prune, fast-drop and stay NULL-safe; written stats nest protocol-shaped") {
