@@ -236,6 +236,14 @@ final case class DeltaTable(root: String) {
       declaredWriterFeatures.contains("rowTracking")
     def rowTrackingEnabled: Boolean = rowTrackingSupported &&
       configuration.get("delta.enableRowTracking").contains("true")
+    /** icebergCompatV2 (UniForm) ACTIVE state: the writer feature is
+      * declared AND `delta.enableIcebergCompatV2=true`. A declared but
+      * inactive feature imposes nothing (delta-spark parity); active,
+      * every new data file must carry Iceberg-compatible field ids and
+      * numRecords stats — see the append-time contract in [[commit]]. */
+    def icebergCompatV2Active: Boolean =
+      declaredWriterFeatures.contains("icebergCompatV2") &&
+        configuration.get("delta.enableIcebergCompatV2").contains("true")
     /** The protocol's MATERIALIZED row-tracking column names (enabled
       * state): parquet columns — outside the table schema — where
       * row-moving writers persist each row's id and last-modified
@@ -251,14 +259,43 @@ final case class DeltaTable(root: String) {
       * `{"rowIdHighWaterMark": N}`. */
     def rowIdHighWaterMark: Long =
       domains.get(DeltaTable.RowTrackingDomain).flatMap { c =>
-        // foreign tables may carry the domain with an empty or
-        // malformed configuration (the loader maps a missing field to
-        // ""); treat anything unparsable as "mark unset" rather than
-        // NPE-ing every data-adding commit
-        scala.util.Try(new ObjectMapper().readTree(c)).toOption
-          .filter(n => n != null && n.hasNonNull("rowIdHighWaterMark"))
-          .map(_.get("rowIdHighWaterMark").asLong)
+        // foreign tables may carry the domain with an EMPTY configuration
+        // (the loader maps a missing field to ""); that is "mark unset".
+        // But a present, non-empty configuration that fails to parse, or
+        // parses without the mark, must fail LOUDLY: silently mapping it
+        // to -1 would restart id blocks at 0 and reuse assigned row ids.
+        if (c.trim.isEmpty) None
+        else {
+          val n = scala.util.Try(new ObjectMapper().readTree(c)).toOption
+            .filter(n => n != null && n.hasNonNull("rowIdHighWaterMark"))
+            .getOrElse(throw new IllegalStateException(
+              s"delta.rowTracking domain carries an unparsable " +
+                s"configuration ${c.take(200)}: refusing to guess the " +
+                "row-id high-water mark (a wrong guess reuses row ids)"))
+          Some(n.get("rowIdHighWaterMark").asLong)
+        }
       }.getOrElse(-1L)
+    /** Clustering columns declared by the `delta.clustering` domain —
+      * one dotted path per column (the protocol stores each as a
+      * field-name path array). Empty when the domain is absent; a
+      * present-but-unparsable configuration fails loudly (guessing the
+      * clustering key would recluster a foreign table along the wrong
+      * columns). */
+    def clusteringColumns: Seq[String] =
+      domains.get(DeltaTable.ClusteringDomain).filter(_.trim.nonEmpty)
+        .map { c =>
+          val n = scala.util.Try(new ObjectMapper().readTree(c)).toOption
+            .filter(n => n != null && n.has("clusteringColumns") &&
+              n.get("clusteringColumns").isArray)
+            .getOrElse(throw new IllegalStateException(
+              s"delta.clustering domain carries an unparsable " +
+                s"configuration ${c.take(200)}"))
+          n.get("clusteringColumns").elements().asScala.map { p =>
+            require(p.isArray && p.size >= 1,
+              s"delta.clustering column path $p is not a non-empty array")
+            p.elements().asScala.map(_.asText).mkString(".")
+          }.toSeq
+        }.getOrElse(Nil)
   }
 
   /** Reader features this implementation actually honors (protocol v3):
@@ -1435,15 +1472,16 @@ final case class DeltaTable(root: String) {
     * rides `parquet.field.id` metadata so Spark resolves columns by
     * field id, per the protocol.
     *
-    * Partitioned tables split two ways (r16): RELATIVE paths — the
-    * table's own files — ride ONE `basePath` scan with Hive-directory
-    * partition recovery; ABSOLUTE paths (shallow-clone adds, which the
-    * protocol allows) cannot join a foreign directory layout, so their
-    * partition columns attach as typed literals from each action's own
-    * `partitionValues` — the protocol's source of truth — grouped per
-    * distinct combination (O(partitions-touched) scan groups, bounded
-    * by the caller's prune). Both branches normalize partition columns
-    * to the declared types so the union is exact.
+    * Partitioned tables split two ways: RELATIVE paths — the table's
+    * own files — ride ONE `basePath` scan with Hive-directory partition
+    * recovery; ABSOLUTE paths (shallow-clone adds, which the protocol
+    * allows) cannot join a foreign directory layout, so they ride ONE
+    * scan over every absolute file with partition columns attached via
+    * a broadcast `file → partitionValues` map (each action's own
+    * `partitionValues` — the protocol's source of truth) joined on the
+    * canonicalized `_metadata.file_path` (r17; O(1) scan nodes however
+    * many partitions the clone touches). Both branches normalize
+    * partition columns to the declared types so the union is exact.
     *
     * `withMeta` materializes `_g_fp` (canonicalized file path) and
     * `_g_ri` (row index) PER BRANCH — `_metadata` does not propagate
@@ -1713,7 +1751,11 @@ final case class DeltaTable(root: String) {
       // rewrites): written into the parquet files verbatim, EXCLUDED
       // from every schema decision — the protocol keeps them outside
       // the table schema
-      materializedCols: Seq[String] = Nil): Long = {
+      materializedCols: Seq[String] = Nil,
+      // set ONLY by the clustered-table OPTIMIZE verbs, which rewrite
+      // along the delta.clustering domain's declared columns — the one
+      // OPTIMIZE shape the clustering write contract allows
+      reclusterOk: Boolean = false): Long = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     // resolve the current snapshot BEFORE any data lands: every write
     // gate and schema-conflict check must refuse without leaving
@@ -1739,7 +1781,8 @@ final case class DeltaTable(root: String) {
     // induction and their identity values are the table's own, so
     // enforcement (and its explicit-insert refusal) must not run.
     currentState.foreach(s => requireWriterFeatures(s, op,
-      removesRows = dataChange && (removePaths.nonEmpty || dvReAdds.nonEmpty)))
+      removesRows = dataChange && (removePaths.nonEmpty || dvReAdds.nonEmpty),
+      reclusterOk = reclusterOk))
     val (df, hwmUpdates) = currentState match {
       case Some(s) if dataChange && writeData && !internalRewrite =>
         enforceRowContract(s, df0, op, preexistingRows)
@@ -1867,6 +1910,43 @@ final case class DeltaTable(root: String) {
     // Mode `id` additionally rides `parquet.field.id` metadata on the
     // written frame so the parquet footers carry the column ids the
     // protocol's field-id resolution reads back.
+    // icebergCompatV2 ACTIVE append contract (r18): every new data file
+    // must carry Iceberg-compatible parquet field ids — possible for
+    // top-level and nested STRUCT fields (their column-mapping ids ride
+    // `parquet.field.id` metadata, which Spark's writer emits) but NOT
+    // for array elements / map entries (Spark's writer cannot attach
+    // the synthetic nested ids Iceberg assigns there) — plus numRecords
+    // stats on every add (forced below). Refusing the un-writable
+    // shapes loudly beats emitting files Iceberg readers mis-map.
+    val icebergV2 = currentState.exists(_.icebergCompatV2Active)
+    if (icebergV2 && writeData && dataChange) {
+      require(mode != "none",
+        s"DeltaTable $root: icebergCompatV2 active without column " +
+          "mapping — the table violates the feature's own requirement")
+      def hasContainer(dt: DataType): Boolean = dt match {
+        case _: ArrayType | _: MapType => true
+        case s: StructType => s.fields.exists(f => hasContainer(f.dataType))
+        case _ => false
+      }
+      require(!recordedSchema.fields.exists(f => hasContainer(f.dataType)),
+        s"DeltaTable $root: $op on an icebergCompatV2-active table with " +
+          "array/map columns — Spark's parquet writer cannot attach " +
+          "Iceberg's nested element field ids; refusing to write files " +
+          "an Iceberg reader would mis-map")
+      def missingId(fs: Seq[StructField]): Seq[String] = fs.flatMap { f =>
+        val here =
+          if (f.metadata.contains(DeltaTable.ColIdKey)) Nil else Seq(f.name)
+        here ++ (f.dataType match {
+          case s: StructType => missingId(s.fields.toSeq).map(f.name + "." + _)
+          case _ => Nil
+        })
+      }
+      val noId = missingId(recordedSchema.fields.toSeq)
+      require(noId.isEmpty,
+        s"DeltaTable $root: icebergCompatV2-active but field(s) " +
+          s"${noId.mkString(",")} carry no column-mapping id — field-id " +
+          "footers cannot be written")
+    }
     val physOf: Map[String, String] = recordedSchema.fields.flatMap { f =>
       if (f.metadata.contains(DeltaTable.PhysNameKey))
         Some(f.name -> f.metadata.getString(DeltaTable.PhysNameKey))
@@ -1878,8 +1958,10 @@ final case class DeltaTable(root: String) {
       else frame.select(frame.columns.map { c =>
         if (extraCols.contains(c)) col(c)
         else {
+          // an active icebergCompatV2 contract needs field-id footers
+          // in BOTH mapping modes, not just id mode
           val pf = DeltaTable.physicalField(recordedSchema(c),
-            byId = mode == "id")
+            byId = mode == "id" || icebergV2)
           col(c).cast(pf.dataType).as(pf.name, pf.metadata)
         }
       }.toSeq: _*)
@@ -1940,9 +2022,12 @@ final case class DeltaTable(root: String) {
     // sound on files PROVEN null-free in the predicate column.
     // A rowTracking table needs per-file numRecords even with no
     // statsFor columns — the baseRowId assignment is numRecords-summed.
+    // An ACTIVE icebergCompatV2 table needs numRecords on every add
+    // (the feature's stats requirement), same mechanism.
     val rowTracking = currentState.exists(_.rowTrackingSupported)
     val statsByName: Map[String, String] =
-      if ((statsFor.isEmpty && !rowTracking) || moved.isEmpty) Map.empty
+      if ((statsFor.isEmpty && !rowTracking && !icebergV2) || moved.isEmpty)
+        Map.empty
       else {
         val spark = df.sparkSession
         val absRoot = Paths.get(root).toAbsolutePath.toString
@@ -2071,22 +2156,30 @@ final case class DeltaTable(root: String) {
     opParams.foreach { case (k, x) => params.put(k, x) }
     actions += wrap(mapper, "commitInfo", ci)
 
-    // TIMESTAMP_NTZ columns require the timestampNtz table feature
-    // (reader AND writer, per the protocol): the commit that introduces
-    // one — v0 or a schema evolution — declares it, converting any
-    // legacy tier to explicit feature lists with the implied features
-    // spelled out. Tables already declaring it are left alone.
-    def hasNtz(dt: DataType): Boolean = dt match {
-      case TimestampNTZType => true
-      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
-      case a: ArrayType => hasNtz(a.elementType)
-      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
-      case _ => false
-    }
-    val ntzDeclares = hasNtz(recordedSchema) && currentState.forall(s =>
-      !(s.minReader >= 3 && s.readerFeatures.contains("timestampNtz")))
-    if (ntzDeclares) {
-      val (rf, wf) = upgradeFeatureLists(currentState, "timestampNtz")
+    // Type-gated table features (reader AND writer, per the protocol):
+    // TIMESTAMP_NTZ columns require timestampNtz, VARIANT columns
+    // require variantType — foreign readers without the feature would
+    // misread the physical layout (ntz as tz-adjusted micros, variant
+    // as a plain binary struct). The commit that introduces such a
+    // column — v0 or a schema evolution — declares the feature(s),
+    // converting any legacy tier to explicit feature lists with the
+    // implied features spelled out. Tables already declaring are left
+    // alone.
+    def hasType(dt: DataType, p: DataType => Boolean): Boolean =
+      p(dt) || (dt match {
+        case s: StructType => s.fields.exists(f => hasType(f.dataType, p))
+        case a: ArrayType => hasType(a.elementType, p)
+        case m: MapType => hasType(m.keyType, p) || hasType(m.valueType, p)
+        case _ => false
+      })
+    val typeFeatures = Seq(
+      "timestampNtz" -> hasType(recordedSchema, _ == TimestampNTZType),
+      "variantType" -> hasType(recordedSchema, _ == VariantType))
+      .collect { case (f, true) => f }
+      .filter(f => currentState.forall(s =>
+        !(s.minReader >= 3 && s.readerFeatures.contains(f))))
+    if (typeFeatures.nonEmpty) {
+      val (rf, wf) = upgradeFeatureLists(currentState, typeFeatures: _*)
       val proto = mapper.createObjectNode
       proto.put("minReaderVersion", 3).put("minWriterVersion", 7)
       val rfArr = proto.putArray("readerFeatures")
@@ -2241,7 +2334,7 @@ final case class DeltaTable(root: String) {
     * shrinking the set of foreign engines that accept the table, the
     * r15 advisory); a legacy-tier table gets its implied features
     * spelled out, per the protocol's upgrade rule. */
-  private def upgradeFeatureLists(st: Option[LogState], extra: String)
+  private def upgradeFeatureLists(st: Option[LogState], extra: String*)
       : (Seq[String], Seq[String]) = {
     val rf = st.map(s =>
       if (s.minReader >= 3) s.readerFeatures
@@ -2251,7 +2344,7 @@ final case class DeltaTable(root: String) {
       if (s.minWriter >= 7) s.writerFeatures
       else s.writerFeatures ++ legacyWriterFeatures(s.minWriter))
       .getOrElse(legacyWriterFeatures(2))
-    ((rf + extra).toSeq.sorted, (wf + extra).toSeq.sorted)
+    ((rf ++ extra).toSeq.sorted, (wf ++ extra).toSeq.sorted)
   }
 
   /** The protocol's writer-feature contract ("writers must implement
@@ -2266,21 +2359,44 @@ final case class DeltaTable(root: String) {
     * outright — silently committing to (say) a rowTracking or
     * icebergCompat table would corrupt its write contract. */
   private def requireWriterFeatures(st: LogState, op: String,
-      removesRows: Boolean): Unit = {
+      removesRows: Boolean, reclusterOk: Boolean = false): Unit = {
     val declared: Set[String] = st.declaredWriterFeatures
-    // liquid clustering (r17): the feature's write contract is "keep
-    // the delta.clustering domain intact and don't reorganize files
-    // you don't own" — the engine preserves every domain across
+    // liquid clustering (r17, recluster r18): the feature's write
+    // contract is "keep the delta.clustering domain intact and don't
+    // DE-organize files" — the engine preserves every domain across
     // commits/checkpoints/clones (r16), so appends, DV kills, predicate
     // verbs and metadata verbs are LEGAL on clustered foreign tables.
-    // OPTIMIZE must recluster by the declared columns, which this
-    // engine does not implement — refused by name below.
-    require(!(declared("clustering") && op == "OPTIMIZE"),
+    // OPTIMIZE must recluster by the DECLARED columns: only
+    // [[optimizeClustered]]/[[optimizeClusteredIncremental]] do (they
+    // set reclusterOk after resolving the domain's columns); the plain
+    // compaction/zorder verbs would destroy the declared layout and
+    // keep refusing by name.
+    require(!(declared("clustering") && op == "OPTIMIZE" && !reclusterOk),
       s"DeltaTable $root: OPTIMIZE on a table declaring the clustering " +
         "writer feature — a rewrite must recluster by the table's " +
-        "clustering columns, which this engine does not implement; " +
-        "appends and DV DELETE/UPDATE/MERGE stay legal")
-    val unknown = declared -- ImplementedWriterFeatures - "clustering"
+        "declared clustering columns; use optimizeClustered / " +
+        "optimizeClusteredIncremental (plain compaction or ad-hoc " +
+        "zorder would destroy the layout); appends and DV " +
+        "DELETE/UPDATE/MERGE stay legal")
+    // icebergCompatV2 (r18): dormant (declared, config off) imposes
+    // nothing. ACTIVE, this engine honors the append-shaped contract
+    // only — data-ADDING commits whose files carry Iceberg field ids +
+    // numRecords (enforced in [[commit]]) plus the metadata plane; the
+    // row-removing/rewriting verbs refuse because their Iceberg
+    // metadata sync (position deletes, rewritten manifests) is not
+    // implemented, and schema verbs refuse because Iceberg field-id
+    // evolution is not mirrored.
+    if (st.icebergCompatV2Active) {
+      val legal = Set("WRITE", "CHECKPOINT", "LOG CLEANUP", "VACUUM",
+        "CLONE", "SET TBLPROPERTIES")
+      require(legal(op) && !removesRows,
+        s"DeltaTable $root: $op on a table with icebergCompatV2 ACTIVE — " +
+          "this engine honors appends and the metadata plane only " +
+          "(row-removing, rewriting and schema verbs would desync the " +
+          "Iceberg metadata contract)")
+    }
+    val unknown =
+      declared -- ImplementedWriterFeatures - "clustering" - "icebergCompatV2"
     require(unknown.isEmpty,
       s"DeltaTable $root: $op on a table declaring writer feature(s) " +
         s"${unknown.toSeq.sorted.mkString(",")} this engine does not " +
@@ -3763,6 +3879,115 @@ final case class DeltaTable(root: String) {
       materializedCols = matCols))
   }
 
+  /** Resolve the `delta.clustering` domain's declared column paths to
+    * the LOGICAL names this engine's frames carry. Under column mapping
+    * the domain stores PHYSICAL names (what delta-spark writes), so
+    * each path matches either a field's name or its physical-name
+    * metadata; anything unresolvable — including nested paths, which
+    * this engine does not recluster — fails loudly. */
+  private def resolveClusteringCols(st: LogState): Seq[String] = {
+    val declaredPaths = st.clusteringColumns
+    require(declaredPaths.nonEmpty,
+      s"DeltaTable $root: no delta.clustering domain declares clustering " +
+        "columns — optimizeClustered applies to clustered tables only " +
+        "(use compact/optimizeZOrder elsewhere)")
+    declaredPaths.map { p =>
+      require(!p.contains("."),
+        s"DeltaTable $root: clustering column path $p is nested — " +
+          "reclustering nested clustering columns is not implemented")
+      st.schema.fields.find(f => f.name == p ||
+          (f.metadata.contains(DeltaTable.PhysNameKey) &&
+            f.metadata.getString(DeltaTable.PhysNameKey) == p))
+        .map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"DeltaTable $root: clustering column $p not in the schema"))
+    }
+  }
+
+  /** OPTIMIZE for a table declaring the `clustering` writer feature
+    * (delta-spark CLUSTER BY tables — r18): rewrite the live file set
+    * along the Morton curve of the DOMAIN'S OWN declared clustering
+    * columns ([[ZOrder.withZValueN]]; one column degenerates to a plain
+    * range layout at full resolution) in a `dataChange=false` commit
+    * with fresh per-file stats on every clustering column — each output
+    * file owns a bounded curve cell, so selective filters on ANY
+    * declared column prune. This is the ONE OPTIMIZE shape the
+    * clustering write contract allows (the domain names the layout; an
+    * ad-hoc compaction would destroy it), so the small-file debt a
+    * clustered 100 TB foreign table accumulates is finally payable by
+    * this engine. The domain rides through unchanged (r16 domain
+    * preservation); enabled rowTracking ids ride the materialized
+    * columns like every row-moving verb. Whole-table form — at the
+    * 100 TB target use [[optimizeClusteredIncremental]]. */
+  def optimizeClustered(bits: Int = 12, numFiles: Int = 8): Long = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    require(st.partitionColumns.isEmpty,
+      s"DeltaTable $root: clustering over Hive partitions not supported")
+    val dims = resolveClusteringCols(st)
+    val (stP, matCols) = preserveCols(spark, st)
+    val files = livePathDvs(spark, stP)
+    val frame = matCols match {
+      case Seq(i, vv) => toMaterialized(readFilesDvPreserve(spark, stP,
+        liveAddsLineage(spark, stP), i, vv), i, vv)
+      case _ => readFilesDv(spark, stP.schema, stP.partitionColumns,
+        files, stP.columnMappingMode)
+    }
+    val clustered = ZOrder.withZValueN(frame, dims, bits)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+    commit(clustered, Nil, files.map(_._1), "OPTIMIZE",
+      Map("clusterBy" -> dims.mkString("[\"", "\",\"", "\"]")),
+      dataChange = false, statsFor = dims,
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
+      removeDvs = files.collect { case (p, Some(d), _) => p -> d }.toMap,
+      materializedCols = matCols, reclusterOk = true)
+  }
+
+  /** ONE size-capped reclustering step for a clustered table — the
+    * [[optimizeZOrderIncremental]] ZCube discipline pointed at the
+    * domain's declared columns: each call rewrites a byte/file-capped
+    * batch of never-clustered (untagged) files along the declared
+    * curve, tags the adds with a fresh zcube id, and returns None when
+    * every live file is tagged. Repeated maintenance runs converge over
+    * a 100 TB clustered table without a rewrite-the-world commit. */
+  def optimizeClusteredIncremental(bits: Int = 12,
+      maxBatchBytes: Long = 1L << 30, maxBatchFiles: Int = Int.MaxValue,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
+    val spark = SparkSession.active
+    val st = logState(spark, None)
+    require(st.partitionColumns.isEmpty,
+      s"DeltaTable $root: clustering over Hive partitions not supported")
+    val dims = resolveClusteringCols(st)
+    val (stP, matCols) = preserveCols(spark, st)
+    val untagged = collectAdds(fileCensus(spark, stP)
+      .where(col("tags").isNull || col("tags").getItem(ZCubeTag).isNull))
+    if (untagged.isEmpty) return None
+    val capped = takeCapped(untagged.sortBy(_.path), minFiles = 1,
+      maxBatchBytes, math.max(1, maxBatchFiles))
+    val batchBytes = capped.map(_.size).sum
+    val numFiles = math.max(1L,
+      (batchBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val frame = matCols match {
+      case Seq(i, vv) => toMaterialized(
+        readFilesDvPreserve(spark, stP, capped, i, vv), i, vv)
+      case _ => readFilesDv(spark, stP.schema, Nil, dvPairs(capped),
+        stP.columnMappingMode)
+    }
+    val clustered = ZOrder.withZValueN(frame, dims, bits)
+      .repartitionByRange(numFiles, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
+    Some(commit(clustered, Nil, capped.map(_.path), "OPTIMIZE",
+      Map("clusterBy" -> dims.mkString("[\"", "\",\"", "\"]"),
+        "batchFiles" -> capped.size.toString, "incremental" -> "true"),
+      dataChange = false, statsFor = dims,
+      tags = Map(ZCubeTag -> java.util.UUID.randomUUID.toString),
+      removeDvs = dvMapOf(capped),
+      materializedCols = matCols, reclusterOk = true))
+  }
+
   /** File-pruned MERGE (upsert by key) — the Delta MERGE INTO cost
     * model: only files whose stats envelope for `keyCol` intersects the
     * source's [min, max] key range (plus statless files, conservatively)
@@ -3802,6 +4027,29 @@ final case class DeltaTable(root: String) {
       s"DeltaTable $root: merge source columns ${source.columns.toSeq} " +
         s"!= table ${st.schema.fieldNames.toSeq}")
     val keyed = source.localCheckpoint(false)
+    // enabled rowTracking with DUPLICATE source keys: row ids are unique
+    // within a version, so the inherited id may go to only ONE source row
+    // per key — the rest stay null and take fresh ids from the new file's
+    // block. row_number tiebreaks over every orderable source column
+    // (deterministic for distinct payloads; exact duplicates are
+    // interchangeable).
+    def inheritIds(keyRid: DataFrame, i: String, vv: String): DataFrame = {
+      val orderables = st.schema.fields.filter(_.dataType match {
+        case _: MapType | _: StructType | _: ArrayType => false
+        case dt => dt.typeName != "variant"
+      }).map(f => col(s"`${f.name}`"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+        .orderBy((if (orderables.nonEmpty) orderables
+                  else Array(col(keyCol))).toSeq: _*)
+      keyed
+        .withColumn("_g_dup", org.apache.spark.sql.functions.row_number().over(w))
+        .join(keyRid, Seq(keyCol), "left")
+        .withColumn(i, when(col("_g_dup") === 1, col(s"`$i`")))
+        .withColumn(vv, lit(null).cast(LongType))
+        .select(st.schema.fieldNames.map(col)
+          ++ Seq(i, vv).map(c => col(s"`$c`")): _*)
+    }
     val Array(lo, hi) = keyed.agg(fmin(col(keyCol)), fmax(col(keyCol)))
       .collect()(0).toSeq.toArray
     if (lo == null) return st.version // empty source: no-op
@@ -3847,8 +4095,7 @@ final case class DeltaTable(root: String) {
           // duplicates' ids retire with their rows), version nulled
           val keyRid = existing.join(srcKeys, Seq(keyCol), "left_semi")
             .groupBy(col(keyCol)).agg(fmin(col("_g_rid")).as(i))
-          val srcRows = keyed.join(keyRid, Seq(keyCol), "left")
-            .withColumn(vv, lit(null).cast(LongType))
+          val srcRows = inheritIds(keyRid, i, vv)
           unmatchedTgt.unionByName(srcRows)
             .select(st.schema.fieldNames.map(col)
               ++ matCols.map(c => col(s"`$c`")): _*)
@@ -3902,10 +4149,7 @@ final case class DeltaTable(root: String) {
       case Seq(i, vv) =>
         val keyRid = readFilesDvPreserve(spark, st, cand, i, vv)
           .groupBy(col(keyCol)).agg(fmin(col("_g_rid")).as(i))
-        keyed.join(keyRid, Seq(keyCol), "left")
-          .withColumn(vv, lit(null).cast(LongType))
-          .select(st.schema.fieldNames.map(col)
-            ++ matCols.map(c => col(s"`$c`")): _*)
+        inheritIds(keyRid, i, vv)
       case _ => keyed.select(st.schema.fieldNames.map(col): _*)
     }
     commit(appended,
@@ -4259,6 +4503,12 @@ object DeltaTable {
   /** The row-tracking domainMetadata domain (public protocol): its
     * configuration string carries `{"rowIdHighWaterMark": N}`. */
   private[lake] val RowTrackingDomain = "delta.rowTracking"
+
+  /** The liquid-clustering domainMetadata domain (public protocol): its
+    * configuration string carries `{"clusteringColumns": [["a"], ...]}`
+    * — one entry per clustering column, each a (possibly nested)
+    * field-name path. */
+  private[lake] val ClusteringDomain = "delta.clustering"
 
   /** Configuration keys naming the MATERIALIZED row-tracking columns
     * (public protocol, enabled state): parquet-only columns — never in

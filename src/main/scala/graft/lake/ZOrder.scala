@@ -97,4 +97,64 @@ object ZOrder {
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
       .write.mode("overwrite").parquet(path)
+
+  // ---- N-dimensional form (liquid-clustering reclustering, r18) -----
+
+  /** N-dim Morton interleave of pre-quantized dims in [0, 2^bits): bit
+    * i of dim d lands at position i·n + d. Disjoint bits, `+` as OR —
+    * the 2-dim [[interleave]] is the n = 2 case. */
+  def interleaveN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"interleaveN needs >= 2 dims, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits·dims must fit a long: $bits × $n > 62")
+    (for { i <- 0 until bits; (c, d) <- dims.zipWithIndex.toSeq } yield
+      shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+        i * n + d)).reduce(_ + _)
+  }
+
+  /** Locality-preserving LONG surrogate for a clustering dimension of
+    * any orderable type — what the curve quantizes. Numerics/booleans/
+    * timestamps cast directly (timestamps to epoch seconds); dates go
+    * through epoch days; strings take their 7-byte big-endian codepoint
+    * prefix (exact lexicographic order for ASCII, the overwhelming key
+    * reality; longer shared prefixes collapse to the same curve cell,
+    * which costs resolution, never correctness). Hashing is NOT used
+    * anywhere: a hash would destroy the locality clustering exists
+    * to create. */
+  def longSurrogate(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        (0 until 7).map(i =>
+          coalesce(ascii(substring(c, i + 1, 1)), lit(0)).cast("long") *
+            lit(1L << (8 * (6 - i)))).reduce(_ + _)
+      case DateType => datediff(c, to_date(lit("1970-01-01"))).cast("long")
+      case _: NumericType | BooleanType | TimestampType | TimestampNTZType =>
+        c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"clustering dimension of type ${other.simpleString} has no " +
+          "locality-preserving long surrogate")
+    }
+  }
+
+  /** Append `zvalue` for N clustering dims of any orderable type: one
+    * min/max stats row over the long surrogates (map-side agg,
+    * broadcast back) + a map-side projection. n = 1 degenerates to the
+    * surrogate itself — a plain range layout at full resolution, no
+    * quantization loss. */
+  def withZValueN(df: DataFrame, dims: Seq[String], bits: Int): DataFrame = {
+    require(dims.nonEmpty, "withZValueN needs at least one dim")
+    val schema = df.schema
+    val surr = dims.map(d => longSurrogate(col(d), schema(d).dataType))
+    if (dims.size == 1) return df.withColumn("zvalue", surr.head)
+    val aggs = surr.zipWithIndex.flatMap { case (s, j) =>
+      Seq(min(s).as(s"_min_$j"), max(s).as(s"_max_$j")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(stats))
+      .withColumn("zvalue", interleaveN(
+        surr.zipWithIndex.map { case (s, j) =>
+          quantize(s, col(s"_min_$j"), col(s"_max_$j"), bits) }, bits))
+      .drop(dims.indices.flatMap(j => Seq(s"_min_$j", s"_max_$j")): _*)
+  }
 }

@@ -94,7 +94,7 @@ object JpegCodec {
     * real scrapes carry. The decoder under test never sees bytes it
     * wrote: the image stream stays the foreign encoder's. */
   def spliceExifOrientation(jpeg: Array[Byte], orientation: Int,
-      bigEndian: Boolean): Array[Byte] = {
+      bigEndian: Boolean, tagType: Int = 3): Array[Byte] = {
     val tiff = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (bigEndian) { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
@@ -106,8 +106,9 @@ object JpegCodec {
     tiff.write(bom); tiff.write(bom)
     w16(42); w32(8) // magic + IFD0 offset
     w16(1) // one directory entry
-    w16(0x0112); w16(3); w32(1) // orientation, SHORT, count 1
-    w16(orientation); w16(0) // value in the 4-byte field, padded
+    w16(0x0112); w16(tagType); w32(1) // orientation, SHORT(3)/LONG(4), count 1
+    if (tagType == 4) w32(orientation) // LONG fills the 4-byte field
+    else { w16(orientation); w16(0) }  // SHORT: first 2 bytes, padded
     w32(0) // no next IFD
     val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
       tiff.toByteArray
@@ -171,11 +172,16 @@ object JpegCodec {
           while (i < n) {
             val e = ifd0 + 2 + 12 * i
             if (u16(e) == 0x0112) {
-              if (u16(e + 2) != 3 || u32(e + 4) != 1L)
+              val typ = u16(e + 2)
+              // TIFF 6.0 declares orientation as SHORT (3), but real
+              // encoders also emit it as LONG (4) — accept both at
+              // count 1; anything else is structurally broken
+              if ((typ != 3 && typ != 4) || u32(e + 4) != 1L)
                 fail("Exif orientation tag malformed (type/count)")
-              // SHORT count 1: the value sits in the first two bytes of
-              // the 4-byte value field, in the TIFF byte order
-              val o = u16(e + 8)
+              // count 1: the value sits inline in the 4-byte value
+              // field — SHORT in its first two bytes, LONG in all four,
+              // both in the TIFF byte order
+              val o = if (typ == 3) u16(e + 8) else u32(e + 8).toInt
               if (o < 1 || o > 8) fail(s"Exif orientation $o out of [1, 8]")
               return o
             }

@@ -325,6 +325,49 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** Synthetic GIF per doc id (r18): palette size cycles 4/16/256 by
+    * id mod 3, pixel index v(x,y) = (id·3 + y·w + x) mod palSize,
+    * palette entry j = ((37j) mod 256, (73j+19) mod 256, (131j+7) mod
+    * 256) — closed form all the way. Even ids INTERLACE (the 4-pass
+    * row schedule), every 5th id carries a LOCAL color table, every
+    * 3rd a multi-block comment extension — so the oracled path itself
+    * proves LZW (dynamic widths + KwKwK), both table scopes, extension
+    * traversal and deinterlacing. */
+  private def syntheticGif(id: Long): GifCodec.Decoded = {
+    val palSize = Array(4, 16, 256)((id % 3).toInt)
+    val w = (5 + id % 6).toInt
+    val h = (4 + id % 5).toInt
+    val pal = Array.tabulate(palSize)(j =>
+      ((37 * j) % 256, (73 * j + 19) % 256, (131 * j + 7) % 256))
+    val bytes = GifCodec.encode(w, h, pal,
+      (x, y) => ((id * 3 + y.toLong * w + x) % palSize).toInt,
+      interlace = id % 2 == 0,
+      localPalette = id % 5 == 0,
+      comment = if (id % 3 == 0) Some("c" * (1 + (id % 7)).toInt) else None)
+    GifCodec.decode(bytes)
+  }
+
+  /** REAL-codec GIF roundtrip stats (r18): per doc, the synthetic GIF's
+    * decoded dimensions, frame count, luma census AND the
+    * position-weighted luma sum Σ(i+1)·luma(i) over DISPLAY order —
+    * sum/min/max are invariant under row permutation, so the weighted
+    * term is what catches a deinterlace bug. The oracle recomputes
+    * everything from the pixel/palette closed form. Map-side only. */
+  def gifRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dec = syntheticGif(id)
+        val lum = dec.image.luma.map(_ & 0xff)
+        val wsum = lum.zipWithIndex
+          .map { case (l, i) => (i + 1).toLong * l }.sum
+        (id, dec.image.width, dec.image.height, dec.nFrames,
+          lum.map(_.toLong).sum, lum.min, lum.max, wsum)
+      })
+      .toDF("doc_id", "width", "height", "n_frames",
+        "luma_sum", "luma_min", "luma_max", "luma_wsum")
+  }
+
   /** Deterministic synthetic JPEG per doc id, through a REAL FOREIGN
     * encoder (the JDK's ImageIO JPEG writer — bytes this codebase never
     * produced): flat gray g = (id·37) mod 256, width 8 + id mod 17,
@@ -412,7 +455,11 @@ object Multimodal {
     }
     val junk = if (id % 3 == 0) Some(Array.fill(((id % 5) + 1).toInt)('A'.toByte))
                else None
-    WavCodec.decode(WavCodec.encode(8000, 1, samples, junk))
+    // stored depth cycles 16 / 24 / 8 bit (r18): 24-bit roundtrips the
+    // 16-bit logical samples exactly; the 8-bit cohort floor-quantizes
+    // to multiples of 256 — the oracle replays the same quantization
+    val bits = (id % 4) match { case 1 => 24; case 2 => 8; case _ => 16 }
+    WavCodec.decode(WavCodec.encode(8000, 1, samples, junk, bits))
   }
 
   /** Activity threshold for the frame-energy census (a VAD stand-in). */

@@ -23,8 +23,10 @@ package graft.operators
   * fakes samples. */
 object WavCodec {
 
-  /** Decoded clip: interleaved 16-bit samples + the fmt-chunk facts. */
-  final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+  /** Decoded clip: interleaved samples NORMALIZED to 16-bit + the
+    * fmt-chunk facts (`bits` = the container's stored depth). */
+  final case class Pcm(sampleRate: Int, channels: Int,
+      samples: Array[Short], bits: Int = 16)
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -63,30 +65,55 @@ object WavCodec {
     }
     val (channels, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV: no fmt chunk"))
-    require(bits == 16, s"WAV: $bits-bit samples unsupported (16 only)")
+    // the three mainstream PCM depths, per the spec: 8-bit is UNSIGNED
+    // (offset-binary, silence = 0x80), 16/24-bit are SIGNED le two's
+    // complement. All normalize to 16-bit: u8 → (u8−128)·256 (exact),
+    // s24 → top 16 bits (s24 >> 8, arithmetic) — the standard lossy
+    // narrowing every 16-bit audio path applies.
+    require(bits == 8 || bits == 16 || bits == 24,
+      s"WAV: $bits-bit samples unsupported (8/16/24 PCM only)")
     require(channels >= 1, s"WAV: bad channel count $channels")
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("WAV: no data chunk"))
-    require(dSize % 2 == 0, s"WAV: odd data size $dSize for 16-bit PCM")
-    val n = dSize / 2
+    val bytesPer = bits / 8
+    require(dSize % bytesPer == 0,
+      s"WAV: data size $dSize not a multiple of $bytesPer ($bits-bit PCM)")
+    val n = dSize / bytesPer
     val samples = new Array[Short](n)
     var i = 0
     while (i < n) {
-      samples(i) = le16(payload, dOff + 2 * i).toShort
+      samples(i) = bits match {
+        case 8 => (((payload(dOff + i) & 0xff) - 128) << 8).toShort
+        case 16 => le16(payload, dOff + 2 * i).toShort
+        case 24 =>
+          val o = dOff + 3 * i
+          val s24 = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+            (payload(o + 2) << 16) // sign byte NOT masked: sign-extends
+          (s24 >> 8).toShort
+      }
       i += 1
     }
-    Pcm(rate, channels, samples)
+    Pcm(rate, channels, samples, bits)
   }
 
   /** Fixture/spec encoder: samples → standard PCM WAV bytes. Optionally
     * plants an unknown chunk BEFORE fmt/data so specs prove the reader
-    * skips what it does not understand (with RIFF even-padding). */
+    * skips what it does not understand (with RIFF even-padding).
+    * `bits` picks the stored depth — the 16-bit logical samples write
+    * as `(s >> 8) + 128` unsigned at 8-bit (floor-quantized to a
+    * multiple of 256 on roundtrip) and `s << 8` signed le24 at 24-bit
+    * (roundtrips exactly). */
   def encode(sampleRate: Int, channels: Int, samples: Array[Short],
-      junkChunk: Option[Array[Byte]] = None): Array[Byte] = {
+      junkChunk: Option[Array[Byte]] = None, bits: Int = 16): Array[Byte] = {
     require(channels >= 1, s"encode: bad channel count $channels")
+    require(bits == 8 || bits == 16 || bits == 24,
+      s"encode: $bits-bit depth unsupported (8/16/24 PCM only)")
+    val bytesPer = bits / 8
     val junk = junkChunk.map { j => 8 + j.length + (j.length & 1) }.getOrElse(0)
-    val dataSize = samples.length * 2
-    val riffSize = 4 + junk + 24 + 8 + dataSize
+    val dataSize = samples.length * bytesPer
+    // odd data size (possible at 8-bit): the RIFF even-boundary pad
+    // byte counts in the form size but NOT in the chunk's size field
+    val riffSize = 4 + junk + 24 + 8 + dataSize + (dataSize & 1)
     val out = new Array[Byte](8 + riffSize)
     def putTag(off: Int, s: String): Unit = {
       var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
@@ -109,15 +136,23 @@ object WavCodec {
     putLe16(off + 8, 1) // PCM
     putLe16(off + 10, channels)
     putLe32(off + 12, sampleRate)
-    putLe32(off + 16, sampleRate * channels * 2) // byte rate
-    putLe16(off + 20, channels * 2)              // block align
-    putLe16(off + 22, 16)                        // bits per sample
+    putLe32(off + 16, sampleRate * channels * bytesPer) // byte rate
+    putLe16(off + 20, channels * bytesPer)              // block align
+    putLe16(off + 22, bits)                             // bits per sample
     off += 24
     putTag(off, "data"); putLe32(off + 4, dataSize)
     off += 8
     var i = 0
     while (i < samples.length) {
-      putLe16(off + 2 * i, samples(i) & 0xffff)
+      bits match {
+        case 8 => out(off + i) = (((samples(i) >> 8) + 128) & 0xff).toByte
+        case 16 => putLe16(off + 2 * i, samples(i) & 0xffff)
+        case 24 =>
+          val v = samples(i) << 8
+          out(off + 3 * i) = v.toByte
+          out(off + 3 * i + 1) = (v >> 8).toByte
+          out(off + 3 * i + 2) = (v >> 16).toByte
+      }
       i += 1
     }
     out

@@ -20,15 +20,22 @@ object LakeRegistry {
   private def tmpRoot(s: SparkSession, d: String, q: String): String =
     s"target/tmp/${q}_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
 
-  /** Recursively remove every prior run's `target/tmp/{prefix}*` root.
-    * The UUID-suffixed fixtures (clone destinations, foreign v0 logs)
-    * need a virgin directory per run, so they can't reuse a fixed root
-    * in-place — without this sweep repeated bench runs accumulate
-    * unbounded table copies on disk. */
+  /** Recursively remove prior runs' `target/tmp/{prefix}*` roots. The
+    * UUID-suffixed fixtures (clone destinations, foreign v0 logs) need a
+    * virgin directory per run, so they can't reuse a fixed root in-place —
+    * without this sweep repeated bench runs accumulate unbounded table
+    * copies on disk. Scoped to STALE roots only: a directory belonging to
+    * this application, or one modified within the last 30 minutes (a
+    * concurrent run's live fixture), is never touched — deleting a live
+    * UUID root mid-query would fail that run's read. */
   private def wipeStale(prefix: String): Unit = {
     val tmp = new java.io.File("target/tmp")
+    val appId = org.apache.spark.sql.SparkSession.active
+      .sparkContext.applicationId
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        !f.getName.contains(appId) && f.lastModified() < cutoff)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
@@ -623,6 +630,30 @@ object LakeRegistry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("etl_ts")).as("n_ts"))
     }),
+    // variantType table feature (r18): the overwrite introduces a
+    // VARIANT column built from integer/string fields (declaring the
+    // reader+writer feature in the same commit), a DV delete kills a
+    // band, and the aggregate GROUPS ON variant_get extractions — the
+    // roundtrip proves the binary variant layout survives the delta
+    // write/read + DV path. The oracle recomputes the same values from
+    // the underlying fields in DuckDB, engine-independently.
+    "q_delta_variant" -> ((s, d) => {
+      val dt = DeltaTable(tmpRoot(s, d, "delta_var"))
+      val base = docs(s, d).withColumn("meta", expr(
+        """parse_json(concat('{"a":', CAST(doc_id % 100 AS STRING),
+          |',"lang":"', lang, '"}'))""".stripMargin.replace("\n", "")))
+      dt.overwrite(base.repartitionByRange(4, col("doc_id")),
+        statsFor = Seq("doc_id"))
+      dt.delete("doc_id", 100L, 299L)
+      dt.read(s)
+        .select(expr("variant_get(meta, '$.a', 'long')").as("a"),
+          expr("variant_get(meta, '$.lang', 'string')").as("vlang"),
+          col("n_chars"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("vlang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
     // UPDATE verb (r15): stats-pruned DV-kill of the matched rows +
     // postimage append in ONE commit; SET expressions evaluate against
     // the pre-update row — the oracle restates the update as CASE
@@ -825,13 +856,15 @@ object LakeRegistry {
           sum(col("meta.n_chars")).as("sum_chars"),
           countDistinct(col("meta.lang")).as("n_langs"))
     }),
-    // clustered foreign table (r17): a hand-written v0 declares the
-    // `clustering` writer feature + the delta.clustering domain (what
-    // delta-spark CLUSTER BY tables carry by default). The engine
-    // appends and predicate-deletes — legal because the feature's
-    // write contract is DOMAIN PRESERVATION, not reclustering (the
-    // reclustering OPTIMIZE is the one verb that refuses) — and the
-    // output pins both the surviving data and the intact domain.
+    // clustered foreign table (r17, reclustered r18): a hand-written
+    // v0 declares the `clustering` writer feature + the delta.clustering
+    // domain with TWO clustering columns (what delta-spark CLUSTER BY
+    // tables carry by default). The engine appends, predicate-deletes,
+    // then runs the RECLUSTERING OPTIMIZE — the one verb that refused
+    // through r17 — which rewrites the live set along the declared
+    // (doc_id, n_chars) Morton curve in a dataChange=false commit with
+    // the domain intact; the output pins the surviving data unchanged
+    // by the rewrite plus the intact domain.
     "q_delta_clustered" -> ((s, d) => {
       import java.nio.file.{Files, Paths}
       wipeStale("delta_clustered_")
@@ -845,16 +878,57 @@ object LakeRegistry {
         (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
             |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}
             |{"metaData":{"id":"clq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{},"createdTime":1}}
-            |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"doc_id\\"]]}","removed":false}}
+            |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"doc_id\\"],[\\"n_chars\\"]]}","removed":false}}
             |""").stripMargin.getBytes("UTF-8"))
       val dt = DeltaTable(root)
       dt.append(base.repartitionByRange(4, col("doc_id")),
         statsFor = Seq("doc_id", "lang", "n_chars"))
       dt.deleteWhere("lang = 'en' AND n_chars < 250")
+      dt.optimizeClustered(numFiles = 4)
       val dom = dt.domainMetadata(s)
         .where(col("domain") === "delta.clustering")
         .select(count(lit(1)).as("n_cluster_domains"))
       bySource(dt.read(s)).crossJoin(broadcast(dom))
+    }),
+    // icebergCompatV2 (UniForm) ACTIVE append contract (r18): a
+    // hand-written v0 declares name-mode columnMapping + the
+    // icebergCompatV2 writer feature with delta.enableIcebergCompatV2
+    // = true and no data. The engine appends both halves — legal
+    // because the active contract's append shape is honored: every
+    // written file carries Iceberg-compatible parquet field-id footers
+    // and every add carries numRecords (enforced in commit; the
+    // row-removing/rewriting verbs refuse on this table, spec'd in
+    // DeltaSpec) — and the aggregate reads the composed table back.
+    // Fresh UUID root per run (a v0-plus-appends fixture is not
+    // idempotent in place).
+    "q_delta_iceberg" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+      wipeStale("delta_iceberg_")
+      val u = java.util.UUID.randomUUID.toString.take(8)
+      val root = tmpRoot(s, d, s"delta_iceberg_$u")
+      val base = docs(s, d)
+      val log = Paths.get(root, "_delta_log")
+      Files.createDirectories(log)
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mapped = StructType(base.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", f.name)
+            .putLong("delta.columnMapping.id", i + 1L).build())
+      })
+      val schemaLit = m.writeValueAsString(mapped.json)
+      Files.write(log.resolve(f"${0L}%020d.json"),
+        (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
+            |{"protocol":{"minReaderVersion":2,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["appendOnly","invariants","columnMapping","icebergCompatV2"]}}
+            |{"metaData":{"id":"icq","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${base.schema.length}","delta.enableIcebergCompatV2":"true"},"createdTime":1}}
+            |""").stripMargin.getBytes("UTF-8"))
+      val dt = DeltaTable(root)
+      dt.append(base.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(2, col("doc_id")), statsFor = Seq("doc_id"))
+      dt.append(base.filter(col("doc_id") % 2 =!= 0)
+        .repartitionByRange(2, col("doc_id")), statsFor = Seq("doc_id"))
+      bySource(dt.read(s))
     }),
     // rowTracking writer feature (r16, ENABLED-state moves r17): a
     // hand-written FOREIGN v0 declares rowTracking+domainMetadata with
@@ -1043,6 +1117,13 @@ object LakeRegistry {
         |    CAST(1 + doc_id % 28 AS INT), CAST(doc_id % 24 AS INT),
         |    0, 0)) AS n_ts
         |FROM documents GROUP BY 1""".stripMargin,
+    // the variant extractions recomputed from the underlying fields
+    "q_delta_variant" ->
+      """SELECT CAST(doc_id % 100 AS BIGINT) AS a, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT BETWEEN 100 AND 299
+        |GROUP BY 1""".stripMargin,
     // the UPDATE restated as CASE over the source table
     "q_delta_update" ->
       """SELECT source, count(*) AS n_docs,
@@ -1130,6 +1211,8 @@ object LakeRegistry {
          |FROM documents
          |WHERE NOT COALESCE(lang = 'en' AND n_chars < 250, FALSE)
          |GROUP BY source""".stripMargin,
+    // the two engine appends compose the full table back
+    "q_delta_iceberg" -> s"$bySourceSql GROUP BY source",
     // the live band after the DV delete (+5 on the updated 300–349
     // band), the high-water mark in closed form — N−1 from the appends,
     // + the update's moved rows, + the OPTIMIZE's full live rewrite

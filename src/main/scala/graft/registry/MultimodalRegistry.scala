@@ -41,7 +41,12 @@ object MultimodalRegistry {
     // Adam7 on half the ids — bit unpacking, ceil stride and the
     // 1-byte filter distance all closed-form oracled
     "q_mm_png_subbyte" -> ((s, d) => Multimodal.pngSubByteRoundtrip(s, d)),
-    // REAL audio codec roundtrip: synthetic 16-bit PCM encoded to
+    // REAL GIF decode (r18): LZW (dynamic widths, KwKwK), global AND
+    // local color tables, interlace, extension traversal — the luma
+    // census plus a POSITION-WEIGHTED sum (which catches deinterlace
+    // bugs that permutation-invariant stats cannot), all closed-form
+    "q_mm_gif_decode" -> ((s, d) => Multimodal.gifRoundtrip(s, d)),
+    // REAL audio codec roundtrip: synthetic 8/16/24-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
     // chunk-traversal, padding, or le16 bugs = hash mismatch
@@ -174,17 +179,50 @@ object MultimodalRegistry {
         |  CAST(min(luma) AS INTEGER) AS luma_min,
         |  CAST(max(luma) AS INTEGER) AS luma_max
         |FROM lum GROUP BY doc_id""".stripMargin,
+    // GIF luma census replayed from the pixel/palette closed form:
+    // pixel i (display row-major) has index j = (id*3 + i) mod palSize,
+    // palette entry j = ((37j)%256, (73j+19)%256, (131j+7)%256),
+    // Rec.601 integer luma; luma_wsum weights by display position i+1
+    "q_mm_gif_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(5 + doc_id % 6 AS INT) AS w,
+        |    CAST(4 + doc_id % 5 AS INT) AS h,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 16
+        |      ELSE 256 END AS ps
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, r.range AS i,
+        |    (doc_id * 3 + r.range) % ps AS j
+        |  FROM d, range(0, 80) r WHERE r.range < w * h),
+        |l AS (SELECT doc_id, w, h, i,
+        |    (299 * ((37 * j) % 256) + 587 * ((73 * j + 19) % 256)
+        |      + 114 * ((131 * j + 7) % 256)) // 1000 AS luma
+        |  FROM p)
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  1 AS n_frames,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max,
+        |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
+        |FROM l GROUP BY doc_id""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,
-    // duration = n*10000 // 8000 deci-ms at 8 kHz mono
+    // duration = n*10000 // 8000 deci-ms at 8 kHz mono. Stored depth
+    // cycles by id mod 4: 24-bit (exact) / 8-bit (floor-quantized to
+    // multiples of 256 — replayed below via the +2048 shift, since
+    // DuckDB's // truncates toward zero) / 16-bit (exact).
     "q_mm_wav_decode" ->
       """WITH d AS (SELECT doc_id, 96 + (doc_id % 64) AS n FROM documents),
-        |s AS (
+        |s0 AS (
         |  SELECT d.doc_id, d.n, r.range AS i,
         |    ((d.doc_id * 13 + r.range * r.range * 3 + r.range * 11) % 4096)
-        |      - 2048 AS v
+        |      - 2048 AS v0
         |  FROM d, range(0, 160) r WHERE r.range < d.n),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN doc_id % 4 = 2
+        |      THEN ((v0 + 2048) // 256) * 256 - 2048 ELSE v0 END AS v
+        |  FROM s0),
         |x AS (
         |  SELECT doc_id, n, i, v,
         |    CASE WHEN i > 0 AND

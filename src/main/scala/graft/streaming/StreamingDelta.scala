@@ -101,11 +101,17 @@ object StreamingDelta {
         var bytes = 0L
         var halted = false
         while (!halted && end < latest) {
-          val (_, n, b) = src.commitSizes(end, end + 1).head
-          if (end == mark ||
-              (files + n <= maxFilesPerPull && bytes + b <= maxBytesPerPull)) {
-            end += 1; files += n; bytes += b
-          } else halted = true
+          // a missing commit version (a gap in _delta_log) halts the
+          // budget loop at the boundary rather than throwing an opaque
+          // NoSuchElementException — the pull consumes what exists
+          src.commitSizes(end, end + 1).headOption match {
+            case Some((_, n, b))
+                if end == mark ||
+                  (files + n <= maxFilesPerPull &&
+                    bytes + b <= maxBytesPerPull) =>
+              end += 1; files += n; bytes += b
+            case _ => halted = true
+          }
         }
         end
       }

@@ -333,5 +333,18 @@ class JpegSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       JpegCodec.exifOrientation(bad9))
     assert(e2.getMessage.contains("out of [1, 8]"))
+    // type-LONG (4) orientation, which real encoders emit, is accepted
+    // at count 1 in BOTH byte orders (r18 tolerance)
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val long4 = JpegCodec.spliceExifOrientation(raw, o, be, tagType = 4)
+      assert(JpegCodec.exifOrientation(long4) == o, s"LONG o=$o be=$be")
+    }
+    // every OTHER tag type still refuses (ASCII=2, RATIONAL=5)
+    for (t <- Seq(2, 5); be <- Seq(false, true)) {
+      val bad = JpegCodec.spliceExifOrientation(raw, 6, be, tagType = t)
+      assert(intercept[IllegalArgumentException](
+        JpegCodec.exifOrientation(bad))
+        .getMessage.contains("type/count"), s"type=$t be=$be")
+    }
   }
 }

@@ -1352,12 +1352,12 @@ class DeltaSpec extends SparkSpec {
     // explicit v7 feature list with a feature OUTSIDE the implemented
     // set: EVERY commit-producing verb refuses, maintenance included
     val rt = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","icebergCompatV1"]}}""",
       """{}""", plain)
     assert(rt.read(spark).count() == 2) // reads stay fine
     val e5 = intercept[IllegalArgumentException](
       rt.append(Seq((3L, "c")).toDF("k", "s")))
-    assert(e5.getMessage.contains("icebergCompatV2"))
+    assert(e5.getMessage.contains("icebergCompatV1"))
     intercept[IllegalArgumentException](rt.delete("k", 1L, 1L))
     intercept[IllegalArgumentException](rt.compact())
     intercept[IllegalArgumentException](rt.checkpoint())
@@ -1378,6 +1378,92 @@ class DeltaSpec extends SparkSpec {
     self.overwrite(Seq((1L, "a")).toDF("k", "s"))
     self.delete("k", 1L, 1L)
     assert(self.read(spark).count() == 0)
+  }
+
+  test("icebergCompatV2: dormant imposes nothing; ACTIVE accepts field-id appends with numRecords and refuses removes/rewrites/schema verbs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val plain = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    // DORMANT (feature declared, config off): delta-spark semantics —
+    // the feature imposes nothing, every implemented verb stays legal
+    val dormant = foreignTable(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","columnMapping","icebergCompatV2"]}}""",
+      """{}""", plain)
+    dormant.append(Seq((3L, "c")).toDF("k", "s"))
+    dormant.delete("k", 1L, 1L)
+    assert(dormant.read(spark).count() == 2)
+
+    // ACTIVE: name-mode column mapping with identity physical names +
+    // ids (so the fixture's plain-named file stays readable)
+    def mapped(f: StructField, id: Long): StructField =
+      f.copy(metadata = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", f.name)
+        .putLong("delta.columnMapping.id", id).build())
+    val mappedSchema = StructType(Seq(
+      mapped(StructField("k", LongType), 1L),
+      mapped(StructField("s", StringType), 2L)))
+    val activeCfg =
+      """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2","delta.enableIcebergCompatV2":"true"}"""
+    val proto =
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["appendOnly","invariants","columnMapping","icebergCompatV2"]}}"""
+    val act = foreignTable(proto, activeCfg, mappedSchema)
+    // append lands; the new file carries parquet field ids (footer
+    // metadata Spark reads back as parquet.field.id) AND the add
+    // carries numRecords stats even with no statsFor columns
+    act.append(Seq((3L, "c"), (4L, "d")).toDF("k", "s").coalesce(1))
+    assert(vals(act.read(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val j1 = commitJson(act, 1L)
+    assert(j1.contains("numRecords"))
+    val newest = Files.list(Paths.get(act.root)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.maxBy(p => Files.getLastModifiedTime(p).toMillis)
+    val fields = spark.read.parquet(newest.toString).schema.fields
+    assert(fields.forall(_.metadata.contains("parquet.field.id")),
+      fields.map(_.metadata).mkString(";"))
+    // row-removing / rewriting / schema verbs refuse by name
+    for (bad <- Seq(
+        () => act.delete("k", 1L, 1L): Any,
+        () => act.updateWhere("k = 2",
+          Map("s" -> org.apache.spark.sql.functions.lit("X"))): Any,
+        () => act.merge(Seq((1L, "z")).toDF("k", "s"), "k"): Any,
+        () => act.compact(): Any)) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
+    }
+    assert(vals(act.read(spark)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // metadata plane stays legal: checkpoint + log cleanup
+    act.checkpoint()
+    assert(vals(act.read(spark)).size == 4)
+
+    // ACTIVE with an array column: the append refuses — Spark's writer
+    // cannot attach Iceberg's nested element field ids
+    val arrSchema = StructType(Seq(
+      mapped(StructField("k", LongType), 1L),
+      mapped(StructField("tags", ArrayType(StringType)), 2L)))
+    val arrDir = Files.createTempDirectory("icearr").toString + "/t"
+    val arrLog = Paths.get(arrDir, "_delta_log")
+    Files.createDirectories(arrLog)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    Files.write(arrLog.resolve(f"${0L}%020d.json"),
+      (s"""{"commitInfo":{"timestamp":1,"operation":"CREATE TABLE","operationParameters":{}}}
+          |$proto
+          |{"metaData":{"id":"ia","format":{"provider":"parquet","options":{}},"schemaString":${m.writeValueAsString(arrSchema.json)},"partitionColumns":[],"configuration":$activeCfg,"createdTime":1}}
+          |""").stripMargin.getBytes("UTF-8"))
+    val arr = DeltaTable(arrDir)
+    val ea = intercept[IllegalArgumentException](
+      arr.append(Seq((1L, Seq("x"))).toDF("k", "tags")))
+    assert(ea.getMessage.contains("array/map"), ea.getMessage)
+
+    // ACTIVE without column mapping: structurally broken table, loud
+    val bad = foreignTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","icebergCompatV2"]}}""",
+      """{"delta.enableIcebergCompatV2":"true"}""", plain)
+    val eb = intercept[IllegalArgumentException](
+      bad.append(Seq((3L, "c")).toDF("k", "s")))
+    assert(eb.getMessage.contains("column mapping"), eb.getMessage)
   }
 
   /** Executor-side raise_error surfaces wrapped in SparkException
@@ -1546,11 +1632,11 @@ class DeltaSpec extends SparkSpec {
     // (clustering is TOLERATED since r17 — the gate example must be a
     // feature the engine genuinely cannot write)
     val cl = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV1"]}}""",
       """{}""", plain)
     val e1 = intercept[IllegalArgumentException](cl.shallowCloneTo(
       Files.createTempDirectory("clonegate").toString + "/t"))
-    assert(e1.getMessage.contains("icebergCompatV2"))
+    assert(e1.getMessage.contains("icebergCompatV1"))
     assert(e1.getMessage.contains("CLONE"))
 
     // a table ALREADY on explicit feature lists keeps exactly its own
@@ -1875,7 +1961,10 @@ class DeltaSpec extends SparkSpec {
   /** A hand-written FOREIGN rowTracking table in the SUPPORTED state
     * (feature declared; `delta.enableRowTracking` per `config`): one
     * 2-row data file owning row ids [0, 1], high-water mark 1. */
-  private def rowTrackingTable(config: String): DeltaTable = {
+  // domainConfig is the RAW bytes of the domainMetadata configuration
+  // value as they appear in the commit file (JSON-string-escaped)
+  private def rowTrackingTable(config: String,
+      domainConfig: String = "{\\\"rowIdHighWaterMark\\\":1}"): DeltaTable = {
     import spark.implicits._
     val dir = Files.createTempDirectory("deltarowtrack").toString + "/t"
     val log = Paths.get(dir, "_delta_log")
@@ -1899,7 +1988,7 @@ class DeltaSpec extends SparkSpec {
       (s"""{"commitInfo":{"timestamp":1,"operation":"WRITE","operationParameters":{}}}
           |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","rowTracking"]}}
           |{"metaData":{"id":"rt","format":{"provider":"parquet","options":{}},"schemaString":$schemaLit,"partitionColumns":[],"configuration":$config,"createdTime":1}}
-          |{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\\"rowIdHighWaterMark\\":1}","removed":false}}
+          |{"domainMetadata":{"domain":"delta.rowTracking","configuration":"$domainConfig","removed":false}}
           |{"add":{"path":"f0.parquet","partitionValues":{},"size":${Files.size(Paths.get(dir, "f0.parquet"))},"modificationTime":1,"dataChange":true,"stats":$stats,"baseRowId":0,"defaultRowCommitVersion":0}}
           |""").stripMargin.getBytes("UTF-8"))
     DeltaTable(dir)
@@ -2047,6 +2136,53 @@ class DeltaSpec extends SparkSpec {
     assert(l3.values.map(_._1).toSeq.distinct.size == l3.size)
   }
 
+  test("rowTracking ENABLED: MERGE with DUPLICATE source keys keeps row ids unique — one duplicate inherits, the rest take fresh ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (dv <- Seq(true, false)) {
+      val dt = rowTrackingTable("""{"delta.enableRowTracking":"true"}""")
+      // k=2 (target row id 1) matches THREE duplicate source rows;
+      // k=9 is a plain insert
+      dt.merge(Seq((2L, "x1"), (2L, "x2"), (2L, "x3"), (9L, "i"))
+        .toDF("k", "s"), "k", useDeletionVectors = dv)
+      val rows = dt.readWithRowLineage(spark)
+        .select(col("k"), col("s"), col("_row_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // the protocol's invariant: row ids unique within a version
+      val ids = rows.map(_._3)
+      assert(ids.distinct.size == ids.size, s"dv=$dv duplicate ids: $rows")
+      // exactly ONE duplicate inherits the replaced row's id (1); the
+      // winner is deterministic — smallest payload under the
+      // all-orderable-columns ordering
+      val dups = rows.filter(_._1 == 2L)
+      assert(dups.size == 3)
+      assert(dups.count(_._3 == 1L) == 1, s"dv=$dv inherited: $dups")
+      assert(dups.find(_._3 == 1L).get._2 == "x1", s"dv=$dv winner: $dups")
+      // the losers and the insert all take FRESH ids above the
+      // pre-merge high-water mark
+      assert((dups.filter(_._3 != 1L).map(_._3) ++
+        rows.filter(_._1 == 9L).map(_._3)).forall(_ > 1L))
+      // untouched row keeps its id
+      assert(rows.find(_._1 == 1L).get._3 == 0L)
+    }
+  }
+
+  test("rowIdHighWaterMark: empty domain config reads as unset; corrupt non-empty config fails LOUDLY on the next data-adding commit") {
+    import spark.implicits._
+    // empty configuration = mark unset: the append starts ids at 0
+    val empty = rowTrackingTable("""{}""", domainConfig = "")
+    empty.append(Seq((3L, "c")).toDF("k", "s").coalesce(1))
+    assert(commitJson(empty, 1L).contains("\"baseRowId\":0"))
+    // present-but-corrupt configuration: silently treating it as unset
+    // would restart id blocks at 0 and REUSE assigned row ids — refuse
+    for (bad <- Seq("not json", "{}", "{\\\"wrongKey\\\":5}")) {
+      val dt = rowTrackingTable("""{}""", domainConfig = bad)
+      val e = intercept[IllegalStateException](
+        dt.append(Seq((3L, "c")).toDF("k", "s").coalesce(1)))
+      assert(e.getMessage.contains("unparsable"), s"config=$bad: $e")
+    }
+  }
+
   test("typeWidening: narrow-typed old files serve the widened schema; skipping, appends and DV deletes compose") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -2138,6 +2274,18 @@ class DeltaSpec extends SparkSpec {
       Set((0L, 0L), (1L, 1L), (2L, 2L), (9L, 90L), (10L, 100L)))
     dt.delete("k", 1L, 2L)
     assert(as(dt.read(spark)) == Set((0L, 0L), (9L, 90L), (10L, 100L)))
+    // an ENGINE-CREATED variant table must DECLARE the feature in the
+    // commit that introduces the column (r18): foreign readers without
+    // variantType would misread the binary layout as a plain struct
+    val dt3 = tmpTable()
+    dt3.overwrite(spark.range(3).select(col("id").as("k"),
+      expr("""parse_json(concat('{"a":', cast(id as string), '}'))""")
+        .as("v")))
+    val j0 = new String(Files.readAllBytes(
+      Paths.get(dt3.root, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(j0.contains("\"variantType\""))
+    assert(j0.contains("\"minReaderVersion\":3"))
+    assert(as(dt3.read(spark)) == Set((0L, 0L), (1L, 1L), (2L, 2L)))
   }
 
   test("nested-column envelopes: dotted predicates prune, fast-drop and stay NULL-safe; written stats nest protocol-shaped") {
@@ -2181,7 +2329,7 @@ class DeltaSpec extends SparkSpec {
     assert(ks(dt.read(spark)) == Set(11L))
   }
 
-  test("clustering write tolerance: appends and DV verbs stay legal with the domain preserved; reclustering OPTIMIZE refuses by name") {
+  test("clustering write tolerance: appends and DV verbs stay legal with the domain preserved; compaction refuses; declared-column OPTIMIZE legal") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
     val dt = tmpTable()
@@ -2212,8 +2360,8 @@ class DeltaSpec extends SparkSpec {
     dt.checkpoint()
     assert(dt.domainMetadata(spark)
       .where(col("domain") === "delta.clustering").count() == 1)
-    // the RECLUSTERING rewrite is the one verb the engine cannot honor
-    // — refused naming the feature; the table is untouched
+    // plain compaction / ad-hoc zorder would DESTROY the declared
+    // layout — still refused naming the feature; the table untouched
     val e = intercept[IllegalArgumentException](dt.compact())
     assert(e.getMessage.contains("clustering"))
     intercept[IllegalArgumentException](dt.optimizeZOrder("k", "k"))
@@ -2221,6 +2369,89 @@ class DeltaSpec extends SparkSpec {
       smallBytes = Long.MaxValue))
     assert(vals(dt.read(spark)) ==
       Set((1L, "a"), (3L, "X"), (9L, "zz"), (11L, "n")))
+    // the RECLUSTERING OPTIMIZE (r18) is legal: rewrite along the
+    // domain's OWN declared columns in a dataChange=false commit, the
+    // snapshot bit-identical and the domain intact
+    val before = vals(dt.read(spark))
+    dt.optimizeClustered(numFiles = 1)
+    assert(vals(dt.read(spark)) == before)
+    assert(dt.domainMetadata(spark)
+      .where(col("domain") === "delta.clustering").count() == 1)
+    val vOpt = dt.latestVersion.get
+    val cj = commitJson(dt, vOpt)
+    assert(cj.contains("\"dataChange\":false") && cj.contains("clusterBy"))
+  }
+
+  test("clustered reclustering OPTIMIZE: declared Morton layout prunes EVERY clustering column; string dims; incremental converges; refusals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def declareClustering(dt: DeltaTable, cols: String): Unit = {
+      val v = dt.latestVersion.get + 1
+      Files.write(Paths.get(dt.root, "_delta_log").resolve(f"$v%020d.json"),
+        (s"""{"commitInfo":{"timestamp":2,"operation":"CLUSTER BY","operationParameters":{}}}
+            |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","domainMetadata","clustering"]}}
+            |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":$cols}","removed":false}}
+            |""").stripMargin.getBytes("UTF-8"))
+    }
+    // 256 rows over a 16×16 (a, b) grid written in a-ranged stripes:
+    // every file spans ALL of b, so a b-filter scans all 8 files
+    val dt = tmpTable()
+    val rows = (0 until 256).map(i => (i.toLong % 16, i.toLong / 16, s"r$i"))
+      .toDF("a", "b", "s")
+    dt.overwrite(rows.repartitionByRange(8, col("a")),
+      statsFor = Seq("a", "b"))
+    declareClustering(dt, "[[\\\"a\\\"],[\\\"b\\\"]]")
+    assert(dt.readWhere(spark, "b", 3L, 3L).inputFiles.length == 8)
+    // recluster along the DECLARED (a, b) curve: each output file owns
+    // a bounded rectangle, so BOTH single-column filters now prune
+    dt.optimizeClustered(bits = 4, numFiles = 8)
+    val prunedB = dt.readWhere(spark, "b", 3L, 3L)
+    assert(prunedB.inputFiles.length < 8,
+      s"b-filter scans ${prunedB.inputFiles.length}")
+    assert(prunedB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (0 until 16).map(a => (a.toLong, 3L)).toSet)
+    val prunedA = dt.readWhere(spark, "a", 5L, 5L)
+    assert(prunedA.inputFiles.length < 8)
+    assert(prunedA.count() == 16)
+    assert(dt.read(spark).count() == 256)
+    // a STRING clustering column rides the locality-preserving 7-byte
+    // prefix surrogate — single dim degenerates to a range layout
+    val ds = tmpTable()
+    ds.overwrite((0 until 100).map(i => (i.toLong, f"k$i%03d")).toDF("k", "s")
+      .repartitionByRange(5, col("k")), statsFor = Seq("k", "s"))
+    declareClustering(ds, "[[\\\"s\\\"]]")
+    ds.optimizeClustered(numFiles = 5)
+    val prunedS = ds.readWhere(spark, "s", "k010", "k019")
+    assert(prunedS.inputFiles.length == 1,
+      s"s-filter scans ${prunedS.inputFiles.length}")
+    assert(prunedS.count() == 10)
+    // INCREMENTAL reclustering: capped batches, untagged count strictly
+    // decreasing, None at convergence, data exact throughout
+    val di = tmpTable()
+    di.overwrite((0 until 40).map(i => (i.toLong, s"x$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")), statsFor = Seq("k"))
+    declareClustering(di, "[[\\\"k\\\"]]")
+    di.append((40 until 80).map(i => (i.toLong, s"x$i")).toDF("k", "s")
+      .repartitionByRange(2, col("k")))
+    var steps = 0
+    while (di.optimizeClusteredIncremental(maxBatchFiles = 2).isDefined)
+      steps += 1
+    assert(steps == 2, s"took $steps capped steps") // 4 files / 2 per batch
+    assert(di.optimizeClusteredIncremental().isEmpty) // converged
+    assert(di.read(spark).count() == 80)
+    // refusals: no clustering domain; nested path; unknown column
+    val dn = tmpTable()
+    dn.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    assert(intercept[IllegalArgumentException](dn.optimizeClustered())
+      .getMessage.contains("clustered tables only"))
+    declareClustering(dn, "[[\\\"meta\\\",\\\"x\\\"]]")
+    assert(intercept[IllegalArgumentException](dn.optimizeClustered())
+      .getMessage.contains("nested"))
+    val du = tmpTable()
+    du.overwrite(Seq((1L, "a")).toDF("k", "s"))
+    declareClustering(du, "[[\\\"nope\\\"]]")
+    assert(intercept[IllegalArgumentException](du.optimizeClustered())
+      .getMessage.contains("not in the schema"))
   }
 
   test("domainMetadata: foreign domains replay, survive OPTIMIZE + checkpoint, and removed=true tombstones them") {
@@ -2371,7 +2602,7 @@ class DeltaSpec extends SparkSpec {
     val plain = StructType(Seq(StructField("k", LongType),
       StructField("s", StringType)))
     val rt = foreignTable(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV1"]}}""",
       """{}""", plain)
     intercept[IllegalArgumentException](rt.vacuum())
     val vp = foreignTable(

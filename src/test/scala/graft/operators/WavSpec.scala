@@ -33,6 +33,51 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  test("24-bit PCM roundtrips the 16-bit logical samples exactly") {
+    val s = Array[Short](-32768, -1, 0, 1, 32767, -12345) ++ clip(37)
+    val pcm = WavCodec.decode(WavCodec.encode(8000, 1, s, bits = 24))
+    assert(pcm.bits == 24 && pcm.samples.toSeq == s.toSeq)
+    // hand-check the sign extension: sample -1 stores as 0xFFFF00 le
+    // (00 FF FF) and must come back -256... no: -1<<8 = -256 stored,
+    // decode >>8 = -1. Verify a raw hand-built 24-bit payload too:
+    // bytes (0x00,0x00,0x80) = le s24 0x800000 = -8388608 → >>8 = -32768
+    // data bytes start at 44 (RIFF 12 + fmt 24 + data header 8); an
+    // odd data size appends a RIFF pad byte AFTER them
+    val raw = WavCodec.encode(8000, 1, Array[Short](0), bits = 24)
+    raw(44) = 0x00; raw(45) = 0x00; raw(46) = 0x80.toByte
+    assert(WavCodec.decode(raw).samples.toSeq == Seq(-32768.toShort))
+  }
+
+  test("8-bit unsigned PCM floor-quantizes to multiples of 256 with 0x80 silence") {
+    val s = Array[Short](-32768, -100, -1, 0, 1, 255, 256, 300, 32767)
+    val pcm = WavCodec.decode(WavCodec.encode(8000, 1, s, bits = 8))
+    assert(pcm.bits == 8)
+    assert(pcm.samples.toSeq ==
+      Seq(-32768, -256, -256, 0, 0, 0, 256, 256, 32512).map(_.toShort))
+    // silence (logical 0) must store as the offset-binary midpoint 0x80
+    // at data offset 44 (the final byte is the odd-size RIFF pad)
+    val silent = WavCodec.encode(8000, 1, Array[Short](0), bits = 8)
+    assert((silent(44) & 0xff) == 0x80)
+    // and a raw 0x00 byte is full-scale negative
+    val raw = silent.clone(); raw(44) = 0
+    assert(WavCodec.decode(raw).samples.toSeq == Seq(-32768.toShort))
+  }
+
+  test("odd-length 8-bit and non-multiple 24-bit data sizes fail loudly") {
+    // 3 samples at 8-bit = 3 bytes (odd data size is LEGAL at 8-bit —
+    // the chunk pads, the size field is exact)
+    val odd8 = WavCodec.encode(8000, 1, clip(3), bits = 8)
+    assert(WavCodec.decode(odd8).samples.length == 3)
+    // corrupt a 24-bit data size to a non-multiple of 3
+    val b24 = WavCodec.encode(8000, 1, clip(4), bits = 24)
+    // data chunk: last 8+12 bytes; size field at length-12-4
+    val szOff = b24.length - 12 - 4
+    b24(szOff) = 11 // was 12
+    assert(intercept[IllegalArgumentException](
+      WavCodec.decode(b24.take(b24.length - 1)))
+      .getMessage.contains("multiple"))
+  }
+
   test("loud failures: bad magic, non-PCM, wrong bit depth, truncation, missing chunks") {
     val good = WavCodec.encode(8000, 1, clip(10))
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
@@ -42,9 +87,13 @@ class WavSpec extends AnyFunSuite {
     val float = good.clone(); float(20) = 3
     assert(intercept[IllegalArgumentException](WavCodec.decode(float))
       .getMessage.contains("audioFormat"))
-    val eightBit = good.clone(); eightBit(34) = 8
-    assert(intercept[IllegalArgumentException](WavCodec.decode(eightBit))
-      .getMessage.contains("16 only"))
+    val thirtyTwo = good.clone(); thirtyTwo(34) = 32
+    assert(intercept[IllegalArgumentException](WavCodec.decode(thirtyTwo))
+      .getMessage.contains("8/16/24"))
+    // a 12-bit depth (no real encoder, but structurally representable)
+    val twelve = good.clone(); twelve(34) = 12
+    assert(intercept[IllegalArgumentException](WavCodec.decode(twelve))
+      .getMessage.contains("8/16/24"))
     assert(intercept[IllegalArgumentException](
       WavCodec.decode(good.take(good.length - 3)))
       .getMessage.contains("overruns"))
