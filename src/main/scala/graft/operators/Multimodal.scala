@@ -484,6 +484,73 @@ object Multimodal {
         "active_frames", "duration_deci_ms")
   }
 
+  /** Deterministic synthetic WebP per doc id — five encode shapes by
+    * id mod 5, so every VP8L decode path runs across the corpus:
+    * 0 = bare literals + 6-bit color cache; 1 = predictor transform
+    * (mode (id/5) mod 14 — all 14 modes across ids) over subtract-green,
+    * block bits 2+(id mod 3); 2 = color-indexing palette sized
+    * 2/5/17/200 by (id/5) mod 4 (1/2/4/8-bit pixel packing);
+    * 3 = greedy LZ77 (blocky pixels force dist-1 and dist-w refs) +
+    * 4-bit cache over subtract-green; 4 = VP8X extended container
+    * (EXIF chunk the walker must skip) + predictor modes 11-13 (Select
+    * / ClampAddSubtractFull / Half). Pixels keep integer closed forms
+    * the DuckDB oracle replays. */
+  private def syntheticWebp(id: Long): WebpCodec.Decoded = {
+    val w = (4 + id % 13).toInt
+    val h = (4 + id % 11).toInt
+    val mode = (id % 5).toInt
+    val ps = Array(2, 5, 17, 200)(((id / 5) % 4).toInt)
+    def rgb(x: Int, y: Int): Int = mode match {
+      case 2 =>
+        val j = (x + y * 3 + id) % ps
+        (0xff000000 | (((37 * j) % 256) << 16) |
+          (((73 * j + 19) % 256) << 8) | ((131 * j + 7) % 256)).toInt
+      case 3 =>
+        val xb = x / 4; val yb = y / 2
+        (0xff000000 | (((id * 7 + xb * 3 + yb * 5) % 256) << 16) |
+          (((id * 11 + xb * 2 + yb * 7) % 256) << 8) |
+          ((id * 13 + xb * 5 + yb * 3) % 256)).toInt
+      case _ =>
+        (0xff000000 | (((id * 7 + x * 3 + y * 5) % 256) << 16) |
+          (((id * 11 + x * 2 + y * 7) % 256) << 8) |
+          ((id * 13 + x * 5 + y * 3) % 256)).toInt
+    }
+    val bytes = mode match {
+      case 0 => WebpCodec.encode(w, h, rgb, cacheBits = 6)
+      case 1 => WebpCodec.encode(w, h, rgb, subtractGreen = true,
+        predictorMode = ((id / 5) % 14).toInt,
+        predictorBits = 2 + (id % 3).toInt)
+      case 2 => WebpCodec.encode(w, h, rgb, palette = true)
+      case 3 => WebpCodec.encode(w, h, rgb, subtractGreen = true,
+        cacheBits = 4, lz77 = true)
+      case _ => WebpCodec.encode(w, h, rgb,
+        predictorMode = 11 + (id % 3).toInt, extended = true)
+    }
+    WebpCodec.decode(bytes)
+  }
+
+  /** REAL-codec WebP (VP8L lossless) roundtrip stats (r18): per doc,
+    * decoded dims, container/transform facts, luma census AND the
+    * position-weighted luma sum over display order — sum/min/max are
+    * row-permutation-invariant, so the weighted term is what catches a
+    * predictor-reconstruction or LZ77-placement bug. The oracle
+    * recomputes everything from the pixel closed form. Map-side only. */
+  def webpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dec = syntheticWebp(id)
+        val lum = dec.image.luma.map(_ & 0xff)
+        val wsum = lum.zipWithIndex
+          .map { case (l, i) => (i + 1).toLong * l }.sum
+        (id, dec.image.width, dec.image.height,
+          if (dec.extended) 1 else 0, dec.nTransforms, dec.paletteSize,
+          dec.cacheBits, lum.map(_.toLong).sum, lum.min, lum.max, wsum)
+      })
+      .toDF("doc_id", "width", "height", "is_ext", "n_tf", "pal_size",
+        "cache_bits", "luma_sum", "luma_min", "luma_max", "luma_wsum")
+  }
+
   /** Feature-extraction stage shape: binary payload → fixed-width feature
     * vector (here: byte histogram over 16 buckets — bucket = the byte's
     * high nibble). Real embeddings would replace the histogram; the

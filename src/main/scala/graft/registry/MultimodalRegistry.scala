@@ -46,6 +46,13 @@ object MultimodalRegistry {
     // census plus a POSITION-WEIGHTED sum (which catches deinterlace
     // bugs that permutation-invariant stats cannot), all closed-form
     "q_mm_gif_decode" -> ((s, d) => Multimodal.gifRoundtrip(s, d)),
+    // REAL WebP VP8L decode (r18): five encode shapes by id — bare
+    // literals + color cache, predictor transform (all 14 modes across
+    // ids) over subtract-green, packed palettes (1/2/4/8-bit), greedy
+    // LZ77 through the 2D distance map, VP8X extended container — the
+    // luma census plus the position-weighted sum that catches predictor
+    // or backref placement bugs, all closed-form
+    "q_mm_webp_decode" -> ((s, d) => Multimodal.webpRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 8/16/24-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -199,6 +206,53 @@ object MultimodalRegistry {
         |  FROM p)
         |SELECT doc_id, max(w) AS width, max(h) AS height,
         |  1 AS n_frames,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max,
+        |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
+        |FROM l GROUP BY doc_id""".stripMargin,
+    // WebP pixels replayed from the per-mode closed forms; pal_size is
+    // the count of DISTINCT colors the encoder palettized — the index
+    // formula spans w+3h-3 consecutive integers mod ps, so that count
+    // is least(w+3h-3, ps); container/transform facts are mode-pinned
+    "q_mm_webp_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INT) AS w,
+        |    CAST(4 + doc_id % 11 AS INT) AS h,
+        |    CAST(doc_id % 5 AS INT) AS mode,
+        |    CASE CAST((doc_id // 5) % 4 AS INT) WHEN 0 THEN 2
+        |      WHEN 1 THEN 5 WHEN 2 THEN 17 ELSE 200 END AS ps
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, mode, ps, r.range AS i,
+        |    r.range % w AS x, r.range // w AS y
+        |  FROM d, range(0, 224) r WHERE r.range < w * h),
+        |c AS (SELECT doc_id, w, h, mode, ps, i,
+        |    CASE mode
+        |      WHEN 2 THEN (37 * ((x + y * 3 + doc_id) % ps)) % 256
+        |      WHEN 3 THEN (doc_id * 7 + (x // 4) * 3 + (y // 2) * 5) % 256
+        |      ELSE (doc_id * 7 + x * 3 + y * 5) % 256 END AS cr,
+        |    CASE mode
+        |      WHEN 2 THEN (73 * ((x + y * 3 + doc_id) % ps) + 19) % 256
+        |      WHEN 3 THEN (doc_id * 11 + (x // 4) * 2 + (y // 2) * 7) % 256
+        |      ELSE (doc_id * 11 + x * 2 + y * 7) % 256 END AS cg,
+        |    CASE mode
+        |      WHEN 2 THEN (131 * ((x + y * 3 + doc_id) % ps) + 7) % 256
+        |      WHEN 3 THEN (doc_id * 13 + (x // 4) * 5 + (y // 2) * 3) % 256
+        |      ELSE (doc_id * 13 + x * 5 + y * 3) % 256 END AS cb
+        |  FROM p),
+        |l AS (SELECT doc_id, w, h, mode, ps, i,
+        |    (299 * cr + 587 * cg + 114 * cb) // 1000 AS luma
+        |  FROM c)
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  CAST(CASE WHEN max(mode) = 4 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_ext,
+        |  CAST(CASE max(mode) WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END
+        |    AS INTEGER) AS n_tf,
+        |  CAST(CASE WHEN max(mode) = 2
+        |    THEN least(max(w) + 3 * max(h) - 3, max(ps)) ELSE 0 END
+        |    AS INTEGER) AS pal_size,
+        |  CAST(CASE max(mode) WHEN 0 THEN 6 WHEN 3 THEN 4 ELSE 0 END
+        |    AS INTEGER) AS cache_bits,
         |  CAST(sum(luma) AS BIGINT) AS luma_sum,
         |  CAST(min(luma) AS INTEGER) AS luma_min,
         |  CAST(max(luma) AS INTEGER) AS luma_max,
