@@ -83,6 +83,80 @@ object JpegCodec {
     baos.toByteArray
   }
 
+  /** Fixture encoder for the Adobe color families the JDK ImageIO
+    * writer cannot produce — 4-component CMYK (`transform` 0) and YCCK
+    * (2), plus 3-component direct RGB (0): a minimal hand-rolled
+    * BASELINE stream (SOF0, every component 1x1 sampling, UNIT
+    * quantization, a 12-symbol fixed-length DC table and an EOB-only
+    * AC table) of FLAT per-component planes behind an APP14 "Adobe"
+    * marker. Flat unit-quantized blocks are DC-only and decode
+    * bit-exactly, so the stored component values round-trip and the
+    * CMYK/YCCK inversions keep integer closed forms. `stored` holds
+    * the per-component SAMPLE values as written (Adobe inverted-ink
+    * convention for CMYK: sample = 255 - ink). */
+  def encodeAdobe(width: Int, height: Int, stored: Array[Int],
+      transform: Int): Array[Byte] = {
+    val n = stored.length
+    require(n == 3 || n == 4, s"encodeAdobe: $n components")
+    require(stored.forall(v => v >= 0 && v <= 255), "sample out of range")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8) // SOI
+    w16(0xffee); w16(14) // APP14 Adobe
+    "Adobe".getBytes("US-ASCII").foreach(b => w8(b))
+    w16(100); w16(0); w16(0); w8(transform)
+    w16(0xffdb); w16(67); w8(0x00) // DQT 0: unit table
+    (0 until 64).foreach(_ => w8(1))
+    w16(0xffc0); w16(8 + 3 * n); w8(8); w16(height); w16(width); w8(n)
+    (1 to n).foreach { id => w8(id); w8(0x11); w8(0) }
+    // DC table 0: symbols 0..11 all at code length 4 (canonical ->
+    // code k for symbol k); AC table 0: the single EOB symbol at
+    // length 1 (code 0)
+    w16(0xffc4); w16(2 + 1 + 16 + 12); w8(0x00)
+    (1 to 16).foreach(l => w8(if (l == 4) 12 else 0))
+    (0 to 11).foreach(w8)
+    w16(0xffc4); w16(2 + 1 + 16 + 1); w8(0x10)
+    (1 to 16).foreach(l => w8(if (l == 1) 1 else 0))
+    w8(0x00)
+    w16(0xffda); w16(6 + 2 * n); w8(n)
+    (1 to n).foreach { id => w8(id); w8(0x00) }
+    w8(0); w8(63); w8(0)
+    // entropy data: MSB-first bit writer with 0xFF byte stuffing
+    var buf = 0; var cnt = 0
+    def putBit(b: Int): Unit = {
+      buf = (buf << 1) | b; cnt += 1
+      if (cnt == 8) {
+        w8(buf)
+        if (buf == 0xff) w8(0x00)
+        buf = 0; cnt = 0
+      }
+    }
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    val mcus = ((width + 7) / 8) * ((height + 7) / 8)
+    var m = 0
+    while (m < mcus) {
+      var c = 0
+      while (c < n) {
+        val diff = if (m == 0) 8 * (stored(c) - 128) else 0
+        var s = 0
+        var mag = math.abs(diff)
+        while (mag > 0) { s += 1; mag >>= 1 }
+        putBits(s, 4) // DC symbol s at canonical code s, length 4
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        putBit(0) // AC: EOB (length-1 code 0)
+        c += 1
+      }
+      m += 1
+    }
+    while (cnt != 0) putBit(1) // pad to byte with 1s
+    w16(0xffd9) // EOI
+    out.toByteArray
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"JPEG: $msg")
 
@@ -400,6 +474,10 @@ object JpegCodec {
     val acTables = new Array[Huff](4)
     var comps: Array[Component] = null
     var progressive = false
+    // Adobe APP14 color-transform flag (0 = CMYK/RGB, 1 = YCbCr,
+    // 2 = YCCK) — the ONLY in-stream signal distinguishing the Adobe
+    // four-component families and 3-component direct RGB
+    var adobeTransform: Option[Int] = None
     var width = 0
     var height = 0
     var restartInterval = 0
@@ -654,8 +732,8 @@ object JpegCodec {
           width = u16(pos + 5)
           if (width == 0 || height == 0) fail("zero dimension in SOF")
           val n = bytes(pos + 7) & 0xff
-          if (n != 1 && n != 3)
-            fail(s"unsupported component count $n (grayscale/YCbCr only)")
+          if (n != 1 && n != 3 && n != 4)
+            fail(s"unsupported component count $n (1/3/4 only)")
           comps = Array.tabulate(n) { i =>
             val off = pos + 8 + 3 * i
             val hv = bytes(off + 1) & 0xff
@@ -738,6 +816,12 @@ object JpegCodec {
           fail(f"lossless/hierarchical SOF 0x$m%02x unsupported")
         case m if m >= 0xc8 && m <= 0xcf =>
           fail(f"arithmetic-coded SOF 0x$m%02x unsupported")
+        case 0xee => // APP14: Adobe color-transform flag (tag-checked)
+          val len = u16(pos)
+          if (len >= 14 &&
+              new String(bytes, pos + 2, 5, "US-ASCII") == "Adobe")
+            adobeTransform = Some(bytes(pos + 13) & 0xff)
+          pos += len
         case _ => // APPn / COM / anything with a length: skip
           pos += u16(pos)
       }
@@ -805,26 +889,59 @@ object JpegCodec {
         y += 1
       }
     } else {
-      val (py, pcb, pcr) = (planes(0), planes(1), planes(2))
+      // Adobe transform semantics (public APP14 note + de facto rule
+      // every decoder follows): 3 components are YCbCr unless APP14
+      // declares 0 (direct RGB); 4 components are Adobe INVERTED CMYK
+      // (sample = 255 - ink), either direct (0 / no marker) or with
+      // C,M,Y carried through the standard YCbCr forward transform
+      // ("YCCK", 2) and K stored untouched. RGB from inverted CMYK is
+      // R = c*k/255 per channel (exact integer, floor). A 4-component
+      // stream declaring YCbCr (1) is structurally broken.
+      val transform4 = if (comps.length == 4) {
+        val t = adobeTransform.getOrElse(0)
+        if (t != 0 && t != 2)
+          fail(s"4-component stream with Adobe transform $t (CMYK/YCCK only)")
+        t
+      } else -1
+      val rgbDirect = comps.length == 3 && adobeTransform.contains(0)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          def sample(ci: Int, p: Array[Int]): Int = {
+          def sample(ci: Int): Int = {
             val sx = x * comps(ci).h / hmax
             val sy = y * comps(ci).v / vmax
-            p(sy * planeW(ci) + sx)
+            planes(ci)(sy * planeW(ci) + sx)
           }
-          val yy = sample(0, py)
-          val cb = sample(1, pcb) - 128
-          val cr = sample(2, pcr) - 128
           def clamp(d: Double): Int = {
             val v = math.round(d).toInt
             if (v < 0) 0 else if (v > 255) 255 else v
           }
-          val r = clamp(yy + 1.402 * cr)
-          val g = clamp(yy - 0.344136 * cb - 0.714136 * cr)
-          val b = clamp(yy + 1.772 * cb)
+          var r = 0; var g = 0; var b = 0
+          if (rgbDirect) {
+            r = sample(0); g = sample(1); b = sample(2)
+          } else if (comps.length == 3) {
+            val yy = sample(0)
+            val cb = sample(1) - 128
+            val cr = sample(2) - 128
+            r = clamp(yy + 1.402 * cr)
+            g = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            b = clamp(yy + 1.772 * cb)
+          } else {
+            val sk = sample(3)
+            var sc = 0; var sm = 0; var sy2 = 0
+            if (transform4 == 2) {
+              val yy = sample(0)
+              val cb = sample(1) - 128
+              val cr = sample(2) - 128
+              sc = clamp(yy + 1.402 * cr)
+              sm = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+              sy2 = clamp(yy + 1.772 * cb)
+            } else {
+              sc = sample(0); sm = sample(1); sy2 = sample(2)
+            }
+            r = sc * sk / 255; g = sm * sk / 255; b = sy2 * sk / 255
+          }
           luma(y * width + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
           x += 1
         }

@@ -455,10 +455,12 @@ object Multimodal {
     }
     val junk = if (id % 3 == 0) Some(Array.fill(((id % 5) + 1).toInt)('A'.toByte))
                else None
-    // stored depth cycles 16 / 24 / 8 bit (r18): 24-bit roundtrips the
+    // stored depth cycles 16 / 24 / 8 / float32 by id mod 4 (r18):
+    // 24-bit and IEEE-float32 (s/32768 is exact binary32) roundtrip the
     // 16-bit logical samples exactly; the 8-bit cohort floor-quantizes
     // to multiples of 256 — the oracle replays the same quantization
-    val bits = (id % 4) match { case 1 => 24; case 2 => 8; case _ => 16 }
+    val bits = (id % 4) match {
+      case 1 => 24; case 2 => 8; case 3 => 32; case _ => 16 }
     WavCodec.decode(WavCodec.encode(8000, 1, samples, junk, bits))
   }
 
@@ -482,6 +484,52 @@ object Multimodal {
       })
       .toDF("doc_id", "n_samples", "energy", "peak", "zero_crossings",
         "active_frames", "duration_deci_ms")
+  }
+
+  /** Deterministic synthetic Adobe-family JPEG per doc id — the three
+    * APP14 color families by id mod 3: inverted-CMYK (transform 0,
+    * 4 components), YCCK (transform 2 — gray CMY rides the YCbCr
+    * inverse exactly at zero chroma, K separate), and 3-component
+    * DIRECT RGB (transform 0). Flat unit-quantized planes decode
+    * bit-exactly, so each doc's single luma value is closed-form. */
+  private def syntheticAdobeJpeg(id: Long): (Int, JpegCodec.Decoded) = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val a = ((id * 31) % 256).toInt
+    val b = ((id * 59 + 7) % 256).toInt
+    val c = ((id * 83 + 13) % 256).toInt
+    val k = ((id * 41 + 99) % 256).toInt
+    val s = ((id * 37) % 256).toInt
+    val sk = ((id * 53 + 11) % 256).toInt
+    val (stored, transform) = (id % 3) match {
+      case 0 => (Array(a, b, c, k), 0)
+      case 1 => (Array(s, 128, 128, sk), 2)
+      case _ => (Array(a, b, c), 0)
+    }
+    val expect = (id % 3) match {
+      case 0 =>
+        val (r, g, bb) = (a * k / 255, b * k / 255, c * k / 255)
+        (299 * r + 587 * g + 114 * bb) / 1000
+      case 1 => s * sk / 255
+      case _ => (299 * a + 587 * b + 114 * c) / 1000
+    }
+    (expect, JpegCodec.decode(JpegCodec.encodeAdobe(w, h, stored, transform)))
+  }
+
+  /** Adobe-family JPEG roundtrip stats (r18): dims, component count,
+    * the decoded (flat) luma value and its w·h-weighted census — the
+    * closed-form side of the CMYK/YCCK/direct-RGB conversion claims. */
+  def jpegCmykRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, dec) = syntheticAdobeJpeg(id)
+        val lum = dec.image.luma.map(_ & 0xff)
+        (id, dec.image.width, dec.image.height, dec.nComponents,
+          lum.min, lum.max, lum.map(_.toLong).sum)
+      })
+      .toDF("doc_id", "width", "height", "n_comp",
+        "luma_min", "luma_max", "luma_sum")
   }
 
   /** Deterministic synthetic WebP per doc id — five encode shapes by

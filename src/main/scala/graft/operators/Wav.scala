@@ -43,7 +43,7 @@ object WavCodec {
     require(tag(payload, 0) == "RIFF", "WAV: bad magic (expected 'RIFF')")
     require(tag(payload, 8) == "WAVE", "WAV: not a WAVE form")
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
     var data: Option[(Int, Int)] = None     // (offset, size)
     while (off + 8 <= payload.length) {
       val id = tag(payload, off)
@@ -54,24 +54,30 @@ object WavCodec {
         case "fmt " =>
           require(size >= 16, s"WAV: fmt chunk $size bytes < 16")
           val audioFormat = le16(payload, off + 8)
-          require(audioFormat == 1,
-            s"WAV: audioFormat $audioFormat unsupported (PCM=1 only)")
-          fmt = Some((le16(payload, off + 10), le32(payload, off + 12),
-            le16(payload, off + 22)))
+          require(audioFormat == 1 || audioFormat == 3,
+            s"WAV: audioFormat $audioFormat unsupported (PCM=1, IEEE float=3)")
+          fmt = Some((audioFormat, le16(payload, off + 10),
+            le32(payload, off + 12), le16(payload, off + 22)))
         case "data" => data = Some((off + 8, size))
         case _      => () // LIST/fact/cue/…: skip, per spec
       }
       off += 8 + size + (size & 1) // RIFF chunks pad to even boundaries
     }
-    val (channels, rate, bits) = fmt.getOrElse(
+    val (format, channels, rate, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV: no fmt chunk"))
-    // the three mainstream PCM depths, per the spec: 8-bit is UNSIGNED
-    // (offset-binary, silence = 0x80), 16/24-bit are SIGNED le two's
+    // integer PCM depths, per the spec: 8-bit is UNSIGNED
+    // (offset-binary, silence = 0x80), 16/24/32-bit are SIGNED le two's
     // complement. All normalize to 16-bit: u8 → (u8−128)·256 (exact),
-    // s24 → top 16 bits (s24 >> 8, arithmetic) — the standard lossy
-    // narrowing every 16-bit audio path applies.
-    require(bits == 8 || bits == 16 || bits == 24,
-      s"WAV: $bits-bit samples unsupported (8/16/24 PCM only)")
+    // s24/s32 → top 16 bits (arithmetic shift) — the standard lossy
+    // narrowing every 16-bit audio path applies. IEEE float (format 3,
+    // r18) is 32-bit only: sample·32768 rounded then clipped, so floats
+    // written as s/32768 (exact in binary32 for |s| < 2^15) round-trip
+    // bit-exactly.
+    if (format == 3)
+      require(bits == 32, s"WAV: $bits-bit IEEE float unsupported (32 only)")
+    else
+      require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+        s"WAV: $bits-bit samples unsupported (8/16/24/32 PCM only)")
     require(channels >= 1, s"WAV: bad channel count $channels")
     val (dOff, dSize) = data.getOrElse(
       throw new IllegalArgumentException("WAV: no data chunk"))
@@ -90,6 +96,12 @@ object WavCodec {
           val s24 = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
             (payload(o + 2) << 16) // sign byte NOT masked: sign-extends
           (s24 >> 8).toShort
+        case 32 if format == 1 => (le32(payload, dOff + 4 * i) >> 16).toShort
+        case _ => // IEEE float32, clipped to the 16-bit range
+          val f = java.lang.Float.intBitsToFloat(le32(payload, dOff + 4 * i))
+          require(!f.isNaN, s"WAV: NaN float sample at $i")
+          val v = math.round(f * 32768.0f)
+          (if (v > 32767) 32767 else if (v < -32768) -32768 else v).toShort
       }
       i += 1
     }
@@ -101,13 +113,14 @@ object WavCodec {
     * skips what it does not understand (with RIFF even-padding).
     * `bits` picks the stored depth — the 16-bit logical samples write
     * as `(s >> 8) + 128` unsigned at 8-bit (floor-quantized to a
-    * multiple of 256 on roundtrip) and `s << 8` signed le24 at 24-bit
-    * (roundtrips exactly). */
+    * multiple of 256 on roundtrip), `s << 8` signed le24 at 24-bit,
+    * and s/32768 binary32 at 32-bit IEEE float (format code 3) — the
+    * last two roundtrip exactly. */
   def encode(sampleRate: Int, channels: Int, samples: Array[Short],
       junkChunk: Option[Array[Byte]] = None, bits: Int = 16): Array[Byte] = {
     require(channels >= 1, s"encode: bad channel count $channels")
-    require(bits == 8 || bits == 16 || bits == 24,
-      s"encode: $bits-bit depth unsupported (8/16/24 PCM only)")
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+      s"encode: $bits-bit depth unsupported (8/16/24 PCM, 32 float)")
     val bytesPer = bits / 8
     val junk = junkChunk.map { j => 8 + j.length + (j.length & 1) }.getOrElse(0)
     val dataSize = samples.length * bytesPer
@@ -133,7 +146,7 @@ object WavCodec {
       off += 8 + j.length + (j.length & 1)
     }
     putTag(off, "fmt "); putLe32(off + 4, 16)
-    putLe16(off + 8, 1) // PCM
+    putLe16(off + 8, if (bits == 32) 3 else 1) // PCM / IEEE float
     putLe16(off + 10, channels)
     putLe32(off + 12, sampleRate)
     putLe32(off + 16, sampleRate * channels * bytesPer) // byte rate
@@ -152,6 +165,9 @@ object WavCodec {
           out(off + 3 * i) = v.toByte
           out(off + 3 * i + 1) = (v >> 8).toByte
           out(off + 3 * i + 2) = (v >> 16).toByte
+        case _ =>
+          val v = java.lang.Float.floatToIntBits(samples(i) / 32768.0f)
+          putLe32(off + 4 * i, v)
       }
       i += 1
     }

@@ -53,6 +53,10 @@ object MultimodalRegistry {
     // luma census plus the position-weighted sum that catches predictor
     // or backref placement bugs, all closed-form
     "q_mm_webp_decode" -> ((s, d) => Multimodal.webpRoundtrip(s, d)),
+    // Adobe APP14 families (r18): inverted-CMYK, YCCK, direct RGB —
+    // flat unit-quantized 3/4-component baseline streams through the
+    // REAL decode path; the conversion arithmetic is the closed form
+    "q_mm_jpeg_cmyk" -> ((s, d) => Multimodal.jpegCmykRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 8/16/24-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -258,6 +262,35 @@ object MultimodalRegistry {
         |  CAST(max(luma) AS INTEGER) AS luma_max,
         |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
         |FROM l GROUP BY doc_id""".stripMargin,
+    // Adobe-family luma replayed from the stored-sample closed forms:
+    // CMYK R = sc*sk // 255 per channel; YCCK at zero chroma returns
+    // the gray CMY exactly so luma = s*sk // 255; direct RGB is Rec.601
+    // straight off the samples; flat image -> sum = w*h*luma
+    "q_mm_jpeg_cmyk" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS w,
+        |    CAST(8 + doc_id % 7 AS INT) AS h,
+        |    CAST(doc_id % 3 AS INT) AS fam,
+        |    (doc_id * 31) % 256 AS a,
+        |    (doc_id * 59 + 7) % 256 AS b,
+        |    (doc_id * 83 + 13) % 256 AS c,
+        |    (doc_id * 41 + 99) % 256 AS k,
+        |    (doc_id * 37) % 256 AS s,
+        |    (doc_id * 53 + 11) % 256 AS sk
+        |  FROM documents),
+        |l AS (SELECT doc_id, w, h, fam,
+        |    CASE fam
+        |      WHEN 0 THEN (299 * ((a * k) // 255) + 587 * ((b * k) // 255)
+        |        + 114 * ((c * k) // 255)) // 1000
+        |      WHEN 1 THEN (s * sk) // 255
+        |      ELSE (299 * a + 587 * b + 114 * c) // 1000 END AS luma
+        |  FROM d)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(CASE WHEN fam = 2 THEN 3 ELSE 4 END AS INTEGER) AS n_comp,
+        |  CAST(luma AS INTEGER) AS luma_min,
+        |  CAST(luma AS INTEGER) AS luma_max,
+        |  CAST(w * h * luma AS BIGINT) AS luma_sum
+        |FROM l""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

@@ -347,4 +347,55 @@ class JpegSpec extends AnyFunSuite {
         .getMessage.contains("type/count"), s"type=$t be=$be")
     }
   }
+
+  test("Adobe CMYK (transform 0): inverted-ink samples convert exactly") {
+    // stored samples = 255 - ink; flat unit-quantized planes decode
+    // bit-exactly, so luma has an integer closed form
+    for ((sc, sm, sy, sk) <- Seq((255, 255, 255, 255), // white
+        (255, 255, 255, 0),                            // full K: black
+        (200, 100, 50, 230), (0, 128, 255, 77))) {
+      val d = JpegCodec.decode(JpegCodec.encodeAdobe(13, 9,
+        Array(sc, sm, sy, sk), transform = 0))
+      assert(d.nComponents == 4)
+      assert(d.image.width == 13 && d.image.height == 9)
+      val r = sc * sk / 255; val g = sm * sk / 255; val b = sy * sk / 255
+      val expect = (299 * r + 587 * g + 114 * b) / 1000
+      assert(d.image.luma.forall(l => (l & 0xff) == expect),
+        s"($sc,$sm,$sy,$sk): got ${d.image.luma(0) & 0xff}, want $expect")
+    }
+  }
+
+  test("Adobe YCCK (transform 2): gray-CMY via the YCbCr inverse, K untouched") {
+    // stored (y, cb, cr, k) = (s, 128, 128, sk): the YCbCr inverse
+    // returns c = m = y = s exactly (zero chroma), then R = s*sk/255
+    for ((s, sk) <- Seq((255, 255), (180, 200), (64, 100), (10, 255))) {
+      val d = JpegCodec.decode(JpegCodec.encodeAdobe(17, 8,
+        Array(s, 128, 128, sk), transform = 2))
+      assert(d.nComponents == 4)
+      val c = s * sk / 255
+      val expect = (299 * c + 587 * c + 114 * c) / 1000
+      assert(d.image.luma.forall(l => (l & 0xff) == expect),
+        s"($s,$sk): got ${d.image.luma(0) & 0xff}, want $expect")
+    }
+  }
+
+  test("Adobe 3-component transform 0 decodes as DIRECT RGB") {
+    val (r, g, b) = (40, 90, 200)
+    val d = JpegCodec.decode(JpegCodec.encodeAdobe(8, 8,
+      Array(r, g, b), transform = 0))
+    assert(d.nComponents == 3)
+    val expect = (299 * r + 587 * g + 114 * b) / 1000
+    assert(d.image.luma.forall(l => (l & 0xff) == expect))
+    // the same samples WITHOUT the RGB flag would pass through the
+    // YCbCr inverse and land elsewhere — prove the flag is load-bearing
+    val ycc = JpegCodec.decode(JpegCodec.encodeAdobe(8, 8,
+      Array(r, g, b), transform = 1))
+    assert((ycc.image.luma(0) & 0xff) != expect)
+  }
+
+  test("4-component stream declaring YCbCr (transform 1) refuses") {
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(
+      JpegCodec.encodeAdobe(8, 8, Array(1, 2, 3, 4), transform = 1)))
+    assert(e.getMessage.contains("transform 1"))
+  }
 }

@@ -83,13 +83,15 @@ class WavSpec extends AnyFunSuite {
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     assert(intercept[IllegalArgumentException](WavCodec.decode(badMagic))
       .getMessage.contains("magic"))
-    // audioFormat=3 (IEEE float) at the fmt chunk's first payload bytes
-    val float = good.clone(); float(20) = 3
-    assert(intercept[IllegalArgumentException](WavCodec.decode(float))
+    // audioFormat=2 (ADPCM) at the fmt chunk's first payload bytes —
+    // format 3 (IEEE float) became legal in r18, compressed still refuses
+    val adpcm = good.clone(); adpcm(20) = 2
+    assert(intercept[IllegalArgumentException](WavCodec.decode(adpcm))
       .getMessage.contains("audioFormat"))
-    val thirtyTwo = good.clone(); thirtyTwo(34) = 32
-    assert(intercept[IllegalArgumentException](WavCodec.decode(thirtyTwo))
-      .getMessage.contains("8/16/24"))
+    // format 3 with a non-32 depth refuses by name
+    val float16 = good.clone(); float16(20) = 3
+    assert(intercept[IllegalArgumentException](WavCodec.decode(float16))
+      .getMessage.contains("32 only"))
     // a 12-bit depth (no real encoder, but structurally representable)
     val twelve = good.clone(); twelve(34) = 12
     assert(intercept[IllegalArgumentException](WavCodec.decode(twelve))
@@ -128,5 +130,54 @@ class WavSpec extends AnyFunSuite {
   test("stereo duration divides sample count by channel count") {
     val f = WavCodec.features(WavCodec.Pcm(8000, 2, clip(32)), 1L)
     assert(f.durationDeciMs == 16L * 10000L / 8000L)
+  }
+
+  test("IEEE float32 (format 3) roundtrips the logical samples exactly") {
+    // s/32768 is exact in binary32 for |s| < 2^15, so encode→decode is
+    // the identity — including the extremes
+    val s = (Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue) ++
+      clip(59)).toArray
+    val pcm = WavCodec.decode(WavCodec.encode(8000, 1, s, bits = 32))
+    assert(pcm.bits == 32)
+    assert(pcm.samples.toSeq == s.toSeq)
+  }
+
+  test("float32 out-of-range and NaN samples: clip and refuse") {
+    // hand-build a 2-sample float stream: +2.0 (clips to 32767) and NaN
+    def stream(second: Float): Array[Byte] = {
+      val base = WavCodec.encode(8000, 1, Array[Short](0, 0), bits = 32)
+      val dOff = base.length - 8
+      def put(off: Int, f: Float): Unit = {
+        val v = java.lang.Float.floatToIntBits(f)
+        base(off) = v.toByte; base(off + 1) = (v >> 8).toByte
+        base(off + 2) = (v >> 16).toByte; base(off + 3) = (v >> 24).toByte
+      }
+      put(dOff, 2.0f); put(dOff + 4, second)
+      base
+    }
+    val clipped = WavCodec.decode(stream(-2.0f))
+    assert(clipped.samples.toSeq == Seq[Short](32767, -32768))
+    assert(intercept[IllegalArgumentException](
+      WavCodec.decode(stream(Float.NaN))).getMessage.contains("NaN"))
+  }
+
+  test("32-bit integer PCM (format 1) narrows to the top 16 bits") {
+    // hand-patch an s32 stream: encode float32 then flip the format
+    // code back to 1 — the same 4-byte layout reads as int32
+    val base = WavCodec.encode(8000, 1, Array[Short](0), bits = 32)
+    val fmtOff = 12 + 8 // "fmt " chunk payload
+    base(fmtOff) = 1
+    val dOff = base.length - 4
+    val v = 0x7a3b1234 // int32 sample -> expect 0x7a3b
+    base(dOff) = v.toByte; base(dOff + 1) = (v >> 8).toByte
+    base(dOff + 2) = (v >> 16).toByte; base(dOff + 3) = (v >> 24).toByte
+    assert(WavCodec.decode(base).samples.toSeq == Seq[Short](0x7a3b))
+  }
+
+  test("float64 (format 3, 64-bit) refuses loudly") {
+    val base = WavCodec.encode(8000, 1, Array[Short](0), bits = 32)
+    base(12 + 8 + 14) = 64 // bits-per-sample field
+    val e = intercept[IllegalArgumentException](WavCodec.decode(base))
+    assert(e.getMessage.contains("32 only"))
   }
 }
