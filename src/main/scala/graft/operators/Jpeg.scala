@@ -21,8 +21,8 @@ package graft.operators
   * reconstructs the planes.
   *
   * Decode FAILS LOUDLY on everything else — arithmetic coding
-  * (SOF9+), hierarchical, lossless, 12-bit precision, unknown
-  * component counts, truncated scans, invalid Huffman codes — per the
+  * (SOF9+), hierarchical, lossless, 12-bit baseline/progressive,
+  * unknown component counts, truncated scans, invalid codes — per the
   * engine-wide loud-failure discipline: a real corpus routes failures
   * to a counted quarantine, never silently fakes pixels.
   *
@@ -93,29 +93,41 @@ object JpegCodec {
     * bit-exactly, so the stored component values round-trip and the
     * CMYK/YCCK inversions keep integer closed forms. `stored` holds
     * the per-component SAMPLE values as written (Adobe inverted-ink
-    * convention for CMYK: sample = 255 - ink). */
+    * convention for CMYK: sample = 255 - ink). `precision` 12 writes
+    * an EXTENDED SEQUENTIAL (SOF1) stream — the only frame type T.81
+    * allows 12-bit samples in — with level shift 2048 and a 16-symbol
+    * length-5 DC table (12-bit DC diffs reach category 14); transform
+    * < 0 omits the APP14 marker entirely (plain grayscale/YCbCr). */
   def encodeAdobe(width: Int, height: Int, stored: Array[Int],
-      transform: Int): Array[Byte] = {
+      transform: Int, precision: Int = 8): Array[Byte] = {
     val n = stored.length
-    require(n == 3 || n == 4, s"encodeAdobe: $n components")
-    require(stored.forall(v => v >= 0 && v <= 255), "sample out of range")
+    require(n == 1 || n == 3 || n == 4, s"encodeAdobe: $n components")
+    require(precision == 8 || precision == 12, s"precision $precision")
+    val maxVal = (1 << precision) - 1
+    require(stored.forall(v => v >= 0 && v <= maxVal), "sample out of range")
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
     w16(0xffd8) // SOI
-    w16(0xffee); w16(14) // APP14 Adobe
-    "Adobe".getBytes("US-ASCII").foreach(b => w8(b))
-    w16(100); w16(0); w16(0); w8(transform)
+    if (transform >= 0) {
+      w16(0xffee); w16(14) // APP14 Adobe
+      "Adobe".getBytes("US-ASCII").foreach(b => w8(b))
+      w16(100); w16(0); w16(0); w8(transform)
+    }
     w16(0xffdb); w16(67); w8(0x00) // DQT 0: unit table
     (0 until 64).foreach(_ => w8(1))
-    w16(0xffc0); w16(8 + 3 * n); w8(8); w16(height); w16(width); w8(n)
+    // 8-bit -> baseline SOF0; 12-bit -> extended sequential SOF1
+    w16(if (precision == 12) 0xffc1 else 0xffc0)
+    w16(8 + 3 * n); w8(precision); w16(height); w16(width); w8(n)
     (1 to n).foreach { id => w8(id); w8(0x11); w8(0) }
-    // DC table 0: symbols 0..11 all at code length 4 (canonical ->
-    // code k for symbol k); AC table 0: the single EOB symbol at
+    // DC table 0: all categories at one fixed code length (canonical ->
+    // code k for symbol k): 12 symbols at length 4 for 8-bit, 16 at
+    // length 5 for 12-bit; AC table 0: the single EOB symbol at
     // length 1 (code 0)
-    w16(0xffc4); w16(2 + 1 + 16 + 12); w8(0x00)
-    (1 to 16).foreach(l => w8(if (l == 4) 12 else 0))
-    (0 to 11).foreach(w8)
+    val (dcSyms, dcLen) = if (precision == 12) (16, 5) else (12, 4)
+    w16(0xffc4); w16(2 + 1 + 16 + dcSyms); w8(0x00)
+    (1 to 16).foreach(l => w8(if (l == dcLen) dcSyms else 0))
+    (0 until dcSyms).foreach(w8)
     w16(0xffc4); w16(2 + 1 + 16 + 1); w8(0x10)
     (1 to 16).foreach(l => w8(if (l == 1) 1 else 0))
     w8(0x00)
@@ -136,16 +148,17 @@ object JpegCodec {
       var i = len - 1
       while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
     }
+    val shift = 1 << (precision - 1)
     val mcus = ((width + 7) / 8) * ((height + 7) / 8)
     var m = 0
     while (m < mcus) {
       var c = 0
       while (c < n) {
-        val diff = if (m == 0) 8 * (stored(c) - 128) else 0
+        val diff = if (m == 0) 8 * (stored(c) - shift) else 0
         var s = 0
         var mag = math.abs(diff)
         while (mag > 0) { s += 1; mag >>= 1 }
-        putBits(s, 4) // DC symbol s at canonical code s, length 4
+        putBits(s, dcLen) // DC symbol s at canonical code s
         if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
         putBit(0) // AC: EOB (length-1 code 0)
         c += 1
@@ -421,8 +434,11 @@ object JpegCodec {
     t
   }
 
-  /** coef (natural order) → 8x8 spatial samples, level-shifted + clamped. */
-  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+  /** coef (natural order) → 8x8 spatial samples, level-shifted +
+    * clamped: shift/max are 128/255 at 8-bit precision, 2048/4095 at
+    * 12-bit (extended sequential). */
+  private def idct(coef: Array[Int], out: Array[Int], shift: Int,
+      maxVal: Int): Unit = {
     val tmp = new Array[Double](64)
     // rows: 1-D IDCT over u for each v
     var v = 0
@@ -445,8 +461,8 @@ object JpegCodec {
         var s = 0.0
         var vv = 0
         while (vv < 8) { s += tmp(vv * 8 + x) * CosTable(vv * 8 + y); vv += 1 }
-        val p = math.round(s / 4.0 + 128.0).toInt
-        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        val p = math.round(s / 4.0 + shift).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > maxVal) maxVal else p
         y += 1
       }
       x += 1
@@ -478,6 +494,7 @@ object JpegCodec {
     // 2 = YCCK) — the ONLY in-stream signal distinguishing the Adobe
     // four-component families and 3-component direct RGB
     var adobeTransform: Option[Int] = None
+    var precision = 8
     var width = 0
     var height = 0
     var restartInterval = 0
@@ -523,7 +540,9 @@ object JpegCodec {
         if (dcT == null || acT == null)
           fail(s"component ${c.id} references a missing Huffman table")
         val s = dcT.decode(in)
-        if (s > 11) fail(s"DC magnitude $s out of range")
+        // T.81: DC diff categories reach 11 at 8-bit, 15 at 12-bit
+        if (s > (if (precision == 12) 15 else 11))
+          fail(s"DC magnitude $s out of range")
         preds(ci) += extend(in.bits(s), s)
         coefs(ci)(off) = preds(ci)
         var k = 1
@@ -726,8 +745,14 @@ object JpegCodec {
           // decode path at 8-bit) / SOF2 progressive
           progressive = m == 0xc2
           val len = u16(pos)
-          val precision = bytes(pos + 2) & 0xff
-          if (precision != 8) fail(s"unsupported precision $precision (8 only)")
+          precision = bytes(pos + 2) & 0xff
+          // 12-bit sample precision is legal ONLY for extended
+          // sequential (SOF1) and progressive per T.81; baseline is
+          // 8-bit by definition. Progressive-12 stays refused (its
+          // successive-approximation ranges are untested here).
+          if (precision != 8 && !(precision == 12 && m == 0xc1))
+            fail(s"unsupported precision $precision for SOF 0x" +
+              f"$m%02x (8, or 12 with SOF1)")
           height = u16(pos + 3)
           width = u16(pos + 5)
           if (width == 0 || height == 0) fail("zero dimension in SOF")
@@ -857,13 +882,17 @@ object JpegCodec {
             coef(ZigZag(k)) = coefs(ci)(off + ZigZag(k)) * q(k)
             k += 1
           }
-          idct(coef, block)
+          idct(coef, block, if (precision == 12) 2048 else 128,
+            if (precision == 12) 4095 else 255)
           var yy = 0
           while (yy < 8) {
             var xx = 0
             while (xx < 8) {
+              // 12-bit planes narrow to the shared 8-bit luma path at
+              // the standard top-8-bits scaling
+              val v = block(yy * 8 + xx)
               planes(ci)((row * 8 + yy) * pw + colB * 8 + xx) =
-                block(yy * 8 + xx)
+                if (precision == 12) v >> 4 else v
               xx += 1
             }
             yy += 1

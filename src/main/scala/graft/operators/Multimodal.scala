@@ -516,6 +516,29 @@ object Multimodal {
     (expect, JpegCodec.decode(JpegCodec.encodeAdobe(w, h, stored, transform)))
   }
 
+  /** 12-bit extended-sequential roundtrip stats (r18): flat 12-bit
+    * planes (grayscale on even ids; zero-chroma YCbCr on odd) decode
+    * bit-exactly at 12-bit then narrow to the shared 8-bit luma path
+    * at the standard top-8-bits scaling — luma = v >> 4, closed form. */
+  def jpeg12Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val stored =
+          if (id % 2 == 0) Array(((id * 97 + 5) % 4096).toInt)
+          else Array(((id * 61 + 31) % 4096).toInt, 2048, 2048)
+        val dec = JpegCodec.decode(JpegCodec.encodeAdobe(w, h, stored,
+          transform = -1, precision = 12))
+        val lum = dec.image.luma.map(_ & 0xff)
+        (id, dec.image.width, dec.image.height, dec.nComponents,
+          lum.min, lum.max, lum.map(_.toLong).sum)
+      })
+      .toDF("doc_id", "width", "height", "n_comp",
+        "luma_min", "luma_max", "luma_sum")
+  }
+
   /** Adobe-family JPEG roundtrip stats (r18): dims, component count,
     * the decoded (flat) luma value and its w·h-weighted census — the
     * closed-form side of the CMYK/YCCK/direct-RGB conversion claims. */

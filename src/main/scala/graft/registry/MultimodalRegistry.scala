@@ -57,6 +57,9 @@ object MultimodalRegistry {
     // flat unit-quantized 3/4-component baseline streams through the
     // REAL decode path; the conversion arithmetic is the closed form
     "q_mm_jpeg_cmyk" -> ((s, d) => Multimodal.jpegCmykRoundtrip(s, d)),
+    // 12-bit extended sequential (r18): SOF1 streams at precision 12
+    // through the real Huffman/IDCT path, narrowed to 8-bit luma
+    "q_mm_jpeg_12bit" -> ((s, d) => Multimodal.jpeg12Roundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 8/16/24-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -291,6 +294,22 @@ object MultimodalRegistry {
         |  CAST(luma AS INTEGER) AS luma_max,
         |  CAST(w * h * luma AS BIGINT) AS luma_sum
         |FROM l""".stripMargin,
+    // 12-bit luma replayed from the closed form: v >> 4 on the flat
+    // stored value (gray even ids, zero-chroma YCbCr odd ids)
+    "q_mm_jpeg_12bit" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS w,
+        |    CAST(8 + doc_id % 7 AS INT) AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id * 97 + 5) % 4096
+        |      ELSE (doc_id * 61 + 31) % 4096 END AS v
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER)
+        |    AS n_comp,
+        |  CAST(v // 16 AS INTEGER) AS luma_min,
+        |  CAST(v // 16 AS INTEGER) AS luma_max,
+        |  CAST(w * h * (v // 16) AS BIGINT) AS luma_sum
+        |FROM d""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

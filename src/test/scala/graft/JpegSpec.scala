@@ -398,4 +398,38 @@ class JpegSpec extends AnyFunSuite {
       JpegCodec.encodeAdobe(8, 8, Array(1, 2, 3, 4), transform = 1)))
     assert(e.getMessage.contains("transform 1"))
   }
+
+  test("12-bit extended sequential: grayscale narrows to the top 8 bits") {
+    // flat 12-bit values hit every >>4 bucket boundary: the DC-only
+    // block reconstructs v exactly at 12-bit then narrows
+    for (v <- Seq(0, 15, 16, 2048, 4080, 4095)) {
+      val d = JpegCodec.decode(JpegCodec.encodeAdobe(11, 9, Array(v),
+        transform = -1, precision = 12))
+      assert(d.nComponents == 1)
+      assert(d.image.luma.forall(l => (l & 0xff) == (v >> 4)),
+        s"v=$v: got ${d.image.luma(0) & 0xff}, want ${v >> 4}")
+    }
+  }
+
+  test("12-bit YCbCr at zero chroma converts exactly after narrowing") {
+    // stored (y, 2048, 2048): planes narrow to (y>>4, 128, 128), the
+    // YCbCr inverse is the identity at zero chroma
+    for (y12 <- Seq(160, 2048, 4000)) {
+      val d = JpegCodec.decode(JpegCodec.encodeAdobe(9, 8,
+        Array(y12, 2048, 2048), transform = -1, precision = 12))
+      assert(d.nComponents == 3)
+      assert(d.image.luma.forall(l => (l & 0xff) == (y12 >> 4)))
+    }
+  }
+
+  test("12-bit baseline (SOF0) refuses; 8-bit SOF1 stays legal") {
+    // hand-flip the SOF marker on a 12-bit SOF1 stream back to SOF0
+    val ok = JpegCodec.encodeAdobe(8, 8, Array(1000), transform = -1,
+      precision = 12)
+    var i = 2
+    while (!((ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc1)) i += 1
+    val bad = ok.clone(); bad(i + 1) = 0xc0.toByte
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("12"))
+  }
 }
