@@ -170,6 +170,102 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Fixture encoder for LOSSLESS JPEG (SOF3, r18): single-component
+    * P-bit samples, predictor 1-7, optional point transform — per-
+    * sample residual coding with a 17-symbol length-5 category table
+    * (category 16 = diff 32768 with no magnitude bits), optional DRI
+    * restarts. Lossless streams round-trip EXACTLY by construction, so
+    * fixtures can carry full 2-D gradients, not just flat planes.
+    * `sample(x, y)` must return stored (post-point-transform) values
+    * in [0, 2^(precision-pt)). */
+  def encodeLossless(width: Int, height: Int, precision: Int,
+      predictor: Int, sample: (Int, Int) => Int, pt: Int = 0,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(precision >= 2 && precision <= 16, s"precision $precision")
+    require(predictor >= 1 && predictor <= 7, s"predictor $predictor")
+    require(pt >= 0 && pt < precision, s"pt $pt")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8)
+    if (restartInterval > 0) { w16(0xffdd); w16(4); w16(restartInterval) }
+    // DC-class table 0: categories 0..16 at length 5 (code = symbol)
+    w16(0xffc4); w16(2 + 1 + 16 + 17); w8(0x00)
+    (1 to 16).foreach(l => w8(if (l == 5) 17 else 0))
+    (0 to 16).foreach(w8)
+    w16(0xffc3); w16(11); w8(precision); w16(height); w16(width); w8(1)
+    w8(1); w8(0x11); w8(0)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00)
+    w8(predictor); w8(0); w8(pt) // ss = predictor, se = 0, ah.al = 0.pt
+    var buf = 0; var cnt = 0
+    def putBit(b: Int): Unit = {
+      buf = (buf << 1) | b; cnt += 1
+      if (cnt == 8) { w8(buf); if (buf == 0xff) w8(0x00); buf = 0; cnt = 0 }
+    }
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def flushAndRst(n: Int): Unit = {
+      while (cnt != 0) putBit(1)
+      w16(0xffd0 + n)
+    }
+    val defaultPred = 1 << (precision - pt - 1)
+    val maxStored = (1 << (precision - pt)) - 1
+    val sm = new Array[Int](width * height)
+    var rst = 0
+    var sinceRestart = 0
+    var resetNext = false
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          flushAndRst(rst); rst = (rst + 1) & 7; sinceRestart = 0
+          resetNext = true
+        }
+        val i = y * width + x
+        val v = sample(x, y)
+        require(v >= 0 && v <= maxStored, s"sample($x,$y) = $v out of range")
+        sm(i) = v
+        val pred =
+          if (resetNext || (x == 0 && y == 0)) defaultPred
+          else if (y == 0) sm(i - 1)
+          else if (x == 0) sm(i - width)
+          else {
+            val a = sm(i - 1); val b = sm(i - width)
+            val c = sm(i - width - 1)
+            predictor match {
+              case 1 => a
+              case 2 => b
+              case 3 => c
+              case 4 => a + b - c
+              case 5 => a + ((b - c) >> 1)
+              case 6 => b + ((a - c) >> 1)
+              case _ => (a + b) >> 1
+            }
+          }
+        resetNext = false
+        val d0 = (v - pred) & 0xffff
+        val d = if (d0 >= 32768) d0 - 65536 else d0
+        if (d == -32768) putBits(16, 5) // category 16: no magnitude bits
+        else {
+          var ss = 0
+          var mag = math.abs(d)
+          while (mag > 0) { ss += 1; mag >>= 1 }
+          putBits(ss, 5)
+          if (ss > 0) putBits(if (d >= 0) d else d + (1 << ss) - 1, ss)
+        }
+        sinceRestart += 1
+        x += 1
+      }
+      y += 1
+    }
+    while (cnt != 0) putBit(1)
+    w16(0xffd9)
+    out.toByteArray
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"JPEG: $msg")
 
@@ -495,6 +591,11 @@ object JpegCodec {
     // four-component families and 3-component direct RGB
     var adobeTransform: Option[Int] = None
     var precision = 8
+    var lossless = false
+    // lossless (SOF3) decodes predictor residuals straight into this
+    // sample raster — no blocks, no DCT, no quantization
+    var losslessSamples: Array[Int] = null
+    var losslessPt = 0
     var width = 0
     var height = 0
     var restartInterval = 0
@@ -726,6 +827,61 @@ object JpegCodec {
       in.pos
     }
 
+    /** Decode ONE lossless scan (T.81 Annex H, r18): per-sample DC-style
+      * Huffman residuals over raster order, prediction from the STORED
+      * (point-transformed) neighbors a/b/c, mod-2^16 arithmetic, s=16
+      * meaning diff 32768. DRI restarts byte-align, consume RSTn, and
+      * reset the prediction to the scan-start default. */
+    def decodeLosslessScan(start: Int, c: Component, predictor: Int,
+        pt: Int): Int = {
+      val dcT = dcTables(c.dcTable)
+      if (dcT == null) fail(s"component ${c.id} references a missing table")
+      val in = new BitReader(bytes, start)
+      val defaultPred = 1 << (precision - pt - 1)
+      val sm = losslessSamples
+      var rst = 0
+      var sinceRestart = 0
+      var resetNext = false
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            in.restart(rst); rst = (rst + 1) & 7; sinceRestart = 0
+            resetNext = true
+          }
+          val i = y * width + x
+          val pred =
+            if (resetNext || (x == 0 && y == 0)) defaultPred
+            else if (y == 0) sm(i - 1)
+            else if (x == 0) sm(i - width)
+            else {
+              val a = sm(i - 1); val b = sm(i - width)
+              val cc = sm(i - width - 1)
+              predictor match {
+                case 1 => a
+                case 2 => b
+                case 3 => cc
+                case 4 => a + b - cc
+                case 5 => a + ((b - cc) >> 1)
+                case 6 => b + ((a - cc) >> 1)
+                case _ => (a + b) >> 1
+              }
+            }
+          resetNext = false
+          val ssss = dcT.decode(in)
+          if (ssss > 16) fail(s"lossless magnitude $ssss out of range")
+          val diff = if (ssss == 16) 32768 else extend(in.bits(ssss), ssss)
+          sm(i) = (pred + diff) & 0xffff
+          sinceRestart += 1
+          x += 1
+        }
+        y += 1
+      }
+      in.align()
+      in.pos
+    }
+
     var sawEoi = false
     while (!sawEoi) {
       if (pos + 1 >= bytes.length) fail("truncated before EOI")
@@ -829,6 +985,15 @@ object JpegCodec {
           val se = bytes(pos + 4 + 2 * ns) & 0xff
           val aa = bytes(pos + 5 + 2 * ns) & 0xff
           val (ah, al) = (aa >> 4, aa & 0xf)
+          if (lossless) {
+            // ss = predictor selection, al = point transform (Pt)
+            if (ss < 1 || ss > 7) fail(s"lossless predictor $ss out of [1, 7]")
+            if (se != 0 || ah != 0) fail("bad lossless scan params")
+            if (al >= precision) fail(s"point transform $al >= $precision")
+            losslessPt = al
+            scansSeen += 1
+            pos = decodeLosslessScan(pos + len, scanComps.head, ss, al)
+          } else {
           if (ss > 63 || se > 63 || se < ss)
             fail(s"bad spectral selection [$ss, $se]")
           if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
@@ -837,8 +1002,27 @@ object JpegCodec {
             fail("progressive AC scan over multiple components")
           scansSeen += 1
           pos = decodeScan(pos + len, scanComps, ss, se, ah, al)
-        case m if m == 0xc3 || (m >= 0xc5 && m <= 0xc7) =>
-          fail(f"lossless/hierarchical SOF 0x$m%02x unsupported")
+          }
+        case 0xc3 => // LOSSLESS sequential Huffman (T.81 Annex H, r18)
+          lossless = true
+          val len = u16(pos)
+          precision = bytes(pos + 2) & 0xff
+          if (precision < 2 || precision > 16)
+            fail(s"lossless precision $precision out of [2, 16]")
+          height = u16(pos + 3)
+          width = u16(pos + 5)
+          if (width == 0 || height == 0) fail("zero dimension in SOF")
+          val n = bytes(pos + 7) & 0xff
+          // scope: single-component (grayscale) lossless — the DNG/
+          // medical shape; multi-component interleaved MCUs refuse
+          if (n != 1) fail(s"lossless with $n components unsupported (1 only)")
+          comps = Array(Component(bytes(pos + 8) & 0xff, 1, 1, 0, idx = 0))
+          val hv = bytes(pos + 9) & 0xff
+          if (hv != 0x11) fail(f"lossless sampling 0x$hv%02x != 1x1")
+          losslessSamples = new Array[Int](width * height)
+          pos += len
+        case m if m >= 0xc5 && m <= 0xc7 =>
+          fail(f"hierarchical SOF 0x$m%02x unsupported")
         case m if m >= 0xc8 && m <= 0xcf =>
           fail(f"arithmetic-coded SOF 0x$m%02x unsupported")
         case 0xee => // APP14: Adobe color-transform flag (tag-checked)
@@ -850,6 +1034,24 @@ object JpegCodec {
         case _ => // APPn / COM / anything with a length: skip
           pos += u16(pos)
       }
+    }
+
+    if (lossless) {
+      // no blocks, no DCT: undo the point transform (output = stored
+      // << Pt per H.1), then narrow/widen the P-bit value to the
+      // shared 8-bit luma grid
+      val luma = new Array[Byte](width * height)
+      var i = 0
+      while (i < luma.length) {
+        val full = losslessSamples(i) << losslessPt
+        val scaled =
+          if (precision >= 8) full >> (precision - 8)
+          else full << (8 - precision)
+        luma(i) = (if (scaled > 255) 255 else if (scaled < 0) 0
+          else scaled).toByte
+        i += 1
+      }
+      return Decoded(BmpCodec.Image(width, height, luma), 1)
     }
 
     // reconstruct: one dequant + IDCT pass over the accumulated

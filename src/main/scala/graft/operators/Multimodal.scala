@@ -539,6 +539,32 @@ object Multimodal {
         "luma_min", "luma_max", "luma_sum")
   }
 
+  /** Lossless-JPEG (SOF3) roundtrip stats (r18): full 2-D gradients —
+    * lossless streams roundtrip exactly, so the fixtures are NOT flat:
+    * predictor cycles 1-7 by id, precision cycles 8/12/16, and the
+    * position-weighted luma sum catches any predictor or restart
+    * misplacement a flat fixture would hide. */
+  def jpegLosslessRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (5 + id % 12).toInt
+        val h = (5 + id % 9).toInt
+        val pred = (1 + id % 7).toInt
+        val p = Array(8, 12, 16)(((id / 7) % 3).toInt)
+        val mod = 1 << p
+        val dec = JpegCodec.decode(JpegCodec.encodeLossless(w, h, p, pred,
+          (x, y) => ((id * 3 + x * 37 + y * 91) % mod).toInt))
+        val lum = dec.image.luma.map(_ & 0xff)
+        val wsum = lum.zipWithIndex
+          .map { case (l, i) => (i + 1).toLong * l }.sum
+        (id, dec.image.width, dec.image.height,
+          lum.min, lum.max, lum.map(_.toLong).sum, wsum)
+      })
+      .toDF("doc_id", "width", "height",
+        "luma_min", "luma_max", "luma_sum", "luma_wsum")
+  }
+
   /** Adobe-family JPEG roundtrip stats (r18): dims, component count,
     * the decoded (flat) luma value and its w·h-weighted census — the
     * closed-form side of the CMYK/YCCK/direct-RGB conversion claims. */

@@ -60,6 +60,10 @@ object MultimodalRegistry {
     // 12-bit extended sequential (r18): SOF1 streams at precision 12
     // through the real Huffman/IDCT path, narrowed to 8-bit luma
     "q_mm_jpeg_12bit" -> ((s, d) => Multimodal.jpeg12Roundtrip(s, d)),
+    // LOSSLESS SOF3 (r18): predictor residual coding over real 2-D
+    // gradients (exact roundtrip, so nothing need be flat); the
+    // weighted sum pins sample placement
+    "q_mm_jpeg_lossless" -> ((s, d) => Multimodal.jpegLosslessRoundtrip(s, d)),
     // REAL audio codec roundtrip: synthetic 8/16/24-bit PCM encoded to
     // RIFF/WAVE (junk LIST chunks planted on every 3rd doc) then decoded
     // by the real parser; integer-exact energy/peak/zc/VAD features —
@@ -310,6 +314,25 @@ object MultimodalRegistry {
         |  CAST(v // 16 AS INTEGER) AS luma_max,
         |  CAST(w * h * (v // 16) AS BIGINT) AS luma_sum
         |FROM d""".stripMargin,
+    // lossless luma replayed pixel-by-pixel: v = (id*3+x*37+y*91) mod
+    // 2^p narrowed by the top-8-bits rule; p cycles 8/12/16 by id//7
+    "q_mm_jpeg_lossless" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(5 + doc_id % 12 AS INT) AS w,
+        |    CAST(5 + doc_id % 9 AS INT) AS h,
+        |    CASE CAST((doc_id // 7) % 3 AS INT) WHEN 0 THEN 256
+        |      WHEN 1 THEN 4096 ELSE 65536 END AS md
+        |  FROM documents),
+        |l AS (SELECT doc_id, w, h, r.range AS i,
+        |    ((doc_id * 3 + (r.range % w) * 37 + (r.range // w) * 91) % md)
+        |      // (md // 256) AS luma
+        |  FROM d, range(0, 208) r WHERE r.range < w * h)
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
+        |FROM l GROUP BY doc_id""".stripMargin,
     // WAV features replayed from the sample closed form: v(i) =
     // (id*13 + i^2*3 + i*11) mod 4096 - 2048 over n = 96 + id mod 64
     // samples; energy/zc/peak exact integers, frames of 16 by i // 16,

@@ -422,6 +422,67 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("LOSSLESS (SOF3): every predictor round-trips 2-D gradients exactly") {
+    for (pred <- 1 to 7; p <- Seq(8, 12, 16)) {
+      val max = (1 << p) - 1
+      def px(x: Int, y: Int): Int = (x * 37 + y * 91 + pred * 5) % (max + 1)
+      val d = JpegCodec.decode(JpegCodec.encodeLossless(13, 9, p, pred, px))
+      assert(d.nComponents == 1)
+      assert(d.image.width == 13 && d.image.height == 9)
+      var i = 0
+      while (i < 13 * 9) {
+        val v = px(i % 13, i / 13)
+        val want = if (p >= 8) v >> (p - 8) else v << (8 - p)
+        assert((d.image.luma(i) & 0xff) == want,
+          s"pred=$pred p=$p i=$i: got ${d.image.luma(i) & 0xff}, want $want")
+        i += 1
+      }
+    }
+  }
+
+  test("LOSSLESS: point transform shifts output; category 16 fires at P=16") {
+    // pt = 2 at P = 8: stored 6-bit samples, output = stored << 2
+    def px(x: Int, y: Int): Int = (x + y * 7) % 64
+    val d = JpegCodec.decode(JpegCodec.encodeLossless(9, 7, 8, 4, px, pt = 2))
+    (0 until 9 * 7).foreach { i =>
+      assert((d.image.luma(i) & 0xff) == (px(i % 9, i / 9) << 2))
+    }
+    // P = 16, first sample 0: diff = 0 - 32768 (default pred) = -32768
+    // -> category 16, no magnitude bits — the one special case
+    val d16 = JpegCodec.decode(JpegCodec.encodeLossless(4, 3, 16, 1,
+      (x, y) => if (x == 0 && y == 0) 0 else 40000))
+    assert((d16.image.luma(0) & 0xff) == 0)
+    assert((d16.image.luma(1) & 0xff) == (40000 >> 8))
+  }
+
+  test("LOSSLESS: DRI restarts reset the prediction to the default") {
+    def px(x: Int, y: Int): Int = (x * 11 + y * 29) % 256
+    val d = JpegCodec.decode(JpegCodec.encodeLossless(10, 8, 8, 7, px,
+      restartInterval = 13))
+    (0 until 80).foreach { i =>
+      assert((d.image.luma(i) & 0xff) == px(i % 10, i / 10), s"i=$i")
+    }
+  }
+
+  test("LOSSLESS refusals: multi-component, bad predictor, low precision") {
+    val ok = JpegCodec.encodeLossless(4, 4, 8, 1, (_, _) => 7)
+    // flip component count in SOF3 (find FF C3, count at +9)
+    var i = 2
+    while (!((ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc3)) i += 1
+    val multi = ok.clone(); multi(i + 9) = 3
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(multi))
+      .getMessage.contains("components"))
+    // predictor 0 in SOS ss field
+    var j = 2
+    while (!((ok(j) & 0xff) == 0xff && (ok(j + 1) & 0xff) == 0xda)) j += 1
+    val badPred = ok.clone(); badPred(j + 7) = 0
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(badPred))
+      .getMessage.contains("predictor"))
+    val badP = ok.clone(); badP(i + 4) = 1
+    assert(intercept[IllegalArgumentException](JpegCodec.decode(badP))
+      .getMessage.contains("precision"))
+  }
+
   test("12-bit baseline (SOF0) refuses; 8-bit SOF1 stays legal") {
     // hand-flip the SOF marker on a 12-bit SOF1 stream back to SOF0
     val ok = JpegCodec.encodeAdobe(8, 8, Array(1000), transform = -1,
