@@ -581,6 +581,42 @@ object Multimodal {
         "luma_min", "luma_max", "luma_sum")
   }
 
+  /** Animated-GIF compositing census (r18): per doc, a 2-4 frame
+    * animation of offset 4x3 rects over a 16-color palette — even ids
+    * dispose NONE (frames accumulate; a pixel shows the LAST covering
+    * frame), odd ids dispose RESTORE-BACKGROUND (each frame erases
+    * itself; the final canvas shows only the last frame's rect over
+    * background). The final composited canvas census is closed-form:
+    * the covering frame index is min(x, y, nf-1) when >= max(x-3,
+    * y-2, 0). Exercises decodeAnimation + composite end to end. */
+  def gifFramesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pal = Array.tabulate(16)(j =>
+      ((37 * j) % 256, (73 * j + 19) % 256, (131 * j + 7) % 256))
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 6).toInt
+        val h = (6 + id % 5).toInt
+        val nf = (2 + id % 3).toInt
+        val disposal = if (id % 2 == 0) 0 else 2
+        val frames = (0 until nf).map { k =>
+          GifCodec.FrameSpec(k, k, 4, 3,
+            (x, y) => ((x + y * 2 + k * 3 + id) % 16).toInt,
+            disposal = disposal)
+        }
+        val anim = GifCodec.decodeAnimation(
+          GifCodec.encodeAnimation(w, h, pal, frames))
+        val last = GifCodec.composite(anim).last
+        val lum = last.luma.map(_ & 0xff)
+        val wsum = lum.zipWithIndex
+          .map { case (l, i) => (i + 1).toLong * l }.sum
+        (id, anim.frames.size, anim.width, anim.height,
+          lum.map(_.toLong).sum, lum.min, lum.max, wsum)
+      })
+      .toDF("doc_id", "n_frames", "width", "height",
+        "luma_sum", "luma_min", "luma_max", "luma_wsum")
+  }
+
   /** Deterministic synthetic WebP per doc id — five encode shapes by
     * id mod 5, so every VP8L decode path runs across the corpus:
     * 0 = bare literals + 6-bit color cache; 1 = predictor transform

@@ -46,6 +46,10 @@ object MultimodalRegistry {
     // census plus a POSITION-WEIGHTED sum (which catches deinterlace
     // bugs that permutation-invariant stats cannot), all closed-form
     "q_mm_gif_decode" -> ((s, d) => Multimodal.gifRoundtrip(s, d)),
+    // ANIMATED GIF compositing (r18): multi-frame decode + disposal
+    // rules, final-canvas census closed-form (last-covering-frame
+    // arithmetic for disposal NONE, last-rect-only for RESTORE-BG)
+    "q_mm_gif_frames" -> ((s, d) => Multimodal.gifFramesRoundtrip(s, d)),
     // REAL WebP VP8L decode (r18): five encode shapes by id — bare
     // literals + color cache, predictor transform (all 14 modes across
     // ids) over subtract-green, packed palettes (1/2/4/8-bit), greedy
@@ -222,6 +226,45 @@ object MultimodalRegistry {
         |  CAST(max(luma) AS INTEGER) AS luma_max,
         |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
         |FROM l GROUP BY doc_id""".stripMargin,
+    // final-canvas luma replayed from the compositing closed form: the
+    // covering frame k* = least(x, y, nf-1) wins when >= greatest(x-3,
+    // y-2, 0) (disposal NONE, even ids); odd ids (RESTORE-BG) show only
+    // frame nf-1's rect; uncovered pixels carry background index 0
+    "q_mm_gif_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 6 AS INT) AS w,
+        |    CAST(6 + doc_id % 5 AS INT) AS h,
+        |    CAST(2 + doc_id % 3 AS INT) AS nf
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, nf, r.range AS i,
+        |    r.range % w AS x, r.range // w AS y
+        |  FROM d, range(0, 130) r WHERE r.range < w * h),
+        |k AS (SELECT doc_id, w, h, nf, i, x, y,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN CASE WHEN least(x, y, nf - 1)
+        |          >= greatest(x - 3, y - 2, 0)
+        |        THEN least(x, y, nf - 1) ELSE -1 END
+        |      ELSE CASE WHEN x BETWEEN nf - 1 AND nf + 2
+        |          AND y BETWEEN nf - 1 AND nf + 1
+        |        THEN nf - 1 ELSE -1 END
+        |    END AS kc
+        |  FROM p),
+        |l AS (SELECT doc_id, nf, w, h, i,
+        |    CASE WHEN kc < 0 THEN 0
+        |      ELSE ((x - kc) + (y - kc) * 2 + kc * 3 + doc_id) % 16
+        |    END AS j
+        |  FROM k),
+        |m AS (SELECT doc_id, nf, w, h, i,
+        |    (299 * ((37 * j) % 256) + 587 * ((73 * j + 19) % 256)
+        |      + 114 * ((131 * j + 7) % 256)) // 1000 AS luma
+        |  FROM l)
+        |SELECT doc_id, max(nf) AS n_frames, max(w) AS width,
+        |  max(h) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max,
+        |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
+        |FROM m GROUP BY doc_id""".stripMargin,
     // WebP pixels replayed from the per-mode closed forms; pal_size is
     // the count of DISTINCT colors the encoder palettized — the index
     // formula spans w+3h-3 consecutive integers mod ps, so that count

@@ -186,4 +186,91 @@ class GifSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GifCodec.decode(noPal))
     assert(e.getMessage.contains("color table"))
   }
+
+  // ---- animation (r18) ------------------------------------------------
+
+  private def animFixture(nFrames: Int, disposal: Int = 0,
+      transparent: Boolean = false): Array[Byte] = {
+    val pal = Array.tabulate(16)(j =>
+      ((j * 37) % 256, (j * 73 + 19) % 256, (j * 131 + 7) % 256))
+    val frames = (0 until nFrames).map { k =>
+      GifCodec.FrameSpec(x = k * 2, y = k, width = 6, height = 5,
+        pixel = (x, y) =>
+          if (transparent && (x + y + k) % 3 == 0) -1
+          else (x + y * 2 + k * 5) % 15, // 15: index 15 reserved for trans
+        disposal = disposal, delayCs = 3 + k)
+    }
+    GifCodec.encodeAnimation(20, 12, pal, frames)
+  }
+
+  test("animation: every frame's rect, pixels, disposal and delay decode") {
+    val anim = GifCodec.decodeAnimation(animFixture(4, disposal = 1))
+    assert(anim.width == 20 && anim.height == 12)
+    assert(anim.frames.size == 4)
+    anim.frames.zipWithIndex.foreach { case (f, k) =>
+      assert((f.x, f.y, f.width, f.height) == (k * 2, k, 6, 5))
+      assert(f.disposal == 1 && f.delayCs == 3 + k)
+      assert(!f.transparent.exists(identity))
+    }
+    // maxFrames caps decode but the full container still validates
+    assert(GifCodec.decodeAnimation(animFixture(4), 2).frames.size == 2)
+  }
+
+  test("animation FOREIGN parity: JDK ImageIO reads the same frames") {
+    val bytes = animFixture(3, transparent = true)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val n = reader.getNumImages(true)
+    assert(n == 3)
+    val anim = GifCodec.decodeAnimation(bytes)
+    (0 until n).foreach { k =>
+      val img = reader.read(k)
+      val f = anim.frames(k)
+      assert(img.getWidth == f.width && img.getHeight == f.height)
+      for (y <- 0 until f.height; x <- 0 until f.width) {
+        val argb = img.getRGB(x, y)
+        val i = y * f.width + x
+        if ((argb >>> 24) == 0) assert(f.transparent(i), s"k=$k ($x,$y)")
+        else {
+          assert(!f.transparent(i), s"k=$k ($x,$y)")
+          val want = lumaOf((argb >> 16) & 0xff, (argb >> 8) & 0xff,
+            argb & 0xff)
+          assert((f.luma(i) & 0xff) == want, s"k=$k ($x,$y)")
+        }
+      }
+    }
+    reader.dispose()
+  }
+
+  test("animation compositing: disposal none accumulates; 2 restores background; 3 restores previous") {
+    val pal = Array.tabulate(4)(j => (j * 80, j * 80, j * 80))
+    def lum(j: Int): Int = GifCodec
+      .decode(GifCodec.encode(1, 1, pal, (_, _) => j)).image.luma(0) & 0xff
+    // frame 0: fills screen with color 1; frame 1: 1x1 rect color 2 at
+    // (1,1) disposal 2; frame 2: 1x1 rect color 3 at (0,0) disposal 3;
+    // frame 3: full screen transparent (shows the canvas as-is)
+    val bytes = GifCodec.encodeAnimation(3, 2, pal, Seq(
+      GifCodec.FrameSpec(0, 0, 3, 2, (_, _) => 1),
+      GifCodec.FrameSpec(1, 1, 1, 1, (_, _) => 2, disposal = 2),
+      GifCodec.FrameSpec(0, 0, 1, 1, (_, _) => 2, disposal = 3),
+      GifCodec.FrameSpec(0, 0, 3, 2, (_, _) => -1)))
+    val anim = GifCodec.decodeAnimation(bytes)
+    val shown = GifCodec.composite(anim)
+    assert(shown.size == 4)
+    val c1 = lum(1); val c2 = lum(2); val bg = lum(0)
+    assert(anim.bgLuma == bg)
+    // after frame 0: all c1
+    assert(shown(0).luma.map(_ & 0xff).toSeq == Seq.fill(6)(c1))
+    // frame 1 shows c2 at (1,1)
+    assert((shown(1).luma(1 * 3 + 1) & 0xff) == c2)
+    // frame 2 shows c2 at (0,0); its disposal-3 then restores the
+    // canvas, and frame 1's disposal-2 had already cleared (1,1) to bg
+    assert((shown(2).luma(0) & 0xff) == c2)
+    assert((shown(2).luma(1 * 3 + 1) & 0xff) == bg)
+    // frame 3 draws nothing: canvas as after frame 2's restore = all c1
+    // except (1,1) which frame 1's disposal cleared to bg
+    val last = shown(3).luma.map(_ & 0xff).toSeq
+    assert(last == Seq(c1, c1, c1, c1, bg, c1))
+  }
 }
