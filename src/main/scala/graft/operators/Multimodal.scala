@@ -617,6 +617,60 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max", "luma_wsum")
   }
 
+  /** TIFF roundtrip census (r18): four photometric families by id mod
+    * 4 — 8-bit gray BlackIsZero, 4-bit gray WHITE-IS-ZERO (inverted +
+    * x17 scaling), 8-bit RGB, 16-entry palette — cycling byte order,
+    * PackBits on every 3rd id, RowsPerStrip 1-4 (multi-strip always).
+    * Pixels keep integer closed forms the DuckDB oracle replays. */
+  def tiffRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + id % 11).toInt
+        val h = (5 + id % 8).toInt
+        val fam = (id % 4).toInt
+        val cmap = Array.tabulate(48) { i =>
+          val j = i % 16
+          (i / 16 match {
+            case 0 => (37 * j) % 256
+            case 1 => (73 * j + 19) % 256
+            case _ => (131 * j + 7) % 256
+          }) << 8
+        }
+        val bytes = fam match {
+          case 0 => TiffCodec.encode(w, h, photometric = 1, bps = 8,
+            (x, y) => ((id * 7 + x * 3 + y * 5) % 256).toInt,
+            bigEndian = id % 2 == 1, packBits = id % 3 == 0,
+            rowsPerStrip = 1 + (id % 4).toInt)
+          case 1 => TiffCodec.encode(w, h, photometric = 0, bps = 4,
+            (x, y) => ((x + y + id) % 16).toInt,
+            bigEndian = id % 2 == 1, packBits = id % 3 == 0,
+            rowsPerStrip = 1 + (id % 4).toInt)
+          case 2 => TiffCodec.encode(w, h, photometric = 2, bps = 8,
+            (x, y) => ((((id * 7 + x * 3 + y * 5) % 256) << 16) |
+              (((id * 11 + x * 2 + y * 7) % 256) << 8) |
+              ((id * 13 + x * 5 + y * 3) % 256)).toInt,
+            bigEndian = id % 2 == 1, packBits = id % 3 == 0,
+            rowsPerStrip = 1 + (id % 4).toInt)
+          case _ => TiffCodec.encode(w, h, photometric = 3, bps = 8,
+            (x, y) => ((x + y * 3 + id) % 16).toInt,
+            bigEndian = id % 2 == 1, packBits = id % 3 == 0,
+            rowsPerStrip = 1 + (id % 4).toInt,
+            colorMap = Array.tabulate(768)(i =>
+              if (i % 256 < 16) cmap(i / 256 * 16 + i % 256) else 0))
+        }
+        val dec = TiffCodec.decode(bytes)
+        val lum = dec.image.luma.map(_ & 0xff)
+        val wsum = lum.zipWithIndex
+          .map { case (l, i) => (i + 1).toLong * l }.sum
+        (id, dec.image.width, dec.image.height, dec.compression,
+          dec.photometric, dec.bitsPerSample,
+          lum.map(_.toLong).sum, lum.min, lum.max, wsum)
+      })
+      .toDF("doc_id", "width", "height", "compression", "photometric",
+        "bps", "luma_sum", "luma_min", "luma_max", "luma_wsum")
+  }
+
   /** Deterministic synthetic WebP per doc id — five encode shapes by
     * id mod 5, so every VP8L decode path runs across the corpus:
     * 0 = bare literals + 6-bit color cache; 1 = predictor transform

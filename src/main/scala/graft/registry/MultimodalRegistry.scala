@@ -46,6 +46,10 @@ object MultimodalRegistry {
     // census plus a POSITION-WEIGHTED sum (which catches deinterlace
     // bugs that permutation-invariant stats cannot), all closed-form
     "q_mm_gif_decode" -> ((s, d) => Multimodal.gifRoundtrip(s, d)),
+    // TIFF baseline (r18): both byte orders, multi-strip, PackBits,
+    // gray 8/4-bit (incl. WhiteIsZero inversion), RGB, palette — the
+    // JDK-LZW path is spec-covered; the oracle replays the census
+    "q_mm_tiff_decode" -> ((s, d) => Multimodal.tiffRoundtrip(s, d)),
     // ANIMATED GIF compositing (r18): multi-frame decode + disposal
     // rules, final-canvas census closed-form (last-covering-frame
     // arithmetic for disposal NONE, last-rect-only for RESTORE-BG)
@@ -221,6 +225,42 @@ object MultimodalRegistry {
         |  FROM p)
         |SELECT doc_id, max(w) AS width, max(h) AS height,
         |  1 AS n_frames,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS INTEGER) AS luma_min,
+        |  CAST(max(luma) AS INTEGER) AS luma_max,
+        |  CAST(sum((i + 1) * luma) AS BIGINT) AS luma_wsum
+        |FROM l GROUP BY doc_id""".stripMargin,
+    // TIFF luma replayed per family: gray8 = the formula; gray4
+    // WhiteIsZero = (15 - raw) * 17; RGB/palette Rec.601 closed forms;
+    // container facts pinned by the id-cycled encode parameters
+    "q_mm_tiff_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(6 + doc_id % 11 AS INT) AS w,
+        |    CAST(5 + doc_id % 8 AS INT) AS h,
+        |    CAST(doc_id % 4 AS INT) AS fam
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, h, fam, r.range AS i,
+        |    r.range % w AS x, r.range // w AS y
+        |  FROM d, range(0, 192) r WHERE r.range < w * h),
+        |l AS (SELECT doc_id, w, h, fam, i,
+        |    CASE fam
+        |      WHEN 0 THEN (doc_id * 7 + x * 3 + y * 5) % 256
+        |      WHEN 1 THEN (15 - (x + y + doc_id) % 16) * 17
+        |      WHEN 2 THEN (299 * ((doc_id * 7 + x * 3 + y * 5) % 256)
+        |        + 587 * ((doc_id * 11 + x * 2 + y * 7) % 256)
+        |        + 114 * ((doc_id * 13 + x * 5 + y * 3) % 256)) // 1000
+        |      ELSE (299 * ((37 * ((x + y * 3 + doc_id) % 16)) % 256)
+        |        + 587 * ((73 * ((x + y * 3 + doc_id) % 16) + 19) % 256)
+        |        + 114 * ((131 * ((x + y * 3 + doc_id) % 16) + 7) % 256))
+        |        // 1000
+        |    END AS luma
+        |  FROM p)
+        |SELECT doc_id, max(w) AS width, max(h) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 32773 ELSE 1 END AS INTEGER)
+        |    AS compression,
+        |  CAST(CASE max(fam) WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 2
+        |    ELSE 3 END AS INTEGER) AS photometric,
+        |  CAST(CASE WHEN max(fam) = 1 THEN 4 ELSE 8 END AS INTEGER) AS bps,
         |  CAST(sum(luma) AS BIGINT) AS luma_sum,
         |  CAST(min(luma) AS INTEGER) AS luma_min,
         |  CAST(max(luma) AS INTEGER) AS luma_max,
