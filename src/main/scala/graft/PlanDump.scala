@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Dump `explain("formatted")` for named registry queries to files — the
-  * plan-evidence artifact of the optimization rounds (`plans/rNN/*.txt`).
+  * plan-evidence artifact of the optimization rounds (plans/rNN dir).
   * The judge cannot run Spark; these files pin every plan-shape claim in
   * OPTIMIZATION_rNN.md to something diffable.
   *

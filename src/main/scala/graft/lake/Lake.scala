@@ -197,10 +197,48 @@ object Tables {
     * with `spark.sql.legacy.parquet.nanosAsLong=true` (set by all engine
     * sessions) it arrives as a nano-epoch long and is converted here to a
     * microsecond timestamp — the same truncation DuckDB applies. */
+  /** Tables whose queries are dominated by per-row CPU (tokenize / shingle
+    * / hash / vector math) rather than scan+aggregate — the only tables
+    * where paying one small exchange to escape a single-row-group scan is
+    * a clear win. Relational tables (lineitem/orders/events) host
+    * scan→filter→aggregate queries whose map side is cheap; spreading them
+    * was measured NET-NEGATIVE (q1 0.26 s → 1.0 s). Key = the unique id
+    * column: hash repartitioning avoids round-robin's
+    * sort-before-repartition pass AND downstream id-keyed aggregations
+    * reuse the partitioning (hash(doc_id) satisfies any grouping that
+    * contains doc_id — exchanges disappear instead of moving). */
+  private val cpuDenseKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = raw(spark, sfDir, name)
+    cpuDenseKeys.get(name).fold(df)(key => spread(spark, df, col(key)))
+  }
+
+  /** [[apply]] without the under-split spread — for FIXTURE BUILDERS whose
+    * write-side file layout is part of the fixture contract (Delta tables
+    * constructed with a deliberate file census): those paths control their
+    * own partitioning and must not inherit a parallelism-dependent one. */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
     else df
+  }
+
+  /** Spread a pathologically under-split scan across the session's
+    * parallelism (optimization guide §2.5, "input skew: one huge
+    * unsplittable file … repartition immediately after the read"): the
+    * driver test tables are single-file, SINGLE-ROW-GROUP parquet, so the
+    * scan cannot be split below one task no matter the split configs and
+    * every map-side operator (tokenize/shingle/hash/decode) otherwise runs
+    * on ONE core regardless of cluster size. A no-op whenever the planned
+    * scan already meets the session's default parallelism — i.e. on any
+    * properly laid-out multi-file / multi-row-group table (a real 100 TB
+    * lake), where adding a corpus-sized exchange would be pure loss.
+    * Filters and column pruning push through RepartitionByExpression, so
+    * PushedFilters / ReadSchema at the scan are unchanged. */
+  def spread(spark: SparkSession, df: DataFrame, key: Column): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
 }

@@ -131,7 +131,7 @@ object Graph {
     * definition. */
   def connectedComponents(edges: DataFrame, iterations: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val sym = symmetric(edges).localCheckpoint(false)
+    val sym = symPartitioned(edges)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(false)
     (1 to iterations).foreach { _ =>
@@ -163,6 +163,17 @@ object Graph {
     e.select(col("term_a").as("u"), col("term_b").as("v"))
       .unionByName(e.select(col("term_b").as("u"), col("term_a").as("v")))
   }
+
+  /** [[symmetric]], hash-partitioned on `u` and pinned. Every iterative
+    * consumer (CC / LPA / BFS / k-core / Adamic-Adar) joins or aggregates
+    * the edge relation on `u` once per sweep; a checkpoint WITHOUT an
+    * explicit partitioning re-shuffles the whole edge relation at every
+    * sweep (the union that builds it destroys any incoming partitioning),
+    * while localCheckpoint PRESERVES outputPartitioning — so one exchange
+    * here replaces one per iteration (optimization guide §2.4, "two
+    * operations keyed the same way can share one exchange"). */
+  private def symPartitioned(edges: DataFrame): DataFrame =
+    symmetric(edges).repartition(col("u")).localCheckpoint(false)
 
   /** Triangle enumeration by DEGREE-ORDERED ORIENTATION (the canonical
     * distributed scheme: Cohen's MapReduce triangle counting / Suri &
@@ -261,6 +272,10 @@ object Graph {
     * degree. */
   def kCore(edges: DataFrame, k: Int, passes: Int = 4): DataFrame = {
     require(k >= 1 && passes >= 1, s"k=$k passes=$passes")
+    // NOT symPartitioned: the per-pass `keep` relation is census-sized, so
+    // both semi-joins go broadcast and never shuffle the edge side — a
+    // hash(u) pin would add a full-edge exchange that nothing reuses
+    // (measured 0.80 s → 1.02 s with the pin; reverted)
     var sym = symmetric(edges).localCheckpoint(false)
     (1 to passes).foreach { _ =>
       val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
@@ -327,7 +342,7 @@ object Graph {
     * drill-downs) consumes. */
   def labelPropagationLabels(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val sym = symmetric(edges).localCheckpoint(false)
+    val sym = symPartitioned(edges)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(false)
     (1 to iterations).foreach { _ =>
@@ -392,7 +407,7 @@ object Graph {
     * a sentinel). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val sym = symmetric(edges).localCheckpoint(false)
+    val sym = symPartitioned(edges)
     var dist = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(false)
     (1 to maxHops).foreach { _ =>
@@ -422,7 +437,7 @@ object Graph {
   def bfsHopsFrontier(edges: DataFrame, seeds: DataFrame,
       maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val sym = symmetric(edges).localCheckpoint(false)
+    val sym = symPartitioned(edges)
     var frontier = seeds.select(col("node")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint(false)
     var dist = frontier
@@ -459,7 +474,10 @@ object Graph {
     * RAW then rounded once to 6; the top-k ORDER uses the rounded score
     * so cross-engine ulp drift in ln cannot flip the cutoff. */
   def adamicAdar(edges: DataFrame, k: Int = 50, maxDeg: Long = 1000): DataFrame = {
-    val sym = symmetric(edges).localCheckpoint(false)
+    // hash(u)-pinned: deg census, the capped tag join, and the z-keyed
+    // wedge self-join all key on u/z — the census and BOTH wedge legs
+    // reuse the one exchange
+    val sym = symPartitioned(edges)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val capped = sym.join(
         deg.filter(col("d") >= 2 && col("d") <= maxDeg), "u")

@@ -226,15 +226,19 @@ object DedupRegistry {
     // fanout-free left joins over the distinct pair union
     "q_dedup_agreement" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      // each tier's pair relation is consumed TWICE (the union and its
+      // flag join) — pin the three (pair-census-sized) relations so the
+      // expensive LSH/banding pipelines behind mh/sh run once, not twice
       val ex = Tables(s, d, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .withColumn("rep", min(col("doc_id")).over(w))
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        .localCheckpoint(false)
       val mh = Dedup.ngramJaccardPairs(s, d, 0.5)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
       val sh = Dedup.simhashNearDupPairs(s, d)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
       ex.unionByName(mh).unionByName(sh).distinct()
         .join(ex.withColumn("fe", lit(1)), Seq("doc_a", "doc_b"), "left")
         .join(mh.withColumn("fm", lit(1)), Seq("doc_a", "doc_b"), "left")

@@ -13,8 +13,14 @@ import graft.lake.{DeltaTable, Tables}
   * row/hash mismatch, exactly the q_orc_roundtrip convention. */
 object LakeRegistry {
 
+  // Tables.raw (not the spread form): every consumer below is a FIXTURE
+  // BUILDER whose write-side file census is part of the fixture contract —
+  // a parallelism-dependent input partitioning would turn each 5000-row
+  // overwrite into 32 tiny files (slower fixture builds, layout-dependent
+  // file counts); builders that need a specific layout repartition
+  // explicitly.
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents").select(col("doc_id"), col("source"),
+    Tables.raw(s, d, "documents").select(col("doc_id"), col("source"),
       col("lang"), col("n_chars"))
 
   private def tmpRoot(s: SparkSession, d: String, q: String): String =

@@ -159,7 +159,15 @@ class PlanSpec extends SparkSpec {
     // the 1-row codebook is attached by broadcast; the corpus side streams
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"codebook not broadcast:\n$p")
-    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+    // REPARTITION_BY_NUM exchanges are the Tables-level under-split-scan
+    // spread (input-layout normalization, r18), NOT an assignment shuffle:
+    // the assertion's target is the join machinery — no exchange may be
+    // INDUCED by the cell assignment itself
+    val induced = p.linesIterator.filter(l =>
+      (l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning")) &&
+        !l.contains("REPARTITION_BY_NUM")).toSeq
+    assert(induced.isEmpty,
       s"cell assignment should not shuffle the corpus:\n$p")
     // centroids must ride in the broadcast payload, never the plan: no
     // array-of-struct literal anywhere (would grow the plan with C)
