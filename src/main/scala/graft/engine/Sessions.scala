@@ -27,6 +27,16 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    // AQE coalescing sizes partitions by BYTES; this engine's hot shuffles
+    // carry compressed text/shingle payloads whose per-byte CPU (md5,
+    // array_intersect, tokenize) is orders of magnitude above relational
+    // data, so the default 1 MB floor collapses CPU-dense stages to 1-3
+    // tasks (measured: the containment verify stage ran 3 tasks / 7.4 s
+    // of task time on 32 idle cores). 64 KB keeps those stages wide;
+    // with parallelismFirst (default true) the target is still
+    // max(bytes/parallelism, floor), so large-shuffle stages — every
+    // stage at production scale — are UNAFFECTED by the floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     // resolve parquet columns by footer field id whenever the read
     // schema carries `parquet.field.id` metadata — the Delta
     // column-mapping `id` mode contract (inert for every other read:

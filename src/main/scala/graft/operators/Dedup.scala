@@ -732,20 +732,27 @@ object Dedup {
     val incProbes = containmentProbesOf(incSets, bottomK)
     // current-corpus df = persisted additive stats + the delta's counts;
     // vocabulary-sized, never O(corpus)
+    // pinned: BOTH index legs semi-join against it — without the pin the
+    // df-census union (a full delta-postings aggregate) runs twice
     val okShingles = exDfStats
       .unionByName(incPostings.groupBy(col("shingle")).agg(count(lit(1)).as("n")))
       .groupBy(col("shingle")).agg(sum(col("n")).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
+      .localCheckpoint(false)
     val exIdx  = exPostings.join(okShingles, "shingle")
       .select(col("shingle"), col("doc_id").as("index_id"))
     val incIdx = incPostings.join(okShingles, "shingle")
       .select(col("shingle"), col("doc_id").as("index_id"))
     // every join leg has >= 1 delta member; ex<->ex pairs were found when
-    // those documents arrived
-    val hits = incProbes.withColumnRenamed("doc_id", "probe_id").join(exIdx, "shingle")
+    // those documents arrived. TWO legs, not three: the delta's probes hit
+    // the WHOLE index in one join (union-before-join ≡ union-of-joins), so
+    // incProbes' md5 bottom-k sketch is computed and shuffled once instead
+    // of twice — and ex<->ex hits still never materialize (the 100 TB
+    // history×history fanout stays impossible by construction).
+    val hits = incProbes.withColumnRenamed("doc_id", "probe_id")
+      .join(exIdx.unionByName(incIdx), "shingle")
       .unionByName(exProbes.withColumnRenamed("doc_id", "probe_id").join(incIdx, "shingle"))
-      .unionByName(incProbes.withColumnRenamed("doc_id", "probe_id").join(incIdx, "shingle"))
     val cand = hits
       .filter(col("probe_id") =!= col("index_id"))
       .groupBy(least(col("probe_id"), col("index_id")).as("doc_a"),
