@@ -282,10 +282,15 @@ object Sampling {
     val edges = df.agg(
       approx_percentile(v.cast("double"), array(ps.map(lit): _*), lit(1000))
         .as("band_edges"))
-    val band = ps.indices.foldLeft(lit(0)) { (acc, i) =>
-      acc + when(v.cast("double") >= element_at(col("band_edges"), i + 1), 1)
-        .otherwise(0)
-    }
+    // band = #edges at or below v — ONE array pass (size∘filter) instead
+    // of nBands-1 separate when-branches: the unrolled fold was nBands-1
+    // expression nodes PER ROW (measured ~45µs/row at nBands=64, the
+    // dominant cost of every ordered-statistic query); the HOF evaluates
+    // the same comparisons in one tight loop. NULL parity with the fold:
+    // a NULL v (or edge) yields a NULL predicate, which filter() drops —
+    // exactly the 0 the when(...).otherwise(0) fold contributed.
+    val band = size(filter(col("band_edges"),
+      e => v.cast("double") >= e))
     df.join(broadcast(edges)).withColumn("band", band).drop("band_edges")
   }
 
@@ -324,8 +329,23 @@ object Sampling {
     // corpus), so checkpointing it is the right trade; corpus-sized
     // inputs that band directly via withRangeBand stay lazy — there a
     // second map-side scan beats materializing 100 TB.
-    val pinned = census.localCheckpoint(false)
+    // EAGER, not lazy (r18): the edges pass is a broadcast subtree, so it
+    // executes on a broadcast thread CONCURRENTLY with the main plan —
+    // with a lazy checkpoint both consumers race the not-yet-materialized
+    // blocks and each computes the census subtree from scratch (measured:
+    // q_auc ran its orders scan+agg twice, ~7 s task time each, in
+    // overlapping stages). Eager materializes once before either consumer
+    // plans; the job runs inside the caller's timed region as before.
+    val pinned = census.localCheckpoint(true)
+    // The banded census ALSO has two concurrent consumers — the per-band
+    // offsets aggregate rides a broadcast(offsets) join, so its subtree
+    // executes as a separate broadcast-thread job that cannot share
+    // exchanges with the main plan; unpinned, the band expression (a
+    // 63-term when-chain per row) and the edges join ran TWICE (measured
+    // q_auc: two ~7 s-task-time stages for one 90k-row census). Same
+    // census-sized-relation argument as `pinned` above.
     val banded = withRangeBand(pinned, if (desc) -v else v, nBands)
+      .localCheckpoint(true)
     val bandW = Window.orderBy(col("band"))
     val massAggs = count(lit(1)).as("_bm_rows") +:
       weights.map { case (n, w) => sum(w).as(s"_bm_$n") }
