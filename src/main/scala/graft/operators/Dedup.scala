@@ -659,7 +659,7 @@ object Dedup {
       minHits: Int = ContainMinHits): DataFrame = {
     // three consumers (probes, index, verify) — materialize once, like the
     // retrieval tf tables
-    val docs = shingleSetsOf(allDocs).localCheckpoint(false)
+    val docs = shingleSetsOf(allDocs).localCheckpoint(true)
     // bottom-k by (md5-prefix, shingle): pure array arithmetic in-stage
     val probes = containmentProbesOf(docs, bottomK)
       .withColumnRenamed("doc_id", "probe_id")
@@ -716,7 +716,7 @@ object Dedup {
       bottomK: Int = ContainBottomK, maxDf: Int = ContainMaxDf,
       minHits: Int = ContainMinHits): DataFrame =
     incrementalContainmentFromSets(exPostings, exProbes, exDfStats,
-      shingleSetsOf(incDocs).localCheckpoint(false), threshold, bottomK,
+      shingleSetsOf(incDocs).localCheckpoint(true), threshold, bottomK,
       maxDf, minHits)
 
   /** [[incrementalContainmentPairs]] over a precomputed (materialized)
@@ -739,7 +739,7 @@ object Dedup {
       .groupBy(col("shingle")).agg(sum(col("n")).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("shingle"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val exIdx  = exPostings.join(okShingles, "shingle")
       .select(col("shingle"), col("doc_id").as("index_id"))
     val incIdx = incPostings.join(okShingles, "shingle")

@@ -211,7 +211,12 @@ object FuzzyJoin {
   def setSimilarityPairs(docs: DataFrame, threshold: Double,
       maxCandidatesPerDoc: Long = MaxCandidatesPerDoc): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val sets = Dedup.shingleSetRelation(docs).localCheckpoint(false)
+    // EAGER pin (r18): the preflight census/count actions and the main
+    // candidate join are separate concurrent-ish consumers; the lazy
+    // checkpoint measurably recomputed the tokenize+md5 shingle build
+    // twice (two ~7 s-task-time stages with identical 3.87 MB output in
+    // one StageProbe run). Eager materializes once.
+    val sets = Dedup.shingleSetRelation(docs).localCheckpoint(true)
     val post = sets.select(col("doc_id"), size(col("sh")).as("len"),
       explode(col("sh")).as("shingle"))
     val dft = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
